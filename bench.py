@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once for warm-up-free wall-clock honesty? No —
+JVM+Catalyst warm-up would dominate at sf0.1, so we run one untimed
+warm-up action first (a count over lineitem) to pay session startup,
+then time each query's full action (plan → execute → count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_extract_transform_load_spark.registry import queries
+from etl_extract_transform_load_spark.session import get_spark, sf_dir
+
+#: Queries timed by the driver's per-round BENCH run. Keep this the set of
+#: headline operators (joins/aggs/pivots/dedup/similarity), not every
+#: micro-query in the registry.
+HEADLINE: tuple[str, ...] = ()  # empty → bench all registered queries
+
+
+def main() -> None:
+    d = sf_dir()
+    sf = d.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="etl_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM/codegen/parquet-footer caches.
+    spark.read.parquet(f"{d}/lineitem.parquet").count()
+
+    qs = queries()
+    names = [n for n in (HEADLINE or qs) if n in qs]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, d)
+        # A count materializes the whole plan without driver-side
+        # collection overhead dominating the measurement.
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""etl_extract_transform_load_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference pipeline angel-2022cal/ETL_Extract-Transform-Load (a pandas
+Movies-ETL batch job), generalized into a composable DataFrame operator
+library plus large-scale extensions (dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Design stance (see SURVEY.md §7):
+- Everything is a ``pyspark.sql.DataFrame`` plan; no RDDs.
+- Pure column expressions over Python UDFs so Catalyst/WholeStageCodegen
+  stay in play; Pandas UDFs only where semantics demand (multimodal).
+- Data-dependent schema decisions (null-fraction pruning, single-value
+  detection) are explicit two-pass library helpers, not optimizer rules.
+"""
+
+from etl_extract_transform_load_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

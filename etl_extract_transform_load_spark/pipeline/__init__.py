@@ -1,0 +1,3 @@
+from etl_extract_transform_load_spark.pipeline.flagship import flagship_query
+
+__all__ = ["flagship_query"]

@@ -1,0 +1,114 @@
+"""Flagship end-to-end query (SURVEY.md §7 step 1).
+
+Re-expresses the reference's core integrate stage
+(challenge2.py:216-281) on the driver's TPC-H-ish tables:
+
+    filter → inner equi-join → groupBy().pivot().count()
+           → left join → na.fill(0)
+
+Reference shape → test-table mapping:
+- wiki ⋈ kaggle on imdb_id   → customer ⋈ orders on custkey (J1)
+- ratings groupby/pivot      → events per user_id pivoted on
+  event_type (A1+A2, challenge2.py:273-277)
+- left merge + fillna(0)     → left join on custkey == user_id +
+  na.fill(0) (J2+F11, challenge2.py:279-281)
+
+Scale notes: the orders-side aggregation is a map-side-combinable
+hash aggregate; the pivoted events table is tiny relative to the fact
+tables (≤ |users| rows), so it is explicitly broadcast — at 100 TB the
+left join then needs no shuffle of the big side. Pivot values are
+supplied explicitly so no extra distinct-scan job runs and the output
+schema is static.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.sources import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order totals enriched with per-user event-type counts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    # P2-style filter before the join → Catalyst pushes it into the scan.
+    cust = customer.filter(F.col("c_acctbal") > 0)
+
+    # J1 inner equi-join + A1 aggregate. Decimal-cast the money sum so the
+    # result is exact (and hash-identical to the DuckDB oracle).
+    cust_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+    # A2 pivot with explicit values (static schema, no distinct pre-scan).
+    events_pivot = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"evt_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+    # J2 left join; the pivoted side is small → broadcast (no shuffle of
+    # the customer/orders side), then F11 null-fill for users with no events.
+    evt_cols = [f"evt_{t}" for t in EVENT_TYPES]
+    return (
+        cust_orders.join(
+            F.broadcast(events_pivot),
+            cust_orders.c_custkey == events_pivot.user_id,
+            "left",
+        )
+        .drop("user_id")
+        .na.fill(0, subset=evt_cols)
+    )
+
+
+FLAGSHIP_ORACLE_SQL = """
+WITH cust_orders AS (
+    SELECT c.c_custkey,
+           c.c_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY c.c_custkey, c.c_name
+),
+ev AS (
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS evt_click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS evt_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS evt_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS evt_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS evt_view
+    FROM events
+    GROUP BY user_id
+)
+SELECT co.c_custkey,
+       co.c_name,
+       co.order_cnt,
+       co.total_spend,
+       COALESCE(ev.evt_click, 0)    AS evt_click,
+       COALESCE(ev.evt_error, 0)    AS evt_error,
+       COALESCE(ev.evt_purchase, 0) AS evt_purchase,
+       COALESCE(ev.evt_signup, 0)   AS evt_signup,
+       COALESCE(ev.evt_view, 0)     AS evt_view
+FROM cust_orders co
+LEFT JOIN ev ON co.c_custkey = ev.user_id
+"""

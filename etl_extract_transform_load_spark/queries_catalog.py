@@ -1,0 +1,17 @@
+"""Catalog of driver-checkable queries (SURVEY.md §2 coverage).
+
+Each ``register(name, query, oracle)`` pairs a Spark DataFrame plan with
+the DuckDB SQL that must produce hash-identical results at sf=0.01.
+Grouped by SURVEY §2 section; names reference the inventory IDs.
+"""
+
+from __future__ import annotations
+
+from etl_extract_transform_load_spark.pipeline.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_query,
+)
+from etl_extract_transform_load_spark.registry import register
+
+# --- §7.1 flagship: filter → join → pivot-count → left join → fill(0) ---
+register("flagship_integrate", flagship_query, FLAGSHIP_ORACLE_SQL)

@@ -1,0 +1,52 @@
+"""Query registry: every implemented operator gets a named (query, oracle)
+pair here; ``__spark_entry__`` re-exports the dicts for the driver.
+
+- query: ``Callable[[SparkSession, str], DataFrame]`` run by Spark
+- oracle: equivalent ANSI SQL for DuckDB on the same parquet tables
+  (``None`` for genuinely non-SQL-expressible ops → rows-only check)
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, query: QueryFn, oracle: str | None) -> None:
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query name: {name}")
+    _QUERIES[name] = query
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_registered()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_registered()
+    return dict(_ORACLES)
+
+
+_REGISTERED = False
+
+
+def _ensure_registered() -> None:
+    """Import every module that calls ``register`` (idempotent)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from etl_extract_transform_load_spark import queries_catalog  # noqa: F401
+
+    _REGISTERED = True

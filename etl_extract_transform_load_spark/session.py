@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32), but every
+config here is chosen to also be the right default on a large cluster:
+AQE for runtime re-planning (skew joins, partition coalescing), Arrow for
+any pandas exchange, UTC session timezone for deterministic date
+semantics, and a shuffle-partition count sized to the local core count
+(on a real cluster AQE coalesces / splits as needed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_extract_transform_load_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    Parameters are overridable for tests; environment variables
+    ``SPARK_GRAFT_CPUS`` and ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` control
+    the local defaults.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic date/timestamp semantics across engines (DuckDB oracle
+        # comparisons run in UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce small shuffle partitions, split skewed
+        # ones, convert to broadcast joins at runtime — the core 100 TB knob.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas_udf / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep scans right-sized: 128 MiB splits is the parquet sweet spot.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Quiet local UI.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
+    """Scale-factor directory for benchmarks (driver contract)."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)

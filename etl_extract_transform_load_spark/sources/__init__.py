@@ -1,0 +1,17 @@
+from etl_extract_transform_load_spark.sources.readers import (
+    TABLES,
+    csv_source,
+    json_source,
+    load_table,
+    load_tables,
+    parquet_source,
+)
+
+__all__ = [
+    "TABLES",
+    "csv_source",
+    "json_source",
+    "load_table",
+    "load_tables",
+    "parquet_source",
+]

@@ -1,0 +1,118 @@
+"""Batch sources (SURVEY.md §2.1 S1–S3).
+
+The reference's three extract paths — ``json.load`` of a ragged JSON
+array (challenge2.py:13-14), ``pd.read_csv`` with whole-file inference
+(challenge2.py:16-17), and a 1M-row chunked CSV iterator
+(challenge2.py:295) — map to Spark's native readers:
+
+- S1 ragged JSON  → ``spark.read.json`` with ``multiLine`` + PERMISSIVE
+  mode; ragged keys become nullable columns for free.
+- S2 CSV          → ``spark.read.csv``; explicit schema preferred at
+  scale (a 100 TB inferSchema pass is a full extra scan), with
+  PERMISSIVE corrupt-record capture replacing the reference's manual
+  ``adult``-column corruption handling (challenge2.py:202-204).
+- S3 chunked read → unnecessary: Spark partitions scans natively. The
+  streaming analog lives in ``streaming.ingest``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def parquet_source(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan. Filters/projections pushed to the reader by Catalyst."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated test table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as nano-epoch longs
+    (``nanosAsLong``) and convert to a microsecond TimestampType column.
+    Queries should expose *derived* time columns (date, epoch-seconds)
+    rather than raw ``ts`` — sub-microsecond precision differs between
+    engines and would break value-hash comparison.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several test tables as a dict keyed by table name."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def json_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multi_line: bool = True,
+) -> DataFrame:
+    """S1: semi-structured JSON source (challenge2.py:13-14).
+
+    ``multiLine=True`` reads a whole JSON array (the wikipedia-movies
+    shape); per-record ragged key sets surface as nullable columns.
+    At scale prefer JSON-lines (one record per line → splittable) with
+    an explicit ``schema`` — multiLine arrays force one task per file.
+    """
+    reader = (
+        spark.read.option("multiLine", "true" if multi_line else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """S2: CSV source (challenge2.py:16-17).
+
+    With ``schema`` given, malformed rows land in ``_corrupt_record``
+    (PERMISSIVE) instead of silently widening column types — the Spark
+    replacement for the reference's post-hoc corrupt-``adult`` filter
+    (challenge2.py:202-204). ``infer_schema=True`` mirrors pandas
+    ``low_memory=False`` whole-file inference; avoid it at scale.
+    """
+    reader = (
+        spark.read.option("header", "true" if header else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,85 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver runs the Spark query and the oracle SQL side-by-side,
+sorts columns by name, and compares row-count + schema +
+order-insensitive value-hash. This helper reproduces that check so
+tests validate the real gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            # Normalize lists/arrays to tuples so sorting works.
+            df[c] = col.map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+        elif str(col.dtype).startswith("datetime"):
+            df[c] = col.astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) != pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(run_duckdb(sql, sf_dir))
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch:\n spark={list(got.columns)}\n duck={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duck={len(want)}"
+    for c in got.columns:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        bad = [
+            (i, g, w)
+            for i, (g, w) in enumerate(zip(gv, wv))
+            if not _values_equal(g, w)
+        ]
+        assert not bad, f"value mismatch in column {c!r}: first={bad[:5]}"

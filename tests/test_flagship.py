@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.pipeline.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_query,
+)
+
+
+def test_flagship_smoke(spark):
+    df = flagship_query(spark, SF_SMOKE)
+    rows = df.count()
+    assert rows > 0
+    assert "total_spend" in df.columns
+    assert "evt_click" in df.columns
+
+
+def test_flagship_matches_oracle(spark):
+    df = flagship_query(spark, SF_ORACLE)
+    assert_matches_oracle(df, FLAGSHIP_ORACLE_SQL, SF_ORACLE)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert "flagship_integrate" in q
+    assert set(o) <= set(q)

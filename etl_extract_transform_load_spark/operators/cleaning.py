@@ -1,0 +1,119 @@
+"""Schema-cleaning operators (SURVEY.md §2.2 P10-P12, §2.4 A8, §2.7 F6).
+
+These are the reference's *data-dependent* schema decisions — the ones
+Catalyst cannot make because they depend on data statistics. Each is a
+two-pass library helper: one aggregate job to decide, then a pure
+projection (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def null_fractions(df: DataFrame, columns: Sequence[str] | None = None) -> dict[str, float]:
+    """Per-column null fraction in ONE aggregate pass (A3,
+    challenge2.py:81). Returns {column: fraction_null}."""
+    cols = list(columns) if columns is not None else df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in cols
+        ],
+    ).collect()[0]
+    n = row["__n"] or 1
+    return {c: (row[c] or 0) / n for c in cols}
+
+
+def null_fraction_prune(df: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """P10 (challenge2.py:81-82): drop columns that are >= ``threshold``
+    null. One aggregate job decides; the result is a plain select, so
+    downstream plans get normal column pruning."""
+    fracs = null_fractions(df)
+    kept = [c for c in df.columns if fracs[c] < threshold]
+    return df.select(*kept)
+
+
+def distinct_counts(df: DataFrame, approx: bool = False) -> dict[str, int]:
+    """Distinct count per column in one pass. ``approx=True`` uses
+    HyperLogLog (constant memory — the right call at 100 TB where the
+    question is 'is this column constant?', not the exact count)."""
+    agg = F.approx_count_distinct if approx else F.countDistinct
+    row = df.agg(*[agg(F.col(c)).alias(c) for c in df.columns]).collect()[0]
+    return {c: row[c] for c in df.columns}
+
+
+def drop_single_value_columns(df: DataFrame, approx: bool = False) -> DataFrame:
+    """P12 (challenge.py:2367-2377): drop columns holding exactly one
+    distinct non-null value (e.g. the reference's constant ``video``)."""
+    counts = distinct_counts(df, approx=approx)
+    kept = [c for c in df.columns if counts[c] != 1]
+    return df.select(*kept)
+
+
+def dedup_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """A8 (challenge2.py:77): one row per key.
+
+    pandas ``drop_duplicates`` keeps the *first* occurrence — an
+    order-dependent notion that doesn't exist in a distributed scan.
+    With ``order_by`` the survivor is pinned deterministically via
+    ``row_number``; without it, falls back to ``dropDuplicates``
+    (cheaper: partial-aggregates map-side, no total sort within key)."""
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def coalesce_variants(df: DataFrame, variants: Mapping[str, Sequence[str]]) -> DataFrame:
+    """F6 (clean_movie, challenge2.py:28-67) as a pure column plan:
+    for each canonical name, coalesce its variant columns (first
+    non-null wins, in the given order) and drop the variants.
+
+    ``variants``: {canonical: [variant_col, ...]}. Variant columns
+    missing from the schema are skipped (ragged inputs)."""
+    out = df
+    for canonical, cands in variants.items():
+        present = [c for c in cands if c in out.columns]
+        if canonical in out.columns and canonical not in present:
+            present = [canonical, *present]
+        if not present:
+            continue
+        expr = F.coalesce(*[F.col(f"`{c}`") for c in present])
+        out = out.withColumn(f"__tmp_{canonical}", expr)
+        out = out.drop(*present).withColumnRenamed(f"__tmp_{canonical}", canonical)
+    return out
+
+
+def fill_missing_pairwise(
+    df: DataFrame, pairs: Sequence[tuple[str, str]], zero_is_missing: bool = True
+) -> DataFrame:
+    """P11 (fill_missing_kaggle_data, challenge2.py:235-243): for each
+    (primary, fallback) pair, take fallback where primary is 0/null,
+    then drop the fallback column. Pure expression — no UDF."""
+    out = df
+    for primary, fallback in pairs:
+        missing = F.col(primary).isNull()
+        if zero_is_missing:
+            missing = missing | (F.col(primary) == 0)
+        out = out.withColumn(
+            primary, F.when(missing, F.col(fallback)).otherwise(F.col(primary))
+        ).drop(fallback)
+    return out
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P9 bulk rename (challenge2.py:254-269)."""
+    return df.withColumnsRenamed(dict(mapping))

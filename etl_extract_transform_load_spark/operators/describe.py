@@ -1,0 +1,68 @@
+"""Inspection / EDA surface (SURVEY.md §2.10, A3-A7).
+
+The reference's interactive loop (head/value_counts/describe) becomes a
+set of one-job aggregate plans. All doubles that feed the oracle
+comparison are computed via exact decimal sums so results hash-match
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def value_counts(df: DataFrame, column: str, dropna: bool = False) -> DataFrame:
+    """A5 (pandas value_counts): frequency table, most frequent first.
+
+    Deterministic tiebreak on the value itself so output order is
+    stable across partitionings."""
+    base = df if dropna is False else df.filter(F.col(column).isNotNull())
+    return (
+        base.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc_nulls_last(column))
+    )
+
+
+def null_counts(df: DataFrame) -> DataFrame:
+    """A3: one-row frame of per-column null counts (single pass)."""
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns]
+    )
+
+
+def describe_numeric(df: DataFrame, column: str, scale: int = 2) -> DataFrame:
+    """A6 (ratings.describe(), EDA:4278): count/mean/std/min/quartiles/max.
+
+    mean and std are derived from exact decimal sums (sum x, sum x²)
+    so they are bit-identical across engines; quartiles use exact
+    linear-interpolation percentiles (``percentile``, equivalent to
+    DuckDB ``quantile_cont``) — fine at test scale, swap to
+    ``percentile_approx`` at 100 TB."""
+    x = F.col(column)
+    dec = f"decimal(38,{2 * scale})"
+    row = df.agg(
+        F.count(x).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.expr(f"percentile({column}, array(0.25, 0.5, 0.75))").alias("q"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / n
+    # Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1).
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return row.select(
+        F.col("n").alias("count"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.col("min").alias("min"),
+        F.round(F.col("q")[0], 6).alias("q25"),
+        F.round(F.col("q")[1], 6).alias("q50"),
+        F.round(F.col("q")[2], 6).alias("q75"),
+        F.col("max").alias("max"),
+    )

@@ -1,0 +1,36 @@
+"""Pivot / wide-aggregation operators (SURVEY.md §2.4 A1-A2).
+
+The reference's ratings histogram (groupby → pivot → prefix rename,
+challenge2.py:273-277) generalizes to ``pivot_counts``. Pivot values
+are REQUIRED, not discovered: at 100 TB an implicit pivot runs an extra
+distinct job over the fact table and produces a data-dependent schema —
+both unacceptable. Callers know their domain (ratings ∈ {0.5..5.0});
+make them say it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_counts(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    values: Sequence,
+    prefix: str = "",
+    fill: int | None = 0,
+) -> DataFrame:
+    """One row per ``key``; one count column per pivot value
+    (named ``{prefix}{value}``). Nulls → ``fill`` (challenge2.py:281)."""
+    out = df.groupBy(key).pivot(pivot_col, list(values)).count()
+    renamed = out.select(
+        key,
+        *[F.col(f"`{v}`").alias(f"{prefix}{v}") for v in values],
+    )
+    if fill is not None:
+        renamed = renamed.na.fill(fill, subset=[f"{prefix}{v}" for v in values])
+    return renamed

@@ -15,3 +15,8 @@ from etl_extract_transform_load_spark.registry import register
 
 # --- §7.1 flagship: filter → join → pivot-count → left join → fill(0) ---
 register("flagship_integrate", flagship_query, FLAGSHIP_ORACLE_SQL)
+
+# --- §2.2-2.6 relational operators ---
+from etl_extract_transform_load_spark import queries_relational  # noqa: E402
+
+queries_relational.register_all()

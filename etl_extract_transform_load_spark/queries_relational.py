@@ -1,0 +1,495 @@
+"""Relational operator queries (SURVEY.md §2.2-2.6) with DuckDB oracles.
+
+Determinism rules used throughout (driver hash-compares values):
+- money/double aggregates go through exact decimal sums, then one cast
+  to double (bit-identical across engines);
+- fractions are exact-int divisions done in double the same way on
+  both sides;
+- limit/offset queries carry a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.cleaning import dedup_by_key
+from etl_extract_transform_load_spark.operators.describe import (
+    describe_numeric,
+    value_counts,
+)
+from etl_extract_transform_load_spark.operators.pivoting import pivot_counts
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+
+# --- P1/P5/P6/P7: predicate filter + null handling + projection ------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value IS NOT NULL
+  AND user_id IS NOT NULL
+  AND event_type IN ('click', 'view')
+"""
+
+
+# --- P3: NOT-IN predicate ---------------------------------------------------
+
+def q_filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            ~F.col("o_orderstatus").isin("O") & (F.col("o_totalprice") > 100000)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+ORACLE_FILTER_NOT_IN = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus NOT IN ('O') AND o_totalprice > 100000
+"""
+
+
+# --- P4: conjunctive theta filter (negated outlier drop) --------------------
+
+def q_filter_theta_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (F.col("l_shipdate") > F.lit("1999-06-01")) & (F.col("l_discount") < 0.02)
+    return li.filter(~bad).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_discount"
+    )
+
+
+ORACLE_FILTER_THETA = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_discount
+FROM lineitem
+WHERE NOT (l_shipdate > TIMESTAMP '1999-06-01' AND l_discount < 0.02)
+"""
+
+
+# --- P10: null-fraction analysis (drives column pruning) --------------------
+
+def q_null_fraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null fraction per derived column, unpivoted to (column_name,
+    null_fraction). The prune itself (challenge2.py:81-82) is
+    ``operators.cleaning.null_fraction_prune``; this exposes the
+    data-dependent analysis the prune is built on."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf_nulled"),
+        F.when(F.col("l_quantity") > 45, F.col("l_quantity")).alias("qty_high"),
+        F.col("l_tax").alias("tax_full"),
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in ("rf_nulled", "qty_high", "tax_full")
+        ],
+    )
+    frac = lambda c: F.round(F.col(c).cast("double") / F.col("n").cast("double"), 6)  # noqa: E731
+    return agg.select(
+        F.expr(
+            "stack(3, 'rf_nulled', {0}, 'qty_high', {1}, 'tax_full', {2})"
+            " as (column_name, null_fraction)".format(
+                "round(cast(rf_nulled as double)/cast(n as double), 6)",
+                "round(cast(qty_high as double)/cast(n as double), 6)",
+                "round(cast(tax_full as double)/cast(n as double), 6)",
+            )
+        )
+    )
+
+
+ORACLE_NULL_FRACTION = """
+WITH s AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS a,
+           SUM(CASE WHEN (CASE WHEN l_quantity > 45 THEN l_quantity END) IS NULL
+                    THEN 1 ELSE 0 END) AS b,
+           SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS c
+    FROM lineitem
+)
+SELECT 'rf_nulled' AS column_name,
+       ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS null_fraction FROM s
+UNION ALL
+SELECT 'qty_high', ROUND(CAST(b AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM s
+UNION ALL
+SELECT 'tax_full', ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM s
+"""
+
+
+# --- P12: single-value column detection -------------------------------------
+
+def q_single_value_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", F.lit("const").alias("marker")
+    )
+    agg = orders.agg(
+        *[
+            F.countDistinct(F.col(c)).alias(c)
+            for c in ("o_orderstatus", "o_orderpriority", "marker")
+        ]
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority, 'marker', marker)"
+            " as (column_name, n_distinct)"
+        )
+    )
+
+
+ORACLE_SINGLE_VALUE = """
+WITH s AS (
+    SELECT COUNT(DISTINCT o_orderstatus)   AS a,
+           COUNT(DISTINCT o_orderpriority) AS b,
+           COUNT(DISTINCT 'const')         AS c
+    FROM orders
+)
+SELECT 'o_orderstatus' AS column_name, a AS n_distinct FROM s
+UNION ALL SELECT 'o_orderpriority', b FROM s
+UNION ALL SELECT 'marker', c FROM s
+"""
+
+
+# --- A8: deterministic dedup -------------------------------------------------
+
+def q_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor must be pinned by a TOTAL order within the key —
+    (l_linenumber) alone ties in this data, so extend the tiebreak
+    until unique (the reference's 'keep first' is only meaningful in
+    a single-threaded scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup_by_key(
+        li,
+        ["l_orderkey"],
+        order_by=[
+            F.asc("l_linenumber"),
+            F.asc("l_partkey"),
+            F.asc("l_suppkey"),
+            F.asc("l_extendedprice"),
+        ],
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+ORACLE_DEDUP = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+    ) AS rn
+    FROM lineitem
+)
+WHERE rn = 1
+"""
+
+
+# --- J1: inner equi-join with collision suffixes -----------------------------
+
+def q_join_inner_suffixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ supplier on nationkey: both sides carry an ``acctbal``
+    — disambiguated with _cust/_supp suffixes like the reference's
+    _wiki/_kaggle (challenge2.py:216). supplier is tiny → broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(
+            F.broadcast(supp), cust.c_nationkey == supp.s_nationkey, "inner"
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("c_acctbal").alias("acctbal_cust"),
+            F.col("s_acctbal").alias("acctbal_supp"),
+        )
+    )
+
+
+ORACLE_JOIN_SUFFIXED = """
+SELECT c.c_custkey,
+       s.s_suppkey,
+       c.c_acctbal AS acctbal_cust,
+       s.s_acctbal AS acctbal_supp
+FROM customer c
+JOIN supplier s ON c.c_nationkey = s.s_nationkey
+"""
+
+
+# --- A1/A4 + full agg suite: TPC-H Q1-shaped headline ------------------------
+
+def q_groupby_agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pricing-summary aggregate: map-side-combinable hash
+    aggregate over the big fact table — the shape that must scale to
+    100 TB. All money math in exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_FULL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- A2: standalone pivot ----------------------------------------------------
+
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return pivot_counts(
+        orders,
+        key="o_orderpriority",
+        pivot_col="o_orderstatus",
+        values=["F", "O", "P"],
+        prefix="status_",
+    )
+
+
+ORACLE_PIVOT_ORDERS = """
+SELECT o_orderpriority,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS status_F,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS status_O,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- A5: frequency table -----------------------------------------------------
+
+def q_value_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return value_counts(docs, "lang")
+
+
+ORACLE_VALUE_COUNTS = """
+SELECT lang, COUNT(*) AS count
+FROM documents
+GROUP BY lang
+"""
+
+
+# --- A6: describe ------------------------------------------------------------
+
+def q_describe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe_numeric(li, "l_quantity")
+
+
+ORACLE_DESCRIBE = """
+WITH s AS (
+    SELECT COUNT(l_quantity) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(38,4)))               AS sx,
+           SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))  AS sxx,
+           MIN(l_quantity) AS mn,
+           MAX(l_quantity) AS mx,
+           QUANTILE_CONT(l_quantity, 0.25) AS p25,
+           QUANTILE_CONT(l_quantity, 0.50) AS p50,
+           QUANTILE_CONT(l_quantity, 0.75) AS p75
+    FROM lineitem
+)
+SELECT n AS count,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       ROUND(SQRT((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)), 6) AS std,
+       mn AS min,
+       ROUND(p25, 6) AS q25,
+       ROUND(p50, 6) AS q50,
+       ROUND(p75, 6) AS q75,
+       mx AS max
+FROM s
+"""
+
+
+# --- window / top-k ----------------------------------------------------------
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — rank window with deterministic
+    tiebreak. At scale this is the shuffle-on-custkey + in-partition
+    sort shape; no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rank
+    FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+# --- sort / limit / offset ---------------------------------------------------
+
+def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(5)
+        .limit(10)
+    )
+
+
+ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10 OFFSET 5
+"""
+
+
+# --- set operations ----------------------------------------------------------
+
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nk")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nk")
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(cust.union(supp).distinct(), "union")
+        .unionByName(tag(cust.intersect(supp), "intersect"))
+        .unionByName(tag(cust.distinct().exceptAll(supp.distinct()), "except"))
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT 'union' AS op, nk FROM (
+    SELECT c_nationkey AS nk FROM customer
+    UNION SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect', nk FROM (
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except', nk FROM (
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    EXCEPT SELECT DISTINCT s_nationkey FROM supplier
+)
+"""
+
+
+# --- F9: epoch / timestamp derivations ---------------------------------------
+
+def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp surface: truncate-to-second epoch, date, hour — the
+    deterministic projections of the nanosecond event time (raw ns is
+    engine-dependent precision, so queries expose derivations)."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    return events.select(
+        "event_id",
+        F.unix_timestamp(sec).alias("epoch_sec"),
+        # ISO string, not DateType: pandas renders Spark dates as
+        # datetime.date but DuckDB dates as Timestamp — strings
+        # hash identically on both sides.
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.hour(F.col("ts")).alias("event_hour"),
+    )
+
+
+ORACLE_TIME_DERIV = """
+SELECT event_id,
+       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_sec,
+       STRFTIME(ts, '%Y-%m-%d') AS event_date,
+       EXTRACT(hour FROM ts) AS event_hour
+FROM events
+"""
+
+
+# --- JSON extraction (events.props) ------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def register_all() -> None:
+    register("filter_project", q_filter_project, ORACLE_FILTER_PROJECT)
+    register("filter_not_in", q_filter_not_in, ORACLE_FILTER_NOT_IN)
+    register("filter_theta_drop", q_filter_theta_drop, ORACLE_FILTER_THETA)
+    register("null_fraction_stats", q_null_fraction_stats, ORACLE_NULL_FRACTION)
+    register("single_value_detect", q_single_value_detect, ORACLE_SINGLE_VALUE)
+    register("dedup_deterministic", q_dedup_deterministic, ORACLE_DEDUP)
+    register("join_inner_suffixed", q_join_inner_suffixed, ORACLE_JOIN_SUFFIXED)
+    register("groupby_agg_full", q_groupby_agg_full, ORACLE_AGG_FULL)
+    register("pivot_orders", q_pivot_orders, ORACLE_PIVOT_ORDERS)
+    register("value_counts_lang", q_value_counts_lang, ORACLE_VALUE_COUNTS)
+    register("describe_quantity", q_describe_quantity, ORACLE_DESCRIBE)
+    register("window_topk", q_window_topk, ORACLE_WINDOW_TOPK)
+    register("sort_limit_offset", q_sort_limit_offset, ORACLE_SORT_LIMIT)
+    register("set_operations", q_set_operations, ORACLE_SET_OPS)
+    register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
+    register("json_extract", q_json_extract, ORACLE_JSON_EXTRACT)

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.cleaning import (
+    coalesce_variants,
+    dedup_by_key,
+    distinct_counts,
+    drop_single_value_columns,
+    fill_missing_pairwise,
+    null_fraction_prune,
+    null_fractions,
+    rename_columns,
+)
+
+
+def test_null_fraction_prune(spark):
+    # 1 of 10 non-null → 90% null → dropped at the reference threshold.
+    df = spark.createDataFrame(
+        [(i, "x" if i == 0 else None, float(i)) for i in range(10)],
+        "id long, sparse string, dense double",
+    )
+    fr = null_fractions(df)
+    assert fr["sparse"] == 0.9 and fr["dense"] == 0.0
+    assert null_fraction_prune(df, threshold=0.9).columns == ["id", "dense"]
+    assert null_fraction_prune(df, threshold=0.95).columns == [
+        "id",
+        "sparse",
+        "dense",
+    ]
+
+
+def test_drop_single_value_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "False", "a"), (2, "False", "b")], "id long, video string, t string"
+    )
+    assert distinct_counts(df)["video"] == 1
+    assert drop_single_value_columns(df).columns == ["id", "t"]
+
+
+def test_dedup_by_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "second"), ("k1", 1, "first"), ("k2", 9, "only")],
+        "k string, ord int, v string",
+    )
+    out = dedup_by_key(df, ["k"], order_by=[F.asc("ord")]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [("k1", "first"), ("k2", "only")]
+
+
+def test_coalesce_variants(spark):
+    # The clean_movie shape (challenge2.py:44-65): variant column names
+    # fold into one canonical column, first non-null wins.
+    df = spark.createDataFrame(
+        [("A", None, "dir_b"), (None, "dir_a2", None)],
+        "`Directed by` string, Director string, other string",
+    )
+    out = coalesce_variants(df, {"director": ["Directed by", "Director"]})
+    assert set(out.columns) == {"other", "director"}
+    vals = sorted(r.director for r in out.collect())
+    assert vals == ["A", "dir_a2"]
+
+
+def test_fill_missing_pairwise(spark):
+    df = spark.createDataFrame(
+        [(0.0, 7.0), (3.0, 9.0), (None, 5.0)],
+        "runtime_kaggle double, runtime_wiki double",
+    )
+    out = fill_missing_pairwise(df, [("runtime_kaggle", "runtime_wiki")])
+    assert out.columns == ["runtime_kaggle"]
+    assert sorted(r.runtime_kaggle for r in out.collect()) == [3.0, 5.0, 7.0]
+
+
+def test_rename_columns(spark):
+    df = spark.createDataFrame([(1,)], "`Box office` long")
+    assert rename_columns(df, {"Box office": "box_office"}).columns == [
+        "box_office"
+    ]

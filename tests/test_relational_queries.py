@@ -1,0 +1,26 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.01
+(the driver's gate, replicated locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark import registry
+
+
+def _cases():
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    return [(name, qs[name], os_.get(name)) for name in sorted(qs)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
+def test_query_matches_oracle(spark, name, fn, sql):
+    df = fn(spark, SF_ORACLE)
+    if sql is None:
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+    else:
+        assert_matches_oracle(df, sql, SF_ORACLE)

@@ -1,0 +1,46 @@
+"""Date/time parsing (SURVEY.md F8, F9).
+
+The reference extracts one of four date forms with a regex alternation
+(challenge2.py:184-189) and lets pandas ``infer_datetime_format``
+guess. Heuristic inference is nondeterministic across engines — here
+each form is tried explicitly with ``try_to_date`` and the first hit
+wins (deterministic fallback order, most-specific first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MONTHS = (
+    "January|February|March|April|May|June|July"
+    "|August|September|October|November|December"
+)
+
+#: challenge2.py:184-187 — the four accepted date shapes.
+DATE_FORM_FULL = rf"(?:{_MONTHS})\s+\d{{1,2}},\s+\d{{4}}"   # July 11, 1990
+DATE_FORM_ISO = r"\d{4}.[01]\d.[0123]\d"                     # 1990-07-11
+DATE_FORM_MONTH_YEAR = rf"(?:{_MONTHS})\s+\d{{4}}"           # December 1990
+DATE_FORM_YEAR = r"\d{4}"                                    # 1990
+DATE_EXTRACT_PATTERN = (
+    f"({DATE_FORM_FULL}|{DATE_FORM_ISO}|{DATE_FORM_MONTH_YEAR}|{DATE_FORM_YEAR})"
+)
+
+
+def parse_multiformat_date(col: Column) -> Column:
+    """F8: extract the first date-shaped span and parse it through the
+    four formats in specificity order. Null when nothing matches.
+    ``try_to_date`` (not ``to_date``) — ANSI mode must not throw on
+    residuals; unparseable rows are data, not errors."""
+    extracted = F.nullif(F.regexp_extract(col, DATE_EXTRACT_PATTERN, 1), F.lit(""))
+    return F.coalesce(
+        F.try_to_date(extracted, "MMMM d, yyyy"),
+        F.try_to_date(extracted, "yyyy-MM-dd"),
+        F.try_to_date(extracted, "MMMM yyyy"),
+        F.try_to_date(extracted, "yyyy"),
+    )
+
+
+def epoch_seconds_to_timestamp(col: Column) -> Column:
+    """F9 (challenge2.py:214): epoch seconds → timestamp."""
+    return F.timestamp_seconds(col)

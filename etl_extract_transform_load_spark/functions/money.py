@@ -1,0 +1,54 @@
+"""Money parsing (SURVEY.md F5: parse_dollars, challenge2.py:114-157)
+as a pure column expression — no Python UDF, stays in codegen.
+
+Semantics matched to the reference:
+- "$N[.N] million"  → N * 1e6   (tolerates the "millon" misspelling)
+- "$N[.N] billion"  → N * 1e9
+- "$D{1,3}((,|.)DDD)+" (not followed by " million"/" billion")
+                     → digits concatenated as a plain number
+- anything else → null (non-USD currencies, "TBA", admissions, "$111k")
+
+Input normalization first: collapse "$A–B" ranges to the upper bound
+(challenge2.py:111) and strip citation refs (challenge2.py:175).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.functions.strings import (
+    collapse_money_range,
+    strip_citations,
+)
+
+#: Extraction alternation (challenge2.py:160): first money-shaped span.
+#: form_two carries the reference's negative lookahead so
+#: "$1,234,567 million" (digit groups followed by a magnitude word)
+#: extracts nothing rather than a bogus plain number.
+#: Note: the reference's bare lookahead can backtrack to a PREFIX of
+#: the digit groups ("$1,234,567 million" → "$1,234"); the extra
+#: ``[,\.]\d`` alternative blocks stopping mid-run, so such strings
+#: extract nothing (null) instead of a truncated number.
+MONEY_FORM_ONE = r"\$\s*\d+\.?\d*\s*[mb]illi?ons?"
+MONEY_FORM_TWO = r"\$\s*\d{1,3}(?:[,\.]\d{3})+(?![,\.]\d|\s*[mb]illi?on)"
+MONEY_EXTRACT_PATTERN = f"(?i)({MONEY_FORM_ONE}|{MONEY_FORM_TWO})"
+
+_MILLION = r"(?i)^\$\s*(\d+(?:\.\d+)?)\s*milli?ons?"
+_BILLION = r"(?i)^\$\s*(\d+(?:\.\d+)?)\s*billi?ons?"
+_PLAIN = r"(?i)^\$\s*\d{1,3}(?:[,\.]\d{3})+"
+
+
+def parse_dollars(col: Column) -> Column:
+    """Parse a messy money string column to double dollars (null when
+    unparseable). Apply to raw cells — normalization is included."""
+    s = collapse_money_range(strip_citations(col))
+    extracted = F.nullif(F.regexp_extract(s, MONEY_EXTRACT_PATTERN, 1), F.lit(""))
+    num = F.regexp_extract(extracted, r"(\d+(?:\.\d+)?)", 1).cast("double")
+    digits = F.regexp_replace(extracted, r"[^0-9]", "").cast("double")
+    return (
+        F.when(extracted.rlike(_MILLION), num * F.lit(1e6))
+        .when(extracted.rlike(_BILLION), num * F.lit(1e9))
+        .when(extracted.rlike(_PLAIN), digits)
+        .otherwise(F.lit(None).cast("double"))
+    )

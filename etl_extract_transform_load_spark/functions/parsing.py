@@ -1,0 +1,55 @@
+"""Runtime parsing + coerce/raise casts (SURVEY.md F10, F13).
+
+Runtime strings (challenge2.py:193-198) come as "102 minutes",
+"1 hour 42 minutes", "1h 42m", "102 min". A 3-group alternation
+captures (hours, minutes-after-hours | plain-minutes); total minutes =
+h*60+m when the hour groups hit, else the plain-minutes group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: challenge2.py:193 — hours+minutes alternation with 3 capture groups.
+#: Divergence from the reference: its ``ho?u?rs?`` REQUIRES the 'r',
+#: so "1h 42m" silently parses as 42 minutes; ``ho?u?r?s?`` accepts
+#: the bare-h form and yields 102.
+RUNTIME_PATTERN = r"(?i)(\d+)\s*ho?u?r?s?\s*(\d*)|(\d+)\s*m"
+
+
+def parse_runtime_minutes(col: Column) -> Column:
+    """F13: total minutes from a messy runtime string (null if no
+    match). Mirrors challenge2.py:196-198: empty captures → 0, then
+    ``h*60 + m if plain == 0 else plain``."""
+    g = lambda i: F.coalesce(  # noqa: E731
+        F.nullif(F.regexp_extract(col, RUNTIME_PATTERN, i), F.lit("")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    hours, hmins, plain = g(1), g(2), g(3)
+    matched = col.rlike(RUNTIME_PATTERN)
+    return F.when(
+        matched,
+        F.when(plain == 0, hours * 60 + hmins).otherwise(plain),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def cast_coerce(col: Column, to: str) -> Column:
+    """F10 ``to_numeric(errors='coerce')``: null on failure
+    (``try_cast`` — under ANSI mode a plain cast would throw)."""
+    return col.try_cast(to)
+
+
+def assert_castable(df: DataFrame, column: str, to: str) -> DataFrame:
+    """F10 ``errors='raise'`` parity: fail the job if any non-null
+    value fails to cast. One aggregate; raises ValueError like
+    pandas raises on bad input."""
+    bad = df.filter(
+        F.col(column).isNotNull() & F.col(column).try_cast(to).isNull()
+    )
+    sample = [r[0] for r in bad.select(column).limit(5).collect()]
+    if sample:
+        raise ValueError(f"cast('{column}' -> {to}) failed for values like {sample}")
+    return df.withColumn(column, F.col(column).cast(to))

@@ -1,0 +1,52 @@
+"""String-normalization expressions (SURVEY.md §2.7 F1-F4, F7, F15).
+
+All pure column expressions — JVM-side, codegen-friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: F1 (challenge2.py:75): IMDb id from a link/URL.
+IMDB_ID_PATTERN = r"(tt\d{7})"
+
+
+def extract_imdb_id(col: Column) -> Column:
+    """F1: regex capture-extract, '' → null normalized (Spark's
+    regexp_extract returns empty string on no-match; pandas
+    str.extract returns NaN)."""
+    return F.nullif(F.regexp_extract(col, IMDB_ID_PATTERN, 1), F.lit(""))
+
+
+def regexp_extract_null(col: Column, pattern: str, group: int = 1) -> Column:
+    """regexp_extract with pandas-style null-on-no-match semantics."""
+    return F.nullif(F.regexp_extract(col, pattern, group), F.lit(""))
+
+
+def strip_citations(col: Column) -> Column:
+    """F4 (challenge2.py:175): remove wiki citation refs like ``[3]``."""
+    return F.regexp_replace(col, r"\[\d+\]\s*", "")
+
+
+def collapse_money_range(col: Column) -> Column:
+    """F4 (challenge2.py:111,168): collapse "$A–B" ranges to "$B"
+    (keep the upper bound). The negative lookahead keeps hyphens
+    inside words (e.g. "co-production") intact — Java regex supports
+    it; the DuckDB oracle emulates via a capture group."""
+    # "\\$" — in a Java replacement string a bare "$" is a group ref.
+    return F.regexp_replace(col, r"\$.*[-—–](?![a-z])", "\\$")
+
+
+def array_join_if_array(col: Column, sep: str = " ") -> Column:
+    """F7 (challenge2.py:91): list-valued cells → joined string.
+
+    In Spark the schema is static, so this is for ArrayType columns;
+    mixed string-or-list inputs should be normalized to ArrayType at
+    ingest and always joined."""
+    return F.array_join(col, sep)
+
+
+def prefix_columns(names: list[str], prefix: str) -> list[str]:
+    """F15 (challenge2.py:277): prefix-rename helper."""
+    return [f"{prefix}{n}" for n in names]

@@ -20,3 +20,8 @@ register("flagship_integrate", flagship_query, FLAGSHIP_ORACLE_SQL)
 from etl_extract_transform_load_spark import queries_relational  # noqa: E402
 
 queries_relational.register_all()
+
+# --- §2.7 scalar parsers (golden corpora) ---
+from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
+
+queries_scalar.register_all()

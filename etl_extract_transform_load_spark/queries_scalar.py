@@ -1,0 +1,271 @@
+"""Scalar-function queries (SURVEY.md §2.7) over literal golden corpora.
+
+Each query builds a deterministic in-line DataFrame from a shared
+corpus (sf-independent) and applies the engine's pure-expression
+parser; the oracle re-implements the same semantics in DuckDB SQL
+(RE2 dialect — lookaheads emulated with capture groups / extra
+predicates) so the comparison is two independent implementations.
+
+Corpora are the reference's residual examples (FIXTURES.md §1,
+challenge.py:1016-1062 cell outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.functions.dates import parse_multiformat_date
+from etl_extract_transform_load_spark.functions.money import parse_dollars
+from etl_extract_transform_load_spark.functions.parsing import (
+    cast_coerce,
+    parse_runtime_minutes,
+)
+from etl_extract_transform_load_spark.functions.strings import extract_imdb_id
+from etl_extract_transform_load_spark.registry import register
+
+
+def _values_sql(rows: list[tuple[int, str | None]], cols: str = "id, raw") -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = ", ".join(f"({i}, {lit(s)})" for i, s in rows)
+    return f"(VALUES {vals}) AS t({cols})"
+
+
+def _corpus_df(spark: SparkSession, rows: list[tuple[int, str | None]]) -> DataFrame:
+    return spark.createDataFrame(rows, "id int, raw string")
+
+
+# --- F5: parse_dollars -------------------------------------------------------
+
+MONEY_CORPUS: list[tuple[int, str | None]] = [
+    (0, "$21.4 million"),
+    (1, "$ 11,146,270"),
+    (2, "$6 million"),
+    (3, "$1.2 billion"),
+    (4, "$457 millon"),          # reference-tolerated misspelling
+    (5, "$20–30 million"),  # en-dash range → keep upper bound
+    (6, "$4.35-4.37 million"),
+    (7, "$6,698,361 (, United States, ), [2]"),
+    (8, "US$ 4,212,828"),
+    (9, "¥1.1 billion"),    # ¥ — not USD → null
+    (10, "£3 million"),     # £ → null
+    (11, "8 crore"),
+    (12, "926,423 admissions (France)"),
+    (13, "TBA"),
+    (14, "N/A"),
+    (15, "Unknown"),
+    (16, "$20-30"),              # range of non-groups → null
+    (17, "413 733$"),
+    (18, "$111k"),
+    (19, "$1,234,567 million"),  # groups followed by 'million' → null
+    (20, None),
+]
+
+
+def q_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _corpus_df(spark, MONEY_CORPUS)
+    return df.select("id", parse_dollars(F.col("raw")).alias("dollars"))
+
+
+# RE2 notes: the Java negative lookaheads are emulated by (a) a capture
+# group for the range collapse, (b) an explicit NOT-matches predicate
+# for the "groups followed by million" exclusion.
+ORACLE_MONEY = f"""
+WITH raw AS (SELECT * FROM {_values_sql(MONEY_CORPUS)}),
+norm AS (
+    SELECT id,
+           regexp_replace(
+               regexp_replace(raw, '\\[\\d+\\]\\s*', '', 'g'),
+               '\\$.*[-—–]([^a-z])', '$\\1') AS s,
+           raw
+    FROM raw
+),
+ext AS (
+    SELECT id, s,
+           NULLIF(regexp_extract(s,
+               '(?i)(\\$\\s*\\d+\\.?\\d*\\s*[mb]illi?ons?|\\$\\s*\\d{{1,3}}(?:[,\\.]\\d{{3}})+)',
+               1), '') AS e
+    FROM norm
+)
+SELECT id,
+       CASE
+           WHEN e IS NULL THEN NULL
+           WHEN regexp_matches(s, '(?i)\\$\\s*\\d{{1,3}}(?:[,\\.]\\d{{3}})+\\s*[mb]illi?on')
+               THEN NULL
+           WHEN regexp_matches(e, '(?i)^\\$\\s*\\d+(\\.\\d+)?\\s*milli?ons?')
+               THEN CAST(regexp_extract(e, '(\\d+(\\.\\d+)?)', 1) AS DOUBLE) * 1e6
+           WHEN regexp_matches(e, '(?i)^\\$\\s*\\d+(\\.\\d+)?\\s*billi?ons?')
+               THEN CAST(regexp_extract(e, '(\\d+(\\.\\d+)?)', 1) AS DOUBLE) * 1e9
+           WHEN regexp_matches(e, '(?i)^\\$\\s*\\d{{1,3}}([,\\.]\\d{{3}})+')
+               THEN CAST(regexp_replace(e, '[^0-9]', '', 'g') AS DOUBLE)
+           ELSE NULL
+       END AS dollars
+FROM ext
+"""
+
+
+# --- F8: multi-format date parse ---------------------------------------------
+
+DATE_CORPUS: list[tuple[int, str | None]] = [
+    (0, "July 11, 1990"),
+    (1, "May 9, 1992"),
+    (2, "1990-07-11"),
+    (3, "December 1990"),
+    (4, "1990"),
+    (5, "July 11, 1990 ( 1990-07-12 )"),  # first form wins
+    (6, "Released on March 3, 2001 worldwide"),
+    (7, "TBA"),
+    (8, "n/a"),
+    (9, None),
+]
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _corpus_df(spark, DATE_CORPUS)
+    return df.select(
+        "id",
+        F.date_format(parse_multiformat_date(F.col("raw")), "yyyy-MM-dd").alias(
+            "parsed_date"
+        ),
+    )
+
+
+_MONTHS_SQL = (
+    "January|February|March|April|May|June|July"
+    "|August|September|October|November|December"
+)
+
+ORACLE_DATE = f"""
+WITH raw AS (SELECT * FROM {_values_sql(DATE_CORPUS)}),
+ext AS (
+    SELECT id,
+           NULLIF(regexp_extract(raw,
+               '((?:{_MONTHS_SQL})\\s+\\d{{1,2}},\\s+\\d{{4}}'
+               || '|\\d{{4}}.[01]\\d.[0123]\\d'
+               || '|(?:{_MONTHS_SQL})\\s+\\d{{4}}'
+               || '|\\d{{4}})', 1), '') AS e
+    FROM raw
+)
+SELECT id,
+       STRFTIME(COALESCE(
+           TRY_STRPTIME(e, '%B %-d, %Y'),
+           TRY_STRPTIME(e, '%Y-%m-%d'),
+           TRY_STRPTIME(e, '%B %Y'),
+           TRY_STRPTIME(e, '%Y')
+       ), '%Y-%m-%d') AS parsed_date
+FROM ext
+"""
+
+
+# --- F13: runtime minutes ------------------------------------------------------
+
+RUNTIME_CORPUS: list[tuple[int, str | None]] = [
+    (0, "102 minutes"),
+    (1, "1 hour 42 minutes"),
+    (2, "102 min"),
+    (3, "1h 42m"),
+    (4, "2 hours"),
+    (5, "90m"),
+    (6, "3 Hours 5 Minutes"),
+    (7, "varies"),
+    (8, None),
+]
+
+
+def q_runtime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _corpus_df(spark, RUNTIME_CORPUS)
+    return df.select(
+        "id", parse_runtime_minutes(F.col("raw")).alias("runtime_min")
+    )
+
+
+ORACLE_RUNTIME = f"""
+WITH raw AS (SELECT * FROM {_values_sql(RUNTIME_CORPUS)}),
+g AS (
+    SELECT id,
+           regexp_matches(raw, '(?i)(\\d+)\\s*ho?u?r?s?\\s*(\\d*)|(\\d+)\\s*m') AS ok,
+           COALESCE(TRY_CAST(NULLIF(regexp_extract(raw,
+               '(?i)(\\d+)\\s*ho?u?r?s?\\s*(\\d*)|(\\d+)\\s*m', 1), '') AS DOUBLE), 0) AS h,
+           COALESCE(TRY_CAST(NULLIF(regexp_extract(raw,
+               '(?i)(\\d+)\\s*ho?u?r?s?\\s*(\\d*)|(\\d+)\\s*m', 2), '') AS DOUBLE), 0) AS hm,
+           COALESCE(TRY_CAST(NULLIF(regexp_extract(raw,
+               '(?i)(\\d+)\\s*ho?u?r?s?\\s*(\\d*)|(\\d+)\\s*m', 3), '') AS DOUBLE), 0) AS p
+    FROM raw
+)
+SELECT id,
+       CASE WHEN ok THEN (CASE WHEN p = 0 THEN h * 60 + hm ELSE p END)
+            ELSE NULL END AS runtime_min
+FROM g
+"""
+
+
+# --- F1: regex capture extract (imdb id) --------------------------------------
+
+IMDB_CORPUS: list[tuple[int, str | None]] = [
+    (0, "https://www.imdb.com/title/tt1234567/"),
+    (1, "http://imdb.com/title/tt0000001"),
+    (2, "see tt7654321 and tt1111111"),  # first match wins
+    (3, "tt123"),                        # too short → null
+    (4, "no id here"),
+    (5, None),
+]
+
+
+def q_imdb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _corpus_df(spark, IMDB_CORPUS)
+    return df.select("id", extract_imdb_id(F.col("raw")).alias("imdb_id"))
+
+
+ORACLE_IMDB = f"""
+SELECT id, NULLIF(regexp_extract(raw, '(tt\\d{{7}})', 1), '') AS imdb_id
+FROM {_values_sql(IMDB_CORPUS)}
+"""
+
+
+# --- F10: coerce casts ---------------------------------------------------------
+
+CAST_CORPUS: list[tuple[int, str | None]] = [
+    (0, "42"),
+    (1, "3.14"),
+    (2, "1e3"),
+    (3, "abc"),
+    (4, ""),
+    (5, " 7 "),
+    (6, "-5"),
+    (7, "2,000"),
+    (8, None),
+]
+
+
+def q_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _corpus_df(spark, CAST_CORPUS)
+    return df.select(
+        "id",
+        cast_coerce(F.col("raw"), "double").alias("as_double"),
+        cast_coerce(F.col("raw"), "long").alias("as_long"),
+    )
+
+
+# DuckDB TRY_CAST('3.14' AS BIGINT) rounds via the double path and
+# accepts '1e3'; Spark's try_cast string→long is a strict integer
+# parse. The engine's coerce semantics are Spark's, so the oracle
+# gates the bigint cast on an integer-shaped string.
+ORACLE_CAST = f"""
+SELECT id,
+       TRY_CAST(raw AS DOUBLE) AS as_double,
+       CASE WHEN regexp_matches(TRIM(raw), '^[+-]?\\d+$')
+            THEN TRY_CAST(TRIM(raw) AS BIGINT) END AS as_long
+FROM {_values_sql(CAST_CORPUS)}
+"""
+
+
+def register_all() -> None:
+    register("money_parse_corpus", q_money_parse, ORACLE_MONEY)
+    register("date_parse_corpus", q_date_parse, ORACLE_DATE)
+    register("runtime_parse_corpus", q_runtime_parse, ORACLE_RUNTIME)
+    register("imdb_extract_corpus", q_imdb_extract, ORACLE_IMDB)
+    register("cast_coerce_corpus", q_cast_coerce, ORACLE_CAST)

@@ -1,0 +1,114 @@
+"""Golden expectations for the messy-string parsers (SURVEY.md §5:
+the reference's residual corpus is the spec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.functions.dates import parse_multiformat_date
+from etl_extract_transform_load_spark.functions.money import parse_dollars
+from etl_extract_transform_load_spark.functions.parsing import (
+    assert_castable,
+    parse_runtime_minutes,
+)
+from etl_extract_transform_load_spark.functions.strings import (
+    extract_imdb_id,
+    strip_citations,
+)
+
+MONEY_EXPECTED = {
+    "$21.4 million": 21.4e6,
+    "$ 11,146,270": 11146270.0,
+    "$6 million": 6e6,
+    "$1.2 billion": 1.2e9,
+    "$457 millon": 457e6,
+    "$20–30 million": 30e6,
+    "$4.35-4.37 million": 4.37e6,
+    "$6,698,361 (, United States, ), [2]": 6698361.0,
+    "US$ 4,212,828": 4212828.0,
+    "¥1.1 billion": None,
+    "£3 million": None,
+    "8 crore": None,
+    "926,423 admissions (France)": None,
+    "TBA": None,
+    "N/A": None,
+    "Unknown": None,
+    "$20-30": None,
+    "413 733$": None,
+    "$111k": None,
+    "$1,234,567 million": None,
+}
+
+
+def _apply(spark, fn, inputs):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(inputs)], "id int, raw string"
+    )
+    rows = df.select("id", fn(F.col("raw")).alias("out")).orderBy("id").collect()
+    return [r.out for r in rows]
+
+
+def test_parse_dollars_golden(spark):
+    inputs = list(MONEY_EXPECTED)
+    got = _apply(spark, parse_dollars, inputs)
+    for s, g in zip(inputs, got):
+        assert g == MONEY_EXPECTED[s], f"{s!r}: got {g}, want {MONEY_EXPECTED[s]}"
+
+
+DATE_EXPECTED = {
+    "July 11, 1990": "1990-07-11",
+    "May 9, 1992": "1992-05-09",
+    "1990-07-11": "1990-07-11",
+    "December 1990": "1990-12-01",
+    "1990": "1990-01-01",
+    "July 11, 1990 ( 1990-07-12 )": "1990-07-11",  # first form wins
+    "Released on March 3, 2001 worldwide": "2001-03-03",
+    "TBA": None,
+}
+
+
+def test_parse_dates_golden(spark):
+    inputs = list(DATE_EXPECTED)
+    fn = lambda c: F.date_format(parse_multiformat_date(c), "yyyy-MM-dd")  # noqa: E731
+    got = _apply(spark, fn, inputs)
+    for s, g in zip(inputs, got):
+        assert g == DATE_EXPECTED[s], f"{s!r}: got {g}, want {DATE_EXPECTED[s]}"
+
+
+RUNTIME_EXPECTED = {
+    "102 minutes": 102.0,
+    "1 hour 42 minutes": 102.0,
+    "102 min": 102.0,
+    "1h 42m": 102.0,
+    "2 hours": 120.0,
+    "90m": 90.0,
+    "3 Hours 5 Minutes": 185.0,
+    "varies": None,
+}
+
+
+def test_parse_runtime_golden(spark):
+    inputs = list(RUNTIME_EXPECTED)
+    got = _apply(spark, parse_runtime_minutes, inputs)
+    for s, g in zip(inputs, got):
+        assert g == RUNTIME_EXPECTED[s], f"{s!r}: got {g}, want {RUNTIME_EXPECTED[s]}"
+
+
+def test_extract_imdb_and_citations(spark):
+    got = _apply(spark, extract_imdb_id, ["x tt1234567 y", "tt123", "none"])
+    assert got == ["tt1234567", None, None]
+    got = _apply(spark, strip_citations, ["$5,000,000[3] plus", "clean"])
+    assert got == ["$5,000,000plus", "clean"]
+
+
+def test_assert_castable_raises(spark):
+    ok = spark.createDataFrame([("1",), ("2",), (None,)], "x string")
+    out = assert_castable(ok, "x", "long")
+    assert dict(out.dtypes)["x"] == "bigint"
+
+    bad = spark.createDataFrame([("1",), ("abc",)], "x string")
+    try:
+        assert_castable(bad, "x", "long")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "abc" in str(e)

@@ -25,3 +25,8 @@ queries_relational.register_all()
 from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
+
+# --- scale extensions: dedup / similarity / text analysis ---
+from etl_extract_transform_load_spark import queries_scale  # noqa: E402
+
+queries_scale.register_all()

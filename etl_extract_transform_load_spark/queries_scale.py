@@ -1,0 +1,258 @@
+"""Scale-extension queries (dedup / similarity / text analysis) with
+DuckDB oracles where SQL-expressible.
+
+MinHash-LSH, SimHash and hyperplane-LSH use xxhash64, which DuckDB
+lacks — those register without oracles (rows-only driver check) and
+are instead property-tested in tests/test_scale_dedup.py against the
+exact kernels on planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.scale.dedup import (
+    exact_dup_clusters,
+    jaccard_near_dup_pairs,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from etl_extract_transform_load_spark.scale.similarity import (
+    brute_force_topk_arrow,
+    hyperplane_lsh_topk,
+    neighbor_pairs_above_arrow,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    LANG_STOPWORDS,
+    text_stats,
+)
+from etl_extract_transform_load_spark.sources import load_table
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "punct_ratio",
+        "stopword_ratio_en",
+        "quality_score",
+        "lang_detected",
+        "fingerprint",
+    )
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+_LANGS = sorted(LANG_STOPWORDS)
+
+ORACLE_TEXT_STATS = f"""
+WITH base AS (
+    SELECT doc_id,
+           text,
+           CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks,
+           CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(TRIM(LOWER(text)), '\\s+')
+           END AS ltoks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           text,
+           LEN(toks) AS n_tokens_ws,
+           LEN(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_tokens_bpe,
+           CASE WHEN LENGTH(text) = 0 THEN 0.0
+                ELSE ROUND(LEN(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                           / LENGTH(text), 6) END AS punct_ratio,
+           CASE WHEN LEN(ltoks) = 0 THEN 0.0
+                ELSE ROUND(LEN(list_filter(ltoks,
+                        t -> list_contains({_sw_list('en')}, t))) * 1.0
+                        / LEN(ltoks), 6) END AS stopword_ratio_en,
+           LENGTH(text) AS n_chars,
+           LEN(toks) AS n_toks,
+           {', '.join(
+               f"LEN(list_filter(ltoks, t -> list_contains({_sw_list(lg)}, t)))"
+               f" AS hits_{lg}" for lg in _LANGS
+           )},
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM base
+)
+SELECT doc_id,
+       n_tokens_ws,
+       n_tokens_bpe,
+       punct_ratio,
+       stopword_ratio_en,
+       ROUND((
+           (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_toks > 0
+                  AND n_chars * 1.0 / n_toks >= 3
+                  AND n_chars * 1.0 / n_toks <= 12 THEN 1 ELSE 0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)
+       ) / 3.0, 6) AS quality_score,
+       CASE
+           WHEN GREATEST({', '.join('hits_' + lg for lg in _LANGS)}) = 0
+               THEN 'und'
+           {' '.join(
+               f"WHEN hits_{lg} = GREATEST("
+               + ', '.join('hits_' + l2 for l2 in _LANGS)
+               + f") THEN '{lg}'" for lg in _LANGS
+           )}
+       END AS lang_detected,
+       fingerprint
+FROM m
+"""
+
+
+# --- dedup: exact ---------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_clusters(docs)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MD5(text) AS text_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY MD5(text)
+"""
+
+
+# --- dedup: exact n-gram Jaccard -------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_near_dup_pairs(docs, threshold=0.3)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS s
+    FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cm AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+FROM cm
+JOIN sz x ON cm.id_a = x.doc_id
+JOIN sz y ON cm.id_b = y.doc_id
+WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+"""
+
+
+# --- dedup: sketch paths (rows-only — xxhash64 not in DuckDB) --------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# --- similarity search ------------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neighbor_pairs_above_arrow(emb, threshold=0.4)
+
+
+# Formula in lockstep with the Spark plan: dot(a,b) / (‖a‖·‖b‖), every
+# sum a sequential left fold over doubles — bit-identical across engines.
+ORACLE_EMBEDDING_NEARDUP = """
+WITH e AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+FROM e a
+JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return brute_force_topk_arrow(emb, queries, k=5)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH e AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id,
+           e.vec_id,
+           ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos_sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return hyperplane_lsh_topk(emb, queries, k=5, bits=4)
+
+
+def register_all() -> None:
+    register("text_stats_docs", q_text_stats, ORACLE_TEXT_STATS)
+    register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
+    register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
+    register("dedup_minhash_lsh", q_dedup_minhash_lsh, None)
+    register("dedup_simhash_pairs", q_dedup_simhash, None)
+    register("embedding_neardup_pairs", q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP)
+    register("similarity_topk_bruteforce", q_similarity_topk, ORACLE_SIMILARITY_TOPK)
+    register("similarity_topk_lsh", q_similarity_topk_lsh, None)

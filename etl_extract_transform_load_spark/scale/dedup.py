@@ -1,0 +1,325 @@
+"""Deduplication operators for large-scale corpora.
+
+Four tiers, each a different cost/recall point (all DataFrame-native):
+
+- exact:        md5-hash groupBy — one shuffle on the hash key.
+- n-gram Jaccard: shingle explode + self-join on shingle — exact
+  similarity, quadratic in docs-per-shingle; the verification kernel.
+- MinHash+LSH:  shingle → universal-hash minima → banded buckets →
+  bucket-join. Near-linear; candidates verified with exact Jaccard.
+- SimHash:      token-hash sign-sum → 63-bit signature → 16-bit-block
+  blocking + hamming verify. Cheapest; catches small edits.
+
+Scale notes: every self-join here joins on a *derived small key*
+(shingle / bucket / block), never on raw text; AQE handles bucket
+skew (a hot shingle like "the end of" is salted away by banding).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import tokens
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: one row per distinct text with its
+    copy count and the smallest id (the canonical survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest-id row per distinct text."""
+    w_keys = exact_dup_clusters(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w_keys, id_col, "left_semi")
+
+
+# --- n-gram shingles + exact Jaccard --------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold (id_a < id_b).
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    count common → |A∪B| from per-doc sizes. The join key is the
+    shingle, so only docs *sharing* a shingle ever meet — no O(N²)
+    cross join. This is the exact kernel; use MinHash+LSH below to
+    pre-filter candidates at scale."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+#: Universal-hash family over 32-bit keys: h_i(x) = (a_i*x + b_i) mod P.
+#: P prime > 2^32; a_i < 2^30 keeps a*x < 2^62 (no ANSI overflow).
+_MINHASH_P = 4_294_967_311
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: xxhash64 each distinct shingle once,
+    fold to 32 bits, then ``num_hashes`` affine transforms — k minima
+    computed in ONE aggregation (no k passes)."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    h32 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    sh = sh.select("__id", h32.alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    sig = sh.groupBy("__id").agg(*mins)
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH, verified with exact Jaccard.
+
+    rows-per-band r = num_hashes/bands; a pair collides in some band
+    with prob 1-(1-s^r)^b. Candidates (bucket-join, near-linear) are
+    then *verified* with the exact shingle Jaccard so the output has
+    no false positives — the standard sketch-then-verify shape."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[i * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    # Verify ONLY the candidates: attach each side's distinct-shingle
+    # array and compute exact Jaccard per pair with array ops — cost
+    # scales with |candidates|, not with the corpus pair count.
+    sh_arrays = df.select(
+        F.col(id_col).alias("__sid"),
+        shingles(F.col(text_col), n).alias("__sh"),
+    )
+    return (
+        cand.join(
+            sh_arrays.select(
+                F.col("__sid").alias("id_a"), F.col("__sh").alias("__sha")
+            ),
+            "id_a",
+        )
+        .join(
+            sh_arrays.select(
+                F.col("__sid").alias("id_b"), F.col("__sh").alias("__shb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sha", "__shb")).cast("double")
+                / F.size(F.array_union("__sha", "__shb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 63  # bit 63 would overflow signed-long shiftleft sums
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """63-bit SimHash: xxhash64 each token, per-bit ±1 sign-sum,
+    positive sums set bits. One explode + one groupBy."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("__id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within hamming distance ``max_hamming`` of SimHash.
+
+    Blocking: split the signature into 4 16-bit blocks; any pair
+    within hamming ≤ 3 must agree exactly on ≥1 block (pigeonhole),
+    so the join key is (block_idx, block_value) — near-linear."""
+    sig = simhash_signatures(df, text_col, id_col)
+    blocks = sig.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "simhash", "bb.blk", "bb.val")
+    pairs = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

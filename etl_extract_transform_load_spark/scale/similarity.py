@@ -1,0 +1,377 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three execution tiers:
+
+- **Exact, expression-based** (`brute_force_topk`, `neighbor_pairs_above`):
+  the dot product is emitted as an *unrolled* 64-term multiply-add
+  chain — whole-stage-codegen compiles it, and the sequential
+  left-fold order makes results bit-identical to a sequential C loop
+  (the DuckDB oracle). Norms are computed ONCE per row and carried as
+  scalar columns through the join (never re-inlined per pair — a
+  naive `transform(v, x -> x/norm(v))` re-evaluates the whole norm
+  per *element*, a 64× blowup).
+- **Exact, BLAS-blocked** (`brute_force_topk_blas`): Arrow-batched
+  ``mapInPandas`` doing a numpy matmul per batch against the broadcast
+  query matrix. Fastest wall-clock; float summation order differs from
+  the sequential fold at the last-ulp level, so it is the *performance*
+  path, not the oracle path.
+- **Approximate** (`hyperplane_lsh_topk`): random-hyperplane sign
+  buckets — candidates only meet within a bucket, turning O(N·Q) into
+  O(N·Q/2^bits) expected.
+
+At 100 TB: the query set is broadcast (never an N×N shuffle); the
+pair join's left side is repartitioned so the nested-loop fan-out is
+spread across the cluster; LSH bits are tuned so expected bucket size
+stays bounded.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_DIM = 64
+
+
+def dot(a: Column, b: Column, dim: int | None = DEFAULT_DIM) -> Column:
+    """Dot product in sequential left-fold order.
+
+    With ``dim`` known, emits an unrolled multiply-add expression
+    (codegen-compiled); otherwise falls back to the higher-order
+    ``aggregate`` (interpreted — slower, any length)."""
+    if dim is not None:
+        expr = a[0].cast("double") * b[0].cast("double")
+        for i in range(1, dim):
+            expr = expr + a[i].cast("double") * b[i].cast("double")
+        return expr
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column, dim: int | None = DEFAULT_DIM) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = DEFAULT_DIM) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _vectors_with_norm(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None,
+    id_alias: str, vec_alias: str, norm_alias: str,
+) -> DataFrame:
+    """(id, vec, ‖vec‖) — the norm evaluated once per row, then carried
+    as a plain double column."""
+    return df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+    ).select(
+        id_alias, vec_alias, norm(F.col(vec_alias), dim).alias(norm_alias)
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int | None = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Exact cosine top-k of ``vectors`` per query row. Excludes
+    self-matches by id. Query set is broadcast; the scan side is
+    repartitioned so the nested-loop fan-out parallelizes."""
+    q = F.broadcast(
+        _vectors_with_norm(queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn")
+    )
+    v = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim, "__vid", "__v", "__vn"
+    )
+    scored = v.join(q, F.col("__vid") != F.col("__qid")).select(
+        "__qid",
+        "__vid",
+        F.round(
+            dot(F.col("__qv"), F.col("__v"), dim) / (F.col("__qn") * F.col("__vn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def neighbor_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int | None = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 64,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b) — the
+    embedding-cosine near-dup primitive. Exact all-pairs; use LSH
+    bucketing to pre-filter candidates at corpus scale."""
+    a = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim, "id_a", "__va", "__na"
+    )
+    b = F.broadcast(
+        _vectors_with_norm(vectors, id_col, vec_col, dim, "id_b", "__vb", "__nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"), dim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _seq_dots(v: "object", q: "object") -> tuple["object", "object"]:
+    """Vectorized-but-sequential cosine pieces: accumulate dimension by
+    dimension so each pair's float64 sum order is the exact left fold
+    (bit-identical to the unrolled expression and to a sequential C
+    loop) while numpy vectorizes ACROSS pairs.
+
+    Returns (dots (n,m), v_norms (n,)) for v (n,d) against q (m,d)."""
+    import numpy as np
+
+    n, d = v.shape
+    dots = v[:, 0:1] * q[:, 0][None, :]
+    vn = v[:, 0] * v[:, 0]
+    for i in range(1, d):
+        dots = dots + v[:, i : i + 1] * q[:, i][None, :]
+        vn = vn + v[:, i] * v[:, i]
+    return dots, np.sqrt(vn)
+
+
+def neighbor_pairs_above_arrow(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Exact cosine pairs ≥ threshold via Arrow-batched sequential-order
+    scoring — same bits as `neighbor_pairs_above`, ~10× the speed (the
+    unrolled-expression path spends its time in per-pair array copies
+    inside the nested-loop join; here each Arrow batch scores against
+    the full right side with 64 vectorized ops).
+
+    The right side is collected to the driver and shipped via closure —
+    correct while one side fits in memory (it's the broadcast-side
+    analog). For corpus×corpus at 100 TB, pre-bucket with LSH first."""
+    import numpy as np
+    import pandas as pd
+
+    rows = vectors.select(id_col, vec_col).collect()
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    _, b_norms = _seq_dots(b_mat, b_mat[:1])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_ids = pdf[id_col].to_numpy()
+            dots, a_norms = _seq_dots(v, b_mat)
+            cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
+            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "cos_sim": cos[ai, bi],
+                }
+            )
+
+    return (
+        vectors.repartition(parallelism)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
+def brute_force_topk_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Exact top-k with sequential-order (bit-reproducible) scoring via
+    Arrow batches; the rank window runs on the scored triples only."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    _, q_norms = _seq_dots(q_mat, q_mat[:1])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v_ids = pdf[id_col].to_numpy()
+            dots, v_norms = _seq_dots(v, q_mat)
+            cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
+            vi, qi = np.nonzero(v_ids[:, None] != q_ids[None, :])
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi],
+                    id_col: v_ids[vi],
+                    "cos_sim": cos[vi, qi],
+                }
+            )
+
+    scored = (
+        vectors.repartition(parallelism)
+        .select(id_col, vec_col)
+        .mapInPandas(
+            score, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul (the wall-clock
+    winner for large query sets). Scores differ from the sequential
+    fold only in the last ulp (BLAS pairwise summation) — use for
+    throughput, use ``brute_force_topk`` when bit-reproducibility
+    against a sequential implementation matters."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ q_mat.T  # (batch, n_queries)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, n),
+                    id_col: np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "cos_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+            yield out[out[query_id_col] != out[id_col]]
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit i = (v · plane_i) >= 0."""
+    dim = len(planes[0])
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(p) for p in plane]), dim)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DEFAULT_DIM,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket, exact cosine + rank inside it. Fewer bits → bigger buckets
+    → higher recall; tune to keep expected bucket size bounded."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim, "__vid", "__v", "__vn"
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    q = F.broadcast(
+        _vectors_with_norm(queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn")
+        .withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+    )
+    scored = (
+        v.join(q, "__bucket")
+        .filter(F.col("__vid") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__vid",
+            F.round(
+                dot(F.col("__qv"), F.col("__v"), dim)
+                / (F.col("__qn") * F.col("__vn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All pure column expressions (JVM-side, codegen) — at 100 TB these run
+inside the parquet scan stage with zero shuffles:
+
+- token counting (whitespace + BPE-ish regex)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-hit heuristic over a fixed language table)
+- document fingerprinting (rolling polynomial hash)
+
+Beyond the reference's surface (its text ops are regex extract/replace,
+challenge2.py:75-200); designed for the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punct tokenizer (common public shape: word
+#: pieces with optional leading space, numbers, punctuation runs).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+#: Minimal stopword sets per language for the heuristic language ID.
+#: Deliberately tiny and hard-coded: the point is the *plan shape*
+#: (pure expressions, no UDF, no broadcast lookup needed).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"),
+    "es": ("el", "la", "los", "que", "es", "en", "un", "por", "con", "para"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
+}
+
+_PUNCT_PATTERN = r"[^\w\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed string ('' → empty array)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: words / digit runs / punctuation runs
+    counted separately (regexp_count stays JVM-side)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit(_PUNCT_PATTERN)).cast("double") / n.cast("double")
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens (0 for empty docs)."""
+    toks = tokens(F.lower(col))
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + mean word length band (the standard cheap pre-filters applied
+    before expensive model scoring in corpus pipelines)."""
+    n_chars = F.length(col).cast("double")
+    n_toks = token_count_ws(col).cast("double")
+    mean_word = F.when(n_toks == 0, F.lit(0.0)).otherwise(n_chars / n_toks)
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    word_ok = (mean_word >= 3) & (mean_word <= 12)
+    punct_ok = punct_ratio(col) <= 0.2
+    score = (
+        len_ok.cast("int") + word_ok.cast("int") + punct_ok.cast("int")
+    ).cast("double") / F.lit(3.0)
+    return F.round(score, 6)
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(col))
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def detect_language(col: Column) -> Column:
+    """Heuristic language ID: the language with the most stopword hits
+    (ties broken by language code order; 'und' when zero hits
+    everywhere). Pure expressions — one pass, no shuffle."""
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = {lang: stopword_hits(col, lang) for lang in langs}
+    best = F.greatest(*hit_cols.values())
+    expr = F.lit("und")
+    # Build the when-chain in reverse so earlier languages win ties.
+    for lang in reversed(langs):
+        expr = F.when(
+            (hit_cols[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling polynomial hash of the document text:
+    ``h = (h*31 + code(char)) mod 1e9+7`` — deterministic, engine-
+    portable (same algorithm is expressible in any SQL dialect),
+    suitable for cheap exact-dup candidate keys and shard-stable
+    sampling. Stays in codegen via higher-order ``aggregate``."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FINGERPRINT_BASE + F.ascii(ch)) % FINGERPRINT_MOD,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text metrics as added columns (single projection)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio_en"),
+        quality_score(c).alias("quality_score"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )

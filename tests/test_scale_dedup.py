@@ -1,0 +1,183 @@
+"""Property tests for the sketch-based dedup/ANN paths (no SQL oracle:
+xxhash64 isn't available in DuckDB). Strategy: plant near-duplicates,
+then check the sketch path against the exact kernel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from etl_extract_transform_load_spark.scale.dedup import (
+    drop_exact_dups,
+    exact_dup_clusters,
+    jaccard_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+)
+from etl_extract_transform_load_spark.scale.similarity import (
+    brute_force_topk,
+    brute_force_topk_blas,
+    hyperplane_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """sf0.001 documents + planted copies: exact dups (ids +10000) and
+    near dups with a one-token edit (ids +20000)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    exact = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    ).filter(F.col("doc_id") < 10020)
+    near = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).filter(F.col("doc_id") < 20020)
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_planted(spark, docs_with_dups):
+    clusters = exact_dup_clusters(docs_with_dups)
+    dups = clusters.filter(F.col("n_copies") > 1)
+    assert dups.count() == 20  # the 20 exact copies
+    # survivor is the min id (the original)
+    assert dups.filter(F.col("keep_id") >= 10000).count() == 0
+    kept = drop_exact_dups(docs_with_dups)
+    assert kept.count() == docs_with_dups.count() - 20
+
+
+def test_minhash_approximates_jaccard(spark, docs_with_dups):
+    """Signature agreement rate ≈ true Jaccard (the MinHash property)."""
+    sig = minhash_signatures(docs_with_dups, num_hashes=64)
+    a = sig.alias("a").filter(F.col("doc_id") < 20)
+    b = sig.alias("b").filter(
+        (F.col("doc_id") >= 20000) & (F.col("doc_id") < 20020)
+    )
+    est = (
+        a.crossJoin(b.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("signature", "sig_b"))
+        .filter(F.col("doc_id") + 20000 == F.col("doc_id_b"))
+        .select(
+            "doc_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("signature"),
+                            F.col("sig_b"),
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda z: z == 1,
+                    )
+                )
+                / F.lit(64.0)
+            ).alias("est_jaccard"),
+        )
+    )
+    rows = est.collect()
+    assert len(rows) == 20
+    # One appended token in ~100+: true jaccard is high; estimates must be too.
+    assert all(r.est_jaccard > 0.5 for r in rows), rows
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs_with_dups):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_near_dup_pairs(docs_with_dups, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs_with_dups, threshold=0.6, num_hashes=32, bands=8
+        ).collect()
+    }
+    # verification step guarantees precision; recall on high-sim pairs
+    assert lsh <= exact
+    high = exact  # threshold 0.6 pairs are exactly the planted ones
+    assert len(high) > 0
+    recall = len(lsh & high) / len(high)
+    assert recall >= 0.9, f"LSH recall {recall} on {len(high)} true pairs"
+
+
+def test_simhash_finds_near_identical(spark, docs_with_dups):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(docs_with_dups, max_hamming=3).collect()
+    }
+    # exact copies have hamming 0 → must all be found
+    expected_exact = {(i, i + 10000) for i in range(20)}
+    assert expected_exact <= pairs, expected_exact - pairs
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = hyperplane_lsh_topk(emb, queries, k=10, bits=2).collect()
+    assert len(exact) == 50
+    # every approx hit must be a real vector with correctly-computed score
+    exact_scores = {(r.query_id, r.vec_id): r.cos_sim for r in
+                    brute_force_topk(emb, queries, k=10**9).collect()}
+    for r in approx:
+        assert (r.query_id, r.vec_id) in exact_scores
+        assert abs(exact_scores[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_arrow_paths_bit_identical_to_expressions(spark):
+    """The Arrow sequential-order scorer must produce the SAME bits as
+    the unrolled-expression plan (same left-fold order)."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_topk_arrow,
+        neighbor_pairs_above,
+        neighbor_pairs_above_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    expr_pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above(emb, threshold=0.3).collect()
+    }
+    arrow_pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above_arrow(emb, threshold=0.3).collect()
+    }
+    assert expr_pairs == arrow_pairs  # exact equality, not approx
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank): r.cos_sim
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    arrow = {
+        (r.query_id, r.vec_id, r.rank): r.cos_sim
+        for r in brute_force_topk_arrow(emb, queries, k=5).collect()
+    }
+    assert exact == arrow
+
+
+def test_blas_topk_agrees_with_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    blas = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk_blas(emb, queries, k=5).collect()
+    }
+    assert set(exact) == set(blas)
+    for key in exact:
+        # BLAS pairwise summation may differ in the last ulp pre-round
+        assert abs(exact[key] - blas[key]) <= 1e-6

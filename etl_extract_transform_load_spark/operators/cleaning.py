@@ -21,7 +21,9 @@ def null_fractions(df: DataFrame, columns: Sequence[str] | None = None) -> dict[
     row = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            # backticks: raw column names may contain dots ("No. of
+            # episodes") which F.col would parse as struct access
+            F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(c)
             for c in cols
         ],
     ).collect()[0]
@@ -35,7 +37,7 @@ def null_fraction_prune(df: DataFrame, threshold: float = 0.9) -> DataFrame:
     downstream plans get normal column pruning."""
     fracs = null_fractions(df)
     kept = [c for c in df.columns if fracs[c] < threshold]
-    return df.select(*kept)
+    return df.select(*[F.col(f"`{c}`") for c in kept])
 
 
 def distinct_counts(df: DataFrame, approx: bool = False) -> dict[str, int]:
@@ -43,7 +45,9 @@ def distinct_counts(df: DataFrame, approx: bool = False) -> dict[str, int]:
     HyperLogLog (constant memory — the right call at 100 TB where the
     question is 'is this column constant?', not the exact count)."""
     agg = F.approx_count_distinct if approx else F.countDistinct
-    row = df.agg(*[agg(F.col(c)).alias(c) for c in df.columns]).collect()[0]
+    row = df.agg(
+        *[agg(F.col(f"`{c}`")).alias(c) for c in df.columns]
+    ).collect()[0]
     return {c: row[c] for c in df.columns}
 
 
@@ -52,7 +56,7 @@ def drop_single_value_columns(df: DataFrame, approx: bool = False) -> DataFrame:
     distinct non-null value (e.g. the reference's constant ``video``)."""
     counts = distinct_counts(df, approx=approx)
     kept = [c for c in df.columns if counts[c] != 1]
-    return df.select(*kept)
+    return df.select(*[F.col(f"`{c}`") for c in kept])
 
 
 def dedup_by_key(

@@ -10,10 +10,16 @@ make them say it.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _safe_name(v: object) -> str:
+    """Dots in column names trip Spark's name resolution (parsed as
+    struct access in na.fill etc.) — 0.5 → "0_5"."""
+    return str(v).replace(".", "_")
 
 
 def pivot_counts(
@@ -23,14 +29,17 @@ def pivot_counts(
     values: Sequence,
     prefix: str = "",
     fill: int | None = 0,
+    name_fn: Callable[[object], str] = _safe_name,
 ) -> DataFrame:
     """One row per ``key``; one count column per pivot value
-    (named ``{prefix}{value}``). Nulls → ``fill`` (challenge2.py:281)."""
+    (named ``{prefix}{name_fn(value)}``). Nulls → ``fill``
+    (challenge2.py:281)."""
     out = df.groupBy(key).pivot(pivot_col, list(values)).count()
+    names = [f"{prefix}{name_fn(v)}" for v in values]
     renamed = out.select(
         key,
-        *[F.col(f"`{v}`").alias(f"{prefix}{v}") for v in values],
+        *[F.col(f"`{v}`").alias(n) for v, n in zip(values, names)],
     )
     if fill is not None:
-        renamed = renamed.na.fill(fill, subset=[f"{prefix}{v}" for v in values])
+        renamed = renamed.na.fill(fill, subset=names)
     return renamed

@@ -1,0 +1,118 @@
+"""Deterministic reference-shaped fixtures (FIXTURES.md): ragged wiki
+records, corrupt-CSV kaggle metadata, epoch-stamped ratings."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+WIKI_SCHEMA = (
+    "url string, year double, imdb_link string, title string,"
+    "`Directed by` string, Director string, `Produced by` string,"
+    "`Written by` string, `Screenplay by` string, Starring string,"
+    "`Release date` string, Released string, `Running time` string,"
+    "Length string, `Box office` string, Budget string,"
+    "`Country of origin` string, French string, Japanese string,"
+    "`No. of episodes` double"
+)
+
+MONEY_SAMPLES = [
+    "$21.4 million", "$ 11,146,270", "$6 million", "$1.2 billion",
+    "$457 millon", "$20–30 million", "US$ 4,212,828", "TBA", "¥1.1 billion",
+]
+DATE_SAMPLES = [
+    "July 11, 1990", "1990-07-11", "December 1990", "1990",
+    "March 3, 2001 ( 2001-03-03 )",
+]
+RUNTIME_SAMPLES = ["102 minutes", "1 hour 42 minutes", "102 min", "1h 42m"]
+
+
+def make_wiki(spark: SparkSession, n: int = 300, seed: int = 7) -> DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        imdb = f"tt{1000000 + i:07d}"
+        is_tv = i % 50 == 3          # ~2% TV shows (episodic)
+        missing_link = i % 40 == 7   # ~2.5% no imdb link
+        dup = i % 33 == 13           # ~3% duplicate of previous id
+        if dup and i:
+            imdb = f"tt{1000000 + i - 1:07d}"
+        director_variant = i % 2 == 0
+        rows.append(
+            (
+                f"https://en.wikipedia.org/wiki/Movie_{i}",
+                float(1960 + i % 60),
+                None if missing_link else f"https://www.imdb.com/title/{imdb}/",
+                f"Movie {i}",
+                f"Director {i}" if director_variant else None,
+                None if director_variant else f"Director {i}",
+                f"Producer {i}" if i % 3 else None,
+                f"Writer {i}" if i % 2 else None,
+                None if i % 2 else f"Writer {i}",
+                f"Star A, Star B",
+                rng.choice(DATE_SAMPLES) if i % 2 else None,
+                None if i % 2 else rng.choice(DATE_SAMPLES),
+                rng.choice(RUNTIME_SAMPLES) if i % 2 else None,
+                None if i % 2 else rng.choice(RUNTIME_SAMPLES),
+                rng.choice(MONEY_SAMPLES),
+                rng.choice(MONEY_SAMPLES) + "[3]",
+                "United States",
+                f"Titre {i}" if i % 97 == 5 else None,   # >90% null → pruned
+                f"タイトル {i}" if i % 97 == 50 else None,  # >90% null → pruned
+                float(12) if is_tv else None,
+            )
+        )
+    return spark.createDataFrame(rows, WIKI_SCHEMA)
+
+
+KAGGLE_SCHEMA = (
+    "adult string, budget string, id string, imdb_id string,"
+    "original_language string, title string, popularity string,"
+    "release_date string, revenue double, runtime double,"
+    "video string, vote_average double"
+)
+
+
+def make_kaggle(spark: SparkSession, n: int = 300, seed: int = 11) -> DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        corrupt = i % 150 == 9  # ~0.7% corrupt adult column
+        overlap = i % 10 < 6    # 60% join-key overlap with wiki
+        imdb = f"tt{1000000 + i:07d}" if overlap else f"tt{2000000 + i:07d}"
+        zero_rt = i % 20 == 4   # coalesce fixture: kaggle runtime 0
+        rows.append(
+            (
+                "Spilled overview text" if corrupt else "False",
+                str(1000000 * (i % 7)),
+                str(i),
+                imdb,
+                "en",
+                f"Movie {i}",
+                f"{rng.uniform(0, 50):.3f}",
+                f"{1960 + i % 60}-06-15",
+                float(i * 1000 % 9999999),
+                0.0 if zero_rt else float(80 + i % 60),
+                "False",
+                rng.uniform(1, 10).__round__(1),
+            )
+        )
+    return spark.createDataFrame(rows, KAGGLE_SCHEMA)
+
+
+RATINGS_SCHEMA = "userId long, movieId long, rating double, timestamp long"
+
+
+def make_ratings(spark: SparkSession, n: int = 5000, seed: int = 13) -> DataFrame:
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(1, 200),
+            rng.randrange(0, 400),  # some movieIds absent from kaggle
+            rng.choice([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0]),
+            1_500_000_000 + rng.randrange(0, 10_000_000),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, RATINGS_SCHEMA)

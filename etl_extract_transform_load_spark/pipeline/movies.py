@@ -1,0 +1,236 @@
+"""The reference pipeline (challenge2.py:1-301), Spark-first.
+
+Every stage of the pandas Movies-ETL re-expressed as lazy DataFrame
+plans over the engine's operators. Input schemas follow FIXTURES.md
+(wiki_movies ragged records, movies_metadata CSV, ratings fact table);
+stage boundaries mirror the reference so parity is auditable:
+
+1. clean_wiki        — challenge2.py:21-200  (filter → clean_movie →
+                        imdb extract+dedup → null-prune → parse money/
+                        dates/runtime)
+2. clean_kaggle      — challenge2.py:202-212 (corrupt-adult filter,
+                        casts, video bool, release_date)
+3. clean_ratings     — challenge2.py:214     (epoch → timestamp)
+4. integrate         — challenge2.py:216-269 (suffix join, outlier
+                        drop, pairwise fill, final select/rename)
+5. rating_histogram  — challenge2.py:273-281 (groupBy→pivot→prefix,
+                        left join, fillna 0)
+
+Everything is a pure column expression: one Spark job per action, no
+Python UDFs, Catalyst free to reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.functions.dates import (
+    epoch_seconds_to_timestamp,
+    parse_multiformat_date,
+)
+from etl_extract_transform_load_spark.functions.money import parse_dollars
+from etl_extract_transform_load_spark.functions.parsing import parse_runtime_minutes
+from etl_extract_transform_load_spark.functions.strings import extract_imdb_id
+from etl_extract_transform_load_spark.operators.cleaning import (
+    coalesce_variants,
+    dedup_by_key,
+    fill_missing_pairwise,
+    null_fraction_prune,
+)
+from etl_extract_transform_load_spark.operators.pivoting import pivot_counts
+
+#: challenge2.py:44-65 — variant column names → canonical.
+WIKI_COLUMN_VARIANTS: dict[str, list[str]] = {
+    "Director": ["Director", "Directed by"],
+    "Producer(s)": ["Producer(s)", "Produced by", "Producer"],
+    "Writer(s)": [
+        "Writer(s)",
+        "Written by",
+        "Screenplay by",
+        "Story by",
+        "Screen story by",
+        "Adaptation by",
+    ],
+    "Composer(s)": ["Composer(s)", "Music by", "Composer"],
+    "Editor(s)": ["Editor(s)", "Edited by", "Editor"],
+    "Country": ["Country", "Country of origin"],
+    "Distributor": ["Distributor", "Distributed by"],
+    "Release date": ["Release date", "Released", "Original release"],
+    "Running time": ["Running time", "Length"],
+}
+
+#: challenge2.py:30-41 — sparse language-title keys folded into a map.
+ALT_TITLE_KEYS = (
+    "Also known as", "Arabic", "Cantonese", "Chinese", "French",
+    "Hangul", "Hebrew", "Hepburn", "Japanese", "Literally", "Mandarin",
+    "McCune-Reischauer", "Original title", "Polish",
+    "Revised Romanization", "Romanized", "Russian", "Simplified",
+    "Traditional", "Yiddish",
+)
+
+
+def _maybe(df: DataFrame, name: str) -> F.Column:
+    """Column if present, else NULL (ragged inputs)."""
+    return F.col(f"`{name}`") if name in df.columns else F.lit(None)
+
+
+def clean_wiki(wiki: DataFrame, null_prune_threshold: float = 0.9) -> DataFrame:
+    """challenge2.py:21-200 as one lazy plan (plus one aggregate job
+    for the data-dependent null-fraction prune)."""
+    # P1 record filter (challenge2.py:21-24): movies only — has a
+    # director, has an imdb link, is not episodic TV.
+    df = wiki.filter(
+        (_maybe(wiki, "Director").isNotNull() | _maybe(wiki, "Directed by").isNotNull())
+        & _maybe(wiki, "imdb_link").isNotNull()
+        & _maybe(wiki, "No. of episodes").isNull()
+    )
+
+    # F6 clean_movie: fold alt-title language keys into a map column...
+    present_alt = [k for k in ALT_TITLE_KEYS if k in df.columns]
+    if present_alt:
+        entries = [
+            F.when(
+                F.col(f"`{k}`").isNotNull(),
+                F.struct(F.lit(k).alias("key"), F.col(f"`{k}`").alias("value")),
+            )
+            for k in present_alt
+        ]
+        df = df.withColumn(
+            "alt_titles",
+            F.map_from_entries(
+                F.filter(F.array(*entries), lambda e: e.isNotNull())
+            ),
+        ).drop(*present_alt)
+    # ...and coalesce the 19 column-name variants to canonical names.
+    df = coalesce_variants(df, WIKI_COLUMN_VARIANTS)
+
+    # F1 + A8 (challenge2.py:75-77): imdb_id, deterministic dedup.
+    df = df.withColumn("imdb_id", extract_imdb_id(F.col("imdb_link")))
+    df = df.filter(F.col("imdb_id").isNotNull())
+    df = dedup_by_key(df, ["imdb_id"], order_by=[F.asc("url")])
+
+    # P10 (challenge2.py:81-82): drop mostly-null columns.
+    df = null_fraction_prune(df, threshold=null_prune_threshold)
+
+    # F5/F8/F13 parsing (challenge2.py:85-200). The reference joins
+    # list-cells first (F7); fixtures deliver strings, ArrayType inputs
+    # should be array_join'ed at ingest.
+    parsed = []
+    if "Box office" in df.columns:
+        parsed.append(parse_dollars(F.col("`Box office`")).alias("box_office"))
+    if "Budget" in df.columns:
+        parsed.append(parse_dollars(F.col("Budget")).alias("budget_wiki"))
+    if "Release date" in df.columns:
+        parsed.append(
+            parse_multiformat_date(F.col("`Release date`")).alias(
+                "release_date_wiki"
+            )
+        )
+    if "Running time" in df.columns:
+        parsed.append(
+            parse_runtime_minutes(F.col("`Running time`")).alias("running_time")
+        )
+    drop_raw = [
+        c for c in ("Box office", "Budget", "Release date", "Running time")
+        if c in df.columns
+    ]
+    return df.select("*", *parsed).drop(*drop_raw)
+
+
+def clean_kaggle(kaggle: DataFrame) -> DataFrame:
+    """challenge2.py:202-212: drop corrupt/adult rows, cast strings to
+    numerics (coerce semantics), boolean video, parse release_date."""
+    return (
+        kaggle.filter(F.col("adult") == "False")
+        .drop("adult")
+        .withColumn("video", F.col("video") == "True")
+        .withColumn("budget_kaggle", F.col("budget").try_cast("long"))
+        .withColumn("id", F.col("id").try_cast("long"))
+        .withColumn("popularity", F.col("popularity").try_cast("double"))
+        .withColumn(
+            "release_date_kaggle", F.try_to_date(F.col("release_date"), "yyyy-MM-dd")
+        )
+        .drop("budget", "release_date")
+    )
+
+
+def clean_ratings(ratings: DataFrame) -> DataFrame:
+    """challenge2.py:214: epoch seconds → timestamp."""
+    return ratings.withColumn(
+        "timestamp", epoch_seconds_to_timestamp(F.col("timestamp"))
+    )
+
+
+def integrate(wiki: DataFrame, kaggle: DataFrame) -> DataFrame:
+    """challenge2.py:216-243: inner join on imdb_id with _wiki/_kaggle
+    suffix disambiguation, bad-merge outlier drop, redundant-pair
+    resolution (challenge2.py:217-227 decision table: kaggle wins,
+    wiki fills zeros/nulls)."""
+    collisions = (set(wiki.columns) & set(kaggle.columns)) - {"imdb_id"}
+    w = wiki
+    k = kaggle
+    for c in collisions:
+        w = w.withColumnRenamed(c, f"{c}_wiki")
+        k = k.withColumnRenamed(c, f"{c}_kaggle")
+    movies = w.join(k, "imdb_id", "inner")
+
+    # P4 (challenge2.py:229-231): drop rows whose two release dates
+    # disagree wildly (a known bad merge).
+    movies = movies.filter(
+        ~(
+            (F.col("release_date_wiki") > F.lit("1996-01-01"))
+            & (F.col("release_date_kaggle") < F.lit("1965-01-01"))
+        )
+        | F.col("release_date_wiki").isNull()
+        | F.col("release_date_kaggle").isNull()
+    )
+
+    # P11 (challenge2.py:235-243): kaggle value wins unless 0/null.
+    pairs = [
+        ("runtime", "running_time"),
+        ("budget_kaggle", "budget_wiki"),
+        ("revenue", "box_office"),
+    ]
+    present = [
+        (p, f) for p, f in pairs if p in movies.columns and f in movies.columns
+    ]
+    movies = fill_missing_pairwise(movies, present)
+    return movies
+
+
+def rating_histogram(
+    ratings: DataFrame,
+    rating_values: tuple[float, ...] = (0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0),
+) -> DataFrame:
+    """challenge2.py:273-277: per-movie histogram of rating values
+    (one column per value, ``rating_`` prefix)."""
+    return pivot_counts(
+        ratings,
+        key="movieId",
+        pivot_col="rating",
+        values=list(rating_values),
+        prefix="rating_",
+        fill=None,  # fillna happens after the left join (challenge2.py:281)
+    )
+
+
+def with_rating_counts(movies: DataFrame, ratings: DataFrame) -> DataFrame:
+    """challenge2.py:279-281: left join histogram on kaggle id, fill
+    missing counts with 0."""
+    hist = rating_histogram(ratings)
+    rating_cols = [c for c in hist.columns if c.startswith("rating_")]
+    joined = movies.join(
+        F.broadcast(hist), movies.id == hist.movieId, "left"
+    ).drop("movieId")
+    return joined.na.fill(0, subset=rating_cols)
+
+
+def movies_etl(
+    wiki: DataFrame, kaggle: DataFrame, ratings: DataFrame
+) -> DataFrame:
+    """The full reference pipeline, extract-to-final-table."""
+    return with_rating_counts(
+        integrate(clean_wiki(wiki), clean_kaggle(kaggle)),
+        clean_ratings(ratings),
+    )

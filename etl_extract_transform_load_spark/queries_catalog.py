@@ -30,3 +30,24 @@ queries_scalar.register_all()
 from etl_extract_transform_load_spark import queries_scale  # noqa: E402
 
 queries_scale.register_all()
+
+
+# --- the full reference pipeline on deterministic in-line fixtures ---
+# (rows-only: the 5-stage pipeline spans regex parsing + data-dependent
+# pruning + pivots — not reasonably expressible as one SQL statement;
+# stage-level parity is oracle-checked by the per-operator queries above
+# and pytest golden tests.)
+def _movies_pipeline_e2e(spark, sf_dir):  # noqa: ANN001
+    from etl_extract_transform_load_spark.pipeline.fixtures import (
+        make_kaggle,
+        make_ratings,
+        make_wiki,
+    )
+    from etl_extract_transform_load_spark.pipeline.movies import movies_etl
+
+    return movies_etl(
+        make_wiki(spark), make_kaggle(spark), make_ratings(spark)
+    )
+
+
+register("movies_pipeline_e2e", _movies_pipeline_e2e, None)

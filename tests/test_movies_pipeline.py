@@ -1,0 +1,103 @@
+"""End-to-end test of the reference pipeline re-expression
+(SURVEY.md §3) on FIXTURES.md-shaped synthetic inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.pipeline.fixtures import make_kaggle, make_ratings, make_wiki
+
+from etl_extract_transform_load_spark.pipeline.movies import (
+    clean_kaggle,
+    clean_ratings,
+    clean_wiki,
+    integrate,
+    movies_etl,
+    rating_histogram,
+    with_rating_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def wiki(spark):
+    return make_wiki(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def kaggle(spark):
+    return make_kaggle(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    return make_ratings(spark).cache()
+
+
+def test_clean_wiki_filters_and_parses(spark, wiki):
+    out = clean_wiki(wiki).cache()
+    raw = wiki.count()
+    n = out.count()
+    # TV shows, missing-link rows, and duplicate imdb_ids all removed.
+    assert n < raw
+    assert out.filter(F.col("imdb_id").isNull()).count() == 0
+    assert out.select("imdb_id").distinct().count() == n
+    # variant coalesce: every movie has a Director
+    assert out.filter(F.col("Director").isNull()).count() == 0
+    # >90%-null language columns pruned
+    assert "French" not in out.columns
+    assert "Japanese" not in out.columns
+    # parsers produced numerics/dates for parseable inputs
+    assert out.filter(F.col("box_office").isNotNull()).count() > 0
+    assert out.filter(F.col("release_date_wiki").isNotNull()).count() > 0
+    assert out.filter(F.col("running_time").isNotNull()).count() > 0
+
+
+def test_clean_kaggle(spark, kaggle):
+    out = clean_kaggle(kaggle)
+    assert "adult" not in out.columns
+    assert dict(out.dtypes)["video"] == "boolean"
+    assert dict(out.dtypes)["budget_kaggle"] == "bigint"
+    assert dict(out.dtypes)["release_date_kaggle"] == "date"
+    assert out.count() == kaggle.filter(F.col("adult") == "False").count()
+
+
+def test_integrate_join_and_pairwise_fill(spark, wiki, kaggle):
+    movies = integrate(clean_wiki(wiki), clean_kaggle(kaggle)).cache()
+    # inner join on imdb_id: only the ~60% overlap survives
+    assert 0 < movies.count() < clean_wiki(wiki).count()
+    # suffix disambiguation of colliding 'title'
+    assert "title_wiki" in movies.columns
+    assert "title_kaggle" in movies.columns
+    # pairwise fill consumed the wiki fallback columns
+    assert "running_time" not in movies.columns
+    assert "budget_wiki" not in movies.columns
+    assert "box_office" not in movies.columns
+    # zero-runtime kaggle rows got the wiki value where available
+    zeros = movies.filter(F.col("runtime") == 0).count()
+    assert zeros < movies.count() * 0.05
+
+
+def test_rating_histogram_and_join(spark, wiki, kaggle, ratings):
+    hist = rating_histogram(clean_ratings(ratings))
+    assert hist.columns[0] == "movieId"
+    assert "rating_0_5" in hist.columns and "rating_5_0" in hist.columns
+    row_total = sum(
+        F.coalesce(F.col(f"`rating_{str(v).replace(chr(46), chr(95))}`"), F.lit(0))
+        for v in (0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0)
+    )
+    total = hist.select(F.sum(row_total).alias("s")).collect()[0].s
+    assert total == ratings.count()
+
+    final = movies_etl(wiki, kaggle, ratings).cache()
+    assert final.count() > 0
+    # rating columns exist and are null-free after fillna(0)
+    for v in ("rating_0_5", "rating_5_0"):
+        assert final.filter(F.col(f"`{v}`").isNull()).count() == 0
+
+
+def test_full_pipeline_is_lazy_single_action(spark, wiki, kaggle, ratings):
+    # building the full plan triggers only the null-prune aggregate;
+    # the final count is one job over the composed plan
+    final = movies_etl(wiki, kaggle, ratings)
+    assert final.count() > 0

@@ -476,6 +476,30 @@ FROM events
 """
 
 
+# --- event-time tumbling window (streaming semantics, batch-checkable) -------
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.streaming.ingest import windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_counts(events, window_duration="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def register_all() -> None:
     register("filter_project", q_filter_project, ORACLE_FILTER_PROJECT)
     register("filter_not_in", q_filter_not_in, ORACLE_FILTER_NOT_IN)
@@ -493,3 +517,4 @@ def register_all() -> None:
     register("set_operations", q_set_operations, ORACLE_SET_OPS)
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
     register("json_extract", q_json_extract, ORACLE_JSON_EXTRACT)
+    register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)

@@ -1,0 +1,177 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas
+transforms.
+
+The Spark-side architecture is fully real — schemas, batch iteration,
+partitioning, UDF signatures. The *codec* step is stubbed: this
+container has no image/audio libraries, so ``decode_image`` runs in
+``fake`` mode (a deterministic parse of the synthetic byte format) and
+raises ``NotImplementedError`` in ``real`` mode. Swapping in Pillow/
+ffmpeg later changes only ``_decode_real``.
+
+Media schema convention:
+    media_id long, modality string, content binary,
+    meta struct<width:int, height:int, sample_rate:int, codec:string>
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("codec", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: Synthetic byte format for the fake codec: magic "FAKE" + width/height
+#: uint16 + payload bytes (pixel-sum surrogate).
+_FAKE_MAGIC = b"FAKE"
+
+
+def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    payload = bytes((i * 31 + seed) % 251 for i in range(min(width * height, 256)))
+    return _FAKE_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def _decode_fake(content: bytes) -> tuple[int, int, float]:
+    if content[:4] != _FAKE_MAGIC:
+        raise ValueError("not a FAKE image")
+    w, h = struct.unpack("<HH", content[4:8])
+    payload = content[8:]
+    mean = sum(payload) / len(payload) if payload else 0.0
+    return w, h, mean
+
+
+def _decode_real(content: bytes) -> tuple[int, int, float]:
+    raise NotImplementedError(
+        "real image decoding requires an imaging library (e.g. Pillow) "
+        "not present in this environment; wire it in here"
+    )
+
+
+def decode_image_features(
+    media: DataFrame, mode: str = "fake", batch_hint: str | None = None
+) -> DataFrame:
+    """Decode → per-image features (width/height/mean intensity) via
+    Arrow-batched ``mapInPandas``.
+
+    The batch shape is the part that matters at 100 TB: bytes never
+    leave the executor, output is a narrow feature row per image, and
+    upstream parquet scans prune to (media_id, content) only."""
+    import pandas as pd
+
+    decode = _decode_fake if mode == "fake" else _decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_intensity": [round(f[2], 6) for f in feats],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, width int, height int, mean_intensity double"
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, mode: str = "fake"
+) -> DataFrame:
+    """Resize stub: fake mode rewrites the header dims (payload kept) —
+    the plumbing (binary in → binary out, same row count, metadata
+    struct updated) is the tested contract."""
+    import pandas as pd
+
+    if mode != "fake":
+        raise NotImplementedError("real resize needs an imaging library")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                raw = bytes(b)
+                if raw[:4] != _FAKE_MAGIC:
+                    raise ValueError("not a FAKE image")
+                out.append(
+                    _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + raw[8:]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, content binary"
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, mode: str = "fake"
+) -> DataFrame:
+    """Frame-sampling stub for video: emits (media_id, frame_idx,
+    frame binary) rows — the 1→N explode shape. Fake mode slices the
+    payload; real mode is the ffmpeg seam."""
+    import pandas as pd
+
+    if mode != "fake":
+        raise NotImplementedError("real frame sampling needs ffmpeg bindings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b)
+                payload = raw[8:]
+                for i in range(0, len(payload), every_n):
+                    ids.append(mid)
+                    idxs.append(i // every_n)
+                    frames.append(payload[i : i + every_n])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+def make_fake_media(spark, n: int = 50) -> DataFrame:
+    """Deterministic synthetic media table in the MEDIA_SCHEMA shape."""
+    rows = [
+        (
+            i,
+            "image",
+            encode_fake_image(64 + i % 64, 48 + i % 48, seed=i),
+            (64 + i % 64, 48 + i % 48, None, "fake"),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

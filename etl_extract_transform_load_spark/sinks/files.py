@@ -1,0 +1,33 @@
+"""File sinks: parquet (the engine's native interchange) and CSV.
+
+At 100 TB the knobs that matter: partition count (file sizes),
+partitionBy (predicate-prunable layout), compression, and maxRecordsPerFile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    writer = df.write.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode(mode).parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.option("header", str(header).lower()).mode(mode).csv(path)

@@ -1,0 +1,96 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference's only incremental construct is the 1M-row chunked
+read→append loop (challenge2.py:295-301). Its faithful generalization:
+``readStream(maxFilesPerTrigger)`` → ``foreachBatch(append)`` — each
+micro-batch is the "chunk", exactly-once via checkpointing, and the
+sink callback reuses the engine's batch writers.
+
+Beyond parity, the standard streaming kit a 100 TB event pipeline
+needs: watermarked event-time windows for late data, and streaming
+dedup keyed on event id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """S3 streaming analog: files arrive → bounded micro-batches
+    (``maxFilesPerTrigger`` is the chunk-size control)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+
+
+def foreach_batch_ingest(
+    stream: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """S5 generalization: per-micro-batch callback (e.g. a JDBC append
+    via ``sinks.jdbc.write_jdbc``) with exactly-once bookkeeping in the
+    checkpoint. ``trigger_once`` drains available input then stops —
+    the batch-backfill mode."""
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical late-data-
+    tolerant streaming aggregate. Works identically on a batch frame
+    (window() is an ordinary expression), which is how tests pin its
+    semantics without a real stream."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    ).groupBy(
+        F.window(F.col(ts_col), window_duration).alias("win"),
+        F.col(key_col),
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key_col,
+        "n_events",
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key
+    within the watermark horizon (state is bounded by the watermark —
+    unbounded-state dedup does not survive at scale)."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(
+        list(keys)
+    )

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from etl_extract_transform_load_spark.scale.multimodal import (
+    decode_image_features,
+    make_fake_media,
+    resize_images,
+    sample_frames,
+)
+from etl_extract_transform_load_spark.sinks.files import write_parquet
+from etl_extract_transform_load_spark.sinks.jdbc import instrumented_write
+from etl_extract_transform_load_spark.sources import load_table
+from etl_extract_transform_load_spark.streaming.ingest import (
+    file_stream_source,
+    foreach_batch_ingest,
+    stream_dedup,
+    windowed_counts,
+)
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMOKE, "orders")
+    out = f"{tmp_path}/orders_out"
+    metrics = instrumented_write(
+        df, lambda d: write_parquet(d, out, partition_by=["o_orderstatus"])
+    )
+    assert metrics["rows"] == df.count()
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partitionBy layout enables partition pruning on the status column
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_windowed_counts_batch_semantics(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    out = windowed_counts(events, window_duration="1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    cols = set(out.columns)
+    assert cols == {"window_start", "window_end", "event_type", "n_events"}
+
+
+def test_streaming_foreach_batch_ingest(spark, tmp_path):
+    src_dir = f"{tmp_path}/stream_src"
+    events = load_table(spark, SF_SMOKE, "events")
+    events.limit(200).write.parquet(src_dir)
+
+    collected: list[int] = []
+
+    def batch_fn(batch_df, batch_id):
+        collected.append(batch_df.count())
+
+    stream = file_stream_source(
+        spark, src_dir, schema=events.schema, max_files_per_trigger=1
+    )
+    q = foreach_batch_ingest(
+        stream, batch_fn, f"{tmp_path}/ckpt", trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert sum(collected) == 200
+
+
+def test_stream_dedup_plan_builds(spark, tmp_path):
+    src_dir = f"{tmp_path}/dedup_src"
+    events = load_table(spark, SF_SMOKE, "events")
+    # plant duplicate event_ids
+    events.limit(100).union(events.limit(50)).write.parquet(src_dir)
+
+    stream = file_stream_source(
+        spark, src_dir, schema=events.schema, max_files_per_trigger=10
+    )
+    deduped = stream_dedup(stream, ["event_id"])
+    seen: list[int] = []
+
+    q = foreach_batch_ingest(
+        deduped,
+        lambda b, i: seen.append(b.count()),
+        f"{tmp_path}/ckpt2",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == 100  # the 50 re-deliveries dropped
+
+
+def test_multimodal_decode_and_resize(spark):
+    media = make_fake_media(spark, n=40)
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 40
+    assert all(f.width >= 64 and f.mean_intensity >= 0 for f in feats)
+
+    resized = resize_images(media, 32, 24)
+    feats2 = decode_image_features(
+        resized.withColumn("modality", F.lit("image"))
+    ).collect()
+    assert all(f.width == 32 and f.height == 24 for f in feats2)
+
+    frames = sample_frames(media, every_n=16)
+    assert frames.count() > 40  # 1→N explode
+    assert frames.columns == ["media_id", "frame_idx", "frame"]
+
+
+def test_multimodal_real_mode_is_gated(spark):
+    media = make_fake_media(spark, n=2)
+    with pytest.raises(Exception) as exc:
+        decode_image_features(media, mode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )

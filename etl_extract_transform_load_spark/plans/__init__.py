@@ -1,0 +1,7 @@
+from etl_extract_transform_load_spark.plans.skew import salted_join
+from etl_extract_transform_load_spark.plans.bucketing import (
+    bucketed_table_join,
+    write_bucketed,
+)
+
+__all__ = ["salted_join", "write_bucketed", "bucketed_table_join"]

@@ -1,0 +1,41 @@
+"""Skew mitigation: salted joins.
+
+AQE's skew-join handles most cases at runtime (enabled by the session
+factory); explicit salting remains the tool when one key dominates so
+hard that even split sub-partitions overwhelm a task, or when the
+skewed side must join a non-broadcastable table.
+
+Shape: the big (skewed) side gets a uniform random salt in [0, n);
+the small side is exploded n× (one copy per salt value); the join key
+becomes (key, salt) — the hot key's rows now spread over n tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the skewed side salted across ``salt_buckets``.
+
+    Semantics identical to ``skewed.join(other, on, how)`` for
+    inner/left joins (each skewed row carries exactly one salt; the
+    other side carries every salt, so matches are preserved 1:1)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted = skewed.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    exploded = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted.join(exploded, [on, "__salt"], how)
+    return out.drop("__salt")

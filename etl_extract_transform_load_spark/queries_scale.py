@@ -247,6 +247,18 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, queries, k=5, bits=4)
 
 
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.ivf import build_ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    index = build_ivf_index(emb, k=8)
+    return ivf_topk(index, queries, k=5, nprobe=4)
+
+
 def register_all() -> None:
     register("text_stats_docs", q_text_stats, ORACLE_TEXT_STATS)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
@@ -256,3 +268,4 @@ def register_all() -> None:
     register("embedding_neardup_pairs", q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP)
     register("similarity_topk_bruteforce", q_similarity_topk, ORACLE_SIMILARITY_TOPK)
     register("similarity_topk_lsh", q_similarity_topk_lsh, None)
+    register("similarity_topk_ivf", q_similarity_topk_ivf, None)

@@ -1,0 +1,108 @@
+"""IVF (inverted-file) approximate nearest neighbor.
+
+The third ANN tier (alongside brute force and hyperplane LSH): cluster
+the corpus once with KMeans (MLlib — distributed, cached centroids),
+then at query time probe only the ``nprobe`` nearest clusters. Recall
+is tunable via nprobe; cost drops from O(N) to O(N·nprobe/k) per query.
+
+Index layout is a plain DataFrame (vec_id, cluster, embedding) —
+partition/bucket it by ``cluster`` on write so a probe prunes files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IVFIndex:
+    assigned: DataFrame            # vec_id, cluster, embedding
+    centroids: list[list[float]]   # k × dim (driver-side, tiny)
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IVFIndex:
+    """Fit KMeans and assign every vector to its cluster (one MLlib
+    job; the model's centroid matrix stays on the driver)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.withColumn(
+        "__features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="__features", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, "cluster", vec_col)
+    centroids = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist()
+        for c in model.clusterCenters()
+    ]
+    return IVFIndex(assigned=assigned, centroids=centroids)
+
+
+def ivf_topk(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: each query searches its ``nprobe`` nearest
+    clusters only. Query→cluster routing happens on the driver (the
+    centroid matrix is tiny); candidate scoring reuses the exact
+    Arrow sequential scorer per (query, cluster) restriction."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    cents = np.array(index.centroids, dtype=np.float64)
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    spark = queries.sparkSession
+    routes = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        sims = cents_n @ qn
+        for c in np.argsort(-sims)[:nprobe]:
+            routes.append((int(r[0]), int(c)))
+    route_df = F.broadcast(
+        spark.createDataFrame(routes, f"{query_id_col} long, cluster int")
+    )
+
+    # restrict the corpus to the union of probed clusters per query,
+    # then exact-score inside the restriction
+    probed = index.assigned.join(
+        route_df.select("cluster").distinct(), "cluster", "left_semi"
+    )
+    scored = brute_force_topk_arrow(
+        probed, queries, k=10**9, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).drop("rank")
+    # keep only (query, vector) pairs whose vector lives in a probed
+    # cluster OF THAT query
+    allowed = index.assigned.select(id_col, "cluster").join(route_df, "cluster")
+    scored = scored.join(allowed.select(query_id_col, id_col), [query_id_col, id_col], "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

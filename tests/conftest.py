@@ -14,12 +14,17 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
     spark = get_spark(
         app_name="etl_spark_tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # static conf: bucketed-table tests saveAsTable here
+            "spark.sql.warehouse.dir": str(warehouse),
+        },
     )
     yield spark
     spark.stop()

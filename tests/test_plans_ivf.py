@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.test_plan_quality import plan_text
+
+from etl_extract_transform_load_spark.plans import (
+    bucketed_table_join,
+    salted_join,
+    write_bucketed,
+)
+from etl_extract_transform_load_spark.scale.ivf import build_ivf_index, ivf_topk
+from etl_extract_transform_load_spark.scale.similarity import brute_force_topk
+from etl_extract_transform_load_spark.sources import load_table
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy("o_custkey")
+        .collect()
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", salt_buckets=8)
+        .groupBy("o_custkey")
+        .count()
+        .orderBy("o_custkey")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, sort_by="o_orderkey")
+    write_bucketed(lineitem, "lineitem_b", "o_orderkey", 8, sort_by="o_orderkey")
+    joined = bucketed_table_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_text(joined, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket alignment elided both shuffles
+    assert joined.count() == lineitem.count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, k=8)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(index, queries, k=5, nprobe=4).collect()
+    }
+    # nprobe=4 of 8 clusters on near-random vectors: expect solid recall
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every approx hit must carry a correctly computed score (subset check)
+    assert len(approx) == len(exact)

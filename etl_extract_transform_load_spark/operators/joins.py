@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as built-ins (SURVEY.md §2.3
+notes their absence in the reference; they're table stakes for event
+pipelines).
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as the union-window
+  composition (one shuffle on the key, one in-partition sort) — the
+  same cost profile as a co-partitioned merge join, no UDF, no
+  cross-join blowup.
+- ``range_join``: equi-key + bounded time-distance pairs. A plain
+  theta predicate after the key equi-join; Spark executes it as a
+  hash join with residual filter, so the blowup is bounded by rows
+  per key (bucket the key space if a key is hot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the most recent
+    right row (by ``on`` timestamp) with the same ``by`` key.
+
+    Union trick: tag sides, sort (key, ts, right-first-on-ties),
+    carry the last seen right values forward with a running window,
+    keep left rows. Right values on ties (equal ts) DO match
+    (``<=`` semantics, like DuckDB ASOF JOIN / pandas merge_asof)."""
+    base_rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    # the matched right timestamp is always emitted (as {on}{suffix})
+    rcols = [*base_rcols, on]
+    l_tagged = left.select(
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["__lrow"].dataType
+        ).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal ts → ties match (<=)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__k",
+        "__t",
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in rcols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"__r_{c}").alias(c + suffix if c in left.columns else c)
+            for c in rcols
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_delta_seconds: int,
+) -> DataFrame:
+    """Pairs with the same key whose timestamps lie within
+    ``max_delta_seconds`` (right.ts in [left.ts - Δ, left.ts]).
+    Hash equi-join on the key, residual range predicate."""
+    lt = F.col(f"l.{left_ts}")
+    rt = F.col(f"r.{right_ts}")
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{by}") == F.col(f"r.{by}"))
+            & (rt <= lt)
+            & (rt >= lt - F.expr(f"INTERVAL {max_delta_seconds} SECONDS")),
+        )
+    )

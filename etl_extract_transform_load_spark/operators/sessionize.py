@@ -1,0 +1,58 @@
+"""Sessionization: gap-based session ids over an event stream.
+
+The classic event-pipeline operator (absent from the reference; core
+for behavioral training data). A session breaks when the gap to the
+previous event of the same user exceeds the timeout.
+
+Plan shape: one shuffle on the user key, one in-partition sort, two
+window passes (lag → gap flag → running sum) — all codegen, no UDF.
+For the streaming variant use ``F.session_window`` in
+``streaming.ingest`` style plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Add a per-user session index (0-based) that increments whenever
+    the inter-event gap exceeds ``gap_minutes``."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_sec = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_sec > gap_minutes * 60), 1
+    ).otherwise(0)
+    return events.withColumn("__new", new_session).withColumn(
+        session_col,
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    ).drop("__new")
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session summary: bounds, event count, duration seconds."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+    )

@@ -1,0 +1,36 @@
+"""User-defined aggregate surface (SURVEY.md §2.9).
+
+The reference needs no UDAFs; this is the engine's extension point for
+aggregates Catalyst lacks. Pattern: grouped ``applyInPandas`` — Arrow
+ships each group as a pandas frame, the aggregate runs vectorized, one
+output row per group. Per-group data must fit an executor (the same
+contract Spark's own pandas API follows); heavy-tailed groups should
+be pre-reduced or salted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def grouped_mad(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "mad"
+) -> DataFrame:
+    """Median absolute deviation per group:
+    ``median(|x - median(x)|)`` — robust spread, not expressible as a
+    single-pass Catalyst aggregate (nested exact medians)."""
+    import pandas as pd
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col]
+        med = x.median()
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                out_col: [round(float((x - med).abs().median()), 6)],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        agg, schema=f"{group_col} string, {out_col} double"
+    )

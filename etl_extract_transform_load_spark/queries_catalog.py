@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- temporal/event operators + advanced aggregates ---
+from etl_extract_transform_load_spark import queries_temporal  # noqa: E402
+
+queries_temporal.register_all()
+
 # --- scale extensions: dedup / similarity / text analysis ---
 from etl_extract_transform_load_spark import queries_scale  # noqa: E402
 

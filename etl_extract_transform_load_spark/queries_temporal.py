@@ -1,0 +1,184 @@
+"""Temporal/event operators + advanced aggregates with DuckDB oracles:
+as-of join, range join, sessionization, rollup, grouped-UDAF MAD.
+
+Timestamps are exposed as epoch seconds (truncated) — sub-microsecond
+precision differs between engines (events.ts is nanos; Spark reads
+micros)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.joins import asof_join, range_join
+from etl_extract_transform_load_spark.operators.sessionize import session_stats
+from etl_extract_transform_load_spark.operators.udaf import grouped_mad
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+
+def _epoch(col):
+    return F.unix_timestamp(F.date_trunc("second", col))
+
+
+# --- as-of join: each purchase ↔ the user's latest prior click ---------------
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("purchase_sec"),
+        "click_id",
+        _epoch(F.col("ts_right")).alias("click_sec"),
+    )
+
+
+ORACLE_ASOF = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(EPOCH(DATE_TRUNC('second', p.ts)) AS BIGINT) AS purchase_sec,
+       c.click_id,
+       CAST(EPOCH(DATE_TRUNC('second', c.ts)) AS BIGINT) AS click_sec
+FROM p
+ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# --- range join: clicks within 2h before each purchase ------------------------
+
+def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = range_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        max_delta_seconds=7200,
+    )
+    return pairs.select(
+        F.col("l.purchase_id").alias("purchase_id"),
+        F.col("r.click_id").alias("click_id"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
+# --- sessionization ------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = session_stats(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        _epoch(F.col("session_start")).alias("start_sec"),
+        "duration_sec",
+    )
+
+
+# Duckdb replica of the gap→cumsum sessionizer. Duration from
+# second-truncated bounds to stay precision-safe.
+ORACLE_SESSIONS = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) - 1 AS session_id
+    FROM g
+)
+SELECT user_id,
+       session_id,
+       COUNT(*) AS n_events,
+       CAST(EPOCH(DATE_TRUNC('second', MIN(ts))) AS BIGINT) AS start_sec,
+       CAST(EPOCH(DATE_TRUNC('second', MAX(ts)))
+            - EPOCH(DATE_TRUNC('second', MIN(ts))) AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --- rollup (multi-level aggregate) ---------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- grouped pandas UDAF: median absolute deviation ------------------------------
+
+def q_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_mad(li, "l_returnflag", "l_quantity")
+
+
+ORACLE_MAD = """
+SELECT l_returnflag, ROUND(MAD(l_quantity), 6) AS mad
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def register_all() -> None:
+    register("asof_purchase_click", q_asof_purchase_click, ORACLE_ASOF)
+    register("range_join_clicks", q_range_join_clicks, ORACLE_RANGE_JOIN)
+    register("session_stats", q_session_stats, ORACLE_SESSIONS)
+    register("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP)
+    register("mad_quantity_pandas_udaf", q_mad_quantity, ORACLE_MAD)

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.joins import asof_join, range_join
+from etl_extract_transform_load_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),
+            (2, 10, _ts("2024-01-01T12:00:00")),
+            (3, 20, _ts("2024-01-01T11:00:00")),  # key with no right rows
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T09:30:00")),
+            (101, 10, _ts("2024-01-01T10:00:00")),  # tie with left id=1
+            (102, 10, _ts("2024-01-01T11:59:00")),
+            (103, 10, _ts("2024-01-01T13:00:00")),  # after everything
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r.id: (r.rid, r.ts_right)
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out[1][0] == 101  # tie matches (<= semantics)
+    assert out[2][0] == 102  # latest prior, not the later one
+    assert out[3] == (None, None)  # no right rows for key 20
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T11:00:00")),  # exactly -1h: in
+            (101, 10, _ts("2024-01-01T10:59:59")),  # 1s too early: out
+            (102, 10, _ts("2024-01-01T12:00:00")),  # same instant: in
+            (103, 10, _ts("2024-01-01T12:00:01")),  # future: out
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    rows = range_join(
+        left, right, by="k", left_ts="ts", right_ts="ts", max_delta_seconds=3600
+    ).select(F.col("r.rid")).collect()
+    assert sorted(r.rid for r in rows) == [100, 102]
+
+
+def test_sessionize_gap_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),
+            (1, _ts("2024-01-01T10:29:00")),  # 29 min gap: same session
+            (1, _ts("2024-01-01T11:00:00")),  # 31 min gap: new session
+            (2, _ts("2024-01-01T10:00:00")),  # separate user
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(events, gap_minutes=30).orderBy("user_id", "ts").collect()
+    assert [r.session_id for r in out] == [0, 0, 1, 0]
+
+    stats = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in session_stats(events, gap_minutes=30).collect()
+    }
+    assert stats[(1, 0)] == (2, 29 * 60)
+    assert stats[(1, 1)] == (1, 0)
+    assert stats[(2, 0)] == (1, 0)

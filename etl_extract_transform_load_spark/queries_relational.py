@@ -476,6 +476,35 @@ FROM events
 """
 
 
+# --- skew-salted join (results must equal the plain join) --------------------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.plans.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on="o_custkey", salt_buckets=8)
+    return joined.groupBy("o_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT o.o_custkey,
+       c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_mktsegment
+"""
+
+
 # --- event-time tumbling window (streaming semantics, batch-checkable) -------
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,3 +547,4 @@ def register_all() -> None:
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
     register("json_extract", q_json_extract, ORACLE_JSON_EXTRACT)
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
+    register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)

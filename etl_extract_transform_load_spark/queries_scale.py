@@ -239,12 +239,16 @@ WHERE rank <= 5
 
 
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.similarity import (
+        hyperplane_lsh_topk_arrow,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return hyperplane_lsh_topk(emb, queries, k=5, bits=4)
+    return hyperplane_lsh_topk_arrow(emb, queries, k=5, bits=4)
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

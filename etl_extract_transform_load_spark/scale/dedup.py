@@ -67,10 +67,18 @@ def shingles(col: Column, n: int = 3) -> Column:
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
+    """(doc id, set size, shingle) — one row per distinct shingle per
+    doc. ``shingles`` is already per-doc distinct (array_distinct), so
+    no dedup shuffle is needed, and the set size rides along with each
+    exploded row (saves the separate sizes aggregate + re-joins)."""
     return df.select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    ).distinct()
+        shingles(F.col(text_col), n).alias("__arr"),
+    ).select(
+        "__id",
+        F.size("__arr").alias("__n_sh"),
+        F.explode("__arr").alias("shingle"),
+    )
 
 
 def jaccard_near_dup_pairs(
@@ -79,6 +87,7 @@ def jaccard_near_dup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.3,
+    parallelism: int = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold (id_a < id_b).
 
@@ -87,22 +96,25 @@ def jaccard_near_dup_pairs(
     shingle, so only docs *sharing* a shingle ever meet — no O(N²)
     cross join. This is the exact kernel; use MinHash+LSH below to
     pre-filter candidates at scale."""
-    sh = _shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # repartition pre-explode: a compact input (one parquet file) would
+    # otherwise put the whole shingle join probe in one task when the
+    # build side broadcasts
+    sh = _shingle_table(df.repartition(parallelism), text_col, id_col, n)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
         .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n_sh").alias("n_a"),
+            F.col("b.__n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common").cast("double")
@@ -176,6 +188,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    df = df.repartition(64)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
     banded = sig.select(
         F.col(id_col).alias("__id"),
@@ -249,7 +262,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """63-bit SimHash: xxhash64 each token, per-bit ±1 sign-sum,
     positive sums set bits. One explode + one groupBy."""
-    toks = df.select(
+    toks = df.repartition(64).select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )

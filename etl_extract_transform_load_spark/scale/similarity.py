@@ -311,6 +311,69 @@ def brute_force_topk_blas(
     )
 
 
+def hyperplane_lsh_topk_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DEFAULT_DIM,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Approximate top-k, Arrow-batched: each vector batch computes its
+    sign buckets and scores only against same-bucket queries. Same
+    candidate set as the expression variant (identical planes/signs up
+    to ulp-boundary projections); ~5× faster locally because the giant
+    per-plane expressions never reach codegen."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)  # (b, d)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    _, q_norms = _seq_dots(q_mat, q_mat[:1])
+    pow2 = (1 << np.arange(bits)).astype(np.int64)
+    q_buckets = (((q_mat @ planes.T) >= 0).astype(np.int64) @ pow2)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v_ids = pdf[id_col].to_numpy()
+            v_buckets = (((v @ planes.T) >= 0).astype(np.int64) @ pow2)
+            dots, v_norms = _seq_dots(v, q_mat)
+            cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
+            vi, qi = np.nonzero(
+                (v_buckets[:, None] == q_buckets[None, :])
+                & (v_ids[:, None] != q_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi],
+                    id_col: v_ids[vi],
+                    "cos_sim": cos[vi, qi],
+                }
+            )
+
+    scored = (
+        vectors.repartition(parallelism)
+        .select(id_col, vec_col)
+        .mapInPandas(
+            score, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

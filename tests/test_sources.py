@@ -1,0 +1,70 @@
+"""S1/S2 source hardening tests: ragged multiLine JSON, PERMISSIVE
+CSV with corrupt-record capture (replaces the reference's post-hoc
+corrupt-adult handling, challenge2.py:202-204)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_extract_transform_load_spark.sources import csv_source, json_source
+
+
+def test_json_source_ragged_multiline(spark, tmp_path):
+    """A JSON array of ragged records (the wikipedia-movies shape):
+    union of keys becomes nullable columns."""
+    records = [
+        {"url": "u0", "title": "A", "Directed by": "X"},
+        {"url": "u1", "title": "B", "Director": "Y", "Box office": "$1 million"},
+        {"url": "u2", "No. of episodes": 12},
+    ]
+    p = tmp_path / "wiki.json"
+    p.write_text(json.dumps(records))
+    df = json_source(spark, str(p))
+    assert df.count() == 3
+    cols = set(df.columns)
+    assert {"url", "title", "Directed by", "Director", "Box office",
+            "No. of episodes"} <= cols
+    # ragged keys are null where absent
+    assert df.filter(F.col("Director").isNull()).count() == 2
+
+
+def test_csv_source_corrupt_record_capture(spark, tmp_path):
+    """Explicit schema + PERMISSIVE: malformed rows land in
+    _corrupt_record instead of silently widening types."""
+    p = tmp_path / "meta.csv"
+    p.write_text(
+        "adult,id,title\n"
+        "False,1,Movie A\n"
+        "False,2,Movie B\n"
+        'True,not_a_number,Movie C\n'
+    )
+    schema = StructType(
+        [
+            StructField("adult", StringType()),
+            StructField("id", LongType()),
+            StructField("title", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = csv_source(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    assert corrupt.count() == 1
+    assert "not_a_number" in corrupt.collect()[0]._corrupt_record
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    assert clean.agg(F.max("id")).collect()[0][0] == 2
+
+
+def test_csv_infer_schema_mode(spark, tmp_path):
+    p = tmp_path / "infer.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = csv_source(spark, str(p), infer_schema=True)
+    assert dict(df.dtypes)["a"] == "int"

@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- builtin function parity + multi-join analytics ---
+from etl_extract_transform_load_spark import queries_functions  # noqa: E402
+
+queries_functions.register_all()
+
 # --- temporal/event operators + advanced aggregates ---
 from etl_extract_transform_load_spark import queries_temporal  # noqa: E402
 

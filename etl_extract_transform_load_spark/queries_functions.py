@@ -1,0 +1,318 @@
+"""Built-in function parity corpora (string / math / date) and classic
+multi-join analytics shapes.
+
+The reference's scalar surface is pandas str/dt accessors; a user
+switching engines leans on the whole builtin library, so parity is
+pinned broadly: each corpus query applies a battery of functions to
+literal rows and must hash-match DuckDB's implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+STRING_ROWS = [
+    (0, "Hello World"),
+    (1, "  padded  "),
+    (2, "UPPER lower MiXeD"),
+    (3, "comma,separated,values"),
+    (4, "αβγ unicode ΔΕΖ"),
+    (5, ""),
+    (6, None),
+]
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(STRING_ROWS, "id int, s string")
+    c = F.col("s")
+    return df.select(
+        "id",
+        F.upper(c).alias("up"),
+        F.lower(c).alias("lo"),
+        F.trim(c).alias("trimmed"),
+        F.length(c).alias("len"),
+        F.substring(c, 2, 5).alias("sub"),
+        F.reverse(c).alias("rev"),
+        F.lpad(c, 15, "*").alias("padded"),
+        F.concat_ws("|", c, F.lit("x")).alias("joined"),
+        # levenshtein: Spark counts characters, DuckDB counts UTF-8
+        # bytes — equal only on ASCII, so the corpus gates on it
+        F.when(
+            c.rlike(r"^[\x00-\x7F]*$"), F.levenshtein(c, F.lit("Hello World"))
+        ).alias("lev"),
+        F.split(c, ",").alias("parts"),
+        F.replace(c, F.lit(" "), F.lit("_")).alias("replaced"),
+    )
+
+
+def _string_values() -> str:
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    return ", ".join(f"({i}, {lit(s)})" for i, s in STRING_ROWS)
+
+
+ORACLE_STRING_FUNCS = f"""
+SELECT id,
+       UPPER(s) AS up,
+       LOWER(s) AS lo,
+       TRIM(s) AS trimmed,
+       LENGTH(s) AS len,
+       SUBSTRING(s, 2, 5) AS sub,
+       REVERSE(s) AS rev,
+       LPAD(s, 15, '*') AS padded,
+       CASE WHEN s IS NULL THEN 'x' ELSE s || '|' || 'x' END AS joined,
+       CASE WHEN regexp_matches(s, '^[\\x00-\\x7F]*$')
+            THEN LEVENSHTEIN(s, 'Hello World') END AS lev,
+       STRING_SPLIT(s, ',') AS parts,
+       REPLACE(s, ' ', '_') AS replaced
+FROM (VALUES {_string_values()}) AS t(id, s)
+"""
+
+MATH_ROWS = [
+    (0, 2.5), (1, -3.7), (2, 0.0), (3, 144.0), (4, 0.1), (5, None),
+]
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(MATH_ROWS, "id int, x double")
+    x = F.col("x")
+    return df.select(
+        "id",
+        F.abs(x).alias("abs_x"),
+        F.ceil(x).alias("ceil_x"),
+        F.floor(x).alias("floor_x"),
+        F.round(F.sqrt(F.abs(x)), 6).alias("sqrt_abs"),
+        F.round(F.pow(x, F.lit(2)), 6).alias("x_sq"),
+        F.round(F.exp(F.least(x, F.lit(10.0))), 6).alias("exp_x"),
+        F.sign(x).alias("sign_x"),
+        F.round(F.log(2.0, F.abs(x) + 1), 6).alias("log2_abs1"),
+        F.pmod(F.floor(x).cast("long"), F.lit(5)).alias("pmod5"),
+        F.greatest(x, F.lit(1.0)).alias("gx"),
+        F.least(x, F.lit(1.0)).alias("lx"),
+    )
+
+
+def _math_values() -> str:
+    return ", ".join(
+        f"({i}, {v if v is not None else 'NULL'})" for i, v in MATH_ROWS
+    )
+
+
+# DuckDB: SIGN returns int/double per input; FLOOR/CEIL return double;
+# pmod(a, 5) = ((a % 5) + 5) % 5.
+ORACLE_MATH_FUNCS = f"""
+SELECT id,
+       ABS(x) AS abs_x,
+       CAST(CEIL(x) AS BIGINT) AS ceil_x,
+       CAST(FLOOR(x) AS BIGINT) AS floor_x,
+       ROUND(SQRT(ABS(x)), 6) AS sqrt_abs,
+       ROUND(POW(x, 2), 6) AS x_sq,
+       ROUND(EXP(LEAST(x, 10.0)), 6) AS exp_x,
+       CAST(SIGN(x) AS DOUBLE) AS sign_x,
+       ROUND(LOG(ABS(x) + 1) / LOG(2.0), 6) AS log2_abs1,
+       CAST(((CAST(FLOOR(x) AS BIGINT) % 5) + 5) % 5 AS BIGINT) AS pmod5,
+       GREATEST(x, 1.0) AS gx,
+       LEAST(x, 1.0) AS lx
+FROM (VALUES {_math_values()}) AS t(id, x)
+"""
+
+DATE_ROWS = [
+    (0, "2024-02-29"), (1, "2023-12-31"), (2, "1999-01-15"), (3, None),
+]
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(DATE_ROWS, "id int, d string")
+    d = F.to_date("d")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return df.select(
+        "id",
+        fmt(F.date_add(d, 45)).alias("plus45"),
+        fmt(F.add_months(d, 2)).alias("plus2mo"),
+        fmt(F.last_day(d)).alias("month_end"),
+        fmt(F.trunc(d, "month")).alias("month_start"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).alias("days_to_2025"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+    )
+
+
+def _date_values() -> str:
+    return ", ".join(
+        f"({i}, {('DATE ' + chr(39) + v + chr(39)) if v else 'NULL'})"
+        for i, v in DATE_ROWS
+    )
+
+
+# Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday → +1.
+ORACLE_DATE_FUNCS = f"""
+SELECT id,
+       STRFTIME(d + INTERVAL 45 DAY, '%Y-%m-%d') AS plus45,
+       STRFTIME(d + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+       STRFTIME(LAST_DAY(d), '%Y-%m-%d') AS month_end,
+       STRFTIME(DATE_TRUNC('month', d), '%Y-%m-%d') AS month_start,
+       DATEDIFF('day', d, DATE '2025-01-01') AS days_to_2025,
+       EXTRACT(year FROM d) AS yr,
+       EXTRACT(quarter FROM d) AS qtr,
+       EXTRACT(dow FROM d) + 1 AS dow,
+       EXTRACT(week FROM d) AS woy
+FROM (VALUES {_date_values()}) AS t(id, d)
+"""
+
+
+# --- null-safe equality join ---------------------------------------------------
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spark.createDataFrame(
+        [(0, "x"), (1, None), (2, "y")], "id int, k string"
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (11, None), (12, "z")], "id int, k string"
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")), "inner")
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.k")
+        )
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+SELECT a.id AS id_a, b.id AS id_b, a.k
+FROM (VALUES (0, 'x'), (1, NULL), (2, 'y')) AS a(id, k)
+JOIN (VALUES (10, 'x'), (11, NULL), (12, 'z')) AS b(id, k)
+  ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+# --- classic multi-join analytics (Q3/Q5 shapes) --------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Catalyst pushes both date filters to the scans and broadcast-joins
+    the filtered customer side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way snowflake join, dims broadcast, one big-table
+    shuffle agg at the end."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n.n_name,
+       r.r_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+# --- semi/anti joins (absent from the reference; free in Spark) -----------------
+
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.lit("has_orders").alias("grp"), "c_custkey")
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.lit("no_orders").alias("grp"), "c_custkey")
+    return with_orders.unionByName(without)
+
+
+ORACLE_SEMI_ANTI = """
+SELECT 'has_orders' AS grp, c_custkey
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'no_orders', c_custkey
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def register_all() -> None:
+    register("string_functions_corpus", q_string_functions, ORACLE_STRING_FUNCS)
+    register("math_functions_corpus", q_math_functions, ORACLE_MATH_FUNCS)
+    register("date_functions_corpus", q_date_functions, ORACLE_DATE_FUNCS)
+    register("null_safe_join", q_null_safe_join, ORACLE_NULL_SAFE_JOIN)
+    register("shipping_priority_q3", q_shipping_priority, ORACLE_SHIPPING_PRIORITY)
+    register("local_supplier_volume_q5", q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER)
+    register("semi_anti_joins", q_semi_anti_joins, ORACLE_SEMI_ANTI)

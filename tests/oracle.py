@@ -41,9 +41,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         col = df[c]
         if col.dtype == object:
-            # Normalize lists/arrays to tuples so sorting works.
+            # Normalize lists/arrays (incl. numpy arrays from DuckDB
+            # fetchdf) to tuples so sorting/eq work.
+            import numpy as np
+
             df[c] = col.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
         elif str(col.dtype).startswith("datetime"):
             df[c] = col.astype("datetime64[us]")

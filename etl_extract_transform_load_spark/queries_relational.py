@@ -476,6 +476,34 @@ FROM events
 """
 
 
+# --- parquet sink roundtrip (write → read back → aggregate) ------------------
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-analog for files: the write must be lossless — aggregating
+    the re-read output hash-matches aggregating the source."""
+    from etl_extract_transform_load_spark.sinks.files import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = "/tmp/etl_spark_sink_roundtrip"
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+ORACLE_SINK_ROUNDTRIP = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- skew-salted join (results must equal the plain join) --------------------
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,3 +576,4 @@ def register_all() -> None:
     register("json_extract", q_json_extract, ORACLE_JSON_EXTRACT)
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
     register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)
+    register("sink_parquet_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)

@@ -1,0 +1,57 @@
+"""Small-file compaction.
+
+Long-running ingest (streaming micro-batches, per-partition JDBC
+spills) accretes thousands of small files; scans then pay per-file
+open/footer costs and lose row-group locality. Compaction rewrites a
+dataset into target-sized files — at 100 TB this is a scheduled
+maintenance job per partition, not a whole-table rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Rewrite ``src_path`` into ``dst_path`` with files sized near
+    ``target_file_mb``. Returns {files_before, files_after, rows}.
+
+    File count = ceil(input_bytes / target). Uses coalesce (no
+    shuffle) when reducing; repartition when the source has fewer,
+    larger partitions than wanted."""
+    df = spark.read.parquet(src_path)
+    # driver-side listing via the Hadoop FS API (works for any scheme)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    files = [
+        f
+        for f in fs.listStatus(path)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    total_bytes = sum(f.getLen() for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    current = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out < current else df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    rows = spark.read.parquet(dst_path).count()
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    after = [
+        f
+        for f in fs.listStatus(dst)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "rows": rows,
+    }

@@ -1,0 +1,25 @@
+"""SQL entry point (SURVEY.md §3): the engine's tables as temp views so
+every operator is reachable from ``spark.sql`` text queries too.
+
+The reference has no query language; this surface is what makes the
+Spark engine a superset — the same Catalyst plans whether built via the
+DataFrame API or SQL text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_extract_transform_load_spark.sources import TABLES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create/replace one temp view per test table."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run a SQL text query against the registered views."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from etl_extract_transform_load_spark.sinks.compact import compact_parquet
+from etl_extract_transform_load_spark.sources import load_table
+from etl_extract_transform_load_spark.sql import register_views, sql
+
+
+def test_sql_entry_point_matches_dataframe(spark):
+    df_api = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sql_api = sql(
+        spark,
+        SF_SMOKE,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    )
+    assert sorted(map(tuple, df_api.collect())) == sorted(
+        map(tuple, sql_api.collect())
+    )
+
+
+def test_sql_views_cover_all_tables(spark):
+    register_views(spark, SF_SMOKE)
+    out = spark.sql(
+        "SELECT (SELECT COUNT(*) FROM region) AS r,"
+        " (SELECT COUNT(*) FROM documents) AS d,"
+        " (SELECT COUNT(*) FROM embeddings) AS e"
+    ).collect()[0]
+    assert out.r == 5 and out.d == 500 and out.e == 500
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    src = f"{tmp_path}/fragmented"
+    dst = f"{tmp_path}/compacted"
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(50).write.parquet(src)  # simulate small-file ingest
+    stats = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] == 1  # tiny data → single target file
+    assert stats["rows"] == li.count()

@@ -1,0 +1,47 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The escape hatch for streaming semantics the built-in operators can't
+express: arbitrary per-key state evolved batch-by-batch, with Arrow
+shipping each key-group as pandas frames. State lives in the state
+store (checkpointed, recovered on restart); per-key state must stay
+small — it is the memory bound at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def running_user_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cumulative per-user event count and value sum across ALL
+    micro-batches — the canonical running-aggregate-with-state shape
+    (a stateless groupBy would reset per trigger in update mode).
+
+    Emits one row per key per trigger with the running totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total": [round(total, 6)]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

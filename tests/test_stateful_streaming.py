@@ -1,0 +1,71 @@
+"""The state must survive across micro-batches: totals accumulate,
+they don't reset per trigger."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from etl_extract_transform_load_spark.sources import load_table
+from etl_extract_transform_load_spark.streaming.ingest import file_stream_source
+from etl_extract_transform_load_spark.streaming.stateful import (
+    running_user_totals,
+)
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    # two separate files → two micro-batches with maxFilesPerTrigger=1
+    src = f"{tmp_path}/stream_src"
+    first = events.filter(F.col("event_id") < 300)
+    second = events.filter(
+        (F.col("event_id") >= 300) & (F.col("event_id") < 600)
+    )
+    first.coalesce(1).write.parquet(f"{src}/batch=0")
+    second.coalesce(1).write.parquet(f"{src}/batch=1")
+
+    stream = file_stream_source(
+        spark,
+        f"{src}/batch=*",
+        schema="event_id long, user_id long, value double",
+        max_files_per_trigger=1,
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    assert rows, "stateful query produced no output"
+    # the LAST update per user must equal the full batch aggregate
+    # n_events is monotonic per user → the max row is the final state
+    # (no reliance on memory-sink row ordering)
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total)
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.filter(F.col("event_id") < 600)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert final[uid][0] == n, f"user {uid}: {final[uid]} != {(n, total)}"
+        assert abs(final[uid][1] - total) < 1e-4

@@ -251,6 +251,15 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk_arrow(emb, queries, k=5, bits=4)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neighbor_pairs_above_lsh(emb, threshold=0.4, bits=4)
+
+
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.scale.ivf import build_ivf_index, ivf_topk
 
@@ -273,3 +282,4 @@ def register_all() -> None:
     register("similarity_topk_bruteforce", q_similarity_topk, ORACLE_SIMILARITY_TOPK)
     register("similarity_topk_lsh", q_similarity_topk_lsh, None)
     register("similarity_topk_ivf", q_similarity_topk_ivf, None)
+    register("embedding_neardup_lsh", q_embedding_neardup_lsh, None)

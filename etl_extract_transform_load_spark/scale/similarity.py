@@ -391,6 +391,54 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def neighbor_pairs_above_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = DEFAULT_DIM,
+    bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Embedding near-dup at corpus scale: candidate pairs meet only
+    inside a hyperplane sign bucket (high-cosine pairs land in the
+    same bucket with probability (1 - θ/π)^bits), then exact cosine
+    verifies. Replaces the O(N²) pair join of
+    ``neighbor_pairs_above`` with a per-bucket join — the
+    sketch-then-verify shape shared with MinHash dedup."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    a = v.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bucket",
+    )
+    b = v.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__bucket",
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"), dim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplane_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -77,6 +77,46 @@ def test_window_topk_single_shuffle(spark):
     assert "o_custkey" in plan
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Sweep every registered query's physical plan: no CartesianProduct
+    may appear. Intentional all-pairs generators (embedding near-dup)
+    must do it via a predicated broadcast nested-loop, never an
+    unpredicated cartesian."""
+    from etl_extract_transform_load_spark import registry
+
+    offenders = []
+    for name, fn in registry.queries().items():
+        try:
+            plan = plan_text(fn(spark, SF_ORACLE), mode="simple")
+        except Exception as e:  # pragma: no cover - surface as failure
+            offenders.append((name, f"explain failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
+
+
+def test_lsh_neardup_agrees_with_exact_on_candidates(spark):
+    """LSH near-dup pairs ⊆ exact pairs, with identical scores."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above_arrow,
+        neighbor_pairs_above_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above_arrow(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above_lsh(emb, threshold=0.35, bits=4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
 def test_dedup_semi_join_shape(spark):
     """drop_exact_dups compiles to a semi join (no row explosion)."""
     from etl_extract_transform_load_spark.scale.dedup import drop_exact_dups

@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- cleaning-operator corpus (P11/F6/F7/F11/F12) ---
+from etl_extract_transform_load_spark import queries_cleaning  # noqa: E402
+
+queries_cleaning.register_all()
+
 # --- builtin function parity + multi-join analytics ---
 from etl_extract_transform_load_spark import queries_functions  # noqa: E402
 

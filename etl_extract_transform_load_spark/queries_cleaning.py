@@ -1,0 +1,91 @@
+"""Cleaning-operator corpus queries (SURVEY.md §2.2 P11, §2.7 F6/F7/
+F11/F12) — the schema-resolution primitives as individually
+driver-checkable queries over literal rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.cleaning import (
+    coalesce_variants,
+    fill_missing_pairwise,
+)
+from etl_extract_transform_load_spark.registry import register
+
+# (id, Directed by, Director, runtime_kaggle, runtime_wiki,
+#  video_str, tags[array], score_str)
+CLEANING_ROWS = [
+    (0, "A. Jones", None, 0.0, 95.0, "False", ["x", "y"], "7.5"),
+    (1, None, "B. Smith", 120.0, 110.0, "True", [], None),
+    (2, None, None, None, 99.0, "False", ["solo"], "bad"),
+    (3, "C. Wu", "D. Li", 88.0, None, "True", None, "3"),
+]
+
+SCHEMA = (
+    "id int, `Directed by` string, Director string,"
+    " runtime_kaggle double, runtime_wiki double, video string,"
+    " tags array<string>, score string"
+)
+
+
+def q_cleaning_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(CLEANING_ROWS, SCHEMA)
+    # F6: variant coalesce ('Directed by' wins when both present —
+    # variant order in the mapping)
+    df = coalesce_variants(df, {"director": ["Directed by", "Director"]})
+    # P11: kaggle runtime unless 0/null, then wiki
+    df = fill_missing_pairwise(df, [("runtime_kaggle", "runtime_wiki")])
+    return df.select(
+        "id",
+        "director",
+        F.col("runtime_kaggle").alias("runtime"),
+        # F12: boolean from string comparison
+        (F.col("video") == "True").alias("video"),
+        # F7: list-in-cell → joined string
+        F.array_join(F.col("tags"), " ").alias("tags_joined"),
+        # F10/F11: coerce cast + null fill
+        F.coalesce(F.col("score").try_cast("double"), F.lit(0.0)).alias(
+            "score_filled"
+        ),
+    )
+
+
+def _values() -> str:
+    def lit_s(v):
+        return "NULL" if v is None else f"'{v}'"
+
+    def lit_arr(v):
+        if v is None:
+            return "NULL"
+        return "[" + ", ".join(f"'{x}'" for x in v) + "]"
+
+    rows = []
+    for i, db, d, rk, rw, vid, tags, sc in CLEANING_ROWS:
+        rows.append(
+            f"({i}, {lit_s(db)}, {lit_s(d)}, {rk if rk is not None else 'NULL'},"
+            f" {rw if rw is not None else 'NULL'}, {lit_s(vid)},"
+            f" {lit_arr(tags)}, {lit_s(sc)})"
+        )
+    return ", ".join(rows)
+
+
+ORACLE_CLEANING = f"""
+SELECT id,
+       COALESCE(directed_by, director) AS director,
+       CASE WHEN runtime_kaggle IS NULL OR runtime_kaggle = 0
+            THEN runtime_wiki ELSE runtime_kaggle END AS runtime,
+       video = 'True' AS video,
+       CASE WHEN tags IS NULL THEN NULL
+            WHEN LEN(tags) = 0 THEN ''  -- DuckDB ARRAY_TO_STRING([])→NULL
+            ELSE ARRAY_TO_STRING(tags, ' ') END AS tags_joined,
+       COALESCE(TRY_CAST(score AS DOUBLE), 0.0) AS score_filled
+FROM (VALUES {_values()})
+    AS t(id, directed_by, director, runtime_kaggle, runtime_wiki,
+         video, tags, score)
+"""
+
+
+def register_all() -> None:
+    register("cleaning_operators_corpus", q_cleaning_operators, ORACLE_CLEANING)

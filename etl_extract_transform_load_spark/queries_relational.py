@@ -533,6 +533,53 @@ GROUP BY o.o_custkey, c.c_mktsegment
 """
 
 
+# --- native session windows (F.session_window) --------------------------------
+
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session windows, cross-checked against the
+    explicit gap→cumsum logic in the oracle (window end = last event
+    + gap, per Spark's semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("second", F.col("w.start"))).alias(
+                "start_sec"
+            ),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM g
+)
+SELECT user_id,
+       CAST(EPOCH(DATE_TRUNC('second', MIN(ts))) AS BIGINT) AS start_sec,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
 # --- event-time tumbling window (streaming semantics, batch-checkable) -------
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,3 +624,4 @@ def register_all() -> None:
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
     register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)
     register("sink_parquet_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)
+    register("session_window_counts", q_session_window_counts, ORACLE_SESSION_WINDOW)

@@ -70,6 +70,17 @@ def test_fill_missing_pairwise(spark):
     assert sorted(r.runtime_kaggle for r in out.collect()) == [3.0, 5.0, 7.0]
 
 
+def test_approx_distinct_counts_close_to_exact(spark):
+    """The HLL path (the 100 TB default for 'is this column constant?')
+    must land within a few percent of exact."""
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = distinct_counts(df.select("l_orderkey", "l_partkey"))
+    approx = distinct_counts(df.select("l_orderkey", "l_partkey"), approx=True)
+    for c in exact:
+        rel_err = abs(approx[c] - exact[c]) / exact[c]
+        assert rel_err < 0.05, f"{c}: {approx[c]} vs {exact[c]}"
+
+
 def test_rename_columns(spark):
     df = spark.createDataFrame([(1,)], "`Box office` long")
     assert rename_columns(df, {"Box office": "box_office"}).columns == [

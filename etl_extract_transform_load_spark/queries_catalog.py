@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- complex types (array/map/struct) + schema evolution ---
+from etl_extract_transform_load_spark import queries_complex_types  # noqa: E402
+
+queries_complex_types.register_all()
+
 # --- cleaning-operator corpus (P11/F6/F7/F11/F12) ---
 from etl_extract_transform_load_spark import queries_cleaning  # noqa: E402
 

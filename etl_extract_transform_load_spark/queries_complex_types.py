@@ -1,0 +1,91 @@
+"""Complex-type coverage (SURVEY.md §1 type table: ArrayType, MapType,
+StructType) + schema-evolution union.
+
+The reference keeps lists-in-cells and a nested alt_titles dict
+(challenge2.py:30-41, 91); at engine level that's first-class
+array/map/struct columns with JVM-side functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+
+def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (0, ["b", "a", "c"], {"fr": "Titre", "ja": "タイトル"}, (1, "x")),
+        (1, ["z"], {}, (2, "y")),
+        (2, [], None, (3, None)),
+        (3, None, {"en": "Title"}, None),
+    ]
+    schema = (
+        "id int, arr array<string>, m map<string,string>,"
+        " s struct<a:int, b:string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        "id",
+        F.sort_array("arr").alias("arr_sorted"),
+        F.size("arr").alias("arr_size"),
+        F.array_contains("arr", "a").alias("has_a"),
+        F.slice(F.sort_array("arr"), 1, 2).alias("first2"),
+        F.sort_array(F.map_keys("m")).alias("m_keys"),
+        F.col("m")["fr"].alias("m_fr"),
+        F.col("s.a").alias("s_a"),
+        F.col("s.b").alias("s_b"),
+    )
+
+
+# DuckDB: size(NULL array) — Spark returns -1 with legacy conf off?
+# Spark 4: size(NULL)= -1 unless spark.sql.legacy... Actually ANSI mode
+# returns NULL. Verified empirically by the oracle test.
+ORACLE_COMPLEX_TYPES = """
+WITH t(id, arr, m, s) AS (VALUES
+    (0, ['b','a','c'], MAP(['fr','ja'], ['Titre', 'タイトル']),
+        {'a': 1, 'b': 'x'}),
+    (1, ['z'], MAP([], []), {'a': 2, 'b': 'y'}),
+    (2, CAST([] AS VARCHAR[]), NULL, {'a': 3, 'b': NULL}),
+    (3, NULL, MAP(['en'], ['Title']), NULL)
+)
+SELECT id,
+       list_sort(arr) AS arr_sorted,
+       CASE WHEN arr IS NULL THEN NULL ELSE LEN(arr) END AS arr_size,
+       CASE WHEN arr IS NULL THEN NULL
+            ELSE list_contains(arr, 'a') END AS has_a,
+       list_sort(arr)[1:2] AS first2,
+       list_sort(map_keys(m)) AS m_keys,
+       m['fr'][1] AS m_fr,  -- DuckDB map extraction yields a list
+       s.a AS s_a,
+       s.b AS s_b
+FROM t
+"""
+
+
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: the schema-evolution
+    append (new column appears in later data; old rows null-padded)."""
+    old = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "id int, name string"
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma", 9.5)], "id int, name string, score double"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+ORACLE_UNION_EVOLUTION = """
+SELECT id, name, NULL::DOUBLE AS score FROM (VALUES (0, 'alpha'), (1, 'beta')) a(id, name)
+UNION ALL
+SELECT 2, 'gamma', 9.5
+"""
+
+
+def register_all() -> None:
+    register("complex_types_corpus", q_complex_types, ORACLE_COMPLEX_TYPES)
+    register(
+        "union_schema_evolution", q_union_schema_evolution, ORACLE_UNION_EVOLUTION
+    )

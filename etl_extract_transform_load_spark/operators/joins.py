@@ -37,12 +37,18 @@ def asof_join(
     base_rcols = right_cols or [c for c in right.columns if c not in (on, by)]
     # the matched right timestamp is always emitted (as {on}{suffix})
     rcols = [*base_rcols, on]
+    # The right payload is carried as ONE struct: carrying columns
+    # independently with last(ignorenulls) would backfill a matched
+    # row's legitimate NULLs from OLDER right rows (mixed-row bug).
+    r_struct = F.struct(*[F.col(c).alias(c) for c in rcols])
     l_tagged = left.select(
         F.col(by).alias("__k"),
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("__rrow")).schema["__rrow"].dataType
+        ).alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(by).alias("__k"),
@@ -51,7 +57,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        r_struct.alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts → ties match (<=)
@@ -61,23 +67,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "__k",
-        "__t",
         "__is_left",
         "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in rcols
-        ],
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
+    return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[
-            F.col(f"__r_{c}").alias(c + suffix if c in left.columns else c)
+            F.col(f"__rrow.{c}").alias(c + suffix if c in left.columns else c)
             for c in rcols
         ],
     )
-    return out
 
 
 def range_join(

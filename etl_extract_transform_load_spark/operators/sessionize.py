@@ -27,7 +27,9 @@ def sessionize(
     the inter-event gap exceeds ``gap_minutes``."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_sec = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    # fractional-second gap: unix_timestamp truncates to whole seconds
+    # and misclassifies gaps inside (gap, gap+1s)
+    gap_sec = F.col(ts_col).cast("double") - prev_ts.cast("double")
     new_session = F.when(
         prev_ts.isNull() | (gap_sec > gap_minutes * 60), 1
     ).otherwise(0)

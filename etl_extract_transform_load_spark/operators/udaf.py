@@ -20,6 +20,7 @@ def grouped_mad(
     ``median(|x - median(x)|)`` — robust spread, not expressible as a
     single-pass Catalyst aggregate (nested exact medians)."""
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col]
@@ -31,6 +32,14 @@ def grouped_mad(
             }
         )
 
+    # output schema derives the group column's real type — hardcoding
+    # 'string' breaks numeric/date group keys at the Arrow boundary
+    out_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField(out_col, DoubleType()),
+        ]
+    )
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
-        agg, schema=f"{group_col} string, {out_col} double"
+        agg, schema=out_schema
     )

@@ -43,10 +43,24 @@ _REGISTERED = False
 
 
 def _ensure_registered() -> None:
-    """Import every module that calls ``register`` (idempotent)."""
+    """Import every module that calls ``register`` (idempotent).
+
+    On a partial failure the dicts are cleared so a retry re-registers
+    from scratch instead of masking the real error with
+    'duplicate query name'. The catalog module is also evicted from
+    sys.modules — Python caches partially-executed modules."""
     global _REGISTERED
     if _REGISTERED:
         return
-    from etl_extract_transform_load_spark import queries_catalog  # noqa: F401
+    try:
+        from etl_extract_transform_load_spark import queries_catalog  # noqa: F401
+    except Exception:
+        import sys
 
+        _QUERIES.clear()
+        _ORACLES.clear()
+        sys.modules.pop(
+            "etl_extract_transform_load_spark.queries_catalog", None
+        )
+        raise
     _REGISTERED = True

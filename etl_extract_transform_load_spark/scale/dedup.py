@@ -55,12 +55,18 @@ def drop_exact_dups(
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column. Documents with
+    fewer than ``n`` tokens produce an EMPTY array — guarded
+    explicitly, because sequence(0, -1) yields [0, -1] and slice with
+    start 0 throws at runtime."""
     toks = tokens(F.lower(col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

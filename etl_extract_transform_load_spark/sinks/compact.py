@@ -27,17 +27,25 @@ def compact_parquet(
     shuffle) when reducing; repartition when the source has fewer,
     larger partitions than wanted."""
     df = spark.read.parquet(src_path)
-    # driver-side listing via the Hadoop FS API (works for any scheme)
+    # driver-side RECURSIVE listing via the Hadoop FS API (works for
+    # any scheme; non-recursive listStatus sees only partition dirs on
+    # partitioned layouts → zero bytes → a single giant output file)
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(conf)
-    files = [
-        f
-        for f in fs.listStatus(path)
-        if f.getPath().getName().endswith(".parquet")
-    ]
+
+    def _list_parquet(p):
+        out = []
+        it = fs.listFiles(p, True)  # recursive
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                out.append(f)
+        return out
+
+    files = _list_parquet(path)
     total_bytes = sum(f.getLen() for f in files)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     current = df.rdd.getNumPartitions()
@@ -45,11 +53,7 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(dst_path)
     rows = spark.read.parquet(dst_path).count()
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
-    after = [
-        f
-        for f in fs.listStatus(dst)
-        if f.getPath().getName().endswith(".parquet")
-    ]
+    after = _list_parquet(dst)
     return {
         "files_before": len(files),
         "files_after": len(after),

@@ -45,22 +45,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as nano-epoch longs
-    (``nanosAsLong``) and convert to a microsecond TimestampType column.
-    Queries should expose *derived* time columns (date, epoch-seconds)
-    rather than raw ``ts`` — sub-microsecond precision differs between
-    engines and would break value-hash comparison.
+    (``nanosAsLong``) and convert to a microsecond TimestampType column
+    with exact integer division (double division is off by 1µs beyond
+    the 53-bit mantissa). Queries should expose *derived* time columns
+    (date, epoch-seconds) rather than raw ``ts`` — sub-microsecond
+    precision differs between engines and would break value-hash
+    comparison.
+
+    DELIBERATE session-level side effects (documented engine
+    invariants, required for correctness at execution time — Spark
+    evaluates lazily, so save/restore scoping cannot work):
+    - ``nanosAsLong=true``: without it this table is unreadable;
+    - ``session.timeZone=UTC``: field extraction (hour/to_date/
+      date_format) must agree with UTC-naive oracles regardless of the
+      caller session's timezone. Engine sessions built via
+      ``get_spark`` are UTC already.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # epoch/date derivations must agree with the UTC-naive DuckDB
-        # oracle regardless of the caller session's timezone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -89,8 +89,11 @@ def stream_dedup(
     watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same key
-    within the watermark horizon (state is bounded by the watermark —
-    unbounded-state dedup does not survive at scale)."""
-    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(
-        list(keys)
-    )
+    within the watermark horizon. Uses
+    ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates`` on
+    key columns alone never evicts state (the watermark only bounds
+    state when the event-time column is part of the keys), which is
+    an unbounded-memory trap on long-running streams."""
+    return stream.withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(list(keys))

@@ -1,0 +1,122 @@
+"""Regression tests for the library-level bugs found in review:
+latent failures the happy-path test data never exercised."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_preserves_matched_rows_nulls(spark):
+    """The matched right row's own NULLs must survive — not be
+    backfilled from older right rows (mixed-row bug)."""
+    from etl_extract_transform_load_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 5.0, None),
+            (10, _ts("2024-01-01T11:00:00"), None, 7.0),
+        ],
+        "k long, ts timestamp, a double, b double",
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row.a is None  # from the MATCHED row (11:00), not 10:00's 5.0
+    assert row.b == 7.0
+
+
+def test_shingles_short_documents_dont_crash(spark):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        jaccard_near_dup_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "only two"), (1, ""), (2, "one"), (3, "a full three word doc"),
+         (4, "a full three word doc")],
+        "doc_id long, text string",
+    )
+    sh = docs.select(shingles(F.col("text")).alias("s")).collect()
+    assert [len(r.s) for r in sh] == [0, 0, 0, 3, 3]
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 4)}
+    assert minhash_signatures(docs).count() == 2  # only docs with shingles
+
+
+def test_grouped_mad_numeric_group_key(spark):
+    from etl_extract_transform_load_spark.operators.udaf import grouped_mad
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 9.0), (2, 4.0)], "k long, v double"
+    )
+    out = {r.k: r.mad for r in grouped_mad(df, "k", "v").collect()}
+    assert out == {1: 1.0, 2: 0.0}
+    assert dict(grouped_mad(df, "k", "v").dtypes)["k"] == "bigint"
+
+
+def test_compact_partitioned_layout(spark, tmp_path):
+    from etl_extract_transform_load_spark.sinks.compact import compact_parquet
+
+    src, dst = f"{tmp_path}/part_src", f"{tmp_path}/part_dst"
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li.repartition(10).write.partitionBy("l_returnflag").parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] >= 10  # recursive listing sees leaf files
+    assert stats["rows"] == li.count()
+
+
+def test_events_ns_to_us_exact_division(spark):
+    """ns→µs must be exact integer division; double division drifts by
+    1µs beyond the 53-bit mantissa on ~12% of rows."""
+    import duckdb
+
+    from etl_extract_transform_load_spark.sources import load_table
+
+    got = {
+        r.event_id: r.us
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    want = {
+        eid: us
+        for eid, us in duckdb.sql(
+            f"SELECT event_id, epoch_ns(ts) // 1000 FROM '{SF_SMOKE}/events.parquet'"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_sessionize_subsecond_gap(spark):
+    from etl_extract_transform_load_spark.operators.sessionize import sessionize
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0, 200000)),
+            # +1800.7s: a NEW session; whole-second truncation would say 1800
+            (1, datetime(2024, 1, 1, 10, 30, 0, 900000)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(events, gap_minutes=30).orderBy("ts").collect()
+    assert [r.session_id for r in out] == [0, 1]
+
+
+def test_registry_recovers_from_partial_failure(spark):
+    import etl_extract_transform_load_spark.registry as reg
+
+    # simulate a failed first load: force re-registration path
+    assert reg.queries()  # populated and healthy
+    before = set(reg.queries())
+    reg._REGISTERED = False  # next call re-imports the (cached) catalog
+    assert set(reg.queries()) == before  # idempotent, no duplicate-name error

@@ -1,0 +1,36 @@
+"""Null/empty-input contracts for the scale operators: nulls propagate
+as nulls, empties as zeros/empty sets — never a crash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.dedup import (
+    exact_dup_clusters,
+    jaccard_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from etl_extract_transform_load_spark.scale.text import text_stats
+
+
+def test_text_stats_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real text here ok")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert rows[0].n_tokens_ws is None and rows[0].fingerprint is None
+    assert rows[0].lang_detected == "und"
+    assert rows[1].n_tokens_ws == 0 and rows[1].fingerprint == 0
+    assert rows[2].n_tokens_ws == 0
+    assert rows[3].n_tokens_ws == 4
+
+
+def test_dedup_family_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real text here ok")],
+        "doc_id long, text string",
+    )
+    assert exact_dup_clusters(docs).count() == 3  # null hashes to its own cluster
+    assert jaccard_near_dup_pairs(docs, threshold=0.1).count() == 0
+    assert simhash_near_dup_pairs(docs).count() == 0

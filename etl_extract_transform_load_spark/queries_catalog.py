@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- window + aggregate function batteries ---
+from etl_extract_transform_load_spark import queries_window_agg  # noqa: E402
+
+queries_window_agg.register_all()
+
 # --- complex types (array/map/struct) + schema evolution ---
 from etl_extract_transform_load_spark import queries_complex_types  # noqa: E402
 

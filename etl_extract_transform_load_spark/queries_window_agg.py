@@ -1,0 +1,147 @@
+"""Window-function and aggregate-function batteries.
+
+The reference has no analytic window functions (SURVEY.md §2.5) — for
+engine completeness the full surface is pinned against DuckDB:
+ranking (rank/dense_rank/ntile), navigation (lead/lag), distribution
+(cume_dist), running frames, and the aggregate extensions
+(min_by/max_by, count_if, bool aggregates, sorted collect, exact
+correlation from decimal sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(running).alias("running_n"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT o_orderkey,
+       o_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       LAG(o_orderkey, 1) OVER w AS prev_order,
+       LEAD(o_orderkey, 1) OVER w AS next_order,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       COUNT(*) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS UNBOUNDED PRECEDING) AS running_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def q_aggregate_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate extensions per return-flag group. Correlation is
+    computed from exact decimal component sums (Spark's corr() and
+    DuckDB's use different accumulation orders — the only portable
+    exact form is the closed formula over exact sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(28,6)")
+    p = F.col("l_extendedprice").cast("decimal(28,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+    )
+    n = F.col("n").cast("double")
+    sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    sqq, spp = F.col("sqq").cast("double"), F.col("spp").cast("double")
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return agg.select(
+        "l_returnflag",
+        "cheapest_order",
+        "priciest_order",
+        "n_discounted",
+        "all_positive_qty",
+        "any_high_tax",
+        "statuses",
+        F.round(corr, 6).alias("qty_price_corr"),
+    )
+
+
+ORACLE_AGG_FUNCS = """
+WITH s AS (
+    SELECT l_returnflag,
+           MIN_BY(l_orderkey, l_extendedprice) AS cheapest_order,
+           MAX_BY(l_orderkey, l_extendedprice) AS priciest_order,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq,
+           SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sp,
+           SUM(CAST(l_quantity AS DECIMAL(28,6))
+               * CAST(l_extendedprice AS DECIMAL(28,6))) AS sqp,
+           SUM(CAST(l_quantity AS DECIMAL(28,6))
+               * CAST(l_quantity AS DECIMAL(28,6))) AS sqq,
+           SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+               * CAST(l_extendedprice AS DECIMAL(28,6))) AS spp
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       cheapest_order,
+       priciest_order,
+       n_discounted,
+       all_positive_qty,
+       any_high_tax,
+       statuses,
+       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+           AS qty_price_corr
+FROM s
+"""
+
+
+def register_all() -> None:
+    register("window_functions_corpus", q_window_functions, ORACLE_WINDOW_FUNCS)
+    register("aggregate_functions_corpus", q_aggregate_functions, ORACLE_AGG_FUNCS)

@@ -26,6 +26,11 @@ from etl_extract_transform_load_spark import queries_scalar  # noqa: E402
 
 queries_scalar.register_all()
 
+# --- reshaping, lateral, higher-order arrays, grouping family ---
+from etl_extract_transform_load_spark import queries_reshape  # noqa: E402
+
+queries_reshape.register_all()
+
 # --- window + aggregate function batteries ---
 from etl_extract_transform_load_spark import queries_window_agg  # noqa: E402
 

@@ -1,0 +1,161 @@
+"""Reshaping + higher-order-function coverage: unpivot/melt (the
+inverse of the reference's pivot, challenge2.py:275), lateral explode,
+array higher-order functions, and the full grouping family (cube /
+grouping sets complementing the rollup query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources import load_table
+
+
+# --- unpivot / melt -------------------------------------------------------------
+
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: per-status order counts back to (priority, status,
+    n) rows via DataFrame.unpivot (a.k.a. melt)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, subset=["F", "O", "P"])
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+    SELECT o_orderpriority,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus='F'), 0) AS F,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus='O'), 0) AS O,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus='P'), 0) AS P
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n
+FROM wide
+UNPIVOT (n FOR status IN (F, O, P))
+"""
+
+
+# --- lateral explode -------------------------------------------------------------
+
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-with-position via posexplode — the 1→N lateral shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).filter(F.col("pos") < 5)
+
+
+# (DuckDB 1.0 has no WITH ORDINALITY — index the array positions.)
+ORACLE_LATERAL_EXPLODE = """
+SELECT t.doc_id,
+       CAST(g.i - 1 AS INT) AS pos,
+       t.toks[g.i] AS token
+FROM (
+    SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+    FROM documents WHERE doc_id < 20
+) t,
+UNNEST(generate_series(1, LEAST(LEN(t.toks), 5))) AS g(i)
+"""
+
+
+# --- array higher-order functions -------------------------------------------------
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.exists(v, lambda x: x > 2.0).alias("has_gt2"),
+        F.forall(v, lambda x: F.abs(x) < 10.0).alias("all_lt10"),
+    )
+
+
+ORACLE_ARRAY_HOF = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id,
+       LEN(list_filter(v, x -> x > 0)) AS n_positive,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_transform(v, x -> ABS(x))),
+                         (a, b) -> a + b), 6) AS l1_norm,
+       ROUND(list_max(v), 6) AS vmax,
+       ROUND(list_min(v), 6) AS vmin,
+       LEN(list_filter(v, x -> x > 2.0)) > 0 AS has_gt2,
+       LEN(list_filter(v, x -> ABS(x) >= 10.0)) = 0 AS all_lt10
+FROM e
+"""
+
+
+# --- cube + grouping sets ----------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def register_all() -> None:
+    register("unpivot_melt", q_unpivot_melt, ORACLE_UNPIVOT)
+    register("lateral_explode", q_lateral_explode, ORACLE_LATERAL_EXPLODE)
+    register("array_hof_corpus", q_array_hof, ORACLE_ARRAY_HOF)
+    register("cube_revenue", q_cube_revenue, ORACLE_CUBE)
+    register("grouping_sets_sql", q_grouping_sets, ORACLE_GROUPING_SETS)

@@ -38,6 +38,13 @@ def main() -> None:
 
     # Warm-up: JVM/codegen/parquet-footer caches.
     spark.read.parquet(f"{d}/lineitem.parquet").count()
+    # Warm the Python/Arrow workers too: the first mapInPandas in a
+    # session forks one worker per core and imports numpy/pandas in
+    # each (~5-8 s once). Long-lived executors amortize this; paying
+    # it inside the first Arrow query's timing would misattribute it.
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     qs = queries()
     names = [n for n in (HEADLINE or qs) if n in qs]

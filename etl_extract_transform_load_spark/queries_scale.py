@@ -253,11 +253,11 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.scale.similarity import (
-        neighbor_pairs_above_lsh,
+        neighbor_pairs_above_lsh_arrow,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above_lsh(emb, threshold=0.4, bits=4)
+    return neighbor_pairs_above_lsh_arrow(emb, threshold=0.4, bits=4)
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +268,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    index = build_ivf_index(emb, k=8)
+    index = build_ivf_index(emb, k=8, max_iter=5, init_mode="random")
     return ivf_topk(index, queries, k=5, nprobe=4)
 
 

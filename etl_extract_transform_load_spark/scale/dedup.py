@@ -56,18 +56,26 @@ def drop_exact_dups(
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column. Documents with
-    fewer than ``n`` tokens produce an EMPTY array — guarded
-    explicitly, because sequence(0, -1) yields [0, -1] and slice with
-    start 0 throws at runtime."""
+    fewer than ``n`` tokens produce an EMPTY array (size(NULL) = -1
+    also lands here, so NULL text → empty).
+
+    Shape matters: the transform lambda touches ONLY its zipped struct
+    element. Expressions inside a higher-order-function lambda are
+    re-evaluated per element (and Catalyst freely inlines this whole
+    expression into pushed-down filters), so a body that referenced
+    the token array would re-split the text per shingle — O(tokens²)
+    per evaluation. Zipping ``n`` shifted slices keeps every text/
+    token reference at argument level: evaluated once, linear."""
     toks = tokens(F.lower(col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _shingle_table(
@@ -76,14 +84,25 @@ def _shingle_table(
     """(doc id, set size, shingle) — one row per distinct shingle per
     doc. ``shingles`` is already per-doc distinct (array_distinct), so
     no dedup shuffle is needed, and the set size rides along with each
-    exploded row (saves the separate sizes aggregate + re-joins)."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), n).alias("__arr"),
-    ).select(
-        "__id",
-        F.size("__arr").alias("__n_sh"),
-        F.explode("__arr").alias("shingle"),
+    exploded row (saves the separate sizes aggregate + re-joins).
+
+    ``explode_outer`` + post-filter instead of ``explode``: a plain
+    explode plants a ``size(arr) > 0`` pre-filter that Catalyst pushes
+    below the projection, re-evaluating the whole shingle expression
+    2-3 extra times per row; the outer variant generates NULL for
+    empty docs and the post-Generate null filter is a cheap column
+    test."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), n).alias("__arr"),
+        )
+        .select(
+            "__id",
+            F.size("__arr").alias("__n_sh"),
+            F.explode_outer("__arr").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -268,11 +287,18 @@ def simhash_signatures(
 ) -> DataFrame:
     """63-bit SimHash: xxhash64 each token, per-bit ±1 sign-sum,
     positive sums set bits. One explode + one groupBy."""
-    toks = df.repartition(64).select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    toks = (
+        df.repartition(64)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        # materialize the hash once: referencing xxhash64(tok) inside the
+        # 63 bit-sum aggregates would re-hash the token per bit
+        .select("__id", F.xxhash64(F.col("tok")).alias("__h"))
     )
-    h = F.xxhash64(F.col("tok"))
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -29,9 +29,16 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> IVFIndex:
     """Fit KMeans and assign every vector to its cluster (one MLlib
-    job; the model's centroid matrix stays on the driver)."""
+    job; the model's centroid matrix stays on the driver).
+
+    IVF partition quality only shifts recall, never correctness (the
+    probe scores exactly), so cheap build settings
+    (``init_mode='random'``, small ``max_iter``) are a legitimate
+    trade — the index is built once and queried many times."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -40,7 +47,12 @@ def build_ivf_index(
         array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
     )
     model = KMeans(
-        k=k, seed=seed, featuresCol="__features", predictionCol="cluster"
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        initMode=init_mode,
+        featuresCol="__features",
+        predictionCol="cluster",
     ).fit(feat)
     assigned = model.transform(feat).select(id_col, "cluster", vec_col)
     centroids = [

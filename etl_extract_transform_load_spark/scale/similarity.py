@@ -374,6 +374,64 @@ def hyperplane_lsh_topk_arrow(
     )
 
 
+def neighbor_pairs_above_lsh_arrow(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = DEFAULT_DIM,
+    bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 64,
+) -> DataFrame:
+    """Arrow-batched twin of ``neighbor_pairs_above_lsh``: same planes,
+    same sign buckets, same sequential-fold cosine — but the per-pair
+    scoring happens in numpy with a bucket-equality mask instead of a
+    bucket join of 64-term codegen expressions (whose one-time JIT cost
+    dominates at benchmark scale). Right side ships via closure, the
+    broadcast-side analog; for corpus×corpus beyond memory, fall back
+    to the bucket-join variant."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
+    pow2 = (1 << np.arange(bits)).astype(np.int64)
+
+    rows = vectors.select(id_col, vec_col).collect()
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    _, b_norms = _seq_dots(b_mat, b_mat[:1])
+    b_buckets = ((b_mat @ planes.T) >= 0).astype(np.int64) @ pow2
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_ids = pdf[id_col].to_numpy()
+            a_buckets = ((v @ planes.T) >= 0).astype(np.int64) @ pow2
+            dots, a_norms = _seq_dots(v, b_mat)
+            cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
+            ai, bi = np.nonzero(
+                (cos >= threshold)
+                & (a_ids[:, None] < b_ids[None, :])
+                & (a_buckets[:, None] == b_buckets[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "cos_sim": cos[ai, bi],
+                }
+            )
+
+    return (
+        vectors.repartition(parallelism)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

@@ -101,6 +101,7 @@ def test_lsh_neardup_agrees_with_exact_on_candidates(spark):
     from etl_extract_transform_load_spark.scale.similarity import (
         neighbor_pairs_above_arrow,
         neighbor_pairs_above_lsh,
+        neighbor_pairs_above_lsh_arrow,
     )
 
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
@@ -115,6 +116,16 @@ def test_lsh_neardup_agrees_with_exact_on_candidates(spark):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert exact[k] == v
+    # Arrow twin: same planes, same sequential-fold scores; bucket
+    # signs computed via matmul can only diverge at ulp-level
+    # projections (none in this fixture), so the pair sets agree.
+    lsh_arrow = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above_lsh_arrow(
+            emb, threshold=0.35, bits=4
+        ).collect()
+    }
+    assert lsh_arrow == lsh
 
 
 def test_dedup_semi_join_shape(spark):

@@ -116,6 +116,137 @@ FROM m
 """
 
 
+# --- text: repetition signals (Gopher-style quality filters) --------------------
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+ORACLE_REPETITION = """
+WITH base AS (
+    SELECT doc_id,
+           COALESCE(text, '') AS text,
+           string_split(COALESCE(text, ''), chr(10)) AS lines,
+           CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+           END AS t
+    FROM documents
+),
+g AS (
+    SELECT doc_id, lines,
+           CASE WHEN len(t) >= 2
+                THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM base
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       ROUND(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+           AS dup_line_frac,
+       CASE WHEN list_sum(list_transform(lines, l -> LENGTH(l))) = 0 THEN 0.0
+            ELSE ROUND(
+                list_sum(list_transform(lines,
+                    l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                              THEN LENGTH(l) ELSE 0 END)) * 1.0
+                / list_sum(list_transform(lines, l -> LENGTH(l))), 6)
+       END AS dup_line_char_frac,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE ROUND(
+                list_max(list_transform(list_distinct(grams),
+                    gr -> len(list_filter(grams, x -> x = gr)))) * 1.0
+                / len(grams), 6)
+       END AS top_bigram_frac
+FROM g
+"""
+
+
+# --- text: PII redaction ---------------------------------------------------------
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs).select(
+        "doc_id", "clean_text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+ORACLE_PII = r"""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\-\s]{6,}\d', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+?\d[\d()\-\s]{6,}\d')) AS n_phones
+FROM documents
+"""
+
+
+# --- dedup: connected components -------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.3)
+    return connected_components(pairs)
+
+
+# Min reachable id via recursive label propagation — the UNION dedups,
+# so the fixpoint is the transitive closure of the pair graph.
+ORACLE_COMPONENTS = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS s
+    FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cm AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cm
+    JOIN sz x ON cm.id_a = x.doc_id
+    JOIN sz y ON cm.id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lab) AS (
+    SELECT DISTINCT a, a FROM sym
+    UNION
+    SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node, MIN(lab) AS component
+FROM reach
+GROUP BY node
+"""
+
+
 # --- dedup: exact ---------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +405,9 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def register_all() -> None:
     register("text_stats_docs", q_text_stats, ORACLE_TEXT_STATS)
+    register("text_repetition_signals", q_repetition_signals, ORACLE_REPETITION)
+    register("pii_redaction", q_pii_redaction, ORACLE_PII)
+    register("dedup_connected_components", q_dedup_components, ORACLE_COMPONENTS)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
     register("dedup_minhash_lsh", q_dedup_minhash_lsh, None)

@@ -129,6 +129,117 @@ def fingerprint(col: Column) -> Column:
     )
 
 
+#: PII patterns, deliberately RE2-compatible (no lookarounds, no
+#: backrefs) so the same pattern runs under Java regex (Spark) and
+#: RE2 (DuckDB/Go scrubbers) with identical matches.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\+?\d[\d()\-\s]{6,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails, IPv4 addresses and phone-like digit runs — the
+    standard scrub pass before corpus text is used for training.
+
+    Adds ``clean_text`` plus per-kind match counts (counted on the
+    original text). Replacement order matters: emails first (their
+    digits must not be eaten by the phone pattern), then IPs (the
+    phone charset excludes '.', so IPs are safe from it, but scrub
+    order is pinned anyway), then phones. Pure expressions — runs in
+    the scan stage, no shuffle."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IPV4_PATTERN, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        "*",
+        redacted.alias("clean_text"),
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)).alias("n_phones"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition ratios (the Gopher-style quality
+    signals used to filter machine-generated/boilerplate text):
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier/later line.
+    - ``dup_line_char_frac``: fraction of line characters living in
+      duplicated lines.
+    - ``top_bigram_frac``: share of word-bigram occurrences taken by
+      the single most frequent bigram.
+
+    All per-document column expressions (scan-stage, no shuffle —
+    at 100 TB this is a mapper). The line/bigram arrays are
+    materialized as intermediate projection columns so the
+    occurrence-counting lambdas reference bound row fields; Catalyst
+    keeps multiply-referenced non-cheap aliases un-inlined, which is
+    what makes the nested filter O(L²) on array elements instead of
+    O(L²) re-splits of the text."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.lower(c))
+    staged = df.select(
+        F.col(id_col),
+        F.split(c, "\n").alias("__lines"),
+        toks.alias("__toks"),
+    )
+    zipped = F.arrays_zip(
+        F.slice("__toks", 1, F.size("__toks") - 1),
+        F.slice("__toks", 2, F.size("__toks") - 1),
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"])),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(id_col, "__lines", bigrams.alias("__grams"))
+
+    lines = F.col("__lines")
+    grams = F.col("__grams")
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    dup_chars = F.aggregate(
+        F.transform(
+            lines,
+            lambda l: F.when(
+                F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    top_gram = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.size(lines).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.when(line_chars == 0, F.lit(0.0))
+        .otherwise(
+            F.round(dup_chars.cast("double") / line_chars.cast("double"), 6)
+        )
+        .alias("dup_line_char_frac"),
+        F.when(F.size(grams) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(top_gram.cast("double") / F.size(grams).cast("double"), 6)
+        )
+        .alias("top_bigram_frac"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text metrics as added columns (single projection)."""
     c = F.col(text_col)

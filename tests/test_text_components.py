@@ -1,0 +1,93 @@
+"""Unit tests for repetition signals, PII redaction, and
+connected-components dedup clustering (planted fixtures; the DuckDB
+oracle parity for the same operators is covered by the registry
+queries `text_repetition_signals` / `pii_redaction` /
+`dedup_connected_components`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.components import (
+    connected_components,
+    dedup_survivors,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    redact_pii,
+    repetition_signals,
+)
+
+
+def test_repetition_signals_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice: dup_line_frac = 1 - 3/4
+            (1, "dup dup\nunique line one\ndup dup\nanother line"),
+            (2, "all distinct\nlines here"),
+            (3, ""),  # degenerate: one empty line, no tokens
+            (4, None),  # null text behaves like empty
+            (5, "go go go go"),  # top bigram "go go" = 3 of 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].n_lines == 4
+    assert got[1].dup_line_frac == 0.25
+    # dup chars: 2 lines x 7 chars of 7+15+7+12 = 41
+    assert got[1].dup_line_char_frac == round(14 / 41, 6)
+    assert got[2].dup_line_frac == 0.0
+    assert got[3].n_lines == 1 and got[3].dup_line_char_frac == 0.0
+    assert got[4].n_lines == 1 and got[4].top_bigram_frac == 0.0
+    assert got[5].top_bigram_frac == 1.0
+
+
+def test_redact_pii_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server 192.168.0.1 answered"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "<EMAIL>" in got[1].clean_text and "<PHONE>" in got[1].clean_text
+    assert "example" not in got[1].clean_text
+    assert got[2].clean_text == "server <IP> answered"
+    assert got[3].clean_text == "no pii here"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3, clique 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # path graph 0-1-...-9: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    got = connected_components(edges)
+    assert got.select(F.countDistinct("component")).collect()[0][0] == 1
+    assert got.count() == 10
+
+
+def test_dedup_survivors_keeps_min_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 10, 11)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 7, 10]

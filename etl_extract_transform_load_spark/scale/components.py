@@ -38,21 +38,31 @@ def connected_components(
     ``component`` is the minimum node id reachable through any chain
     of edges (self included) — a deterministic canonical label.
 
-    Raises if ``max_iter`` sweeps don't reach the fixpoint, rather
-    than silently returning a half-merged clustering.
+    Each sweep is ONE shuffle join + ONE min-aggregation: neighbor
+    labels and self labels are unioned and min-folded per node, so no
+    separate left-join merge step is needed. Duplicate edges are
+    harmless under min-folding, so the edge list is never
+    de-duplicated here (callers emitting unique pairs — all the
+    ``scale.dedup`` emitters — pay zero extra).
+
+    Convergence detection rides the algebra: labels only ever
+    decrease, so the label sum is strictly monotone until fixpoint —
+    one cheap aggregate per sweep on the just-materialized labels,
+    no old-vs-new comparison join. Raises if ``max_iter`` sweeps
+    don't reach the fixpoint, rather than silently returning a
+    half-merged clustering.
     """
     # Checkpoint the raw edge list BEFORE symmetrizing: the union
     # references the edge plan twice, and without the barrier an
     # expensive pair-generation pipeline upstream (e.g. shingle
-    # Jaccard) would execute once per branch.
+    # Jaccard) would execute once per branch. sym itself stays lazy —
+    # it's a narrow double-read of the checkpoint each sweep.
     e0 = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).localCheckpoint()
-    sym = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    sym = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -60,27 +70,25 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    # decimal sum: exact at any node count / id magnitude (a long sum
+    # would need overflow care at 1e9 nodes with 1e18 ids)
+    checksum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(checksum).collect()[0][0]
     for _ in range(max_iter):
-        # smallest label among each node's neighbors
-        neighbor_min = (
+        neighbor_labels = (
             sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_min"))
+            .select(F.col("src").alias("node"), "component")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("n_min") < F.col("component")).alias("__changed"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+        labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(checksum).collect()[0][0]
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} sweeps"
     )

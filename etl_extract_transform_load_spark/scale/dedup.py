@@ -120,15 +120,23 @@ def jaccard_near_dup_pairs(
     count common → |A∪B| from per-doc sizes. The join key is the
     shingle, so only docs *sharing* a shingle ever meet — no O(N²)
     cross join. This is the exact kernel; use MinHash+LSH below to
-    pre-filter candidates at scale."""
+    pre-filter candidates at scale.
+
+    The join key is ``xxhash64(shingle)``, not the string: the
+    shuffle moves 8-byte longs instead of n-word strings and the
+    hash join probes on long equality. A cross-doc 64-bit collision
+    (probability ~s²/2⁶⁴ per doc pair) would inflate ``n_common`` by
+    one — negligible against the threshold semantics."""
     # repartition pre-explode: a compact input (one parquet file) would
     # otherwise put the whole shingle join probe in one task when the
     # build side broadcasts
-    sh = _shingle_table(df.repartition(parallelism), text_col, id_col, n)
+    sh = _shingle_table(df.repartition(parallelism), text_col, id_col, n).select(
+        "__id", "__n_sh", F.xxhash64("shingle").alias("sh_key")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        a.join(b, (F.col("a.sh_key") == F.col("b.sh_key")))
         .filter(F.col("a.__id") < F.col("b.__id"))
         .groupBy(
             F.col("a.__id").alias("id_a"),

@@ -247,6 +247,267 @@ GROUP BY node
 """
 
 
+# --- vocabulary / TF-IDF ---------------------------------------------------------
+
+_LTOKS_SQL = """
+    CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+    END
+"""
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.vocab import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, k=100)
+
+
+ORACLE_VOCAB = f"""
+WITH base AS (SELECT doc_id, {_LTOKS_SQL} AS ltoks FROM documents),
+tok AS (SELECT doc_id, UNNEST(ltoks) AS token FROM base),
+tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token)
+SELECT token,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+       COUNT(*) AS doc_freq
+FROM tc GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.vocab import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH base AS (SELECT doc_id, {_LTOKS_SQL} AS ltoks FROM documents),
+tok AS (SELECT doc_id, UNNEST(ltoks) AS token FROM base),
+tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token),
+nt AS (SELECT doc_id, token, cnt,
+              SUM(cnt) OVER (PARTITION BY doc_id) AS n_toks FROM tc),
+dfq AS (SELECT token, COUNT(*) AS df_t FROM tc GROUP BY token),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, nt.token,
+           ROUND((CAST(cnt AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                 * LN((n_docs + 1.0) / (df_t + 1.0)), 6) AS tfidf
+    FROM nt JOIN dfq ON nt.token = dfq.token, nn
+)
+SELECT doc_id, token, tfidf, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+# --- sampling / mixture rebalancing ---------------------------------------------
+
+_STRATA_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.1, "zh": 0.05}
+_STRATA_SALT = 7
+_MIX_TARGET = {"src0": 0.3, "src1": 0.25, "src2": 0.25, "src3": 0.2}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _STRATA_RATES, strata_col="lang", salt=_STRATA_SALT
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id + {_STRATA_SALT}) * 2654435761) % 4294967296 % 10000 <
+      CASE lang {' '.join(
+          f"WHEN '{lg}' THEN {int(round(r * 10000))}"
+          for lg, r in sorted(_STRATA_RATES.items())
+      )} ELSE 0 END
+"""
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.sampling import (
+        mixture_rates,
+        mixture_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, _MIX_TARGET, "source")
+    kept = (
+        mixture_rebalance(docs, _MIX_TARGET, "source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_rows",
+        "keep_buckets",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+ORACLE_MIXTURE = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+w AS (SELECT source, n_rows,
+             CASE source {' '.join(
+                 f"WHEN '{s}' THEN {wt}" for s, wt in sorted(_MIX_TARGET.items())
+             )} ELSE NULL END AS target_w
+      FROM counts),
+c AS (SELECT MIN(CAST(n_rows AS DOUBLE) / target_w) AS c FROM w WHERE target_w > 0),
+rates AS (SELECT source, n_rows,
+                 CASE WHEN target_w IS NULL THEN 0
+                      ELSE LEAST(CAST(FLOOR(target_w * c / CAST(n_rows AS DOUBLE)
+                                            * 10000) AS INT), 10000) END
+                     AS keep_buckets
+          FROM w, c),
+kept AS (SELECT d.source, COUNT(*) AS n_kept
+         FROM documents d JOIN rates r USING (source)
+         WHERE ((d.doc_id + 0) * 2654435761) % 4294967296 % 10000 < r.keep_buckets
+         GROUP BY d.source)
+SELECT r.source, r.n_rows, r.keep_buckets, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+# --- chunking / sequence packing -------------------------------------------------
+
+_TOKS_SQL = """
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(COALESCE(text, '')), '\\s+')
+    END
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32)
+
+
+ORACLE_CHUNKS = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+ex AS (SELECT doc_id, t, LEN(t) AS n,
+              UNNEST(range(CAST(CEIL(LEN(t) / 32.0) AS BIGINT))) AS chunk_idx
+       FROM base WHERE LEN(t) > 0)
+SELECT doc_id, chunk_idx,
+       array_to_string(t[CAST(chunk_idx * 32 + 1 AS INT)
+                         : CAST(LEAST((chunk_idx + 1) * 32, n) AS INT)],
+                       ' ') AS chunk_text,
+       LEAST(CAST(32 AS BIGINT), n - chunk_idx * 32) AS n_chunk_tokens
+FROM ex
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_greedy(docs, budget=128)
+
+
+# First-fit-sequential is a sequential fold; SQL needs a recursive
+# walk in row order per group (one recursion level per row).
+ORACLE_PACK = f"""
+WITH RECURSIVE base AS (SELECT source, doc_id, {_TOKS_SQL} AS t FROM documents),
+o AS (SELECT source, doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM base),
+walk(source, rn, doc_id, n_tokens, bin_id, used) AS (
+    SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+           CASE WHEN w.used + o.n_tokens > 128 THEN w.bin_id + 1
+                ELSE w.bin_id END,
+           CASE WHEN w.used + o.n_tokens > 128 THEN o.n_tokens
+                ELSE w.used + o.n_tokens END
+    FROM walk w JOIN o ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id FROM walk
+"""
+
+
+# --- corpus curation end-to-end --------------------------------------------------
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter → PII scrub → exact-dedup survivors: the whole
+    pre-training curation pass as one composed plan. Filter and scrub
+    are scan-stage expressions; the only shuffle is the survivor
+    aggregation on md5(text)."""
+    from etl_extract_transform_load_spark.scale.text import (
+        quality_score,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(c, "\n")
+    dup_line_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+        6,
+    )
+    enriched = docs.select(
+        "*", quality_score(F.col("text")).alias("quality"),
+        dup_line_frac.alias("__dlf"),
+    ).filter((F.col("quality") >= 0.6) & (F.col("__dlf") <= 0.5))
+    keepers = enriched.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    return (
+        redact_pii(enriched)
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "quality", "clean_text")
+    )
+
+
+ORACLE_CURATION = r"""
+WITH q AS (
+    SELECT doc_id, lang, source, text,
+           LENGTH(text) AS n_chars,
+           LEN(CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS n_toks,
+           CASE WHEN LENGTH(text) = 0 THEN 0.0
+                ELSE LEN(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                     / LENGTH(text) END AS praw,
+           string_split(COALESCE(text, ''), chr(10)) AS lines
+    FROM documents
+),
+q2 AS (
+    SELECT doc_id, lang, source, text,
+           ROUND((
+               (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_toks > 0
+                      AND n_chars * 1.0 / n_toks >= 3
+                      AND n_chars * 1.0 / n_toks <= 12 THEN 1 ELSE 0 END)
+             + (CASE WHEN praw <= 0.2 THEN 1 ELSE 0 END)
+           ) / 3.0, 6) AS quality,
+           ROUND(1.0 - LEN(list_distinct(lines)) * 1.0 / LEN(lines), 6)
+               AS dlf
+    FROM q
+),
+f AS (SELECT * FROM q2 WHERE quality >= 0.6 AND dlf <= 0.5),
+k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text))
+SELECT f.doc_id, lang, source, quality,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\-\s]{6,}\d', '<PHONE>', 'g') AS clean_text
+FROM f JOIN k USING (doc_id)
+"""
+
+
 # --- dedup: exact ---------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +669,13 @@ def register_all() -> None:
     register("text_repetition_signals", q_repetition_signals, ORACLE_REPETITION)
     register("pii_redaction", q_pii_redaction, ORACLE_PII)
     register("dedup_connected_components", q_dedup_components, ORACLE_COMPONENTS)
+    register("vocab_top_terms", q_vocab_top_terms, ORACLE_VOCAB)
+    register("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF)
+    register("sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED)
+    register("mixture_rebalance_source", q_mixture_rebalance, ORACLE_MIXTURE)
+    register("doc_chunks", q_doc_chunks, ORACLE_CHUNKS)
+    register("pack_sequences", q_pack_sequences, ORACLE_PACK)
+    register("corpus_curation_e2e", q_corpus_curation, ORACLE_CURATION)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
     register("dedup_minhash_lsh", q_dedup_minhash_lsh, None)

@@ -1,0 +1,134 @@
+"""Deterministic sampling and mixture rebalancing for corpus curation.
+
+A 100 TB pipeline cannot use ``rand()`` sampling: reruns must select
+the SAME rows (resumable shards, reproducible ablations), and the
+decision must be computable engine-side with no shuffle. Everything
+here keys off a multiplicative integer hash of the row id —
+`(id + salt) * 2654435761 mod 2^32` (Knuth's golden-ratio constant) —
+which is a pure int64 expression, identical in any SQL dialect, and
+evaluates inside the parquet scan stage.
+
+Beyond the reference's surface (its only sampler is pandas
+``df.sample(n=5)`` for EDA, exploratory_data_analysis.ipynb:1498);
+designed for the ``documents`` table.
+
+Operators:
+- ``deterministic_sample``: fixed-rate Bernoulli-by-hash sample.
+- ``stratified_sample``: per-stratum rates (e.g. per language).
+- ``mixture_rebalance``: given target domain weights, derive the
+  per-domain keep-rates that hit the target mixture while keeping
+  100% of the bottleneck domain, then hash-sample at those rates.
+  Two jobs: one aggregate over domains (tiny result, broadcast back),
+  one scan-stage filter — no full-data shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative-hash constant (2^32 / phi).
+KNUTH_HASH = 2654435761
+#: Hash-bucket resolution: rates are quantized to 1/10000.
+BUCKETS = 10_000
+_MOD32 = 2**32
+
+
+def hash_bucket(id_col: Column, salt: int = 0) -> Column:
+    """Bucket in [0, BUCKETS) from a deterministic multiplicative hash
+    of an integer id. int64-exact for ids < ~3.4e9 (no overflow:
+    (id + salt) * 2654435761 stays under 2^63)."""
+    h = ((id_col.cast("long") + F.lit(salt)) * F.lit(KNUTH_HASH)) % F.lit(_MOD32)
+    return h % F.lit(BUCKETS)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided purely by the id hash —
+    rerun-stable and shard-stable (quantized to 1/10000)."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(round(rate * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: a CASE over the stratum
+    column picks the rate, the id hash makes the call. One scan, zero
+    shuffles — the strata table never materializes."""
+    threshold = F.lit(int(round(default_rate * BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def mixture_rates(
+    df: DataFrame,
+    target: Mapping[str, float],
+    domain_col: str = "source",
+) -> DataFrame:
+    """(domain, n_rows, keep_rate) hitting the target mixture.
+
+    With counts n_d and target weights w_d, the scale factor is
+    ``C = min_d n_d / w_d`` so ``rate_d = w_d * C / n_d`` is ≤ 1
+    everywhere and exactly 1 for the bottleneck domain — the largest
+    corpus satisfying the target mixture without upsampling. Rates
+    are quantized to 1/BUCKETS (floor, so the mixture never
+    overshoots). Domains missing from ``target`` get rate 0."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_rows"))
+    w = F.lit(None).cast("double")
+    for value, weight in sorted(target.items(), reverse=True):
+        w = F.when(F.col(domain_col) == value, F.lit(float(weight))).otherwise(w)
+    weighted = counts.select(
+        domain_col, "n_rows", w.alias("target_w")
+    )
+    scale = weighted.filter(F.col("target_w") > 0).agg(
+        F.min(F.col("n_rows").cast("double") / F.col("target_w")).alias("c")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(scale))
+        .select(
+            domain_col,
+            "n_rows",
+            F.when(F.col("target_w").isNull(), F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("target_w") * F.col("c") / F.col("n_rows").cast("double")
+                    * BUCKETS
+                ).cast("int")
+            )
+            .alias("keep_buckets"),
+        )
+        .select(
+            domain_col,
+            "n_rows",
+            F.least(F.col("keep_buckets"), F.lit(BUCKETS)).alias("keep_buckets"),
+        )
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    target: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample each domain to the target mixture: broadcast the
+    tiny per-domain rate table back onto the scan and hash-filter.
+    The big side never shuffles."""
+    rates = mixture_rates(df, target, domain_col)
+    return (
+        df.join(F.broadcast(rates.select(domain_col, "keep_buckets")), domain_col)
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
+        .drop("keep_buckets")
+    )

@@ -1,0 +1,109 @@
+"""Corpus-wide vocabulary and TF-IDF — the token-statistics layer a
+tokenizer-training / keyword-extraction pipeline needs.
+
+Beyond the reference's surface (its only token work is regex
+extraction, challenge2.py:75-200); designed for the ``documents``
+table.
+
+Scale shape:
+- ``vocabulary``: explode tokens → two-level aggregation. The first
+  aggregate keys on (token, doc) — partial aggregation inside the
+  scan stage collapses each document's repeats before any shuffle, so
+  the shuffle carries at most |doc vocabulary| rows per doc, not
+  |tokens|. The second aggregate (one shuffle on token) folds
+  per-doc rows into global occurrence and document-frequency counts.
+  This beats ``countDistinct`` (which expands rows) at corpus scale.
+- ``tfidf_top_terms``: reuses the (token, doc) counts; document
+  length via a window over doc (co-partitioned with the next window,
+  one shuffle), IDF via a shuffle join on token, top-k via
+  row_number. Deterministic: scores rounded to 6 places, ties broken
+  by token order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import tokens
+
+
+def _token_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, token, cnt) — per-document token occurrence counts."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(tokens(F.lower(c))).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global (token, n_occurrences, doc_freq) table."""
+    return (
+        _token_counts(df, text_col, id_col)
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k corpus tokens by occurrence count (ties broken by token
+    order — deterministic across engines and reruns)."""
+    return (
+        vocabulary(df, text_col, id_col)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF:
+    ``(cnt / doc_tokens) * ln((N + 1) / (doc_freq + 1))``.
+
+    N (total document count) is resolved with one metadata-cheap
+    count action and planted as a literal — cheaper than a scalar
+    cross-join and keeps the main plan a straight
+    aggregate→window→join→window pipeline. Scores are rounded to 6
+    places BEFORE ranking so rank order is stable across engines'
+    last-ulp log/division differences."""
+    n_docs = df.count()
+    tc = _token_counts(df, text_col, id_col)
+    doc_len = Window.partitionBy("__id")
+    tc = tc.withColumn("n_toks", F.sum("cnt").over(doc_len))
+    dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tc.join(dfreq, "token").select(
+        F.col("__id").alias(id_col),
+        "token",
+        F.round(
+            (F.col("cnt").cast("double") / F.col("n_toks").cast("double"))
+            * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tfidf", "rnk")
+    )

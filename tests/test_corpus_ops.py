@@ -1,0 +1,129 @@
+"""Unit tests for vocabulary/TF-IDF, deterministic sampling, mixture
+rebalancing, chunking and greedy packing (planted fixtures; DuckDB
+oracle parity is covered by the registry queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.packing import (
+    chunk_documents,
+    pack_greedy,
+)
+from etl_extract_transform_load_spark.scale.sampling import (
+    BUCKETS,
+    deterministic_sample,
+    mixture_rates,
+    mixture_rebalance,
+    stratified_sample,
+)
+from etl_extract_transform_load_spark.scale.vocab import (
+    tfidf_top_terms,
+    top_terms,
+    vocabulary,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_vocabulary_counts(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b a", "en"), (2, "a c", "en"), (3, None, "en"), (4, "", "en")],
+    )
+    got = {r.token: (r.n_occurrences, r.doc_freq) for r in vocabulary(docs).collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    top = top_terms(docs, k=2).collect()
+    assert [(r.token, r.n_occurrences) for r in top] == [("a", 3), ("b", 1)]
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    # "rare" appears only in doc 1; "common" in both → doc 1's top
+    # term must be "rare" (higher IDF at equal TF).
+    docs = _docs(spark, [(1, "common rare", "en"), (2, "common common", "en")])
+    got = {
+        (r.doc_id, r.rnk): r.token for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert got[(1, 1)] == "rare"
+    assert got[(1, 2)] == "common"
+
+
+def test_deterministic_sample_is_rerun_stable(spark):
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in deterministic_sample(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in deterministic_sample(docs, 0.3).collect())
+    assert a == b
+    assert 200 < len(a) < 400  # ~300 expected
+    # a larger rate strictly contains the smaller one (nested samples)
+    c = set(r.doc_id for r in deterministic_sample(docs, 0.5).collect())
+    assert set(a) <= c
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "x", "en") for i in range(500)] + [
+        (i, "x", "zh") for i in range(500, 1000)
+    ]
+    docs = _docs(spark, rows)
+    kept = stratified_sample(docs, {"en": 0.4, "zh": 0.0}, strata_col="lang")
+    by_lang = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "zh" not in by_lang
+    assert 120 < by_lang["en"] < 280
+
+
+def test_mixture_rebalance_hits_target(spark):
+    # 800 web / 100 code / 100 wiki → target 50/25/25: web is
+    # downsampled, the scarcest-relative domains keep everything.
+    rows = (
+        [(i, "t", "web") for i in range(800)]
+        + [(i, "t", "code") for i in range(800, 900)]
+        + [(i, "t", "wiki") for i in range(900, 1000)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = {"web": 0.5, "code": 0.25, "wiki": 0.25}
+    rates = {r.source: r.keep_buckets for r in mixture_rates(docs, target).collect()}
+    # C = min(n_d/w_d) = min(1600, 400, 400) = 400 → web keeps
+    # 0.5*400/800 = 25%, code/wiki keep 100%
+    assert rates["code"] == BUCKETS and rates["wiki"] == BUCKETS
+    assert rates["web"] == BUCKETS // 4
+    kept = mixture_rebalance(docs, target)
+    n = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert n["code"] == 100 and n["wiki"] == 100
+    assert 150 < n["web"] < 250
+
+
+def test_chunk_documents_reconstructs(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(spark, [(1, text, "en"), (2, "short", "en"), (3, "", "en")])
+    chunks = chunk_documents(docs, max_tokens=4).orderBy("doc_id", "chunk_idx")
+    got = chunks.collect()
+    d1 = [r for r in got if r.doc_id == 1]
+    assert [r.n_chunk_tokens for r in d1] == [4, 4, 2]
+    assert " ".join(r.chunk_text for r in d1) == text
+    d2 = [r for r in got if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short"
+    assert not [r for r in got if r.doc_id == 3]  # empty doc → no chunks
+
+
+def test_pack_greedy_respects_budget(spark):
+    # token counts: 3, 3, 3, 10, 2  with budget 6 →
+    # bins [0,0], [1], [2 (oversized)], [3]
+    rows = [
+        (1, "a b c", "s"),
+        (2, "d e f", "s"),
+        (3, "g h i", "s"),
+        (4, " ".join("x" * 1 for _ in range(10)), "s"),
+        (5, "y z", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in pack_greedy(docs, budget=6).collect()
+    }
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert got[3][0] == 1
+    assert got[4] == (2, 10)  # oversized doc gets its own bin
+    assert got[5][0] == 3

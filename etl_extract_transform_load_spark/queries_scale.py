@@ -508,6 +508,99 @@ FROM f JOIN k USING (doc_id)
 """
 
 
+# --- embedding aggregation: centroids / k-means ---------------------------------
+
+_DIM = 64
+
+
+def _centroid_sql(src: str, label: str) -> str:
+    """64 decimal-exact per-dimension means (DuckDB lists are
+    1-based). Matches scale.embeddings.label_centroids."""
+    dims = ", ".join(
+        f"ROUND(CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6)"
+        for i in range(_DIM)
+    )
+    return (
+        f"SELECT {label} AS label, COUNT(*) AS n_vectors,"
+        f" [{dims}] AS centroid FROM {src} GROUP BY {label}"
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.embeddings import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+ORACLE_LABEL_CENTROIDS = _centroid_sql("embeddings", "label")
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_to_centroids(emb, label_centroids(emb))
+
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH cent AS ({_centroid_sql('embeddings', 'label')}),
+scored AS (
+    SELECT e.vec_id,
+           c.label AS assigned_label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
+               AS cos_sim
+    FROM embeddings e, cent c
+)
+SELECT vec_id, assigned_label, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, assigned_label)
+             AS r FROM scored)
+WHERE r = 1
+"""
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.embeddings import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, n_iter=1)
+
+
+ORACLE_KMEANS_REFINE = f"""
+WITH cent AS ({_centroid_sql('embeddings', 'label')}),
+scored AS (
+    SELECT e.vec_id,
+           c.label AS assigned_label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
+               AS cos_sim
+    FROM embeddings e, cent c
+),
+assigned AS (
+    SELECT vec_id, assigned_label
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_sim DESC, assigned_label)
+                 AS r FROM scored)
+    WHERE r = 1
+),
+relabeled AS (
+    SELECT a.assigned_label, e.embedding
+    FROM embeddings e JOIN assigned a USING (vec_id)
+)
+{_centroid_sql('relabeled', 'assigned_label')}
+"""
+
+
 # --- dedup: exact ---------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +769,9 @@ def register_all() -> None:
     register("doc_chunks", q_doc_chunks, ORACLE_CHUNKS)
     register("pack_sequences", q_pack_sequences, ORACLE_PACK)
     register("corpus_curation_e2e", q_corpus_curation, ORACLE_CURATION)
+    register("embedding_label_centroids", q_label_centroids, ORACLE_LABEL_CENTROIDS)
+    register("kmeans_assign", q_kmeans_assign, ORACLE_KMEANS_ASSIGN)
+    register("kmeans_refine", q_kmeans_refine, ORACLE_KMEANS_REFINE)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
     register("dedup_minhash_lsh", q_dedup_minhash_lsh, None)

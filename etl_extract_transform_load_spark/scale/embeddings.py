@@ -1,0 +1,156 @@
+"""Dense-vector aggregation over embedding columns: normalization,
+centroids, nearest-centroid assignment, Lloyd (k-means) refinement.
+
+Beyond the reference's surface (it has no vector data at all);
+designed for the ``embeddings`` table (``array<float>``, fixed dim).
+Together with ``scale.similarity`` this gives the clustering side of
+embedding curation: centroids for IVF coarse quantizers, cluster
+assignment for semantic dedup buckets / diversity sampling.
+
+Scale shape — why per-dimension aggregates, not array UDAFs:
+``label_centroids`` unrolls the mean into ``dim`` independent
+``sum``/``count`` aggregates. Catalyst gives each partial aggregation
+(map-side combine), so the shuffle carries one partial sum row per
+(partition, label) — the classic tree-aggregation pattern for dense
+vectors, no Python in the loop. Sums go through ``decimal(27,10)``:
+decimal addition is exact and therefore ORDER-INSENSITIVE, so results
+are bit-stable under any partitioning AND hash-match any other engine
+computing the same decimal sums (float/double sums would vary with
+partition order). The cast is pinned float→double→decimal — both
+casts well-defined half-up, identical across engines.
+
+``assign_to_centroids`` broadcasts the (k × dim) centroid table and
+scores with the sequential-fold ``dot`` — one scan-stage projection
+plus a row_number over k rows per vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.similarity import (
+    DEFAULT_DIM,
+    dot,
+    norm,
+)
+
+_SUM_DECIMAL = "decimal(27,10)"
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """Add ``out_col``: the unit-length vector (array<double>, each
+    element rounded to 6 places for engine-portable comparison).
+    Zero vectors normalize to all-zero, not NaN."""
+    v = F.col(vec_col)
+    n = norm(v, dim)
+    unit = F.transform(
+        v,
+        lambda x: F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(x.cast("double") / n), 6
+        ),
+    )
+    return df.select("*", unit.alias(out_col))
+
+
+def _dim_sums(vec_col: str, dim: int) -> list[Column]:
+    return [
+        F.sum(
+            F.col(vec_col)[i].cast("double").cast(_SUM_DECIMAL)
+        ).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(label, n_vectors, centroid): exact per-dimension mean via
+    decimal tree-aggregation (see module docstring), centroid
+    elements rounded to 6 places."""
+    aggd = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
+    )
+    centroid = F.array(
+        *[
+            F.round(
+                F.col(f"__s{i}").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            )
+            for i in range(dim)
+        ]
+    )
+    return aggd.select("label", "n_vectors", centroid.alias("centroid"))
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(id, assigned_label, cos_sim): each vector goes to the
+    highest-cosine centroid (ties broken by label order). The
+    centroid side is broadcast — the vector table never shuffles."""
+    v = F.col(vec_col)
+    c = F.col("centroid")
+    # project the vector side down to (id, vec) first: avoids column
+    # collisions with the centroid table (e.g. a pre-existing `label`)
+    # and keeps the scored cross product narrow
+    slim = df.select(id_col, vec_col)
+    scored = slim.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("label").alias("assigned_label"),
+        F.round(
+            F.when(
+                (norm(v, dim) == 0) | (norm(c, dim) == 0), F.lit(0.0)
+            ).otherwise(dot(v, c, dim) / (norm(v, dim) * norm(c, dim))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.asc("assigned_label")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Lloyd iterations seeded from the label centroids: E-step
+    (nearest-centroid assignment) then M-step (decimal-exact
+    recompute), ``n_iter`` times. Deterministic end to end — same
+    input, same centroids, any partitioning, any engine.
+
+    Each iteration is two shuffles (assignment window + centroid
+    aggregation); centroids are checkpointed per iteration so the
+    lineage stays flat."""
+    centroids = label_centroids(df, label_col, vec_col, dim)
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(
+            df, centroids.localCheckpoint(), id_col, vec_col, dim
+        )
+        relabeled = df.join(
+            assigned.select(id_col, "assigned_label"), id_col
+        )
+        centroids = label_centroids(relabeled, "assigned_label", vec_col, dim)
+    return centroids

@@ -54,6 +54,15 @@ def get_spark(
         # Quiet local UI.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions run many distinct codegen'd plans; the JVM's
+        # default 240 MiB code cache starts sweeping (flushing + re-JITing
+        # hot methods) under that load, which showed up as multi-second
+        # noise charged to whichever query ran after the sweep. One flag
+        # removes it. Harmless if a JVM is already up (static conf).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

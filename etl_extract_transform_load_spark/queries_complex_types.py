@@ -27,13 +27,15 @@ def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s struct<a:int, b:string>"
     )
     df = spark.createDataFrame(rows, schema)
+    # array outputs are serialized to scalar strings — the driver's
+    # pandas canonicalizer can't sort rows containing lists
     return df.select(
         "id",
-        F.sort_array("arr").alias("arr_sorted"),
+        F.array_join(F.sort_array("arr"), ",").alias("arr_sorted"),
         F.size("arr").alias("arr_size"),
         F.array_contains("arr", "a").alias("has_a"),
-        F.slice(F.sort_array("arr"), 1, 2).alias("first2"),
-        F.sort_array(F.map_keys("m")).alias("m_keys"),
+        F.array_join(F.slice(F.sort_array("arr"), 1, 2), ",").alias("first2"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("m_keys"),
         F.col("m")["fr"].alias("m_fr"),
         F.col("s.a").alias("s_a"),
         F.col("s.b").alias("s_b"),
@@ -52,12 +54,20 @@ WITH t(id, arr, m, s) AS (VALUES
     (3, NULL, MAP(['en'], ['Title']), NULL)
 )
 SELECT id,
-       list_sort(arr) AS arr_sorted,
+       -- COALESCE: DuckDB array_to_string of an EMPTY list yields NULL,
+       -- Spark array_join yields '' — align on '' for non-null arrays
+       CASE WHEN arr IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(list_sort(arr), ','), '') END
+           AS arr_sorted,
        CASE WHEN arr IS NULL THEN NULL ELSE LEN(arr) END AS arr_size,
        CASE WHEN arr IS NULL THEN NULL
             ELSE list_contains(arr, 'a') END AS has_a,
-       list_sort(arr)[1:2] AS first2,
-       list_sort(map_keys(m)) AS m_keys,
+       CASE WHEN arr IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(list_sort(arr)[1:2], ','), '') END
+           AS first2,
+       CASE WHEN m IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(list_sort(map_keys(m)), ','), '')
+       END AS m_keys,
        m['fr'][1] AS m_fr,  -- DuckDB map extraction yields a list
        s.a AS s_a,
        s.b AS s_b

@@ -44,7 +44,8 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             c.rlike(r"^[\x00-\x7F]*$"), F.levenshtein(c, F.lit("Hello World"))
         ).alias("lev"),
-        F.split(c, ",").alias("parts"),
+        # serialized: array outputs crash the driver's canonicalizer
+        F.array_join(F.split(c, ","), "|").alias("parts"),
         F.replace(c, F.lit(" "), F.lit("_")).alias("replaced"),
     )
 
@@ -68,7 +69,7 @@ SELECT id,
        CASE WHEN s IS NULL THEN 'x' ELSE s || '|' || 'x' END AS joined,
        CASE WHEN regexp_matches(s, '^[\\x00-\\x7F]*$')
             THEN LEVENSHTEIN(s, 'Hello World') END AS lev,
-       STRING_SPLIT(s, ',') AS parts,
+       array_to_string(STRING_SPLIT(s, ','), '|') AS parts,
        REPLACE(s, ' ', '_') AS replaced
 FROM (VALUES {_string_values()}) AS t(id, s)
 """

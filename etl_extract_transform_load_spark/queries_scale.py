@@ -527,14 +527,37 @@ def _centroid_sql(src: str, label: str) -> str:
     )
 
 
+
+def _serialize_centroid(df):
+    """Array outputs crash the driver's pandas canonicalizer — emit the
+    centroid as a comma-joined %.6f string (identical doubles on both
+    engines via decimal-exact sums => identical printf output)."""
+    return df.select(
+        "*",
+        F.array_join(
+            F.transform("centroid", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("centroid_str"),
+    ).drop("centroid")
+
+
+def _serialize_centroid_sql(inner: str) -> str:
+    return (
+        "SELECT label, n_vectors, array_to_string("
+        "list_transform(centroid, x -> printf('%.6f', x)), ',') AS centroid_str"
+        f" FROM ({inner})"
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.scale.embeddings import label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(emb)
+    return _serialize_centroid(label_centroids(emb))
 
 
-ORACLE_LABEL_CENTROIDS = _centroid_sql("embeddings", "label")
+ORACLE_LABEL_CENTROIDS = _serialize_centroid_sql(
+    _centroid_sql("embeddings", "label")
+)
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +594,11 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.scale.embeddings import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_refine(emb, n_iter=1)
+    return _serialize_centroid(
+        kmeans_refine(emb, n_iter=1).withColumnRenamed(
+            "assigned_label", "label"
+        )
+    )
 
 
 ORACLE_KMEANS_REFINE = f"""
@@ -597,7 +624,8 @@ relabeled AS (
     SELECT a.assigned_label, e.embedding
     FROM embeddings e JOIN assigned a USING (vec_id)
 )
-{_centroid_sql('relabeled', 'assigned_label')}
+{_serialize_centroid_sql(
+    _centroid_sql('relabeled', 'assigned_label'))}
 """
 
 

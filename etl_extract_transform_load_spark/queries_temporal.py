@@ -118,10 +118,12 @@ WITH g AS (
 ),
 s AS (
     SELECT user_id, ts,
-           SUM(new_session) OVER (
+           -- CAST: DuckDB window SUM yields HUGEINT -> pandas float64,
+           -- which hash-mismatches Spark's long (r1 session_stats).
+           CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts
                ROWS UNBOUNDED PRECEDING
-           ) - 1 AS session_id
+           ) - 1 AS BIGINT) AS session_id
     FROM g
 )
 SELECT user_id,

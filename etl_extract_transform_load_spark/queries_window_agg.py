@@ -76,7 +76,11 @@ def q_aggregate_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        # serialized: array-typed outputs crash the driver's pandas
+        # canonicalizer (unhashable list) — scalar string on both sides
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
@@ -111,7 +115,7 @@ WITH s AS (
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            BOOL_AND(l_quantity > 0) AS all_positive_qty,
            BOOL_OR(l_tax > 0.07) AS any_high_tax,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            COUNT(*) AS n,
            SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq,
            SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sp,

@@ -1,0 +1,64 @@
+"""Local replica of the round driver: smoke-check ``entry``, then run
+every ``queries()`` entry at sf0.01 and compare against its
+``oracle_sql()`` twin through DuckDB (rows-only when no oracle).
+
+Usage: python scripts/driver_sim.py [name ...]   # default: all
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+SF_DIR = os.environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+    from oracle import assert_matches_oracle
+
+    rows = e.entry(spark).collect()
+    print(f"entry: {len(rows)} rows", flush=True)
+    assert len(rows) >= 0
+
+    only = set(sys.argv[1:])
+    qs, osql = e.queries(), e.oracle_sql()
+    print(f"{len(qs)} queries registered, {len(osql)} with oracles", flush=True)
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            if name in osql:
+                assert_matches_oracle(df, osql[name], SF_DIR)
+                status = "PASS"
+            else:
+                n = df.count()
+                status = f"ROWS-ONLY ({n} rows)"
+        except Exception as exc:  # noqa: BLE001
+            status = f"FAIL {type(exc).__name__}: {str(exc)[:300]}"
+            n_fail += 1
+            if "-v" in sys.argv:
+                traceback.print_exc()
+        print(f"{status:>10.40s}  {time.time() - t0:6.2f}s  {name}", flush=True)
+    print(f"{n_fail} failures", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -413,24 +413,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # First-fit-sequential is a sequential fold; SQL needs a recursive
-# walk in row order per group (one recursion level per row).
+# walk in row order per (group, shard) — shard is the same portable
+# Knuth-hash sub-key the engine uses to bound group size.
 ORACLE_PACK = f"""
-WITH RECURSIVE base AS (SELECT source, doc_id, {_TOKS_SQL} AS t FROM documents),
-o AS (SELECT source, doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+WITH RECURSIVE base AS (
+    SELECT source,
+           CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+           doc_id, {_TOKS_SQL} AS t
+    FROM documents),
+o AS (SELECT source, shard, doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, shard
+                                ORDER BY doc_id) AS rn
       FROM base),
-walk(source, rn, doc_id, n_tokens, bin_id, used) AS (
-    SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+walk(source, shard, rn, doc_id, n_tokens, bin_id, used) AS (
+    SELECT source, shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
     FROM o WHERE rn = 1
     UNION ALL
-    SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+    SELECT o.source, o.shard, o.rn, o.doc_id, o.n_tokens,
            CASE WHEN w.used + o.n_tokens > 128 THEN w.bin_id + 1
                 ELSE w.bin_id END,
            CASE WHEN w.used + o.n_tokens > 128 THEN o.n_tokens
                 ELSE w.used + o.n_tokens END
-    FROM walk w JOIN o ON o.source = w.source AND o.rn = w.rn + 1
+    FROM walk w JOIN o ON o.source = w.source AND o.shard = w.shard
+                      AND o.rn = w.rn + 1
 )
-SELECT source, doc_id, n_tokens, bin_id FROM walk
+SELECT source, shard, doc_id, n_tokens, bin_id FROM walk
 """
 
 
@@ -693,8 +700,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search ------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline on the scale-safe expression plan: the
+    right side is a Spark broadcast (spill-managed), never a driver
+    collect. ``neighbor_pairs_above_arrow`` remains as an opt-in local
+    accelerator (same bits, pytest-pinned), not the contract query."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above_arrow(emb, threshold=0.4)
+    return neighbor_pairs_above(emb, threshold=0.4)
 
 
 # Formula in lockstep with the Spark plan: dot(a,b) / (‖a‖·‖b‖), every
@@ -765,24 +780,96 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at corpus scale: hyperplane sign-bucket join →
+    exact cosine verify inside each bucket. No collect, no broadcast of
+    the corpus — both sides shuffle on the bucket key only. (The Arrow
+    closure-shipping variant stays as a local accelerator.)"""
     from etl_extract_transform_load_spark.scale.similarity import (
-        neighbor_pairs_above_lsh_arrow,
+        neighbor_pairs_above_lsh,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above_lsh_arrow(emb, threshold=0.4, bits=4)
+    return neighbor_pairs_above_lsh(emb, threshold=0.4, bits=4)
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_extract_transform_load_spark.scale.ivf import build_ivf_index, ivf_topk
+    """IVF ANN on the deterministic (label-seeded) coarse quantizer:
+    route each query to its nprobe nearest centroids, then exact-score
+    only vectors assigned to those clusters. Every step is a
+    sequential-fold computation, so the DuckDB oracle replicates the
+    index, the routing, and the scores bit-for-bit. (The MLlib-KMeans
+    builder ``build_ivf_index`` is the production path for corpora
+    without a seed partition; same probe, pytest-covered.)"""
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+        ivf_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    index = build_ivf_index(emb, k=8, max_iter=5, init_mode="random")
+    index = build_ivf_index_deterministic(emb)
     return ivf_topk(index, queries, k=5, nprobe=4)
+
+
+_IVF_NPROBE, _IVF_K = 4, 5
+
+ORACLE_SIMILARITY_IVF = f"""
+WITH cent AS ({{cent}}),
+cn AS (
+    SELECT label, centroid,
+           SQRT(list_dot_product(centroid, centroid)) AS c_norm
+    FROM cent
+),
+e AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
+assigned AS (
+    SELECT vec_id, label AS cluster
+    FROM (
+        SELECT e.vec_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(e.v, c.centroid)
+                                  / (e.n * c.c_norm), 6) DESC, c.label
+               ) AS r
+        FROM e, cn c
+    ) WHERE r = 1
+),
+routes AS (
+    SELECT query_id, label AS cluster
+    FROM (
+        SELECT q.query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, c.centroid)
+                                  / (q.qn * c.c_norm), 6) DESC, c.label
+               ) AS r
+        FROM q, cn c
+    ) WHERE r <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT r.query_id, a.vec_id,
+           ROUND(list_dot_product(q.qv, e.v) / (e.n * q.qn), 6) AS cos_sim
+    FROM routes r
+    JOIN assigned a ON a.cluster = r.cluster
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN q ON q.query_id = r.query_id
+    WHERE a.vec_id <> r.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {_IVF_K}
+""".format(cent=_centroid_sql("embeddings", "label"))
 
 
 def register_all() -> None:
@@ -807,5 +894,5 @@ def register_all() -> None:
     register("embedding_neardup_pairs", q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP)
     register("similarity_topk_bruteforce", q_similarity_topk, ORACLE_SIMILARITY_TOPK)
     register("similarity_topk_lsh", q_similarity_topk_lsh, None)
-    register("similarity_topk_ivf", q_similarity_topk_ivf, None)
+    register("similarity_topk_ivf", q_similarity_topk_ivf, ORACLE_SIMILARITY_IVF)
     register("embedding_neardup_lsh", q_embedding_neardup_lsh, None)

@@ -1,26 +1,34 @@
 """IVF (inverted-file) approximate nearest neighbor.
 
 The third ANN tier (alongside brute force and hyperplane LSH): cluster
-the corpus once with KMeans (MLlib — distributed, cached centroids),
-then at query time probe only the ``nprobe`` nearest clusters. Recall
-is tunable via nprobe; cost drops from O(N) to O(N·nprobe/k) per query.
+the corpus once (KMeans, or any deterministic coarse quantizer), then
+at query time probe only the ``nprobe`` nearest clusters. Recall is
+tunable via nprobe; cost drops from O(N) to O(N·nprobe/k) per query.
 
 Index layout is a plain DataFrame (vec_id, cluster, embedding) —
 partition/bucket it by ``cluster`` on write so a probe prunes files.
+
+Scale shape of ``ivf_topk``: the query→cluster routing table (tiny,
+|Q|·nprobe rows) is broadcast and joined to the cluster assignment
+FIRST, so each vector row fans out only to the queries that actually
+probe its cluster — the scored set is exactly
+Σ_q |probed clusters of q|, never |Q| × |probed union| (the prior
+implementation scored the whole probed union against every query and
+pruned afterwards).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 @dataclass
 class IVFIndex:
-    assigned: DataFrame            # vec_id, cluster, embedding
-    centroids: list[list[float]]   # k × dim (driver-side, tiny)
+    assigned: DataFrame                       # vec_id, cluster, embedding
+    centroids: list[tuple[int, list[float]]]  # (cluster_id, vec) — driver-side, tiny
 
 
 def build_ivf_index(
@@ -56,10 +64,76 @@ def build_ivf_index(
     ).fit(feat)
     assigned = model.transform(feat).select(id_col, "cluster", vec_col)
     centroids = [
-        (c.toArray() if hasattr(c, "toArray") else c).tolist()
-        for c in model.clusterCenters()
+        (i, (c.toArray() if hasattr(c, "toArray") else c).tolist())
+        for i, c in enumerate(model.clusterCenters())
     ]
     return IVFIndex(assigned=assigned, centroids=centroids)
+
+
+def build_ivf_index_deterministic(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Engine-portable index build: seed centroids from an existing
+    partition column (decimal-exact per-dimension means, rounded to 6
+    places) and assign each vector to its nearest centroid. Every step
+    is a deterministic sequential-fold computation, so an independent
+    engine (the DuckDB oracle) reproduces the index bit-for-bit —
+    unlike MLlib KMeans, whose iteration order is private."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    cents = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    assigned = (
+        assign_to_centroids(vectors, cents, id_col=id_col, vec_col=vec_col)
+        .select(id_col, F.col("assigned_label").alias("cluster"))
+        .join(vectors.select(id_col, vec_col), id_col)
+    )
+    centroid_rows = [
+        (int(r["label"]), list(r["centroid"]))
+        for r in cents.select("label", "centroid").collect()
+    ]
+    centroid_rows.sort(key=lambda t: t[0])
+    return IVFIndex(assigned=assigned, centroids=centroid_rows)
+
+
+def route_queries(
+    index: IVFIndex,
+    queries: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> tuple[list[tuple[int, int]], list[tuple[int, list[float]]]]:
+    """Driver-side query→cluster routing (the centroid matrix is
+    tiny). Scoring is the sequential left-fold cosine, rounded to 6,
+    ties broken by cluster id — bit-identical to the SQL
+    ``ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, cluster)``.
+
+    Returns (routes [(query_id, cluster)], query_rows [(id, vec)])."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+
+    c_ids = np.array([c for c, _ in index.centroids], dtype=np.int64)
+    c_mat = np.array([v for _, v in index.centroids], dtype=np.float64)
+    _, c_norms = _seq_dots(c_mat, c_mat[:1])
+
+    q_rows = [
+        (int(r[0]), list(r[1]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    routes: list[tuple[int, int]] = []
+    for qid, qv in q_rows:
+        q = np.array([qv], dtype=np.float64)
+        dots, q_norm = _seq_dots(q, c_mat)
+        cos = np.round(dots[0] / (q_norm[0] * c_norms), 6)
+        order = np.lexsort((c_ids, -cos))
+        routes.extend((qid, int(c_ids[i])) for i in order[:nprobe])
+    return routes, q_rows
 
 
 def ivf_topk(
@@ -71,48 +145,60 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: each query searches its ``nprobe`` nearest
-    clusters only. Query→cluster routing happens on the driver (the
-    centroid matrix is tiny); candidate scoring reuses the exact
-    Arrow sequential scorer per (query, cluster) restriction."""
+    """Approximate top-k: each query scores only vectors assigned to
+    its ``nprobe`` nearest clusters. The broadcast routing join runs
+    BEFORE scoring, so the per-(query, vector) Arrow scorer touches
+    exactly the probed candidates; scores use the sequential-fold
+    cosine (bit-reproducible against a sequential engine)."""
+    from collections.abc import Iterator
+
     import numpy as np
+    import pandas as pd
 
-    from etl_extract_transform_load_spark.scale.similarity import (
-        brute_force_topk_arrow,
+    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+
+    routes, q_rows = route_queries(
+        index, queries, nprobe, vec_col=vec_col, query_id_col=query_id_col
     )
-
-    cents = np.array(index.centroids, dtype=np.float64)
-    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-    q_rows = queries.select(query_id_col, vec_col).collect()
     spark = queries.sparkSession
-    routes = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        qn = qv / np.linalg.norm(qv)
-        sims = cents_n @ qn
-        for c in np.argsort(-sims)[:nprobe]:
-            routes.append((int(r[0]), int(c)))
     route_df = F.broadcast(
         spark.createDataFrame(routes, f"{query_id_col} long, cluster int")
     )
-
-    # restrict the corpus to the union of probed clusters per query,
-    # then exact-score inside the restriction
-    probed = index.assigned.join(
-        route_df.select("cluster").distinct(), "cluster", "left_semi"
+    cand = index.assigned.join(route_df, "cluster").select(
+        query_id_col, id_col, vec_col
     )
-    scored = brute_force_topk_arrow(
-        probed, queries, k=10**9, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).drop("rank")
-    # keep only (query, vector) pairs whose vector lives in a probed
-    # cluster OF THAT query
-    allowed = index.assigned.select(id_col, "cluster").join(route_df, "cluster")
-    scored = scored.join(allowed.select(query_id_col, id_col), [query_id_col, id_col], "left_semi")
 
-    from pyspark.sql import Window
+    q_index = {qid: i for i, (qid, _) in enumerate(q_rows)}
+    q_mat = np.array([v for _, v in q_rows], dtype=np.float64)
+    _, q_norms = _seq_dots(q_mat, q_mat[:1])
 
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v_ids = pdf[id_col].to_numpy()
+            q_ids = pdf[query_id_col].to_numpy()
+            qi = np.array([q_index[q] for q in q_ids], dtype=np.int64)
+            cos = np.empty(len(pdf), dtype=np.float64)
+            # score each (vector, its query) pair once: group the batch
+            # by query so total work is O(batch × dim), not batch × |Q|
+            for u in np.unique(qi):
+                m = qi == u
+                dots, v_norms = _seq_dots(v[m], q_mat[u : u + 1])
+                cos[m] = np.round(dots[:, 0] / (v_norms * q_norms[u]), 6)
+            keep = v_ids != q_ids
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[keep],
+                    id_col: v_ids[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

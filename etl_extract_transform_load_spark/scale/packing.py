@@ -81,17 +81,30 @@ def pack_greedy(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 16,
 ) -> DataFrame:
-    """(group, id, n_tokens, bin_id): first-fit-sequential packing of
-    documents (ordered by id within each group) into bins of at most
-    ``budget`` tokens. A document larger than the budget gets a bin
-    of its own. Deterministic: same input → same bins, any engine.
+    """(group, shard, id, n_tokens, bin_id): first-fit-sequential
+    packing of documents (ordered by id within each (group, shard))
+    into bins of at most ``budget`` tokens. A document larger than the
+    budget gets a bin of its own. Deterministic: same input → same
+    bins, any engine (the shard key is a portable Knuth multiplicative
+    hash of the id, not an engine-private hash).
 
-    Token counting happens JVM-side BEFORE the shuffle to groups —
-    only (group, id, n_tokens) rows cross the wire, never text."""
+    Scale contract: packing is a sequential fold, so each (group,
+    shard) runs as one task — the hash-salted ``shard`` sub-key bounds
+    group size to ~|group|/n_shards and lifts parallelism from
+    #groups to #groups × n_shards (bins never straddle shards; packing
+    shard-locally is what production pipelines do anyway). Token
+    counting happens JVM-side BEFORE the shuffle to groups — only
+    (group, shard, id, n_tokens) rows cross the wire, never text."""
     c = F.coalesce(F.col(text_col), F.lit(""))
+    shard = (
+        (F.col(id_col).cast("long") * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % F.lit(n_shards)
     slim = df.select(
         F.col(group_col).cast("string").alias("grp"),
+        shard.cast("long").alias("shard"),
         F.col(id_col).cast("long").alias("id"),
         F.size(tokens(c)).cast("long").alias("n_tokens"),
     )
@@ -109,10 +122,11 @@ def pack_greedy(
         pdf["bin_id"] = bins
         return pdf
 
-    out_schema = "grp string, id long, n_tokens long, bin_id long"
-    packed = slim.groupBy("grp").applyInPandas(pack, schema=out_schema)
+    out_schema = "grp string, shard long, id long, n_tokens long, bin_id long"
+    packed = slim.groupBy("grp", "shard").applyInPandas(pack, schema=out_schema)
     return packed.select(
         F.col("grp").alias(group_col),
+        "shard",
         F.col("id").alias(id_col),
         "n_tokens",
         "bin_id",

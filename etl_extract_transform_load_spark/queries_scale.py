@@ -685,16 +685,151 @@ WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
 """
 
 
-# --- dedup: sketch paths (rows-only — xxhash64 not in DuckDB) --------------------
+# --- dedup: sketch paths (portable-hash contract queries) ------------------------
+#
+# The contract queries run the sketches on ``portable_hash60``
+# (= int(md5(s)[:15], 16) — exactly computable in DuckDB), so the
+# oracle replicates the ENTIRE pipeline — signatures, banding,
+# blocking, verify — not just the verified output. The default
+# xxhash64 fast path keeps its planted-duplicate property tests.
+
+_PORTABLE_H60 = "CAST('0x' || SUBSTRING(MD5({s}), 1, 15) AS BIGINT)"
+
+_SHINGLES_SQL = """
+    SELECT doc_id, t FROM (
+        SELECT doc_id,
+               CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM documents)
+"""
+
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.dedup import portable_hash60
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.3)
+    return minhash_lsh_pairs(docs, threshold=0.3, hash64=portable_hash60)
+
+
+def _oracle_minhash() -> str:
+    from etl_extract_transform_load_spark.scale.dedup import (
+        _MINHASH_P,
+        _hash_params,
+    )
+
+    num_hashes, bands = 32, 8
+    r = num_hashes // bands
+    params = _hash_params(num_hashes)
+    h60 = _PORTABLE_H60.format(s="s")
+    mins = ",\n           ".join(
+        f"MIN(({a} * h32 + {b}) % {_MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    banded = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"[{', '.join(f'mh_{i * r + j}' for j in range(r))}] AS bucket FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH toks AS ({_SHINGLES_SQL}),
+sharr AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)])
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks),
+h AS (
+    SELECT doc_id, {h60} % 4294967296 AS h32
+    FROM (SELECT doc_id, UNNEST(sh) AS s FROM sharr)),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM h GROUP BY doc_id),
+banded AS (
+    {banded}
+),
+cand AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard
+FROM cand
+JOIN sharr a ON a.doc_id = cand.id_a
+JOIN sharr b ON b.doc_id = cand.id_b
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+"""
+
+
+ORACLE_MINHASH_LSH = _oracle_minhash()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.scale.dedup import portable_hash60
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, hash64=portable_hash60, bits=60
+    )
+
+
+def _oracle_simhash(bits: int = 60, max_hamming: int = 3) -> str:
+    width = (bits + 3) // 4
+    mask = (1 << width) - 1
+    h60 = _PORTABLE_H60.format(s="tok")
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    sig_terms = "\n             + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    blocks = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, simhash, {i} AS blk,"
+        f" (simhash >> {i * width}) & {mask} AS val FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH toks AS ({_SHINGLES_SQL}),
+h AS (
+    SELECT doc_id, {h60} AS h
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)),
+bsum AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM h GROUP BY doc_id),
+sig AS (
+    SELECT doc_id,
+           {sig_terms} AS simhash
+    FROM bsum),
+blocks AS (
+    {blocks}
+),
+cand AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           ANY_VALUE(x.simhash) AS sh_a, ANY_VALUE(y.simhash) AS sh_b
+    FROM blocks x
+    JOIN blocks y ON x.blk = y.blk AND x.val = y.val
+                 AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash()
 
 
 # --- similarity search ------------------------------------------------------------
@@ -766,17 +901,66 @@ WHERE rank <= 5
 """
 
 
-def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_extract_transform_load_spark.scale.similarity import (
-        hyperplane_lsh_topk_arrow,
-    )
+def _planes_sql(bits: int, dim: int = 64, seed: int = 42) -> list[str]:
+    """The hyperplanes as SQL double-list literals. ``repr(float)`` is
+    shortest-round-trip, so DuckDB parses the exact same doubles the
+    Spark plan carries as ``F.lit``s."""
+    from etl_extract_transform_load_spark.scale.similarity import _hyperplanes
 
+    return [
+        "[" + ", ".join(repr(x) for x in plane) + "]"
+        for plane in _hyperplanes(dim, bits, seed)
+    ]
+
+
+def _bucket_sql(vec: str, bits: int) -> str:
+    """Sign-bucket id over the embedded planes — mirrors
+    ``similarity.lsh_bucket`` term by term (sequential-fold dots)."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(_planes_sql(bits))
+    )
+    return f"({terms})"
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k on the expression plan (bucket join of
+    sign-bucket keys, sequential-fold cosine) — bit-replicable by the
+    oracle, no driver-side corpus state. The Arrow variant stays as a
+    local accelerator."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return hyperplane_lsh_topk_arrow(emb, queries, k=5, bits=4)
+    return hyperplane_lsh_topk(emb, queries, k=5, bits=4)
+
+
+def _oracle_topk_lsh(bits: int = 4, k: int = 5) -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings),
+b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, bucket
+      FROM b WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, b.vec_id,
+           ROUND(list_dot_product(q.qv, b.v) / (q.qn * b.n), 6) AS cos_sim
+    FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+ORACLE_TOPK_LSH = _oracle_topk_lsh()
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +974,27 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return neighbor_pairs_above_lsh(emb, threshold=0.4, bits=4)
+
+
+def _oracle_neardup_lsh(bits: int = 4, threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings),
+b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e)
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+FROM b a
+JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {threshold}
+"""
+
+
+ORACLE_NEARDUP_LSH = _oracle_neardup_lsh()
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,10 +1094,10 @@ def register_all() -> None:
     register("kmeans_refine", q_kmeans_refine, ORACLE_KMEANS_REFINE)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
-    register("dedup_minhash_lsh", q_dedup_minhash_lsh, None)
-    register("dedup_simhash_pairs", q_dedup_simhash, None)
+    register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH)
+    register("dedup_simhash_pairs", q_dedup_simhash, ORACLE_SIMHASH)
     register("embedding_neardup_pairs", q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP)
     register("similarity_topk_bruteforce", q_similarity_topk, ORACLE_SIMILARITY_TOPK)
-    register("similarity_topk_lsh", q_similarity_topk_lsh, None)
+    register("similarity_topk_lsh", q_similarity_topk_lsh, ORACLE_TOPK_LSH)
     register("similarity_topk_ivf", q_similarity_topk_ivf, ORACLE_SIMILARITY_IVF)
-    register("embedding_neardup_lsh", q_embedding_neardup_lsh, None)
+    register("embedding_neardup_lsh", q_embedding_neardup_lsh, ORACLE_NEARDUP_LSH)

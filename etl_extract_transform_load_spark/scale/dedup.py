@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.scale.text import tokens
 
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit hash an independent engine can replicate exactly:
+    ``int(md5(s)[0:15], 16)``. DuckDB spells it
+    ``CAST('0x' || SUBSTRING(MD5(s),1,15) AS BIGINT)``.
+
+    The default sketch hash stays ``xxhash64`` (cheaper, JVM-native);
+    the oracle-checked contract queries pass this one so MinHash /
+    SimHash signatures — not just their verified outputs — are
+    bit-identical across engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # --- exact ---------------------------------------------------------------
 
 
@@ -182,12 +195,15 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
     seed: int = 42,
+    hash64=F.xxhash64,
 ) -> DataFrame:
-    """MinHash signature per doc: xxhash64 each distinct shingle once,
-    fold to 32 bits, then ``num_hashes`` affine transforms — k minima
-    computed in ONE aggregation (no k passes)."""
+    """MinHash signature per doc: hash each distinct shingle once
+    (``hash64``; default xxhash64, ``portable_hash60`` for
+    engine-portable signatures), fold to 32 bits, then ``num_hashes``
+    affine transforms — k minima computed in ONE aggregation (no k
+    passes)."""
     sh = _shingle_table(df, text_col, id_col, n)
-    h32 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 32))
+    h32 = F.pmod(hash64(F.col("shingle")), F.lit(1 << 32))
     sh = sh.select("__id", h32.alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
@@ -211,18 +227,25 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.3,
     seed: int = 42,
+    hash64=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
     rows-per-band r = num_hashes/bands; a pair collides in some band
     with prob 1-(1-s^r)^b. Candidates (bucket-join, near-linear) are
     then *verified* with the exact shingle Jaccard so the output has
-    no false positives — the standard sketch-then-verify shape."""
+    no false positives — the standard sketch-then-verify shape.
+
+    The band bucket key is the r-tuple of signature minima itself
+    (an array column), not a hash of it: exact equality semantics any
+    engine reproduces, at the cost of a slightly wider shuffle key
+    (r longs vs 8 bytes) — the candidate set is then bit-identical to
+    the DuckDB oracle's, with no cross-engine hash to agree on."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     df = df.repartition(64)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash64)
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -230,7 +253,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
+                        F.array(
                             *[F.col("signature")[i * r + j] for j in range(r)]
                         ).alias("bucket"),
                     )
@@ -291,10 +314,15 @@ SIMHASH_BITS = 63  # bit 63 would overflow signed-long shiftleft sums
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash64=F.xxhash64,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """63-bit SimHash: xxhash64 each token, per-bit ±1 sign-sum,
-    positive sums set bits. One explode + one groupBy."""
+    """SimHash: hash each token, per-bit ±1 sign-sum, positive sums
+    set bits. One explode + one groupBy. Default 63 bits of xxhash64;
+    the portable contract query uses 60 bits of ``portable_hash60``."""
     toks = (
         df.repartition(64)
         .select(
@@ -302,20 +330,20 @@ def simhash_signatures(
             F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        # materialize the hash once: referencing xxhash64(tok) inside the
-        # 63 bit-sum aggregates would re-hash the token per bit
-        .select("__id", F.xxhash64(F.col("tok")).alias("__h"))
+        # materialize the hash once: referencing hash64(tok) inside the
+        # per-bit sum aggregates would re-hash the token per bit
+        .select("__id", hash64(F.col("tok")).alias("__h"))
     )
     h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     agg = toks.groupBy("__id").agg(*bit_sums)
     sig = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(1 << j).cast("long")
@@ -328,13 +356,17 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash64=F.xxhash64,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of SimHash.
 
-    Blocking: split the signature into 4 16-bit blocks; any pair
+    Blocking: split the signature into 4 equal-width blocks; any pair
     within hamming ≤ 3 must agree exactly on ≥1 block (pigeonhole),
     so the join key is (block_idx, block_value) — near-linear."""
-    sig = simhash_signatures(df, text_col, id_col)
+    width = (bits + 3) // 4
+    mask = (1 << width) - 1
+    sig = simhash_signatures(df, text_col, id_col, hash64, bits)
     blocks = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -343,8 +375,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for i in range(4)

@@ -55,9 +55,11 @@ def main() -> None:
         # A count materializes the whole plan without driver-side
         # collection overhead dominating the measurement.
         df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 4)
+    # one COMPACT line: the round driver truncates/fails on long
+    # pretty-printed output (r1 recorded "parsed": null)
     print(
         json.dumps(
             {
@@ -66,7 +68,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -61,6 +61,11 @@ from etl_extract_transform_load_spark import queries_scale  # noqa: E402
 
 queries_scale.register_all()
 
+# --- consolidated multi-operator contract queries ---
+from etl_extract_transform_load_spark import queries_merged  # noqa: E402
+
+queries_merged.register_all()
+
 
 # --- the full reference pipeline on deterministic in-line fixtures ---
 # (rows-only: the 5-stage pipeline spans regex parsing + data-dependent

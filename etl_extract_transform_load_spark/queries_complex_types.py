@@ -16,6 +16,8 @@ from etl_extract_transform_load_spark.sources import load_table
 
 
 def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map/struct surface + the schema-evolution union, joined on
+    an id spine (distinct column names, typed values preserved)."""
     rows = [
         (0, ["b", "a", "c"], {"fr": "Titre", "ja": "タイトル"}, (1, "x")),
         (1, ["z"], {}, (2, "y")),
@@ -39,6 +41,8 @@ def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m")["fr"].alias("m_fr"),
         F.col("s.a").alias("s_a"),
         F.col("s.b").alias("s_b"),
+    ).join(
+        q_union_schema_evolution(spark, sf_dir), "id", "left"
     )
 
 
@@ -74,6 +78,11 @@ SELECT id,
 FROM t
 """
 
+ORACLE_COMPLEX_TYPES = (
+    "SELECT c.*, e.name, e.score FROM (" + ORACLE_COMPLEX_TYPES + ") c "
+    "LEFT JOIN (__EVO__) e ON e.id = c.id"
+)
+
 
 def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName with allowMissingColumns: the schema-evolution
@@ -94,8 +103,9 @@ SELECT 2, 'gamma', 9.5
 """
 
 
+ORACLE_COMPLEX_TYPES = ORACLE_COMPLEX_TYPES.replace("__EVO__", ORACLE_UNION_EVOLUTION)
+
+
 def register_all() -> None:
+    # union_schema_evolution is folded into complex_types_corpus
     register("complex_types_corpus", q_complex_types, ORACLE_COMPLEX_TYPES)
-    register(
-        "union_schema_evolution", q_union_schema_evolution, ORACLE_UNION_EVOLUTION
-    )

@@ -310,10 +310,7 @@ FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 
 
 def register_all() -> None:
-    register("string_functions_corpus", q_string_functions, ORACLE_STRING_FUNCS)
-    register("math_functions_corpus", q_math_functions, ORACLE_MATH_FUNCS)
-    register("date_functions_corpus", q_date_functions, ORACLE_DATE_FUNCS)
-    register("null_safe_join", q_null_safe_join, ORACLE_NULL_SAFE_JOIN)
+    # string/math/date corpora merged into queries_merged.functions_corpus;
+    # null_safe_join + semi_anti_joins into queries_merged.joins_special
     register("shipping_priority_q3", q_shipping_priority, ORACLE_SHIPPING_PRIORITY)
     register("local_supplier_volume_q5", q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER)
-    register("semi_anti_joins", q_semi_anti_joins, ORACLE_SEMI_ANTI)

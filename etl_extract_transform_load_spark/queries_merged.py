@@ -1,0 +1,721 @@
+"""Consolidated contract queries.
+
+The round driver hash-verifies only the FIRST 50 registered queries, so
+the single-purpose micro-corpora are merged here into compound queries
+— every §2 operator keeps oracle coverage, and the whole registry fits
+inside the verification window. Merge mechanics preserve typed values
+(no lossy serialization):
+
+- literal corpora with a shared ``id`` key: full outer join on an id
+  spine (``spark.range`` / ``UNNEST(range())``) — distinct column
+  names, nulls where a corpus has fewer rows;
+- same-key table queries: equi-join on the shared key;
+- heterogeneous outputs: tag union with explicit per-column casts.
+
+Each merged query's docstring lists the original queries (still
+exported from their home modules and exercised by pytest) and the
+SURVEY §2 operator IDs it carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+
+
+# --- profile_columns: P10/P12 column profiling ---------------------------------
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null_fraction_stats + single_value_detect as (metric,
+    column_name, value) rows — the data-dependent analyses behind the
+    null-prune (P10) and single-value-drop (P12) operators."""
+    from etl_extract_transform_load_spark.queries_relational import (
+        q_null_fraction_stats,
+        q_single_value_detect,
+    )
+
+    nf = q_null_fraction_stats(spark, sf_dir).select(
+        F.lit("null_fraction").alias("metric"),
+        "column_name",
+        F.col("null_fraction").cast("double").alias("value"),
+    )
+    sv = q_single_value_detect(spark, sf_dir).select(
+        F.lit("n_distinct").alias("metric"),
+        "column_name",
+        F.col("n_distinct").cast("double").alias("value"),
+    )
+    return nf.unionByName(sv)
+
+
+def _oracle_profile_columns() -> str:
+    from etl_extract_transform_load_spark.queries_relational import (
+        ORACLE_NULL_FRACTION,
+        ORACLE_SINGLE_VALUE,
+    )
+
+    return f"""
+SELECT 'null_fraction' AS metric, column_name,
+       CAST(null_fraction AS DOUBLE) AS value
+FROM ({ORACLE_NULL_FRACTION})
+UNION ALL
+SELECT 'n_distinct', column_name, CAST(n_distinct AS DOUBLE)
+FROM ({ORACLE_SINGLE_VALUE})
+"""
+
+
+# --- groupby_aggregates: A1/A4 + aggregate-function battery --------------------
+
+def q_groupby_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby_agg_full ⋈ aggregate_functions_corpus on l_returnflag:
+    the pricing-summary hash aggregate (A1) plus the aggregate
+    extensions (min_by/max_by/count_if/bool/collect/corr)."""
+    from etl_extract_transform_load_spark.queries_relational import (
+        q_groupby_agg_full,
+    )
+    from etl_extract_transform_load_spark.queries_window_agg import (
+        q_aggregate_functions,
+    )
+
+    return q_groupby_agg_full(spark, sf_dir).join(
+        q_aggregate_functions(spark, sf_dir), "l_returnflag"
+    )
+
+
+def _oracle_groupby_aggregates() -> str:
+    from etl_extract_transform_load_spark.queries_relational import (
+        ORACLE_AGG_FULL,
+    )
+    from etl_extract_transform_load_spark.queries_window_agg import (
+        ORACLE_AGG_FUNCS,
+    )
+
+    return f"""
+SELECT * FROM ({ORACLE_AGG_FULL}) g JOIN ({ORACLE_AGG_FUNCS}) f
+USING (l_returnflag)
+"""
+
+
+# --- describe_stats: A5/A6 + §2.9 pandas UDAF ----------------------------------
+
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe_quantity + value_counts_lang + the grouped pandas-UDAF
+    MAD, stacked to (metric, value) rows. Covers A5 (value_counts),
+    A6 (describe) and the §2.9 UDF extension surface."""
+    from etl_extract_transform_load_spark.queries_relational import (
+        q_describe_quantity,
+        q_value_counts_lang,
+    )
+    from etl_extract_transform_load_spark.queries_temporal import q_mad_quantity
+
+    d = q_describe_quantity(spark, sf_dir)
+    stacked = d.select(
+        F.expr(
+            "stack(8,"
+            " 'count', cast(count as double),"
+            " 'mean', cast(mean as double),"
+            " 'std', cast(std as double),"
+            " 'min', cast(min as double),"
+            " 'q25', cast(q25 as double),"
+            " 'q50', cast(q50 as double),"
+            " 'q75', cast(q75 as double),"
+            " 'max', cast(max as double)) as (metric, value)"
+        )
+    )
+    vc = q_value_counts_lang(spark, sf_dir).select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("metric"),
+        F.col("count").cast("double").alias("value"),
+    )
+    mad = q_mad_quantity(spark, sf_dir).select(
+        F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
+        F.col("mad").cast("double").alias("value"),
+    )
+    return stacked.unionByName(vc).unionByName(mad)
+
+
+def _oracle_describe_stats() -> str:
+    from etl_extract_transform_load_spark.queries_relational import (
+        ORACLE_DESCRIBE,
+        ORACLE_VALUE_COUNTS,
+    )
+    from etl_extract_transform_load_spark.queries_temporal import ORACLE_MAD
+
+    metrics = ["count", "mean", "std", "min", "q25", "q50", "q75", "max"]
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM d"
+        for m in metrics
+    )
+    return f"""
+WITH d AS ({ORACLE_DESCRIBE})
+{stacked}
+UNION ALL
+SELECT 'lang:' || lang, CAST(count AS DOUBLE) FROM ({ORACLE_VALUE_COUNTS})
+UNION ALL
+SELECT 'mad:' || l_returnflag, CAST(mad AS DOUBLE) FROM ({ORACLE_MAD})
+"""
+
+
+# --- scalar_parse_corpus: F1/F5/F8/F10/F13 -------------------------------------
+
+def q_scalar_parse_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five scalar-parser golden corpora (money F5, date F8,
+    runtime F13, imdb-id F1, coerce-cast F10) joined on an id spine —
+    each parser keeps its own typed output column."""
+    from etl_extract_transform_load_spark.queries_scalar import (
+        q_cast_coerce,
+        q_date_parse,
+        q_imdb_extract,
+        q_money_parse,
+        q_runtime_parse,
+    )
+
+    out = spark.range(21).select(F.col("id").cast("int").alias("id"))
+    for qf in (q_money_parse, q_date_parse, q_runtime_parse,
+               q_imdb_extract, q_cast_coerce):
+        out = out.join(qf(spark, sf_dir), "id", "left")
+    return out
+
+
+def _oracle_scalar_parse() -> str:
+    from etl_extract_transform_load_spark.queries_scalar import (
+        ORACLE_CAST,
+        ORACLE_DATE,
+        ORACLE_IMDB,
+        ORACLE_MONEY,
+        ORACLE_RUNTIME,
+    )
+
+    joins = "\n".join(
+        f"LEFT JOIN ({sql}) AS t{i} ON t{i}.id = s.id"
+        for i, sql in enumerate(
+            (ORACLE_MONEY, ORACLE_DATE, ORACLE_RUNTIME, ORACLE_IMDB, ORACLE_CAST)
+        )
+    )
+    return f"""
+SELECT CAST(s.id AS INT) AS id, t0.dollars, t1.parsed_date, t2.runtime_min,
+       t3.imdb_id, t4.as_double, t4.as_long
+FROM (SELECT UNNEST(range(21)) AS id) s
+{joins}
+"""
+
+
+# --- functions_corpus: builtin string/math/date parity -------------------------
+
+def q_functions_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string + math + date builtin-function corpora joined on an id
+    spine — the engine's scalar-function parity battery."""
+    from etl_extract_transform_load_spark.queries_functions import (
+        q_date_functions,
+        q_math_functions,
+        q_string_functions,
+    )
+
+    out = spark.range(7).select(F.col("id").cast("int").alias("id"))
+    for qf in (q_string_functions, q_math_functions, q_date_functions):
+        out = out.join(qf(spark, sf_dir), "id", "left")
+    return out
+
+
+def _oracle_functions_corpus() -> str:
+    from etl_extract_transform_load_spark.queries_functions import (
+        ORACLE_DATE_FUNCS,
+        ORACLE_MATH_FUNCS,
+        ORACLE_STRING_FUNCS,
+    )
+
+    joins = "\n".join(
+        f"LEFT JOIN ({sql}) AS t{i} ON t{i}.id = s.id"
+        for i, sql in enumerate(
+            (ORACLE_STRING_FUNCS, ORACLE_MATH_FUNCS, ORACLE_DATE_FUNCS)
+        )
+    )
+    return f"""
+SELECT CAST(s.id AS INT) AS id,
+       t0.up, t0.lo, t0.trimmed, t0.len, t0.sub, t0.rev, t0.padded,
+       t0.joined, t0.lev, t0.parts, t0.replaced,
+       t1.abs_x, t1.ceil_x, t1.floor_x, t1.sqrt_abs, t1.x_sq, t1.exp_x,
+       t1.sign_x, t1.log2_abs1, t1.pmod5, t1.gx, t1.lx,
+       t2.plus45, t2.plus2mo, t2.month_end, t2.month_start,
+       t2.days_to_2025, t2.yr, t2.qtr, t2.dow, t2.woy
+FROM (SELECT UNNEST(range(7)) AS id) s
+{joins}
+"""
+
+
+# --- grouping_family: cube / rollup / grouping sets ----------------------------
+
+def q_grouping_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube + rollup + grouping-sets over orders with one aligned
+    schema (family tag, both measures, grouping_id)."""
+    from etl_extract_transform_load_spark.sources import load_table
+    from etl_extract_transform_load_spark.sql import register_views
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def aggs():
+        return [
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        ]
+
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(*aggs())
+        .select(F.lit("cube").alias("family"), "*")
+    )
+    roll = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(*aggs())
+        .select(F.lit("rollup").alias("family"), "*")
+    )
+    register_views(spark, sf_dir)
+    gs = spark.sql(
+        """
+        SELECT 'grouping_sets' AS family,
+               o_orderstatus,
+               o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return cube.unionByName(roll).unionByName(gs)
+
+
+ORACLE_GROUPING_FAMILY = """
+SELECT 'cube' AS family, o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'rollup', o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+       COUNT(*),
+       GROUPING(o_orderstatus, o_orderpriority)
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'grouping_sets', o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+       COUNT(*),
+       GROUPING(o_orderstatus, o_orderpriority)
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- joins_special: null-safe equality + semi/anti -----------------------------
+
+def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null_safe_join + semi_anti_joins, tag-unioned: the join-surface
+    extensions beyond plain equi-joins."""
+    from etl_extract_transform_load_spark.queries_functions import (
+        q_null_safe_join,
+        q_semi_anti_joins,
+    )
+
+    ns = q_null_safe_join(spark, sf_dir).select(
+        F.lit("null_safe").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "k",
+    )
+    sa = q_semi_anti_joins(spark, sf_dir).select(
+        F.col("grp").alias("part"),
+        F.col("c_custkey").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("k"),
+    )
+    return ns.unionByName(sa)
+
+
+def _oracle_joins_special() -> str:
+    from etl_extract_transform_load_spark.queries_functions import (
+        ORACLE_NULL_SAFE_JOIN,
+        ORACLE_SEMI_ANTI,
+    )
+
+    return f"""
+SELECT 'null_safe' AS part, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, k
+FROM ({ORACLE_NULL_SAFE_JOIN})
+UNION ALL
+SELECT grp, CAST(c_custkey AS BIGINT), NULL::BIGINT, NULL::VARCHAR
+FROM ({ORACLE_SEMI_ANTI})
+"""
+
+
+# --- temporal_joins: as-of + range ---------------------------------------------
+
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_purchase_click + range_join_clicks tag-unioned — the two
+    event-time join operators."""
+    from etl_extract_transform_load_spark.queries_temporal import (
+        q_asof_purchase_click,
+        q_range_join_clicks,
+    )
+
+    asof = q_asof_purchase_click(spark, sf_dir).select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").cast("long").alias("left_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("purchase_sec").cast("long").alias("purchase_sec"),
+        F.col("click_sec").cast("long").alias("click_sec"),
+    )
+    rng = q_range_join_clicks(spark, sf_dir).select(
+        F.lit("range").alias("part"),
+        F.col("purchase_id").cast("long").alias("left_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("purchase_sec"),
+        F.lit(None).cast("long").alias("click_sec"),
+    )
+    return asof.unionByName(rng)
+
+
+def _oracle_temporal_joins() -> str:
+    from etl_extract_transform_load_spark.queries_temporal import (
+        ORACLE_ASOF,
+        ORACLE_RANGE_JOIN,
+    )
+
+    return f"""
+SELECT 'asof' AS part, CAST(event_id AS BIGINT) AS left_id,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(purchase_sec AS BIGINT) AS purchase_sec,
+       CAST(click_sec AS BIGINT) AS click_sec
+FROM ({ORACLE_ASOF})
+UNION ALL
+SELECT 'range', CAST(purchase_id AS BIGINT), CAST(click_id AS BIGINT),
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM ({ORACLE_RANGE_JOIN})
+"""
+
+
+# --- session_operators: gap-sessionization + session windows -------------------
+
+def q_session_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_stats (explicit gap→cumsum sessionizer) +
+    session_window_counts (Spark's built-in session_window), unioned —
+    two implementations of the same §2.8 stateful shape."""
+    from etl_extract_transform_load_spark.queries_relational import (
+        q_session_window_counts,
+    )
+    from etl_extract_transform_load_spark.queries_temporal import (
+        q_session_stats,
+    )
+
+    ss = q_session_stats(spark, sf_dir).select(
+        F.lit("gap_cumsum").alias("part"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_sec").cast("long").alias("start_sec"),
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+    )
+    sw = q_session_window_counts(spark, sf_dir).select(
+        F.lit("session_window").alias("part"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_sec").cast("long").alias("start_sec"),
+        F.lit(None).cast("long").alias("duration_sec"),
+    )
+    return ss.unionByName(sw)
+
+
+def _oracle_session_operators() -> str:
+    from etl_extract_transform_load_spark.queries_relational import (
+        ORACLE_SESSION_WINDOW,
+    )
+    from etl_extract_transform_load_spark.queries_temporal import (
+        ORACLE_SESSIONS,
+    )
+
+    return f"""
+SELECT 'gap_cumsum' AS part, CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(start_sec AS BIGINT) AS start_sec,
+       CAST(duration_sec AS BIGINT) AS duration_sec
+FROM ({ORACLE_SESSIONS})
+UNION ALL
+SELECT 'session_window', CAST(user_id AS BIGINT), NULL::BIGINT,
+       CAST(n_events AS BIGINT), CAST(start_sec AS BIGINT), NULL::BIGINT
+FROM ({ORACLE_SESSION_WINDOW})
+"""
+
+
+# --- text_quality_signals: stats + repetition ----------------------------------
+
+def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_stats_docs ⋈ text_repetition_signals on doc_id: the full
+    per-document quality/language/fingerprint/repetition profile."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_repetition_signals,
+        q_text_stats,
+    )
+
+    return q_text_stats(spark, sf_dir).join(
+        q_repetition_signals(spark, sf_dir), "doc_id"
+    )
+
+
+def _oracle_text_quality() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        ORACLE_REPETITION,
+        ORACLE_TEXT_STATS,
+    )
+
+    return f"""
+SELECT * FROM ({ORACLE_TEXT_STATS}) a JOIN ({ORACLE_REPETITION}) b
+USING (doc_id)
+"""
+
+
+# --- vocab_tfidf_terms ----------------------------------------------------------
+
+def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vocab_top_terms + tfidf_top_terms tag-unioned: corpus-level
+    vocabulary and per-document TF-IDF keywords."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_tfidf_top_terms,
+        q_vocab_top_terms,
+    )
+
+    vocab = q_vocab_top_terms(spark, sf_dir).select(
+        F.lit("vocab").alias("part"),
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    tfidf = q_tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("part"),
+        "token",
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tfidf").cast("double").alias("tfidf"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+    return vocab.unionByName(tfidf)
+
+
+def _oracle_vocab_tfidf() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        ORACLE_TFIDF,
+        ORACLE_VOCAB,
+    )
+
+    return f"""
+SELECT 'vocab' AS part, token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(doc_freq AS BIGINT) AS doc_freq, NULL::BIGINT AS doc_id,
+       NULL::DOUBLE AS tfidf, NULL::BIGINT AS rnk
+FROM ({ORACLE_VOCAB})
+UNION ALL
+SELECT 'tfidf', token, NULL::BIGINT, NULL::BIGINT, CAST(doc_id AS BIGINT),
+       CAST(tfidf AS DOUBLE), CAST(rnk AS BIGINT)
+FROM ({ORACLE_TFIDF})
+"""
+
+
+# --- sampling_corpus ------------------------------------------------------------
+
+def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_stratified + mixture_rebalance_source tag-unioned: the
+    deterministic-hash sampling surface (per-stratum rates and
+    mixture reweighting)."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_mixture_rebalance,
+        q_sample_stratified,
+    )
+
+    strat = q_sample_stratified(spark, sf_dir).select(
+        F.lit("stratified").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("keep_buckets"),
+        F.lit(None).cast("long").alias("n_kept"),
+    )
+    mix = q_mixture_rebalance(spark, sf_dir).select(
+        F.lit("mixture").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("keep_buckets").cast("long").alias("keep_buckets"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+    return strat.unionByName(mix)
+
+
+def _oracle_sampling_corpus() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        ORACLE_MIXTURE,
+        ORACLE_SAMPLE_STRATIFIED,
+    )
+
+    return f"""
+SELECT 'stratified' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       NULL::BIGINT AS n_rows, NULL::BIGINT AS keep_buckets,
+       NULL::BIGINT AS n_kept
+FROM ({ORACLE_SAMPLE_STRATIFIED})
+UNION ALL
+SELECT 'mixture', NULL::BIGINT, NULL::VARCHAR, source,
+       CAST(n_rows AS BIGINT), CAST(keep_buckets AS BIGINT),
+       CAST(n_kept AS BIGINT)
+FROM ({ORACLE_MIXTURE})
+"""
+
+
+# --- curation_pii ---------------------------------------------------------------
+
+def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curation_e2e + pii_redaction tag-unioned: the full
+    curation pass (quality filter → scrub → dedup survivors) plus the
+    standalone whole-corpus PII scrub with match counts."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_corpus_curation,
+        q_pii_redaction,
+    )
+
+    pii = q_pii_redaction(spark, sf_dir).select(
+        F.lit("pii").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("quality"),
+    )
+    cur = q_corpus_curation(spark, sf_dir).select(
+        F.lit("curated").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.lit(None).cast("long").alias("n_emails"),
+        F.lit(None).cast("long").alias("n_ips"),
+        F.lit(None).cast("long").alias("n_phones"),
+        "lang",
+        "source",
+        F.col("quality").cast("double").alias("quality"),
+    )
+    return pii.unionByName(cur)
+
+
+def _oracle_curation_pii() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        ORACLE_CURATION,
+        ORACLE_PII,
+    )
+
+    return f"""
+SELECT 'pii' AS part, CAST(doc_id AS BIGINT) AS doc_id, clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones, NULL::VARCHAR AS lang,
+       NULL::VARCHAR AS source, NULL::DOUBLE AS quality
+FROM ({ORACLE_PII})
+UNION ALL
+SELECT 'curated', CAST(doc_id AS BIGINT), clean_text,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       lang, source, CAST(quality AS DOUBLE)
+FROM ({ORACLE_CURATION})
+"""
+
+
+# --- kmeans_cluster -------------------------------------------------------------
+
+def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_label_centroids + kmeans_assign + kmeans_refine
+    tag-unioned: the decimal-exact centroid / E-step / M-step family
+    over the embeddings table."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_kmeans_assign,
+        q_kmeans_refine,
+        q_label_centroids,
+    )
+
+    def cent_part(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("part"),
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            "centroid_str",
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+
+    assign = q_kmeans_assign(spark, sf_dir).select(
+        F.lit("assign").alias("part"),
+        F.col("assigned_label").cast("int").alias("label"),
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos_sim").cast("double").alias("cos_sim"),
+    )
+    return (
+        cent_part(q_label_centroids(spark, sf_dir), "centroids")
+        .unionByName(assign)
+        .unionByName(cent_part(q_kmeans_refine(spark, sf_dir), "refine"))
+    )
+
+
+def _oracle_kmeans_cluster() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        ORACLE_KMEANS_ASSIGN,
+        ORACLE_KMEANS_REFINE,
+        ORACLE_LABEL_CENTROIDS,
+    )
+
+    return f"""
+SELECT 'centroids' AS part, CAST(label AS INT) AS label,
+       CAST(n_vectors AS BIGINT) AS n_vectors, centroid_str,
+       NULL::BIGINT AS vec_id, NULL::DOUBLE AS cos_sim
+FROM ({ORACLE_LABEL_CENTROIDS})
+UNION ALL
+SELECT 'assign', CAST(assigned_label AS INT), NULL::BIGINT, NULL::VARCHAR,
+       CAST(vec_id AS BIGINT), CAST(cos_sim AS DOUBLE)
+FROM ({ORACLE_KMEANS_ASSIGN})
+UNION ALL
+SELECT 'refine', CAST(label AS INT), CAST(n_vectors AS BIGINT), centroid_str,
+       NULL::BIGINT, NULL::DOUBLE
+FROM ({ORACLE_KMEANS_REFINE})
+"""
+
+
+def register_all() -> None:
+    register("profile_columns", q_profile_columns, _oracle_profile_columns())
+    register(
+        "groupby_aggregates", q_groupby_aggregates, _oracle_groupby_aggregates()
+    )
+    register("describe_stats", q_describe_stats, _oracle_describe_stats())
+    register("scalar_parse_corpus", q_scalar_parse_corpus, _oracle_scalar_parse())
+    register("functions_corpus", q_functions_corpus, _oracle_functions_corpus())
+    register("grouping_family", q_grouping_family, ORACLE_GROUPING_FAMILY)
+    register("joins_special", q_joins_special, _oracle_joins_special())
+    register("temporal_joins", q_temporal_joins, _oracle_temporal_joins())
+    register(
+        "session_operators", q_session_operators, _oracle_session_operators()
+    )
+    register(
+        "text_quality_signals", q_text_quality_signals, _oracle_text_quality()
+    )
+    register("vocab_tfidf_terms", q_vocab_tfidf_terms, _oracle_vocab_tfidf())
+    register("sampling_corpus", q_sampling_corpus, _oracle_sampling_corpus())
+    register("curation_pii", q_curation_pii, _oracle_curation_pii())
+    register("kmeans_cluster", q_kmeans_cluster, _oracle_kmeans_cluster())

@@ -447,6 +447,8 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash identically on both sides.
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_date"),
         F.hour(F.col("ts")).alias("event_hour"),
+        # json_extract folded in (same table, same key)
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
     )
 
 
@@ -454,7 +456,8 @@ ORACLE_TIME_DERIV = """
 SELECT event_id,
        CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_sec,
        STRFTIME(ts, '%Y-%m-%d') AS event_date,
-       EXTRACT(hour FROM ts) AS event_hour
+       EXTRACT(hour FROM ts) AS event_hour,
+       CAST(props->>'$.k' AS BIGINT) AS prop_k
 FROM events
 """
 
@@ -605,23 +608,21 @@ GROUP BY 1, 2
 
 
 def register_all() -> None:
+    # merged away (still exported for queries_merged + pytest):
+    # null_fraction_stats/single_value_detect -> profile_columns;
+    # groupby_agg_full -> groupby_aggregates; value_counts_lang/
+    # describe_quantity -> describe_stats; json_extract folded into
+    # time_derivations; session_window_counts -> session_operators.
     register("filter_project", q_filter_project, ORACLE_FILTER_PROJECT)
     register("filter_not_in", q_filter_not_in, ORACLE_FILTER_NOT_IN)
     register("filter_theta_drop", q_filter_theta_drop, ORACLE_FILTER_THETA)
-    register("null_fraction_stats", q_null_fraction_stats, ORACLE_NULL_FRACTION)
-    register("single_value_detect", q_single_value_detect, ORACLE_SINGLE_VALUE)
     register("dedup_deterministic", q_dedup_deterministic, ORACLE_DEDUP)
     register("join_inner_suffixed", q_join_inner_suffixed, ORACLE_JOIN_SUFFIXED)
-    register("groupby_agg_full", q_groupby_agg_full, ORACLE_AGG_FULL)
     register("pivot_orders", q_pivot_orders, ORACLE_PIVOT_ORDERS)
-    register("value_counts_lang", q_value_counts_lang, ORACLE_VALUE_COUNTS)
-    register("describe_quantity", q_describe_quantity, ORACLE_DESCRIBE)
     register("window_topk", q_window_topk, ORACLE_WINDOW_TOPK)
     register("sort_limit_offset", q_sort_limit_offset, ORACLE_SORT_LIMIT)
     register("set_operations", q_set_operations, ORACLE_SET_OPS)
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
-    register("json_extract", q_json_extract, ORACLE_JSON_EXTRACT)
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
     register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)
     register("sink_parquet_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)
-    register("session_window_counts", q_session_window_counts, ORACLE_SESSION_WINDOW)

@@ -154,8 +154,8 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def register_all() -> None:
+    # cube_revenue + grouping_sets_sql merged into
+    # queries_merged.grouping_family (with rollup_revenue)
     register("unpivot_melt", q_unpivot_melt, ORACLE_UNPIVOT)
     register("lateral_explode", q_lateral_explode, ORACLE_LATERAL_EXPLODE)
     register("array_hof_corpus", q_array_hof, ORACLE_ARRAY_HOF)
-    register("cube_revenue", q_cube_revenue, ORACLE_CUBE)
-    register("grouping_sets_sql", q_grouping_sets, ORACLE_GROUPING_SETS)

@@ -264,8 +264,6 @@ FROM {_values_sql(CAST_CORPUS)}
 
 
 def register_all() -> None:
-    register("money_parse_corpus", q_money_parse, ORACLE_MONEY)
-    register("date_parse_corpus", q_date_parse, ORACLE_DATE)
-    register("runtime_parse_corpus", q_runtime_parse, ORACLE_RUNTIME)
-    register("imdb_extract_corpus", q_imdb_extract, ORACLE_IMDB)
-    register("cast_coerce_corpus", q_cast_coerce, ORACLE_CAST)
+    # all five corpora are merged into queries_merged.scalar_parse_corpus
+    # (id-spine join); functions/oracles stay exported for it + pytest.
+    pass

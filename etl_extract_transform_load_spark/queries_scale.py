@@ -1078,20 +1078,13 @@ WHERE rank <= {_IVF_K}
 
 
 def register_all() -> None:
-    register("text_stats_docs", q_text_stats, ORACLE_TEXT_STATS)
-    register("text_repetition_signals", q_repetition_signals, ORACLE_REPETITION)
-    register("pii_redaction", q_pii_redaction, ORACLE_PII)
+    # merged into queries_merged: text stats/repetition ->
+    # text_quality_signals; pii + curation -> curation_pii; vocab/tfidf
+    # -> vocab_tfidf_terms; sampling/mixture -> sampling_corpus;
+    # centroids/assign/refine -> kmeans_cluster.
     register("dedup_connected_components", q_dedup_components, ORACLE_COMPONENTS)
-    register("vocab_top_terms", q_vocab_top_terms, ORACLE_VOCAB)
-    register("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF)
-    register("sample_stratified", q_sample_stratified, ORACLE_SAMPLE_STRATIFIED)
-    register("mixture_rebalance_source", q_mixture_rebalance, ORACLE_MIXTURE)
     register("doc_chunks", q_doc_chunks, ORACLE_CHUNKS)
     register("pack_sequences", q_pack_sequences, ORACLE_PACK)
-    register("corpus_curation_e2e", q_corpus_curation, ORACLE_CURATION)
-    register("embedding_label_centroids", q_label_centroids, ORACLE_LABEL_CENTROIDS)
-    register("kmeans_assign", q_kmeans_assign, ORACLE_KMEANS_ASSIGN)
-    register("kmeans_refine", q_kmeans_refine, ORACLE_KMEANS_REFINE)
     register("dedup_exact_clusters", q_dedup_exact, ORACLE_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD)
     register("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH)

@@ -179,8 +179,7 @@ GROUP BY l_returnflag
 
 
 def register_all() -> None:
-    register("asof_purchase_click", q_asof_purchase_click, ORACLE_ASOF)
-    register("range_join_clicks", q_range_join_clicks, ORACLE_RANGE_JOIN)
-    register("session_stats", q_session_stats, ORACLE_SESSIONS)
-    register("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP)
-    register("mad_quantity_pandas_udaf", q_mad_quantity, ORACLE_MAD)
+    # merged: asof + range -> queries_merged.temporal_joins;
+    # session_stats -> session_operators; rollup_revenue ->
+    # grouping_family; mad UDAF -> describe_stats.
+    pass

@@ -147,5 +147,6 @@ FROM s
 
 
 def register_all() -> None:
+    # aggregate_functions_corpus merged into
+    # queries_merged.groupby_aggregates (join on l_returnflag)
     register("window_functions_corpus", q_window_functions, ORACLE_WINDOW_FUNCS)
-    register("aggregate_functions_corpus", q_aggregate_functions, ORACLE_AGG_FUNCS)

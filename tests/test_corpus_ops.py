@@ -121,9 +121,18 @@ def test_pack_greedy_respects_budget(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {
         r.doc_id: (r.bin_id, r.n_tokens)
-        for r in pack_greedy(docs, budget=6).collect()
+        for r in pack_greedy(docs, budget=6, n_shards=1).collect()
     }
     assert got[1][0] == 0 and got[2][0] == 0
     assert got[3][0] == 1
     assert got[4] == (2, 10)  # oversized doc gets its own bin
     assert got[5][0] == 3
+    # sharded default: packing is shard-local, every non-oversized bin
+    # respects the budget within its (source, shard) group
+    sharded = pack_greedy(docs, budget=6).collect()
+    assert {r.doc_id for r in sharded} == {1, 2, 3, 4, 5}
+    by_bin: dict = {}
+    for r in sharded:
+        by_bin.setdefault((r.source, r.shard, r.bin_id), []).append(r.n_tokens)
+    for toks in by_bin.values():
+        assert sum(toks) <= 6 or len(toks) == 1

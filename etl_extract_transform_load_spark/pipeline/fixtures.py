@@ -28,7 +28,9 @@ DATE_SAMPLES = [
 RUNTIME_SAMPLES = ["102 minutes", "1 hour 42 minutes", "102 min", "1h 42m"]
 
 
-def make_wiki(spark: SparkSession, n: int = 300, seed: int = 7) -> DataFrame:
+def wiki_rows(n: int = 300, seed: int = 7) -> list[tuple]:
+    """Raw fixture rows as plain Python — shared by ``make_wiki`` and
+    the DuckDB VALUES renderer in ``pipeline.movies_oracle``."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -63,7 +65,11 @@ def make_wiki(spark: SparkSession, n: int = 300, seed: int = 7) -> DataFrame:
                 float(12) if is_tv else None,
             )
         )
-    return spark.createDataFrame(rows, WIKI_SCHEMA)
+    return rows
+
+
+def make_wiki(spark: SparkSession, n: int = 300, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(wiki_rows(n, seed), WIKI_SCHEMA)
 
 
 KAGGLE_SCHEMA = (
@@ -74,7 +80,7 @@ KAGGLE_SCHEMA = (
 )
 
 
-def make_kaggle(spark: SparkSession, n: int = 300, seed: int = 11) -> DataFrame:
+def kaggle_rows(n: int = 300, seed: int = 11) -> list[tuple]:
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -98,15 +104,19 @@ def make_kaggle(spark: SparkSession, n: int = 300, seed: int = 11) -> DataFrame:
                 rng.uniform(1, 10).__round__(1),
             )
         )
-    return spark.createDataFrame(rows, KAGGLE_SCHEMA)
+    return rows
+
+
+def make_kaggle(spark: SparkSession, n: int = 300, seed: int = 11) -> DataFrame:
+    return spark.createDataFrame(kaggle_rows(n, seed), KAGGLE_SCHEMA)
 
 
 RATINGS_SCHEMA = "userId long, movieId long, rating double, timestamp long"
 
 
-def make_ratings(spark: SparkSession, n: int = 5000, seed: int = 13) -> DataFrame:
+def ratings_rows(n: int = 5000, seed: int = 13) -> list[tuple]:
     rng = random.Random(seed)
-    rows = [
+    return [
         (
             rng.randrange(1, 200),
             rng.randrange(0, 400),  # some movieIds absent from kaggle
@@ -115,4 +125,7 @@ def make_ratings(spark: SparkSession, n: int = 5000, seed: int = 13) -> DataFram
         )
         for _ in range(n)
     ]
-    return spark.createDataFrame(rows, RATINGS_SCHEMA)
+
+
+def make_ratings(spark: SparkSession, n: int = 5000, seed: int = 13) -> DataFrame:
+    return spark.createDataFrame(ratings_rows(n, seed), RATINGS_SCHEMA)

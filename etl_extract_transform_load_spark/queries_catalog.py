@@ -68,11 +68,15 @@ queries_merged.register_all()
 
 
 # --- the full reference pipeline on deterministic in-line fixtures ---
-# (rows-only: the 5-stage pipeline spans regex parsing + data-dependent
-# pruning + pivots — not reasonably expressible as one SQL statement;
-# stage-level parity is oracle-checked by the per-operator queries above
-# and pytest golden tests.)
+# Full value-level oracle: pipeline.movies_oracle renders the fixtures
+# as VALUES CTEs and re-implements all five stages in DuckDB SQL from
+# the RE2-safe kernel twins. Driver-facing serialization: the
+# alt_titles map becomes a name-sorted "key=value;..." string and the
+# two date columns ISO strings (maps/dates trip the driver's pandas
+# canonicalizer — see VERDICT r1 "What's wrong" #2-4).
 def _movies_pipeline_e2e(spark, sf_dir):  # noqa: ANN001
+    from pyspark.sql import functions as F
+
     from etl_extract_transform_load_spark.pipeline.fixtures import (
         make_kaggle,
         make_ratings,
@@ -80,9 +84,32 @@ def _movies_pipeline_e2e(spark, sf_dir):  # noqa: ANN001
     )
     from etl_extract_transform_load_spark.pipeline.movies import movies_etl
 
-    return movies_etl(
-        make_wiki(spark), make_kaggle(spark), make_ratings(spark)
+    df = movies_etl(make_wiki(spark), make_kaggle(spark), make_ratings(spark))
+    serialized = {
+        "alt_titles": F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("alt_titles"))),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            ),
+            ";",
+        ),
+        "release_date_wiki": F.date_format("release_date_wiki", "yyyy-MM-dd"),
+        "release_date_kaggle": F.date_format("release_date_kaggle", "yyyy-MM-dd"),
+    }
+    return df.select(
+        *[
+            serialized.get(c, F.col(f"`{c}`")).alias(c)
+            for c in df.columns
+        ]
     )
 
 
-register("movies_pipeline_e2e", _movies_pipeline_e2e, None)
+def _movies_oracle() -> str:
+    from etl_extract_transform_load_spark.pipeline.movies_oracle import (
+        movies_oracle_sql,
+    )
+
+    return movies_oracle_sql()
+
+
+register("movies_pipeline_e2e", _movies_pipeline_e2e, _movies_oracle())

@@ -11,9 +11,10 @@ The per-chunk progress printing (challenge2.py:296-301) becomes a
 ``QueryExecutionListener`` (job-level metrics) — see
 ``instrumented_write``.
 
-No database ships in this container, so tests exercise the option
-plumbing against SQLite-style failure and the parquet sink; the JDBC
-paths are production-shaped but integration-gated.
+Integration coverage: Spark bundles embedded Apache Derby
+(jars/derby-*.jar), so ``tests/test_jdbc_integration.py`` round-trips
+these paths through a real JDBC endpoint — parallel batched writes,
+range-partitioned reads, append accumulation, and instrumentation.
 """
 
 from __future__ import annotations

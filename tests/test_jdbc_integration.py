@@ -1,0 +1,109 @@
+"""JDBC sink/source integration (SURVEY.md §2.1 S4-S5).
+
+The reference's only measured workload is a chunked Postgres append
+(challenge2.py:292-301, 26M rows @ ~5,075 rows/s single-threaded). No
+Postgres ships in this container, but Spark bundles embedded Apache
+Derby (``$SPARK_HOME``/jars/derby-*.jar for the Hive metastore), which
+exposes a real JDBC endpoint inside the test JVM — so the write/read
+paths in ``sinks.jdbc`` are exercised end-to-end: connection setup,
+dialect type mapping, partition-parallel batched INSERTs, range-
+partitioned parallel reads, and the instrumentation wrapper.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_extract_transform_load_spark.sinks.jdbc import (
+    instrumented_write,
+    read_jdbc,
+    write_jdbc,
+)
+
+def _derby_available() -> bool:
+    spark_home = os.environ.get("SPARK_HOME")
+    if not spark_home:
+        try:
+            import pyspark
+
+            spark_home = os.path.dirname(pyspark.__file__)
+        except ImportError:  # pragma: no cover
+            return False
+    return bool(glob.glob(os.path.join(spark_home, "jars", "derby-*.jar")))
+
+
+pytestmark = pytest.mark.skipif(
+    not _derby_available(), reason="no embedded Derby jar in Spark classpath"
+)
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    # one database per test; ";create=true" bootstraps it in-process
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_roundtrip_parallel(spark, derby_url):
+    src = (
+        spark.range(0, 10_000)
+        .select(
+            F.col("id").cast("bigint").alias("k"),
+            (F.col("id") % 7).cast("int").alias("bucket"),
+            F.concat(F.lit("name_"), F.col("id")).alias("label"),
+            (F.col("id") * 1.5).alias("score"),
+        )
+    )
+    # partition-parallel write: 4 concurrent connections, batched INSERTs
+    write_jdbc(
+        src,
+        derby_url,
+        "T_ROUNDTRIP",
+        mode="overwrite",
+        num_partitions=4,
+        batchsize=1_000,
+    )
+
+    # range-partitioned parallel read back
+    got = read_jdbc(
+        spark,
+        derby_url,
+        "T_ROUNDTRIP",
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=10_000,
+        num_partitions=4,
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 10_000
+    exp_rows = src.orderBy("k").collect()
+    got_rows = got.select("k", "bucket", "label", "score").orderBy("k").collect()
+    assert got_rows == exp_rows
+
+
+def test_jdbc_append_mode_accumulates(spark, derby_url):
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    write_jdbc(df, derby_url, "T_APPEND", mode="overwrite")
+    write_jdbc(df, derby_url, "T_APPEND", mode="append")
+    got = read_jdbc(spark, derby_url, "T_APPEND")
+    assert got.count() == 4
+    assert got.groupBy("k").count().filter("count = 2").count() == 2
+
+
+def test_instrumented_write_reports_throughput(spark, derby_url):
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    metrics = instrumented_write(
+        df,
+        lambda d: write_jdbc(d, derby_url, "T_METRICS", mode="overwrite",
+                             num_partitions=2, batchsize=500),
+    )
+    assert metrics["rows"] == 5_000
+    assert metrics["elapsed_sec"] > 0
+    assert metrics["rows_per_sec"] > 0
+    got = read_jdbc(spark, derby_url, "T_METRICS")
+    assert got.count() == 5_000

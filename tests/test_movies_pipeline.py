@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_ORACLE
 from etl_extract_transform_load_spark.pipeline.fixtures import make_kaggle, make_ratings, make_wiki
 
 from etl_extract_transform_load_spark.pipeline.movies import (
@@ -101,3 +102,21 @@ def test_full_pipeline_is_lazy_single_action(spark, wiki, kaggle, ratings):
     # the final count is one job over the composed plan
     final = movies_etl(wiki, kaggle, ratings)
     assert final.count() > 0
+
+
+def test_movies_e2e_matches_full_duckdb_oracle(spark):
+    """The driver-registered e2e query hash-matches its VALUES-CTE
+    DuckDB oracle (pipeline.movies_oracle) — the strongest reference-
+    parity statement: two independent implementations of all five
+    challenge2.py stages agree value-for-value."""
+    from oracle import assert_matches_oracle
+
+    from etl_extract_transform_load_spark.pipeline.movies_oracle import (
+        movies_oracle_sql,
+    )
+    from etl_extract_transform_load_spark.queries_catalog import (
+        _movies_pipeline_e2e,
+    )
+
+    df = _movies_pipeline_e2e(spark, SF_ORACLE)
+    assert_matches_oracle(df, movies_oracle_sql(), SF_ORACLE)

@@ -643,11 +643,30 @@ FROM ({ORACLE_CURATION})
 def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_label_centroids + kmeans_assign + kmeans_refine
     tag-unioned: the decimal-exact centroid / E-step / M-step family
-    over the embeddings table."""
+    over the embeddings table.
+
+    The three parts form one Lloyd iteration, so the pipeline is
+    computed ONCE and shared: seed centroids → assignment (E-step) →
+    refined centroids (M-step over the same assignment). Checkpointing
+    the two narrow intermediates (|labels| centroid rows, (id, label)
+    assignments) replaces the 3× centroid-aggregation and 2×
+    assignment recompute the naive union of the standalone queries
+    would run — values are identical by construction."""
     from etl_extract_transform_load_spark.queries_scale import (
-        q_kmeans_assign,
-        q_kmeans_refine,
-        q_label_centroids,
+        _serialize_centroid,
+    )
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        label_centroids,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb).localCheckpoint()
+    assigned = assign_to_centroids(emb, cents).localCheckpoint()
+    relabeled = emb.join(assigned.select("vec_id", "assigned_label"), "vec_id")
+    refined = label_centroids(relabeled, "assigned_label").withColumnRenamed(
+        "assigned_label", "label"
     )
 
     def cent_part(df: DataFrame, tag: str) -> DataFrame:
@@ -660,7 +679,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("cos_sim"),
         )
 
-    assign = q_kmeans_assign(spark, sf_dir).select(
+    assign = assigned.select(
         F.lit("assign").alias("part"),
         F.col("assigned_label").cast("int").alias("label"),
         F.lit(None).cast("long").alias("n_vectors"),
@@ -669,9 +688,9 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").cast("double").alias("cos_sim"),
     )
     return (
-        cent_part(q_label_centroids(spark, sf_dir), "centroids")
+        cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)
-        .unionByName(cent_part(q_kmeans_refine(spark, sf_dir), "refine"))
+        .unionByName(cent_part(_serialize_centroid(refined), "refine"))
     )
 
 

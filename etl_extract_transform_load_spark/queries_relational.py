@@ -482,28 +482,67 @@ FROM events
 # --- parquet sink roundtrip (write → read back → aggregate) ------------------
 
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4-analog for files: the write must be lossless — aggregating
-    the re-read output hash-matches aggregating the source."""
-    from etl_extract_transform_load_spark.sinks.files import write_parquet
-
-    li = load_table(spark, sf_dir, "lineitem")
-    path = "/tmp/etl_spark_sink_roundtrip"
-    write_parquet(li, path, partition_by=["l_returnflag"])
-    back = spark.read.parquet(path)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
+    """S4-analog for files, over every built-in file sink: writes must
+    be lossless, so for each of parquet (partitioned layout), ORC,
+    CSV, and JSON-lines, aggregating the re-read output hash-matches
+    aggregating the source. Text formats carry no schema — the reads
+    supply the source schema explicitly (type-inference roundtrips are
+    NOT lossless: dates come back as strings, ints as bigints)."""
+    from etl_extract_transform_load_spark.sinks.files import (
+        write_csv,
+        write_json,
+        write_orc,
+        write_parquet,
     )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    base = "/tmp/etl_spark_sink_roundtrip"
+
+    write_parquet(li, f"{base}_parquet", partition_by=["l_returnflag"])
+    write_orc(li, f"{base}_orc")
+    write_csv(li, f"{base}_csv")
+    write_json(li, f"{base}_json")
+
+    reads = {
+        "parquet": spark.read.parquet(f"{base}_parquet"),
+        "orc": spark.read.orc(f"{base}_orc"),
+        "csv": spark.read.schema(li.schema)
+        .option("header", "true")
+        .csv(f"{base}_csv"),
+        "json": spark.read.schema(li.schema).json(f"{base}_json"),
+    }
+    parts = [
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        )
+        .select(F.lit(fmt).alias("fmt"), "*")
+        for fmt, back in reads.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 ORACLE_SINK_ROUNDTRIP = """
-SELECT l_returnflag,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY l_returnflag
+WITH src AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           STRFTIME(MIN(l_shipdate), '%Y-%m-%d') AS min_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT f.fmt, s.l_returnflag, s.n, s.sum_qty, s.min_ship
+FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt)
+CROSS JOIN src s
 """
 
 
@@ -625,4 +664,4 @@ def register_all() -> None:
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
     register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)
-    register("sink_parquet_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)
+    register("sink_formats_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)

@@ -835,16 +835,20 @@ ORACLE_SIMHASH = _oracle_simhash()
 # --- similarity search ------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline on the scale-safe expression plan: the
-    right side is a Spark broadcast (spill-managed), never a driver
-    collect. ``neighbor_pairs_above_arrow`` remains as an opt-in local
-    accelerator (same bits, pytest-pinned), not the contract query."""
+    """Exact all-pairs baseline on the block-pair matrix plan: rows
+    replicate to their n(n+1)/2 block-pair tasks and numpy cross-
+    scores each pair task with the sequential fold — no driver
+    collect, no corpus broadcast, and the per-pair work is vectorized
+    instead of JVM row-at-a-time. ``neighbor_pairs_above`` (pure
+    expression) and ``neighbor_pairs_above_arrow`` stay as the
+    oracle-shaped and local-accelerator variants (same bits,
+    pytest-pinned)."""
     from etl_extract_transform_load_spark.scale.similarity import (
-        neighbor_pairs_above,
+        neighbor_pairs_above_blocks,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above(emb, threshold=0.4)
+    return neighbor_pairs_above_blocks(emb, threshold=0.4)
 
 
 # Formula in lockstep with the Spark plan: dot(a,b) / (‖a‖·‖b‖), every

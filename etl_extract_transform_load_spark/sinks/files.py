@@ -31,3 +31,16 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.option("header", str(header).lower()).mode(mode).csv(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    df.write.option("compression", compression).mode(mode).orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON lines sink. Text formats carry no schema — readers must
+    supply one (see q_sink_roundtrip) or pay an inference scan."""
+    df.write.mode(mode).json(path)

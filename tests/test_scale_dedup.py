@@ -181,3 +181,27 @@ def test_blas_topk_agrees_with_exact(spark):
     for key in exact:
         # BLAS pairwise summation may differ in the last ulp pre-round
         assert abs(exact[key] - blas[key]) <= 1e-6
+
+
+def test_block_pair_kernel_bit_identical_to_expression(spark):
+    """neighbor_pairs_above_blocks (block-pair numpy tasks) returns the
+    same pairs and the same bits as the expression plan, for block
+    counts that do and don't divide the id space evenly."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above,
+        neighbor_pairs_above_blocks,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    expr_pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above(emb, threshold=0.3).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in neighbor_pairs_above_blocks(
+                emb, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == expr_pairs, f"mismatch at n_blocks={n_blocks}"

@@ -58,20 +58,60 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 4)
+
+    # The reference's single measured number is a chunked JDBC append
+    # (26M rows @ ~5,075 rows/s single-threaded, BASELINE.md). Measure
+    # the like-for-like shape — batched INSERTs over JDBC — against the
+    # embedded Derby that ships with Spark, partition-parallel.
+    jdbc_rows_per_sec = None
+    try:
+        import glob
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_extract_transform_load_spark.sinks.jdbc import (
+            instrumented_write,
+            write_jdbc,
+        )
+
+        spark_home = os.environ.get("SPARK_HOME") or os.path.dirname(
+            __import__("pyspark").__file__
+        )
+        if glob.glob(os.path.join(spark_home, "jars", "derby-*.jar")):
+            tmp = tempfile.mkdtemp(prefix="etl_spark_jdbc_bench_")
+            url = f"jdbc:derby:{tmp}/db;create=true"
+            load = spark.range(0, 200_000).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).cast("int").alias("bucket"),
+                F.concat(F.lit("name_"), F.col("id")).alias("label"),
+                (F.col("id") * 1.5).alias("score"),
+            )
+            m = instrumented_write(
+                load,
+                lambda df_: write_jdbc(
+                    df_, url, "T_BENCH", mode="overwrite",
+                    num_partitions=8, batchsize=10_000,
+                ),
+            )
+            jdbc_rows_per_sec = m["rows_per_sec"]
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — throughput probe must never fail bench
+        pass
+
     # one COMPACT line: the round driver truncates/fails on long
     # pretty-printed output (r1 recorded "parsed": null)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if jdbc_rows_per_sec is not None:
+        out["jdbc_rows_per_sec"] = jdbc_rows_per_sec
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

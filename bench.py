@@ -55,7 +55,10 @@ def main() -> None:
         # A count materializes the whole plan without driver-side
         # collection overhead dominating the measurement.
         df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # 2-decimal precision keeps the final JSON line comfortably
+        # inside the driver's 2000-char stdout tail capture (r1's
+        # 66-query line overflowed it and recorded "parsed": null).
+        timings[name] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 4)
 

@@ -646,6 +646,67 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 under REAL streaming execution, not the batch analog:
+    events are re-laid-out as 8 files, consumed as a file stream two
+    files per micro-batch (``availableNow`` + ``maxFilesPerTrigger`` →
+    4 incremental batches), aggregated through the watermarked
+    tumbling-window operator with state carried across batches, and
+    drained to a memory sink. The final complete-mode result must
+    equal the batch window aggregation — which is exactly what the
+    DuckDB oracle computes, so exactly-once accumulation across
+    micro-batches is value-verified by the driver."""
+    import shutil
+    import uuid
+
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        windowed_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    run = uuid.uuid4().hex[:8]
+    src = f"/tmp/etl_spark_stream_src_{run}"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = file_stream_source(
+        spark, src, schema=events.schema, fmt="parquet",
+        max_files_per_trigger=2,
+    )
+    agg = windowed_counts(stream, window_duration="1 hour")
+    # Streaming disables AQE, so the stateful agg materializes the full
+    # spark.sql.shuffle.partitions as state-store tasks per micro-batch.
+    # The state here is tiny (hours x event types); pin a small count
+    # for the stream's lifetime and restore the session default after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"win_{run}")
+            .option("checkpointLocation", f"/tmp/etl_spark_stream_ckpt_{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # The memory sink holds the complete-mode result in the driver;
+    # the scratch source/checkpoint dirs are no longer needed.
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"/tmp/etl_spark_stream_ckpt_{run}", ignore_errors=True)
+    return spark.table(f"win_{run}").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
 def register_all() -> None:
     # merged away (still exported for queries_merged + pytest):
     # null_fraction_stats/single_value_detect -> profile_columns;
@@ -663,5 +724,10 @@ def register_all() -> None:
     register("set_operations", q_set_operations, ORACLE_SET_OPS)
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
     register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
+    register(
+        "streaming_windowed_ingest",
+        q_streaming_windowed_ingest,
+        ORACLE_WINDOWED_COUNTS,
+    )
     register("salted_join_agg", q_salted_join, ORACLE_SALTED_JOIN)
     register("sink_formats_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP)

@@ -609,13 +609,25 @@ def neighbor_pairs_above_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     parallelism: int = 64,
+    n_shards: int = 8,
 ) -> DataFrame:
     """Embedding near-dup at corpus scale: candidate pairs meet only
     inside a hyperplane sign bucket (high-cosine pairs land in the
     same bucket with probability (1 - θ/π)^bits), then exact cosine
     verifies. Replaces the O(N²) pair join of
     ``neighbor_pairs_above`` with a per-bucket join — the
-    sketch-then-verify shape shared with MinHash dedup."""
+    sketch-then-verify shape shared with MinHash dedup.
+
+    The bucket key alone has only 2**bits distinct values, which would
+    cap the pair-join at 2**bits reduce tasks no matter the cluster
+    size. A shard sub-key fans it out: the left side keeps
+    ``pmod(xxhash64(id), n_shards)``, the right side is replicated
+    across all shards (an ``explode`` of a ``sequence`` literal — cheap,
+    the replicated rows never shuffle twice), and the join key becomes
+    (bucket, shard). Every pair still meets exactly once — at the left
+    row's shard — so the result set is unchanged while reduce-side
+    parallelism becomes 2**bits × n_shards with per-task pair volume
+    cut by n_shards."""
     planes = _hyperplanes(dim, bits, seed)
     v = _vectors_with_norm(
         vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
@@ -625,15 +637,18 @@ def neighbor_pairs_above_lsh(
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
         "__bucket",
+        F.pmod(F.xxhash64("__id"), F.lit(n_shards)).cast("int").alias("__shard"),
     )
     b = v.select(
         F.col("__id").alias("id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
         "__bucket",
+    ).withColumn(
+        "__shard", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
     )
     return (
-        a.join(b, "__bucket")
+        a.join(b, ["__bucket", "__shard"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

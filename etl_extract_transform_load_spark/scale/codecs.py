@@ -1,0 +1,278 @@
+"""Pure-numpy/stdlib media codecs for the multimodal pipeline.
+
+Real decoders for public container formats whose specs need no external
+libraries — so ``scale.multimodal`` ``mode="real"`` genuinely decodes
+instead of raising:
+
+- **PPM/PGM** (netpbm ``P6``/``P5``, binary): RGB / grayscale images.
+- **BMP** (Windows ``BITMAPINFOHEADER``, uncompressed 24-bit BI_RGB).
+- **WAV** (RIFF PCM, 8/16-bit, any channel count) via stdlib ``wave``.
+- **Y4M** (YUV4MPEG2, 4:2:0) video: frame iteration / sampling.
+
+Compressed formats (JPEG/PNG/MP4/...) still require Pillow/ffmpeg and
+keep the explicit ``NotImplementedError`` seam in ``multimodal.py``.
+
+Everything here is executor-side code called from Arrow-batched
+``mapInPandas`` — per-byte work stays in numpy, no Python per-pixel
+loops. Encoders exist so tests can synthesize deterministic inputs.
+
+Reference parity note: the reference pipeline (challenge2.py) has no
+media path at all; this module is part of the 100 TB training-data
+extension surface (task brief "multimodal columns").
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# netpbm (PPM P6 / PGM P5)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 → binary PPM (P6, maxval 255)."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("PPM wants HxWx3 uint8")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """Encode HxW uint8 → binary PGM (P5, maxval 255)."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("PGM wants HxW uint8")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a P5/P6 header → (magic, width, height, maxval, data_off).
+
+    Handles arbitrary whitespace and ``#`` comments per the netpbm spec.
+    """
+    magic = buf[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        fields.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    return magic, w, h, maxval, i
+
+
+def decode_pnm(buf: bytes) -> np.ndarray:
+    """Binary PPM/PGM bytes → HxWx3 or HxW uint8 array."""
+    magic, w, h, maxval, off = _pnm_header(buf)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    a = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=off)
+    return a.reshape(h, w, 3) if ch == 3 else a.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 (RGB) → 24-bit bottom-up BI_RGB BMP."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("BMP wants HxWx3 uint8")
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = raster.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes → HxWx3 uint8 RGB array (top-down)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flip = h > 0  # positive height = bottom-up raster
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        buf, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    img = raster[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) via stdlib wave
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, sampwidth: int = 2
+) -> bytes:
+    """Encode (n,) or (n, channels) int16/uint8 PCM → WAV bytes."""
+    a = np.asarray(samples)
+    nch = 1 if a.ndim == 1 else a.shape[1]
+    dtype = np.uint8 if sampwidth == 1 else np.int16
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(a, dtype=dtype).tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n_frames, channels) float64 in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        nch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    return x.reshape(-1, nch), rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, 4:2:0) video
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n_frames, H, W) uint8 luma → Y4M 4:2:0 (U/V planes 128)."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 wants even dimensions")
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [head]
+    for f in a:
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+        out.append(chroma)  # U
+        out.append(chroma)  # V
+    return b"".join(out)
+
+
+def decode_y4m_frames(
+    buf: bytes, every_n: int = 1
+) -> tuple[list[tuple[int, np.ndarray]], int, int]:
+    """Y4M bytes → ([(frame_idx, HxW luma), ...] for idx % every_n == 0,
+    width, height). Chroma planes are skipped, not copied."""
+    nl = buf.index(b"\n")
+    header = buf[:nl].split()
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise ValueError(f"only 4:2:0 supported (got {tok!r})")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    luma, chroma = w * h, (w // 2) * (h // 2)
+    frames: list[tuple[int, np.ndarray]] = []
+    pos, idx = nl + 1, 0
+    while pos < len(buf):
+        fl = buf.index(b"\n", pos)  # FRAME line (may carry params)
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fl + 1
+        if idx % every_n == 0:
+            y = np.frombuffer(buf, dtype=np.uint8, count=luma, offset=pos)
+            frames.append((idx, y.reshape(h, w)))
+        pos += luma + 2 * chroma
+        idx += 1
+    return frames, w, h
+
+
+# ---------------------------------------------------------------------------
+# sniffing + resize kernels
+# ---------------------------------------------------------------------------
+
+
+def sniff(buf: bytes) -> str:
+    """Identify a media payload by magic bytes → codec name."""
+    if buf[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:9] == b"YUV4MPEG2"[:9]:
+        return "y4m"
+    if buf[:4] == b"FAKE":
+        return "fake"
+    return "unknown"
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """HxW[x3] uint8 → HxW float64 luma (ITU-R BT.601 weights)."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    w = np.array([0.299, 0.587, 0.114])
+    return img.astype(np.float64) @ w
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of HxW[xC] via integer index maps."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (align_corners=False convention), uint8 out."""
+    h, w = img.shape[:2]
+    a = img.astype(np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0[:, None], x0[None, :]] * (1 - wx) + a[y0[:, None], x1[None, :]] * wx
+    bot = a[y1[:, None], x0[None, :]] * (1 - wx) + a[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.rint(out).clip(0, 255).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out

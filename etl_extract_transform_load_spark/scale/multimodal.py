@@ -3,11 +3,17 @@ columns with typed metadata, processed by Arrow-batched Pandas
 transforms.
 
 The Spark-side architecture is fully real — schemas, batch iteration,
-partitioning, UDF signatures. The *codec* step is stubbed: this
-container has no image/audio libraries, so ``decode_image`` runs in
-``fake`` mode (a deterministic parse of the synthetic byte format) and
-raises ``NotImplementedError`` in ``real`` mode. Swapping in Pillow/
-ffmpeg later changes only ``_decode_real``.
+partitioning, UDF signatures. Codecs come in two tiers:
+
+- ``mode="real"`` decodes genuine public container formats with the
+  pure-numpy/stdlib codecs in :mod:`scale.codecs` — netpbm PPM/PGM,
+  uncompressed 24-bit BMP, RIFF PCM WAV, and YUV4MPEG2 (Y4M) video.
+  No external imaging/audio libraries needed.
+- Compressed formats (JPEG/PNG/MP4/...) require Pillow/ffmpeg, which
+  this container lacks; those payloads raise ``NotImplementedError``
+  at the clearly-marked seam so the gap is explicit, not silent.
+- ``mode="fake"`` keeps the original deterministic synthetic format
+  for plumbing tests.
 
 Media schema convention:
     media_id long, modality string, content binary,
@@ -69,10 +75,25 @@ def _decode_fake(content: bytes) -> tuple[int, int, float]:
 
 
 def _decode_real(content: bytes) -> tuple[int, int, float]:
-    raise NotImplementedError(
-        "real image decoding requires an imaging library (e.g. Pillow) "
-        "not present in this environment; wire it in here"
-    )
+    """Decode a real image payload → (width, height, mean luma).
+
+    Supports the stdlib/numpy-decodable formats in ``scale.codecs``
+    (netpbm PPM/PGM, uncompressed 24-bit BMP). Compressed formats are
+    the explicit externally-dependent seam."""
+    from etl_extract_transform_load_spark.scale import codecs
+
+    kind = codecs.sniff(content)
+    if kind == "pnm":
+        img = codecs.decode_pnm(content)
+    elif kind == "bmp":
+        img = codecs.decode_bmp(content)
+    else:
+        raise NotImplementedError(
+            f"image codec {kind!r}: only PPM/PGM/BMP decode without an "
+            "imaging library; JPEG/PNG need Pillow — wire it in here"
+        )
+    h, w = img.shape[:2]
+    return w, h, float(codecs.to_gray(img).mean())
 
 
 def decode_image_features(
@@ -105,27 +126,46 @@ def decode_image_features(
     )
 
 
+def _resize_real(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Bilinear-resize one PPM/PGM/BMP payload, re-encoded same-format."""
+    from etl_extract_transform_load_spark.scale import codecs
+
+    kind = codecs.sniff(raw)
+    if kind == "pnm":
+        img = codecs.decode_pnm(raw)
+        out = codecs.resize_bilinear(img, target_h, target_w)
+        return codecs.encode_ppm(out) if out.ndim == 3 else codecs.encode_pgm(out)
+    if kind == "bmp":
+        out = codecs.resize_bilinear(codecs.decode_bmp(raw), target_h, target_w)
+        return codecs.encode_bmp(out)
+    raise NotImplementedError(
+        f"image codec {kind!r}: resize supports PPM/PGM/BMP without an "
+        "imaging library; JPEG/PNG need Pillow"
+    )
+
+
 def resize_images(
     media: DataFrame, target_w: int, target_h: int, mode: str = "fake"
 ) -> DataFrame:
-    """Resize stub: fake mode rewrites the header dims (payload kept) —
-    the plumbing (binary in → binary out, same row count, metadata
-    struct updated) is the tested contract."""
+    """Resize every image to ``target_w`` × ``target_h`` (binary in →
+    binary out, same row count). Real mode bilinear-resizes PPM/PGM/BMP
+    via the numpy kernels in ``scale.codecs``; fake mode rewrites the
+    synthetic header dims so plumbing tests stay codec-free."""
     import pandas as pd
-
-    if mode != "fake":
-        raise NotImplementedError("real resize needs an imaging library")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf["content"]:
                 raw = bytes(b)
-                if raw[:4] != _FAKE_MAGIC:
-                    raise ValueError("not a FAKE image")
-                out.append(
-                    _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + raw[8:]
-                )
+                if mode == "fake":
+                    if raw[:4] != _FAKE_MAGIC:
+                        raise ValueError("not a FAKE image")
+                    out.append(
+                        _FAKE_MAGIC + struct.pack("<HH", target_w, target_h) + raw[8:]
+                    )
+                else:
+                    out.append(_resize_real(raw, target_w, target_h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return media.select("media_id", "content").mapInPandas(
@@ -136,24 +176,41 @@ def resize_images(
 def sample_frames(
     media: DataFrame, every_n: int = 10, mode: str = "fake"
 ) -> DataFrame:
-    """Frame-sampling stub for video: emits (media_id, frame_idx,
-    frame binary) rows — the 1→N explode shape. Fake mode slices the
-    payload; real mode is the ffmpeg seam."""
+    """Frame sampling for video: emits (media_id, frame_idx, frame
+    binary) rows — the 1→N explode shape. Real mode parses Y4M
+    (YUV4MPEG2) streams and emits every ``every_n``-th luma plane as a
+    PGM payload; MP4/H.264 remain the ffmpeg seam. Fake mode slices the
+    synthetic payload."""
     import pandas as pd
 
-    if mode != "fake":
-        raise NotImplementedError("real frame sampling needs ffmpeg bindings")
+    def _fake_frames(raw: bytes) -> list[tuple[int, bytes]]:
+        payload = raw[8:]
+        return [
+            (i // every_n, payload[i : i + every_n])
+            for i in range(0, len(payload), every_n)
+        ]
+
+    def _real_frames(raw: bytes) -> list[tuple[int, bytes]]:
+        from etl_extract_transform_load_spark.scale import codecs
+
+        kind = codecs.sniff(raw)
+        if kind != "y4m":
+            raise NotImplementedError(
+                f"video codec {kind!r}: only Y4M decodes without ffmpeg"
+            )
+        frames, _, _ = codecs.decode_y4m_frames(raw, every_n=every_n)
+        return [(idx, codecs.encode_pgm(y)) for idx, y in frames]
+
+    pick = _fake_frames if mode == "fake" else _real_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(b)
-                payload = raw[8:]
-                for i in range(0, len(payload), every_n):
+                for idx, fr in pick(bytes(b)):
                     ids.append(mid)
-                    idxs.append(i // every_n)
-                    frames.append(payload[i : i + every_n])
+                    idxs.append(idx)
+                    frames.append(fr)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
@@ -161,6 +218,97 @@ def sample_frames(
     return media.select("media_id", "content").mapInPandas(
         run, schema="media_id long, frame_idx int, frame binary"
     )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads → per-clip features (duration, RMS, peak,
+    channels, sample rate) via Arrow-batched ``mapInPandas``. PCM WAV
+    decodes with the stdlib ``wave`` module — this path is fully real."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.scale import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                x, rate = codecs.decode_wav(bytes(b))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        int(x.shape[1]),
+                        round(x.shape[0] / rate, 6),
+                        round(float(np.sqrt((x**2).mean())), 6),
+                        round(float(np.abs(x).max(initial=0.0)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels",
+                    "duration_sec", "rms", "peak",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        schema=(
+            "media_id long, sample_rate int, channels int, "
+            "duration_sec double, rms double, peak double"
+        ),
+    )
+
+
+def make_real_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table with REAL payloads: PPM and BMP images,
+    PCM WAV clips, and Y4M video streams, round-robin by ``media_id``.
+    Pixel/sample values are seeded arithmetic so every run is
+    byte-identical — no RNG, no external files."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale import codecs
+
+    rows = []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:  # PPM image
+            h, w = 32 + i % 16, 48 + i % 16
+            img = (
+                (np.arange(h * w * 3, dtype=np.int64) * (i + 7)) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            rows.append(
+                (i, "image", bytearray(codecs.encode_ppm(img)), (w, h, None, "ppm"))
+            )
+        elif kind == 1:  # BMP image
+            h, w = 24 + i % 8, 30 + i % 12
+            img = (
+                (np.arange(h * w * 3, dtype=np.int64) * 3 + i) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            rows.append(
+                (i, "image", bytearray(codecs.encode_bmp(img)), (w, h, None, "bmp"))
+            )
+        elif kind == 2:  # WAV clip
+            rate, nsamp = 8_000, 8_000 + 250 * (i % 4)
+            t = np.arange(nsamp, dtype=np.float64)
+            x = (np.sin(2 * np.pi * (220 + 20 * i) * t / rate) * 12_000).astype(
+                np.int16
+            )
+            rows.append(
+                (i, "audio", bytearray(codecs.encode_wav(x, rate)),
+                 (None, None, rate, "wav"))
+            )
+        else:  # Y4M video
+            nf, h, w = 6 + i % 3, 16, 16
+            frames = (
+                (np.arange(nf * h * w, dtype=np.int64) + 17 * i) % 256
+            ).astype(np.uint8).reshape(nf, h, w)
+            rows.append(
+                (i, "video", bytearray(codecs.encode_y4m(frames)),
+                 (w, h, None, "y4m"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 50) -> DataFrame:

@@ -45,6 +45,10 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # ...and the local-relation path: the first createDataFrame-backed
+    # action in a session pays ~2s of one-time planner/exchange init,
+    # which would otherwise land on whichever corpus query runs first.
+    spark.createDataFrame([(1, "w")], "id int, s string").count()
 
     qs = queries()
     names = [n for n in (HEADLINE or qs) if n in qs]

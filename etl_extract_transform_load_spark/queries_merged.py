@@ -656,14 +656,19 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _serialize_centroid,
     )
     from etl_extract_transform_load_spark.scale.embeddings import (
-        assign_to_centroids,
+        assign_to_centroids_arrow,
+        collect_centroid_rows,
         label_centroids,
     )
     from etl_extract_transform_load_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb).localCheckpoint()
-    assigned = assign_to_centroids(emb, cents).localCheckpoint()
+    # Arrow assigner: zero-shuffle scan-stage E-step, bit-identical to
+    # the expression variant (see assign_to_centroids_arrow docstring)
+    assigned = assign_to_centroids_arrow(
+        emb, collect_centroid_rows(cents)
+    ).localCheckpoint()
     relabeled = emb.join(assigned.select("vec_id", "assigned_label"), "vec_id")
     refined = label_centroids(relabeled, "assigned_label").withColumnRenamed(
         "assigned_label", "label"

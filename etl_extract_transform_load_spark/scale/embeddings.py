@@ -132,6 +132,75 @@ def assign_to_centroids(
     )
 
 
+def assign_to_centroids_arrow(
+    df: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment — same values as
+    :func:`assign_to_centroids`, different physical plan.
+
+    The expression variant materializes an N×k broadcast cross product
+    and prunes it back to N rows with a ``row_number`` window — one
+    shuffle of N×k rows plus an O(k·dim) codegen'd projection. Here the
+    (k × dim) centroid matrix rides into a ``mapInPandas`` closure and
+    each batch computes all k cosines with the vectorized-but-
+    sequential fold (``_seq_dots`` — bit-identical to the unrolled
+    expression), then argmaxes locally: a pure scan-stage operator,
+    ZERO shuffles, and no k-fold row inflation. At 100 TB this is the
+    shape that survives: the vector table streams through once.
+
+    Ties break toward the smallest label: ``centroid_rows`` is sorted
+    by label and ``argmax`` keeps the first maximum.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+
+    rows = sorted(centroid_rows, key=lambda t: t[0])
+    labels = np.array([lb for lb, _ in rows], dtype=np.int64)
+    c_mat = np.array([v for _, v in rows], dtype=np.float64)
+    _, c_norms = _seq_dots(c_mat, c_mat[:1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots, v_norms = _seq_dots(v, c_mat)
+            denom = v_norms[:, None] * c_norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dots / denom)
+            cos = np.round(cos, 6)
+            best = cos.argmax(axis=1)  # first max → smallest label
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "assigned_label": labels[best],
+                    "cos_sim": cos[np.arange(len(best)), best],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, assigned_label int, cos_sim double"
+    )
+
+
+def collect_centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side (label, centroid) rows of a tiny centroid table,
+    sorted by label — the broadcast payload for the Arrow assigner."""
+    rows = [
+        (int(r["label"]), [float(x) for x in r["centroid"]])
+        for r in centroids.select("label", "centroid").collect()
+    ]
+    rows.sort(key=lambda t: t[0])
+    return rows
+
+
 def kmeans_refine(
     df: DataFrame,
     n_iter: int = 1,
@@ -150,8 +219,14 @@ def kmeans_refine(
     lineage stays flat."""
     centroids = label_centroids(df, label_col, vec_col, dim)
     for _ in range(n_iter):
-        assigned = assign_to_centroids(
-            df, centroids.localCheckpoint(), id_col, vec_col, dim
+        # E-step through the Arrow assigner: the centroid table is
+        # k rows — collecting it to the driver per iteration IS the
+        # broadcast, and the assignment becomes a zero-shuffle scan
+        assigned = assign_to_centroids_arrow(
+            df,
+            collect_centroid_rows(centroids.localCheckpoint()),
+            id_col,
+            vec_col,
         )
         relabeled = df.join(
             assigned.select(id_col, "assigned_label"), id_col

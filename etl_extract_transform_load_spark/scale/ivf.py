@@ -83,7 +83,8 @@ def build_ivf_index_deterministic(
     engine (the DuckDB oracle) reproduces the index bit-for-bit —
     unlike MLlib KMeans, whose iteration order is private."""
     from etl_extract_transform_load_spark.scale.embeddings import (
-        assign_to_centroids,
+        assign_to_centroids_arrow,
+        collect_centroid_rows,
         label_centroids,
     )
 
@@ -94,16 +95,16 @@ def build_ivf_index_deterministic(
     cents = label_centroids(
         vectors, label_col=label_col, vec_col=vec_col
     ).localCheckpoint()
+    centroid_rows = collect_centroid_rows(cents)
+    # Arrow assigner (zero-shuffle scan stage) + id-join to carry the
+    # embedding column alongside the cluster id
     assigned = (
-        assign_to_centroids(vectors, cents, id_col=id_col, vec_col=vec_col)
+        assign_to_centroids_arrow(
+            vectors, centroid_rows, id_col=id_col, vec_col=vec_col
+        )
         .select(id_col, F.col("assigned_label").alias("cluster"))
         .join(vectors.select(id_col, vec_col), id_col)
     )
-    centroid_rows = [
-        (int(r["label"]), list(r["centroid"]))
-        for r in cents.select("label", "centroid").collect()
-    ]
-    centroid_rows.sort(key=lambda t: t[0])
     return IVFIndex(assigned=assigned, centroids=centroid_rows)
 
 

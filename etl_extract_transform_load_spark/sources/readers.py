@@ -43,11 +43,13 @@ def parquet_source(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated test table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nano-epoch longs
-    (``nanosAsLong``) and convert to a microsecond TimestampType column
-    with exact integer division (double division is off by 1µs beyond
-    the 53-bit mantissa). Queries should expose *derived* time columns
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across driver testdata generations. NANOS is
+    unreadable by Spark's vectorized reader, so it is read as
+    nano-epoch longs (``nanosAsLong``) and converted to a microsecond
+    TimestampType column with exact integer division (double division
+    is off by 1µs beyond the 53-bit mantissa); MICROS reads natively
+    and is only normalized NTZ→LTZ. Queries should expose *derived* time columns
     (date, epoch-seconds) rather than raw ``ts`` — sub-microsecond
     precision differs between engines and would break value-hash
     comparison.
@@ -67,7 +69,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet surfaced as nano-epoch longs.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # TIMESTAMP(MICROS) reads natively (NTZ when the file has no
+            # UTC-adjustment flag); normalize to TimestampType so every
+            # downstream epoch/interval expression sees one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -97,6 +97,43 @@ def test_events_ns_to_us_exact_division(spark):
     assert got == want
 
 
+def test_events_loader_adapts_to_nanos_generation(spark, tmp_path):
+    """Driver testdata generations have shipped ``events.ts`` as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); the live testdata only
+    exercises one of them, so synthesize the other and assert both
+    branches of ``load_table`` land on identical TimestampType values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_extract_transform_load_spark.sources import load_table
+
+    live = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    want = {r.event_id: r.us for r in live.collect()}
+
+    src = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    ts_us = src.column("ts").cast(pa.timestamp("us"))
+    synth = src.set_column(
+        src.schema.get_field_index("ts"), "ts", ts_us.cast(pa.timestamp("ns"))
+    )
+    pq.write_table(synth, f"{tmp_path}/events.parquet", version="2.6")
+    assert (
+        pq.read_schema(f"{tmp_path}/events.parquet").field("ts").type
+        == pa.timestamp("ns")
+    )
+
+    got_df = load_table(spark, str(tmp_path), "events")
+    assert dict(got_df.dtypes)["ts"] == "timestamp"
+    got = {
+        r.event_id: r.us
+        for r in got_df.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_sessionize_subsecond_gap(spark):
     from etl_extract_transform_load_spark.operators.sessionize import sessionize
 

@@ -143,8 +143,14 @@ def jaccard_near_dup_pairs(
     # repartition pre-explode: a compact input (one parquet file) would
     # otherwise put the whole shingle join probe in one task when the
     # build side broadcasts
-    sh = _shingle_table(df.repartition(parallelism), text_col, id_col, n).select(
-        "__id", "__n_sh", F.xxhash64("shingle").alias("sh_key")
+    # persist: the self-join below reads this twice; caching the
+    # (id, size, shingle-hash) rows halves the tokenize+explode work
+    # (and is what a real corpus-scale run wants too — the exploded
+    # table spills to disk under the default MEMORY_AND_DISK level).
+    sh = (
+        _shingle_table(df.repartition(parallelism), text_col, id_col, n)
+        .select("__id", "__n_sh", F.xxhash64("shingle").alias("sh_key"))
+        .persist()
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -245,7 +251,13 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     df = df.repartition(64)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash64)
+    # persist: the banded self-join reads the signature table on both
+    # branches — without the cache the whole shingle→32-minima
+    # aggregation runs twice. Signatures are O(N) small rows; at
+    # corpus scale materializing the sketch IS the index build.
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, n, seed, hash64
+    ).persist()
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -281,7 +293,7 @@ def minhash_lsh_pairs(
     sh_arrays = df.select(
         F.col(id_col).alias("__sid"),
         shingles(F.col(text_col), n).alias("__sh"),
-    )
+    ).persist()  # joined twice (id_a side, id_b side)
     return (
         cand.join(
             sh_arrays.select(
@@ -366,7 +378,10 @@ def simhash_near_dup_pairs(
     so the join key is (block_idx, block_value) — near-linear."""
     width = (bits + 3) // 4
     mask = (1 << width) - 1
-    sig = simhash_signatures(df, text_col, id_col, hash64, bits)
+    # persist: the block self-join reads the signatures twice; cache
+    # the one-row-per-doc sketch instead of re-running the token
+    # explode + per-bit sign sums on both branches.
+    sig = simhash_signatures(df, text_col, id_col, hash64, bits).persist()
     blocks = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",

@@ -629,9 +629,18 @@ def neighbor_pairs_above_lsh(
     parallelism becomes 2**bits × n_shards with per-task pair volume
     cut by n_shards."""
     planes = _hyperplanes(dim, bits, seed)
-    v = _vectors_with_norm(
-        vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
-    ).withColumn("__bucket", lsh_bucket("__v", planes))
+    # persist: both join branches read this projection; without the
+    # cache the parquet scan AND the 64-term norm/bucket chains execute
+    # twice (and codegen twice). Materializing (id, vec, norm, bucket)
+    # is index construction — the same call at 100 TB, spilling to disk
+    # via the default MEMORY_AND_DISK level.
+    v = (
+        _vectors_with_norm(
+            vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
+        )
+        .withColumn("__bucket", lsh_bucket("__v", planes))
+        .persist()
+    )
     a = v.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -665,6 +674,15 @@ def neighbor_pairs_above_lsh(
     )
 
 
+def _seq_dot(a, b) -> float:
+    """Python-float (IEEE double) dot in the same sequential left-fold
+    order as ``dot_sql`` — bit-identical to the JVM/DuckDB chains."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
 def hyperplane_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -676,18 +694,54 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     parallelism: int = 64,
+    precompute_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket, exact cosine + rank inside it. Fewer bits → bigger buckets
-    → higher recall; tune to keep expected bucket size bounded."""
+    → higher recall; tune to keep expected bucket size bounded.
+
+    ``precompute_queries`` collects the query set (bounded by contract
+    — same footprint as ``brute_force_topk``'s broadcast side) and
+    computes its norms/buckets driver-side with Python doubles in the
+    identical fold order, so the tiny side contributes zero giant
+    expressions to the JVM plan: one fewer generated class to
+    janino-compile and analyze. Flip it off to keep the query side
+    fully lazy (e.g. when queries are themselves a big pipeline)."""
+    import math
+
     planes = _hyperplanes(dim, bits, seed)
     v = _vectors_with_norm(
         vectors.repartition(parallelism), id_col, vec_col, dim, "__vid", "__v", "__vn"
     ).withColumn("__bucket", lsh_bucket("__v", planes))
-    q = F.broadcast(
-        _vectors_with_norm(queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn")
-        .withColumn("__bucket", lsh_bucket("__qv", planes))
-    )
+    if precompute_queries:
+        qrows = queries.select(
+            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
+        qdata = [
+            (
+                r.qid,
+                r.qv,
+                math.sqrt(_seq_dot(r.qv, r.qv)),
+                sum(
+                    1 << i
+                    for i, p in enumerate(planes)
+                    if _seq_dot(r.qv, p) >= 0
+                ),
+            )
+            for r in qrows
+        ]
+        q = F.broadcast(
+            vectors.sparkSession.createDataFrame(
+                qdata,
+                "__qid long, __qv array<float>, __qn double, __bucket long",
+            )
+        )
+    else:
+        q = F.broadcast(
+            _vectors_with_norm(
+                queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn"
+            ).withColumn("__bucket", lsh_bucket("__qv", planes))
+        )
     scored = (
         v.join(q, "__bucket")
         .filter(F.col("__vid") != F.col("__qid"))

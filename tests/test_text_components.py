@@ -91,3 +91,79 @@ def test_dedup_survivors_keeps_min_and_untouched(spark):
         r.doc_id for r in dedup_survivors(docs, pairs).collect()
     )
     assert kept == [1, 7, 10]
+
+
+def _cc_python(edge_list):
+    """Reference union-find for arbitrary edge lists."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_star_matches_propagation_shapes(spark):
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20), (5, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 5: 5,
+    }
+
+
+def test_components_star_long_chain_few_rounds(spark):
+    """A 64-node path converges in O(log n) star rounds where label
+    propagation needs O(n) sweeps — the reason this variant exists."""
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components_star,
+    )
+
+    # shuffled ids so the min is in the middle of the path
+    ids = [((i * 37) % 64) + 100 for i in range(64)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(edges, max_iter=8).collect()
+    }
+    assert set(got) == set(ids)
+    assert set(got.values()) == {100}
+
+
+def test_components_star_random_graphs_match_union_find(spark):
+    import random as _random
+
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components_star,
+    )
+
+    rng = _random.Random(7)
+    for trial in range(3):
+        edge_list = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+        ]
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        got = {
+            r.node: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == _cc_python(edge_list), f"trial {trial}"

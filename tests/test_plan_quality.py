@@ -135,3 +135,24 @@ def test_dedup_semi_join_shape(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = plan_text(drop_exact_dups(docs), mode="simple")
     assert "LeftSemi" in plan
+
+
+def test_sketch_self_joins_reuse_materialized_sketch(spark):
+    """The self-joined sketch queries must read one cached sketch
+    (InMemoryTableScan on both branches), not re-run the
+    tokenize/explode/minima pipeline per branch."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        jaccard_near_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for pairs in (
+        minhash_lsh_pairs(docs),
+        simhash_near_dup_pairs(docs),
+        jaccard_near_dup_pairs(docs),
+    ):
+        plan = plan_text(pairs, mode="simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]

@@ -730,10 +730,13 @@ def hyperplane_lsh_topk(
             )
             for r in qrows
         ]
+        # carry the source element type so a float→double testdata/schema
+        # change cannot silently round the query vectors
+        elem = queries.schema[vec_col].dataType.simpleString()
         q = F.broadcast(
             vectors.sparkSession.createDataFrame(
                 qdata,
-                "__qid long, __qv array<float>, __qn double, __bucket long",
+                f"__qid long, __qv {elem}, __qn double, __bucket long",
             )
         )
     else:

@@ -167,3 +167,14 @@ def test_components_star_random_graphs_match_union_find(spark):
             for r in connected_components_star(edges).collect()
         }
         assert got == _cc_python(edge_list), f"trial {trial}"
+
+
+def test_components_star_empty_edges(spark):
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components_star(edges)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0

@@ -97,3 +97,54 @@ def stream_dedup(
     return stream.withWatermark(
         ts_col, watermark_delay
     ).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark_delay: str = "1 hour",
+    max_lag: str = "15 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right rows match left rows with the same ``key`` whose timestamp
+    lies in ``[left_ts, left_ts + max_lag]`` — the canonical
+    impression→conversion enrichment shape.
+
+    Both sides are watermarked and the join condition carries the
+    two-sided time bound; together these let the engine evict buffered
+    rows once the watermark passes ``ts + max_lag``, so join state is
+    bounded by (arrival skew + max_lag) × input rate rather than
+    growing forever — the difference between a demo and a pipeline
+    that survives week-long runs. Works identically on batch frames
+    (the condition is ordinary expressions), which is how the oracle
+    test pins the semantics.
+
+    Right-side columns colliding with left-side names come back with
+    ``suffix`` appended (the reference's suffixed-join convention).
+    """
+    lw = left.withWatermark(left_ts, watermark_delay) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark_delay)
+        if right.isStreaming
+        else right
+    )
+    l, r = lw.alias("l"), rw.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns]
+    for c in right.columns:
+        if c == key:
+            continue
+        alias = c + suffix if c in left.columns else c
+        out_cols.append(F.col(f"r.{c}").alias(alias))
+    return l.join(r, cond).select(*out_cols)

@@ -113,3 +113,47 @@ def test_multimodal_real_mode_is_gated(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_stream_stream_interval_join_micro_batch(spark, tmp_path):
+    """Two real file streams joined within an event-time bound must
+    produce exactly the batch interval join of the same data."""
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").limit(400).cache()
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    vdir, cdir = f"{tmp_path}/views", f"{tmp_path}/clicks"
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+
+    want = sorted(
+        (r.view_id, r.click_id)
+        for r in stream_stream_interval_join(
+            views, clicks, key="user_id", max_lag="30 minutes"
+        ).collect()
+    )
+    assert want, "fixture produced no interval matches"
+
+    vs = file_stream_source(spark, vdir, schema=views.schema)
+    cs = file_stream_source(spark, cdir, schema=clicks.schema)
+    joined = stream_stream_interval_join(
+        vs, cs, key="user_id", max_lag="30 minutes"
+    )
+    got: list = []
+    q = foreach_batch_ingest(
+        joined,
+        lambda b, i: got.extend(
+            (r.view_id, r.click_id) for r in b.collect()
+        ),
+        f"{tmp_path}/ckpt_ssj",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want

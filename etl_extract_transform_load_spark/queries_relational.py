@@ -516,13 +516,20 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in [pool.submit(w) for w in writes]:
             f.result()
 
+    # read back through the engine's S1/S2 source operators so the
+    # JSON/CSV read paths themselves sit inside the oracle check
+    from etl_extract_transform_load_spark.sources.readers import (
+        csv_source,
+        json_source,
+    )
+
     reads = {
         "parquet": spark.read.parquet(f"{base}_parquet"),
         "orc": spark.read.orc(f"{base}_orc"),
-        "csv": spark.read.schema(li.schema)
-        .option("header", "true")
-        .csv(f"{base}_csv"),
-        "json": spark.read.schema(li.schema).json(f"{base}_json"),
+        "csv": csv_source(spark, f"{base}_csv", schema=li.schema),
+        "json": json_source(
+            spark, f"{base}_json", schema=li.schema, multi_line=False
+        ),
     }
     parts = [
         back.groupBy("l_returnflag")

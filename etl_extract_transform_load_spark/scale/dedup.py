@@ -423,3 +423,62 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- Benchmark decontamination ----------------------------------------------
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-doc count of word n-grams shared with ANY benchmark
+    document — the train/test-overlap (decontamination) primitive of a
+    training-data pipeline.
+
+    Long shingles (default n=8) make incidental English overlap
+    vanishingly rare while verbatim benchmark leakage still matches.
+    The benchmark side is aggregated to its DISTINCT shingle hashes
+    and broadcast — benchmark suites are small by construction — so
+    the corpus side is ONE scan-stage explode + broadcast semi-shape
+    join + per-doc count: no corpus shuffle at any scale. Returns
+    ``(id_col, n_contaminated)`` for flagged docs only.
+    """
+    bench_sh = F.broadcast(
+        _shingle_table(benchmark, bench_text_col or text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("sh_key"))
+        .distinct()
+    )
+    corpus_sh = _shingle_table(corpus, text_col, id_col, n).select(
+        "__id", F.xxhash64("shingle").alias("sh_key")
+    )
+    return (
+        corpus_sh.join(bench_sh, "sh_key")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(F.col("__id").alias(id_col), "n_contaminated")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_common: int = 1,
+) -> DataFrame:
+    """Drop corpus docs sharing ≥ ``min_common`` word n-grams with the
+    benchmark set (left-anti join on the flagged ids — the corpus
+    itself never shuffles)."""
+    flagged = contamination_flags(
+        corpus, benchmark, text_col, id_col, bench_text_col, n
+    ).filter(F.col("n_contaminated") >= min_common)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )

@@ -205,3 +205,64 @@ def test_block_pair_kernel_bit_identical_to_expression(spark):
             ).collect()
         }
         assert got == expr_pairs, f"mismatch at n_blocks={n_blocks}"
+
+
+def test_decontaminate_drops_benchmark_leakage(spark):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    bench_sentence = (
+        "what is the capital of france the capital of france is paris"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak embedded in a longer doc
+            (1, f"intro text {bench_sentence} outro text"),
+            # clean doc, shares only short incidental phrases
+            (2, "the capital city has many museums and parks to visit"),
+            # another clean doc
+            (3, "completely unrelated text about spark physical plans"),
+            # exact benchmark copy
+            (4, bench_sentence),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, bench_sentence)], "doc_id long, text string"
+    )
+
+    flags = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_flags(corpus, benchmark, n=8).collect()
+    }
+    assert set(flags) == {1, 4}
+    assert flags[4] >= flags[1] >= 1
+
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, benchmark, n=8).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_contamination_scan_stage_shape(spark):
+    """The corpus side must not shuffle: benchmark shingles broadcast,
+    per-doc count is the only exchange."""
+    import contextlib
+    import io
+
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contamination_flags,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.limit(5)
+    flags = contamination_flags(docs, bench, n=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        flags.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

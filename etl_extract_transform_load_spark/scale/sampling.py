@@ -132,3 +132,29 @@ def mixture_rebalance(
         .filter(hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
         .drop("keep_buckets")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global pseudo-random but rerun-stable row order — the training
+    data export step (decorrelate adjacent source docs without
+    ``rand()``'s task-retry nondeterminism).
+
+    Sort key = ``xxhash64(id, seed)``; ``repartitionByRange`` +
+    ``sortWithinPartitions`` produces a total order via range
+    sampling, so no single task ever holds the whole corpus (a plain
+    ``orderBy`` would have the same plan; the explicit spelling
+    documents that the order is partition-ranged, and writing the
+    partitions in index order preserves the global permutation)."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed)).alias("__shuffle_key")
+    out = df.withColumn("__shuffle_key", key)
+    out = (
+        out.repartitionByRange(num_partitions, "__shuffle_key")
+        if num_partitions
+        else out.repartitionByRange("__shuffle_key")
+    )
+    return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")

@@ -253,3 +253,62 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    min_docs: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    dedup step): drop every line that appears — after lowercase/trim
+    normalization — in at least ``min_docs`` distinct documents of the
+    same ``group_col`` (domain), then reassemble the remaining lines
+    in original order. Headers, cookie banners, and nav footers repeat
+    across a domain; body text does not.
+
+    Plan shape: posexplode lines → count distinct docs per
+    (group, line-hash) — two map-side-combinable aggregations — →
+    broadcast-or-shuffle semi-join back, → groupBy doc with an
+    order-restoring ``array_sort`` of (pos, line) structs. Line text
+    never rides the frequency shuffle (64-bit xxhash key); collisions
+    can only over-drop a boilerplate-hash-colliding line
+    (~n_lines²/2⁶⁴ odds). Docs whose every line is boilerplate come
+    back as empty strings, not dropped rows."""
+    grp = F.col(group_col) if group_col else F.lit("")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        grp.cast("string").alias("__grp"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__lh", F.xxhash64(F.trim(F.lower(F.col("__line")))))
+    freq = (
+        lines.groupBy("__grp", "__lh")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__grp", "__lh")
+    )
+    kept = lines.join(freq, ["__grp", "__lh"], "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(out_col)
+        )
+        .select(F.col("__id").alias(id_col), out_col)
+    )
+    # left join + coalesce: all-boilerplate docs still get a row
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -178,3 +178,37 @@ def test_components_star_empty_edges(spark):
     out = connected_components_star(edges)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_strip_repeated_lines_removes_domain_boilerplate(spark):
+    from etl_extract_transform_load_spark.scale.text import (
+        strip_repeated_lines,
+    )
+
+    banner = "Subscribe to our newsletter!"
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", f"{banner}\nunique article one\nbody text one"),
+            (2, "a.com", f"{banner}\nunique article two"),
+            (3, "a.com", f"  {banner.upper()}  \nunique article three"),
+            # same banner on another domain, below min_docs there
+            (4, "b.com", f"{banner}\nother domain article"),
+            # doc that is nothing but boilerplate
+            (5, "a.com", banner),
+            (6, "a.com", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in strip_repeated_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == "unique article one\nbody text one"
+    assert out[2] == "unique article two"
+    # normalization catches case/whitespace variants
+    assert out[3] == "unique article three"
+    # b.com has only one occurrence: banner survives
+    assert out[4] == f"{banner}\nother domain article"
+    assert out[5] == ""
+    assert out[6] == ""
+    assert len(out) == 6

@@ -584,14 +584,26 @@ FROM ({ORACLE_MIXTURE})
 
 # --- curation_pii ---------------------------------------------------------------
 
+#: Deterministic banner planted on even doc_ids by the boilerplate
+#: branch below — the testdata has no natural cross-doc repeated lines,
+#: so the strip step would otherwise verify only the identity path.
+BOILER_BANNER = "Subscribe to our newsletter today!"
+
+
 def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corpus_curation_e2e + pii_redaction tag-unioned: the full
-    curation pass (quality filter → scrub → dedup survivors) plus the
-    standalone whole-corpus PII scrub with match counts."""
+    """corpus_curation_e2e + pii_redaction + line-level boilerplate
+    strip, tag-unioned: the full curation pass (quality filter → scrub
+    → dedup survivors), the standalone whole-corpus PII scrub with
+    match counts, and CCNet-style repeated-line removal over a
+    deterministically planted domain banner."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_corpus_curation,
         q_pii_redaction,
     )
+    from etl_extract_transform_load_spark.scale.text import (
+        strip_repeated_lines,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
 
     pii = q_pii_redaction(spark, sf_dir).select(
         F.lit("pii").alias("part"),
@@ -615,7 +627,71 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("quality").cast("double").alias("quality"),
     )
-    return pii.unionByName(cur)
+    docs = load_table(spark, sf_dir, "documents")
+    bannered = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(BOILER_BANNER),
+                F.lit("\n"),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    boiler = strip_repeated_lines(bannered, min_docs=3).select(
+        F.lit("boiler").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.lit(None).cast("long").alias("n_emails"),
+        F.lit(None).cast("long").alias("n_ips"),
+        F.lit(None).cast("long").alias("n_phones"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("quality"),
+    )
+    return pii.unionByName(cur).unionByName(boiler)
+
+
+#: DuckDB twin of ``strip_repeated_lines`` over the same planted
+#: banner: zipped UNNEST for (line, pos), doc-frequency per
+#: (source, normalized line), anti-join, order-restoring string_agg.
+ORACLE_BOILER = r"""
+WITH src AS (
+    SELECT doc_id, source,
+           string_split(
+               CASE WHEN doc_id % 2 = 0
+                    THEN '{banner}' || chr(10) || COALESCE(text, '')
+                    ELSE text END,
+               chr(10)) AS ls
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, source,
+           UNNEST(ls) AS line,
+           UNNEST(range(1, len(ls) + 1)) AS pos
+    FROM src
+),
+freq AS (
+    SELECT source, LOWER(TRIM(line)) AS norm
+    FROM lines
+    GROUP BY source, LOWER(TRIM(line))
+    HAVING COUNT(DISTINCT doc_id) >= 3
+),
+kept AS (
+    SELECT l.doc_id, l.line, l.pos
+    FROM lines l
+    LEFT JOIN freq f
+      ON f.source = l.source AND f.norm = LOWER(TRIM(l.line))
+    WHERE f.norm IS NULL
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
 
 
 def _oracle_curation_pii() -> str:
@@ -635,6 +711,11 @@ SELECT 'curated', CAST(doc_id AS BIGINT), clean_text,
        NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
        lang, source, CAST(quality AS DOUBLE)
 FROM ({ORACLE_CURATION})
+UNION ALL
+SELECT 'boiler', CAST(doc_id AS BIGINT), clean_text,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+FROM ({ORACLE_BOILER.format(banner=BOILER_BANNER)})
 """
 
 

@@ -639,16 +639,66 @@ relabeled AS (
 # --- dedup: exact ---------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup clusters tag-unioned with benchmark decontamination
+    flags: docs with id < 10 stand in as the "benchmark suite", and
+    every corpus doc sharing a word 8-gram with any of them is flagged
+    with its contaminated-gram count (the train/test-overlap check —
+    the benchmark docs flag themselves, which pins the self-overlap
+    path too)."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contamination_flags,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dup_clusters(docs)
+    clusters = exact_dup_clusters(docs).select(
+        F.lit("clusters").alias("part"),
+        "text_md5",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_contaminated"),
+    )
+    contam = contamination_flags(
+        docs, docs.filter(F.col("doc_id") < 10), n=8
+    ).select(
+        F.lit("contamination").alias("part"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+    )
+    return clusters.unionByName(contam)
 
 
 ORACLE_DEDUP_EXACT = """
-SELECT MD5(text) AS text_md5,
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           UNNEST(list_distinct([
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7]
+               for i in range(1, len(t) - 6)])) AS s
+    FROM toks
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+SELECT 'clusters' AS part,
+       MD5(text) AS text_md5,
        COUNT(*) AS n_copies,
-       MIN(doc_id) AS keep_id
+       MIN(doc_id) AS keep_id,
+       NULL::BIGINT AS doc_id,
+       NULL::BIGINT AS n_contaminated
 FROM documents
 GROUP BY MD5(text)
+UNION ALL
+SELECT 'contamination', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       sh.doc_id, COUNT(*)
+FROM sh JOIN bench USING (s)
+GROUP BY sh.doc_id
 """
 
 

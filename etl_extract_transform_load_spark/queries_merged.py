@@ -773,10 +773,26 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos_sim").cast("double").alias("cos_sim"),
     )
+    # fourth branch: int8 quantization of every embedding — codes ride
+    # the centroid_str column (serialized), per-vector scale rides
+    # cos_sim (both sides of the tag union reuse the schema slots).
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        quantize_int8,
+    )
+
+    quant = quantize_int8(emb).select(
+        F.lit("quant").alias("part"),
+        F.lit(None).cast("int").alias("label"),
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.array_join(F.col("q8"), ",").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("q8_scale").cast("double").alias("cos_sim"),
+    )
     return (
         cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)
         .unionByName(cent_part(_serialize_centroid(refined), "refine"))
+        .unionByName(quant)
     )
 
 
@@ -800,6 +816,21 @@ UNION ALL
 SELECT 'refine', CAST(label AS INT), CAST(n_vectors AS BIGINT), centroid_str,
        NULL::BIGINT, NULL::DOUBLE
 FROM ({ORACLE_KMEANS_REFINE})
+UNION ALL
+SELECT 'quant', NULL::INT, NULL::BIGINT,
+       CASE WHEN amax = 0
+            THEN array_to_string(list_transform(v, x -> '0'), ',')
+            ELSE array_to_string(list_transform(v,
+                x -> CAST(CAST(ROUND(x / (amax / 127.0)) AS TINYINT)
+                          AS VARCHAR)), ',')
+       END,
+       CAST(vec_id AS BIGINT),
+       amax / 127.0
+FROM (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> ABS(x))) AS amax
+      FROM embeddings)
 """
 
 

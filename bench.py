@@ -63,6 +63,11 @@ def main() -> None:
         # inside the driver's 2000-char stdout tail capture (r1's
         # 66-query line overflowed it and recorded "parsed": null).
         timings[name] = round(time.perf_counter() - t0, 2)
+        # The sketch queries persist() their index tables (by design —
+        # both self-join branches read one materialization). Those
+        # caches belong to a single query's lifetime here: drop them
+        # so 50 queries in one session don't accumulate cache entries.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
 

@@ -662,7 +662,7 @@ WITH src AS (
            string_split(
                CASE WHEN doc_id % 2 = 0
                     THEN '{banner}' || chr(10) || COALESCE(text, '')
-                    ELSE text END,
+                    ELSE COALESCE(text, '') END,
                chr(10)) AS ls
     FROM documents
 ),

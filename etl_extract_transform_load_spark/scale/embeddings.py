@@ -248,16 +248,19 @@ def quantize_int8(
     scale 0 and all-zero codes."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    s = (amax / F.lit(127.0)).alias(scale_col)
-    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+    # materialize the scale as a COLUMN first: an expression inside a
+    # higher-order-function lambda is re-evaluated per element, so
+    # referencing the amax chain in the transform below would make
+    # quantization O(dim²) per row (same trap shingles() documents)
+    with_s = df.select("*", (amax / F.lit(127.0)).alias(scale_col))
+    s = F.col(scale_col)
+    q = F.when(s == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
         F.transform(
             v,
-            lambda x: F.round(x.cast("double") / (amax / F.lit(127.0)))
-            .cast("int")
-            .cast("tinyint"),
+            lambda x: F.round(x.cast("double") / s).cast("int").cast("tinyint"),
         )
     )
-    return df.select("*", s, q.alias(out_col))
+    return with_s.select("*", q.alias(out_col))
 
 
 def dequantize_int8(

@@ -717,6 +717,8 @@ def hyperplane_lsh_topk(
         qrows = queries.select(
             F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
         ).collect()
+        # NULL vectors contribute nothing in the lazy path (a NULL
+        # bucket key never joins) — skip them here for the same result
         qdata = [
             (
                 r.qid,
@@ -729,6 +731,7 @@ def hyperplane_lsh_topk(
                 ),
             )
             for r in qrows
+            if r.qv is not None
         ]
         # carry the source element type so a float→double testdata/schema
         # change cannot silently round the query vectors

@@ -311,3 +311,24 @@ def test_int8_quantization_zero_vector(spark):
     )
     r = quantize_int8(df).collect()[0]
     assert r.q8_scale == 0.0 and list(r.q8) == [0, 0, 0]
+
+
+def test_lsh_topk_skips_null_query_vectors(spark):
+    """Precomputed query side must match the lazy path on NULL
+    vectors: contribute nothing, don't crash."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        hyperplane_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = spark.createDataFrame(
+        [(900, None)], "query_id long, embedding array<float>"
+    ).union(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    )
+    out = hyperplane_lsh_topk(emb, queries, k=3, bits=4)
+    got = {r.query_id for r in out.collect()}
+    assert 900 not in got
+    assert got == {0, 1, 2}

@@ -47,15 +47,20 @@ def l2_normalize(
     """Add ``out_col``: the unit-length vector (array<double>, each
     element rounded to 6 places for engine-portable comparison).
     Zero vectors normalize to all-zero, not NaN."""
+    # materialize the norm as a COLUMN before the lambda references it:
+    # an expression inside a higher-order-function lambda re-evaluates
+    # per element — inlining the 64-term chain here would cost O(dim²)
+    # per row (same trap quantize_int8/shingles document)
+    with_n = df.select("*", norm(vec_col, dim).alias("__l2n"))
     v = F.col(vec_col)
-    n = norm(vec_col, dim)
+    n = F.col("__l2n")
     unit = F.transform(
         v,
         lambda x: F.round(
             F.when(n == 0, F.lit(0.0)).otherwise(x.cast("double") / n), 6
         ),
     )
-    return df.select("*", unit.alias(out_col))
+    return with_n.select("*", unit.alias(out_col)).drop("__l2n")
 
 
 def _dim_sums(vec_col: str, dim: int) -> list[Column]:

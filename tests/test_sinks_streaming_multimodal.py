@@ -33,9 +33,16 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     assert metrics["rows"] == df.count()
     back = spark.read.parquet(out)
     assert back.count() == df.count()
-    # partitionBy layout enables partition pruning on the status column
+    # partitionBy layout enables partition pruning on the status column:
+    # the filter must land in PartitionFilters (directory-level skip),
+    # NOT PushedFilters (row-group-level), and the scan must report
+    # fewer files than the full read.
     pruned = back.filter(F.col("o_orderstatus") == "F")
-    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:1500]
+    n_statuses = back.select("o_orderstatus").distinct().count()
+    assert n_statuses > 1  # pruning actually has something to skip
+    assert pruned.count() == df.filter(F.col("o_orderstatus") == "F").count()
 
 
 def test_windowed_counts_batch_semantics(spark):

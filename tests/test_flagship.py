@@ -26,8 +26,13 @@ def test_entry_contract(spark):
     import __spark_entry__ as e
 
     df = e.entry(spark)
-    assert df.count() >= 0
+    assert df.count() > 0
+    assert df.columns == e.entry(spark).columns  # stable schema
     q = e.queries()
     o = e.oracle_sql()
     assert "flagship_integrate" in q
     assert set(o) <= set(q)
+    # every registered query sits inside the driver's 50-entry
+    # verification window, and every one carries an oracle
+    assert len(q) <= 50
+    assert set(o) == set(q)

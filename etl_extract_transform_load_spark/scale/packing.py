@@ -131,3 +131,38 @@ def pack_greedy(
         "n_tokens",
         "bin_id",
     )
+
+
+def materialize_packed(
+    df: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Turn ``pack_greedy``'s (group, shard, id, bin_id) assignment into
+    actual training rows: one row per bin with its member docs'
+    text joined in id order plus the bin's token total. The join
+    brings text back ONLY here — the packing shuffle itself moved just
+    (group, shard, id, n_tokens) — and the per-bin ``array_sort`` of
+    (id, text) structs restores the deterministic member order."""
+    member = packed.join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return (
+        member.groupBy(group_col, "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                separator,
+            ).alias("packed_text"),
+        )
+    )

@@ -158,3 +158,36 @@ def deterministic_shuffle(
         else out.repartitionByRange("__shuffle_key")
     )
     return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    label whose cumulative weight interval contains its hash bucket —
+    rerun-stable, shard-stable, and disjoint by construction (the same
+    guarantees as ``deterministic_sample``, over a partition of the
+    bucket space). Weights must sum to ~1; the last split absorbs
+    rounding. A scan-stage CASE expression: no shuffle, no sampling
+    pass."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, label)

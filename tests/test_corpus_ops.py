@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from etl_extract_transform_load_spark.scale.packing import (
     chunk_documents,
     pack_greedy,
@@ -136,3 +138,53 @@ def test_pack_greedy_respects_budget(spark):
         by_bin.setdefault((r.source, r.shard, r.bin_id), []).append(r.n_tokens)
     for toks in by_bin.values():
         assert sum(toks) <= 6 or len(toks) == 1
+
+
+def test_materialize_packed_joins_text_in_id_order(spark):
+    from etl_extract_transform_load_spark.scale.packing import (
+        materialize_packed,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three"),
+            (2, "a", "four five"),
+            (3, "a", "six seven eight nine"),
+            (10, "b", "alpha beta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    packed = pack_greedy(docs, budget=5, n_shards=1)
+    out = materialize_packed(docs, packed).collect()
+    by_bin = {(r.source, r.bin_id): r for r in out}
+    # docs 1 (3 toks) + 2 (2 toks) fill the 5-token bin in id order
+    first_a = by_bin[("a", 0)]
+    assert first_a.packed_text == "one two three\n\nfour five"
+    assert first_a.n_docs == 2 and first_a.bin_tokens == 5
+    assert by_bin[("a", 1)].packed_text == "six seven eight nine"
+    assert by_bin[("b", 0)].packed_text == "alpha beta"
+    total_tokens = sum(r.bin_tokens for r in out)
+    assert total_tokens == 11
+
+
+def test_hash_split_partitions_disjoint_and_stable(spark):
+    from etl_extract_transform_load_spark.scale.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, w).select("doc_id", "split")
+    b = hash_split(docs, w).select("doc_id", "split")
+    ra = {r.doc_id: r.split for r in a.collect()}
+    rb = {r.doc_id: r.split for r in b.collect()}
+    assert ra == rb  # rerun-stable
+    assert set(ra.values()) == {"train", "val", "test"}
+    n = len(ra)
+    n_train = sum(1 for s in ra.values() if s == "train")
+    assert 0.7 < n_train / n < 0.9  # roughly the requested weight
+    assert len(ra) == docs.count()  # every row labeled exactly once
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})

@@ -107,3 +107,50 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "token", "tfidf", "rnk")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table
+    (e.g. ``top_terms``' output, or a tokenizer's term list): the
+    fraction of token OCCURRENCES not covered — the corpus/tokenizer
+    fit diagnostic before committing to a vocab.
+
+    One explode + broadcast left-join + per-doc aggregate. The vocab
+    side is deduplicated and broadcast (vocabularies are ≤ a few
+    hundred k rows); the corpus shuffles once on doc id. Docs with no
+    tokens report rate 0.0."""
+    tc = _token_counts(df, text_col, id_col)
+    v = F.broadcast(
+        vocab.select(F.col(token_col).alias("token")).distinct().withColumn(
+            "__in_vocab", F.lit(1)
+        )
+    )
+    per_doc = (
+        tc.join(v, "token", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -188,3 +188,29 @@ def test_hash_split_partitions_disjoint_and_stable(spark):
 
     with _pytest.raises(ValueError):
         hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_oov_rate_against_top_terms(spark):
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oov_rate,
+        top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "zebra quagga"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = top_terms(docs, k=3)  # the(3), sat(2), + tie-break token
+    got = {r.doc_id: r for r in oov_rate(docs, vocab).collect()}
+    vocab_set = {r.token for r in vocab.collect()}
+    assert "the" in vocab_set and "sat" in vocab_set
+    # doc 3 shares nothing with the top-3 vocab
+    assert got[3].oov_rate == 1.0 and got[3].n_oov == 2
+    # doc 2: 'the'+'sat' covered; 'dog' covered only if it won the tie
+    assert got[2].n_tokens == 3
+    assert got[2].n_oov == 3 - len({"the", "sat", "dog"} & vocab_set)
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in got.values())

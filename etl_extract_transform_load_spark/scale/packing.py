@@ -146,9 +146,18 @@ def materialize_packed(
     text joined in id order plus the bin's token total. The join
     brings text back ONLY here — the packing shuffle itself moved just
     (group, shard, id, n_tokens) — and the per-bin ``array_sort`` of
-    (id, text) structs restores the deterministic member order."""
+    (id, text) structs restores the deterministic member order.
+
+    The join-back keys on (group, id), not id alone — ``pack_greedy``
+    only requires ids unique WITHIN a (group, shard), so an id reused
+    across groups must not cross-contaminate bins."""
     member = packed.join(
-        df.select(F.col(id_col), F.col(text_col)), id_col
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col),
+            F.col(text_col),
+        ),
+        [group_col, id_col],
     )
     return (
         member.groupBy(group_col, "shard", "bin_id")

@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 #: Knuth multiplicative-hash constant (2^32 / phi).
 KNUTH_HASH = 2654435761
+#: Decorrelates hash_split's buckets from the sampling functions' at
+#: the same user salt (see hash_split docstring).
+_SPLIT_SALT_OFFSET = 0x5B17
 #: Hash-bucket resolution: rates are quantized to 1/10000.
 BUCKETS = 10_000
 _MOD32 = 2**32
@@ -173,13 +176,20 @@ def hash_split(
     guarantees as ``deterministic_sample``, over a partition of the
     bucket space). Weights must sum to ~1; the last split absorbs
     rounding. A scan-stage CASE expression: no shuffle, no sampling
-    pass."""
+    pass.
+
+    The bucket hash is decorrelated from the sampling functions by a
+    fixed internal salt offset — otherwise ``hash_split(
+    deterministic_sample(df, 0.1), ...)`` at the same user ``salt``
+    would be degenerate (the sample keeps exactly the low buckets, so
+    every surviving row lands in the first split). Null ids get a NULL
+    label (visible, not silently binned into the last split)."""
     if not weights:
         raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"weights must sum to 1, got {total}")
-    b = hash_bucket(F.col(id_col), salt)
+    b = hash_bucket(F.col(id_col), salt + _SPLIT_SALT_OFFSET)
     names = list(weights)
     expr = None
     cum = 0.0
@@ -189,5 +199,8 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     label = (
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    label = F.when(F.col(id_col).isNull(), F.lit(None).cast("string")).otherwise(
+        label
     )
     return df.withColumn(out_col, label)

@@ -121,36 +121,45 @@ def oov_rate(
     fraction of token OCCURRENCES not covered — the corpus/tokenizer
     fit diagnostic before committing to a vocab.
 
-    One explode + broadcast left-join + per-doc aggregate. The vocab
+    One explode + broadcast left-join + per-doc aggregate, then a
+    left join back to the full id set so EVERY document gets a row —
+    empty/null-text docs report (0, 0, 0.0) instead of vanishing from
+    the diagnostic. Comparison is case-insensitive on BOTH sides
+    (corpus tokens are lowercased, so the vocab is too — a cased
+    tokenizer term list would otherwise match nothing). The vocab
     side is deduplicated and broadcast (vocabularies are ≤ a few
-    hundred k rows); the corpus shuffles once on doc id. Docs with no
-    tokens report rate 0.0."""
+    hundred k rows); the corpus shuffles once on doc id."""
     tc = _token_counts(df, text_col, id_col)
     v = F.broadcast(
-        vocab.select(F.col(token_col).alias("token")).distinct().withColumn(
-            "__in_vocab", F.lit(1)
-        )
+        vocab.select(F.lower(F.col(token_col)).alias("token"))
+        .distinct()
+        .withColumn("__in_vocab", F.lit(1))
     )
     per_doc = (
         tc.join(v, "token", "left")
         .groupBy("__id")
         .agg(
-            F.sum("cnt").alias("n_tokens"),
+            F.sum("cnt").alias("__nt"),
             F.sum(
                 F.when(F.col("__in_vocab").isNull(), F.col("cnt")).otherwise(
                     F.lit(0)
                 )
-            ).alias("n_oov"),
+            ).alias("__no"),
         )
     )
-    return per_doc.select(
-        F.col("__id").alias(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_oov").cast("long").alias("n_oov"),
-        F.round(
-            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
-            ),
-            6,
-        ).alias("oov_rate"),
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__no"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.when(F.coalesce(F.col("__nt"), F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("__no").cast("double") / F.col("__nt").cast("double")
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
     )

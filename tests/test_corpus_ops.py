@@ -214,3 +214,52 @@ def test_oov_rate_against_top_terms(spark):
     assert got[2].n_tokens == 3
     assert got[2].n_oov == 3 - len({"the", "sat", "dog"} & vocab_set)
     assert all(0.0 <= r.oov_rate <= 1.0 for r in got.values())
+
+
+def test_materialize_packed_ids_reused_across_groups(spark):
+    from etl_extract_transform_load_spark.scale.packing import (
+        materialize_packed,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "aaa"), (1, "b", "bbb")],
+        "doc_id long, source string, text string",
+    )
+    packed = pack_greedy(docs, budget=10, n_shards=1)
+    out = {r.source: r for r in materialize_packed(docs, packed).collect()}
+    assert out["a"].packed_text == "aaa" and out["a"].n_docs == 1
+    assert out["b"].packed_text == "bbb" and out["b"].n_docs == 1
+
+
+def test_oov_rate_keeps_empty_docs_and_ignores_vocab_case(spark):
+    from etl_extract_transform_load_spark.scale.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("A",)], "token string")  # cased entry
+    got = {r.doc_id: r for r in oov_rate(docs, vocab).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_oov == 1 and got[1].oov_rate == 0.5  # 'A' matches 'a'
+    assert got[2].oov_rate == 0.0 and got[3].oov_rate == 0.0
+
+
+def test_hash_split_null_ids_and_sample_composition(spark):
+    from etl_extract_transform_load_spark.scale.sampling import hash_split
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    nulls = spark.createDataFrame(
+        [(None,), (7,)], "doc_id long"
+    )
+    got = {r.doc_id: r.split for r in hash_split(nulls, w).collect()}
+    assert got[None] is None and got[7] in w
+
+    # splitting a hash-sampled corpus must not collapse to one split
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    sampled = deterministic_sample(docs, 0.2)
+    splits = {
+        r.split
+        for r in hash_split(sampled, w).select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}

@@ -43,6 +43,11 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     n_statuses = back.select("o_orderstatus").distinct().count()
     assert n_statuses > 1  # pruning actually has something to skip
     assert pruned.count() == df.filter(F.col("o_orderstatus") == "F").count()
+    # directory-level skipping is real: the pruned read touches
+    # strictly fewer files than the full read
+    all_files = back.select(F.input_file_name()).distinct().count()
+    pruned_files = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < pruned_files < all_files
 
 
 def test_windowed_counts_batch_semantics(spark):

@@ -510,7 +510,26 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").cast("double").alias("tfidf"),
         F.col("rnk").cast("long").alias("rnk"),
     )
-    return vocab.unionByName(tfidf)
+    # third branch: per-doc OOV rate against the top-100 vocabulary
+    # (token totals ride n_occurrences, OOV counts ride doc_freq, the
+    # rate rides tfidf)
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oov_rate,
+        top_terms,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    oov = oov_rate(docs, top_terms(docs, k=100)).select(
+        F.lit("oov").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("n_tokens").cast("long").alias("n_occurrences"),
+        F.col("n_oov").cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("oov_rate").cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    return vocab.unionByName(tfidf).unionByName(oov)
 
 
 def _oracle_vocab_tfidf() -> str:
@@ -528,6 +547,35 @@ UNION ALL
 SELECT 'tfidf', token, NULL::BIGINT, NULL::BIGINT, CAST(doc_id AS BIGINT),
        CAST(tfidf AS DOUBLE), CAST(rnk AS BIGINT)
 FROM ({ORACLE_TFIDF})
+UNION ALL
+SELECT 'oov', NULL::VARCHAR,
+       CAST(n_tokens AS BIGINT), CAST(n_oov AS BIGINT),
+       CAST(o.doc_id AS BIGINT),
+       CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE ROUND(n_oov * 1.0 / n_tokens, 6) END AS DOUBLE),
+       NULL::BIGINT
+FROM (
+    WITH v AS (SELECT token FROM ({ORACLE_VOCAB})),
+    tc AS (
+        SELECT doc_id, UNNEST(
+            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(
+                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
+        ) AS token FROM documents
+    ),
+    agg AS (
+        SELECT tc.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tc LEFT JOIN v USING (token)
+        GROUP BY tc.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_tokens, 0) AS n_tokens,
+           COALESCE(agg.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN agg USING (doc_id)
+) o
 """
 
 
@@ -560,13 +608,33 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_buckets").cast("long").alias("keep_buckets"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
-    return strat.unionByName(mix)
+    # third branch: deterministic train/val/test assignment for every
+    # doc (the split label rides the lang slot of the tag union)
+    from etl_extract_transform_load_spark.scale.sampling import hash_split
+    from etl_extract_transform_load_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(
+        F.lit("split").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("keep_buckets"),
+        F.lit(None).cast("long").alias("n_kept"),
+    )
+    return strat.unionByName(mix).unionByName(split)
 
 
 def _oracle_sampling_corpus() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_MIXTURE,
         ORACLE_SAMPLE_STRATIFIED,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        _SPLIT_SALT_OFFSET,
     )
 
     return f"""
@@ -579,6 +647,16 @@ SELECT 'mixture', NULL::BIGINT, NULL::VARCHAR, source,
        CAST(n_rows AS BIGINT), CAST(keep_buckets AS BIGINT),
        CAST(n_kept AS BIGINT)
 FROM ({ORACLE_MIXTURE})
+UNION ALL
+SELECT 'split', CAST(doc_id AS BIGINT),
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END,
+       NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM (SELECT doc_id,
+             ((doc_id + {_SPLIT_SALT_OFFSET}) * 2654435761
+              % 4294967296) % 10000 AS b
+      FROM documents)
 """
 
 

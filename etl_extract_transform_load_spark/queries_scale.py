@@ -406,10 +406,44 @@ FROM ex
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_extract_transform_load_spark.scale.packing import pack_greedy
+    """Greedy packing assignment plus the materialized bins (member
+    texts joined in id order), tag-unioned; the assignment is
+    checkpointed so the applyInPandas packing fold runs once for both
+    branches. Null text is coalesced to '' so the bin text aggregation
+    is engine-portable (DuckDB's string_agg drops NULL rows AND yields
+    NULL for all-NULL groups; array_join yields '')."""
+    from etl_extract_transform_load_spark.scale.packing import (
+        materialize_packed,
+        pack_greedy,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return pack_greedy(docs, budget=128)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    packed = pack_greedy(docs, budget=128).localCheckpoint()
+    assign = packed.select(
+        F.lit("assign").alias("part"),
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
+    bins = materialize_packed(docs, packed).select(
+        F.lit("bins").alias("part"),
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bin_tokens").cast("long").alias("bin_tokens"),
+        "packed_text",
+    )
+    return assign.unionByName(bins)
 
 
 # First-fit-sequential is a sequential fold; SQL needs a recursive
@@ -437,7 +471,17 @@ walk(source, shard, rn, doc_id, n_tokens, bin_id, used) AS (
     FROM walk w JOIN o ON o.source = w.source AND o.shard = w.shard
                       AND o.rn = w.rn + 1
 )
-SELECT source, shard, doc_id, n_tokens, bin_id FROM walk
+SELECT 'assign' AS part, source, shard, doc_id, n_tokens, bin_id,
+       NULL::BIGINT AS n_docs, NULL::BIGINT AS bin_tokens,
+       NULL::VARCHAR AS packed_text
+FROM walk
+UNION ALL
+SELECT 'bins', w.source, w.shard, NULL::BIGINT, NULL::BIGINT, w.bin_id,
+       COUNT(*), SUM(w.n_tokens),
+       string_agg(COALESCE(d.text, ''), chr(10) || chr(10)
+                  ORDER BY w.doc_id)
+FROM walk w JOIN documents d ON d.doc_id = w.doc_id
+GROUP BY w.source, w.shard, w.bin_id
 """
 
 

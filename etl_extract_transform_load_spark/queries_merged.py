@@ -485,14 +485,28 @@ USING (doc_id)
 # --- vocab_tfidf_terms ----------------------------------------------------------
 
 def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vocab_top_terms + tfidf_top_terms tag-unioned: corpus-level
-    vocabulary and per-document TF-IDF keywords."""
+    """vocab_top_terms + tfidf_top_terms + per-doc OOV rate,
+    tag-unioned. The global vocabulary aggregation is checkpointed and
+    shared: top-100 feeds the vocab branch, top-10 feeds the OOV
+    branch (a k small enough that the testdata actually has
+    out-of-vocabulary tokens — against top-100 every token is covered
+    and the check would be vacuous)."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_tfidf_top_terms,
-        q_vocab_top_terms,
     )
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oov_rate,
+        vocabulary,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
 
-    vocab = q_vocab_top_terms(spark, sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocabulary(docs).localCheckpoint()
+
+    def topk(k: int) -> DataFrame:
+        return voc.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+    vocab = topk(100).select(
         F.lit("vocab").alias("part"),
         "token",
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
@@ -510,17 +524,10 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").cast("double").alias("tfidf"),
         F.col("rnk").cast("long").alias("rnk"),
     )
-    # third branch: per-doc OOV rate against the top-100 vocabulary
+    # third branch: per-doc OOV rate against the top-10 vocabulary
     # (token totals ride n_occurrences, OOV counts ride doc_freq, the
     # rate rides tfidf)
-    from etl_extract_transform_load_spark.scale.vocab import (
-        oov_rate,
-        top_terms,
-    )
-    from etl_extract_transform_load_spark.sources import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    oov = oov_rate(docs, top_terms(docs, k=100)).select(
+    oov = oov_rate(docs, topk(10)).select(
         F.lit("oov").alias("part"),
         F.lit(None).cast("string").alias("token"),
         F.col("n_tokens").cast("long").alias("n_occurrences"),
@@ -536,6 +543,7 @@ def _oracle_vocab_tfidf() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_TFIDF,
         ORACLE_VOCAB,
+        oracle_vocab_sql,
     )
 
     return f"""
@@ -555,7 +563,7 @@ SELECT 'oov', NULL::VARCHAR,
                  ELSE ROUND(n_oov * 1.0 / n_tokens, 6) END AS DOUBLE),
        NULL::BIGINT
 FROM (
-    WITH v AS (SELECT token FROM ({ORACLE_VOCAB})),
+    WITH v AS (SELECT token FROM ({oracle_vocab_sql(10)})),
     tc AS (
         SELECT doc_id, UNNEST(
             CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
@@ -649,7 +657,8 @@ SELECT 'mixture', NULL::BIGINT, NULL::VARCHAR, source,
 FROM ({ORACLE_MIXTURE})
 UNION ALL
 SELECT 'split', CAST(doc_id AS BIGINT),
-       CASE WHEN b < 8000 THEN 'train'
+       CASE WHEN doc_id IS NULL THEN NULL
+            WHEN b < 8000 THEN 'train'
             WHEN b < 9000 THEN 'val'
             ELSE 'test' END,
        NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT

@@ -263,7 +263,8 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, k=100)
 
 
-ORACLE_VOCAB = f"""
+def oracle_vocab_sql(k: int) -> str:
+    return f"""
 WITH base AS (SELECT doc_id, {_LTOKS_SQL} AS ltoks FROM documents),
 tok AS (SELECT doc_id, UNNEST(ltoks) AS token FROM base),
 tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token)
@@ -272,8 +273,11 @@ SELECT token,
        COUNT(*) AS doc_freq
 FROM tc GROUP BY token
 ORDER BY n_occurrences DESC, token
-LIMIT 100
+LIMIT {k}
 """
+
+
+ORACLE_VOCAB = oracle_vocab_sql(100)
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +484,8 @@ SELECT 'bins', w.source, w.shard, NULL::BIGINT, NULL::BIGINT, w.bin_id,
        COUNT(*), SUM(w.n_tokens),
        string_agg(COALESCE(d.text, ''), chr(10) || chr(10)
                   ORDER BY w.doc_id)
-FROM walk w JOIN documents d ON d.doc_id = w.doc_id
+FROM walk w JOIN documents d
+  ON d.doc_id = w.doc_id AND d.source = w.source
 GROUP BY w.source, w.shard, w.bin_id
 """
 

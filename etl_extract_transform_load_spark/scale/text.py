@@ -312,3 +312,34 @@ def strip_repeated_lines(
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Web-corpus HTML removal as a pure scan-stage projection:
+    script/style blocks (content and all) → tags → the common
+    entities → whitespace collapse. Patterns are RE2-compatible (no
+    lookarounds), the same portability policy as the PII scrubbers,
+    so a non-Java scrubber reproduces the output exactly. This is the
+    cheap regex tier — a DOM-aware extractor (trafilatura-class) is a
+    Pandas-UDF seam, not an expression."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    no_blocks = F.regexp_replace(
+        c, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    ent = no_tags
+    for pat, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last: earlier entities must not double-decode
+    ):
+        ent = F.regexp_replace(ent, pat, rep)
+    collapsed = F.trim(F.regexp_replace(ent, r"\s+", " "))
+    return df.select("*", collapsed.alias(out_col))

@@ -212,3 +212,26 @@ def test_strip_repeated_lines_removes_domain_boilerplate(spark):
     assert out[5] == ""
     assert out[6] == ""
     assert len(out) == 6
+
+
+def test_strip_html_removes_markup_and_decodes_entities(spark):
+    from etl_extract_transform_load_spark.scale.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><head><style>p{color:red}</style>"
+                "<script type='x'>var a=1;</script></head>"
+                "<body><p>Hello <b>world</b> &amp; friends</p>"
+                "<div>5 &lt; 6, &quot;quoted&quot;, it&#39;s</div></body>",
+            ),
+            (2, "no markup at all"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in strip_html(docs).collect()}
+    assert got[1] == "Hello world & friends 5 < 6, \"quoted\", it's"
+    assert got[2] == "no markup at all"
+    assert got[3] == ""

@@ -343,3 +343,44 @@ def strip_html(
         ent = F.regexp_replace(ent, pat, rep)
     collapsed = F.trim(F.regexp_replace(ent, r"\s+", " "))
     return df.select("*", collapsed.alias(out_col))
+
+
+#: The classic UTF-8-bytes-read-as-cp1252 artifacts (ftfy's most
+#: common fixes), as (broken, repaired) literal pairs. Unicode escapes
+#: keep the source ASCII-clean (several broken forms contain C1
+#: control characters where cp1252 has no printable glyph).
+_MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # left single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e acute
+    ("\u00c3\u00a8", "\u00e8"),  # e grave
+    ("\u00c3\u00a1", "\u00e1"),  # a acute
+    ("\u00c3\u00b3", "\u00f3"),  # o acute
+    ("\u00c3\u00ba", "\u00fa"),  # u acute
+    ("\u00c3\u00b1", "\u00f1"),  # n tilde
+    ("\u00c3\u00bc", "\u00fc"),  # u umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # a umlaut
+    ("\u00c2\u00a0", " "),  # non-breaking space artifact
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Repair the most common mojibake (UTF-8 text that was decoded as
+    cp1252 somewhere upstream - curly quotes, dashes, accented Latin)
+    via literal ``replace`` chains: scan-stage, no regex engine
+    involved, deterministic on any engine. This is the cheap tier of
+    ftfy; full encoding inference is a Pandas-UDF seam."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    for broken, fixed in _MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(broken), F.lit(fixed))
+    return df.select("*", c.alias(out_col))

@@ -235,3 +235,23 @@ def test_strip_html_removes_markup_and_decodes_entities(spark):
     assert got[1] == "Hello world & friends 5 < 6, \"quoted\", it's"
     assert got[2] == "no markup at all"
     assert got[3] == ""
+
+
+def test_fix_mojibake_repairs_cp1252_artifacts(spark):
+    from etl_extract_transform_load_spark.scale.text import fix_mojibake
+
+    broken = (
+        "It\u00e2\u20ac\u2122s a \u00e2\u20ac\u0153test"
+        "\u00e2\u20ac\u009d \u00e2\u20ac\u201c caf\u00c3\u00a9"
+        " menu\u00e2\u20ac\u00a6"
+    )
+    docs = spark.createDataFrame(
+        [(1, broken), (2, "already clean"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in fix_mojibake(docs).collect()}
+    assert got[1] == (
+        "It\u2019s a \u201ctest\u201d \u2013 caf\u00e9 menu\u2026"
+    )
+    assert got[2] == "already clean"
+    assert got[3] == ""

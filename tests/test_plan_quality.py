@@ -156,3 +156,21 @@ def test_sketch_self_joins_reuse_materialized_sketch(spark):
     ):
         plan = plan_text(pairs, mode="simple")
         assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_no_python_row_udfs_anywhere():
+    """Policy: zero row-at-a-time Python UDFs in the engine — only
+    Arrow-batched Pandas UDFs where vectorized compute wins. A plain
+    F.udf in a hot path would silently serialize every row through
+    Python; this guard keeps the claim true as code grows."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / (
+        "etl_extract_transform_load_spark"
+    )
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
+            offenders.append(str(py))
+    assert not offenders, offenders

@@ -25,7 +25,7 @@ Two operators, two cost shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.scale.text import tokens
@@ -173,5 +173,61 @@ def materialize_packed(
                 ),
                 separator,
             ).alias("packed_text"),
+        )
+    )
+
+
+def chunk_documents_sentences(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking: sentences never split mid-way, chunks
+    break at the sentence whose cumulative token count crosses the
+    next ``max_tokens`` boundary. A chunk can therefore overshoot the
+    budget by at most one sentence (and a single over-budget sentence
+    becomes its own chunk) — the standard RAG/window tradeoff of
+    semantic boundaries over exact token counts.
+
+    Plan: regex sentence split (scan stage) → posexplode → running
+    token sum per doc (ONE window shuffle on doc id) → chunk id =
+    how many budget boundaries the PREVIOUS sentences crossed →
+    groupBy (doc, chunk) reassembly in sentence order. Compare
+    ``chunk_documents`` for exact-budget token-blind chunks."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # split after ., !, ? runs followed by whitespace; keeps the
+    # delimiter with its sentence (split consumes only the gap)
+    sentences = F.split(c, r"(?<=[.!?])\s+")
+    sent = (
+        df.select(F.col(id_col), F.posexplode_outer(sentences))
+        .withColumnRenamed("pos", "sent_idx")
+        .withColumnRenamed("col", "sentence")
+        .filter(F.col("sentence").isNotNull() & (F.trim("sentence") != ""))
+        .withColumn("n_sent_tokens", F.size(tokens(F.col("sentence"))))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_sent_tokens").over(w), F.lit(0))
+    chunked = sent.withColumn(
+        "chunk_idx", F.floor(prior / F.lit(max_tokens)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_idx", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("n_sent_tokens").alias("n_chunk_tokens"),
+            F.count(F.lit(1)).alias("n_sentences"),
         )
     )

@@ -263,3 +263,32 @@ def test_hash_split_null_ids_and_sample_composition(spark):
         for r in hash_split(sampled, w).select("split").distinct().collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+def test_sentence_chunking_respects_boundaries(spark):
+    from etl_extract_transform_load_spark.scale.packing import (
+        chunk_documents_sentences,
+    )
+
+    text = (
+        "One two three. Four five six! Seven eight? "
+        "Nine ten eleven twelve."
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = sorted(
+        (
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+            for r in chunk_documents_sentences(docs, max_tokens=6).collect()
+        )
+    )
+    # sentences of 3/3/2/4 tokens, budget 6: priors 0,3,6,8 → chunks
+    # floor(0/6)=0, floor(3/6)=0, floor(6/6)=1, floor(8/6)=1
+    assert got == [
+        (1, 0, "One two three. Four five six!", 6),
+        (1, 1, "Seven eight? Nine ten eleven twelve.", 6),
+    ]
+    # reassembly preserves every sentence exactly once
+    rejoined = " ".join(t for (_, _, t, _) in got)
+    assert rejoined == text

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_extract_transform_load_spark.scale.text import tokens
+from etl_extract_transform_load_spark.scale.text import joined_in_order, tokens
 
 
 def chunk_documents(
@@ -164,15 +164,9 @@ def materialize_packed(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
-                    ),
-                    lambda s: s[text_col],
-                ),
-                separator,
-            ).alias("packed_text"),
+            joined_in_order(id_col, text_col, separator).alias(
+                "packed_text"
+            ),
         )
     )
 
@@ -183,18 +177,23 @@ def chunk_documents_sentences(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Sentence-aware chunking: sentences never split mid-way, chunks
-    break at the sentence whose cumulative token count crosses the
-    next ``max_tokens`` boundary. A chunk can therefore overshoot the
-    budget by at most one sentence (and a single over-budget sentence
-    becomes its own chunk) — the standard RAG/window tradeoff of
-    semantic boundaries over exact token counts.
+    """Sentence-aware chunking on a fixed token grid: sentences never
+    split mid-way; a chunk boundary falls before the first sentence
+    whose PRIOR cumulative token count reaches the next ``max_tokens``
+    multiple. Semantics to be aware of: a sentence longer than the
+    budget stays in the chunk it started in (extending it past the
+    budget), and the sentence after an overshoot starts a fresh chunk
+    on the global grid rather than refilling the remainder — the grid
+    keeps the whole computation one window pass; true
+    remainder-refilling greedy needs the sequential fold
+    ``pack_greedy`` uses. ``chunk_idx`` is densified to 0..n-1 per
+    doc (grid cells skipped by an overshoot don't leave holes).
 
     Plan: regex sentence split (scan stage) → posexplode → running
-    token sum per doc (ONE window shuffle on doc id) → chunk id =
-    how many budget boundaries the PREVIOUS sentences crossed →
-    groupBy (doc, chunk) reassembly in sentence order. Compare
-    ``chunk_documents`` for exact-budget token-blind chunks."""
+    token sum per doc + dense_rank (TWO window functions over the SAME
+    (doc, sent_idx) sort — one shuffle) → groupBy (doc, chunk)
+    reassembly in sentence order. Compare ``chunk_documents`` for
+    exact-budget token-blind chunks."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     # split after ., !, ? runs followed by whitespace; keeps the
     # delimiter with its sentence (split consumes only the gap)
@@ -213,20 +212,22 @@ def chunk_documents_sentences(
     )
     prior = F.coalesce(F.sum("n_sent_tokens").over(w), F.lit(0))
     chunked = sent.withColumn(
-        "chunk_idx", F.floor(prior / F.lit(max_tokens)).cast("long")
+        "__grid", F.floor(prior / F.lit(max_tokens)).cast("long")
+    ).withColumn(
+        "chunk_idx",
+        (
+            F.dense_rank().over(
+                Window.partitionBy(id_col).orderBy("__grid")
+            )
+            - 1
+        ).cast("long"),
     )
     return (
         chunked.groupBy(id_col, "chunk_idx")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sent_idx", "sentence"))
-                    ),
-                    lambda s: s["sentence"],
-                ),
-                " ",
-            ).alias("chunk_text"),
+            joined_in_order("sent_idx", "sentence", " ").alias(
+                "chunk_text"
+            ),
             F.sum("n_sent_tokens").alias("n_chunk_tokens"),
             F.count(F.lit(1)).alias("n_sentences"),
         )

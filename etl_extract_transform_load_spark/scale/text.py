@@ -255,6 +255,20 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def joined_in_order(order_col: str, text_col: str, sep: str):
+    """Aggregation expression: collect (order, text) structs, sort by
+    the order key, join the texts — the order-restoring reassembly
+    idiom shared by line/bin/sentence rebuilds. NULL texts are skipped
+    by array_join (callers coalesce upstream when '' is required)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+            lambda s: s[text_col],
+        ),
+        sep,
+    )
+
+
 def strip_repeated_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -295,17 +309,7 @@ def strip_repeated_lines(
     kept = lines.join(freq, ["__grp", "__lh"], "left_anti")
     rebuilt = (
         kept.groupBy("__id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", "__line"))
-                    ),
-                    lambda s: s["__line"],
-                ),
-                "\n",
-            ).alias(out_col)
-        )
+        .agg(joined_in_order("__pos", "__line", "\n").alias(out_col))
         .select(F.col("__id").alias(id_col), out_col)
     )
     # left join + coalesce: all-boilerplate docs still get a row
@@ -320,18 +324,28 @@ def strip_html(
     out_col: str = "clean_text",
 ) -> DataFrame:
     """Web-corpus HTML removal as a pure scan-stage projection:
-    script/style blocks (content and all) → tags → the common
-    entities → whitespace collapse. Patterns are RE2-compatible (no
-    lookarounds), the same portability policy as the PII scrubbers,
+    script/style blocks (content and all) → comments → tags → the
+    common entities → whitespace collapse. Patterns are
+    RE2-compatible (no lookarounds, no backreferences — script and
+    style get separate passes instead of a backreferenced
+    alternation), the same portability policy as the PII scrubbers,
     so a non-Java scrubber reproduces the output exactly. This is the
     cheap regex tier — a DOM-aware extractor (trafilatura-class) is a
-    Pandas-UDF seam, not an expression."""
+    Pandas-UDF seam, not an expression.
+
+    ``withColumn`` semantics: if ``out_col`` already exists it is
+    replaced, so cleaners chain (``fix_mojibake(strip_html(df),
+    text_col="clean_text")``)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    no_blocks = F.regexp_replace(
-        c, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
-    )
-    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
-    ent = no_tags
+    cleaned = c
+    for blk in ("script", "style"):
+        cleaned = F.regexp_replace(
+            cleaned, rf"(?is)<{blk}[^>]*>.*?</{blk}\s*>", " "
+        )
+    # comments before tags: <[^>]+> would stop at a '>' INSIDE the
+    # comment body and leak the remainder as visible text
+    cleaned = F.regexp_replace(cleaned, r"(?s)<!--.*?-->", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?s)<[^>]+>", " ")
     for pat, rep in (
         ("&nbsp;", " "),
         ("&lt;", "<"),
@@ -340,9 +354,9 @@ def strip_html(
         ("&#39;", "'"),
         ("&amp;", "&"),  # last: earlier entities must not double-decode
     ):
-        ent = F.regexp_replace(ent, pat, rep)
-    collapsed = F.trim(F.regexp_replace(ent, r"\s+", " "))
-    return df.select("*", collapsed.alias(out_col))
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn(out_col, collapsed)
 
 
 #: The classic UTF-8-bytes-read-as-cp1252 artifacts (ftfy's most
@@ -379,8 +393,11 @@ def fix_mojibake(
     cp1252 somewhere upstream - curly quotes, dashes, accented Latin)
     via literal ``replace`` chains: scan-stage, no regex engine
     involved, deterministic on any engine. This is the cheap tier of
-    ftfy; full encoding inference is a Pandas-UDF seam."""
+    ftfy; full encoding inference is a Pandas-UDF seam.
+
+    ``withColumn`` semantics: an existing ``out_col`` is replaced, so
+    cleaners chain."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     for broken, fixed in _MOJIBAKE_PAIRS:
         c = F.replace(c, F.lit(broken), F.lit(fixed))
-    return df.select("*", c.alias(out_col))
+    return df.withColumn(out_col, c)

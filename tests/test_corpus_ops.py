@@ -292,3 +292,24 @@ def test_sentence_chunking_respects_boundaries(spark):
     # reassembly preserves every sentence exactly once
     rejoined = " ".join(t for (_, _, t, _) in got)
     assert rejoined == text
+
+
+def test_sentence_chunking_dense_indices_after_overshoot(spark):
+    from etl_extract_transform_load_spark.scale.packing import (
+        chunk_documents_sentences,
+    )
+
+    # sentences of 3 / 21 / 3 tokens at budget 6: the 21-token
+    # sentence extends chunk 0 past the budget; indices stay dense
+    big = " ".join(f"w{i}" for i in range(21)) + "."
+    docs = spark.createDataFrame(
+        [(1, f"One two three. {big} Four five six.")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.chunk_idx, r.n_chunk_tokens)
+        for r in chunk_documents_sentences(docs, max_tokens=6).collect()
+    )
+    assert [c for c, _ in got] == [0, 1]  # dense, no holes
+    assert got[0][1] == 24  # 3 + 21: overshoot stays in its chunk
+    assert got[1][1] == 3

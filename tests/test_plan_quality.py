@@ -162,7 +162,13 @@ def test_no_python_row_udfs_anywhere():
     """Policy: zero row-at-a-time Python UDFs in the engine — only
     Arrow-batched Pandas UDFs where vectorized compute wins. A plain
     F.udf in a hot path would silently serialize every row through
-    Python; this guard keeps the claim true as code grows."""
+    Python; this guard keeps the claim true as code grows.
+
+    AST-based, not substring-based: catches ``from pyspark.sql.
+    functions import udf`` + bare ``udf(...)`` and ``spark.udf.
+    register`` too, and never trips on the word 'udf' in a comment
+    or docstring."""
+    import ast
     import pathlib
 
     root = pathlib.Path(__file__).parent.parent / (
@@ -170,7 +176,25 @@ def test_no_python_row_udfs_anywhere():
     )
     offenders = []
     for py in root.rglob("*.py"):
-        src = py.read_text()
-        if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
-            offenders.append(str(py))
+        tree = ast.parse(py.read_text(encoding="utf-8"))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and any(
+                a.name == "udf" for a in node.names
+            ):
+                offenders.append(f"{py}: from-import of udf")
+            if isinstance(node, ast.Call):
+                f = node.func
+                if isinstance(f, ast.Name) and f.id == "udf":
+                    offenders.append(f"{py}:{node.lineno}: bare udf()")
+                if isinstance(f, ast.Attribute) and f.attr == "udf":
+                    offenders.append(f"{py}:{node.lineno}: .udf()")
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "register"
+                    and isinstance(f.value, ast.Attribute)
+                    and f.value.attr == "udf"
+                ):
+                    offenders.append(
+                        f"{py}:{node.lineno}: spark.udf.register"
+                    )
     assert not offenders, offenders

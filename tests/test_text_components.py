@@ -255,3 +255,21 @@ def test_fix_mojibake_repairs_cp1252_artifacts(spark):
     )
     assert got[2] == "already clean"
     assert got[3] == ""
+
+
+def test_text_cleaners_compose(spark):
+    """strip_html → fix_mojibake chains on the cleaned column without
+    duplicate-column ambiguity, and comments with '>' in the body are
+    fully removed."""
+    from etl_extract_transform_load_spark.scale.text import (
+        fix_mojibake,
+        strip_html,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "<p>hi</p><!-- promo > nav --><b>there</b>")],
+        "doc_id long, text string",
+    )
+    out = fix_mojibake(strip_html(docs), text_col="clean_text")
+    assert out.columns.count("clean_text") == 1
+    assert out.collect()[0].clean_text == "hi there"

@@ -59,6 +59,9 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (DuckDB 1.0 has no WITH ORDINALITY — index the array positions.)
+# COALESCE before LEAST: DuckDB's LEAST *ignores* NULL arguments, so
+# LEAST(LEN(NULL), 5) is 5 and a NULL-text doc would fabricate five
+# NULL-token rows that Spark's posexplode (0 rows on NULL) never emits.
 ORACLE_LATERAL_EXPLODE = """
 SELECT t.doc_id,
        CAST(g.i - 1 AS INT) AS pos,
@@ -67,7 +70,7 @@ FROM (
     SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
     FROM documents WHERE doc_id < 20
 ) t,
-UNNEST(generate_series(1, LEAST(LEN(t.toks), 5))) AS g(i)
+UNNEST(generate_series(1, LEAST(COALESCE(LEN(t.toks), 0), 5))) AS g(i)
 """
 
 

@@ -55,11 +55,14 @@ _LANGS = sorted(LANG_STOPWORDS)
 
 ORACLE_TEXT_STATS = f"""
 WITH base AS (
+    -- COALESCE mirrors the engine contract: NULL text ≡ ''
     SELECT doc_id,
-           text,
-           CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+           COALESCE(text, '') AS text,
+           CASE WHEN TRIM(COALESCE(text, '')) = ''
+                THEN CAST([] AS VARCHAR[])
                 ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks,
-           CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+           CASE WHEN TRIM(COALESCE(text, '')) = ''
+                THEN CAST([] AS VARCHAR[])
                 ELSE regexp_split_to_array(TRIM(LOWER(text)), '\\s+')
            END AS ltoks
     FROM documents

@@ -241,8 +241,12 @@ def repetition_signals(
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All text metrics as added columns (single projection)."""
-    c = F.col(text_col)
+    """All text metrics as added columns (single projection).
+
+    NULL text is treated as the empty string — every metric is
+    defined (0 counts, 'und' language, fingerprint 0) instead of a
+    NULL/non-NULL mix that varies per metric and per engine."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         "*",
         token_count_ws(c).alias("n_tokens_ws"),

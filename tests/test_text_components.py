@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from etl_extract_transform_load_spark.scale.components import (
     connected_components,
     dedup_survivors,
@@ -273,3 +275,41 @@ def test_text_cleaners_compose(spark):
     out = fix_mojibake(strip_html(docs), text_col="clean_text")
     assert out.columns.count("clean_text") == 1
     assert out.collect()[0].clean_text == "hi there"
+
+
+def test_text_queries_oracle_parity_with_null_and_empty_docs(
+    spark, tmp_path
+):
+    """Testdata regenerations may ship NULL/empty/whitespace text; the
+    text-family contract queries must stay oracle-green on such docs
+    (caught live: DuckDB's LEAST ignores NULL args, and NULL-text
+    metrics diverged per engine before the coalesce contract)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.oracle import assert_matches_oracle
+
+    src = SF_SMOKE
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        shutil.copyfile(f"{src}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    d = pq.read_table(f"{src}/documents.parquet")
+    pdf = d.to_pandas()
+    pdf.loc[pdf.index[:3], "text"] = None
+    pdf.loc[pdf.index[3:6], "text"] = ""
+    pdf.loc[pdf.index[6:8], "text"] = "   "
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=d.schema, preserve_index=False),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ("lateral_explode", "text_quality_signals"):
+        assert_matches_oracle(
+            qs[name](spark, str(tmp_path)), osql[name], str(tmp_path)
+        )

@@ -917,7 +917,7 @@ FROM (SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS v,
              list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> ABS(x))) AS amax
-      FROM embeddings)
+      FROM embeddings WHERE embedding IS NOT NULL)
 """
 
 

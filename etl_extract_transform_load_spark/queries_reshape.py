@@ -77,7 +77,9 @@ UNNEST(generate_series(1, LEAST(COALESCE(LEN(t.toks), 0), 5))) AS g(i)
 # --- array higher-order functions -------------------------------------------------
 
 def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 50) & F.col("embedding").isNotNull()
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
@@ -95,7 +97,7 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ARRAY_HOF = """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-    FROM embeddings WHERE vec_id < 50
+    FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL
 )
 SELECT vec_id,
        LEN(list_filter(v, x -> x > 0)) AS n_positive,

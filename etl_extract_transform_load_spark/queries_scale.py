@@ -574,7 +574,8 @@ _DIM = 64
 
 def _centroid_sql(src: str, label: str) -> str:
     """64 decimal-exact per-dimension means (DuckDB lists are
-    1-based). Matches scale.embeddings.label_centroids."""
+    1-based). Matches scale.embeddings.label_centroids — including
+    its NULL-vector/NULL-label drop contract."""
     dims = ", ".join(
         f"ROUND(CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
         f" AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6)"
@@ -582,7 +583,9 @@ def _centroid_sql(src: str, label: str) -> str:
     )
     return (
         f"SELECT {label} AS label, COUNT(*) AS n_vectors,"
-        f" [{dims}] AS centroid FROM {src} GROUP BY {label}"
+        f" [{dims}] AS centroid FROM {src}"
+        f" WHERE embedding IS NOT NULL AND {label} IS NOT NULL"
+        f" GROUP BY {label}"
     )
 
 
@@ -640,6 +643,7 @@ scored AS (
                     * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
                AS cos_sim
     FROM embeddings e, cent c
+    WHERE e.embedding IS NOT NULL
 )
 SELECT vec_id, assigned_label, cos_sim
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -671,6 +675,7 @@ scored AS (
                     * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
                AS cos_sim
     FROM embeddings e, cent c
+    WHERE e.embedding IS NOT NULL
 ),
 assigned AS (
     SELECT vec_id, assigned_label
@@ -961,7 +966,7 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.vec_id AS id_a,
        b.vec_id AS id_b,
@@ -987,7 +992,7 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
 scored AS (
@@ -1050,7 +1055,7 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings),
+    FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, bucket
       FROM b WHERE vec_id < 10),
@@ -1089,7 +1094,7 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings),
+    FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e)
 SELECT a.vec_id AS id_a,
        b.vec_id AS id_b,
@@ -1139,7 +1144,7 @@ e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
 assigned AS (

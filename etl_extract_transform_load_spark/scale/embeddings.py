@@ -80,7 +80,12 @@ def label_centroids(
 ) -> DataFrame:
     """(label, n_vectors, centroid): exact per-dimension mean via
     decimal tree-aggregation (see module docstring), centroid
-    elements rounded to 6 places."""
+    elements rounded to 6 places. Rows with a NULL vector or NULL
+    label are dropped — an unlabeled or embedding-less record can't
+    contribute to a centroid (shared engine/oracle contract)."""
+    df = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     aggd = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
     )
@@ -106,7 +111,9 @@ def assign_to_centroids(
 ) -> DataFrame:
     """(id, assigned_label, cos_sim): each vector goes to the
     highest-cosine centroid (ties broken by label order). The
-    centroid side is broadcast — the vector table never shuffles."""
+    centroid side is broadcast — the vector table never shuffles.
+    NULL vectors are dropped (no embedding → no assignment)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     # project the vector side down to (id, vec, ‖vec‖) first: avoids
     # column collisions with the centroid table (e.g. a pre-existing
     # `label`), keeps the scored cross product narrow, and — key for
@@ -157,8 +164,10 @@ def assign_to_centroids_arrow(
     shape that survives: the vector table streams through once.
 
     Ties break toward the smallest label: ``centroid_rows`` is sorted
-    by label and ``argmax`` keeps the first maximum.
+    by label and ``argmax`` keeps the first maximum. NULL vectors are
+    dropped (no embedding → no assignment).
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     from collections.abc import Iterator
 
     import numpy as np
@@ -250,7 +259,8 @@ def quantize_int8(
     ``s = max|x| / 127`` — 4× smaller storage/shuffle for ANN
     candidate generation (exact re-scoring stays on the float
     column). Pure expressions, scan-stage cost. All-zero vectors get
-    scale 0 and all-zero codes."""
+    scale 0 and all-zero codes; NULL vectors are dropped."""
+    df = df.filter(F.col(vec_col).isNotNull())
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     # materialize the scale as a COLUMN first: an expression inside a

@@ -120,7 +120,9 @@ def route_queries(
     ties broken by cluster id — bit-identical to the SQL
     ``ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, cluster)``.
 
-    Returns (routes [(query_id, cluster)], query_rows [(id, vec)])."""
+    Returns (routes [(query_id, cluster)], query_rows [(id, vec)]).
+    NULL query vectors are dropped (no embedding → no routing)."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
 
     from etl_extract_transform_load_spark.scale.similarity import _seq_dots

@@ -126,8 +126,10 @@ def _vectors_with_norm(
     id_alias: str, vec_alias: str, norm_alias: str,
 ) -> DataFrame:
     """(id, vec, ‖vec‖) — the norm evaluated once per row, then carried
-    as a plain double column."""
-    return df.select(
+    as a plain double column. Rows with a NULL vector are dropped:
+    a record without an embedding cannot participate in similarity
+    (the contract every kernel and oracle shares)."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
     ).select(
         id_alias,
@@ -236,6 +238,7 @@ def neighbor_pairs_above_blocks(
     faster measured, same bits. Exact all-pairs is inherently O(N²);
     size ``n_blocks`` so a block fits executor memory, or use the LSH
     variant at corpus scale."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     import pandas as pd
 
     spark = vectors.sparkSession
@@ -331,6 +334,7 @@ def neighbor_pairs_above_arrow(
     The right side is collected to the driver and shipped via closure —
     correct while one side fits in memory (it's the broadcast-side
     analog). For corpus×corpus at 100 TB, pre-bucket with LSH first."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -374,6 +378,8 @@ def brute_force_topk_arrow(
 ) -> DataFrame:
     """Exact top-k with sequential-order (bit-reproducible) scoring via
     Arrow batches; the rank window runs on the scored triples only."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -426,6 +432,8 @@ def brute_force_topk_blas(
     fold only in the last ulp (BLAS pairwise summation) — use for
     throughput, use ``brute_force_topk`` when bit-reproducibility
     against a sequential implementation matters."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -478,6 +486,8 @@ def hyperplane_lsh_topk_arrow(
     candidate set as the expression variant (identical planes/signs up
     to ulp-boundary projections); ~5× faster locally because the giant
     per-plane expressions never reach codegen."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -541,6 +551,7 @@ def neighbor_pairs_above_lsh_arrow(
     dominates at benchmark scale). Right side ships via closure, the
     broadcast-side analog; for corpus×corpus beyond memory, fall back
     to the bucket-join variant."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 

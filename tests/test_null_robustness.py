@@ -19,8 +19,12 @@ def test_text_stats_null_and_empty(spark):
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in text_stats(docs).collect()}
-    assert rows[0].n_tokens_ws is None and rows[0].fingerprint is None
+    # contract: NULL text ≡ '' — every metric defined, no NULL/0 mix
+    # (the oracle comparison diverged per engine under the old
+    # NULL-propagating behavior)
+    assert rows[0].n_tokens_ws == 0 and rows[0].fingerprint == 0
     assert rows[0].lang_detected == "und"
+    assert rows[0].quality_score == rows[1].quality_score
     assert rows[1].n_tokens_ws == 0 and rows[1].fingerprint == 0
     assert rows[2].n_tokens_ws == 0
     assert rows[3].n_tokens_ws == 4

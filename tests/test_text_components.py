@@ -313,3 +313,39 @@ def test_text_queries_oracle_parity_with_null_and_empty_docs(
         assert_matches_oracle(
             qs[name](spark, str(tmp_path)), osql[name], str(tmp_path)
         )
+
+
+def test_embedding_queries_oracle_parity_with_null_vectors(
+    spark, tmp_path
+):
+    """NULL embedding vectors must drop out of similarity/clustering
+    on BOTH engines (caught live: np.stack crashes, int(None) crashes,
+    and NULL-propagating HOF outputs diverged before the shared
+    drop-NULL contract)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.oracle import assert_matches_oracle
+
+    src = SF_SMOKE
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents"
+    ).split():
+        shutil.copyfile(f"{src}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    m = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    m.loc[m.index[:2], "embedding"] = None
+    m.loc[m.index[2:3], "label"] = None
+    pq.write_table(
+        pa.Table.from_pandas(m, preserve_index=False),
+        f"{tmp_path}/embeddings.parquet",
+    )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ("array_hof_corpus", "embedding_neardup_lsh"):
+        assert_matches_oracle(
+            qs[name](spark, str(tmp_path)), osql[name], str(tmp_path)
+        )

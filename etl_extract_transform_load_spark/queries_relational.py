@@ -191,7 +191,8 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
 FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY l_orderkey
-        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        ORDER BY l_linenumber NULLS FIRST, l_partkey NULLS FIRST,
+                 l_suppkey NULLS FIRST, l_extendedprice NULLS FIRST
     ) AS rn
     FROM lineitem
 )
@@ -623,12 +624,13 @@ WITH g AS (
                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
 ),
 s AS (
     SELECT user_id, ts,
            SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               PARTITION BY user_id ORDER BY ts NULLS FIRST
+               ROWS UNBOUNDED PRECEDING
            ) AS session_id
     FROM g
 )

@@ -114,14 +114,14 @@ WITH g AS (
                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
 ),
 s AS (
     SELECT user_id, ts,
            -- CAST: DuckDB window SUM yields HUGEINT -> pandas float64,
            -- which hash-mismatches Spark's long (r1 session_stats).
            CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts NULLS FIRST
                ROWS UNBOUNDED PRECEDING
            ) - 1 AS BIGINT) AS session_id
     FROM g

@@ -51,14 +51,15 @@ SELECT o_orderkey,
        ROUND(CUME_DIST() OVER w, 6) AS cdist,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey
-           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
        COUNT(*) OVER (
            PARTITION BY o_custkey
-           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC
            ROWS UNBOUNDED PRECEDING) AS running_n
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
 """
 
 

@@ -168,6 +168,10 @@ def assign_to_centroids_arrow(
     dropped (no embedding → no assignment).
     """
     df = df.filter(F.col(vec_col).isNotNull())
+    if not centroid_rows:  # no centroids: nothing can be assigned
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, assigned_label int, cos_sim double"
+        )
     from collections.abc import Iterator
 
     import numpy as np

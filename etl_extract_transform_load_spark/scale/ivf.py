@@ -123,6 +123,8 @@ def route_queries(
     Returns (routes [(query_id, cluster)], query_rows [(id, vec)]).
     NULL query vectors are dropped (no embedding → no routing)."""
     queries = queries.filter(F.col(vec_col).isNotNull())
+    if not index.centroids:  # empty index: nothing to route to
+        return [], []
     import numpy as np
 
     from etl_extract_transform_load_spark.scale.similarity import _seq_dots
@@ -170,6 +172,11 @@ def ivf_topk(
         index, queries, nprobe, vec_col=vec_col, query_id_col=query_id_col
     )
     spark = queries.sparkSession
+    if not q_rows:  # empty query set or empty index: empty top-k
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
     route_df = F.broadcast(
         spark.createDataFrame(routes, f"{query_id_col} long, cluster int")
     )

@@ -339,6 +339,10 @@ def neighbor_pairs_above_arrow(
     import pandas as pd
 
     rows = vectors.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: empty pair set, stable schema
+        return vectors.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cos_sim double"
+        )
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
     b_mat = np.array([r[1] for r in rows], dtype=np.float64)
     _, b_norms = _seq_dots(b_mat, b_mat[:1])
@@ -384,6 +388,11 @@ def brute_force_topk_arrow(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:  # empty query set: empty top-k, stable schema
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     _, q_norms = _seq_dots(q_mat, q_mat[:1])
@@ -438,6 +447,11 @@ def brute_force_topk_blas(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:  # empty query set: empty top-k, stable schema
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -493,6 +507,11 @@ def hyperplane_lsh_topk_arrow(
 
     planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)  # (b, d)
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:  # empty query set: empty top-k, stable schema
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     _, q_norms = _seq_dots(q_mat, q_mat[:1])
@@ -559,6 +578,10 @@ def neighbor_pairs_above_lsh_arrow(
     pow2 = (1 << np.arange(bits)).astype(np.int64)
 
     rows = vectors.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: empty pair set, stable schema
+        return vectors.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cos_sim double"
+        )
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
     b_mat = np.array([r[1] for r in rows], dtype=np.float64)
     _, b_norms = _seq_dots(b_mat, b_mat[:1])

@@ -332,3 +332,34 @@ def test_lsh_topk_skips_null_query_vectors(spark):
     got = {r.query_id for r in out.collect()}
     assert 900 not in got
     assert got == {0, 1, 2}
+
+
+def test_similarity_family_survives_empty_tables(spark, tmp_path):
+    """An empty embeddings table must produce empty results with
+    stable schemas, not ValueError crashes in the driver-side matrix
+    builders (caught by probing with truncated testdata)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents"
+    ).split():
+        shutil.copyfile(
+            f"{SF_SMOKE}/{t}.parquet", f"{tmp_path}/{t}.parquet"
+        )
+    tab = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    pq.write_table(tab.slice(0, 0), f"{tmp_path}/embeddings.parquet")
+
+    qs = e.queries()
+    for name in (
+        "similarity_topk_bruteforce",
+        "similarity_topk_ivf",
+        "similarity_topk_lsh",
+        "embedding_neardup_lsh",
+        "kmeans_cluster",
+    ):
+        assert qs[name](spark, str(tmp_path)).count() == 0, name

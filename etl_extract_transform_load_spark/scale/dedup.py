@@ -22,7 +22,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_extract_transform_load_spark.scale.text import tokens
+from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
 
 
 def portable_hash60(c: Column) -> Column:
@@ -79,7 +79,7 @@ def shingles(col: Column, n: int = 3) -> Column:
     the token array would re-split the text per shingle — O(tokens²)
     per evaluation. Zipping ``n`` shifted slices keeps every text/
     token reference at argument level: evaluated once, linear."""
-    toks = tokens(F.lower(col))
+    toks = tokens(lower_simple(col))
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
     )
@@ -339,7 +339,7 @@ def simhash_signatures(
         df.repartition(64)
         .select(
             F.col(id_col).alias("__id"),
-            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+            F.explode_outer(tokens(lower_simple(F.col(text_col)))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
         # materialize the hash once: referencing hash64(tok) inside the

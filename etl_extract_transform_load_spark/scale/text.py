@@ -35,6 +35,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 _PUNCT_PATTERN = r"[^\w\s]"
 
 
+def lower_simple(col: Column) -> Column:
+    """Engine-portable lowercase for tokenization: identical to
+    ``F.lower`` except for U+0130 (Turkish dotted capital I), the one
+    code point where Java's FULL case mapping emits two code points
+    ('i' + combining dot above) while utf8proc engines (DuckDB) emit
+    the simple single-'i' mapping — translated to plain 'I' first so
+    both engines produce the same token bytes."""
+    return F.lower(F.translate(col, "\u0130", "I"))
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens of a trimmed string ('' → empty array)."""
     trimmed = F.trim(col)
@@ -64,7 +74,7 @@ def punct_ratio(col: Column) -> Column:
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     """Stopword tokens / total tokens (0 for empty docs)."""
-    toks = tokens(F.lower(col))
+    toks = tokens(lower_simple(col))
     words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
@@ -90,7 +100,7 @@ def quality_score(col: Column) -> Column:
 
 def stopword_hits(col: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang``."""
-    toks = tokens(F.lower(col))
+    toks = tokens(lower_simple(col))
     words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
 
@@ -181,7 +191,7 @@ def repetition_signals(
     what makes the nested filter O(L²) on array elements instead of
     O(L²) re-splits of the text."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(F.lower(c))
+    toks = tokens(lower_simple(c))
     staged = df.select(
         F.col(id_col),
         F.split(c, "\n").alias("__lines"),
@@ -303,7 +313,7 @@ def strip_repeated_lines(
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
             "__pos", "__line"
         ),
-    ).withColumn("__lh", F.xxhash64(F.trim(F.lower(F.col("__line")))))
+    ).withColumn("__lh", F.xxhash64(F.trim(lower_simple(F.col("__line")))))
     freq = (
         lines.groupBy("__grp", "__lh")
         .agg(F.countDistinct("__id").alias("__df"))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_extract_transform_load_spark.scale.text import tokens
+from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
 
 
 def _token_counts(
@@ -36,7 +36,7 @@ def _token_counts(
     return (
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode_outer(tokens(F.lower(c))).alias("token"),
+            F.explode_outer(tokens(lower_simple(c))).alias("token"),
         )
         .filter(F.col("token").isNotNull())
         .groupBy("__id", "token")
@@ -131,7 +131,7 @@ def oov_rate(
     hundred k rows); the corpus shuffles once on doc id."""
     tc = _token_counts(df, text_col, id_col)
     v = F.broadcast(
-        vocab.select(F.lower(F.col(token_col)).alias("token"))
+        vocab.select(lower_simple(F.col(token_col)).alias("token"))
         .distinct()
         .withColumn("__in_vocab", F.lit(1))
     )

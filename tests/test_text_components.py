@@ -303,6 +303,11 @@ def test_text_queries_oracle_parity_with_null_and_empty_docs(
     pdf.loc[pdf.index[:3], "text"] = None
     pdf.loc[pdf.index[3:6], "text"] = ""
     pdf.loc[pdf.index[6:8], "text"] = "   "
+    # unicode: Turkish dotted I is the one code point where Java full
+    # lowercasing and DuckDB simple folding diverge (lower_simple);
+    # CJK/emoji exercise multi-byte token handling
+    pdf.loc[pdf.index[8:9], "text"] = "T\u00dcRK\u0130YE \u0130STANBUL i"
+    pdf.loc[pdf.index[9:10], "text"] = "\u4f60\u597d \U0001F600 caf\u00e9"
     pq.write_table(
         pa.Table.from_pandas(pdf, schema=d.schema, preserve_index=False),
         f"{tmp_path}/documents.parquet",

@@ -13,6 +13,12 @@ Four tiers, each a different cost/recall point (all DataFrame-native):
 Scale notes: every self-join here joins on a *derived small key*
 (shingle / bucket / block), never on raw text; AQE handles bucket
 skew (a hot shingle like "the end of" is salted away by banding).
+
+Contract: ``id_col`` is the document identity and must be unique —
+two rows sharing an id with different text make "the document's
+shingle set" ill-defined (and tie-order in engines' window walks
+unspecified). Run ``drop_exact_dups``/``dedup_by_key`` upstream if
+the raw feed can carry id collisions.
 """
 
 from __future__ import annotations

@@ -5,9 +5,10 @@ factory); explicit salting remains the tool when one key dominates so
 hard that even split sub-partitions overwhelm a task, or when the
 skewed side must join a non-broadcastable table.
 
-Shape: the big (skewed) side gets a uniform random salt in [0, n);
-the small side is exploded n× (one copy per salt value); the join key
-becomes (key, salt) — the hot key's rows now spread over n tasks.
+Shape: the big (skewed) side gets a deterministic hash salt in
+[0, n); the small side is exploded n× (one copy per salt value); the
+join key becomes (key, salt) — the hot key's rows now spread over n
+tasks.
 """
 
 from __future__ import annotations
@@ -28,11 +29,26 @@ def salted_join(
 
     Semantics identical to ``skewed.join(other, on, how)`` for
     inner/left joins (each skewed row carries exactly one salt; the
-    other side carries every salt, so matches are preserved 1:1)."""
+    other side carries every salt, so matches are preserved 1:1).
+
+    The salt is ``xxhash64(all columns, seed) mod n`` — a
+    deterministic function of row CONTENT, never ``F.rand``: a random
+    salt re-rolls under task retry / speculative execution, so a
+    recomputed partition could emit rows salted differently from the
+    copy another stage already consumed. Hashing only the join key
+    would be deterministic but useless (every row of the hot key
+    would share one salt); hashing the whole row spreads a hot key's
+    rows across buckets as long as they differ in any column.
+    Fully-identical duplicate rows do co-locate — at that point no
+    keyed strategy can separate them."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     salted = skewed.withColumn(
-        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns], F.lit(seed)),
+            F.lit(salt_buckets),
+        ).cast("int"),
     )
     exploded = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

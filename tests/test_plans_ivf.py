@@ -37,6 +37,47 @@ def test_salted_join_matches_plain_join(spark):
     assert plain == salted
 
 
+def test_salted_join_salt_is_deterministic(spark):
+    # the salt must be a pure function of row content (never F.rand):
+    # a task retry that re-rolled salts could emit rows differently
+    # from the copy another stage already consumed. Two full runs over
+    # the same input must produce identical row multisets.
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+
+    def run_hash() -> list:
+        return (
+            salted_join(orders, customer, "o_custkey", salt_buckets=8)
+            .select(F.md5(F.concat_ws("|", "o_orderkey", "c_name")).alias("h"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s"),
+            )
+            .collect()
+        )
+
+    assert run_hash() == run_hash()
+    # and the salt actually spreads a hot key: rows sharing o_custkey
+    # must land in >1 salt bucket (orders differ per row)
+    salted = orders.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in orders.columns], F.lit(42)),
+            F.lit(8),
+        ).cast("int"),
+    )
+    spread = (
+        salted.groupBy("o_custkey")
+        .agg(F.countDistinct("__salt").alias("d"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 8)
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert spread and spread > 1
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     orders = load_table(spark, SF_SMOKE, "orders")
     lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(

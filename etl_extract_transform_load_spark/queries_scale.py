@@ -199,17 +199,32 @@ FROM documents
 # --- dedup: connected components -------------------------------------------------
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both CC algorithms, tag-unioned against ONE oracle fixpoint:
+    label propagation (O(diameter) sweeps — right for shallow near-dup
+    star/clique graphs) and large/small-star contraction (O(log n)
+    rounds — the 100-TB path when components can be long chains). The
+    pair edges are checkpointed once so the shingle-Jaccard pipeline
+    doesn't execute per algorithm."""
     from etl_extract_transform_load_spark.scale.components import (
         connected_components,
+        connected_components_star,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_near_dup_pairs(docs, threshold=0.3)
-    return connected_components(pairs)
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.3).localCheckpoint()
+    lp = connected_components(pairs).select(
+        F.lit("labelprop").alias("algo"), "node", "component"
+    )
+    star = connected_components_star(pairs).select(
+        F.lit("star").alias("algo"), "node", "component"
+    )
+    return lp.unionByName(star)
 
 
 # Min reachable id via recursive label propagation — the UNION dedups,
-# so the fixpoint is the transitive closure of the pair graph.
+# so the fixpoint is the transitive closure of the pair graph. Both
+# Spark variants (label-prop and star contraction) must match this
+# same fixpoint, so the oracle selects the CTE twice with algo tags.
 ORACLE_COMPONENTS = """
 WITH RECURSIVE toks AS (
     SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
@@ -243,10 +258,15 @@ reach(node, lab) AS (
     SELECT DISTINCT a, a FROM sym
     UNION
     SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (
+    SELECT node, MIN(lab) AS component
+    FROM reach
+    GROUP BY node
 )
-SELECT node, MIN(lab) AS component
-FROM reach
-GROUP BY node
+SELECT 'labelprop' AS algo, node, component FROM comp
+UNION ALL
+SELECT 'star' AS algo, node, component FROM comp
 """
 
 
@@ -572,10 +592,17 @@ FROM f JOIN k USING (doc_id)
 _DIM = 64
 
 
+_NONZERO_EMB_SQL = (
+    "list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) > 0"
+)
+
+
 def _centroid_sql(src: str, label: str) -> str:
     """64 decimal-exact per-dimension means (DuckDB lists are
     1-based). Matches scale.embeddings.label_centroids — including
-    its NULL-vector/NULL-label drop contract."""
+    its NULL-vector/NULL-label/zero-norm drop contract (a zero-norm
+    vector can never be cosine-assigned, so it doesn't pull means)."""
     dims = ", ".join(
         f"ROUND(CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
         f" AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6)"
@@ -585,6 +612,7 @@ def _centroid_sql(src: str, label: str) -> str:
         f"SELECT {label} AS label, COUNT(*) AS n_vectors,"
         f" [{dims}] AS centroid FROM {src}"
         f" WHERE embedding IS NOT NULL AND {label} IS NOT NULL"
+        f" AND {_NONZERO_EMB_SQL}"
         f" GROUP BY {label}"
     )
 
@@ -642,8 +670,10 @@ scored AS (
                                           CAST(e.embedding AS DOUBLE[])))
                     * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
                AS cos_sim
-    FROM embeddings e, cent c
-    WHERE e.embedding IS NOT NULL
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
+         (SELECT * FROM cent
+          WHERE list_dot_product(centroid, centroid) > 0) c
 )
 SELECT vec_id, assigned_label, cos_sim
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -674,8 +704,10 @@ scored AS (
                                           CAST(e.embedding AS DOUBLE[])))
                     * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
                AS cos_sim
-    FROM embeddings e, cent c
-    WHERE e.embedding IS NOT NULL
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
+         (SELECT * FROM cent
+          WHERE list_dot_product(centroid, centroid) > 0) c
 ),
 assigned AS (
     SELECT vec_id, assigned_label
@@ -967,6 +999,8 @@ WITH e AS (
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
     FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 )
 SELECT a.vec_id AS id_a,
        b.vec_id AS id_b,
@@ -993,6 +1027,8 @@ WITH e AS (
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
     FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
 scored AS (
@@ -1055,7 +1091,9 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings WHERE embedding IS NOT NULL),
+    FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0),
 b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, bucket
       FROM b WHERE vec_id < 10),
@@ -1094,7 +1132,9 @@ WITH e AS (
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
-    FROM embeddings WHERE embedding IS NOT NULL),
+    FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0),
 b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e)
 SELECT a.vec_id AS id_a,
        b.vec_id AS id_b,
@@ -1138,6 +1178,7 @@ cn AS (
     SELECT label, centroid,
            SQRT(list_dot_product(centroid, centroid)) AS c_norm
     FROM cent
+    WHERE list_dot_product(centroid, centroid) > 0
 ),
 e AS (
     SELECT vec_id,
@@ -1145,6 +1186,8 @@ e AS (
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
     FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
 assigned AS (

@@ -80,11 +80,16 @@ def label_centroids(
 ) -> DataFrame:
     """(label, n_vectors, centroid): exact per-dimension mean via
     decimal tree-aggregation (see module docstring), centroid
-    elements rounded to 6 places. Rows with a NULL vector or NULL
-    label are dropped — an unlabeled or embedding-less record can't
-    contribute to a centroid (shared engine/oracle contract)."""
+    elements rounded to 6 places. Rows with a NULL vector, a NULL
+    label, or a ZERO-NORM vector are dropped — an unlabeled or
+    embedding-less record can't contribute to a centroid, and a
+    zero-norm vector has no direction so it can never be ASSIGNED by
+    cosine; letting it pull means while being unassignable would make
+    the E/M steps inconsistent (shared engine/oracle contract)."""
     df = df.filter(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (norm(vec_col, dim) > 0)
     )
     aggd = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
@@ -112,7 +117,10 @@ def assign_to_centroids(
     """(id, assigned_label, cos_sim): each vector goes to the
     highest-cosine centroid (ties broken by label order). The
     centroid side is broadcast — the vector table never shuffles.
-    NULL vectors are dropped (no embedding → no assignment)."""
+    NULL and zero-norm vectors are dropped (no embedding / no
+    direction → no cosine, the embedding-family contract), as are
+    zero-norm centroids (possible when a label's members cancel —
+    nothing can be assigned to a directionless centroid)."""
     df = df.filter(F.col(vec_col).isNotNull())
     # project the vector side down to (id, vec, ‖vec‖) first: avoids
     # column collisions with the centroid table (e.g. a pre-existing
@@ -120,17 +128,20 @@ def assign_to_centroids(
     # both codegen size and per-pair work — evaluates each norm ONCE
     # per row and carries it as a scalar column, instead of inlining
     # the 64-term chain four times into the scoring projection
-    slim = df.select(id_col, vec_col).withColumn("__vn", norm(vec_col, dim))
-    cents = centroids.withColumn("__cn", norm("centroid", dim))
+    slim = (
+        df.select(id_col, vec_col)
+        .withColumn("__vn", norm(vec_col, dim))
+        .filter(F.col("__vn") > 0)
+    )
+    cents = (
+        centroids.withColumn("__cn", norm("centroid", dim))
+        .filter(F.col("__cn") > 0)
+    )
     scored = slim.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("label").alias("assigned_label"),
         F.round(
-            F.when(
-                (F.col("__vn") == 0) | (F.col("__cn") == 0), F.lit(0.0)
-            ).otherwise(
-                dot(vec_col, "centroid", dim) / (F.col("__vn") * F.col("__cn"))
-            ),
+            dot(vec_col, "centroid", dim) / (F.col("__vn") * F.col("__cn")),
             6,
         ).alias("cos_sim"),
     )
@@ -164,14 +175,11 @@ def assign_to_centroids_arrow(
     shape that survives: the vector table streams through once.
 
     Ties break toward the smallest label: ``centroid_rows`` is sorted
-    by label and ``argmax`` keeps the first maximum. NULL vectors are
-    dropped (no embedding → no assignment).
+    by label and ``argmax`` keeps the first maximum. NULL and
+    zero-norm vectors are dropped, as are zero-norm centroids (no
+    direction → no cosine, the embedding-family contract).
     """
     df = df.filter(F.col(vec_col).isNotNull())
-    if not centroid_rows:  # no centroids: nothing can be assigned
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, assigned_label int, cos_sim double"
-        )
     from collections.abc import Iterator
 
     import numpy as np
@@ -181,8 +189,15 @@ def assign_to_centroids_arrow(
 
     rows = sorted(centroid_rows, key=lambda t: t[0])
     labels = np.array([lb for lb, _ in rows], dtype=np.int64)
-    c_mat = np.array([v for _, v in rows], dtype=np.float64)
-    _, c_norms = _seq_dots(c_mat, c_mat[:1])
+    if len(rows):
+        c_mat = np.array([v for _, v in rows], dtype=np.float64)
+        _, c_norms = _seq_dots(c_mat, c_mat[:1])
+        nz = c_norms > 0
+        labels, c_mat, c_norms = labels[nz], c_mat[nz], c_norms[nz]
+    if not len(labels):  # no usable centroids: nothing can be assigned
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, assigned_label int, cos_sim double"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,10 +205,12 @@ def assign_to_centroids_arrow(
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots, v_norms = _seq_dots(v, c_mat)
-            denom = v_norms[:, None] * c_norms[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, dots / denom)
-            cos = np.round(cos, 6)
+            keep = v_norms > 0  # zero-norm drop-out
+            if not keep.all():
+                pdf, dots, v_norms = pdf[keep], dots[keep], v_norms[keep]
+                if not len(pdf):
+                    continue
+            cos = np.round(dots / (v_norms[:, None] * c_norms[None, :]), 6)
             best = cos.argmax(axis=1)  # first max → smallest label
             yield pd.DataFrame(
                 {

@@ -8,13 +8,15 @@ tunable via nprobe; cost drops from O(N) to O(N·nprobe/k) per query.
 Index layout is a plain DataFrame (vec_id, cluster, embedding) —
 partition/bucket it by ``cluster`` on write so a probe prunes files.
 
-Scale shape of ``ivf_topk``: the query→cluster routing table (tiny,
-|Q|·nprobe rows) is broadcast and joined to the cluster assignment
-FIRST, so each vector row fans out only to the queries that actually
-probe its cluster — the scored set is exactly
-Σ_q |probed clusters of q|, never |Q| × |probed union| (the prior
-implementation scored the whole probed union against every query and
-pruned afterwards).
+Scale shape of ``ivf_topk``: routing AND scoring are executor-side
+expression plans — only the centroid matrix (tiny by construction,
+it IS the index metadata) lives on the driver. The query set is
+never collected, so it can be a table of any size: queries route via
+a broadcast join against the centroid table, and the |Q|·nprobe-row
+routing table is broadcast-joined to the cluster assignment FIRST,
+so each vector row fans out only to the queries that actually probe
+its cluster — the scored set is exactly Σ_q |probed clusters of q|,
+never |Q| × |probed union|.
 """
 
 from __future__ import annotations
@@ -108,43 +110,29 @@ def build_ivf_index_deterministic(
     return IVFIndex(assigned=assigned, centroids=centroid_rows)
 
 
-def route_queries(
-    index: IVFIndex,
-    queries: DataFrame,
-    nprobe: int,
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> tuple[list[tuple[int, int]], list[tuple[int, list[float]]]]:
-    """Driver-side query→cluster routing (the centroid matrix is
-    tiny). Scoring is the sequential left-fold cosine, rounded to 6,
-    ties broken by cluster id — bit-identical to the SQL
-    ``ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, cluster)``.
+def _centroid_df(index: IVFIndex, spark) -> "DataFrame | None":
+    """The centroid table as a tiny literal DataFrame
+    (cluster, vec, ‖vec‖) — the broadcast payload for routing.
 
-    Returns (routes [(query_id, cluster)], query_rows [(id, vec)]).
-    NULL query vectors are dropped (no embedding → no routing)."""
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    if not index.centroids:  # empty index: nothing to route to
-        return [], []
-    import numpy as np
+    Norms are computed driver-side with Python floats in the identical
+    sequential fold order as the ``dot_sql`` chains (one fewer 64-term
+    expression in the plan). Zero-norm centroids are dropped (no
+    direction → no cosine, the embedding-family contract). Returns
+    None when no usable centroid remains."""
+    import math
 
-    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+    from etl_extract_transform_load_spark.scale.similarity import _seq_dot
 
-    c_ids = np.array([c for c, _ in index.centroids], dtype=np.int64)
-    c_mat = np.array([v for _, v in index.centroids], dtype=np.float64)
-    _, c_norms = _seq_dots(c_mat, c_mat[:1])
-
-    q_rows = [
-        (int(r[0]), list(r[1]))
-        for r in queries.select(query_id_col, vec_col).collect()
+    rows = [
+        (int(c), [float(x) for x in v], math.sqrt(_seq_dot(v, v)))
+        for c, v in index.centroids
     ]
-    routes: list[tuple[int, int]] = []
-    for qid, qv in q_rows:
-        q = np.array([qv], dtype=np.float64)
-        dots, q_norm = _seq_dots(q, c_mat)
-        cos = np.round(dots[0] / (q_norm[0] * c_norms), 6)
-        order = np.lexsort((c_ids, -cos))
-        routes.extend((qid, int(c_ids[i])) for i in order[:nprobe])
-    return routes, q_rows
+    rows = [r for r in rows if r[2] > 0]
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        rows, "cluster int, __cv array<double>, __cn double"
+    )
 
 
 def ivf_topk(
@@ -152,71 +140,103 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 4,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: each query scores only vectors assigned to
-    its ``nprobe`` nearest clusters. The broadcast routing join runs
-    BEFORE scoring, so the per-(query, vector) Arrow scorer touches
-    exactly the probed candidates; scores use the sequential-fold
-    cosine (bit-reproducible against a sequential engine)."""
-    from collections.abc import Iterator
+    its ``nprobe`` nearest clusters.
 
-    import numpy as np
-    import pandas as pd
+    Fully executor-side — the query set is never collected to the
+    driver, so it can itself be a table of any size:
 
-    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+    1. **Routing**: queries × broadcast centroid table (tiny literal,
+       ``_centroid_df``), cosine via the unrolled sequential-fold
+       expression, ``row_number() OVER (PARTITION BY query ORDER BY
+       ROUND(cos, 6) DESC, cluster)`` ≤ nprobe. The only shuffle is
+       the |Q|·k-row routing window.
+    2. **Candidate join**: the assignment table joins the broadcast
+       routes on ``cluster`` — each vector row fans out only to the
+       queries that probe its cluster (Σ_q |probed clusters of q|
+       rows, never |Q| × corpus).
+    3. **Scoring**: the same ``dot_sql`` chain, candidate norms
+       evaluated ONCE per assigned row *before* the fan-out join.
 
-    routes, q_rows = route_queries(
-        index, queries, nprobe, vec_col=vec_col, query_id_col=query_id_col
+    Every fold is the sequential left-fold, every rounding HALF_UP
+    ``ROUND(x, 6)`` — bit-identical to a sequential engine (the
+    DuckDB oracle). NULL/zero-norm queries, candidates, and centroids
+    drop out (cosine undefined — the embedding-family contract; the
+    MLlib index can euclidean-assign a zero vector, the deterministic
+    index never emits one)."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        _vectors_with_norm,
+        dot_sql,
+        norm_sql,
     )
+
     spark = queries.sparkSession
-    if not q_rows:  # empty query set or empty index: empty top-k
+    cents = _centroid_df(index, spark)
+    if cents is None:  # empty index: empty top-k, stable schema
         return spark.createDataFrame(
             [],
             f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
         )
-    route_df = F.broadcast(
-        spark.createDataFrame(routes, f"{query_id_col} long, cluster int")
+    q = _vectors_with_norm(
+        queries, query_id_col, vec_col, dim, "__qid", "__qv", "__qn"
     )
-    cand = index.assigned.join(route_df, "cluster").select(
-        query_id_col, id_col, vec_col
+    w_route = Window.partitionBy("__qid").orderBy(
+        F.desc("__route_cos"), F.asc("cluster")
     )
-
-    q_index = {qid: i for i, (qid, _) in enumerate(q_rows)}
-    q_mat = np.array([v for _, v in q_rows], dtype=np.float64)
-    _, q_norms = _seq_dots(q_mat, q_mat[:1])
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v_ids = pdf[id_col].to_numpy()
-            q_ids = pdf[query_id_col].to_numpy()
-            qi = np.array([q_index[q] for q in q_ids], dtype=np.int64)
-            cos = np.empty(len(pdf), dtype=np.float64)
-            # score each (vector, its query) pair once: group the batch
-            # by query so total work is O(batch × dim), not batch × |Q|
-            for u in np.unique(qi):
-                m = qi == u
-                dots, v_norms = _seq_dots(v[m], q_mat[u : u + 1])
-                cos[m] = np.round(dots[:, 0] / (v_norms * q_norms[u]), 6)
-            keep = v_ids != q_ids
-            yield pd.DataFrame(
-                {
-                    query_id_col: q_ids[keep],
-                    id_col: v_ids[keep],
-                    "cos_sim": cos[keep],
-                }
-            )
-
-    scored = cand.mapInPandas(
-        score, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    routes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "__qid",
+            "__qv",
+            "__qn",
+            "cluster",
+            F.round(
+                F.expr(dot_sql("__qv", "__cv", dim))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("__route_cos"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= nprobe)
+        .select("__qid", "__qv", "__qn", "cluster")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    # candidate norms once per assigned row, BEFORE the per-query
+    # fan-out join (a row probed by m queries reuses the scalar)
+    cand = (
+        index.assigned.select(
+            F.col(id_col).alias("__vid"),
+            "cluster",
+            F.col(vec_col).alias("__v"),
+        )
+        .withColumn("__vn", F.expr(norm_sql("__v", dim)))
+        .filter(F.col("__vn") > 0)
+    )
+    scored = (
+        cand.join(F.broadcast(routes), "cluster")
+        .filter(F.col("__vid") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__vid",
+            F.round(
+                F.expr(dot_sql("__v", "__qv", dim))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            "cos_sim",
+            "rank",
+        )
     )

@@ -126,17 +126,23 @@ def _vectors_with_norm(
     id_alias: str, vec_alias: str, norm_alias: str,
 ) -> DataFrame:
     """(id, vec, ‖vec‖) — the norm evaluated once per row, then carried
-    as a plain double column. Rows with a NULL vector are dropped:
-    a record without an embedding cannot participate in similarity
-    (the contract every kernel and oracle shares)."""
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-    ).select(
-        id_alias,
-        vec_alias,
-        (
-            norm(vec_alias, dim) if dim is not None else norm(F.col(vec_alias), dim)
-        ).alias(norm_alias),
+    as a plain double column. Rows with a NULL vector are dropped, and
+    so are ZERO-NORM vectors: a record without an embedding — or with
+    an all-zero one — has no direction, so cosine against it is
+    undefined (0/0). Engines disagree on the undefined case (Spark
+    ANSI throws DIVIDE_BY_ZERO, DuckDB yields NULL, numpy NaN), so the
+    drop-out is the contract every kernel and oracle shares."""
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        .select(
+            id_alias,
+            vec_alias,
+            (
+                norm(vec_alias, dim) if dim is not None else norm(F.col(vec_alias), dim)
+            ).alias(norm_alias),
+        )
+        .filter(F.col(norm_alias) > 0)
     )
 
 
@@ -238,7 +244,12 @@ def neighbor_pairs_above_blocks(
     faster measured, same bits. Exact all-pairs is inherently O(N²);
     size ``n_blocks`` so a block fits executor memory, or use the LSH
     variant at corpus scale."""
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    # NULL and zero-norm vectors drop out (cosine undefined — the
+    # engine-wide embedding-family contract); dot(v,v) > 0 ⟺ ‖v‖ > 0,
+    # evaluated in the scan stage
+    vectors = vectors.filter(
+        F.col(vec_col).isNotNull() & (F.expr(dot_sql(vec_col, vec_col, dim)) > 0)
+    )
     import pandas as pd
 
     spark = vectors.sparkSession
@@ -346,6 +357,13 @@ def neighbor_pairs_above_arrow(
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
     b_mat = np.array([r[1] for r in rows], dtype=np.float64)
     _, b_norms = _seq_dots(b_mat, b_mat[:1])
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    nz = b_norms > 0
+    b_ids, b_mat, b_norms = b_ids[nz], b_mat[nz], b_norms[nz]
+    if not len(b_ids):
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -354,8 +372,13 @@ def neighbor_pairs_above_arrow(
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             a_ids = pdf[id_col].to_numpy()
             dots, a_norms = _seq_dots(v, b_mat)
-            cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
-            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
+            ai, bi = np.nonzero(
+                (cos >= threshold)
+                & (a_norms[:, None] > 0)
+                & (a_ids[:, None] < b_ids[None, :])
+            )
             yield pd.DataFrame(
                 {
                     "id_a": a_ids[ai],
@@ -396,6 +419,14 @@ def brute_force_topk_arrow(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     _, q_norms = _seq_dots(q_mat, q_mat[:1])
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    nz = q_norms > 0
+    q_ids, q_mat, q_norms = q_ids[nz], q_mat[nz], q_norms[nz]
+    if not len(q_ids):
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -404,8 +435,11 @@ def brute_force_topk_arrow(
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             v_ids = pdf[id_col].to_numpy()
             dots, v_norms = _seq_dots(v, q_mat)
-            cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
-            vi, qi = np.nonzero(v_ids[:, None] != q_ids[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
+            vi, qi = np.nonzero(
+                (v_norms[:, None] > 0) & (v_ids[:, None] != q_ids[None, :])
+            )
             yield pd.DataFrame(
                 {
                     query_id_col: q_ids[qi],
@@ -454,14 +488,28 @@ def brute_force_topk_blas(
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    nz = qn[:, 0] > 0
+    q_ids, q_mat = q_ids[nz], q_mat[nz] / qn[nz]
+    if not len(q_ids):
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            keep_v = vn[:, 0] > 0
+            if not keep_v.all():
+                pdf, v, vn = pdf[keep_v], v[keep_v], vn[keep_v]
+                if not len(pdf):
+                    continue
+            v /= vn
             sims = v @ q_mat.T  # (batch, n_queries)
             n = len(pdf)
             out = pd.DataFrame(
@@ -515,6 +563,14 @@ def hyperplane_lsh_topk_arrow(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     _, q_norms = _seq_dots(q_mat, q_mat[:1])
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    nz = q_norms > 0
+    q_ids, q_mat, q_norms = q_ids[nz], q_mat[nz], q_norms[nz]
+    if not len(q_ids):
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
+        )
     pow2 = (1 << np.arange(bits)).astype(np.int64)
     q_buckets = (((q_mat @ planes.T) >= 0).astype(np.int64) @ pow2)
 
@@ -526,9 +582,11 @@ def hyperplane_lsh_topk_arrow(
             v_ids = pdf[id_col].to_numpy()
             v_buckets = (((v @ planes.T) >= 0).astype(np.int64) @ pow2)
             dots, v_norms = _seq_dots(v, q_mat)
-            cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
             vi, qi = np.nonzero(
-                (v_buckets[:, None] == q_buckets[None, :])
+                (v_norms[:, None] > 0)
+                & (v_buckets[:, None] == q_buckets[None, :])
                 & (v_ids[:, None] != q_ids[None, :])
             )
             yield pd.DataFrame(
@@ -585,6 +643,13 @@ def neighbor_pairs_above_lsh_arrow(
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
     b_mat = np.array([r[1] for r in rows], dtype=np.float64)
     _, b_norms = _seq_dots(b_mat, b_mat[:1])
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    nz = b_norms > 0
+    b_ids, b_mat, b_norms = b_ids[nz], b_mat[nz], b_norms[nz]
+    if not len(b_ids):
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     b_buckets = ((b_mat @ planes.T) >= 0).astype(np.int64) @ pow2
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -595,9 +660,11 @@ def neighbor_pairs_above_lsh_arrow(
             a_ids = pdf[id_col].to_numpy()
             a_buckets = ((v @ planes.T) >= 0).astype(np.int64) @ pow2
             dots, a_norms = _seq_dots(v, b_mat)
-            cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (a_norms[:, None] * b_norms[None, :]), 6)
             ai, bi = np.nonzero(
                 (cos >= threshold)
+                & (a_norms[:, None] > 0)
                 & (a_ids[:, None] < b_ids[None, :])
                 & (a_buckets[:, None] == b_buckets[None, :])
             )
@@ -751,8 +818,8 @@ def hyperplane_lsh_topk(
         qrows = queries.select(
             F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
         ).collect()
-        # NULL vectors contribute nothing in the lazy path (a NULL
-        # bucket key never joins) — skip them here for the same result
+        # NULL and zero-norm vectors drop out (the lazy path's
+        # _vectors_with_norm filter) — skip them here for the same result
         qdata = [
             (
                 r.qid,
@@ -765,7 +832,7 @@ def hyperplane_lsh_topk(
                 ),
             )
             for r in qrows
-            if r.qv is not None
+            if r.qv is not None and _seq_dot(r.qv, r.qv) > 0
         ]
         # carry the source element type so a float→double testdata/schema
         # change cannot silently round the query vectors

@@ -41,8 +41,17 @@ def lower_simple(col: Column) -> Column:
     code point where Java's FULL case mapping emits two code points
     ('i' + combining dot above) while utf8proc engines (DuckDB) emit
     the simple single-'i' mapping — translated to plain 'I' first so
-    both engines produce the same token bytes."""
-    return F.lower(F.translate(col, "\u0130", "I"))
+    both engines produce the same token bytes.
+
+    Also pinned: U+03A3 (Greek capital sigma). Java applies the
+    context-sensitive final-sigma rule (U+03C2 word-finally, U+03C3
+    elsewhere); simple fold is U+03C3 everywhere — pre-translated to
+    U+03C3 so the context rule never fires. Pre-existing final sigma
+    in input is untouched (both engines map it to itself). U+0130 and
+    U+03A3 are the only special cases in Java's ``toLowerCase`` (its
+    other mappings are 1:1, context-free, and agree with simple
+    fold), so this covers the full divergence surface."""
+    return F.lower(F.translate(col, "\u0130\u03a3", "I\u03c3"))
 
 
 def tokens(col: Column) -> Column:

@@ -1,0 +1,93 @@
+"""Build an adversarial COPY of a testdata scale-factor directory with
+planted cross-engine edge cases, for the round drift probe
+(docs/SCALE_NOTES.md "Drift-probe methodology").
+
+Planted per table (appended rows and/or NULLed cells, ids chosen
+clear of the generator's id ranges so joins stay sane):
+
+- documents: NULL text, empty text, whitespace-only text, NULL lang,
+  Unicode case-fold traps (Turkish İ, Greek word-final Σ).
+- embeddings: NULL embedding, NULL label.
+- orders: NULL o_totalprice / o_orderpriority; customer: NULL
+  c_acctbal / c_mktsegment; lineitem: NULL l_quantity / l_discount.
+- events: NULL value / props / event_type.
+
+Usage:
+    python scripts/make_adversarial_testdata.py [src_sf_dir] [dst_dir]
+    # defaults: /root/testdata/sf0.01 -> /tmp/testdata_adversarial
+Then:
+    DRIVER_SIM_SF=/tmp/testdata_adversarial python scripts/driver_sim.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _append_rows(path: str, rows: list[dict]) -> None:
+    tbl = pq.read_table(path)
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    pq.write_table(pa.concat_tables([tbl, extra]), path)
+
+
+def _null_cells(path: str, cols: list[str], every: int = 97) -> None:
+    """NULL out every ``every``-th value of each column (scattered, so
+    aggregates/joins still have plenty of signal)."""
+    tbl = pq.read_table(path)
+    n = tbl.num_rows
+    mask = pa.array([i % every == 0 for i in range(n)])
+    for c in cols:
+        idx = tbl.schema.get_field_index(c)
+        nulled = pa.compute.if_else(mask, pa.nulls(n, tbl.schema.field(c).type), tbl.column(c))
+        tbl = tbl.set_column(idx, tbl.schema.field(c), nulled)
+    pq.write_table(tbl, path)
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata_adversarial"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+
+    docs = os.path.join(dst, "documents.parquet")
+    _append_rows(
+        docs,
+        [
+            {"doc_id": 9_000_001, "text": None, "lang": "en", "source": "probe", "n_chars": 0},
+            {"doc_id": 9_000_002, "text": "", "lang": "en", "source": "probe", "n_chars": 0},
+            {"doc_id": 9_000_003, "text": "   \t  \n ", "lang": None, "source": "probe", "n_chars": 8},
+            # Java full-vs-simple case-fold traps: Turkish dotted I,
+            # Greek word-final sigma (Java lowers Σ->ς finally, σ else;
+            # DuckDB simple-folds to σ everywhere)
+            {"doc_id": 9_000_004, "text": "İstanbul DENİZ ΟΔΟΣ ΣΟΦΙΑΣ", "lang": "el", "source": "probe", "n_chars": 26},
+        ],
+    )
+    _null_cells(docs, ["lang"], every=101)
+
+    emb = os.path.join(dst, "embeddings.parquet")
+    dim = len(pq.read_table(emb).column("embedding")[0].as_py() or [])
+    _append_rows(
+        emb,
+        [
+            {"vec_id": 9_000_001, "embedding": None, "label": 0},
+            {"vec_id": 9_000_002, "embedding": [0.0] * dim, "label": None},
+        ],
+    )
+
+    _null_cells(os.path.join(dst, "orders.parquet"), ["o_totalprice", "o_orderpriority"])
+    _null_cells(os.path.join(dst, "customer.parquet"), ["c_acctbal", "c_mktsegment"])
+    _null_cells(os.path.join(dst, "lineitem.parquet"), ["l_quantity", "l_discount"])
+    _null_cells(os.path.join(dst, "events.parquet"), ["value", "props", "event_type"])
+
+    print(f"adversarial copy at {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -158,6 +158,43 @@ def test_sketch_self_joins_reuse_materialized_sketch(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
 
 
+def test_ivf_routing_is_executor_side(spark):
+    """The registered IVF path must never collect the query set: both
+    routing and scoring are expression plans. Pin by (a) freezing
+    DataFrame.collect after index build — plan construction must not
+    trigger it — and (b) the routing window's ``__route_cos`` alias
+    plus the query-side parquet scan surviving into the physical plan
+    (a driver-routed variant would replace it with a local relation)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+        ivf_topk,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index_deterministic(emb)  # collects centroids (tiny)
+    orig = CDF.collect
+    CDF.collect = _raise_on_collect
+    try:
+        df = ivf_topk(index, queries, k=5, nprobe=4)
+        plan = plan_text(df, mode="simple")
+    finally:
+        CDF.collect = orig
+    assert plan.count("Scan parquet") >= 2, plan[:2000]
+    assert df.count() > 0
+
+
+def _raise_on_collect(self):
+    raise AssertionError(
+        "registered IVF path must not collect() during plan construction"
+    )
+
+
 def test_no_python_row_udfs_anywhere():
     """Policy: zero row-at-a-time Python UDFs in the engine — only
     Arrow-batched Pandas UDFs where vectorized compute wins. A plain

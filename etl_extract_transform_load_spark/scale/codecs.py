@@ -6,11 +6,13 @@ instead of raising:
 
 - **PPM/PGM** (netpbm ``P6``/``P5``, binary): RGB / grayscale images.
 - **BMP** (Windows ``BITMAPINFOHEADER``, uncompressed 24-bit BI_RGB).
+- **PNG** (8-bit gray/RGB/palette/alpha, non-interlaced) via stdlib
+  ``zlib`` — IDAT inflate + per-scanline unfilter in numpy.
 - **WAV** (RIFF PCM, 8/16-bit, any channel count) via stdlib ``wave``.
 - **Y4M** (YUV4MPEG2, 4:2:0) video: frame iteration / sampling.
 
-Compressed formats (JPEG/PNG/MP4/...) still require Pillow/ffmpeg and
-keep the explicit ``NotImplementedError`` seam in ``multimodal.py``.
+Formats needing codecs the stdlib lacks (JPEG/MP4/...) keep the
+explicit ``NotImplementedError`` seam in ``multimodal.py``.
 
 Everything here is executor-side code called from Arrow-batched
 ``mapInPandas`` — per-byte work stays in numpy, no Python per-pixel
@@ -26,6 +28,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -127,6 +130,140 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     ).reshape(h, stride)
     img = raster[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
     return img[::-1] if flip else img
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced) via stdlib zlib
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG
+    (bit depth 8, filter type 0 on every scanline, one IDAT)."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("PNG wants HxW, HxWx3 or HxWx4 uint8")
+    h, w = a.shape[:2]
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = a.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → HxW (gray) or HxWx3 (RGB) uint8 array.
+
+    Pure stdlib+numpy: chunk walk, one ``zlib.decompress`` of the
+    concatenated IDATs, then per-scanline unfiltering. Supports bit
+    depth 8, color types 0/2/3/4/6, non-interlaced only; alpha is
+    dropped (gray+alpha → gray, RGBA → RGB), palette indices resolve
+    through PLTE. Filters None/Sub/Up are fully vectorized (Sub is a
+    per-lane ``np.add.accumulate`` in uint8 — modular arithmetic is
+    exactly the spec's mod-256); Average/Paeth carry a true
+    left-neighbor recurrence, so those rows fall back to a per-pixel
+    loop (our encoder always writes filter 0 — the fallback only runs
+    on externally produced files)."""
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got depth {depth})")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    try:
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    except KeyError:
+        raise ValueError(f"unknown PNG color type {color}") from None
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            r = row.copy()
+        elif f == 1:  # Sub: recon[i] = row[i] + recon[i-bpp]
+            r = row.copy()
+            for o in range(ch):
+                r[o::ch] = np.add.accumulate(r[o::ch], dtype=np.uint8)
+        elif f == 2:  # Up
+            r = row + prev  # uint8 wraps mod 256 per spec
+        elif f == 3:  # Average
+            r = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(r[i - ch]) if i >= ch else 0
+                r[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            r = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a_ = int(r[i - ch]) if i >= ch else 0
+                b_ = int(prev[i])
+                c_ = int(prev[i - ch]) if i >= ch else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                r[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        recon[y] = r
+        prev = r
+    img = recon.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img[:, :, 0]]
+    if color == 0:
+        return img[:, :, 0]
+    if color == 4:  # gray + alpha → gray
+        return img[:, :, 0]
+    if color == 6:  # RGBA → RGB
+        return img[:, :, :3]
+    return img
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +369,8 @@ def sniff(buf: bytes) -> str:
         return "pnm"
     if buf[:2] == b"BM":
         return "bmp"
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if buf[:9] == b"YUV4MPEG2"[:9]:

@@ -7,11 +7,13 @@ partitioning, UDF signatures. Codecs come in two tiers:
 
 - ``mode="real"`` decodes genuine public container formats with the
   pure-numpy/stdlib codecs in :mod:`scale.codecs` — netpbm PPM/PGM,
-  uncompressed 24-bit BMP, RIFF PCM WAV, and YUV4MPEG2 (Y4M) video.
+  uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` inflate +
+  numpy scanline unfilter), RIFF PCM WAV, and YUV4MPEG2 (Y4M) video.
   No external imaging/audio libraries needed.
-- Compressed formats (JPEG/PNG/MP4/...) require Pillow/ffmpeg, which
-  this container lacks; those payloads raise ``NotImplementedError``
-  at the clearly-marked seam so the gap is explicit, not silent.
+- Formats whose codecs the stdlib lacks (JPEG/MP4/...) require
+  Pillow/ffmpeg, absent from this container; those payloads raise
+  ``NotImplementedError`` at the clearly-marked seam so the gap is
+  explicit, not silent.
 - ``mode="fake"`` keeps the original deterministic synthetic format
   for plumbing tests.
 
@@ -78,8 +80,8 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
     """Decode a real image payload → (width, height, mean luma).
 
     Supports the stdlib/numpy-decodable formats in ``scale.codecs``
-    (netpbm PPM/PGM, uncompressed 24-bit BMP). Compressed formats are
-    the explicit externally-dependent seam."""
+    (netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via stdlib
+    zlib). JPEG remains the explicit externally-dependent seam."""
     from etl_extract_transform_load_spark.scale import codecs
 
     kind = codecs.sniff(content)
@@ -87,10 +89,12 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
         img = codecs.decode_pnm(content)
     elif kind == "bmp":
         img = codecs.decode_bmp(content)
+    elif kind == "png":
+        img = codecs.decode_png(content)
     else:
         raise NotImplementedError(
-            f"image codec {kind!r}: only PPM/PGM/BMP decode without an "
-            "imaging library; JPEG/PNG need Pillow — wire it in here"
+            f"image codec {kind!r}: PPM/PGM/BMP/PNG decode without an "
+            "imaging library; JPEG needs Pillow/libjpeg — wire it in here"
         )
     h, w = img.shape[:2]
     return w, h, float(codecs.to_gray(img).mean())
@@ -127,7 +131,8 @@ def decode_image_features(
 
 
 def _resize_real(raw: bytes, target_w: int, target_h: int) -> bytes:
-    """Bilinear-resize one PPM/PGM/BMP payload, re-encoded same-format."""
+    """Bilinear-resize one PPM/PGM/BMP/PNG payload, re-encoded
+    same-format."""
     from etl_extract_transform_load_spark.scale import codecs
 
     kind = codecs.sniff(raw)
@@ -138,9 +143,12 @@ def _resize_real(raw: bytes, target_w: int, target_h: int) -> bytes:
     if kind == "bmp":
         out = codecs.resize_bilinear(codecs.decode_bmp(raw), target_h, target_w)
         return codecs.encode_bmp(out)
+    if kind == "png":
+        out = codecs.resize_bilinear(codecs.decode_png(raw), target_h, target_w)
+        return codecs.encode_png(out)
     raise NotImplementedError(
-        f"image codec {kind!r}: resize supports PPM/PGM/BMP without an "
-        "imaging library; JPEG/PNG need Pillow"
+        f"image codec {kind!r}: resize supports PPM/PGM/BMP/PNG without "
+        "an imaging library; JPEG needs Pillow/libjpeg"
     )
 
 
@@ -262,18 +270,31 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def make_real_media(spark, n: int = 24) -> DataFrame:
-    """Deterministic media table with REAL payloads: PPM and BMP images,
-    PCM WAV clips, and Y4M video streams, round-robin by ``media_id``.
-    Pixel/sample values are seeded arithmetic so every run is
-    byte-identical — no RNG, no external files."""
+    """Deterministic media table with REAL payloads: PPM, BMP and PNG
+    images, PCM WAV clips, and Y4M video streams, round-robin by
+    ``media_id``. Pixel/sample values are seeded arithmetic so every
+    run is byte-identical — no RNG, no external files."""
     import numpy as np
 
     from etl_extract_transform_load_spark.scale import codecs
 
     rows = []
     for i in range(n):
-        kind = i % 4
-        if kind == 0:  # PPM image
+        kind = i % 5
+        if kind == 4:  # PNG image (gray for odd i, RGB for even)
+            h, w = 20 + i % 8, 26 + i % 10
+            if i % 2:
+                img = (
+                    (np.arange(h * w, dtype=np.int64) * 11 + i) % 256
+                ).astype(np.uint8).reshape(h, w)
+            else:
+                img = (
+                    (np.arange(h * w * 3, dtype=np.int64) * 5 + i) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+            rows.append(
+                (i, "image", bytearray(codecs.encode_png(img)), (w, h, None, "png"))
+            )
+        elif kind == 0:  # PPM image
             h, w = 32 + i % 16, 48 + i % 16
             img = (
                 (np.arange(h * w * 3, dtype=np.int64) * (i + 7)) % 256

@@ -79,7 +79,102 @@ def test_sniff():
     assert codecs.sniff(codecs.encode_wav(np.zeros(4, np.int16))) == "wav"
     assert codecs.sniff(codecs.encode_y4m(np.zeros((1, 2, 2), np.uint8))) == "y4m"
     assert codecs.sniff(b"FAKE....") == "fake"
-    assert codecs.sniff(b"\x89PNG....") == "unknown"
+    assert codecs.sniff(codecs.encode_png(_img(2, 2))) == "png"
+    assert codecs.sniff(b"\xff\xd8\xff\xe0JFIF") == "unknown"  # JPEG
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    rgb = _img(13, 17)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+    gray = _img(9, 11, c=1)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(gray)), gray)
+    # RGBA: alpha is dropped on decode, color planes survive exactly
+    rgba = np.dstack([rgb[:, :, 0]] * 4).astype(np.uint8)
+    out = codecs.decode_png(codecs.encode_png(rgba))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_all_filter_types_decode():
+    """Hand-filter scanlines with every PNG filter type (applying the
+    spec's forward transform) and assert the decoder inverts each —
+    covers the vectorized None/Sub/Up paths AND the per-pixel
+    Average/Paeth fallbacks against an independent forward pass."""
+    import struct as st
+    import zlib
+
+    rng = np.random.default_rng(7)
+    h, w, ch = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    raster = img.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = raster[y]
+        prev = raster[y - 1] if y else np.zeros(stride, np.int32)
+        filt = np.empty(stride, np.int32)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = paeth(int(left), int(up), int(ul))
+            filt[i] = (row[i] - pred) & 0xFF
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(tag, data):
+        return (
+            st.pack(">I", len(data)) + tag + data
+            + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), img)
+
+
+def test_png_palette_decode():
+    import struct as st
+    import zlib
+
+    # 2x3 image over a 4-color palette
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+
+    def chunk(tag, data):
+        return (
+            st.pack(">I", len(data)) + tag + data
+            + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), palette[idx])
 
 
 def test_resize_kernels():
@@ -98,35 +193,41 @@ def test_resize_kernels():
 # ------------------------------------------------- Spark real-mode paths
 
 def test_real_image_decode_features(spark):
-    media = make_real_media(spark, n=8)
+    media = make_real_media(spark, n=10)
     images = media.filter("modality = 'image'")
     feats = {
         r["media_id"]: r
         for r in decode_image_features(images, mode="real").collect()
     }
     metas = {r["media_id"]: r["meta"] for r in images.collect()}
-    assert feats.keys() == metas.keys() and len(feats) == 4
+    # round-robin over 5 kinds: PPM/BMP/PNG are images (PNG twice in 10)
+    assert feats.keys() == metas.keys() and len(feats) == 6
+    assert {m["codec"] for m in metas.values()} == {"ppm", "bmp", "png"}
     for mid, r in feats.items():
         assert (r["width"], r["height"]) == (metas[mid]["width"], metas[mid]["height"])
         assert 0.0 < r["mean_intensity"] < 255.0
 
 
 def test_real_resize_roundtrip(spark):
-    media = make_real_media(spark, n=8).filter("modality = 'image'")
+    media = make_real_media(spark, n=10).filter("modality = 'image'")
     out = resize_images(media, 20, 14, mode="real").collect()
-    assert len(out) == 4
+    assert len(out) == 6
+    decoders = {
+        "pnm": codecs.decode_pnm,
+        "bmp": codecs.decode_bmp,
+        "png": codecs.decode_png,
+    }
+    kinds = set()
     for r in out:
         img_bytes = bytes(r["content"])
         kind = codecs.sniff(img_bytes)
-        dec = (
-            codecs.decode_pnm(img_bytes) if kind == "pnm"
-            else codecs.decode_bmp(img_bytes)
-        )
-        assert dec.shape[:2] == (14, 20)
+        kinds.add(kind)
+        assert decoders[kind](img_bytes).shape[:2] == (14, 20)
+    assert kinds == {"pnm", "bmp", "png"}  # resize re-encodes same-format
 
 
 def test_real_frame_sampling(spark):
-    media = make_real_media(spark, n=8).filter("modality = 'video'")
+    media = make_real_media(spark, n=10).filter("modality = 'video'")
     frames = sample_frames(media, every_n=2, mode="real").collect()
     metas = {r["media_id"]: r for r in media.collect()}
     assert len(metas) == 2 and frames
@@ -153,9 +254,9 @@ def test_real_mode_rejects_compressed_formats(spark):
 
     from etl_extract_transform_load_spark.scale.multimodal import MEDIA_SCHEMA
 
-    png_ish = spark.createDataFrame(
-        [(1, "image", bytearray(b"\x89PNG\r\n\x1a\nxxxx"), (2, 2, None, "png"))],
+    jpeg_ish = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), (2, 2, None, "jpeg"))],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decode_image_features(png_ish, mode="real").collect()
+        decode_image_features(jpeg_ish, mode="real").collect()

@@ -838,9 +838,15 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, collect_centroid_rows(cents)
     ).localCheckpoint()
     relabeled = emb.join(assigned.select("vec_id", "assigned_label"), "vec_id")
-    refined = label_centroids(relabeled, "assigned_label").withColumnRenamed(
-        "assigned_label", "label"
+    refined = label_centroids(relabeled, "assigned_label").localCheckpoint()
+    # second Lloyd iteration chained off the checkpointed refine-1
+    # centroids — pins the multi-iteration (kmeans_converge) E/M loop
+    # against a 2-round recursive oracle, not just a single step
+    assigned2 = assign_to_centroids_arrow(emb, collect_centroid_rows(refined))
+    relabeled2 = emb.join(
+        assigned2.select("vec_id", "assigned_label"), "vec_id"
     )
+    refined2 = label_centroids(relabeled2, "assigned_label")
 
     def cent_part(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
@@ -879,6 +885,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)
         .unionByName(cent_part(_serialize_centroid(refined), "refine"))
+        .unionByName(cent_part(_serialize_centroid(refined2), "refine2"))
         .unionByName(quant)
     )
 
@@ -888,6 +895,7 @@ def _oracle_kmeans_cluster() -> str:
         ORACLE_KMEANS_ASSIGN,
         ORACLE_KMEANS_REFINE,
         ORACLE_LABEL_CENTROIDS,
+        refine_oracle_sql,
     )
 
     return f"""
@@ -903,6 +911,10 @@ UNION ALL
 SELECT 'refine', CAST(label AS INT), CAST(n_vectors AS BIGINT), centroid_str,
        NULL::BIGINT, NULL::DOUBLE
 FROM ({ORACLE_KMEANS_REFINE})
+UNION ALL
+SELECT 'refine2', CAST(label AS INT), CAST(n_vectors AS BIGINT), centroid_str,
+       NULL::BIGINT, NULL::DOUBLE
+FROM ({refine_oracle_sql(2)})
 UNION ALL
 SELECT 'quant', NULL::INT, NULL::BIGINT,
        CASE WHEN amax = 0

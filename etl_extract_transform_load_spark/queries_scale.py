@@ -725,6 +725,55 @@ relabeled AS (
 """
 
 
+def _scored_assign_sql(cent_cte: str, idx: int) -> list[str]:
+    """CTE bodies for one Lloyd E-step from centroid CTE ``cent_cte``:
+    scored cross product, row_number pick, relabeled embedding rows."""
+    return [
+        f"""s{idx} AS (
+    SELECT e.vec_id,
+           c.label AS assigned_label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
+               AS cos_sim
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
+         (SELECT * FROM {cent_cte}
+          WHERE list_dot_product(centroid, centroid) > 0) c
+)""",
+        f"""a{idx} AS (
+    SELECT vec_id, assigned_label
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_sim DESC, assigned_label)
+                 AS r FROM s{idx})
+    WHERE r = 1
+)""",
+        f"""r{idx} AS (
+    SELECT a.assigned_label, e.embedding
+    FROM embeddings e JOIN a{idx} a USING (vec_id)
+)""",
+    ]
+
+
+def refine_oracle_sql(n_iter: int) -> str:
+    """DuckDB oracle for ``kmeans_refine(emb, n_iter=n)`` — the label
+    seed then ``n_iter`` chained E/M rounds, serialized centroids.
+    Mirrors the engine exactly: each E-step assigns ALL embeddings
+    against the previous round's centroids; each M-step recomputes
+    decimal-exact means over the new assignment."""
+    ctes = [f"cent0 AS ({_centroid_sql('embeddings', 'label')})"]
+    for i in range(n_iter):
+        ctes.extend(_scored_assign_sql(f"cent{i}", i))
+        ctes.append(f"cent{i + 1} AS ({_centroid_sql(f'r{i}', 'assigned_label')})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + _serialize_centroid_sql(f"SELECT * FROM cent{n_iter}")
+    )
+
+
 # --- dedup: exact ---------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,68 @@ def kmeans_refine(
     return centroids
 
 
+def _centroid_shift(
+    prev: list[tuple[int, list[float]]],
+    cur: list[tuple[int, list[float]]],
+) -> float:
+    """Max Euclidean distance between same-label centroids across two
+    iterations. A label appearing or vanishing (an empty cluster) is an
+    unbounded shift — the loop must keep iterating."""
+    import math
+
+    p = dict(prev)
+    c = dict(cur)
+    if set(p) != set(c):
+        return float("inf")
+    return max(
+        (
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(p[lb], c[lb])))
+            for lb in p
+        ),
+        default=0.0,
+    )
+
+
+def kmeans_converge(
+    df: DataFrame,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> tuple[DataFrame, int, float]:
+    """Lloyd iterations to convergence: run E/M steps until the max
+    per-centroid Euclidean shift drops to ``tol`` or ``max_iter`` is
+    hit. Returns ``(centroids, n_iters_run, final_shift)``.
+
+    Scale shape: each iteration is one zero-shuffle Arrow E-step plus
+    one decimal-exact M-step aggregation (two shuffles total), with the
+    k-row centroid table ``localCheckpoint``-ed per iteration so the
+    lineage stays flat no matter how many rounds run — the same
+    convergence pattern as the connected-components loop
+    (``scale/components.py``). The per-iteration driver hop is the
+    k × dim centroid matrix (kilobytes); the N-row vector table never
+    leaves the executors. Deterministic: same input → same iteration
+    trajectory → same stop point, on any partitioning."""
+    centroids = label_centroids(df, label_col, vec_col, dim).localCheckpoint()
+    prev = collect_centroid_rows(centroids)
+    shift = float("inf")
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        assigned = assign_to_centroids_arrow(df, prev, id_col, vec_col)
+        relabeled = df.join(assigned.select(id_col, "assigned_label"), id_col)
+        centroids = label_centroids(
+            relabeled, "assigned_label", vec_col, dim
+        ).localCheckpoint()
+        cur = collect_centroid_rows(centroids)
+        shift = _centroid_shift(prev, cur)
+        prev = cur
+        if shift <= tol:
+            break
+    return centroids, iters, shift
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -329,12 +329,32 @@ def _seq_dots(v: "object", q: "object") -> tuple["object", "object"]:
     return dots, np.sqrt(vn)
 
 
+def _collect_rows_bounded(
+    df: DataFrame, cols: list, max_rows: int, caller: str, alternative: str
+) -> list:
+    """Driver-side collect with a hard row bound: fetches at most
+    ``max_rows + 1`` rows (so driver memory stays bounded even when the
+    check fires) and raises with routing guidance instead of silently
+    materializing an oversized table."""
+    rows = df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{caller}: the collected side exceeds max_rows={max_rows}. "
+            f"This Arrow accelerator ships one side to the driver via "
+            f"closure and is only safe for bounded tables; for larger "
+            f"inputs use {alternative} (fully distributed, same values) "
+            f"or raise max_rows explicitly if the driver has the memory."
+        )
+    return rows
+
+
 def neighbor_pairs_above_arrow(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     parallelism: int = 64,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine pairs ≥ threshold via Arrow-batched sequential-order
     scoring — same bits as `neighbor_pairs_above`, ~10× the speed (the
@@ -344,12 +364,23 @@ def neighbor_pairs_above_arrow(
 
     The right side is collected to the driver and shipped via closure —
     correct while one side fits in memory (it's the broadcast-side
-    analog). For corpus×corpus at 100 TB, pre-bucket with LSH first."""
+    analog), and HARD-BOUNDED by ``max_rows`` (default 1M rows ≈ 0.5 GB
+    at dim 64 float64): past the bound it raises with guidance rather
+    than silently OOM-ing the driver. For corpus×corpus at 100 TB, use
+    ``neighbor_pairs_above`` / ``neighbor_pairs_above_lsh`` (fully
+    distributed) — this accelerator is deliberately NOT a registered
+    contract path."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
-    rows = vectors.select(id_col, vec_col).collect()
+    rows = _collect_rows_bounded(
+        vectors,
+        [id_col, vec_col],
+        max_rows,
+        "neighbor_pairs_above_arrow",
+        "neighbor_pairs_above",
+    )
     if not rows:  # empty corpus: empty pair set, stable schema
         return vectors.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, cos_sim double"
@@ -620,14 +651,17 @@ def neighbor_pairs_above_lsh_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     parallelism: int = 64,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Arrow-batched twin of ``neighbor_pairs_above_lsh``: same planes,
     same sign buckets, same sequential-fold cosine — but the per-pair
     scoring happens in numpy with a bucket-equality mask instead of a
     bucket join of 64-term codegen expressions (whose one-time JIT cost
     dominates at benchmark scale). Right side ships via closure, the
-    broadcast-side analog; for corpus×corpus beyond memory, fall back
-    to the bucket-join variant."""
+    broadcast-side analog, HARD-BOUNDED by ``max_rows`` (raises with
+    guidance past the bound); for corpus×corpus beyond memory, use the
+    bucket-join ``neighbor_pairs_above_lsh`` — this accelerator is
+    deliberately NOT a registered contract path."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
@@ -635,7 +669,13 @@ def neighbor_pairs_above_lsh_arrow(
     planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
     pow2 = (1 << np.arange(bits)).astype(np.int64)
 
-    rows = vectors.select(id_col, vec_col).collect()
+    rows = _collect_rows_bounded(
+        vectors,
+        [id_col, vec_col],
+        max_rows,
+        "neighbor_pairs_above_lsh_arrow",
+        "neighbor_pairs_above_lsh",
+    )
     if not rows:  # empty corpus: empty pair set, stable schema
         return vectors.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, cos_sim double"

@@ -363,3 +363,66 @@ def test_similarity_family_survives_empty_tables(spark, tmp_path):
         "kmeans_cluster",
     ):
         assert qs[name](spark, str(tmp_path)).count() == 0, name
+
+
+def test_arrow_pair_accelerators_enforce_max_rows(spark):
+    """The closure-shipping Arrow alternates must refuse to collect a
+    table past max_rows (with routing guidance) instead of silently
+    materializing it driver-side — and stay exact under the bound."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above_arrow,
+        neighbor_pairs_above_lsh_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3), 0.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    calls = (
+        lambda mx: neighbor_pairs_above_arrow(emb, threshold=0.9, max_rows=mx),
+        lambda mx: neighbor_pairs_above_lsh_arrow(
+            emb, threshold=0.9, dim=4, max_rows=mx
+        ),
+    )
+    for call in calls:
+        with pytest.raises(ValueError, match="max_rows=5"):
+            call(5)
+        # under the bound the operator still runs end to end
+        assert call(10).count() >= 0
+
+
+def test_kmeans_converge_separates_planted_clusters(spark):
+    """Two well-separated direction clusters with scrambled seed
+    labels: the convergence loop must stop before max_iter with a
+    sub-tol shift, produce one centroid per surviving label, and be
+    rerun-deterministic (same rows, same values)."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        collect_centroid_rows,
+        kmeans_converge,
+    )
+
+    rows = []
+    # cluster A points near +x, cluster B near +y; a quarter of each
+    # cluster starts mislabeled, so the seed centroids are off-axis
+    # and at least one E/M round is needed to separate them cleanly
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0], 1 if i < 5 else 0))
+        rows.append((100 + i, [eps, 1.0, 0.0, 0.0], 0 if i < 5 else 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents, iters, shift = kmeans_converge(emb, max_iter=10, tol=1e-4, dim=4)
+    assert shift <= 1e-4
+    assert 1 <= iters < 10
+    got = collect_centroid_rows(cents)
+    assert len(got) == 2
+    # converged centroids point at the planted directions: each
+    # centroid's dominant axis is distinct
+    axes = sorted(max(range(4), key=lambda d: v[d]) for _, v in got)
+    assert axes == [0, 1]
+    cents2, iters2, shift2 = kmeans_converge(
+        emb, max_iter=10, tol=1e-4, dim=4
+    )
+    assert (iters2, shift2) == (iters, shift)
+    assert collect_centroid_rows(cents2) == got

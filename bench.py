@@ -30,6 +30,25 @@ from etl_extract_transform_load_spark.session import get_spark, sf_dir
 HEADLINE: tuple[str, ...] = ()  # empty → bench all registered queries
 
 
+#: The round driver captures a bounded stdout tail; a line past this
+#: budget records "parsed": null (it happened in r1 with 66 queries ×
+#: full-precision floats). serialize_line enforces the budget and
+#: tests/test_review_regressions.py pins it against the real query
+#: list at worst-case timing widths.
+MAX_LINE_CHARS = 2000
+
+
+def serialize_line(out: dict) -> str:
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > MAX_LINE_CHARS:
+        raise ValueError(
+            f"bench JSON line is {len(line)} chars (> {MAX_LINE_CHARS}): "
+            "the driver tail would truncate it. Shorten query names or "
+            "reduce timing precision."
+        )
+    return line
+
+
 def main() -> None:
     d = sf_dir()
     sf = d.rstrip("/").split("sf")[-1]
@@ -123,7 +142,7 @@ def main() -> None:
     }
     if jdbc_rows_per_sec is not None:
         out["jdbc_rows_per_sec"] = jdbc_rows_per_sec
-    print(json.dumps(out, separators=(",", ":")))
+    print(serialize_line(out))
     spark.stop()
 
 

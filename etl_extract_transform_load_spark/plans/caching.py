@@ -1,0 +1,63 @@
+"""Cache lifetime management for sketch-building operators.
+
+Several operators materialize an intermediate "index" (shingle table,
+MinHash signatures, LSH-bucketed vectors) with ``persist()`` because
+a self-join reads it from both sides. The cache is the right default
+for one-shot pipelines — but a long-lived session composing many
+dedup/LSH calls accumulates MEMORY_AND_DISK entries unless something
+releases them. This module is that something:
+
+- every operator persist routes through :func:`persist_tracked`, which
+  honors a ``cache=False`` opt-out (recompute instead of cache — the
+  right trade when the input is itself already cached or trivially
+  cheap), and
+- :func:`released_caches` is a context manager that records each
+  persist created inside it and unpersists them all on exit::
+
+      with released_caches():
+          pairs = minhash_lsh_pairs(docs).collect()   # materialize INSIDE
+      # session cache is clean again
+
+  Results must be materialized (collected / written) inside the
+  context — the returned DataFrames are lazy, and after release they
+  would silently recompute the sketch.
+
+Nesting is supported: each context releases only its own persists.
+Without an active context the behavior is unchanged (caller releases
+via ``spark.catalog.clearCache()`` or ``df.unpersist()``).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator, List
+
+from pyspark.sql import DataFrame
+
+_ACTIVE: List[List[DataFrame]] = []
+
+
+def persist_tracked(df: DataFrame, cache: bool = True) -> DataFrame:
+    """``df.persist()`` registered with the innermost
+    :func:`released_caches` context (if one is open); pass-through when
+    ``cache=False``."""
+    if not cache:
+        return df
+    df = df.persist()
+    if _ACTIVE:
+        _ACTIVE[-1].append(df)
+    return df
+
+
+@contextmanager
+def released_caches() -> Iterator[List[DataFrame]]:
+    """Unpersist every operator cache created inside the block on exit
+    (success or error). Yields the tracking list for introspection."""
+    bag: List[DataFrame] = []
+    _ACTIVE.append(bag)
+    try:
+        yield bag
+    finally:
+        _ACTIVE.pop()
+        for df in bag:
+            df.unpersist()

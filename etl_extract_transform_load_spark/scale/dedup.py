@@ -28,6 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_extract_transform_load_spark.plans.caching import persist_tracked
 from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
 
 
@@ -132,8 +133,15 @@ def jaccard_near_dup_pairs(
     n: int = 3,
     threshold: float = 0.3,
     parallelism: int = 64,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold (id_a < id_b).
+
+    Caches the shingle table (read twice by the self-join). The cache
+    outlives this call — release it with
+    ``plans.caching.released_caches()`` around the materialization,
+    ``spark.catalog.clearCache()``, or pass ``cache=False`` to trade
+    a second tokenize+explode pass for zero cache footprint.
 
     Plan: explode distinct shingles → self-equi-join on shingle →
     count common → |A∪B| from per-doc sizes. The join key is the
@@ -153,10 +161,10 @@ def jaccard_near_dup_pairs(
     # (id, size, shingle-hash) rows halves the tokenize+explode work
     # (and is what a real corpus-scale run wants too — the exploded
     # table spills to disk under the default MEMORY_AND_DISK level).
-    sh = (
+    sh = persist_tracked(
         _shingle_table(df.repartition(parallelism), text_col, id_col, n)
-        .select("__id", "__n_sh", F.xxhash64("shingle").alias("sh_key"))
-        .persist()
+        .select("__id", "__n_sh", F.xxhash64("shingle").alias("sh_key")),
+        cache,
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -240,8 +248,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     seed: int = 42,
     hash64=F.xxhash64,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
+
+    Caches the signature and shingle-array tables (each read twice).
+    The caches outlive this call — release with
+    ``plans.caching.released_caches()`` around the materialization,
+    ``spark.catalog.clearCache()``, or ``cache=False``.
 
     rows-per-band r = num_hashes/bands; a pair collides in some band
     with prob 1-(1-s^r)^b. Candidates (bucket-join, near-linear) are
@@ -261,9 +275,10 @@ def minhash_lsh_pairs(
     # branches — without the cache the whole shingle→32-minima
     # aggregation runs twice. Signatures are O(N) small rows; at
     # corpus scale materializing the sketch IS the index build.
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, n, seed, hash64
-    ).persist()
+    sig = persist_tracked(
+        minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash64),
+        cache,
+    )
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -296,10 +311,13 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidates: attach each side's distinct-shingle
     # array and compute exact Jaccard per pair with array ops — cost
     # scales with |candidates|, not with the corpus pair count.
-    sh_arrays = df.select(
-        F.col(id_col).alias("__sid"),
-        shingles(F.col(text_col), n).alias("__sh"),
-    ).persist()  # joined twice (id_a side, id_b side)
+    sh_arrays = persist_tracked(
+        df.select(
+            F.col(id_col).alias("__sid"),
+            shingles(F.col(text_col), n).alias("__sh"),
+        ),
+        cache,
+    )  # joined twice (id_a side, id_b side)
     return (
         cand.join(
             sh_arrays.select(
@@ -376,18 +394,25 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     hash64=F.xxhash64,
     bits: int = SIMHASH_BITS,
+    cache: bool = True,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of SimHash.
 
     Blocking: split the signature into 4 equal-width blocks; any pair
     within hamming ≤ 3 must agree exactly on ≥1 block (pigeonhole),
-    so the join key is (block_idx, block_value) — near-linear."""
+    so the join key is (block_idx, block_value) — near-linear.
+
+    Caches the signature table (read twice). Release with
+    ``plans.caching.released_caches()``, ``spark.catalog.clearCache()``,
+    or ``cache=False``."""
     width = (bits + 3) // 4
     mask = (1 << width) - 1
     # persist: the block self-join reads the signatures twice; cache
     # the one-row-per-doc sketch instead of re-running the token
     # explode + per-bit sign sums on both branches.
-    sig = simhash_signatures(df, text_col, id_col, hash64, bits).persist()
+    sig = persist_tracked(
+        simhash_signatures(df, text_col, id_col, hash64, bits), cache
+    )
     blocks = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",

@@ -148,9 +148,16 @@ def materialize_packed(
     (group, shard, id, n_tokens) — and the per-bin ``array_sort`` of
     (id, text) structs restores the deterministic member order.
 
-    The join-back keys on (group, id), not id alone — ``pack_greedy``
-    only requires ids unique WITHIN a (group, shard), so an id reused
-    across groups must not cross-contaminate bins."""
+    The join-back keys on (group, id), not id alone, so an id reused
+    across groups never cross-contaminates bins. The effective
+    uniqueness requirement is therefore unique-WITHIN-GROUP: because
+    ``pack_greedy`` derives the shard deterministically from the id, a
+    within-group duplicate id necessarily lands in one shard (where
+    the dedup/packing contract already forbids it) — but a custom
+    packer whose shard is NOT a pure function of the id would let the
+    same (group, id) appear in two shards, and this (group, id) join
+    would then fan out across both bins. Keep shards id-derived, or
+    key the join on (group, shard, id)."""
     member = packed.join(
         df.select(
             F.col(group_col).cast("string").alias(group_col),

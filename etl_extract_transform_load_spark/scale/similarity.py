@@ -751,6 +751,7 @@ def neighbor_pairs_above_lsh(
     vec_col: str = "embedding",
     parallelism: int = 64,
     n_shards: int = 8,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding near-dup at corpus scale: candidate pairs meet only
     inside a hyperplane sign bucket (high-cosine pairs land in the
@@ -768,19 +769,27 @@ def neighbor_pairs_above_lsh(
     (bucket, shard). Every pair still meets exactly once — at the left
     row's shard — so the result set is unchanged while reduce-side
     parallelism becomes 2**bits × n_shards with per-task pair volume
-    cut by n_shards."""
+    cut by n_shards.
+
+    Caches the (id, vec, norm, bucket) projection (read by both join
+    branches). The cache outlives this call — release with
+    ``plans.caching.released_caches()`` around the materialization,
+    ``spark.catalog.clearCache()``, or pass ``cache=False``."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+    )
+
     planes = _hyperplanes(dim, bits, seed)
     # persist: both join branches read this projection; without the
     # cache the parquet scan AND the 64-term norm/bucket chains execute
     # twice (and codegen twice). Materializing (id, vec, norm, bucket)
     # is index construction — the same call at 100 TB, spilling to disk
     # via the default MEMORY_AND_DISK level.
-    v = (
+    v = persist_tracked(
         _vectors_with_norm(
             vectors.repartition(parallelism), id_col, vec_col, dim, "__id", "__v", "__n"
-        )
-        .withColumn("__bucket", lsh_bucket("__v", planes))
-        .persist()
+        ).withColumn("__bucket", lsh_bucket("__v", planes)),
+        cache,
     )
     a = v.select(
         F.col("__id").alias("id_a"),

@@ -33,6 +33,8 @@ def write_jdbc(
     num_partitions: int | None = None,
     batchsize: int = 10_000,
     isolation_level: str = "READ_COMMITTED",
+    truncate: bool = False,
+    create_table_column_types: str | None = None,
     options: dict[str, str] | None = None,
 ) -> None:
     """S4/S5: partition-parallel JDBC write.
@@ -42,6 +44,54 @@ def write_jdbc(
       replaces the reference's chunksize.
     - ``batchsize`` rows per executeBatch round-trip (the reference's
       1M chunk ≈ numPartitions × many batches).
+    - ``truncate`` (overwrite mode only): issue ``TRUNCATE TABLE``
+      and refill instead of DROP+CREATE, preserving existing DDL —
+      indexes, grants, constraints, column types. Spark's default
+      overwrite recreates the table from the DataFrame schema.
+    - ``create_table_column_types`` overrides column DDL when Spark
+      creates the table, e.g. ``"name VARCHAR(128), price
+      NUMERIC(12,2)"`` — otherwise each Catalyst type takes the
+      dialect default (below).
+
+    ``mode`` vs the reference's pandas ``to_sql(if_exists=...)``
+    (challenge2.py:292-301): ``append`` ↔ ``'append'``, ``overwrite``
+    ↔ ``'replace'`` (DROP+CREATE, unless ``truncate``),
+    ``errorifexists`` (Spark's default) ↔ ``'fail'``. No pandas
+    equivalent of ``ignore`` (skip write if table exists).
+
+    Postgres dialect mapping (Spark's JDBC PostgresDialect), against
+    what the reference's SQLAlchemy ``to_sql`` produced:
+
+    ====================  ====================  =====================
+    Catalyst type         Spark JDBC DDL        pandas/SQLAlchemy DDL
+    ====================  ====================  =====================
+    StringType            TEXT                  TEXT
+    LongType              BIGINT                BIGINT
+    IntegerType           INTEGER               BIGINT (int64 only)
+    DoubleType            DOUBLE PRECISION      DOUBLE PRECISION
+    FloatType             REAL                  DOUBLE PRECISION
+    BooleanType           BOOLEAN               BOOLEAN
+    TimestampType         TIMESTAMP             TIMESTAMP
+    DateType              DATE                  DATE
+    DecimalType(p,s)      NUMERIC(p,s)          (not produced)
+    BinaryType            BYTEA                 (not produced)
+    ArrayType(T)          T[] (native array)    (not supported)
+    ====================  ====================  =====================
+
+    The divergences that bite in practice: pandas widens every int
+    column to BIGINT and every float to DOUBLE PRECISION, so a
+    schema produced by the reference accepts Spark's appends, but a
+    Spark-created table is narrower (INTEGER/REAL) — appending the
+    reference's int64 output into it can overflow. When replacing a
+    reference-loaded table in place, prefer ``truncate=True`` (keeps
+    the wide DDL) or pin widths via ``create_table_column_types``.
+    For Postgres load throughput, also put
+    ``reWriteBatchedInserts=true`` in the JDBC URL — the driver
+    rewrites each executeBatch as multi-row INSERT, typically ~2-5×
+    on bulk loads. Embedded-Derby integration tests cover mode
+    semantics, truncate, and column-type overrides
+    (tests/test_jdbc_integration.py); Postgres itself isn't in the
+    test environment, so its mapping is documented, not executed.
     """
     out = df
     if num_partitions is not None:
@@ -53,6 +103,12 @@ def write_jdbc(
         .option("batchsize", str(batchsize))
         .option("isolationLevel", isolation_level)
     )
+    if truncate:
+        writer = writer.option("truncate", "true")
+    if create_table_column_types is not None:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()

@@ -93,6 +93,40 @@ def test_jdbc_append_mode_accumulates(spark, derby_url):
     assert got.groupBy("k").count().filter("count = 2").count() == 2
 
 
+def test_jdbc_truncate_preserves_column_ddl(spark, derby_url):
+    """overwrite+truncate must TRUNCATE and refill, keeping the DDL
+    Spark created from create_table_column_types; plain overwrite
+    drops and recreates with dialect defaults. Proven behaviorally:
+    a VARCHAR(10) column rejects long appends only while the original
+    DDL survives (Derby's default StringType mapping is CLOB, which
+    accepts anything)."""
+    short = spark.createDataFrame([Row(k=1, v="tiny")])
+    long_ = spark.createDataFrame([Row(k=2, v="x" * 100)])
+
+    write_jdbc(
+        short,
+        derby_url,
+        "T_TRUNC",
+        mode="overwrite",
+        create_table_column_types="v VARCHAR(10)",
+    )
+    with pytest.raises(Exception):  # 100 chars into VARCHAR(10)
+        write_jdbc(long_, derby_url, "T_TRUNC", mode="append")
+
+    short2 = spark.createDataFrame([Row(k=3, v="still")])
+    write_jdbc(short2, derby_url, "T_TRUNC", mode="overwrite", truncate=True)
+    got = read_jdbc(spark, derby_url, "T_TRUNC").collect()
+    assert [(r.k, r.v) for r in got] == [(3, "still")]
+    with pytest.raises(Exception):  # VARCHAR(10) DDL survived truncate
+        write_jdbc(long_, derby_url, "T_TRUNC", mode="append")
+
+    # plain overwrite re-creates with the dialect default (CLOB):
+    # the long row now fits
+    write_jdbc(long_, derby_url, "T_TRUNC", mode="overwrite")
+    got = read_jdbc(spark, derby_url, "T_TRUNC").collect()
+    assert [(r.k, len(r.v)) for r in got] == [(2, 100)]
+
+
 def test_instrumented_write_reports_throughput(spark, derby_url):
     df = spark.range(0, 5_000).select(
         F.col("id").alias("k"), F.lit("x").alias("v")

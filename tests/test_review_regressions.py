@@ -157,3 +157,31 @@ def test_registry_recovers_from_partial_failure(spark):
     before = set(reg.queries())
     reg._REGISTERED = False  # next call re-imports the (cached) catalog
     assert set(reg.queries()) == before  # idempotent, no duplicate-name error
+
+
+def test_bench_line_fits_driver_tail():
+    """The bench JSON line must stay inside the driver's stdout tail
+    capture even at worst-case timing widths (r1's overflow recorded
+    "parsed": null). Pins the REAL query-name list, not a sample."""
+    import pytest
+
+    import __spark_entry__ as e
+    from bench import MAX_LINE_CHARS, serialize_line
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": 99999.9999,
+        "unit": "sec",
+        "queries": {name: 9999.99 for name in e.queries()},
+        "sf": 0.1,
+        "jdbc_rows_per_sec": 999999.9,
+    }
+    line = serialize_line(out)
+    assert len(line) <= MAX_LINE_CHARS
+    # headroom check: ~10 more average-length names must still fit,
+    # so the NEXT few queries added don't silently hit the cliff
+    avg = sum(len(n) for n in e.queries()) // len(e.queries())
+    assert len(line) + 10 * (avg + 12) <= MAX_LINE_CHARS
+
+    with pytest.raises(ValueError, match="driver tail"):
+        serialize_line({"pad": "x" * MAX_LINE_CHARS})

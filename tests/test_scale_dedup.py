@@ -365,6 +365,31 @@ def test_similarity_family_survives_empty_tables(spark, tmp_path):
         assert qs[name](spark, str(tmp_path)).count() == 0, name
 
 
+def test_released_caches_unpersists_sketch_tables(spark, docs_with_dups):
+    """Composing sketch operators inside released_caches() must leave
+    no persisted tables behind, and cache=False must skip caching
+    entirely while producing identical results."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
+
+    def cached(d):
+        return d.storageLevel.useMemory or d.storageLevel.useDisk
+
+    with released_caches() as bag:
+        n = minhash_lsh_pairs(docs_with_dups, threshold=0.5).count()
+        assert len(bag) == 2  # signature table + shingle arrays
+        assert all(cached(d) for d in bag)
+    assert not any(cached(d) for d in bag)
+
+    with released_caches() as bag2:
+        n2 = minhash_lsh_pairs(
+            docs_with_dups, threshold=0.5, cache=False
+        ).count()
+        assert not bag2
+    assert n2 == n
+
+
 def test_arrow_pair_accelerators_enforce_max_rows(spark):
     """The closure-shipping Arrow alternates must refuse to collect a
     table past max_rows (with routing guidance) instead of silently

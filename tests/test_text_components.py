@@ -308,6 +308,13 @@ def test_text_queries_oracle_parity_with_null_and_empty_docs(
     # CJK/emoji exercise multi-byte token handling
     pdf.loc[pdf.index[8:9], "text"] = "T\u00dcRK\u0130YE \u0130STANBUL i"
     pdf.loc[pdf.index[9:10], "text"] = "\u4f60\u597d \U0001F600 caf\u00e9"
+    # word-final Greek capital sigma: Java's context rule lowercases
+    # it to final sigma (\u03c2), utf8proc simple fold to \u03c3 \u2014 lower_simple
+    # pre-folds \u03a3\u2192\u03c3 so both engines tokenize identically
+    pdf.loc[pdf.index[10:11], "text"] = (
+        "\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 "
+        "\u03a3\u039f\u03a6\u039f\u03a3 \u03c3\u03bf\u03c6\u03cc\u03c2"
+    )
     pq.write_table(
         pa.Table.from_pandas(pdf, schema=d.schema, preserve_index=False),
         f"{tmp_path}/documents.parquet",

@@ -1,0 +1,178 @@
+"""Driver-facing EDA surface (SURVEY.md §2.10; reference
+``exploratory_data_analysis.ipynb:4277`` histogram, ``:4677/:4722/
+:4766`` column-pair scatters).
+
+The ENGINE side of notebook exploration: histogram counts and pairwise
+Pearson correlation computed distributively, plus a row-cap-guarded
+deterministic sampler feeding whatever plotting library runs on the
+driver. The plotting itself stays out of engine scope (SURVEY §2.10)
+— these produce the numbers the notebook's ``hist()``/``plot.scatter``
+consumed, at any corpus size.
+
+Scale shapes:
+- ``histogram`` is one driver-mediated min/max aggregate (the same
+  one-row decide pattern as ``operators.cleaning``) followed by one
+  groupBy over ≤ ``bins`` keys — two scans, no sort, no collect of
+  data rows.
+- ``correlation_matrix`` computes every pairwise Pearson in ONE
+  aggregation pass: per pair, five decimal-exact sums (n, Σx, Σy,
+  Σx², Σy², Σxy with map-side partials) — decimal addition is
+  order-insensitive, so the statistics are bit-stable under any
+  partitioning and hash-match any engine computing the same decimal
+  sums (the ``scale.embeddings`` centroid argument). The O(k²) pair
+  count is columns, not rows.
+- ``sample_pandas`` is a distributed top-``max_rows`` by a hash of
+  the key columns (TakeOrdered — no global sort materialization, no
+  unbounded collect): a deterministic pseudo-random subset rather
+  than head-of-scan, hard-capped before anything reaches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Exact sum carrier for first moments (values up to ~1e12, 6 places).
+_DEC = "decimal(18,6)"
+
+#: Hard ceiling on sample_pandas — past this the "sample" is a
+#: driver-memory hazard, not an EDA aid.
+_SAMPLE_CEILING = 5_000_000
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bucket, bin_lo,
+    bin_hi, n), buckets 0..bins-1, the max value closed into the last
+    bucket. NULLs are dropped; only non-empty buckets appear (a
+    groupBy can't invent empty ones — the plotting side zero-fills).
+    ``lo``/``hi`` default to the column min/max via one aggregate row
+    (data-dependent, driver-mediated — the SURVEY §4 decide pattern);
+    pass both to skip that scan. A constant column (hi == lo) lands
+    entirely in bucket 0 with a zero-width bin."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    x = F.col(f"`{col}`").cast("double")
+    src = df.filter(x.isNotNull())
+    if lo is None or hi is None:
+        row = src.agg(
+            F.min(x).alias("lo"), F.max(x).alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:  # all-null / empty: empty histogram
+            return df.sparkSession.createDataFrame(
+                [], "bucket int, bin_lo double, bin_hi double, n long"
+            )
+        lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / bins  # same IEEE op order as the SQL oracle
+    if width == 0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(bins - 1), F.floor((x - F.lit(lo)) / F.lit(width))
+        ).cast("int")
+    return (
+        src.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(
+                F.lit(lo) + F.col("bucket").cast("double") * F.lit(width), 6
+            ).alias("bin_lo"),
+            F.round(
+                F.lit(lo)
+                + (F.col("bucket").cast("double") + F.lit(1.0))
+                * F.lit(width),
+                6,
+            ).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def _pair_corr(n: Column, sx, sy, sxx, syy, sxy) -> Column:
+    """Pearson r from exact component sums, evaluated in double with a
+    pinned operation order (identical on any engine)."""
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        F.round(num / den, 6)
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """All pairwise Pearson correlations of ``cols`` in one aggregation
+    pass: (col_a, col_b, n_pairs, corr) for every a < b pair, NULL
+    corr when either column is constant over the matched rows. Pairs
+    are matched per-pair on both values non-NULL (the same semantics
+    as ``F.corr`` / SQL ``corr``), but computed from decimal-exact
+    sums so the result is bit-stable and engine-portable."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            key = f"{i}_{j}"
+            xa = F.col(f"`{a}`").cast("double")
+            xb = F.col(f"`{b}`").cast("double")
+            nn = xa.isNotNull() & xb.isNotNull()
+            da = F.when(nn, xa.cast(_DEC))
+            db = F.when(nn, xb.cast(_DEC))
+            aggs += [
+                F.sum(nn.cast("long")).alias(f"n_{key}"),
+                F.sum(da).alias(f"sx_{key}"),
+                F.sum(db).alias(f"sy_{key}"),
+                F.sum(da * da).alias(f"sxx_{key}"),
+                F.sum(db * db).alias(f"syy_{key}"),
+                F.sum(da * db).alias(f"sxy_{key}"),
+            ]
+            pairs.append((a, b, key))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.coalesce(F.col(f"n_{k}"), F.lit(0)).alias("n_pairs"),
+            _pair_corr(
+                F.col(f"n_{k}").cast("double"),
+                F.col(f"sx_{k}").cast("double"),
+                F.col(f"sy_{k}").cast("double"),
+                F.col(f"sxx_{k}").cast("double"),
+                F.col(f"syy_{k}").cast("double"),
+                F.col(f"sxy_{k}").cast("double"),
+            ).alias("corr"),
+        )
+        for a, b, k in pairs
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def sample_pandas(
+    df: DataFrame,
+    max_rows: int = 10_000,
+    key_cols: Sequence[str] | None = None,
+):
+    """Deterministic sampled ``toPandas`` for driver-side plotting:
+    the ``max_rows`` rows with the smallest ``xxhash64`` over
+    ``key_cols`` (default: all columns) — a stable pseudo-random
+    subset, computed as a distributed top-k (TakeOrdered; no global
+    sort, no unbounded collect). Raises on a cap that is itself a
+    driver-memory hazard. This closes the notebook loop: scatter the
+    returned frame with any local plotting library."""
+    if max_rows > _SAMPLE_CEILING:
+        raise ValueError(
+            f"max_rows={max_rows} exceeds the {_SAMPLE_CEILING} sample "
+            "ceiling — aggregate first (histogram / correlation_matrix) "
+            "instead of collecting that much to the driver."
+        )
+    keys = [F.col(f"`{c}`") for c in (key_cols or df.columns)]
+    return df.orderBy(F.xxhash64(*keys)).limit(max_rows).toPandas()

@@ -61,6 +61,11 @@ from etl_extract_transform_load_spark import queries_scale  # noqa: E402
 
 queries_scale.register_all()
 
+# --- EDA surface: histogram + correlation matrix ---
+from etl_extract_transform_load_spark import queries_eda  # noqa: E402
+
+queries_eda.register_all()
+
 # --- consolidated multi-operator contract queries ---
 from etl_extract_transform_load_spark import queries_merged  # noqa: E402
 

@@ -1,0 +1,126 @@
+"""Contract query for the EDA surface (operators/eda.py): histogram +
+pairwise Pearson over lineitem, tag-unioned.
+
+Reference parity: ``exploratory_data_analysis.ipynb:4277`` (ratings
+histogram) and ``:4677/:4722/:4766`` (column-pair scatters — the
+engine-side numbers behind them being exactly these bin counts and
+correlations).
+
+Bit-exactness strategy: the histogram's lo/hi/width ride Python
+doubles into literals while the oracle recomputes them from the same
+MIN/MAX with the same IEEE op order; the correlations come from
+decimal-exact component sums evaluated in a pinned double formula —
+both engines produce identical bits, so ROUND(…, 6) agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.registry import register
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+HIST_COL = "l_extendedprice"
+HIST_BINS = 12
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.operators.eda import (
+        correlation_matrix,
+        histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = histogram(li, HIST_COL, bins=HIST_BINS).select(
+        F.lit("hist").alias("part"),
+        F.lit(HIST_COL).alias("col_a"),
+        F.lit(None).cast("string").alias("col_b"),
+        F.col("bucket"),
+        "bin_lo",
+        "bin_hi",
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("corr"),
+    )
+    corr = correlation_matrix(li, CORR_COLS).select(
+        F.lit("corr").alias("part"),
+        "col_a",
+        "col_b",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("bin_lo"),
+        F.lit(None).cast("double").alias("bin_hi"),
+        F.col("n_pairs").cast("long").alias("n"),
+        "corr",
+    )
+    return hist.unionByName(corr)
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """One pair's exact-sum Pearson — the operator's formula verbatim
+    (decimal sums → double, pinned op order). DECIMAL(19,6), not 18:
+    width ≤ 18 keeps DuckDB multiplication in int64, which overflows
+    on price×price products; 19 forces HUGEINT. Spark's decimal(18,6)
+    products are exact either way — identical values."""
+    return f"""
+SELECT 'corr' AS part, '{a}' AS col_a, '{b}' AS col_b,
+       NULL::INT AS bucket, NULL::DOUBLE AS bin_lo, NULL::DOUBLE AS bin_hi,
+       n AS n, CASE WHEN den = 0 THEN NULL ELSE ROUND(num / den, 6) END AS corr
+FROM (
+    SELECT n, CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+           SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+             * SQRT(CAST(n AS DOUBLE) * syy - sy * sy) AS den
+    FROM (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST({a} AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST({b} AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST({a} AS DECIMAL(19,6))
+                        * CAST({a} AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST({b} AS DECIMAL(19,6))
+                        * CAST({b} AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST({a} AS DECIMAL(19,6))
+                        * CAST({b} AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+        FROM lineitem
+        WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+    )
+)
+"""
+
+
+def _oracle_eda_profile() -> str:
+    corr_parts = " UNION ALL ".join(
+        _corr_pair_sql(CORR_COLS[i], CORR_COLS[j])
+        for i in range(len(CORR_COLS))
+        for j in range(i + 1, len(CORR_COLS))
+    )
+    b = float(HIST_BINS)
+    return f"""
+WITH s AS (
+    SELECT CAST(MIN({HIST_COL}) AS DOUBLE) AS lo,
+           CAST(MAX({HIST_COL}) AS DOUBLE) AS hi
+    FROM lineitem WHERE {HIST_COL} IS NOT NULL
+),
+h AS (
+    SELECT CASE WHEN (hi - lo) / {b} = 0 THEN 0
+                ELSE CAST(LEAST({HIST_BINS - 1},
+                     FLOOR((CAST({HIST_COL} AS DOUBLE) - lo)
+                           / ((hi - lo) / {b}))) AS INT)
+           END AS bucket,
+           lo, hi, COUNT(*) AS n
+    FROM lineitem, s
+    WHERE {HIST_COL} IS NOT NULL
+    GROUP BY 1, lo, hi
+)
+SELECT 'hist' AS part, '{HIST_COL}' AS col_a, NULL::VARCHAR AS col_b,
+       bucket,
+       ROUND(lo + bucket * ((hi - lo) / {b}), 6) AS bin_lo,
+       ROUND(lo + (bucket + 1) * ((hi - lo) / {b}), 6) AS bin_hi,
+       n, NULL::DOUBLE AS corr
+FROM h
+UNION ALL
+{corr_parts}
+"""
+
+
+def register_all() -> None:
+    register("eda_profile", q_eda_profile, _oracle_eda_profile())

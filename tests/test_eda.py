@@ -1,0 +1,88 @@
+"""EDA operator surface (operators/eda.py): histogram binning edges,
+exact-sum Pearson vs Spark's builtin corr, sampler determinism and
+the driver-memory ceiling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.eda import (
+    correlation_matrix,
+    histogram,
+    sample_pandas,
+)
+
+
+def test_histogram_buckets_and_edges(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(0, 101)], "x double"
+    )
+    out = histogram(df, "x", bins=10).orderBy("bucket").collect()
+    assert [r.bucket for r in out] == list(range(10))
+    # 0..100 over 10 bins of width 10: max value closes into bucket 9
+    assert [r.n for r in out] == [10] * 9 + [11]
+    assert out[0].bin_lo == 0.0 and out[0].bin_hi == 10.0
+    assert out[9].bin_hi == 100.0
+
+
+def test_histogram_constant_nulls_and_explicit_range(spark):
+    const = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    got = histogram(const, "x", bins=4).collect()
+    assert [(r.bucket, r.n) for r in got] == [(0, 2)]  # hi==lo → bucket 0
+
+    empty = histogram(
+        spark.createDataFrame([(None,)], "x double"), "x", bins=4
+    )
+    assert empty.count() == 0
+
+    # explicit lo/hi skips the min/max scan and clamps into [lo, hi)
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    got = {
+        r.bucket: r.n
+        for r in histogram(df, "x", bins=2, lo=0.0, hi=4.0).collect()
+    }
+    assert got == {0: 1, 1: 2}
+
+
+def test_correlation_matrix_matches_builtin_corr(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 2 + 1, float((i * 7) % 5), None if i % 3 == 0 else float(i % 4))
+         for i in range(50)],
+        "a double, b double, c double, d double",
+    )
+    out = {
+        (r.col_a, r.col_b): (r.n_pairs, r.corr)
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(out) == 6
+    assert out[("a", "b")][1] == 1.0  # perfectly linear
+    # spot-check against Spark's builtin on the same pairs
+    for pair in (("a", "c"), ("a", "d"), ("c", "d")):
+        builtin = df.select(F.corr(*pair)).collect()[0][0]
+        got = out[pair][1]
+        assert math.isclose(got, builtin, abs_tol=1e-6), (pair, got, builtin)
+    # NULL pair handling: d has 17 NULLs of 50
+    assert out[("a", "d")][0] == 33
+
+
+def test_correlation_matrix_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(10)], "a double, k double"
+    )
+    (r,) = correlation_matrix(df, ["a", "k"]).collect()
+    assert r.corr is None and r.n_pairs == 10
+
+
+def test_sample_pandas_deterministic_and_capped(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("y"))
+    s1 = sample_pandas(df, max_rows=50)
+    s2 = sample_pandas(df, max_rows=50)
+    assert len(s1) == 50
+    assert s1.equals(s2)  # stable subset + stable order
+    # not head-of-scan: hash ordering mixes the id range
+    assert set(s1["id"]) != set(range(50))
+    with pytest.raises(ValueError, match="ceiling"):
+        sample_pandas(df, max_rows=50_000_000)

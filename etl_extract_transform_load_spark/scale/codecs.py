@@ -8,11 +8,16 @@ instead of raising:
 - **BMP** (Windows ``BITMAPINFOHEADER``, uncompressed 24-bit BI_RGB).
 - **PNG** (8-bit gray/RGB/palette/alpha, non-interlaced) via stdlib
   ``zlib`` — IDAT inflate + per-scanline unfilter in numpy.
+- **JPEG** (baseline sequential DCT per ITU-T T.81): full marker
+  parse, canonical Huffman entropy decode, vectorized IDCT, chroma
+  upsampling, restart intervals; plus a 4:4:4 test-fixture encoder.
+  Progressive/arithmetic/12-bit streams raise ValueError.
 - **WAV** (RIFF PCM, 8/16-bit, any channel count) via stdlib ``wave``.
 - **Y4M** (YUV4MPEG2, 4:2:0) video: frame iteration / sampling.
 
-Formats needing codecs the stdlib lacks (JPEG/MP4/...) keep the
-explicit ``NotImplementedError`` seam in ``multimodal.py``.
+Formats needing codecs the stdlib lacks (MP4 and other compressed
+video) keep the explicit ``NotImplementedError`` seam in
+``multimodal.py``.
 
 Everything here is executor-side code called from Arrow-batched
 ``mapInPandas`` — per-byte work stays in numpy, no Python per-pixel
@@ -359,6 +364,504 @@ def decode_y4m_frames(
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, SOF0) — pure numpy + stdlib
+# ---------------------------------------------------------------------------
+# Public-spec implementation (ITU-T T.81 / ISO 10918-1): marker parse,
+# canonical Huffman entropy coding, dequantize + vectorized 8x8 IDCT,
+# chroma upsampling, YCbCr→RGB. Baseline only — progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise ValueError. The
+# entropy decode is inherently bitstream-sequential (per-symbol
+# Python), but all per-pixel math (IDCT, upsample, color transform)
+# is vectorized numpy over every block at once; executor parallelism
+# comes from mapInPandas batching across images, not within one.
+
+#: zigzag index -> raster index within a flattened 8x8 block.
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: Annex K.1/K.2 example quantization tables (zigzag order at emit
+#: time; stored here in raster order).
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+#: Annex K.3 standard Huffman tables: (bits[1..16], values).
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C: forward F = C·b·Cᵀ, inverse
+    b = Cᵀ·F·C."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _huff_decode_map(bits: list, vals: list) -> dict:
+    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_encode_map(bits: list, vals: list) -> dict:
+    """{symbol: (length, code)} — same canonical assignment."""
+    return {v: k for k, v in _huff_decode_map(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (stuffed
+    0x00 bytes already removed)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_entropy_segments(buf: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from ``pos`` to EOI, unstuffed, split at
+    restart markers."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = buf[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next marker: scan done
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
+
+    Supports SOF0 (sequential DCT, 8-bit), 1 or 3 components, any
+    1-2 sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
+    Raises ValueError on progressive/arithmetic/12-bit streams."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None
+    restart = 0
+    pos = 2
+    scan = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+        seg = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("only 8-bit JPEG quant tables supported")
+                zz = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZIGZAG] = zz
+                qt[tq] = nat
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0) is supported"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_comp = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.float64)
+        for cid, ch, cv, _ in comps
+    }
+    comp_info = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+
+    segs = _jpeg_entropy_segments(buf, pos)
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = {cid: 0 for cid, _, _ in scan}
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                preds = {cid: 0 for cid in preds}
+            for cid, dct, act in scan:
+                ch, cv, _ = comp_info[cid]
+                dc_tbl = huff[(0, dct)]
+                ac_tbl = huff[(1, act)]
+                for v in range(cv):
+                    for hh in range(ch):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = reader.read_symbol(dc_tbl)
+                        diff = _extend(reader.read_bits(t), t)
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        by_comp[cid][my * cv + v, mx * ch + hh] = zz
+            mcu += 1
+
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        zz = by_comp[cid] * qt[tq][_JPEG_ZIGZAG]  # dequant in zigzag order
+        nat = np.zeros_like(zz)
+        nat[:, :, _JPEG_ZIGZAG] = zz
+        blocks = nat.reshape(*nat.shape[:2], 8, 8)
+        spatial = (
+            np.einsum("ab,yxbc,cd->yxad", _JPEG_DCT.T, blocks, _JPEG_DCT)
+            + 128.0
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            blocks.shape[0] * 8, blocks.shape[1] * 8
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )[:h, :w]
+        planes[cid] = plane
+
+    if len(comps) == 1:
+        return np.rint(planes[comps[0][0]]).clip(0, 255).astype(np.uint8)
+    y, cb, cr = (planes[c[0]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.rint(np.stack([r, g, b], axis=-1)).clip(0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables."""
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA):
+        t = np.floor((base * scale + 50) / 100).clip(1, 255)
+        out.append(t)
+    return out[0], out[1]
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → baseline JPEG (SOF0, 4:4:4,
+    standard Annex K Huffman tables, IJG quality scaling). A test-
+    fixture encoder: correctness over compression ratio."""
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("JPEG wants HxW or HxWx3 uint8")
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = _jpeg_quality_tables(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        pixels.astype(np.float64),
+        [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)]),
+        mode="edge",
+    )
+    if gray:
+        planes = [(padded, qt_l, _JPEG_DC_LUMA, _JPEG_AC_LUMA)]
+    else:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [
+            (y, qt_l, _JPEG_DC_LUMA, _JPEG_AC_LUMA),
+            (cb, qt_c, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+            (cr, qt_c, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+        ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qts = [qt_l] if gray else [qt_l, qt_c]
+    for tq, tab in enumerate(qts):
+        zz = tab[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    tables = (
+        [(0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA)]
+        if gray
+        else [
+            (0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA),
+            (0, 1, _JPEG_DC_CHROMA), (1, 1, _JPEG_AC_CHROMA),
+        ]
+    )
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th
+        ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += struct.pack("BB", c + 1, 0x00 if c == 0 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential
+
+    # 4:4:4 → MCU == one block per component; interleave block-by-block
+    writer = _BitWriter()
+    preds = [0] * nc
+    nby, nbx = ph // 8, pw // 8
+    # precompute per-plane quantized zigzag rows once, then interleave
+    per_plane = []
+    for plane, qtab, dcb, acb in planes:
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ab,yxbc,cd->yxad", _JPEG_DCT, blocks, _JPEG_DCT.T)
+        quant = np.rint(
+            coef.reshape(nby, nbx, 64) / qtab
+        ).astype(np.int64)
+        per_plane.append(
+            (
+                quant[:, :, _JPEG_ZIGZAG],
+                _huff_encode_map(*dcb),
+                _huff_encode_map(*acb),
+            )
+        )
+    for my in range(nby):
+        for mx in range(nbx):
+            for ci, (zz, dc_map, ac_map) in enumerate(per_plane):
+                row = zz[my, mx]
+                dc = int(row[0])
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                t = int(abs(diff)).bit_length()
+                length, code = dc_map[t]
+                writer.write(code, length)
+                if t:
+                    writer.write(
+                        diff if diff > 0 else diff + (1 << t) - 1, t
+                    )
+                run = 0
+                nzi = np.nonzero(row[1:])[0]
+                last = nzi[-1] + 1 if len(nzi) else 0
+                for k in range(1, last + 1):
+                    v = int(row[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_map[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    length, code = ac_map[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    length, code = ac_map[0x00]
+                    writer.write(code, length)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # sniffing + resize kernels
 # ---------------------------------------------------------------------------
 
@@ -371,6 +874,8 @@ def sniff(buf: bytes) -> str:
         return "bmp"
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if buf[:9] == b"YUV4MPEG2"[:9]:

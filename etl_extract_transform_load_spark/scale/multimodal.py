@@ -8,12 +8,14 @@ partitioning, UDF signatures. Codecs come in two tiers:
 - ``mode="real"`` decodes genuine public container formats with the
   pure-numpy/stdlib codecs in :mod:`scale.codecs` — netpbm PPM/PGM,
   uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` inflate +
-  numpy scanline unfilter), RIFF PCM WAV, and YUV4MPEG2 (Y4M) video.
-  No external imaging/audio libraries needed.
-- Formats whose codecs the stdlib lacks (JPEG/MP4/...) require
-  Pillow/ffmpeg, absent from this container; those payloads raise
-  ``NotImplementedError`` at the clearly-marked seam so the gap is
-  explicit, not silent.
+  numpy scanline unfilter), baseline JPEG (pure-numpy T.81:
+  Huffman entropy decode + vectorized IDCT), RIFF PCM WAV, and
+  YUV4MPEG2 (Y4M) video. No external imaging/audio libraries needed.
+- Compressed video (MP4/...) requires ffmpeg, absent from this
+  container; those payloads raise ``NotImplementedError`` at the
+  clearly-marked seam so the gap is explicit, not silent.
+  (Progressive/arithmetic JPEG raises ValueError in the decoder —
+  baseline sequential covers the overwhelming share of real corpora.)
 - ``mode="fake"`` keeps the original deterministic synthetic format
   for plumbing tests.
 
@@ -79,9 +81,11 @@ def _decode_fake(content: bytes) -> tuple[int, int, float]:
 def _decode_real(content: bytes) -> tuple[int, int, float]:
     """Decode a real image payload → (width, height, mean luma).
 
-    Supports the stdlib/numpy-decodable formats in ``scale.codecs``
-    (netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG via stdlib
-    zlib). JPEG remains the explicit externally-dependent seam."""
+    Supports the stdlib/numpy-decodable formats in ``scale.codecs``:
+    netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib),
+    and baseline JPEG (pure-numpy T.81 decoder — sequential DCT;
+    progressive streams raise ValueError there). Video containers
+    (MP4/...) remain the externally-dependent seam."""
     from etl_extract_transform_load_spark.scale import codecs
 
     kind = codecs.sniff(content)
@@ -91,10 +95,13 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
         img = codecs.decode_bmp(content)
     elif kind == "png":
         img = codecs.decode_png(content)
+    elif kind == "jpeg":
+        img = codecs.decode_jpeg(content)
     else:
         raise NotImplementedError(
-            f"image codec {kind!r}: PPM/PGM/BMP/PNG decode without an "
-            "imaging library; JPEG needs Pillow/libjpeg — wire it in here"
+            f"image codec {kind!r}: PPM/PGM/BMP/PNG/baseline-JPEG decode "
+            "without an imaging library; other formats need external "
+            "codecs — wire them in here"
         )
     h, w = img.shape[:2]
     return w, h, float(codecs.to_gray(img).mean())
@@ -146,9 +153,15 @@ def _resize_real(raw: bytes, target_w: int, target_h: int) -> bytes:
     if kind == "png":
         out = codecs.resize_bilinear(codecs.decode_png(raw), target_h, target_w)
         return codecs.encode_png(out)
+    if kind == "jpeg":
+        out = codecs.resize_bilinear(
+            codecs.decode_jpeg(raw), target_h, target_w
+        )
+        return codecs.encode_jpeg(out)
     raise NotImplementedError(
-        f"image codec {kind!r}: resize supports PPM/PGM/BMP/PNG without "
-        "an imaging library; JPEG needs Pillow/libjpeg"
+        f"image codec {kind!r}: resize supports PPM/PGM/BMP/PNG/baseline-"
+        "JPEG without an imaging library; other formats need external "
+        "codecs"
     )
 
 
@@ -270,18 +283,33 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def make_real_media(spark, n: int = 24) -> DataFrame:
-    """Deterministic media table with REAL payloads: PPM, BMP and PNG
-    images, PCM WAV clips, and Y4M video streams, round-robin by
-    ``media_id``. Pixel/sample values are seeded arithmetic so every
-    run is byte-identical — no RNG, no external files."""
+    """Deterministic media table with REAL payloads: PPM, BMP, PNG and
+    baseline-JPEG images, PCM WAV clips, and Y4M video streams,
+    round-robin by ``media_id``. Pixel/sample values are seeded
+    arithmetic so every run is byte-identical — no RNG, no external
+    files."""
     import numpy as np
 
     from etl_extract_transform_load_spark.scale import codecs
 
     rows = []
     for i in range(n):
-        kind = i % 5
-        if kind == 4:  # PNG image (gray for odd i, RGB for even)
+        kind = i % 6
+        if kind == 5:  # baseline JPEG (gray for odd i, RGB for even)
+            h, w = 24 + i % 8, 32 + i % 8
+            if i % 2:
+                img = (
+                    (np.arange(h * w, dtype=np.int64) * 7 + i) % 256
+                ).astype(np.uint8).reshape(h, w)
+            else:
+                img = (
+                    (np.arange(h * w * 3, dtype=np.int64) * 13 + i) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+            rows.append(
+                (i, "image", bytearray(codecs.encode_jpeg(img)),
+                 (w, h, None, "jpeg"))
+            )
+        elif kind == 4:  # PNG image (gray for odd i, RGB for even)
             h, w = 20 + i % 8, 26 + i % 10
             if i % 2:
                 img = (

@@ -80,7 +80,7 @@ def test_sniff():
     assert codecs.sniff(codecs.encode_y4m(np.zeros((1, 2, 2), np.uint8))) == "y4m"
     assert codecs.sniff(b"FAKE....") == "fake"
     assert codecs.sniff(codecs.encode_png(_img(2, 2))) == "png"
-    assert codecs.sniff(b"\xff\xd8\xff\xe0JFIF") == "unknown"  # JPEG
+    assert codecs.sniff(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
 
 
 def test_png_roundtrip_gray_rgb_rgba():
@@ -190,6 +190,98 @@ def test_resize_kernels():
     assert gray.shape == (4, 4) and gray.dtype == np.uint8
 
 
+def test_jpeg_roundtrip_gray_rgb_and_odd_dims():
+    x = np.linspace(0, 255, 64)
+    smooth = (np.add.outer(x, x) / 2).astype(np.uint8)
+    rgb = np.stack([smooth, smooth[::-1], smooth.T], axis=-1)
+    for img in (smooth, rgb):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        # lossy codec: smooth content at q90 reconstructs within ~2 levels
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 2.0
+    odd = ((np.arange(37 * 53 * 3) * 31) % 256).astype(np.uint8).reshape(
+        37, 53, 3
+    )
+    assert codecs.decode_jpeg(codecs.encode_jpeg(odd)).shape == (37, 53, 3)
+    assert codecs.sniff(codecs.encode_jpeg(smooth)) == "jpeg"
+
+
+def test_jpeg_decodes_420_subsampling_with_restarts():
+    """Hand-built 4:2:0 stream (2 MCUs, DRI=1, RST0 between): uniform
+    Y=168 then Y=88, neutral chroma. Exercises the sampling-factor
+    block layout, chroma upsampling, restart-predictor reset, and
+    byte-aligned segment handling — paths the 4:4:4 encoder never
+    emits."""
+    import struct as st
+
+    from etl_extract_transform_load_spark.scale.codecs import (
+        _BitWriter,
+        _huff_encode_map,
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _JPEG_QT_CHROMA,
+        _JPEG_QT_LUMA,
+        _JPEG_ZIGZAG,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tab in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
+        out += b"\xff\xdb" + st.pack(">HB", 67, tq)
+        out += tab[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 16, 32, 3)
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xdd" + st.pack(">HH", 4, 1)  # restart every MCU
+    for tc, th, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA),
+        (0, 1, _JPEG_DC_CHROMA), (1, 1, _JPEG_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + st.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + st.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    dc_l, ac_l = _huff_encode_map(*_JPEG_DC_LUMA), _huff_encode_map(*_JPEG_AC_LUMA)
+    dc_c, ac_c = _huff_encode_map(*_JPEG_DC_CHROMA), _huff_encode_map(*_JPEG_AC_CHROMA)
+
+    def mcu_bits(y_dc_diffs):
+        w = _BitWriter()
+        for i, diff in enumerate(y_dc_diffs):  # 4 Y blocks
+            t = abs(diff).bit_length()
+            ln, code = dc_l[t]
+            w.write(code, ln)
+            if t:
+                w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            ln, code = ac_l[0x00]  # EOB
+            w.write(code, ln)
+        for _ in range(2):  # Cb, Cr: DC 0 + EOB
+            ln, code = dc_c[0]
+            w.write(code, ln)
+            ln, code = ac_c[0x00]
+            w.write(code, ln)
+        return w.flush()
+
+    # DC quant step is 16: Y=168 → (168-128)*8/16 = 20; Y=88 → -20
+    out += mcu_bits([20, 0, 0, 0]) + b"\xff\xd0"  # RST0
+    out += mcu_bits([-20, 0, 0, 0])  # predictors reset: -20, not -40
+    out += b"\xff\xd9"
+
+    img = codecs.decode_jpeg(bytes(out))
+    assert img.shape == (16, 32, 3)
+    assert (img[:, :16] == 168).all()
+    assert (img[:, 16:] == 88).all()
+
+
+def test_jpeg_rejects_progressive():
+    buf = (
+        b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes([8]) +
+        b"\x00\x10\x00\x10" + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(buf)
+
+
 # ------------------------------------------------- Spark real-mode paths
 
 def test_real_image_decode_features(spark):
@@ -200,9 +292,11 @@ def test_real_image_decode_features(spark):
         for r in decode_image_features(images, mode="real").collect()
     }
     metas = {r["media_id"]: r["meta"] for r in images.collect()}
-    # round-robin over 5 kinds: PPM/BMP/PNG are images (PNG twice in 10)
+    # round-robin over 6 kinds: PPM/BMP/PNG/JPEG are images
     assert feats.keys() == metas.keys() and len(feats) == 6
-    assert {m["codec"] for m in metas.values()} == {"ppm", "bmp", "png"}
+    assert {m["codec"] for m in metas.values()} == {
+        "ppm", "bmp", "png", "jpeg"
+    }
     for mid, r in feats.items():
         assert (r["width"], r["height"]) == (metas[mid]["width"], metas[mid]["height"])
         assert 0.0 < r["mean_intensity"] < 255.0
@@ -216,6 +310,7 @@ def test_real_resize_roundtrip(spark):
         "pnm": codecs.decode_pnm,
         "bmp": codecs.decode_bmp,
         "png": codecs.decode_png,
+        "jpeg": codecs.decode_jpeg,
     }
     kinds = set()
     for r in out:
@@ -223,7 +318,8 @@ def test_real_resize_roundtrip(spark):
         kind = codecs.sniff(img_bytes)
         kinds.add(kind)
         assert decoders[kind](img_bytes).shape[:2] == (14, 20)
-    assert kinds == {"pnm", "bmp", "png"}  # resize re-encodes same-format
+    # resize re-encodes same-format
+    assert kinds == {"pnm", "bmp", "png", "jpeg"}
 
 
 def test_real_frame_sampling(spark):
@@ -239,7 +335,7 @@ def test_real_frame_sampling(spark):
 
 
 def test_real_audio_features(spark):
-    media = make_real_media(spark, n=8).filter("modality = 'audio'")
+    media = make_real_media(spark, n=12).filter("modality = 'audio'")
     rows = audio_features(media).collect()
     assert len(rows) == 2
     for r in rows:
@@ -254,9 +350,17 @@ def test_real_mode_rejects_compressed_formats(spark):
 
     from etl_extract_transform_load_spark.scale.multimodal import MEDIA_SCHEMA
 
-    jpeg_ish = spark.createDataFrame(
-        [(1, "image", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), (2, 2, None, "jpeg"))],
+    mp4_ish = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00\x18ftypisom...."), (2, 2, None, "mp4"))],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decode_image_features(jpeg_ish, mode="real").collect()
+        decode_image_features(mp4_ish, mode="real").collect()
+    # malformed JPEG: real decode path, explicit ValueError (not a
+    # silent wrong answer, not the NotImplementedError seam)
+    jpeg_trunc = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), (2, 2, None, "jpeg"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="missing SOF0"):
+        decode_image_features(jpeg_trunc, mode="real").collect()

@@ -122,5 +122,101 @@ UNION ALL
 """
 
 
+def eda_metric_value_sql() -> str:
+    """The EDA branches flattened to the (metric, value) stack that
+    ``describe_stats`` carries: per-bucket ``hist:/histlo:/histhi:``
+    rows and per-pair ``corr:/corrn:`` rows — the same numbers as
+    :func:`q_eda_profile`, reshaped into the merged contract query."""
+    b = float(HIST_BINS)
+    corr_parts = " UNION ALL ".join(
+        f"""
+SELECT 'corr:{a}:{c}' AS metric, corr AS value FROM ({_corr_pair_sql(a, c)})
+UNION ALL
+SELECT 'corrn:{a}:{c}', CAST(n AS DOUBLE) FROM ({_corr_pair_sql(a, c)})
+"""
+        for i, a in enumerate(CORR_COLS)
+        for c in CORR_COLS[i + 1 :]
+    )
+    return f"""
+WITH s AS (
+    SELECT CAST(MIN({HIST_COL}) AS DOUBLE) AS lo,
+           CAST(MAX({HIST_COL}) AS DOUBLE) AS hi
+    FROM lineitem WHERE {HIST_COL} IS NOT NULL
+),
+h AS (
+    SELECT CASE WHEN (hi - lo) / {b} = 0 THEN 0
+                ELSE CAST(LEAST({HIST_BINS - 1},
+                     FLOOR((CAST({HIST_COL} AS DOUBLE) - lo)
+                           / ((hi - lo) / {b}))) AS INT)
+           END AS bucket,
+           lo, hi, COUNT(*) AS n
+    FROM lineitem, s
+    WHERE {HIST_COL} IS NOT NULL
+    GROUP BY 1, lo, hi
+)
+SELECT 'hist:' || CAST(bucket AS VARCHAR) AS metric,
+       CAST(n AS DOUBLE) AS value FROM h
+UNION ALL
+SELECT 'histlo:' || CAST(bucket AS VARCHAR),
+       ROUND(lo + bucket * ((hi - lo) / {b}), 6) FROM h
+UNION ALL
+SELECT 'histhi:' || CAST(bucket AS VARCHAR),
+       ROUND(lo + (bucket + 1) * ((hi - lo) / {b}), 6) FROM h
+UNION ALL
+{corr_parts}
+"""
+
+
+def eda_metric_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`eda_metric_value_sql`."""
+    from etl_extract_transform_load_spark.operators.eda import (
+        correlation_matrix,
+        histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # checkpoint both tiny results (≤ bins rows / ≤ k² rows): three
+    # metric branches read the histogram and two read the correlation
+    # matrix — without this each union branch re-runs the full scan+agg
+    h = histogram(li, HIST_COL, bins=HIST_BINS).localCheckpoint()
+    bucket_s = F.col("bucket").cast("string")
+    hist = (
+        h.select(
+            F.concat(F.lit("hist:"), bucket_s).alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+        .unionByName(
+            h.select(
+                F.concat(F.lit("histlo:"), bucket_s).alias("metric"),
+                F.col("bin_lo").alias("value"),
+            )
+        )
+        .unionByName(
+            h.select(
+                F.concat(F.lit("histhi:"), bucket_s).alias("metric"),
+                F.col("bin_hi").alias("value"),
+            )
+        )
+    )
+    c = correlation_matrix(li, CORR_COLS).localCheckpoint()
+    corr = c.select(
+        F.concat_ws(":", F.lit("corr"), "col_a", "col_b").alias("metric"),
+        F.col("corr").alias("value"),
+    ).unionByName(
+        c.select(
+            F.concat_ws(":", F.lit("corrn"), "col_a", "col_b").alias(
+                "metric"
+            ),
+            F.col("n_pairs").cast("double").alias("value"),
+        )
+    )
+    return hist.unionByName(corr)
+
+
 def register_all() -> None:
-    register("eda_profile", q_eda_profile, _oracle_eda_profile())
+    # eda_profile itself is NOT registered: the driver verifies a
+    # 50-query window and the EDA numbers ride describe_stats'
+    # (metric, value) stack instead (queries_merged), keeping every
+    # registered query inside the window. q_eda_profile keeps its full
+    # oracle and is hash-verified in tests/test_eda.py.
+    pass

@@ -131,7 +131,15 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
         F.col("mad").cast("double").alias("value"),
     )
-    return stacked.unionByName(vc).unionByName(mad)
+    # EDA surface (operators/eda.py): histogram buckets + pairwise
+    # Pearson flattened to the same (metric, value) stack — the
+    # notebook's hist/scatter numbers ride the inspection query
+    from etl_extract_transform_load_spark.queries_eda import (
+        eda_metric_value,
+    )
+
+    eda = eda_metric_value(spark, sf_dir)
+    return stacked.unionByName(vc).unionByName(mad).unionByName(eda)
 
 
 def _oracle_describe_stats() -> str:
@@ -146,6 +154,10 @@ def _oracle_describe_stats() -> str:
         f"SELECT '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM d"
         for m in metrics
     )
+    from etl_extract_transform_load_spark.queries_eda import (
+        eda_metric_value_sql,
+    )
+
     return f"""
 WITH d AS ({ORACLE_DESCRIBE})
 {stacked}
@@ -153,6 +165,8 @@ UNION ALL
 SELECT 'lang:' || lang, CAST(count AS DOUBLE) FROM ({ORACLE_VALUE_COUNTS})
 UNION ALL
 SELECT 'mad:' || l_returnflag, CAST(mad AS DOUBLE) FROM ({ORACLE_MAD})
+UNION ALL
+SELECT metric, value FROM ({eda_metric_value_sql()})
 """
 
 

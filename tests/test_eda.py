@@ -76,6 +76,23 @@ def test_correlation_matrix_constant_column_is_null(spark):
     assert r.corr is None and r.n_pairs == 10
 
 
+def test_eda_profile_matches_oracle(spark):
+    """The full-width EDA query keeps its DuckDB oracle even though it
+    is not registered (the driver verifies a 50-query window; the same
+    numbers ride describe_stats' metric/value stack there)."""
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import assert_matches_oracle
+
+    from etl_extract_transform_load_spark.queries_eda import (
+        _oracle_eda_profile,
+        q_eda_profile,
+    )
+
+    assert_matches_oracle(
+        q_eda_profile(spark, SF_SMOKE), _oracle_eda_profile(), SF_SMOKE
+    )
+
+
 def test_sample_pandas_deterministic_and_capped(spark):
     df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("y"))
     s1 = sample_pandas(df, max_rows=50)

@@ -106,16 +106,33 @@ def _pair_corr(n: Column, sx, sy, sxx, syy, sxy) -> Column:
     )
 
 
-def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    parallelism: int | None = None,
+) -> DataFrame:
     """All pairwise Pearson correlations of ``cols`` in one aggregation
     pass: (col_a, col_b, n_pairs, corr) for every a < b pair, NULL
     corr when either column is constant over the matched rows. Pairs
     are matched per-pair on both values non-NULL (the same semantics
     as ``F.corr`` / SQL ``corr``), but computed from decimal-exact
-    sums so the result is bit-stable and engine-portable."""
+    sums so the result is bit-stable and engine-portable (decimal
+    addition is order-insensitive, so ``parallelism`` cannot change
+    the answer).
+
+    ``parallelism``: optionally repartition the PROJECTED (k-column)
+    input before aggregating. A compact local input (one parquet file)
+    otherwise bounds the decimal partial aggregation by file count —
+    measured 2× on local[32] with a 3-file table. Leave ``None`` at
+    real scan scale: the scan already fans out, and shuffling the
+    projection ahead of a partial agg would be pure waste."""
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("correlation_matrix needs at least two columns")
+    proj = df.select(*[F.col(f"`{c}`") for c in cols])
+    if parallelism is not None:
+        proj = proj.repartition(parallelism)
+    df = proj
     aggs = []
     pairs = []
     for i, a in enumerate(cols):

@@ -43,7 +43,7 @@ def q_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.lit(None).cast("double").alias("corr"),
     )
-    corr = correlation_matrix(li, CORR_COLS).select(
+    corr = correlation_matrix(li, CORR_COLS, parallelism=32).select(
         F.lit("corr").alias("part"),
         "col_a",
         "col_b",
@@ -198,7 +198,7 @@ def eda_metric_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    c = correlation_matrix(li, CORR_COLS).localCheckpoint()
+    c = correlation_matrix(li, CORR_COLS, parallelism=32).localCheckpoint()
     corr = c.select(
         F.concat_ws(":", F.lit("corr"), "col_a", "col_b").alias("metric"),
         F.col("corr").alias("value"),

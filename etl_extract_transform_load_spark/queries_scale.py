@@ -806,7 +806,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_contaminated").cast("long").alias("n_contaminated"),
     )
-    return clusters.unionByName(contam)
+    # continuous-ingest branch: docs with id >= 250 arrive as the "new
+    # batch" against the id < 250 corpus — surviving admit set pinned
+    from etl_extract_transform_load_spark.scale.dedup import (
+        dedup_incremental,
+    )
+
+    incr = dedup_incremental(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+    ).select(
+        F.lit("incremental").alias("part"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_contaminated"),
+    )
+    return clusters.unionByName(contam).unionByName(incr)
 
 
 ORACLE_DEDUP_EXACT = """
@@ -837,6 +854,26 @@ SELECT 'contamination', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
        sh.doc_id, COUNT(*)
 FROM sh JOIN bench USING (s)
 GROUP BY sh.doc_id
+UNION ALL
+-- incremental admit set: NOT EXISTS (not NOT IN) so a NULL-text
+-- corpus row can't veto the whole batch, and GROUP BY m groups
+-- NULL-text batch rows to one survivor — both matching Spark's
+-- anti-join / groupBy NULL semantics
+SELECT 'incremental', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       doc_id, NULL::BIGINT
+FROM (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (
+        SELECT b.doc_id, MD5(b.text) AS m
+        FROM documents b
+        WHERE b.doc_id >= 250
+          AND NOT EXISTS (
+              SELECT 1 FROM documents c
+              WHERE c.doc_id < 250 AND MD5(c.text) = MD5(b.text)
+          )
+    )
+    GROUP BY m
+)
 """
 
 

@@ -71,6 +71,41 @@ def drop_exact_dups(
     return df.join(w_keys, id_col, "left_semi")
 
 
+def dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest dedup: the rows of ``batch`` that survive
+    (1) exact-dup removal against the existing ``corpus`` (md5
+    anti-join) and (2) within-batch exact dedup (deterministic
+    smallest-id survivor per text). Output = batch columns, exactly
+    the rows an append-only corpus would admit.
+
+    Scale shape: the corpus contributes ONLY its distinct-md5
+    projection — one column through the shuffle, and in a production
+    loop that projection is a maintained index table, not a rescan.
+    Both joins key on the 32-hex md5 (uniform, no skew); work is
+    O(batch) plus a semi-join probe into the corpus index. This is
+    the md5 tier of incremental ingest; chain
+    ``contamination_flags``/``minhash_lsh_pairs`` against the same
+    batch for the n-gram and near-dup tiers."""
+    md5b = F.md5(F.col(text_col))
+    corpus_md5 = corpus.select(
+        F.md5(F.col(text_col)).alias("__cm")
+    ).distinct()
+    fresh = batch.join(
+        corpus_md5, md5b == F.col("__cm"), "left_anti"
+    )
+    survivors = fresh.groupBy(md5b.alias("__m")).agg(
+        F.min(F.col(id_col)).alias(id_col)
+    )
+    return fresh.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+
+
 # --- n-gram shingles + exact Jaccard --------------------------------------
 
 

@@ -142,6 +142,75 @@ def read_jdbc(
     return reader.load()
 
 
+def idempotent_jdbc_batch_writer(
+    url: str,
+    table: str,
+    epoch_table: str | None = None,
+    **write_kwargs,
+) -> Callable:
+    """A ``foreachBatch`` callback turning Structured Streaming's
+    at-least-once batch replay into effectively-once JDBC appends.
+
+    Streaming checkpoints re-invoke ``foreachBatch`` with the SAME
+    ``epoch_id`` after a failure; this writer records each committed
+    epoch in ``epoch_table`` (default ``<table>_epochs``) and skips a
+    batch whose epoch is already recorded. The write→record pair is
+    not atomic — a crash exactly between them replays one batch, the
+    same hole the reference's chunk loop has (challenge2.py:292-301);
+    on engines with transactions close it by staging batch + epoch
+    row in one transaction. Single-writer streams only (the epoch
+    probe is check-then-act)."""
+    epoch_table = epoch_table or f"{table}_epochs"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                read_jdbc(spark, url, epoch_table)
+                .filter(f"epoch_id = {int(epoch_id)}")
+                .count()
+                > 0
+            )
+        except Exception:  # noqa: BLE001 — epoch table not created yet
+            seen = False
+        if seen:
+            return
+        write_jdbc(batch_df, url, table, mode="append", **write_kwargs)
+        write_jdbc(
+            spark.createDataFrame([(int(epoch_id),)], "epoch_id long"),
+            url,
+            epoch_table,
+            mode="append",
+        )
+
+    return write_batch
+
+
+def stream_to_jdbc(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    epoch_table: str | None = None,
+    trigger_once: bool = True,
+    **write_kwargs,
+):
+    """S5 end-to-end: streaming micro-batches → idempotent JDBC
+    appends (the reference's chunked ``to_sql`` loop as a restartable
+    stream). Composes :func:`idempotent_jdbc_batch_writer` with the
+    checkpointed ``foreachBatch`` runner."""
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        foreach_batch_ingest,
+    )
+
+    return foreach_batch_ingest(
+        stream,
+        idempotent_jdbc_batch_writer(url, table, epoch_table, **write_kwargs),
+        checkpoint_dir,
+        trigger_once=trigger_once,
+    )
+
+
 def instrumented_write(
     df: DataFrame,
     write_fn: Callable[[DataFrame], None],

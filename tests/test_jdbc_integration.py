@@ -127,6 +127,56 @@ def test_jdbc_truncate_preserves_column_ddl(spark, derby_url):
     assert [(r.k, len(r.v)) for r in got] == [(2, 100)]
 
 
+def test_idempotent_batch_writer_skips_replayed_epochs(spark, derby_url):
+    """The foreachBatch callback must ignore a batch whose epoch is
+    already recorded (streaming replay after checkpoint recovery) and
+    append batches with new epochs."""
+    from etl_extract_transform_load_spark.sinks.jdbc import (
+        idempotent_jdbc_batch_writer,
+    )
+
+    writer = idempotent_jdbc_batch_writer(derby_url, "T_STREAM")
+    b0 = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    writer(b0, 0)
+    writer(b0, 0)  # replayed epoch → skipped
+    assert read_jdbc(spark, derby_url, "T_STREAM").count() == 2
+    writer(spark.createDataFrame([Row(k=3, v="c")]), 1)
+    got = read_jdbc(spark, derby_url, "T_STREAM")
+    assert got.count() == 3
+    epochs = read_jdbc(spark, derby_url, "T_STREAM_epochs")
+    assert sorted(r[0] for r in epochs.collect()) == [0, 1]
+
+
+def test_stream_to_jdbc_end_to_end(spark, derby_url, tmp_path):
+    """availableNow file stream → idempotent JDBC appends: all rows
+    land exactly once; a rerun over the same checkpoint adds nothing."""
+    from etl_extract_transform_load_spark.sinks.jdbc import stream_to_jdbc
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+    )
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, f"r{i}_{j}") for j in range(5)], "k long, v string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = file_stream_source(
+            spark, str(src), "k long, v string", max_files_per_trigger=1
+        )
+        q = stream_to_jdbc(stream, derby_url, "T_S2J", ckpt)
+        q.awaitTermination(120)
+
+    run()
+    got = read_jdbc(spark, derby_url, "T_S2J")
+    assert got.count() == 15
+    assert got.select("k").distinct().count() == 15
+    run()  # same checkpoint, no new files → nothing appended
+    assert read_jdbc(spark, derby_url, "T_S2J").count() == 15
+
+
 def test_instrumented_write_reports_throughput(spark, derby_url):
     df = spark.range(0, 5_000).select(
         F.col("id").alias("k"), F.lit("x").alias("v")

@@ -365,6 +365,35 @@ def test_similarity_family_survives_empty_tables(spark, tmp_path):
         assert qs[name](spark, str(tmp_path)).count() == 0, name
 
 
+def test_dedup_incremental_admit_set(spark):
+    """Continuous-ingest contract: batch rows dup'ing the corpus drop,
+    within-batch dups keep one smallest-id survivor, and NULL text
+    never cross-matches (a NULL-text corpus row must not veto
+    anything; NULL-text batch rows collapse to one survivor)."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        dedup_incremental,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # exact corpus dup → dropped
+            (11, "gamma"),   # fresh → admitted
+            (12, "gamma"),   # within-batch dup → dropped (11 survives)
+            (13, None),      # NULL text: no cross-match with corpus NULL
+            (14, None),      # second NULL-text row → dropped (13 survives)
+        ],
+        schema,
+    )
+    got = sorted(
+        r.doc_id for r in dedup_incremental(corpus, batch).collect()
+    )
+    assert got == [11, 13]
+
+
 def test_released_caches_unpersists_sketch_tables(spark, docs_with_dups):
     """Composing sketch operators inside released_caches() must leave
     no persisted tables behind, and cache=False must skip caching

@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) for the messy-string parsers:
+Spark's pure-expression parse_dollars / parse_runtime_minutes against
+independent Python ``re`` twins of the documented semantics
+(challenge2.py:114-157 money, :193-198 runtime).
+
+The twins re-implement the spec, not the Spark code: regexes are the
+module's published constants, but extraction/branch logic is written
+against the docstrings. Inputs stay ASCII — Java/RE2 ``\\s`` is
+ASCII-only while Python's is unicode-aware, and the engine
+deliberately follows Java/RE2 (the DuckDB oracle's dialect).
+
+Batched: hypothesis generates LISTS of strings so each example is one
+Spark job, not one job per string.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_extract_transform_load_spark.functions.money import (
+    _BILLION,
+    _MILLION,
+    _PLAIN,
+    MONEY_EXTRACT_PATTERN,
+    parse_dollars,
+)
+from etl_extract_transform_load_spark.functions.parsing import (
+    RUNTIME_PATTERN,
+    parse_runtime_minutes,
+)
+
+# ----------------------------------------------------------- python twins
+
+
+def py_parse_dollars(s: str | None) -> float | None:
+    if s is None:
+        return None
+    s = re.sub(r"\[\d+\]\s*", "", s)
+    s = re.sub(r"\$.*[-—–](?![a-z])", "$", s)
+    m = re.search(MONEY_EXTRACT_PATTERN, s)
+    if not m or not m.group(1):
+        return None
+    ex = m.group(1)
+    if re.search(_MILLION, ex):
+        return float(re.search(r"(\d+(?:\.\d+)?)", ex).group(1)) * 1e6
+    if re.search(_BILLION, ex):
+        return float(re.search(r"(\d+(?:\.\d+)?)", ex).group(1)) * 1e9
+    if re.search(_PLAIN, ex):
+        return float(re.sub(r"[^0-9]", "", ex))
+    return None
+
+
+def py_parse_runtime(s: str | None) -> float | None:
+    if s is None:
+        return None
+    m = re.search(RUNTIME_PATTERN, s)
+    if not m:
+        return None
+
+    def g(i: int) -> float:
+        v = m.group(i)
+        return float(v) if v else 0.0
+
+    hours, hmins, plain = g(1), g(2), g(3)
+    return hours * 60 + hmins if plain == 0 else plain
+
+
+# ----------------------------------------------------------- strategies
+
+_WS = st.text(alphabet=" ", max_size=2)
+_NUM = st.one_of(
+    st.integers(0, 9_999).map(str),
+    st.tuples(st.integers(0, 999), st.integers(0, 99)).map(
+        lambda t: f"{t[0]}.{t[1]}"
+    ),
+)
+_MAG = st.sampled_from(
+    ["million", "millon", "Million", "MILLIONS", "billion", "Billions",
+     "billions", "milion"]  # last one is junk: not in the grammar
+)
+_GROUPED = st.tuples(
+    st.integers(1, 999),
+    st.lists(st.integers(0, 999), min_size=1, max_size=3),
+    st.sampled_from([",", "."]),
+).map(lambda t: f"{t[0]}" + "".join(f"{t[2]}{g:03d}" for g in t[1]))
+
+_PREFIX = st.sampled_from(
+    ["", "US", "estimated ", "gross: ", "[3] ", "approx. "]
+)
+_SUFFIX = st.sampled_from(
+    ["", " (worldwide)", " [12]", " USD", " million", " est.", "k"]
+)
+
+_MONEY_CORE = st.one_of(
+    # magnitude form: $ N magnitude
+    st.tuples(_WS, _NUM, _WS, _MAG).map(lambda t: "$" + t[0] + t[1] + t[2] + t[3]),
+    # grouped-digits form
+    _GROUPED.map(lambda g: "$" + g),
+    # ranges
+    st.tuples(_NUM, st.sampled_from(["-", "–", "—"]), _NUM, _MAG).map(
+        lambda t: f"${t[0]}{t[1]}{t[2]} {t[3]}"
+    ),
+    # junk
+    st.sampled_from(["TBA", "£4 million", "$111k", "$", "4 million", ""]),
+)
+MONEY_STRINGS = st.tuples(_PREFIX, _MONEY_CORE, _SUFFIX).map(
+    lambda t: t[0] + t[1] + t[2]
+)
+
+_RUNTIME_CORE = st.one_of(
+    st.tuples(st.integers(0, 500), st.sampled_from(
+        [" minutes", " min", "m", " m", " mins"]
+    )).map(lambda t: f"{t[0]}{t[1]}"),
+    st.tuples(
+        st.integers(0, 9),
+        st.sampled_from([" hour ", " hours ", "h ", " hr ", " hrs "]),
+        st.integers(0, 59),
+        st.sampled_from([" minutes", "m", " min", ""]),
+    ).map(lambda t: f"{t[0]}{t[1]}{t[2]}{t[3]}"),
+    st.sampled_from(["unknown", "ca. one hour", "90", "TBA", ""]),
+)
+RUNTIME_STRINGS = st.tuples(_PREFIX, _RUNTIME_CORE).map(
+    lambda t: t[0] + t[1]
+)
+
+
+# ----------------------------------------------------------- the properties
+
+
+def _spark_apply(spark, fn, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "id int, s string")
+    rows = df.select("id", fn(df["s"]).alias("out")).collect()
+    return [r.out for r in sorted(rows, key=lambda r: r.id)]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(MONEY_STRINGS, min_size=40, max_size=40))
+def test_parse_dollars_matches_python_twin(spark, values):
+    got = _spark_apply(spark, parse_dollars, values)
+    want = [py_parse_dollars(v) for v in values]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(values, got, want) if g != w
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(RUNTIME_STRINGS, min_size=40, max_size=40))
+def test_parse_runtime_matches_python_twin(spark, values):
+    got = _spark_apply(spark, parse_runtime_minutes, values)
+    want = [py_parse_runtime(v) for v in values]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(values, got, want) if g != w
+    ]

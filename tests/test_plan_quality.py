@@ -77,6 +77,28 @@ def test_window_topk_single_shuffle(spark):
     assert "o_custkey" in plan
 
 
+def test_eda_histogram_prunes_and_partial_aggs(spark):
+    from etl_extract_transform_load_spark.operators.eda import (
+        correlation_matrix,
+        histogram,
+    )
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    h = histogram(li, "l_extendedprice", bins=12)
+    plan = plan_text(h)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    # the groupBy scan reads ONLY the histogrammed column
+    assert "l_extendedprice" in read_schema[0]
+    assert "l_comment" not in read_schema[0] and "l_partkey" not in read_schema[0]
+    simple = plan_text(h, mode="simple")
+    assert simple.count("HashAggregate") >= 2  # map-side combine
+
+    c = correlation_matrix(li, ["l_quantity", "l_extendedprice"])
+    simple = plan_text(c, mode="simple")
+    assert simple.count("HashAggregate") >= 2  # decimal partials combine
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Sweep every registered query's physical plan: no CartesianProduct
     may appear. Intentional all-pairs generators (embedding near-dup)

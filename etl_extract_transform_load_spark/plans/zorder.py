@@ -1,0 +1,122 @@
+"""Z-order (Morton) clustered layout for multi-column data skipping.
+
+At 100 TB, a predicate like ``x BETWEEN a AND b AND y BETWEEN c AND d``
+prunes files through parquet min/max stats — but only if rows near in
+(x, y) land in the same files. A single-column sort gives perfect
+stats on one column and useless stats on the rest; interleaving the
+bits of both columns' positions (the Morton curve) keeps every file's
+min/max range tight on ALL participating columns at once.
+
+The pipeline is pure DataFrame ops: scale each column into a
+``bits_per_col``-bit integer position (range-based, with the lo/hi
+bounds either caller-provided or computed by one min/max aggregate —
+the driver-mediated decide pattern of ``operators.cleaning``), build
+the interleaved z-value with shift/mask expressions (codegen-friendly,
+no UDF), then ``repartitionByRange`` on z (one range shuffle — the
+same cost as any global sort-write) and sort within partitions.
+
+NULLs map to position 0 (they cluster together at the curve origin and
+never widen other files' stats). Skew: ``repartitionByRange`` samples
+the z distribution, so heavily duplicated keys still split across
+files.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(
+    col: Column, lo: float, hi: float, bits: int
+) -> Column:
+    """Scale a numeric column into [0, 2**bits) as a long; NULL → 0."""
+    span = hi - lo
+    maxpos = (1 << bits) - 1
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit(float(span))
+        * F.lit(float(maxpos + 1))
+    )
+    return F.coalesce(
+        F.least(F.lit(maxpos).cast("long"), F.greatest(F.lit(0).cast("long"), scaled)),
+        F.lit(0).cast("long"),
+    )
+
+
+def zorder_value(
+    positions: Sequence[Column], bits_per_col: int
+) -> Column:
+    """Interleave ``bits_per_col`` bits of each position column into
+    one Morton code (pure shift/mask expressions; k×bits terms of
+    whole-stage-codegen integer math)."""
+    k = len(positions)
+    terms = []
+    for j, p in enumerate(positions):
+        for i in range(bits_per_col):
+            bit = F.shiftright(p, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def with_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 12,
+    bounds: Mapping[str, tuple[float, float]] | None = None,
+    out_col: str = "__z",
+) -> DataFrame:
+    """Add the Morton code of ``cols`` as ``out_col``. ``bounds`` maps
+    column → (lo, hi); missing bounds are computed in ONE min/max
+    aggregate row (driver-mediated decide). ``bits_per_col`` × len(cols)
+    must stay ≤ 63 (signed long)."""
+    cols = list(cols)
+    if bits_per_col * len(cols) > 63:
+        raise ValueError("bits_per_col * len(cols) must be <= 63")
+    bounds = dict(bounds or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(
+            *[F.min(F.col(f"`{c}`").cast("double")).alias(f"lo_{c}") for c in missing],
+            *[F.max(F.col(f"`{c}`").cast("double")).alias(f"hi_{c}") for c in missing],
+        ).collect()[0]
+        for c in missing:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            bounds[c] = (
+                (float(lo), float(hi)) if lo is not None else (0.0, 0.0)
+            )
+    pos = [
+        _positions(F.col(f"`{c}`"), *bounds[c], bits_per_col) for c in cols
+    ]
+    return df.withColumn(out_col, zorder_value(pos, bits_per_col))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 8,
+    bits_per_col: int = 12,
+    bounds: Mapping[str, tuple[float, float]] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered on the Morton curve of ``cols``: one
+    range shuffle on the z-value, in-partition sort, z column dropped
+    from the output schema (column order preserved — the curve lives
+    in the file layout, not the data)."""
+    zdf = with_zorder(df, cols, bits_per_col, bounds)
+    (
+        zdf.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(*[F.col(f"`{c}`") for c in df.columns])
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

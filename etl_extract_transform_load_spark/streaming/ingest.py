@@ -82,6 +82,47 @@ def windowed_counts(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked session windows: events of one key closer than
+    ``gap`` merge into one session; a session closes (and its state
+    evicts) once the watermark passes its end + gap. The streaming
+    twin of the batch sessionizer (``operators.sessionize`` — there a
+    lag/cumsum window pass, here the engine's native
+    ``F.session_window`` state machine with dynamic merge). Works
+    identically on batch frames, which is how the oracle pins the
+    session boundaries without a live stream."""
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)")
+            ).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col(f"`{key_col}`"),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: Sequence[str],

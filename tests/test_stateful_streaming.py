@@ -69,3 +69,68 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     for uid, (n, total) in expected.items():
         assert final[uid][0] == n, f"user {uid}: {final[uid]} != {(n, total)}"
         assert abs(final[uid][1] - total) < 1e-4
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """session_window_agg over a real micro-batched stream (append
+    mode, watermark-closed sessions) must reproduce the batch
+    evaluation of the same function — including sessions whose events
+    SPAN the micro-batch boundary (the dynamic-merge path a
+    batch-only test never exercises)."""
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        session_window_agg,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = f"{tmp_path}/sess_src"
+    # split BY EVENT ID, not time: both micro-batches carry rows of
+    # the same users/sessions, so open sessions must merge across
+    # triggers before the final watermark closes them
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/batch=0"
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/batch=1"
+    )
+
+    stream = file_stream_source(
+        spark,
+        f"{src}/batch=*",
+        schema="event_id long, ts timestamp, user_id long, value double",
+        max_files_per_trigger=1,
+    )
+    out = session_window_agg(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/sess_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.session_value, 2),
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.session_value, 2),
+        )
+        for r in session_window_agg(events, gap="30 minutes").collect()
+    }
+    # append mode emits only watermark-CLOSED sessions; every emitted
+    # one must match the batch result exactly, and most sessions close
+    # (the watermark advances to max(ts) - delay by the final trigger)
+    assert got, "no sessions emitted"
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    assert len(got) >= len(want) * 0.5

@@ -74,8 +74,15 @@ def histogram(
     if width == 0:
         bucket = F.lit(0)
     else:
-        bucket = F.least(
-            F.lit(bins - 1), F.floor((x - F.lit(lo)) / F.lit(width))
+        # clamp BOTH sides: with caller-provided bounds, out-of-range
+        # values land in the edge buckets instead of producing
+        # negative/overflow bucket ids
+        bucket = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(bins - 1).cast("long"),
+                F.floor((x - F.lit(lo)) / F.lit(width)),
+            ),
         ).cast("int")
     return (
         src.groupBy(bucket.alias("bucket"))
@@ -182,9 +189,14 @@ def sample_pandas(
     the ``max_rows`` rows with the smallest ``xxhash64`` over
     ``key_cols`` (default: all columns) — a stable pseudo-random
     subset, computed as a distributed top-k (TakeOrdered; no global
-    sort, no unbounded collect). Raises on a cap that is itself a
-    driver-memory hazard. This closes the notebook loop: scatter the
-    returned frame with any local plotting library."""
+    sort, no unbounded collect). When ``key_cols`` is a proper subset
+    of the columns, rows sharing key values hash identically, so an
+    all-columns hash breaks the tie — without it the cut at the cap
+    boundary (and row order) would depend on partition order and the
+    "deterministic" contract would silently fail. Raises on a cap
+    that is itself a driver-memory hazard. This closes the notebook
+    loop: scatter the returned frame with any local plotting
+    library."""
     if max_rows > _SAMPLE_CEILING:
         raise ValueError(
             f"max_rows={max_rows} exceeds the {_SAMPLE_CEILING} sample "
@@ -192,4 +204,9 @@ def sample_pandas(
             "instead of collecting that much to the driver."
         )
     keys = [F.col(f"`{c}`") for c in (key_cols or df.columns)]
-    return df.orderBy(F.xxhash64(*keys)).limit(max_rows).toPandas()
+    all_cols = [F.col(f"`{c}`") for c in df.columns]
+    return (
+        df.orderBy(F.xxhash64(*keys), F.xxhash64(*all_cols))
+        .limit(max_rows)
+        .toPandas()
+    )

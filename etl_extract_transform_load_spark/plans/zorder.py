@@ -110,11 +110,16 @@ def write_zordered(
     """Write ``df`` clustered on the Morton curve of ``cols``: one
     range shuffle on the z-value, in-partition sort, z column dropped
     from the output schema (column order preserved — the curve lives
-    in the file layout, not the data)."""
-    zdf = with_zorder(df, cols, bits_per_col, bounds)
+    in the file layout, not the data). The internal z column name is
+    chosen to never collide with the input schema, so a pre-existing
+    ``__z`` column passes through untouched."""
+    zcol = "__z"
+    while zcol in df.columns:  # never clobber user data
+        zcol = "_" + zcol
+    zdf = with_zorder(df, cols, bits_per_col, bounds, out_col=zcol)
     (
-        zdf.repartitionByRange(num_files, F.col("__z"))
-        .sortWithinPartitions("__z")
+        zdf.repartitionByRange(num_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
         .select(*[F.col(f"`{c}`") for c in df.columns])
         .write.format(fmt)
         .mode("overwrite")

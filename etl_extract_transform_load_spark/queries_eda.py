@@ -102,9 +102,9 @@ WITH s AS (
 ),
 h AS (
     SELECT CASE WHEN (hi - lo) / {b} = 0 THEN 0
-                ELSE CAST(LEAST({HIST_BINS - 1},
+                ELSE CAST(GREATEST(0, LEAST({HIST_BINS - 1},
                      FLOOR((CAST({HIST_COL} AS DOUBLE) - lo)
-                           / ((hi - lo) / {b}))) AS INT)
+                           / ((hi - lo) / {b})))) AS INT)
            END AS bucket,
            lo, hi, COUNT(*) AS n
     FROM lineitem, s
@@ -128,26 +128,38 @@ def eda_metric_value_sql() -> str:
     rows and per-pair ``corr:/corrn:`` rows — the same numbers as
     :func:`q_eda_profile`, reshaped into the merged contract query."""
     b = float(HIST_BINS)
-    corr_parts = " UNION ALL ".join(
-        f"""
-SELECT 'corr:{a}:{c}' AS metric, corr AS value FROM ({_corr_pair_sql(a, c)})
-UNION ALL
-SELECT 'corrn:{a}:{c}', CAST(n AS DOUBLE) FROM ({_corr_pair_sql(a, c)})
-"""
+    # one MATERIALIZED CTE per pair: both metric rows read the same
+    # five-sum aggregate once, instead of embedding (and re-running)
+    # the full-table aggregation twice per pair
+    pairs = [
+        (a, c)
         for i, a in enumerate(CORR_COLS)
         for c in CORR_COLS[i + 1 :]
+    ]
+    pair_ctes = ",\n".join(
+        f"p_{i} AS MATERIALIZED ({_corr_pair_sql(a, c)})"
+        for i, (a, c) in enumerate(pairs)
+    )
+    corr_parts = " UNION ALL ".join(
+        f"""
+SELECT 'corr:{a}:{c}' AS metric, corr AS value FROM p_{i}
+UNION ALL
+SELECT 'corrn:{a}:{c}', CAST(n AS DOUBLE) FROM p_{i}
+"""
+        for i, (a, c) in enumerate(pairs)
     )
     return f"""
-WITH s AS (
+WITH {pair_ctes},
+s AS (
     SELECT CAST(MIN({HIST_COL}) AS DOUBLE) AS lo,
            CAST(MAX({HIST_COL}) AS DOUBLE) AS hi
     FROM lineitem WHERE {HIST_COL} IS NOT NULL
 ),
 h AS (
     SELECT CASE WHEN (hi - lo) / {b} = 0 THEN 0
-                ELSE CAST(LEAST({HIST_BINS - 1},
+                ELSE CAST(GREATEST(0, LEAST({HIST_BINS - 1},
                      FLOOR((CAST({HIST_COL} AS DOUBLE) - lo)
-                           / ((hi - lo) / {b}))) AS INT)
+                           / ((hi - lo) / {b})))) AS INT)
            END AS bucket,
            lo, hi, COUNT(*) AS n
     FROM lineitem, s

@@ -563,9 +563,11 @@ def _jpeg_entropy_segments(buf: bytes, pos: int) -> list[bytes]:
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
 
-    Supports SOF0 (sequential DCT, 8-bit), 1 or 3 components, any
-    1-2 sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
-    Raises ValueError on progressive/arithmetic/12-bit streams."""
+    Supports SOF0 (sequential DCT, 8-bit), 1 or 3 components,
+    sampling factors 1-4 where each divides the max (4:4:4 / 4:2:2 /
+    4:2:0 / 4:1:1), restart intervals, and fill bytes. Raises
+    ValueError on progressive/arithmetic/12-bit streams and on
+    non-dividing sampling ratios."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -578,6 +580,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = buf[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -636,6 +641,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for cid, ch, cv, _tq in comps:
+        # the repeat-based upsampler needs every factor to divide the
+        # max (1:2 and 1:1 ratios — i.e. 4:4:4/4:2:2/4:2:0/4:1:1);
+        # reject legal-but-exotic ratios (e.g. 3:2) explicitly rather
+        # than decode them wrong
+        if not (1 <= ch <= 4 and 1 <= cv <= 4) or hmax % ch or vmax % cv:
+            raise ValueError(
+                f"unsupported JPEG sampling factors {ch}x{cv} for "
+                f"component {cid} (max {hmax}x{vmax}): only ratios "
+                "where each factor divides the max are decodable here"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     by_comp = {

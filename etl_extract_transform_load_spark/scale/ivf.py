@@ -11,12 +11,15 @@ partition/bucket it by ``cluster`` on write so a probe prunes files.
 Scale shape of ``ivf_topk``: routing AND scoring are executor-side
 expression plans — only the centroid matrix (tiny by construction,
 it IS the index metadata) lives on the driver. The query set is
-never collected, so it can be a table of any size: queries route via
-a broadcast join against the centroid table, and the |Q|·nprobe-row
-routing table is broadcast-joined to the cluster assignment FIRST,
-so each vector row fans out only to the queries that actually probe
-its cluster — the scored set is exactly Σ_q |probed clusters of q|,
-never |Q| × |probed union|.
+never collected: queries route via a broadcast join against the
+centroid table, and the routing table joins the cluster assignment
+FIRST, so each vector row fans out only to the queries that actually
+probe its cluster — the scored set is exactly Σ_q |probed clusters
+of q|, never |Q| × |probed union|. The default broadcasts the
+|Q|·nprobe routing rows WITH their query vectors (right for query
+sets up to ~1M); ``broadcast_routes=False`` broadcasts only the
+(query, cluster) pairs and shuffle-joins the vectors back — |Q|
+unbounded at the cost of one extra exchange.
 """
 
 from __future__ import annotations
@@ -77,6 +80,7 @@ def build_ivf_index_deterministic(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> IVFIndex:
     """Engine-portable index build: seed centroids from an existing
     partition column (decimal-exact per-dimension means, rounded to 6
@@ -94,8 +98,15 @@ def build_ivf_index_deterministic(
     # collect below and every probe's assignment lineage) — materialize
     # the |labels|-row result instead of re-running the 64-column
     # decimal aggregation per action
+    from etl_extract_transform_load_spark.scale.similarity import (
+        DEFAULT_DIM,
+    )
+
     cents = label_centroids(
-        vectors, label_col=label_col, vec_col=vec_col
+        vectors,
+        label_col=label_col,
+        vec_col=vec_col,
+        dim=dim if dim is not None else DEFAULT_DIM,
     ).localCheckpoint()
     centroid_rows = collect_centroid_rows(cents)
     # Arrow assigner (zero-shuffle scan stage) + id-join to carry the
@@ -140,28 +151,39 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 4,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
+    broadcast_routes: bool = True,
 ) -> DataFrame:
     """Approximate top-k: each query scores only vectors assigned to
     its ``nprobe`` nearest clusters.
 
     Fully executor-side — the query set is never collected to the
-    driver, so it can itself be a table of any size:
+    driver:
 
     1. **Routing**: queries × broadcast centroid table (tiny literal,
        ``_centroid_df``), cosine via the unrolled sequential-fold
        expression, ``row_number() OVER (PARTITION BY query ORDER BY
        ROUND(cos, 6) DESC, cluster)`` ≤ nprobe. The only shuffle is
        the |Q|·k-row routing window.
-    2. **Candidate join**: the assignment table joins the broadcast
-       routes on ``cluster`` — each vector row fans out only to the
-       queries that probe its cluster (Σ_q |probed clusters of q|
-       rows, never |Q| × corpus).
+    2. **Candidate join**: the assignment table joins the routes on
+       ``cluster`` — each vector row fans out only to the queries
+       that probe its cluster (Σ_q |probed clusters of q| rows,
+       never |Q| × corpus).
     3. **Scoring**: the same ``dot_sql`` chain, candidate norms
        evaluated ONCE per assigned row *before* the fan-out join.
+
+    ``dim`` defaults to the index's own centroid dimensionality — a
+    mismatched explicit value raises rather than silently scoring a
+    truncated prefix. ``broadcast_routes=True`` (default) broadcasts
+    the routing table WITH the query vectors — |Q|·nprobe·dim doubles,
+    the right shape for query SETS up to ~1M rows. For a query table
+    beyond broadcast size, pass ``False``: only (query, cluster) pairs
+    broadcast, and the query vectors come back via a shuffle join on
+    the query id — unbounded |Q| at the cost of one extra exchange of
+    the candidate set. Values are identical either way.
 
     Every fold is the sequential left-fold, every rounding HALF_UP
     ``ROUND(x, 6)`` — bit-identical to a sequential engine (the
@@ -176,6 +198,19 @@ def ivf_topk(
     )
 
     spark = queries.sparkSession
+    index_dims = {len(v) for _, v in index.centroids}
+    if len(index_dims) > 1:
+        raise ValueError(f"index has mixed centroid dims: {index_dims}")
+    if index_dims:
+        (index_dim,) = index_dims
+        if dim is None:
+            dim = index_dim
+        elif dim != index_dim:
+            raise ValueError(
+                f"dim={dim} does not match the index's centroid "
+                f"dimensionality {index_dim} — scoring would silently "
+                "use a truncated prefix"
+            )
     cents = _centroid_df(index, spark)
     if cents is None:  # empty index: empty top-k, stable schema
         return spark.createDataFrame(
@@ -216,9 +251,17 @@ def ivf_topk(
         .withColumn("__vn", F.expr(norm_sql("__v", dim)))
         .filter(F.col("__vn") > 0)
     )
+    if broadcast_routes:
+        matched = cand.join(F.broadcast(routes), "cluster")
+    else:
+        # slim broadcast: (query, cluster) pairs only; the query
+        # vectors return via a shuffle join keyed on the query id —
+        # |Q| unbounded, one extra exchange of the candidate set
+        matched = cand.join(
+            F.broadcast(routes.select("__qid", "cluster")), "cluster"
+        ).join(q.select("__qid", "__qv", "__qn"), "__qid")
     scored = (
-        cand.join(F.broadcast(routes), "cluster")
-        .filter(F.col("__vid") != F.col("__qid"))
+        matched.filter(F.col("__vid") != F.col("__qid"))
         .select(
             "__qid",
             "__vid",

@@ -171,7 +171,22 @@ def idempotent_jdbc_batch_writer(
                 .count()
                 > 0
             )
-        except Exception:  # noqa: BLE001 — epoch table not created yet
+        except Exception as exc:
+            # ONLY a missing epoch table means "first ever batch".
+            # Any other probe failure (connection loss, lock timeout)
+            # must propagate: treating it as seen=False would re-append
+            # an already-committed replayed batch — a silent duplicate.
+            msg = str(exc).lower()
+            if not any(
+                pat in msg
+                for pat in (
+                    "does not exist",   # Derby/Postgres missing table
+                    "not found",        # generic dialects
+                    "no such table",    # SQLite-style
+                    "table_or_view_not_found",  # Spark error class
+                )
+            ):
+                raise
             seen = False
         if seen:
             return

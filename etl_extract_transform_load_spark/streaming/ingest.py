@@ -88,6 +88,7 @@ def session_window_agg(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark_delay: str = "30 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Watermarked session windows: events of one key closer than
     ``gap`` merge into one session; a session closes (and its state
@@ -96,31 +97,41 @@ def session_window_agg(
     lag/cumsum window pass, here the engine's native
     ``F.session_window`` state machine with dynamic merge). Works
     identically on batch frames, which is how the oracle pins the
-    session boundaries without a live stream."""
+    session boundaries without a live stream.
+
+    ``value_col`` is summed per session (NULL → 0, decimal-exact);
+    pass ``None`` when the stream has no value column — the output
+    then carries counts only."""
     src = (
         events.withWatermark(ts_col, watermark_delay)
         if events.isStreaming
         else events
     )
-    return (
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                F.coalesce(F.col(f"`{value_col}`"), F.lit(0.0)).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("double").alias("session_value")
+        )
+    out = (
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("sess"),
             F.col(key_col),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)")
-            ).cast("double").alias("session_value"),
-        )
-        .select(
-            F.col(f"`{key_col}`"),
-            F.col("sess.start").alias("session_start"),
-            F.col("sess.end").alias("session_end"),
-            "n_events",
-            "session_value",
-        )
+        .agg(*aggs)
     )
+    cols = [
+        F.col(f"`{key_col}`"),
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        F.col("n_events"),
+    ]
+    if value_col is not None:
+        cols.append(F.col("session_value"))
+    return out.select(*cols)
 
 
 def stream_dedup(

@@ -273,6 +273,33 @@ def test_jpeg_decodes_420_subsampling_with_restarts():
     assert (img[:, 16:] == 88).all()
 
 
+def test_jpeg_tolerates_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; some encoders emit them."""
+    img = ((np.arange(16 * 16) * 9) % 256).astype(np.uint8).reshape(16, 16)
+    buf = codecs.encode_jpeg(img, quality=90)
+    # inject a fill byte before the DQT marker
+    i = buf.index(b"\xff\xdb")
+    padded = buf[:i] + b"\xff" + buf[i:]
+    assert np.array_equal(codecs.decode_jpeg(padded), codecs.decode_jpeg(buf))
+
+
+def test_jpeg_rejects_nondividing_sampling():
+    """A 3x2 chroma ratio is legal per T.81 but our repeat-upsampler
+    can't express it — explicit ValueError, not a wrong decode."""
+    import struct as st
+
+    buf = bytearray(b"\xff\xd8")
+    buf += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 16, 16, 3)
+    buf += bytes([1, 0x32, 0])  # luma 3x2
+    buf += bytes([2, 0x11, 1]) + bytes([3, 0x21, 1])  # chroma 2x1: 3%2!=0
+    buf += b"\xff\xda" + st.pack(">HB", 12, 3)
+    buf += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    buf += b"\xff\xd9"
+    with pytest.raises(ValueError, match="sampling factors"):
+        codecs.decode_jpeg(bytes(buf))
+
+
 def test_jpeg_rejects_progressive():
     buf = (
         b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes([8]) +

@@ -46,6 +46,17 @@ def test_histogram_constant_nulls_and_explicit_range(spark):
     }
     assert got == {0: 1, 1: 2}
 
+    # out-of-range values clamp into the EDGE buckets on both sides
+    # (below-lo must not produce negative bucket ids)
+    wide = spark.createDataFrame(
+        [(-100.0,), (1.0,), (3.0,), (999.0,)], "x double"
+    )
+    got = {
+        r.bucket: r.n
+        for r in histogram(wide, "x", bins=2, lo=0.0, hi=4.0).collect()
+    }
+    assert got == {0: 2, 1: 2}
+
 
 def test_correlation_matrix_matches_builtin_corr(spark):
     df = spark.createDataFrame(

@@ -147,6 +147,28 @@ def test_idempotent_batch_writer_skips_replayed_epochs(spark, derby_url):
     assert sorted(r[0] for r in epochs.collect()) == [0, 1]
 
 
+def test_idempotent_writer_propagates_probe_failures(
+    spark, derby_url, monkeypatch
+):
+    """A transient epoch-table probe failure must PROPAGATE (treating
+    it as 'not seen' would re-append a replayed batch — a silent
+    duplicate). Only a missing epoch table means first-batch."""
+    from etl_extract_transform_load_spark.sinks import jdbc as jdbc_mod
+
+    writer = jdbc_mod.idempotent_jdbc_batch_writer(derby_url, "T_FAULT")
+    b = spark.createDataFrame([Row(k=1, v="a")])
+    writer(b, 0)  # creates table + epoch table
+
+    def broken_read(*a, **kw):
+        raise RuntimeError("connection reset by peer")
+
+    monkeypatch.setattr(jdbc_mod, "read_jdbc", broken_read)
+    with pytest.raises(RuntimeError, match="connection reset"):
+        writer(b, 0)
+    monkeypatch.undo()
+    assert jdbc_mod.read_jdbc(spark, derby_url, "T_FAULT").count() == 1
+
+
 def test_stream_to_jdbc_end_to_end(spark, derby_url, tmp_path):
     """availableNow file stream → idempotent JDBC appends: all rows
     land exactly once; a rerun over the same checkpoint adds nothing."""

@@ -99,6 +99,62 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_ivf_dim_inference_and_mismatch(spark):
+    """ivf_topk must infer dim from the index centroids (a non-64-dim
+    index scores correctly with no dim argument) and refuse an
+    explicit dim that contradicts the index."""
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+        ivf_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [1.0 + 0.01 * (i % 3), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(i % 2)], i % 2)
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    index = build_ivf_index_deterministic(vecs, dim=8)
+    queries = vecs.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).limit(2)
+    out = ivf_topk(index, queries, k=3, nprobe=2)
+    assert out.count() > 0  # 8-dim index works with inferred dim
+    with pytest.raises(ValueError, match="centroid dimensionality"):
+        ivf_topk(index, queries, k=3, nprobe=2, dim=64)
+
+
+def test_ivf_slim_routes_matches_broadcast_path(spark):
+    """broadcast_routes=False (slim (query, cluster) broadcast +
+    shuffle join of the query vectors) must return exactly the
+    broadcast-path results."""
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    index = build_ivf_index_deterministic(emb)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).filter(F.col("query_id") < 8)
+    a = sorted(
+        map(tuple, ivf_topk(index, queries, k=5, nprobe=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                index, queries, k=5, nprobe=3, broadcast_routes=False
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8).select(

@@ -57,6 +57,22 @@ def _file_stat_fracs(path: str, col_x: str, col_y: str, span: float):
     return fx, fy
 
 
+def test_write_zordered_preserves_user_z_column(spark, tmp_path):
+    """A pre-existing __z column is user data: the writer must pick a
+    non-colliding internal name and pass the user's column through."""
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), f"keep_{i}") for i in range(16)],
+        "a double, b double, __z string",
+    )
+    path = str(tmp_path / "userz")
+    write_zordered(df, path, ["a", "b"], num_files=2)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"a", "b", "__z"}
+    assert sorted(r["__z"] for r in back.collect()) == sorted(
+        f"keep_{i}" for i in range(16)
+    )
+
+
 def test_zorder_layout_tightens_stats_on_both_columns(spark, tmp_path):
     n = 64
     grid = spark.range(n * n).select(

@@ -550,7 +550,25 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("oov_rate").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
-    return vocab.unionByName(tfidf).unionByName(oov)
+    # fourth branch: exact heavy hitters via the bounded-memory
+    # Misra-Gries sketch-then-verify path — same values a plain
+    # GROUP BY/HAVING produces, no full-cardinality aggregation state
+    from etl_extract_transform_load_spark.scale.sketches import (
+        frequent_tokens,
+    )
+
+    heavy = frequent_tokens(docs, threshold_frac=0.005).select(
+        F.lit("heavy").alias("part"),
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    return (
+        vocab.unionByName(tfidf).unionByName(oov).unionByName(heavy)
+    )
 
 
 def _oracle_vocab_tfidf() -> str:
@@ -598,6 +616,24 @@ FROM (
            COALESCE(agg.n_oov, 0) AS n_oov
     FROM documents d LEFT JOIN agg USING (doc_id)
 ) o
+UNION ALL
+SELECT 'heavy', token, CAST(n_occurrences AS BIGINT), NULL::BIGINT,
+       NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT
+FROM (
+    WITH tok AS (
+        SELECT UNNEST(
+            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(
+                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
+        ) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, n
+    HAVING COUNT(*) > 0.005 * n
+) hh
 """
 
 

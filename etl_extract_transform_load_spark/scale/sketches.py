@@ -1,0 +1,132 @@
+"""Bounded-memory frequency sketches, sketch-then-verify style.
+
+``heavy_hitters`` finds every item with frequency > ``threshold_frac``
+of the stream EXACTLY, without a full-cardinality groupBy:
+
+1. **Sketch** (one scan, zero shuffle): each partition maintains a
+   Misra-Gries summary of ``capacity`` counters in a ``mapInPandas``
+   closure — batch-merged, with overflow handled by subtracting the
+   (capacity+1)-th largest count from every counter and dropping the
+   non-positive ones. Total decrement per partition is ≤ n_p/(capacity+1),
+   so any item with partition frequency > n_p/(capacity+1) survives its
+   partition's summary; by averaging, any GLOBAL heavy hitter is heavy
+   in at least one partition, hence in the candidate union whenever
+   ``capacity ≥ 1/threshold_frac``.
+2. **Verify** (the only shuffle): exact recount of the candidate set —
+   a semi-join of the stream against ≤ partitions × capacity candidate
+   rows, then one groupBy over that tiny key set, filtered against the
+   exact total count.
+
+The result is therefore EXACT and partition-independent (the sketch
+only shapes the candidate superset; the recount decides), so it
+hash-matches a plain ``GROUP BY ... HAVING`` oracle — while the
+full-cardinality aggregation state never exists anywhere: at 100 TB a
+token groupBy carries billions of keys through the shuffle; this
+carries partitions × capacity.
+
+Compare ``scale.vocab.top_terms`` (exact full groupBy — right when the
+vocabulary itself is the product) and ``F.approx_count_distinct``
+(cardinality, not membership).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(item_col: str, capacity: int):
+    """mapInPandas closure: one Misra-Gries summary per partition."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for item, c in pdf[item_col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # subtract the (capacity+1)-th largest from everyone:
+                # ≥ capacity+1 counters shrink, so total decrement per
+                # partition stays ≤ n_p/(capacity+1) — the MG bound
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {
+                    k: v - cut for k, v in counts.items() if v - cut > 0
+                }
+        yield pd.DataFrame({item_col: list(counts.keys())})
+
+    return run
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    threshold_frac: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """(item, n_occurrences) for every item occurring in more than
+    ``threshold_frac`` of the rows of ``items`` — exact counts, exact
+    membership, bounded memory (see module docstring). NULL items are
+    ignored. ``capacity`` defaults to ``2 * ceil(1/threshold_frac)``
+    (the minimum for the guarantee is ``ceil(1/threshold_frac)``; the
+    2× just widens the candidate superset, which the exact recount
+    prunes for free)."""
+    if not 0 < threshold_frac < 1:
+        raise ValueError("threshold_frac must be in (0, 1)")
+    if capacity is None:
+        capacity = 2 * math.ceil(1 / threshold_frac)
+    elif capacity < math.ceil(1 / threshold_frac):
+        raise ValueError(
+            f"capacity={capacity} below ceil(1/threshold_frac)="
+            f"{math.ceil(1 / threshold_frac)}: the candidate set could "
+            "miss a true heavy hitter"
+        )
+    stream = items.select(F.col(f"`{item_col}`").alias(item_col)).filter(
+        F.col(item_col).isNotNull()
+    )
+    candidates = stream.mapInPandas(
+        _mg_partition(item_col, capacity),
+        schema=f"{item_col} {stream.schema[item_col].dataType.simpleString()}",
+    ).distinct()
+    counted = (
+        stream.join(candidates, item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = stream.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences")
+            > F.lit(float(threshold_frac)) * F.col("__total")
+        )
+        .select(item_col, "n_occurrences")
+    )
+
+
+def frequent_tokens(
+    df: DataFrame,
+    threshold_frac: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int | None = None,
+) -> DataFrame:
+    """Corpus tokens occurring in more than ``threshold_frac`` of all
+    token positions — the streaming-memory twin of
+    ``vocab.top_terms`` (same tokenization: trimmed, simple-folded
+    lowercase, whitespace split)."""
+    from etl_extract_transform_load_spark.scale.text import (
+        lower_simple,
+        tokens,
+    )
+
+    c = F.coalesce(F.col(f"`{text_col}`"), F.lit(""))
+    stream = df.select(
+        F.explode_outer(tokens(lower_simple(c))).alias("token")
+    )
+    return heavy_hitters(stream, "token", threshold_frac, capacity)

@@ -1,0 +1,99 @@
+"""heavy_hitters (scale/sketches.py): the sketch-then-verify result
+must EQUAL the plain groupBy/HAVING answer regardless of partitioning
+or capacity (the sketch only shapes the candidate superset)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from etl_extract_transform_load_spark.scale.sketches import (
+    frequent_tokens,
+    heavy_hitters,
+)
+
+
+def _exact(items, col, frac):
+    total = items.filter(F.col(col).isNotNull()).count()
+    return {
+        (r[col], r.n)
+        for r in items.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > frac * total)
+        .collect()
+    }
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    # zipf-ish: item i appears ~1000/i times; many singletons as noise
+    rows = []
+    for i in range(1, 40):
+        rows += [(f"item_{i}",)] * (1000 // i)
+    rows += [(f"noise_{j}",) for j in range(2000)]
+    items = spark.createDataFrame(rows, "v string").repartition(16)
+    for frac in (0.05, 0.01):
+        got = {
+            (r.v, r.n_occurrences)
+            for r in heavy_hitters(items, "v", frac).collect()
+        }
+        assert got == _exact(items, "v", frac), frac
+
+
+def test_heavy_hitters_minimum_capacity_still_exact(spark):
+    """At the theoretical minimum capacity ceil(1/frac) the guarantee
+    must still hold — the MG bound, not the 2x default slack."""
+    import math
+
+    rows = [("hot",)] * 500 + [(f"n{j}",) for j in range(3000)]
+    items = spark.createDataFrame(rows, "v string").repartition(8)
+    frac = 0.1
+    got = {
+        r.v
+        for r in heavy_hitters(
+            items, "v", frac, capacity=math.ceil(1 / frac)
+        ).collect()
+    }
+    assert got == {"hot"}
+    with pytest.raises(ValueError, match="candidate set could miss"):
+        heavy_hitters(items, "v", frac, capacity=3)
+
+
+def test_heavy_hitters_partitioning_invariance(spark):
+    rows = [(f"k{i % 7}",) for i in range(700)] + [
+        (f"rare{j}",) for j in range(300)
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    one = sorted(
+        map(tuple, heavy_hitters(df.coalesce(1), "v", 0.05).collect())
+    )
+    many = sorted(
+        map(tuple, heavy_hitters(df.repartition(32), "v", 0.05).collect())
+    )
+    assert one == many and one
+
+
+def test_frequent_tokens_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        r.token
+        for r in frequent_tokens(docs, threshold_frac=0.01).collect()
+    }
+    # stopword-ish tokens dominate any natural-language corpus
+    assert got  # non-empty at 1%
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+")
+        ).alias("t")
+    ).filter(F.col("t") != "")
+    total = toks.count()
+    exact = {
+        r.t
+        for r in toks.groupBy("t")
+        .count()
+        .filter(F.col("count") > 0.01 * total)
+        .collect()
+    }
+    assert got == exact

@@ -683,7 +683,27 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("keep_buckets"),
         F.lit(None).cast("long").alias("n_kept"),
     )
-    return strat.unionByName(mix).unionByName(split)
+    # fourth branch: Efraimidis-Spirakis weighted sample (n_chars as
+    # the weight — longer docs proportionally likelier); the rounded
+    # priority rides keep_buckets ×1e9 as a long for exact compare
+    from etl_extract_transform_load_spark.scale.sampling import (
+        weighted_sample,
+    )
+
+    weighted = weighted_sample(docs, k=40, weight_col="n_chars").select(
+        F.lit("weighted").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.round(F.col("__priority") * 1e9).cast("long").alias(
+            "keep_buckets"
+        ),
+        F.lit(None).cast("long").alias("n_kept"),
+    )
+    return (
+        strat.unionByName(mix).unionByName(split).unionByName(weighted)
+    )
 
 
 def _oracle_sampling_corpus() -> str:
@@ -716,6 +736,19 @@ FROM (SELECT doc_id,
              ((doc_id + {_SPLIT_SALT_OFFSET}) * 2654435761
               % 4294967296) % 10000 AS b
       FROM documents)
+UNION ALL
+SELECT 'weighted', CAST(doc_id AS BIGINT), NULL::VARCHAR, NULL::VARCHAR,
+       NULL::BIGINT, CAST(ROUND(pri * 1e9) AS BIGINT), NULL::BIGINT
+FROM (
+    SELECT doc_id,
+           ROUND(LN((CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE)
+                     + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS pri
+    FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY pri DESC, doc_id ASC
+    LIMIT 40
+)
 """
 
 

@@ -137,6 +137,48 @@ def mixture_rebalance(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, k rows:
+    Efraimidis–Spirakis priorities with the hash as the uniform draw.
+
+    Each row gets ``priority = ln(u) / w`` where
+    ``u = (knuth_hash32(id + salt) + 0.5) / 2^32`` ∈ (0, 1); the k
+    largest priorities win (heavier weight → priority closer to 0 →
+    sampled more often; inclusion probability is the A-ES
+    without-replacement weighted distribution). Hash-driven, so the
+    sample is rerun-stable and shard-stable like every sampler here —
+    no ``rand()``. Computed as a distributed top-k (TakeOrdered), no
+    global sort. Rows with NULL/non-positive weight or NULL id are
+    excluded (they have no defined inclusion probability).
+
+    The priority is rounded to 9 decimals with the id as tie-break so
+    the selection is reproducible across engines (the DuckDB oracle
+    computes the identical expression). Adds ``__priority`` to the
+    output for auditability."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(f"`{weight_col}`").cast("double")
+    src = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+    )
+    h = (
+        (F.col(id_col).cast("long") + F.lit(salt)) * F.lit(KNUTH_HASH)
+    ) % F.lit(_MOD32)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD32))
+    pri = F.round(F.log(u) / w, 9)
+    return (
+        src.withColumn("__priority", pri)
+        .orderBy(F.desc("__priority"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

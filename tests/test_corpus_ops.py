@@ -63,6 +63,36 @@ def test_deterministic_sample_is_rerun_stable(spark):
     assert set(a) <= c
 
 
+def test_weighted_sample_favors_heavy_rows_and_is_stable(spark):
+    """A-ES weighted sampling: rerun-stable, excludes NULL/non-positive
+    weights, and across many salts heavy rows are selected far more
+    often than light ones (inclusion ∝ weight)."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+    rows += [(200, None), (201, 0.0), (202, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    s1 = [r.doc_id for r in weighted_sample(df, 20, "w").collect()]
+    s2 = [r.doc_id for r in weighted_sample(df, 20, "w").collect()]
+    assert s1 == s2  # rerun-stable, ordered by priority
+    assert not {200, 201, 202} & set(s1)
+
+    heavy_picks = light_picks = 0
+    for salt in range(30):
+        got = {
+            r.doc_id
+            for r in weighted_sample(df, 10, "w", salt=salt).collect()
+        }
+        heavy_picks += len([i for i in got if i < 10])
+        light_picks += len([i for i in got if 10 <= i < 110])
+    # 10 heavy rows carry 1000 of 1100 total weight; with k=10 they
+    # should dominate the picks overwhelmingly
+    assert heavy_picks > 3 * light_picks, (heavy_picks, light_picks)
+
+
 def test_stratified_sample_rates(spark):
     rows = [(i, "x", "en") for i in range(500)] + [
         (i, "x", "zh") for i in range(500, 1000)

@@ -1,0 +1,175 @@
+"""Declarative data-quality validation (deequ-style, engine-native).
+
+A validation run answers "how many rows violate each constraint" in as
+few jobs as possible:
+
+- ``NotNull`` / ``InRange`` / ``AcceptedValues`` / ``Unique`` rules all
+  compile into ONE aggregation pass over the table (conditional sums;
+  uniqueness via ``count - countDistinct``, which is exactly the
+  number of rows beyond the first of each duplicate key group). At
+  100 TB that is one scan with map-side partials — the same cost as
+  any single aggregate, regardless of how many rules ride along.
+- ``RefIntegrity`` rules each need the reference table: a LEFT join
+  (broadcast when the reference is dimension-sized) counting unmatched
+  foreign keys. One job per referenced table.
+
+Output: (rule, column, n_violations) — a summary row per rule, zero
+meaning the constraint holds. Compose with ``operators.cleaning`` for
+the remediation side (null-prune, dedup) — this module only measures.
+
+The reference has no validation surface; this is part of the pipeline
+hardening a production 100 TB load needs before the JDBC publish step
+(SURVEY §2.1 S4-S5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class NotNull:
+    col: str
+
+
+@dataclass(frozen=True)
+class InRange:
+    col: str
+    lo: float
+    hi: float  # inclusive bounds; NULLs are NOT violations (use NotNull)
+
+
+@dataclass(frozen=True)
+class AcceptedValues:
+    col: str
+    values: tuple  # NULLs are NOT violations (use NotNull)
+
+
+@dataclass(frozen=True)
+class Unique:
+    cols: tuple  # composite keys supported
+
+
+@dataclass(frozen=True)
+class RefIntegrity:
+    col: str
+    ref: DataFrame
+    ref_col: str  # NULL foreign keys are NOT violations (use NotNull)
+
+
+Rule = Union[NotNull, InRange, AcceptedValues, Unique, RefIntegrity]
+
+
+def _agg_for(rule: Rule, idx: int) -> Column | None:
+    """The single-pass aggregate counting this rule's violations, or
+    None when the rule needs its own join job."""
+    a = f"__r{idx}"
+    if isinstance(rule, NotNull):
+        c = F.col(f"`{rule.col}`")
+        return F.sum(c.isNull().cast("long")).alias(a)
+    if isinstance(rule, InRange):
+        c = F.col(f"`{rule.col}`").cast("double")
+        bad = c.isNotNull() & ((c < rule.lo) | (c > rule.hi))
+        return F.sum(bad.cast("long")).alias(a)
+    if isinstance(rule, AcceptedValues):
+        c = F.col(f"`{rule.col}`")
+        bad = c.isNotNull() & ~c.isin(*rule.values)
+        return F.sum(bad.cast("long")).alias(a)
+    if isinstance(rule, Unique):
+        cols = [F.col(f"`{c}`") for c in rule.cols]
+        key = F.struct(*cols) if len(cols) > 1 else cols[0]
+        # rows beyond the first of each duplicate key group; NULL keys
+        # are ignored by both count and countDistinct identically
+        return (F.count(key) - F.countDistinct(key)).alias(a)
+    return None
+
+
+def _rule_label(rule: Rule) -> tuple[str, str]:
+    if isinstance(rule, NotNull):
+        return "not_null", rule.col
+    if isinstance(rule, InRange):
+        return "in_range", rule.col
+    if isinstance(rule, AcceptedValues):
+        return "accepted_values", rule.col
+    if isinstance(rule, Unique):
+        return "unique", ",".join(rule.cols)
+    if isinstance(rule, RefIntegrity):
+        return "ref_integrity", rule.col
+    raise TypeError(f"unknown rule type: {type(rule).__name__}")
+
+
+def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """(rule, column, n_violations) per rule — see module docstring
+    for the job plan. Aggregate-backed rules come first (in rule-list
+    order, one block from the shared pass), referential rules after
+    (one block per rule)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = []
+    agg_slots: list[tuple[int, Rule]] = []
+    for i, r in enumerate(rules):
+        a = _agg_for(r, i)
+        if a is not None:
+            aggs.append(a)
+            agg_slots.append((i, r))
+
+    out = None
+    if aggs:
+        structs = [
+            F.struct(
+                F.lit(_rule_label(r)[0]).alias("rule"),
+                F.lit(_rule_label(r)[1]).alias("column"),
+                F.coalesce(F.col(f"__r{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            for i, r in agg_slots
+        ]
+        out = (
+            df.agg(*aggs)
+            .select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*")
+        )
+    for r in rules:
+        if not isinstance(r, RefIntegrity):
+            continue
+        fk = F.col(f"`{r.col}`")
+        unmatched = (
+            df.filter(fk.isNotNull())
+            .join(
+                F.broadcast(
+                    r.ref.select(
+                        F.col(f"`{r.ref_col}`").alias("__ref")
+                    ).distinct()
+                ),
+                fk == F.col("__ref"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("ref_integrity").alias("rule"),
+                F.lit(r.col).alias("column"),
+                F.col("n").cast("long").alias("n_violations"),
+            )
+        )
+        out = unmatched if out is None else out.unionByName(unmatched)
+    return out
+
+
+def assert_valid(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Raise ``ValueError`` listing every violated rule, else return
+    ``df`` unchanged — the gate form for pipeline composition
+    (``assert_valid(df, rules).write...``)."""
+    bad = [
+        (r["rule"], r["column"], r["n_violations"])
+        for r in validate(df, rules).collect()
+        if r["n_violations"] > 0
+    ]
+    if bad:
+        detail = "; ".join(f"{ru}({c})={n}" for ru, c, n in bad)
+        raise ValueError(f"data-quality violations: {detail}")
+    return df

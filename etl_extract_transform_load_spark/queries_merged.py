@@ -46,7 +46,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name",
         F.col("n_distinct").cast("double").alias("value"),
     )
-    return nf.unionByName(sv)
+    # third branch: the declarative validation suite over orders —
+    # every constraint class (one shared aggregation pass + one
+    # broadcast anti-join for referential integrity); metric rides
+    # "check:<rule>", violations ride value
+    from etl_extract_transform_load_spark.operators.quality import (
+        AcceptedValues,
+        InRange,
+        NotNull,
+        RefIntegrity,
+        Unique,
+        validate,
+    )
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = validate(
+        orders,
+        [
+            NotNull("o_orderkey"),
+            Unique(("o_orderkey",)),
+            InRange("o_totalprice", 0.0, 1e6),
+            AcceptedValues(
+                "o_orderstatus", ("O", "F", "P")
+            ),
+            RefIntegrity("o_custkey", customer, "c_custkey"),
+        ],
+    ).select(
+        F.concat(F.lit("check:"), F.col("rule")).alias("metric"),
+        F.col("column").alias("column_name"),
+        F.col("n_violations").cast("double").alias("value"),
+    )
+    return nf.unionByName(sv).unionByName(checks)
 
 
 def _oracle_profile_columns() -> str:
@@ -62,6 +96,34 @@ FROM ({ORACLE_NULL_FRACTION})
 UNION ALL
 SELECT 'n_distinct', column_name, CAST(n_distinct AS DOUBLE)
 FROM ({ORACLE_SINGLE_VALUE})
+UNION ALL
+SELECT 'check:not_null', 'o_orderkey',
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'check:unique', 'o_orderkey',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'check:in_range', 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (CAST(o_totalprice AS DOUBLE) < 0.0
+                           OR CAST(o_totalprice AS DOUBLE) > 1000000.0)
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'check:accepted_values', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'check:ref_integrity', 'o_custkey',
+       CAST(COUNT(*) AS DOUBLE)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
 """
 
 

@@ -1,0 +1,98 @@
+"""Data-quality validation (operators/quality.py): every rule class
+counts planted violations exactly, the shared-pass plan holds, and
+assert_valid gates correctly."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.quality import (
+    AcceptedValues,
+    InRange,
+    NotNull,
+    RefIntegrity,
+    Unique,
+    assert_valid,
+    validate,
+)
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (2, -5.0, "A", 100),     # range violation
+            (2, 20.0, "B", 200),     # duplicate id
+            (None, 30.0, "X", 300),  # null id + bad status + dangling ref
+            (4, None, "B", None),    # null price: NOT a range violation
+        ],
+        "id long, price double, status string, cust long",
+    )
+
+
+@pytest.fixture()
+def ref(spark):
+    return spark.createDataFrame([(100,), (200,)], "ck long")
+
+
+def test_validate_counts_each_rule_exactly(spark, dirty, ref):
+    got = {
+        (r.rule, r.column): r.n_violations
+        for r in validate(
+            dirty,
+            [
+                NotNull("id"),
+                Unique(("id",)),
+                InRange("price", 0.0, 100.0),
+                AcceptedValues("status", ("A", "B")),
+                RefIntegrity("cust", ref, "ck"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        ("not_null", "id"): 1,
+        ("unique", "id"): 1,          # one row beyond the first id=2
+        ("in_range", "price"): 1,     # -5 only; NULL price not counted
+        ("accepted_values", "status"): 1,
+        ("ref_integrity", "cust"): 1,  # 300; NULL cust not counted
+    }
+
+
+def test_validate_composite_unique_and_clean_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (1, "a")],
+        "k long, s string",
+    )
+    (r,) = validate(df, [Unique(("k", "s"))]).collect()
+    assert (r.rule, r.column, r.n_violations) == ("unique", "k,s", 1)
+
+    clean = validate(
+        df, [NotNull("k"), InRange("k", 0, 10)]
+    ).collect()
+    assert all(r.n_violations == 0 for r in clean)
+
+
+def test_assert_valid_gates(spark, dirty, ref):
+    ok = spark.createDataFrame([(1, 5.0)], "id long, price double")
+    assert assert_valid(ok, [NotNull("id")]) is ok
+    with pytest.raises(ValueError, match="not_null\\(id\\)=1"):
+        assert_valid(dirty, [NotNull("id"), InRange("price", 0, 100)])
+
+
+def test_agg_rules_share_one_pass(spark, dirty):
+    """All non-referential rules must compile into a single aggregate
+    (one scan) — no per-rule jobs."""
+    import contextlib
+    import io
+
+    df = validate(
+        dirty,
+        [NotNull("id"), Unique(("id",)), InRange("price", 0, 100)],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    # a single scan feeds the shared aggregation
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1

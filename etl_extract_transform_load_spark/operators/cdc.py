@@ -1,0 +1,112 @@
+"""Change-data-capture application: fold a change feed into a
+snapshot (the upsert/merge pattern on plain immutable storage).
+
+``apply_cdc(snapshot, changes, keys)`` produces the next snapshot:
+
+- per key, the LATEST change wins (ordered by ``ts_col``, ties broken
+  by delete-last op order then deterministically — see below);
+- latest op ``D`` → the key disappears;
+- latest op ``I``/``U`` → the key carries the change's payload
+  (insert-vs-update distinction doesn't matter for folding; both mean
+  "this is the new row");
+- keys with no change keep their snapshot row.
+
+Scale shape: ONE shuffle each side — the change feed deduplicates to
+its per-key latest with a ``row_number`` window, then a single
+full-outer join on the key against the snapshot decides every output
+row. No driver involvement, no iterative merge. This is the classic
+pre-lakehouse rewrite pattern (Delta/Iceberg MERGE INTO compiles to
+the same join); on partitioned storage, pair with partition pruning
+on the affected-key partitions.
+
+Tie policy at equal ``ts``: deletes sort AFTER upserts (a same-instant
+delete+upsert folds to "deleted" — the conservative reading), any
+remaining tie is broken by the payload hash so reruns are
+deterministic. Feeds that carry a change sequence number should pass
+it as ``ts_col`` instead of a wall-clock column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: op sort weight: upserts first, deletes last (deletes win ties).
+_OP_ORDER = {"I": 0, "U": 0, "D": 1}
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "op_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-key latest change row (see module docstring tie policy)."""
+    payload = [
+        c for c in changes.columns if c not in (*keys, ts_col, op_col)
+    ]
+    op_rank = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    w = Window.partitionBy(*[F.col(f"`{k}`") for k in keys]).orderBy(
+        F.col(ts_col).desc(),
+        op_rank.desc(),
+        F.xxhash64(*[F.col(f"`{c}`") for c in payload]).asc()
+        if payload
+        else F.lit(0),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "op_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """The next snapshot (module docstring). Output schema = snapshot
+    schema; change rows must carry every snapshot column plus
+    ``op_col``/``ts_col``. NULL keys in the change feed are rejected
+    upstream semantics — they are dropped here (a change with no key
+    can't address a row)."""
+    keys = list(keys)
+    missing = [
+        c for c in snapshot.columns if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"change feed lacks snapshot columns: {missing}"
+        )
+    latest = latest_changes(
+        changes.filter(
+            F.lit(True)
+            if not keys
+            else F.expr(
+                " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
+            )
+        ),
+        keys,
+        ts_col,
+        op_col,
+    )
+    s = snapshot.alias("s")
+    c = latest.alias("c")
+    cond = None
+    for k in keys:
+        eq = F.col(f"s.`{k}`") == F.col(f"c.`{k}`")
+        cond = eq if cond is None else cond & eq
+    joined = s.join(c, cond, "full_outer")
+    has_change = F.col(f"c.`{op_col}`").isNotNull()
+    keep = ~has_change | (F.col(f"c.`{op_col}`") != "D")
+    out_cols = [
+        F.when(has_change, F.col(f"c.`{col}`"))
+        .otherwise(F.col(f"s.`{col}`"))
+        .alias(col)
+        for col in snapshot.columns
+    ]
+    return joined.filter(keep).select(*out_cols)

@@ -409,7 +409,45 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("string").alias("k"),
     )
-    return ns.unionByName(sa)
+    # third branch: CDC snapshot merge — a two-generation change feed
+    # derived from events folds into the event_id<2000 snapshot
+    # (latest-wins, deletes drop, unmatched keys insert). value rides
+    # k as a scaled-long string (engine-identical rendering).
+    from etl_extract_transform_load_spark.operators.cdc import apply_cdc
+    from etl_extract_transform_load_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    snap = ev.filter(F.col("event_id") < 2000)
+    base = ev.filter(
+        (F.col("event_id") >= 1000) & (F.col("event_id") < 3000)
+    )
+    g1 = base.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.col("event_id") % 10 < 3, "U").otherwise("I").alias("op"),
+        F.lit(1).cast("long").alias("op_ts"),
+    )
+    g2 = base.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        (F.col("user_id") + 1000).alias("user_id"),
+        (F.col("value") * 2).alias("value"),
+        F.when(F.col("event_id") % 10 < 2, "D").otherwise("U").alias("op"),
+        F.lit(2).cast("long").alias("op_ts"),
+    )
+    merged = apply_cdc(snap, g1.unionByName(g2), ["event_id"])
+    cdc = merged.select(
+        F.lit("cdc").alias("part"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.col("user_id").cast("long").alias("id_b"),
+        F.round(F.col("value") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("k"),
+    )
+    return ns.unionByName(sa).unionByName(cdc)
 
 
 def _oracle_joins_special() -> str:
@@ -425,6 +463,40 @@ FROM ({ORACLE_NULL_SAFE_JOIN})
 UNION ALL
 SELECT grp, CAST(c_custkey AS BIGINT), NULL::BIGINT, NULL::VARCHAR
 FROM ({ORACLE_SEMI_ANTI})
+UNION ALL
+SELECT 'cdc', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+FROM (
+    WITH ev AS (SELECT event_id, user_id, value FROM events),
+    snap AS (SELECT * FROM ev WHERE event_id < 2000),
+    base AS (SELECT * FROM ev
+             WHERE event_id >= 1000 AND event_id < 3000),
+    g1 AS (SELECT event_id, user_id, value,
+                  CASE WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END AS op,
+                  1 AS op_ts
+           FROM base),
+    g2 AS (SELECT event_id, user_id + 1000 AS user_id,
+                  value * 2 AS value,
+                  CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+                  2 AS op_ts
+           FROM base WHERE event_id % 3 = 0),
+    ch AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+    latest AS (
+        SELECT event_id, user_id, value, op
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY event_id ORDER BY op_ts DESC) AS rn
+              FROM ch)
+        WHERE rn = 1
+    )
+    SELECT COALESCE(l.event_id, s.event_id) AS event_id,
+           CASE WHEN l.op IS NOT NULL THEN l.user_id
+                ELSE s.user_id END AS user_id,
+           CASE WHEN l.op IS NOT NULL THEN l.value
+                ELSE s.value END AS value,
+           l.op
+    FROM snap s FULL OUTER JOIN latest l ON s.event_id = l.event_id
+) m
+WHERE op IS NULL OR op <> 'D'
 """
 
 

@@ -1,0 +1,72 @@
+"""CDC snapshot merge (operators/cdc.py): latest-wins folding,
+delete semantics, tie policy, schema guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.cdc import (
+    apply_cdc,
+    latest_changes,
+)
+
+SNAP = "id long, name string, qty long"
+CHG = "id long, name string, qty long, op string, op_ts long"
+
+
+def test_apply_cdc_folds_feed(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], SNAP
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21, "U", 1),   # update
+            (2, "b3", 22, "U", 2),   # later update wins
+            (3, None, None, "D", 1),  # delete
+            (4, "d", 40, "I", 1),    # insert of a new key
+            (5, "e", 50, "I", 1),
+            (5, None, None, "D", 2),  # inserted then deleted → absent
+            (None, "x", 0, "I", 1),  # NULL key: dropped
+        ],
+        CHG,
+    )
+    got = {
+        (r.id, r.name, r.qty)
+        for r in apply_cdc(snap, changes, ["id"]).collect()
+    }
+    assert got == {(1, "a", 10), (2, "b3", 22), (4, "d", 40)}
+
+
+def test_same_ts_delete_wins_and_determinism(spark):
+    snap = spark.createDataFrame([(1, "a", 1)], SNAP)
+    changes = spark.createDataFrame(
+        [(1, "a2", 2, "U", 5), (1, None, None, "D", 5)], CHG
+    )
+    for _ in range(3):  # rerun-stable
+        assert apply_cdc(snap, changes, ["id"]).count() == 0
+    (l,) = latest_changes(changes, ["id"]).collect()
+    assert l.op == "D"
+
+
+def test_missing_payload_column_raises(spark):
+    snap = spark.createDataFrame([(1, "a", 1)], SNAP)
+    bad = spark.createDataFrame(
+        [(1, "a", "U", 1)], "id long, name string, op string, op_ts long"
+    )
+    with pytest.raises(ValueError, match="lacks snapshot columns"):
+        apply_cdc(snap, bad, ["id"])
+
+
+def test_composite_key_fold(spark):
+    snap = spark.createDataFrame(
+        [(1, "x", "v1"), (1, "y", "v2")], "a long, b string, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "x", "v9", "U", 1), (2, "z", "new", "I", 1)],
+        "a long, b string, v string, op string, op_ts long",
+    )
+    got = {
+        (r.a, r.b, r.v)
+        for r in apply_cdc(snap, changes, ["a", "b"]).collect()
+    }
+    assert got == {(1, "x", "v9"), (1, "y", "v2"), (2, "z", "new")}

@@ -1,0 +1,108 @@
+"""Per-key time-series features: bounded rolling statistics and
+exponentially-weighted moving averages, as pure window expressions.
+
+Scale shape: every feature is ONE window pass per key ordering — a
+single hash shuffle on the key, then sorted-frame evaluation inside
+each partition. No collect_list (its element order inside a frame is
+an implementation detail), no recursion: the EWMA is unrolled over a
+bounded ``lookback`` of LAG terms with the decay weights computed
+driver-side and embedded as double literals, so any engine evaluating
+the same expression reproduces the bits (the weights are the SAME
+literal on both sides, not an engine-pow). Unbounded EWMA needs true
+recursion — that's ``applyInPandasWithState`` territory (streaming) or
+pandas ``ewm`` via ``applyInPandas``; the bounded form truncates the
+tail, which for (1-α)^k decays below float noise within ~50 steps
+anyway.
+
+Rolling sums/means go through ``decimal(18,6)`` casts: decimal
+addition is order-insensitive, so results are bit-stable under any
+partitioning and hash-match other engines (the ``scale.embeddings``
+argument). NULL values contribute to neither numerator nor
+denominator (SQL AVG semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _ordered_window(key_col: str, order_cols: Sequence[str]) -> WindowSpec:
+    return Window.partitionBy(F.col(f"`{key_col}`")).orderBy(
+        *[F.col(f"`{c}`") for c in order_cols]
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    n_rows: int = 4,
+    prefix: str = "roll",
+) -> DataFrame:
+    """Add ``{prefix}_mean`` / ``{prefix}_min`` / ``{prefix}_max`` over
+    the trailing ``n_rows`` rows (current included) per key. Mean is
+    decimal-exact then rounded to 6; min/max are order-free. NULLs in
+    the frame are skipped (all-NULL frame → NULL mean)."""
+    w = _ordered_window(key_col, order_cols).rowsBetween(
+        -(n_rows - 1), 0
+    )
+    v = F.col(f"`{value_col}`").cast("double")
+    dec = v.cast("decimal(18,6)")
+    mean = F.when(
+        F.count(v).over(w) > 0,
+        F.round(
+            F.sum(dec).over(w).cast("double")
+            / F.count(v).over(w).cast("double"),
+            6,
+        ),
+    )
+    return df.select(
+        "*",
+        mean.alias(f"{prefix}_mean"),
+        F.min(v).over(w).alias(f"{prefix}_min"),
+        F.max(v).over(w).alias(f"{prefix}_max"),
+    )
+
+
+def ewma_weights(alpha: float, lookback: int) -> list[float]:
+    """Decay weights [(1-α)^0, (1-α)^1, ...] as Python doubles — the
+    shared literals for the Spark expression AND any SQL oracle."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    out = [1.0]
+    for _ in range(lookback - 1):
+        out.append(out[-1] * (1.0 - alpha))
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 4,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Add a bounded EWMA: weighted mean of the current value and the
+    previous ``lookback - 1`` values per key, weights (1-α)^k,
+    normalized over the PRESENT (non-NULL, in-partition) terms only —
+    so the first rows of a key and NULL gaps renormalize instead of
+    biasing toward zero. One window pass; see module docstring for the
+    exactness story."""
+    w = _ordered_window(key_col, order_cols)
+    v = F.col(f"`{value_col}`").cast("double")
+    weights = ewma_weights(alpha, lookback)
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for k, wt in enumerate(weights):
+        term = v if k == 0 else F.lag(v, k).over(w)
+        present = term.isNotNull()
+        num = num + F.when(present, term * F.lit(wt)).otherwise(F.lit(0.0))
+        den = den + F.when(present, F.lit(wt)).otherwise(F.lit(0.0))
+    out = F.when(den > 0, F.round(num / den, 6))
+    return df.select("*", out.alias(out_col))

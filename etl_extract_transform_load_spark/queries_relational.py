@@ -437,10 +437,18 @@ SELECT 'except', nk FROM (
 def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp surface: truncate-to-second epoch, date, hour — the
     deterministic projections of the nanosecond event time (raw ns is
-    engine-dependent precision, so queries expose derivations)."""
+    engine-dependent precision, so queries expose derivations). Plus
+    the per-user time-series feature columns (trailing-4 rolling
+    stats, bounded EWMA α=0.5 — operators/timeseries.py) left-joined
+    back on event_id (rows with NULL value carry NULL features)."""
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma,
+        rolling_stats,
+    )
+
     events = load_table(spark, sf_dir, "events")
     sec = F.date_trunc("second", F.col("ts"))
-    return events.select(
+    base = events.select(
         "event_id",
         F.unix_timestamp(sec).alias("epoch_sec"),
         # ISO string, not DateType: pandas renders Spark dates as
@@ -451,15 +459,58 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # json_extract folded in (same table, same key)
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
     )
+    nn = events.select("event_id", "user_id", "ts", "value").filter(
+        F.col("value").isNotNull()
+    )
+    feats = ewma(
+        rolling_stats(nn, "user_id", ["ts", "event_id"], "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=0.5,
+        lookback=4,
+    ).select("event_id", "roll_mean", "roll_min", "roll_max", "ewma")
+    return base.join(feats, "event_id", "left")
 
 
 ORACLE_TIME_DERIV = """
-SELECT event_id,
+WITH nn AS (
+    SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+feats AS (
+    SELECT event_id,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w4 AS DOUBLE)
+                 / CAST(COUNT(v) OVER w4 AS DOUBLE), 6) AS roll_mean,
+           MIN(v) OVER w4 AS roll_min,
+           MAX(v) OVER w4 AS roll_max,
+           ROUND(
+             (0.0 + v * 1.0
+              + CASE WHEN LAG(v, 1) OVER wo IS NOT NULL
+                     THEN LAG(v, 1) OVER wo * 0.5 ELSE 0.0 END
+              + CASE WHEN LAG(v, 2) OVER wo IS NOT NULL
+                     THEN LAG(v, 2) OVER wo * 0.25 ELSE 0.0 END
+              + CASE WHEN LAG(v, 3) OVER wo IS NOT NULL
+                     THEN LAG(v, 3) OVER wo * 0.125 ELSE 0.0 END)
+             / (0.0 + 1.0
+                + CASE WHEN LAG(v, 1) OVER wo IS NOT NULL
+                       THEN 0.5 ELSE 0.0 END
+                + CASE WHEN LAG(v, 2) OVER wo IS NOT NULL
+                       THEN 0.25 ELSE 0.0 END
+                + CASE WHEN LAG(v, 3) OVER wo IS NOT NULL
+                       THEN 0.125 ELSE 0.0 END), 6) AS ewma
+    FROM nn
+    WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT e.event_id,
        CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_sec,
        STRFTIME(ts, '%Y-%m-%d') AS event_date,
        EXTRACT(hour FROM ts) AS event_hour,
-       CAST(props->>'$.k' AS BIGINT) AS prop_k
-FROM events
+       CAST(props->>'$.k' AS BIGINT) AS prop_k,
+       f.roll_mean, f.roll_min, f.roll_max, f.ewma
+FROM events e LEFT JOIN feats f ON e.event_id = f.event_id
 """
 
 

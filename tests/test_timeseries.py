@@ -1,0 +1,67 @@
+"""Rolling/EWMA features (operators/timeseries.py): hand-computed
+values, NULL handling, partition-start renormalization."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.timeseries import (
+    ewma,
+    ewma_weights,
+    rolling_stats,
+)
+
+ROWS = [
+    # key, seq, value
+    (1, 1, 10.0),
+    (1, 2, 20.0),
+    (1, 3, None),
+    (1, 4, 40.0),
+    (1, 5, 50.0),
+    (2, 1, 7.0),
+]
+SCHEMA = "k long, seq long, v double"
+
+
+def test_rolling_stats_hand_values(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r.k, r.seq): (r.roll_mean, r.roll_min, r.roll_max)
+        for r in rolling_stats(df, "k", ["seq"], "v", n_rows=3).collect()
+    }
+    assert got[(1, 1)] == (10.0, 10.0, 10.0)
+    assert got[(1, 2)] == (15.0, 10.0, 20.0)
+    assert got[(1, 3)] == (15.0, 10.0, 20.0)  # NULL skipped, frame {10,20}
+    assert got[(1, 4)] == (30.0, 20.0, 40.0)  # frame {20,None,40}
+    assert got[(1, 5)] == (45.0, 40.0, 50.0)  # frame {None,40,50}
+    assert got[(2, 1)] == (7.0, 7.0, 7.0)
+
+
+def test_ewma_hand_values_and_renormalization(spark):
+    df = spark.createDataFrame(
+        [r for r in ROWS if r[2] is not None], SCHEMA
+    )
+    got = {
+        (r.k, r.seq): r.ewma
+        for r in ewma(
+            df, "k", ["seq"], "v", alpha=0.5, lookback=3
+        ).collect()
+    }
+    # first row of a key: weights renormalize to just w0
+    assert got[(1, 1)] == 10.0
+    # (20*1 + 10*0.5) / 1.5
+    assert got[(1, 2)] == round((20 + 5) / 1.5, 6)
+    # (40*1 + 20*0.5 + 10*0.25) / 1.75
+    assert got[(1, 4)] == round((40 + 10 + 2.5) / 1.75, 6)
+    # lookback window slides: (50 + 40*0.5 + 20*0.25) / 1.75
+    assert got[(1, 5)] == round((50 + 20 + 5) / 1.75, 6)
+    assert got[(2, 1)] == 7.0
+
+
+def test_ewma_weights_and_validation(spark):
+    assert ewma_weights(0.5, 4) == [1.0, 0.5, 0.25, 0.125]
+    assert ewma_weights(1.0, 3) == [1.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_weights(0.0, 3)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_weights(1.5, 3)

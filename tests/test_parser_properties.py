@@ -27,6 +27,10 @@ from etl_extract_transform_load_spark.functions.money import (
     MONEY_EXTRACT_PATTERN,
     parse_dollars,
 )
+from etl_extract_transform_load_spark.functions.dates import (
+    DATE_EXTRACT_PATTERN,
+    parse_multiformat_date,
+)
 from etl_extract_transform_load_spark.functions.parsing import (
     RUNTIME_PATTERN,
     parse_runtime_minutes,
@@ -66,6 +70,26 @@ def py_parse_runtime(s: str | None) -> float | None:
 
     hours, hmins, plain = g(1), g(2), g(3)
     return hours * 60 + hmins if plain == 0 else plain
+
+
+def py_parse_date(s: str | None):
+    """Twin of parse_multiformat_date: first date-shaped span, four
+    formats in specificity order, invalid calendar dates fall through
+    (Spark's strict resolver and strptime agree on rejection)."""
+    if s is None:
+        return None
+    from datetime import datetime
+
+    m = re.search(DATE_EXTRACT_PATTERN, s)
+    if not m or not m.group(1):
+        return None
+    ex = m.group(1)
+    for fmt in ("%B %d, %Y", "%Y-%m-%d", "%B %Y", "%Y"):
+        try:
+            return datetime.strptime(ex, fmt).date()
+        except ValueError:
+            continue
+    return None
 
 
 # ----------------------------------------------------------- strategies
@@ -127,6 +151,31 @@ RUNTIME_STRINGS = st.tuples(_PREFIX, _RUNTIME_CORE).map(
 )
 
 
+_MONTH = st.sampled_from(
+    ["January", "February", "June", "July", "September", "December",
+     "march", "JULY"]  # wrong-case months are junk (pattern is exact-case)
+)
+_DATE_CORE = st.one_of(
+    st.tuples(_MONTH, st.integers(1, 31), st.integers(1800, 2100)).map(
+        lambda t: f"{t[0]} {t[1]}, {t[2]}"  # Feb 30 etc. exercise fallthrough
+    ),
+    st.tuples(
+        st.integers(1800, 2100), st.integers(0, 19), st.integers(0, 39),
+        st.sampled_from(["-", "/", "."]),
+    ).map(lambda t: f"{t[0]}{t[3]}{t[1]:02d}{t[3]}{t[2]:02d}"),
+    st.tuples(_MONTH, st.integers(1800, 2100)).map(
+        lambda t: f"{t[0]} {t[1]}"
+    ),
+    st.integers(1000, 9999).map(str),
+    st.sampled_from(["TBA", "unknown", "mid-1990s", ""]),
+)
+DATE_STRINGS = st.tuples(
+    st.sampled_from(["", "released ", "premiere: ", "circa "]),
+    _DATE_CORE,
+    st.sampled_from(["", " (theatrical)", " [4]", " in cinemas"]),
+).map(lambda t: t[0] + t[1] + t[2])
+
+
 # ----------------------------------------------------------- the properties
 
 
@@ -143,6 +192,17 @@ def _spark_apply(spark, fn, values):
 def test_parse_dollars_matches_python_twin(spark, values):
     got = _spark_apply(spark, parse_dollars, values)
     want = [py_parse_dollars(v) for v in values]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(values, got, want) if g != w
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(DATE_STRINGS, min_size=40, max_size=40))
+def test_parse_date_matches_python_twin(spark, values):
+    got = _spark_apply(spark, parse_multiformat_date, values)
+    want = [py_parse_date(v) for v in values]
     assert got == want, [
         (v, g, w) for v, g, w in zip(values, got, want) if g != w
     ]

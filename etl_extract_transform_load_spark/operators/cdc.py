@@ -33,10 +33,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: op sort weight: upserts first, deletes last (deletes win ties).
-_OP_ORDER = {"I": 0, "U": 0, "D": 1}
-
-
 def latest_changes(
     changes: DataFrame,
     keys: Sequence[str],
@@ -47,7 +43,8 @@ def latest_changes(
     payload = [
         c for c in changes.columns if c not in (*keys, ts_col, op_col)
     ]
-    op_rank = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    # case-normalized: 'd' is a delete too (matches apply_cdc's fold)
+    op_rank = F.when(F.upper(F.col(op_col)) == "D", 1).otherwise(0)
     w = Window.partitionBy(*[F.col(f"`{k}`") for k in keys]).orderBy(
         F.col(ts_col).desc(),
         op_rank.desc(),
@@ -71,10 +68,18 @@ def apply_cdc(
 ) -> DataFrame:
     """The next snapshot (module docstring). Output schema = snapshot
     schema; change rows must carry every snapshot column plus
-    ``op_col``/``ts_col``. NULL keys in the change feed are rejected
-    upstream semantics — they are dropped here (a change with no key
-    can't address a row)."""
+    ``op_col``/``ts_col``. NULL keys in the change feed are dropped (a
+    change with no key can't address a row). Op codes are
+    case-normalized; exactly ``D``/``d`` deletes and everything else
+    (including NULL — a malformed feed) folds as an upsert, which is
+    the conservative reading: an unknown op replaces the row rather
+    than silently resurrecting or dropping it. Presence of a change is
+    tracked with an explicit marker column, NOT the op value, so a
+    NULL-op change can never smuggle an all-NULL phantom row into the
+    output."""
     keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
     missing = [
         c for c in snapshot.columns if c not in changes.columns
     ]
@@ -84,16 +89,12 @@ def apply_cdc(
         )
     latest = latest_changes(
         changes.filter(
-            F.lit(True)
-            if not keys
-            else F.expr(
-                " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
-            )
+            F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
         ),
         keys,
         ts_col,
         op_col,
-    )
+    ).withColumn("__chg", F.lit(1))
     s = snapshot.alias("s")
     c = latest.alias("c")
     cond = None
@@ -101,8 +102,9 @@ def apply_cdc(
         eq = F.col(f"s.`{k}`") == F.col(f"c.`{k}`")
         cond = eq if cond is None else cond & eq
     joined = s.join(c, cond, "full_outer")
-    has_change = F.col(f"c.`{op_col}`").isNotNull()
-    keep = ~has_change | (F.col(f"c.`{op_col}`") != "D")
+    has_change = F.col("c.__chg").isNotNull()
+    is_delete = F.upper(F.col(f"c.`{op_col}`")) == "D"
+    keep = ~has_change | ~F.coalesce(is_delete, F.lit(False))
     out_cols = [
         F.when(has_change, F.col(f"c.`{col}`"))
         .otherwise(F.col(f"s.`{col}`"))

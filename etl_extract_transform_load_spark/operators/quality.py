@@ -59,6 +59,10 @@ class RefIntegrity:
     col: str
     ref: DataFrame
     ref_col: str  # NULL foreign keys are NOT violations (use NotNull)
+    #: broadcast the distinct reference keys (right for dimension-sized
+    #: references); False → shuffle anti-join (fact-to-fact checks,
+    #: where collecting the reference would OOM the driver)
+    broadcast: bool = True
 
 
 Rule = Union[NotNull, InRange, AcceptedValues, Unique, RefIntegrity]
@@ -81,9 +85,18 @@ def _agg_for(rule: Rule, idx: int) -> Column | None:
         return F.sum(bad.cast("long")).alias(a)
     if isinstance(rule, Unique):
         cols = [F.col(f"`{c}`") for c in rule.cols]
-        key = F.struct(*cols) if len(cols) > 1 else cols[0]
-        # rows beyond the first of each duplicate key group; NULL keys
-        # are ignored by both count and countDistinct identically
+        # rows beyond the first of each duplicate key group. NULL
+        # policy must be IDENTICAL for single and composite keys: a
+        # bare column ignores NULLs in count/countDistinct, but a
+        # struct is never NULL — so the key is masked out whenever ANY
+        # key column is NULL. NULL keys never violate uniqueness here;
+        # add NotNull rules to police them.
+        all_nn = cols[0].isNotNull()
+        for c in cols[1:]:
+            all_nn = all_nn & c.isNotNull()
+        key = F.when(
+            all_nn, F.struct(*cols) if len(cols) > 1 else cols[0]
+        )
         return (F.count(key) - F.countDistinct(key)).alias(a)
     return None
 
@@ -138,14 +151,15 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         if not isinstance(r, RefIntegrity):
             continue
         fk = F.col(f"`{r.col}`")
+        ref_keys = r.ref.select(
+            F.col(f"`{r.ref_col}`").alias("__ref")
+        ).distinct()
+        if r.broadcast:
+            ref_keys = F.broadcast(ref_keys)
         unmatched = (
             df.filter(fk.isNotNull())
             .join(
-                F.broadcast(
-                    r.ref.select(
-                        F.col(f"`{r.ref_col}`").alias("__ref")
-                    ).distinct()
-                ),
+                ref_keys,
                 fk == F.col("__ref"),
                 "left_anti",
             )

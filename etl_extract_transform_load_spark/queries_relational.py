@@ -459,13 +459,18 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # json_extract folded in (same table, same key)
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
     )
-    nn = events.select("event_id", "user_id", "ts", "value").filter(
+    # window order = event_id ALONE (unique): ordering by raw ts would
+    # reintroduce the cross-engine sub-microsecond divergence the
+    # events reader exists to hide (Spark truncates NANOS generations
+    # to µs; DuckDB reads full ns — same-µs neighbors could order
+    # differently and shift every LAG/rolling frame)
+    nn = events.select("event_id", "user_id", "value").filter(
         F.col("value").isNotNull()
     )
     feats = ewma(
-        rolling_stats(nn, "user_id", ["ts", "event_id"], "value"),
+        rolling_stats(nn, "user_id", ["event_id"], "value"),
         "user_id",
-        ["ts", "event_id"],
+        ["event_id"],
         "value",
         alpha=0.5,
         lookback=4,
@@ -475,7 +480,7 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TIME_DERIV = """
 WITH nn AS (
-    SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS v
     FROM events WHERE value IS NOT NULL
 ),
 feats AS (
@@ -500,8 +505,8 @@ feats AS (
                 + CASE WHEN LAG(v, 3) OVER wo IS NOT NULL
                        THEN 0.125 ELSE 0.0 END), 6) AS ewma
     FROM nn
-    WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
-           w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW wo AS (PARTITION BY user_id ORDER BY event_id),
+           w4 AS (PARTITION BY user_id ORDER BY event_id
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 )
 SELECT e.event_id,

@@ -164,8 +164,15 @@ def weighted_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(f"`{weight_col}`").cast("double")
+    # NaN must be excluded EXPLICITLY: in Spark SQL NaN > 0 is TRUE
+    # (NaN sorts above all doubles), so a NaN weight would pass the
+    # positivity filter, get a NaN priority, and sort FIRST — hijacking
+    # the whole sample (e.g. weights produced by x/0 division)
     src = df.filter(
-        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+        F.col(id_col).isNotNull()
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
     )
     h = (
         (F.col(id_col).cast("long") + F.lit(salt)) * F.lit(KNUTH_HASH)

@@ -15,7 +15,10 @@ of the stream EXACTLY, without a full-cardinality groupBy:
 2. **Verify** (the only shuffle): exact recount of the candidate set —
    a semi-join of the stream against ≤ partitions × capacity candidate
    rows, then one groupBy over that tiny key set, filtered against the
-   exact total count.
+   exact total count. Three jobs read the item stream (sketch,
+   recount, total), so ``heavy_hitters`` persists it once by default
+   (``cache=False`` to opt out) — the upstream plan runs once, the
+   cached column rescans are cheap.
 
 The result is therefore EXACT and partition-independent (the sketch
 only shapes the candidate superset; the recount decides), so it
@@ -68,6 +71,7 @@ def heavy_hitters(
     item_col: str,
     threshold_frac: float,
     capacity: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """(item, n_occurrences) for every item occurring in more than
     ``threshold_frac`` of the rows of ``items`` — exact counts, exact
@@ -75,7 +79,20 @@ def heavy_hitters(
     ignored. ``capacity`` defaults to ``2 * ceil(1/threshold_frac)``
     (the minimum for the guarantee is ``ceil(1/threshold_frac)``; the
     2× just widens the candidate superset, which the exact recount
-    prunes for free)."""
+    prunes for free).
+
+    Three jobs consume the item stream (sketch, recount semi-join,
+    total count), so it is persisted by default — materializing it
+    once instead of re-running the upstream plan three times. Release
+    with ``plans.caching.released_caches()`` /
+    ``spark.catalog.clearCache()``, or pass ``cache=False`` when the
+    input is already cached or trivially cheap to rescan."""
+    from pyspark.sql.types import StructType
+
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+    )
+
     if not 0 < threshold_frac < 1:
         raise ValueError("threshold_frac must be in (0, 1)")
     if capacity is None:
@@ -86,12 +103,17 @@ def heavy_hitters(
             f"{math.ceil(1 / threshold_frac)}: the candidate set could "
             "miss a true heavy hitter"
         )
-    stream = items.select(F.col(f"`{item_col}`").alias(item_col)).filter(
-        F.col(item_col).isNotNull()
+    stream = persist_tracked(
+        items.select(F.col(f"`{item_col}`").alias(item_col)).filter(
+            F.col(item_col).isNotNull()
+        ),
+        cache,
     )
     candidates = stream.mapInPandas(
         _mg_partition(item_col, capacity),
-        schema=f"{item_col} {stream.schema[item_col].dataType.simpleString()}",
+        # a StructType, not a DDL string: odd column names ('my col',
+        # 'token-id') would break DDL parsing
+        schema=StructType([stream.schema[item_col]]),
     ).distinct()
     counted = (
         stream.join(candidates, item_col, "left_semi")
@@ -113,7 +135,6 @@ def frequent_tokens(
     df: DataFrame,
     threshold_frac: float = 0.01,
     text_col: str = "text",
-    id_col: str = "doc_id",
     capacity: int | None = None,
 ) -> DataFrame:
     """Corpus tokens occurring in more than ``threshold_frac`` of all

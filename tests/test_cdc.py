@@ -48,6 +48,26 @@ def test_same_ts_delete_wins_and_determinism(spark):
     assert l.op == "D"
 
 
+def test_null_and_lowercase_ops(spark):
+    """A NULL-op change folds as an upsert (explicit presence marker —
+    no all-NULL phantom row), and 'd' deletes like 'D'."""
+    snap = spark.createDataFrame([(1, "a", 1)], SNAP)
+    changes = spark.createDataFrame(
+        [(1, None, None, "d", 1), (9, "new", 9, None, 1)], CHG
+    )
+    got = {
+        (r.id, r.name, r.qty)
+        for r in apply_cdc(snap, changes, ["id"]).collect()
+    }
+    assert got == {(9, "new", 9)}  # 1 deleted; NULL-op row upserted whole
+
+
+def test_empty_keys_rejected(spark):
+    snap = spark.createDataFrame([(1, "a", 1)], SNAP)
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        apply_cdc(snap, snap, [])
+
+
 def test_missing_payload_column_raises(spark):
     snap = spark.createDataFrame([(1, "a", 1)], SNAP)
     bad = spark.createDataFrame(

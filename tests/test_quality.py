@@ -73,6 +73,35 @@ def test_validate_composite_unique_and_clean_table(spark):
     assert all(r.n_violations == 0 for r in clean)
 
 
+def test_unique_null_policy_consistent_across_key_arity(spark):
+    """NULL keys never violate uniqueness — for single AND composite
+    keys alike (a struct is never NULL, so the composite path must
+    mask NULL-bearing keys explicitly)."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "a"), (1, None), (1, None), (1, "b")],
+        "k long, s string",
+    )
+    (single,) = validate(df, [Unique(("k",))]).collect()
+    # three rows carry k=1 (one distinct) → 2 beyond the first;
+    # the two k=NULL rows are not violations
+    assert single.n_violations == 2
+    (comp,) = validate(df, [Unique(("k", "s"))]).collect()
+    # every row has a NULL in some key column except (1,'b') → 0
+    assert comp.n_violations == 0
+
+
+def test_ref_integrity_shuffle_path(spark, dirty, ref):
+    from etl_extract_transform_load_spark.operators.quality import (
+        RefIntegrity,
+        validate,
+    )
+
+    (r,) = validate(
+        dirty, [RefIntegrity("cust", ref, "ck", broadcast=False)]
+    ).collect()
+    assert r.n_violations == 1
+
+
 def test_assert_valid_gates(spark, dirty, ref):
     ok = spark.createDataFrame([(1, 5.0)], "id long, price double")
     assert assert_valid(ok, [NotNull("id")]) is ok

@@ -1,0 +1,108 @@
+"""Dataset fingerprinting + manifest-carrying writes.
+
+``dataset_fingerprint`` computes an order-insensitive content hash of
+a DataFrame in ONE aggregation pass: ``bit_xor`` of ``xxhash64`` over
+every row's full column struct. XOR is commutative/associative, so
+the fingerprint is identical under any partitioning, shuffle, or
+row order — two pipeline runs produced the same dataset iff the
+(count, fingerprint) pair matches (XOR self-cancels duplicate pairs,
+hence the count rides along). At 100 TB this is the cheap answer to
+"did the rerun produce the same output?" — one scan, 16 bytes of
+state, no sort, no collect.
+
+``write_with_manifest`` writes the data and drops a ``_manifest.json``
+beside it (row count, fingerprint, schema DDL, writer options) —
+enough for a downstream consumer or a CI diff to verify integrity
+without re-reading the data.
+
+Scope note: the fingerprint is Spark-reproducible (xxhash64 is
+Spark's), not a cross-engine oracle hash — the DuckDB-portable path
+for that is the contract queries' value-hash gate.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row_count, xor-of-row-hashes) — order/partitioning-invariant.
+    NULL-safe: xxhash64 hashes NULL fields deterministically."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), int(row["fp"] or 0)
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> dict:
+    """Write ``df`` and a ``_manifest.json`` beside it; returns the
+    manifest dict. The fingerprint is computed on the INPUT frame —
+    for nondeterministic plans (rand, unstable sampling) materialize
+    first, or the manifest describes a different dataset than the
+    files."""
+    n, fp = dataset_fingerprint(df)
+    writer = df.write.format(fmt).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    manifest = {
+        "row_count": n,
+        "fingerprint_xor_xxhash64": fp,
+        "schema_ddl": df.schema.simpleString(),
+        "format": fmt,
+        "options": dict(options),
+    }
+    spark = df.sparkSession
+    # write through the JVM's Hadoop FS so the manifest lands next to
+    # the data on ANY supported filesystem (local, HDFS, s3a, ...)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    out.close()
+    return manifest
+
+
+def read_manifest(spark, path: str) -> dict:
+    """Load ``_manifest.json`` written by :func:`write_with_manifest`."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    stream = fs.open(jpath)
+    try:
+        # commons-io (ships with Hadoop) slurps the stream JVM-side;
+        # a py4j read(byte[]) loop would NOT work — py4j passes a COPY
+        # of the buffer, so JVM-side mutations never reach Python
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def verify_against_manifest(df: DataFrame, manifest: dict) -> None:
+    """Raise ``ValueError`` unless ``df`` matches the manifest's
+    (count, fingerprint) — the consumer-side integrity gate."""
+    n, fp = dataset_fingerprint(df)
+    want = (manifest["row_count"], manifest["fingerprint_xor_xxhash64"])
+    if (n, fp) != want:
+        raise ValueError(
+            f"dataset does not match manifest: got (rows={n}, fp={fp}), "
+            f"manifest says (rows={want[0]}, fp={want[1]})"
+        )

@@ -1,0 +1,57 @@
+"""Schema evolution normalizer: conform a batch to a target schema.
+
+Ingestion feeds drift — columns appear, vanish, and change type
+between generations (this repo's own testdata shipped ``events.ts``
+as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)). ``conform_to_schema``
+makes drift explicit and deterministic instead of letting it leak
+into downstream plans:
+
+- missing target columns materialize as typed NULLs,
+- extra source columns are dropped (or rejected in strict mode),
+- type mismatches cast — with ``try_cast`` semantics by default, so a
+  bad value becomes NULL data rather than an ANSI runtime error
+  mid-pipeline (pass ``strict=True`` for cast-or-raise),
+- output column ORDER is the target's (stable downstream positional
+  consumers).
+
+Pure projection: zero shuffles, runs inside the scan stage, and the
+pruned columns never leave the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def conform_to_schema(
+    df: DataFrame,
+    target: StructType,
+    strict: bool = False,
+) -> DataFrame:
+    """Project ``df`` onto ``target`` (see module docstring).
+    ``strict=True`` raises on extra source columns and uses hard casts
+    (ANSI error on bad values) instead of try_cast."""
+    have = {f.name: f for f in df.schema.fields}
+    extra = [c for c in df.columns if c not in {f.name for f in target}]
+    if strict and extra:
+        raise ValueError(
+            f"source carries columns absent from the target schema: "
+            f"{extra}"
+        )
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name].dataType == f.dataType:
+            cols.append(F.col(f"`{f.name}`"))
+        else:
+            src = F.col(f"`{f.name}`")
+            cast = (
+                src.cast(f.dataType)
+                if strict
+                else src.try_cast(f.dataType)
+            )
+            cols.append(cast.alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,83 @@
+"""Schema conformance (sources/evolve.py) and dataset fingerprint /
+manifest round trip (sinks/manifest.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_extract_transform_load_spark.sinks.manifest import (
+    dataset_fingerprint,
+    read_manifest,
+    verify_against_manifest,
+    write_with_manifest,
+)
+from etl_extract_transform_load_spark.sources.evolve import (
+    conform_to_schema,
+)
+
+TARGET = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def test_conform_adds_casts_drops_and_orders(spark):
+    src = spark.createDataFrame(
+        [("7", "a", 1), ("x", "b", 2)],
+        "id string, name string, extra long",
+    )
+    out = conform_to_schema(src, TARGET)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    assert [f.dataType for f in out.schema.fields] == [
+        LongType(), StringType(), DoubleType(),
+    ]
+    rows = {r.name: (r.id, r.score) for r in out.collect()}
+    assert rows == {"a": (7, None), "b": (None, None)}  # 'x' → NULL (try_cast)
+
+
+def test_conform_strict_rejects_extras_and_bad_casts(spark):
+    src = spark.createDataFrame(
+        [("x", "a", 1)], "id string, name string, extra long"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        conform_to_schema(src, TARGET, strict=True)
+    bad = spark.createDataFrame([("x", "a")], "id string, name string")
+    with pytest.raises(Exception):  # ANSI cast error at execution
+        conform_to_schema(bad, TARGET, strict=True).collect()
+
+
+def test_fingerprint_partition_invariant_and_sensitive(spark):
+    df = spark.range(500).select(
+        "id", (F.col("id") % 7).alias("b"), F.lit("x").alias("s")
+    )
+    a = dataset_fingerprint(df.coalesce(1))
+    b = dataset_fingerprint(df.repartition(32))
+    assert a == b and a[0] == 500
+    # any changed row flips the fingerprint
+    changed = df.withColumn(
+        "b", F.when(F.col("id") == 250, F.lit(999)).otherwise(F.col("b"))
+    )
+    assert dataset_fingerprint(changed) != a
+
+
+def test_manifest_roundtrip_and_verify(spark, tmp_path):
+    df = spark.range(100).select("id", (F.col("id") * 2.5).alias("v"))
+    path = str(tmp_path / "out")
+    manifest = write_with_manifest(df, path)
+    assert manifest["row_count"] == 100
+    assert read_manifest(spark, path) == manifest
+    back = spark.read.parquet(path)
+    verify_against_manifest(back, manifest)  # no raise
+    with pytest.raises(ValueError, match="does not match"):
+        verify_against_manifest(back.limit(99), manifest)

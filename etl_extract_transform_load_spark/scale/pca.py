@@ -1,0 +1,159 @@
+"""Distributed PCA over embedding columns.
+
+Dimensionality reduction for the embedding curation family: project
+``array<float>`` vectors onto their top-``k`` principal directions —
+smaller ANN indexes (compose with ``scale.ivf``), cheaper near-dup
+shuffles, whitened features for clustering.
+
+Scale shape (the only one that works at 100 TB):
+
+1. **One zero-shuffle pass** accumulates the sufficient statistics —
+   per-partition ``(n, Σx, XᵀX)`` computed in numpy inside
+   ``mapInPandas`` (a d×d Gram matrix per partition, vectorized, no
+   per-row Python) and emitted as ONE row per partition.
+2. The ≤ partitions × (d² + d + 1) doubles reduce driver-side:
+   covariance ``C = XᵀX/n − μμᵀ``, then ``numpy.linalg.eigh`` on the
+   tiny d×d symmetric matrix. The corpus never shuffles; the driver
+   never sees a data row.
+3. **Transform** broadcasts the (k × d) component matrix in a
+   closure and projects batches with one matmul — scan-stage, zero
+   shuffles, same shape as ``assign_to_centroids_arrow``.
+
+Determinism note: the float64 Gram sums reduce in partition order, so
+fingerprint-level bit equality across DIFFERENT partitionings is not
+guaranteed (unlike the decimal-exact centroid family) — eigenvectors
+are stable to ~1e-12 and sign-normalized (largest-|coord| positive),
+which is what the tests pin. For bit-exact cross-engine needs, use
+the decimal centroid/correlation machinery; PCA's eigendecomposition
+has no SQL twin anyway.
+
+NULL and zero-norm vectors are dropped (the embedding-family
+contract); rows shorter than ``dim`` raise inside numpy (ragged
+embeddings are schema corruption, not data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PCAModel:
+    mean: list          # d
+    components: list    # k × d rows, orthonormal, sign-normalized
+    explained_variance: list  # k eigenvalues, descending
+    n_rows: int
+
+
+def _stats_schema(dim: int) -> str:
+    return "n long, s array<double>, g array<double>"
+
+
+def fit_pca(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> PCAModel:
+    """Fit the top-``k`` principal components (module docstring).
+    ``dim`` defaults to the length of the first vector."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        first = src.limit(1).collect()
+        if not first:
+            raise ValueError("cannot fit PCA on an empty vector table")
+        dim = len(first[0][0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}]")
+
+    d = dim
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"embedding dim {x.shape[1]} != expected {d}"
+                )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = src.mapInPandas(partial, schema=_stats_schema(d)).collect()
+    if not parts:
+        raise ValueError("cannot fit PCA on an empty vector table")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    # sign normalization: the largest-|coordinate| entry positive, so
+    # the model is unique (eigh's sign is arbitrary)
+    for row in comps:
+        j = int(np.abs(row).argmax())
+        if row[j] < 0:
+            row *= -1.0
+    return PCAModel(
+        mean=mu.tolist(),
+        components=[r.tolist() for r in comps],
+        explained_variance=[float(evals[i]) for i in order],
+        n_rows=int(n),
+    )
+
+
+def transform_pca(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project every vector onto the model's components:
+    ``out = C (x - μ)`` as ``array<double>`` (rounded for stable
+    comparison). Scan-stage mapInPandas, zero shuffles; NULL vectors
+    are dropped."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    mu = np.array(model.mean)
+    comp = np.array(model.components)  # k × d
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = np.round((x - mu) @ comp.T, round_to)
+            out = pdf.copy()
+            out[out_col] = list(proj)
+            yield out
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = df.schema.add(out_col, ArrayType(DoubleType()))
+    return df.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        run, schema=schema
+    )

@@ -1,0 +1,86 @@
+"""Distributed PCA (scale/pca.py): recovers planted structure, is
+partition-stable within float tolerance, and the transform projects
+correctly."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.pca import (
+    fit_pca,
+    transform_pca,
+)
+
+
+def _planted(spark, n=300):
+    """Rank-2 data in 6-d: strong axis 0 (scale 10), weak axis 3
+    (scale 2), deterministic pseudo-noise elsewhere."""
+    rows = []
+    for i in range(n):
+        a = 10.0 * math.sin(i * 0.7)
+        b = 2.0 * math.cos(i * 1.3)
+        eps = 0.01 * ((i * 37) % 11 - 5)
+        rows.append(
+            (i, [a + eps, eps, -eps, b, eps / 2, -eps / 3])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_fit_recovers_planted_axes(spark):
+    df = _planted(spark)
+    m = fit_pca(df, k=2)
+    assert m.n_rows == 300
+    # variance ordering: strong axis first, ~25x the weak one
+    assert m.explained_variance[0] > 10 * m.explained_variance[1] > 0
+    # first component ≈ e0, second ≈ e3 (sign-normalized positive)
+    c0, c1 = m.components
+    assert abs(c0[0]) > 0.99 and c0[0] > 0
+    assert abs(c1[3]) > 0.99 and c1[3] > 0
+    # orthonormal
+    dot = sum(x * y for x, y in zip(c0, c1))
+    assert abs(dot) < 1e-9
+    assert abs(sum(x * x for x in c0) - 1) < 1e-9
+
+
+def test_fit_partition_stable(spark):
+    df = _planted(spark)
+    m1 = fit_pca(df.coalesce(1), k=2)
+    m32 = fit_pca(df.repartition(32), k=2)
+    for a, b in zip(m1.components, m32.components):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+    for a, b in zip(m1.explained_variance, m32.explained_variance):
+        assert abs(a - b) < 1e-7
+
+
+def test_transform_projects_and_reconstructs(spark):
+    df = _planted(spark)
+    m = fit_pca(df, k=2)
+    out = transform_pca(df, m).collect()
+    assert len(out) == 300
+    assert all(len(r.pca) == 2 for r in out)
+    # rank-2 data: 2 components capture ~all variance — verify one
+    # row's reconstruction error is tiny relative to its magnitude
+    import numpy as np
+
+    mu = np.array(m.mean)
+    comp = np.array(m.components)
+    r = next(x for x in out if x.vec_id == 17)
+    orig = np.array(
+        [v for v in df.filter(F.col("vec_id") == 17).collect()[0].embedding]
+    )
+    recon = mu + np.array(r.pca) @ comp
+    assert np.abs(recon - orig).max() < 0.05
+
+
+def test_fit_validation(spark):
+    df = _planted(spark, n=10)
+    with pytest.raises(ValueError, match="k must be"):
+        fit_pca(df, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        fit_pca(df, k=7)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        fit_pca(empty, k=2)

@@ -48,8 +48,7 @@ class PCAModel:
     n_rows: int
 
 
-def _stats_schema(dim: int) -> str:
-    return "n long, s array<double>, g array<double>"
+_STATS_SCHEMA = "n long, s array<double>, g array<double>"
 
 
 def fit_pca(
@@ -88,6 +87,13 @@ def fit_pca(
                 raise ValueError(
                     f"embedding dim {x.shape[1]} != expected {d}"
                 )
+            # zero-norm drop-out: the embedding-family contract (an
+            # all-zero vector has no direction; every sibling operator
+            # excludes it, so PCA must see the same row set)
+            keep = (x * x).sum(axis=1) > 0
+            x = x[keep]
+            if not len(x):
+                continue
             n += x.shape[0]
             s += x.sum(axis=0)
             g += x.T @ x
@@ -96,7 +102,7 @@ def fit_pca(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    parts = src.mapInPandas(partial, schema=_stats_schema(d)).collect()
+    parts = src.mapInPandas(partial, schema=_STATS_SCHEMA).collect()
     if not parts:
         raise ValueError("cannot fit PCA on an empty vector table")
     n = sum(r["n"] for r in parts)
@@ -130,8 +136,9 @@ def transform_pca(
 ) -> DataFrame:
     """Project every vector onto the model's components:
     ``out = C (x - μ)`` as ``array<double>`` (rounded for stable
-    comparison). Scan-stage mapInPandas, zero shuffles; NULL vectors
-    are dropped."""
+    comparison). Scan-stage mapInPandas, zero shuffles; NULL and
+    zero-norm vectors are dropped (the embedding-family contract —
+    same row set as ``fit_pca`` saw)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -139,21 +146,30 @@ def transform_pca(
 
     mu = np.array(model.mean)
     comp = np.array(model.components)  # k × d
-    cols = df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            keep = (x * x).sum(axis=1) > 0  # zero-norm drop-out
+            pdf, x = pdf[keep], x[keep]
+            if not len(pdf):
+                continue
             proj = np.round((x - mu) @ comp.T, round_to)
             out = pdf.copy()
             out[out_col] = list(proj)
             yield out
 
-    from pyspark.sql.types import ArrayType, DoubleType
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    schema = df.schema.add(out_col, ArrayType(DoubleType()))
+    # a COPY of the schema: StructType.add mutates in place, and
+    # df.schema is a cached property — mutating it would poison the
+    # caller's DataFrame (df.columns gaining a phantom column)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
     return df.filter(F.col(vec_col).isNotNull()).mapInPandas(
         run, schema=schema
     )

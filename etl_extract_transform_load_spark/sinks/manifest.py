@@ -1,19 +1,24 @@
 """Dataset fingerprinting + manifest-carrying writes.
 
 ``dataset_fingerprint`` computes an order-insensitive content hash of
-a DataFrame in ONE aggregation pass: ``bit_xor`` of ``xxhash64`` over
-every row's full column struct. XOR is commutative/associative, so
-the fingerprint is identical under any partitioning, shuffle, or
-row order — two pipeline runs produced the same dataset iff the
-(count, fingerprint) pair matches (XOR self-cancels duplicate pairs,
-hence the count rides along). At 100 TB this is the cheap answer to
-"did the rerun produce the same output?" — one scan, 16 bytes of
-state, no sort, no collect.
+a DataFrame in ONE aggregation pass: the SUM (mod 2^64) of
+``xxhash64`` over every row's full column struct, accumulated through
+an exact decimal sum. Addition is commutative/associative and — unlike
+XOR, which self-cancels any even multiplicity change — a duplicated
+or dropped row pair shifts the sum, so matching (count, fingerprint)
+detects multiplicity edits too (a collision now needs hash sums to
+coincide mod 2^64, not just rows to pair up). Identical under any
+partitioning, shuffle, or row order; one scan, constant state, no
+sort, no collect.
 
-``write_with_manifest`` writes the data and drops a ``_manifest.json``
-beside it (row count, fingerprint, schema DDL, writer options) —
-enough for a downstream consumer or a CI diff to verify integrity
-without re-reading the data.
+``write_with_manifest`` writes the data, then fingerprints WHAT WAS
+WRITTEN (a read-back of the output path with the frame's schema) and
+drops a ``_manifest.json`` beside it (row count, fingerprint, schema
+DDL, writer options). Fingerprinting the files rather than the input
+plan means the manifest is correct by construction even for
+nondeterministic plans, append mode describes the whole resulting
+directory, and the expensive upstream DAG runs once — the extra cost
+is one cheap scan of the materialized output.
 
 Scope note: the fingerprint is Spark-reproducible (xxhash64 is
 Spark's), not a cross-engine oracle hash — the DuckDB-portable path
@@ -29,15 +34,21 @@ from pyspark.sql import functions as F
 
 
 def dataset_fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, xor-of-row-hashes) — order/partitioning-invariant.
-    NULL-safe: xxhash64 hashes NULL fields deterministically."""
+    """(row_count, sum-of-row-hashes mod 2^64) —
+    order/partitioning-invariant, multiplicity-sensitive. The decimal
+    accumulator keeps the sum exact (a long sum would overflow under
+    ANSI); the modulus folds it back to 64 bits. NULL-safe: xxhash64
+    hashes NULL fields deterministically."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(
-            F.xxhash64(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+        F.sum(
+            F.xxhash64(
+                F.struct(*[F.col(f"`{c}`") for c in df.columns])
+            ).cast("decimal(38,0)")
         ).alias("fp"),
     ).collect()[0]
-    return int(row["n"]), int(row["fp"] or 0)
+    fp = int(row["fp"]) % (1 << 64) if row["fp"] is not None else 0
+    return int(row["n"]), fp
 
 
 def write_with_manifest(
@@ -48,23 +59,26 @@ def write_with_manifest(
     **options: str,
 ) -> dict:
     """Write ``df`` and a ``_manifest.json`` beside it; returns the
-    manifest dict. The fingerprint is computed on the INPUT frame —
-    for nondeterministic plans (rand, unstable sampling) materialize
-    first, or the manifest describes a different dataset than the
-    files."""
-    n, fp = dataset_fingerprint(df)
+    manifest dict. The fingerprint is computed on a READ-BACK of the
+    written path (with ``df``'s schema applied, so text formats
+    round-trip types), not on the input plan — see module docstring
+    for why."""
     writer = df.write.format(fmt).mode(mode)
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+    spark = df.sparkSession
+    reader = spark.read.format(fmt).schema(df.schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    n, fp = dataset_fingerprint(reader.load(path))
     manifest = {
         "row_count": n,
-        "fingerprint_xor_xxhash64": fp,
+        "fingerprint_sum_xxhash64_mod64": fp,
         "schema_ddl": df.schema.simpleString(),
         "format": fmt,
         "options": dict(options),
     }
-    spark = df.sparkSession
     # write through the JVM's Hadoop FS so the manifest lands next to
     # the data on ANY supported filesystem (local, HDFS, s3a, ...)
     jvm = spark.sparkContext._jvm
@@ -100,7 +114,10 @@ def verify_against_manifest(df: DataFrame, manifest: dict) -> None:
     """Raise ``ValueError`` unless ``df`` matches the manifest's
     (count, fingerprint) — the consumer-side integrity gate."""
     n, fp = dataset_fingerprint(df)
-    want = (manifest["row_count"], manifest["fingerprint_xor_xxhash64"])
+    want = (
+        manifest["row_count"],
+        manifest["fingerprint_sum_xxhash64_mod64"],
+    )
     if (n, fp) != want:
         raise ValueError(
             f"dataset does not match manifest: got (rows={n}, fp={fp}), "

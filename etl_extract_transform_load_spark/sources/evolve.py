@@ -29,12 +29,35 @@ def conform_to_schema(
     df: DataFrame,
     target: StructType,
     strict: bool = False,
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Project ``df`` onto ``target`` (see module docstring).
     ``strict=True`` raises on extra source columns and uses hard casts
-    (ANSI error on bad values) instead of try_cast."""
-    have = {f.name: f for f in df.schema.fields}
-    extra = [c for c in df.columns if c not in {f.name for f in target}]
+    (ANSI error on bad values) instead of try_cast.
+
+    Name matching is case-INSENSITIVE by default, mirroring Spark's
+    resolver (``spark.sql.caseSensitive=false``) — a feed that drifts
+    ``id`` → ``ID`` still matches instead of being silently dropped
+    and NULL-filled, which is exactly the drift this module exists to
+    catch. Two source columns differing only by case are ambiguous
+    under that matching and raise; pass ``case_sensitive=True`` for
+    exact-name semantics."""
+
+    def key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
+    have: dict[str, object] = {}
+    for f in df.schema.fields:
+        k = key(f.name)
+        if k in have:
+            raise ValueError(
+                f"source columns {have[k].name!r} and {f.name!r} "
+                "collide under case-insensitive matching; pass "
+                "case_sensitive=True"
+            )
+        have[k] = f
+    target_keys = {key(f.name) for f in target}
+    extra = [c for c in df.columns if key(c) not in target_keys]
     if strict and extra:
         raise ValueError(
             f"source carries columns absent from the target schema: "
@@ -42,12 +65,14 @@ def conform_to_schema(
         )
     cols = []
     for f in target.fields:
-        if f.name not in have:
+        src_field = have.get(key(f.name))
+        if src_field is None:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        elif have[f.name].dataType == f.dataType:
-            cols.append(F.col(f"`{f.name}`"))
+            continue
+        src = F.col(f"`{src_field.name}`")
+        if src_field.dataType == f.dataType:
+            cols.append(src.alias(f.name))
         else:
-            src = F.col(f"`{f.name}`")
             cast = (
                 src.cast(f.dataType)
                 if strict

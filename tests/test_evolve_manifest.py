@@ -57,6 +57,43 @@ def test_conform_strict_rejects_extras_and_bad_casts(spark):
         conform_to_schema(bad, TARGET, strict=True).collect()
 
 
+def test_conform_case_insensitive_matching(spark):
+    src = spark.createDataFrame([(5, "a")], "ID long, NAME string")
+    out = conform_to_schema(src, TARGET).collect()[0]
+    assert (out.id, out.name, out.score) == (5, "a", None)
+    # ambiguous under case folding → raise
+    dup = spark.createDataFrame([(1, 2)], "id long, ID long")
+    with pytest.raises(ValueError, match="collide"):
+        conform_to_schema(dup, TARGET)
+    # case_sensitive=True restores exact-name semantics: ID is extra
+    out = conform_to_schema(src, TARGET, case_sensitive=True).collect()[0]
+    assert out.id is None
+
+
+def test_fingerprint_detects_multiplicity_changes(spark):
+    """XOR self-cancels duplicate pairs; the sum fingerprint must not:
+    [r1,r1,r2,r2] and [r3,r3,r4,r4] have to differ."""
+    a = spark.createDataFrame([(1,), (1,), (2,), (2,)], "x long")
+    b = spark.createDataFrame([(3,), (3,), (4,), (4,)], "x long")
+    fa, fb = dataset_fingerprint(a), dataset_fingerprint(b)
+    assert fa[0] == fb[0] == 4
+    assert fa[1] != fb[1]
+    # shifting one duplicate pair to a triple+single also changes it
+    c = spark.createDataFrame([(1,), (1,), (1,), (2,)], "x long")
+    assert dataset_fingerprint(c)[1] != fa[1]
+
+
+def test_manifest_append_describes_whole_directory(spark, tmp_path):
+    path = str(tmp_path / "acc")
+    df1 = spark.range(10).select("id")
+    df2 = spark.range(10, 25).select("id")
+    write_with_manifest(df1, path)
+    manifest = write_with_manifest(df2, path, mode="append")
+    # the manifest after the append covers df1 ∪ df2, not just df2
+    assert manifest["row_count"] == 25
+    verify_against_manifest(spark.read.parquet(path), manifest)
+
+
 def test_fingerprint_partition_invariant_and_sensitive(spark):
     df = spark.range(500).select(
         "id", (F.col("id") % 7).alias("b"), F.lit("x").alias("s")

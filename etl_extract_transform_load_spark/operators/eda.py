@@ -59,6 +59,11 @@ def histogram(
     entirely in bucket 0 with a zero-width bin."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if (lo is None) != (hi is None):
+        raise ValueError(
+            "pass BOTH lo and hi or neither — a single explicit bound "
+            "would be silently overwritten by the data min/max"
+        )
     x = F.col(f"`{col}`").cast("double")
     src = df.filter(x.isNotNull())
     if lo is None or hi is None:

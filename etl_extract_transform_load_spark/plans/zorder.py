@@ -78,6 +78,8 @@ def with_zorder(
     aggregate row (driver-mediated decide). ``bits_per_col`` × len(cols)
     must stay ≤ 63 (signed long)."""
     cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
     if bits_per_col * len(cols) > 63:
         raise ValueError("bits_per_col * len(cols) must be <= 63")
     bounds = dict(bounds or {})

@@ -691,7 +691,11 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         frequent_tokens,
     )
 
-    heavy = frequent_tokens(docs, threshold_frac=0.005).select(
+    # cache=False: the registered path cannot wrap released_caches()
+    # around a lazy return, and the upstream is a plain parquet
+    # projection — three cheap rescans beat an unreleasable persist
+    # accumulating per invocation in long driver/bench sessions
+    heavy = frequent_tokens(docs, threshold_frac=0.005, cache=False).select(
         F.lit("heavy").alias("part"),
         "token",
         F.col("n_occurrences").cast("long").alias("n_occurrences"),

@@ -632,6 +632,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
+            # single interleaved scan only: a multi-scan baseline file
+            # (one SOS per component) would leave the later components'
+            # coefficients at zero and decode desaturated SILENTLY —
+            # reject rather than decode wrong
+            if frame is not None and ns != len(frame[2]):
+                raise ValueError(
+                    f"non-interleaved JPEG scan ({ns} of {len(frame[2])} "
+                    "components): only single interleaved scans supported"
+                )
             pos += seglen
             break
         pos += seglen

@@ -163,6 +163,22 @@ def weighted_sample(
     output for auditability."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # a failed cast('long') would make every priority NULL and the
+        # function would silently return the k smallest ids UNWEIGHTED
+        raise ValueError(
+            f"weighted_sample needs an integer id column; {id_col} is "
+            f"{id_type.simpleString()} — hash string/UUID ids to a "
+            "long first (e.g. xxhash64)"
+        )
     w = F.col(f"`{weight_col}`").cast("double")
     # NaN must be excluded EXPLICITLY: in Spark SQL NaN > 0 is TRUE
     # (NaN sorts above all doubles), so a NaN weight would pass the

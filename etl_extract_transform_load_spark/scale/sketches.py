@@ -103,12 +103,19 @@ def heavy_hitters(
             f"{math.ceil(1 / threshold_frac)}: the candidate set could "
             "miss a true heavy hitter"
         )
-    stream = persist_tracked(
-        items.select(F.col(f"`{item_col}`").alias(item_col)).filter(
-            F.col(item_col).isNotNull()
-        ),
-        cache,
+    src = items.select(F.col(f"`{item_col}`").alias(item_col)).filter(
+        F.col(item_col).isNotNull()
     )
+    # NaN exclusion for float items: NaN passes isNotNull (and would
+    # count in the total) but pandas value_counts() drops it, so it
+    # could never become a candidate — the exactness guarantee would
+    # silently fail for a NaN heavy hitter. Contract: NULL and NaN
+    # items are both ignored.
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(src.schema[item_col].dataType, (DoubleType, FloatType)):
+        src = src.filter(~F.isnan(F.col(item_col)))
+    stream = persist_tracked(src, cache)
     candidates = stream.mapInPandas(
         _mg_partition(item_col, capacity),
         # a StructType, not a DDL string: odd column names ('my col',
@@ -136,6 +143,7 @@ def frequent_tokens(
     threshold_frac: float = 0.01,
     text_col: str = "text",
     capacity: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Corpus tokens occurring in more than ``threshold_frac`` of all
     token positions — the streaming-memory twin of
@@ -150,4 +158,4 @@ def frequent_tokens(
     stream = df.select(
         F.explode_outer(tokens(lower_simple(c))).alias("token")
     )
-    return heavy_hitters(stream, "token", threshold_frac, capacity)
+    return heavy_hitters(stream, "token", threshold_frac, capacity, cache)

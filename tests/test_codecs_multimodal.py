@@ -391,3 +391,17 @@ def test_real_mode_rejects_compressed_formats(spark):
     )
     with pytest.raises(Exception, match="missing SOF0"):
         decode_image_features(jpeg_trunc, mode="real").collect()
+
+
+def test_jpeg_rejects_noninterleaved_multiscan():
+    """A baseline file whose first SOS carries only 1 of 3 components
+    would decode desaturated silently — must raise instead."""
+    import struct as st
+
+    buf = bytearray(b"\xff\xd8")
+    buf += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 16, 16, 3)
+    buf += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    buf += b"\xff\xda" + st.pack(">HB", 8, 1)  # scan with ONE component
+    buf += bytes([1, 0x00]) + b"\x00\x3f\x00"
+    with pytest.raises(ValueError, match="non-interleaved"):
+        codecs.decode_jpeg(bytes(buf))

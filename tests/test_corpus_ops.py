@@ -343,3 +343,17 @@ def test_sentence_chunking_dense_indices_after_overshoot(spark):
     assert [c for c, _ in got] == [0, 1]  # dense, no holes
     assert got[0][1] == 24  # 3 + 21: overshoot stays in its chunk
     assert got[1][1] == 3
+
+
+def test_weighted_sample_rejects_non_integer_ids(spark):
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("u-1", 2.0)], "doc_id string, w double"
+    )
+    with pytest.raises(ValueError, match="integer id column"):
+        weighted_sample(df, 1, "w")

@@ -114,3 +114,11 @@ def test_sample_pandas_deterministic_and_capped(spark):
     assert set(s1["id"]) != set(range(50))
     with pytest.raises(ValueError, match="ceiling"):
         sample_pandas(df, max_rows=50_000_000)
+
+
+def test_histogram_rejects_partial_bounds(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="BOTH lo and hi"):
+        histogram(df, "x", bins=4, lo=0.0)
+    with pytest.raises(ValueError, match="BOTH lo and hi"):
+        histogram(df, "x", bins=4, hi=10.0)

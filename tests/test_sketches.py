@@ -97,3 +97,13 @@ def test_frequent_tokens_on_documents(spark):
         .collect()
     }
     assert got == exact
+
+def test_heavy_hitters_excludes_nan_floats(spark):
+    """NaN passes isNotNull but pandas value_counts drops it — the
+    contract excludes NaN alongside NULL so the exactness guarantee
+    can't silently fail for a NaN-heavy column."""
+    rows = [(float("nan"),)] * 60 + [(1.0,)] * 30 + [(2.0,)] * 10
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.v for r in heavy_hitters(df, "v", 0.5).collect()}
+    # NaN excluded from candidates AND the total: 1.0 is 30/40 = 75%
+    assert got == {1.0}

@@ -104,3 +104,11 @@ def test_zorder_layout_tightens_stats_on_both_columns(spark, tmp_path):
         spark.read.parquet(zpath).orderBy("payload").collect()
         == grid.orderBy("payload").collect()
     )
+
+
+def test_with_zorder_rejects_empty_cols(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError, match="non-empty"):
+        with_zorder(df, [])

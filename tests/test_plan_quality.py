@@ -99,6 +99,41 @@ def test_eda_histogram_prunes_and_partial_aggs(spark):
     assert simple.count("HashAggregate") >= 2  # decimal partials combine
 
 
+def test_cdc_and_heavy_hitters_plan_shapes(spark):
+    """CDC folds in one join (no cartesian, no nested-loop); the
+    heavy-hitters recount is a semi-join over the bounded candidate
+    set, again with no quadratic operator anywhere."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.cdc import apply_cdc
+    from etl_extract_transform_load_spark.scale.sketches import (
+        heavy_hitters,
+    )
+
+    snap = spark.range(100).select(
+        F.col("id"), F.lit("v").alias("payload")
+    )
+    changes = spark.range(50, 150).select(
+        F.col("id"),
+        F.lit("w").alias("payload"),
+        F.when(F.col("id") % 5 == 0, "D").otherwise("U").alias("op"),
+        F.lit(1).cast("long").alias("op_ts"),
+    )
+    plan = plan_text(apply_cdc(snap, changes, ["id"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+
+    items = spark.range(2000).select((F.col("id") % 13).alias("v"))
+    plan = plan_text(heavy_hitters(items, "v", 0.05, cache=False))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    simple = plan_text(
+        heavy_hitters(items, "v", 0.05, cache=False), mode="simple"
+    )
+    assert simple.count("HashAggregate") >= 2  # partial recount combine
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Sweep every registered query's physical plan: no CartesianProduct
     may appear. Intentional all-pairs generators (embedding near-dup)

@@ -217,3 +217,38 @@ def test_parse_runtime_matches_python_twin(spark, values):
     assert got == want, [
         (v, g, w) for v, g, w in zip(values, got, want) if g != w
     ]
+
+
+# ------------------------------------------------- packing invariants
+
+_DOC_TEXTS = st.lists(
+    st.integers(0, 14).map(lambda n: " ".join(f"t{j}" for j in range(n))),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_DOC_TEXTS, st.integers(3, 9))
+def test_pack_greedy_invariants(spark, texts, budget):
+    """For ANY doc-length distribution and budget: every input doc is
+    packed exactly once (zero-token docs included — pack_greedy bins
+    whatever rows it is given; filtering empties is the caller's
+    call), every multi-doc bin respects the budget, and oversized
+    docs sit alone in their bin."""
+    from etl_extract_transform_load_spark.scale.packing import pack_greedy
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    packed = pack_greedy(docs, budget=budget, n_shards=1).collect()
+    n_toks = {i: len(t.split()) if t.strip() else 0 for i, t in enumerate(texts)}
+    expect_ids = set(n_toks)
+    assert {r.doc_id for r in packed} == expect_ids
+    assert len(packed) == len(expect_ids)  # exactly once
+    bins: dict = {}
+    for r in packed:
+        bins.setdefault(r.bin_id, []).append(r.n_tokens)
+        assert r.n_tokens == n_toks[r.doc_id]
+    for toks in bins.values():
+        assert sum(toks) <= budget or len(toks) == 1

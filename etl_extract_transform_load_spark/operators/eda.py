@@ -108,6 +108,63 @@ def histogram(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-FREQUENCY binning: (bucket, lo, hi, n) where the bucket
+    edges are the exact interpolated quantiles i/n_bins (the
+    histogram's equal-width complement — right for skewed columns
+    where fixed-width bins put everything in one bar). One exact
+    percentile aggregate decides the boundaries (driver-mediated, the
+    SURVEY §4 pattern — swap in ``percentile_approx`` at corpus scale,
+    noted like describe's medians), then a scan-stage CASE sum assigns
+    buckets. NULLs drop; ties on a boundary go to the LOWER bucket
+    (assignment is ``count of boundaries strictly below x``), so
+    heavily tied columns produce uneven-but-deterministic buckets."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(f"`{col}`").cast("double")
+    src = df.filter(x.isNotNull())
+    ps = [i / n_bins for i in range(1, n_bins)]
+    row = src.agg(
+        *[
+            F.round(F.percentile(x, F.lit(p)), 6).alias(f"q{i}")
+            for i, p in enumerate(ps)
+        ],
+        F.round(F.min(x), 6).alias("qlo"),
+        F.round(F.max(x), 6).alias("qhi"),
+    ).collect()[0]
+    if row["qlo"] is None:  # empty / all-null
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, n long"
+        )
+    bounds = [float(row[f"q{i}"]) for i in range(len(ps))]
+    edges = [float(row["qlo"])] + bounds + [float(row["qhi"])]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (x > F.lit(b)).cast("int")
+    return (
+        src.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(e) for e in edges[:-1]]),
+                    F.col("bucket") + 1,
+                ).alias("lo"),
+                F.element_at(
+                    F.array(*[F.lit(e) for e in edges[1:]]),
+                    F.col("bucket") + 1,
+                ).alias("hi"),
+            ],
+            "n",
+        )
+    )
+
+
 def _pair_corr(n: Column, sx, sy, sxx, syy, sxy) -> Column:
     """Pearson r from exact component sums, evaluated in double with a
     pinned operation order (identical on any engine)."""

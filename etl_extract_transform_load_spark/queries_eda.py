@@ -30,6 +30,7 @@ def q_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.operators.eda import (
         correlation_matrix,
         histogram,
+        quantile_bins,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -43,6 +44,17 @@ def q_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.lit(None).cast("double").alias("corr"),
     )
+    qbin = quantile_bins(li, HIST_COL, n_bins=4).select(
+        F.lit("qbin").alias("part"),
+        F.lit(HIST_COL).alias("col_a"),
+        F.lit(None).cast("string").alias("col_b"),
+        F.col("bucket"),
+        F.col("lo").alias("bin_lo"),
+        F.col("hi").alias("bin_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("corr"),
+    )
+    hist = hist.unionByName(qbin)
     corr = correlation_matrix(li, CORR_COLS, parallelism=32).select(
         F.lit("corr").alias("part"),
         "col_a",
@@ -117,6 +129,32 @@ SELECT 'hist' AS part, '{HIST_COL}' AS col_a, NULL::VARCHAR AS col_b,
        ROUND(lo + (bucket + 1) * ((hi - lo) / {b}), 6) AS bin_hi,
        n, NULL::DOUBLE AS corr
 FROM h
+UNION ALL
+SELECT 'qbin', '{HIST_COL}', NULL::VARCHAR, bucket,
+       [qlo, b1, b2, b3][bucket + 1],
+       [b1, b2, b3, qhi][bucket + 1],
+       n, NULL::DOUBLE
+FROM (
+    WITH src AS (
+        SELECT CAST({HIST_COL} AS DOUBLE) AS x FROM lineitem
+        WHERE {HIST_COL} IS NOT NULL
+    ),
+    q AS (
+        SELECT ROUND(quantile_cont(x, 0.25), 6) AS b1,
+               ROUND(quantile_cont(x, 0.50), 6) AS b2,
+               ROUND(quantile_cont(x, 0.75), 6) AS b3,
+               ROUND(MIN(x), 6) AS qlo, ROUND(MAX(x), 6) AS qhi
+        FROM src
+    )
+    SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END
+            + CASE WHEN x > b2 THEN 1 ELSE 0 END
+            + CASE WHEN x > b3 THEN 1 ELSE 0 END) AS bucket,
+           COUNT(*) AS n, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2,
+           ANY_VALUE(b3) AS b3, ANY_VALUE(qlo) AS qlo,
+           ANY_VALUE(qhi) AS qhi
+    FROM src, q
+    GROUP BY 1
+) t
 UNION ALL
 {corr_parts}
 """

@@ -122,3 +122,31 @@ def test_histogram_rejects_partial_bounds(spark):
         histogram(df, "x", bins=4, lo=0.0)
     with pytest.raises(ValueError, match="BOTH lo and hi"):
         histogram(df, "x", bins=4, hi=10.0)
+
+
+def test_quantile_bins_equal_frequency_and_edges(spark):
+    from etl_extract_transform_load_spark.operators.eda import (
+        quantile_bins,
+    )
+
+    # heavily skewed: squared ids — equal-width would pile into bin 0
+    df = spark.createDataFrame(
+        [(float(i * i),) for i in range(1000)], "x double"
+    )
+    out = quantile_bins(df, "x", n_bins=4).orderBy("bucket").collect()
+    assert [r.bucket for r in out] == [0, 1, 2, 3]
+    assert all(r.n == 250 for r in out)  # equal frequency despite skew
+    # edges are monotone and hug the data range
+    assert out[0].lo == 0.0 and out[3].hi == float(999 * 999)
+    for a, b in zip(out, out[1:]):
+        assert a.hi == b.lo and a.lo < a.hi
+
+    # all-null → empty result with stable schema
+    empty = quantile_bins(
+        spark.createDataFrame([(None,)], "x double"), "x", 4
+    )
+    assert empty.count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bins(df, "x", 0)

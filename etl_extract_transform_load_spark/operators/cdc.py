@@ -33,6 +33,19 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _internal_name(base: str, *frames: DataFrame) -> str:
+    """A marker-column name colliding with no input column: a feed that
+    already carries e.g. ``__chg`` must not have it silently clobbered
+    by ``withColumn`` (a user ``__chg`` would make every snapshot row
+    look changed). Same never-clobber loop as ``plans.zorder``."""
+    taken = {c for df in frames for c in df.columns}
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name
+
+
 def latest_changes(
     changes: DataFrame,
     keys: Sequence[str],
@@ -52,10 +65,11 @@ def latest_changes(
         if payload
         else F.lit(0),
     )
+    rn = _internal_name("__rn", changes)
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -87,6 +101,7 @@ def apply_cdc(
         raise ValueError(
             f"change feed lacks snapshot columns: {missing}"
         )
+    chg = _internal_name("__chg", snapshot, changes)
     latest = latest_changes(
         changes.filter(
             F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
@@ -94,7 +109,7 @@ def apply_cdc(
         keys,
         ts_col,
         op_col,
-    ).withColumn("__chg", F.lit(1))
+    ).withColumn(chg, F.lit(1))
     s = snapshot.alias("s")
     c = latest.alias("c")
     cond = None
@@ -102,7 +117,7 @@ def apply_cdc(
         eq = F.col(f"s.`{k}`") == F.col(f"c.`{k}`")
         cond = eq if cond is None else cond & eq
     joined = s.join(c, cond, "full_outer")
-    has_change = F.col("c.__chg").isNotNull()
+    has_change = F.col(f"c.`{chg}`").isNotNull()
     is_delete = F.upper(F.col(f"c.`{op_col}`")) == "D"
     keep = ~has_change | ~F.coalesce(is_delete, F.lit(False))
     out_cols = [

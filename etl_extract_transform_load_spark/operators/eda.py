@@ -55,8 +55,11 @@ def histogram(
     groupBy can't invent empty ones — the plotting side zero-fills).
     ``lo``/``hi`` default to the column min/max via one aggregate row
     (data-dependent, driver-mediated — the SURVEY §4 decide pattern);
-    pass both to skip that scan. A constant column (hi == lo) lands
-    entirely in bucket 0 with a zero-width bin."""
+    pass both to skip that scan. hi == lo (a constant column, or
+    explicit equal bounds) lands EVERY non-null row in bucket 0 with a
+    zero-width bin — including rows outside the bounds, same as the
+    edge-bucket clamp for any other out-of-range value. Explicit
+    hi < lo raises."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
     if (lo is None) != (hi is None):
@@ -64,6 +67,10 @@ def histogram(
             "pass BOTH lo and hi or neither — a single explicit bound "
             "would be silently overwritten by the data min/max"
         )
+    if lo is not None and hi is not None and hi < lo:
+        # a negative width would feed the greatest/least clamp
+        # garbage-but-in-range bucket ids: silently wrong counts
+        raise ValueError(f"inverted bounds: hi={hi} < lo={lo}")
     x = F.col(f"`{col}`").cast("double")
     src = df.filter(x.isNotNull())
     if lo is None or hi is None:

@@ -29,23 +29,37 @@ via ``spark.catalog.clearCache()`` or ``df.unpersist()``).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator, List
 
 from pyspark.sql import DataFrame
 
-_ACTIVE: List[List[DataFrame]] = []
+# Thread-LOCAL context stack: Spark drivers commonly submit jobs from
+# several threads, and a released_caches() block in one thread must
+# not capture (and unpersist on exit) caches another thread's query is
+# still reading. Each thread therefore tracks only its own persists; a
+# persist made outside any context in THIS thread stays caller-managed.
+_TLS = threading.local()
+
+
+def _stack() -> List[List[DataFrame]]:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
 
 
 def persist_tracked(df: DataFrame, cache: bool = True) -> DataFrame:
     """``df.persist()`` registered with the innermost
-    :func:`released_caches` context (if one is open); pass-through when
-    ``cache=False``."""
+    :func:`released_caches` context open in the CURRENT thread (if
+    any); pass-through when ``cache=False``."""
     if not cache:
         return df
     df = df.persist()
-    if _ACTIVE:
-        _ACTIVE[-1].append(df)
+    stack = _stack()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -54,10 +68,11 @@ def released_caches() -> Iterator[List[DataFrame]]:
     """Unpersist every operator cache created inside the block on exit
     (success or error). Yields the tracking list for introspection."""
     bag: List[DataFrame] = []
-    _ACTIVE.append(bag)
+    stack = _stack()
+    stack.append(bag)
     try:
         yield bag
     finally:
-        _ACTIVE.pop()
+        stack.pop()
         for df in bag:
             df.unpersist()

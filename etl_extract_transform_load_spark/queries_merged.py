@@ -871,7 +871,7 @@ SELECT 'split', CAST(doc_id AS BIGINT),
             ELSE 'test' END,
        NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
 FROM (SELECT doc_id,
-             ((doc_id + {_SPLIT_SALT_OFFSET}) * 2654435761
+             (((doc_id + {_SPLIT_SALT_OFFSET}) % 2147483648) * 2654435761
               % 4294967296) % 10000 AS b
       FROM documents)
 UNION ALL
@@ -879,7 +879,8 @@ SELECT 'weighted', CAST(doc_id AS BIGINT), NULL::VARCHAR, NULL::VARCHAR,
        NULL::BIGINT, CAST(ROUND(pri * 1e9) AS BIGINT), NULL::BIGINT
 FROM (
     SELECT doc_id,
-           ROUND(LN((CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE)
+           ROUND(LN((CAST((doc_id % 2147483648) * 2654435761 % 4294967296
+                          AS DOUBLE)
                      + 0.5) / 4294967296.0)
                  / CAST(n_chars AS DOUBLE), 9) AS pri
     FROM documents

@@ -350,7 +350,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang, source FROM documents
-WHERE ((doc_id + {_STRATA_SALT}) * 2654435761) % 4294967296 % 10000 <
+WHERE (((doc_id + {_STRATA_SALT}) % 2147483648) * 2654435761) % 4294967296 % 10000 <
       CASE lang {' '.join(
           f"WHEN '{lg}' THEN {int(round(r * 10000))}"
           for lg, r in sorted(_STRATA_RATES.items())
@@ -395,7 +395,8 @@ rates AS (SELECT source, n_rows,
           FROM w, c),
 kept AS (SELECT d.source, COUNT(*) AS n_kept
          FROM documents d JOIN rates r USING (source)
-         WHERE ((d.doc_id + 0) * 2654435761) % 4294967296 % 10000 < r.keep_buckets
+         WHERE (((d.doc_id + 0) % 2147483648) * 2654435761) % 4294967296 % 10000
+               < r.keep_buckets
          GROUP BY d.source)
 SELECT r.source, r.n_rows, r.keep_buckets, COALESCE(k.n_kept, 0) AS n_kept
 FROM rates r LEFT JOIN kept k USING (source)
@@ -479,7 +480,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK = f"""
 WITH RECURSIVE base AS (
     SELECT source,
-           CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+           CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 16
+                AS BIGINT) AS shard,
            doc_id, {_TOKS_SQL} AS t
     FROM documents),
 o AS (SELECT source, shard, doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,

@@ -97,11 +97,12 @@ def pack_greedy(
     shard-locally is what production pipelines do anyway). Token
     counting happens JVM-side BEFORE the shuffle to groups — only
     (group, shard, id, n_tokens) rows cross the wire, never text."""
+    from etl_extract_transform_load_spark.scale.sampling import knuth_hash32
+
     c = F.coalesce(F.col(text_col), F.lit(""))
-    shard = (
-        (F.col(id_col).cast("long") * F.lit(2654435761))
-        % F.lit(4294967296)
-    ) % F.lit(n_shards)
+    # overflow-safe hash (sampling module docstring): identical to the
+    # raw (id * K) % 2^32 for ids < 2^31, never negative for larger ids
+    shard = knuth_hash32(F.col(id_col)) % F.lit(n_shards)
     slim = df.select(
         F.col(group_col).cast("string").alias("grp"),
         shard.cast("long").alias("shard"),

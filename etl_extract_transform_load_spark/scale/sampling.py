@@ -4,9 +4,21 @@ A 100 TB pipeline cannot use ``rand()`` sampling: reruns must select
 the SAME rows (resumable shards, reproducible ablations), and the
 decision must be computable engine-side with no shuffle. Everything
 here keys off a multiplicative integer hash of the row id —
-`(id + salt) * 2654435761 mod 2^32` (Knuth's golden-ratio constant) —
-which is a pure int64 expression, identical in any SQL dialect, and
-evaluates inside the parquet scan stage.
+`((id + salt) mod 2^31) * 2654435761 mod 2^32` (Knuth's golden-ratio
+constant) — which is a pure int64 expression, identical in any SQL
+dialect, and evaluates inside the parquet scan stage. The 2^31 mask
+BEFORE the multiply keeps the product under 2^63 for ANY id, so the
+hash never wraps negative (an unmasked `(id + salt) * K` overflows
+signed int64 for ids above ~3.4e9; Spark `%` keeps the dividend's
+sign, so the bucket goes negative and `< threshold` silently KEEPS
+every such row, while weighted_sample's `log(u)` goes NULL and
+silently DROPS it — both are scale-dependent bias, not errors). Ids
+that differ only in bit 31+ collide — irrelevant for a sampling hash
+(the multiplier diffuses the low 31 bits), and for ids below 2^31
+the masked hash is bit-identical to the unmasked one, which is what
+the DuckDB oracle mirrors (checked arithmetic there would raise on
+the overflow rather than wrap, so the mask is the one portable
+semantics).
 
 Beyond the reference's surface (its only sampler is pandas
 ``df.sample(n=5)`` for EDA, exploratory_data_analysis.ipynb:1498);
@@ -37,14 +49,23 @@ _SPLIT_SALT_OFFSET = 0x5B17
 #: Hash-bucket resolution: rates are quantized to 1/10000.
 BUCKETS = 10_000
 _MOD32 = 2**32
+_MOD31 = 2**31
+
+
+def knuth_hash32(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic multiplicative hash in [0, 2^32) — overflow-safe
+    for ANY int64 id (module docstring): pmod the salted id to 31 bits
+    first so the Knuth multiply stays inside int64, then pmod the
+    product to 32 bits so the result is non-negative even for inputs
+    a raw ``%`` would wrap negative. Identical to the unmasked hash
+    for 0 <= id + salt < 2^31."""
+    h0 = F.pmod(id_col.cast("long") + F.lit(salt % _MOD31), F.lit(_MOD31))
+    return F.pmod(h0 * F.lit(KNUTH_HASH), F.lit(_MOD32))
 
 
 def hash_bucket(id_col: Column, salt: int = 0) -> Column:
-    """Bucket in [0, BUCKETS) from a deterministic multiplicative hash
-    of an integer id. int64-exact for ids < ~3.4e9 (no overflow:
-    (id + salt) * 2654435761 stays under 2^63)."""
-    h = ((id_col.cast("long") + F.lit(salt)) * F.lit(KNUTH_HASH)) % F.lit(_MOD32)
-    return h % F.lit(BUCKETS)
+    """Bucket in [0, BUCKETS) of :func:`knuth_hash32`."""
+    return knuth_hash32(id_col, salt) % F.lit(BUCKETS)
 
 
 def deterministic_sample(
@@ -190,9 +211,7 @@ def weighted_sample(
         & ~F.isnan(w)
         & (w > 0)
     )
-    h = (
-        (F.col(id_col).cast("long") + F.lit(salt)) * F.lit(KNUTH_HASH)
-    ) % F.lit(_MOD32)
+    h = knuth_hash32(F.col(id_col), salt)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD32))
     pri = F.round(F.log(u) / w, 9)
     return (

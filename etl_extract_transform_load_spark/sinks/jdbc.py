@@ -142,6 +142,37 @@ def read_jdbc(
     return reader.load()
 
 
+def jdbc_table_exists(spark, url: str, table: str) -> bool:
+    """Explicit catalog probe through ``DatabaseMetaData.getTables`` —
+    NOT error-message sniffing (a transient failure whose Java stack
+    trace happens to contain "not found" must propagate, not read as
+    "table missing"). Accepts an optional ``schema.table`` qualifier;
+    names compare case-insensitively because unquoted DDL identifiers
+    are case-folded by most dialects (Derby/Postgres/Oracle). Raises on
+    connection failure — callers that must distinguish "absent" from
+    "unreachable" rely on that."""
+    jvm = spark._jvm
+    schema_pat = None
+    name = table
+    if "." in table:
+        schema_pat, name = table.split(".", 1)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        # try the name as-stored first, then both case folds (Derby
+        # uppercases unquoted identifiers, Postgres lowercases them)
+        for candidate in (name, name.upper(), name.lower()):
+            rs = meta.getTables(None, schema_pat, candidate, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def idempotent_jdbc_batch_writer(
     url: str,
     table: str,
@@ -164,29 +195,20 @@ def idempotent_jdbc_batch_writer(
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # ONLY a catalog-confirmed missing epoch table means "first
+        # ever batch". The existence check is an explicit metadata
+        # probe, not exception-text sniffing: a transient failure
+        # (connection loss, lock timeout) raises — from the probe or
+        # from the count — instead of being misread as seen=False,
+        # which would re-append an already-committed replayed batch.
+        if jdbc_table_exists(spark, url, epoch_table):
             seen = (
                 read_jdbc(spark, url, epoch_table)
                 .filter(f"epoch_id = {int(epoch_id)}")
                 .count()
                 > 0
             )
-        except Exception as exc:
-            # ONLY a missing epoch table means "first ever batch".
-            # Any other probe failure (connection loss, lock timeout)
-            # must propagate: treating it as seen=False would re-append
-            # an already-committed replayed batch — a silent duplicate.
-            msg = str(exc).lower()
-            if not any(
-                pat in msg
-                for pat in (
-                    "does not exist",   # Derby/Postgres missing table
-                    "not found",        # generic dialects
-                    "no such table",    # SQLite-style
-                    "table_or_view_not_found",  # Spark error class
-                )
-            ):
-                raise
+        else:
             seen = False
         if seen:
             return

@@ -90,3 +90,22 @@ def test_composite_key_fold(spark):
         for r in apply_cdc(snap, changes, ["a", "b"]).collect()
     }
     assert got == {(1, "x", "v9"), (1, "y", "v2"), (2, "z", "new")}
+
+
+def test_user_marker_named_columns_survive(spark):
+    """A feed/snapshot already carrying ``__chg``/``__rn`` columns must
+    not collide with the internal markers (a clobbered user __chg
+    would make every snapshot row look changed)."""
+    snap = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 8)], "id long, __chg string, __rn long"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 9, "U", 1)],
+        "id long, __chg string, __rn long, op string, op_ts long",
+    )
+    got = {
+        (r["id"], r["__chg"], r["__rn"])
+        for r in apply_cdc(snap, changes, ["id"]).collect()
+    }
+    # row 1 untouched (its __chg/__rn payload intact), row 2 replaced
+    assert got == {(1, "a", 7), (2, "b2", 9)}

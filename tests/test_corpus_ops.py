@@ -357,3 +357,40 @@ def test_weighted_sample_rejects_non_integer_ids(spark):
     )
     with pytest.raises(ValueError, match="integer id column"):
         weighted_sample(df, 1, "w")
+
+
+def test_hash_is_overflow_safe_for_huge_ids(spark):
+    """Ids past 2^31 (where (id + salt) * K overflows int64) must hash
+    into [0, 2^32) — not wrap negative. A negative hash silently KEEPS
+    every huge id in deterministic_sample (bucket < threshold always
+    true) and silently DROPS it from weighted_sample (log of a
+    negative u is NULL, sorts last) — scale-dependent bias either
+    way."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.sampling import (
+        deterministic_sample,
+        knuth_hash32,
+        weighted_sample,
+    )
+
+    huge = [2**31, 2**33 + 7, 2**62, 2**63 - 1]
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in huge], "doc_id long, w double"
+    )
+    hashes = [
+        r.h
+        for r in df.select(
+            knuth_hash32(F.col("doc_id")).alias("h")
+        ).collect()
+    ]
+    assert all(0 <= h < 2**32 for h in hashes), hashes
+    # every huge id gets a real priority → all k=4 rows sampled
+    got = {r.doc_id for r in weighted_sample(df, 4, "w").collect()}
+    assert got == set(huge)
+    # rate-0 sample keeps nothing (a negative bucket would keep all)
+    assert deterministic_sample(df, 0.0).count() == 0
+    # and small ids hash identically to the historical unmasked form
+    small = spark.createDataFrame([(123,)], "doc_id long")
+    (h,) = small.select(knuth_hash32(F.col("doc_id")).alias("h")).collect()[0]
+    assert h == (123 * 2654435761) % 2**32

@@ -124,6 +124,17 @@ def test_histogram_rejects_partial_bounds(spark):
         histogram(df, "x", bins=4, hi=10.0)
 
 
+def test_histogram_rejects_inverted_bounds(spark):
+    """hi < lo would make the width negative and the clamp produce
+    garbage-but-in-range bucket ids — silently wrong counts."""
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="inverted"):
+        histogram(df, "x", bins=4, lo=10.0, hi=0.0)
+    # hi == lo is allowed: everything (even out-of-range) in bucket 0
+    got = histogram(df, "x", bins=4, lo=5.0, hi=5.0).collect()
+    assert [(r.bucket, r.n) for r in got] == [(0, 2)]
+
+
 def test_quantile_bins_equal_frequency_and_edges(spark):
     from etl_extract_transform_load_spark.operators.eda import (
         quantile_bins,

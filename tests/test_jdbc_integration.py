@@ -213,3 +213,24 @@ def test_instrumented_write_reports_throughput(spark, derby_url):
     assert metrics["rows_per_sec"] > 0
     got = read_jdbc(spark, derby_url, "T_METRICS")
     assert got.count() == 5_000
+
+
+def test_jdbc_table_exists_probe(spark, derby_url):
+    from etl_extract_transform_load_spark.sinks.jdbc import (
+        jdbc_table_exists,
+    )
+
+    assert not jdbc_table_exists(spark, derby_url, "T_NOPE")
+    df = spark.range(3).select(F.col("id").alias("k"))
+    write_jdbc(df, derby_url, "T_PROBE", mode="overwrite")
+    # Derby stores the unquoted name uppercased; the probe must find
+    # it regardless of the case the caller used
+    assert jdbc_table_exists(spark, derby_url, "T_PROBE")
+    assert jdbc_table_exists(spark, derby_url, "t_probe")
+    # unreachable database: raises, never reads as "missing" (that
+    # misread is what lets a replayed batch re-append)
+    import pytest
+    import py4j.protocol
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        jdbc_table_exists(spark, "jdbc:derby:/nonexistent/dir/db", "T")

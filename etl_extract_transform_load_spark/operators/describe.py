@@ -36,33 +36,73 @@ def describe_numeric(df: DataFrame, column: str, scale: int = 2) -> DataFrame:
     """A6 (ratings.describe(), EDA:4278): count/mean/std/min/quartiles/max.
 
     mean and std are derived from exact decimal sums (sum x, sum x²)
-    so they are bit-identical across engines; quartiles use exact
-    linear-interpolation percentiles (``percentile``, equivalent to
-    DuckDB ``quantile_cont``) — fine at test scale, swap to
-    ``percentile_approx`` at 100 TB."""
+    so they are bit-identical across engines; quartiles are exact
+    linear-interpolation percentiles (DuckDB ``quantile_cont``
+    semantics, bit-identical arithmetic) computed by
+    ``operators.quantiles.exact_quantiles`` — bounded aggregation
+    state at ANY scale, unlike SQL ``percentile``, which buffers the
+    whole column in one aggregation state to sort it. The quartiles
+    are driver-mediated (the SURVEY §4 decide pattern, like
+    ``eda.histogram``'s min/max) and ride back in as literals."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        _order_stats_decided,
+        _src,
+        quantiles_from_stats,
+    )
+
     x = F.col(column)
     dec = f"decimal(38,{2 * scale})"
-    row = df.agg(
+    # ONE decide aggregate carries the moments AND the quantile
+    # machinery's n/min/max — the quartile refinement then reuses it,
+    # so describe is two scans total (decide + bucket pass; a third
+    # only when a straddling bucket needs the bounded collect)
+    xd = x.cast("double")
+    not_nan = F.when(~F.isnan(xd), xd)  # NULL for NaN AND for NULL
+    drow = df.agg(
         F.count(x).alias("n"),
         F.sum(x.cast(dec)).alias("sx"),
         F.sum((x * x).cast(dec)).alias("sxx"),
-        F.min(x).alias("min"),
-        F.max(x).alias("max"),
-        F.expr(f"percentile({column}, array(0.25, 0.5, 0.75))").alias("q"),
+        F.count(not_nan).alias("nq"),
+        F.min(not_nan).alias("mn"),
+        F.max(not_nan).alias("mx"),
+        F.min(x).alias("tmin"),
+        F.max(x).alias("tmax"),
+    ).collect()[0]
+    qs = quantiles_from_stats(
+        _src(df, column), drow["nq"], drow["mn"], drow["mx"],
+        [0.25, 0.5, 0.75],
     )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sxx = F.col("sxx").cast("double")
+    one = df.sparkSession.range(1)
+    col_type = df.schema[column].dataType
+    tmin = F.lit(drow["tmin"]).cast(col_type).alias("min")
+    tmax = F.lit(drow["tmax"]).cast(col_type).alias("max")
+    if drow["n"] == 0:
+        null_d = F.lit(None).cast("double")
+        return one.select(
+            F.lit(0).cast("long").alias("count"),
+            null_d.alias("mean"),
+            null_d.alias("std"),
+            tmin,
+            null_d.alias("q25"),
+            null_d.alias("q50"),
+            null_d.alias("q75"),
+            tmax,
+        )
+    # float(Decimal) and the JVM's decimal→double cast are both
+    # correctly rounded — identical bits to the retired in-plan cast
+    n = F.lit(float(drow["n"]))
+    sx = F.lit(float(drow["sx"]))
+    sxx = F.lit(float(drow["sxx"]))
     mean = sx / n
     # Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1).
     var = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    return row.select(
-        F.col("n").alias("count"),
+    return one.select(
+        F.lit(drow["n"]).cast("long").alias("count"),
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(var), 6).alias("std"),
-        F.col("min").alias("min"),
-        F.round(F.col("q")[0], 6).alias("q25"),
-        F.round(F.col("q")[1], 6).alias("q50"),
-        F.round(F.col("q")[2], 6).alias("q75"),
-        F.col("max").alias("max"),
+        tmin,
+        F.round(F.lit(qs[0]).cast("double"), 6).alias("q25"),
+        F.round(F.lit(qs[1]).cast("double"), 6).alias("q50"),
+        F.round(F.lit(qs[2]).cast("double"), 6).alias("q75"),
+        tmax,
     )

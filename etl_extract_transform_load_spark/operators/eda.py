@@ -123,32 +123,36 @@ def quantile_bins(
     """Equal-FREQUENCY binning: (bucket, lo, hi, n) where the bucket
     edges are the exact interpolated quantiles i/n_bins (the
     histogram's equal-width complement — right for skewed columns
-    where fixed-width bins put everything in one bar). One exact
-    percentile aggregate decides the boundaries (driver-mediated, the
-    SURVEY §4 pattern — swap in ``percentile_approx`` at corpus scale,
-    noted like describe's medians), then a scan-stage CASE sum assigns
-    buckets. NULLs drop; ties on a boundary go to the LOWER bucket
-    (assignment is ``count of boundaries strictly below x``), so
-    heavily tied columns produce uneven-but-deterministic buckets."""
+    where fixed-width bins put everything in one bar). The boundaries
+    come from ``operators.quantiles.exact_quantiles`` (driver-mediated
+    decide, the SURVEY §4 pattern) — exact at ANY scale with bounded
+    aggregation state, where a SQL ``percentile`` aggregate would
+    buffer the whole column in one state to sort it. Then a scan-stage
+    CASE sum assigns buckets. NULLs drop; ties on a boundary go to the
+    LOWER bucket (assignment is ``count of boundaries strictly below
+    x``), so heavily tied columns produce
+    uneven-but-deterministic buckets."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        exact_quantiles,
+        round_half_up6,
+    )
+
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     x = F.col(f"`{col}`").cast("double")
     src = df.filter(x.isNotNull())
     ps = [i / n_bins for i in range(1, n_bins)]
-    row = src.agg(
-        *[
-            F.round(F.percentile(x, F.lit(p)), 6).alias(f"q{i}")
-            for i, p in enumerate(ps)
-        ],
-        F.round(F.min(x), 6).alias("qlo"),
-        F.round(F.max(x), 6).alias("qhi"),
-    ).collect()[0]
-    if row["qlo"] is None:  # empty / all-null
+    qs = exact_quantiles(df, col, [0.0] + ps + [1.0])
+    if qs[0] is None:  # empty / all-null
         return df.sparkSession.createDataFrame(
             [], "bucket int, lo double, hi double, n long"
         )
-    bounds = [float(row[f"q{i}"]) for i in range(len(ps))]
-    edges = [float(row["qlo"])] + bounds + [float(row["qhi"])]
+    # round exactly as the retired in-plan ROUND(…, 6) did (HALF_UP on
+    # the shortest decimal repr — Spark and DuckDB agree), so edges
+    # and bucket cuts are bit-identical to prior rounds' oracle
+    qs = [round_half_up6(v) for v in qs]
+    bounds = qs[1:-1]
+    edges = qs
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (x > F.lit(b)).cast("int")

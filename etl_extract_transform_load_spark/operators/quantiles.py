@@ -1,0 +1,303 @@
+"""Exact quantiles with BOUNDED aggregation state (SURVEY.md §2.10).
+
+``F.percentile`` / SQL ``percentile`` buffers every value of the
+column inside one aggregation state to sort it — hash-exact, but
+OOM-shaped at corpus scale (the one scale-killer VERDICT r3 flagged in
+a registered plan). ``percentile_approx`` bounds the state but gives
+up exactness, so it can't carry a hash-compared oracle contract.
+
+This module computes EXACT order statistics — and from them exact
+interpolated quantiles, bit-identical to Spark's ``percentile`` and
+DuckDB's ``quantile_cont`` — with per-pass state bounded by
+``bins`` counters, via iterative histogram refinement (the same
+sketch-then-verify shape as ``scale.sketches`` Misra–Gries):
+
+1. one aggregate decides n / global min / max (the SURVEY §4
+   driver-mediated decide pattern, like ``operators.eda.histogram``);
+2. each round, one groupBy over ≤ ``bins`` numeric buckets per active
+   window yields (count, true min, true max) per bucket — the bucket
+   holding each target rank either collapses to a single distinct
+   value (rank resolved exactly), is small enough to collect and sort
+   locally (≤ ``collect_threshold`` values — the bounded "recount of
+   the straddling bin"), or becomes the next round's window;
+3. one final filtered collect resolves all remaining ranks.
+
+Rounds are O(log_bins(distinct values)) — 2 scans end-to-end for
+typical data (decide + one bucket pass whose straddling bins are
+collectable), ~4 at 10^13 rows — and every scan is a plain
+scan-stage projection + partial-aggregate, no shuffle of data rows,
+no full-column buffer anywhere. Ties cost nothing: a heavily tied
+bucket collapses to min == max and resolves without collecting.
+
+Exactness contract: the interpolation reproduces Spark's
+``Percentile`` arithmetic bit-for-bit — ``pos = p * (n-1)``,
+``(ceil(pos) - pos) * lower + (pos - floor(pos)) * upper`` — in IEEE
+doubles, which hash-matched DuckDB ``quantile_cont`` through three
+rounds of oracle comparison. NULL and NaN inputs are excluded (Spark's
+``percentile`` sorts NaN last instead; a corpus quantile over NaN is
+meaningless, so this module refuses to let NaN silently become "the
+p99").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def round_half_up6(v: float) -> float:
+    """Driver-side replica of Spark/DuckDB ``ROUND(x, 6)`` on doubles:
+    HALF_UP on the shortest decimal representation (JVM
+    ``Double.toString`` == Python ``repr``), so a quantile computed
+    here and embedded as a literal is bit-identical to one rounded
+    in-plan."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+#: Per-pass aggregation keys; 2048 buckets × (count, min, max) keeps
+#: the partial-agg state ~50 KB while cutting the candidate set 2048×
+#: per round.
+DEFAULT_BINS = 2048
+
+#: Max values pulled to the driver to resolve one straddling bucket
+#: (~0.5 MB of doubles) — the bounded "recount" step.
+DEFAULT_COLLECT = 65_536
+
+
+def _bucket_expr(x, lo: float, hi: float, bins: int):
+    width = (hi - lo) / bins
+    return F.least(
+        F.lit(bins - 1).cast("long"),
+        F.floor((x - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+
+
+def _src(df: DataFrame, col: str) -> DataFrame:
+    x = F.col(f"`{col}`").cast("double")
+    return df.filter(x.isNotNull() & ~F.isnan(x)).select(x.alias("x"))
+
+
+def exact_order_stats(
+    df: DataFrame,
+    col: str,
+    ranks: Sequence[int],
+    bins: int = DEFAULT_BINS,
+    collect_threshold: int = DEFAULT_COLLECT,
+    max_rounds: int = 12,
+) -> Dict[int, float]:
+    """{rank: value} for 1-indexed ``ranks`` over the non-NULL,
+    non-NaN values of ``col`` — exact, with bounded state (module
+    docstring). Ranks outside [1, n] raise (the caller computed them
+    from a stale count)."""
+    src = _src(df, col)
+    row = src.agg(
+        F.count("x").alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    ).collect()[0]
+    return _order_stats_decided(
+        src, row["n"], row["mn"], row["mx"], ranks,
+        bins, collect_threshold, max_rounds,
+    )
+
+
+def _order_stats_decided(
+    src: DataFrame,
+    n: int,
+    mn,
+    mx,
+    ranks: Sequence[int],
+    bins: int,
+    collect_threshold: int,
+    max_rounds: int,
+) -> Dict[int, float]:
+    xx = F.col("x")
+    ranks = sorted(set(int(r) for r in ranks))
+    if not ranks:
+        return {}
+    if any(r < 1 or r > n for r in ranks):
+        raise ValueError(f"ranks {ranks} outside [1, {n}]")
+    if mn == mx:
+        return {r: float(mn) for r in ranks}
+
+    resolved: Dict[int, float] = {}
+    # window: (lo, hi, below, ranks) — all values in [lo, hi], `below`
+    # rows strictly smaller than lo in the full data
+    windows: List[Tuple[float, float, int, List[int]]] = [
+        (float(mn), float(mx), 0, ranks)
+    ]
+    to_collect: List[Tuple[float, float, int, List[int]]] = []
+
+    for _ in range(max_rounds):
+        if not windows:
+            break
+        # one job: tag each row with its window id, bucket within it
+        cond = None
+        wid = F.lit(None).cast("int")
+        bucket = F.lit(None).cast("int")
+        for i, (lo, hi, _, _) in enumerate(windows):
+            in_w = (xx >= F.lit(lo)) & (xx <= F.lit(hi))
+            cond = in_w if cond is None else (cond | in_w)
+            wid = F.when(in_w & wid.isNull(), F.lit(i)).otherwise(wid)
+            bucket = F.when(
+                F.col("w") == i, _bucket_expr(xx, lo, hi, bins)
+            ).otherwise(bucket)
+        stats = (
+            src.filter(cond)
+            .withColumn("w", wid)
+            .groupBy("w", bucket.alias("b"))
+            .agg(
+                F.count(xx).alias("cnt"),
+                F.min(xx).alias("bmin"),
+                F.max(xx).alias("bmax"),
+            )
+            .collect()
+        )
+        by_window: Dict[int, List] = {}
+        for r in stats:
+            by_window.setdefault(r["w"], []).append(r)
+
+        next_windows: List[Tuple[float, float, int, List[int]]] = []
+        for i, (lo, hi, below, wranks) in enumerate(windows):
+            buckets = sorted(by_window.get(i, []), key=lambda r: r["b"])
+            # straddling bucket per rank via cumulative counts
+            cum = below
+            it = iter(buckets)
+            cur = next(it)
+            cur_start = cum
+            for rank in wranks:
+                while cur_start + cur["cnt"] < rank:
+                    cur_start += cur["cnt"]
+                    cur = next(it)
+                bmin, bmax, cnt = (
+                    float(cur["bmin"]),
+                    float(cur["bmax"]),
+                    cur["cnt"],
+                )
+                if bmin == bmax:
+                    resolved[rank] = bmin
+                    continue
+                # group consecutive ranks straddling the same bucket
+                target = (bmin, bmax, cur_start)
+                placed = False
+                for bucket_list in (next_windows, to_collect):
+                    for j, (blo, bhi, bbelow, brs) in enumerate(bucket_list):
+                        if (blo, bhi, bbelow) == target:
+                            brs.append(rank)
+                            placed = True
+                            break
+                    if placed:
+                        break
+                if placed:
+                    continue
+                entry = (bmin, bmax, cur_start, [rank])
+                if cnt <= collect_threshold:
+                    to_collect.append(entry)
+                elif (bmin, bmax) == (lo, hi):
+                    # no numeric progress (pathological sub-denormal
+                    # range): refuse loudly rather than loop
+                    raise RuntimeError(
+                        f"exact_order_stats stalled on window "
+                        f"[{lo}, {hi}] holding {cnt} rows — raise "
+                        "collect_threshold or reduce duplicate spread"
+                    )
+                else:
+                    next_windows.append(entry)
+        windows = next_windows
+    if windows:
+        raise RuntimeError(
+            f"exact_order_stats did not converge in {max_rounds} rounds"
+        )
+
+    if to_collect:
+        # one job resolves every remaining straddling bucket: tag rows
+        # with their bucket id, collect ≤ len(to_collect) * threshold
+        # doubles, sort each group locally
+        cond = None
+        tag = F.lit(None).cast("int")
+        for i, (lo, hi, _, _) in enumerate(to_collect):
+            in_b = (xx >= F.lit(lo)) & (xx <= F.lit(hi))
+            cond = in_b if cond is None else (cond | in_b)
+            tag = F.when(in_b & tag.isNull(), F.lit(i)).otherwise(tag)
+        rows = (
+            src.filter(cond).select(tag.alias("t"), xx.alias("v")).collect()
+        )
+        groups: Dict[int, List[float]] = {}
+        for r in rows:
+            groups.setdefault(r["t"], []).append(r["v"])
+        for i, (lo, hi, below, brs) in enumerate(to_collect):
+            vals = sorted(groups[i])
+            for rank in brs:
+                resolved[rank] = float(vals[rank - below - 1])
+    return resolved
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    ps: Sequence[float],
+    bins: int = DEFAULT_BINS,
+    collect_threshold: int = DEFAULT_COLLECT,
+) -> List[float | None]:
+    """Exact linear-interpolated quantiles (Spark ``percentile`` /
+    DuckDB ``quantile_cont`` semantics, bit-identical arithmetic) at
+    probabilities ``ps``, computed with bounded state. Returns one
+    value per p, in order; all-NULL/empty input returns all None."""
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    src = _src(df, col)
+    row = src.agg(
+        F.count("x").alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    ).collect()[0]
+    return quantiles_from_stats(
+        src, row["n"], row["mn"], row["mx"], ps,
+        bins=bins, collect_threshold=collect_threshold,
+    )
+
+
+def quantiles_from_stats(
+    src: DataFrame,
+    n: int,
+    mn,
+    mx,
+    ps: Sequence[float],
+    bins: int = DEFAULT_BINS,
+    collect_threshold: int = DEFAULT_COLLECT,
+) -> List[float | None]:
+    """:func:`exact_quantiles` when the caller already aggregated
+    n/min/max (e.g. alongside other moments in one decide pass —
+    ``describe.describe_numeric`` does): skips the extra scan. ``src``
+    must be the :func:`_src` projection of the column."""
+    if n == 0:
+        return [None] * len(ps)
+    ranks = set()
+    for p in ps:
+        pos = p * (n - 1)
+        ranks.add(int(math.floor(pos)) + 1)
+        ranks.add(int(math.ceil(pos)) + 1)
+    stats = _order_stats_decided(
+        src, n, mn, mx, sorted(ranks), bins, collect_threshold, 12
+    )
+    out: List[float | None] = []
+    for p in ps:
+        # Spark Percentile.getPercentile arithmetic, verbatim
+        pos = p * (n - 1)
+        lower = math.floor(pos)
+        higher = math.ceil(pos)
+        if higher == lower:
+            out.append(stats[int(lower) + 1])
+        else:
+            out.append(
+                (higher - pos) * stats[int(lower) + 1]
+                + (pos - lower) * stats[int(higher) + 1]
+            )
+    return out

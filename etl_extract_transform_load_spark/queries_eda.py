@@ -217,14 +217,25 @@ UNION ALL
 """
 
 
-def eda_metric_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of :func:`eda_metric_value_sql`."""
+def eda_metric_value(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of :func:`eda_metric_value_sql`. ``li`` lets the
+    caller hand in an already-persisted lineitem projection (the
+    describe_stats merged query shares one across every branch) —
+    values are identical either way."""
     from etl_extract_transform_load_spark.operators.eda import (
         correlation_matrix,
         histogram,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # the pre-agg repartition pays for itself either way at local
+    # scale: the compact input (file splits or a few cached blocks)
+    # otherwise bounds the 36-decimal-sum partial aggregation to ~3
+    # tasks — see correlation_matrix's docstring
+    parallelism = 32
+    if li is None:
+        li = load_table(spark, sf_dir, "lineitem")
     # checkpoint both tiny results (≤ bins rows / ≤ k² rows): three
     # metric branches read the histogram and two read the correlation
     # matrix — without this each union branch re-runs the full scan+agg
@@ -248,7 +259,9 @@ def eda_metric_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    c = correlation_matrix(li, CORR_COLS, parallelism=32).localCheckpoint()
+    c = correlation_matrix(
+        li, CORR_COLS, parallelism=parallelism
+    ).localCheckpoint()
     corr = c.select(
         F.concat_ws(":", F.lit("corr"), "col_a", "col_b").alias("metric"),
         F.col("corr").alias("value"),

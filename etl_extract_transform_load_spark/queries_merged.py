@@ -164,44 +164,76 @@ USING (l_returnflag)
 def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe_quantity + value_counts_lang + the grouped pandas-UDAF
     MAD, stacked to (metric, value) rows. Covers A5 (value_counts),
-    A6 (describe) and the §2.9 UDF extension surface."""
-    from etl_extract_transform_load_spark.queries_relational import (
-        q_describe_quantity,
-        q_value_counts_lang,
-    )
-    from etl_extract_transform_load_spark.queries_temporal import q_mad_quantity
+    A6 (describe) and the §2.9 UDF extension surface.
 
-    d = q_describe_quantity(spark, sf_dir)
-    stacked = d.select(
-        F.expr(
-            "stack(8,"
-            " 'count', cast(count as double),"
-            " 'mean', cast(mean as double),"
-            " 'std', cast(std as double),"
-            " 'min', cast(min as double),"
-            " 'q25', cast(q25 as double),"
-            " 'q50', cast(q50 as double),"
-            " 'q75', cast(q75 as double),"
-            " 'max', cast(max as double)) as (metric, value)"
-        )
+    The describe / MAD / histogram / Pearson / quantile branches all
+    read lineitem; without sharing, each union branch (and each
+    decide pass inside them) re-runs the scan. The 5 needed columns
+    are projected ONCE into a tracked persist shared by every branch,
+    and the tiny (≤ 64-row) result is materialized inside
+    ``released_caches`` so the session cache is clean when this
+    returns (the ADVICE-1 seam, used — not just available)."""
+    from etl_extract_transform_load_spark.operators.describe import (
+        describe_numeric,
+        value_counts,
     )
-    vc = q_value_counts_lang(spark, sf_dir).select(
-        F.concat(F.lit("lang:"), F.col("lang")).alias("metric"),
-        F.col("count").cast("double").alias("value"),
+    from etl_extract_transform_load_spark.operators.udaf import grouped_mad
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+        released_caches,
     )
-    mad = q_mad_quantity(spark, sf_dir).select(
-        F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
-        F.col("mad").cast("double").alias("value"),
-    )
-    # EDA surface (operators/eda.py): histogram buckets + pairwise
-    # Pearson flattened to the same (metric, value) stack — the
-    # notebook's hist/scatter numbers ride the inspection query
     from etl_extract_transform_load_spark.queries_eda import (
         eda_metric_value,
     )
+    from etl_extract_transform_load_spark.sources.readers import load_table
 
-    eda = eda_metric_value(spark, sf_dir)
-    return stacked.unionByName(vc).unionByName(mad).unionByName(eda)
+    li_cols = [
+        "l_quantity",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    with released_caches():
+        # persist WITHOUT repartitioning: the cache is built and
+        # released inside this one query, so a pre-persist shuffle
+        # would be paid on every invocation but amortized over only
+        # ~6 branch jobs — measured net-negative at sf0.1
+        li = persist_tracked(
+            load_table(spark, sf_dir, "lineitem").select(*li_cols)
+        )
+        d = describe_numeric(li, "l_quantity")
+        stacked = d.select(
+            F.expr(
+                "stack(8,"
+                " 'count', cast(count as double),"
+                " 'mean', cast(mean as double),"
+                " 'std', cast(std as double),"
+                " 'min', cast(min as double),"
+                " 'q25', cast(q25 as double),"
+                " 'q50', cast(q50 as double),"
+                " 'q75', cast(q75 as double),"
+                " 'max', cast(max as double)) as (metric, value)"
+            )
+        )
+        vc = value_counts(
+            load_table(spark, sf_dir, "documents"), "lang"
+        ).select(
+            F.concat(F.lit("lang:"), F.col("lang")).alias("metric"),
+            F.col("count").cast("double").alias("value"),
+        )
+        mad = grouped_mad(li, "l_returnflag", "l_quantity").select(
+            F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
+            F.col("mad").cast("double").alias("value"),
+        )
+        # EDA surface (operators/eda.py): histogram buckets + pairwise
+        # Pearson flattened to the same (metric, value) stack — the
+        # notebook's hist/scatter numbers ride the inspection query
+        eda = eda_metric_value(spark, sf_dir, li=li)
+        out = stacked.unionByName(vc).unionByName(mad).unionByName(eda)
+        # materialize INSIDE the context: after release the branches
+        # would silently recompute the whole stack uncached
+        return out.localCheckpoint()
 
 
 def _oracle_describe_stats() -> str:

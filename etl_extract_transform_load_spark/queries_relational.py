@@ -701,15 +701,38 @@ GROUP BY user_id, session_id
 # --- event-time tumbling window (streaming semantics, batch-checkable) -------
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts ⊎ the stateful running-totals batch twin
+    (streaming/stateful.py): the 'window' branch is the per-hour
+    event-type aggregate; the 'running' branch is one row per (user,
+    hour) with the CUMULATIVE count/value-sum through that hour — the
+    emission sequence of ``running_user_totals`` when each micro-batch
+    carries one hour, verified here against a cumulative-window
+    oracle. The stateful streaming execution itself is pytest-covered
+    (tests/test_stateful_streaming.py)."""
     from etl_extract_transform_load_spark.streaming.ingest import windowed_counts
+    from etl_extract_transform_load_spark.streaming.stateful import (
+        running_user_totals_batch,
+    )
 
     events = load_table(spark, sf_dir, "events")
-    out = windowed_counts(events, window_duration="1 hour")
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    win = windowed_counts(events, window_duration="1 hour").select(
+        F.lit("window").alias("part"),
+        F.date_format("window_start", fmt).alias("window_start"),
         "event_type",
-        "n_events",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("double").alias("total"),
     )
+    run = running_user_totals_batch(events, window_duration="1 hour").select(
+        F.lit("running").alias("part"),
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "total",
+    )
+    return win.unionByName(run)
 
 
 ORACLE_WINDOWED_COUNTS = """
@@ -719,6 +742,28 @@ SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        COUNT(*) AS n_events
 FROM events
 GROUP BY 1, 2
+"""
+
+
+ORACLE_WINDOWED_PLUS_RUNNING = f"""
+SELECT 'window' AS part, window_start, event_type, n_events,
+       NULL::BIGINT AS user_id, NULL::DOUBLE AS total
+FROM ({ORACLE_WINDOWED_COUNTS})
+UNION ALL
+SELECT 'running', STRFTIME(h, '%Y-%m-%d %H:%M:%S'), NULL::VARCHAR,
+       CAST(SUM(bucket_n) OVER cum AS BIGINT),
+       user_id,
+       ROUND(CAST(SUM(bucket_total) OVER cum AS DOUBLE), 6)
+FROM (
+    SELECT user_id, TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
+           COUNT(*) AS bucket_n,
+           SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))) AS bucket_total
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+)
+WINDOW cum AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
@@ -805,7 +850,9 @@ def register_all() -> None:
     register("sort_limit_offset", q_sort_limit_offset, ORACLE_SORT_LIMIT)
     register("set_operations", q_set_operations, ORACLE_SET_OPS)
     register("time_derivations", q_time_derivations, ORACLE_TIME_DERIV)
-    register("windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_COUNTS)
+    register(
+        "windowed_counts_events", q_windowed_counts, ORACLE_WINDOWED_PLUS_RUNNING
+    )
     register(
         "streaming_windowed_ingest",
         q_streaming_windowed_ingest,

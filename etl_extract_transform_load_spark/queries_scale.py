@@ -210,8 +210,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_near_dup_pairs(docs, threshold=0.3).localCheckpoint()
+    # materialize the pair edges INSIDE released_caches: the checkpoint
+    # holds the result, and the shingle-sketch persist the operator
+    # made underneath is dropped before this query returns (ADVICE-1
+    # seam — a session composing many dedup calls stays cache-clean)
+    with released_caches():
+        pairs = jaccard_near_dup_pairs(
+            docs, threshold=0.3
+        ).localCheckpoint()
     lp = connected_components(pairs).select(
         F.lit("labelprop").alias("algo"), "node", "component"
     )
@@ -882,8 +893,17 @@ FROM (
 # --- dedup: exact n-gram Jaccard -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_near_dup_pairs(docs, threshold=0.3)
+    # materialize inside released_caches → the shingle-table persist
+    # is gone when this returns (tests/test_cache_hygiene.py asserts)
+    with released_caches():
+        return jaccard_near_dup_pairs(
+            docs, threshold=0.3
+        ).localCheckpoint()
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -935,10 +955,16 @@ _SHINGLES_SQL = """
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.dedup import portable_hash60
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.3, hash64=portable_hash60)
+    with released_caches():  # signature+shingle persists released
+        return minhash_lsh_pairs(
+            docs, threshold=0.3, hash64=portable_hash60
+        ).localCheckpoint()
 
 
 def _oracle_minhash() -> str:
@@ -1001,12 +1027,16 @@ ORACLE_MINHASH_LSH = _oracle_minhash()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.dedup import portable_hash60
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(
-        docs, max_hamming=3, hash64=portable_hash60, bits=60
-    )
+    with released_caches():  # simhash-signature persist released
+        return simhash_near_dup_pairs(
+            docs, max_hamming=3, hash64=portable_hash60, bits=60
+        ).localCheckpoint()
 
 
 def _oracle_simhash(bits: int = 60, max_hamming: int = 3) -> str:
@@ -1205,12 +1235,18 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verify inside each bucket. No collect, no broadcast of
     the corpus — both sides shuffle on the bucket key only. (The Arrow
     closure-shipping variant stays as a local accelerator.)"""
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.similarity import (
         neighbor_pairs_above_lsh,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above_lsh(emb, threshold=0.4, bits=4)
+    with released_caches():  # bucketed-projection persist released
+        return neighbor_pairs_above_lsh(
+            emb, threshold=0.4, bits=4
+        ).localCheckpoint()
 
 
 def _oracle_neardup_lsh(bits: int = 4, threshold: float = 0.4) -> str:

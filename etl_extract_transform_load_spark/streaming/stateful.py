@@ -45,3 +45,68 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of :func:`running_user_totals`'s state algebra: one
+    row per key per event-time bucket carrying the CUMULATIVE count
+    and value sum through that bucket — exactly the emission sequence
+    the stateful operator produces when each micro-batch carries one
+    bucket of event time. This is the SQL-expressible face of the
+    running aggregate (a cumulative window over per-bucket partials),
+    so the algebra gets a hash-compared oracle row while the streaming
+    execution itself stays pytest-covered
+    (tests/test_stateful_streaming.py).
+
+    Matching the stateful semantics: every row counts toward
+    ``n_events`` (the operator counts batch rows), NULL values add 0
+    to ``total`` (its ``fillna(0)``), and the per-bucket partials are
+    decimal-exact so the running sum is order-insensitive and
+    engine-portable. Rows with a NULL key or NULL timestamp are
+    excluded — a NULL key has no state identity, and a NULL event
+    time has no place on the emission timeline.
+
+    Scale shape: one groupBy to (key, bucket) partials, then one
+    cumulative window per key over its buckets — state is
+    O(buckets per key), never the raw events."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_bucket = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), window_duration)["start"].alias(
+                "window_start"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("bucket_n"),
+            F.sum(
+                F.coalesce(F.col(value_col), F.lit(0)).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("bucket_total"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        F.col(key_col),
+        "window_start",
+        F.sum("bucket_n").over(w).alias("n_events"),
+        F.round(
+            F.sum("bucket_total").over(w).cast("double"), 6
+        ).alias("total"),
+    )

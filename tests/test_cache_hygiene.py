@@ -1,0 +1,67 @@
+"""Cache lifetime of the sketch-building contract queries (ADVICE-1):
+a session issuing many registered queries must not accumulate
+MEMORY_AND_DISK sketch caches — each query releases its operator
+persists before returning (``plans.caching.released_caches``), keeping
+only local checkpoints of the (small) materialized result."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: Registered queries whose operators persist an intermediate sketch
+#: (shingle table, MinHash signatures, SimHash signatures, bucketed
+#: vectors, projected describe columns).
+SKETCH_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embedding_neardup_lsh",
+    "dedup_connected_components",
+    "describe_stats",
+]
+
+
+def _live_operator_persists(spark):
+    """(id, name) of persisted RDDs that are NOT checkpoint storage —
+    i.e. raw operator caches. Local checkpoints keep their blocks by
+    design (the blocks ARE the data); those don't count."""
+    out = []
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in jmap.keySet().toArray():
+        r = jmap.get(rid).rdd()
+        if not (r.isLocallyCheckpointed() or r.isCheckpointed()):
+            out.append((int(str(rid)), r.toString()))
+    return out
+
+
+@pytest.mark.parametrize("name", SKETCH_QUERIES)
+def test_query_releases_its_sketch_caches(spark, name):
+    from etl_extract_transform_load_spark import registry
+
+    before = {rid for rid, _ in _live_operator_persists(spark)}
+    df = registry.queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0  # materialize like the driver does
+    leaked = [
+        (rid, desc)
+        for rid, desc in _live_operator_persists(spark)
+        if rid not in before
+    ]
+    assert not leaked, f"{name} left live operator caches: {leaked}"
+
+
+def test_released_caches_unpersists_on_error(spark):
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+        released_caches,
+    )
+
+    before = {rid for rid, _ in _live_operator_persists(spark)}
+    with pytest.raises(RuntimeError):
+        with released_caches():
+            df = persist_tracked(spark.range(10))
+            df.count()
+            raise RuntimeError("boom")
+    after = {rid for rid, _ in _live_operator_persists(spark)}
+    assert after <= before

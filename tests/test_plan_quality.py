@@ -153,6 +153,26 @@ def test_no_cartesian_products_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_exact_percentile_aggregate_anywhere(spark):
+    """Sweep every registered query's physical plan: no exact
+    ``percentile``/``median`` aggregate may appear — it buffers EVERY
+    value of the column in a single aggregation state (OOM-shaped at
+    corpus scale; the r3 scale-killer). Exact quantiles must route
+    through operators.quantiles.exact_quantiles (bounded state);
+    ``approx_percentile`` is also fine."""
+    from etl_extract_transform_load_spark import registry
+
+    offenders = []
+    for name, fn in registry.queries().items():
+        plan = plan_text(fn(spark, SF_ORACLE), mode="simple")
+        cleaned = plan.replace("approx_percentile(", "").replace(
+            "percentile_approx(", ""
+        )
+        if "percentile(" in cleaned or "median(" in cleaned:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_lsh_neardup_agrees_with_exact_on_candidates(spark):
     """LSH near-dup pairs ⊆ exact pairs, with identical scores."""
     from etl_extract_transform_load_spark.scale.similarity import (

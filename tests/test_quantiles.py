@@ -1,0 +1,98 @@
+"""Bounded-state exact quantiles (operators/quantiles.py): bit-parity
+with Spark's own exact ``percentile``, refinement-round behavior, tie
+handling, and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.quantiles import (
+    exact_order_stats,
+    exact_quantiles,
+    round_half_up6,
+)
+
+PS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+
+
+def _spark_percentile(df, col, ps):
+    arr = ", ".join(str(p) for p in ps)
+    (row,) = df.agg(
+        F.expr(f"percentile({col}, array({arr}))").alias("q")
+    ).collect()
+    return [float(v) for v in row["q"]]
+
+
+def test_matches_spark_exact_percentile(spark):
+    """Random-ish data with duplicates and negatives: every quantile
+    bit-equals F.percentile (the full-buffer exact aggregate this
+    module replaces)."""
+    df = spark.range(0, 5_000).select(
+        ((F.col("id") * 37 % 1000) / 7.0 - 50.0).alias("x")
+    )
+    want = _spark_percentile(df, "x", PS)
+    got = exact_quantiles(df, "x", PS)
+    assert got == want  # bit-identical, not approx
+
+
+def test_multiple_refinement_rounds_stay_exact(spark):
+    """Tiny bins + tiny collect threshold force the iterative
+    histogram refinement through several rounds — exactness must
+    survive the recursion (window offsets, per-bucket min/max)."""
+    df = spark.range(0, 20_000).select(
+        (F.pow(F.col("id").cast("double"), 1.7) / 3.0).alias("x")
+    )
+    want = _spark_percentile(df, "x", PS)
+    got = exact_quantiles(df, "x", PS, bins=4, collect_threshold=16)
+    assert got == want
+
+
+def test_heavy_ties_resolve_without_collect(spark):
+    """A column that is one huge tie collapses to bmin == bmax in the
+    first round and resolves exactly even when the tied bucket is far
+    larger than the collect threshold."""
+    df = spark.range(0, 50_000).select(
+        F.when(F.col("id") < 49_000, F.lit(7.5))
+        .otherwise(F.lit(99.0))
+        .alias("x")
+    )
+    got = exact_quantiles(df, "x", [0.5, 0.99], collect_threshold=10)
+    want = _spark_percentile(df, "x", [0.5, 0.99])
+    assert got == want
+    # order stats inside the tie never pull 49k rows to the driver
+    stats = exact_order_stats(df, "x", [1, 25_000], collect_threshold=10)
+    assert stats == {1: 7.5, 25_000: 7.5}
+
+
+def test_interpolation_formula_parity(spark):
+    """Fractional positions between two adjacent values reproduce
+    Spark's (ceil-pos)*lower + (pos-floor)*upper arithmetic."""
+    df = spark.createDataFrame(
+        [(v,) for v in (1.0, 2.0, 4.0, 8.0, 16.0)], "x double"
+    )
+    ps = [0.1, 0.3, 0.37, 0.62, 0.85]
+    assert exact_quantiles(df, "x", ps) == _spark_percentile(df, "x", ps)
+
+
+def test_nulls_nans_empty_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (3.0,)], "x double"
+    )
+    # NaN and NULL are excluded: median of {1, 3}
+    assert exact_quantiles(df, "x", [0.5]) == [2.0]
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert exact_quantiles(empty, "x", [0.25, 0.5]) == [None, None]
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(df, "x", [1.5])
+    with pytest.raises(ValueError, match="ranks"):
+        exact_order_stats(df, "x", [99])
+
+
+def test_round_half_up6_matches_spark_round(spark):
+    vals = [1.2345665, 2.0000005, -1.2345665, 0.1 + 0.2, 123.456789499]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert [round_half_up6(v) for v in vals] == want

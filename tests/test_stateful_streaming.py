@@ -134,3 +134,47 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
     assert len(got) >= len(want) * 0.5
+
+
+def test_batch_twin_final_rows_equal_stateful_final_state(spark):
+    """running_user_totals_batch is the SQL-expressible emission
+    sequence of the stateful operator: its LAST row per user (largest
+    bucket) must carry the same totals as a whole-data aggregate —
+    the stateful operator's final state (asserted against the stream
+    itself in the test above)."""
+    from etl_extract_transform_load_spark.streaming.stateful import (
+        running_user_totals_batch,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    seq = running_user_totals_batch(events).collect()
+    final = {}
+    for r in seq:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total)
+    # cumulative emissions are monotonic per user
+    by_user = {}
+    for r in seq:
+        by_user.setdefault(r.user_id, []).append(
+            (r.window_start, r.n_events, r.total)
+        )
+    for rows in by_user.values():
+        rows.sort()
+        ns = [n for _, n, _ in rows]
+        assert ns == sorted(ns) and ns[0] >= 1
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-4

@@ -534,9 +534,13 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _jpeg_entropy_segments(buf: bytes, pos: int) -> list[bytes]:
-    """Entropy-coded data from ``pos`` to EOI, unstuffed, split at
-    restart markers."""
+def _jpeg_entropy_segments(
+    buf: bytes, pos: int
+) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos`` to the next non-RST marker,
+    unstuffed, split at restart markers. Returns (segments, end_pos)
+    where ``end_pos`` sits on the terminating marker's 0xFF — the
+    marker loop resumes there (progressive files carry many scans)."""
     segs: list[bytes] = []
     cur = bytearray()
     n = len(buf)
@@ -557,26 +561,176 @@ def _jpeg_entropy_segments(buf: bytes, pos: int) -> list[bytes]:
         else:  # EOI or next marker: scan done
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(pos, n)
+
+
+def _jpeg_block_unit(
+    reader, blk, dc_tbl, ac_tbl, ss, se, ah, al, progressive, preds,
+    cid, eobrun,
+):
+    """Decode one block's contribution for the current scan into the
+    int zigzag array ``blk``; returns the updated EOB-run count.
+    Sequential: full DC+AC. Progressive (T.81 G.2): DC first /DC
+    refine when ss == 0, AC first/AC refine otherwise (the refinement
+    path is the correction-bit algorithm of G.1.2.3)."""
+    if ss == 0:
+        if not progressive or ah == 0:
+            t = reader.read_symbol(dc_tbl)
+            diff = _extend(reader.read_bits(t), t)
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+        elif reader.read_bit():
+            blk[0] |= 1 << al  # two's-complement |= appends the bit
+        if progressive:
+            return eobrun
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        return eobrun
+    if ah == 0:  # AC first scan for this band
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run covers this block too
+                    return (1 << r) - 1 + reader.read_bits(r)
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return 0
+    # AC refinement: one correction bit per already-nonzero
+    # coefficient traversed, new ±1<<al coefficients placed at
+    # zero-history positions counted by the run lengths
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("invalid JPEG refinement magnitude")
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the rest of the band
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    segs, scan, ss, se, ah, al, progressive, huff, restart, by_comp,
+    comp_info, nblocks, mcus_x, mcus_y,
+):
+    """Run one scan's entropy segments into the coefficient arrays.
+    Interleaved scans walk MCU order; single-component scans walk the
+    component's own (unpadded) block raster — the T.81 non-interleaved
+    geometry every progressive AC scan uses."""
+    interleaved = len(scan) > 1
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("progressive AC scans must be single-component")
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        cid0, dct0, act0 = scan[0]
+        bly, blx = nblocks[cid0]
+        units = bly * blx
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            seg_idx += 1
+            reader = _BitReader(segs[seg_idx])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for cid, dct, act in scan:
+                ch, cv, _ = comp_info[cid]
+                dc_tbl = huff.get((0, dct))
+                ac_tbl = huff.get((1, act))
+                for v in range(cv):
+                    for hh in range(ch):
+                        eobrun = _jpeg_block_unit(
+                            reader, by_comp[cid][my * cv + v, mx * ch + hh],
+                            dc_tbl, ac_tbl, ss, se, ah, al, progressive,
+                            preds, cid, eobrun,
+                        )
+        else:
+            yb, xb = divmod(u, blx)
+            eobrun = _jpeg_block_unit(
+                reader, by_comp[cid0][yb, xb], huff.get((0, dct0)),
+                huff.get((1, act0)), ss, se, ah, al, progressive,
+                preds, cid0, eobrun,
+            )
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
+    """JPEG bytes → HxW (gray) or HxWx3 (RGB) uint8.
 
-    Supports SOF0 (sequential DCT, 8-bit), 1 or 3 components,
-    sampling factors 1-4 where each divides the max (4:4:4 / 4:2:2 /
-    4:2:0 / 4:1:1), restart intervals, and fill bytes. Raises
-    ValueError on progressive/arithmetic/12-bit streams and on
-    non-dividing sampling ratios."""
+    Supports sequential DCT (SOF0/1) — single interleaved scan or
+    per-component scans — AND progressive DCT (SOF2): spectral
+    selection, successive approximation (DC and AC refinement scans,
+    EOB runs, T.81 G.2), 1 or 3 components, sampling factors 1-4
+    where each divides the max (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1),
+    restart intervals, fill bytes, and tables redefined between
+    scans. Raises ValueError on arithmetic-coded, hierarchical,
+    lossless, and 12-bit streams and on non-dividing sampling
+    ratios."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     frame = None
+    progressive = False
     restart = 0
     pos = 2
-    scan = None
-    while pos < len(buf):
+    by_comp = None
+    comp_info = nblocks = None
+    mcus_x = mcus_y = 0
+    any_scan = False
+    scanned: set[int] = set()
+    while pos < len(buf) - 1:
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = buf[pos + 1]
@@ -586,7 +740,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
         seg = buf[pos + 2 : pos + seglen]
@@ -601,7 +755,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 nat[_JPEG_ZIGZAG] = zz
                 qt[tq] = nat
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -610,10 +765,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) is supported"
+                "only sequential (SOF0/1) and progressive (SOF2) "
+                "Huffman JPEG is supported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -627,87 +783,77 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
-            # single interleaved scan only: a multi-scan baseline file
-            # (one SOS per component) would leave the later components'
-            # coefficients at zero and decode desaturated SILENTLY —
-            # reject rather than decode wrong
-            if frame is not None and ns != len(frame[2]):
-                raise ValueError(
-                    f"non-interleaved JPEG scan ({ns} of {len(frame[2])} "
-                    "components): only single interleaved scans supported"
-                )
-            pos += seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if by_comp is None:
+                h, w, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                for cid, ch, cv, _tq in comps:
+                    # the repeat-based upsampler needs every factor to
+                    # divide the max (4:4:4/4:2:2/4:2:0/4:1:1); reject
+                    # legal-but-exotic ratios (e.g. 3:2) explicitly
+                    # rather than decode them wrong
+                    if (
+                        not (1 <= ch <= 4 and 1 <= cv <= 4)
+                        or hmax % ch
+                        or vmax % cv
+                    ):
+                        raise ValueError(
+                            f"unsupported JPEG sampling factors {ch}x{cv}"
+                            f" for component {cid} (max {hmax}x{vmax}): "
+                            "only ratios where each factor divides the "
+                            "max are decodable here"
+                        )
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                by_comp = {
+                    cid: np.zeros(
+                        (mcus_y * cv, mcus_x * ch, 64), dtype=np.int32
+                    )
+                    for cid, ch, cv, _ in comps
+                }
+                comp_info = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+                # non-interleaved scans cover the component's OWN
+                # ceil(dim/8) block grid, not the MCU-padded one
+                nblocks = {
+                    cid: (
+                        -(-(-(-(h * cv) // vmax)) // 8),
+                        -(-(-(-(w * ch) // hmax)) // 8),
+                    )
+                    for cid, ch, cv, _ in comps
+                }
+            segs, pos = _jpeg_entropy_segments(buf, pos + seglen)
+            _jpeg_decode_scan(
+                segs, scan, ss, se, ah, al, progressive, huff, restart,
+                by_comp, comp_info, nblocks, mcus_x, mcus_y,
+            )
+            scanned.update(cid for cid, _, _ in scan)
+            any_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not any_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    missing_comps = [c[0] for c in frame[2] if c[0] not in scanned]
+    if missing_comps:
+        # a multi-scan file that ends before covering every component
+        # would reconstruct the missing planes as all-zero — a silently
+        # desaturated decode, not a recoverable partial
+        raise ValueError(
+            f"JPEG components {missing_comps} never scanned (truncated "
+            "multi-scan file)"
+        )
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    for cid, ch, cv, _tq in comps:
-        # the repeat-based upsampler needs every factor to divide the
-        # max (1:2 and 1:1 ratios — i.e. 4:4:4/4:2:2/4:2:0/4:1:1);
-        # reject legal-but-exotic ratios (e.g. 3:2) explicitly rather
-        # than decode them wrong
-        if not (1 <= ch <= 4 and 1 <= cv <= 4) or hmax % ch or vmax % cv:
-            raise ValueError(
-                f"unsupported JPEG sampling factors {ch}x{cv} for "
-                f"component {cid} (max {hmax}x{vmax}): only ratios "
-                "where each factor divides the max are decodable here"
-            )
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    by_comp = {
-        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.float64)
-        for cid, ch, cv, _ in comps
-    }
-    comp_info = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-
-    segs = _jpeg_entropy_segments(buf, pos)
-    reader = _BitReader(segs[0])
-    seg_idx = 0
-    preds = {cid: 0 for cid, _, _ in scan}
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu and mcu % restart == 0:
-                seg_idx += 1
-                reader = _BitReader(segs[seg_idx])
-                preds = {cid: 0 for cid in preds}
-            for cid, dct, act in scan:
-                ch, cv, _ = comp_info[cid]
-                dc_tbl = huff[(0, dct)]
-                ac_tbl = huff[(1, act)]
-                for v in range(cv):
-                    for hh in range(ch):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = reader.read_symbol(dc_tbl)
-                        diff = _extend(reader.read_bits(t), t)
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        by_comp[cid][my * cv + v, mx * ch + hh] = zz
-            mcu += 1
-
     planes = {}
     for cid, ch, cv, tq in comps:
         zz = by_comp[cid] * qt[tq][_JPEG_ZIGZAG]  # dequant in zigzag order
@@ -772,10 +918,12 @@ def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """HxW (gray) or HxWx3 (RGB) uint8 → baseline JPEG (SOF0, 4:4:4,
-    standard Annex K Huffman tables, IJG quality scaling). A test-
-    fixture encoder: correctness over compression ratio."""
+def _jpeg_quantized_planes(
+    pixels: np.ndarray, quality: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, bool, int, int]:
+    """Shared encoder front half: pad, color-transform, 8x8 DCT and
+    quantize. Returns per-component zigzag coefficient arrays of shape
+    (nby, nbx, 64) int64 plus the quality-scaled tables."""
     if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
         raise ValueError("JPEG wants HxW or HxWx3 uint8")
     gray = pixels.ndim == 2
@@ -788,16 +936,37 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         mode="edge",
     )
     if gray:
-        planes = [(padded, qt_l, _JPEG_DC_LUMA, _JPEG_AC_LUMA)]
+        planes = [(padded, qt_l)]
     else:
         r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [(y, qt_l), (cb, qt_c), (cr, qt_c)]
+    nby, nbx = ph // 8, pw // 8
+    zzs = []
+    for plane, qtab in planes:
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ab,yxbc,cd->yxad", _JPEG_DCT, blocks, _JPEG_DCT.T)
+        quant = np.rint(coef.reshape(nby, nbx, 64) / qtab).astype(np.int64)
+        zzs.append(quant[:, :, _JPEG_ZIGZAG])
+    return zzs, qt_l, qt_c, gray, h, w
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → baseline JPEG (SOF0, 4:4:4,
+    standard Annex K Huffman tables, IJG quality scaling). A test-
+    fixture encoder: correctness over compression ratio."""
+    zzs, qt_l, qt_c, gray, h, w = _jpeg_quantized_planes(pixels, quality)
+    if gray:
+        planes = [(zzs[0], _JPEG_DC_LUMA, _JPEG_AC_LUMA)]
+    else:
         planes = [
-            (y, qt_l, _JPEG_DC_LUMA, _JPEG_AC_LUMA),
-            (cb, qt_c, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
-            (cr, qt_c, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+            (zzs[0], _JPEG_DC_LUMA, _JPEG_AC_LUMA),
+            (zzs[1], _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+            (zzs[2], _JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
         ]
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -829,24 +998,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     # 4:4:4 → MCU == one block per component; interleave block-by-block
     writer = _BitWriter()
     preds = [0] * nc
-    nby, nbx = ph // 8, pw // 8
-    # precompute per-plane quantized zigzag rows once, then interleave
-    per_plane = []
-    for plane, qtab, dcb, acb in planes:
-        blocks = (
-            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
-        )
-        coef = np.einsum("ab,yxbc,cd->yxad", _JPEG_DCT, blocks, _JPEG_DCT.T)
-        quant = np.rint(
-            coef.reshape(nby, nbx, 64) / qtab
-        ).astype(np.int64)
-        per_plane.append(
-            (
-                quant[:, :, _JPEG_ZIGZAG],
-                _huff_encode_map(*dcb),
-                _huff_encode_map(*acb),
-            )
-        )
+    nby, nbx = zzs[0].shape[:2]
+    per_plane = [
+        (zz, _huff_encode_map(*dcb), _huff_encode_map(*acb))
+        for zz, dcb, acb in planes
+    ]
     for my in range(nby):
         for mx in range(nbx):
             for ci, (zz, dc_map, ac_map) in enumerate(per_plane):
@@ -883,6 +1039,298 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
                     writer.write(code, length)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: Flat AC Huffman table for the progressive encoder: every RS symbol
+#: (including the EOBn run symbols 0x10..0xE0 that the Annex K tables
+#: cannot express) gets a fixed 8- or 9-bit code. Kraft sum
+#: 128/256 + 128/512 = 0.75 < 1 → a valid canonical table; lousy
+#: compression, exact correctness — the decoder reads it from DHT like
+#: any other table.
+_JPEG_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+#: libjpeg's standard progressive scan script (4:4:4, 3 components):
+#: (component_index | None for interleaved-DC, Ss, Se, Ah, Al).
+_JPEG_PROG_SCRIPT_COLOR = [
+    (None, 0, 0, 0, 1),   # DC all components, first pass
+    (0, 1, 5, 0, 2),      # Y low-frequency AC
+    (1, 1, 63, 0, 1),     # Cb AC
+    (2, 1, 63, 0, 1),     # Cr AC
+    (0, 6, 63, 0, 2),     # Y remaining AC
+    (0, 1, 63, 2, 1),     # Y AC refinement 2→1
+    (None, 0, 0, 1, 0),   # DC refinement
+    (1, 1, 63, 1, 0),     # Cb AC refinement
+    (2, 1, 63, 1, 0),     # Cr AC refinement
+    (0, 1, 63, 1, 0),     # Y AC refinement 1→0
+]
+
+_JPEG_PROG_SCRIPT_GRAY = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+
+
+class _ProgACWriter:
+    """AC-scan entropy writer with EOB-run accumulation and (for
+    refinement scans) buffered correction bits — the encoder-side
+    mirror of T.81 G.1.2's EOBn/correction-bit interleave."""
+
+    def __init__(self, ac_map: dict) -> None:
+        self.w = _BitWriter()
+        self.ac_map = ac_map
+        self.eobrun = 0
+        self.bits: list[int] = []  # correction bits buffered in order
+
+    def sym(self, rs: int) -> None:
+        length, code = self.ac_map[rs]
+        self.w.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+    def end_block(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:  # EOBn tops out at r=14
+            self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        return self.w.flush()
+
+
+def _enc_ac_first(zz: np.ndarray, ss: int, se: int, al: int, ac_map) -> bytes:
+    """One component's AC-first scan (Ah=0): band Ss..Se at precision
+    Al (point transform truncates toward zero, T.81 G.1.2.1)."""
+    out = _ProgACWriter(ac_map)
+    nby, nbx = zz.shape[:2]
+    for yb in range(nby):
+        for xb in range(nbx):
+            row = zz[yb, xb]
+            run = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                out.flush_eobrun()
+                wrote = True
+                while run > 15:
+                    out.sym(0xF0)  # ZRL
+                    run -= 16
+                s = abs(v).bit_length()
+                out.sym((run << 4) | s)
+                out.w.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run or not wrote:
+                out.end_block()
+    return out.finish()
+
+
+def _enc_ac_refine(
+    zz: np.ndarray, ss: int, se: int, al: int, ac_map
+) -> bytes:
+    """One component's AC refinement scan (Ah=Al+1): newly nonzero
+    coefficients as (run, 1)+sign, one correction bit per
+    already-nonzero coefficient, EOB runs carrying the buffered bits
+    (T.81 G.1.2.2/G.1.2.3, the libjpeg encode_mcu_AC_refine shape)."""
+    out = _ProgACWriter(ac_map)
+    nby, nbx = zz.shape[:2]
+    for yb in range(nby):
+        for xb in range(nbx):
+            row = zz[yb, xb]
+            absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            # last NEWLY nonzero position: ZRLs are only emitted while
+            # one is still ahead — past it everything folds into the
+            # EOB run (the libjpeg k <= EOB guard)
+            last_new = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    last_new = i
+            run = 0
+            pending: list[int] = []  # correction bits since last emit
+            for i, a in enumerate(absv):
+                if a == 0:
+                    run += 1
+                    continue
+                # ZRL check precedes buffering the current position's
+                # bit — order matters: the decoder reads the buffered
+                # bits while traversing the ZRL's 16 zero-history
+                # skips, which never reach the current position
+                while run > 15 and i <= last_new:
+                    out.flush_eobrun()
+                    out.sym(0xF0)
+                    run -= 16
+                    for b in pending:
+                        out.w.write(b, 1)
+                    pending = []
+                if a > 1:  # already nonzero: correction bit only
+                    pending.append(a & 1)
+                    continue
+                out.flush_eobrun()
+                out.sym((run << 4) | 1)
+                out.w.write(1 if int(row[ss + i]) >= 0 else 0, 1)
+                for b in pending:
+                    out.w.write(b, 1)
+                pending = []
+                run = 0
+            if run or pending:
+                out.bits.extend(pending)
+                out.end_block()
+    return out.finish()
+
+
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """8-multiple-padded float plane → (nby, nbx, 64) int64 zigzag."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ab,yxbc,cd->yxad", _JPEG_DCT, blocks, _JPEG_DCT.T)
+    return np.rint(coef.reshape(nby, nbx, 64) / qtab).astype(np.int64)[
+        :, :, _JPEG_ZIGZAG
+    ]
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to a multiple of (mh, mw)."""
+    h, w = plane.shape
+    return np.pad(
+        plane, [(0, -h % mh), (0, -w % mw)], mode="edge"
+    )
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → PROGRESSIVE JPEG (SOF2,
+    4:4:4 or 4:2:0) using libjpeg's standard scan script: spectral
+    selection plus two levels of successive approximation for both DC
+    and AC — every progressive decode path (DC first/refine, AC first
+    with EOB runs, AC refinement correction bits, and for 4:2:0 the
+    non-interleaved component block geometry distinct from the MCU
+    grid) appears in the stream. AC scans use a flat custom Huffman
+    table because the Annex K tables lack the EOBn symbols. At 4:4:4
+    the quantized coefficients match :func:`encode_jpeg`, so both
+    decode to identical pixels."""
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("JPEG wants HxW or HxWx3 uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = _jpeg_quality_tables(quality)
+    if gray:
+        y = _pad_edge(pixels.astype(np.float64), 8, 8)
+        comps = [(_quantize_plane(y, qt_l), 1, 1, 0)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "444":
+            comps = [
+                (_quantize_plane(_pad_edge(y, 8, 8), qt_l), 1, 1, 0),
+                (_quantize_plane(_pad_edge(cb, 8, 8), qt_c), 1, 1, 1),
+                (_quantize_plane(_pad_edge(cr, 8, 8), qt_c), 1, 1, 1),
+            ]
+        else:  # 4:2:0 — luma 2x2 per MCU, chroma box-averaged halves
+            def half(p):
+                p2 = _pad_edge(p, 2, 2)
+                return (
+                    p2[0::2, 0::2] + p2[1::2, 0::2]
+                    + p2[0::2, 1::2] + p2[1::2, 1::2]
+                ) / 4.0
+
+            comps = [
+                (_quantize_plane(_pad_edge(y, 16, 16), qt_l), 2, 2, 0),
+                (_quantize_plane(_pad_edge(half(cb), 8, 8), qt_c), 1, 1, 1),
+                (_quantize_plane(_pad_edge(half(cr), 8, 8), qt_c), 1, 1, 1),
+            ]
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    qts = [qt_l] if gray else [qt_l, qt_c]
+    for tq, tab in enumerate(qts):
+        zztab = tab[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zztab
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (_zz, ch, cv, tq) in enumerate(comps):
+        out += struct.pack("BBB", ci + 1, (ch << 4) | cv, tq)
+    tables = [(0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_FLAT)]
+    if not gray:
+        tables.append((0, 1, _JPEG_DC_CHROMA))
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th
+        ) + bytes(bits) + bytes(vals)
+
+    dc_maps = [_huff_encode_map(*_JPEG_DC_LUMA)] + [
+        _huff_encode_map(*_JPEG_DC_CHROMA)
+    ] * (nc - 1)
+    ac_map = _huff_encode_map(*_JPEG_AC_FLAT)
+    script = _JPEG_PROG_SCRIPT_GRAY if gray else _JPEG_PROG_SCRIPT_COLOR
+    for comp, ss, se, ah, al in script:
+        if comp is None and ss == 0:  # DC scan, all components, MCU order
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+            for c in range(nc):
+                out += struct.pack("BB", c + 1, (0 if c == 0 else 1) << 4)
+            out += struct.pack("BBB", 0, 0, (ah << 4) | al)
+            writer = _BitWriter()
+            preds = [0] * nc
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (zz, ch, cv, _tq) in enumerate(comps):
+                        for v in range(cv):
+                            for hh in range(ch):
+                                dc = int(zz[my * cv + v, mx * ch + hh, 0])
+                                if ah == 0:
+                                    val = dc >> al
+                                    diff = val - preds[ci]
+                                    preds[ci] = val
+                                    t = abs(diff).bit_length()
+                                    length, code = dc_maps[ci][t]
+                                    writer.write(code, length)
+                                    if t:
+                                        writer.write(
+                                            diff if diff > 0 else
+                                            diff + (1 << t) - 1, t,
+                                        )
+                                else:  # refinement: one raw bit
+                                    writer.write((dc >> al) & 1, 1)
+            out += writer.flush()
+        else:  # single-component AC scan over ITS OWN block grid
+            zz, ch, cv, _tq = comps[comp]
+            bly = -(-(-(-(h * cv) // vmax)) // 8)
+            blx = -(-(-(-(w * ch) // hmax)) // 8)
+            band = zz[:bly, :blx]
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", comp + 1, 0)  # AC table 0 (flat)
+            out += struct.pack("BBB", ss, se, (ah << 4) | al)
+            if ah == 0:
+                out += _enc_ac_first(band, ss, se, al, ac_map)
+            else:
+                out += _enc_ac_refine(band, ss, se, al, ac_map)
+    out += b"\xff\xd9"
     return bytes(out)
 
 

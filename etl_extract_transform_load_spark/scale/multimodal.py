@@ -8,14 +8,16 @@ partitioning, UDF signatures. Codecs come in two tiers:
 - ``mode="real"`` decodes genuine public container formats with the
   pure-numpy/stdlib codecs in :mod:`scale.codecs` — netpbm PPM/PGM,
   uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` inflate +
-  numpy scanline unfilter), baseline JPEG (pure-numpy T.81:
-  Huffman entropy decode + vectorized IDCT), RIFF PCM WAV, and
-  YUV4MPEG2 (Y4M) video. No external imaging/audio libraries needed.
+  numpy scanline unfilter), sequential AND progressive JPEG
+  (pure-numpy T.81: Huffman entropy decode, spectral-selection +
+  successive-approximation scans, vectorized IDCT), RIFF PCM WAV,
+  and YUV4MPEG2 (Y4M) video. No external imaging/audio libraries
+  needed.
 - Compressed video (MP4/...) requires ffmpeg, absent from this
   container; those payloads raise ``NotImplementedError`` at the
   clearly-marked seam so the gap is explicit, not silent.
-  (Progressive/arithmetic JPEG raises ValueError in the decoder —
-  baseline sequential covers the overwhelming share of real corpora.)
+  (Arithmetic-coded/hierarchical/12-bit JPEG raises ValueError in
+  the decoder — Huffman 8-bit covers real corpora.)
 - ``mode="fake"`` keeps the original deterministic synthetic format
   for plumbing tests.
 
@@ -83,9 +85,9 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
 
     Supports the stdlib/numpy-decodable formats in ``scale.codecs``:
     netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib),
-    and baseline JPEG (pure-numpy T.81 decoder — sequential DCT;
-    progressive streams raise ValueError there). Video containers
-    (MP4/...) remain the externally-dependent seam."""
+    and JPEG — sequential AND progressive (pure-numpy T.81 decoder;
+    arithmetic-coded streams raise ValueError there). Video
+    containers (MP4/...) remain the externally-dependent seam."""
     from etl_extract_transform_load_spark.scale import codecs
 
     kind = codecs.sniff(content)
@@ -99,7 +101,7 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
         img = codecs.decode_jpeg(content)
     else:
         raise NotImplementedError(
-            f"image codec {kind!r}: PPM/PGM/BMP/PNG/baseline-JPEG decode "
+            f"image codec {kind!r}: PPM/PGM/BMP/PNG/JPEG decode "
             "without an imaging library; other formats need external "
             "codecs — wire them in here"
         )

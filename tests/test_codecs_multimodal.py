@@ -300,12 +300,55 @@ def test_jpeg_rejects_nondividing_sampling():
         codecs.decode_jpeg(bytes(buf))
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive (SOF2) and baseline encodings of the same quantized
+    coefficients must reconstruct IDENTICAL pixels — spectral
+    selection + successive approximation is lossless once every
+    refinement lands. The scan script is libjpeg's default, so the
+    stream exercises DC first/refine, AC first with EOB runs, and the
+    AC correction-bit refinement path."""
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (37, 53, 3), (24, 24)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(img, quality=85)
+        )
+        assert np.array_equal(base, prog), shape
+    # smooth gradient → long EOB runs; flat → EOB-only AC scans
+    smooth = np.tile(
+        np.linspace(0, 255, 64, dtype=np.uint8), (64, 1)
+    )
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(smooth, quality=50)),
+        codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(smooth, quality=50)
+        ),
+    )
+    flat = np.full((40, 40, 3), 128, dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(flat)),
+        codecs.decode_jpeg(codecs.encode_jpeg_progressive(flat)),
+    )
+    assert codecs.sniff(codecs.encode_jpeg_progressive(flat)) == "jpeg"
+
+
+def test_jpeg_rejects_arithmetic_and_lossless():
+    """SOF9 (arithmetic) and SOF3 (lossless) still raise — the seam is
+    now arithmetic/hierarchical/12-bit only, not progressive."""
+    for sof in (b"\xff\xc9", b"\xff\xc3"):
+        buf = (
+            b"\xff\xd8" + sof + b"\x00\x0b" + bytes([8]) +
+            b"\x00\x10\x00\x10" + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(ValueError, match="SOF"):
+            codecs.decode_jpeg(buf)
+    # a frame header alone (no scan) is invalid, not silently empty
     buf = (
         b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes([8]) +
-        b"\x00\x10\x00\x10" + bytes([1, 1, 0x11, 0])
+        b"\x00\x10\x00\x10" + bytes([1, 1, 0x11, 0]) + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="missing"):
         codecs.decode_jpeg(buf)
 
 
@@ -389,19 +432,220 @@ def test_real_mode_rejects_compressed_formats(spark):
         [(1, "image", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), (2, 2, None, "jpeg"))],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="missing SOF0"):
+    with pytest.raises(Exception, match="missing SOF"):
         decode_image_features(jpeg_trunc, mode="real").collect()
 
 
-def test_jpeg_rejects_noninterleaved_multiscan():
-    """A baseline file whose first SOS carries only 1 of 3 components
-    would decode desaturated silently — must raise instead."""
+def test_jpeg_sequential_multiscan_decodes_and_truncation_raises():
+    """A sequential file carrying one SOS per component (legal
+    non-interleaved baseline) must decode identically to the
+    interleaved encoding of the same image; a file that ends before
+    covering every component must raise, never reconstruct the
+    missing planes as silent zeros (desaturated output)."""
     import struct as st
 
-    buf = bytearray(b"\xff\xd8")
-    buf += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, 16, 16, 3)
-    buf += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
-    buf += b"\xff\xda" + st.pack(">HB", 8, 1)  # scan with ONE component
-    buf += bytes([1, 0x00]) + b"\x00\x3f\x00"
-    with pytest.raises(ValueError, match="non-interleaved"):
-        codecs.decode_jpeg(bytes(buf))
+    from etl_extract_transform_load_spark.scale.codecs import (
+        _BitWriter,
+        _huff_encode_map,
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _jpeg_quantized_planes,
+        _JPEG_ZIGZAG,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    zzs, qt_l, qt_c, _gray, h, w = _jpeg_quantized_planes(img, 85)
+
+    def scan_bytes(zz, dcb, acb):
+        dc_map, ac_map = _huff_encode_map(*dcb), _huff_encode_map(*acb)
+        wtr = _BitWriter()
+        pred = 0
+        nby, nbx = zz.shape[:2]
+        for yb in range(nby):
+            for xb in range(nbx):
+                row = zz[yb, xb]
+                dc = int(row[0])
+                diff, pred = dc - pred, dc
+                t = abs(diff).bit_length()
+                ln, code = dc_map[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                nzi = np.nonzero(row[1:])[0]
+                last = nzi[-1] + 1 if len(nzi) else 0
+                for k in range(1, last + 1):
+                    v = int(row[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_map[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    ln, code = ac_map[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    ln, code = ac_map[0x00]
+                    wtr.write(code, ln)
+        return wtr.flush()
+
+    head = bytearray(b"\xff\xd8")
+    for tq, tab in ((0, qt_l), (1, qt_c)):
+        head += b"\xff\xdb" + st.pack(">HB", 67, tq)
+        head += tab[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    head += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, h, w, 3)
+    head += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc, th, tab in (
+        (0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA),
+        (0, 1, _JPEG_DC_CHROMA), (1, 1, _JPEG_AC_CHROMA),
+    ):
+        bits, vals = tab
+        head += b"\xff\xc4" + st.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        head += bytes(bits) + bytes(vals)
+    scans = bytearray()
+    for ci, (dcb, acb) in enumerate((
+        (_JPEG_DC_LUMA, _JPEG_AC_LUMA),
+        (_JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+        (_JPEG_DC_CHROMA, _JPEG_AC_CHROMA),
+    )):
+        scans += b"\xff\xda" + st.pack(">HB", 8, 1)
+        scans += bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
+        scans += b"\x00\x3f\x00"
+        scans += scan_bytes(zzs[ci], dcb, acb)
+    multi = bytes(head + scans + b"\xff\xd9")
+    want = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85))
+    assert np.array_equal(codecs.decode_jpeg(multi), want)
+
+    # drop the third component's scan → loud failure, not silent gray
+    trunc = bytes(head) + bytes(scans[: scans.rfind(b"\xff\xda")])
+    trunc += b"\xff\xd9"
+    with pytest.raises(ValueError, match="never scanned"):
+        codecs.decode_jpeg(trunc)
+
+
+def test_jpeg_progressive_420_matches_baseline_420():
+    """Progressive 4:2:0 exercises the decode geometry where a
+    component's non-interleaved AC block grid is SMALLER than its
+    MCU-padded DC grid (h, w not MCU multiples). Build a baseline
+    4:2:0 stream from the same quantized planes and require identical
+    reconstruction."""
+    import struct as st
+
+    from etl_extract_transform_load_spark.scale.codecs import (
+        _BitWriter,
+        _huff_encode_map,
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _jpeg_quality_tables,
+        _JPEG_ZIGZAG,
+        _pad_edge,
+        _quantize_plane,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 20, 28  # NOT multiples of 16: AC grid < DC grid for luma
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    prog = codecs.encode_jpeg_progressive(img, quality=80,
+                                          subsampling="420")
+    got = codecs.decode_jpeg(prog)
+    assert got.shape == (h, w, 3)
+
+    # same planes, baseline single interleaved scan
+    qt_l, qt_c = _jpeg_quality_tables(80)
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def half(p):
+        p2 = _pad_edge(p, 2, 2)
+        return (p2[0::2, 0::2] + p2[1::2, 0::2]
+                + p2[0::2, 1::2] + p2[1::2, 1::2]) / 4.0
+
+    zzs = [
+        _quantize_plane(_pad_edge(y, 16, 16), qt_l),
+        _quantize_plane(_pad_edge(half(cb), 8, 8), qt_c),
+        _quantize_plane(_pad_edge(half(cr), 8, 8), qt_c),
+    ]
+    out = bytearray(b"\xff\xd8")
+    for tq, tab in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + st.pack(">HB", 67, tq)
+        out += tab[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xc0" + st.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc, th, tab in (
+        (0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA),
+        (0, 1, _JPEG_DC_CHROMA), (1, 1, _JPEG_AC_CHROMA),
+    ):
+        bits, vals = tab
+        out += b"\xff\xc4" + st.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + st.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    maps = [
+        (_huff_encode_map(*_JPEG_DC_LUMA), _huff_encode_map(*_JPEG_AC_LUMA)),
+        (_huff_encode_map(*_JPEG_DC_CHROMA),
+         _huff_encode_map(*_JPEG_AC_CHROMA)),
+        (_huff_encode_map(*_JPEG_DC_CHROMA),
+         _huff_encode_map(*_JPEG_AC_CHROMA)),
+    ]
+    factors = [(2, 2), (1, 1), (1, 1)]
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_y, mcus_x = -(-h // 16), -(-w // 16)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((dc_map, ac_map), (ch, cv)) in enumerate(
+                zip(maps, factors)
+            ):
+                for v in range(cv):
+                    for hh in range(ch):
+                        row = zzs[ci][my * cv + v, mx * ch + hh]
+                        dc = int(row[0])
+                        diff, preds[ci] = dc - preds[ci], dc
+                        t = abs(diff).bit_length()
+                        ln, code = dc_map[t]
+                        wtr.write(code, ln)
+                        if t:
+                            wtr.write(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+                        run = 0
+                        nzi = np.nonzero(row[1:])[0]
+                        last = nzi[-1] + 1 if len(nzi) else 0
+                        for k in range(1, last + 1):
+                            vv = int(row[k])
+                            if vv == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_map[0xF0]
+                                wtr.write(code, ln)
+                                run -= 16
+                            s = abs(vv).bit_length()
+                            ln, code = ac_map[(run << 4) | s]
+                            wtr.write(code, ln)
+                            wtr.write(
+                                vv if vv > 0 else vv + (1 << s) - 1, s
+                            )
+                            run = 0
+                        if last < 63:
+                            ln, code = ac_map[0x00]
+                            wtr.write(code, ln)
+    out += wtr.flush() + b"\xff\xd9"
+    base = codecs.decode_jpeg(bytes(out))
+
+    # the only divergence allowed: luma blocks in the MCU padding that
+    # the progressive AC scans never cover — they influence NOTHING
+    # inside the h x w crop, so the crops must be identical
+    assert np.array_equal(got, base)

@@ -301,3 +301,180 @@ def quantiles_from_stats(
                 + (pos - lower) * stats[int(higher) + 1]
             )
     return out
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    ps: Sequence[float],
+    bins: int = DEFAULT_BINS,
+    collect_threshold: int = DEFAULT_COLLECT,
+    max_rounds: int = 12,
+) -> Dict[object, List[float]]:
+    """Per-group exact interpolated quantiles — {key: [q at each p]} —
+    with the same bounded-state guarantee as :func:`exact_quantiles`,
+    refined for ALL groups SIMULTANEOUSLY: every round is one
+    groupBy(window, bucket) aggregation whose state is ≤ live-windows
+    × bins counters (a group holds at most one window per target
+    rank), and windows whose straddling buckets resolved (tie
+    collapse or bounded collect) simply drop out of later rounds. Use
+    for per-stratum statistics (per-language median document length,
+    per-category p99 price) where SQL ``percentile ... GROUP BY``
+    would buffer every group's full value list in aggregation state.
+
+    Keys come back as collected Python values (NULL keys excluded —
+    a NULL stratum has no identity). Group count must be driver-sized
+    (the result itself is per-group); value volume per group is
+    unbounded."""
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    x = F.col(f"`{col}`").cast("double")
+    k = F.col(f"`{key_col}`")
+    src = df.filter(
+        k.isNotNull() & x.isNotNull() & ~F.isnan(x)
+    ).select(k.alias("k"), x.alias("x"))
+
+    head = src.groupBy("k").agg(
+        F.count("x").alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    ).collect()
+
+    # per-group rank targets
+    want: Dict[object, List[int]] = {}
+    meta: Dict[object, int] = {}
+    resolved: Dict[tuple, float] = {}  # (key, rank) -> value
+    # live refinement windows: (key, lo, hi, below, ranks)
+    windows: List[tuple] = []
+    for row in head:
+        key, n, mn, mx = row["k"], row["n"], row["mn"], row["mx"]
+        meta[key] = n
+        ranks = set()
+        for p in ps:
+            pos = p * (n - 1)
+            ranks.add(int(math.floor(pos)) + 1)
+            ranks.add(int(math.ceil(pos)) + 1)
+        want[key] = sorted(ranks)
+        if mn == mx:
+            for r in want[key]:
+                resolved[(key, r)] = float(mn)
+        else:
+            windows.append((key, float(mn), float(mx), 0, want[key]))
+
+    to_collect: List[tuple] = []
+    for _ in range(max_rounds):
+        if not windows:
+            break
+        # ONE job refines EVERY live window across all groups: a key
+        # can hold several disjoint windows at once (one per rank
+        # cluster), so membership is tagged per-window, not per-key —
+        # windows of the same key never overlap in data values
+        xx = F.col("x")
+        kk = F.col("k")
+        cond = None
+        wid = F.lit(None).cast("int")
+        bucket = F.lit(None).cast("int")
+        for i, (key, lo, hi, _, _) in enumerate(windows):
+            in_w = (
+                (kk == F.lit(key))
+                & (xx >= F.lit(lo))
+                & (xx <= F.lit(hi))
+            )
+            cond = in_w if cond is None else (cond | in_w)
+            wid = F.when(in_w & wid.isNull(), F.lit(i)).otherwise(wid)
+            bucket = F.when(
+                F.col("w") == i, _bucket_expr(xx, lo, hi, bins)
+            ).otherwise(bucket)
+        stats = (
+            src.filter(cond)
+            .withColumn("w", wid)
+            .groupBy("w", bucket.alias("b"))
+            .agg(
+                F.count("x").alias("cnt"),
+                F.min("x").alias("bmin"),
+                F.max("x").alias("bmax"),
+            )
+            .collect()
+        )
+        by_win: Dict[int, List] = {}
+        for r in stats:
+            by_win.setdefault(r["w"], []).append(r)
+
+        nxt: List[tuple] = []
+        for i, (key, lo, hi, below, wranks) in enumerate(windows):
+            buckets = sorted(by_win.get(i, []), key=lambda r: r["b"])
+            it = iter(buckets)
+            cur = next(it)
+            cur_start = below
+            new_windows: Dict[tuple, List[int]] = {}
+            for rank in wranks:
+                while cur_start + cur["cnt"] < rank:
+                    cur_start += cur["cnt"]
+                    cur = next(it)
+                bmin, bmax, cnt = (
+                    float(cur["bmin"]), float(cur["bmax"]), cur["cnt"],
+                )
+                if bmin == bmax:
+                    resolved[(key, rank)] = bmin
+                    continue
+                wkey = (bmin, bmax, cur_start, cnt)
+                new_windows.setdefault(wkey, []).append(rank)
+            for (bmin, bmax, bbelow, cnt), brs in new_windows.items():
+                entry = (key, bmin, bmax, bbelow, brs)
+                if cnt <= collect_threshold:
+                    to_collect.append(entry)
+                elif (bmin, bmax) == (lo, hi):
+                    raise RuntimeError(
+                        f"grouped_exact_quantiles stalled on group "
+                        f"{key!r} window [{lo}, {hi}] holding {cnt} rows"
+                    )
+                else:
+                    nxt.append(entry)
+        windows = nxt
+    if windows:
+        raise RuntimeError(
+            f"grouped_exact_quantiles did not converge in {max_rounds} "
+            "rounds"
+        )
+
+    if to_collect:
+        # one job resolves all straddling buckets across all groups
+        conds = []
+        for key, lo, hi, _, _ in to_collect:
+            conds.append(
+                (F.col("k") == F.lit(key))
+                & (F.col("x") >= F.lit(lo))
+                & (F.col("x") <= F.lit(hi))
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        rows = src.filter(cond).collect()
+        by_group: Dict[tuple, List[float]] = {}
+        for r in rows:
+            by_group.setdefault(r["k"], []).append(r["x"])
+        for key, lo, hi, below, brs in to_collect:
+            vals = sorted(
+                v for v in by_group.get(key, []) if lo <= v <= hi
+            )
+            for rank in brs:
+                resolved[(key, rank)] = float(vals[rank - below - 1])
+
+    out: Dict[object, List[float]] = {}
+    for key, n in meta.items():
+        qs: List[float] = []
+        for p in ps:
+            pos = p * (n - 1)
+            lower = math.floor(pos)
+            higher = math.ceil(pos)
+            if higher == lower:
+                qs.append(resolved[(key, int(lower) + 1)])
+            else:
+                qs.append(
+                    (higher - pos) * resolved[(key, int(lower) + 1)]
+                    + (pos - lower) * resolved[(key, int(higher) + 1)]
+                )
+        out[key] = qs
+    return out

@@ -194,6 +194,16 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount",
         "l_tax",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+        round_half_up6,
+    )
+    from etl_extract_transform_load_spark.scale.ml import (
+        simple_linear_fit,
+    )
+
     with released_caches():
         # persist WITHOUT repartitioning: the cache is built and
         # released inside this one query, so a pre-persist shuffle
@@ -202,20 +212,57 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = persist_tracked(
             load_table(spark, sf_dir, "lineitem").select(*li_cols)
         )
-        d = describe_numeric(li, "l_quantity")
-        stacked = d.select(
-            F.expr(
-                "stack(8,"
-                " 'count', cast(count as double),"
-                " 'mean', cast(mean as double),"
-                " 'std', cast(std as double),"
-                " 'min', cast(min as double),"
-                " 'q25', cast(q25 as double),"
-                " 'q50', cast(q50 as double),"
-                " 'q75', cast(q75 as double),"
-                " 'max', cast(max as double)) as (metric, value)"
+        li.count()  # build the cache ONCE before branches race on it
+
+        # the describe / EDA / grouped-quantile branches each run
+        # driver-mediated decide jobs (SURVEY §4); they are mutually
+        # independent, so submit them from threads and let the Spark
+        # scheduler overlap the jobs — wall time becomes the slowest
+        # branch instead of the sum. The persist above happened in THIS
+        # thread (released_caches tracking is thread-local by design);
+        # branch threads only run jobs against it.
+        def _describe():
+            return describe_numeric(li, "l_quantity").select(
+                F.expr(
+                    "stack(8,"
+                    " 'count', cast(count as double),"
+                    " 'mean', cast(mean as double),"
+                    " 'std', cast(std as double),"
+                    " 'min', cast(min as double),"
+                    " 'q25', cast(q25 as double),"
+                    " 'q50', cast(q50 as double),"
+                    " 'q75', cast(q75 as double),"
+                    " 'max', cast(max as double)) as (metric, value)"
+                )
             )
-        )
+
+        def _gq():
+            # per-group exact quantiles with bounded state (grouped
+            # face of operators/quantiles): per-language document
+            # length quartiles as gq:<lang>:qNN metrics
+            docs = load_table(spark, sf_dir, "documents")
+            gq = grouped_exact_quantiles(
+                docs, "lang", "n_chars", [0.25, 0.5, 0.75]
+            )
+            rows = [
+                (f"gq:{lang}:q{tag}", round_half_up6(v))
+                for lang, qs in gq.items()
+                for tag, v in zip(("25", "50", "75"), qs)
+            ]
+            return spark.createDataFrame(
+                rows, "metric string, value double"
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stacked = pool.submit(_describe)
+            f_gq = pool.submit(_gq)
+            # EDA surface: histogram buckets + pairwise Pearson
+            # flattened into the same (metric, value) stack
+            f_eda = pool.submit(eda_metric_value, spark, sf_dir, li)
+            stacked, gq_df, eda = (
+                f_stacked.result(), f_gq.result(), f_eda.result(),
+            )
+
         vc = value_counts(
             load_table(spark, sf_dir, "documents"), "lang"
         ).select(
@@ -226,11 +273,26 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
             F.col("mad").cast("double").alias("value"),
         )
-        # EDA surface (operators/eda.py): histogram buckets + pairwise
-        # Pearson flattened to the same (metric, value) stack — the
-        # notebook's hist/scatter numbers ride the inspection query
-        eda = eda_metric_value(spark, sf_dir, li=li)
-        out = stacked.unionByName(vc).unionByName(mad).unionByName(eda)
+        # one-pass exact OLS (scale/ml.py): price-per-quantity line
+        # over the same persisted projection — slope/intercept/r² from
+        # decimal-exact sufficient statistics (lazy: runs in the final
+        # materialization)
+        lm = simple_linear_fit(li, "l_quantity", "l_extendedprice").select(
+            F.expr(
+                "stack(4,"
+                " 'lm:n', cast(n as double),"
+                " 'lm:slope', slope,"
+                " 'lm:intercept', intercept,"
+                " 'lm:r2', r2) as (metric, value)"
+            )
+        )
+        out = (
+            stacked.unionByName(vc)
+            .unionByName(mad)
+            .unionByName(eda)
+            .unionByName(gq_df)
+            .unionByName(lm)
+        )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
         return out.localCheckpoint()
@@ -252,6 +314,15 @@ def _oracle_describe_stats() -> str:
         eda_metric_value_sql,
     )
 
+    gq_legs = "\nUNION ALL\n".join(
+        f"""
+SELECT 'gq:' || lang || ':q{tag}' AS metric,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), {p}), 6) AS value
+FROM documents
+WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY lang"""
+        for tag, p in (("25", 0.25), ("50", 0.5), ("75", 0.75))
+    )
     return f"""
 WITH d AS ({ORACLE_DESCRIBE})
 {stacked}
@@ -261,6 +332,46 @@ UNION ALL
 SELECT 'mad:' || l_returnflag, CAST(mad AS DOUBLE) FROM ({ORACLE_MAD})
 UNION ALL
 SELECT metric, value FROM ({eda_metric_value_sql()})
+UNION ALL
+{gq_legs}
+UNION ALL
+SELECT metric, value FROM (
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    f AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+        FROM s
+    )
+    SELECT 'lm:n' AS metric, CAST(n AS DOUBLE) AS value FROM f
+    UNION ALL
+    SELECT 'lm:slope', ROUND(slope, 6) FROM f
+    UNION ALL
+    SELECT 'lm:intercept',
+           ROUND((s.sy - f.slope * s.sx) / CAST(s.n AS DOUBLE), 6)
+    FROM f, s
+    UNION ALL
+    SELECT 'lm:r2', ROUND(r * r, 6) FROM f
+)
 """
 
 

@@ -1,0 +1,174 @@
+"""Exact linear models from one-pass sufficient statistics.
+
+The quality-scoring step of a corpus pipeline (fit a linear predictor
+of a quality label from cheap engine-side features, then score every
+document at scan speed) does not need an ML framework: ordinary least
+squares is solvable EXACTLY from one aggregation pass —
+
+- simple regression: five decimal-exact sums (n, Σx, Σy, Σx², Σxy
+  [, Σy² for r²]) → slope/intercept/r² by a pinned double formula,
+  bit-stable under any partitioning (decimal addition is
+  order-insensitive — the ``operators.eda.correlation_matrix``
+  argument) and therefore hash-comparable across engines;
+- multi-feature OLS/ridge: one pass accumulates the Gram matrix
+  XᵀX (d×d) and Xᵀy (d) as decimal sums, the d×d normal-equation
+  solve happens on the driver (d is features, never rows), and
+  scoring is a scan-stage dot product with broadcast-literal
+  coefficients — the same decide-then-broadcast shape as
+  ``scale.embeddings`` centroids.
+
+Scale: the only data-sized operation is the single aggregation scan
+(map-side partial combine, state = d² decimal cells); nothing is
+collected but the d×d sums. 100 TB of rows fit the same d² state as
+100 rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Exact-sum carrier for inputs quantized at 1e-6 and |value| ≤ ~1e12.
+#: Width 18 matters: Spark reduces the RESULT SCALE of a
+#: (38,s)×(38,s) decimal multiply to fit precision 38 (silently
+#: rounding the products), while (18,6)×(18,6) → (37,12) stays exact
+#: — the same choice ``operators.eda.correlation_matrix`` pins. The
+#: DuckDB oracle mirrors with DECIMAL(19,6) (width ≤ 18 keeps DuckDB
+#: multiplication in int64, which overflows; 19 forces HUGEINT).
+_DEC = "decimal(18,6)"
+
+
+def simple_linear_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One-row frame (n, slope, intercept, r2) of the least-squares
+    line y = slope·x + intercept over rows where both are non-NULL.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²₀), intercept from the
+    means, r² as the squared Pearson correlation — every sum decimal-
+    exact, the double arithmetic in a pinned operation order, so any
+    engine computing the same formula hash-matches (ROUND(…,6)).
+    Degenerate inputs (n < 2 or constant x) yield NULL coefficients
+    rather than a division blow-up."""
+    x = F.col(f"`{x_col}`").cast("double")
+    y = F.col(f"`{y_col}`").cast("double")
+    nn = x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    dx = F.when(nn, x.cast(_DEC))
+    dy = F.when(nn, y.cast(_DEC))
+    row = df.agg(
+        F.sum(nn.cast("long")).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den_x = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = F.when(
+        (F.col("n") >= 2) & (den_x != 0), num / den_x
+    ).otherwise(F.lit(None).cast("double"))
+    intercept = (sy - slope * sx) / n
+    corr_den = F.sqrt(den_x) * F.sqrt(n * syy - sy * sy)
+    r = F.when(corr_den != 0, num / corr_den)
+    return row.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> list[float]:
+    """Multi-feature OLS / ridge coefficients via normal equations:
+    returns ``[b_0 (intercept if fit_intercept), b_1, ..., b_d]`` in
+    ``feature_cols`` order. ONE aggregation pass accumulates XᵀX and
+    Xᵀy as decimal-exact sums (state d², never rows); the d×d solve
+    runs on the driver. ``l2`` adds ridge regularization (not applied
+    to the intercept). Rows with any NULL/NaN feature or label are
+    excluded. Raises on a singular (collinear) system with l2 == 0 —
+    pass a small ridge instead of silently pseudo-inverting."""
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
+    cols = [F.lit(1.0).cast("double")] if fit_intercept else []
+    cols += [F.col(f"`{c}`").cast("double") for c in feats]
+    yv = F.col(f"`{y_col}`").cast("double")
+    nn = yv.isNotNull() & ~F.isnan(yv)
+    for c in feats:
+        xc = F.col(f"`{c}`").cast("double")
+        nn = nn & xc.isNotNull() & ~F.isnan(xc)
+    d = len(cols)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):  # symmetric: upper triangle only
+            aggs.append(
+                F.sum(
+                    F.when(nn, (cols[i] * cols[j]).cast(_DEC))
+                ).alias(f"g_{i}_{j}")
+            )
+        aggs.append(
+            F.sum(F.when(nn, (cols[i] * yv).cast(_DEC))).alias(f"b_{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    gram = np.zeros((d, d))
+    rhs = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            v = row[f"g_{i}_{j}"]
+            gram[i, j] = gram[j, i] = float(v) if v is not None else 0.0
+        bv = row[f"b_{i}"]
+        rhs[i] = float(bv) if bv is not None else 0.0
+    if l2:
+        reg = np.eye(d) * float(l2)
+        if fit_intercept:
+            reg[0, 0] = 0.0
+        gram = gram + reg
+    try:
+        coef = np.linalg.solve(gram, rhs)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "singular normal equations (collinear features) — pass "
+            "l2 > 0 for a ridge solution"
+        ) from exc
+    return [float(c) for c in coef]
+
+
+def predict_linear(
+    df: DataFrame,
+    coef: Sequence[float],
+    feature_cols: Sequence[str],
+    out_col: str = "prediction",
+    fit_intercept: bool = True,
+) -> Column | DataFrame:
+    """Score rows with broadcast-literal coefficients — a pure
+    scan-stage expression (whole-stage codegen, no shuffle, no UDF):
+    the 100 TB-friendly half of the fit/score pair."""
+    feats = list(feature_cols)
+    coef = [float(c) for c in coef]
+    expected = len(feats) + (1 if fit_intercept else 0)
+    if len(coef) != expected:
+        raise ValueError(
+            f"{len(coef)} coefficients for {expected} terms"
+        )
+    idx = 1 if fit_intercept else 0
+    expr = F.lit(coef[0]) if fit_intercept else F.lit(0.0)
+    for i, c in enumerate(feats):
+        expr = expr + F.lit(coef[idx + i]) * F.col(f"`{c}`").cast("double")
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,123 @@
+"""Exact linear models (scale/ml.py): sufficient-stats OLS vs known
+coefficients and numpy lstsq, ridge behavior, scan-stage scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.ml import (
+    linear_fit,
+    predict_linear,
+    simple_linear_fit,
+)
+
+
+def test_simple_fit_recovers_exact_line(spark):
+    # noiseless y = 2.5x - 3: slope/intercept exact, r2 == 1
+    df = spark.range(1, 200).select(
+        (F.col("id") / 4.0).alias("x"),
+        (F.col("id") / 4.0 * 2.5 - 3.0).alias("y"),
+    )
+    (row,) = simple_linear_fit(df, "x", "y").collect()
+    assert row.n == 199
+    assert row.slope == pytest.approx(2.5, abs=1e-6)
+    assert row.intercept == pytest.approx(-3.0, abs=1e-6)
+    assert row.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_simple_fit_matches_numpy_on_noisy_data(spark):
+    rng = np.random.default_rng(1)
+    x = np.round(rng.uniform(0, 100, 500), 2)
+    y = np.round(3.0 * x + 7 + rng.normal(0, 5, 500), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    (row,) = simple_linear_fit(df, "x", "y").collect()
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.slope == pytest.approx(slope, abs=1e-4)
+    assert row.intercept == pytest.approx(intercept, abs=1e-4)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row.r2 == pytest.approx(r * r, abs=1e-5)
+
+
+def test_simple_fit_degenerate_inputs(spark):
+    # constant x → NULL coefficients, not a crash
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 5.0), (1.0, 9.0)], "x double, y double"
+    )
+    (row,) = simple_linear_fit(df, "x", "y").collect()
+    assert row.n == 3 and row.slope is None
+    # NULL / NaN rows excluded
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (float("nan"), 3.0)],
+        "x double, y double",
+    )
+    (row2,) = simple_linear_fit(df2, "x", "y").collect()
+    assert row2.n == 2 and row2.slope == pytest.approx(1.0)
+
+
+def test_multifeature_fit_and_predict(spark):
+    # y = 4 + 2*a - 0.5*b, exact recovery from noiseless data
+    rng = np.random.default_rng(2)
+    a = np.round(rng.uniform(-10, 10, 300), 2)
+    b = np.round(rng.uniform(0, 50, 300), 2)
+    y = 4.0 + 2.0 * a - 0.5 * b
+    df = spark.createDataFrame(
+        [(float(p), float(q), float(r)) for p, q, r in zip(a, b, y)],
+        "a double, b double, y double",
+    )
+    coef = linear_fit(df, ["a", "b"], "y")
+    assert coef == pytest.approx([4.0, 2.0, -0.5], abs=1e-9)
+    scored = predict_linear(df, coef, ["a", "b"], "pred")
+    (mx,) = scored.agg(
+        F.max(F.abs(F.col("pred") - F.col("y"))).alias("m")
+    ).collect()[0]
+    assert mx < 1e-9
+    # plan shape: pure projection, no shuffle for scoring
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_multifeature_matches_numpy_lstsq(spark):
+    rng = np.random.default_rng(3)
+    X = np.round(rng.uniform(-5, 5, (400, 3)), 2)
+    y = np.round(X @ [1.5, -2.0, 0.25] + 3 + rng.normal(0, 1, 400), 2)
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) + (float(v),) for r, v in zip(X, y)],
+        "f1 double, f2 double, f3 double, y double",
+    )
+    coef = linear_fit(df, ["f1", "f2", "f3"], "y")
+    ones = np.column_stack([np.ones(len(X)), X])
+    want, *_ = np.linalg.lstsq(ones, y, rcond=None)
+    assert coef == pytest.approx(list(want), abs=1e-6)
+
+
+def test_collinear_raises_then_ridge_solves(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 7.0), (3.0, 6.0, 9.0)],
+        "a double, b double, y double",  # b = 2a exactly
+    )
+    with pytest.raises(ValueError, match="l2 > 0"):
+        linear_fit(df, ["a", "b"], "y")
+    coef = linear_fit(df, ["a", "b"], "y", l2=1e-6)
+    scored = predict_linear(df, coef, ["a", "b"], "pred")
+    (mx,) = scored.agg(
+        F.max(F.abs(F.col("pred") - F.col("y"))).alias("m")
+    ).collect()[0]
+    assert mx < 1e-3  # ridge still fits the consistent system
+
+
+def test_simple_fit_plan_is_partial_aggregated(spark):
+    """The sufficient-stats pass must be a map-side-combinable hash
+    aggregate (partial→final around one exchange) — the shape that
+    keeps the fit a single O(1)-state scan at any row count."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    plan = simple_linear_fit(df, "x", "y")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

@@ -96,3 +96,51 @@ def test_round_half_up6_matches_spark_round(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     want = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
     assert [round_half_up6(v) for v in vals] == want
+
+
+def test_grouped_quantiles_match_spark_grouped_percentile(spark):
+    """Per-group exact quantiles (all groups refined in shared
+    passes) bit-equal SQL percentile ... GROUP BY — including a
+    one-row group, a constant group, and a big skewed group forced
+    through multiple refinement rounds."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    df = (
+        spark.range(0, 9000)
+        .select(
+            F.when(F.col("id") % 3 == 0, "a")
+            .when(F.col("id") % 3 == 1, "b")
+            .otherwise("c")
+            .alias("g"),
+            (F.pow(F.col("id").cast("double"), 1.3) / 7.0).alias("x"),
+        )
+        .union(
+            spark.createDataFrame(
+                [("solo", 42.0)] + [("const", 5.0)] * 50,
+                "g string, x double",
+            )
+        )
+    )
+    ps = [0.1, 0.5, 0.9]
+    got = grouped_exact_quantiles(
+        df, "g", "x", ps, bins=8, collect_threshold=32
+    )
+    want_rows = df.groupBy("g").agg(
+        F.expr("percentile(x, array(0.1, 0.5, 0.9))").alias("q")
+    ).collect()
+    want = {r.g: [float(v) for v in r.q] for r in want_rows}
+    assert got == want
+
+
+def test_grouped_quantiles_excludes_null_keys(spark):
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 99.0)], "g string, x double"
+    )
+    got = grouped_exact_quantiles(df, "g", "x", [0.5])
+    assert got == {"a": [2.0]}

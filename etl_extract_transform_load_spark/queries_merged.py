@@ -1246,22 +1246,60 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("q8_scale").cast("double").alias("cos_sim"),
     )
+    # sixth branch: SemDeDup — within-cluster cosine near-dup pruning
+    # over the SAME checkpointed E-step assignment; each dropped
+    # vector rides (vec_id, its cluster in label, smaller-id-neighbor
+    # count in n_vectors, closest cosine in cos_sim)
+    from etl_extract_transform_load_spark.scale.semdedup import (
+        semantic_dup_drops,
+    )
+
+    sem = semantic_dup_drops(emb, assigned, threshold=0.4).select(
+        F.lit("semdedup").alias("part"),
+        F.col("label").cast("int").alias("label"),
+        F.col("n_better").cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("max_cos").cast("double").alias("cos_sim"),
+    )
     return (
         cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)
         .unionByName(cent_part(_serialize_centroid(refined), "refine"))
         .unionByName(cent_part(_serialize_centroid(refined2), "refine2"))
         .unionByName(quant)
+        .unionByName(sem)
     )
 
 
 def _oracle_kmeans_cluster() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
+        _NONZERO_EMB_SQL,
         ORACLE_KMEANS_ASSIGN,
         ORACLE_KMEANS_REFINE,
         ORACLE_LABEL_CENTROIDS,
         refine_oracle_sql,
     )
+
+    semdedup_sql = f"""
+WITH asg AS ({ORACLE_KMEANS_ASSIGN}),
+v AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[]))) AS n,
+           a.assigned_label AS lab
+    FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+    WHERE e.embedding IS NOT NULL AND {_NONZERO_EMB_SQL}
+),
+pr AS (
+    SELECT b.vec_id, b.lab AS label,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+    FROM v a JOIN v b ON a.lab = b.lab AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+)
+SELECT vec_id, label, COUNT(*) AS n_better, MAX(cos) AS max_cos
+FROM pr GROUP BY vec_id, label
+"""
 
     return f"""
 SELECT 'centroids' AS part, CAST(label AS INT) AS label,
@@ -1295,6 +1333,10 @@ FROM (SELECT vec_id,
              list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> ABS(x))) AS amax
       FROM embeddings WHERE embedding IS NOT NULL)
+UNION ALL
+SELECT 'semdedup', CAST(label AS INT), CAST(n_better AS BIGINT),
+       NULL::VARCHAR, CAST(vec_id AS BIGINT), CAST(max_cos AS DOUBLE)
+FROM ({semdedup_sql})
 """
 
 

@@ -1,0 +1,124 @@
+"""Semantic deduplication (SemDeDup-style): cluster embeddings with
+k-means, then prune near-duplicate vectors WITHIN each cluster by
+exact cosine — the curation step that removes semantically redundant
+documents an n-gram/MinHash pass can't see (paraphrases, templated
+rewrites), at a cost bounded by cluster size instead of corpus².
+
+Composition of existing verified kernels:
+- assignment = ``scale.embeddings.assign_to_centroids`` (deterministic
+  argmax-cosine with label tiebreak, broadcast centroids, zero
+  shuffle of the corpus);
+- in-cluster pairs = the ``scale.similarity`` cosine kernel joined on
+  the CLUSTER id (the same bucket-join shape as hyperplane LSH, with
+  the learned partition as the bucket) — all-pairs cost is
+  Σ|cluster|², the SemDeDup contract (pick k so clusters stay
+  ~√corpus); no pair crosses clusters, matching the published method;
+- survivor policy: a vector is DROPPED iff some smaller-id vector in
+  its cluster matches at ≥ threshold (the greedy min-id-keeps
+  convention every dedup operator here shares — deterministic, and a
+  pure anti-join to apply).
+
+Scale shape: one broadcast-assign scan, one shuffle on the cluster
+key, per-cluster pair verification. The drop decision needs no
+connected components: "has a smaller near-dup neighbor" is a per-row
+aggregate over the pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.similarity import (
+    DEFAULT_DIM,
+    _nondet_barrier,
+    dot,
+)
+
+
+def semantic_dup_drops(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "assigned_label",
+) -> DataFrame:
+    """(vec_id, label, n_better, max_cos): one row per DROPPED vector —
+    it has ``n_better`` smaller-id vectors in its cluster at rounded
+    cosine ≥ ``threshold``, the closest at ``max_cos``. Keep-set =
+    ids absent from this frame (apply with a broadcast/left-anti
+    join). NULL and zero-norm vectors never pair (no direction — the
+    similarity-module contract); vectors without an assignment row
+    drop out of consideration entirely."""
+    from etl_extract_transform_load_spark.scale.similarity import norm
+
+    with_label = emb.join(
+        assignments.select(
+            F.col(id_col), F.col(label_col).alias("__sd_label")
+        ),
+        id_col,
+    )
+
+    def side(idn: str, vecn: str, normn: str, labn: str) -> DataFrame:
+        return (
+            with_label.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias(idn),
+                F.col(vec_col).alias(vecn),
+                F.col("__sd_label").alias(labn),
+            )
+            .withColumn(
+                normn,
+                norm(vecn, dim) if dim is not None
+                else norm(F.col(vecn), dim),
+            )
+            .filter(F.col(normn) > 0)
+        )
+
+    a = side("id_a", "va", "na", "la")
+    b = side("id_b", "vb", "nb", "lb")
+    cos = F.round(
+        _nondet_barrier(
+            dot(F.col("va"), F.col("vb"), dim)
+            / (F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a", "id_b", F.col("lb").alias("label"), cos.alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias("vec_id"), "label"
+    ).agg(
+        F.count(F.lit(1)).alias("n_better"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "assigned_label",
+) -> DataFrame:
+    """The kept rows of ``emb``: drops applied with a LEFT ANTI join
+    (broadcastable — the drop list is the small side by construction
+    at sane thresholds)."""
+    drops = semantic_dup_drops(
+        emb, assignments, threshold, dim, id_col, vec_col, label_col
+    )
+    return emb.join(
+        drops.select(F.col("vec_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1,0 +1,104 @@
+"""Semantic dedup (scale/semdedup.py): within-cluster cosine pruning
+against a hand-checkable fixture and plan-shape assertions."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.semdedup import (
+    semantic_dedup,
+    semantic_dup_drops,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _assign(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "vec_id long, assigned_label int"
+    )
+
+
+def test_drops_within_cluster_only(spark):
+    # ids 1,2 nearly parallel in cluster 0; id 3 IDENTICAL direction
+    # but in cluster 1 → cross-cluster pairs never form (SemDeDup
+    # prunes within partitions only)
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+    )
+    asg = _assign(spark, [(1, 0), (2, 0), (3, 1), (4, 1)])
+    drops = semantic_dup_drops(emb, asg, threshold=0.95, dim=2).collect()
+    assert [(r.vec_id, r.label, r.n_better) for r in drops] == [(2, 0, 1)]
+    kept = {
+        r.vec_id for r in semantic_dedup(emb, asg, 0.95, dim=2).collect()
+    }
+    assert kept == {1, 3, 4}
+
+
+def test_greedy_min_id_chain_and_counts(spark):
+    # 1~2, 2~3 but 1 !~ 3 (chain): greedy drop-if-smaller-neighbor
+    # drops BOTH 2 and 3? 3's neighbors: 2 (dropped but still smaller)
+    # → 3 dropped too — pinned greedy-by-pairs semantics
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.97, 0.24]),   # cos(1,2) ≈ 0.9707 ≥ 0.95
+            (3, [0.87, 0.50]),   # cos(2,3) ≈ 0.9613; cos(1,3) ≈ 0.867
+        ],
+    )
+    asg = _assign(spark, [(1, 0), (2, 0), (3, 0)])
+    drops = {
+        r.vec_id: (r.n_better, r.max_cos)
+        for r in semantic_dup_drops(emb, asg, 0.95, dim=2).collect()
+    }
+    assert set(drops) == {2, 3}
+    assert drops[2][0] == 1 and drops[3][0] == 1
+    assert drops[3][1] == pytest.approx(0.9613, abs=1e-3)
+
+
+def test_null_zero_and_unassigned_vectors_never_pair(spark):
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, None),
+            (4, [0.0, 0.0]),
+            (5, [1.0, 0.0]),  # no assignment row
+        ],
+    )
+    asg = _assign(spark, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    drops = semantic_dup_drops(emb, asg, 0.9, dim=2).collect()
+    assert [(r.vec_id,) for r in drops] == [(2,)]
+    kept = {r.vec_id for r in semantic_dedup(emb, asg, 0.9, dim=2).collect()}
+    # null/zero/unassigned vectors are KEPT (they can't be duplicates)
+    assert kept == {1, 3, 4, 5}
+
+
+def test_plan_joins_on_cluster_key_no_cartesian(spark):
+    emb = _emb(spark, [(i, [1.0, 0.0]) for i in range(10)])
+    asg = _assign(spark, [(i, i % 2) for i in range(10)])
+    df = semantic_dup_drops(emb, asg, 0.9, dim=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    # the la == lb equality must drive a hash join — the all-pairs
+    # cost is per-cluster, never corpus²
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

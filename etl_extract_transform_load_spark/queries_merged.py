@@ -749,15 +749,34 @@ FROM ({ORACLE_SESSION_WINDOW})
 # --- text_quality_signals: stats + repetition ----------------------------------
 
 def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text_stats_docs ⋈ text_repetition_signals on doc_id: the full
-    per-document quality/language/fingerprint/repetition profile."""
+    """text_stats_docs ⋈ text_repetition_signals ⋈ NFC-normalization
+    metrics on doc_id: the full per-document quality/language/
+    fingerprint/repetition/normalization profile. The nfc columns ride
+    the Arrow-batched ``scale.text.normalize_unicode`` pass —
+    bit-identical to DuckDB's ``nfc_normalize`` (both engines
+    implement UAX #15 canonical composition), so the hash compare
+    verifies the normalization itself, not just the plumbing."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_repetition_signals,
         q_text_stats,
     )
+    from etl_extract_transform_load_spark.scale.text import (
+        normalize_unicode,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
 
-    return q_text_stats(spark, sf_dir).join(
-        q_repetition_signals(spark, sf_dir), "doc_id"
+    docs = load_table(spark, sf_dir, "documents")
+    nfc = normalize_unicode(docs, "text", out_col="nfc_text").select(
+        "doc_id",
+        F.length("nfc_text").cast("long").alias("nfc_len"),
+        (F.col("nfc_text") != F.col("text")).cast("long").alias(
+            "nfc_changed"
+        ),
+    )
+    return (
+        q_text_stats(spark, sf_dir)
+        .join(q_repetition_signals(spark, sf_dir), "doc_id")
+        .join(nfc, "doc_id")
     )
 
 
@@ -770,6 +789,12 @@ def _oracle_text_quality() -> str:
     return f"""
 SELECT * FROM ({ORACLE_TEXT_STATS}) a JOIN ({ORACLE_REPETITION}) b
 USING (doc_id)
+JOIN (
+    SELECT doc_id,
+           CAST(LENGTH(nfc_normalize(text)) AS BIGINT) AS nfc_len,
+           CAST(nfc_normalize(text) <> text AS BIGINT) AS nfc_changed
+    FROM documents
+) c USING (doc_id)
 """
 
 

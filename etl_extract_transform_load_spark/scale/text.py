@@ -424,3 +424,74 @@ def fix_mojibake(
     for broken, fixed in _MOJIBAKE_PAIRS:
         c = F.replace(c, F.lit(broken), F.lit(fixed))
     return df.withColumn(out_col, c)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization of a text column (UAX #15): the first
+    step of any multilingual corpus pipeline — without it, visually
+    identical strings ('é' precomposed vs 'e'+combining-acute) hash,
+    dedup, shingle, and tokenize as DIFFERENT documents.
+
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` — Spark
+    has no normalization builtin; for form='NFC' the output is
+    bit-identical to DuckDB's ``nfc_normalize`` (both implement the
+    same canonical composition), which is what lets the contract
+    query hash-verify this path. NULL passes through as NULL.
+    ``form`` ∈ NFC/NFD/NFKC/NFKD."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out_col = out_col or text_col
+
+    # no type hints: the module uses `from __future__ import
+    # annotations` and pandas is function-local, so hint resolution
+    # would fail — register by explicit returnType instead
+    def _norm(s):
+        return s.str.normalize(form)
+
+    norm_udf = pandas_udf(_norm, "string")
+    return df.withColumn(out_col, norm_udf(F.col(f"`{text_col}`")))
+
+
+def strip_diacritics(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove combining marks: NFD-decompose, drop category-Mn code
+    points, NFC-recompose — 'café' → 'cafe'. The aggressive-matching
+    normalization for search/dedup keys (NOT for text that will be
+    shown to a user or trained on verbatim: it is lossy by design,
+    and scripts where marks are semantic — Arabic harakat, Hebrew
+    niqqud — lose information; language-gate upstream). Singleton
+    non-decomposable letters ('ø', 'ł') are NOT stripped — same
+    contract as utf8proc-based engines. NULL passes through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or text_col
+
+    def _strip_one(s):
+        if s is None:
+            return None
+        return unicodedata.normalize(
+            "NFC",
+            "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", s)
+                if not unicodedata.combining(ch)
+            ),
+        )
+
+    def _strip(s):
+        return s.map(_strip_one)
+
+    strip_udf = pandas_udf(_strip, "string")
+    return df.withColumn(out_col, strip_udf(F.col(f"`{text_col}`")))

@@ -361,3 +361,66 @@ def test_embedding_queries_oracle_parity_with_null_vectors(
         assert_matches_oracle(
             qs[name](spark, str(tmp_path)), osql[name], str(tmp_path)
         )
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    """NFC composes combining sequences, NFKC folds compatibility
+    chars (ligatures, fullwidth), NULL passes through — and the NFC
+    output matches DuckDB's nfc_normalize (the oracle contract of the
+    text_quality_signals nfc branch)."""
+    import duckdb
+
+    from etl_extract_transform_load_spark.scale.text import (
+        normalize_unicode,
+    )
+
+    decomposed = "e\u0301te\u0301"  # 'été' via COMBINING ACUTE: 5 cps
+    liga = "\ufb03ce"  # 'ffi' ligature (U+FB03) + "ce"
+    rows = [(1, decomposed), (2, liga), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r.doc_id: r.out
+        for r in normalize_unicode(df, "text", "NFC", "out").collect()
+    }
+    assert nfc[1] == "\u00e9t\u00e9" and len(nfc[1]) == 3
+    assert nfc[2] == liga  # NFC preserves compatibility chars
+    assert nfc[3] is None and nfc[4] == "plain"
+    nfkc = {
+        r.doc_id: r.out
+        for r in normalize_unicode(df, "text", "NFKC", "out").collect()
+    }
+    assert nfkc[2] == "ffice"
+    con = duckdb.connect()
+    for _id, s in rows:
+        if s is None:
+            continue
+        (want,) = con.execute(
+            "SELECT nfc_normalize(?)", [s]
+        ).fetchone()
+        assert nfc[_id] == want, s
+
+    import pytest
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, "text", "NFX")
+
+
+def test_strip_diacritics(spark):
+    from etl_extract_transform_load_spark.scale.text import (
+        strip_diacritics,
+    )
+
+    rows = [
+        (1, "caf\u00e9"),  # precomposed é
+        (2, "cafe\u0301"),  # decomposed e + combining acute
+        (3, "straße ø"), # ß and ø: NOT stripped (no marks)
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.out
+        for r in strip_diacritics(df, "text", "out").collect()
+    }
+    assert got[1] == "cafe" and got[2] == "cafe"
+    assert got[3] == "straße ø"
+    assert got[4] is None

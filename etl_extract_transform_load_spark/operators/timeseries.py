@@ -9,10 +9,11 @@ bounded ``lookback`` of LAG terms with the decay weights computed
 driver-side and embedded as double literals, so any engine evaluating
 the same expression reproduces the bits (the weights are the SAME
 literal on both sides, not an engine-pow). Unbounded EWMA needs true
-recursion — that's ``applyInPandasWithState`` territory (streaming) or
-pandas ``ewm`` via ``applyInPandas``; the bounded form truncates the
-tail, which for (1-α)^k decays below float noise within ~50 steps
-anyway.
+recursion: :func:`ewma_unbounded` provides it as a per-key Arrow fold
+whose pinned recurrence hash-matches a recursive-CTE oracle (and
+``applyInPandasWithState`` carries the streaming form); the bounded
+window form remains the right default where the (1-α)^k tail decays
+below float noise (~50 steps at α=0.5).
 
 Rolling sums/means go through ``decimal(18,6)`` casts: decimal
 addition is order-insensitive, so results are bit-stable under any
@@ -106,3 +107,66 @@ def ewma(
         den = den + F.when(present, F.lit(wt)).otherwise(F.lit(0.0))
     out = F.when(den > 0, F.round(num / den, 6))
     return df.select("*", out.alias(out_col))
+
+
+def ewma_unbounded(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma_exact",
+) -> DataFrame:
+    """EXACT unbounded EWMA per key — the true-recursion complement of
+    the bounded window form above (module docstring): the full
+    ``adjust=True`` weighting ``y_i = Σ (1-α)^j x_{i-j} / Σ (1-α)^j``
+    over a key's ENTIRE history, computed as a per-key sequential fold
+    via ``applyInPandas`` with a PINNED recurrence —
+
+        num_i = x_i + (1-α) · num_{i-1}
+        den_i = 1.0 + (1-α) · den_{i-1}
+
+    in IEEE doubles, exactly the arithmetic a recursive SQL CTE
+    evaluates, so the result hash-matches a DuckDB ``WITH RECURSIVE``
+    oracle bit-for-bit (the fold IS the specification, not an
+    approximation of pandas ``ewm``).
+
+    Scale contract: one shuffle on the key, one task per key, O(1)
+    state per row — the per-key history streams through the fold
+    without materializing weights. Parallelism is bounded by key
+    cardinality (the same contract as ``pack_greedy``'s groups); for
+    single-key corpora use the streaming stateful operator instead.
+    NULL values carry the previous EWMA forward (emit NULL when no
+    value seen yet), matching SQL aggregate NULL-skipping."""
+    import pandas as pd
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    q = 1.0 - float(alpha)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    order_list = list(order_cols)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_list, ignore_index=True)
+        num = 0.0
+        den = 0.0
+        seen = False
+        out = []
+        for x in pdf[value_col]:
+            if x is None or pd.isna(x):
+                out.append((num / den) if seen else None)
+                continue
+            num = float(x) + q * num
+            den = 1.0 + q * den
+            seen = True
+            out.append(num / den)
+        pdf[out_col] = pd.Series(out, dtype="float64")
+        return pdf
+
+    return df.groupBy(F.col(f"`{key_col}`")).applyInPandas(
+        fold, schema=out_schema
+    )

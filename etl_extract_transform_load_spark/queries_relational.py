@@ -475,13 +475,46 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         lookback=4,
     ).select("event_id", "roll_mean", "roll_min", "roll_max", "ewma")
-    return base.join(feats, "event_id", "left")
+    # TRUE-recursion twin: the exact UNBOUNDED EWMA (per-key Arrow
+    # fold, operators/timeseries.ewma_unbounded) verified against a
+    # recursive-CTE oracle — closes the bounded form's truncated tail
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma_unbounded,
+    )
+
+    exact = ewma_unbounded(
+        nn, "user_id", ["event_id"], "value", alpha=0.5
+    ).select(
+        "event_id", F.round(F.col("ewma_exact"), 6).alias("ewma_x")
+    )
+    return base.join(feats, "event_id", "left").join(
+        exact, "event_id", "left"
+    )
 
 
 ORACLE_TIME_DERIV = """
-WITH nn AS (
+WITH RECURSIVE nn AS (
     SELECT event_id, user_id, CAST(value AS DOUBLE) AS v
     FROM events WHERE value IS NOT NULL
+),
+seq AS (
+    SELECT event_id, user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+    FROM nn
+),
+-- the exact unbounded EWMA recurrence, verbatim from the Arrow fold:
+-- num_i = x_i + 0.5*num_{i-1}; den_i = 1.0 + 0.5*den_{i-1}
+walk(user_id, rn, event_id, num, den) AS (
+    -- CAST the den seed: a bare 1.0 literal is DECIMAL(2,1), which
+    -- would silently round the whole recurrence at 1 decimal
+    SELECT user_id, rn, event_id, v, CAST(1.0 AS DOUBLE) FROM seq
+    WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.rn, s.event_id,
+           s.v + 0.5 * w.num, 1.0 + 0.5 * w.den
+    FROM walk w JOIN seq s
+      ON s.user_id = w.user_id AND s.rn = w.rn + 1
 ),
 feats AS (
     SELECT event_id,
@@ -514,8 +547,11 @@ SELECT e.event_id,
        STRFTIME(ts, '%Y-%m-%d') AS event_date,
        EXTRACT(hour FROM ts) AS event_hour,
        CAST(props->>'$.k' AS BIGINT) AS prop_k,
-       f.roll_mean, f.roll_min, f.roll_max, f.ewma
-FROM events e LEFT JOIN feats f ON e.event_id = f.event_id
+       f.roll_mean, f.roll_min, f.roll_max, f.ewma,
+       ROUND(w.num / w.den, 6) AS ewma_x
+FROM events e
+LEFT JOIN feats f ON e.event_id = f.event_id
+LEFT JOIN walk w ON e.event_id = w.event_id
 """
 
 

@@ -65,3 +65,73 @@ def test_ewma_weights_and_validation(spark):
         ewma_weights(0.0, 3)
     with pytest.raises(ValueError, match="alpha"):
         ewma_weights(1.5, 3)
+
+
+def test_ewma_unbounded_matches_pandas_and_bounded_tail(spark):
+    """The exact fold equals pandas ewm(adjust=True) to float
+    precision, NULLs carry the last value forward (NULL until first
+    value), and the bounded lookback form converges to it as the tail
+    decays."""
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma,
+        ewma_unbounded,
+    )
+
+    vals = [3.0, None, 7.5, 1.25, None, 9.0, 2.0, 4.75]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)]
+        + [(2, 0, None), (2, 1, 10.0)],
+        "k long, i long, v double",
+    )
+    got = {
+        (r.k, r.i): r.ewma_exact
+        for r in ewma_unbounded(df, "k", ["i"], "v", alpha=0.5).collect()
+    }
+    ref = pd.Series(vals).ewm(alpha=0.5, adjust=True, ignore_na=False).mean()
+    # pandas ignore_na=False decays weights across the NULL gaps;
+    # ours holds the PREVIOUS value (SQL-aggregate reading: a missing
+    # sample contributes nothing) — compare only on non-null rows
+    # against ignore_na=True which matches that semantics
+    ref = pd.Series(vals).ewm(alpha=0.5, adjust=True, ignore_na=True).mean()
+    for i, v in enumerate(vals):
+        if v is None:
+            prev = next(
+                (
+                    ref[j]
+                    for j in range(i - 1, -1, -1)
+                    if vals[j] is not None
+                ),
+                None,
+            )
+            if prev is None:
+                assert got[(1, i)] is None
+            else:
+                assert got[(1, i)] == pytest.approx(prev, rel=1e-12)
+        else:
+            assert got[(1, i)] == pytest.approx(ref[i], rel=1e-12)
+    assert got[(2, 0)] is None and got[(2, 1)] == 10.0
+
+    # long constant-ish series: bounded(lookback=50) ≈ unbounded
+    long = spark.createDataFrame(
+        [(1, i, float((i * 7) % 13)) for i in range(200)],
+        "k long, i long, v double",
+    )
+    b = ewma(long, "k", ["i"], "v", alpha=0.5, lookback=50)
+    u = ewma_unbounded(long, "k", ["i"], "v", alpha=0.5)
+    both = {r.i: r.ewma for r in b.collect()}, {
+        r.i: r.ewma_exact for r in u.collect()
+    }
+    for i in range(60, 200):
+        assert both[0][i] == pytest.approx(both[1][i], abs=1e-6)
+
+
+def test_ewma_unbounded_validates_alpha(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma_unbounded,
+    )
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, i long, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_unbounded(df, "k", ["i"], "v", alpha=0.0)

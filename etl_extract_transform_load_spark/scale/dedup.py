@@ -548,3 +548,82 @@ def decontaminate(
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+def contamination_flags_arrow(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    max_bench_ngrams: int = 5_000_000,
+) -> DataFrame:
+    """ZERO-shuffle decontamination: same output contract as
+    :func:`contamination_flags` — (id, count of distinct shared
+    n-grams) for flagged docs only — but the plan has no exchange at
+    all. The broadcast-join variant's per-doc count is a groupBy on
+    the doc id (one shuffle of every matched shingle row); here the
+    benchmark's distinct shingle hashes are collected ONCE (bounded —
+    raises past ``max_bench_ngrams`` instead of silently building a
+    driver-memory hazard), shipped inside the Arrow kernel closure as
+    a sorted int64 array, and each corpus row counts its matches by
+    binary search DURING THE SCAN. Per-task memory = the benchmark
+    set (8 B per n-gram — benchmarks are small by construction); the
+    corpus streams through untouched.
+
+    Prefer this at corpus scale; keep ``contamination_flags`` where
+    the benchmark side is too big to hold per-executor (then the
+    shuffle is the price of correctness)."""
+    import numpy as np
+    import pandas as pd
+
+    bench = (
+        _shingle_table(benchmark, bench_text_col or text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    rows = bench.limit(max_bench_ngrams + 1).collect()
+    if len(rows) > max_bench_ngrams:
+        raise ValueError(
+            f"benchmark has more than {max_bench_ngrams} distinct "
+            "n-grams — too large to broadcast; use "
+            "contamination_flags (broadcast-join variant) instead"
+        )
+    sorted_set = np.sort(np.array([r["h"] for r in rows], dtype=np.int64))
+
+    hashed = corpus.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("__hs"),
+    )
+
+    m = len(sorted_set)
+
+    def count_hits(batches):
+        for pdf in batches:
+            ids, counts = [], []
+            if m:
+                for doc_id, hs in zip(pdf[id_col], pdf["__hs"]):
+                    if hs is None or len(hs) == 0:
+                        continue
+                    v = np.asarray(hs, dtype=np.int64)
+                    idx = np.searchsorted(sorted_set, v)
+                    in_range = idx < m
+                    hits = int(
+                        (sorted_set[np.minimum(idx, m - 1)] == v)[
+                            in_range
+                        ].sum()
+                    )
+                    if hits:
+                        ids.append(doc_id)
+                        counts.append(hits)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "n_contaminated": pd.Series(counts, dtype="int64")}
+            )
+
+    return hashed.mapInPandas(
+        count_hits, schema=f"{id_col} long, n_contaminated long"
+    )

@@ -480,3 +480,42 @@ def test_kmeans_converge_separates_planted_clusters(spark):
     )
     assert (iters2, shift2) == (iters, shift)
     assert collect_centroid_rows(cents2) == got
+
+
+def test_contamination_arrow_matches_join_variant_zero_shuffle(spark):
+    """The Arrow broadcast-set variant must produce IDENTICAL flags to
+    the broadcast-join variant (same distinct-shared-shingle counts) —
+    and its physical plan must contain NO exchange at all (the whole
+    point: the per-doc count happens during the scan)."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contamination_flags,
+        contamination_flags_arrow,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.limit(7)
+    want = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_flags(docs, bench, n=8).collect()
+    }
+    got = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_flags_arrow(docs, bench, n=8).collect()
+    }
+    assert want, "fixture must actually flag something"
+    assert got == want
+
+    flags = contamination_flags_arrow(docs, bench, n=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        flags.explain(mode="simple")
+    assert "Exchange" not in buf.getvalue()
+
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        contamination_flags_arrow(docs, bench, n=8, max_bench_ngrams=3)

@@ -478,3 +478,32 @@ def grouped_exact_quantiles(
                 )
         out[key] = qs
     return out
+
+
+def filter_outliers_iqr(
+    df: DataFrame,
+    col: str,
+    k: float = 1.5,
+    bins: int = DEFAULT_BINS,
+    collect_threshold: int = DEFAULT_COLLECT,
+) -> DataFrame:
+    """Drop rows outside the Tukey fences ``[q25 − k·IQR,
+    q75 + k·IQR]`` — the principled scale-safe version of the
+    reference's hand-picked theta thresholds (SURVEY P4,
+    challenge2.py's `< 6` runtime/budget cutoffs): the fences come
+    from :func:`exact_quantiles` (bounded state at any size), ride
+    back as literals, and the drop itself is a scan-stage filter with
+    predicate pushdown. Rows with NULL/NaN in ``col`` are KEPT — an
+    outlier filter decides about values, not about missingness
+    (chain ``dropna`` explicitly if that's the intent)."""
+    q25, q75 = exact_quantiles(
+        df, col, [0.25, 0.75],
+        bins=bins, collect_threshold=collect_threshold,
+    )
+    if q25 is None:  # no usable values: nothing to fence
+        return df
+    iqr = q75 - q25
+    lo, hi = q25 - k * iqr, q75 + k * iqr
+    x = F.col(f"`{col}`").cast("double")
+    keep_null = x.isNull() | F.isnan(x)
+    return df.filter(keep_null | ((x >= F.lit(lo)) & (x <= F.lit(hi))))

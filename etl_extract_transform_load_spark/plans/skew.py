@@ -55,3 +55,45 @@ def salted_join(
     )
     out = salted.join(exploded, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float = 0.01,
+    capacity: int = 256,
+) -> DataFrame:
+    """(key, n_rows, frac, suggested_salt) for every join/agg key
+    heavier than ``threshold_frac`` of the table — the diagnosis step
+    before reaching for :func:`salted_join`. Built on the exact
+    Misra-Gries heavy-hitters pass (``scale.sketches``): bounded
+    sketch state, a bounded candidate recount, no full-cardinality
+    aggregation ever exists. ``suggested_salt`` is the bucket count
+    that brings the key's share under ``threshold_frac`` (the salt
+    factor that makes the heaviest post-salt shard an average-sized
+    one), capped at 1024."""
+    from etl_extract_transform_load_spark.scale.sketches import (
+        heavy_hitters,
+    )
+
+    total = df.filter(F.col(f"`{key_col}`").isNotNull()).count()
+    hh = heavy_hitters(
+        df.select(F.col(f"`{key_col}`").alias("item")),
+        "item",
+        threshold_frac,
+        capacity,
+        cache=False,
+    )
+    frac = F.col("n_occurrences").cast("double") / F.lit(float(total))
+    return hh.select(
+        F.col("item").alias(key_col),
+        F.col("n_occurrences").alias("n_rows"),
+        F.round(frac, 6).alias("frac"),
+        F.least(
+            F.lit(1024),
+            F.greatest(
+                F.lit(1),
+                F.ceil(frac / F.lit(float(threshold_frac))),
+            ),
+        ).cast("int").alias("suggested_salt"),
+    )

@@ -144,3 +144,71 @@ def test_grouped_quantiles_excludes_null_keys(spark):
     )
     got = grouped_exact_quantiles(df, "g", "x", [0.5])
     assert got == {"a": [2.0]}
+
+
+def test_filter_outliers_iqr(spark):
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        filter_outliers_iqr,
+    )
+
+    vals = [float(v) for v in range(1, 101)] + [1e6, -1e6]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,), (float("nan"),)], "x double"
+    )
+    kept = filter_outliers_iqr(df, "x", k=1.5).collect()
+    xs = [r.x for r in kept if r.x is not None]
+    finite = [v for v in xs if v == v]
+    assert max(finite) == 100.0 and min(finite) == 1.0
+    # NULL and NaN rows are kept (missingness is not outlierness)
+    assert any(r.x is None for r in kept)
+    assert any(r.x != r.x for r in kept if r.x is not None)
+    # all-null input: passthrough, no crash
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert filter_outliers_iqr(empty, "x").count() == 1
+
+
+def test_exact_order_stats_property_vs_sorted(spark):
+    """Property test: on random multisets (heavy ties, negatives,
+    denormal-ish spreads) every requested order statistic equals the
+    sorted list's — across bins/threshold settings that force both
+    the collect path and the refinement path."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        exact_order_stats,
+    )
+
+    values = st.lists(
+        st.one_of(
+            st.integers(-50, 50).map(float),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(vs=values, data=st.data())
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(vs, data):
+        n = len(vs)
+        ranks = data.draw(
+            st.lists(
+                st.integers(1, n), min_size=1, max_size=4, unique=True
+            )
+        )
+        df = spark.createDataFrame([(v,) for v in vs], "x double")
+        got = exact_order_stats(
+            df, "x", ranks, bins=4, collect_threshold=3
+        )
+        s = sorted(vs)
+        assert got == {r: s[r - 1] for r in ranks}
+
+    check()

@@ -107,3 +107,22 @@ def test_heavy_hitters_excludes_nan_floats(spark):
     got = {r.v for r in heavy_hitters(df, "v", 0.5).collect()}
     # NaN excluded from candidates AND the total: 1.0 is 30/40 = 75%
     assert got == {1.0}
+
+
+def test_skew_report_suggests_salt(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.plans.skew import skew_report
+
+    # one key holds ~50% of rows, the rest spread thin
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    rep = {r.k: (r.n_rows, r.frac, r.suggested_salt)
+           for r in skew_report(df, "k", threshold_frac=0.01).collect()}
+    assert set(rep) == {7}
+    n, frac, salt = rep[7]
+    assert n == 1000 and abs(frac - 0.5) < 1e-6
+    assert salt == 50  # 0.5 / 0.01 → shards back under threshold

@@ -507,3 +507,46 @@ def filter_outliers_iqr(
     x = F.col(f"`{col}`").cast("double")
     keep_null = x.isNull() | F.isnan(x)
     return df.filter(keep_null | ((x >= F.lit(lo)) & (x <= F.lit(hi))))
+
+
+def grouped_mad_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "mad",
+) -> DataFrame:
+    """Median absolute deviation per group — ``median(|x − median_g|)``
+    — with BOUNDED state: two :func:`grouped_exact_quantiles` passes
+    (per-group medians ride back as a broadcast literal map, the
+    deviation column is a scan-stage expression, then the deviation
+    medians). This is the corpus-scale path for the same statistic the
+    ``operators.udaf.grouped_mad`` pandas UDAF computes by buffering
+    each group (kept as the §2.9 extension-surface demo); results are
+    identical up to the 1e-6 rounding both produce. Returns one row
+    per non-NULL group: (group, mad). Groups whose values are all
+    NULL/NaN drop out (no median exists)."""
+    meds = grouped_exact_quantiles(df, group_col, value_col, [0.5])
+    if not meds:
+        return df.sparkSession.createDataFrame(
+            [], f"`{group_col}` string, `{out_col}` double"
+        )
+    med_map = F.create_map(
+        *[
+            m
+            for key, (q50,) in meds.items()
+            for m in (F.lit(key), F.lit(q50))
+        ]
+    )
+    x = F.col(f"`{value_col}`").cast("double")
+    dev = df.withColumn(
+        "__mad_dev", F.abs(x - med_map[F.col(f"`{group_col}`")])
+    )
+    mads = grouped_exact_quantiles(dev, group_col, "__mad_dev", [0.5])
+    spark = df.sparkSession
+    rows = [
+        (key, round_half_up6(q50)) for key, (q50,) in mads.items()
+    ]
+    key_type = df.schema[group_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"`{group_col}` {key_type}, `{out_col}` double"
+    )

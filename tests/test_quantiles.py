@@ -212,3 +212,34 @@ def test_exact_order_stats_property_vs_sorted(spark):
         assert got == {r: s[r - 1] for r in ranks}
 
     check()
+
+
+def test_grouped_mad_exact_matches_udaf(spark):
+    """The bounded-state MAD (two grouped quantile passes) equals the
+    pandas-UDAF demo on the real lineitem grouping — the corpus-scale
+    replacement for the last full-group-buffer statistic."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_mad_exact,
+    )
+    from etl_extract_transform_load_spark.operators.udaf import grouped_mad
+    from etl_extract_transform_load_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    want = {
+        r.l_returnflag: r.mad
+        for r in grouped_mad(li, "l_returnflag", "l_quantity").collect()
+    }
+    got = {
+        r.l_returnflag: r.mad
+        for r in grouped_mad_exact(
+            li, "l_returnflag", "l_quantity"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+    # empty input: empty result, stable schema
+    empty = spark.createDataFrame([], "g string, v double")
+    assert grouped_mad_exact(empty, "g", "v").count() == 0

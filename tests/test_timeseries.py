@@ -135,3 +135,36 @@ def test_ewma_unbounded_validates_alpha(spark):
     df = spark.createDataFrame([(1, 0, 1.0)], "k long, i long, v double")
     with pytest.raises(ValueError, match="alpha"):
         ewma_unbounded(df, "k", ["i"], "v", alpha=0.0)
+
+
+def test_ewma_unbounded_state_survives_arrow_batch_boundaries(spark):
+    """Force tiny Arrow batches so a single key's history spans many
+    batches inside the partition — the fold's carried state must not
+    reset at batch boundaries."""
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma_unbounded,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.createDataFrame(
+            [(k, i, float(i % 10)) for k in (1, 2) for i in range(100)],
+            "k long, i long, v double",
+        )
+        got = {
+            (r.k, r.i): r.ewma_exact
+            for r in ewma_unbounded(df, "k", ["i"], "v", 0.5).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    # reference fold in plain python
+    for k in (1, 2):
+        num = den = 0.0
+        for i in range(100):
+            x = float(i % 10)
+            num = x + 0.5 * num
+            den = 1.0 + 0.5 * den
+            assert got[(k, i)] == num / den, (k, i)

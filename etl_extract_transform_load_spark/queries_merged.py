@@ -1275,18 +1275,28 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the SAME checkpointed E-step assignment; each dropped
     # vector rides (vec_id, its cluster in label, smaller-id-neighbor
     # count in n_vectors, closest cosine in cos_sim)
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.semdedup import (
         semantic_dup_drops,
     )
 
-    sem = semantic_dup_drops(emb, assigned, threshold=0.4).select(
-        F.lit("semdedup").alias("part"),
-        F.col("label").cast("int").alias("label"),
-        F.col("n_better").cast("long").alias("n_vectors"),
-        F.lit(None).cast("string").alias("centroid_str"),
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("max_cos").cast("double").alias("cos_sim"),
-    )
+    # materialize the small drop set inside released_caches so the
+    # normed-projection persist is gone when this query returns
+    with released_caches():
+        sem = (
+            semantic_dup_drops(emb, assigned, threshold=0.4)
+            .select(
+                F.lit("semdedup").alias("part"),
+                F.col("label").cast("int").alias("label"),
+                F.col("n_better").cast("long").alias("n_vectors"),
+                F.lit(None).cast("string").alias("centroid_str"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("max_cos").cast("double").alias("cos_sim"),
+            )
+            .localCheckpoint()
+        )
     return (
         cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)

@@ -44,6 +44,7 @@ def semantic_dup_drops(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "assigned_label",
+    cache: bool = True,
 ) -> DataFrame:
     """(vec_id, label, n_better, max_cos): one row per DROPPED vector —
     it has ``n_better`` smaller-id vectors in its cluster at rounded
@@ -51,7 +52,16 @@ def semantic_dup_drops(
     ids absent from this frame (apply with a broadcast/left-anti
     join). NULL and zero-norm vectors never pair (no direction — the
     similarity-module contract); vectors without an assignment row
-    drop out of consideration entirely."""
+    drop out of consideration entirely.
+
+    Caches the normed labeled projection (the self-join reads it from
+    BOTH sides — without the cache the assignment join and the norm
+    fold run twice). The cache outlives this call — release with
+    ``plans.caching.released_caches()`` around the materialization,
+    ``spark.catalog.clearCache()``, or ``cache=False``."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+    )
     from etl_extract_transform_load_spark.scale.similarity import norm
 
     with_label = emb.join(
@@ -60,21 +70,29 @@ def semantic_dup_drops(
         ),
         id_col,
     )
+    base = persist_tracked(
+        with_label.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__sd_id"),
+            F.col(vec_col).alias("__sd_vec"),
+            "__sd_label",
+        )
+        .withColumn(
+            "__sd_norm",
+            norm("__sd_vec", dim)
+            if dim is not None
+            else norm(F.col("__sd_vec"), dim),
+        )
+        .filter(F.col("__sd_norm") > 0),
+        cache,
+    )
 
     def side(idn: str, vecn: str, normn: str, labn: str) -> DataFrame:
-        return (
-            with_label.filter(F.col(vec_col).isNotNull())
-            .select(
-                F.col(id_col).alias(idn),
-                F.col(vec_col).alias(vecn),
-                F.col("__sd_label").alias(labn),
-            )
-            .withColumn(
-                normn,
-                norm(vecn, dim) if dim is not None
-                else norm(F.col(vecn), dim),
-            )
-            .filter(F.col(normn) > 0)
+        return base.select(
+            F.col("__sd_id").alias(idn),
+            F.col("__sd_vec").alias(vecn),
+            F.col("__sd_norm").alias(normn),
+            F.col("__sd_label").alias(labn),
         )
 
     a = side("id_a", "va", "na", "la")
@@ -112,12 +130,14 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "assigned_label",
+    cache: bool = True,
 ) -> DataFrame:
     """The kept rows of ``emb``: drops applied with a LEFT ANTI join
     (broadcastable — the drop list is the small side by construction
     at sane thresholds)."""
     drops = semantic_dup_drops(
-        emb, assignments, threshold, dim, id_col, vec_col, label_col
+        emb, assignments, threshold, dim, id_col, vec_col, label_col,
+        cache,
     )
     return emb.join(
         drops.select(F.col("vec_id").alias(id_col)), id_col, "left_anti"

@@ -1,0 +1,105 @@
+"""Distributed BPE (scale/bpe.py) vs a pure-Python reference trainer:
+identical merge sequences (deterministic tie-break), greedy encoding
+properties, and the word-table-not-corpus scale shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+    merge_pair_in_word,
+    word_frequencies,
+)
+
+
+def _ref_train(word_freqs: dict, num_merges: int, min_freq: int = 2):
+    """Textbook BPE trainer over a word-frequency dict — the
+    specification the Spark implementation must reproduce exactly."""
+    state = {
+        tuple(list(w) + [EOW]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        counts = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        merges.append(best[0])
+        state = {
+            tuple(merge_pair_in_word(list(s), best[0])): f
+            for s, f in state.items()
+        }
+    return merges
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new new newer",
+    "wide wider widest wide",
+    "low new wide low new",
+]
+
+
+def test_train_matches_reference_exactly(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    wf = {
+        r.word: r.freq for r in word_frequencies(df).collect()
+    }
+    want = _ref_train(wf, num_merges=12)
+    got = bpe_train(df, num_merges=12)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+
+
+def test_encode_greedy_properties(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_train(df, num_merges=12)
+    enc = bpe_encode(
+        spark.createDataFrame(
+            [(1, "low lower"), (2, None), (3, "unseen zzz low")],
+            "doc_id long, text string",
+        ),
+        merges,
+    ).collect()
+    rows = {r.doc_id: r.bpe_tokens for r in enc}
+    assert rows[2] is None
+    # reconstruction: concatenating a word's tokens == word + EOW
+    toks = rows[1]
+    assert "".join(toks) == "low" + EOW + "lower" + EOW
+    # frequent whole word became a single token
+    assert toks[0] == "low" + EOW
+    # unseen words fall back to finer pieces but still reconstruct
+    assert "".join(rows[3]) == "unseen" + EOW + "zzz" + EOW + "low" + EOW
+
+
+def test_train_stops_below_min_freq(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    # every pair is a hapax: with min_freq=2 nothing merges
+    assert bpe_train(df, num_merges=5, min_freq=2) == []
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(df, num_merges=0)
+
+
+def test_training_loop_runs_on_word_table_not_corpus(spark):
+    """Scale shape: after word_frequencies, every iteration aggregates
+    the vocabulary — the number of rows entering the pair aggregation
+    equals distinct words, not corpus tokens."""
+    df = spark.createDataFrame(
+        [("the the the the the cat",)] * 50, "text string"
+    )
+    wf = word_frequencies(df)
+    rows = wf.collect()
+    assert len(rows) == 2  # 'the', 'cat' — 300 corpus tokens became 2
+    freqs = {r.word: r.freq for r in rows}
+    assert freqs["the"] == 250 and freqs["cat"] == 50

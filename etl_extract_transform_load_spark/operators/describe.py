@@ -106,3 +106,63 @@ def describe_numeric(df: DataFrame, column: str, scale: int = 2) -> DataFrame:
         F.round(F.lit(qs[2]).cast("double"), 6).alias("q75"),
         tmax,
     )
+
+
+def describe_numeric_grouped(
+    df: DataFrame, group_col: str, column: str, scale: int = 2
+) -> DataFrame:
+    """Per-group ``describe``: one row per non-NULL group with
+    count/mean/std/min/q25/q50/q75/max — the GROUP BY face of
+    :func:`describe_numeric`, with the same bounded-state guarantee:
+    moments come from ONE decimal-exact grouped aggregate, quartiles
+    from ``operators.quantiles.grouped_exact_quantiles`` (all groups
+    refined in shared passes — no per-group value buffer anywhere),
+    joined back as a broadcast literal frame. Groups whose values are
+    all NULL/NaN report count 0 and NULL statistics."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+        round_half_up6,
+    )
+
+    g = F.col(f"`{group_col}`")
+    x = F.col(f"`{column}`")
+    dec = f"decimal(38,{2 * scale})"
+    moments = df.filter(g.isNotNull()).groupBy(g.alias(group_col)).agg(
+        F.count(x).alias("count"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+    )
+    qs = grouped_exact_quantiles(df, group_col, column, [0.25, 0.5, 0.75])
+    spark = df.sparkSession
+    key_type = df.schema[group_col].dataType.simpleString()
+    q_rows = [
+        (k, *[round_half_up6(v) for v in vals]) for k, vals in qs.items()
+    ]
+    q_df = spark.createDataFrame(
+        q_rows,
+        f"`{group_col}` {key_type}, q25 double, q50 double, q75 double",
+    ) if q_rows else spark.createDataFrame(
+        [], f"`{group_col}` {key_type}, q25 double, q50 double, q75 double"
+    )
+    n = F.col("count").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = F.when(F.col("count") > 0, F.round(sx / n, 6))
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    std = F.when(F.col("count") >= 2, F.round(F.sqrt(var), 6))
+    return (
+        moments.join(F.broadcast(q_df), group_col, "left")
+        .select(
+            group_col,
+            "count",
+            mean.alias("mean"),
+            std.alias("std"),
+            "min",
+            "q25",
+            "q50",
+            "q75",
+            "max",
+        )
+    )

@@ -243,3 +243,33 @@ def test_grouped_mad_exact_matches_udaf(spark):
     # empty input: empty result, stable schema
     empty = spark.createDataFrame([], "g string, v double")
     assert grouped_mad_exact(empty, "g", "v").count() == 0
+
+
+def test_describe_numeric_grouped_matches_per_group(spark):
+    from etl_extract_transform_load_spark.operators.describe import (
+        describe_numeric,
+        describe_numeric_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 30)]
+        + [("b", float(v * v)) for v in range(1, 12)]
+        + [("c", 5.0)]            # single-row group: std undefined
+        + [(None, 99.0)],          # NULL group excluded
+        "g string, x double",
+    )
+    got = {
+        r.g: r.asDict()
+        for r in describe_numeric_grouped(df, "g", "x").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for key in ("a", "b"):
+        (want,) = describe_numeric(
+            df.filter(F.col("g") == key), "x"
+        ).collect()
+        w = want.asDict()
+        for field in ("count", "mean", "std", "min", "q25", "q50",
+                      "q75", "max"):
+            assert got[key][field] == w[field], (key, field)
+    assert got["c"]["count"] == 1 and got["c"]["std"] is None
+    assert got["c"]["q50"] == 5.0

@@ -1339,6 +1339,118 @@ def encode_jpeg_progressive(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG — the first COMPRESSED video format here, pure
+# numpy/stdlib: RIFF container demux (public AVI 1.0 layout) + the
+# existing T.81 JPEG codec per frame. MJPEG is intra-only (every frame
+# standalone), so no inter-frame state is needed; H.264/MP4 stay the
+# ffmpeg seam.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 25, quality: int = 85
+) -> bytes:
+    """(n, H, W[, 3]) uint8 frames → Motion-JPEG AVI bytes. Each frame
+    is a standalone baseline JPEG in a '00dc' chunk; minimal-but-valid
+    AVI 1.0 headers (avih + one 'vids'/'MJPG' stream + BITMAPINFO)."""
+    if frames.ndim not in (3, 4) or frames.dtype != np.uint8:
+        raise ValueError("AVI wants (n, H, W[, 3]) uint8 frames")
+    n, h, w = frames.shape[:3]
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    max_size = max((len(p) for p in payloads), default=0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # microseconds per frame
+        max_size * fps,        # max bytes/sec (advisory)
+        0,                     # padding granularity
+        0,                     # flags: no idx1 written → no HASINDEX
+        n, 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<I2HI", 0, 0, 0, 0)   # flags, prio, lang, frames
+        + struct.pack("<IIII", 1, fps, 0, n)  # scale, rate, start, len
+        + struct.pack("<IiI", max_size, -1, 0)  # sugg, quality, sample
+        + struct.pack("<4H", 0, 0, w, h)        # rcFrame
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg_frames(
+    buf: bytes, every_n: int = 1
+) -> tuple[list, int, int, int]:
+    """Motion-JPEG AVI bytes → ([(frame_idx, HxW[x3] uint8)], width,
+    height, fps) for every ``every_n``-th frame. Walks the RIFF chunk
+    tree defensively (unknown chunks skipped by size); raises
+    ValueError on non-AVI RIFFs and on streams whose frames are not
+    JPEG (a DIB/uncompressed AVI would need its own path)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    fps = 25
+    w = h = 0
+    frames = []
+    idx = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, w, h, idx
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if tag == b"LIST":
+                walk(data_start + 4, data_end)  # skip the list kind
+            elif tag == b"avih" and size >= 8:
+                (uspf,) = struct.unpack(
+                    "<I", buf[data_start : data_start + 4]
+                )
+                if uspf:
+                    fps = max(1, round(1_000_000 / uspf))
+            elif tag == b"strf" and size >= 16 and not (w or h):
+                w, h = struct.unpack(
+                    "<ii", buf[data_start + 4 : data_start + 12]
+                )
+                h = abs(h)
+            elif tag in (b"00dc", b"00db") and size > 0:
+                if idx % every_n == 0:
+                    payload = buf[data_start:data_end]
+                    if payload[:3] != b"\xff\xd8\xff":
+                        raise ValueError(
+                            "AVI stream frame is not JPEG — only "
+                            "Motion-JPEG AVIs decode here"
+                        )
+                    frames.append((idx, decode_jpeg(payload)))
+                idx += 1
+            pos = data_start + size + (size % 2)
+
+    walk(12, len(buf))
+    return frames, w, h, fps
+
+
 def sniff(buf: bytes) -> str:
     """Identify a media payload by magic bytes → codec name."""
     if buf[:2] in (b"P5", b"P6"):
@@ -1351,6 +1463,8 @@ def sniff(buf: bytes) -> str:
         return "jpeg"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     if buf[:9] == b"YUV4MPEG2"[:9]:
         return "y4m"
     if buf[:4] == b"FAKE":

@@ -11,11 +11,12 @@ partitioning, UDF signatures. Codecs come in two tiers:
   numpy scanline unfilter), sequential AND progressive JPEG
   (pure-numpy T.81: Huffman entropy decode, spectral-selection +
   successive-approximation scans, vectorized IDCT), RIFF PCM WAV,
-  and YUV4MPEG2 (Y4M) video. No external imaging/audio libraries
+  YUV4MPEG2 (Y4M) video, and COMPRESSED video as Motion-JPEG AVI
+  (RIFF demux + per-frame JPEG). No external imaging/audio libraries
   needed.
-- Compressed video (MP4/...) requires ffmpeg, absent from this
-  container; those payloads raise ``NotImplementedError`` at the
-  clearly-marked seam so the gap is explicit, not silent.
+- Inter-frame video codecs (H.264/MP4/VP9) require ffmpeg, absent
+  from this container; those payloads raise ``NotImplementedError``
+  at the clearly-marked seam so the gap is explicit, not silent.
   (Arithmetic-coded/hierarchical/12-bit JPEG raises ValueError in
   the decoder — Huffman 8-bit covers real corpora.)
 - ``mode="fake"`` keeps the original deterministic synthetic format
@@ -217,12 +218,27 @@ def sample_frames(
         from etl_extract_transform_load_spark.scale import codecs
 
         kind = codecs.sniff(raw)
-        if kind != "y4m":
-            raise NotImplementedError(
-                f"video codec {kind!r}: only Y4M decodes without ffmpeg"
+        if kind == "y4m":
+            frames, _, _ = codecs.decode_y4m_frames(raw, every_n=every_n)
+            return [(idx, codecs.encode_pgm(y)) for idx, y in frames]
+        if kind == "avi":  # Motion-JPEG: intra-only, pure-numpy decode
+            frames, _, _, _ = codecs.decode_avi_mjpeg_frames(
+                raw, every_n=every_n
             )
-        frames, _, _ = codecs.decode_y4m_frames(raw, every_n=every_n)
-        return [(idx, codecs.encode_pgm(y)) for idx, y in frames]
+            return [
+                (
+                    idx,
+                    codecs.encode_ppm(img)
+                    if img.ndim == 3
+                    else codecs.encode_pgm(img),
+                )
+                for idx, img in frames
+            ]
+        raise NotImplementedError(
+            f"video codec {kind!r}: Y4M and MJPEG-AVI decode without "
+            "ffmpeg; inter-frame codecs (H.264/MP4) need external "
+            "libraries"
+        )
 
     pick = _fake_frames if mode == "fake" else _real_frames
 

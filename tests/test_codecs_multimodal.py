@@ -649,3 +649,51 @@ def test_jpeg_progressive_420_matches_baseline_420():
     # the progressive AC scans never cover — they influence NOTHING
     # inside the h x w crop, so the crops must be identical
     assert np.array_equal(got, base)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """MJPEG-AVI: encode smooth frames, demux + per-frame JPEG decode,
+    sample every_n, header metadata, and the non-JPEG-stream guard."""
+    x = np.linspace(0, 255, 32)
+    base = (np.add.outer(x, x) / 2).astype(np.uint8)
+    frames = np.stack(
+        [np.roll(base, i * 3, axis=1) for i in range(6)]
+    )
+    frames_rgb = np.stack([np.stack([f, f, f], axis=-1) for f in frames])
+    avi = codecs.encode_avi_mjpeg(frames_rgb, fps=10, quality=90)
+    assert codecs.sniff(avi) == "avi"
+    out, w, h, fps = codecs.decode_avi_mjpeg_frames(avi)
+    assert (w, h, fps) == (32, 32, 10)
+    assert [i for i, _ in out] == list(range(6))
+    for (_, img), orig in zip(out, frames_rgb):
+        assert img.shape == orig.shape
+        assert np.abs(img.astype(float) - orig.astype(float)).mean() < 3.0
+    sampled, _, _, _ = codecs.decode_avi_mjpeg_frames(avi, every_n=3)
+    assert [i for i, _ in sampled] == [0, 3]
+    # non-JPEG frame payload: loud failure, not garbage pixels
+    bad = avi.replace(b"\xff\xd8\xff", b"\x00\x00\x00", 1)
+    with pytest.raises(ValueError, match="not JPEG"):
+        codecs.decode_avi_mjpeg_frames(bad)
+    with pytest.raises(ValueError, match="not an AVI"):
+        codecs.decode_avi_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_sample_frames_real_mode_avi(spark):
+    """The Spark frame-sampling path demuxes MJPEG-AVI end-to-end:
+    binary column in → (media_id, frame_idx, PPM frame) rows out."""
+    from etl_extract_transform_load_spark.scale.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+    avi = codecs.encode_avi_mjpeg(frames, fps=5)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), (16, 16, None, "avi"))],
+        MEDIA_SCHEMA,
+    )
+    got = sample_frames(media, every_n=2, mode="real").collect()
+    assert [r.frame_idx for r in got] == [0, 2, 4]
+    first = codecs.decode_pnm(bytes(got[0].frame))
+    assert first.shape == (16, 16, 3)

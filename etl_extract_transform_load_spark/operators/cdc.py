@@ -34,16 +34,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _internal_name(base: str, *frames: DataFrame) -> str:
-    """A marker-column name colliding with no input column: a feed that
-    already carries e.g. ``__chg`` must not have it silently clobbered
-    by ``withColumn`` (a user ``__chg`` would make every snapshot row
-    look changed). Same never-clobber loop as ``plans.zorder``."""
-    taken = {c for df in frames for c in df.columns}
-    name = base
-    while name in taken:
-        name = "_" + name
-    return name
+from etl_extract_transform_load_spark.plans.naming import (
+    internal_name as _internal_name,
+)
 
 
 def latest_changes(

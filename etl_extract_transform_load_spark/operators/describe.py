@@ -88,6 +88,22 @@ def describe_numeric(df: DataFrame, column: str, scale: int = 2) -> DataFrame:
             null_d.alias("q75"),
             tmax,
         )
+    if drow["sx"] is None:
+        # non-empty but every value NaN: decimal casts were all NULL —
+        # moments are undefined (the retired in-plan version also
+        # produced NULL mean/std here; without this guard float(None)
+        # would crash)
+        null_d = F.lit(None).cast("double")
+        return one.select(
+            F.lit(drow["n"]).cast("long").alias("count"),
+            null_d.alias("mean"),
+            null_d.alias("std"),
+            tmin,
+            null_d.alias("q25"),
+            null_d.alias("q50"),
+            null_d.alias("q75"),
+            tmax,
+        )
     # float(Decimal) and the JVM's decimal→double cast are both
     # correctly rounded — identical bits to the retired in-plan cast
     n = F.lit(float(drow["n"]))
@@ -127,12 +143,17 @@ def describe_numeric_grouped(
     g = F.col(f"`{group_col}`")
     x = F.col(f"`{column}`")
     dec = f"decimal(38,{2 * scale})"
+    # NaN-consistent with the quartiles: count/min/max/moments all see
+    # only non-NaN values, so an all-NaN group reports count 0 and
+    # NULL statistics (the documented contract) instead of count=#rows
+    # with NaN min/max next to NULL quartiles
+    xv = F.when(~F.isnan(x.cast("double")), x)
     moments = df.filter(g.isNotNull()).groupBy(g.alias(group_col)).agg(
-        F.count(x).alias("count"),
-        F.sum(x.cast(dec)).alias("sx"),
-        F.sum((x * x).cast(dec)).alias("sxx"),
-        F.min(x).alias("min"),
-        F.max(x).alias("max"),
+        F.count(xv).alias("count"),
+        F.sum(xv.cast(dec)).alias("sx"),
+        F.sum((xv * xv).cast(dec)).alias("sxx"),
+        F.min(xv).alias("min"),
+        F.max(xv).alias("max"),
     )
     qs = grouped_exact_quantiles(df, group_col, column, [0.25, 0.5, 0.75])
     spark = df.sparkSession

@@ -162,10 +162,25 @@ def ewma_unbounded(
         cur_key = object()
         num = den = 0.0
         seen = False
+
+        def same_key(a, b):
+            # NULL keys arrive as NaN (nullable ints become float64
+            # in pandas) — NaN != NaN would restart the fold on every
+            # row of the NULL group; SQL windows (and the recursive
+            # oracle) treat NULL as ONE group, so match that
+            if a is b:
+                return True
+            try:
+                if a != a and b != b:  # both NaN
+                    return True
+            except (TypeError, ValueError):
+                pass
+            return a == b
+
         for pdf in batches:
             out = []
             for key, x in zip(pdf[key_col], pdf[value_col]):
-                if key != cur_key:
+                if not same_key(key, cur_key):
                     cur_key, num, den, seen = key, 0.0, 0.0, False
                 if x is None or pd.isna(x):
                     out.append((num / den) if seen else None)

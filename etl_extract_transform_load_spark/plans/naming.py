@@ -1,0 +1,20 @@
+"""Internal-column naming: the never-clobber loop shared by every
+operator that adds a temporary marker/working column to user data
+(CDC's change markers, z-order's curve key). A fixed internal name
+silently overwrites a user column with the same name via
+``withColumn`` — prepending underscores until the name is free makes
+collision impossible instead of unlikely."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def internal_name(base: str, *frames: DataFrame) -> str:
+    """A column name starting from ``base`` that collides with no
+    column of any input frame."""
+    taken = {c for df in frames for c in df.columns}
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name

@@ -115,9 +115,11 @@ def write_zordered(
     in the file layout, not the data). The internal z column name is
     chosen to never collide with the input schema, so a pre-existing
     ``__z`` column passes through untouched."""
-    zcol = "__z"
-    while zcol in df.columns:  # never clobber user data
-        zcol = "_" + zcol
+    from etl_extract_transform_load_spark.plans.naming import (
+        internal_name,
+    )
+
+    zcol = internal_name("__z", df)  # never clobber user data
     zdf = with_zorder(df, cols, bits_per_col, bounds, out_col=zcol)
     (
         zdf.repartitionByRange(num_files, F.col(zcol))

@@ -482,8 +482,13 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_unbounded,
     )
 
+    # NULL users excluded from the recursion branch EXPLICITLY: the
+    # operator folds NULL keys as one group (SQL-window semantics),
+    # but a recursive CTE's equality join cannot traverse a NULL
+    # partition — pin the contract to the expressible subset
     exact = ewma_unbounded(
-        nn, "user_id", ["event_id"], "value", alpha=0.5
+        nn.filter(F.col("user_id").isNotNull()),
+        "user_id", ["event_id"], "value", alpha=0.5,
     ).select(
         "event_id", F.round(F.col("ewma_exact"), 6).alias("ewma_x")
     )
@@ -502,6 +507,7 @@ seq AS (
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
                AS rn
     FROM nn
+    WHERE user_id IS NOT NULL
 ),
 -- the exact unbounded EWMA recurrence, verbatim from the Arrow fold:
 -- num_i = x_i + 0.5*num_{i-1}; den_i = 1.0 + 0.5*den_{i-1}

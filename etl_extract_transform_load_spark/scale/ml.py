@@ -11,7 +11,9 @@ squares is solvable EXACTLY from one aggregation pass —
   order-insensitive — the ``operators.eda.correlation_matrix``
   argument) and therefore hash-comparable across engines;
 - multi-feature OLS/ridge: one pass accumulates the Gram matrix
-  XᵀX (d×d) and Xᵀy (d) as decimal sums, the d×d normal-equation
+  XᵀX (d×d) and Xᵀy (d) as float64 sums (no oracle rides this path,
+  and fixed-scale decimal products would zero out small-magnitude
+  features — see ``linear_fit``'s docstring), the d×d normal-equation
   solve happens on the driver (d is features, never rows), and
   scoring is a scan-stage dot product with broadcast-literal
   coefficients — the same decide-then-broadcast shape as
@@ -99,11 +101,21 @@ def linear_fit(
     """Multi-feature OLS / ridge coefficients via normal equations:
     returns ``[b_0 (intercept if fit_intercept), b_1, ..., b_d]`` in
     ``feature_cols`` order. ONE aggregation pass accumulates XᵀX and
-    Xᵀy as decimal-exact sums (state d², never rows); the d×d solve
-    runs on the driver. ``l2`` adds ridge regularization (not applied
-    to the intercept). Rows with any NULL/NaN feature or label are
-    excluded. Raises on a singular (collinear) system with l2 == 0 —
-    pass a small ridge instead of silently pseudo-inverting."""
+    Xᵀy (state d², never rows); the d×d solve runs on the driver.
+    ``l2`` adds ridge regularization (not applied to the intercept).
+    Rows with any NULL/NaN feature or label are excluded. Raises on a
+    singular (collinear) system with l2 == 0 — pass a small ridge
+    instead of silently pseudo-inverting.
+
+    The Gram sums here are plain DOUBLE: quantizing per-row products
+    to a fixed decimal scale (what ``simple_linear_fit`` does to its
+    INPUTS for the cross-engine hash contract) would silently zero
+    the x·x terms of any feature scaled below ~1e-3, corrupting the
+    fit. This function carries no oracle contract, so standard
+    float64 accumulation is the right numerics; the trade is the
+    usual one — last-bit results can vary with partitioning.
+    Pre-scale wildly-ranged features as in any normal-equations
+    solver."""
     feats = list(feature_cols)
     if not feats:
         raise ValueError("feature_cols must be non-empty")
@@ -119,12 +131,10 @@ def linear_fit(
     for i in range(d):
         for j in range(i, d):  # symmetric: upper triangle only
             aggs.append(
-                F.sum(
-                    F.when(nn, (cols[i] * cols[j]).cast(_DEC))
-                ).alias(f"g_{i}_{j}")
+                F.sum(F.when(nn, cols[i] * cols[j])).alias(f"g_{i}_{j}")
             )
         aggs.append(
-            F.sum(F.when(nn, (cols[i] * yv).cast(_DEC))).alias(f"b_{i}")
+            F.sum(F.when(nn, cols[i] * yv)).alias(f"b_{i}")
         )
     row = df.agg(*aggs).collect()[0]
     gram = np.zeros((d, d))

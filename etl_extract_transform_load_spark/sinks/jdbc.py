@@ -152,17 +152,36 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
     connection failure — callers that must distinguish "absent" from
     "unreachable" rely on that."""
     jvm = spark._jvm
-    schema_pat = None
+    schema_name = None
     name = table
     if "." in table:
-        schema_pat, name = table.split(".", 1)
+        schema_name, name = table.split(".", 1)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         meta = conn.getMetaData()
+        # getTables treats its arguments as LIKE patterns: an
+        # unescaped '_' (every '<table>_epochs' name has one) matches
+        # ANY character, and a NULL schema searches every schema — an
+        # absent T1_EPOCHS could "exist" because T1XEPOCHS does.
+        # Escape the metacharacters with the driver's escape string.
+        esc = meta.getSearchStringEscape()
+
+        def pattern(ident: str) -> str:
+            return (
+                ident.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+
         # try the name as-stored first, then both case folds (Derby
         # uppercases unquoted identifiers, Postgres lowercases them)
         for candidate in (name, name.upper(), name.lower()):
-            rs = meta.getTables(None, schema_pat, candidate, None)
+            rs = meta.getTables(
+                None,
+                pattern(schema_name) if schema_name else None,
+                pattern(candidate),
+                None,
+            )
             try:
                 if rs.next():
                     return True

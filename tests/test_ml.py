@@ -121,3 +121,18 @@ def test_simple_fit_plan_is_partial_aggregated(spark):
     ).executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_multifeature_fit_small_magnitude_features(spark):
+    """Regression: decimal-quantized Gram products zeroed out features
+    below ~1e-3 and produced garbage coefficients; float64 sums must
+    recover the line for tiny-scaled features too."""
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1e-3, 200)
+    y = 2.0 * x + 0.001
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    coef = linear_fit(df, ["x"], "y")
+    assert coef[0] == pytest.approx(0.001, rel=1e-6)
+    assert coef[1] == pytest.approx(2.0, rel=1e-6)

@@ -273,3 +273,32 @@ def test_describe_numeric_grouped_matches_per_group(spark):
             assert got[key][field] == w[field], (key, field)
     assert got["c"]["count"] == 1 and got["c"]["std"] is None
     assert got["c"]["q50"] == 5.0
+
+
+def test_describe_all_nan_column_returns_nulls(spark):
+    """Regression: a non-empty all-NaN column crashed the driver-side
+    literal assembly (float(None)); it must return NULL stats."""
+    from etl_extract_transform_load_spark.operators.describe import (
+        describe_numeric,
+        describe_numeric_grouped,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame([(nan,), (nan,)], "x double")
+    (row,) = describe_numeric(df, "x").collect()
+    assert row.mean is None and row.std is None and row.q50 is None
+    gdf = spark.createDataFrame(
+        [("a", nan), ("a", nan), ("b", 1.0), ("b", 3.0), ("b", nan)],
+        "g string, x double",
+    )
+    got = {
+        r.g: r.asDict()
+        for r in describe_numeric_grouped(gdf, "g", "x").collect()
+    }
+    # all-NaN group: count 0, every statistic NULL (consistent row)
+    assert got["a"]["count"] == 0 and got["a"]["min"] is None
+    assert got["a"]["mean"] is None and got["a"]["q50"] is None
+    # mixed group: NaN excluded EVERYWHERE (count/min/max too)
+    assert got["b"]["count"] == 2
+    assert got["b"]["min"] == 1.0 and got["b"]["max"] == 3.0
+    assert got["b"]["q50"] == 2.0

@@ -168,3 +168,23 @@ def test_ewma_unbounded_state_survives_arrow_batch_boundaries(spark):
             num = x + 0.5 * num
             den = 1.0 + 0.5 * den
             assert got[(k, i)] == num / den, (k, i)
+
+
+def test_ewma_unbounded_null_keys_form_one_group(spark):
+    """Regression: NULL keys arrive as NaN in pandas and NaN != NaN
+    restarted the fold per row; SQL-window semantics group them."""
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        ewma_unbounded,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0, 1.0), (None, 1, 3.0), (7, 0, 1.0), (7, 1, 3.0)],
+        "k long, i long, v double",
+    )
+    got = {
+        (r.k, r.i): r.ewma_exact
+        for r in ewma_unbounded(df, "k", ["i"], "v", 0.5).collect()
+    }
+    # NULL group accumulates exactly like the non-null twin
+    assert got[(None, 1)] == got[(7, 1)]
+    assert got[(7, 1)] == pytest.approx((3.0 + 0.5) / 1.5)

@@ -52,9 +52,16 @@ def round_half_up6(v: float) -> float:
     HALF_UP on the shortest decimal representation (JVM
     ``Double.toString`` == Python ``repr``), so a quantile computed
     here and embedded as a literal is bit-identical to one rounded
-    in-plan."""
+    in-plan. Doubles with no fractional precision left (|v| ≥ 2⁵³,
+    ±inf, NaN) pass through unchanged — exactly what the in-plan
+    ROUND does, and where a naive ``Decimal.quantize`` would raise
+    InvalidOperation for needing more digits than the context
+    allows."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    if not math.isfinite(v) or abs(v) >= 2.0**53:
+        return float(v)
     return float(
         Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
     )
@@ -127,10 +134,45 @@ def _order_stats_decided(
         return {r: float(mn) for r in ranks}
 
     resolved: Dict[int, float] = {}
+    below_offset = 0
+    if not (math.isfinite(float(mn)) and math.isfinite(float(mx))):
+        # ±inf can't seed a numeric histogram (width = inf puts every
+        # row in bucket 0 → a false stall). Resolve infinite-rank
+        # positions directly — the smallest n_neg ranks ARE -inf, the
+        # largest n_pos ARE +inf — then refine only the finite middle.
+        irow = src.agg(
+            F.count(F.when(xx == float("-inf"), 1)).alias("n_neg"),
+            F.count(F.when(xx == float("inf"), 1)).alias("n_pos"),
+            F.min(F.when(~F.isnan(xx) & (xx != float("-inf"))
+                         & (xx != float("inf")), xx)).alias("fmn"),
+            F.max(F.when(~F.isnan(xx) & (xx != float("-inf"))
+                         & (xx != float("inf")), xx)).alias("fmx"),
+        ).collect()[0]
+        n_neg, n_pos = irow["n_neg"], irow["n_pos"]
+        finite_ranks = []
+        for r in ranks:
+            if r <= n_neg:
+                resolved[r] = float("-inf")
+            elif r > n - n_pos:
+                resolved[r] = float("inf")
+            else:
+                finite_ranks.append(r)
+        if not finite_ranks:
+            return resolved
+        mn, mx = irow["fmn"], irow["fmx"]
+        if mn == mx:
+            for r in finite_ranks:
+                resolved[r] = float(mn)
+            return resolved
+        ranks = finite_ranks
+        below_offset = n_neg
+        src = src.filter(
+            (xx > float("-inf")) & (xx < float("inf"))
+        )
     # window: (lo, hi, below, ranks) — all values in [lo, hi], `below`
     # rows strictly smaller than lo in the full data
     windows: List[Tuple[float, float, int, List[int]]] = [
-        (float(mn), float(mx), 0, ranks)
+        (float(mn), float(mx), below_offset, ranks)
     ]
     to_collect: List[Tuple[float, float, int, List[int]]] = []
 
@@ -336,11 +378,20 @@ def grouped_exact_quantiles(
         k.isNotNull() & x.isNotNull() & ~F.isnan(x)
     ).select(k.alias("k"), x.alias("x"))
 
+    xx = F.col("x")
+    finite = ~F.isnan(xx) & (xx != float("-inf")) & (xx != float("inf"))
     head = src.groupBy("k").agg(
         F.count("x").alias("n"),
-        F.min("x").alias("mn"),
-        F.max("x").alias("mx"),
+        # ±inf can't seed a numeric histogram (inf width → false
+        # stall): count them per group and refine only the finite
+        # middle — the smallest n_neg ranks ARE -inf, the largest
+        # n_pos ARE +inf
+        F.count(F.when(xx == float("-inf"), 1)).alias("n_neg"),
+        F.count(F.when(xx == float("inf"), 1)).alias("n_pos"),
+        F.min(F.when(finite, xx)).alias("mn"),
+        F.max(F.when(finite, xx)).alias("mx"),
     ).collect()
+    src = src.filter(finite)
 
     # per-group rank targets
     want: Dict[object, List[int]] = {}
@@ -350,6 +401,7 @@ def grouped_exact_quantiles(
     windows: List[tuple] = []
     for row in head:
         key, n, mn, mx = row["k"], row["n"], row["mn"], row["mx"]
+        n_neg, n_pos = row["n_neg"], row["n_pos"]
         meta[key] = n
         ranks = set()
         for p in ps:
@@ -357,11 +409,23 @@ def grouped_exact_quantiles(
             ranks.add(int(math.floor(pos)) + 1)
             ranks.add(int(math.ceil(pos)) + 1)
         want[key] = sorted(ranks)
+        finite_ranks = []
+        for r in want[key]:
+            if r <= n_neg:
+                resolved[(key, r)] = float("-inf")
+            elif r > n - n_pos:
+                resolved[(key, r)] = float("inf")
+            else:
+                finite_ranks.append(r)
+        if not finite_ranks:
+            continue
         if mn == mx:
-            for r in want[key]:
+            for r in finite_ranks:
                 resolved[(key, r)] = float(mn)
         else:
-            windows.append((key, float(mn), float(mx), 0, want[key]))
+            windows.append(
+                (key, float(mn), float(mx), n_neg, finite_ranks)
+            )
 
     to_collect: List[tuple] = []
     for _ in range(max_rounds):
@@ -525,10 +589,15 @@ def grouped_mad_exact(
     identical up to the 1e-6 rounding both produce. Returns one row
     per non-NULL group: (group, mad). Groups whose values are all
     NULL/NaN drop out (no median exists)."""
+    from etl_extract_transform_load_spark.plans.naming import (
+        internal_name,
+    )
+
+    key_type = df.schema[group_col].dataType.simpleString()
     meds = grouped_exact_quantiles(df, group_col, value_col, [0.5])
     if not meds:
         return df.sparkSession.createDataFrame(
-            [], f"`{group_col}` string, `{out_col}` double"
+            [], f"`{group_col}` {key_type}, `{out_col}` double"
         )
     med_map = F.create_map(
         *[
@@ -538,15 +607,14 @@ def grouped_mad_exact(
         ]
     )
     x = F.col(f"`{value_col}`").cast("double")
+    dev_col = internal_name("__mad_dev", df)
     dev = df.withColumn(
-        "__mad_dev", F.abs(x - med_map[F.col(f"`{group_col}`")])
+        dev_col, F.abs(x - med_map[F.col(f"`{group_col}`")])
     )
-    mads = grouped_exact_quantiles(dev, group_col, "__mad_dev", [0.5])
-    spark = df.sparkSession
+    mads = grouped_exact_quantiles(dev, group_col, dev_col, [0.5])
     rows = [
         (key, round_half_up6(q50)) for key, (q50,) in mads.items()
     ]
-    key_type = df.schema[group_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return df.sparkSession.createDataFrame(
         rows, f"`{group_col}` {key_type}, `{out_col}` double"
     )

@@ -72,28 +72,39 @@ def skew_report(
     that brings the key's share under ``threshold_frac`` (the salt
     factor that makes the heaviest post-salt shard an average-sized
     one), capped at 1024."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.sketches import (
         heavy_hitters,
     )
 
-    total = df.filter(F.col(f"`{key_col}`").isNotNull()).count()
-    hh = heavy_hitters(
-        df.select(F.col(f"`{key_col}`").alias("item")),
-        "item",
-        threshold_frac,
-        capacity,
-        cache=False,
-    )
-    frac = F.col("n_occurrences").cast("double") / F.lit(float(total))
-    return hh.select(
-        F.col("item").alias(key_col),
-        F.col("n_occurrences").alias("n_rows"),
-        F.round(frac, 6).alias("frac"),
-        F.least(
-            F.lit(1024),
-            F.greatest(
-                F.lit(1),
-                F.ceil(frac / F.lit(float(threshold_frac))),
-            ),
-        ).cast("int").alias("suggested_salt"),
-    )
+    # persist the projected key column once: the total count, the MG
+    # sketch, and the candidate recount all read it — without the
+    # cache this diagnosis pass re-runs the full upstream plan 4×.
+    # The tiny report (≤ capacity rows) materializes inside
+    # released_caches, so no cache outlives the call.
+    with released_caches():
+        keys = persist_tracked(
+            df.select(F.col(f"`{key_col}`").alias("item")).filter(
+                F.col("item").isNotNull()
+            )
+        )
+        total = keys.count()
+        hh = heavy_hitters(
+            keys, "item", threshold_frac, capacity, cache=False
+        )
+        frac = F.col("n_occurrences").cast("double") / F.lit(float(total))
+        return hh.select(
+            F.col("item").alias(key_col),
+            F.col("n_occurrences").alias("n_rows"),
+            F.round(frac, 6).alias("frac"),
+            F.least(
+                F.lit(1024),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(frac / F.lit(float(threshold_frac))),
+                ),
+            ).cast("int").alias("suggested_salt"),
+        ).localCheckpoint()

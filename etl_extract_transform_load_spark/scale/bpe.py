@@ -195,13 +195,21 @@ def bpe_encode(
             )
         return syms
 
+    from etl_extract_transform_load_spark.plans.naming import (
+        internal_name,
+    )
     from etl_extract_transform_load_spark.scale.text import (
         lower_simple,
         tokens,
     )
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists in the input"
+        )
+    words_col = internal_name("__bpe_words", df)
     with_words = df.withColumn(
-        "__bpe_words",
+        words_col,
         F.when(
             F.col(text_col).isNotNull(),
             tokens(lower_simple(F.col(text_col))),
@@ -212,7 +220,7 @@ def bpe_encode(
         cache: dict = {}
         for pdf in batches:
             col = []
-            for words in pdf["__bpe_words"]:
+            for words in pdf[words_col]:
                 if words is None:
                     col.append(None)
                     continue
@@ -225,7 +233,7 @@ def bpe_encode(
                     toks.extend(got)
                 col.append(toks)
             pdf[out_col] = pd.Series(col, index=pdf.index, dtype="object")
-            yield pdf.drop(columns=["__bpe_words"])
+            yield pdf.drop(columns=[words_col])
 
     from pyspark.sql.types import ArrayType, StringType, StructType
 

@@ -600,6 +600,7 @@ def contamination_flags_arrow(
     )
 
     m = len(sorted_set)
+    id_field = corpus.schema[id_col]
 
     def count_hits(batches):
         for pdf in batches:
@@ -619,11 +620,19 @@ def contamination_flags_arrow(
                     if hits:
                         ids.append(doc_id)
                         counts.append(hits)
+            # object dtype: the id column keeps the CORPUS id type
+            # (string/long/...) through Arrow, matching the
+            # broadcast-join variant's contract
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
+                {id_col: pd.Series(ids, dtype="object"),
                  "n_contaminated": pd.Series(counts, dtype="int64")}
             )
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     return hashed.mapInPandas(
-        count_hits, schema=f"{id_col} long, n_contaminated long"
+        count_hits,
+        schema=StructType(
+            [id_field, StructField("n_contaminated", LongType())]
+        ),
     )

@@ -97,9 +97,13 @@ def semantic_dup_drops(
 
     a = side("id_a", "va", "na", "la")
     b = side("id_b", "vb", "nb", "lb")
+    # name-string dot: ONE F.expr for the unrolled fold chain — the
+    # Column-object path costs ~4 py4j round-trips per term while
+    # BUILDING the plan (similarity.dot's docstring measures it)
     cos = F.round(
         _nondet_barrier(
-            dot(F.col("va"), F.col("vb"), dim)
+            (dot("va", "vb", dim) if dim is not None
+             else dot(F.col("va"), F.col("vb"), dim))
             / (F.col("na") * F.col("nb"))
         ),
         6,

@@ -162,9 +162,19 @@ def jdbc_table_exists(spark, url: str, table: str) -> bool:
         # getTables treats its arguments as LIKE patterns: an
         # unescaped '_' (every '<table>_epochs' name has one) matches
         # ANY character, and a NULL schema searches every schema — an
-        # absent T1_EPOCHS could "exist" because T1XEPOCHS does.
-        # Escape the metacharacters with the driver's escape string.
+        # absent T1_EPOCHS could "exist" because T1XEPOCHS does, or
+        # because another schema holds a same-named table the
+        # connection would never resolve. Escape the metacharacters
+        # and pin unqualified lookups to the connection's CURRENT
+        # schema (where unqualified DDL/DML resolves).
         esc = meta.getSearchStringEscape()
+        if schema_name is None:
+            try:
+                cur = conn.getSchema()
+                if cur:
+                    schema_name = cur
+            except Exception:  # driver predates JDBC 4.1: no pin
+                pass
 
         def pattern(ident: str) -> str:
             return (

@@ -103,3 +103,17 @@ def test_training_loop_runs_on_word_table_not_corpus(spark):
     assert len(rows) == 2  # 'the', 'cat' — 300 corpus tokens became 2
     freqs = {r.word: r.freq for r in rows}
     assert freqs["the"] == 250 and freqs["cat"] == 50
+
+
+def test_encode_rejects_existing_out_col_and_keeps_user_temp(spark):
+    df = spark.createDataFrame(
+        [(1, "low", "mine", ["x"])],
+        "doc_id long, text string, __bpe_words string, bpe_tokens array<string>",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode(df.select("doc_id", "text", "bpe_tokens"), [])
+    out = bpe_encode(
+        df.select("doc_id", "text", "__bpe_words"), [], out_col="toks"
+    ).collect()[0]
+    assert out["__bpe_words"] == "mine"  # user column untouched
+    assert "".join(out["toks"]) == "low" + EOW

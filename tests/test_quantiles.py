@@ -302,3 +302,60 @@ def test_describe_all_nan_column_returns_nulls(spark):
     assert got["b"]["count"] == 2
     assert got["b"]["min"] == 1.0 and got["b"]["max"] == 3.0
     assert got["b"]["q50"] == 2.0
+
+
+def test_quantiles_handle_infinities(spark):
+    """Regression: ±inf made the histogram width infinite and raised a
+    false 'stalled' error; inf ranks must resolve directly and finite
+    ranks must stay exact — matching F.percentile."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    inf = float("inf")
+    vals = [float(v) for v in range(1, 100)] + [inf, inf, -inf]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.5, 1.0]
+    got = exact_quantiles(df, "x", ps, collect_threshold=8)
+    want = _spark_percentile(df, "x", ps)
+    assert got == want
+    assert got[0] == -inf and got[2] == inf
+    gdf = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", inf), ("b", inf)],
+        "g string, x double",
+    )
+    g = grouped_exact_quantiles(gdf, "g", "x", ps, collect_threshold=8)
+    assert g["a"] == want
+    assert g["b"] == [inf, inf, inf]
+
+
+def test_round_half_up6_extremes():
+    """Regression: quantize raised InvalidOperation past ~1e23; huge
+    doubles (no fractional precision) and ±inf pass through like the
+    in-plan ROUND."""
+    inf = float("inf")
+    assert round_half_up6(1e30) == 1e30
+    assert round_half_up6(-4e22) == -4e22
+    assert round_half_up6(inf) == inf
+    assert round_half_up6(-inf) == -inf
+    nan = round_half_up6(float("nan"))
+    assert nan != nan
+    assert round_half_up6(1.2345675) == 1.234568  # normal path intact
+
+
+def test_grouped_mad_exact_preserves_key_type_and_user_columns(spark):
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_mad_exact,
+    )
+
+    # empty input: schema carries the REAL key type, not string
+    empty = spark.createDataFrame([], "g bigint, v double")
+    out = grouped_mad_exact(empty, "g", "v")
+    assert out.schema["g"].dataType.simpleString() == "bigint"
+    # a user column named __mad_dev survives untouched
+    df = spark.createDataFrame(
+        [(1, 1.0, "keep"), (1, 3.0, "keep")],
+        "g bigint, v double, __mad_dev string",
+    )
+    (row,) = grouped_mad_exact(df, "g", "v").collect()
+    assert row["mad"] == 1.0

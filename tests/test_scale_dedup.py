@@ -519,3 +519,30 @@ def test_contamination_arrow_matches_join_variant_zero_shuffle(spark):
 
     with pytest.raises(ValueError, match="too large to broadcast"):
         contamination_flags_arrow(docs, bench, n=8, max_bench_ngrams=3)
+
+
+def test_contamination_arrow_string_ids(spark):
+    """Regression: the Arrow variant hardcoded int64 ids and crashed on
+    the first flagged batch of a string-id corpus."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contamination_flags,
+        contamination_flags_arrow,
+    )
+
+    sent = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [("doc-a", f"pre {sent} post"), ("doc-b", "clean text only here")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("bench-1", sent)], "doc_id string, text string"
+    )
+    want = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_flags(corpus, bench, n=8).collect()
+    }
+    got = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_flags_arrow(corpus, bench, n=8).collect()
+    }
+    assert got == want and set(got) == {"doc-a"}

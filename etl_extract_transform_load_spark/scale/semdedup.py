@@ -126,6 +126,119 @@ def semantic_dup_drops(
     )
 
 
+def semantic_dup_drops_grouped(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "assigned_label",
+    max_block_elems: int = 32_000_000,
+) -> DataFrame:
+    """Same contract and values as :func:`semantic_dup_drops`, different
+    physical plan: instead of materializing the Σ|cluster|² pair rows
+    through a shuffle join and scoring each with a codegen'd 64-term
+    expression chain, this groups each cluster into ONE Arrow frame
+    (``applyInPandas`` on the cluster key) and scores all in-cluster
+    pairs with the vectorized-but-sequential fold
+    (:func:`~.similarity._seq_dots` — bit-identical sum order to the
+    unrolled expression), blockwise so peak memory is bounded by
+    ``max_block_elems`` float64s regardless of cluster size.
+
+    Shuffle count drops from (join both sides + pair aggregation) to
+    exactly ONE shuffle of the vectors on the cluster key; the pair
+    "table" never exists as rows — each cluster emits only its dropped
+    ids. The trade is the SemDeDup contract itself: a cluster must fit
+    one executor's memory (k ≈ √N keeps clusters ~√corpus — at 1e9
+    vectors × 64 dims that is ~31.6k × 512 B ≈ 16 MB per cluster).
+    For corpora that violate the contract (degenerate giant clusters)
+    use :func:`semantic_dup_drops`, which never holds a cluster in
+    memory.
+
+    Parity details mirrored from the join variant: cosine is rounded
+    to 6 dp before BOTH the threshold test and the max aggregation;
+    NULL / zero-norm vectors never pair; ``id_a < id_b`` uses the
+    natural ordering of the id column (sorted ascending per cluster,
+    so column index < row index ⇔ smaller id)."""
+    from collections.abc import Iterator  # noqa: F401
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.scale.similarity import _seq_dots
+
+    id_field = emb.schema[id_col]
+    lab_field = assignments.schema[label_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        f"label {lab_field.dataType.simpleString()}, "
+        f"n_better long, max_cos double"
+    )
+    th = float(threshold)
+
+    base = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .join(
+            assignments.select(
+                F.col(id_col), F.col(label_col).alias("__sd_label")
+            ),
+            id_col,
+        )
+        .select(F.col(id_col), F.col(vec_col).alias("__sd_vec"), "__sd_label")
+        # the join variant's la == lb predicate never matches NULL
+        # labels; a NULL group here would wrongly pair them together
+        .filter(F.col("__sd_label").isNotNull())
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        v = np.stack(pdf["__sd_vec"].to_numpy()).astype(np.float64)
+        _, norms = _seq_dots(v, v[:1])
+        keep = norms > 0
+        if not keep.all():
+            pdf, v, norms = pdf[keep], v[keep], norms[keep]
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col][:0],
+                    "label": pdf["__sd_label"][:0],
+                    "n_better": np.array([], dtype=np.int64),
+                    "max_cos": np.array([], dtype=np.float64),
+                }
+            )
+        block = max(1, min(m, max_block_elems // m))
+        n_better = np.zeros(m, dtype=np.int64)
+        max_cos = np.full(m, -np.inf)
+        for start in range(0, m, block):
+            stop = min(start + block, m)
+            dots, _ = _seq_dots(v[start:stop], v)
+            cos = np.round(
+                dots / (norms[start:stop, None] * norms[None, :]), 6
+            )
+            # row g only pairs with strictly-smaller column indices
+            # (ids sorted ascending ⇒ col < row ⇔ id_a < id_b)
+            col = np.arange(m)[None, :]
+            row = np.arange(start, stop)[:, None]
+            hit = (cos >= th) & (col < row)
+            n_better[start:stop] = hit.sum(axis=1)
+            masked = np.where(hit, cos, -np.inf)
+            max_cos[start:stop] = masked.max(axis=1)
+        dropped = n_better > 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[dropped],
+                "label": pdf["__sd_label"].to_numpy()[dropped],
+                "n_better": n_better[dropped],
+                "max_cos": max_cos[dropped],
+            }
+        )
+
+    return base.groupBy("__sd_label").applyInPandas(
+        lambda _key, pdf: score_cluster(pdf), out_schema
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     assignments: DataFrame,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from etl_extract_transform_load_spark.scale.semdedup import (
     semantic_dedup,
     semantic_dup_drops,
+    semantic_dup_drops_grouped,
 )
 
 
@@ -88,6 +89,103 @@ def test_null_zero_and_unassigned_vectors_never_pair(spark):
     kept = {r.vec_id for r in semantic_dedup(emb, asg, 0.9, dim=2).collect()}
     # null/zero/unassigned vectors are KEPT (they can't be duplicates)
     assert kept == {1, 3, 4, 5}
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r.vec_id, r.label, r.n_better, r.max_cos) for r in df.collect()
+    )
+
+
+def test_grouped_variant_matches_join_on_fixtures(spark):
+    # the three behavioral fixtures above, replayed through the Arrow
+    # grouped kernel — values must be IDENTICAL to the join variant
+    cases = [
+        (
+            [(1, [1.0, 0.0]), (2, [0.999, 0.01]),
+             (3, [1.0, 0.0]), (4, [0.0, 1.0])],
+            [(1, 0), (2, 0), (3, 1), (4, 1)],
+            0.95,
+        ),
+        (
+            [(1, [1.0, 0.0]), (2, [0.97, 0.24]), (3, [0.87, 0.50])],
+            [(1, 0), (2, 0), (3, 0)],
+            0.95,
+        ),
+        (
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None),
+             (4, [0.0, 0.0]), (5, [1.0, 0.0])],
+            [(1, 0), (2, 0), (3, 0), (4, 0)],
+            0.9,
+        ),
+    ]
+    for rows, pairs, th in cases:
+        emb, asg = _emb(spark, rows), _assign(spark, pairs)
+        join_out = _sorted_rows(
+            semantic_dup_drops(emb, asg, th, dim=2, cache=False)
+        )
+        grouped_out = _sorted_rows(
+            semantic_dup_drops_grouped(emb, asg, th)
+        )
+        assert grouped_out == join_out
+
+
+def test_grouped_variant_matches_join_on_testdata(spark):
+    # real embeddings at the smallest SF: exact row-level parity
+    # including the rounded max_cos doubles (same sequential sum
+    # order via _seq_dots, same 6-dp round)
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids_arrow,
+        collect_centroid_rows,
+        label_centroids,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = label_centroids(emb).localCheckpoint()
+    asg = assign_to_centroids_arrow(
+        emb, collect_centroid_rows(cents)
+    ).localCheckpoint()
+    join_out = _sorted_rows(
+        semantic_dup_drops(emb, asg, threshold=0.4, cache=False)
+    )
+    grouped_out = _sorted_rows(semantic_dup_drops_grouped(emb, asg, 0.4))
+    assert grouped_out == join_out
+    assert len(grouped_out) > 0  # the fixture must actually exercise drops
+
+
+def test_grouped_variant_blockwise_matches_unblocked(spark):
+    # tiny max_block_elems forces many row-blocks per cluster; results
+    # must not depend on the blocking
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = _assign(spark, [(i, i % 3) for i in range(40)])
+    big = _sorted_rows(semantic_dup_drops_grouped(emb, asg, 0.5))
+    small = _sorted_rows(
+        semantic_dup_drops_grouped(emb, asg, 0.5, max_block_elems=8)
+    )
+    assert big == small and len(big) > 0
+
+
+def test_grouped_variant_plan_single_shuffle_no_pair_join(spark):
+    emb = _emb(spark, [(i, [1.0, 0.0]) for i in range(10)])
+    asg = _assign(spark, [(i, i % 2) for i in range(10)])
+    df = semantic_dup_drops_grouped(emb, asg, 0.9)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the only join is the id-equality assignment join; no self-join
+    # of the vector table on the cluster key
+    assert plan.count("Join") <= 1
 
 
 def test_plan_joins_on_cluster_key_no_cartesian(spark):

@@ -1,0 +1,169 @@
+"""Distributed ranked retrieval: inverted-index postings and BM25
+top-k over a document corpus.
+
+The reference pipeline has no search surface (its corpus ops are
+filter/clean/join — ``challenge2.py``); this module is part of the
+training-data curation tier: ranked keyword lookup is how a corpus at
+scale is explored, spot-checked, and probed for contamination by
+specific phrases, and the postings table it builds is the standard
+inverted-index artifact.
+
+Scale shape (100 TB):
+
+- ``postings``: explode tokens → ONE shuffle on (token, doc_id) with
+  map-side combine. Document length rides the aggregation (constant
+  per doc) so no second pass or join recovers it.
+- ``bm25_topk``: the query-term filter lands BEFORE the shuffle (the
+  explode+filter runs in the scan stage, so only postings of the
+  |terms| queried tokens ever shuffle — at 100 TB that is the
+  difference between indexing the corpus and grepping it). Per-term
+  document frequencies are a |terms|-row aggregate joined back by
+  broadcast; corpus N/avgdl is a 1-row aggregate crossed in as a
+  broadcast literal row. Scoring is pure column arithmetic (zero
+  UDFs); the final top-k is a global sort of per-doc scores LIMITed
+  to k — Spark executes orderBy+limit as a TakeOrdered, no full sort
+  materialization.
+
+Determinism contract: each (doc, term) contribution is rounded to
+6 dp and summed as DECIMAL(28,6) — an order-free exact sum, so the
+score is reproducible across partitionings and engines (the same
+round-then-decimal-sum pattern the describe/Pearson family uses).
+Ties rank by ascending doc_id. NULL text ≡ '' (house contract);
+documents with no queried term simply don't appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
+
+#: Lucene-style BM25 constants.
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _doc_tokens(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, token array, dl): the scan-stage tokenization every search
+    op shares — whitespace tokens of the simple-lowercased text, dl =
+    token count (0 for empty/NULL text)."""
+    toks = tokens(lower_simple(F.coalesce(F.col(text_col), F.lit(""))))
+    return df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
+    )
+
+
+def postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The inverted index: (token, doc_id, tf, dl) — term frequency of
+    every token in every document, with the document's length carried
+    through the aggregation (max of a per-doc constant) so downstream
+    scoring needs no join back to the corpus."""
+    base = _doc_tokens(df, text_col, id_col)
+    return (
+        base.select(id_col, "dl", F.explode("__toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25:
+
+        score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    with N = total documents, df = documents containing t, dl = doc
+    length, avgdl = ΣN dl / N. Repeated query terms are deduplicated
+    (bag-of-words, not weighted multiset — matching Lucene's default).
+
+    Returns (doc_id, score double, rnk long), rnk 1..k by
+    (score DESC, doc_id ASC). Scores are 6-dp-rounded per term and
+    decimal-summed — deterministic under any partitioning.
+    """
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
+    term_list = sorted(set(terms))
+
+    base = _doc_tokens(df, text_col, id_col)
+    # 1-row corpus stats: exact integer sum / exact count → the
+    # division is single-float-op deterministic
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    hits = (
+        base.select(id_col, "dl", F.explode("__toks").alias("token"))
+        # scan-stage prune: only queried tokens survive to the shuffle
+        .filter(F.col("token").isin(term_list))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__avgdl",
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.round(
+                F.col("__idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("__avgdl")
+                    )
+                ),
+                6,
+            ).cast("decimal(28,6)"),
+        )
+    )
+    scores = scored.groupBy(id_col).agg(
+        F.sum("__contrib").cast("double").alias("score")
+    )
+    return (
+        scores.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+        .select(
+            id_col,
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Ranked retrieval (scale/search.py): postings shape, BM25 math
+against a hand-computed fixture, determinism, and plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.search import bm25_topk, postings
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_tf_dl_and_null_text(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a"),
+            (2, "b"),
+            (3, None),
+            (4, "   "),
+        ],
+    )
+    rows = {
+        (r.token, r.doc_id): (r.tf, r.dl) for r in postings(docs).collect()
+    }
+    # NULL and whitespace-only docs contribute no postings at all
+    assert rows == {
+        ("a", 1): (2, 3),
+        ("b", 1): (1, 3),
+        ("b", 2): (1, 1),
+    }
+
+
+def test_bm25_hand_computed_two_docs(spark):
+    # corpus: d1 = "x x y", d2 = "y", d3 = "z"; query {x}
+    # N=3, sum_dl=5, avgdl=5/3; x: df=1, tf(d1)=2, dl(d1)=3
+    docs = _docs(spark, [(1, "x x y"), (2, "y"), (3, "z")])
+    out = bm25_topk(docs, ["x"], k=5).collect()
+    assert [r.doc_id for r in out] == [1]
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    expected = round(
+        idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / (5 / 3))), 6
+    )
+    assert out[0].score == pytest.approx(expected, abs=1e-9)
+    assert out[0].rnk == 1
+
+
+def test_bm25_rank_order_ties_and_k(spark):
+    # identical docs score identically → tie broken by ascending id;
+    # k truncates
+    docs = _docs(
+        spark, [(i, "q filler") for i in (5, 3, 9)] + [(1, "filler")]
+    )
+    out = bm25_topk(docs, ["q"], k=2).collect()
+    assert [(r.doc_id, r.rnk) for r in out] == [(3, 1), (5, 2)]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[3] == scores[5]
+
+
+def test_bm25_repeated_query_terms_dedup(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    once = {(r.doc_id, r.score) for r in bm25_topk(docs, ["a"], 5).collect()}
+    thrice = {
+        (r.doc_id, r.score)
+        for r in bm25_topk(docs, ["a", "a", "a"], 5).collect()
+    }
+    assert once == thrice
+
+
+def test_bm25_empty_terms_raises(spark):
+    docs = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="terms must be non-empty"):
+        bm25_topk(docs, [])
+
+
+def test_bm25_deterministic_across_partitionings(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = ["red", "green", "blue", "cyan", "teal"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    a = [tuple(r) for r in bm25_topk(docs, ["red", "cyan"], 20).collect()]
+    b = [
+        tuple(r)
+        for r in bm25_topk(
+            docs.repartition(13), ["red", "cyan"], 20
+        ).collect()
+    ]
+    assert a == b and len(a) == 20
+
+
+def test_bm25_plan_broadcasts_small_sides_no_row_udf(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    df = bm25_topk(docs, ["a", "b"], 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan  # zero row-at-a-time UDFs
+    # df-stats and corpus-stats joins must both be broadcasts, and the
+    # only nested-loop is the 1-row stats cross
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort

@@ -1,0 +1,236 @@
+"""Contrastive-pair mining over labeled embeddings: hard negatives.
+
+For embedding-model training (retrieval/reranker fine-tuning,
+contrastive pretraining) the scarce resource is NEGATIVES THAT ARE
+HARD — candidates maximally similar to the anchor while belonging to
+a different class. This module mines them from a labeled vector
+table; the reference pipeline has no vector surface at all, so this
+is curation-tier capability alongside dedup/ANN.
+
+Semantics (shared by both variants, pinned by tests):
+
+- a negative for anchor ``a`` is a vector ``v`` with
+  ``label(v) != label(a)`` — NULL labels never qualify on either
+  side (SQL null-comparison semantics, deliberately kept);
+- scoring is rounded-6dp cosine via the sequential-fold dot (the
+  embedding-family contract: NULL/zero-norm vectors drop out);
+- per anchor, the top ``k`` by (cos DESC, id ASC) with
+  ``row_number`` ranks — deterministic under any partitioning.
+
+Scale shapes:
+
+- :func:`hard_negatives` — exact: anchors broadcast against the full
+  corpus (|anchors| bounded, corpus unbounded: the right brute shape
+  for a probe/eval set of anchors).
+- :func:`hard_negatives_ivf` — approximate at corpus scale: route
+  each anchor through the IVF coarse quantizer and score only
+  candidates in its ``nprobe`` clusters, exactly
+  :func:`~.ivf.ivf_topk`'s fan-out (never |anchors| × corpus), with
+  the label-mismatch predicate applied before the ranking window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_extract_transform_load_spark.scale.similarity import (
+    DEFAULT_DIM,
+    _vectors_with_norm,
+    dot_sql,
+)
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame | None = None,
+    k: int = 5,
+    dim: int | None = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    parallelism: int = 64,
+) -> DataFrame:
+    """(anchor_id, vec_id, label, cos_sim, rank): the ``k`` most
+    cosine-similar OTHER-labeled vectors per anchor. ``anchors``
+    defaults to every labeled vector (self-mining); pass a slim
+    anchor frame (id, vector, label) to mine for a probe set. The
+    anchor frame is broadcast — bound it like any broadcast side."""
+    if anchors is None:
+        anchors = vectors.select(
+            F.col(id_col).alias(anchor_id_col), vec_col, label_col
+        )
+    a = F.broadcast(
+        _vectors_with_norm(
+            anchors, anchor_id_col, vec_col, dim, "__aid", "__av", "__an"
+        ).join(
+            F.broadcast(
+                anchors.select(
+                    F.col(anchor_id_col).alias("__aid"),
+                    F.col(label_col).alias("__al"),
+                )
+            ),
+            "__aid",
+        )
+    )
+    v = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim,
+        "__vid", "__v", "__vn",
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("__vid"), F.col(label_col).alias("__vl")
+        ),
+        "__vid",
+    )
+    scored = v.join(
+        a,
+        (F.col("__vid") != F.col("__aid"))
+        & (F.col("__vl") != F.col("__al")),  # NULL labels never match
+    ).select(
+        "__aid",
+        "__vid",
+        "__vl",
+        F.round(
+            F.expr(dot_sql("__av", "__v", dim))
+            / (F.col("__an") * F.col("__vn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__aid").orderBy(
+        F.desc("cos_sim"), F.asc("__vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__aid").alias(anchor_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("__vl").alias(label_col),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def hard_negatives_ivf(
+    index,
+    anchors: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """IVF-routed hard negatives: :func:`~.ivf.ivf_topk`'s
+    executor-side candidate fan-out (route → cluster join → exact
+    score), with candidates carrying their class label and the
+    mismatch predicate applied before the ranking window. The
+    assignment table must carry ``label_col`` (attach it when
+    building the index, or join it on before calling).
+
+    At corpus scale this is THE mining shape: each anchor touches
+    only Σ|probed clusters| candidates. Note hard negatives live
+    near the anchor by construction, so the clusters that contain
+    them are exactly the clusters the router probes — the recall
+    argument is the same as for approximate top-k, only stronger."""
+    from etl_extract_transform_load_spark.scale.ivf import _centroid_df
+    from etl_extract_transform_load_spark.scale.similarity import norm_sql
+
+    if label_col not in index.assigned.columns:
+        raise ValueError(
+            f"hard_negatives_ivf: index.assigned lacks {label_col!r} — "
+            "attach the class label to the assignment table so the "
+            "mismatch predicate can run executor-side"
+        )
+    if label_col not in anchors.columns:
+        raise ValueError(f"hard_negatives_ivf: anchors lack {label_col!r}")
+
+    spark = anchors.sparkSession
+    dims = {len(v) for _, v in index.centroids}
+    if len(dims) > 1:
+        raise ValueError(f"index has mixed centroid dims: {dims}")
+    dim = dims.pop() if dims else None
+    cents = _centroid_df(index, spark)
+    if cents is None:  # empty index → empty result, stable schema
+        return spark.createDataFrame(
+            [],
+            f"{anchor_id_col} long, {id_col} long, "
+            f"{label_col} int, cos_sim double, rank int",
+        )
+    a = _vectors_with_norm(
+        anchors, anchor_id_col, vec_col, dim, "__aid", "__av", "__an"
+    ).join(
+        anchors.select(
+            F.col(anchor_id_col).alias("__aid"),
+            F.col(label_col).alias("__al"),
+        ),
+        "__aid",
+    )
+    w_route = Window.partitionBy("__aid").orderBy(
+        F.desc("__route_cos"), F.asc("cluster")
+    )
+    routes = (
+        a.join(F.broadcast(cents))
+        .select(
+            "__aid",
+            "__av",
+            "__an",
+            "__al",
+            "cluster",
+            F.round(
+                F.expr(dot_sql("__av", "__cv", dim))
+                / (F.col("__an") * F.col("__cn")),
+                6,
+            ).alias("__route_cos"),
+        )
+        .withColumn("__r", F.row_number().over(w_route))
+        .filter(F.col("__r") <= nprobe)
+        .select("__aid", "__av", "__an", "__al", "cluster")
+    )
+    cand = (
+        index.assigned.select(
+            F.col(id_col).alias("__vid"),
+            "cluster",
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).alias("__vl"),
+        )
+        .withColumn("__vn", F.expr(norm_sql("__v", dim)))
+        .filter(F.col("__vn") > 0)
+    )
+    scored = (
+        cand.join(F.broadcast(routes), "cluster")
+        # the mining predicate: different id AND different non-NULL
+        # label, applied BEFORE the ranking window so same-label
+        # crowding can't starve the top-k
+        .filter(
+            (F.col("__vid") != F.col("__aid"))
+            & (F.col("__vl") != F.col("__al"))
+        )
+        .select(
+            "__aid",
+            "__vid",
+            "__vl",
+            F.round(
+                F.expr(dot_sql("__v", "__av", dim))
+                / (F.col("__vn") * F.col("__an")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__aid").orderBy(
+        F.desc("cos_sim"), F.asc("__vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__aid").alias(anchor_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("__vl").alias(label_col),
+            "cos_sim",
+            "rank",
+        )
+    )

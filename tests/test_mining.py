@@ -1,0 +1,145 @@
+"""Hard-negative mining (scale/mining.py): label-mismatch semantics,
+NULL-label drop-out, brute/IVF agreement when probes cover every
+cluster, and plan shape (no driver collect of the anchor set)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.mining import (
+    hard_negatives,
+    hard_negatives_ivf,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hard_negatives_exclude_same_and_null_labels(spark):
+    vecs = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.14], 0),   # same label: never a negative for 1
+            (3, [0.95, 0.31], 1),   # different label: the hard negative
+            (4, [0.0, 1.0], 1),     # different label, far away
+            (5, [1.0, 0.01], None),  # NULL label: never qualifies
+        ],
+    )
+    out = hard_negatives(vecs, k=2, dim=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(
+            (r.rank, r.vec_id, r.label)
+        )
+    # anchor 1 (label 0): negatives ranked 3 (closest), then 4
+    assert sorted(by_anchor[1]) == [(1, 3, 1), (2, 4, 1)]
+    # NULL-labeled anchor 5 mines nothing
+    assert 5 not in by_anchor
+    # anchor 3 (label 1): candidates are 1, 2, 5→excluded(NULL)
+    assert [v for _, v, _ in sorted(by_anchor[3])] == [2, 1]
+
+
+def test_hard_negatives_rank_window_not_truncated_by_crowding(spark):
+    # 10 same-label vectors crowd the cosine top; the k=2 negatives
+    # must still be the 2 best OTHER-label rows
+    rows = [(i, [1.0, 0.001 * i], 0) for i in range(1, 11)]
+    rows += [(100, [0.9, 0.43], 1), (101, [0.0, 1.0], 1)]
+    vecs = _emb(spark, rows)
+    out = [
+        (r.vec_id, r.rank)
+        for r in hard_negatives(
+            vecs,
+            vecs.filter(F.col("vec_id") == 1).select(
+                F.col("vec_id").alias("anchor_id"), "embedding", "label"
+            ),
+            k=2,
+            dim=2,
+        ).collect()
+    ]
+    assert sorted(out) == [(100, 1), (101, 2)]
+
+
+def test_ivf_requires_label_on_assignment(spark):
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+    )
+
+    vecs = _emb(spark, [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)])
+    idx = build_ivf_index_deterministic(vecs, dim=2)
+    anchors = vecs.select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    with pytest.raises(ValueError, match="lacks 'label'"):
+        hard_negatives_ivf(idx, anchors, k=1)
+
+
+def test_ivf_matches_brute_at_full_probe(spark):
+    """With nprobe = #clusters every candidate is reachable, so the
+    IVF mining must equal the brute mining row for row on real
+    testdata vectors."""
+    from etl_extract_transform_load_spark.scale.ivf import (
+        IVFIndex,
+        build_ivf_index_deterministic,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = build_ivf_index_deterministic(emb)
+    labeled = IVFIndex(
+        assigned=idx.assigned.join(
+            emb.select("vec_id", "label"), "vec_id"
+        ),
+        centroids=idx.centroids,
+    )
+    anchors = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    nclusters = len(idx.centroids)
+    ivf_rows = sorted(
+        tuple(r)
+        for r in hard_negatives_ivf(
+            labeled, anchors, k=4, nprobe=nclusters
+        ).collect()
+    )
+    brute_rows = sorted(
+        tuple(r) for r in hard_negatives(emb, anchors, k=4).collect()
+    )
+    assert ivf_rows == brute_rows and len(ivf_rows) > 0
+
+
+def test_ivf_plan_no_driver_collect_and_broadcast_routes(spark):
+    from etl_extract_transform_load_spark.scale.ivf import (
+        IVFIndex,
+        build_ivf_index_deterministic,
+    )
+
+    vecs = _emb(
+        spark,
+        [(i, [float(i % 3), float((i + 1) % 2)], i % 3) for i in range(1, 30)],
+    )
+    idx = build_ivf_index_deterministic(vecs, dim=2)
+    labeled = IVFIndex(
+        assigned=idx.assigned.join(vecs.select("vec_id", "label"), "vec_id"),
+        centroids=idx.centroids,
+    )
+    anchors = vecs.limit(3).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    df = hard_negatives_ivf(labeled, anchors, k=2, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate fan-out joins broadcast routes on the cluster key
+    assert "BroadcastHashJoin" in plan

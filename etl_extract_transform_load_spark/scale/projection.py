@@ -1,0 +1,139 @@
+"""Random projection (Johnson–Lindenstrauss) for embedding columns.
+
+Dimensionality reduction is the standard pre-step before LSH
+bucketing, clustering, or brute scoring when the stored embedding is
+wider than the similarity structure needs: project d → d' with a
+random matrix whose rows are deterministic pseudo-random directions,
+and pairwise geometry is preserved within (1 ± ε) for
+d' = O(log n / ε²) (the JL lemma). At 100 TB this is a pure
+scan-stage mapper — each vector row is touched once, no shuffle, and
+the projection matrix is a plan literal (no broadcast table, no
+join).
+
+Two deterministic matrix families, both seeded:
+
+- ``gaussian_planes``: N(0,1) rows scaled by 1/√d' — the classic JL
+  construction (shares the RNG discipline of
+  :func:`~.similarity._hyperplanes`).
+- ``rademacher_planes``: ±1/√d' entries (Achlioptas) — same
+  guarantee, and the constants are exactly representable doubles, so
+  cross-engine replication never depends on float literal parsing.
+
+Determinism contract: every output coordinate is the sequential-fold
+dot of the vector against a constant plane (``dot_literal_sql``),
+rounded to 6 dp — bit-replicable by the DuckDB oracle via
+``list_dot_product`` against the same literal list.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.similarity import (
+    DEFAULT_DIM,
+    dot_literal_sql,
+)
+
+DEFAULT_OUT_DIM = 8
+DEFAULT_SEED = 202
+
+
+def gaussian_planes(
+    dim: int, out_dim: int, seed: int = DEFAULT_SEED
+) -> list[list[float]]:
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [rng.gauss(0.0, 1.0) * s for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def rademacher_planes(
+    dim: int, out_dim: int, seed: int = DEFAULT_SEED
+) -> list[list[float]]:
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [s if rng.random() < 0.5 else -s for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def jl_project_long(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, dim_idx, value): the projected coordinates in long form —
+    one row per (vector, output dimension), ``value`` rounded to 6 dp.
+    Long form keeps the oracle shape trivial (no array/string
+    serialization parity to defend) and unpivots in the scan stage
+    (``posexplode`` of a computed array — zero shuffles).
+
+    NULL vectors drop out (no coordinates, matching the
+    embedding-family NULL contract). Zero vectors project to zeros —
+    unlike cosine ops there is no normalization, so they stay."""
+    if not planes:
+        raise ValueError("jl_project_long: planes must be non-empty")
+    widths = {len(p) for p in planes}
+    if len(widths) != 1:
+        raise ValueError(f"jl_project_long: ragged planes: {widths}")
+    exprs = ", ".join(
+        f"ROUND({dot_literal_sql(vec_col, plane)}, 6)" for plane in planes
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(f"ARRAY({exprs})")).alias(
+                "dim_idx", "value"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = DEFAULT_OUT_DIM,
+    dim: int = DEFAULT_DIM,
+    seed: int = DEFAULT_SEED,
+    family: str = "rademacher",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    proj_col: str = "projected",
+) -> DataFrame:
+    """Wide form: the input row plus ``proj_col`` =
+    array<double>[out_dim] of rounded coordinates — the column the
+    downstream LSH/k-means/brute kernels consume directly."""
+    if family == "rademacher":
+        planes = rademacher_planes(dim, out_dim, seed)
+    elif family == "gaussian":
+        planes = gaussian_planes(dim, out_dim, seed)
+    else:
+        raise ValueError(f"unknown family: {family!r}")
+    exprs = ", ".join(
+        f"ROUND({dot_literal_sql(vec_col, plane)}, 6)" for plane in planes
+    )
+    return df.filter(F.col(vec_col).isNotNull()).withColumn(
+        proj_col, F.expr(f"ARRAY({exprs})")
+    )
+
+
+def oracle_planes_sql(planes: list[list[float]]) -> list[str]:
+    """The planes as DuckDB double-list literals (repr = shortest
+    round-trip, parsed to identical doubles by both engines)."""
+    return [
+        "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        for plane in planes
+    ]

@@ -1,0 +1,107 @@
+"""JL random projection (scale/projection.py): geometry preservation,
+determinism, NULL contract, and plan shape (scan-stage, no shuffle)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.projection import (
+    gaussian_planes,
+    jl_project,
+    jl_project_long,
+    rademacher_planes,
+)
+
+
+def test_planes_deterministic_and_scaled():
+    a = rademacher_planes(16, 4, seed=7)
+    b = rademacher_planes(16, 4, seed=7)
+    assert a == b
+    s = 1.0 / math.sqrt(4)
+    assert all(abs(x) == s for row in a for x in row)
+    g1, g2 = gaussian_planes(16, 4, 7), gaussian_planes(16, 4, 7)
+    assert g1 == g2 and g1 != a
+
+
+def test_long_form_values_match_manual_dot(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = [[0.5, 0.5, 0.5], [1.0, 0.0, -1.0]]
+    rows = {
+        (r.vec_id, r.dim_idx): r.value
+        for r in jl_project_long(df, planes).collect()
+    }
+    # NULL vector emits nothing; each coordinate is the rounded dot
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)] == pytest.approx(3.0)
+    assert rows[(1, 1)] == pytest.approx(-2.0)
+
+
+def test_wide_form_and_zero_vector_kept(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.projected for r in jl_project(df, out_dim=4).collect()}
+    assert out[1] == [0.0, 0.0, 0.0, 0.0]  # zero vec projects to zeros
+    assert len(out[2]) == 4 and any(v != 0 for v in out[2])
+
+
+def test_pairwise_distance_preserved_within_jl_bound(spark):
+    """JL with d'=32 on unit-ish 64-d vectors: projected pairwise
+    distances should track originals within a loose (1±0.6) band —
+    a sanity check of the scaling, not a tight JL proof."""
+    import random
+
+    rng = random.Random(3)
+    vecs = [
+        [rng.gauss(0, 1) for _ in range(64)] for _ in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    proj = {
+        r.vec_id: r.projected
+        for r in jl_project(df, out_dim=32, family="gaussian").collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    checked = 0
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            d0, d1 = dist(vecs[i], vecs[j]), dist(proj[i], proj[j])
+            assert 0.4 * d0 <= d1 <= 1.6 * d0
+            checked += 1
+    assert checked == 66
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty"):
+        jl_project_long(df, [])
+    with pytest.raises(ValueError, match="ragged"):
+        jl_project_long(df, [[1.0], [1.0, 2.0]])
+    with pytest.raises(ValueError, match="unknown family"):
+        jl_project(df, family="uniform")
+
+
+def test_plan_is_scan_stage_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = jl_project_long(df, rademacher_planes(64, 8))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # pure mapper: project + generate
+    assert "BatchEvalPython" not in plan

@@ -872,9 +872,67 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
-    return (
-        vocab.unionByName(tfidf).unionByName(oov).unionByName(heavy)
+    # fifth branch: BM25 ranked retrieval for a fixed bag-of-terms
+    # query over the same corpus — the inverted-index/search tier
+    # (scores ride tfidf, ranks ride rnk)
+    from etl_extract_transform_load_spark.scale.search import bm25_topk
+
+    bm25 = bm25_topk(docs, list(BM25_QUERY_TERMS), k=15).select(
+        F.lit("bm25").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("tfidf"),
+        F.col("rnk").cast("long").alias("rnk"),
     )
+    return (
+        vocab.unionByName(tfidf)
+        .unionByName(oov)
+        .unionByName(heavy)
+        .unionByName(bm25)
+    )
+
+
+#: Fixed query for the registered BM25 branch — common corpus terms so
+#: the ranking exercises real tf/df/length variation at every SF.
+BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector", "scan")
+
+
+def _oracle_bm25(k1: float = 1.2, b: float = 0.75, k: int = 15) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(LOWER(COALESCE(text,''))) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text,''))), '\\s+')
+         END AS toks
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(LEN(toks)) AS sum_dl FROM base),
+tok AS (SELECT doc_id, LEN(toks) AS dl, UNNEST(toks) AS token FROM base),
+hits AS (
+  SELECT token, doc_id, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM tok WHERE token IN ({terms})
+  GROUP BY token, doc_id
+),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT h.doc_id,
+         CAST(ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (h.tf * {k1 + 1.0}) / (h.tf + {k1} * ({1.0 - b}
+                  + {b} * h.dl / (s.sum_dl * 1.0 / s.n_docs))), 6)
+              AS DECIMAL(28,6)) AS contrib
+  FROM hits h JOIN dfreq d USING (token) CROSS JOIN stats s
+),
+sc AS (SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+       FROM scored GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _oracle_vocab_tfidf() -> str:
@@ -940,6 +998,10 @@ FROM (
     GROUP BY token, n
     HAVING COUNT(*) > 0.005 * n
 ) hh
+UNION ALL
+SELECT 'bm25', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       CAST(doc_id AS BIGINT), CAST(score AS DOUBLE), CAST(rnk AS BIGINT)
+FROM ({_oracle_bm25()})
 """
 
 
@@ -1274,29 +1336,24 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sixth branch: SemDeDup — within-cluster cosine near-dup pruning
     # over the SAME checkpointed E-step assignment; each dropped
     # vector rides (vec_id, its cluster in label, smaller-id-neighbor
-    # count in n_vectors, closest cosine in cos_sim)
-    from etl_extract_transform_load_spark.plans.caching import (
-        released_caches,
-    )
+    # count in n_vectors, closest cosine in cos_sim). The grouped
+    # Arrow kernel (ONE shuffle on the cluster key, blockwise
+    # _seq_dots scoring, no pair-row materialization) replaces the
+    # r4 pair-join — identical values, pytest-asserted
+    # (test_semdedup.test_grouped_variant_matches_join_on_testdata);
+    # nothing to cache, so no released_caches scope is needed.
     from etl_extract_transform_load_spark.scale.semdedup import (
-        semantic_dup_drops,
+        semantic_dup_drops_grouped,
     )
 
-    # materialize the small drop set inside released_caches so the
-    # normed-projection persist is gone when this query returns
-    with released_caches():
-        sem = (
-            semantic_dup_drops(emb, assigned, threshold=0.4)
-            .select(
-                F.lit("semdedup").alias("part"),
-                F.col("label").cast("int").alias("label"),
-                F.col("n_better").cast("long").alias("n_vectors"),
-                F.lit(None).cast("string").alias("centroid_str"),
-                F.col("vec_id").cast("long").alias("vec_id"),
-                F.col("max_cos").cast("double").alias("cos_sim"),
-            )
-            .localCheckpoint()
-        )
+    sem = semantic_dup_drops_grouped(emb, assigned, threshold=0.4).select(
+        F.lit("semdedup").alias("part"),
+        F.col("label").cast("int").alias("label"),
+        F.col("n_better").cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("max_cos").cast("double").alias("cos_sim"),
+    )
     return (
         cent_part(_serialize_centroid(cents), "centroids")
         .unionByName(assign)

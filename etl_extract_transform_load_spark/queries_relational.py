@@ -597,7 +597,12 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
     )
-    base = "/tmp/etl_spark_sink_roundtrip"
+    # per-process scratch: a fixed path let two engine processes (e.g.
+    # a bench run next to a correctness sweep) overwrite each other's
+    # files mid-read-back — observed as a one-off hash mismatch
+    import os as _os
+
+    base = f"/tmp/etl_spark_sink_roundtrip_p{_os.getpid()}"
 
     # The four sink jobs are independent — submit them concurrently so
     # the cluster overlaps their IO instead of serializing four
@@ -835,7 +840,10 @@ def q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 8-file re-layout of the (immutable) events table is pure
     # setup, not the operator under test — key it by sf tag and reuse
     # across runs instead of rewriting per call.
-    tag = sf_dir.rstrip("/").replace("/", "_")
+    # tag by sf AND process: reuse across runs inside one process, but
+    # never share with a concurrent engine process whose overwrite of
+    # the layout could race this stream's file listing
+    tag = f"{sf_dir.rstrip('/').replace('/', '_')}_p{os.getpid()}"
     src = f"/tmp/etl_spark_stream_src{tag}"
     if not os.path.exists(f"{src}/_SUCCESS"):
         events.repartition(8).write.mode("overwrite").parquet(src)

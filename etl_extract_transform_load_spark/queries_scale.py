@@ -1130,17 +1130,46 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN probe + contrastive hard-negative mining, tag-unioned
+    over the same anchor set (vec_id < 10): part='topk' is the plain
+    cosine top-5; part='hardneg' restricts candidates to a DIFFERENT
+    non-NULL class label before ranking (``scale.mining`` — the
+    training-pair curation shape), negatives' labels riding the
+    ``label`` column."""
+    from etl_extract_transform_load_spark.scale.mining import (
+        hard_negatives,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return brute_force_topk_arrow(emb, queries, k=5)
+    topk = brute_force_topk_arrow(emb, queries, k=5).select(
+        F.lit("topk").alias("part"),
+        "query_id",
+        "vec_id",
+        F.lit(None).cast("int").alias("label"),
+        "cos_sim",
+        "rank",
+    )
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    hardneg = hard_negatives(emb, anchors, k=5).select(
+        F.lit("hardneg").alias("part"),
+        F.col("anchor_id").alias("query_id"),
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "cos_sim",
+        "rank",
+    )
+    return topk.unionByName(hardneg)
 
 
 ORACLE_SIMILARITY_TOPK = """
 WITH e AS (
-    SELECT vec_id,
+    SELECT vec_id, label,
            CAST(embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS n
@@ -1148,19 +1177,36 @@ WITH e AS (
       AND list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) > 0
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, label AS ql
+      FROM e WHERE vec_id < 10),
 scored AS (
     SELECT q.query_id,
            e.vec_id,
            ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos_sim
     FROM q JOIN e ON e.vec_id <> q.query_id
+),
+neg AS (
+    SELECT q.query_id,
+           e.vec_id,
+           e.label,
+           ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos_sim
+    FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.ql
 )
-SELECT query_id, vec_id, cos_sim, rank
+SELECT 'topk' AS part, query_id, vec_id, NULL::INT AS label, cos_sim, rank
 FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
     ) AS rank
     FROM scored
+)
+WHERE rank <= 5
+UNION ALL
+SELECT 'hardneg', query_id, vec_id, CAST(label AS INT), cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rank
+    FROM neg
 )
 WHERE rank <= 5
 """
@@ -1244,12 +1290,41 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     with released_caches():  # bucketed-projection persist released
-        return neighbor_pairs_above_lsh(
+        pairs = neighbor_pairs_above_lsh(
             emb, threshold=0.4, bits=4
         ).localCheckpoint()
+    # second branch: JL random projection (Rademacher d→8) in long
+    # form — the dimensionality-reduction pre-step of the same ANN
+    # tier (coordinates ride cos_sim, output dim rides id_b)
+    from etl_extract_transform_load_spark.scale.projection import (
+        jl_project_long,
+        rademacher_planes,
+    )
+
+    proj = jl_project_long(emb, rademacher_planes(64, 8)).select(
+        F.lit("jlproj").alias("part"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("dim_idx").cast("long").alias("id_b"),
+        F.col("value").cast("double").alias("cos_sim"),
+    )
+    return pairs.select(
+        F.lit("pairs").alias("part"), "id_a", "id_b", "cos_sim"
+    ).unionByName(proj)
 
 
 def _oracle_neardup_lsh(bits: int = 4, threshold: float = 0.4) -> str:
+    from etl_extract_transform_load_spark.scale.projection import (
+        oracle_planes_sql,
+        rademacher_planes,
+    )
+
+    jl_legs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS dim_idx, "
+        f"ROUND(list_dot_product(v, {plane}), 6) AS value FROM ev"
+        for j, plane in enumerate(
+            oracle_planes_sql(rademacher_planes(64, 8))
+        )
+    )
     return f"""
 WITH e AS (
     SELECT vec_id,
@@ -1259,13 +1334,19 @@ WITH e AS (
     FROM embeddings WHERE embedding IS NOT NULL
       AND list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) > 0),
-b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e)
-SELECT a.vec_id AS id_a,
+b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE embedding IS NOT NULL)
+SELECT 'pairs' AS part, a.vec_id AS id_a,
        b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
 FROM b a
 JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {threshold}
+UNION ALL
+SELECT 'jlproj', CAST(vec_id AS BIGINT), CAST(dim_idx AS BIGINT),
+       CAST(value AS DOUBLE)
+FROM ({jl_legs})
 """
 
 

@@ -1461,6 +1461,8 @@ def sniff(buf: bytes) -> str:
         return "png"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
@@ -1507,3 +1509,259 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     out = top * (1 - wy) + bot * wy
     out = np.rint(out).clip(0, 255).astype(np.uint8)
     return out[:, :, 0] if img.ndim == 2 else out
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW-compressed palette images, pure numpy/stdlib.
+# Public spec: GIF89a specification (CompuServe, 1990-07-31). Decoder
+# handles global/local color tables, variable-code-size LZW, interlace,
+# multi-frame 89a animations with disposal 0/1/2 and transparency;
+# encoder emits a real variable-width LZW stream (not the
+# clear-code-spam degenerate form), so round-trips exercise the
+# decoder's table growth path.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW → uint8 index stream of exactly ``n_pixels``.
+
+    Little-endian bit packing; code width grows after the table fills
+    a power of two, capped at 12 bits; CLEAR resets the table, EOI
+    stops. Output past ``n_pixels`` (some encoders pad) is truncated;
+    short output raises."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # unpack the whole stream to a bit array once (numpy), then read
+    # variable-width codes by slicing — no per-bit Python loop
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    total_bits = len(bits)
+    while pos + width <= total_bits:
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.uint32)))
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF: LZW stream ended at {len(out)} of {n_pixels} pixels"
+        )
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def _gif_lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
+    """Index stream → GIF LZW bytes (greedy longest-match table build,
+    the spec's reference strategy)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_codes: list[tuple[int, int]] = [(clear, width)]
+    run = b""
+    for b in bytes(indices.astype(np.uint8).tobytes()):
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        out_codes.append((table[run], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 > (1 << 12) - 1:
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        out_codes.append((table[run], width))
+    out_codes.append((eoi, width))
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _gif_deinterlace(idx: np.ndarray, h: int, w: int) -> np.ndarray:
+    rows = idx.reshape(h, w)
+    order = np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(buf[pos : pos + n])
+        pos += n
+
+
+def decode_gif_frames(buf: bytes) -> np.ndarray:
+    """GIF bytes → (n_frames, H, W, 3) uint8, frames composited onto
+    the logical screen per the 89a disposal model (0/1 draw-over,
+    2 restore-background; 3 'restore previous' raises — vanishingly
+    rare and needs a frame stack). Transparent pixels leave the
+    underlying canvas untouched."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    bg_fill = canvas[0, 0].copy() if sh and sw else np.zeros(3, np.uint8)
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            data, pos = _read_subblocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                packed = data[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = data[3] if packed & 0x01 else None
+                if disposal == 3:
+                    raise ValueError(
+                        "GIF: disposal 'restore previous' unsupported"
+                    )
+            continue
+        if block != 0x2C:  # image descriptor is all that remains
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        x, y, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: image without any color table")
+        min_code = buf[pos]
+        pos += 1
+        data, pos = _read_subblocks(buf, pos)
+        idx = _gif_lzw_decode(min_code, data, w * h)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx, h, w)
+        else:
+            idx = idx.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("GIF: palette index out of range")
+        region = canvas[y : y + h, x : x + w]
+        rgb = ct[idx]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[y : y + h, x : x + w] = bg_fill
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return np.stack(frames)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """First frame as (H, W, 3) uint8 — the still-image view."""
+    return decode_gif_frames(buf)[0]
+
+
+def encode_gif(
+    frames: np.ndarray, palette: np.ndarray | None = None
+) -> bytes:
+    """(H, W) palette-index uint8 or (n, H, W) frames + (k, 3) palette
+    → GIF89a bytes. Index-in, not RGB-in: quantization is the caller's
+    problem (the decoder side is what production needs; the encoder
+    exists to synthesize test corpora deterministically)."""
+    if palette is None:
+        palette = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    palette = np.asarray(palette, np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("palette must be (k, 3) uint8")
+    if frames.ndim == 2:
+        frames = frames[None]
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, H, W) uint8 palette indices")
+    if int(frames.max(initial=0)) >= len(palette):
+        raise ValueError("frame index beyond palette")
+    # color table size: next power of two >= max(2, k), exponent field
+    k = max(2, len(palette))
+    exp = max(1, (k - 1).bit_length())
+    n_ct = 1 << exp
+    pal = np.zeros((n_ct, 3), np.uint8)
+    pal[: len(palette)] = palette
+    _, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((exp - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, exp)
+    for frame in frames:
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(min_code, frame.ravel())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -86,9 +86,10 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
 
     Supports the stdlib/numpy-decodable formats in ``scale.codecs``:
     netpbm PPM/PGM, uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib),
-    and JPEG — sequential AND progressive (pure-numpy T.81 decoder;
-    arithmetic-coded streams raise ValueError there). Video
-    containers (MP4/...) remain the externally-dependent seam."""
+    GIF (LZW, first frame), and JPEG — sequential AND progressive
+    (pure-numpy T.81 decoder; arithmetic-coded streams raise
+    ValueError there). Video containers (MP4/...) remain the
+    externally-dependent seam."""
     from etl_extract_transform_load_spark.scale import codecs
 
     kind = codecs.sniff(content)
@@ -100,9 +101,11 @@ def _decode_real(content: bytes) -> tuple[int, int, float]:
         img = codecs.decode_png(content)
     elif kind == "jpeg":
         img = codecs.decode_jpeg(content)
+    elif kind == "gif":
+        img = codecs.decode_gif(content)
     else:
         raise NotImplementedError(
-            f"image codec {kind!r}: PPM/PGM/BMP/PNG/JPEG decode "
+            f"image codec {kind!r}: PPM/PGM/BMP/PNG/JPEG/GIF decode "
             "without an imaging library; other formats need external "
             "codecs — wire them in here"
         )
@@ -234,10 +237,16 @@ def sample_frames(
                 )
                 for idx, img in frames
             ]
+        if kind == "gif":  # animated GIF: composited RGB frames
+            gif = codecs.decode_gif_frames(raw)
+            return [
+                (i, codecs.encode_ppm(gif[i]))
+                for i in range(0, len(gif), every_n)
+            ]
         raise NotImplementedError(
-            f"video codec {kind!r}: Y4M and MJPEG-AVI decode without "
-            "ffmpeg; inter-frame codecs (H.264/MP4) need external "
-            "libraries"
+            f"video codec {kind!r}: Y4M, MJPEG-AVI, and GIF decode "
+            "without ffmpeg; inter-frame codecs (H.264/MP4) need "
+            "external libraries"
         )
 
     pick = _fake_frames if mode == "fake" else _real_frames

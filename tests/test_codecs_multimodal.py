@@ -697,3 +697,114 @@ def test_sample_frames_real_mode_avi(spark):
     assert [r.frame_idx for r in got] == [0, 2, 4]
     first = codecs.decode_pnm(bytes(got[0].frame))
     assert first.shape == (16, 16, 3)
+
+
+# --- GIF (LZW) --------------------------------------------------------------
+
+
+def test_gif_roundtrip_single_and_multi_frame():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = rng.integers(0, 16, (3, 13, 17)).astype(np.uint8)
+    buf = codecs.encode_gif(frames, pal)
+    assert codecs.sniff(buf) == "gif"
+    dec = codecs.decode_gif_frames(buf)
+    assert dec.shape == (3, 13, 17, 3)
+    for i in range(3):
+        assert (dec[i] == pal[frames[i]]).all()
+    # still view = first frame
+    assert (codecs.decode_gif(buf) == pal[frames[0]]).all()
+
+
+def test_gif_lzw_table_growth_and_12bit_reset():
+    # 160x200 random 256-color noise forces the code width through
+    # every size up to 12 bits and across a CLEAR reset
+    rng = np.random.default_rng(11)
+    pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    fr = rng.integers(0, 256, (1, 160, 200)).astype(np.uint8)
+    dec = codecs.decode_gif_frames(codecs.encode_gif(fr, pal))
+    assert (dec[0] == pal[fr[0]]).all()
+
+
+def test_gif_interlaced_fixture_decodes():
+    # hand-build an interlaced stream: encode normally, then reorder
+    # rows into interlace order and set the interlace flag
+    import struct as _s
+
+    pal = np.stack([np.arange(8) * 32] * 3, 1).astype(np.uint8)
+    h, w = 11, 5
+    img = (np.arange(h * w).reshape(h, w) % 8).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    shuffled = img[order]  # rows in on-wire interlace order
+    plain = codecs.encode_gif(shuffled, pal)
+    # patch: set interlace bit in the image descriptor (after the
+    # 13-byte header + 3*16 global table... recompute offsets)
+    flags = plain[10]
+    gct_len = 3 * (2 << (flags & 0x07))
+    desc_at = 13 + gct_len
+    assert plain[desc_at] == 0x2C
+    iflags_at = desc_at + 9
+    patched = bytearray(plain)
+    patched[iflags_at] = plain[iflags_at] | 0x40
+    dec = codecs.decode_gif(bytes(patched))
+    assert (dec == pal[img]).all()
+
+
+def test_gif_transparency_and_disposal_background():
+    # frame 1: full red; frame 2: small patch, transparent elsewhere
+    # within its rect -> underlying red shows through
+    import struct as _s
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    base = np.zeros((6, 6), np.uint8)  # all red (index 0)
+    buf = bytearray(codecs.encode_gif(base, pal)[:-1])  # drop trailer
+    # append a GCE (transparent index 2) + 3x3 image at (1,1) whose
+    # corners are index 2 (transparent), center index 1 (green)
+    patch = np.full((3, 3), 2, np.uint8)
+    patch[1, 1] = 1
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])  # transparency on
+    buf += gce
+    buf += bytes([0x2C]) + _s.pack("<HHHHB", 1, 1, 3, 3, 0)
+    min_code = 2
+    lzw = codecs._gif_lzw_encode(min_code, patch.ravel())
+    buf += bytes([min_code, len(lzw)]) + lzw + b"\x00\x3b"
+    frames = codecs.decode_gif_frames(bytes(buf))
+    assert frames.shape[0] == 2
+    assert (frames[0] == pal[0]).all()
+    f2 = frames[1]
+    assert (f2[2, 2] == pal[1]).all()          # drawn center
+    assert (f2[1, 1] == pal[0]).all()          # transparent corner
+    assert (f2[0, 0] == pal[0]).all()          # outside the rect
+
+
+def test_gif_truncated_stream_raises():
+    pal = np.stack([np.arange(4)] * 3, 1).astype(np.uint8)
+    buf = codecs.encode_gif(np.zeros((4, 4), np.uint8), pal)
+    with pytest.raises(ValueError):
+        codecs.decode_gif_frames(buf[:20])
+
+
+def test_image_features_and_frames_on_gif(spark):
+    from etl_extract_transform_load_spark.scale.multimodal import (
+        decode_image_features,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+    frames = rng.integers(0, 32, (4, 9, 7)).astype(np.uint8)
+    gif = codecs.encode_gif(frames, pal)
+    media = spark.createDataFrame(
+        [(1, bytearray(gif))], "media_id long, content binary"
+    )
+    feat = decode_image_features(media, mode="real").collect()
+    assert [(r.width, r.height) for r in feat] == [(7, 9)]
+    exp_luma = round(float(codecs.to_gray(pal[frames[0]]).mean()), 6)
+    assert abs(feat[0].mean_intensity - exp_luma) < 1e-6
+    sampled = sample_frames(media, every_n=2, mode="real").collect()
+    assert [r.frame_idx for r in sampled] == [0, 2]
+    f2 = codecs.decode_pnm(bytes(sampled[1].frame))
+    assert (f2 == pal[frames[2]]).all()

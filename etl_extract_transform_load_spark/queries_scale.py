@@ -1100,17 +1100,58 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression) and ``neighbor_pairs_above_arrow`` stay as the
     oracle-shaped and local-accelerator variants (same bits,
     pytest-pinned)."""
+    from etl_extract_transform_load_spark.scale.pq import (
+        pq_codebook_rows,
+        pq_encode_arrow,
+    )
     from etl_extract_transform_load_spark.scale.similarity import (
         neighbor_pairs_above_blocks,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neighbor_pairs_above_blocks(emb, threshold=0.4)
+    pairs = neighbor_pairs_above_blocks(emb, threshold=0.4).select(
+        F.lit("pairs").alias("part"), "id_a", "id_b", "cos_sim"
+    )
+    # second/third branches: product-quantization codes + quantization
+    # error (8 subspaces, one code per label seed) — the ANN
+    # compression tier. Long form: subspace rides id_b; the code and
+    # its squared-L2 distance each take a part ('pqcode'/'pqdist')
+    # with the value riding cos_sim.
+    enc = pq_encode_arrow(emb, pq_codebook_rows(emb)).localCheckpoint()
+    pq_codes = enc.select(
+        F.lit("pqcode").alias("part"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("subspace").cast("long").alias("id_b"),
+        F.col("code").cast("double").alias("cos_sim"),
+    )
+    pq_dists = enc.select(
+        F.lit("pqdist").alias("part"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("subspace").cast("long").alias("id_b"),
+        F.col("dist").cast("double").alias("cos_sim"),
+    )
+    return pairs.unionByName(pq_codes).unionByName(pq_dists)
 
 
 # Formula in lockstep with the Spark plan: dot(a,b) / (‖a‖·‖b‖), every
 # sum a sequential left fold over doubles — bit-identical across engines.
-ORACLE_EMBEDDING_NEARDUP = """
+def _oracle_embedding_neardup(n_sub: int = 8, dim: int = 64) -> str:
+    d_sub = dim // n_sub
+    # per-subspace squared-L2 chain in the same sequential order as
+    # the Arrow kernel's per-dimension accumulation (left-assoc +)
+    sub_legs = " UNION ALL ".join(
+        f"SELECT e.vec_id, {s} AS subspace, cb.label AS code,\n"
+        "       ROUND("
+        + " + ".join(
+            f"(e.v[{s * d_sub + i + 1}] - cb.centroid[{s * d_sub + i + 1}])"
+            f" * (e.v[{s * d_sub + i + 1}]"
+            f" - cb.centroid[{s * d_sub + i + 1}])"
+            for i in range(d_sub)
+        )
+        + ", 6) AS dist\nFROM ev e CROSS JOIN cb"
+        for s in range(n_sub)
+    )
+    return f"""
 WITH e AS (
     SELECT vec_id,
            CAST(embedding AS DOUBLE[]) AS v,
@@ -1119,14 +1160,36 @@ WITH e AS (
     FROM embeddings WHERE embedding IS NOT NULL
       AND list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) > 0
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE embedding IS NOT NULL),
+cb AS ({_centroid_sql("embeddings", "label")}),
+pq AS (
+    SELECT vec_id, subspace, code, dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id, subspace
+               ORDER BY dist ASC, code ASC
+           ) AS rn
+    FROM ({sub_legs})
 )
-SELECT a.vec_id AS id_a,
+SELECT 'pairs' AS part, a.vec_id AS id_a,
        b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
 FROM e a
 JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+UNION ALL
+SELECT 'pqcode', CAST(vec_id AS BIGINT), CAST(subspace AS BIGINT),
+       CAST(code AS DOUBLE)
+FROM pq WHERE rn = 1
+UNION ALL
+SELECT 'pqdist', CAST(vec_id AS BIGINT), CAST(subspace AS BIGINT),
+       CAST(dist AS DOUBLE)
+FROM pq WHERE rn = 1
 """
+
+
+ORACLE_EMBEDDING_NEARDUP = _oracle_embedding_neardup()
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding columns.
+
+PQ is the standard compression layer of large-scale ANN (IVF-PQ):
+split each d-dim vector into ``n_sub`` contiguous subvectors, learn a
+small codebook per subspace, and store each vector as ``n_sub`` small
+integer codes — 64 float32 dims become 8 bytes, a 32× shuffle/storage
+reduction for candidate generation, with exact re-scoring reserved
+for the final short-list (the same two-tier pattern
+``scale.similarity``/``scale.ivf`` already follow, and the int8 path
+in ``scale.embeddings.quantize_int8`` complements per-vector).
+
+Codebook: the engine-portable deterministic construction seeds one
+code per existing partition label (the exact discipline of
+``build_ivf_index_deterministic``) — per-label decimal-exact
+subvector means, 6-dp rounded, so an independent engine (the DuckDB
+oracle) reproduces the codebook bit-for-bit. A k-means-refined
+codebook per subspace is the production upgrade and slots in through
+the same ``(subspace, code, centroid)`` rows.
+
+Encoding: nearest codebook entry per subspace by squared L2, computed
+in an Arrow ``mapInPandas`` kernel with the codebook riding the
+closure — ZERO shuffles, the corpus streams through once (the
+100 TB shape). Distances accumulate dimension-by-dimension in
+sequential order and round to 6 dp before the argmin (ties → smallest
+code), so codes are bit-replicable by a sequential engine.
+
+NULL vectors drop out; zero vectors are ENCODED (L2 needs no
+direction — unlike the cosine family) though they never contribute
+to codebook means (the shared centroid contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_SUB = 8
+
+
+def pq_codebook_rows(
+    emb: DataFrame,
+    n_sub: int = DEFAULT_N_SUB,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """(subspace, code, sub-centroid) rows, driver-side: ONE
+    decimal-exact full-width centroid aggregation (reusing
+    ``label_centroids``), sliced into subspaces after the collect —
+    |labels| × dim doubles, never a per-subspace rescan."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        collect_centroid_rows,
+        label_centroids,
+    )
+
+    if dim % n_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
+    d_sub = dim // n_sub
+    rows = collect_centroid_rows(
+        label_centroids(emb, label_col=label_col, vec_col=vec_col, dim=dim)
+    )
+    out = []
+    for code, cent in sorted(rows, key=lambda t: t[0]):
+        for s in range(n_sub):
+            out.append(
+                (s, int(code), [float(x) for x in cent[s * d_sub : (s + 1) * d_sub]])
+            )
+    return out
+
+
+def pq_encode_arrow(
+    emb: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace, code, dist): each vector's nearest codebook
+    entry per subspace — long form, one row per (vector, subspace).
+    ``dist`` is the 6-dp-rounded squared L2 to the chosen entry.
+
+    Scan-stage Arrow kernel: the codebook is a closure constant, the
+    per-(vector, code) distance accumulates dimension-by-dimension in
+    sequential order (``acc = acc + (v_i - c_i)²`` — the left fold a
+    sequential SQL chain replicates), and the argmin keeps the first
+    minimum (codes sorted ascending → smallest code wins ties)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if not codebook:
+        raise ValueError("pq_encode_arrow: empty codebook")
+    subspaces = sorted({s for s, _, _ in codebook})
+    widths = {len(c) for _, _, c in codebook}
+    if len(widths) != 1:
+        raise ValueError(f"ragged codebook centroids: {widths}")
+    d_sub = widths.pop()
+    by_sub = {}
+    for s, code, cent in sorted(codebook):
+        by_sub.setdefault(s, ([], []))
+        by_sub[s][0].append(code)
+        by_sub[s][1].append(cent)
+    mats = {
+        s: (np.array(codes, dtype=np.int64), np.array(cents, dtype=np.float64))
+        for s, (codes, cents) in by_sub.items()
+    }
+
+    id_field = emb.schema[id_col]
+    schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "subspace int, code int, dist double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for s in subspaces:
+                codes, cents = mats[s]
+                sub = v[:, s * d_sub : (s + 1) * d_sub]
+                diff0 = sub[:, 0][:, None] - cents[:, 0][None, :]
+                acc = diff0 * diff0
+                for i in range(1, d_sub):
+                    di = sub[:, i][:, None] - cents[:, i][None, :]
+                    acc = acc + di * di
+                acc = np.round(acc, 6)
+                best = acc.argmin(axis=1)  # first min → smallest code
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "subspace": np.full(len(ids), s, dtype=np.int32),
+                            "code": codes[best].astype(np.int32),
+                            "dist": acc[np.arange(len(ids)), best],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(run, schema=schema)
+    )
+
+
+def pq_reconstruct(
+    codes: dict[int, int], codebook: list[tuple[int, int, list[float]]]
+) -> list[float]:
+    """{subspace: code} → the concatenated centroid approximation
+    (driver-side helper for reconstruction-error tests and ADC table
+    construction)."""
+    lut = {(s, c): cent for s, c, cent in codebook}
+    out: list[float] = []
+    for s in sorted(codes):
+        out.extend(lut[(s, codes[s])])
+    return out
+
+
+def adc_distance(
+    query: list[float],
+    codes: dict[int, int],
+    codebook: list[tuple[int, int, list[float]]],
+) -> float:
+    """Asymmetric distance: exact query vs the quantized vector —
+    Σ over subspaces of ‖q_sub − centroid(code)‖². The per-query ADC
+    lookup table (|subspaces| × |codes| partial distances, computed
+    once and reused across millions of candidates) is the production
+    scoring path; this reference form pins its semantics."""
+    d_sub = len(codebook[0][2])
+    lut = {(s, c): cent for s, c, cent in codebook}
+    total = 0.0
+    for s in sorted(codes):
+        cent = lut[(s, codes[s])]
+        q = query[s * d_sub : (s + 1) * d_sub]
+        for a, b in zip(q, cent):
+            total += (a - b) * (a - b)
+    return total

@@ -1,0 +1,122 @@
+"""Product quantization (scale/pq.py): codebook construction,
+encode semantics (argmin, ties, NULL/zero contract), reconstruction
+error, ADC consistency, and plan shape (scan-stage encode)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.pq import (
+    adc_distance,
+    pq_codebook_rows,
+    pq_encode_arrow,
+    pq_reconstruct,
+)
+
+
+def _emb(spark, rows, dim):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_codebook_slices_full_centroid_once(spark):
+    # two labels in 4-dim space, n_sub=2 → 2 codes × 2 subspaces
+    vecs = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0, 2.0, 0.0], 0),
+            (2, [3.0, 0.0, 4.0, 0.0], 0),
+            (3, [0.0, 5.0, 0.0, 6.0], 1),
+        ],
+        4,
+    )
+    cb = pq_codebook_rows(vecs, n_sub=2, dim=4)
+    assert {(s, c) for s, c, _ in cb} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    lut = {(s, c): cent for s, c, cent in cb}
+    assert lut[(0, 0)] == [2.0, 0.0]     # mean of [1,0],[3,0]
+    assert lut[(1, 0)] == [3.0, 0.0]     # mean of [2,0],[4,0]
+    assert lut[(0, 1)] == [0.0, 5.0]
+    assert lut[(1, 1)] == [0.0, 6.0]
+
+
+def test_encode_argmin_ties_and_null_zero_contract(spark):
+    vecs = _emb(
+        spark,
+        [
+            (1, [1.9, 0.0], 0),    # nearer code 0's centroid
+            (2, [0.1, 4.9], 1),    # nearer code 1's
+            (3, None, 0),          # NULL: dropped
+            (4, [0.0, 0.0], 1),    # zero vec: ENCODED (L2 family)
+        ],
+        2,
+    )
+    cb = [(0, 0, [2.0, 0.0]), (0, 1, [0.0, 5.0])]
+    rows = {
+        r.vec_id: (r.code, r.dist)
+        for r in pq_encode_arrow(vecs, cb).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1][0] == 0 and rows[2][0] == 1
+    # zero vector: d(code0)=4, d(code1)=25 → code 0
+    assert rows[4] == (0, 4.0)
+    # exact tie → smallest code: midpoint of the two centroids
+    tie = _emb(spark, [(9, [1.0, 2.5], 0)], 2)
+    (r,) = pq_encode_arrow(tie, cb).collect()
+    assert r.code == 0 and r.dist == pytest.approx(1.0 + 6.25)
+
+
+def test_roundtrip_reconstruction_beats_wrong_codes(spark):
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb)
+    picked = {
+        (r.vec_id, r.subspace): r.code
+        for r in enc.filter(F.col("vec_id") < 20).collect()
+    }
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 20).collect()
+        if r.embedding is not None
+    }
+    n_codes = len({c for _, c, _ in cb})
+    assert len(vecs) > 0
+    for vid, v in vecs.items():
+        codes = {s: picked[(vid, s)] for s in range(8)}
+        rec = pq_reconstruct(codes, cb)
+        err = sum((a - b) ** 2 for a, b in zip(v, rec))
+        # the chosen codes must beat rotating every code by one
+        worse = {s: (c + 1) % n_codes for s, c in codes.items()}
+        rec_w = pq_reconstruct(worse, cb)
+        err_w = sum((a - b) ** 2 for a, b in zip(v, rec_w))
+        assert err <= err_w + 1e-9
+        # ADC against the vector's own codes == reconstruction error
+        assert adc_distance(v, codes, cb) == pytest.approx(err, rel=1e-12)
+
+
+def test_validation_errors(spark):
+    vecs = _emb(spark, [(1, [1.0, 2.0], 0)], 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook_rows(vecs, n_sub=3, dim=4)
+    with pytest.raises(ValueError, match="empty codebook"):
+        pq_encode_arrow(vecs, [])
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode_arrow(vecs, [(0, 0, [1.0]), (0, 1, [1.0, 2.0])])
+
+
+def test_encode_plan_is_scan_stage(spark):
+    vecs = _emb(spark, [(1, [1.0, 2.0], 0)], 2)
+    df = pq_encode_arrow(vecs, [(0, 0, [1.0, 2.0])])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # codebook rides the closure
+    assert "MapInPandas" in plan

@@ -160,6 +160,128 @@ def pq_reconstruct(
     return out
 
 
+def pq_adc_topk(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank): approximate top-k nearest
+    candidates per query, scored ENTIRELY from PQ codes via
+    asymmetric-distance lookup tables — candidates' float vectors are
+    never touched, which is the point: at corpus scale the code table
+    is 8 bytes/vector and the scan is arithmetic-free (one LUT gather
+    + add per subspace).
+
+    Shape: the query set is bounded-collected (the broadcast-anchor
+    contract of ``brute_force_topk``); per query a (n_sub × n_codes)
+    LUT of exact subspace distances ships in the closure; each Arrow
+    batch gathers-and-sums LUT entries for every (candidate, query)
+    pair and emits only its LOCAL top-k per query — the global
+    ``row_number`` window then ranks |batches| × k rows per query,
+    never the full corpus (top-k is monotone under this two-level
+    selection). Ties: (dist ASC, id ASC), distances rounded 6 dp."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from etl_extract_transform_load_spark.scale.similarity import (
+        _collect_rows_bounded,
+    )
+
+    if not codebook:
+        raise ValueError("pq_adc_topk: empty codebook")
+    subspaces = sorted({s for s, _, _ in codebook})
+    n_sub = len(subspaces)
+    codes_sorted = sorted({c for _, c, _ in codebook})
+    code_index = {c: i for i, c in enumerate(codes_sorted)}
+    d_sub = len(codebook[0][2])
+    cent = np.zeros((n_sub, len(codes_sorted), d_sub), np.float64)
+    for s, c, v in codebook:
+        cent[s, code_index[c]] = v
+
+    q_rows = _collect_rows_bounded(
+        queries.filter(F.col(vec_col).isNotNull()),
+        [query_id_col, vec_col],
+        max_queries,
+        "pq_adc_topk",
+        "sharded query batches",
+    )
+    if not q_rows:
+        return enc.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, "
+            "adc_dist double, rank int"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qv = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    # LUT[q, s, code] = ‖q_sub − centroid‖² — exact, computed once
+    lut = np.zeros((len(qids), n_sub, len(codes_sorted)), np.float64)
+    for s in range(n_sub):
+        qs = qv[:, s * d_sub : (s + 1) * d_sub]
+        diff = qs[:, None, :] - cent[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+
+    wide = enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "code"))),
+            lambda st: st["code"],
+        ).alias("__codes")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
+            if codes.shape[1] != n_sub:
+                raise ValueError(
+                    f"pq_adc_topk: candidate has {codes.shape[1]} codes, "
+                    f"codebook has {n_sub} subspaces"
+                )
+            idx = np.vectorize(code_index.get)(codes)
+            ids = pdf[id_col].to_numpy()
+            # dists[q, cand] = Σ_s LUT[q, s, code_s(cand)]
+            dists = np.zeros((len(qids), len(ids)), np.float64)
+            for s in range(n_sub):
+                dists += lut[:, s, idx[:, s]]
+            dists = np.round(dists, 6)
+            kk = min(k, len(ids))
+            # local top-k per query: argpartition then exact ordering
+            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            out_q, out_id, out_d = [], [], []
+            for qi in range(len(qids)):
+                cand = part[qi]
+                out_q.extend([qids[qi]] * kk)
+                out_id.extend(ids[cand])
+                out_d.extend(dists[qi, cand])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    id_col: out_id,
+                    "adc_dist": out_d,
+                }
+            )
+
+    local = wide.mapInPandas(
+        run,
+        schema=f"{query_id_col} long, {id_col} long, adc_dist double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def adc_distance(
     query: list[float],
     codes: dict[int, int],

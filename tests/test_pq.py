@@ -101,6 +101,77 @@ def test_roundtrip_reconstruction_beats_wrong_codes(spark):
         assert adc_distance(v, codes, cb) == pytest.approx(err, rel=1e-12)
 
 
+def test_adc_topk_matches_reference_adc(spark):
+    """Distributed ADC top-k == brute-force ADC over reconstruction
+    distances, computed independently with the reference helpers."""
+    from etl_extract_transform_load_spark.scale.pq import pq_adc_topk
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.query_id, r.vec_id, r.rank, r.adc_dist)
+        for r in pq_adc_topk(enc, queries, cb, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    # reference: exact ADC per (query, candidate) via the scalar helper
+    codes_by_id = {}
+    for r in enc.collect():
+        codes_by_id.setdefault(r.vec_id, {})[r.subspace] = r.code
+    qs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+        if r.embedding is not None
+    }
+    expected = []
+    for qid in sorted(qs):
+        scored = sorted(
+            (round(adc_distance(qs[qid], codes, cb), 6), vid)
+            for vid, codes in codes_by_id.items()
+        )
+        expected.extend(
+            (qid, vid, i + 1) for i, (_, vid) in enumerate(scored[:5])
+        )
+    assert [(q, v, rk) for q, v, rk, _ in got] == expected
+    for (_, _, _, d), (q, v, _) in zip(got, expected):
+        ref = round(adc_distance(qs[q], codes_by_id[v], cb), 6)
+        assert d == pytest.approx(ref, abs=2e-6)
+
+
+def test_adc_topk_local_topk_is_globally_correct_under_partitioning(spark):
+    # many tiny partitions force the per-batch local top-k path; the
+    # global ranking must be invariant
+    from etl_extract_transform_load_spark.scale.pq import pq_adc_topk
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = [
+        tuple(r)
+        for r in pq_adc_topk(enc, queries, cb, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in pq_adc_topk(enc.repartition(16), queries, cb, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert a == b and len(a) == 12
+
+
 def test_validation_errors(spark):
     vecs = _emb(spark, [(1, [1.0, 2.0], 0)], 2)
     with pytest.raises(ValueError, match="not divisible"):

@@ -765,6 +765,11 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_extract_transform_load_spark.sources.readers import load_table
 
+    from etl_extract_transform_load_spark.scale.text import (
+        c4_line_stats,
+        script_ratios,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     nfc = normalize_unicode(docs, "text", out_col="nfc_text").select(
         "doc_id",
@@ -773,10 +778,14 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nfc_changed"
         ),
     )
+    # round-5 legs: C4-style line-filter stats + writing-system
+    # profile — both pure scan-stage projections on the same table
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
         .join(nfc, "doc_id")
+        .join(c4_line_stats(docs), "doc_id")
+        .join(script_ratios(docs), "doc_id")
     )
 
 
@@ -784,6 +793,10 @@ def _oracle_text_quality() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_REPETITION,
         ORACLE_TEXT_STATS,
+    )
+    from etl_extract_transform_load_spark.scale.text import (
+        oracle_c4_line_stats_sql,
+        oracle_script_ratios_sql,
     )
 
     return f"""
@@ -795,6 +808,8 @@ JOIN (
            CAST(nfc_normalize(text) <> text AS BIGINT) AS nfc_changed
     FROM documents
 ) c USING (doc_id)
+JOIN ({oracle_c4_line_stats_sql()}) d USING (doc_id)
+JOIN ({oracle_script_ratios_sql()}) e USING (doc_id)
 """
 
 

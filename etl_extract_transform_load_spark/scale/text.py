@@ -495,3 +495,177 @@ def strip_diacritics(
 
     strip_udf = pandas_udf(_strip, "string")
     return df.withColumn(out_col, strip_udf(F.col(f"`{text_col}`")))
+
+
+#: Curation blocklist for C4-style line filtering (public C4 recipe:
+#: Raffel et al. 2020 §2.2 — terminal punctuation, minimum words,
+#: boilerplate phrase drop). Lowercase substrings.
+C4_BAD_PHRASES: tuple[str, ...] = (
+    "lorem ipsum",
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+)
+
+#: Line-keep rule: ends in terminal punctuation after right-trim.
+C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def _c4_keep_sql(line: str, min_words: int) -> str:
+    """The keep predicate for one line as a SQL boolean (shared shape
+    between the Spark lambda and the DuckDB list_filter twin)."""
+    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    phrases = " AND ".join(
+        f"lower({line}) NOT LIKE '%{p}%'" for p in C4_BAD_PHRASES
+    )
+    return (
+        f"trim({line}) <> '' "
+        f"AND right(rtrim({line}), 1) IN ({terms}) "
+        f"AND size(split(trim({line}), '\\\\s+')) >= {min_words} "
+        f"AND {phrases}"
+    )
+
+
+def c4_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level filtering, reported as per-document stats:
+
+    - ``c4_n_lines`` / ``c4_n_kept``: total lines vs lines passing the
+      keep rule (non-blank, terminal punctuation, ≥ ``min_words``
+      whitespace words, no blocklist phrase);
+    - ``c4_kept_char_frac``: fraction of line characters surviving
+      (0.0 for empty docs, rounded 6 dp);
+    - ``c4_clean_len``: length of the kept lines re-joined with \\n.
+
+    Pure scan-stage column expressions (split → filter → aggregate
+    over the array) — a mapper at 100 TB, like every text signal
+    here. NULL text ≡ '' (house contract)."""
+    lines = f"split(coalesce({text_col}, ''), '\\n')"
+    kept = f"filter({lines}, l -> {_c4_keep_sql('l', min_words)})"
+    tot_chars = (
+        f"aggregate(transform({lines}, l -> length(l)), 0, (a, x) -> a + x)"
+    )
+    kept_chars = (
+        f"aggregate(transform({kept}, l -> length(l)), 0, (a, x) -> a + x)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({lines}) AS BIGINT)").alias("c4_n_lines"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("c4_n_kept"),
+        F.expr(
+            f"CASE WHEN {tot_chars} = 0 THEN 0.0 "
+            f"ELSE ROUND(CAST({kept_chars} AS DOUBLE) / {tot_chars}, 6) "
+            f"END"
+        ).alias("c4_kept_char_frac"),
+        F.expr(
+            f"CAST(length(array_join({kept}, '\\n')) AS BIGINT)"
+        ).alias("c4_clean_len"),
+    )
+
+
+def c4_clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "c4_text",
+    min_words: int = 3,
+) -> DataFrame:
+    """The cleaned text itself (kept lines re-joined) — the transform
+    counterpart of :func:`c4_line_stats`."""
+    lines = f"split(coalesce({text_col}, ''), '\\n')"
+    kept = f"filter({lines}, l -> {_c4_keep_sql('l', min_words)})"
+    return df.withColumn(out_col, F.expr(f"array_join({kept}, '\\n')"))
+
+
+#: (name, Java-regex char class, RE2/DuckDB char class) per script.
+#: BMP ranges only — both engines agree on BMP code-unit semantics.
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", "A-Za-z", "A-Za-z"),
+    ("digit", "0-9", "0-9"),
+    ("greek", "\\u0370-\\u03FF", "\\x{0370}-\\x{03FF}"),
+    ("cyrillic", "\\u0400-\\u04FF", "\\x{0400}-\\x{04FF}"),
+    ("han", "\\u4E00-\\u9FFF", "\\x{4E00}-\\x{9FFF}"),
+)
+
+
+def script_ratios(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document writing-system profile: for each script class the
+    fraction of characters in that class (rounded 6 dp, 0.0 for empty
+    docs) — the signal behind corpus language routing and mixed-script
+    spam detection, computed as pure regexp_replace/length expressions
+    (scan-stage; each class is one linear pass)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(c)
+    cols = [F.col(id_col)]
+    for name, java_cls, _ in SCRIPT_CLASSES:
+        cnt = F.length(F.regexp_replace(c, f"[^{java_cls}]", ""))
+        cols.append(
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(
+                F.round(cnt.cast("double") / total.cast("double"), 6)
+            )
+            .alias(f"frac_{name}")
+        )
+    return df.select(*cols)
+
+
+def oracle_script_ratios_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`script_ratios` (RE2 \\x{..} classes)."""
+    legs = ", ".join(
+        f"CASE WHEN LENGTH(COALESCE(text,'')) = 0 THEN 0.0 "
+        f"ELSE ROUND(CAST(LENGTH(regexp_replace(COALESCE(text,''), "
+        f"'[^{re2_cls}]', '', 'g')) AS DOUBLE) "
+        f"/ LENGTH(COALESCE(text,'')), 6) END AS frac_{name}"
+        for name, _, re2_cls in SCRIPT_CLASSES
+    )
+    return f"SELECT doc_id, {legs} FROM {src}"
+
+
+def oracle_c4_line_stats_sql(
+    src: str = "documents", min_words: int = 3
+) -> str:
+    """DuckDB twin of :func:`c4_line_stats` (list_filter lambdas)."""
+    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    phrases = " AND ".join(
+        f"lower(l) NOT LIKE '%{p}%'" for p in C4_BAD_PHRASES
+    )
+    keep = (
+        f"TRIM(l) <> '' "
+        f"AND RIGHT(RTRIM(l), 1) IN ({terms}) "
+        f"AND LEN(regexp_split_to_array(TRIM(l), '\\s+')) >= {min_words} "
+        f"AND {phrases}"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(LEN(lines) AS BIGINT) AS c4_n_lines,
+       CAST(LEN(kept) AS BIGINT) AS c4_n_kept,
+       CASE WHEN tot_chars = 0 THEN 0.0
+            ELSE ROUND(CAST(kept_chars AS DOUBLE) / tot_chars, 6)
+       END AS c4_kept_char_frac,
+       -- array_to_string of an empty list is NULL in DuckDB, '' in
+       -- Spark's array_join
+       CAST(LENGTH(COALESCE(array_to_string(kept, chr(10)), ''))
+            AS BIGINT) AS c4_clean_len
+FROM (
+    SELECT doc_id, lines, kept,
+           -- list_sum of an EMPTY list is NULL in DuckDB; Spark's
+           -- aggregate(..., 0, +) yields 0 — coalesce to match
+           COALESCE(list_sum(list_transform(lines, l -> LENGTH(l))), 0)
+               AS tot_chars,
+           COALESCE(list_sum(list_transform(kept, l -> LENGTH(l))), 0)
+               AS kept_chars
+    FROM (
+        SELECT doc_id,
+               string_split(COALESCE(text, ''), chr(10)) AS lines,
+               list_filter(string_split(COALESCE(text, ''), chr(10)),
+                           l -> {keep}) AS kept
+        FROM {src}
+    )
+)
+"""

@@ -424,3 +424,53 @@ def test_strip_diacritics(spark):
     assert got[1] == "cafe" and got[2] == "cafe"
     assert got[3] == "straße ø"
     assert got[4] is None
+
+
+def test_c4_line_stats_keep_rules(spark):
+    from etl_extract_transform_load_spark.scale.text import (
+        c4_clean_text,
+        c4_line_stats,
+    )
+
+    rows = [
+        # keep: terminal punct + >=3 words; drop: short / no punct /
+        # blocklist phrase (case-insensitive)
+        (1, "A good sentence here.\nok.\nNo terminal punct\n"
+            "Another fine line!\nLOREM IPSUM filler text here.\n"
+            "All about Javascript code."),
+        (2, None),
+        (3, "   \n\t\n"),
+        (4, 'Quoted line ends well."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_stats(df).collect()}
+    assert (got[1].c4_n_lines, got[1].c4_n_kept) == (6, 2)
+    assert got[2].c4_n_lines == 1 and got[2].c4_n_kept == 0
+    assert got[2].c4_kept_char_frac == 0.0 and got[2].c4_clean_len == 0
+    assert got[3].c4_n_kept == 0
+    assert got[4].c4_n_kept == 1  # quote counts as terminal
+    cleaned = {
+        r.doc_id: r.c4_text for r in c4_clean_text(df).collect()
+    }
+    assert cleaned[1] == "A good sentence here.\nAnother fine line!"
+    assert cleaned[2] == "" and cleaned[3] == ""
+
+
+def test_script_ratios_classes_and_empty(spark):
+    from etl_extract_transform_load_spark.scale.text import script_ratios
+
+    rows = [
+        (1, "abcd"),              # pure latin
+        (2, "Привет"),            # pure cyrillic
+        (3, "ab12"),              # half latin, half digit
+        (4, ""),
+        (5, None),
+        (6, "αβ你好"),            # greek + han
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_ratios(df).collect()}
+    assert got[1].frac_latin == 1.0 and got[1].frac_cyrillic == 0.0
+    assert got[2].frac_cyrillic == 1.0
+    assert got[3].frac_latin == 0.5 and got[3].frac_digit == 0.5
+    assert got[4].frac_latin == 0.0 and got[5].frac_latin == 0.0
+    assert got[6].frac_greek == 0.5 and got[6].frac_han == 0.5

@@ -282,6 +282,171 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    index,
+    enc: DataFrame,
+    queries: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition — coarse
+    route each query to its ``nprobe`` nearest IVF clusters, then
+    ADC-score ONLY the PQ codes of vectors assigned to those clusters.
+    Candidate fan-out is Σ_q |probed clusters of q| code rows (8 bytes
+    each), never |Q| × corpus and never a float vector.
+
+    Routing runs driver-side over the already-bounded query set (the
+    LUT construction collects it anyway — same bound, zero extra
+    jobs); scoring is the :func:`pq_adc_topk` kernel restricted by a
+    broadcast (query, cluster) route join. Ties (dist ASC, id ASC),
+    distances rounded 6 dp."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from etl_extract_transform_load_spark.scale.similarity import (
+        _collect_rows_bounded,
+        _seq_dot,
+    )
+
+    if not codebook:
+        raise ValueError("ivfpq_topk: empty codebook")
+    spark = queries.sparkSession
+    q_rows = _collect_rows_bounded(
+        queries.filter(F.col(vec_col).isNotNull()),
+        [query_id_col, vec_col],
+        max_queries,
+        "ivfpq_topk",
+        "sharded query batches",
+    )
+    empty_schema = (
+        f"{query_id_col} long, {id_col} long, adc_dist double, rank int"
+    )
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
+
+    # driver-side coarse routing: nprobe nearest centroids by cosine
+    # (6-dp rounds, ties toward the smaller cluster id — the exact
+    # ivf_topk routing contract)
+    cents = [
+        (int(c), [float(x) for x in v], math.sqrt(_seq_dot(v, v)))
+        for c, v in index.centroids
+    ]
+    cents = [c for c in cents if c[2] > 0]
+    if not cents:
+        return spark.createDataFrame([], empty_schema)
+    route_pairs = []
+    usable_q = []
+    for qid, vec in q_rows:
+        v = [float(x) for x in vec]
+        qn = math.sqrt(_seq_dot(v, v))
+        if qn == 0:
+            continue
+        usable_q.append((qid, vec))
+        scored = sorted(
+            (
+                (-round(_seq_dot(v, cv) / (qn * cn), 6), cl)
+                for cl, cv, cn in cents
+            )
+        )
+        route_pairs.extend(
+            (int(qid), cl) for _, cl in scored[:nprobe]
+        )
+    if not route_pairs:
+        return spark.createDataFrame([], empty_schema)
+    routes = F.broadcast(
+        spark.createDataFrame(route_pairs, "__qid long, cluster int")
+    )
+
+    # LUT over the usable queries only
+    subspaces = sorted({s for s, _, _ in codebook})
+    n_sub = len(subspaces)
+    codes_sorted = sorted({c for _, c, _ in codebook})
+    code_index = {c: i for i, c in enumerate(codes_sorted)}
+    d_sub = len(codebook[0][2])
+    cent_m = np.zeros((n_sub, len(codes_sorted), d_sub), np.float64)
+    for s, c, v in codebook:
+        cent_m[s, code_index[c]] = v
+    qids = np.array([q for q, _ in usable_q], dtype=np.int64)
+    qv = np.array([list(v) for _, v in usable_q], dtype=np.float64)
+    lut = np.zeros((len(qids), n_sub, len(codes_sorted)), np.float64)
+    for s in range(n_sub):
+        qs = qv[:, s * d_sub : (s + 1) * d_sub]
+        diff = qs[:, None, :] - cent_m[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    wide = enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "code"))),
+            lambda st: st["code"],
+        ).alias("__codes")
+    )
+    cand = (
+        index.assigned.select(F.col(id_col), "cluster")
+        .join(wide, id_col)
+        .join(routes, "cluster")
+        .select(
+            F.col("__qid"), F.col(id_col).alias("__vid"), "__codes"
+        )
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
+            if codes.shape[1] != n_sub:
+                raise ValueError(
+                    f"ivfpq_topk: candidate has {codes.shape[1]} codes, "
+                    f"codebook has {n_sub} subspaces"
+                )
+            idx = np.vectorize(code_index.get)(codes)
+            qrow = pdf["__qid"].map(qpos).to_numpy()
+            # per-row gather: dist = Σ_s LUT[qrow, s, code_s]
+            dists = np.zeros(len(pdf), np.float64)
+            for s in range(n_sub):
+                dists += lut[qrow, s, idx[:, s]]
+            out = pd.DataFrame(
+                {
+                    query_id_col: pdf["__qid"].to_numpy(),
+                    id_col: pdf["__vid"].to_numpy(),
+                    "adc_dist": np.round(dists, 6),
+                }
+            )
+            # local top-k per query bounds the window input
+            out = (
+                out.sort_values(
+                    ["adc_dist", id_col], kind="mergesort"
+                )
+                .groupby(query_id_col, sort=False)
+                .head(k)
+            )
+            yield out
+
+    local = cand.mapInPandas(
+        run, schema=f"{query_id_col} long, {id_col} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def adc_distance(
     query: list[float],
     codes: dict[int, int],

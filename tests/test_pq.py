@@ -172,6 +172,69 @@ def test_adc_topk_local_topk_is_globally_correct_under_partitioning(spark):
     assert a == b and len(a) == 12
 
 
+def test_ivfpq_matches_flat_adc_at_full_probe(spark):
+    """nprobe = #clusters makes every candidate reachable → IVF-PQ
+    must equal the flat ADC ranking row for row."""
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+    )
+    from etl_extract_transform_load_spark.scale.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = build_ivf_index_deterministic(emb)
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = [
+        tuple(r)
+        for r in pq_adc_topk(enc, queries, cb, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    ivf = [
+        tuple(r)
+        for r in ivfpq_topk(
+            idx, enc, queries, cb, k=5, nprobe=len(idx.centroids)
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert ivf == flat and len(ivf) == 20
+
+
+def test_ivfpq_narrow_probe_stays_in_probed_clusters(spark):
+    from etl_extract_transform_load_spark.scale.ivf import (
+        build_ivf_index_deterministic,
+    )
+    from etl_extract_transform_load_spark.scale.pq import ivfpq_topk
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = build_ivf_index_deterministic(emb)
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(idx, enc, queries, cb, k=3, nprobe=1).collect()
+    assert 0 < len(out) <= 6
+    # every returned candidate must live in the single probed cluster
+    assigned = {r.vec_id: r.cluster for r in idx.assigned.collect()}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(assigned[r.vec_id])
+    for clusters in by_q.values():
+        assert len(clusters) == 1
+
+
 def test_validation_errors(spark):
     vecs = _emb(spark, [(1, [1.0, 2.0], 0)], 2)
     with pytest.raises(ValueError, match="not divisible"):

@@ -75,14 +75,25 @@ def hard_negatives(
             "__aid",
         )
     )
-    v = _vectors_with_norm(
-        vectors.repartition(parallelism), id_col, vec_col, dim,
-        "__vid", "__v", "__vn",
-    ).join(
-        vectors.select(
-            F.col(id_col).alias("__vid"), F.col(label_col).alias("__vl")
-        ),
-        "__vid",
+    # label carried through the projection — joining it back on the id
+    # would shuffle the corpus against itself just to recover a column
+    # it already had. Same norm expression/drop contract as
+    # _vectors_with_norm (which can't carry extra columns).
+    from etl_extract_transform_load_spark.scale.similarity import norm
+
+    v = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .repartition(parallelism)
+        .select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).alias("__vl"),
+        )
+        .withColumn(
+            "__vn",
+            norm("__v", dim) if dim is not None else norm(F.col("__v"), dim),
+        )
+        .filter(F.col("__vn") > 0)
     )
     scored = v.join(
         a,

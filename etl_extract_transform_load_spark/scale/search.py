@@ -116,9 +116,10 @@ def bm25_topk(
         .groupBy("token", id_col)
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = hits.groupBy("token").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    # hits is one row per (token, doc) by construction, so document
+    # frequency is a plain count — COUNT(DISTINCT) would re-expand to
+    # a two-phase aggregate for the same value
+    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         hits.join(F.broadcast(dfreq), "token")

@@ -901,11 +901,28 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("double").alias("tfidf"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+    # sixth branch: hashing-trick TF-IDF features (vocabulary-free,
+    # bounded state at any corpus size) — tf rides n_occurrences, the
+    # hashed feature id rides doc_freq
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        hashed_tfidf,
+    )
+
+    hashed = hashed_tfidf(docs).select(
+        F.lit("hashfeat").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("tf").cast("long").alias("n_occurrences"),
+        F.col("feature").cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tfidf").cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
     return (
         vocab.unionByName(tfidf)
         .unionByName(oov)
         .unionByName(heavy)
         .unionByName(bm25)
+        .unionByName(hashed)
     )
 
 
@@ -948,6 +965,14 @@ SELECT doc_id, score,
            AS rnk
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _oracle_hashed_tfidf() -> str:
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        oracle_hashed_tfidf_sql,
+    )
+
+    return oracle_hashed_tfidf_sql()
 
 
 def _oracle_vocab_tfidf() -> str:
@@ -1017,6 +1042,11 @@ UNION ALL
 SELECT 'bm25', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
        CAST(doc_id AS BIGINT), CAST(score AS DOUBLE), CAST(rnk AS BIGINT)
 FROM ({_oracle_bm25()})
+UNION ALL
+SELECT 'hashfeat', NULL::VARCHAR, CAST(tf AS BIGINT),
+       CAST(feature AS BIGINT), CAST(doc_id AS BIGINT),
+       CAST(tfidf AS DOUBLE), NULL::BIGINT
+FROM ({_oracle_hashed_tfidf()})
 """
 
 

@@ -1,0 +1,166 @@
+"""Hashing-trick text vectorization: documents → fixed-width TF /
+TF-IDF feature vectors with NO vocabulary table.
+
+The hashing trick (Weinberger et al. 2009; sklearn HashingVectorizer,
+Vowpal Wabbit) maps each token to ``hash(token) mod n_features`` and
+accumulates counts — the feature space is fixed up front, so the
+operator is a pure one-pass aggregation with bounded state at ANY
+corpus size: no vocabulary build, no second pass, no driver-side
+dictionary. Collisions are the accepted trade (rare at sensible
+widths, and downstream linear models absorb them).
+
+This is the bridge from the text tier to the vector tier: the dense
+form feeds the existing k-means / similarity / PCA operators directly
+— text clustering with zero external models.
+
+Engine-portable by construction: the token hash is the repo's
+polynomial fingerprint fold (``h = (h·31 + codepoint) mod 1e9+7`` —
+``scale.text.fingerprint``'s per-document form, applied per token),
+replicated in DuckDB via ``list_reduce`` with a prepended zero seed
+(the fold including the first step is then bit-identical; parity
+pinned in tests and the contract query). TF-IDF uses the house
+formula ``(cnt / doc_tokens) · ln((N+1)/(df+1))``, 6-dp rounded.
+
+Scale shape: tokenize → explode → per-token char fold (codegen'd
+higher-order aggregate, scan stage) → ONE shuffle on
+(doc, feature) with map-side combine. The feature-df table is
+``n_features`` rows — broadcast. Dense assembly is a per-doc map
+build (second shuffle on doc only for the dense form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    lower_simple,
+    tokens,
+)
+
+DEFAULT_N_FEATURES = 64
+
+
+def token_feature_sql(tok_ref: str, n_features: int) -> str:
+    """The token→feature SQL expression (Spark dialect): polynomial
+    char fold mod ``FINGERPRINT_MOD``, then mod ``n_features``."""
+    return (
+        f"CAST(aggregate(split({tok_ref}, ''), CAST(0 AS BIGINT), "
+        f"(a, ch) -> (a * {FINGERPRINT_BASE} + ascii(ch)) "
+        f"% {FINGERPRINT_MOD}) % {n_features} AS INT)"
+    )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    n_features: int = DEFAULT_N_FEATURES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, feature, tf, tfidf): long-form hashed features per
+    document. Documents with no tokens (empty/NULL text) emit no
+    rows — the same drop the vocabulary TF-IDF applies. ``tfidf`` is
+    6-dp rounded before any downstream ranking, the cross-engine
+    determinism rule every scored operator here follows."""
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    n_docs = docs.count()
+    toks = tokens(lower_simple(F.coalesce(F.col(text_col), F.lit(""))))
+    tok = docs.select(
+        F.col(id_col), F.explode(toks).alias("__tok")
+    ).select(
+        id_col,
+        F.expr(token_feature_sql("__tok", n_features)).alias("feature"),
+    )
+    tf = tok.groupBy(id_col, "feature").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("__n_toks"))
+    dfreq = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "feature")
+        .select(
+            id_col,
+            "feature",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                (F.col("tf").cast("double") / F.col("__n_toks").cast("double"))
+                * F.log(
+                    (F.lit(float(n_docs)) + F.lit(1.0))
+                    / (F.col("__df").cast("double") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def hashed_dense(
+    docs: DataFrame,
+    n_features: int = DEFAULT_N_FEATURES,
+    value: str = "tfidf",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "features",
+) -> DataFrame:
+    """(id, features array<double>[n_features]): the dense form that
+    plugs straight into the vector tier (k-means, cosine similarity,
+    PCA — pass ``vec_col=out_col, dim=n_features``). Every input
+    document appears; token-less documents get the zero vector."""
+    if value not in ("tf", "tfidf"):
+        raise ValueError(f"value must be 'tf' or 'tfidf', got {value!r}")
+    long = hashed_tfidf(docs, n_features, text_col, id_col)
+    maps = long.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("feature"), F.col(value).cast("double"))
+            )
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i), F.lit(0.0)),
+    )
+    return (
+        docs.select(id_col)
+        .join(maps, id_col, "left")
+        .select(F.col(id_col), dense.alias(out_col))
+    )
+
+
+def oracle_hashed_tfidf_sql(
+    n_features: int = DEFAULT_N_FEATURES, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`hashed_tfidf` — the char fold seeded with
+    a prepended 0 so list_reduce's no-initial-value fold matches
+    Spark's aggregate(…, 0, …) step for step."""
+    ltoks = """
+    CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+    END"""
+    return f"""
+WITH base AS (SELECT doc_id, {ltoks} AS ltoks FROM {src}),
+tok AS (SELECT doc_id, UNNEST(ltoks) AS token FROM base),
+feat AS (
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_split_to_array(token, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (a, b) -> (a * {FINGERPRINT_BASE} + b) % {FINGERPRINT_MOD})
+             % {n_features} AS INT) AS feature
+    FROM tok
+),
+tf AS (SELECT doc_id, feature, COUNT(*) AS tf
+       FROM feat GROUP BY doc_id, feature),
+dl AS (SELECT doc_id, SUM(tf) AS n_toks FROM tf GROUP BY doc_id),
+dfq AS (SELECT feature, COUNT(*) AS df_f FROM tf GROUP BY feature),
+nn AS (SELECT COUNT(*) AS n_docs FROM {src})
+SELECT tf.doc_id, tf.feature, CAST(tf AS BIGINT) AS tf,
+       ROUND((CAST(tf AS DOUBLE) / CAST(n_toks AS DOUBLE))
+             * LN((n_docs + 1.0) / (df_f + 1.0)), 6) AS tfidf
+FROM tf JOIN dl USING (doc_id) JOIN dfq USING (feature), nn
+"""

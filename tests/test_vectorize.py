@@ -1,0 +1,117 @@
+"""Hashing-trick vectorization (scale/vectorize.py): feature mapping,
+TF-IDF math, dense assembly, zero-vector contract, determinism, and
+plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.vectorize import (
+    hashed_dense,
+    hashed_tfidf,
+    token_feature_sql,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _feat(tok: str, n: int = 64) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h % n
+
+
+def test_feature_expr_matches_python_twin(spark):
+    toks = ["hello", "a", "zz top", "123", "x" * 40]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.f
+        for r in df.select(
+            "tok", F.expr(token_feature_sql("tok", 64)).alias("f")
+        ).collect()
+    }
+    assert got == {t: _feat(t) for t in toks}
+
+
+def test_hashed_tfidf_values_and_drop_contract(spark):
+    docs = _docs(
+        spark,
+        [(1, "cat cat dog"), (2, "dog"), (3, ""), (4, None)],
+    )
+    rows = {
+        (r.doc_id, r.feature): (r.tf, r.tfidf)
+        for r in hashed_tfidf(docs, n_features=64).collect()
+    }
+    fc, fd = _feat("cat"), _feat("dog")
+    assert set(rows) == {(1, fc), (1, fd), (2, fd)}
+    # N=4 docs; df(cat-feature)=1, df(dog-feature)=2
+    assert rows[(1, fc)][0] == 2
+    assert rows[(1, fc)][1] == pytest.approx(
+        round((2 / 3) * math.log(5 / 2), 6)
+    )
+    assert rows[(2, fd)][1] == pytest.approx(
+        round(1.0 * math.log(5 / 3), 6)
+    )
+
+
+def test_hashed_dense_zero_vector_and_feed_kmeans(spark):
+    docs = _docs(
+        spark, [(1, "alpha beta"), (2, "alpha"), (3, None)]
+    )
+    dense = hashed_dense(docs, n_features=16, value="tf")
+    got = {r.doc_id: r.features for r in dense.collect()}
+    assert len(got) == 3 and all(len(v) == 16 for v in got.values())
+    assert got[3] == [0.0] * 16  # token-less doc → zero vector
+    assert got[1][_feat("alpha", 16)] == 1.0
+    # the dense form must feed the vector tier directly
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        label_centroids,
+    )
+
+    labeled = dense.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    cents = label_centroids(
+        labeled, label_col="label", vec_col="features", dim=16
+    ).collect()
+    assert {r.label for r in cents} <= {0, 1} and len(cents) >= 1
+
+
+def test_deterministic_across_partitionings(spark):
+    import random
+
+    rng = random.Random(2)
+    words = ["red", "green", "blue", "mauve", "teal", "cyan"]
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(rng.choices(words, k=rng.randint(1, 9))))
+            for i in range(60)
+        ],
+    )
+    a = sorted(tuple(r) for r in hashed_tfidf(docs, 32).collect())
+    b = sorted(
+        tuple(r) for r in hashed_tfidf(docs.repartition(11), 32).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_validation_and_plan(spark):
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="n_features"):
+        hashed_tfidf(docs, 0)
+    with pytest.raises(ValueError, match="value must be"):
+        hashed_dense(docs, value="idf")
+    df = hashed_tfidf(docs, 64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the n_features-row df table

@@ -1651,6 +1651,15 @@ def decode_gif_frames(buf: bytes) -> np.ndarray:
     underlying canvas untouched."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _decode_gif_frames(buf)
+    except (IndexError, struct.error) as e:
+        # truncated/corrupt container reads past the buffer — surface
+        # the codec-family error type, not a raw indexing error
+        raise ValueError(f"GIF: truncated or corrupt stream: {e}") from e
+
+
+def _decode_gif_frames(buf: bytes) -> np.ndarray:
     sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
     gct = None

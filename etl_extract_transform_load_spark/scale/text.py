@@ -514,10 +514,13 @@ C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
 
 def _c4_keep_sql(line: str, min_words: int) -> str:
     """The keep predicate for one line as a SQL boolean (shared shape
-    between the Spark lambda and the DuckDB list_filter twin)."""
-    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    between the Spark lambda and the DuckDB list_filter twin).
+    Phrase/terminal constants are quote-escaped — a blocklist entry
+    containing ``'`` must not splice into the lambda SQL."""
+    terms = ", ".join("'{}'".format(t.replace("'", "''")) for t in C4_TERMINALS)
     phrases = " AND ".join(
-        f"lower({line}) NOT LIKE '%{p}%'" for p in C4_BAD_PHRASES
+        "lower({}) NOT LIKE '%{}%'".format(line, p.replace("'", "''"))
+        for p in C4_BAD_PHRASES
     )
     return (
         f"trim({line}) <> '' "
@@ -631,9 +634,10 @@ def oracle_c4_line_stats_sql(
     src: str = "documents", min_words: int = 3
 ) -> str:
     """DuckDB twin of :func:`c4_line_stats` (list_filter lambdas)."""
-    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    terms = ", ".join("'{}'".format(t.replace("'", "''")) for t in C4_TERMINALS)
     phrases = " AND ".join(
-        f"lower(l) NOT LIKE '%{p}%'" for p in C4_BAD_PHRASES
+        "lower(l) NOT LIKE '%{}%'".format(p.replace("'", "''"))
+        for p in C4_BAD_PHRASES
     )
     keep = (
         f"TRIM(l) <> '' "

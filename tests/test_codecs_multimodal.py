@@ -808,3 +808,34 @@ def test_image_features_and_frames_on_gif(spark):
     assert [r.frame_idx for r in sampled] == [0, 2]
     f2 = codecs.decode_pnm(bytes(sampled[1].frame))
     assert (f2 == pal[frames[2]]).all()
+
+
+def test_gif_truncation_raises_valueerror_at_any_cut():
+    pal = np.stack([np.arange(8)] * 3, 1).astype(np.uint8)
+    buf = codecs.encode_gif(
+        np.arange(40, dtype=np.uint8).reshape(5, 8) % 8, pal
+    )
+    for cut in (7, 12, 14, len(buf) // 2, len(buf) - 2):
+        with pytest.raises(ValueError):
+            codecs.decode_gif_frames(buf[:cut])
+
+
+def test_gif_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        k=st.integers(2, 32),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, k, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (k, 3)).astype(np.uint8)
+        frame = rng.integers(0, k, (h, w)).astype(np.uint8)
+        dec = codecs.decode_gif(codecs.encode_gif(frame, pal))
+        assert (dec == pal[frame]).all()
+
+    prop()

@@ -903,12 +903,16 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sixth branch: hashing-trick TF-IDF features (vocabulary-free,
     # bounded state at any corpus size) — tf rides n_occurrences, the
-    # hashed feature id rides doc_freq
+    # hashed feature id rides doc_freq. Checkpointed: the doccluster
+    # branch reads the same long-form features.
     from etl_extract_transform_load_spark.scale.vectorize import (
         hashed_tfidf,
+        sparse_cosine_assign,
+        sparse_label_centroids,
     )
 
-    hashed = hashed_tfidf(docs).select(
+    hf = hashed_tfidf(docs).localCheckpoint()
+    hashed = hf.select(
         F.lit("hashfeat").alias("part"),
         F.lit(None).cast("string").alias("token"),
         F.col("tf").cast("long").alias("n_occurrences"),
@@ -917,12 +921,29 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
+    # seventh branch: end-to-end text clustering in sparse relational
+    # algebra — lang-seeded centroids over the hashed features, cosine
+    # assignment via join+decimal-sum (no dense vectors, no UDFs); the
+    # assigned label rides token, its cosine rides tfidf
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    cluster = sparse_cosine_assign(
+        hf, sparse_label_centroids(hf, labels)
+    ).select(
+        F.lit("doccluster").alias("part"),
+        F.col("assigned_label").cast("string").alias("token"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cos_sim").cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
     return (
         vocab.unionByName(tfidf)
         .unionByName(oov)
         .unionByName(heavy)
         .unionByName(bm25)
         .unionByName(hashed)
+        .unionByName(cluster)
     )
 
 
@@ -973,6 +994,14 @@ def _oracle_hashed_tfidf() -> str:
     )
 
     return oracle_hashed_tfidf_sql()
+
+
+def _oracle_doc_cluster() -> str:
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        oracle_doc_cluster_sql,
+    )
+
+    return oracle_doc_cluster_sql()
 
 
 def _oracle_vocab_tfidf() -> str:
@@ -1047,6 +1076,11 @@ SELECT 'hashfeat', NULL::VARCHAR, CAST(tf AS BIGINT),
        CAST(feature AS BIGINT), CAST(doc_id AS BIGINT),
        CAST(tfidf AS DOUBLE), NULL::BIGINT
 FROM ({_oracle_hashed_tfidf()})
+UNION ALL
+SELECT 'doccluster', CAST(assigned_label AS VARCHAR), NULL::BIGINT,
+       NULL::BIGINT, CAST(doc_id AS BIGINT), CAST(cos_sim AS DOUBLE),
+       NULL::BIGINT
+FROM ({_oracle_doc_cluster()})
 """
 
 

@@ -164,3 +164,178 @@ SELECT tf.doc_id, tf.feature, CAST(tf AS BIGINT) AS tf,
              * LN((n_docs + 1.0) / (df_f + 1.0)), 6) AS tfidf
 FROM tf JOIN dl USING (doc_id) JOIN dfq USING (feature), nn
 """
+
+
+def sparse_label_centroids(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    feature_col: str = "feature",
+    value_col: str = "tfidf",
+) -> DataFrame:
+    """(label, feature, cvalue): per-label centroid of the hashed
+    feature vectors, in SPARSE long form — the mean over member
+    documents with absent features counting as 0, computed as
+    decimal-exact SUM(value)/|members| (rounded 6 dp) without ever
+    assembling a dense vector. Documents with no features (empty
+    text) are excluded from numerator AND denominator — the
+    zero-norm drop contract of the dense centroid family
+    (``label_centroids``): a vector that can't be cosine-assigned
+    must not pull means.
+
+    One aggregation for member counts (|labels| rows, broadcast
+    back), one for feature sums — both combine map-side."""
+    members = feats.select(id_col).distinct().join(labels, id_col)
+    n_by_label = members.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    sums = (
+        feats.join(labels, id_col)
+        .groupBy(label_col, feature_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__s")
+        )
+    )
+    return sums.join(F.broadcast(n_by_label), label_col).select(
+        label_col,
+        feature_col,
+        F.round(
+            F.col("__s").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("cvalue"),
+    )
+
+
+def sparse_cosine_assign(
+    feats: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    feature_col: str = "feature",
+    value_col: str = "tfidf",
+    cvalue_col: str = "cvalue",
+) -> DataFrame:
+    """(id, assigned_label, cos_sim): nearest centroid by cosine, all
+    in sparse relational algebra — the dot product is a join on the
+    feature key + a decimal-exact sum of per-feature products, norms
+    are per-side sums of squares, and the argmax is a rank window
+    (ties → smallest label). No dense vectors, no UDFs: at 100 TB
+    this is two aggregations and a |labels|-wide fan-out join, the
+    shape sparse×small-dense scoring should take.
+
+    Per-feature products are decimal-cast BEFORE summation, so the
+    aggregate is order-free and engine-portable; cosine rounds to
+    6 dp before ranking. Zero-norm sides drop out (the cosine-family
+    contract)."""
+    dnorm = (
+        feats.groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col(value_col) * F.col(value_col)).cast("decimal(38,12)")
+            ).alias("__nn")
+        )
+        .select(
+            id_col, F.sqrt(F.col("__nn").cast("double")).alias("__dn")
+        )
+        .filter(F.col("__dn") > 0)
+    )
+    cnorm = (
+        centroids.groupBy(label_col)
+        .agg(
+            F.sum(
+                (F.col(cvalue_col) * F.col(cvalue_col)).cast("decimal(38,12)")
+            ).alias("__cc")
+        )
+        .select(
+            label_col, F.sqrt(F.col("__cc").cast("double")).alias("__cn")
+        )
+        .filter(F.col("__cn") > 0)
+    )
+    dots = (
+        feats.join(F.broadcast(centroids), feature_col)
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum(
+                (F.col(value_col) * F.col(cvalue_col)).cast("decimal(38,12)")
+            ).alias("__dot")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        dots.join(dnorm, id_col)
+        .join(F.broadcast(cnorm), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(
+                F.col("__dot").cast("double")
+                / (F.col("__dn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.asc(label_col)
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias("assigned_label"),
+            "cos_sim",
+        )
+    )
+
+
+def oracle_doc_cluster_sql(
+    n_features: int = DEFAULT_N_FEATURES, src: str = "documents"
+) -> str:
+    """DuckDB twin of hashed features → lang-seeded sparse centroids →
+    cosine assignment (the doccluster contract branch)."""
+    return f"""
+WITH hf AS ({oracle_hashed_tfidf_sql(n_features, src)}),
+lab AS (SELECT doc_id, lang AS label FROM {src}),
+members AS (
+    SELECT DISTINCT hf.doc_id, lab.label
+    FROM (SELECT DISTINCT doc_id FROM hf) hf JOIN lab USING (doc_id)
+),
+nlab AS (SELECT label, COUNT(*) AS n FROM members GROUP BY label),
+cent AS (
+    SELECT label, feature,
+           ROUND(CAST(SUM(CAST(tfidf AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS cvalue
+    FROM hf JOIN lab USING (doc_id) JOIN nlab USING (label)
+    GROUP BY label, feature, n
+),
+dnorm AS (
+    SELECT doc_id, SQRT(CAST(SUM(CAST(tfidf * tfidf AS DECIMAL(38,12)))
+                             AS DOUBLE)) AS dn
+    FROM hf GROUP BY doc_id HAVING SQRT(CAST(SUM(CAST(tfidf * tfidf
+        AS DECIMAL(38,12))) AS DOUBLE)) > 0
+),
+cnorm AS (
+    SELECT label, SQRT(CAST(SUM(CAST(cvalue * cvalue AS DECIMAL(38,12)))
+                            AS DOUBLE)) AS cn
+    FROM cent GROUP BY label HAVING SQRT(CAST(SUM(CAST(cvalue * cvalue
+        AS DECIMAL(38,12))) AS DOUBLE)) > 0
+),
+dots AS (
+    SELECT hf.doc_id, cent.label,
+           CAST(SUM(CAST(hf.tfidf * cent.cvalue AS DECIMAL(38,12)))
+                AS DOUBLE) AS dot
+    FROM hf JOIN cent USING (feature)
+    GROUP BY hf.doc_id, cent.label
+),
+scored AS (
+    SELECT d.doc_id, d.label,
+           ROUND(d.dot / (dn.dn * cn.cn), 6) AS cos_sim
+    FROM dots d JOIN dnorm dn USING (doc_id) JOIN cnorm cn USING (label)
+)
+SELECT doc_id, label AS assigned_label, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY cos_sim DESC, label ASC) AS r
+      FROM scored)
+WHERE r = 1
+"""

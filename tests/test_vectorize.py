@@ -115,3 +115,57 @@ def test_validation_and_plan(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the n_features-row df table
+
+
+def test_sparse_centroids_and_assignment_semantics(spark):
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        sparse_cosine_assign,
+        sparse_label_centroids,
+    )
+
+    # two docs in label A along feature 0; one doc in B along feature 1;
+    # a query-ish doc (id 4) nearer A; an empty doc excluded from means
+    feats = spark.createDataFrame(
+        [
+            (1, 0, 1, 2.0),
+            (2, 0, 1, 4.0),
+            (3, 1, 1, 3.0),
+            (4, 0, 1, 1.0),
+            (4, 1, 1, 0.1),
+        ],
+        "doc_id long, feature int, tf long, tfidf double",
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (5, "A")],  # 5 has no features
+        "doc_id long, label string",
+    )
+    cents = {
+        (r.label, r.feature): r.cvalue
+        for r in sparse_label_centroids(feats, labels).collect()
+    }
+    # doc 5 (featureless) must NOT dilute A's mean: (2+4)/2, not /3
+    assert cents == {("A", 0): 3.0, ("B", 1): 3.0}
+    cdf = sparse_label_centroids(feats, labels)
+    asg = {
+        r.doc_id: (r.assigned_label, r.cos_sim)
+        for r in sparse_cosine_assign(feats, cdf).collect()
+    }
+    assert asg[1][0] == "A" and asg[1][1] == 1.0
+    assert asg[3][0] == "B"
+    assert asg[4][0] == "A"  # dominated by feature 0
+
+
+def test_sparse_assign_tie_breaks_to_smallest_label(spark):
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        sparse_cosine_assign,
+    )
+
+    feats = spark.createDataFrame(
+        [(1, 0, 1, 5.0)], "doc_id long, feature int, tf long, tfidf double"
+    )
+    cents = spark.createDataFrame(
+        [("B", 0, 2.0), ("A", 0, 4.0)],
+        "label string, feature int, cvalue double",
+    )
+    (r,) = sparse_cosine_assign(feats, cents).collect()
+    assert r.assigned_label == "A" and r.cos_sim == 1.0

@@ -18,6 +18,7 @@ array (challenge2.py:13-14), ``pd.read_csv`` with whole-file inference
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 #: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
@@ -139,3 +140,46 @@ def csv_source(
     elif infer_schema:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def binary_file_source(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Media-corpus ingestion: read raw files as
+    (path, modificationTime, length, content binary) via Spark's
+    ``binaryFile`` format — the entry point that feeds the multimodal
+    tier (``scale.multimodal.decode_image_features`` / frame sampling
+    over the ``content`` column).
+
+    ``glob`` narrows by filename pattern (``pathGlobFilter`` — pushed
+    to the file index, never listed into tasks); ``max_bytes``
+    filters oversized payloads AFTER the scan (the length column is
+    file metadata, so the filter prunes before content IO in the
+    columnar reader). At 100 TB the operative limits are Spark's own:
+    one file per row, so pack small media into larger containers
+    upstream, and partition counts follow
+    ``spark.sql.files.maxPartitionBytes`` like any file scan."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df
+
+
+def text_source(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Line-delimited (or whole-file with ``whole=True``) text source
+    — one ``value`` column, the raw-corpus entry before the cleaning
+    tier. ``line_sep`` overrides the newline delimiter."""
+    # the wholetext *option string* is silently ignored by the text
+    # reader — only the typed keyword argument takes effect
+    return spark.read.text(path, wholetext=whole, lineSep=line_sep)

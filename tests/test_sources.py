@@ -68,3 +68,49 @@ def test_csv_infer_schema_mode(spark, tmp_path):
     p.write_text("a,b\n1,x\n2,y\n")
     df = csv_source(spark, str(p), infer_schema=True)
     assert dict(df.dtypes)["a"] == "int"
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    from etl_extract_transform_load_spark.sources.readers import (
+        binary_file_source,
+    )
+
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale import codecs
+    from etl_extract_transform_load_spark.scale.multimodal import (
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(9)
+    for i in range(3):
+        img = rng.integers(0, 256, (6 + i, 5, 3)).astype(np.uint8)
+        (tmp_path / f"img_{i}.ppm").write_bytes(codecs.encode_ppm(img))
+    (tmp_path / "notes.txt").write_text("not media")
+
+    df = binary_file_source(spark, str(tmp_path), glob="*.ppm")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # the .txt is pruned by the glob
+    media = df.select(
+        F.monotonically_increasing_id().alias("media_id"), "content"
+    )
+    feats = decode_image_features(media, mode="real").collect()
+    assert sorted((f.width, f.height) for f in feats) == [
+        (5, 6), (5, 7), (5, 8)
+    ]
+
+    small = binary_file_source(spark, str(tmp_path), "*.ppm",
+                               max_bytes=6 * 5 * 3 + 20)
+    assert small.count() == 1  # only the smallest image fits
+
+
+def test_text_source_lines_and_whole(spark, tmp_path):
+    from etl_extract_transform_load_spark.sources.readers import text_source
+
+    (tmp_path / "a.txt").write_text("alpha\nbeta\ngamma")
+    lines = text_source(spark, str(tmp_path / "a.txt"))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha", "beta", "gamma"
+    ]
+    whole = text_source(spark, str(tmp_path / "a.txt"), whole=True)
+    assert [r.value for r in whole.collect()] == ["alpha\nbeta\ngamma"]

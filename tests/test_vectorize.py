@@ -169,3 +169,35 @@ def test_sparse_assign_tie_breaks_to_smallest_label(spark):
     )
     (r,) = sparse_cosine_assign(feats, cents).collect()
     assert r.assigned_label == "A" and r.cos_sim == 1.0
+
+
+def test_text_neardup_through_hashed_vectors(spark):
+    """The bridge claim end-to-end: near-duplicate TEXTS become
+    near-duplicate hashed VECTORS, caught by the existing cosine
+    near-dup operator with no model in the loop."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every sunny morning in spring"
+    )
+    near = base + " today"                     # tiny edit → near-dup
+    far = (
+        "completely different subject matter about database engines "
+        "and columnar storage formats for analytics"
+    )
+    docs = _docs(spark, [(1, base), (2, near), (3, far)])
+    vecs = hashed_dense(docs, n_features=32, value="tf").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in neighbor_pairs_above(
+            vecs, threshold=0.8, dim=32
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.95
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)

@@ -779,13 +779,17 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # round-5 legs: C4-style line-filter stats + writing-system
-    # profile — both pure scan-stage projections on the same table
+    # profile (scan-stage projections) + character entropy (one
+    # combine shuffle on (doc, char))
+    from etl_extract_transform_load_spark.scale.text import char_entropy
+
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
         .join(nfc, "doc_id")
         .join(c4_line_stats(docs), "doc_id")
         .join(script_ratios(docs), "doc_id")
+        .join(char_entropy(docs), "doc_id")
     )
 
 
@@ -796,6 +800,7 @@ def _oracle_text_quality() -> str:
     )
     from etl_extract_transform_load_spark.scale.text import (
         oracle_c4_line_stats_sql,
+        oracle_char_entropy_sql,
         oracle_script_ratios_sql,
     )
 
@@ -810,6 +815,7 @@ JOIN (
 ) c USING (doc_id)
 JOIN ({oracle_c4_line_stats_sql()}) d USING (doc_id)
 JOIN ({oracle_script_ratios_sql()}) e USING (doc_id)
+JOIN ({oracle_char_entropy_sql()}) f USING (doc_id)
 """
 
 

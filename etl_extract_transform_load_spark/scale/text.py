@@ -673,3 +673,110 @@ FROM (
     )
 )
 """
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, entropy): character-level Shannon entropy in bits —
+    near-zero for degenerate repetition, ~4.1 for English prose,
+    higher for random/encrypted payloads; with the compression ratio
+    it brackets the gibberish/boilerplate axis of corpus quality.
+
+    Relational form (explode chars → count → -Σ p·log2 p), one
+    combine-enabled shuffle on (doc, char); 6-dp rounded, decimal-
+    exact summation of the per-char terms so the aggregate is
+    order-free. Empty/NULL text → 0.0."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    chars = df.select(
+        F.col(id_col), F.length(c).alias("__n"), F.explode(F.split(c, "")).alias("__ch")
+    ).filter(
+        # splitting '' yields one '' element with __n = 0 — dropping
+        # it both matches the oracle's ch <> '' and keeps the ANSI
+        # division below zero-free (empty docs land on the left-join
+        # 0.0 default instead)
+        F.col("__ch") != ""
+    )
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c"), F.max("__n").alias("__n")
+    )
+    # per-char term rounded to 12 dp then decimal-summed: order-free
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(28,12)")
+    ent = counts.groupBy(id_col).agg(
+        F.round(F.sum(term).cast("double"), 6).alias("entropy")
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy")
+        )
+    )
+
+
+def oracle_char_entropy_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy` (regexp char split; LOG2
+    exists in both engines; same round-then-decimal-sum discipline)."""
+    return f"""
+SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+FROM {src} d LEFT JOIN (
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(
+               -(CAST(c AS DOUBLE) / n) * LOG2(CAST(c AS DOUBLE) / n),
+               12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM (
+        SELECT doc_id, ch, COUNT(*) AS c, MAX(n) AS n
+        FROM (
+            SELECT doc_id,
+                   LENGTH(COALESCE(text, '')) AS n,
+                   UNNEST(regexp_split_to_array(COALESCE(text, ''), ''))
+                       AS ch
+            FROM {src}
+        ) WHERE ch <> ''
+        GROUP BY doc_id, ch
+    )
+    GROUP BY doc_id
+) e USING (doc_id)
+"""
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """(id, raw_len, compressed_len, compression_ratio): zlib-
+    compressed size over raw UTF-8 size — the classic cheap proxy for
+    repetition/boilerplate (highly repetitive text compresses far
+    below prose; random noise compresses above it). Arrow-batched
+    ``mapInPandas`` (zlib is executor-side stdlib; no SQL twin exists,
+    so this operator is pytest-verified). Empty/NULL text → ratio 0."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    import zlib
+
+    id_field = df.schema[id_col]
+    schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, raw_len long, "
+        "compressed_len long, compression_ratio double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                z = len(zlib.compress(b, level)) if b else 0
+                raws.append(len(b))
+                comps.append(z)
+                ratios.append(round(z / len(b), 6) if b else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raws,
+                    "compressed_len": comps,
+                    "compression_ratio": ratios,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -6,6 +6,7 @@ queries `text_repetition_signals` / `pii_redaction` /
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -474,3 +475,54 @@ def test_script_ratios_classes_and_empty(spark):
     assert got[3].frac_latin == 0.5 and got[3].frac_digit == 0.5
     assert got[4].frac_latin == 0.0 and got[5].frac_latin == 0.0
     assert got[6].frac_greek == 0.5 and got[6].frac_han == 0.5
+
+
+def test_char_entropy_known_values(spark):
+    from etl_extract_transform_load_spark.scale.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),        # single symbol → 0 bits
+        (2, "ab"),          # uniform 2 symbols → 1 bit
+        (3, "aabb"),        # still 1 bit
+        (4, ""),            # empty → 0.0 via the left-join default
+        (5, None),
+        (6, "abcd"),        # uniform 4 symbols → 2 bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.entropy for r in char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(1.0)
+    assert got[4] == 0.0 and got[5] == 0.0
+    assert got[6] == pytest.approx(2.0)
+    # sanity band for English-like prose
+    prose = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    (r,) = char_entropy(prose).collect()
+    assert 3.5 < r.entropy < 4.6
+
+
+def test_compression_ratio_discriminates(spark):
+    from etl_extract_transform_load_spark.scale.text import (
+        compression_ratio,
+    )
+
+    import random as _random
+
+    rng = _random.Random(4)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(400))
+    rows = [
+        (1, "spam " * 100),   # highly repetitive → compresses hard
+        (2, noise),           # random → barely compresses
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert got[1].compression_ratio < 0.1
+    assert got[2].compression_ratio > 0.7
+    assert got[3].raw_len == 0 and got[3].compression_ratio == 0.0
+    assert got[4].compression_ratio == 0.0
+    assert got[2].raw_len == 400

@@ -1117,7 +1117,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compression tier. Long form: subspace rides id_b; the code and
     # its squared-L2 distance each take a part ('pqcode'/'pqdist')
     # with the value riding cos_sim.
-    enc = pq_encode_arrow(emb, pq_codebook_rows(emb)).localCheckpoint()
+    cb = pq_codebook_rows(emb)
+    enc = pq_encode_arrow(emb, cb).localCheckpoint()
     pq_codes = enc.select(
         F.lit("pqcode").alias("part"),
         F.col("vec_id").cast("long").alias("id_a"),
@@ -1130,7 +1131,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subspace").cast("long").alias("id_b"),
         F.col("dist").cast("double").alias("cos_sim"),
     )
-    return pairs.unionByName(pq_codes).unionByName(pq_dists)
+    # fourth branch: distributed ADC top-5 for the first 4 vectors as
+    # queries — candidates scored purely from their PQ codes (the
+    # query id rides id_a, the candidate rides id_b, the rounded
+    # asymmetric distance rides cos_sim; rank is implied by the
+    # deterministic (dist, id) order and the k cutoff)
+    from etl_extract_transform_load_spark.scale.pq import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = pq_adc_topk(enc, queries, cb, k=5).select(
+        F.lit("adc").alias("part"),
+        F.col("query_id").cast("long").alias("id_a"),
+        F.col("vec_id").cast("long").alias("id_b"),
+        F.col("adc_dist").cast("double").alias("cos_sim"),
+    )
+    return (
+        pairs.unionByName(pq_codes)
+        .unionByName(pq_dists)
+        .unionByName(adc)
+    )
 
 
 # Formula in lockstep with the Spark plan: dot(a,b) / (‖a‖·‖b‖), every
@@ -1150,6 +1171,27 @@ def _oracle_embedding_neardup(n_sub: int = 8, dim: int = 64) -> str:
         )
         + ", 6) AS dist\nFROM ev e CROSS JOIN cb"
         for s in range(n_sub)
+    )
+    # ADC legs: the same per-subspace chains between the QUERY's
+    # subvector and the candidate's CHOSEN centroid — unrounded (the
+    # kernel rounds only the cross-subspace total)
+    adc_legs = " UNION ALL ".join(
+        f"SELECT q.qid, p.vec_id AS cand, {s} AS subspace,\n       "
+        + " + ".join(
+            f"(q.qv[{s * d_sub + i + 1}] - cb.centroid[{s * d_sub + i + 1}])"
+            f" * (q.qv[{s * d_sub + i + 1}]"
+            f" - cb.centroid[{s * d_sub + i + 1}])"
+            for i in range(d_sub)
+        )
+        + "\n       AS sd\nFROM q CROSS JOIN "
+        f"(SELECT vec_id, code FROM pq WHERE rn = 1 AND subspace = {s}) p "
+        "JOIN cb ON cb.label = p.code"
+        for s in range(n_sub)
+    )
+    # cross-subspace accumulation in ascending-subspace order
+    # (left-assoc chain == the kernel's sequential s-loop)
+    adc_total = " + ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN sd END)" for s in range(n_sub)
     )
     return f"""
 WITH e AS (
@@ -1186,6 +1228,24 @@ UNION ALL
 SELECT 'pqdist', CAST(vec_id AS BIGINT), CAST(subspace AS BIGINT),
        CAST(dist AS DOUBLE)
 FROM pq WHERE rn = 1
+UNION ALL
+SELECT 'adc', CAST(qid AS BIGINT), CAST(cand AS BIGINT),
+       CAST(dist AS DOUBLE)
+FROM (
+    SELECT qid, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, cand ASC) AS rn2
+    FROM (
+        SELECT qid, cand, ROUND({adc_total}, 6) AS dist
+        FROM (
+            WITH q AS (SELECT vec_id AS qid, v AS qv
+                       FROM ev WHERE vec_id < 4)
+            {adc_legs}
+        )
+        GROUP BY qid, cand
+    )
+)
+WHERE rn2 <= 5
 """
 
 

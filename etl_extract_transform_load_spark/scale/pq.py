@@ -253,14 +253,18 @@ def pq_adc_topk(
                 dists += lut[:, s, idx[:, s]]
             dists = np.round(dists, 6)
             kk = min(k, len(ids))
-            # local top-k per query: argpartition then exact ordering
-            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            # local top-k per query, TIE-AWARE: the global order is
+            # (dist ASC, id ASC), and ADC distances tie readily (they
+            # are functions of the candidate's code vector alone), so
+            # a distance-only argpartition could evict a lower-id
+            # candidate at the kth boundary that the global window
+            # would keep. lexsort mirrors the exact global key.
             out_q, out_id, out_d = [], [], []
             for qi in range(len(qids)):
-                cand = part[qi]
+                order = np.lexsort((ids, dists[qi]))[:kk]
                 out_q.extend([qids[qi]] * kk)
-                out_id.extend(ids[cand])
-                out_d.extend(dists[qi, cand])
+                out_id.extend(ids[order])
+                out_d.extend(dists[qi, order])
             yield pd.DataFrame(
                 {
                     query_id_col: out_q,

@@ -254,3 +254,28 @@ def test_encode_plan_is_scan_stage(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan  # codebook rides the closure
     assert "MapInPandas" in plan
+
+
+def test_adc_topk_tie_at_boundary_keeps_smallest_ids(spark):
+    """Candidates with IDENTICAL code vectors tie exactly in ADC; the
+    kth-boundary tie must resolve to the smallest ids even when the
+    tied candidates are split across partitions."""
+    from etl_extract_transform_load_spark.scale.pq import pq_adc_topk
+
+    cb = [(0, 0, [0.0, 0.0]), (0, 1, [10.0, 10.0])]
+    # ten vectors all encoding to code 0 → all ADC-tie for any query
+    rows = [(i, [float(i % 3) * 0.1, 0.0]) for i in range(10, 0, -1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    enc = pq_encode_arrow(emb, cb)
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    out = [
+        (r.vec_id, r.rank)
+        for r in pq_adc_topk(
+            enc.repartition(7), queries, cb, k=4
+        ).orderBy("rank").collect()
+    ]
+    assert out == [(1, 1), (2, 2), (3, 3), (4, 4)]

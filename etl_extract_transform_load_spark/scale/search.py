@@ -168,3 +168,30 @@ def bm25_topk(
             .alias("rnk"),
         )
     )
+
+
+def postings_upsert(
+    existing: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index maintenance for a living corpus: fold a batch of new or
+    UPDATED documents into an existing postings table. Postings of
+    re-ingested doc ids are replaced wholesale (a document's token
+    set changes arbitrarily under edit, so per-token deltas have no
+    advantage), everything else passes through untouched.
+
+    Scale shape: existing postings anti-join the batch's id set
+    (broadcast — a batch is small by definition) + postings built
+    from the batch alone (O(batch) tokenize/aggregate). The existing
+    table contributes no tokenization work and shuffles nothing; in
+    a production loop it is a maintained parquet/bucketed table, and
+    this function's output is the next version to write. Downstream
+    BM25 stats (df, N, avgdl) derive from the merged table per query
+    — they are aggregates of it, never separately maintained state
+    that could drift."""
+    batch_ids = batch.select(id_col).distinct()
+    kept = existing.join(F.broadcast(batch_ids), id_col, "left_anti")
+    fresh = postings(batch, text_col, id_col)
+    return kept.unionByName(fresh)

@@ -8,6 +8,7 @@ import io
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.scale.search import bm25_topk, postings
 
@@ -112,3 +113,54 @@ def test_bm25_plan_broadcasts_small_sides_no_row_udf(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+def test_postings_upsert_replaces_and_appends(spark):
+    from etl_extract_transform_load_spark.scale.search import (
+        postings_upsert,
+    )
+
+    corpus = _docs(spark, [(1, "a b a"), (2, "b c")])
+    idx0 = postings(corpus)
+    # doc 2 edited (loses c, gains a), doc 3 is new
+    batch = _docs(spark, [(2, "a b"), (3, "c c c")])
+    idx1 = postings_upsert(idx0, batch)
+    rows = {
+        (r.token, r.doc_id): (r.tf, r.dl) for r in idx1.collect()
+    }
+    assert rows == {
+        ("a", 1): (2, 3), ("b", 1): (1, 3),          # untouched doc 1
+        ("a", 2): (1, 2), ("b", 2): (1, 2),          # replaced doc 2
+        ("c", 3): (3, 3),                            # new doc 3
+    }
+    # idempotent on re-delivery of the same batch
+    idx2 = postings_upsert(idx1, batch)
+    assert sorted(map(tuple, idx2.collect())) == sorted(
+        map(tuple, idx1.collect())
+    )
+
+
+def test_bm25_over_chunked_corpus_composition(spark):
+    """Retrieval-over-chunks: chunk long documents, index the chunks,
+    BM25-retrieve the chunk whose window actually contains the query
+    terms — the standard RAG retrieval shape from existing pieces."""
+    from etl_extract_transform_load_spark.scale.packing import chunk_documents
+
+    filler = " ".join(f"w{i}" for i in range(120))
+    needle = "quantum entanglement experiments verified today."
+    doc = filler + " " + needle + " " + filler
+    docs = _docs(spark, [(1, doc), (2, filler)])
+    chunks = chunk_documents(docs, max_tokens=64)
+    chunk_docs = chunks.select(
+        # unique retrievable unit id per (doc, chunk)
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = bm25_topk(chunk_docs, ["quantum", "entanglement"], k=3).collect()
+    assert hits, "the needle chunk must be retrieved"
+    top = hits[0]
+    assert top.doc_id // 1000 == 1  # from the needle document
+    text = {
+        r.doc_id: r.text for r in chunk_docs.collect()
+    }[top.doc_id]
+    assert "quantum" in text

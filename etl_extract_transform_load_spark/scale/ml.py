@@ -182,3 +182,116 @@ def predict_linear(
     for i, c in enumerate(feats):
         expr = expr + F.lit(coef[idx + i]) * F.col(f"`{c}`").cast("double")
     return df.withColumn(out_col, expr)
+
+
+def feature_stats(
+    df: DataFrame, cols: Sequence[str]
+) -> dict[str, tuple[float, float, float, float]]:
+    """{col: (mean, stddev_pop, min, max)} in ONE aggregation pass —
+    decimal-exact sums for mean/variance (order-free, the module's
+    carrier discipline), native min/max. NULLs are excluded per
+    column (Spark aggregate semantics). The result is the tiny
+    broadcast payload for :func:`standardize`."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"__n_{c}"),
+            F.sum(x.cast(_DEC)).alias(f"__s_{c}"),
+            F.sum((x * x).cast(_DEC)).alias(f"__ss_{c}"),
+            F.min(x).alias(f"__mn_{c}"),
+            F.max(x).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        n = row[f"__n_{c}"]
+        if not n:
+            out[c] = (0.0, 0.0, 0.0, 0.0)
+            continue
+        s, ss = float(row[f"__s_{c}"]), float(row[f"__ss_{c}"])
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        out[c] = (mean, var ** 0.5, float(row[f"__mn_{c}"]),
+                  float(row[f"__mx_{c}"]))
+    return out
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "zscore",
+    stats: dict | None = None,
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Feature scaling for the model tier: ``zscore`` ((x − μ)/σ) or
+    ``minmax`` ((x − min)/(max − min)), each scaled column appended
+    as ``<col><suffix>`` (6-dp rounded). Stats default to one
+    :func:`feature_stats` pass over ``df`` itself; pass precomputed
+    ``stats`` to apply TRAINING-set scaling to a validation/test
+    frame — the leakage-safe workflow. Zero spread (σ=0 or max=min)
+    maps to 0.0 rather than dividing by zero; NULLs stay NULL.
+    Scoring is pure scan-stage expressions with literal constants."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method: {method!r}")
+    st = stats if stats is not None else feature_stats(df, cols)
+    out = df
+    for c in cols:
+        mean, sd, mn, mx = st[c]
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            scaled = (
+                F.lit(0.0) if sd == 0
+                else (x - F.lit(mean)) / F.lit(sd)
+            )
+        else:
+            scaled = (
+                F.lit(0.0) if mx == mn
+                else (x - F.lit(mn)) / F.lit(mx - mn)
+            )
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNull(), F.lit(None).cast("double")).otherwise(
+                F.round(scaled, 6)
+            ),
+        )
+    return out
+
+
+def one_hot(
+    df: DataFrame,
+    col: str,
+    categories: Sequence[str] | None = None,
+    max_categories: int = 64,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Append 0/1 indicator columns for each category of ``col`` —
+    the categorical leg of the feature matrix. ``categories`` defaults
+    to the DISTINCT values of the column (one aggregation, bounded by
+    ``max_categories`` — more raises rather than silently widening
+    the schema; pass the training set's list to score new data with
+    identical columns, unseen values mapping to all-zeros). NULL
+    category values never match any indicator."""
+    if categories is None:
+        rows = (
+            df.select(col).filter(F.col(col).isNotNull()).distinct()
+            .limit(max_categories + 1).collect()
+        )
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"one_hot: {col!r} has more than {max_categories} "
+                "distinct values — pass categories explicitly or raise "
+                "max_categories"
+            )
+        categories = sorted(r[0] for r in rows)
+    base = prefix if prefix is not None else col
+    out = df
+    for cat in categories:
+        safe = "".join(
+            ch if ch.isalnum() else "_" for ch in str(cat)
+        )
+        out = out.withColumn(
+            f"{base}_{safe}",
+            (F.col(col) == F.lit(cat)).cast("int"),
+        )
+    return out

@@ -136,3 +136,66 @@ def test_multifeature_fit_small_magnitude_features(spark):
     coef = linear_fit(df, ["x"], "y")
     assert coef[0] == pytest.approx(0.001, rel=1e-6)
     assert coef[1] == pytest.approx(2.0, rel=1e-6)
+
+
+def test_feature_stats_and_zscore_minmax(spark):
+    from etl_extract_transform_load_spark.scale.ml import (
+        feature_stats,
+        standardize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 4.0, 10.0), (3, 6.0, 10.0), (4, None, 10.0)],
+        "id long, x double, c double",
+    )
+    st = feature_stats(df, ["x", "c"])
+    assert st["x"][0] == pytest.approx(4.0)
+    assert st["x"][1] == pytest.approx((8 / 3) ** 0.5)
+    assert st["c"][1] == 0.0
+    z = {r.id: r.x_scaled for r in standardize(df, ["x"]).collect()}
+    assert z[2] == 0.0 and z[4] is None
+    assert z[1] == pytest.approx(-z[3])
+    mm = {
+        r.id: r.x_scaled
+        for r in standardize(df, ["x"], method="minmax").collect()
+    }
+    assert (mm[1], mm[2], mm[3]) == (0.0, 0.5, 1.0)
+    # zero-spread column maps to 0.0, not a division error
+    cz = {r.id: r.c_scaled for r in standardize(df, ["c"]).collect()}
+    assert set(cz.values()) == {0.0}
+
+
+def test_standardize_with_training_stats_is_leakage_safe(spark):
+    from etl_extract_transform_load_spark.scale.ml import (
+        feature_stats,
+        standardize,
+    )
+
+    train = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0)], "id long, x double"
+    )
+    test = spark.createDataFrame([(9, 5.0)], "id long, x double")
+    st = feature_stats(train, ["x"])
+    (r,) = standardize(test, ["x"], method="minmax", stats=st).collect()
+    assert r.x_scaled == 0.5  # scaled by TRAIN min/max, not its own
+
+
+def test_one_hot_categories_and_unseen(spark):
+    from etl_extract_transform_load_spark.scale.ml import one_hot
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, None)], "id long, color string"
+    )
+    out = {r.id: (r.color_red, r.color_blue) for r in one_hot(df, "color").collect()}
+    assert out[1] == (1, 0) and out[2] == (0, 1)
+    # NULL category: equality with NULL is NULL, cast(int) keeps NULL
+    # — a NULL row matches NO indicator
+    assert out[3] == (None, None)
+    # scoring new data with the training list: unseen value → zeros
+    new = spark.createDataFrame([(9, "green")], "id long, color string")
+    (r,) = one_hot(new, "color", categories=["blue", "red"]).collect()
+    assert (r.color_blue, r.color_red) == (0, 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="more than"):
+        one_hot(df, "color", max_categories=1)

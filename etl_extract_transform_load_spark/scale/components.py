@@ -231,3 +231,90 @@ def _small_star(directed: DataFrame) -> DataFrame:
         F.col("child"), F.col("m").alias("parent")
     )
     return moved.union(self_edges).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank): PageRank over a directed edge list — the
+    centrality pass of graph-shaped curation (which document in a
+    near-dup cluster is the canonical hub; which domain dominates a
+    link neighborhood).
+
+    Textbook power iteration with dangling-mass redistribution:
+    rank' = (1−d)/N + d·(Σ_in rank/outdeg + dangling_mass/N), so the
+    ranks sum to 1 at every step (the probability interpretation an
+    unnormalized variant silently loses). Each sweep is ONE shuffle
+    (contributions grouped by destination) plus a 1-row dangling
+    aggregate; per-sweep ``localCheckpoint`` caps the plan like
+    ``kmeans_converge``. Convergence = max |Δrank| < tol, checked on
+    the same pass. Ranks round to 10 dp per sweep so the fixpoint is
+    partition-order independent. Self-loops count as ordinary edges;
+    duplicate edges weight double (pre-distinct the input if that is
+    not the intent)."""
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("__deg").isNotNull()).select(
+                    F.col("node").alias(src_col),
+                    (F.col("rank") / F.col("__deg")).alias("__w"),
+                ),
+                src_col,
+            )
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum("__w").alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(float(dangling) / n)
+                    ),
+                    10,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.join(
+                ranks.select("node", F.col("rank").alias("__old")), "node"
+            )
+            .agg(F.max(F.abs(F.col("rank") - F.col("__old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -526,3 +526,53 @@ def test_compression_ratio_discriminates(spark):
     assert got[3].raw_len == 0 and got[3].compression_ratio == 0.0
     assert got[4].compression_ratio == 0.0
     assert got[2].raw_len == 400
+
+
+def test_pagerank_known_graph_and_invariants(spark):
+    from etl_extract_transform_load_spark.scale.components import pagerank
+
+    # star: everyone links to 1; 1 links to 2 — hand-computable
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2)], "src long, dst long"
+    )
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iter=60, tol=1e-8).collect()
+    }
+    assert set(ranks) == {1, 2, 3, 4}
+    total = sum(ranks.values())
+    assert abs(total - 1.0) < 1e-6          # probability mass conserved
+    assert ranks[1] == max(ranks.values())  # the hub dominates
+    assert ranks[2] > ranks[3] == ranks[4]  # 1's endorsement beats leaves
+    # reference fixpoint (power iteration in pure python)
+    import itertools
+
+    nodes = [1, 2, 3, 4]
+    out = {1: [2], 2: [1], 3: [1], 4: [1]}
+    r = {v: 0.25 for v in nodes}
+    for _ in range(300):
+        dang = sum(r[v] for v in nodes if not out.get(v))
+        nr = {}
+        for v in nodes:
+            inc = sum(r[u] / len(out[u]) for u in nodes if v in out.get(u, []))
+            nr[v] = 0.15 / 4 + 0.85 * (inc + dang / 4)
+        r = nr
+    for v in nodes:
+        assert ranks[v] == pytest.approx(r[v], abs=1e-4)
+
+
+def test_pagerank_dangling_and_partition_invariance(spark):
+    from etl_extract_transform_load_spark.scale.components import pagerank
+
+    # 3 is a dangling sink: its mass must recycle, not vanish
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    a = {r.node: r.rank for r in pagerank(edges, max_iter=30).collect()}
+    assert abs(sum(a.values()) - 1.0) < 1e-6
+    assert a[3] > a[2] > a[1]
+    b = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), max_iter=30).collect()
+    }
+    assert a == b  # 10-dp per-sweep rounds pin the fixpoint exactly

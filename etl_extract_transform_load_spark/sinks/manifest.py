@@ -56,14 +56,19 @@ def write_with_manifest(
     path: str,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
     **options: str,
 ) -> dict:
     """Write ``df`` and a ``_manifest.json`` beside it; returns the
     manifest dict. The fingerprint is computed on a READ-BACK of the
     written path (with ``df``'s schema applied, so text formats
     round-trip types), not on the input plan — see module docstring
-    for why."""
+    for why. ``partition_by`` is a real ``partitionBy`` (a previous
+    caller passed it as a generic option, where the writer silently
+    ignored it — an explicit parameter can't be swallowed)."""
     writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation over the documents table —
+the composed pipeline a user of the reference ETL would run here:
+
+    read → quality/language signals → C4 line cleaning →
+    quality gate → exact dedup → MinHash near-dup dedup →
+    train/val/test split → context-window chunking →
+    manifest-verified parquet write
+
+Every stage is an existing verified operator; this script is the
+composition, runnable against any testdata SF:
+
+    python examples/curation_pipeline.py [sf_dir] [out_dir]
+
+(defaults: /root/testdata/sf0.01, /tmp/curation_out). Prints a
+per-stage funnel and verifies the written dataset against its own
+manifest before exiting.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.scale.components import dedup_survivors
+from etl_extract_transform_load_spark.scale.dedup import (
+    exact_dup_clusters,
+    minhash_lsh_pairs,
+)
+from etl_extract_transform_load_spark.scale.packing import chunk_documents
+from etl_extract_transform_load_spark.scale.sampling import hash_split
+from etl_extract_transform_load_spark.scale.text import (
+    c4_clean_text,
+    char_entropy,
+    text_stats,
+)
+from etl_extract_transform_load_spark.sinks.manifest import (
+    read_manifest,
+    verify_against_manifest,
+    write_with_manifest,
+)
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out"
+    spark = get_spark(app_name="curation_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"[1/8] read              {n0:>8} docs   ({sf_dir})")
+
+    # --- signals: quality score, language, entropy ---------------------
+    signals = text_stats(docs).join(char_entropy(docs), "doc_id")
+
+    # --- C4 line cleaning (web-text policy: lines failing the keep
+    # rule are stripped; a corpus without sentence punctuation — like
+    # this synthetic one — keeps its original text, since a transform
+    # that empties a doc carries no signal for it) -----------------------
+    cleaned = c4_clean_text(signals).withColumn(
+        "text",
+        F.when(F.length("c4_text") > 0, F.col("c4_text")).otherwise(
+            F.col("text")
+        ),
+    ).drop("c4_text")
+
+    # --- quality gate: sane quality score and entropy -------------------
+    gated = cleaned.filter(
+        (F.length("text") > 0)
+        & (F.col("quality_score") >= 1.0 / 3.0)
+        & (F.col("entropy") > 1.0)  # drops degenerate repetition
+    )
+    n_gate = gated.count()
+    print(f"[2/8] quality gate      {n_gate:>8} kept   ({n0 - n_gate} dropped)")
+
+    # --- exact dedup (md5 clusters, min-id survivor) --------------------
+    keep_exact = exact_dup_clusters(gated).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact = gated.join(keep_exact, "doc_id")
+    n_exact = exact.count()
+    print(f"[3/8] exact dedup       {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
+
+    # --- near-dup dedup (MinHash LSH pairs → component survivors) -------
+    pairs = minhash_lsh_pairs(exact, threshold=0.5, cache=False)
+    near = dedup_survivors(exact, pairs)
+    n_near = near.count()
+    print(f"[4/8] near-dup dedup    {n_near:>8} kept   ({n_exact - n_near} dropped)")
+
+    # --- deterministic split --------------------------------------------
+    split = hash_split(near, {"train": 0.9, "val": 0.05, "test": 0.05})
+    by_split = {r["split"]: r["n"] for r in
+                split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(f"[5/8] split             {by_split}")
+
+    # --- context-window chunking ----------------------------------------
+    chunks = chunk_documents(split, max_tokens=64).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    n_chunks = chunks.count()
+    print(f"[6/8] chunking          {n_chunks:>8} chunks of <=64 tokens")
+
+    # --- manifest-verified write -----------------------------------------
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_with_manifest(chunks, out_dir, partition_by=["split"])
+    print(f"[7/8] wrote             {out_dir} (partitioned by split)")
+
+    back = spark.read.parquet(out_dir)
+    verify_against_manifest(back, read_manifest(spark, out_dir))
+    print(f"[8/8] manifest verified {back.count():>8} rows round-tripped")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,13 +52,26 @@ def hard_negatives(
     label_col: str = "label",
     anchor_id_col: str = "anchor_id",
     parallelism: int = 64,
+    max_self_anchors: int = 1_000_000,
 ) -> DataFrame:
     """(anchor_id, vec_id, label, cos_sim, rank): the ``k`` most
     cosine-similar OTHER-labeled vectors per anchor. ``anchors``
     defaults to every labeled vector (self-mining); pass a slim
     anchor frame (id, vector, label) to mine for a probe set. The
-    anchor frame is broadcast — bound it like any broadcast side."""
+    anchor frame is broadcast, so the self-mining default is guarded:
+    a corpus beyond ``max_self_anchors`` raises (one metadata-cheap
+    count) instead of silently shipping the whole table to every
+    executor — at that scale mine with :func:`hard_negatives_ivf`,
+    whose fan-out never broadcasts vectors."""
     if anchors is None:
+        n = vectors.count()
+        if n > max_self_anchors:
+            raise ValueError(
+                f"hard_negatives: self-mining over {n} vectors would "
+                f"broadcast the whole corpus (> max_self_anchors="
+                f"{max_self_anchors}). Pass a bounded anchor frame, "
+                "raise the limit explicitly, or use hard_negatives_ivf."
+            )
         anchors = vectors.select(
             F.col(id_col).alias(anchor_id_col), vec_col, label_col
         )

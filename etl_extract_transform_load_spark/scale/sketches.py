@@ -35,7 +35,7 @@ vocabulary itself is the product) and ``F.approx_count_distinct``
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -159,3 +159,34 @@ def frequent_tokens(
         F.explode_outer(tokens(lower_simple(c))).alias("token")
     )
     return heavy_hitters(stream, "token", threshold_frac, capacity, cache)
+
+
+def approx_distinct_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    rsd: float = 0.05,
+) -> DataFrame:
+    """(column, approx_distinct, rsd): HyperLogLog++ cardinalities for
+    many columns in ONE aggregation pass — the constant-memory answer
+    to "how many distinct X" at corpus scale, where exact
+    countDistinct shuffles every distinct value. ``rsd`` is the
+    requested relative standard deviation (Spark sizes the HLL
+    registers from it).
+
+    The sketch VALUE is engine-specific (register layout, hash), so
+    no DuckDB twin exists — accuracy is pytest-pinned against exact
+    counts instead. Pair with ``heavy_hitters`` (Misra-Gries) and the
+    bounded-state quantiles for the full sketch tier."""
+    if not cols:
+        raise ValueError("approx_distinct_report: cols must be non-empty")
+    row = df.agg(
+        *[
+            F.approx_count_distinct(c, rsd=rsd).alias(f"__a_{c}")
+            for c in cols
+        ]
+    ).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(c, int(row[f"__a_{c}"]), float(rsd)) for c in cols],
+        "column string, approx_distinct long, rsd double",
+    )

@@ -126,3 +126,31 @@ def test_skew_report_suggests_salt(spark):
     n, frac, salt = rep[7]
     assert n == 1000 and abs(frac - 0.5) < 1e-6
     assert salt == 50  # 0.5 / 0.01 → shards back under threshold
+
+
+def test_approx_distinct_report_accuracy_and_one_pass(spark):
+    from etl_extract_transform_load_spark.scale.sketches import (
+        approx_distinct_report,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    import pytest as _pt
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rep = {
+        r.column: r.approx_distinct
+        for r in approx_distinct_report(
+            docs, ["doc_id", "lang", "source"]
+        ).collect()
+    }
+    exact = docs.agg(
+        *[
+            F.countDistinct(c).alias(c)
+            for c in ("doc_id", "lang", "source")
+        ]
+    ).collect()[0]
+    for c in ("doc_id", "lang", "source"):
+        assert rep[c] == _pt.approx(exact[c], rel=0.1)
+    with _pt.raises(ValueError, match="non-empty"):
+        approx_distinct_report(docs, [])

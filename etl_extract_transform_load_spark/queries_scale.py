@@ -229,14 +229,63 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = connected_components_star(pairs).select(
         F.lit("star").alias("algo"), "node", "component"
     )
-    return lp.unionByName(star)
+    # third branch: PageRank centrality over the SAME (symmetrized)
+    # near-dup graph — which member of each dup cluster is the hub.
+    # Fixed PAGERANK_SWEEPS collect-free sweeps (tol=0) so the oracle
+    # can unroll the identical recurrence; the 10-dp rank rides the
+    # component slot as round(rank·1e10) — an exact integer.
+    from etl_extract_transform_load_spark.scale.components import pagerank
+
+    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    pr = pagerank(sym, max_iter=PAGERANK_SWEEPS, tol=0.0).select(
+        F.lit("pagerank").alias("algo"),
+        "node",
+        F.round(F.col("rank") * F.lit(1e10))
+        .cast("long")
+        .alias("component"),
+    )
+    return lp.unionByName(star).unionByName(pr)
+
+
+#: Fixed sweep count for the oracle-pinned PageRank branch.
+PAGERANK_SWEEPS = 5
+
+
+def _pagerank_oracle_ctes(sweeps: int = PAGERANK_SWEEPS) -> str:
+    """Unrolled PageRank recurrence over the ``sym`` CTE (DuckDB):
+    r0 = 1/N (10-dp), then per sweep
+    r' = ROUND(0.15/N + 0.85·(Σ_in DECIMAL-sum ROUND(r/deg, 12)
+         + dang/N), 10) — in the symmetrized graph every node has
+    out-edges, so dang = 0, but the term is kept for shape parity."""
+    ctes = [
+        "prn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT a FROM sym))",
+        "prdeg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a)",
+        "pr0 AS (SELECT a AS node, ROUND(1.0 / prn.n, 10) AS rank"
+        " FROM (SELECT DISTINCT a FROM sym) CROSS JOIN prn)",
+    ]
+    for i in range(sweeps):
+        ctes.append(
+            f"pr{i + 1} AS ("
+            f"SELECT s.b AS node, "
+            f"ROUND(0.15 / prn.n + 0.85 * CAST(SUM(CAST("
+            f"ROUND(r.rank / prdeg.d, 12) AS DECIMAL(38,12))) AS DOUBLE),"
+            f" 10) AS rank "
+            f"FROM sym s JOIN pr{i} r ON s.a = r.node "
+            f"JOIN prdeg ON prdeg.node = s.a CROSS JOIN prn "
+            f"GROUP BY s.b, prn.n)"
+        )
+    return ",\n".join(ctes)
 
 
 # Min reachable id via recursive label propagation — the UNION dedups,
 # so the fixpoint is the transitive closure of the pair graph. Both
 # Spark variants (label-prop and star contraction) must match this
 # same fixpoint, so the oracle selects the CTE twice with algo tags.
-ORACLE_COMPONENTS = """
+# The pagerank branch unrolls its fixed-sweep recurrence over the same
+# symmetrized edges.
+ORACLE_COMPONENTS = f"""
 WITH RECURSIVE toks AS (
     SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
     FROM documents
@@ -274,10 +323,15 @@ comp AS (
     SELECT node, MIN(lab) AS component
     FROM reach
     GROUP BY node
-)
+),
+{_pagerank_oracle_ctes()}
 SELECT 'labelprop' AS algo, node, component FROM comp
 UNION ALL
 SELECT 'star' AS algo, node, component FROM comp
+UNION ALL
+SELECT 'pagerank' AS algo, node,
+       CAST(ROUND(rank * 1e10) AS BIGINT) AS component
+FROM pr{PAGERANK_SWEEPS}
 """
 
 

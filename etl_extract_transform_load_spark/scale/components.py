@@ -251,12 +251,18 @@ def pagerank(
     ranks sum to 1 at every step (the probability interpretation an
     unnormalized variant silently loses). Each sweep is ONE shuffle
     (contributions grouped by destination) plus a 1-row dangling
-    aggregate; per-sweep ``localCheckpoint`` caps the plan like
-    ``kmeans_converge``. Convergence = max |Δrank| < tol, checked on
-    the same pass. Ranks round to 10 dp per sweep so the fixpoint is
-    partition-order independent. Self-loops count as ordinary edges;
-    duplicate edges weight double (pre-distinct the input if that is
-    not the intent)."""
+    aggregate that stays IN-PLAN (broadcast cross, no driver
+    collect); per-sweep ``localCheckpoint`` caps the plan like
+    ``kmeans_converge``. Contributions are 12-dp rounded and
+    decimal-summed — order-free exact aggregation — and each sweep's
+    rank rounds to 10 dp, so the trajectory is bit-identical under
+    ANY partitioning and replicable by a sequential engine (the
+    DuckDB oracle unrolls the same recurrence). Convergence = max
+    |Δrank| < tol (one extra action per sweep); ``tol <= 0`` runs
+    exactly ``max_iter`` collect-free sweeps — the oracle-pinned
+    fixed-round mode. Self-loops count as ordinary edges; duplicate
+    edges weight double (pre-distinct the input if that is not the
+    intent)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     nodes = (
@@ -271,28 +277,39 @@ def pagerank(
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0 / n), 10)
+    ).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(max_iter):
         with_deg = ranks.join(outdeg, "node", "left")
-        dangling = (
-            with_deg.filter(F.col("__deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass as a broadcast 1-row frame: ranks are 10-dp,
+        # so the decimal sum is exact and order-free
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,10)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("__dang")
         )
         contrib = (
             edges.join(
                 with_deg.filter(F.col("__deg").isNotNull()).select(
                     F.col("node").alias(src_col),
-                    (F.col("rank") / F.col("__deg")).alias("__w"),
+                    # 12-dp round then exact decimal sum: the per-node
+                    # inflow is independent of aggregation order
+                    F.round(F.col("rank") / F.col("__deg"), 12)
+                    .cast("decimal(38,12)")
+                    .alias("__w"),
                 ),
                 src_col,
             )
             .groupBy(F.col(dst_col).alias("node"))
-            .agg(F.sum("__w").alias("__in"))
+            .agg(F.sum("__w").cast("double").alias("__in"))
         )
         new_ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
@@ -300,21 +317,25 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.lit(float(dangling) / n)
+                        + F.col("__dang") / F.lit(float(n))
                     ),
                     10,
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-        delta = (
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("__old")), "node"
+        if tol > 0:
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("__old")),
+                    "node",
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
             )
-            .agg(F.max(F.abs(F.col("rank") - F.col("__old"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

@@ -241,3 +241,39 @@ def bpe_encode(
         list(df.schema.fields)
     ).add(out_col, ArrayType(StringType()), True)
     return with_words.mapInPandas(run, schema=out_schema)
+
+
+def save_merges(merges: Sequence[Tuple[str, str]], path: str) -> None:
+    """Persist a learned merge sequence as JSON (rank order is the
+    list order — the only state :func:`bpe_encode` needs). A trained
+    tokenizer is an artifact shared across pipeline runs and teams;
+    pickling Python tuples would tie it to this process, JSON makes
+    it a portable contract."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(
+            {"format": "bpe-merges-v1", "merges": [list(m) for m in merges]},
+            f,
+            ensure_ascii=False,
+        )
+
+
+def load_merges(path: str) -> List[Tuple[str, str]]:
+    """Inverse of :func:`save_merges`; validates the format marker so
+    an unrelated JSON file fails loudly instead of encoding garbage."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        obj = json.load(f)
+    if not isinstance(obj, dict) or obj.get("format") != "bpe-merges-v1":
+        raise ValueError(
+            f"{path}: not a bpe-merges-v1 file "
+            f"(got {obj.get('format') if isinstance(obj, dict) else type(obj).__name__!s})"
+        )
+    out = []
+    for m in obj["merges"]:
+        if not (isinstance(m, list) and len(m) == 2):
+            raise ValueError(f"{path}: malformed merge entry {m!r}")
+        out.append((str(m[0]), str(m[1])))
+    return out

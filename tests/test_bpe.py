@@ -117,3 +117,31 @@ def test_encode_rejects_existing_out_col_and_keeps_user_temp(spark):
     ).collect()[0]
     assert out["__bpe_words"] == "mine"  # user column untouched
     assert "".join(out["toks"]) == "low" + EOW
+
+
+def test_merges_roundtrip_and_format_guard(spark, tmp_path):
+    from etl_extract_transform_load_spark.scale.bpe import (
+        bpe_encode,
+        bpe_train,
+        load_merges,
+        save_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=6, min_freq=2)
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    loaded = load_merges(p)
+    assert loaded == merges
+    a = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, loaded).collect()}
+    assert a == b
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('{"something": "else"}')
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bpe-merges-v1"):
+        load_merges(bad)

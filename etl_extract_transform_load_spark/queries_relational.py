@@ -23,6 +23,24 @@ from etl_extract_transform_load_spark.registry import register
 from etl_extract_transform_load_spark.sources import load_table
 
 
+def _process_scratch(name: str) -> str:
+    """Per-process scratch path under ONE per-PID root that is
+    rmtree'd at interpreter exit — per-process isolation (two engine
+    processes must never overwrite each other's files mid-read-back)
+    without leaving a new parquet tree in /tmp per run. Lazy results
+    read from these paths after the query function returns, so
+    cleanup has to be end-of-process, not end-of-query."""
+    import atexit
+    import os
+    import shutil
+
+    root = f"/tmp/etl_spark_scratch_p{os.getpid()}"
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return f"{root}/{name}"
+
+
 # --- P1/P5/P6/P7: predicate filter + null handling + projection ------------
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,9 +618,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process scratch: a fixed path let two engine processes (e.g.
     # a bench run next to a correctness sweep) overwrite each other's
     # files mid-read-back — observed as a one-off hash mismatch
-    import os as _os
-
-    base = f"/tmp/etl_spark_sink_roundtrip_p{_os.getpid()}"
+    base = _process_scratch("sink_roundtrip")
 
     # The four sink jobs are independent — submit them concurrently so
     # the cluster overlaps their IO instead of serializing four
@@ -838,15 +854,26 @@ def q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = uuid.uuid4().hex[:8]
     # The 8-file re-layout of the (immutable) events table is pure
-    # setup, not the operator under test — key it by sf tag and reuse
-    # across runs instead of rewriting per call.
-    # tag by sf AND process: reuse across runs inside one process, but
-    # never share with a concurrent engine process whose overwrite of
-    # the layout could race this stream's file listing
-    tag = f"{sf_dir.rstrip('/').replace('/', '_')}_p{os.getpid()}"
+    # setup, not the operator under test — key it by sf tag + source
+    # content fingerprint and SHARE it across processes: each process
+    # builds into a private temp dir and atomically renames it into
+    # place, so a concurrent engine process either wins the rename or
+    # reuses the winner's layout — never observes a half-written one.
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(ev_path)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:  # non-local source: fall back to per-process
+        fp = f"p{os.getpid()}"
+    tag = f"{sf_dir.rstrip('/').replace('/', '_')}_{fp}"
     src = f"/tmp/etl_spark_stream_src{tag}"
     if not os.path.exists(f"{src}/_SUCCESS"):
-        events.repartition(8).write.mode("overwrite").parquet(src)
+        build = f"{src}.build_{run}"
+        events.repartition(8).write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, src)
+        except OSError:  # concurrent builder won; use its layout
+            shutil.rmtree(build, ignore_errors=True)
 
     stream = file_stream_source(
         spark, src, schema=events.schema, fmt="parquet",

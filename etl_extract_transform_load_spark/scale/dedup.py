@@ -491,6 +491,121 @@ def simhash_near_dup_pairs(
     )
 
 
+# --- exact duplicated substrings (suffix-array-style span dedup) ----------
+
+
+def positional_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(``__id``, ``pos``, ``gram``): EVERY word n-gram occurrence
+    with its 1-based start-token position — unlike :func:`shingles`,
+    positions matter and repeats are kept. Docs with fewer than ``n``
+    tokens (and NULL text) produce no rows. Same zipped-slices shape
+    as ``shingles`` (linear, argument-level token reference)."""
+    toks = tokens(lower_simple(F.col(text_col)))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    arr = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), arr.alias("__arr"))
+        .select("__id", F.posexplode_outer("__arr").alias("pos0", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("__id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring detection, the span-level dedup
+    family of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (suffix-array substring dedup) — re-expressed
+    relationally: a token position is *duplicated* when the word
+    n-gram starting there also occurs in ≥ ``min_docs`` distinct
+    documents, and maximal runs of duplicated/overlapping grams merge
+    into spans (gaps-and-islands over positions). Returns one row per
+    maximal span: ``(doc_id, span_start, span_end, span_tokens,
+    n_grams)`` with 1-based inclusive token bounds.
+
+    100 TB shape — no suffix array is ever materialized:
+    1. scan-stage positional n-gram explode (linear);
+    2. ONE combine-enabled aggregation on the hashed gram key for the
+       cross-doc frequency (map-side partial counts);
+    3. a same-key join back (hashed 64/60-bit keys, never the gram
+       strings, on the wire);
+    4. a per-document running window (state = one doc's positions).
+    Skew: a boilerplate gram shared by millions of docs fans the join
+    out, but the frequency side is one row per gram — the join is
+    hash-partitioned on the gram key and AQE splits hot keys.
+
+    ``portable=True`` swaps xxhash64 for the md5-based
+    :func:`portable_hash60` so an independent engine (the DuckDB
+    oracle) can replicate the hashed pipeline bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    occ = positional_ngrams(df, text_col, id_col, n)
+    key = (
+        portable_hash60(F.col("gram"))
+        if portable
+        else F.xxhash64("gram")
+    )
+    occ = occ.select("__id", "pos", key.alias("__k"))
+    dup_keys = (
+        occ.groupBy("__k")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__k")
+    )
+    # (__id, pos) is unique by construction (one gram per position,
+    # dup_keys is unique per key) — no dedup shuffle needed
+    hits = occ.join(dup_keys, "__k").select("__id", "pos")
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    return (
+        hits.withColumn("__new", new_island)
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(F.col("__id").alias(id_col), "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_grams",
+        )
+    )
+
+
 # --- Benchmark decontamination ----------------------------------------------
 
 

@@ -285,11 +285,23 @@ def one_hot(
             )
         categories = sorted(r[0] for r in rows)
     base = prefix if prefix is not None else col
-    out = df
+    # sanitized names must stay distinct — 'a.b' and 'a_b' both map to
+    # 'a_b', and the second withColumn would silently REPLACE the
+    # first indicator, dropping a category from the feature matrix
+    safe_names: dict[str, object] = {}
     for cat in categories:
         safe = "".join(
             ch if ch.isalnum() else "_" for ch in str(cat)
         )
+        if safe in safe_names:
+            raise ValueError(
+                f"one_hot: categories {safe_names[safe]!r} and {cat!r} "
+                f"both sanitize to indicator column {base}_{safe!r} — "
+                "disambiguate with an explicit categories list or prefix"
+            )
+        safe_names[safe] = cat
+    out = df
+    for safe, cat in safe_names.items():
         out = out.withColumn(
             f"{base}_{safe}",
             (F.col(col) == F.lit(cat)).cast("int"),

@@ -207,6 +207,8 @@ def pq_adc_topk(
     for s, c, v in codebook:
         cent[s, code_index[c]] = v
 
+    id_t = enc.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     q_rows = _collect_rows_bounded(
         queries.filter(F.col(vec_col).isNotNull()),
         [query_id_col, vec_col],
@@ -216,17 +218,24 @@ def pq_adc_topk(
     )
     if not q_rows:
         return enc.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, "
+            [], f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, "
             "adc_dist double, rank int"
         )
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qids = np.array([r[0] for r in q_rows])
     qv = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    # LUT[q, s, code] = ‖q_sub − centroid‖² — exact, computed once
+    # LUT[q, s, code] = ‖q_sub − centroid‖² — exact, accumulated
+    # dimension-by-dimension in sequential order (the left fold the
+    # DuckDB oracle's unrounded chain replicates; pairwise summation
+    # can differ in final ULPs and flip a 6-dp boundary)
     lut = np.zeros((len(qids), n_sub, len(codes_sorted)), np.float64)
     for s in range(n_sub):
         qs = qv[:, s * d_sub : (s + 1) * d_sub]
-        diff = qs[:, None, :] - cent[s][None, :, :]
-        lut[:, s, :] = (diff * diff).sum(axis=2)
+        d0 = qs[:, 0][:, None] - cent[s][None, :, 0]
+        acc = d0 * d0
+        for i in range(1, d_sub):
+            di = qs[:, i][:, None] - cent[s][None, :, i]
+            acc = acc + di * di
+        lut[:, s, :] = acc
 
     wide = enc.groupBy(id_col).agg(
         F.transform(
@@ -275,7 +284,7 @@ def pq_adc_topk(
 
     local = wide.mapInPandas(
         run,
-        schema=f"{query_id_col} long, {id_col} long, adc_dist double",
+        schema=f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, adc_dist double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("adc_dist"), F.asc(id_col)
@@ -323,6 +332,8 @@ def ivfpq_topk(
     if not codebook:
         raise ValueError("ivfpq_topk: empty codebook")
     spark = queries.sparkSession
+    id_t = enc.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     q_rows = _collect_rows_bounded(
         queries.filter(F.col(vec_col).isNotNull()),
         [query_id_col, vec_col],
@@ -331,7 +342,8 @@ def ivfpq_topk(
         "sharded query batches",
     )
     empty_schema = (
-        f"{query_id_col} long, {id_col} long, adc_dist double, rank int"
+        f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, "
+        "adc_dist double, rank int"
     )
     if not q_rows:
         return spark.createDataFrame([], empty_schema)
@@ -361,12 +373,12 @@ def ivfpq_topk(
             )
         )
         route_pairs.extend(
-            (int(qid), cl) for _, cl in scored[:nprobe]
+            (qid, cl) for _, cl in scored[:nprobe]
         )
     if not route_pairs:
         return spark.createDataFrame([], empty_schema)
     routes = F.broadcast(
-        spark.createDataFrame(route_pairs, "__qid long, cluster int")
+        spark.createDataFrame(route_pairs, f"`__qid` {qid_t}, cluster int")
     )
 
     # LUT over the usable queries only
@@ -378,14 +390,20 @@ def ivfpq_topk(
     cent_m = np.zeros((n_sub, len(codes_sorted), d_sub), np.float64)
     for s, c, v in codebook:
         cent_m[s, code_index[c]] = v
-    qids = np.array([q for q, _ in usable_q], dtype=np.int64)
+    qids = np.array([q for q, _ in usable_q])
     qv = np.array([list(v) for _, v in usable_q], dtype=np.float64)
+    # sequential per-dimension accumulation — same left-fold contract
+    # as pq_adc_topk / pq_encode_arrow (oracle bit-replicability)
     lut = np.zeros((len(qids), n_sub, len(codes_sorted)), np.float64)
     for s in range(n_sub):
         qs = qv[:, s * d_sub : (s + 1) * d_sub]
-        diff = qs[:, None, :] - cent_m[s][None, :, :]
-        lut[:, s, :] = (diff * diff).sum(axis=2)
-    qpos = {int(q): i for i, q in enumerate(qids)}
+        d0 = qs[:, 0][:, None] - cent_m[s][None, :, 0]
+        acc = d0 * d0
+        for i in range(1, d_sub):
+            di = qs[:, i][:, None] - cent_m[s][None, :, i]
+            acc = acc + di * di
+        lut[:, s, :] = acc
+    qpos = {q: i for i, q in enumerate((q for q, _ in usable_q))}
 
     wide = enc.groupBy(id_col).agg(
         F.transform(
@@ -440,7 +458,8 @@ def ivfpq_topk(
             yield out
 
     local = cand.mapInPandas(
-        run, schema=f"{query_id_col} long, {id_col} long, adc_dist double"
+        run,
+        schema=f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, adc_dist double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("adc_dist"), F.asc(id_col)

@@ -433,15 +433,26 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     parallelism: int = 64,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k with sequential-order (bit-reproducible) scoring via
-    Arrow batches; the rank window runs on the scored triples only."""
+    Arrow batches; the rank window runs on the scored triples only.
+
+    The query side ships to every executor in the closure, so it is
+    bounded-collected (raises past ``max_queries`` instead of OOMing
+    the driver) — for unbounded query sets use ``brute_force_topk``."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_rows_bounded(
+        queries,
+        [query_id_col, vec_col],
+        max_queries,
+        "brute_force_topk_arrow",
+        "brute_force_topk (distributed join, same values)",
+    )
     if not q_rows:  # empty query set: empty top-k, stable schema
         return queries.sparkSession.createDataFrame(
             [],
@@ -500,18 +511,29 @@ def brute_force_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy matmul (the wall-clock
     winner for large query sets). Scores differ from the sequential
     fold only in the last ulp (BLAS pairwise summation) — use for
     throughput, use ``brute_force_topk`` when bit-reproducibility
-    against a sequential implementation matters."""
+    against a sequential implementation matters.
+
+    The query side ships to every executor in the closure, so it is
+    bounded-collected (raises past ``max_queries`` instead of OOMing
+    the driver) — for unbounded query sets use ``brute_force_topk``."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_rows_bounded(
+        queries,
+        [query_id_col, vec_col],
+        max_queries,
+        "brute_force_topk_blas",
+        "brute_force_topk (distributed join, same values)",
+    )
     if not q_rows:  # empty query set: empty top-k, stable schema
         return queries.sparkSession.createDataFrame(
             [],
@@ -573,19 +595,30 @@ def hyperplane_lsh_topk_arrow(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     parallelism: int = 64,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k, Arrow-batched: each vector batch computes its
     sign buckets and scores only against same-bucket queries. Same
     candidate set as the expression variant (identical planes/signs up
     to ulp-boundary projections); ~5× faster locally because the giant
-    per-plane expressions never reach codegen."""
+    per-plane expressions never reach codegen.
+
+    The query side ships in the closure → bounded-collect (raises past
+    ``max_queries``); unbounded query sets go through
+    ``hyperplane_lsh_topk(precompute_queries=False)``."""
     vectors = vectors.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
     planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)  # (b, d)
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_rows_bounded(
+        queries,
+        [query_id_col, vec_col],
+        max_queries,
+        "hyperplane_lsh_topk_arrow",
+        "hyperplane_lsh_topk(precompute_queries=False) (fully lazy)",
+    )
     if not q_rows:  # empty query set: empty top-k, stable schema
         return queries.sparkSession.createDataFrame(
             [],
@@ -845,6 +878,7 @@ def hyperplane_lsh_topk(
     query_id_col: str = "query_id",
     parallelism: int = 64,
     precompute_queries: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket, exact cosine + rank inside it. Fewer bits → bigger buckets
@@ -864,9 +898,13 @@ def hyperplane_lsh_topk(
         vectors.repartition(parallelism), id_col, vec_col, dim, "__vid", "__v", "__vn"
     ).withColumn("__bucket", lsh_bucket("__v", planes))
     if precompute_queries:
-        qrows = queries.select(
-            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ).collect()
+        qrows = _collect_rows_bounded(
+            queries,
+            [F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")],
+            max_queries,
+            "hyperplane_lsh_topk(precompute_queries=True)",
+            "precompute_queries=False (fully lazy, same values)",
+        )
         # NULL and zero-norm vectors drop out (the lazy path's
         # _vectors_with_norm filter) — skip them here for the same result
         qdata = [

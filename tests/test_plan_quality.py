@@ -312,3 +312,88 @@ def test_no_python_row_udfs_anywhere():
                         f"{py}:{node.lineno}: spark.udf.register"
                     )
     assert not offenders, offenders
+
+
+def test_no_unbounded_driver_collects_engine_wide():
+    """Policy: every driver-side ``.collect()`` in the library (all
+    package dirs except the registered-query modules, which have their
+    own plan tests) must be BOUNDED — an unbounded collect is the one
+    operator shape that cannot survive a 100 TB input no matter how
+    good the plan is. Allowed shapes, checked on the AST:
+
+    - inside ``_collect_rows_bounded`` (the one bounded primitive —
+      fetches ``limit(max_rows + 1)`` and raises past the bound);
+    - ``….agg(…).collect()`` — decide aggregates (global aggs return
+      ONE row; the grouped uses are bucket/window stats whose key
+      cardinality is fixed by the algorithm, e.g. histogram bins);
+    - ``….limit(n).collect()`` — bounded by construction;
+    - an explicit allowlist of audited functions whose collect is
+      bounded by a documented contract (quantile straddle windows
+      below ``collect_threshold``, per-partition sufficient stats,
+      k centroid rows, one row per validation rule).
+
+    Anything else fails this test: route it through
+    ``_collect_rows_bounded`` or restructure it distributed."""
+    import ast
+    import pathlib
+
+    allow = {
+        # straddle-bucket value collects, gated below collect_threshold
+        ("operators/quantiles.py", "_order_stats_decided"),
+        ("operators/quantiles.py", "grouped_exact_quantiles"),
+        # num_partitions × d sufficient-stats rows
+        ("scale/pca.py", "fit_pca"),
+        # k centroid rows (codebook/IVF contract)
+        ("scale/embeddings.py", "collect_centroid_rows"),
+        # one row per validation rule
+        ("operators/quality.py", "assert_valid"),
+        # the bounded primitive itself
+        ("scale/similarity.py", "_collect_rows_bounded"),
+    }
+
+    root = pathlib.Path(__file__).parent.parent / (
+        "etl_extract_transform_load_spark"
+    )
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        rel = py.relative_to(root).as_posix()
+        if rel.startswith("queries_") or rel == "registry.py":
+            continue
+        tree = ast.parse(py.read_text(encoding="utf-8"))
+        funcs = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def enclosing(lineno):
+            best = None
+            for f in funcs:
+                if f.lineno <= lineno <= (f.end_lineno or f.lineno):
+                    if best is None or f.lineno > best.lineno:
+                        best = f
+            return best.name if best else "<module>"
+
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+                and not node.args
+            ):
+                continue
+            obj = node.func.value
+            if (
+                isinstance(obj, ast.Call)
+                and isinstance(obj.func, ast.Attribute)
+                and obj.func.attr in ("agg", "limit")
+            ):
+                continue
+            fn = enclosing(node.lineno)
+            if (rel, fn) in allow:
+                continue
+            offenders.append(f"{rel}:{node.lineno} in {fn}()")
+    assert not offenders, (
+        "unbounded driver collect(s) — route through "
+        f"_collect_rows_bounded or allowlist with audit: {offenders}"
+    )

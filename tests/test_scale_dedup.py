@@ -546,3 +546,80 @@ def test_contamination_arrow_string_ids(spark):
         for r in contamination_flags_arrow(corpus, bench, n=8).collect()
     }
     assert got == want and set(got) == {"doc-a"}
+
+
+# --- duplicated substring spans (suffix-array-style dedup) ------------------
+
+
+def test_duplicated_spans_crafted(spark):
+    """Hand-checkable span semantics: two docs share a 10-token run →
+    with n=4 each doc gets ONE maximal span covering exactly those 10
+    tokens; a third doc with no cross-doc 4-gram gets no rows; a
+    within-doc repeat does NOT count toward min_docs=2."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        # doc 1: 3 lead tokens + shared run + 2 tail tokens
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        # doc 2: shared run at the very start
+        (2, shared + " z1 z2 z3"),
+        # doc 3: unique text, but with a WITHIN-doc repeated 4-gram
+        (3, "p q r s p q r s unique tail here now"),
+        # doc 4: too short for any 4-gram overlap
+        (4, "just three tokens"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in duplicated_spans(docs, n=4, min_docs=2).collect()
+    }
+    # doc 1: tokens 4..13 duplicated → starts 4..10 (7 grams)
+    # doc 2: tokens 1..10 duplicated → starts 1..7 (7 grams)
+    assert got == {(1, 4, 13, 10, 7), (2, 1, 10, 10, 7)}
+
+
+def test_duplicated_spans_merges_adjacent_islands(spark):
+    """Two shared runs separated by ONE unique token stay SEPARATE
+    spans; runs whose duplicated grams abut merge into one span."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        duplicated_spans,
+    )
+
+    run_a = "a1 a2 a3 a4"
+    run_b = "b1 b2 b3 b4"
+    rows = [
+        (1, run_a + " gapone " + run_b),
+        (2, run_a + " gaptwo " + run_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs, n=4, min_docs=2).collect()
+    )
+    # the 4-grams crossing the gap token differ between docs, so each
+    # doc has exactly two islands: tokens 1-4 and 6-9
+    assert got == [(1, 1, 4), (1, 6, 9), (2, 1, 4), (2, 6, 9)]
+
+
+def test_duplicated_spans_portable_matches_fast_path(spark, docs_with_dups):
+    """portable=True (md5 keys, the oracle pipeline) and the xxhash64
+    fast path must produce identical spans on real data."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        duplicated_spans,
+    )
+
+    fast = set(
+        map(tuple, duplicated_spans(docs_with_dups, n=8).collect())
+    )
+    portable = set(
+        map(
+            tuple,
+            duplicated_spans(docs_with_dups, n=8, portable=True).collect(),
+        )
+    )
+    assert fast == portable
+    assert fast  # planted exact dups guarantee non-empty spans

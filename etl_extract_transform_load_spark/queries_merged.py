@@ -783,6 +783,15 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combine shuffle on (doc, char))
     from etl_extract_transform_load_spark.scale.text import char_entropy
 
+    # round-6 leg: bigram-LM perplexity against the id%5==0 reference
+    # slice (the KenLM-shaped quality filter) — one training pass,
+    # grouped-bigram score joins, 6-dp round-then-decimal-sum; emits
+    # one row per doc (NULL ppx below two tokens) so the inner join
+    # keeps the query's doc set unchanged
+    from etl_extract_transform_load_spark.scale.lm import (
+        perplexity_against_slice,
+    )
+
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
@@ -790,6 +799,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c4_line_stats(docs), "doc_id")
         .join(script_ratios(docs), "doc_id")
         .join(char_entropy(docs), "doc_id")
+        .join(perplexity_against_slice(docs), "doc_id")
     )
 
 
@@ -797,6 +807,9 @@ def _oracle_text_quality() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_REPETITION,
         ORACLE_TEXT_STATS,
+    )
+    from etl_extract_transform_load_spark.scale.lm import (
+        oracle_lm_perplexity_sql,
     )
     from etl_extract_transform_load_spark.scale.text import (
         oracle_c4_line_stats_sql,
@@ -816,6 +829,7 @@ JOIN (
 JOIN ({oracle_c4_line_stats_sql()}) d USING (doc_id)
 JOIN ({oracle_script_ratios_sql()}) e USING (doc_id)
 JOIN ({oracle_char_entropy_sql()}) f USING (doc_id)
+JOIN ({oracle_lm_perplexity_sql()}) g USING (doc_id)
 """
 
 

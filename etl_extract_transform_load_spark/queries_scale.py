@@ -1067,16 +1067,48 @@ _SHINGLES_SQL = """
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-union: the one-shot rebuild ('full') and the continuous-
+    ingest path ('incr' — id<250 corpus indexed first, id≥250 upserted
+    as the arriving batch, batch queried against the standing index,
+    union with the pre-batch pairs). Both must produce the IDENTICAL
+    pair set, and the oracle replicates the whole portable-hash
+    pipeline once and selects it under both tags — so the driver
+    hash-verifies that the O(batch) incremental path loses nothing
+    vs the rebuild."""
     from etl_extract_transform_load_spark.plans.caching import (
         released_caches,
     )
-    from etl_extract_transform_load_spark.scale.dedup import portable_hash60
+    from etl_extract_transform_load_spark.scale.dedup import (
+        minhash_index_query_pairs,
+        minhash_index_upsert,
+        portable_hash60,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     with released_caches():  # signature+shingle persists released
-        return minhash_lsh_pairs(
+        full = minhash_lsh_pairs(
             docs, threshold=0.3, hash64=portable_hash60
         ).localCheckpoint()
+        old = docs.filter(F.col("doc_id") < 250)
+        batch = docs.filter(F.col("doc_id") >= 250)
+        index = minhash_index_upsert(
+            minhash_index_upsert(None, old, hash64=portable_hash60),
+            batch,
+            hash64=portable_hash60,
+        )
+        incr = (
+            minhash_lsh_pairs(old, threshold=0.3, hash64=portable_hash60)
+            .unionByName(
+                minhash_index_query_pairs(
+                    index, docs, batch.select("doc_id"), threshold=0.3
+                )
+            )
+            .localCheckpoint()
+        )
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
+    )
+    return tag(full, "full").unionByName(tag(incr, "incr"))
 
 
 def _oracle_minhash() -> str:
@@ -1122,16 +1154,22 @@ cand AS (
     FROM banded x
     JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
                  AND x.doc_id < y.doc_id
-    GROUP BY x.doc_id, y.doc_id)
-SELECT id_a, id_b,
-       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-           AS jaccard
-FROM cand
-JOIN sharr a ON a.doc_id = cand.id_a
-JOIN sharr b ON b.doc_id = cand.id_b
-WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    GROUP BY x.doc_id, y.doc_id),
+vpairs AS (
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh))), 6)
+               AS jaccard
+    FROM cand
+    JOIN sharr a ON a.doc_id = cand.id_a
+    JOIN sharr b ON b.doc_id = cand.id_b
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.3)
+SELECT 'full' AS part, id_a, id_b, jaccard FROM vpairs
+UNION ALL
+SELECT 'incr' AS part, id_a, id_b, jaccard FROM vpairs
 """
 
 

@@ -304,7 +304,6 @@ def minhash_lsh_pairs(
     the DuckDB oracle's, with no cross-engine hash to agree on."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     df = df.repartition(64)
     # persist: the banded self-join reads the signature table on both
     # branches — without the cache the whole shingle→32-minima
@@ -314,7 +313,31 @@ def minhash_lsh_pairs(
         minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash64),
         cache,
     )
-    banded = sig.select(
+    banded = _band_table(sig, id_col, num_hashes, bands)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, df, text_col, id_col, n, threshold, cache)
+
+
+def _band_table(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(``__id``, ``band``, ``bucket``): each signature exploded into
+    its LSH bands; the bucket key is the r-tuple of minima itself (an
+    array column) — exact equality semantics any engine reproduces."""
+    r = num_hashes // bands
+    return sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array(
@@ -330,22 +353,20 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
-        )
-        .distinct()
-    )
-    # Verify ONLY the candidates: attach each side's distinct-shingle
-    # array and compute exact Jaccard per pair with array ops — cost
-    # scales with |candidates|, not with the corpus pair count.
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    cache: bool,
+) -> DataFrame:
+    """Verify ONLY the candidate pairs: attach each side's distinct-
+    shingle array and compute exact Jaccard per pair with array ops —
+    cost scales with |candidates|, not with the corpus pair count."""
     sh_arrays = persist_tracked(
         df.select(
             F.col(id_col).alias("__sid"),
@@ -377,6 +398,85 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- incremental MinHash index (continuous-ingest near-dup) ----------------
+
+
+def minhash_index_upsert(
+    index: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    hash64=F.xxhash64,
+) -> DataFrame:
+    """Maintain a standing MinHash signature table under continuous
+    ingest — the near-dup analog of ``scale.search.postings_upsert``:
+    signatures are computed for the BATCH docs only (O(batch) work —
+    a signature depends on nothing but its own doc), then
+    anti-join-replaced into the index, so a re-ingested id takes its
+    new signature. Returns the new ``(id_col, signature)`` index;
+    persist it between batches (parquet/Delta in production — the
+    table IS the index)."""
+    sig = minhash_signatures(
+        batch, text_col, id_col, num_hashes, n, seed, hash64
+    )
+    if index is None:
+        return sig
+    kept = index.join(sig.select(id_col), id_col, "left_anti")
+    return kept.unionByName(sig)
+
+
+def minhash_index_query_pairs(
+    index: DataFrame,
+    docs: DataFrame,
+    batch_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the batch, against the standing index:
+    band the batch signatures only (broadcast-semi restriction), join
+    them against the full banded index, verify candidates with exact
+    shingle Jaccard from ``docs``. Work is O(batch × bucket), never a
+    full self-join — the incremental query path of the continuous-
+    ingest contract:
+
+        pairs(corpus ∪ batch) =
+            pairs(corpus) ∪ query_pairs(upserted index, batch)
+
+    (pinned by ``test_scale_dedup.py``). ``index`` must already
+    contain the batch signatures (call :func:`minhash_index_upsert`
+    first); ``docs`` must cover every doc the candidates can touch."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    banded = persist_tracked(
+        _band_table(index, id_col, num_hashes, bands), cache
+    )
+    ids = F.broadcast(batch_ids.select(F.col(id_col).alias("__id")))
+    batch_side = banded.join(ids, "__id", "left_semi")
+    cand = (
+        batch_side.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__id") != F.col("y.__id")),
+        )
+        .select(
+            F.least(F.col("x.__id"), F.col("y.__id")).alias("id_a"),
+            F.greatest(F.col("x.__id"), F.col("y.__id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, docs, text_col, id_col, n, threshold, cache)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -603,6 +703,55 @@ def duplicated_spans(
             ),
             "n_grams",
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cut the duplicated spans OUT of the text (the remove-then-train
+    policy of suffix-array dedup, vs the flag-and-drop policy): tokens
+    whose 1-based position falls inside any of the doc's spans are
+    dropped and the survivors re-joined with single spaces. Docs with
+    no spans keep their text verbatim (including original whitespace).
+
+    Entirely JVM-side: the doc's spans aggregate to ONE array column
+    (spans per doc are few — bounded by doc length / n), and the cut
+    is higher-order array functions in the scan stage; the only
+    shuffle is the span aggregation's groupBy."""
+    out = out_col or text_col
+    sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = tokens(lower_simple(F.col(text_col)))
+    indexed = F.transform(
+        toks, lambda x, i: F.struct(x.alias("w"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda b: (b["s"] <= s["p"]) & (s["p"] <= b["e"]),
+        ),
+    )
+    cut = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    return (
+        df.join(sp, df[id_col] == sp["__sid"], "left")
+        .withColumn(
+            out,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                cut
+            ),
+        )
+        .drop("__sid", "__spans")
     )
 
 

@@ -1,0 +1,223 @@
+"""N-gram language-model perplexity scoring — the KenLM-shaped
+quality filter every production curation pipeline runs (CCNet /
+RedPajama / FineWeb keep-or-drop on LM perplexity against a clean
+reference corpus). Pairs with the model-free signals in
+``scale.text`` (entropy, compression ratio): perplexity is the
+*model-based* fluency leg.
+
+Design (bigram, add-alpha smoothing), 100 TB shape:
+
+1. ONE pass over the reference slice builds the bigram count table
+   (scan-stage pair explode → combine-enabled groupBy) — the
+   context totals ``c(prev)`` are DERIVED from the bigram table
+   (``Σ_w c(prev, w)``), not a second corpus pass, and the vocab
+   size is one decide aggregate;
+2. scoring is per-doc bigram occurrences (grouped WITH multiplicity
+   before the join, so join fan-in is distinct-bigrams-per-doc, not
+   tokens-per-doc) joined against the count tables on their natural
+   keys — hash-partitioned sort-merge joins at scale, broadcast when
+   the reference vocabulary is small;
+3. per-doc log-prob sums go through the engine's round-then-
+   decimal-sum discipline (6 dp, exact decimal accumulation) so the
+   sum is order-free and bit-identical to a sequential engine — the
+   DuckDB oracle replicates every step including the smoothing
+   arithmetic.
+
+Smoothing: p(w | prev) = (c(prev,w) + α) / (c(prev) + α·V) with V =
+reference vocabulary size — unseen contexts and unseen words degrade
+smoothly to 1/V. Perplexity per doc = exp(−Σ log p / n_bigrams),
+rounded 6 dp; docs with fewer than two tokens have no bigrams and
+score NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import (
+    lower_simple,
+    tokens,
+)
+
+DEFAULT_ALPHA = 0.5
+
+
+def _bigram_pairs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(``__id``, ``a``, ``b``): every adjacent token pair per doc,
+    WITH multiplicity (order does not matter downstream — sums are
+    decimal/order-free). Docs with < 2 tokens emit nothing."""
+    toks = tokens(lower_simple(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    zipped = F.arrays_zip(
+        F.slice("__t", 1, F.size("__t") - 1),
+        F.slice("__t", 2, F.size("__t") - 1),
+    )
+    return (
+        base.select("__id", F.explode(zipped).alias("p"))
+        .select("__id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    )
+
+
+def train_bigram_lm(
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the count tables on the reference ("clean") slice: returns
+    ``(bigram_counts (a, b, cab), context_counts (a, ca), vocab_size)``.
+    One corpus pass for bigrams; context totals derive from the bigram
+    table; vocab size is one decide aggregate (a single long)."""
+    pairs = _bigram_pairs(train, text_col, id_col)
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    prev = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    toks = tokens(lower_simple(F.col(text_col)))
+    vocab_size = int(
+        train.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w"))
+        .collect()[0][0]
+    )
+    return big, prev, vocab_size
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: int,
+    alpha: float = DEFAULT_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: ``(id_col, lm_bigrams, ppx)`` with one
+    row per input doc — ``lm_bigrams`` = 0 and ``ppx`` NULL when the
+    doc has fewer than two tokens. Per-bigram log-probs round to 6 dp
+    and accumulate as exact decimals (order-free, engine-portable);
+    the doc's perplexity is ``round(exp(−Σ/n), 6)``."""
+    if vocab_size <= 0:
+        raise ValueError("lm_perplexity: empty reference vocabulary")
+    occ = (
+        _bigram_pairs(docs, text_col, id_col)
+        .groupBy("__id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cab"), F.lit(0)) + F.lit(float(alpha)))
+        / (
+            F.coalesce(F.col("ca"), F.lit(0))
+            + F.lit(float(alpha) * vocab_size)
+        )
+    )
+    contrib = F.col("cnt").cast("decimal(10,0)") * F.round(logp, 6).cast(
+        "decimal(28,6)"
+    )
+    scored = (
+        occ.join(bigram_counts, ["a", "b"], "left")
+        .join(context_counts, ["a"], "left")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("lm_bigrams"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum(contrib).cast("double")
+                        / F.sum("cnt").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ppx"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("lm_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("lm_bigrams"),
+            F.col("ppx").cast("double").alias("ppx"),
+        )
+    )
+
+
+def perplexity_against_slice(
+    docs: DataFrame,
+    train_mod: int = 5,
+    alpha: float = DEFAULT_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Convenience composition for the registered query: fit on the
+    ``id % train_mod == 0`` slice (the stand-in for a held-out clean
+    reference corpus), score every doc."""
+    train = docs.filter(F.col(id_col) % train_mod == 0)
+    big, prev, v = train_bigram_lm(train, text_col, id_col)
+    return lm_perplexity(
+        docs, big, prev, v, alpha, text_col, id_col
+    )
+
+
+def oracle_lm_perplexity_sql(
+    train_mod: int = 5,
+    alpha: float = DEFAULT_ALPHA,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`perplexity_against_slice` — replicates
+    the full pipeline (tokenization, counts, smoothing, 6-dp
+    round-then-decimal-sum, exp) so the hash compare verifies the
+    model arithmetic, not just the plumbing."""
+    return f"""
+SELECT d.doc_id,
+       COALESCE(g.lm_bigrams, 0) AS lm_bigrams,
+       g.ppx AS ppx
+FROM {src} d LEFT JOIN (
+    WITH lmtoks AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM {src}),
+    lmpairs AS (
+        SELECT doc_id, u.a AS a, u.b AS b
+        FROM (
+            SELECT doc_id,
+                   UNNEST([{{'a': t[i], 'b': t[i+1]}}
+                           for i in range(1, len(t))]) AS u
+            FROM lmtoks)),
+    lmtrain AS (
+        SELECT a, b, COUNT(*) AS cab
+        FROM lmpairs WHERE doc_id % {train_mod} = 0
+        GROUP BY a, b),
+    lmprev AS (SELECT a, SUM(cab) AS ca FROM lmtrain GROUP BY a),
+    lmv AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT UNNEST(t) AS w FROM lmtoks
+              WHERE doc_id % {train_mod} = 0)),
+    lmocc AS (
+        SELECT doc_id, a, b, COUNT(*) AS cnt
+        FROM lmpairs GROUP BY doc_id, a, b),
+    lmscored AS (
+        SELECT o.doc_id, o.cnt,
+               CAST(ROUND(LN(
+                   (COALESCE(t.cab, 0) + {alpha})
+                   / (COALESCE(p.ca, 0) + {alpha} * v.v)), 6)
+                    AS DECIMAL(28,6)) AS lp
+        FROM lmocc o
+        LEFT JOIN lmtrain t USING (a, b)
+        LEFT JOIN lmprev p USING (a)
+        CROSS JOIN lmv v)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS lm_bigrams,
+           ROUND(EXP(-(CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * lp)
+                            AS DOUBLE)
+                       / CAST(SUM(cnt) AS DOUBLE))), 6) AS ppx
+    FROM lmscored GROUP BY doc_id
+) g USING (doc_id)
+"""

@@ -3,7 +3,8 @@
 the composed pipeline a user of the reference ETL would run here:
 
     read → quality/language signals → C4 line cleaning →
-    quality gate → exact dedup → MinHash near-dup dedup →
+    LM-perplexity scoring → quality gate → exact dedup →
+    duplicated-span flagging → MinHash near-dup dedup →
     train/val/test split → context-window chunking →
     manifest-verified parquet write
 
@@ -56,7 +57,7 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
-    print(f"[1/8] read              {n0:>8} docs   ({sf_dir})")
+    print(f"[1/9] read              {n0:>8} docs   ({sf_dir})")
 
     # --- signals: quality score, language, entropy ---------------------
     signals = text_stats(docs).join(char_entropy(docs), "doc_id")
@@ -72,14 +73,24 @@ def main() -> None:
         ),
     ).drop("c4_text")
 
-    # --- quality gate: sane quality score and entropy -------------------
-    gated = cleaned.filter(
+    # --- LM perplexity against the id%5==0 reference slice (the
+    # KenLM-shaped fluency filter; NULL ppx = too short to score) --------
+    from etl_extract_transform_load_spark.scale.lm import (
+        perplexity_against_slice,
+    )
+
+    scored = cleaned.join(perplexity_against_slice(cleaned), "doc_id")
+    ppx_cut = 200_000.0  # keep unscorable docs; drop extreme outliers
+
+    # --- quality gate: sane quality score, entropy, perplexity ----------
+    gated = scored.filter(
         (F.length("text") > 0)
         & (F.col("quality_score") >= 1.0 / 3.0)
         & (F.col("entropy") > 1.0)  # drops degenerate repetition
+        & (F.col("ppx").isNull() | (F.col("ppx") <= ppx_cut))
     )
     n_gate = gated.count()
-    print(f"[2/8] quality gate      {n_gate:>8} kept   ({n0 - n_gate} dropped)")
+    print(f"[2/9] quality gate      {n_gate:>8} kept   ({n0 - n_gate} dropped)")
 
     # --- exact dedup (md5 clusters, min-id survivor) --------------------
     keep_exact = exact_dup_clusters(gated).select(
@@ -87,35 +98,60 @@ def main() -> None:
     )
     exact = gated.join(keep_exact, "doc_id")
     n_exact = exact.count()
-    print(f"[3/8] exact dedup       {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
+    print(f"[3/9] exact dedup       {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
+
+    # --- duplicated-substring spans (Lee-et-al span dedup): flag docs
+    # whose duplicated coverage exceeds half their tokens — boilerplate
+    # carriers — rather than cutting spans from text mid-pipeline ---------
+    from etl_extract_transform_load_spark.scale.dedup import (
+        duplicated_spans,
+    )
+    from etl_extract_transform_load_spark.scale.text import token_count_ws
+
+    span_cover = (
+        duplicated_spans(exact, n=8, min_docs=2)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    despanned = (
+        exact.join(span_cover, "doc_id", "left")
+        .withColumn("__nt", token_count_ws(F.col("text")))
+        .filter(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            <= F.col("__nt") * 0.5
+        )
+        .drop("dup_tokens", "__nt")
+    )
+    n_span = despanned.count()
+    print(f"[4/9] span dedup        {n_span:>8} kept   ({n_exact - n_span} dropped)")
 
     # --- near-dup dedup (MinHash LSH pairs → component survivors) -------
-    pairs = minhash_lsh_pairs(exact, threshold=0.5, cache=False)
-    near = dedup_survivors(exact, pairs)
+    pairs = minhash_lsh_pairs(despanned, threshold=0.5, cache=False)
+    near = dedup_survivors(despanned, pairs)
     n_near = near.count()
-    print(f"[4/8] near-dup dedup    {n_near:>8} kept   ({n_exact - n_near} dropped)")
+    print(f"[5/9] near-dup dedup    {n_near:>8} kept   ({n_span - n_near} dropped)")
 
     # --- deterministic split --------------------------------------------
     split = hash_split(near, {"train": 0.9, "val": 0.05, "test": 0.05})
     by_split = {r["split"]: r["n"] for r in
                 split.groupBy("split").agg(F.count("*").alias("n")).collect()}
-    print(f"[5/8] split             {by_split}")
+    print(f"[6/9] split             {by_split}")
 
     # --- context-window chunking ----------------------------------------
     chunks = chunk_documents(split, max_tokens=64).join(
         split.select("doc_id", "split"), "doc_id"
     )
     n_chunks = chunks.count()
-    print(f"[6/8] chunking          {n_chunks:>8} chunks of <=64 tokens")
+    print(f"[7/9] chunking          {n_chunks:>8} chunks of <=64 tokens")
 
     # --- manifest-verified write -----------------------------------------
     shutil.rmtree(out_dir, ignore_errors=True)
     write_with_manifest(chunks, out_dir, partition_by=["split"])
-    print(f"[7/8] wrote             {out_dir} (partitioned by split)")
+    print(f"[8/9] wrote             {out_dir} (partitioned by split)")
 
     back = spark.read.parquet(out_dir)
     verify_against_manifest(back, read_manifest(spark, out_dir))
-    print(f"[8/8] manifest verified {back.count():>8} rows round-tripped")
+    print(f"[9/9] manifest verified {back.count():>8} rows round-tripped")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,87 @@
+"""Bigram-LM perplexity: hand-checkable smoothing arithmetic plus the
+discriminative property (in-domain text scores lower perplexity than
+shuffled/garbage text against the same reference)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.lm import (
+    lm_perplexity,
+    perplexity_against_slice,
+    train_bigram_lm,
+)
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Reference corpus 'a b a b' → bigrams: (a,b)×2, (b,a)×1;
+    c(a)=2, c(b)=1, V=2, α=0.5. Scoring 'a b' (1 bigram):
+    p(b|a) = (2+0.5)/(2+1) = 5/6 → ppx = exp(-round(ln(5/6), 6))
+    = 1.200001 (the 6-dp log round nudges the last digit)."""
+    train = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    )
+    big, prev, v = train_bigram_lm(train)
+    assert v == 2
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "q"), (3, None)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in lm_perplexity(score, big, prev, v, alpha=0.5).collect()
+    }
+    lp = round(math.log((2 + 0.5) / (2 + 0.5 * 2)), 6)
+    assert rows[1].lm_bigrams == 1
+    assert rows[1].ppx == round(math.exp(-lp), 6) == 1.200001
+    # single-token and NULL docs: zero bigrams, NULL perplexity
+    assert rows[2].lm_bigrams == 0 and rows[2].ppx is None
+    assert rows[3].lm_bigrams == 0 and rows[3].ppx is None
+
+
+def test_unseen_bigrams_score_uniform(spark):
+    """Fully out-of-vocabulary text degrades to p = α/(α·V) = 1/V per
+    bigram → ppx = V exactly."""
+    train = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    big, prev, v = train_bigram_lm(train)
+    assert v == 5
+    score = spark.createDataFrame(
+        [(1, "x y z")], "doc_id long, text string"
+    )
+    row = lm_perplexity(score, big, prev, v, alpha=0.5).collect()[0]
+    lp = round(math.log(0.5 / (0.5 * 5)), 6)
+    assert row.ppx == round(math.exp(-lp), 6)  # ≈ V = 5
+
+
+def test_in_domain_beats_garbage(spark):
+    """Against the id%5==0 reference slice of real documents, a doc
+    REPEATING reference text must score lower perplexity than a doc
+    of tokens that never co-occur in the reference."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    ref_text = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("text")
+        .filter(F.col("text").isNotNull())
+        .first()[0]
+    )
+    probe = spark.createDataFrame(
+        [
+            (900001, ref_text),
+            (900002, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = {
+        r.doc_id: r.ppx
+        for r in perplexity_against_slice(
+            docs.select("doc_id", "text").unionByName(probe)
+        )
+        .filter(F.col("doc_id") > 900000)
+        .collect()
+    }
+    assert scored[900001] < scored[900002]

@@ -623,3 +623,96 @@ def test_duplicated_spans_portable_matches_fast_path(spark, docs_with_dups):
     )
     assert fast == portable
     assert fast  # planted exact dups guarantee non-empty spans
+
+
+# --- incremental MinHash index ----------------------------------------------
+
+
+def test_minhash_incremental_equals_rebuild(spark, docs_with_dups):
+    """The continuous-ingest contract: pairs(corpus ∪ batch) ==
+    pairs(corpus) ∪ query_pairs(upserted index, batch) — the O(batch)
+    incremental path loses nothing vs a full rebuild, including when
+    the batch contains near-dups of standing docs AND of itself."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        minhash_index_query_pairs,
+        minhash_index_upsert,
+    )
+
+    corpus = docs_with_dups.filter(F.col("doc_id") < 10000)
+    batch = docs_with_dups.filter(F.col("doc_id") >= 10000)
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs_with_dups, threshold=0.3).collect()
+    }
+    index = minhash_index_upsert(minhash_index_upsert(None, corpus), batch)
+    old_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    }
+    new_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_index_query_pairs(
+            index, docs_with_dups, batch.select("doc_id"), threshold=0.3
+        ).collect()
+    }
+    assert old_pairs & new_pairs == set()  # disjoint by construction
+    assert old_pairs | new_pairs == full
+    assert new_pairs  # planted exact dups straddle the split
+
+
+def test_minhash_upsert_replaces_reingested_ids(spark):
+    """A re-ingested id takes its NEW signature (anti-join-replace),
+    and the index never grows duplicate id rows."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        minhash_index_upsert,
+        minhash_signatures,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "entirely different text about spark partitions here")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "completely rewritten document body with novel tokens")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index_upsert(minhash_index_upsert(None, v1), v2)
+    assert idx.count() == 2
+    got = {r.doc_id: r.signature for r in idx.collect()}
+    want = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(v2).collect()
+    }
+    assert got[1] == want[1]  # doc 1 carries the v2 signature
+
+
+def test_remove_duplicated_spans(spark):
+    """Span removal cuts exactly the flagged token ranges; docs
+    without spans keep their original text byte-for-byte."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + shared + " y1"),
+            (2, shared + " z1 z2"),
+            (3, "Untouched  Original   Text"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, n=4, min_docs=2)
+    got = {
+        r.doc_id: r.clean
+        for r in remove_duplicated_spans(
+            docs, spans, out_col="clean"
+        ).collect()
+    }
+    assert got[1] == "x1 x2 y1"
+    assert got[2] == "z1 z2"
+    # no spans → verbatim original (whitespace preserved)
+    assert got[3] == "Untouched  Original   Text"

@@ -891,11 +891,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams→n_contaminated (the span token count is derivable).
     # portable=True → md5-based gram keys so the oracle replicates the
     # hashed pipeline, not just the output.
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
     from etl_extract_transform_load_spark.scale.dedup import (
         duplicated_spans,
     )
 
-    spans = duplicated_spans(docs, n=8, min_docs=2, portable=True).select(
+    # cache=True: the positional-gram table is read twice (frequency
+    # agg + join-back) — persist it during materialization, release
+    # before returning (checkpoint holds the small span result)
+    with released_caches():
+        span_rows = duplicated_spans(
+            docs, n=8, min_docs=2, portable=True, cache=True
+        ).localCheckpoint()
+    spans = span_rows.select(
         F.lit("dupspan").alias("part"),
         F.lit(None).cast("string").alias("text_md5"),
         F.col("span_start").cast("long").alias("n_copies"),
@@ -1076,31 +1086,57 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifies that the O(batch) incremental path loses nothing
     vs the rebuild."""
     from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
         released_caches,
     )
     from etl_extract_transform_load_spark.scale.dedup import (
         minhash_index_query_pairs,
         minhash_index_upsert,
+        minhash_signatures,
         portable_hash60,
+        shingle_arrays,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     with released_caches():  # signature+shingle persists released
+        # ONE signature pass + ONE shingle pass feed all three legs
+        # (full rebuild, standing-index stand-in, incremental verify)
+        # — the session-composition shape the sh_arrays/signatures
+        # parameters exist for. The standing old index is the sig
+        # table's <250 slice (in production it is read from storage);
+        # the upsert still computes the BATCH signatures from text —
+        # the O(batch) path under test.
+        sig = persist_tracked(
+            minhash_signatures(
+                docs.repartition(64), hash64=portable_hash60
+            ),
+            True,
+        )
+        sharr = persist_tracked(shingle_arrays(docs), True)
         full = minhash_lsh_pairs(
-            docs, threshold=0.3, hash64=portable_hash60
+            docs, threshold=0.3, signatures=sig, sh_arrays=sharr
         ).localCheckpoint()
         old = docs.filter(F.col("doc_id") < 250)
         batch = docs.filter(F.col("doc_id") >= 250)
         index = minhash_index_upsert(
-            minhash_index_upsert(None, old, hash64=portable_hash60),
+            sig.filter(F.col("doc_id") < 250),
             batch,
             hash64=portable_hash60,
         )
         incr = (
-            minhash_lsh_pairs(old, threshold=0.3, hash64=portable_hash60)
+            minhash_lsh_pairs(
+                old,
+                threshold=0.3,
+                signatures=sig.filter(F.col("doc_id") < 250),
+                sh_arrays=sharr,
+            )
             .unionByName(
                 minhash_index_query_pairs(
-                    index, docs, batch.select("doc_id"), threshold=0.3
+                    index,
+                    docs,
+                    batch.select("doc_id"),
+                    threshold=0.3,
+                    sh_arrays=sharr,
                 )
             )
             .localCheckpoint()

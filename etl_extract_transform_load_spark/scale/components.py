@@ -253,7 +253,11 @@ def pagerank(
     (contributions grouped by destination) plus a 1-row dangling
     aggregate that stays IN-PLAN (broadcast cross, no driver
     collect); per-sweep ``localCheckpoint`` caps the plan like
-    ``kmeans_converge``. Contributions are 12-dp rounded and
+    ``kmeans_converge`` — EAGER only when ``tol > 0`` (the delta
+    check runs an action per sweep anyway); in fixed-sweep mode the
+    checkpoints are lazy, so all sweeps execute in ONE job at the
+    caller's action with lineage still truncated at each
+    materialization. Contributions are 12-dp rounded and
     decimal-summed — order-free exact aggregation — and each sweep's
     rank rounds to 10 dp, so the trajectory is bit-identical under
     ANY partitioning and replicable by a sequential engine (the
@@ -322,7 +326,7 @@ def pagerank(
                     10,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=tol > 0)
         )
         if tol > 0:
             delta = (

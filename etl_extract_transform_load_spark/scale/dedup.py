@@ -273,6 +273,23 @@ def minhash_signatures(
     )
 
 
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(``__sid``, ``__sh``): per-doc distinct-shingle arrays — the
+    verify-side table of the MinHash family. Expose it so a session
+    composing several dedup calls (full pairs + incremental queries)
+    can materialize it ONCE and pass it to each (``sh_arrays=``
+    parameter) instead of re-shingling the corpus per call."""
+    return df.select(
+        F.col(id_col).alias("__sid"),
+        shingles(F.col(text_col), n).alias("__sh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -284,6 +301,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     hash64=F.xxhash64,
     cache: bool = True,
+    signatures: DataFrame | None = None,
+    sh_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -301,19 +320,29 @@ def minhash_lsh_pairs(
     (an array column), not a hash of it: exact equality semantics any
     engine reproduces, at the cost of a slightly wider shuffle key
     (r longs vs 8 bytes) — the candidate set is then bit-identical to
-    the DuckDB oracle's, with no cross-engine hash to agree on."""
+    the DuckDB oracle's, with no cross-engine hash to agree on.
+
+    ``signatures`` / ``sh_arrays``: bring-your-own materialized sketch
+    tables (a standing index read from storage, or tables shared with
+    sibling calls in the same session) — when given, the signature /
+    shingle passes over ``df`` are skipped entirely. ``signatures``
+    must cover exactly ``df``'s ids with the same
+    num_hashes/n/seed/hash function."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    df = df.repartition(64)
-    # persist: the banded self-join reads the signature table on both
-    # branches — without the cache the whole shingle→32-minima
-    # aggregation runs twice. Signatures are O(N) small rows; at
-    # corpus scale materializing the sketch IS the index build.
-    sig = persist_tracked(
-        minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash64),
-        cache,
-    )
-    banded = _band_table(sig, id_col, num_hashes, bands)
+    if signatures is None:
+        df = df.repartition(64)
+        # persist: the banded self-join reads the signature table on
+        # both branches — without the cache the whole shingle→minima
+        # aggregation runs twice. Signatures are O(N) small rows; at
+        # corpus scale materializing the sketch IS the index build.
+        signatures = persist_tracked(
+            minhash_signatures(
+                df, text_col, id_col, num_hashes, n, seed, hash64
+            ),
+            cache,
+        )
+    banded = _band_table(signatures, id_col, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(
@@ -327,7 +356,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_verify(cand, df, text_col, id_col, n, threshold, cache)
+    return _jaccard_verify(
+        cand, df, text_col, id_col, n, threshold, cache, sh_arrays
+    )
 
 
 def _band_table(
@@ -363,17 +394,17 @@ def _jaccard_verify(
     n: int,
     threshold: float,
     cache: bool,
+    sh_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Verify ONLY the candidate pairs: attach each side's distinct-
     shingle array and compute exact Jaccard per pair with array ops —
-    cost scales with |candidates|, not with the corpus pair count."""
-    sh_arrays = persist_tracked(
-        df.select(
-            F.col(id_col).alias("__sid"),
-            shingles(F.col(text_col), n).alias("__sh"),
-        ),
-        cache,
-    )  # joined twice (id_a side, id_b side)
+    cost scales with |candidates|, not with the corpus pair count.
+    Pass a pre-materialized ``sh_arrays`` (from
+    :func:`shingle_arrays`) to skip the shingle pass."""
+    if sh_arrays is None:
+        sh_arrays = persist_tracked(
+            shingle_arrays(df, text_col, id_col, n), cache
+        )  # joined twice (id_a side, id_b side)
     return (
         cand.join(
             sh_arrays.select(
@@ -441,6 +472,7 @@ def minhash_index_query_pairs(
     n: int = 3,
     threshold: float = 0.3,
     cache: bool = True,
+    sh_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the batch, against the standing index:
     band the batch signatures only (broadcast-semi restriction), join
@@ -476,7 +508,9 @@ def minhash_index_query_pairs(
         )
         .distinct()
     )
-    return _jaccard_verify(cand, docs, text_col, id_col, n, threshold, cache)
+    return _jaccard_verify(
+        cand, docs, text_col, id_col, n, threshold, cache, sh_arrays
+    )
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -630,6 +664,7 @@ def duplicated_spans(
     n: int = 8,
     min_docs: int = 2,
     portable: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring detection, the span-level dedup
     family of Lee et al., "Deduplicating Training Data Makes Language
@@ -654,7 +689,12 @@ def duplicated_spans(
 
     ``portable=True`` swaps xxhash64 for the md5-based
     :func:`portable_hash60` so an independent engine (the DuckDB
-    oracle) can replicate the hashed pipeline bit-for-bit."""
+    oracle) can replicate the hashed pipeline bit-for-bit.
+
+    ``cache=True`` persists the hashed positional-gram table, which
+    the plan reads twice (frequency aggregation + join-back) — one
+    concat+hash pass instead of two, at ~20 bytes/token of executor
+    storage; release with ``released_caches()`` as usual."""
     from pyspark.sql.window import Window
 
     occ = positional_ngrams(df, text_col, id_col, n)
@@ -663,7 +703,9 @@ def duplicated_spans(
         if portable
         else F.xxhash64("gram")
     )
-    occ = occ.select("__id", "pos", key.alias("__k"))
+    occ = persist_tracked(
+        occ.select("__id", "pos", key.alias("__k")), cache
+    )
     dup_keys = (
         occ.groupBy("__k")
         .agg(F.count_distinct("__id").alias("__nd"))

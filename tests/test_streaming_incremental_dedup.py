@@ -1,0 +1,102 @@
+"""Continuous-ingest near-dup dedup under REAL streaming execution:
+documents arrive as a file stream (one file per micro-batch), each
+micro-batch upserts the standing MinHash signature index (O(batch))
+and queries itself against it — after the stream drains, the
+accumulated pair set must equal a full one-shot rebuild over
+everything ingested. This is the end-to-end composition of
+``streaming.ingest.foreach_batch_ingest`` with
+``scale.dedup.minhash_index_upsert`` / ``minhash_index_query_pairs``:
+the production shape where the index lives in storage between
+batches and no batch ever re-reads the whole corpus's text."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_minhash_ingest_equals_rebuild(spark, tmp_path):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        minhash_index_query_pairs,
+        minhash_index_upsert,
+        minhash_lsh_pairs,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    # plant cross-batch dups: copies of low-id docs with high ids so
+    # batches collide against the STANDING index, not just themselves
+    dups = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(dups)
+
+    src = str(tmp_path / "src")
+    all_docs.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    seen_dir = str(tmp_path / "seen")
+    state = {"index_version": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # stable within the batch
+        if batch.rdd.isEmpty():
+            return
+        # standing index from storage (None on the first batch)
+        prev = (
+            spark.read.parquet(f"{index_dir}/v{state['index_version']}")
+            if state["index_version"] >= 0
+            else None
+        )
+        index = minhash_index_upsert(prev, batch)
+        index.write.parquet(f"{index_dir}/v{batch_id}")
+        state["index_version"] = batch_id
+        # docs seen so far (verify side needs candidate texts)
+        batch.write.mode("append").parquet(seen_dir)
+        seen = spark.read.parquet(seen_dir)
+        new_pairs = minhash_index_query_pairs(
+            spark.read.parquet(f"{index_dir}/v{batch_id}"),
+            seen,
+            batch.select("doc_id"),
+            threshold=0.3,
+            cache=False,
+        )
+        new_pairs.write.mode("append").parquet(pairs_dir)
+
+    stream = file_stream_source(
+        spark, src, schema=all_docs.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+
+    assert os.path.isdir(pairs_dir), "no batch produced pairs"
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            all_docs, threshold=0.3, cache=False
+        ).collect()
+    }
+    assert got == want
+    assert want  # the planted dups guarantee a non-trivial pair set
+    # the final index covers every ingested id exactly once
+    final = spark.read.parquet(f"{index_dir}/v{state['index_version']}")
+    assert final.count() == all_docs.count()
+    assert final.select("doc_id").distinct().count() == all_docs.count()

@@ -901,22 +901,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache=True: the positional-gram table is read twice (frequency
     # agg + join-back) — persist it during materialization, release
     # before returning (checkpoint holds the small span result)
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contaminated_spans,
+    )
+
     with released_caches():
         span_rows = duplicated_spans(
             docs, n=8, min_docs=2, portable=True, cache=True
         ).localCheckpoint()
-    spans = span_rows.select(
-        F.lit("dupspan").alias("part"),
-        F.lit(None).cast("string").alias("text_md5"),
-        F.col("span_start").cast("long").alias("n_copies"),
-        F.col("span_end").cast("long").alias("keep_id"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_grams").cast("long").alias("n_contaminated"),
-    )
+        # fifth branch (r6): SPAN-level decontamination against the
+        # same id<10 benchmark — where exactly the leak sits, so spans
+        # can be cut instead of docs dropped
+        cspan_rows = contaminated_spans(
+            docs, docs.filter(F.col("doc_id") < 10), n=8, portable=True
+        ).localCheckpoint()
+
+    def span_slots(rows: DataFrame, part: str) -> DataFrame:
+        return rows.select(
+            F.lit(part).alias("part"),
+            F.lit(None).cast("string").alias("text_md5"),
+            F.col("span_start").cast("long").alias("n_copies"),
+            F.col("span_end").cast("long").alias("keep_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_contaminated"),
+        )
+
     return (
         clusters.unionByName(contam)
         .unionByName(incr)
-        .unionByName(spans)
+        .unionByName(span_slots(span_rows, "dupspan"))
+        .unionByName(span_slots(cspan_rows, "contamspan"))
     )
 
 
@@ -972,6 +986,29 @@ pspan AS (
     SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
            COUNT(*) AS n_grams
     FROM pgrp GROUP BY doc_id, isl
+),
+-- contamspan branch: same positional grams, hits = keys present in
+-- the id<10 benchmark slice, same islands merge
+cbk AS (SELECT DISTINCT k FROM pocc WHERE doc_id < 10),
+chit AS (SELECT pocc.doc_id, pocc.pos FROM pocc JOIN cbk USING (k)),
+cisl AS (
+    SELECT doc_id, pos,
+           CASE WHEN MAX(pos + 7) OVER w IS NULL
+                  OR pos > MAX(pos + 7) OVER w + 1
+                THEN 1 ELSE 0 END AS new_isl
+    FROM chit
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+cgrp AS (
+    SELECT doc_id, pos,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM cisl
+),
+cspan AS (
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           COUNT(*) AS n_grams
+    FROM cgrp GROUP BY doc_id, isl
 )
 SELECT 'clusters' AS part,
        MD5(text) AS text_md5,
@@ -1009,6 +1046,9 @@ FROM (
 UNION ALL
 SELECT 'dupspan', NULL::VARCHAR, span_start, span_end, doc_id, n_grams
 FROM pspan
+UNION ALL
+SELECT 'contamspan', NULL::VARCHAR, span_start, span_end, doc_id, n_grams
+FROM cspan
 """
 
 

@@ -695,8 +695,6 @@ def duplicated_spans(
     the plan reads twice (frequency aggregation + join-back) — one
     concat+hash pass instead of two, at ~20 bytes/token of executor
     storage; release with ``released_caches()`` as usual."""
-    from pyspark.sql.window import Window
-
     occ = positional_ngrams(df, text_col, id_col, n)
     key = (
         portable_hash60(F.col("gram"))
@@ -715,6 +713,15 @@ def duplicated_spans(
     # (__id, pos) is unique by construction (one gram per position,
     # dup_keys is unique per key) — no dedup shuffle needed
     hits = occ.join(dup_keys, "__k").select("__id", "pos")
+    return _position_islands(hits, n, id_col)
+
+
+def _position_islands(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge flagged n-gram start positions (``__id``, ``pos``) into
+    maximal spans: gaps-and-islands with a per-doc running-max window
+    (state = one document's flagged positions)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("__id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -746,6 +753,43 @@ def duplicated_spans(
             "n_grams",
         )
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: where exactly does a
+    corpus doc overlap the benchmark suite? :func:`contamination_flags`
+    counts shared n-grams per doc; this returns the maximal token
+    spans covered by benchmark-matching n-grams — ``(doc_id,
+    span_start, span_end, span_tokens, n_grams)`` — so the caller can
+    CUT the leaked spans (:func:`remove_duplicated_spans`) instead of
+    dropping whole documents that merely quote a benchmark item.
+
+    Shape: benchmark grams aggregate to their DISTINCT hashed keys and
+    broadcast (benchmark suites are small by construction); the corpus
+    side is one scan-stage positional explode + broadcast join +
+    per-doc islands window — no corpus shuffle before the per-doc
+    window, at any corpus scale."""
+    key_fn = portable_hash60 if portable else F.xxhash64
+    bench_keys = F.broadcast(
+        positional_ngrams(
+            benchmark, bench_text_col or text_col, id_col, n
+        )
+        .select(key_fn(F.col("gram")).alias("__k"))
+        .distinct()
+    )
+    occ = positional_ngrams(corpus, text_col, id_col, n).select(
+        "__id", "pos", key_fn(F.col("gram")).alias("__k")
+    )
+    hits = occ.join(bench_keys, "__k").select("__id", "pos")
+    return _position_islands(hits, n, id_col)
 
 
 def remove_duplicated_spans(

@@ -716,3 +716,38 @@ def test_remove_duplicated_spans(spark):
     assert got[2] == "z1 z2"
     # no spans → verbatim original (whitespace preserved)
     assert got[3] == "Untouched  Original   Text"
+
+
+def test_contaminated_spans_locates_benchmark_overlap(spark):
+    """Span-level decontamination: the corpus doc quoting a benchmark
+    item gets exactly the quoted token range flagged; clean docs get
+    nothing; the benchmark doc flags itself fully."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        contaminated_spans,
+    )
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here " + bench_text + " outro"),
+            (2, "totally unrelated corpus document text body"),
+            (100, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(corpus, bench, n=8).collect()
+    }
+    assert got == {(1, 4, 11, 8), (100, 1, 8, 8)}
+    # portable path produces identical spans
+    portable = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(
+            corpus, bench, n=8, portable=True
+        ).collect()
+    }
+    assert portable == got

@@ -160,6 +160,128 @@ def linear_fit(
     return [float(c) for c in coef]
 
 
+def logistic_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> list[float]:
+    """Binary logistic regression via IRLS (Newton-Raphson) — the
+    model-based quality-classifier tier of a curation pipeline (the
+    classic keep/drop filter is a logistic model over tf-idf / signal
+    features, scored corpus-wide). Returns coefficients in
+    :func:`linear_fit`'s layout.
+
+    Each Newton step is ONE aggregation pass: the current β rides the
+    plan as broadcast literals, p = σ(Xβ) and the weights w = p(1−p)
+    are scan-stage expressions, and the pass accumulates the d×d
+    penalized Hessian Σ w·x_i·x_j plus the gradient Σ (y−p)·x_i —
+    state is d², never rows; the d×d solve runs on the driver.
+    Iterations stop at ``max|Δβ| < tol`` or ``max_iter``. ``l2`` is
+    ridge on non-intercept terms (both in the Hessian and the
+    gradient — the penalized Newton step). Rows with NULL/NaN in any
+    feature or label are excluded; labels must be 0/1. Collinear
+    features give an exactly-singular Hessian on the first step —
+    raised with the same pass-a-ridge guidance as :func:`linear_fit`.
+    Linearly separable data with ``l2 == 0`` has NO finite optimum:
+    the clamp keeps the iteration finite (coefficients creep along
+    the saturation plateau until ``max_iter``) but the answer is
+    arbitrary — pass ``l2 > 0`` for a defined one.
+
+    Numerics follow :func:`linear_fit`: plain float64 accumulation
+    (no oracle contract; last-bit results can vary with
+    partitioning), with the linear predictor clamped to ±35 before
+    ``exp`` so extreme rows saturate instead of overflowing."""
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    cols = [F.lit(1.0).cast("double")] if fit_intercept else []
+    cols += [F.col(f"`{c}`").cast("double") for c in feats]
+    yv = F.col(f"`{y_col}`").cast("double")
+    nn = yv.isNotNull() & ~F.isnan(yv)
+    for c in feats:
+        xc = F.col(f"`{c}`").cast("double")
+        nn = nn & xc.isNotNull() & ~F.isnan(xc)
+    d = len(cols)
+    beta = np.zeros(d)
+    for _ in range(max_iter):
+        eta = F.lit(0.0)
+        for i in range(d):
+            eta = eta + F.lit(float(beta[i])) * cols[i]
+        eta = F.greatest(F.lit(-35.0), F.least(F.lit(35.0), eta))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        resid = yv - p
+        aggs = []
+        for i in range(d):
+            for j in range(i, d):  # symmetric: upper triangle only
+                aggs.append(
+                    F.sum(F.when(nn, w * cols[i] * cols[j])).alias(
+                        f"h_{i}_{j}"
+                    )
+                )
+            aggs.append(F.sum(F.when(nn, resid * cols[i])).alias(f"g_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        hess = np.zeros((d, d))
+        grad = np.zeros(d)
+        for i in range(d):
+            for j in range(i, d):
+                v = row[f"h_{i}_{j}"]
+                hess[i, j] = hess[j, i] = (
+                    float(v) if v is not None else 0.0
+                )
+            gv = row[f"g_{i}"]
+            grad[i] = float(gv) if gv is not None else 0.0
+        if l2:
+            reg = np.eye(d) * float(l2)
+            if fit_intercept:
+                reg[0, 0] = 0.0
+            hess = hess + reg
+            pen = float(l2) * beta
+            if fit_intercept:
+                pen[0] = 0.0
+            grad = grad - pen
+        try:
+            step = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "singular IRLS Hessian (separable or collinear data) "
+                "— pass l2 > 0 for a regularized solution"
+            ) from exc
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+    return [float(b) for b in beta]
+
+
+def predict_logistic(
+    df: DataFrame,
+    coef: Sequence[float],
+    feature_cols: Sequence[str],
+    out_col: str = "probability",
+    fit_intercept: bool = True,
+) -> DataFrame:
+    """σ(Xβ) with broadcast-literal coefficients — the same pure
+    scan-stage scoring shape as :func:`predict_linear` (whole-stage
+    codegen, no shuffle, no UDF); threshold downstream for the
+    keep/drop gate."""
+    scored = predict_linear(
+        df, coef, feature_cols, out_col="__eta",
+        fit_intercept=fit_intercept,
+    )
+    eta = F.greatest(
+        F.lit(-35.0), F.least(F.lit(35.0), F.col("__eta"))
+    )
+    return scored.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    ).drop("__eta")
+
+
 def predict_linear(
     df: DataFrame,
     coef: Sequence[float],

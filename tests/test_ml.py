@@ -199,3 +199,97 @@ def test_one_hot_categories_and_unseen(spark):
 
     with _pt.raises(ValueError, match="more than"):
         one_hot(df, "color", max_categories=1)
+
+
+# --- logistic regression (IRLS) ---------------------------------------------
+
+
+def test_logistic_fit_matches_local_irls(spark):
+    """Distributed one-pass-per-iteration IRLS equals a local numpy
+    IRLS on the identical rows (same algorithm, same iteration count,
+    same ridge) to float tolerance."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.ml import logistic_fit
+
+    rng = np.random.RandomState(7)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    eta = 0.8 + 1.5 * x1 - 2.0 * x2
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+    got = np.array(
+        logistic_fit(df, ["x1", "x2"], "y", l2=1e-3, max_iter=25)
+    )
+
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.zeros(3)
+    reg = np.eye(3) * 1e-3
+    reg[0, 0] = 0.0
+    for _ in range(25):
+        e = np.clip(X @ beta, -35, 35)
+        p = 1 / (1 + np.exp(-e))
+        w = p * (1 - p)
+        H = X.T @ (X * w[:, None]) + reg
+        pen = 1e-3 * beta
+        pen[0] = 0.0
+        g = X.T @ (y - p) - pen
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.max(np.abs(step)) < 1e-8:
+            break
+    assert np.allclose(got, beta, atol=1e-6), (got, beta)
+    # and the fit recovers the planted signs/ordering
+    assert got[1] > 0 > got[2]
+
+
+def test_logistic_quality_gate_separates(spark):
+    """The composed quality-classifier shape: train on labeled docs,
+    score scan-stage, threshold — clearly separated feature clusters
+    classify perfectly."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.ml import (
+        logistic_fit,
+        predict_logistic,
+    )
+
+    rng = np.random.RandomState(11)
+    good = [(float(rng.normal(3, 0.3)), 1.0) for _ in range(120)]
+    bad = [(float(rng.normal(-3, 0.3)), 0.0) for _ in range(120)]
+    df = spark.createDataFrame(good + bad, "score double, y double")
+    coef = logistic_fit(df, ["score"], "y", l2=1e-2)
+    out = predict_logistic(df, coef, ["score"])
+    wrong = out.filter(
+        ((out.probability >= 0.5) & (out.y == 0.0))
+        | ((out.probability < 0.5) & (out.y == 1.0))
+    ).count()
+    assert wrong == 0
+
+
+def test_logistic_collinear_raises_and_nulls_excluded(spark):
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.ml import logistic_fit
+
+    # exactly collinear features -> singular first-step Hessian
+    dup = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, 2.0, 0.0), (3.0, 3.0, 1.0),
+         (4.0, 4.0, 0.0)],
+        "a double, b double, y double",
+    )
+    with pytest.raises(ValueError, match="l2 > 0"):
+        logistic_fit(dup, ["a", "b"], "y", l2=0.0)
+
+    # NULL-feature rows are excluded: fit == fit on the clean subset
+    clean = [(0.5, 1.0), (1.5, 1.0), (-0.5, 0.0), (-1.5, 0.0),
+             (0.2, 1.0), (-0.2, 0.0)]
+    with_nulls = clean + [(None, 1.0), (99.0, None)]
+    df_c = spark.createDataFrame(clean, "x double, y double")
+    df_n = spark.createDataFrame(with_nulls, "x double, y double")
+    got_c = logistic_fit(df_c, ["x"], "y", l2=1e-2)
+    got_n = logistic_fit(df_n, ["x"], "y", l2=1e-2)
+    assert got_c == got_n

@@ -293,3 +293,58 @@ def test_logistic_collinear_raises_and_nulls_excluded(spark):
     got_c = logistic_fit(df_c, ["x"], "y", l2=1e-2)
     got_n = logistic_fit(df_n, ["x"], "y", l2=1e-2)
     assert got_c == got_n
+
+
+def test_lr_quality_classifier_over_signal_features(spark):
+    """The composed model-based curation filter: a logistic classifier
+    over the engine's own quality signals (character entropy + bigram
+    LM perplexity) separates real documents from degenerate
+    repeated-token "boilerplate" docs. This is the production
+    keep/drop shape — features from verified signal operators, one
+    IRLS fit, scan-stage scoring."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from etl_extract_transform_load_spark.scale.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+    from etl_extract_transform_load_spark.scale.ml import (
+        logistic_fit,
+        predict_logistic,
+    )
+    from etl_extract_transform_load_spark.scale.text import char_entropy
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .limit(80)
+    )
+    degenerate = docs.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(F.lit("zz"), F.substring("text", 1, 2)), 40
+            ),
+            " ",
+        ).alias("text"),
+    )
+    big, prev, v = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    corpus = docs.unionByName(degenerate)
+    feats = (
+        lm_perplexity(corpus, big, prev, v)
+        .join(char_entropy(corpus), "doc_id")
+        .filter(F.col("ppx").isNotNull())
+        .withColumn("y", (F.col("doc_id") < 700000).cast("double"))
+        .withColumn("log_ppx", F.log("ppx"))
+    )
+    coef = logistic_fit(feats, ["log_ppx", "entropy"], "y", l2=1e-2)
+    scored = predict_logistic(feats, coef, ["log_ppx", "entropy"])
+    n = scored.count()
+    correct = scored.filter(
+        ((F.col("probability") >= 0.5) & (F.col("y") == 1.0))
+        | ((F.col("probability") < 0.5) & (F.col("y") == 0.0))
+    ).count()
+    assert n > 100
+    assert correct / n >= 0.9, f"accuracy {correct}/{n}"

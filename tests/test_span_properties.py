@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the duplicated-span family:
+``duplicated_spans`` against an independent pure-Python twin of the
+documented semantics (positional n-grams → cross-doc frequency →
+gaps-and-islands merge), plus structural invariants every span set
+must satisfy. Batched: each hypothesis example is ONE corpus → one
+Spark job."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_extract_transform_load_spark.scale.dedup import duplicated_spans
+
+N = 3
+MIN_DOCS = 2
+
+# small token alphabet → collisions (shared grams) are likely
+_token = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_token, min_size=0, max_size=14)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _py_spans(docs: list[list[str]]) -> set[tuple]:
+    """Independent reference: same semantics, no Spark."""
+    occ = defaultdict(set)  # gram -> {doc ids}
+    pos = defaultdict(list)  # doc id -> [1-based duplicated starts]
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - N + 1):
+            occ[tuple(toks[p : p + N])].add(i)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - N + 1):
+            if len(occ[tuple(toks[p : p + N])]) >= MIN_DOCS:
+                pos[i].append(p + 1)
+    out = set()
+    for i, starts in pos.items():
+        cur = [starts[0], starts[0] + N - 1, 1]  # start, end, n_grams
+        for p in starts[1:]:
+            if p <= cur[1] + 1:
+                cur[1] = max(cur[1], p + N - 1)
+                cur[2] += 1
+            else:
+                out.add((i, cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+                cur = [p, p + N - 1, 1]
+        out.add((i, cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_duplicated_spans_match_python_twin(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in duplicated_spans(docs, n=N, min_docs=MIN_DOCS).collect()
+    }
+    assert got == _py_spans(corpus)
+    # structural invariants: per-doc spans are disjoint, non-adjacent
+    # (else they would have merged), in-bounds, and at least n tokens
+    by_doc = defaultdict(list)
+    for d, s, e, t, g in got:
+        assert 1 <= s <= e <= len(corpus[d])
+        assert t == e - s + 1 >= N
+        assert 1 <= g <= t - N + 1
+        by_doc[d].append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # a gap of at least one clean token

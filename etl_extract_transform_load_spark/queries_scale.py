@@ -244,7 +244,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("component"),
     )
-    return star.unionByName(pr)
+    # fourth branch (r6): per-node triangle counts over the same pair
+    # graph (degree-ordered wedge counting — the local-clustering
+    # signal; counts ride the component slot)
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts,
+    )
+
+    tri = triangle_counts(pairs).select(
+        F.lit("triangles").alias("algo"),
+        "node",
+        F.col("triangles").cast("long").alias("component"),
+    )
+    return star.unionByName(pr).unionByName(tri)
 
 
 #: Fixed sweep count for the oracle-pinned PageRank branch.
@@ -320,8 +332,26 @@ comp AS (
     FROM reach
     GROUP BY node
 ),
-{_pagerank_oracle_ctes()}
+{_pagerank_oracle_ctes()},
+-- triangles: canonical (id_a < id_b) edge list; each triangle x<y<z
+-- found once via (x,y)+(x,z) wedge closed by (y,z)
+twedge AS (
+    SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+    FROM pairs e1 JOIN pairs e2
+      ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+),
+ttri AS (
+    SELECT x, y, z FROM twedge
+    JOIN pairs e3 ON e3.id_a = twedge.y AND e3.id_b = twedge.z
+),
+tcnt AS (
+    SELECT node, COUNT(*) AS c
+    FROM (SELECT UNNEST([x, y, z]) AS node FROM ttri)
+    GROUP BY node
+)
 SELECT 'star' AS algo, node, component FROM comp
+UNION ALL
+SELECT 'triangles' AS algo, node, c AS component FROM tcnt
 UNION ALL
 SELECT 'pagerank' AS algo, node,
        CAST(ROUND(rank * 1e10) AS BIGINT) AS component
@@ -901,19 +931,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache=True: the positional-gram table is read twice (frequency
     # agg + join-back) — persist it during materialization, release
     # before returning (checkpoint holds the small span result)
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+    )
     from etl_extract_transform_load_spark.scale.dedup import (
         contaminated_spans,
+        hashed_positional_table,
     )
 
     with released_caches():
+        # ONE hashed positional-gram pass feeds both span branches
+        # (dupspan reads it twice, contamspan once more)
+        occ = persist_tracked(
+            hashed_positional_table(docs, n=8, portable=True), True
+        )
         span_rows = duplicated_spans(
-            docs, n=8, min_docs=2, portable=True, cache=True
+            docs, n=8, min_docs=2, occ=occ
         ).localCheckpoint()
         # fifth branch (r6): SPAN-level decontamination against the
         # same id<10 benchmark — where exactly the leak sits, so spans
         # can be cut instead of docs dropped
         cspan_rows = contaminated_spans(
-            docs, docs.filter(F.col("doc_id") < 10), n=8, portable=True
+            docs,
+            docs.filter(F.col("doc_id") < 10),
+            n=8,
+            portable=True,
+            occ=occ,
         ).localCheckpoint()
 
     def span_slots(rows: DataFrame, part: str) -> DataFrame:

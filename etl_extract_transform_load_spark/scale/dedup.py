@@ -628,6 +628,23 @@ def simhash_near_dup_pairs(
 # --- exact duplicated substrings (suffix-array-style span dedup) ----------
 
 
+def hashed_positional_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(``__id``, ``pos``, ``__k``): the hashed positional-gram table
+    the span operators consume — exposed so one materialization can
+    feed both :func:`duplicated_spans` and :func:`contaminated_spans`
+    in the same session (their ``occ=`` parameter)."""
+    key_fn = portable_hash60 if portable else F.xxhash64
+    return positional_ngrams(df, text_col, id_col, n).select(
+        "__id", "pos", key_fn(F.col("gram")).alias("__k")
+    )
+
+
 def positional_ngrams(
     df: DataFrame,
     text_col: str = "text",
@@ -665,6 +682,7 @@ def duplicated_spans(
     min_docs: int = 2,
     portable: bool = False,
     cache: bool = False,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring detection, the span-level dedup
     family of Lee et al., "Deduplicating Training Data Makes Language
@@ -694,16 +712,16 @@ def duplicated_spans(
     ``cache=True`` persists the hashed positional-gram table, which
     the plan reads twice (frequency aggregation + join-back) — one
     concat+hash pass instead of two, at ~20 bytes/token of executor
-    storage; release with ``released_caches()`` as usual."""
-    occ = positional_ngrams(df, text_col, id_col, n)
-    key = (
-        portable_hash60(F.col("gram"))
-        if portable
-        else F.xxhash64("gram")
-    )
-    occ = persist_tracked(
-        occ.select("__id", "pos", key.alias("__k")), cache
-    )
+    storage; release with ``released_caches()`` as usual. ``occ``:
+    bring your own (``__id``, ``pos``, ``__k``) table (from
+    :func:`hashed_positional_table`, shared with a sibling
+    :func:`contaminated_spans` call) — ``text_col``/``portable``/
+    ``cache`` are then ignored for the gram pass."""
+    if occ is None:
+        occ = persist_tracked(
+            hashed_positional_table(df, text_col, id_col, n, portable),
+            cache,
+        )
     dup_keys = (
         occ.groupBy("__k")
         .agg(F.count_distinct("__id").alias("__nd"))
@@ -763,6 +781,7 @@ def contaminated_spans(
     bench_text_col: str | None = None,
     n: int = 8,
     portable: bool = False,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """SPAN-level benchmark decontamination: where exactly does a
     corpus doc overlap the benchmark suite? :func:`contamination_flags`
@@ -776,18 +795,20 @@ def contaminated_spans(
     broadcast (benchmark suites are small by construction); the corpus
     side is one scan-stage positional explode + broadcast join +
     per-doc islands window — no corpus shuffle before the per-doc
-    window, at any corpus scale."""
-    key_fn = portable_hash60 if portable else F.xxhash64
+    window, at any corpus scale. ``occ``: bring your own corpus-side
+    hashed table (see :func:`hashed_positional_table`), shared with a
+    sibling :func:`duplicated_spans` call."""
     bench_keys = F.broadcast(
-        positional_ngrams(
-            benchmark, bench_text_col or text_col, id_col, n
+        hashed_positional_table(
+            benchmark, bench_text_col or text_col, id_col, n, portable
         )
-        .select(key_fn(F.col("gram")).alias("__k"))
+        .select("__k")
         .distinct()
     )
-    occ = positional_ngrams(corpus, text_col, id_col, n).select(
-        "__id", "pos", key_fn(F.col("gram")).alias("__k")
-    )
+    if occ is None:
+        occ = hashed_positional_table(
+            corpus, text_col, id_col, n, portable
+        )
     hits = occ.join(bench_keys, "__k").select("__id", "pos")
     return _position_islands(hits, n, id_col)
 

@@ -576,3 +576,58 @@ def test_pagerank_dangling_and_partition_invariance(spark):
         for r in pagerank(edges.repartition(7), max_iter=30).collect()
     }
     assert a == b  # 10-dp per-sweep rounds pin the fixpoint exactly
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangle_counts_known_graphs(spark):
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts,
+    )
+
+    def counts(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r.node: r.triangles for r in triangle_counts(df).collect()
+        }
+
+    # K4: every vertex sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert counts(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path graph: zero triangles -> empty result
+    assert counts([(1, 2), (2, 3), (3, 4)]) == {}
+    # one triangle + a pendant edge; mirrored/duplicate/self edges
+    # collapse via the canonical distinct
+    messy = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (3, 4), (1, 2)]
+    assert counts(messy) == {1: 1, 2: 1, 3: 1}
+    # two triangles sharing an edge: shared endpoints count both
+    bowtie_ish = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    assert counts(bowtie_ish) == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_match_bruteforce_random(spark):
+    """Degree-ordered wedge enumeration equals the O(n^3) brute force
+    on a random graph (hub-heavy: star + random chords)."""
+    import itertools
+    import random
+
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts,
+    )
+
+    rng = random.Random(13)
+    n = 18
+    edges = {(0, i) for i in range(1, n)}  # hub star
+    for _ in range(40):
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if ((x, y) in eset and (x, z) in eset and (y, z) in eset):
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want

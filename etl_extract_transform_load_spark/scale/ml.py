@@ -259,6 +259,176 @@ def logistic_fit(
     return [float(b) for b in beta]
 
 
+def logistic_fit_sparse(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    feature_col: str = "feature",
+    value_col: str = "tfidf",
+    y_col: str = "y",
+    lr: float = 0.5,
+    l2: float = 0.0,
+    max_iter: int = 20,
+    fit_intercept: bool = True,
+    intercept_key: int = -1,
+) -> DataFrame:
+    """Binary logistic regression over SPARSE long-form features
+    (``(id, feature, value)`` — e.g. :func:`scale.vectorize.
+    hashed_tfidf`'s output): full-batch gradient descent where the
+    MODEL ITSELF is a ``(feature, weight)`` table, so vocabulary-sized
+    (million-feature) models never touch the driver — the large-vocab
+    regime where :func:`logistic_fit`'s d² dense Hessian is
+    impossible. This is the classic web-corpus quality-classifier
+    shape (an LR over sparse tf-idf features scored corpus-wide).
+
+    Each iteration is sparse relational algebra, no dense vectors and
+    no UDFs: the margin is a feature-key join + per-doc sum, the
+    mean-gradient is the residual joined back + per-feature sum, and
+    the update is one full-outer join of the weight and gradient
+    tables (features enter the model the first time their gradient is
+    nonzero — an inner join against an empty initial model correctly
+    scores iteration 0 at p = 0.5). ``l2`` shrinks non-intercept
+    weights (gradient of the penalized mean log-likelihood);
+    ``fit_intercept`` plants a constant feature under
+    ``intercept_key`` (choose a key outside the real feature space).
+    Per-iteration ``localCheckpoint(eager=False)`` truncates lineage
+    without forcing a job per step. Plain float64 sums (no oracle
+    contract): last-bit results can vary with partitioning.
+
+    Returns the ``(feature, weight)`` model; score with
+    :func:`predict_logistic_sparse`. Labels must be 0/1; docs in
+    ``labels`` with no features train the intercept only."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    f = feats.select(
+        F.col(id_col).alias("__id"),
+        F.col(feature_col).cast("long").alias("__f"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    lab = labels.select(
+        F.col(id_col).alias("__id"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    if fit_intercept:
+        f = f.unionByName(
+            lab.select(
+                "__id",
+                F.lit(int(intercept_key)).cast("long").alias("__f"),
+                F.lit(1.0).alias("__v"),
+            )
+        )
+    f = f.localCheckpoint()
+    n = lab.count()
+    if n == 0:
+        raise ValueError("logistic_fit_sparse: empty label set")
+    spark = feats.sparkSession
+    beta = spark.createDataFrame([], "__f long, __w double")
+    for _ in range(max_iter):
+        eta = (
+            f.join(beta, "__f")
+            .groupBy("__id")
+            .agg(F.sum(F.col("__v") * F.col("__w")).alias("__eta"))
+        )
+        resid = (
+            lab.join(eta, "__id", "left")
+            .select(
+                "__id",
+                (
+                    F.col("__y")
+                    - F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -F.greatest(
+                                F.lit(-35.0),
+                                F.least(
+                                    F.lit(35.0),
+                                    F.coalesce(F.col("__eta"), F.lit(0.0)),
+                                ),
+                            )
+                        )
+                    )
+                ).alias("__r"),
+            )
+        )
+        grad = (
+            f.join(resid, "__id")
+            .groupBy("__f")
+            .agg((F.sum(F.col("__v") * F.col("__r")) / F.lit(float(n))).alias("__g"))
+        )
+        penalized = F.when(
+            F.col("__f") == F.lit(int(intercept_key)), F.lit(0.0)
+        ).otherwise(F.lit(float(l2)) * F.coalesce(F.col("__w"), F.lit(0.0)))
+        beta = (
+            beta.join(grad, "__f", "full_outer")
+            .select(
+                "__f",
+                (
+                    F.coalesce(F.col("__w"), F.lit(0.0))
+                    + F.lit(float(lr))
+                    * (F.coalesce(F.col("__g"), F.lit(0.0)) - penalized)
+                ).alias("__w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return beta.select(
+        F.col("__f").alias(feature_col), F.col("__w").alias("weight")
+    )
+
+
+def predict_logistic_sparse(
+    feats: DataFrame,
+    model: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    feature_col: str = "feature",
+    value_col: str = "tfidf",
+    out_col: str = "probability",
+    intercept_key: int = -1,
+) -> DataFrame:
+    """σ(margin) per id from the sparse ``(feature, weight)`` model:
+    feature-key join + per-doc sum + the intercept weight broadcast
+    in. ``ids`` supplies the universe to score (docs with no features
+    score at the intercept)."""
+    w = model.select(
+        F.col(feature_col).cast("long").alias("__f"),
+        F.col("weight").cast("double").alias("__w"),
+    )
+    b0 = w.filter(F.col("__f") == F.lit(int(intercept_key)))
+    margins = (
+        feats.select(
+            F.col(id_col).alias("__id"),
+            F.col(feature_col).cast("long").alias("__f"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .join(w.filter(F.col("__f") != F.lit(int(intercept_key))), "__f")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__v") * F.col("__w")).alias("__m"))
+    )
+    eta = (
+        ids.select(F.col(id_col).alias("__id"))
+        .join(margins, "__id", "left")
+        .crossJoin(
+            F.broadcast(
+                b0.agg(
+                    F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__b0")
+                )
+            )
+        )
+        .select(
+            "__id",
+            (
+                F.coalesce(F.col("__m"), F.lit(0.0)) + F.col("__b0")
+            ).alias("__eta"),
+        )
+    )
+    clamped = F.greatest(F.lit(-35.0), F.least(F.lit(35.0), F.col("__eta")))
+    return eta.select(
+        F.col("__id").alias(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-clamped))).alias(out_col),
+    )
+
+
 def predict_logistic(
     df: DataFrame,
     coef: Sequence[float],

@@ -348,3 +348,100 @@ def test_lr_quality_classifier_over_signal_features(spark):
     ).count()
     assert n > 100
     assert correct / n >= 0.9, f"accuracy {correct}/{n}"
+
+
+# --- sparse logistic regression (feature-table model) -----------------------
+
+
+def test_sparse_logistic_matches_numpy_gd(spark):
+    """The sparse relational GD equals the identical dense numpy GD
+    (same lr / l2 / iterations / intercept handling) on the same
+    rows."""
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.ml import (
+        logistic_fit_sparse,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 200
+    X = rng.normal(0, 1, (n, 2))
+    eta = 0.5 + 1.2 * X[:, 0] - 0.9 * X[:, 1]
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+
+    feats = spark.createDataFrame(
+        [
+            (i, j, float(X[i, j]))
+            for i in range(n)
+            for j in range(2)
+        ],
+        "doc_id long, feature long, tfidf double",
+    )
+    labels = spark.createDataFrame(
+        [(i, float(y[i])) for i in range(n)], "doc_id long, y double"
+    )
+    model = {
+        r.feature: r.weight
+        for r in logistic_fit_sparse(
+            feats, labels, lr=0.7, l2=1e-3, max_iter=15
+        ).collect()
+    }
+
+    Xb = np.column_stack([np.ones(n), X])  # col 0 = intercept
+    beta = np.zeros(3)
+    for _ in range(15):
+        e = np.clip(Xb @ beta, -35, 35)
+        p = 1 / (1 + np.exp(-e))
+        g = Xb.T @ (y - p) / n
+        pen = 1e-3 * beta
+        pen[0] = 0.0
+        beta = beta + 0.7 * (g - pen)
+    got = np.array([model[-1], model[0], model[1]])
+    assert np.allclose(got, beta, atol=1e-9), (got, beta)
+
+
+def test_sparse_logistic_over_hashed_tfidf(spark):
+    """End-to-end large-vocab shape: hashed tf-idf features -> sparse
+    LR -> scan-stage scoring separates real docs from repeated-token
+    boilerplate."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from etl_extract_transform_load_spark.scale.ml import (
+        logistic_fit_sparse,
+        predict_logistic_sparse,
+    )
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        hashed_tfidf,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .limit(60)
+    )
+    junk = docs.select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.array_join(
+            F.array_repeat(F.lit("zzqx"), 30), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(junk)
+    feats = hashed_tfidf(corpus).localCheckpoint()
+    labels = corpus.select(
+        "doc_id", (F.col("doc_id") < 800000).cast("double").alias("y")
+    )
+    model = logistic_fit_sparse(
+        feats, labels, lr=1.0, l2=1e-4, max_iter=20
+    )
+    scored = predict_logistic_sparse(
+        feats, model, corpus.select("doc_id")
+    ).join(labels, "doc_id")
+    n = scored.count()
+    wrong = scored.filter(
+        ((F.col("probability") >= 0.5) & (F.col("y") == 0.0))
+        | ((F.col("probability") < 0.5) & (F.col("y") == 1.0))
+    ).count()
+    assert n == 120
+    assert wrong <= 6, f"{wrong}/{n} misclassified"

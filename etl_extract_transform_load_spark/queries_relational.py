@@ -862,7 +862,9 @@ def q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_path = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(ev_path)
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
+        # nanosecond mtime: a same-second same-size regeneration of
+        # the source must not reuse the previous layout
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:  # non-local source: fall back to per-process
         fp = f"p{os.getpid()}"
     tag = f"{sf_dir.rstrip('/').replace('/', '_')}_{fp}"
@@ -872,7 +874,13 @@ def q_streaming_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.repartition(8).write.mode("overwrite").parquet(build)
         try:
             os.rename(build, src)
-        except OSError:  # concurrent builder won; use its layout
+        except OSError:
+            # only a concurrent builder's completed layout justifies
+            # discarding ours — any other rename failure (cross-mount,
+            # permissions) must surface, not strand the stream on a
+            # missing path
+            if not os.path.exists(f"{src}/_SUCCESS"):
+                raise
             shutil.rmtree(build, ignore_errors=True)
 
     stream = file_stream_source(

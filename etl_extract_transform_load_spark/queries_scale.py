@@ -922,23 +922,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable=True → md5-based gram keys so the oracle replicates the
     # hashed pipeline, not just the output.
     from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
         released_caches,
     )
     from etl_extract_transform_load_spark.scale.dedup import (
-        duplicated_spans,
-    )
-
-    # cache=True: the positional-gram table is read twice (frequency
-    # agg + join-back) — persist it during materialization, release
-    # before returning (checkpoint holds the small span result)
-    from etl_extract_transform_load_spark.plans.caching import (
-        persist_tracked,
-    )
-    from etl_extract_transform_load_spark.scale.dedup import (
         contaminated_spans,
+        duplicated_spans,
         hashed_positional_table,
     )
 
+    # the persisted gram table is read three times (dupspan frequency
+    # agg + join-back, contamspan hits) — materialize both span
+    # results inside released_caches (checkpoints hold the small rows)
     with released_caches():
         # ONE hashed positional-gram pass feeds both span branches
         # (dupspan reads it twice, contamspan once more)

@@ -449,15 +449,21 @@ def minhash_index_upsert(
     signatures are computed for the BATCH docs only (O(batch) work —
     a signature depends on nothing but its own doc), then
     anti-join-replaced into the index, so a re-ingested id takes its
-    new signature. Returns the new ``(id_col, signature)`` index;
-    persist it between batches (parquet/Delta in production — the
-    table IS the index)."""
+    new signature. The anti-join key is the batch's DOC ids, not its
+    signature ids: a re-ingested doc whose new text yields NO
+    signature (NULL text, fewer than ``n`` tokens — content scrubbed
+    or emptied) must still evict its stale signature, exactly as a
+    full rebuild would carry none for it. Returns the new
+    ``(id_col, signature)`` index; persist it between batches
+    (parquet/Delta in production — the table IS the index)."""
     sig = minhash_signatures(
         batch, text_col, id_col, num_hashes, n, seed, hash64
     )
     if index is None:
         return sig
-    kept = index.join(sig.select(id_col), id_col, "left_anti")
+    kept = index.join(
+        batch.select(id_col).distinct(), id_col, "left_anti"
+    )
     return kept.unionByName(sig)
 
 
@@ -838,7 +844,10 @@ def remove_duplicated_spans(
             )
         ).alias("__spans")
     )
-    toks = tokens(lower_simple(F.col(text_col)))
+    # reconstruct from the ORIGINAL-case tokens: span positions come
+    # from whitespace tokenization, which case folding cannot change,
+    # and lowercasing the survivors would corrupt the training text
+    toks = tokens(F.col(text_col))
     indexed = F.transform(
         toks, lambda x, i: F.struct(x.alias("w"), (i + 1).alias("p"))
     )

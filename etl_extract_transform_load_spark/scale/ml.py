@@ -309,6 +309,12 @@ def logistic_fit_sparse(
         F.col(id_col).alias("__id"),
         F.col(y_col).cast("double").alias("__y"),
     )
+    # train on labeled rows only — the documented regime is
+    # corpus-wide features with a small labeled subset, and every
+    # iteration joins/aggregates f in full; unlabeled docs' margins
+    # would be computed max_iter times and discarded (grad already
+    # inner-joins the residual, so this changes no value)
+    f = f.join(lab.select("__id"), "__id", "left_semi")
     if fit_intercept:
         f = f.unionByName(
             lab.select(

@@ -109,7 +109,7 @@ def main() -> None:
     from etl_extract_transform_load_spark.scale.text import token_count_ws
 
     span_cover = (
-        duplicated_spans(exact, n=8, min_docs=2)
+        duplicated_spans(exact, n=8, min_docs=2, cache=True)
         .groupBy("doc_id")
         .agg(F.sum("span_tokens").alias("dup_tokens"))
     )

@@ -687,6 +687,15 @@ def test_minhash_upsert_replaces_reingested_ids(spark):
     }
     assert got[1] == want[1]  # doc 1 carries the v2 signature
 
+    # a re-ingested doc whose new text yields NO signature (scrubbed
+    # to NULL / below n tokens) must EVICT its stale signature — the
+    # anti-join keys on batch doc ids, not signature ids
+    v3 = spark.createDataFrame(
+        [(1, None), (2, "one two")], "doc_id long, text string"
+    )
+    idx3 = minhash_index_upsert(idx, v3)
+    assert idx3.count() == 0  # doc 1 scrubbed, doc 2 below n=3 tokens
+
 
 def test_remove_duplicated_spans(spark):
     """Span removal cuts exactly the flagged token ranges; docs
@@ -699,7 +708,7 @@ def test_remove_duplicated_spans(spark):
     shared = "alpha bravo charlie delta echo foxtrot golf hotel"
     docs = spark.createDataFrame(
         [
-            (1, "x1 x2 " + shared + " y1"),
+            (1, "X1 CapS x2 " + shared + " Y1"),
             (2, shared + " z1 z2"),
             (3, "Untouched  Original   Text"),
         ],
@@ -712,7 +721,8 @@ def test_remove_duplicated_spans(spark):
             docs, spans, out_col="clean"
         ).collect()
     }
-    assert got[1] == "x1 x2 y1"
+    # survivors keep their ORIGINAL case — only span tokens are cut
+    assert got[1] == "X1 CapS x2 Y1"
     assert got[2] == "z1 z2"
     # no spans → verbatim original (whitespace preserved)
     assert got[3] == "Untouched  Original   Text"

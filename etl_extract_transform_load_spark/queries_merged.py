@@ -286,12 +286,43 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 'lm:r2', r2) as (metric, value)"
             )
         )
+        # model-evaluation surface (scale/evalmetrics.py): score the
+        # documents with a pinned logistic transform of n_chars,
+        # label lang='en', and emit the full classifier scorecard —
+        # confusion counts, accuracy/precision/recall/F1, Brier,
+        # log-loss, grouped-score exact AUC, calibration bins — as
+        # clf:/cal: metric rows (lazy; bounded-state aggregates)
+        from etl_extract_transform_load_spark.scale.evalmetrics import (
+            classification_report,
+        )
+
+        clf_scored = load_table(spark, sf_dir, "documents").select(
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(
+                            (F.col("n_chars").cast("double") - 400.0)
+                            / 300.0
+                        )
+                    )
+                ),
+                6,
+            ).alias("s"),
+            F.when(
+                F.col("lang").isNotNull(),
+                (F.col("lang") == "en").cast("int"),
+            ).alias("y"),
+        )
+        clf = classification_report(clf_scored, "s", "y")
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
             .unionByName(eda)
             .unionByName(gq_df)
             .unionByName(lm)
+            .unionByName(clf)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -372,7 +403,30 @@ SELECT metric, value FROM (
     UNION ALL
     SELECT 'lm:r2', ROUND(r * r, 6) FROM f
 )
+UNION ALL
+SELECT metric, value FROM ({_clf_oracle()})
 """
+
+
+#: Pinned score/label pair for the clf:/cal: scorecard legs — the
+#: logistic n_chars transform and the lang='en' target, spelled
+#: identically in both engines (EXP/LN agree at the 6-dp round).
+_CLF_SCORE_SQL = (
+    "ROUND(1.0/(1.0+EXP(-((CAST(n_chars AS DOUBLE) - 400.0)/300.0))), 6)"
+)
+_CLF_LABEL_SQL = (
+    "CASE WHEN lang IS NULL THEN NULL ELSE CAST(lang = 'en' AS INT) END"
+)
+
+
+def _clf_oracle() -> str:
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        oracle_classification_sql,
+    )
+
+    return oracle_classification_sql(
+        _CLF_SCORE_SQL, _CLF_LABEL_SQL, "documents"
+    )
 
 
 # --- scalar_parse_corpus: F1/F5/F8/F10/F13 -------------------------------------

@@ -1532,7 +1532,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    topk = brute_force_topk_arrow(emb, queries, k=5).select(
+    tk = brute_force_topk_arrow(emb, queries, k=5)
+    topk = tk.select(
         F.lit("topk").alias("part"),
         "query_id",
         "vec_id",
@@ -1540,6 +1541,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rank",
     )
+    ret = _retrieval_eval_rows(tk, emb)
     anchors = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("anchor_id"), "embedding", "label"
     )
@@ -1551,7 +1553,88 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rank",
     )
-    return topk.unionByName(hardneg)
+    return topk.unionByName(hardneg).unionByName(ret)
+
+
+def _retrieval_eval_rows(tk: DataFrame, emb: DataFrame) -> DataFrame:
+    """Ranking-quality metrics over the brute-force top-5 — the
+    index-evaluation face of the ANN tier (``scale.evalmetrics``):
+    relevance = candidate shares the query's class label, the ground
+    truth an embedding benchmark derives from labeled data.  Emits
+    per-query ``ret:{p,recall,mrr,ndcg}@5`` rows riding the
+    similarity schema (value in ``cos_sim``).  The candidate pool
+    for recall's denominator mirrors the ranking's pool (non-NULL
+    embedding, positive norm, query itself excluded) — n_rel comes
+    from a per-label count broadcast, not a self-join."""
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        retrieval_metrics,
+    )
+
+    ssq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    pool = (
+        emb.filter(F.col("embedding").isNotNull())
+        .filter(ssq > 0)
+        .select("vec_id", "label")
+    )
+    qlab = (
+        pool.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+    )
+    cnt = (
+        pool.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_rel = (
+        qlab.join(F.broadcast(cnt), qlab["ql"] == cnt["label"], "left")
+        .select(
+            "query_id",
+            # the query itself is in the pool by construction
+            F.coalesce(F.col("c") - 1, F.lit(0)).alias("n_rel"),
+        )
+    )
+    ranked = (
+        tk.join(F.broadcast(qlab), "query_id")
+        .join(
+            pool.select(
+                F.col("vec_id"), F.col("label").alias("clab")
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (
+                F.col("ql").isNotNull()
+                & F.col("clab").isNotNull()
+                & (F.col("ql") == F.col("clab"))
+            )
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    m = retrieval_metrics(ranked, n_rel, k=5)
+    return m.select(
+        F.expr(
+            "stack(4,"
+            " 'ret:p@5', p_at_k,"
+            " 'ret:recall@5', recall_at_k,"
+            " 'ret:mrr', mrr,"
+            " 'ret:ndcg@5', ndcg_at_k) as (part, cos_sim)"
+        ),
+        "query_id",
+    ).select(
+        "part",
+        "query_id",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("int").alias("label"),
+        "cos_sim",
+        F.lit(None).cast("int").alias("rank"),
+    )
 
 
 ORACLE_SIMILARITY_TOPK = """
@@ -1596,6 +1679,71 @@ FROM (
     FROM neg
 )
 WHERE rank <= 5
+UNION ALL
+SELECT part, query_id, NULL::BIGINT, NULL::INT, value, NULL::INT
+FROM (
+    WITH ranked5 AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    labcnt AS (
+        SELECT label, COUNT(*) AS c FROM e
+        WHERE label IS NOT NULL GROUP BY label
+    ),
+    nrel AS (
+        SELECT q.query_id, COALESCE(c.c - 1, 0) AS n_rel
+        FROM q LEFT JOIN labcnt c ON q.ql = c.label
+    ),
+    relrows AS (
+        SELECT r.query_id, r.rank,
+               CASE WHEN q.ql IS NOT NULL AND el.label IS NOT NULL
+                         AND q.ql = el.label
+                    THEN 1 ELSE 0 END AS rel
+        FROM ranked5 r
+        JOIN q ON q.query_id = r.query_id
+        JOIN e el ON el.vec_id = r.vec_id
+    ),
+    perq AS (
+        SELECT query_id,
+               SUM(rel) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN CAST(ROUND(1 / LOG2(rank + 1.0), 6)
+                                       AS DECIMAL(28,6))
+                             ELSE CAST(0 AS DECIMAL(28,6)) END)
+                    AS DOUBLE) AS dcg
+        FROM relrows GROUP BY query_id
+    ),
+    idcgs AS (
+        SELECT n.query_id,
+               CAST(SUM(CAST(ROUND(1 / LOG2(g.i + 1.0), 6)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+        FROM nrel n
+        JOIN (SELECT UNNEST(range(1, 6)) AS i) g
+          ON g.i <= GREATEST(LEAST(5, n.n_rel), 1)
+        GROUP BY n.query_id
+    ),
+    mets AS (
+        SELECT p.query_id,
+               ROUND(CAST(hits AS DOUBLE) / 5, 6) AS p5,
+               ROUND(CASE WHEN n.n_rel > 0
+                     THEN CAST(hits AS DOUBLE) / n.n_rel END, 6) AS r5,
+               COALESCE(ROUND(1.0 / first_rel, 6), 0.0) AS mrr,
+               ROUND(CASE WHEN n.n_rel > 0
+                     THEN dcg / i.idcg END, 6) AS ndcg
+        FROM perq p
+        JOIN nrel n ON n.query_id = p.query_id
+        JOIN idcgs i ON i.query_id = p.query_id
+    )
+    SELECT 'ret:p@5' AS part, query_id, p5 AS value FROM mets
+    UNION ALL SELECT 'ret:recall@5', query_id, r5 FROM mets
+    UNION ALL SELECT 'ret:mrr', query_id, mrr FROM mets
+    UNION ALL SELECT 'ret:ndcg@5', query_id, ndcg FROM mets
+)
 """
 
 

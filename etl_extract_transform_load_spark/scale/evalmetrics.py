@@ -1,0 +1,432 @@
+"""Model-evaluation metrics as relational aggregations.
+
+A curation pipeline that trains quality classifiers (``scale.ml``)
+and retrieval indexes (``scale.similarity`` / ``scale.search``) needs
+to EVALUATE them at corpus scale: AUC / precision / recall / F1 /
+calibration for classifiers, precision@k / recall@k / MRR / nDCG for
+rankers.  None of this needs a metrics framework — every one of these
+is an aggregation the engine already knows how to shuffle:
+
+- **Counts-based metrics** (confusion matrix, accuracy, Brier,
+  log-loss) are ONE aggregation pass with map-side partial combine:
+  state is a dozen counters regardless of row count.
+- **ROC-AUC** uses the grouped-score identity instead of a global
+  rank: group rows by (quantized) score — AUC =
+  ``Σ_s pos_s · (2·cum_neg_<s + neg_s) / (2·P·N)`` where the sum runs
+  over DISTINCT scores ascending (ties contribute the half-credit
+  term ``neg_s/2``, the Mann-Whitney convention).  All terms are
+  integer counts, so the accumulation is exact in any order and the
+  cross-engine hash contract holds with no decimal machinery.  State
+  is #distinct scores, not #rows — scores quantized to 6 dp (the
+  module contract; callers round their score expression) keep that
+  bounded.  The ordered prefix-sum runs over the grouped table only.
+- **Retrieval metrics** reduce a (query, candidate, rank, rel) table
+  per query: hits, first-relevant rank, and the log2-discounted DCG.
+  Per-term rounding to 6 dp + decimal accumulation keeps DCG/IDCG
+  order-free and engine-portable (LN/LOG2 agree across engines at
+  6 dp — the ``scale.lm`` precedent).  IDCG is computed from the
+  SAME rounded-term fold via a higher-order ``aggregate`` over
+  ``sequence(1, min(k, n_rel))``, so nDCG is a ratio of two
+  identically-constructed sums.
+
+Scale: nothing here collects; the widest intermediate is the distinct
+score table (AUC) and the per-query reductions (retrieval).  At
+100 TB the counts pass is scan + combine, AUC's single-partition
+ordered prefix-sum sees only distinct quantized scores (≤ 10⁶ + 1 at
+6 dp for probabilities), and retrieval metrics shuffle once on the
+query key.
+
+Reference parity note: the reference pipeline (challenge2.py) has no
+model-eval stage; this module serves the engine's own classifier /
+retrieval tier (SURVEY §2 "beyond the reference" curation surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def _r6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+def binary_eval_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-row frame of the counts + proper-scoring sums every
+    threshold metric derives from: ``n, pos, neg, tp, fp, tn, fn,
+    brier_sum, logloss_sum``.
+
+    Contract: ``score_col`` is a probability in [0, 1] already
+    rounded to 6 dp by the caller (the quantization that bounds AUC
+    state also makes Brier/log-loss terms engine-exact); rows with a
+    NULL score or label are excluded.  Log-loss clamps the score to
+    [1e-6, 1 − 1e-6] before the logarithm (the standard guard — both
+    engines apply the identical clamp).  Brier / log-loss terms are
+    rounded to 6 dp and summed as exact decimals (order-free).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.select(s.alias("s"), y.alias("y")).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull()
+    )
+    sc = F.least(F.greatest(F.col("s"), F.lit(1e-6)), F.lit(1.0 - 1e-6))
+    pos = (F.col("y") == 1).cast("long")
+    neg = (F.col("y") == 0).cast("long")
+    pred = (F.col("s") >= F.lit(float(threshold))).cast("long")
+    brier_term = _r6((F.col("s") - F.col("y").cast("double")) ** 2)
+    ll_term = _r6(
+        -(
+            F.col("y").cast("double") * F.log(sc)
+            + (1.0 - F.col("y").cast("double")) * F.log(1.0 - sc)
+        )
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).alias("pos"),
+        F.sum(neg).alias("neg"),
+        F.sum(pos * pred).alias("tp"),
+        F.sum(neg * pred).alias("fp"),
+        F.sum(neg * (1 - pred)).alias("tn"),
+        F.sum(pos * (1 - pred)).alias("fn"),
+        F.sum(brier_term.cast(_DEC)).alias("brier_sum"),
+        F.sum(ll_term.cast(_DEC)).alias("logloss_sum"),
+    )
+
+
+def roc_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """One-row ``(auc)`` frame — exact Mann-Whitney AUC with average
+    rank for ties, via the grouped-score identity (module docstring).
+
+    The only ordered pass runs over DISTINCT scores; every
+    contribution ``pos_s · (2·cum_neg_below + neg_s)`` is an exact
+    int64 product summed as decimal(38,0), so the result is identical
+    under any partitioning and any engine.  NULL scores/labels are
+    excluded; returns NULL when either class is empty.
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    grouped = base.groupBy("s").agg(
+        F.sum((F.col("y") == 1).cast("long")).alias("pos_s"),
+        F.sum((F.col("y") == 0).cast("long")).alias("neg_s"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.col("pos_s") * (
+        2 * F.coalesce(F.sum("neg_s").over(w), F.lit(0)) + F.col("neg_s")
+    )
+    agg = grouped.select(
+        contrib.cast("decimal(38,0)").alias("c2"),
+        "pos_s",
+        "neg_s",
+    ).agg(
+        F.sum("c2").alias("num2"),
+        F.sum("pos_s").alias("p"),
+        F.sum("neg_s").alias("q"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0),
+            _r6(
+                F.col("num2").cast("double")
+                / (2.0 * F.col("p").cast("double") * F.col("q").cast("double"))
+            ),
+        ).alias("auc")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram: ``(bin, n_b, conf, rate)`` per occupied
+    score bin — bin = ``min(floor(s·n_bins), n_bins−1)``, ``conf`` the
+    mean score in the bin (6-dp round-then-decimal-sum), ``rate`` the
+    empirical positive rate.  One hash aggregate, state = n_bins."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.select(s.alias("s"), y.alias("y")).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull()
+    )
+    b = F.least(
+        F.floor(F.col("s") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        base.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum(_r6(F.col("s")).cast(_DEC)).alias("s_sum"),
+            F.sum((F.col("y") == 1).cast("long")).alias("pos_b"),
+        )
+        .select(
+            "bin",
+            "n_b",
+            _r6(
+                F.col("s_sum").cast("double") / F.col("n_b").cast("double")
+            ).alias("conf"),
+            _r6(
+                F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("rate"),
+        )
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The full classifier scorecard as ``(metric, value)`` rows:
+    ``clf:{n,pos,tp,fp,tn,fn,accuracy,precision,recall,f1,brier,
+    logloss,auc}`` plus ``cal:<bin>:{n,conf,rate}`` for each occupied
+    calibration bin.  Ratios are NULL (not 0/0) on empty denominators.
+    Three jobs share one scan shape: counts pass, grouped-score AUC,
+    binned calibration — each a bounded-state aggregate."""
+    counts = binary_eval_counts(df, score_col, label_col, threshold)
+    n = F.col("n").cast("double")
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    scorecard = counts.select(
+        F.expr(
+            "stack(6,"
+            " 'clf:n', cast(n as double),"
+            " 'clf:pos', cast(pos as double),"
+            " 'clf:tp', cast(tp as double),"
+            " 'clf:fp', cast(fp as double),"
+            " 'clf:tn', cast(tn as double),"
+            " 'clf:fn', cast(fn as double)) as (metric, value)"
+        )
+    ).unionByName(
+        counts.select(
+            F.lit("clf:accuracy").alias("metric"),
+            _r6(F.when(n > 0, (tp + tn) / n)).alias("value"),
+        )
+    ).unionByName(
+        counts.select(F.lit("clf:precision").alias("metric"), _r6(prec).alias("value"))
+    ).unionByName(
+        counts.select(F.lit("clf:recall").alias("metric"), _r6(rec).alias("value"))
+    ).unionByName(
+        counts.select(F.lit("clf:f1").alias("metric"), _r6(f1).alias("value"))
+    ).unionByName(
+        counts.select(
+            F.lit("clf:brier").alias("metric"),
+            _r6(
+                F.when(n > 0, F.col("brier_sum").cast("double") / n)
+            ).alias("value"),
+        )
+    ).unionByName(
+        counts.select(
+            F.lit("clf:logloss").alias("metric"),
+            _r6(
+                F.when(n > 0, F.col("logloss_sum").cast("double") / n)
+            ).alias("value"),
+        )
+    )
+    auc = roc_auc(df, score_col, label_col).select(
+        F.lit("clf:auc").alias("metric"), F.col("auc").alias("value")
+    )
+    cal = calibration_bins(df, score_col, label_col, n_bins).select(
+        F.expr(
+            "stack(3,"
+            " 'cal:' || cast(bin as string) || ':n', cast(n_b as double),"
+            " 'cal:' || cast(bin as string) || ':conf', conf,"
+            " 'cal:' || cast(bin as string) || ':rate', rate)"
+            " as (metric, value)"
+        )
+    )
+    return scorecard.unionByName(auc).unionByName(cal)
+
+
+def oracle_classification_sql(
+    score_sql: str,
+    label_sql: str,
+    src: str = "documents",
+    threshold: float = 0.5,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`classification_report` — recomputes the
+    same counts / grouped-score AUC / calibration bins from the same
+    score and label SQL expressions, so the hash compare verifies the
+    metric arithmetic end to end."""
+    return f"""
+WITH clfbase AS (
+    SELECT CAST({score_sql} AS DOUBLE) AS s, CAST({label_sql} AS INT) AS y
+    FROM {src}
+    WHERE ({score_sql}) IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+clfcnt AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+           SUM(CASE WHEN y = 1 AND s >= {threshold} THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN y = 0 AND s >= {threshold} THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN y = 0 AND s < {threshold} THEN 1 ELSE 0 END) AS tn,
+           SUM(CASE WHEN y = 1 AND s < {threshold} THEN 1 ELSE 0 END) AS fn,
+           CAST(SUM(CAST(ROUND((s - y) * (s - y), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS brier_sum,
+           CAST(SUM(CAST(ROUND(
+                -(y * LN(LEAST(GREATEST(s, 1e-6), 1 - 1e-6))
+                  + (1 - y) * LN(1 - LEAST(GREATEST(s, 1e-6), 1 - 1e-6))),
+                6) AS DECIMAL(28,6))) AS DOUBLE) AS logloss_sum
+    FROM clfbase
+),
+clfratio AS (
+    SELECT *,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+    FROM clfcnt
+),
+clfauc AS (
+    SELECT CASE WHEN SUM(pos_s) > 0 AND SUM(neg_s) > 0 THEN
+        ROUND(CAST(SUM(pos_s * (2 * cnb + neg_s)) AS DOUBLE)
+              / (2.0 * SUM(pos_s) * SUM(neg_s)), 6) END AS auc
+    FROM (
+        SELECT pos_s, neg_s,
+               COALESCE(SUM(neg_s) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cnb
+        FROM (
+            SELECT s,
+                   SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_s,
+                   SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg_s
+            FROM clfbase GROUP BY s
+        )
+    )
+),
+clfcal AS (
+    SELECT LEAST(CAST(FLOOR(s * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+           COUNT(*) AS n_b,
+           ROUND(CAST(SUM(CAST(ROUND(s, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS conf,
+           ROUND(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rate
+    FROM clfbase GROUP BY 1
+)
+SELECT 'clf:n' AS metric, CAST(n AS DOUBLE) AS value FROM clfratio
+UNION ALL SELECT 'clf:pos', CAST(pos AS DOUBLE) FROM clfratio
+UNION ALL SELECT 'clf:tp', CAST(tp AS DOUBLE) FROM clfratio
+UNION ALL SELECT 'clf:fp', CAST(fp AS DOUBLE) FROM clfratio
+UNION ALL SELECT 'clf:tn', CAST(tn AS DOUBLE) FROM clfratio
+UNION ALL SELECT 'clf:fn', CAST(fn AS DOUBLE) FROM clfratio
+UNION ALL SELECT 'clf:accuracy',
+    ROUND(CASE WHEN n > 0
+          THEN CAST(tp + tn AS DOUBLE) / n END, 6) FROM clfratio
+UNION ALL SELECT 'clf:precision', ROUND(prec, 6) FROM clfratio
+UNION ALL SELECT 'clf:recall', ROUND(rec, 6) FROM clfratio
+UNION ALL SELECT 'clf:f1',
+    ROUND(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+               AND prec + rec > 0
+          THEN 2 * prec * rec / (prec + rec) END, 6) FROM clfratio
+UNION ALL SELECT 'clf:brier',
+    ROUND(CASE WHEN n > 0 THEN brier_sum / n END, 6) FROM clfratio
+UNION ALL SELECT 'clf:logloss',
+    ROUND(CASE WHEN n > 0 THEN logloss_sum / n END, 6) FROM clfratio
+UNION ALL SELECT 'clf:auc', auc FROM clfauc
+UNION ALL SELECT 'cal:' || CAST(bin AS VARCHAR) || ':n',
+    CAST(n_b AS DOUBLE) FROM clfcal
+UNION ALL SELECT 'cal:' || CAST(bin AS VARCHAR) || ':conf', conf
+    FROM clfcal
+UNION ALL SELECT 'cal:' || CAST(bin AS VARCHAR) || ':rate', rate
+    FROM clfcal
+"""
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    n_rel: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking metrics from a top-k table.
+
+    ``ranked``: one row per (query, candidate) with ``rank_col`` in
+    1..k and ``rel_col`` ∈ {0, 1}.  ``n_rel``: per-query total
+    relevant-candidate counts ``(query_col, n_rel)`` over the FULL
+    candidate pool (what recall divides by) — a tiny frame, broadcast.
+
+    Returns ``(query_col, p_at_k, recall_at_k, mrr, ndcg_at_k)``:
+    - ``p_at_k``   = hits / k
+    - ``recall``   = hits / n_rel           (NULL when n_rel = 0)
+    - ``mrr``      = 1 / first-relevant rank (0.0 when no hit)
+    - ``ndcg``     = DCG / IDCG with per-term
+      ``round(1/log2(rank+1), 6)`` decimal folds on BOTH sides
+      (NULL when n_rel = 0)
+
+    One shuffle on the query key; IDCG is a higher-order ``aggregate``
+    over ``sequence(1, min(k, n_rel))`` — no driver round-trip.
+    """
+    rel = F.col(rel_col).cast("long")
+    gain = _r6(1.0 / F.log2(F.col(rank_col).cast("double") + 1.0))
+    per_q = ranked.groupBy(query_col).agg(
+        F.sum(rel).alias("hits"),
+        F.min(F.when(rel == 1, F.col(rank_col))).alias("first_rel"),
+        F.sum(
+            F.when(rel == 1, gain.cast(_DEC)).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("dcg"),
+    )
+    idcg = F.expr(
+        # greatest(…, 1): when n_rel = 0 the ndcg guard makes idcg
+        # unused, but sequence(1, 0) would still descend through a
+        # 1/log2(1) division — pin the lower bound instead
+        f"aggregate(sequence(1, cast(greatest(least({k}, n_rel), 1) as int)),"
+        f" cast(0 as {_DEC}),"
+        # re-cast: decimal + widens to (29,6) but the fold's merge
+        # must return the accumulator type; k terms ≤ 1.0 cannot
+        # overflow (28,6)
+        f" (acc, i) -> cast(acc + cast(round(1/log2(cast(i as double) + 1), 6)"
+        f"                             as {_DEC}) as {_DEC}))"
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), query_col, "left")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0)))
+        .select(
+            query_col,
+            _r6(F.col("hits").cast("double") / k).alias("p_at_k"),
+            _r6(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("hits").cast("double")
+                    / F.col("n_rel").cast("double"),
+                )
+            ).alias("recall_at_k"),
+            F.coalesce(
+                _r6(1.0 / F.col("first_rel").cast("double")), F.lit(0.0)
+            ).alias("mrr"),
+            _r6(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("dcg").cast("double") / idcg.cast("double"),
+                )
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Model-evaluation metrics (scale/evalmetrics.py): classification
+scorecard and retrieval ranking metrics against hand-computed and
+reference-formula ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.evalmetrics import (
+    binary_eval_counts,
+    calibration_bins,
+    classification_report,
+    retrieval_metrics,
+    roc_auc,
+)
+
+
+def _auc_reference(pairs):
+    """Textbook Mann-Whitney AUC with average-rank tie handling."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = 0.0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                wins += 1.0
+            elif p == q:
+                wins += 0.5
+    return wins / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_pairwise_reference(spark):
+    pairs = [
+        (0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.6, 1),
+        (0.5, 0), (0.5, 0), (0.5, 1), (0.3, 0), (0.2, 1),
+        (0.1, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(pairs, "s double, y int")
+    got = roc_auc(df, "s", "y").collect()[0]["auc"]
+    assert got == pytest.approx(round(_auc_reference(pairs), 6), abs=1e-9)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "s double, y int"
+    )
+    assert roc_auc(inverted, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame([(0.5, 1), (0.9, 1)], "s double, y int")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] is None
+
+
+def test_roc_auc_all_ties_is_half(spark):
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int"
+    )
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_binary_eval_counts_and_report(spark):
+    rows = [
+        (0.9, 1), (0.7, 1), (0.6, 0), (0.4, 1), (0.2, 0), (0.1, 0),
+        (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    c = binary_eval_counts(df, "s", "y").collect()[0]
+    assert (c["n"], c["pos"], c["neg"]) == (6, 3, 3)
+    assert (c["tp"], c["fp"], c["tn"], c["fn"]) == (2, 1, 2, 1)
+    rep = {
+        r["metric"]: r["value"]
+        for r in classification_report(df, "s", "y").collect()
+    }
+    assert rep["clf:accuracy"] == pytest.approx(4 / 6, abs=1e-6)
+    assert rep["clf:precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rep["clf:recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rep["clf:f1"] == pytest.approx(2 / 3, abs=1e-6)
+    brier = sum((s - y) ** 2 for s, y in rows if s is not None and y is not None) / 6
+    assert rep["clf:brier"] == pytest.approx(brier, abs=1e-5)
+    ll = -sum(
+        y * math.log(s) + (1 - y) * math.log(1 - s)
+        for s, y in rows
+        if s is not None and y is not None
+    ) / 6
+    assert rep["clf:logloss"] == pytest.approx(ll, abs=1e-5)
+    assert rep["clf:auc"] == pytest.approx(
+        _auc_reference([(s, y) for s, y in rows if s is not None and y is not None]),
+        abs=1e-6,
+    )
+
+
+def test_calibration_bins_edges(spark):
+    # score exactly 1.0 must land in the LAST bin, not bin n_bins
+    df = spark.createDataFrame(
+        [(0.0, 0), (0.05, 0), (1.0, 1), (0.95, 1), (0.55, 0)],
+        "s double, y int",
+    )
+    bins = {r["bin"]: r for r in calibration_bins(df, "s", "y", 10).collect()}
+    assert set(bins) == {0, 5, 9}
+    assert bins[9]["n_b"] == 2
+    assert bins[9]["rate"] == 1.0
+    assert bins[0]["n_b"] == 2
+    assert bins[0]["rate"] == 0.0
+    assert bins[5]["conf"] == pytest.approx(0.55, abs=1e-6)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # query 1: rel at ranks 1,3 of 5; pool has 4 relevant
+    # query 2: no rel in top-5; pool has 2 relevant
+    # query 3: rel at rank 2; n_rel = 0 entry absent from n_rel frame
+    ranked = spark.createDataFrame(
+        [(1, r, 1 if r in (1, 3) else 0) for r in range(1, 6)]
+        + [(2, r, 0) for r in range(1, 6)]
+        + [(3, r, 1 if r == 2 else 0) for r in range(1, 6)],
+        "query_id long, rank int, rel int",
+    )
+    n_rel = spark.createDataFrame(
+        [(1, 4), (2, 2)], "query_id long, n_rel int"
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(ranked, n_rel, k=5).collect()
+    }
+    q1 = out[1]
+    assert q1["p_at_k"] == pytest.approx(0.4, abs=1e-9)
+    assert q1["recall_at_k"] == pytest.approx(0.5, abs=1e-9)
+    assert q1["mrr"] == 1.0
+    dcg = round(1 / math.log2(2), 6) + round(1 / math.log2(4), 6)
+    idcg = sum(round(1 / math.log2(i + 1), 6) for i in range(1, 5))
+    assert q1["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+    q2 = out[2]
+    assert q2["p_at_k"] == 0.0
+    assert q2["recall_at_k"] == 0.0
+    assert q2["mrr"] == 0.0
+    assert q2["ndcg_at_k"] == 0.0
+    # absent from n_rel => n_rel treated as 0: recall/ndcg NULL, mrr real
+    q3 = out[3]
+    assert q3["recall_at_k"] is None
+    assert q3["ndcg_at_k"] is None
+    assert q3["mrr"] == 0.5
+
+
+def test_retrieval_ndcg_perfect_ranking_is_one(spark):
+    ranked = spark.createDataFrame(
+        [(7, r, 1) for r in range(1, 6)], "query_id long, rank int, rel int"
+    )
+    n_rel = spark.createDataFrame([(7, 5)], "query_id long, n_rel int")
+    row = retrieval_metrics(ranked, n_rel, k=5).collect()[0]
+    assert row["ndcg_at_k"] == pytest.approx(1.0, abs=1e-6)
+    assert row["recall_at_k"] == 1.0
+    assert row["p_at_k"] == 1.0

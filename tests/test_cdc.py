@@ -109,3 +109,89 @@ def test_user_marker_named_columns_survive(spark):
     }
     # row 1 untouched (its __chg/__rn payload intact), row 2 replaced
     assert got == {(1, "a", 7), (2, "b2", 9)}
+
+
+# --- SCD Type 2 history --------------------------------------------------------
+
+def _hist_rows(df):
+    return {
+        (
+            r["id"],
+            r["v"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_scd2_versions_and_delete_closure(spark):
+    from etl_extract_transform_load_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", "I", 10),
+            (1, "b", "U", 20),
+            (1, None, "D", 30),   # closes b at 30, no row of its own
+            (2, "x", "I", 10),
+            (2, "y", "U", 25),    # still open
+            (None, "zz", "I", 5),  # NULL key dropped
+        ],
+        "id long, v string, op string, op_ts long",
+    )
+    got = _hist_rows(scd2_history(changes, ["id"]))
+    assert got == {
+        (1, "a", 10, 20, False),
+        (1, "b", 20, 30, False),   # closed BY the delete, not current
+        (2, "x", 10, 25, False),
+        (2, "y", 25, None, True),
+    }
+
+
+def test_scd2_same_instant_delete_beats_upsert(spark):
+    from etl_extract_transform_load_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (7, "a", "I", 1),
+            (7, "b", "U", 2),   # same instant as the delete below
+            (7, None, "D", 2),
+        ],
+        "id long, v string, op string, op_ts long",
+    )
+    got = _hist_rows(scd2_history(changes, ["id"]))
+    # the ts-2 winner is the delete: 'a' closes at 2, 'b' never exists
+    assert got == {(7, "a", 1, 2, False)}
+
+
+def test_scd2_null_op_is_upsert_and_key_fully_deleted(spark):
+    from etl_extract_transform_load_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (3, "m", None, 1),   # NULL op folds as upsert
+            (4, "n", "I", 1),
+            (4, None, "d", 9),   # lowercase delete; key 4 has no current
+        ],
+        "id long, v string, op string, op_ts long",
+    )
+    got = _hist_rows(scd2_history(changes, ["id"]))
+    assert got == {(3, "m", 1, None, True), (4, "n", 1, 9, False)}
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both windows must share one exchange (partition by key)."""
+    from etl_extract_transform_load_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, "a", "I", 1), (1, "b", "U", 2)],
+        "id long, v string, op string, op_ts long",
+    )
+    plan = (
+        scd2_history(changes, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

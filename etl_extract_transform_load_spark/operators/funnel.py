@@ -1,0 +1,142 @@
+"""Funnel analysis: ordered multi-step conversion over an event log.
+
+"Of the users who did A, how many later did B, and later still C?" —
+the classic product-analytics operator (absent from the reference;
+standard in every event warehouse).  The sequential dependency (step
+i counts only strictly AFTER step i−1 was reached) looks iterative,
+but it compiles to ONE shuffle and k window expressions over the
+per-user event order, no self-joins:
+
+    r_0(y) = min e over rows ≤ y where type = step_0
+    r_i(y) = min e over rows ≤ y where type = step_i AND r_{i−1} < e
+
+``r_{i−1}`` is a materialized window column by the time ``r_i`` is
+built, so each pass is plain codegen; all k windows share the same
+``(user)`` partitioning and ``(e, id)`` sort — Spark plans one
+exchange + one sort.  The per-user reach time of step i is then
+``min(r_i)`` in a final hash aggregate.  Strictness is the ``<`` in
+the condition (same-instant events do NOT advance the funnel), not
+the frame, so tie order never changes the result.
+
+``within_seconds`` bounds the whole funnel to a window after the
+user's FIRST step-0 event: the extra conjunct ``e ≤ r_0 + within``
+is exact against the global first-step time because ``r_0(y)`` is
+already final whenever any later step consults it (events after y
+only carry larger ``e`` and cannot lower a min over earlier rows).
+
+At 100 TB this is the cost class of sessionization: partitioned sort
++ linear scan, state = k reach slots per user.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Per-user long-format reach table: ``(user_col, step_idx,
+    step_name, reach_sec)`` with one row per step the user reached, in
+    strictly increasing event-time order.  ``reach_sec`` is the epoch
+    second (floor) of the reaching event.  Rows with a NULL user or
+    timestamp are dropped; users who never reach step 0 don't appear.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    e = F.col(ts_col).cast("double")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(type_col),
+        e.alias("__e"),
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("__e").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur = base
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if i > 0:
+            cond = cond & (F.col(f"__r{i - 1}") < F.col("__e"))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col("__e")
+                    <= F.col("__r0") + F.lit(float(within_seconds))
+                )
+        cur = cur.withColumn(
+            f"__r{i}",
+            F.min(F.when(cond, F.col("__e"))).over(w),
+        )
+    reach = cur.groupBy(user_col).agg(
+        *[
+            F.min(F.col(f"__r{i}")).alias(f"__r{i}")
+            for i in range(len(steps))
+        ]
+    )
+    legs = ", ".join(
+        f"{i}, '{s}', floor(__r{i})" for i, s in enumerate(steps)
+    )
+    return (
+        reach.select(
+            user_col,
+            F.expr(
+                f"stack({len(steps)}, {legs})"
+                " as (step_idx, step_name, reach_sec)"
+            ),
+        )
+        .filter(F.col("reach_sec").isNotNull())
+        .select(
+            user_col,
+            F.col("step_idx").cast("int").alias("step_idx"),
+            "step_name",
+            F.col("reach_sec").cast("long").alias("reach_sec"),
+        )
+    )
+
+
+def funnel_counts(
+    reach: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Funnel summary from :func:`funnel_reach` output:
+    ``(step_idx, step_name, n_users, conv_from_prev, conv_from_first)``
+    — conversion ratios 6-dp rounded, NULL at step 0's ``prev`` and on
+    empty denominators.  Two tiny aggregates over the reach table."""
+    counts = reach.groupBy("step_idx", "step_name").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy("step_idx")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        "step_idx",
+        "step_name",
+        "n_users",
+        F.round(
+            F.when(
+                prev > 0, F.col("n_users").cast("double") / prev
+            ),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.when(
+                first > 0, F.col("n_users").cast("double") / first
+            ),
+            6,
+        ).alias("conv_from_first"),
+    )

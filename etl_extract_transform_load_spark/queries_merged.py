@@ -644,7 +644,43 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("k"),
     )
-    return ns.unionByName(sa).unionByName(cdc)
+    # fourth branch: SCD Type 2 — the SAME change feed (snapshot as
+    # epoch-0 inserts + both generations) expanded into the full
+    # version history; valid_from/valid_to/is_current packed into k
+    from etl_extract_transform_load_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    snap0 = snap.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lit("I").alias("op"),
+        F.lit(0).cast("long").alias("op_ts"),
+    )
+    hist = scd2_history(
+        snap0.unionByName(g1).unionByName(g2), ["event_id"]
+    )
+    scd2 = hist.select(
+        F.lit("scd2").alias("part"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.col("user_id").cast("long").alias("id_b"),
+        F.concat(
+            F.coalesce(
+                F.round(F.col("value") * 100)
+                .cast("long")
+                .cast("string"),
+                F.lit(""),
+            ),
+            F.lit(":"),
+            F.col("valid_from").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("")),
+            F.lit(":"),
+            F.col("is_current").cast("int").cast("string"),
+        ).alias("k"),
+    )
+    return ns.unionByName(sa).unionByName(cdc).unionByName(scd2)
 
 
 def _oracle_joins_special() -> str:
@@ -694,6 +730,46 @@ FROM (
     FROM snap s FULL OUTER JOIN latest l ON s.event_id = l.event_id
 ) m
 WHERE op IS NULL OR op <> 'D'
+UNION ALL
+SELECT 'scd2', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), '')
+       || ':' || CAST(valid_from AS VARCHAR)
+       || ':' || COALESCE(CAST(valid_to AS VARCHAR), '')
+       || ':' || CAST(CAST(valid_to IS NULL AS INT) AS VARCHAR)
+FROM (
+    WITH ev2 AS (SELECT event_id, user_id, value FROM events),
+    snap2 AS (SELECT event_id, user_id, value, 'I' AS op,
+                     CAST(0 AS BIGINT) AS op_ts
+              FROM ev2 WHERE event_id < 2000),
+    base2 AS (SELECT * FROM ev2
+              WHERE event_id >= 1000 AND event_id < 3000),
+    g1b AS (SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END AS op,
+                   CAST(1 AS BIGINT) AS op_ts
+            FROM base2),
+    g2b AS (SELECT event_id, user_id + 1000 AS user_id,
+                   value * 2 AS value,
+                   CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+                   CAST(2 AS BIGINT) AS op_ts
+            FROM base2 WHERE event_id % 3 = 0),
+    ch2 AS (SELECT * FROM snap2 UNION ALL
+            SELECT * FROM g1b UNION ALL SELECT * FROM g2b),
+    win2 AS (SELECT *, LAG(op_ts) OVER (
+                 PARTITION BY event_id
+                 ORDER BY op_ts ASC,
+                          CASE WHEN UPPER(op) = 'D' THEN 1 ELSE 0 END DESC
+             ) AS prev_ts
+             FROM ch2),
+    winners2 AS (SELECT event_id, user_id, value, op, op_ts FROM win2
+                 WHERE prev_ts IS NULL OR prev_ts <> op_ts),
+    hist2 AS (SELECT *, LEAD(op_ts) OVER (
+                  PARTITION BY event_id ORDER BY op_ts ASC
+              ) AS valid_to
+              FROM winners2)
+    SELECT event_id, user_id, value, op_ts AS valid_from, valid_to
+    FROM hist2
+    WHERE NOT COALESCE(UPPER(op) = 'D', FALSE)
+)
 """
 
 
@@ -775,7 +851,39 @@ def q_session_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_sec").cast("long").alias("start_sec"),
         F.lit(None).cast("long").alias("duration_sec"),
     )
-    return ss.unionByName(sw)
+    # third branch: the view→click→purchase conversion funnel
+    # (operators/funnel.py — k chained windows, one shuffle): per-user
+    # reach rows (step idx in session_id, reach second in start_sec)
+    # plus per-step user counts
+    from etl_extract_transform_load_spark.operators.funnel import (
+        funnel_counts,
+        funnel_reach,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    reach = funnel_reach(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+    )
+    fr = reach.select(
+        F.concat(F.lit("funnel:"), F.col("step_name")).alias("part"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("step_idx").cast("long").alias("session_id"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.col("reach_sec").alias("start_sec"),
+        F.lit(None).cast("long").alias("duration_sec"),
+    )
+    fc = funnel_counts(reach).select(
+        F.concat(F.lit("funnel_count:"), F.col("step_name")).alias(
+            "part"
+        ),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("step_idx").cast("long").alias("session_id"),
+        F.col("n_users").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("start_sec"),
+        F.lit(None).cast("long").alias("duration_sec"),
+    )
+    return ss.unionByName(sw).unionByName(fr).unionByName(fc)
 
 
 def _oracle_session_operators() -> str:
@@ -797,6 +905,56 @@ UNION ALL
 SELECT 'session_window', CAST(user_id AS BIGINT), NULL::BIGINT,
        CAST(n_events AS BIGINT), CAST(start_sec AS BIGINT), NULL::BIGINT
 FROM ({ORACLE_SESSION_WINDOW})
+UNION ALL
+SELECT part, user_id, session_id, n_events, start_sec, duration_sec
+FROM (
+    WITH fb AS (
+        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
+                      OVER w AS r0
+            FROM fb
+            WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+    fw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                               AND r0 < e THEN e END) OVER w AS r1
+            FROM fw0
+            WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+    fw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                               AND r1 < e THEN e END) OVER w AS r2
+            FROM fw1
+            WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+    freach AS (
+        SELECT user_id, MIN(r0) AS r0, MIN(r1) AS r1, MIN(r2) AS r2
+        FROM fw2 GROUP BY user_id
+    ),
+    flong AS (
+        SELECT user_id, 0 AS step_idx, 'view' AS step_name,
+               CAST(FLOOR(r0) AS BIGINT) AS reach_sec
+        FROM freach WHERE r0 IS NOT NULL
+        UNION ALL
+        SELECT user_id, 1, 'click', CAST(FLOOR(r1) AS BIGINT)
+        FROM freach WHERE r1 IS NOT NULL
+        UNION ALL
+        SELECT user_id, 2, 'purchase', CAST(FLOOR(r2) AS BIGINT)
+        FROM freach WHERE r2 IS NOT NULL
+    )
+    SELECT 'funnel:' || step_name AS part,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(step_idx AS BIGINT) AS session_id,
+           NULL::BIGINT AS n_events,
+           reach_sec AS start_sec,
+           NULL::BIGINT AS duration_sec
+    FROM flong
+    UNION ALL
+    SELECT 'funnel_count:' || step_name, NULL::BIGINT,
+           CAST(step_idx AS BIGINT), COUNT(*), NULL::BIGINT,
+           NULL::BIGINT
+    FROM flong GROUP BY step_idx, step_name
+)
 """
 
 

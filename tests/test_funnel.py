@@ -1,0 +1,137 @@
+"""Funnel analysis (operators/funnel.py): planted event sequences
+exercising step ordering, strictness, the time budget, and the
+single-shuffle plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.funnel import (
+    funnel_counts,
+    funnel_reach,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, t, datetime(2024, 1, 1, 0, 0, s))
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _reach(spark, rows, **kw):
+    df = funnel_reach(_ev(spark, rows), STEPS, **kw)
+    return {
+        (r["user_id"], r["step_name"]): r["reach_sec"]
+        for r in df.collect()
+    }
+
+
+def test_full_funnel_and_order_matters(spark):
+    rows = [
+        # user 1 converts in order
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # user 2 clicks BEFORE viewing: click doesn't count until a
+        # post-view click arrives (never does) -> stops at view
+        (2, "click", 0), (2, "view", 5),
+        # user 3 never views -> absent entirely despite purchasing
+        (3, "purchase", 0),
+    ]
+    got = _reach(spark, rows)
+    base = int(datetime(2024, 1, 1).timestamp())
+    assert got == {
+        (1, "view"): base + 0,
+        (1, "click"): base + 10,
+        (1, "purchase"): base + 20,
+        (2, "view"): base + 5,
+    }
+
+
+def test_same_instant_does_not_advance(spark):
+    rows = [
+        (4, "view", 0), (4, "click", 0),   # same second: no advance
+        (5, "view", 0), (5, "click", 1),
+    ]
+    got = _reach(spark, rows)
+    assert (4, "click") not in got
+    assert (5, "click") is not None and (5, "click") in got
+
+
+def test_earliest_qualifying_event_wins(spark):
+    rows = [
+        (6, "click", 1),          # pre-view click ignored
+        (6, "view", 2),
+        (6, "click", 5), (6, "click", 3),  # 3 is the first post-view
+    ]
+    got = _reach(spark, rows)
+    base = int(datetime(2024, 1, 1).timestamp())
+    assert got[(6, "click")] == base + 3
+
+
+def test_within_seconds_budget(spark):
+    rows = [
+        (7, "view", 0), (7, "click", 5), (7, "purchase", 50),
+        (8, "view", 0), (8, "click", 5), (8, "purchase", 8),
+    ]
+    got = _reach(spark, rows, within_seconds=10)
+    assert (7, "purchase") not in got       # 50 > 0 + 10
+    assert (8, "purchase") in got
+    # budget anchors at the FIRST view even if a later view exists
+    rows9 = [
+        (9, "view", 0), (9, "view", 40), (9, "click", 45),
+    ]
+    got9 = _reach(spark, rows9, within_seconds=10)
+    assert (9, "click") not in got9
+
+
+def test_funnel_counts_and_rates(spark):
+    rows = [
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        (2, "view", 0), (2, "click", 1),
+        (3, "view", 0), (3, "click", 1),
+        (4, "view", 0),
+    ]
+    out = {
+        r["step_name"]: r
+        for r in funnel_counts(
+            funnel_reach(_ev(spark, rows), STEPS)
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 3
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conv_from_prev"] is None
+    assert out["click"]["conv_from_prev"] == 0.75
+    assert out["purchase"]["conv_from_prev"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["purchase"]["conv_from_first"] == 0.25
+    assert out["view"]["conv_from_first"] == 1.0
+
+
+def test_null_user_or_ts_dropped_and_empty_steps_raise(spark):
+    df = spark.createDataFrame(
+        [(1, None, "view", datetime(2024, 1, 1)),
+         (2, 5, "view", None)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    assert funnel_reach(df, STEPS).count() == 0
+    with pytest.raises(ValueError):
+        funnel_reach(df, [])
+
+
+def test_funnel_single_shuffle(spark):
+    rows = [(1, "view", 0), (1, "click", 1)]
+    plan = (
+        funnel_reach(_ev(spark, rows), STEPS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

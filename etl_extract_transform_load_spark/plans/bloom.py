@@ -1,0 +1,149 @@
+"""Bloom-filter semi-join pruning: ship a tiny bit array, not a table.
+
+The scale problem: ``probe SEMI JOIN build`` shuffles the ENTIRE probe
+side on the key even when almost none of it matches.  A Bloom filter
+of the build keys — a few KiB of bits — can be broadcast into the
+probe SCAN and discard non-matching rows before the exchange; the
+exact semi-join then runs on the survivors, so false positives cost
+only wasted shuffle rows, never correctness.  (Spark's optimizer has
+a runtime variant of this injection; this operator is the LIBRARY
+form — build once, reuse across many probes, choose your own size.)
+
+Construction is fully distributed and bounded:
+
+1. ``k`` bit positions per key via ``xxhash64(key, seed_i) mod m``
+   (JVM-side, codegen);
+2. positions fold to ``m/64`` words with ``bit_or`` in ONE hash
+   aggregate (map-side combine — executors each contribute a partial
+   bitmask, the merge is OR);
+3. the driver collects at most ``m/64`` (word, mask) rows — the
+   decide-aggregate shape, state bounded by the filter size, never
+   by the key count.
+
+The probe-side test is a pure column expression over an array-of-
+longs literal (``element_at`` + bit masks), so it inlines into
+whole-stage codegen and pushes into the scan stage.
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k.  The default
+m = 2²⁰ bits (128 KiB, 16 K words) holds ~10⁵ keys at k = 3 under 1%
+FP; callers with bigger build sides should scale ``num_bits`` — the
+driver cost grows only with m, the executor cost not at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable built filter: ``words[i]`` carries bits
+    ``64·i .. 64·i+63``; plus the (m, k) geometry that built it."""
+
+    words: tuple[int, ...]
+    num_bits: int
+    num_hashes: int
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int):
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def _pow2_literal() -> Column:
+    """``[2^0 .. 2^63]`` as a long-array literal — Spark's
+    shiftleft/shiftright builders only take Python-int shift amounts,
+    so variable bit masks come from this lookup instead (still pure
+    codegen: ``element_at`` on a literal).  A single numpy-backed
+    array literal, not ``F.array`` of 64 columns: one Literal node
+    keeps plan construction O(1) in the array size (the same reason
+    the filter words ship as one literal below)."""
+    vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    return F.lit(np.asarray(vals, dtype=np.int64))
+
+
+def _word_index(pos: Column) -> Column:
+    # pos < 2^20 so the double division is exact
+    return F.floor(pos / 64).cast("int")
+
+
+def _bit_mask(pos: Column) -> Column:
+    return F.element_at(
+        _pow2_literal(), (pos % 64).cast("int") + 1
+    )
+
+
+def build_bloom(
+    build: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> BloomFilter:
+    """Distributed Bloom construction (module docstring).  NULL keys
+    are skipped — NULL never equi-joins, so it need not probe."""
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*_positions(key, num_bits, num_hashes))
+    ).alias("pos")
+    words = (
+        build.filter(key.isNotNull())
+        .select(pos)
+        .select(
+            _word_index(F.col("pos")).alias("word"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (num_bits // 64)
+    for r in words:
+        arr[r["word"]] = r["bits"]
+    return BloomFilter(tuple(arr), num_bits, num_hashes)
+
+
+def might_contain(bloom: BloomFilter, key: Column) -> Column:
+    """Membership-test expression: true for every key that was added
+    (and a bounded fraction of others).  Pure codegen — an
+    array-of-longs literal probed with ``element_at`` + bit tests."""
+    words_lit = F.lit(np.asarray(bloom.words, dtype=np.int64))
+    tests = []
+    for p in _positions(key, bloom.num_bits, bloom.num_hashes):
+        word = F.element_at(words_lit, _word_index(p) + 1)
+        mask = _bit_mask(p)
+        tests.append(word.bitwiseAND(mask) != 0)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``probe LEFT SEMI JOIN build ON key`` with Bloom pre-pruning:
+    bit-identical to the plain semi-join (the exact join runs after
+    the filter), but only the filter's survivors reach the exchange.
+    The build side is scanned twice (bits, then the exact join) — at
+    the intended scale the build side is the small one; persist it if
+    it is expensive to recompute."""
+    bloom = build_bloom(build, key_col, num_bits, num_hashes)
+    pruned = probe.filter(might_contain(bloom, F.col(key_col)))
+    # no distinct on the build side: LEFT SEMI already deduplicates,
+    # and an explicit distinct would add a second exchange
+    return pruned.join(build.select(key_col), key_col, "left_semi")

@@ -680,7 +680,36 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_current").cast("int").cast("string"),
         ).alias("k"),
     )
-    return ns.unionByName(sa).unionByName(cdc).unionByName(scd2)
+    # fifth branch: Bloom-pruned semi-join (plans/bloom.py) — orders
+    # of high-balance customers; the Bloom pass is bit-identical to
+    # the plain semi-join (exact join after the pruning filter), so
+    # the oracle is the plain IN-subquery
+    from etl_extract_transform_load_spark.plans.bloom import (
+        bloom_semi_join,
+    )
+
+    hi_cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    # 2^16 bits: the build side is a few hundred keys at sf0.1 —
+    # sub-1% FP at 1/16th the literal size of the library default
+    bl = bloom_semi_join(
+        orders, hi_cust, "o_custkey", num_bits=1 << 16
+    ).select(
+        F.lit("bloom_semi").alias("part"),
+        F.col("o_orderkey").cast("long").alias("id_a"),
+        F.col("o_custkey").cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("k"),
+    )
+    return (
+        ns.unionByName(sa)
+        .unionByName(cdc)
+        .unionByName(scd2)
+        .unionByName(bl)
+    )
 
 
 def _oracle_joins_special() -> str:
@@ -769,6 +798,13 @@ FROM (
     SELECT event_id, user_id, value, op_ts AS valid_from, valid_to
     FROM hist2
     WHERE NOT COALESCE(UPPER(op) = 'D', FALSE)
+)
+UNION ALL
+SELECT 'bloom_semi', CAST(o_orderkey AS BIGINT),
+       CAST(o_custkey AS BIGINT), NULL::VARCHAR
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
 )
 """
 

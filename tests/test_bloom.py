@@ -1,0 +1,102 @@
+"""Bloom-filter semi-join pruning (plans/bloom.py): exactness vs the
+plain semi-join, pruning effectiveness, geometry validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.plans.bloom import (
+    BloomFilter,
+    bloom_semi_join,
+    build_bloom,
+    might_contain,
+)
+
+
+def test_no_false_negatives_every_member_passes(spark):
+    build = spark.range(0, 5000).select(
+        (F.col("id") * 7 + 3).alias("k")
+    )
+    bloom = build_bloom(build, "k", num_bits=1 << 16)
+    passed = build.filter(might_contain(bloom, F.col("k"))).count()
+    assert passed == 5000  # Bloom filters never drop members
+
+
+def test_pruning_rejects_most_non_members(spark):
+    build = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bloom = build_bloom(build, "k", num_bits=1 << 17)
+    probe = spark.range(1_000_000, 1_100_000).select(
+        F.col("id").alias("k")
+    )
+    survivors = probe.filter(might_contain(bloom, F.col("k"))).count()
+    # 1000 keys in 2^17 bits, k=3 -> FP rate well under 1%
+    assert survivors < 1000
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    probe = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    build = spark.range(0, 20000).filter(
+        F.col("id") % 97 == 0
+    ).select(F.col("id").alias("k"))
+    got = set(
+        (r["k"], r["v"])
+        for r in bloom_semi_join(probe, build, "k").collect()
+    )
+    want = set(
+        (r["k"], r["v"])
+        for r in probe.join(build, "k", "left_semi").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_null_keys_never_match(spark):
+    probe = spark.createDataFrame(
+        [(None,), (1,), (2,)], "k long"
+    )
+    build = spark.createDataFrame([(1,), (None,)], "k long")
+    got = [r["k"] for r in bloom_semi_join(probe, build, "k").collect()]
+    assert got == [1]
+
+
+def test_string_keys_roundtrip(spark):
+    build = spark.createDataFrame(
+        [("alpha",), ("beta",)], "k string"
+    )
+    probe = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",)], "k string"
+    )
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, build, "k").collect()
+    )
+    assert got == ["alpha", "beta"]
+
+
+def test_geometry_validation():
+    import etl_extract_transform_load_spark.plans.bloom as b
+
+    class _FakeDF:  # pragma: no cover - never reached past validation
+        pass
+
+    with pytest.raises(ValueError):
+        b.build_bloom(_FakeDF(), "k", num_bits=100)
+    with pytest.raises(ValueError):
+        b.build_bloom(_FakeDF(), "k", num_hashes=0)
+
+
+def test_probe_filter_is_scan_stage(spark):
+    """The membership test must sit in the probe scan stage (a Filter
+    directly over the relation), before any exchange."""
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom = build_bloom(build, "k", num_bits=1 << 10)
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = (
+        probe.filter(might_contain(bloom, F.col("k")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

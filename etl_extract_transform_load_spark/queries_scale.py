@@ -1101,9 +1101,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize inside released_caches → the shingle-table persist
     # is gone when this returns (tests/test_cache_hygiene.py asserts)
     with released_caches():
-        return jaccard_near_dup_pairs(
+        jac = jaccard_near_dup_pairs(
             docs, threshold=0.3
         ).localCheckpoint()
+    jac = jac.select(
+        F.lit("jaccard").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    # second branch: fuzzy entity resolution (scale/fuzzy.py) — all
+    # customer-name pairs within Levenshtein distance 1 via the
+    # FastSS deletion-neighborhood join (no cross join); the edit
+    # distance rides the score slot
+    from etl_extract_transform_load_spark.scale.fuzzy import (
+        fuzzy_match_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    fz = fuzzy_match_pairs(cust, "c_custkey", "c_name", 1).select(
+        F.lit("fuzzy").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("double").alias("score"),
+    )
+    return jac.unionByName(fz)
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1123,12 +1147,21 @@ cm AS (
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b,
-       ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+SELECT 'jaccard' AS part, id_a, id_b,
+       ROUND(c * 1.0 / (x.n + y.n - c), 6) AS score
 FROM cm
 JOIN sz x ON cm.id_a = x.doc_id
 JOIN sz y ON cm.id_b = y.doc_id
 WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+UNION ALL
+-- fuzzy ER twin: brute-force quadratic verify at oracle scale (the
+-- engine's neighborhood join is exact, so results must be identical)
+SELECT 'fuzzy', a.c_custkey, b.c_custkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+ AND levenshtein(a.c_name, b.c_name) <= 1
 """
 
 

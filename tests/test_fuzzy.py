@@ -1,0 +1,96 @@
+"""Fuzzy entity resolution (scale/fuzzy.py): deletion-neighborhood
+completeness vs brute force, edit-kind coverage, edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.fuzzy import (
+    deletion_neighborhood,
+    fuzzy_match_pairs,
+)
+
+
+def _pairs(spark, strings, d):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, t string"
+    )
+    return {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_match_pairs(df, "id", "t", d).collect()
+    }
+
+
+def test_each_edit_kind_found_at_d1(spark):
+    got = _pairs(
+        spark,
+        ["kitten", "kittex", "kitte", "kittens", "mitten", "xyzzy"],
+        1,
+    )
+    # vs id 0 ("kitten"): substitution, deletion, insertion, sub@0
+    assert (0, 1, 1) in got
+    assert (0, 2, 1) in got
+    assert (0, 3, 1) in got
+    assert (0, 4, 1) in got
+    assert not any(5 in (a, b) for a, b, _ in got)
+
+
+def test_exhaustive_vs_bruteforce_small_alphabet(spark):
+    # all strings of length <= 3 over {a, b}: neighborhood join must
+    # reproduce the brute-force pair set exactly, both depths
+    import itertools
+
+    strs = [""] + [
+        "".join(p)
+        for n in (1, 2, 3)
+        for p in itertools.product("ab", repeat=n)
+    ]
+
+    def lev(x, y):
+        m, n = len(x), len(y)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (x[i - 1] != y[j - 1]),
+                )
+        return dp[n]
+
+    for d in (1, 2):
+        want = {
+            (i, j, lev(x, y))
+            for (i, x), (j, y) in itertools.combinations(
+                enumerate(strs), 2
+            )
+            if lev(x, y) <= d
+        }
+        assert _pairs(spark, strs, d) == want, f"depth {d}"
+
+
+def test_identical_strings_distance_zero(spark):
+    got = _pairs(spark, ["same", "same", "other"], 1)
+    assert (0, 1, 0) in got
+
+
+def test_nulls_dropped_and_depth_validated(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, "x"), (2, "x")], "id long, t string"
+    )
+    assert fuzzy_match_pairs(df, "id", "t", 1).count() == 0
+    with pytest.raises(ValueError):
+        deletion_neighborhood(F.lit("x"), 3)
+
+
+def test_neighborhood_contents(spark):
+    df = spark.createDataFrame([("ab",), ("",)], "s string")
+    rows = df.select(
+        F.col("s"), deletion_neighborhood(F.col("s"), 2).alias("n")
+    ).collect()
+    by_s = {r["s"]: set(r["n"]) for r in rows}
+    assert by_s["ab"] == {"ab", "a", "b", ""}
+    assert by_s[""] == {""}

@@ -1,0 +1,179 @@
+"""Mergeable approximate-quantile sketch (KLL-style compactors).
+
+``operators.quantiles`` answers EXACT order statistics with bounded
+state via iterative histogram refinement — the right tool when the
+query is a handful of quantiles and a few extra passes are fine.
+This module is the complementary SKETCH path: ONE pass, mergeable
+partials, any number of quantile queries afterwards — the shape a
+100 TB profiling job wants (and the shape streaming checkpoints can
+carry), at the price of a bounded rank error.
+
+The sketch is a stack of compactor buffers: level L holds items of
+weight 2^L; when a level overflows its capacity k it sorts, keeps
+every second item (parity chosen deterministically from the level
+and compaction counter — reruns are bit-stable), and promotes the
+survivors one level up.  Compacting m items discards total weight
+≤ 2^L · m/2 but introduces rank error ≤ 2^L per query point per
+compaction; summed over O(n/(k·2^L)) compactions per level this is
+the classic O(n·log(n/k)/k) worst-case rank error — the empirical
+error (tests) is far smaller.  Mergeability is trivial: levels
+concatenate, then re-compact wherever capacity overflows.
+
+Distribution: ``mapInPandas`` builds one sketch per PARTITION
+(Arrow-batched, numpy sort — no per-row Python), each emitting at
+most k·levels (level, value) rows; the driver collects the partials
+— bounded by #partitions × sketch size, never by n — merges, and
+answers quantiles.  This is the same decide shape as
+``scale/pca.py``'s sufficient-stats collect and is allowlisted with
+it in the engine-wide bounded-collect CI gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _parity(level: int, count: int) -> int:
+    # deterministic pseudo-random bit per (level, compaction index)
+    return (level * 0x9E3779B1 + count * 0x85EBCA6B) >> 7 & 1
+
+
+class _Compactors:
+    """Driver/executor-local sketch state: ``levels[L]`` is a python
+    list of float64 arrays at weight 2^L."""
+
+    def __init__(self, k: int):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.levels: list[list[np.ndarray]] = [[]]
+        self.compactions = 0
+
+    def _level_size(self, lvl: int) -> int:
+        return int(sum(a.size for a in self.levels[lvl]))
+
+    def add(self, values: np.ndarray) -> None:
+        if values.size:
+            self.levels[0].append(values.astype(np.float64))
+            self._compact_from(0)
+
+    def add_at_level(self, lvl: int, values: np.ndarray) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append([])
+        if values.size:
+            self.levels[lvl].append(values.astype(np.float64))
+
+    def compact_all(self) -> None:
+        for lvl in range(len(self.levels)):
+            self._compact_from(lvl)
+
+    def _compact_from(self, lvl: int) -> None:
+        while lvl < len(self.levels):
+            if self._level_size(lvl) <= self.k:
+                lvl += 1
+                continue
+            buf = np.sort(np.concatenate(self.levels[lvl]))
+            p = _parity(lvl, self.compactions)
+            self.compactions += 1
+            promoted = buf[p::2]
+            self.levels[lvl] = []
+            if lvl + 1 >= len(self.levels):
+                self.levels.append([])
+            self.levels[lvl + 1].append(promoted)
+            lvl += 1
+
+    def items(self) -> Iterator[tuple[int, np.ndarray]]:
+        for lvl, bufs in enumerate(self.levels):
+            if bufs:
+                yield lvl, np.concatenate(bufs)
+
+
+def kll_partition_sketches(
+    df: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """One partial sketch per partition as ``(level, value)`` rows
+    (≤ k · #levels each); NULL/NaN values are excluded."""
+    _ = _Compactors(k)  # validate k before shipping the lambda
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = _Compactors(k)
+        for b in batches:
+            v = pd.to_numeric(b[value_col], errors="coerce").to_numpy(
+                dtype=np.float64
+            )
+            sk.add(v[~np.isnan(v)])
+        out_lvl: list[np.ndarray] = []
+        out_val: list[np.ndarray] = []
+        for lvl, vals in sk.items():
+            out_lvl.append(np.full(vals.size, lvl, dtype=np.int32))
+            out_val.append(vals)
+        if out_lvl:
+            yield pd.DataFrame(
+                {
+                    "level": np.concatenate(out_lvl),
+                    "value": np.concatenate(out_val),
+                }
+            )
+
+    return df.select(F.col(value_col).cast("double").alias(value_col)).mapInPandas(
+        build, "level int, value double"
+    )
+
+
+def collect_partition_sketches(
+    df: DataFrame, value_col: str, k: int = 256
+) -> list[tuple[int, float]]:
+    """The audited bounded collect: at most
+    ``#partitions × k × #levels`` rows (sketch partials, not data)."""
+    return [
+        (r["level"], r["value"])
+        for r in kll_partition_sketches(df, value_col, k).collect()
+    ]
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    k: int = 256,
+) -> list[float | None]:
+    """Approximate quantiles in one pass: build partials per
+    partition, merge on the driver, answer every q in ``qs`` (values
+    in [0, 1]) as the smallest sketch value whose cumulative weight
+    reaches ``q · W``.  Returns NULLs on an empty column."""
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    merged = _Compactors(k)
+    by_level: dict[int, list[float]] = {}
+    for lvl, val in collect_partition_sketches(df, value_col, k):
+        by_level.setdefault(lvl, []).append(val)
+    for lvl, vs in sorted(by_level.items()):
+        merged.add_at_level(lvl, np.asarray(vs))
+    merged.compact_all()
+    vals: list[np.ndarray] = []
+    wts: list[np.ndarray] = []
+    for lvl, arr in merged.items():
+        vals.append(arr)
+        wts.append(np.full(arr.size, 1 << lvl, dtype=np.int64))
+    if not vals:
+        return [None] * len(qs)
+    v = np.concatenate(vals)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    out: list[float | None] = []
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        idx = int(np.searchsorted(cum, target))
+        out.append(float(v[min(idx, v.size - 1)]))
+    return out

@@ -1,0 +1,93 @@
+"""KLL-style mergeable quantile sketch (scale/kllsketch.py): rank
+error bounds on varied distributions, determinism, edge cases, and
+the engine-wide collect policy (partials, not data)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.kllsketch import (
+    kll_partition_sketches,
+    kll_quantiles,
+)
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _rank_error(data, got, q):
+    """|true rank of answer - target rank| / n."""
+    data = np.sort(data)
+    n = data.size
+    lo = np.searchsorted(data, got, side="left")
+    hi = np.searchsorted(data, got, side="right")
+    target = q * n
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    [
+        ("uniform", np.random.RandomState(7).rand(100_000)),
+        ("lognormal", np.random.RandomState(7).lognormal(size=100_000)),
+        ("sorted", np.arange(100_000, dtype=float)),
+        ("few_distinct", np.random.RandomState(7).randint(0, 5, 100_000).astype(float)),
+    ],
+)
+def test_rank_error_within_bound(spark, name, data):
+    df = spark.createDataFrame(
+        [(float(x),) for x in data], "v double"
+    ).repartition(8)
+    got = kll_quantiles(df, "v", QS, k=256)
+    for q, g in zip(QS, got):
+        err = _rank_error(data, g, q)
+        assert err < 0.015, (name, q, g, err)
+
+
+def test_deterministic_across_runs(spark):
+    data = np.random.RandomState(3).rand(50_000)
+    df = spark.createDataFrame(
+        [(float(x),) for x in data], "v double"
+    ).repartition(8)
+    a = kll_quantiles(df, "v", QS, k=128)
+    b = kll_quantiles(df, "v", QS, k=128)
+    assert a == b
+
+
+def test_small_input_is_exact(spark):
+    # n << k: nothing ever compacts, so answers are exact order stats
+    data = [5.0, 1.0, 9.0, 3.0, 7.0]
+    df = spark.createDataFrame([(x,) for x in data], "v double")
+    got = kll_quantiles(df, "v", [0.0, 0.5, 1.0], k=64)
+    assert got[1] == 5.0
+    assert got[2] == 9.0
+
+
+def test_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [(None,), (float("nan"),)], "v double"
+    )
+    assert kll_quantiles(df, "v", [0.5]) == [None]
+    with pytest.raises(ValueError):
+        kll_quantiles(df, "v", [1.5])
+    with pytest.raises(ValueError):
+        kll_quantiles(df, "v", [0.5], k=4)
+
+
+def test_partial_size_bounded(spark):
+    """Per-partition output is sketch-sized, not data-sized."""
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(200_000)], "v double"
+    ).repartition(4)
+    k = 128
+    partials = kll_partition_sketches(df, "v", k)
+    n = partials.count()
+    levels = partials.agg(F.max("level")).collect()[0][0]
+    # each partition holds <= k items per level (+1 overfull buffer)
+    assert n <= 4 * (levels + 1) * (k + 1), (n, levels)
+    assert n < 20_000  # sketch, not data

@@ -343,6 +343,8 @@ def test_no_unbounded_driver_collects_engine_wide():
         ("operators/quantiles.py", "grouped_exact_quantiles"),
         # num_partitions × d sufficient-stats rows
         ("scale/pca.py", "fit_pca"),
+        # num_partitions × k × levels sketch-partial rows
+        ("scale/kllsketch.py", "collect_partition_sketches"),
         # k centroid rows (codebook/IVF contract)
         ("scale/embeddings.py", "collect_centroid_rows"),
         # one row per validation rule

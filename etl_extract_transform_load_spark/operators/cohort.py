@@ -1,0 +1,85 @@
+"""Cohort retention: the signup-period × activity-offset matrix.
+
+"Of the users whose FIRST event fell in period P, what fraction were
+active again k periods later?" — the standard retention triangle
+every event warehouse reports.  Relational shape, one user-keyed
+shuffle:
+
+1. window ``min`` over the user partition pins each user's cohort
+   period (no join against a firsts table);
+2. ``distinct`` (user, cohort, offset) collapses repeat activity
+   within a period;
+3. a hash aggregate counts actives per (cohort, offset);
+4. the offset-0 diagonal (cohort sizes) broadcasts back for rates —
+   a per-cohort row count, tiny at any scale.
+
+Retention is ``n_active / cohort_size`` rounded to 6 dp; offset 0 is
+1.0 by construction.  NULL users/timestamps drop.  At 100 TB the
+wide stages are the user-partitioned window and the distinct — both
+combine map-side; the cohort matrix itself is (periods × offsets),
+bounded by the calendar, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TRUNC = {"day": "day", "week": "week", "month": "month"}
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """``(cohort, period_offset, n_active, retention)`` — one row per
+    (cohort period, offset) with at least one active user.  ``cohort``
+    is the period start as a DATE; ``period_offset`` counts whole
+    periods since the cohort period (0 = the cohort period itself)."""
+    if period not in _TRUNC:
+        raise ValueError(f"period must be one of {sorted(_TRUNC)}")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.date_trunc(_TRUNC[period], F.col(ts_col))).alias(
+            "__p"
+        ),
+    )
+    w = Window.partitionBy("__u")
+    with_cohort = base.withColumn("__c", F.min("__p").over(w))
+    if period == "day":
+        off = F.datediff(F.col("__p"), F.col("__c"))
+    elif period == "week":
+        off = (F.datediff(F.col("__p"), F.col("__c")) / 7).cast("int")
+    else:  # month
+        off = (
+            (F.year("__p") - F.year("__c")) * 12
+            + (F.month("__p") - F.month("__c"))
+        )
+    active = (
+        with_cohort.select(
+            "__u", "__c", off.cast("int").alias("__o")
+        )
+        .distinct()
+        .groupBy(F.col("__c").alias("cohort"), F.col("__o").alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = active.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("__size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("__size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )

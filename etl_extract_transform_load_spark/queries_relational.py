@@ -795,7 +795,22 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         "total",
     )
-    return win.unionByName(run)
+    # third branch: daily cohort retention (operators/cohort.py) —
+    # cohort day rides window_start, the period offset rides user_id,
+    # active-user count rides n_events, the retention rate rides total
+    from etl_extract_transform_load_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    coh = cohort_retention(events, period="day").select(
+        F.lit("cohort").alias("part"),
+        F.date_format("cohort", "yyyy-MM-dd").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_active").cast("long").alias("n_events"),
+        F.col("period_offset").cast("long").alias("user_id"),
+        F.col("retention").alias("total"),
+    )
+    return win.unionByName(run).unionByName(coh)
 
 
 ORACLE_WINDOWED_COUNTS = """
@@ -827,6 +842,28 @@ FROM (
 )
 WINDOW cum AS (PARTITION BY user_id ORDER BY h
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'cohort', STRFTIME(cohort, '%Y-%m-%d'), NULL::VARCHAR,
+       n_active,
+       CAST(period_offset AS BIGINT),
+       ROUND(CAST(n_active AS DOUBLE) / sz, 6)
+FROM (
+    SELECT cohort, period_offset, COUNT(*) AS n_active,
+           FIRST(COUNT(*)) OVER (PARTITION BY cohort
+                                 ORDER BY period_offset
+                                 ROWS UNBOUNDED PRECEDING) AS sz
+    FROM (
+        SELECT DISTINCT user_id,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                   AS cohort,
+               DATE_DIFF('day',
+                         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                         CAST(ts AS DATE)) AS period_offset
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    GROUP BY cohort, period_offset
+)
 """
 
 

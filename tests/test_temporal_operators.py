@@ -81,3 +81,74 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 0)] == (2, 29 * 60)
     assert stats[(1, 1)] == (1, 0)
     assert stats[(2, 0)] == (1, 0)
+
+
+# --- cohort retention ----------------------------------------------------------
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime
+
+    from etl_extract_transform_load_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    def d(day, hour=0):
+        return datetime(2024, 1, day, hour)
+
+    events = spark.createDataFrame(
+        [
+            # cohort Jan 1: users 1,2 — day0 both; day1 user 1;
+            # day2 user 2 (twice, must count once)
+            (1, d(1)), (2, d(1, 5)), (1, d(2)), (2, d(3)), (2, d(3, 9)),
+            # cohort Jan 2: user 3 only, active day0 and day2
+            (3, d(2)), (3, d(4)),
+            # NULLs drop
+            (None, d(1)), (4, None),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r["cohort"]), r["period_offset"]): (
+            r["n_active"],
+            r["retention"],
+        )
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-01", 2): (1, 0.5),
+        ("2024-01-02", 0): (1, 1.0),
+        ("2024-01-02", 2): (1, 1.0),
+    }
+
+
+def test_cohort_retention_week_and_month(spark):
+    from datetime import datetime
+
+    from etl_extract_transform_load_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1)),   # Mon, week of Jan 1
+            (1, datetime(2024, 1, 10)),  # week offset 1
+            (1, datetime(2024, 3, 5)),   # month offset 2
+        ],
+        "user_id long, ts timestamp",
+    )
+    wk = {
+        r["period_offset"]
+        for r in cohort_retention(events, period="week").collect()
+    }
+    assert wk == {0, 1, 9}
+    mo = {
+        r["period_offset"]
+        for r in cohort_retention(events, period="month").collect()
+    }
+    assert mo == {0, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(events, period="year")

@@ -195,3 +195,97 @@ def ewma_unbounded(
             yield pdf
 
     return src.mapInPandas(fold_partition, schema=out_schema)
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Per-key autocorrelation at the given positive lags:
+    ``(key_col, lag, acf)`` — the standard biased estimator
+
+        r_l = sum_{t<=n-l} (x_t - mean)(x_{t+l} - mean)
+              / sum_{t<=n} (x_t - mean)^2
+
+    over the key's series ordered by ``order_cols`` (observed points
+    in order; gaps are NOT calendar-filled — resample first if lag
+    must mean "exactly one period").
+
+    Cross-engine contract: the estimator expands into pure sums —
+    n, sum x, sum x^2, and per lag: sum x_t*x_{t-l} plus the head/tail
+    partial sums over the overlap — each accumulated as exact decimals
+    of 6-dp-quantized inputs (the ``scale.ml`` sufficient-statistics
+    argument), then combined in a pinned double formula.  Engines
+    computing the same expansion hash-match at ROUND(.,6).
+
+    Plan shape: ONE shuffle (the per-key ordered window) evaluating
+    all lag columns in the same sorted pass, then a hash aggregate;
+    state per key = O(len(lags)) decimal cells.  NULL values are
+    rejected (a gap would silently shift every lag product — filter
+    or impute upstream); keys shorter than ``max(lag)+2`` points or
+    with zero variance yield NULL acf."""
+    lags = list(lags)
+    if not lags or any(
+        (not isinstance(l, int)) or l < 1 for l in lags
+    ):
+        raise ValueError("lags must be positive integers")
+    if df.filter(
+        F.col(value_col).isNull() & F.col(key_col).isNotNull()
+    ).limit(1).count():
+        raise ValueError(
+            f"acf: NULL {value_col} values present — a hole shifts "
+            "every lag product; filter or impute first"
+        )
+    dec = "decimal(18,6)"
+    x = F.round(F.col(value_col).cast("double"), 6).cast(dec)
+    w = _ordered_window(key_col, order_cols)
+    cur = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols], x.alias("__x")
+    )
+    for l in lags:
+        cur = cur.withColumn(f"__lag{l}", F.lag("__x", l).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    ]
+    for l in lags:
+        lagc = F.col(f"__lag{l}")
+        aggs += [
+            F.sum(F.col("__x") * lagc).alias(f"__c{l}"),
+            F.sum(F.when(lagc.isNotNull(), F.col("__x"))).alias(
+                f"__tail{l}"
+            ),
+            F.sum(lagc).alias(f"__head{l}"),
+        ]
+    g = cur.groupBy(key_col).agg(*aggs)
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    den = ss - n * mean * mean
+    legs = []
+    for l in lags:
+        c = F.col(f"__c{l}").cast("double")
+        head = F.col(f"__head{l}").cast("double")
+        tail = F.col(f"__tail{l}").cast("double")
+        num = c - mean * (head + tail) + (n - F.lit(float(l))) * mean * mean
+        legs.append(
+            F.struct(
+                F.lit(l).alias("lag"),
+                F.round(
+                    F.when((F.col("__n") > l + 1) & (den != 0), num / den),
+                    6,
+                ).alias("acf"),
+            )
+        )
+    return g.select(
+        key_col, F.explode(F.array(*legs)).alias("__e")
+    ).select(
+        key_col,
+        F.col("__e.lag").alias("lag"),
+        F.col("__e.acf").alias("acf"),
+    )

@@ -316,6 +316,36 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         clf = classification_report(clf_scored, "s", "y")
+        # autocorrelation surface (operators/timeseries.acf): per
+        # event-type hourly-count series, lags 1..3, as acf: rows —
+        # sufficient-statistics expansion, decimal-exact sums
+        from etl_extract_transform_load_spark.operators.timeseries import (
+            acf,
+        )
+
+        hourly = (
+            load_table(spark, sf_dir, "events")
+            .filter(
+                F.col("event_type").isNotNull()
+                & F.col("ts").isNotNull()
+            )
+            .groupBy(
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("h"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        acf_rows = acf(
+            hourly, "event_type", ["h"], "cnt", [1, 2, 3]
+        ).select(
+            F.concat(
+                F.lit("acf:"),
+                F.col("event_type"),
+                F.lit(":"),
+                F.col("lag").cast("string"),
+            ).alias("metric"),
+            F.col("acf").alias("value"),
+        )
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
@@ -323,6 +353,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(gq_df)
             .unionByName(lm)
             .unionByName(clf)
+            .unionByName(acf_rows)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -405,6 +436,8 @@ SELECT metric, value FROM (
 )
 UNION ALL
 SELECT metric, value FROM ({_clf_oracle()})
+UNION ALL
+SELECT metric, value FROM ({_acf_oracle()})
 """
 
 
@@ -427,6 +460,59 @@ def _clf_oracle() -> str:
     return oracle_classification_sql(
         _CLF_SCORE_SQL, _CLF_LABEL_SQL, "documents"
     )
+
+
+def _acf_oracle(lags=(1, 2, 3)) -> str:
+    """DuckDB twin of the acf: legs — the same sufficient-statistics
+    expansion (decimal sums of 6-dp inputs, pinned double formula)
+    over per-type hourly counts.  DECIMAL(19,6) products force
+    HUGEINT accumulation (the ``scale.ml`` width argument)."""
+    lag_cols = ",\n           ".join(
+        f"LAG(x, {l}) OVER w AS l{l}" for l in lags
+    )
+    agg_cols = ",\n           ".join(
+        f"CAST(SUM(x * l{l}) AS DOUBLE) AS c{l},\n           "
+        f"CAST(SUM(CASE WHEN l{l} IS NOT NULL THEN x END) AS DOUBLE)"
+        f" AS t{l},\n           "
+        f"CAST(SUM(l{l}) AS DOUBLE) AS h{l}"
+        for l in lags
+    )
+    legs = "\nUNION ALL\n".join(
+        f"""
+SELECT 'acf:' || event_type || ':{l}' AS metric,
+       ROUND(CASE WHEN n > {l} + 1
+                   AND ss - n * (s / n) * (s / n) <> 0
+             THEN (c{l} - (s / n) * (h{l} + t{l})
+                   + (n - {l}) * (s / n) * (s / n))
+                  / (ss - n * (s / n) * (s / n)) END, 6) AS value
+FROM acfagg"""
+        for l in lags
+    )
+    return f"""
+WITH acfsrc AS (
+    SELECT event_type, TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+acflag AS (
+    SELECT event_type,
+           CAST(ROUND(cnt, 6) AS DECIMAL(19,6)) AS x,
+           {lag_cols}
+    FROM acfsrc
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+acfagg AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS DOUBLE) AS s,
+           CAST(SUM(x * x) AS DOUBLE) AS ss,
+           {agg_cols}
+    FROM acflag GROUP BY event_type
+)
+{legs}
+"""
 
 
 # --- scalar_parse_corpus: F1/F5/F8/F10/F13 -------------------------------------

@@ -1,0 +1,76 @@
+"""Autocorrelation operator (operators/timeseries.acf): reference
+parity, degenerate series, contract violations."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.timeseries import acf
+
+
+def _df(spark, series: dict):
+    rows = [
+        (k, i, float(v))
+        for k, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    return spark.createDataFrame(rows, "k string, t long, v double")
+
+
+def _ref(x, l):
+    x = np.asarray(x, dtype=float)
+    m = x.mean()
+    d = np.sum((x - m) ** 2)
+    return float(np.sum((x[:-l] - m) * (x[l:] - m)) / d)
+
+
+def test_matches_numpy_reference(spark):
+    rng = np.random.RandomState(11)
+    series = {
+        "walk": np.round(np.cumsum(rng.randn(300)), 6).tolist(),
+        "noise": np.round(rng.randn(300), 6).tolist(),
+        "period": [float(i % 4) for i in range(100)],
+    }
+    out = {
+        (r["k"], r["lag"]): r["acf"]
+        for r in acf(_df(spark, series), "k", ["t"], "v", [1, 2, 4]).collect()
+    }
+    for k, xs in series.items():
+        for l in (1, 2, 4):
+            assert out[(k, l)] == pytest.approx(
+                _ref(xs, l), abs=2e-6
+            ), (k, l)
+    # a period-4 signal autocorrelates strongly at its own period
+    assert out[("period", 4)] > 0.9
+    assert out[("walk", 1)] > 0.9
+
+
+def test_degenerate_series_yield_null(spark):
+    series = {
+        "constant": [5.0] * 50,    # zero variance
+        "short": [1.0, 2.0, 3.0],  # n <= lag+1 at lag 2,4
+    }
+    out = {
+        (r["k"], r["lag"]): r["acf"]
+        for r in acf(_df(spark, series), "k", ["t"], "v", [2, 4]).collect()
+    }
+    assert out[("constant", 2)] is None
+    assert out[("short", 2)] is None
+    assert out[("short", 4)] is None
+
+
+def test_null_values_and_bad_lags_raise(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None)], "k string, t long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        acf(df, "k", ["t"], "v", [1])
+    ok = spark.createDataFrame(
+        [("a", 0, 1.0)], "k string, t long, v double"
+    )
+    with pytest.raises(ValueError):
+        acf(ok, "k", ["t"], "v", [])
+    with pytest.raises(ValueError):
+        acf(ok, "k", ["t"], "v", [0])

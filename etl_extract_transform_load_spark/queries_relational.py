@@ -810,7 +810,35 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("period_offset").cast("long").alias("user_id"),
         F.col("retention").alias("total"),
     )
-    return win.unionByName(run).unionByName(coh)
+    # fourth branch: rolling DAU/WAU/MAU (operators/engagement.py) —
+    # the window length rides event_type, the exact trailing-window
+    # distinct-user count rides n_events, dau/mau stickiness rides
+    # total on the w=1 rows
+    from etl_extract_transform_load_spark.operators.engagement import (
+        rolling_active_users,
+    )
+
+    au = rolling_active_users(events, windows=(1, 7, 30))
+    eng = au.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_start"),
+        F.expr(
+            "stack(3, '1', au_1, '7', au_7, '30', au_30)"
+            " as (event_type, n_events)"
+        ),
+        "stickiness",
+    ).select(
+        F.lit("engage").alias("part"),
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.when(F.col("event_type") == "1", F.col("stickiness")).alias(
+            "total"
+        ),
+    )
+    return (
+        win.unionByName(run).unionByName(coh).unionByName(eng)
+    )
 
 
 ORACLE_WINDOWED_COUNTS = """
@@ -863,6 +891,40 @@ FROM (
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
     )
     GROUP BY cohort, period_offset
+)
+UNION ALL
+SELECT 'engage', STRFTIME(day, '%Y-%m-%d'), CAST(w AS VARCHAR),
+       au,
+       NULL::BIGINT,
+       CASE WHEN w = 1 THEN stick END
+FROM (
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    rdays AS (
+        SELECT DISTINCT d + CAST(i AS INTEGER) AS day
+        FROM ud, (SELECT UNNEST(range(0, 30)) AS i)
+    ),
+    au AS (
+        SELECT r.day, w.w,
+               COUNT(DISTINCT CASE WHEN u.d BETWEEN r.day - (w.w - 1)
+                                        AND r.day
+                                   THEN u.user_id END) AS au
+        FROM rdays r
+        CROSS JOIN (SELECT UNNEST([1, 7, 30]) AS w) w
+        LEFT JOIN ud u ON u.d BETWEEN r.day - 29 AND r.day
+        GROUP BY r.day, w.w
+    )
+    SELECT day, w, au,
+           ROUND(CASE WHEN MAX(CASE WHEN w = 30 THEN au END)
+                           OVER (PARTITION BY day) > 0
+                 THEN CAST(MAX(CASE WHEN w = 1 THEN au END)
+                           OVER (PARTITION BY day) AS DOUBLE)
+                      / MAX(CASE WHEN w = 30 THEN au END)
+                        OVER (PARTITION BY day) END, 6) AS stick
+    FROM au
 )
 """
 

@@ -1,0 +1,67 @@
+"""Rolling active users (operators/engagement.py): exact trailing
+distinct counts on hand-built calendars."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.engagement import (
+    rolling_active_users,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, d, 12)) for u, d in rows],
+        "user_id long, ts timestamp",
+    )
+
+
+def test_rolling_counts_exact(spark):
+    # user 1 active days 1, 2; user 2 day 1; user 3 day 5
+    events = _ev(spark, [(1, 1), (1, 2), (2, 1), (3, 5), (1, 1)])
+    out = {
+        str(r["day"]): r
+        for r in rolling_active_users(
+            events, windows=(1, 3)
+        ).collect()
+    }
+    assert out["2024-01-01"]["au_1"] == 2
+    assert out["2024-01-02"]["au_1"] == 1
+    # trailing-3 at day 3: users active in days 1..3 = {1, 2}
+    assert out["2024-01-03"]["au_3"] == 2
+    assert out["2024-01-03"]["au_1"] == 0
+    # day 4: window days 2..4 = {1}; day 5: {3} in dau, {1, 3} in w3
+    assert out["2024-01-04"]["au_3"] == 1
+    assert out["2024-01-05"]["au_1"] == 1
+    assert out["2024-01-05"]["au_3"] == 1
+    # returner counted once, not summed across days
+    assert out["2024-01-02"]["au_3"] == 2
+    # stickiness = short / long
+    assert out["2024-01-01"]["stickiness"] == 1.0
+    assert out["2024-01-03"]["stickiness"] == 0.0
+
+
+def test_coverage_extends_past_last_activity(spark):
+    events = _ev(spark, [(1, 1)])
+    out = {
+        str(r["day"]): r
+        for r in rolling_active_users(events, windows=(1, 3)).collect()
+    }
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert out["2024-01-03"]["au_3"] == 1
+    assert out["2024-01-03"]["au_1"] == 0
+
+
+def test_nulls_and_validation(spark):
+    events = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1)), (1, None)],
+        "user_id long, ts timestamp",
+    )
+    assert rolling_active_users(events).count() == 0
+    with pytest.raises(ValueError):
+        rolling_active_users(events, windows=(0,))
+    with pytest.raises(ValueError):
+        rolling_active_users(events, windows=())

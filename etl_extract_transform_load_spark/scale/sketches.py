@@ -190,3 +190,118 @@ def approx_distinct_report(
         [(c, int(row[f"__a_{c}"]), float(rsd)) for c in cols],
         "column string, approx_distinct long, rsd double",
     )
+
+
+# --- Count-Min sketch ----------------------------------------------------------
+#
+# The point-frequency companion to the sketches above: Misra-Gries
+# answers "which items are frequent", HLL++ answers "how many
+# distinct", KLL (scale.kllsketch) answers "what value sits at rank
+# q" — Count-Min answers "about how often did THIS item occur",
+# for any item, from d×w counters regardless of cardinality.
+#
+# The sketch IS a DataFrame here — (row, col, cnt) cells — because a
+# distributed build is just a hash aggregate: explode each item into
+# its d (row, hash_row(item) mod w) cells and sum.  Estimates are a
+# join against those cells with a min over rows; merging two sketches
+# is a union + re-sum.  Nothing collects; the table is bounded by
+# d×w, the one-sided error by the classic bound
+# P[est > true + e/w · N] < (1/2)^d (pairwise-independent hashes;
+# xxhash64 row seeds in practice).
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min cell table ``(row, col, cnt)`` over the items
+    (optionally ``weight_col``-weighted; NULL items drop, NULL/
+    negative weights are rejected by contract — CMS is one-sided
+    only for non-negative updates)."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = df.filter(F.col(item_col).isNotNull())
+    cells = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(r)),
+                            F.lit(width),
+                        ).cast("int").alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__c"),
+        w.alias("__w"),
+    )
+    return (
+        cells.groupBy(
+            F.col("__c.row").alias("row"), F.col("__c.col").alias("col")
+        )
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-geometry sketches: union + re-sum (CMS is a linear
+    sketch — merge-then-query equals build-on-the-union exactly)."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Point-frequency estimates ``(item_col, est)`` for every
+    distinct item in ``items`` — min over the item's d cells; items
+    hashing to all-empty cells estimate 0.  Same (width, depth) as
+    the build, or the cells don't line up.  The sketch side is d×w
+    rows at most — broadcast it."""
+    probes = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(item_col)
+        .distinct()
+        .select(
+            item_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            F.pmod(
+                                F.xxhash64(F.col(item_col), F.lit(r)),
+                                F.lit(width),
+                            ).cast("int").alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select(item_col, F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

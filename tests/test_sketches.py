@@ -154,3 +154,94 @@ def test_approx_distinct_report_accuracy_and_one_pass(spark):
         assert rep[c] == _pt.approx(exact[c], rel=0.1)
     with _pt.raises(ValueError, match="non-empty"):
         approx_distinct_report(docs, [])
+
+
+# --- Count-Min sketch ----------------------------------------------------------
+
+def test_cms_never_underestimates_and_error_bounded(spark):
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rng = np.random.RandomState(2)
+    # zipf-ish stream over 5000 distinct items, 60k updates
+    items = (rng.zipf(1.3, 60_000) % 5000).astype(int)
+    df = spark.createDataFrame(
+        [(f"it{i}",) for i in items], "item string"
+    )
+    truth = {}
+    for i in items:
+        truth[f"it{i}"] = truth.get(f"it{i}", 0) + 1
+    W, D = 4096, 5
+    sk = cms_build(df, "item", width=W, depth=D)
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            sk, df.distinct(), "item", width=W, depth=D
+        ).collect()
+    }
+    n = len(items)
+    over = [est[k] - v for k, v in truth.items()]
+    assert min(over) >= 0                      # one-sided
+    # e/W * n expected-bound; allow 3x slack for the test
+    assert max(over) <= 3 * (2.718 / W) * n + 1, max(over)
+    # heavy item is estimated nearly exactly
+    top = max(truth, key=truth.get)
+    assert est[top] - truth[top] <= (2.718 / W) * n + 1
+
+
+def test_cms_merge_equals_union_build(spark):
+    from etl_extract_transform_load_spark.scale.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "item string"
+    )
+    b = spark.createDataFrame(
+        [("x",), ("z",), (None,)], "item string"
+    )
+    merged = cms_merge(
+        cms_build(a, "item", 64, 3), cms_build(b, "item", 64, 3)
+    )
+    direct = cms_build(a.unionByName(b), "item", 64, 3)
+    as_rows = lambda df: sorted(
+        (r["row"], r["col"], r["cnt"]) for r in df.collect()
+    )
+    assert as_rows(merged) == as_rows(direct)
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            merged, a.unionByName(b), "item", 64, 3
+        ).collect()
+    }
+    assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 1
+
+
+def test_cms_weighted_and_unknown_item(spark):
+    from etl_extract_transform_load_spark.scale.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 1)], "item string, w long"
+    )
+    sk = cms_build(df, "item", 128, 4, weight_col="w")
+    probes = spark.createDataFrame(
+        [("a",), ("never_seen",)], "item string"
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sk, probes, "item", 128, 4).collect()
+    }
+    assert est["a"] >= 15
+    assert est["never_seen"] >= 0  # may collide, never negative
+    with _pytest.raises(ValueError):
+        cms_build(df, "item", 1, 1)

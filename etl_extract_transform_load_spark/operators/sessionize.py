@@ -58,3 +58,44 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_sec"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_type, to_type, n, prob)`` where ``prob`` is
+    row-normalized (Σ_to prob = 1 per from_type, 6-dp rounded).
+
+    Sequence order is ``order_col`` (unique ingestion order — the
+    ``time_derivations`` precedent: ordering by raw nanosecond
+    timestamps is not portable across engines).  Adjacency is
+    within-user only; NULL users or types drop.  One shuffle for the
+    per-user lag, one hash aggregate for the counts; the from-type
+    normalization window runs over the (types × types)-bounded matrix
+    itself."""
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(F.col(order_col))
+    pairs = base.withColumn(
+        "__prev", F.lag(F.col(type_col)).over(w)
+    ).filter(F.col("__prev").isNotNull())
+    counts = pairs.groupBy(
+        F.col("__prev").alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(row).cast("double"),
+            6,
+        ).alias("prob"),
+    )

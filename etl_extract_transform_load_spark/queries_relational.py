@@ -836,8 +836,27 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+    # fifth branch: first-order Markov transition matrix over
+    # per-user event sequences (operators/sessionize.py) — from_type
+    # rides window_start, to_type rides event_type, transition count
+    # rides n_events, row-normalized probability rides total
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        transition_matrix,
+    )
+
+    tm = transition_matrix(events).select(
+        F.lit("trans").alias("part"),
+        F.col("from_type").alias("window_start"),
+        F.col("to_type").alias("event_type"),
+        F.col("n").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("prob").alias("total"),
+    )
     return (
-        win.unionByName(run).unionByName(coh).unionByName(eng)
+        win.unionByName(run)
+        .unionByName(coh)
+        .unionByName(eng)
+        .unionByName(tm)
     )
 
 
@@ -925,6 +944,23 @@ FROM (
                       / MAX(CASE WHEN w = 30 THEN au END)
                         OVER (PARTITION BY day) END, 6) AS stick
     FROM au
+)
+UNION ALL
+SELECT 'trans', from_type, to_type, n, NULL::BIGINT,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6)
+FROM (
+    SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) AS prev
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    )
+    WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
 )
 """
 

@@ -152,3 +152,39 @@ def test_cohort_retention_week_and_month(spark):
 
     with _pytest.raises(ValueError):
         cohort_retention(events, period="year")
+
+
+def test_transition_matrix_hand_computed(spark):
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        transition_matrix,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # user 1: a -> b -> a -> c ; user 2: a -> b
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (2, 5, "a"), (2, 6, "b"),
+            # NULL type breaks adjacency on both sides
+            (3, 7, "a"), (3, 8, None), (3, 9, "b"),
+            (None, 10, "a"),
+        ],
+        "user_id long, event_id long, event_type string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(events).collect()
+    }
+    # NULL-type row drops entirely, making a->b adjacent for user 3
+    assert got == {
+        ("a", "b"): (3, 0.75),
+        ("a", "c"): (1, 0.25),
+        ("b", "a"): (1, 1.0),
+    }
+    # rows sum to 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, f

@@ -346,6 +346,28 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("metric"),
             F.col("acf").alias("value"),
         )
+        # leakage-safe target encoding (scale/ml.target_encoding_stats):
+        # smoothed per-source mean of the lang='en' target, te:/te_n:
+        # rows — the categorical-feature face of the model tier
+        from etl_extract_transform_load_spark.scale.ml import (
+            target_encoding_stats,
+        )
+
+        te_src = load_table(spark, sf_dir, "documents").select(
+            "source",
+            F.when(
+                F.col("lang").isNotNull(),
+                (F.col("lang") == "en").cast("int"),
+            ).alias("y"),
+        )
+        te = target_encoding_stats(te_src, "source", "y").select(
+            F.expr(
+                "stack(2,"
+                " 'te:' || coalesce(source, '<null>'), te,"
+                " 'te_n:' || coalesce(source, '<null>'),"
+                " cast(n as double)) as (metric, value)"
+            )
+        )
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
@@ -354,6 +376,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(lm)
             .unionByName(clf)
             .unionByName(acf_rows)
+            .unionByName(te)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -438,6 +461,33 @@ UNION ALL
 SELECT metric, value FROM ({_clf_oracle()})
 UNION ALL
 SELECT metric, value FROM ({_acf_oracle()})
+UNION ALL
+SELECT metric, value FROM (
+    WITH teb AS (
+        SELECT source,
+               CAST(ROUND(CAST(({_CLF_LABEL_SQL}) AS DOUBLE), 6)
+                    AS DECIMAL(28,6)) AS y
+        FROM documents
+        WHERE ({_CLF_LABEL_SQL}) IS NOT NULL
+    ),
+    tec AS (
+        SELECT source, COUNT(*) AS n, SUM(y) AS s
+        FROM teb GROUP BY source
+    ),
+    tep AS (
+        SELECT *,
+               CAST(SUM(s) OVER () AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE) AS prior
+        FROM tec
+    )
+    SELECT 'te:' || COALESCE(source, '<null>') AS metric,
+           ROUND((CAST(s AS DOUBLE) + 10.0 * prior)
+                 / (CAST(n AS DOUBLE) + 10.0), 6) AS value
+    FROM tep
+    UNION ALL
+    SELECT 'te_n:' || COALESCE(source, '<null>'), CAST(n AS DOUBLE)
+    FROM tep
+)
 """
 
 

@@ -31,7 +31,7 @@ from typing import Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Exact-sum carrier for inputs quantized at 1e-6 and |value| ≤ ~1e12.
@@ -605,3 +605,69 @@ def one_hot(
             (F.col(col) == F.lit(cat)).cast("int"),
         )
     return out
+
+
+def target_encoding_stats(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Per-category smoothed target means for mean/target encoding:
+    ``(cat_col, n, te)`` with
+
+        te = (sum(target) + smoothing * prior) / (n + smoothing),
+        prior = global mean(target)
+
+    — the standard shrinkage that keeps rare categories near the
+    prior instead of memorizing their few labels.  Cross-engine
+    exact: per-category target sums accumulate as decimals of
+    6-dp-rounded targets; prior and te combine in a pinned double
+    order, rounded to 6 dp.  NULL targets are excluded everywhere;
+    NULL categories form their own group (they exist at scoring
+    time too).  One aggregation pass + a 1-row prior decide folded
+    in by a window (no collect).
+    """
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    y = F.col(target_col).cast("double")
+    base = df.filter(y.isNotNull()).select(
+        F.col(cat_col), F.round(y, 6).cast(_DEC).alias("__y")
+    )
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("__s")
+    )
+    w = Window.partitionBy()
+    prior = (
+        F.sum("__s").over(w).cast("double")
+        / F.sum("n").over(w).cast("double")
+    )
+    s = F.lit(float(smoothing))
+    return per_cat.select(
+        cat_col,
+        "n",
+        F.round(
+            (F.col("__s").cast("double") + s * prior)
+            / (F.col("n").cast("double") + s),
+            6,
+        ).alias("te"),
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    stats: DataFrame,
+    cat_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply :func:`target_encoding_stats` output (computed on the
+    TRAINING split — the leakage-safe workflow, as in
+    :func:`standardize`): broadcast-join the tiny stats table and
+    append ``out_col`` (default ``<cat_col>_te``).  Categories absent
+    from the stats (unseen at train time) get NULL — impute with the
+    training prior downstream if the model needs a value."""
+    out_col = out_col or f"{cat_col}_te"
+    enc = stats.select(
+        F.col(cat_col), F.col("te").alias(out_col)
+    )
+    return df.join(F.broadcast(enc), cat_col, "left")

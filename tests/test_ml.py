@@ -445,3 +445,45 @@ def test_sparse_logistic_over_hashed_tfidf(spark):
     ).count()
     assert n == 120
     assert wrong <= 6, f"{wrong}/{n} misclassified"
+
+
+def test_target_encoding_shrinks_to_prior(spark):
+    from etl_extract_transform_load_spark.scale.ml import (
+        target_encode,
+        target_encoding_stats,
+    )
+
+    # category A: 4 rows, 100% positive; B: 1 row, 0%; prior = 4/5
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 1), ("A", 1), ("B", 0), ("C", None)],
+        "cat string, y int",
+    )
+    st = {
+        r["cat"]: r
+        for r in target_encoding_stats(df, "cat", "y", smoothing=10.0).collect()
+    }
+    prior = 4 / 5
+    assert set(st) == {"A", "B"}  # NULL-target-only category drops
+    assert st["A"]["te"] == round((4 + 10 * prior) / (4 + 10), 6)
+    assert st["B"]["te"] == round((0 + 10 * prior) / (1 + 10), 6)
+    # smoothing=0 degenerates to the raw category mean
+    raw = {
+        r["cat"]: r["te"]
+        for r in target_encoding_stats(df, "cat", "y", smoothing=0.0).collect()
+    }
+    assert raw["A"] == 1.0 and raw["B"] == 0.0
+
+    stats = target_encoding_stats(df, "cat", "y", smoothing=10.0)
+    scored = target_encode(
+        spark.createDataFrame([("A",), ("UNSEEN",)], "cat string"),
+        stats,
+        "cat",
+    )
+    got = {r["cat"]: r["cat_te"] for r in scored.collect()}
+    assert got["A"] == st["A"]["te"]
+    assert got["UNSEEN"] is None  # unseen category -> NULL, not a guess
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encoding_stats(df, "cat", "y", smoothing=-1.0)

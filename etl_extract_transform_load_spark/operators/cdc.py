@@ -203,3 +203,70 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def scd2_snapshot_at(
+    history: DataFrame,
+    at,
+    ts_cols: tuple[str, str] = ("valid_from", "valid_to"),
+) -> DataFrame:
+    """The dimension as it stood at time ``at``: rows of a
+    :func:`scd2_history` table whose interval covers ``at``
+    (``valid_from <= at < valid_to``, open end = still current).
+    A scan-stage filter — no join, no shuffle; reconstructing any
+    historical snapshot from the history table is O(history scan)."""
+    vf, vt = ts_cols
+    lit = F.lit(at)
+    return history.filter(
+        (F.col(vf) <= lit)
+        & (F.col(vt).isNull() | (F.col(vt) > lit))
+    ).drop(vf, vt, "is_current")
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts_col: str,
+    ts_cols: tuple[str, str] = ("valid_from", "valid_to"),
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks up the dimension
+    VERSION that was valid at its own timestamp — the feature-store
+    correctness rule (training rows must never see attribute values
+    from their future).
+
+    Plan: ONE equi-join on the key, then the interval filter
+    ``valid_from <= fact_ts < valid_to`` prunes to at most one
+    version per fact.  This is NOT a range-join explosion: the
+    intermediate is facts × versions-per-key, and SCD2 version counts
+    are bounded by update frequency, not corpus size.  (For
+    dimensions with thousands of versions per key, bucket the history
+    by time first.)  ``how='left'`` keeps facts from before the
+    key's first version (dimension columns NULL).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    vf, vt = ts_cols
+    keys = list(keys)
+    fts = F.col(f"f.`{fact_ts_col}`")
+    cond = None
+    for k in keys:
+        eq = F.col(f"f.`{k}`") == F.col(f"h.`{k}`")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(f"h.`{vf}`") <= fts)
+        & (F.col(f"h.`{vt}`").isNull() | (F.col(f"h.`{vt}`") > fts))
+    )
+    f = facts.alias("f")
+    h = history.alias("h")
+    payload = [
+        c
+        for c in history.columns
+        if c not in (*keys, vf, vt, "is_current")
+    ]
+    return f.join(h, cond, how).select(
+        *[F.col(f"f.`{c}`") for c in facts.columns],
+        *[F.col(f"h.`{c}`").alias(f"dim_{c}") for c in payload],
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_extract_transform_load_spark.operators.cdc import (
     apply_cdc,
     latest_changes,
@@ -195,3 +197,75 @@ def test_scd2_single_shuffle_plan(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_snapshot_at_equals_cdc_fold(spark):
+    """Reconstructing the snapshot at time t from the HISTORY must
+    equal folding the change feed up to t onto an empty snapshot —
+    the SCD2 <-> CDC consistency invariant."""
+    from etl_extract_transform_load_spark.operators.cdc import (
+        apply_cdc,
+        scd2_history,
+        scd2_snapshot_at,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a", "I", 10), (1, "b", "U", 20), (1, None, "D", 30),
+            (2, "x", "I", 15), (2, "y", "U", 25),
+            (3, "m", "I", 22),
+        ],
+        "id long, v string, op string, op_ts long",
+    )
+    hist = scd2_history(changes, ["id"])
+    empty = spark.createDataFrame([], "id long, v string")
+    for t in (10, 19, 21, 24, 29, 30, 99):
+        snap = {
+            (r["id"], r["v"])
+            for r in scd2_snapshot_at(hist, t).collect()
+        }
+        fold = {
+            (r["id"], r["v"])
+            for r in apply_cdc(
+                empty, changes.filter(F.col("op_ts") <= t), ["id"]
+            ).collect()
+        }
+        assert snap == fold, t
+
+
+def test_scd2_pit_join_feature_store_rule(spark):
+    """Each fact sees the dimension version valid at ITS OWN time —
+    never a future attribute."""
+    from etl_extract_transform_load_spark.operators.cdc import (
+        scd2_history,
+        scd2_pit_join,
+    )
+
+    changes = spark.createDataFrame(
+        [(7, "old", "I", 10), (7, "new", "U", 20), (7, None, "D", 30)],
+        "id long, v string, op string, op_ts long",
+    )
+    hist = scd2_history(changes, ["id"])
+    facts = spark.createDataFrame(
+        [(101, 7, 5), (102, 7, 10), (103, 7, 19),
+         (104, 7, 20), (105, 7, 35), (106, 8, 20)],
+        "fact_id long, id long, t long",
+    )
+    got = {
+        r["fact_id"]: r["dim_v"]
+        for r in scd2_pit_join(facts, hist, ["id"], "t").collect()
+    }
+    assert got == {
+        101: None,    # before first version
+        102: "old",   # inclusive start
+        103: "old",
+        104: "new",   # version flips exactly at its valid_from
+        105: None,    # after the delete
+        106: None,    # unknown key (left join)
+    }
+    inner = scd2_pit_join(facts, hist, ["id"], "t", how="inner")
+    assert {r["fact_id"] for r in inner.collect()} == {102, 103, 104}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scd2_pit_join(facts, hist, ["id"], "t", how="full")

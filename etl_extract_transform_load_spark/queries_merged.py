@@ -213,6 +213,14 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "lineitem").select(*li_cols)
         )
         li.count()  # build the cache ONCE before branches race on it
+        # the gq/value-counts/clf/te legs all read documents — ONE
+        # 3-column tracked persist instead of four parquet scans
+        docs3 = persist_tracked(
+            load_table(spark, sf_dir, "documents").select(
+                "n_chars", "lang", "source"
+            )
+        )
+        docs3.count()
 
         # the describe / EDA / grouped-quantile branches each run
         # driver-mediated decide jobs (SURVEY §4); they are mutually
@@ -240,7 +248,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-group exact quantiles with bounded state (grouped
             # face of operators/quantiles): per-language document
             # length quartiles as gq:<lang>:qNN metrics
-            docs = load_table(spark, sf_dir, "documents")
+            docs = docs3
             gq = grouped_exact_quantiles(
                 docs, "lang", "n_chars", [0.25, 0.5, 0.75]
             )
@@ -264,7 +272,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         vc = value_counts(
-            load_table(spark, sf_dir, "documents"), "lang"
+            docs3, "lang"
         ).select(
             F.concat(F.lit("lang:"), F.col("lang")).alias("metric"),
             F.col("count").cast("double").alias("value"),
@@ -296,7 +304,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             classification_report,
         )
 
-        clf_scored = load_table(spark, sf_dir, "documents").select(
+        clf_scored = docs3.select(
             F.round(
                 1.0
                 / (
@@ -353,7 +361,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             target_encoding_stats,
         )
 
-        te_src = load_table(spark, sf_dir, "documents").select(
+        te_src = docs3.select(
             "source",
             F.when(
                 F.col("lang").isNotNull(),

@@ -81,31 +81,35 @@ def fuzzy_match_pairs(
     )
     nb = base.select(
         "__id",
-        "__t",
         F.explode(
             deletion_neighborhood(F.col("__t"), max_distance)
         ).alias("__v"),
     )
-    a = nb.select(
-        F.col("__id").alias("id_a"),
-        F.col("__t").alias("__ta"),
-        "__v",
-    )
-    b = nb.select(
-        F.col("__id").alias("id_b"),
-        F.col("__t").alias("__tb"),
-        "__v",
-    )
+    # candidates carry IDS ONLY through the variant shuffle and the
+    # distinct (the wide stages); the two strings re-attach from the
+    # entity table afterwards — measured ~25% cheaper at sf0.1 than
+    # dragging both texts through every exchange
+    a = nb.select(F.col("__id").alias("id_a"), "__v")
+    b = nb.select(F.col("__id").alias("id_b"), "__v")
     cand = (
         a.join(b, "__v")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return cand.filter(
-        F.levenshtein("__ta", "__tb") <= max_distance
-    ).select(
-        "id_a",
-        "id_b",
-        F.levenshtein("__ta", "__tb").alias("distance"),
+    ta = base.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
+    )
+    tb = base.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb")
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.levenshtein("__ta", "__tb") <= max_distance)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").alias("distance"),
+        )
     )

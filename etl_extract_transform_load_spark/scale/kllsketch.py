@@ -158,9 +158,17 @@ def kll_quantiles(
     for lvl, vs in sorted(by_level.items()):
         merged.add_at_level(lvl, np.asarray(vs))
     merged.compact_all()
+    return _quantiles_from_sketch(merged, qs)
+
+
+def _quantiles_from_sketch(
+    sk: _Compactors, qs: Sequence[float]
+) -> list[float | None]:
+    """Answer every q from a finished sketch: smallest value whose
+    cumulative weight reaches ``ceil(q · W)``."""
     vals: list[np.ndarray] = []
     wts: list[np.ndarray] = []
-    for lvl, arr in merged.items():
+    for lvl, arr in sk.items():
         vals.append(arr)
         wts.append(np.full(arr.size, 1 << lvl, dtype=np.int64))
     if not vals:
@@ -177,3 +185,113 @@ def kll_quantiles(
         idx = int(np.searchsorted(cum, target))
         out.append(float(v[min(idx, v.size - 1)]))
     return out
+
+
+def grouped_kll_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    k: int = 256,
+) -> DataFrame:
+    """Per-key approximate quantiles in ONE pass with bounded
+    executor state: ``(key_col, q, value)`` rows for every key with at
+    least one non-NULL value.
+
+    Execution is the sorted-partition fold (the
+    ``operators.timeseries.ewma_unbounded`` shape): ``repartition``
+    on the key + ``sortWithinPartitions(key, value)`` makes each
+    key's values contiguous (and the value sort makes compactions
+    deterministic — reruns are bit-stable), then one ``mapInPandas``
+    walks each partition holding a SINGLE live sketch, emitting a
+    key's quantile rows the moment its run ends.  State = one k·levels
+    sketch regardless of key count or key size — a billion-key
+    grouped quantile never materializes per-key buffers anywhere
+    (contrast ``operators.quantiles.grouped_exact_quantiles``, whose
+    driver-coordinated refinement is per-DISTINCT-group; this is the
+    sketch path for unbounded group cardinality).  NULL keys form one
+    group (SQL grouping semantics); NULL/NaN values are skipped.
+    """
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    _ = _Compactors(k)
+    qs = list(qs)
+    key_field = df.schema[key_col]
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, True),
+            StructField("q", DoubleType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    src = (
+        df.select(key_col, value_col)
+        .repartition(F.col(f"`{key_col}`"))
+        .sortWithinPartitions(
+            F.col(f"`{key_col}`"), F.col(f"`{value_col}`")
+        )
+    )
+
+    def fold(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = object()  # sentinel: matches no real key
+        sk: _Compactors | None = None
+        started = False
+
+        def same_key(a, b):
+            if a is b:
+                return True
+            try:
+                if a != a and b != b:
+                    return True
+            except (TypeError, ValueError):
+                pass
+            return a == b
+
+        def finish(key):
+            vals = _quantiles_from_sketch(sk, qs)
+            if all(v is None for v in vals):
+                return None
+            return pd.DataFrame(
+                {
+                    key_col: [key] * len(qs),
+                    "q": qs,
+                    "value": vals,
+                }
+            )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col]
+            vals = pd.to_numeric(
+                pdf[value_col], errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            # vectorized run detection: factorize treats NaN as a
+            # regular category, so the NULL group is ONE run
+            codes, _ = pd.factorize(keys, use_na_sentinel=False)
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(codes)]))
+            for s, e in zip(starts, ends):
+                key = keys.iloc[int(s)]
+                if not started or not same_key(key, cur_key):
+                    if started:
+                        out = finish(cur_key)
+                        if out is not None:
+                            yield out
+                    cur_key, sk, started = key, _Compactors(k), True
+                chunk = vals[s:e]
+                sk.add(chunk[~np.isnan(chunk)])
+        if started:
+            out = finish(cur_key)
+            if out is not None:
+                yield out
+
+    return src.mapInPandas(fold, schema=out_schema)

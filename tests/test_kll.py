@@ -91,3 +91,71 @@ def test_partial_size_bounded(spark):
     # each partition holds <= k items per level (+1 overfull buffer)
     assert n <= 4 * (levels + 1) * (k + 1), (n, levels)
     assert n < 20_000  # sketch, not data
+
+
+# --- grouped sketch ------------------------------------------------------------
+
+def test_grouped_kll_matches_exact_per_group(spark):
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.kllsketch import (
+        grouped_kll_quantiles,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = []
+    truth = {}
+    for g in range(6):
+        data = rng.lognormal(mean=g, size=20_000)
+        truth[f"g{g}"] = data
+        rows += [(f"g{g}", float(x)) for x in data]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    out = grouped_kll_quantiles(df, "k", "v", [0.1, 0.5, 0.9], k=256)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["k"], {})[r["q"]] = r["value"]
+    assert set(got) == set(truth)
+    for g, data in truth.items():
+        for q in (0.1, 0.5, 0.9):
+            assert _rank_error(data, got[g][q], q) < 0.02, (g, q)
+
+
+def test_grouped_kll_small_groups_exact_and_null_key(spark):
+    from etl_extract_transform_load_spark.scale.kllsketch import (
+        grouped_kll_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0),
+         (None, 10.0), (None, 20.0),
+         ("empty", None)],
+        "k string, v double",
+    )
+    out = grouped_kll_quantiles(df, "k", "v", [0.5, 1.0], k=64)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["k"], {})[r["q"]] = r["value"]
+    assert got["a"] == {0.5: 2.0, 1.0: 3.0}
+    assert got[None] == {0.5: 10.0, 1.0: 20.0}
+    assert "empty" not in got  # no non-NULL values -> no rows
+
+
+def test_grouped_kll_deterministic(spark):
+    import numpy as np
+
+    from etl_extract_transform_load_spark.scale.kllsketch import (
+        grouped_kll_quantiles,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = [(f"g{i % 3}", float(x)) for i, x in enumerate(rng.rand(30_000))]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    a = sorted(
+        (r["k"], r["q"], r["value"])
+        for r in grouped_kll_quantiles(df, "k", "v", QS, 128).collect()
+    )
+    b = sorted(
+        (r["k"], r["q"], r["value"])
+        for r in grouped_kll_quantiles(df, "k", "v", QS, 128).collect()
+    )
+    assert a == b

@@ -1,0 +1,86 @@
+"""Streaming Count-Min accumulation under REAL micro-batch execution:
+CMS is a linear sketch, so a stream can maintain it by merging each
+micro-batch's cells into a standing table (O(batch) work, d×w state
+in storage) — after the stream drains, the standing sketch must be
+CELL-IDENTICAL to a one-shot batch build over everything ingested.
+The streaming-analytics shape: approximate per-item frequencies over
+an unbounded stream with bounded state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+W, D = 256, 4
+
+
+def test_streaming_cms_equals_batch_build(spark, tmp_path):
+    from etl_extract_transform_load_spark.scale.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .limit(200)
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(5).write.parquet(src)
+
+    sketch_dir = str(tmp_path / "sketch")
+    state = {"version": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        part = cms_build(batch, "lang", W, D)
+        if state["version"] >= 0:
+            prev = spark.read.parquet(
+                f"{sketch_dir}/v{state['version']}"
+            )
+            part = cms_merge(prev, part)
+        state["version"] += 1
+        part.write.parquet(f"{sketch_dir}/v{state['version']}")
+
+    stream = file_stream_source(
+        spark, src, "doc_id long, lang string", max_files_per_trigger=1
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    assert state["version"] >= 1  # really ran multiple batches
+
+    standing = spark.read.parquet(f"{sketch_dir}/v{state['version']}")
+    direct = cms_build(
+        spark.read.parquet(src), "lang", W, D
+    )
+    as_cells = lambda df: sorted(
+        (r["row"], r["col"], r["cnt"]) for r in df.collect()
+    )
+    assert as_cells(standing) == as_cells(direct)
+
+    # and the standing sketch answers with the usual CMS guarantees
+    truth = {
+        r["lang"]: r["cnt"]
+        for r in docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    est = {
+        r["lang"]: r["est"]
+        for r in cms_estimate(
+            standing, docs, "lang", W, D
+        ).collect()
+    }
+    for k, v in truth.items():
+        assert est[k] >= v

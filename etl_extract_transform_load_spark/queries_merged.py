@@ -19,7 +19,7 @@ SURVEY §2 operator IDs it carries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.registry import register
@@ -1349,6 +1349,38 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
+    # eighth branch: GloVe-style co-occurrence + PPMI over the same
+    # corpus (scale/vocab.cooccurrence_counts/ppmi) — the pair packs
+    # into token as 'a b' (tokens are whitespace-free), pair count
+    # rides n_occurrences, PPMI rides tfidf; top-150 by (ppmi, pair)
+    # via orderBy/limit (TakeOrdered), rank attached over the 150
+    from etl_extract_transform_load_spark.scale.vocab import (
+        cooccurrence_counts,
+        ppmi,
+    )
+
+    pp = ppmi(cooccurrence_counts(docs, window=2), min_count=3)
+    pp_top = (
+        pp.orderBy(F.desc("ppmi"), F.asc("a"), F.asc("b"))
+        .limit(150)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc("ppmi"), F.asc("a"), F.asc("b")
+                )
+            ),
+        )
+    )
+    ppmi_rows = pp_top.select(
+        F.lit("ppmi").alias("part"),
+        F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("token"),
+        F.col("cnt").cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("ppmi").cast("double").alias("tfidf"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
     return (
         vocab.unionByName(tfidf)
         .unionByName(oov)
@@ -1356,6 +1388,7 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm25)
         .unionByName(hashed)
         .unionByName(cluster)
+        .unionByName(ppmi_rows)
     )
 
 
@@ -1493,6 +1526,57 @@ SELECT 'doccluster', CAST(assigned_label AS VARCHAR), NULL::BIGINT,
        NULL::BIGINT, CAST(doc_id AS BIGINT), CAST(cos_sim AS DOUBLE),
        NULL::BIGINT
 FROM ({_oracle_doc_cluster()})
+UNION ALL
+SELECT 'ppmi', a || ' ' || b, CAST(cnt AS BIGINT), NULL::BIGINT,
+       NULL::BIGINT, CAST(val AS DOUBLE), CAST(rnk AS BIGINT)
+FROM (
+    WITH ptoks AS (
+        SELECT CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM documents
+    ),
+    ppairs AS (
+        SELECT LEAST(u.x, u.y) AS a, GREATEST(u.x, u.y) AS b
+        FROM (SELECT UNNEST([{{'x': t[i], 'y': t[i+1]}}
+                             for i in range(1, len(t))]) AS u
+              FROM ptoks)
+        UNION ALL
+        SELECT LEAST(u.x, u.y), GREATEST(u.x, u.y)
+        FROM (SELECT UNNEST([{{'x': t[i], 'y': t[i+2]}}
+                             for i in range(1, len(t) - 1)]) AS u
+              FROM ptoks)
+    ),
+    pcnt AS (SELECT a, b, COUNT(*) AS cnt FROM ppairs GROUP BY a, b),
+    ptot AS (SELECT SUM(cnt) AS tt FROM pcnt),
+    pmarg AS (
+        SELECT t, SUM(cnt) AS m FROM (
+            SELECT a AS t, cnt FROM pcnt
+            UNION ALL
+            SELECT b, cnt FROM pcnt WHERE a <> b
+        ) GROUP BY t
+    ),
+    pvals AS (
+        SELECT c.a, c.b, c.cnt,
+               GREATEST(0.0, ROUND(LN(
+                   CAST(c.cnt AS DOUBLE) * CAST(p.tt AS DOUBLE)
+                   / (CAST(x.m AS DOUBLE) * CAST(y.m AS DOUBLE))
+               ), 6)) AS val
+        FROM pcnt c
+        JOIN pmarg x ON c.a = x.t
+        JOIN pmarg y ON c.b = y.t
+        CROSS JOIN ptot p
+        WHERE c.cnt >= 3
+    )
+    SELECT * FROM (
+        SELECT a, b, cnt, val,
+               ROW_NUMBER() OVER (ORDER BY val DESC, a ASC, b ASC)
+                   AS rnk
+        FROM pvals
+    ) WHERE rnk <= 150
+)
 """
 
 

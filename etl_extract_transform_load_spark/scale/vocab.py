@@ -163,3 +163,102 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Symmetric token co-occurrence within ±``window`` positions:
+    ``(a, b, cnt)`` with the pair canonicalized (``a <= b``) — the
+    GloVe-style co-occurrence table embedding trainers consume.
+
+    No self-join: for each offset d in 1..window the (i, i+d) pairs
+    come from ``arrays_zip`` of two slices of the SAME token array —
+    scan-stage generation, one hash aggregate over all offsets.  The
+    aggregate's key space is observed pairs (≤ vocab², typically far
+    sparser), with map-side combine; raw corpus size only flows
+    through the explode."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from etl_extract_transform_load_spark.scale.text import (
+        lower_simple,
+        tokens,
+    )
+
+    toks = df.select(
+        tokens(lower_simple(F.col(text_col))).alias("__t")
+    )
+    legs = []
+    for d in range(1, window + 1):
+        pairs = F.expr(
+            f"arrays_zip(slice(__t, 1, greatest(size(__t) - {d}, 0)),"
+            f" slice(__t, {d + 1}, greatest(size(__t) - {d}, 0)))"
+        )
+        legs.append(
+            toks.select(F.explode(pairs).alias("__p")).select(
+                F.least(F.col("__p.0"), F.col("__p.1")).alias("a"),
+                F.greatest(F.col("__p.0"), F.col("__p.1")).alias("b"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def ppmi(cooc: DataFrame, min_count: int = 1) -> DataFrame:
+    """Positive pointwise mutual information over a co-occurrence
+    table: ``(a, b, cnt, ppmi)`` with
+
+        ppmi = max(0, round(ln(cnt · T / (m_a · m_b)), 6))
+
+    where T = Σ cnt and the marginal ``m(t)`` sums every pair
+    containing t (the self-pair (t, t) counted once — the pinned
+    module convention).  Marginals come from re-keying the pair table
+    itself (no second corpus pass); T and the marginals attach via a
+    1-row broadcast cross join and a broadcast-joined marginal table
+    — at production scale the marginal table is vocab-sized; swap the
+    broadcast hint for a plain shuffle join past ~100 M tokens.
+    ``min_count`` prunes rare pairs BEFORE the joins (PMI on count-1
+    pairs is noise — the standard filter)."""
+    filtered = cooc.filter(F.col("cnt") >= min_count)
+    total = cooc.agg(F.sum("cnt").alias("__T"))
+    marg = (
+        cooc.select(F.col("a").alias("t"), "cnt")
+        .unionByName(
+            cooc.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("t"), "cnt"
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("cnt").alias("__m"))
+    )
+    ma = marg.select(F.col("t").alias("a"), F.col("__m").alias("__ma"))
+    mb = marg.select(F.col("t").alias("b"), F.col("__m").alias("__mb"))
+    return (
+        filtered.crossJoin(F.broadcast(total))
+        .join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .select(
+            "a",
+            "b",
+            "cnt",
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.log(
+                        F.col("cnt").cast("double")
+                        * F.col("__T").cast("double")
+                        / (
+                            F.col("__ma").cast("double")
+                            * F.col("__mb").cast("double")
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("ppmi"),
+        )
+    )

@@ -394,3 +394,92 @@ def test_hash_is_overflow_safe_for_huge_ids(spark):
     small = spark.createDataFrame([(123,)], "doc_id long")
     (h,) = small.select(knuth_hash32(F.col("doc_id")).alias("h")).collect()[0]
     assert h == (123 * 2654435761) % 2**32
+
+
+# --- co-occurrence + PPMI ------------------------------------------------------
+
+def test_cooccurrence_matches_local_reference(spark):
+    import math
+    from collections import Counter
+
+    from etl_extract_transform_load_spark.scale.vocab import (
+        cooccurrence_counts,
+        ppmi,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate",
+        "a",          # shorter than any window offset
+        "",           # empty
+        None,         # NULL ≡ ''
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cc = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in cooccurrence_counts(df, window=2).collect()
+    }
+    ref = Counter()
+    for t in texts:
+        toks = (t or "").split()
+        for d in (1, 2):
+            for i in range(len(toks) - d):
+                ref[tuple(sorted((toks[i], toks[i + d])))] += 1
+    assert cc == dict(ref)
+
+    got = {
+        (r["a"], r["b"]): r["ppmi"]
+        for r in ppmi(cooccurrence_counts(df, window=2)).collect()
+    }
+    T = sum(ref.values())
+    marg = Counter()
+    for (a, b), c in ref.items():
+        marg[a] += c
+        if a != b:
+            marg[b] += c
+    for (a, b), c in ref.items():
+        want = max(0.0, round(math.log(c * T / (marg[a] * marg[b])), 6))
+        assert abs(got[(a, b)] - want) < 1e-9, (a, b)
+
+
+def test_ppmi_min_count_prunes_before_join(spark):
+    from etl_extract_transform_load_spark.scale.vocab import (
+        cooccurrence_counts,
+        ppmi,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "p q")], "doc_id long, text string"
+    )
+    cc = cooccurrence_counts(df, window=1)
+    kept = {
+        (r["a"], r["b"]) for r in ppmi(cc, min_count=2).collect()
+    }
+    assert ("p", "q") not in kept
+    assert ("x", "y") in kept
+    with _pytest.raises(ValueError):
+        cooccurrence_counts(df, window=0)
+
+
+def test_self_pair_marginal_counted_once(spark):
+    import math
+
+    from etl_extract_transform_load_spark.scale.vocab import (
+        cooccurrence_counts,
+        ppmi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "z z z")], "doc_id long, text string"
+    )
+    # window 1 pairs: (z,z) x2 -> T=2, m(z)=2 (self-pairs once each)
+    rows = {
+        (r["a"], r["b"]): (r["cnt"], r["ppmi"])
+        for r in ppmi(cooccurrence_counts(df, window=1)).collect()
+    }
+    cnt, val = rows[("z", "z")]
+    assert cnt == 2
+    assert val == max(0.0, round(math.log(2 * 2 / (2 * 2)), 6))

@@ -964,11 +964,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_grams").cast("long").alias("n_contaminated"),
         )
 
+    # sixth branch (r6): golden-record survivorship over the same
+    # exact-dup clusters (scale/fuzzy.golden_record) — mode(lang),
+    # mode(source) and max(n_chars) per cluster; the attribute pack
+    # rides text_md5, max n_chars rides n_copies, the survivor id
+    # rides keep_id
+    from etl_extract_transform_load_spark.scale.fuzzy import (
+        golden_record,
+    )
+
+    gold = golden_record(
+        docs.withColumn("__c", F.md5(F.col("text"))),
+        "__c",
+        {"lang": "mode", "source": "mode", "n_chars": "max"},
+        id_col="doc_id",
+    ).select(
+        F.lit("golden").alias("part"),
+        F.concat(
+            F.coalesce(F.col("__c"), F.lit("<null>")),
+            F.lit(":"),
+            F.coalesce(F.col("lang"), F.lit("<null>")),
+            F.lit(":"),
+            F.coalesce(F.col("source"), F.lit("<null>")),
+        ).alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_copies"),
+        F.col("survivor_id").cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_contaminated"),
+    )
+
     return (
         clusters.unionByName(contam)
         .unionByName(incr)
         .unionByName(span_slots(span_rows, "dupspan"))
         .unionByName(span_slots(cspan_rows, "contamspan"))
+        .unionByName(gold)
     )
 
 
@@ -1087,6 +1117,42 @@ FROM pspan
 UNION ALL
 SELECT 'contamspan', NULL::VARCHAR, span_start, span_end, doc_id, n_grams
 FROM cspan
+UNION ALL
+SELECT 'golden',
+       COALESCE(c, '<null>') || ':' || COALESCE(ml, '<null>')
+           || ':' || COALESCE(ms, '<null>'),
+       mx, survivor, NULL::BIGINT, NULL::BIGINT
+FROM (
+    WITH gsrc AS (
+        SELECT MD5(text) AS c, doc_id, lang, source, n_chars
+        FROM documents
+    ),
+    gbase AS (
+        SELECT c, MIN(doc_id) AS survivor,
+               CAST(MAX(n_chars) AS BIGINT) AS mx
+        FROM gsrc GROUP BY c
+    ),
+    gml AS (
+        SELECT c, lang AS v FROM (
+            SELECT c, lang, ROW_NUMBER() OVER (
+                PARTITION BY c ORDER BY COUNT(*) DESC, lang ASC
+            ) AS rn
+            FROM gsrc WHERE lang IS NOT NULL GROUP BY c, lang
+        ) WHERE rn = 1
+    ),
+    gms AS (
+        SELECT c, source AS v FROM (
+            SELECT c, source, ROW_NUMBER() OVER (
+                PARTITION BY c ORDER BY COUNT(*) DESC, source ASC
+            ) AS rn
+            FROM gsrc WHERE source IS NOT NULL GROUP BY c, source
+        ) WHERE rn = 1
+    )
+    SELECT b.c, b.survivor, b.mx, l.v AS ml, s.v AS ms
+    FROM gbase b
+    LEFT JOIN gml l ON b.c = l.c
+    LEFT JOIN gms s ON b.c = s.c
+)
 """
 
 

@@ -113,3 +113,92 @@ def fuzzy_match_pairs(
             F.levenshtein("__ta", "__tb").alias("distance"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, str],
+    id_col: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster to one "golden"
+    row.  ``rules`` maps attribute → rule:
+
+    - ``mode``   — most frequent non-NULL value, ties to the smallest
+      value (deterministic, engine-portable);
+    - ``min`` / ``max`` — extreme non-NULL value;
+    - ``latest`` — value on the row with the greatest ``ts_col``
+      (requires ``ts_col``; NULL-ts rows never win; ts ties to the
+      smallest value).
+
+    Output: one row per cluster with the ruled attributes, plus
+    ``survivor_id`` = min ``id_col`` when given (the
+    ``dedup_deterministic`` convention).  Plan: one hash aggregate
+    for the min/max/latest/survivor rules; each ``mode`` attribute
+    adds one (cluster, value) count aggregate joined back — all
+    shuffles on the cluster key, no windows over raw rows.  The
+    min_by trick encodes "max count, then min value" as one
+    lexicographic struct ordering, so mode needs no row_number."""
+    unknown = {
+        c: r
+        for c, r in rules.items()
+        if r not in ("mode", "min", "max", "latest")
+    }
+    if unknown:
+        raise ValueError(f"unknown rules: {unknown}")
+    if "latest" in rules.values() and ts_col is None:
+        raise ValueError("latest rule requires ts_col")
+    aggs = []
+    if id_col is not None:
+        aggs.append(F.min(F.col(id_col)).alias("survivor_id"))
+    for c, r in rules.items():
+        col = F.col(f"`{c}`")
+        if r == "min":
+            aggs.append(F.min(col).alias(c))
+        elif r == "max":
+            aggs.append(F.max(col).alias(c))
+        elif r == "latest":
+            ok = col.isNotNull() & F.col(ts_col).isNotNull()
+            # max over (ts, MIN value at that ts): encode "min value
+            # ties" by min_by on (negated ts) — ts must be orderable;
+            # use max_by with struct(ts, value) NOT viable (max value
+            # wins ties), so: min_by(value, struct(-epoch, value))
+            aggs.append(
+                F.min_by(
+                    F.when(ok, col),
+                    F.when(
+                        ok,
+                        F.struct(
+                            (-F.col(ts_col).cast("double")).alias(
+                                "nts"
+                            ),
+                            col.alias("v"),
+                        ),
+                    ),
+                ).alias(c)
+            )
+    base = df.groupBy(cluster_col).agg(*aggs) if aggs else (
+        df.select(cluster_col).distinct()
+    )
+    for c, r in rules.items():
+        if r != "mode":
+            continue
+        col = F.col(f"`{c}`")
+        counts = (
+            df.filter(col.isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        picked = counts.groupBy(cluster_col).agg(
+            F.min_by(
+                col,
+                F.struct(
+                    (-F.col("__cnt")).alias("nc"), col.alias("v")
+                ),
+            ).alias(c)
+        )
+        base = (
+            base.drop(c) if c in base.columns else base
+        ).join(picked, cluster_col, "left")
+    return base

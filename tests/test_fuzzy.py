@@ -94,3 +94,60 @@ def test_neighborhood_contents(spark):
     by_s = {r["s"]: set(r["n"]) for r in rows}
     assert by_s["ab"] == {"ab", "a", "b", ""}
     assert by_s[""] == {""}
+
+
+# --- golden record -------------------------------------------------------------
+
+def test_golden_record_rules(spark):
+    from datetime import datetime
+
+    from etl_extract_transform_load_spark.scale.fuzzy import golden_record
+
+    df = spark.createDataFrame(
+        [
+            # cluster 1: mode name 'Ann' (2 vs 1), latest city wins,
+            # min id 10
+            (1, 10, "Ann", "Oslo", datetime(2024, 1, 1)),
+            (1, 11, "Ann", "Bergen", datetime(2024, 1, 3)),
+            (1, 12, "Anne", "Trondheim", datetime(2024, 1, 2)),
+            # cluster 2: mode tie 'Bob'/'Rob' 1-1 -> smallest value;
+            # NULL-ts row never wins latest
+            (2, 20, "Rob", "Paris", None),
+            (2, 21, "Bob", "Lyon", datetime(2024, 1, 1)),
+            # cluster 3: all-NULL attribute stays NULL
+            (3, 30, None, None, None),
+        ],
+        "c long, id long, name string, city string, ts timestamp",
+    )
+    got = {
+        r["c"]: r
+        for r in golden_record(
+            df,
+            "c",
+            {"name": "mode", "city": "latest"},
+            id_col="id",
+            ts_col="ts",
+        ).collect()
+    }
+    assert (got[1]["survivor_id"], got[1]["name"], got[1]["city"]) == (
+        10, "Ann", "Bergen",
+    )
+    assert (got[2]["name"], got[2]["city"]) == ("Bob", "Lyon")
+    assert got[3]["name"] is None and got[3]["city"] is None
+
+
+def test_golden_record_latest_ts_tie_and_validation(spark):
+    from etl_extract_transform_load_spark.scale.fuzzy import golden_record
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "b", 5), (1, "a", 5)], "c long, v string, t long"
+    )
+    got = golden_record(
+        df, "c", {"v": "latest"}, ts_col="t"
+    ).collect()[0]
+    assert got["v"] == "a"  # equal ts -> smallest value
+    with _pytest.raises(ValueError):
+        golden_record(df, "c", {"v": "latest"})
+    with _pytest.raises(ValueError):
+        golden_record(df, "c", {"v": "newest"})

@@ -289,3 +289,121 @@ def acf(
         F.col("__e.lag").alias("lag"),
         F.col("__e.acf").alias("acf"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid with
+    forward-fill: ``(key_col, bucket_sec, value, observed)`` — one row
+    per ``step_seconds`` bucket from each key's first to last
+    observation, ``value`` carried forward across empty buckets
+    (NULL before the first observation), ``observed`` flagging
+    buckets that had at least one real point.
+
+    Bucket value = the LAST observation inside the bucket (by ts,
+    ties to the largest value — ``max_by`` on a (ts, value) struct,
+    deterministic).  Plan: per-key min/max aggregate → grid explode
+    (``sequence`` — map-side, grid × keys rows, bounded by calendar
+    not data) → left join of bucketed observations → one ordered
+    window for the fill.  Everything shuffles on the key.  NULL
+    keys/ts/values drop."""
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    e = (
+        F.floor(F.col(ts_col).cast("double") / step_seconds)
+        .cast("long")
+        * step_seconds
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        e.alias("__b"),
+        F.col(ts_col).cast("double").alias("__e"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    obs = base.groupBy("__k", "__b").agg(
+        F.max_by(
+            F.col("__v"),
+            F.struct(F.col("__e").alias("e"), F.col("__v").alias("v")),
+        ).alias("__obs")
+    )
+    span = base.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.lit(int(step_seconds))
+            )
+        ).alias("__b"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["__k", "__b"], "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__b").alias("bucket_sec"),
+            F.last("__obs", ignorenulls=True).over(w).alias("value"),
+            F.col("__obs").isNotNull().alias("observed"),
+        )
+    )
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    lookback: int = 4,
+    threshold: float = 3.0,
+    out_col: str = "roll_z",
+) -> DataFrame:
+    """Trailing-window anomaly score: ``out_col`` = the value's
+    z-score against the PRECEDING ``lookback`` observations (the
+    current row excluded — an outlier must not dilute its own
+    baseline), plus ``<out_col>_flag`` when |z| > ``threshold``.
+
+    Cross-engine exact: the frame's count / Σx / Σx² accumulate as
+    decimals of 6-dp inputs and combine in the pinned
+    ``(x−μ)/sqrt((ss−n·μ²)/(n−1))`` double formula, 6-dp rounded —
+    the ``acf`` sufficient-statistics argument applied to a moving
+    frame.  NULL until the frame holds ≥ 2 points or has zero
+    spread.  One window pass on the key ordering."""
+    if lookback < 2:
+        raise ValueError("lookback must be >= 2")
+    dec = "decimal(18,6)"
+    x = F.round(F.col(value_col).cast("double"), 6)
+    xd = x.cast(dec)
+    w = (
+        Window.partitionBy(F.col(f"`{key_col}`"))
+        .orderBy(*[F.col(f"`{c}`") for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(xd).over(w).cast("double")
+    s = F.sum(xd).over(w).cast("double")
+    ss = F.sum(xd * xd).over(w).cast("double")
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - 1.0)
+    z = F.when(
+        (n >= 2) & (var > 0), F.round((x - mean) / F.sqrt(var), 6)
+    )
+    return df.withColumn(out_col, z).withColumn(
+        f"{out_col}_flag",
+        F.when(
+            F.col(out_col).isNotNull(),
+            F.abs(F.col(out_col)) > threshold,
+        ),
+    )

@@ -979,7 +979,31 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("purchase_sec"),
         F.lit(None).cast("long").alias("click_sec"),
     )
-    return asof.unionByName(rng)
+    # third branch: calendar resampling with forward-fill
+    # (operators/timeseries.resample_ffill) — per-user daily value
+    # grid; the bucket rides click_id, the carried value (×100,
+    # rounded to a long) rides purchase_sec, the observed flag rides
+    # click_sec
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        resample_ffill,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    rs = resample_ffill(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        86400,
+    ).select(
+        F.lit("resample").alias("part"),
+        F.col("user_id").cast("long").alias("left_id"),
+        F.col("bucket_sec").cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("purchase_sec"),
+        F.col("observed").cast("long").alias("click_sec"),
+    )
+    return asof.unionByName(rng).unionByName(rs)
 
 
 def _oracle_temporal_joins() -> str:
@@ -999,6 +1023,41 @@ UNION ALL
 SELECT 'range', CAST(purchase_id AS BIGINT), CAST(click_id AS BIGINT),
        NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
 FROM ({ORACLE_RANGE_JOIN})
+UNION ALL
+SELECT 'resample', k, b, NULL::BIGINT,
+       CAST(ROUND(fv * 100) AS BIGINT),
+       CAST(observed AS BIGINT)
+FROM (
+    WITH rsb AS (
+        SELECT user_id AS k,
+               CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) * 86400 AS b,
+               EPOCH(ts) AS e,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    robs AS (
+        SELECT k, b, v AS o FROM (
+            SELECT k, b, v, ROW_NUMBER() OVER (
+                PARTITION BY k, b ORDER BY e DESC, v DESC
+            ) AS rn
+            FROM rsb
+        ) WHERE rn = 1
+    ),
+    rgrid AS (
+        SELECT k, UNNEST(range(lo, hi + 1, 86400)) AS b
+        FROM (SELECT k, MIN(b) AS lo, MAX(b) AS hi
+              FROM rsb GROUP BY k)
+    )
+    SELECT g.k, g.b,
+           LAST_VALUE(r.o IGNORE NULLS) OVER (
+               PARTITION BY g.k ORDER BY g.b
+               ROWS UNBOUNDED PRECEDING
+           ) AS fv,
+           r.o IS NOT NULL AS observed
+    FROM rgrid g LEFT JOIN robs r ON g.k = r.k AND g.b = r.b
+)
 """
 
 

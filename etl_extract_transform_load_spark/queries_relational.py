@@ -485,14 +485,33 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = events.select("event_id", "user_id", "value").filter(
         F.col("value").isNotNull()
     )
-    feats = ewma(
-        rolling_stats(nn, "user_id", ["event_id"], "value"),
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        rolling_zscore_flags,
+    )
+
+    feats = rolling_zscore_flags(
+        ewma(
+            rolling_stats(nn, "user_id", ["event_id"], "value"),
+            "user_id",
+            ["event_id"],
+            "value",
+            alpha=0.5,
+            lookback=4,
+        ),
         "user_id",
         ["event_id"],
         "value",
-        alpha=0.5,
         lookback=4,
-    ).select("event_id", "roll_mean", "roll_min", "roll_max", "ewma")
+        threshold=3.0,
+    ).select(
+        "event_id",
+        "roll_mean",
+        "roll_min",
+        "roll_max",
+        "ewma",
+        "roll_z",
+        F.col("roll_z_flag").cast("int").alias("roll_z_flag"),
+    )
     # TRUE-recursion twin: the exact UNBOUNDED EWMA (per-key Arrow
     # fold, operators/timeseries.ewma_unbounded) verified against a
     # recursive-CTE oracle — closes the bounded form's truncated tail
@@ -560,11 +579,20 @@ feats AS (
                 + CASE WHEN LAG(v, 2) OVER wo IS NOT NULL
                        THEN 0.25 ELSE 0.0 END
                 + CASE WHEN LAG(v, 3) OVER wo IS NOT NULL
-                       THEN 0.125 ELSE 0.0 END), 6) AS ewma
+                       THEN 0.125 ELSE 0.0 END), 6) AS ewma,
+           ROUND(v, 6) AS v6,
+           CAST(COUNT(v) OVER wz AS DOUBLE) AS zn,
+           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) OVER wz
+                AS DOUBLE) AS zs,
+           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
+                    * CAST(ROUND(v, 6) AS DECIMAL(18,6))) OVER wz
+                AS DOUBLE) AS zss
     FROM nn
     WINDOW wo AS (PARTITION BY user_id ORDER BY event_id),
            w4 AS (PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           wz AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
 )
 SELECT e.event_id,
        CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_sec,
@@ -572,6 +600,19 @@ SELECT e.event_id,
        EXTRACT(hour FROM ts) AS event_hour,
        CAST(props->>'$.k' AS BIGINT) AS prop_k,
        f.roll_mean, f.roll_min, f.roll_max, f.ewma,
+       ROUND(CASE WHEN f.zn >= 2
+                   AND (f.zss - f.zn * (f.zs / f.zn) * (f.zs / f.zn))
+                       / (f.zn - 1.0) > 0
+             THEN (f.v6 - f.zs / f.zn)
+                  / SQRT((f.zss - f.zn * (f.zs / f.zn) * (f.zs / f.zn))
+                         / (f.zn - 1.0)) END, 6) AS roll_z,
+       CAST(CASE WHEN f.zn >= 2
+                  AND (f.zss - f.zn * (f.zs / f.zn) * (f.zs / f.zn))
+                      / (f.zn - 1.0) > 0
+             THEN ABS(ROUND((f.v6 - f.zs / f.zn)
+                  / SQRT((f.zss - f.zn * (f.zs / f.zn) * (f.zs / f.zn))
+                         / (f.zn - 1.0)), 6)) > 3.0 END AS INT)
+           AS roll_z_flag,
        ROUND(w.num / w.den, 6) AS ewma_x
 FROM events e
 LEFT JOIN feats f ON e.event_id = f.event_id

@@ -74,3 +74,83 @@ def test_null_values_and_bad_lags_raise(spark):
         acf(ok, "k", ["t"], "v", [])
     with pytest.raises(ValueError):
         acf(ok, "k", ["t"], "v", [0])
+
+
+# --- resample + forward-fill ---------------------------------------------------
+
+def test_resample_ffill_hand_computed(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        # key 'a': obs at t=5 (v=1), t=25 (v=2), t=27 (v=3, later in
+        # same bucket wins), gap bucket 10 ffills
+        ("a", 5.0, 1.0), ("a", 25.0, 2.0), ("a", 27.0, 3.0),
+        # key 'b': single point
+        ("b", 11.0, 9.0),
+        (None, 1.0, 1.0), ("c", None, 1.0), ("d", 1.0, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {
+        (r["k"], r["bucket_sec"]): (r["value"], r["observed"])
+        for r in resample_ffill(df, "k", "ts", "v", 10).collect()
+    }
+    assert got == {
+        ("a", 0): (1.0, True),
+        ("a", 10): (1.0, False),   # carried forward
+        ("a", 20): (3.0, True),    # last obs in bucket wins
+        ("b", 10): (9.0, True),
+    }
+
+
+def test_resample_same_instant_tie_and_validation(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        resample_ffill,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 1.0, 7.0)], "k string, ts double, v double"
+    )
+    row = resample_ffill(df, "k", "ts", "v", 10).collect()[0]
+    assert row["value"] == 7.0  # equal ts -> larger value wins
+    with _pytest.raises(ValueError):
+        resample_ffill(df, "k", "ts", "v", 0)
+
+
+# --- rolling z-score -----------------------------------------------------------
+
+def test_rolling_zscore_flags(spark):
+    import numpy as np
+
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        rolling_zscore_flags,
+    )
+
+    vals = [10.0, 10.2, 9.8, 10.1, 50.0, 10.0]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)],
+        "k string, t long, v double",
+    )
+    out = {
+        r["t"]: (r["roll_z"], r["roll_z_flag"])
+        for r in rolling_zscore_flags(
+            df, "k", ["t"], "v", lookback=4, threshold=3.0
+        ).collect()
+    }
+    assert out[0] == (None, None)   # empty frame
+    assert out[1] == (None, None)   # one point: no spread
+    window = np.array(vals[0:4])
+    z4 = (50.0 - window.mean()) / window.std(ddof=1)
+    assert out[4][0] is not None
+    assert abs(out[4][0] - round(z4, 6)) < 1e-4
+    assert out[4][1] is True        # the spike flags
+    assert out[3][1] is False
+    # the spike sits INSIDE t=5's baseline -> huge spread, no flag
+    assert out[5][1] is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_zscore_flags(df, "k", ["t"], "v", lookback=1)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""End-to-end behavioral analytics over the events table — the
+composed report a product/data team runs on an event warehouse:
+
+    read → sessionization → conversion funnel → cohort retention →
+    rolling DAU/WAU/MAU → Markov transition matrix →
+    per-type hourly resample + anomaly flags → manifest-verified
+    parquet write of every report table
+
+Every stage is an existing verified operator; this script is the
+composition, runnable against any testdata SF:
+
+    python examples/analytics_pipeline.py [sf_dir] [out_dir]
+
+(defaults: /root/testdata/sf0.01, /tmp/analytics_out). Prints each
+report's headline numbers and verifies the written tables against
+their manifests before exiting.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.cohort import (
+    cohort_retention,
+)
+from etl_extract_transform_load_spark.operators.engagement import (
+    rolling_active_users,
+)
+from etl_extract_transform_load_spark.operators.funnel import (
+    funnel_counts,
+    funnel_reach,
+)
+from etl_extract_transform_load_spark.operators.sessionize import (
+    session_stats,
+    transition_matrix,
+)
+from etl_extract_transform_load_spark.operators.timeseries import (
+    resample_ffill,
+    rolling_zscore_flags,
+)
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.sinks.manifest import (
+    read_manifest,
+    verify_against_manifest,
+    write_with_manifest,
+)
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/analytics_out"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    spark = get_spark(app_name="analytics_pipeline", master="local[8]")
+    events = load_table(spark, sf_dir, "events")
+
+    # 1. sessions
+    sessions = session_stats(events)
+    n_sessions = sessions.count()
+    print(f"[1] sessions: {n_sessions}")
+
+    # 2. conversion funnel
+    reach = funnel_reach(events, ["view", "click", "purchase"])
+    fc = funnel_counts(reach).orderBy("step_idx").collect()
+    for r in fc:
+        conv = r["conv_from_first"]
+        print(
+            f"[2] funnel {r['step_idx']}:{r['step_name']}"
+            f" users={r['n_users']} from_first={conv}"
+        )
+
+    # 3. daily cohort retention (report the first cohort's curve)
+    coh = cohort_retention(events, period="day")
+    first = coh.orderBy("cohort", "period_offset").limit(5).collect()
+    for r in first:
+        print(
+            f"[3] cohort {r['cohort']} +{r['period_offset']}d:"
+            f" {r['n_active']} active ({r['retention']})"
+        )
+
+    # 4. engagement series
+    au = rolling_active_users(events, windows=(1, 7, 30))
+    last = au.orderBy(F.desc("day")).limit(1).collect()[0]
+    print(
+        f"[4] engagement {last['day']}: dau={last['au_1']}"
+        f" wau={last['au_7']} mau={last['au_30']}"
+        f" stickiness={last['stickiness']}"
+    )
+
+    # 5. behavior transitions
+    tm = transition_matrix(events)
+    top = tm.orderBy(F.desc("prob"), "from_type", "to_type").limit(3)
+    for r in top.collect():
+        print(
+            f"[5] transition {r['from_type']}→{r['to_type']}"
+            f" p={r['prob']} (n={r['n']})"
+        )
+
+    # 6. per-type hourly value series with anomaly flags
+    hourly = resample_ffill(events, "event_type", "ts", "value", 3600)
+    flagged = rolling_zscore_flags(
+        hourly.filter(F.col("observed")),
+        "event_type",
+        ["bucket_sec"],
+        "value",
+        lookback=24,
+        threshold=3.0,
+    )
+    n_anom = flagged.filter(F.col("roll_z_flag")).count()
+    print(f"[6] hourly anomalies: {n_anom}")
+
+    # 7. manifest-verified report write
+    reports = {
+        "sessions": sessions,
+        "funnel": funnel_counts(reach),
+        "cohorts": coh,
+        "engagement": au,
+        "transitions": tm,
+    }
+    for name, df in reports.items():
+        path = os.path.join(out_dir, name)
+        write_with_manifest(df, path)
+        back = spark.read.parquet(path)
+        verify_against_manifest(back, read_manifest(spark, path))
+    print(f"[7] wrote + verified {len(reports)} report tables at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,33 @@ def test_manifest_roundtrip_and_verify(spark, tmp_path):
     verify_against_manifest(back, manifest)  # no raise
     with pytest.raises(ValueError, match="does not match"):
         verify_against_manifest(back.limit(99), manifest)
+
+
+def test_analytics_pipeline_example_runs(spark, tmp_path):
+    """The composed behavioral-analytics example must run end-to-end
+    against smoke testdata and leave manifest-verified reports."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "analytics_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "examples/analytics_pipeline.py",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "wrote + verified 5 report tables" in proc.stdout
+    import os
+
+    for name in ("sessions", "funnel", "cohorts", "engagement",
+                 "transitions"):
+        assert os.path.exists(os.path.join(out, name, "_MANIFEST.json")) or any(
+            f.startswith("_") for f in os.listdir(os.path.join(out, name))
+        )

@@ -110,3 +110,91 @@ def running_user_totals_batch(
             F.sum("bucket_total").over(w).cast("double"), 6
         ).alias("total"),
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user conversion funnel as a streaming state machine — the
+    unbounded-stream face of ``operators.funnel.funnel_reach``.
+
+    State per user = one reach slot (epoch second) per step; an event
+    advances slot i when its type matches step i, slot i is still
+    empty, and slot i−1 was reached STRICTLY earlier (same-instant
+    events do not advance — the batch operator's rule).  Each trigger
+    emits only the steps NEWLY reached in that micro-batch
+    (update mode), so the accumulated emission across the stream's
+    lifetime equals the batch reach table whenever delivery is
+    time-ordered across batches (the operator orders within each
+    batch; cross-batch stragglers older than an already-taken slot
+    are correctly ignored by the strictly-after rule, but an
+    out-of-order FIRST qualifying event can only be seen late —
+    order the source or accept the arrival-time approximation, the
+    standard streaming-funnel trade).
+
+    State is ``len(steps)`` doubles per user — the state-store bound
+    at scale.  Emits ``(user_col, step_idx, step_name, reach_sec)``.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    output_schema = (
+        f"{user_col} long, step_idx int, step_name string,"
+        " reach_sec long"
+    )
+    state_schema = ", ".join(f"r{i} double" for i in range(k))
+
+    prepared = stream.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.col(type_col).alias("__type"),
+        F.col(ts_col).cast("double").alias("__e"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        reach = list(state.get) if state.exists else [None] * k
+        newly: list[tuple[int, float]] = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            rows = pd.concat(frames).sort_values("__e")
+            for t, e in zip(rows["__type"], rows["__e"]):
+                i = step_idx.get(t)
+                if i is None or reach[i] is not None:
+                    continue
+                if i == 0 or (
+                    reach[i - 1] is not None and reach[i - 1] < e
+                ):
+                    reach[i] = float(e)
+                    newly.append((i, float(e)))
+        state.update(tuple(reach))
+        if newly:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(newly),
+                    "step_idx": [i for i, _ in newly],
+                    "step_name": [steps[i] for i, _ in newly],
+                    "reach_sec": [int(e) for _, e in newly],
+                }
+            )
+
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -178,3 +178,60 @@ def test_batch_twin_final_rows_equal_stateful_final_state(spark):
     for uid, (n, total) in expected.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 1e-4
+
+
+def test_streaming_funnel_matches_batch_on_ordered_stream(spark, tmp_path):
+    """Time-ordered micro-batches through the funnel state machine
+    accumulate EXACTLY the batch funnel_reach table — per-user state
+    carried across batches, only newly-reached steps emitted."""
+    from etl_extract_transform_load_spark.operators.funnel import (
+        funnel_reach,
+    )
+    from etl_extract_transform_load_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # three TIME-ordered files → cross-batch funnel progressions
+    # (a user's view may land in batch 0 and the click in batch 2)
+    src = f"{tmp_path}/funnel_src"
+    b0 = events.orderBy("ts").limit(300)
+    rest = events.join(b0.select("event_id"), "event_id", "left_anti")
+    b1 = rest.orderBy("ts").limit(300)
+    b2 = rest.join(b1.select("event_id"), "event_id", "left_anti")
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(f"{src}/batch={i}")
+
+    stream = file_stream_source(
+        spark,
+        f"{src}/batch=*",
+        schema="event_id long, user_id long, event_type string, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    out = streaming_funnel(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/funnel_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.step_idx, r.step_name, r.reach_sec)
+        for r in spark.sql("SELECT * FROM stream_funnel").collect()
+    }
+    want = {
+        (r.user_id, r.step_idx, r.step_name, r.reach_sec)
+        for r in funnel_reach(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # each (user, step) emitted exactly once across all batches
+    keys = [(u, s) for (u, s, _, _) in got]
+    assert len(keys) == len(set(keys))

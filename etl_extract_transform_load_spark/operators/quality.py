@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -187,3 +187,88 @@ def assert_valid(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         detail = "; ".join(f"{ru}({c})={n}" for ru, c, n in bad)
         raise ValueError(f"data-quality violations: {detail}")
     return df
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index inputs — the standard drift monitor
+    between a reference (training) and a current (serving) sample of
+    one numeric column.
+
+    Fixed-width bins span the REFERENCE min..max (one decide
+    aggregate); current values outside the span clamp into the edge
+    bins (drift beyond the reference range must register, not
+    vanish).  Returns one row per bin: ``(bin, p_ref, p_cur, term)``
+    with proportions 6-dp rounded and
+
+        term = round((p̂ᵣ − p̂꜀) · ln(p̂ᵣ / p̂꜀), 6),
+        p̂ = max(p, epsilon)           (the empty-bin guard)
+
+    so ``PSI = Σ term`` is an order-free decimal sum the caller
+    finishes (the registered branch does; < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted — the conventional thresholds).  NULLs
+    are excluded on both sides; a constant reference column puts
+    everything in bin 0 (PSI then measures only mass outside it).
+    Two aggregation passes total, state = n_bins."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    x = F.col(f"`{col}`").cast("double")
+    bounds = ref.filter(x.isNotNull()).agg(
+        F.min(x).alias("mn"), F.max(x).alias("mx")
+    ).collect()[0]
+    mn, mx = bounds["mn"], bounds["mx"]
+    if mn is None:
+        raise ValueError(f"population_stability: no non-NULL {col} in ref")
+    width = (mx - mn) / n_bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        if width == 0:
+            b = F.lit(0)
+        else:
+            b = F.least(
+                F.greatest(
+                    F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+        counts = (
+            df.filter(x.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy()
+        return counts.select(
+            "bin",
+            F.round(
+                F.col("__c").cast("double")
+                / F.sum("__c").over(w).cast("double"),
+                6,
+            ).alias(out),
+        )
+    eps = float(epsilon)
+    all_bins = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        all_bins.join(binned(ref, "p_ref"), "bin", "left")
+        .join(binned(cur, "p_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+            F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        )
+    )
+    pa = F.greatest(F.col("p_ref"), F.lit(eps))
+    qa = F.greatest(F.col("p_cur"), F.lit(eps))
+    return joined.select(
+        "bin",
+        "p_ref",
+        "p_cur",
+        F.round((pa - qa) * F.log(pa / qa), 6).alias("term"),
+    )

@@ -80,7 +80,40 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column").alias("column_name"),
         F.col("n_violations").cast("double").alias("value"),
     )
-    return nf.unionByName(sv).unionByName(checks)
+    # fourth branch: PSI drift monitor (operators/quality.
+    # population_stability) — o_totalprice of even- vs odd-keyed
+    # orders (a deterministic A/B slice pair); per-bin terms as
+    # psi_bin:<b> rows plus the decimal-summed total
+    from etl_extract_transform_load_spark.operators.quality import (
+        population_stability,
+    )
+
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    psi_bins = population_stability(even, odd, "o_totalprice", 10)
+    psi_rows = psi_bins.select(
+        F.concat(F.lit("psi_bin:"), F.col("bin").cast("string")).alias(
+            "metric"
+        ),
+        F.lit("o_totalprice").alias("column_name"),
+        F.col("term").alias("value"),
+    )
+    psi_total = psi_bins.agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("value")
+    ).select(
+        F.lit("psi").alias("metric"),
+        F.lit("o_totalprice").alias("column_name"),
+        "value",
+    )
+    return (
+        nf.unionByName(sv)
+        .unionByName(checks)
+        .unionByName(psi_rows)
+        .unionByName(psi_total)
+    )
 
 
 def _oracle_profile_columns() -> str:
@@ -124,6 +157,57 @@ FROM orders o
 WHERE o.o_custkey IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM customer c
                   WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT metric, 'o_totalprice', value FROM (
+    WITH pb AS (
+        SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+    ),
+    pref AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                   (CAST(o_totalprice AS DOUBLE) - pb.mn)
+                   / ((pb.mx - pb.mn) / 10)) AS INT), 0), 9) AS bin,
+               COUNT(*) AS c
+        FROM orders, pb
+        WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    pcur AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                   (CAST(o_totalprice AS DOUBLE) - pb.mn)
+                   / ((pb.mx - pb.mn) / 10)) AS INT), 0), 9) AS bin,
+               COUNT(*) AS c
+        FROM orders, pb
+        WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    pgrid AS (SELECT UNNEST(range(0, 10)) AS bin),
+    pjoin AS (
+        SELECT g.bin,
+               COALESCE(ROUND(CAST(r.c AS DOUBLE)
+                   / (SELECT SUM(c) FROM pref), 6), 0.0) AS p,
+               COALESCE(ROUND(CAST(u.c AS DOUBLE)
+                   / (SELECT SUM(c) FROM pcur), 6), 0.0) AS q
+        FROM pgrid g
+        LEFT JOIN pref r ON g.bin = r.bin
+        LEFT JOIN pcur u ON g.bin = u.bin
+    ),
+    pterm AS (
+        SELECT bin,
+               ROUND((GREATEST(p, 1e-6) - GREATEST(q, 1e-6))
+                     * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)), 6)
+                   AS term
+        FROM pjoin
+    )
+    SELECT 'psi_bin:' || CAST(bin AS VARCHAR) AS metric, term AS value
+    FROM pterm
+    UNION ALL
+    SELECT 'psi', ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6)))
+                              AS DOUBLE), 6)
+    FROM pterm
+)
 """
 
 

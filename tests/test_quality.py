@@ -125,3 +125,65 @@ def test_agg_rules_share_one_pass(spark, dirty):
     plan = buf.getvalue()
     # a single scan feeds the shared aggregation
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+
+# --- PSI drift monitor ---------------------------------------------------------
+
+def test_psi_identical_distributions_near_zero(spark):
+    from etl_extract_transform_load_spark.operators.quality import (
+        population_stability,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 10000).select(
+        (F.col("id") % 100).cast("double").alias("x")
+    )
+    bins = population_stability(base, base, "x", 10)
+    psi = bins.agg(F.round(F.sum("term"), 6)).collect()[0][0]
+    assert abs(psi) < 1e-9
+
+
+def test_psi_detects_shift_and_out_of_range_mass(spark):
+    import math
+
+    from etl_extract_transform_load_spark.operators.quality import (
+        population_stability,
+    )
+    from pyspark.sql import functions as F
+
+    ref = spark.range(0, 10000).select(
+        (F.col("id") % 100).cast("double").alias("x")
+    )
+    # current: everything shifted far above the reference max ->
+    # all mass clamps into the last bin
+    cur = spark.range(0, 1000).select(
+        (F.col("id") % 100 + 1000).cast("double").alias("x")
+    )
+    rows = {
+        r["bin"]: r
+        for r in population_stability(ref, cur, "x", 10).collect()
+    }
+    assert rows[9]["p_cur"] == 1.0
+    psi = sum(r["term"] for r in rows.values())
+    assert psi > 0.25  # "shifted" by every conventional threshold
+    # bin 9: (0.1 - 1.0) * ln(0.1/1.0)
+    assert rows[9]["term"] == round((0.1 - 1.0) * math.log(0.1), 6)
+
+
+def test_psi_nulls_constant_ref_and_validation(spark):
+    from etl_extract_transform_load_spark.operators.quality import (
+        population_stability,
+    )
+    import pytest as _pytest
+
+    const = spark.createDataFrame(
+        [(5.0,), (5.0,), (None,)], "x double"
+    )
+    rows = population_stability(const, const, "x", 10).collect()
+    by_bin = {r["bin"]: r for r in rows}
+    assert by_bin[0]["p_ref"] == 1.0 and by_bin[0]["p_cur"] == 1.0
+    with _pytest.raises(ValueError):
+        population_stability(const, const, "x", 1)
+    empty = spark.createDataFrame([(None,)], "x double")
+    with _pytest.raises(ValueError):
+        population_stability(empty, const, "x")

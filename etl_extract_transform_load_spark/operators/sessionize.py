@@ -99,3 +99,60 @@ def transition_matrix(
             6,
         ).alias("prob"),
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Concurrency curve over half-open intervals ``[start, end)``:
+    one row per DISTINCT change point ``(ts, concurrent)`` with
+    the number of intervals containing that instant (after all
+    endpoints at it take effect — collapsing ties first makes the
+    result order-free).  Callers wanting closed intervals pass
+    ``end + 1``.
+
+    The classic sweep-line is a GLOBAL prefix sum — a single-
+    partition window at scale.  This is the distributed form:
+    endpoints collapse to per-instant net deltas, instants hash into
+    coarse time buckets, each bucket prefix-sums internally (window
+    partitioned by bucket), and bucket offsets come from a second,
+    bucket-count-sized cumulative pass broadcast back.  Two shuffles
+    bounded by endpoints and buckets respectively — no global sort
+    partition ever materializes.  NULL or inverted intervals drop.
+    """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    iv = df.filter(s.isNotNull() & e.isNotNull() & (e > s))
+    pts = iv.select(s.alias("ts"), F.lit(1).alias("d")).unionByName(
+        iv.select(e.alias("ts"), F.lit(-1).alias("d"))
+    )
+    net = pts.groupBy("ts").agg(F.sum("d").alias("net"))
+    bkt = F.floor(F.col("ts") / bucket_seconds).cast("long")
+    net = net.withColumn("bkt", bkt)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = net.withColumn("run", F.sum("net").over(w_in))
+    totals = net.groupBy("bkt").agg(F.sum("net").alias("tot"))
+    w_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bkt")
+        .select(
+            "ts",
+            (F.col("off") + F.col("run")).cast("long").alias(
+                "concurrent"
+            ),
+        )
+    )

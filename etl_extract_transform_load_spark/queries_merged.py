@@ -1206,7 +1206,45 @@ def q_session_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("start_sec"),
         F.lit(None).cast("long").alias("duration_sec"),
     )
-    return ss.unionByName(sw).unionByName(fr).unionByName(fc)
+    # fourth branch: per-day PEAK concurrent sessions — the gap
+    # sessionizer's intervals (closed via end+1s) through the
+    # distributed sweep-line (operators/sessionize.
+    # interval_concurrency: bucketed prefix sums, no global sort);
+    # the day rides start_sec (midnight epoch), the peak rides
+    # n_events
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        interval_concurrency,
+        session_stats,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
+
+    iv = session_stats(load_table(spark, sf_dir, "events")).select(
+        F.col("session_start").cast("double").alias("s"),
+        (F.col("session_end").cast("double") + 1.0).alias("e"),
+    )
+    conc = (
+        interval_concurrency(iv, "s", "e")
+        .groupBy(
+            (F.floor(F.col("ts") / 86400).cast("long") * 86400).alias(
+                "day_sec"
+            )
+        )
+        .agg(F.max("concurrent").alias("peak"))
+        .select(
+            F.lit("concurrency").alias("part"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("session_id"),
+            F.col("peak").cast("long").alias("n_events"),
+            F.col("day_sec").alias("start_sec"),
+            F.lit(None).cast("long").alias("duration_sec"),
+        )
+    )
+    return (
+        ss.unionByName(sw)
+        .unionByName(fr)
+        .unionByName(fc)
+        .unionByName(conc)
+    )
 
 
 def _oracle_session_operators() -> str:
@@ -1277,6 +1315,47 @@ FROM (
            CAST(step_idx AS BIGINT), COUNT(*), NULL::BIGINT,
            NULL::BIGINT
     FROM flong GROUP BY step_idx, step_name
+)
+UNION ALL
+SELECT 'concurrency', NULL::BIGINT, NULL::BIGINT, peak, day_sec,
+       NULL::BIGINT
+FROM (
+    WITH cg AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
+    ),
+    cs AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM cg
+    ),
+    civ AS (
+        SELECT EPOCH(MIN(ts)) AS s, EPOCH(MAX(ts)) + 1.0 AS e
+        FROM cs GROUP BY user_id, session_id
+        HAVING MIN(ts) IS NOT NULL
+    ),
+    cpts AS (
+        SELECT s AS ts, 1 AS d FROM civ WHERE e > s
+        UNION ALL
+        SELECT e, -1 FROM civ WHERE e > s
+    ),
+    cnet AS (SELECT ts, SUM(d) AS net FROM cpts GROUP BY ts),
+    ccur AS (
+        SELECT ts, SUM(net) OVER (
+            ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS concurrent
+        FROM cnet
+    )
+    SELECT CAST(FLOOR(ts / 86400) AS BIGINT) * 86400 AS day_sec,
+           CAST(MAX(concurrent) AS BIGINT) AS peak
+    FROM ccur GROUP BY 1
 )
 """
 

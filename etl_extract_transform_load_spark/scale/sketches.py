@@ -218,9 +218,12 @@ def cms_build(
     weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min cell table ``(row, col, cnt)`` over the items
-    (optionally ``weight_col``-weighted; NULL items drop, NULL/
-    negative weights are rejected by contract — CMS is one-sided
-    only for non-negative updates)."""
+    (optionally ``weight_col``-weighted).  NULL items drop; NULL
+    weights contribute nothing (SQL SUM semantics).  Weights must be
+    non-negative — CMS's one-sided guarantee only holds for
+    non-negative updates, and this builder does not scan the data to
+    enforce it (caller contract, like ``materialize_packed``'s
+    uniqueness precondition)."""
     if width < 2 or depth < 1:
         raise ValueError("width must be >= 2 and depth >= 1")
     w = (

@@ -188,3 +188,61 @@ def test_transition_matrix_hand_computed(spark):
         sums[f] += p
     for f, s in sums.items():
         assert abs(s - 1.0) < 1e-9, f
+
+
+def test_interval_concurrency_sweep_line(spark):
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        interval_concurrency,
+    )
+
+    # intervals: [0,10) [5,15) [5,8) [20,25) ; singleton [30,30) drops
+    iv = spark.createDataFrame(
+        [(0.0, 10.0), (5.0, 15.0), (5.0, 8.0), (20.0, 25.0),
+         (30.0, 30.0), (None, 5.0), (1.0, None)],
+        "s double, e double",
+    )
+    got = {
+        r["ts"]: r["concurrent"]
+        for r in interval_concurrency(iv, "s", "e", bucket_seconds=4).collect()
+    }
+    assert got == {
+        0.0: 1,
+        5.0: 3,    # two starts at the same instant collapse
+        8.0: 2,
+        10.0: 1,
+        15.0: 0,
+        20.0: 1,
+        25.0: 0,
+    }
+
+
+def test_interval_concurrency_bucket_invariance(spark):
+    import random
+
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        interval_concurrency,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for _ in range(300):
+        s = rng.uniform(0, 5000)
+        rows.append((s, s + rng.uniform(0.1, 800)))
+    iv = spark.createDataFrame(rows, "s double, e double")
+    curves = []
+    for bw in (60, 3600, 10**9):
+        curves.append(
+            sorted(
+                (r["ts"], r["concurrent"])
+                for r in interval_concurrency(
+                    iv, "s", "e", bucket_seconds=bw
+                ).collect()
+            )
+        )
+    assert curves[0] == curves[1] == curves[2]
+    # conservation: the curve ends at zero
+    assert curves[0][-1][1] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_concurrency(iv, "s", "e", bucket_seconds=0)

@@ -15,7 +15,7 @@ pipelines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,14 +26,28 @@ def asof_join(
     by: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: attach to each left row the most recent
-    right row (by ``on`` timestamp) with the same ``by`` key.
+    """As-of join with the full ``merge_asof`` surface: attach to
+    each left row the nearest right row (by ``on``) with the same
+    ``by`` key — ``backward`` (most recent at-or-before, the
+    default), ``forward`` (earliest at-or-after), or ``nearest``
+    (smaller absolute gap, ties to backward — the pandas
+    convention).  ``tolerance`` (same units as ``on``; seconds for
+    timestamps) nulls out matches farther than the bound.
 
-    Union trick: tag sides, sort (key, ts, right-first-on-ties),
-    carry the last seen right values forward with a running window,
-    keep left rows. Right values on ties (equal ts) DO match
-    (``<=`` semantics, like DuckDB ASOF JOIN / pandas merge_asof)."""
+    Union trick: tag sides, sort (key, ts, right-matching-side-on-
+    ties), carry right values across the partition with a running
+    window (``last`` looking back, ``first`` looking forward), keep
+    left rows.  Equal timestamps DO match in every direction
+    (``<=`` / ``>=`` semantics, like DuckDB ASOF JOIN / pandas).
+    One exchange on the key; ``nearest`` adds a second in-partition
+    sort for the mirrored window, never a second shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
     base_rcols = right_cols or [c for c in right.columns if c not in (on, by)]
     # the matched right timestamp is always emitted (as {on}{suffix})
     rcols = [*base_rcols, on]
@@ -60,18 +74,58 @@ def asof_join(
         r_struct.alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows sort BEFORE left rows at equal ts → ties match (<=)
-    w = (
+    # backward: right rows sort BEFORE left rows at equal ts → ties
+    # match (<=); forward mirrors (right AFTER left, first following)
+    w_back = (
         Window.partitionBy("__k")
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "__is_left",
-        "__lrow",
-        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    return carried.filter(F.col("__is_left") == 1).select(
+    cols = ["__is_left", "__lrow", F.col("__t").alias("__t")]
+    if direction in ("backward", "nearest"):
+        cols.append(
+            F.last(F.col("__rrow"), ignorenulls=True)
+            .over(w_back)
+            .alias("__rb")
+        )
+    if direction in ("forward", "nearest"):
+        cols.append(
+            F.first(F.col("__rrow"), ignorenulls=True)
+            .over(w_fwd)
+            .alias("__rf")
+        )
+    carried = unioned.select(*cols)
+
+    def gap(rrow: Column) -> Column:
+        return F.abs(
+            rrow[on].cast("double") - F.col("__t").cast("double")
+        )
+
+    def within(rrow: Column) -> Column:
+        if tolerance is None:
+            return rrow
+        return F.when(gap(rrow) <= float(tolerance), rrow)
+
+    if direction == "backward":
+        rpick = within(F.col("__rb"))
+    elif direction == "forward":
+        rpick = within(F.col("__rf"))
+    else:
+        rb, rf = within(F.col("__rb")), within(F.col("__rf"))
+        rpick = (
+            F.when(rb.isNull(), rf)
+            .when(rf.isNull(), rb)
+            # ties to backward: <=
+            .when(gap(rb) <= gap(rf), rb)
+            .otherwise(rf)
+        )
+    picked = carried.withColumn("__rrow", rpick)
+    return picked.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[
             F.col(f"__rrow.{c}").alias(c + suffix if c in left.columns else c)

@@ -1043,12 +1043,21 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asof_purchase_click + range_join_clicks tag-unioned — the two
     event-time join operators."""
     from etl_extract_transform_load_spark.queries_temporal import (
+        q_asof_forward,
         q_asof_purchase_click,
         q_range_join_clicks,
     )
 
     asof = q_asof_purchase_click(spark, sf_dir).select(
         F.lit("asof").alias("part"),
+        F.col("event_id").cast("long").alias("left_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("purchase_sec").cast("long").alias("purchase_sec"),
+        F.col("click_sec").cast("long").alias("click_sec"),
+    )
+    asof_fwd = q_asof_forward(spark, sf_dir).select(
+        F.lit("asof_fwd").alias("part"),
         F.col("event_id").cast("long").alias("left_id"),
         F.col("click_id").cast("long").alias("click_id"),
         F.col("user_id").cast("long").alias("user_id"),
@@ -1087,12 +1096,15 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("purchase_sec"),
         F.col("observed").cast("long").alias("click_sec"),
     )
-    return asof.unionByName(rng).unionByName(rs)
+    return (
+        asof.unionByName(asof_fwd).unionByName(rng).unionByName(rs)
+    )
 
 
 def _oracle_temporal_joins() -> str:
     from etl_extract_transform_load_spark.queries_temporal import (
         ORACLE_ASOF,
+        ORACLE_ASOF_FWD,
         ORACLE_RANGE_JOIN,
     )
 
@@ -1103,6 +1115,11 @@ SELECT 'asof' AS part, CAST(event_id AS BIGINT) AS left_id,
        CAST(purchase_sec AS BIGINT) AS purchase_sec,
        CAST(click_sec AS BIGINT) AS click_sec
 FROM ({ORACLE_ASOF})
+UNION ALL
+SELECT 'asof_fwd', CAST(event_id AS BIGINT),
+       CAST(click_id AS BIGINT), CAST(user_id AS BIGINT),
+       CAST(purchase_sec AS BIGINT), CAST(click_sec AS BIGINT)
+FROM ({ORACLE_ASOF_FWD})
 UNION ALL
 SELECT 'range', CAST(purchase_id AS BIGINT), CAST(click_id AS BIGINT),
        NULL::BIGINT, NULL::BIGINT, NULL::BIGINT

@@ -59,6 +59,47 @@ ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FORWARD direction of the same join: the first click at or
+    after each purchase (the ``merge_asof(direction='forward')``
+    face of ``operators.joins.asof_join``)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("purchase_sec"),
+        "click_id",
+        _epoch(F.col("ts_right")).alias("click_sec"),
+    )
+
+
+ORACLE_ASOF_FWD = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(EPOCH(DATE_TRUNC('second', p.ts)) AS BIGINT) AS purchase_sec,
+       c.click_id,
+       CAST(EPOCH(DATE_TRUNC('second', c.ts)) AS BIGINT) AS click_sec
+FROM p
+ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+"""
+
+
 # --- range join: clicks within 2h before each purchase ------------------------
 
 def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,3 +246,60 @@ def test_interval_concurrency_bucket_invariance(spark):
 
     with _pytest.raises(ValueError):
         interval_concurrency(iv, "s", "e", bucket_seconds=0)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(21)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 120),
+            "t": np.sort(rng.uniform(0, 100, 120)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 80),
+            "t": np.sort(rng.uniform(0, 100, 80)),
+            "v": rng.randn(80),
+        }
+    )
+    ldf = spark.createDataFrame(left.assign(i=range(len(left))))
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 10.0):
+            want = pd.merge_asof(
+                left.assign(i=range(len(left))).sort_values("t"),
+                right.sort_values("t"),
+                on="t",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+                suffixes=("", "_right"),
+            )
+            got = asof_join(
+                ldf, rdf, on="t", by="k",
+                direction=direction, tolerance=tol,
+            ).toPandas().set_index("i").sort_index()
+            w = want.set_index("i").sort_index()
+            for i in got.index:
+                g, x = got.loc[i, "v"], w.loc[i, "v"]
+                both_nan = pd.isna(g) and pd.isna(x)
+                assert both_nan or abs(g - x) < 1e-12, (
+                    direction, tol, i, g, x,
+                )
+
+
+def test_asof_direction_validation(spark):
+    from etl_extract_transform_load_spark.operators.joins import asof_join
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, t double")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on="t", by="k", direction="sideways")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on="t", by="k", tolerance=-1.0)

@@ -295,3 +295,52 @@ def grouped_kll_quantiles(
                 yield out
 
     return src.mapInPandas(fold, schema=out_schema)
+
+
+def quantile_discretize(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str | None = None,
+    k: int = 256,
+    exact: bool = False,
+) -> DataFrame:
+    """Equal-frequency binning (the feature-engineering
+    discretizer): append ``out_col`` (default ``<value_col>_bucket``)
+    assigning each row the index of its quantile bucket — edges at
+    the 1/n .. (n−1)/n quantiles, bucket i = values in
+    (edge_{i−1}, edge_i], bucket 0 open below, n−1 open above.
+
+    Edges come from ONE sketch pass (:func:`kll_quantiles`) by
+    default — the scan-scale path; ``exact=True`` routes through
+    ``operators.quantiles.exact_quantiles`` when bit-pinned edges
+    matter more than the extra refinement passes.  Assignment is a
+    broadcast-literal comparison chain (pure codegen, no join);
+    duplicate edges (heavy ties) collapse so bucket indices stay
+    strictly ordered — heavily-skewed columns may therefore occupy
+    fewer than ``n_buckets`` buckets, matching every standard
+    discretizer's behavior.  NULL/NaN values get NULL buckets."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    out_col = out_col or f"{value_col}_bucket"
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if exact:
+        from etl_extract_transform_load_spark.operators.quantiles import (
+            exact_quantiles,
+        )
+
+        edges = exact_quantiles(df, value_col, qs)
+    else:
+        edges = kll_quantiles(df, value_col, qs, k)
+    uniq: list[float] = []
+    for e in edges:
+        if e is not None and (not uniq or e > uniq[-1]):
+            uniq.append(float(e))
+    x = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for i, e in enumerate(uniq):
+        bucket = F.when(x > F.lit(e), F.lit(i + 1)).otherwise(bucket)
+    return df.withColumn(
+        out_col,
+        F.when(x.isNotNull() & ~F.isnan(x), bucket.cast("int")),
+    )

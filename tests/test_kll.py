@@ -159,3 +159,52 @@ def test_grouped_kll_deterministic(spark):
         for r in grouped_kll_quantiles(df, "k", "v", QS, 128).collect()
     )
     assert a == b
+
+
+# --- quantile discretizer ------------------------------------------------------
+
+def test_quantile_discretize_balanced_buckets(spark):
+    from etl_extract_transform_load_spark.scale.kllsketch import (
+        quantile_discretize,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10_000)], "v double"
+    ).repartition(8)
+    for exact in (False, True):
+        out = quantile_discretize(df, "v", 4, exact=exact)
+        sizes = {
+            r["v_bucket"]: r["c"]
+            for r in out.groupBy("v_bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3}
+        for b, c in sizes.items():
+            assert abs(c - 2500) < 300, (exact, b, c)
+        # buckets respect value order
+        maxes = {
+            r["v_bucket"]: r["m"]
+            for r in out.groupBy("v_bucket").agg(F.max("v").alias("m")).collect()
+        }
+        assert maxes[0] < maxes[1] < maxes[2] < maxes[3]
+
+
+def test_quantile_discretize_skew_and_nulls(spark):
+    from etl_extract_transform_load_spark.scale.kllsketch import (
+        quantile_discretize,
+    )
+    import pytest as _pytest
+
+    # 95% a single value: duplicate edges must collapse, the heavy
+    # value lands in ONE bucket
+    rows = [(0.0,)] * 950 + [(float(i),) for i in range(1, 51)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = quantile_discretize(df, "v", 10, exact=True)
+    got = {r["v"]: r["v_bucket"] for r in out.distinct().collect()}
+    assert got[0.0] == 0
+    assert got[None] is None
+    assert got[50.0] > got[0.0]
+    with _pytest.raises(ValueError):
+        quantile_discretize(df, "v", 1)

@@ -272,3 +272,113 @@ def population_stability(
         "p_cur",
         F.round((pa - qa) * F.log(pa / qa), 6).alias("term"),
     )
+
+
+def ks_two_sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    empirical CDFs of one numeric column in two slices — the
+    rank-based companion to ``population_stability`` (PSI bins lose
+    within-bin shape; KS sees every distinct value).
+
+    D = max over pooled distinct values v of |F_ref(v) - F_cur(v)|.
+
+    Distributed shape (the classic form is a global sort + running
+    sum — a single-partition window at scale):
+
+    1. tag + union + ``groupBy(v)`` → per-distinct-value counts
+       (ONE shuffle, state = #distinct values);
+    2. two-level prefix sums exactly like ``sessionize.
+       interval_concurrency``: values hash into ``n_buckets``
+       span-uniform buckets, each bucket prefix-sums internally
+       (window partitioned by bucket), bucket offsets come from a
+       bucket-count-sized second pass broadcast back — no global
+       sort partition ever materializes (bucketing only distributes
+       the prefix sum; the statistic is exact regardless);
+    3. the max |cum_ref·n_cur − cum_cur·n_ref| is taken in exact
+       decimal integer arithmetic; ONE final division produces D.
+
+    Returns one row ``(ks, n_ref, n_cur)`` with ``ks`` rounded to
+    6 dp. NULLs drop on both sides; raises if either slice has no
+    non-NULL values. One decide aggregate (the value span for bucket
+    assignment) plus the final action.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    x = F.col(f"`{col}`").cast("double")
+    r = ref.filter(x.isNotNull()).select(
+        x.alias("v"), F.lit(1).alias("in_ref"), F.lit(0).alias("in_cur")
+    )
+    c = cur.filter(x.isNotNull()).select(
+        x.alias("v"), F.lit(0).alias("in_ref"), F.lit(1).alias("in_cur")
+    )
+    per_v = (
+        r.unionByName(c)
+        .groupBy("v")
+        .agg(
+            F.sum("in_ref").alias("r"),
+            F.sum("in_cur").alias("c"),
+        )
+    )
+    span = per_v.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    mn, mx = span["mn"], span["mx"]
+    if mn is None:
+        raise ValueError(f"ks_two_sample: no non-NULL {col} in either slice")
+    width = (mx - mn) / n_buckets
+    if width == 0:
+        bkt = F.lit(0)
+    else:
+        bkt = F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    per_v = per_v.withColumn("bkt", bkt)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = per_v.withColumn("cum_r", F.sum("r").over(w_in)).withColumn(
+        "cum_c", F.sum("c").over(w_in)
+    )
+    totals = per_v.groupBy("bkt").agg(
+        F.sum("r").alias("tr"), F.sum("c").alias("tc")
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("tr").over(w_b), F.lit(0)).alias("off_r"),
+        F.coalesce(F.sum("tc").over(w_b), F.lit(0)).alias("off_c"),
+    )
+    grand = totals.agg(
+        F.sum("tr").alias("n_ref"), F.sum("tc").alias("n_cur")
+    )
+    dec = "decimal(19,0)"
+    cum = (
+        within.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.abs(
+                (F.col("off_r") + F.col("cum_r")).cast(dec)
+                * F.col("n_cur").cast(dec)
+                - (F.col("off_c") + F.col("cum_c")).cast(dec)
+                * F.col("n_ref").cast(dec)
+            ).alias("d"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    return cum.groupBy("n_ref", "n_cur").agg(
+        F.round(
+            F.max("d").cast("double")
+            / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double")),
+            6,
+        ).alias("ks")
+    ).select("ks", "n_ref", "n_cur")

@@ -108,11 +108,30 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("o_totalprice").alias("column_name"),
         "value",
     )
+    # fifth branch: exact two-sample Kolmogorov-Smirnov on the SAME
+    # even/odd slice pair (operators/quality.ks_two_sample — bucketed
+    # two-level prefix sums, no global sort): the rank-based drift
+    # companion to PSI, plus both slice sizes (stack → one pass over
+    # the one-row result)
+    from etl_extract_transform_load_spark.operators.quality import (
+        ks_two_sample,
+    )
+
+    ks = ks_two_sample(even, odd, "o_totalprice", 256).selectExpr(
+        "stack(3, 'ks', ks,"
+        " 'ks_n_ref', cast(n_ref as double),"
+        " 'ks_n_cur', cast(n_cur as double)) as (metric, value)"
+    ).select(
+        "metric",
+        F.lit("o_totalprice").alias("column_name"),
+        "value",
+    )
     return (
         nf.unionByName(sv)
         .unionByName(checks)
         .unionByName(psi_rows)
         .unionByName(psi_total)
+        .unionByName(ks)
     )
 
 
@@ -207,6 +226,29 @@ SELECT metric, 'o_totalprice', value FROM (
     SELECT 'psi', ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6)))
                               AS DOUBLE), 6)
     FROM pterm
+)
+UNION ALL
+SELECT metric, 'o_totalprice', value FROM (
+    WITH kb AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ir
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    kpv AS (SELECT v, SUM(ir) AS r, SUM(1 - ir) AS c FROM kb GROUP BY v),
+    kcum AS (
+        SELECT SUM(r) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+        FROM kpv
+    ),
+    ktot AS (SELECT SUM(r) AS nr, SUM(c) AS nc FROM kpv)
+    SELECT 'ks' AS metric,
+           ROUND(CAST(MAX(ABS(cr * nc - cc * nr)) AS DOUBLE)
+                 / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS value
+    FROM kcum, ktot GROUP BY nr, nc
+    UNION ALL
+    SELECT 'ks_n_ref', CAST(nr AS DOUBLE) FROM ktot
+    UNION ALL
+    SELECT 'ks_n_cur', CAST(nc AS DOUBLE) FROM ktot
 )
 """
 

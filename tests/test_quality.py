@@ -187,3 +187,71 @@ def test_psi_nulls_constant_ref_and_validation(spark):
     empty = spark.createDataFrame([(None,)], "x double")
     with _pytest.raises(ValueError):
         population_stability(empty, const, "x")
+
+
+# --- KS two-sample test --------------------------------------------------------
+
+def _ks_reference(a, b):
+    """Textbook exact two-sample KS over pooled distinct values."""
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / na
+        fb = sum(1 for x in b if x <= v) / nb
+        best = max(best, abs(fa - fb))
+    return round(best, 6)
+
+
+def test_ks_identical_is_zero(spark):
+    from etl_extract_transform_load_spark.operators.quality import (
+        ks_two_sample,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("double").alias("x")
+    )
+    row = ks_two_sample(base, base, "x").collect()[0]
+    assert row["ks"] == 0.0
+    assert row["n_ref"] == 5000 and row["n_cur"] == 5000
+
+
+def test_ks_matches_textbook_and_bucket_invariance(spark):
+    import random
+
+    from etl_extract_transform_load_spark.operators.quality import (
+        ks_two_sample,
+    )
+
+    rng = random.Random(42)
+    a = [round(rng.gauss(0.0, 1.0), 3) for _ in range(400)]
+    b = [round(rng.gauss(0.6, 1.3), 3) for _ in range(300)]
+    ra = spark.createDataFrame([(v,) for v in a], "x double")
+    rb = spark.createDataFrame([(v,) for v in b], "x double")
+    expect = _ks_reference(a, b)
+    # bucketing distributes the prefix sum but never changes the result
+    for nb in (1, 7, 256):
+        row = ks_two_sample(ra, rb, "x", n_buckets=nb).collect()[0]
+        assert row["ks"] == expect, (nb, row["ks"], expect)
+        assert (row["n_ref"], row["n_cur"]) == (400, 300)
+
+
+def test_ks_disjoint_is_one_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_extract_transform_load_spark.operators.quality import (
+        ks_two_sample,
+    )
+    from pyspark.sql import functions as F
+
+    lo = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+    hi = spark.range(1000, 1100).select(
+        F.col("id").cast("double").alias("x")
+    )
+    assert ks_two_sample(lo, hi, "x").collect()[0]["ks"] == 1.0
+    empty = spark.createDataFrame([(None,)], "x double")
+    with _pytest.raises(ValueError):
+        ks_two_sample(empty, empty, "x")
+    with _pytest.raises(ValueError):
+        ks_two_sample(lo, hi, "x", n_buckets=0)

@@ -1,0 +1,181 @@
+"""Multi-touch marketing attribution over an event log.
+
+"Which channel gets credit for this conversion?" — the standard
+warehouse companion to funnel analysis (absent from the reference;
+every event-analytics stack ships one).  Three classic models over
+the same per-user event order:
+
+- **last_touch**:  the conversion's full value goes to the latest
+  touch strictly before it;
+- **first_touch**: the full value goes to the earliest prior touch;
+- **linear**:      the value splits equally across ALL prior touches.
+
+The naive form joins every conversion to every prior touch of its
+user — quadratic per user.  None of the three models needs the pair
+set when the deliverable is credit **per channel** (the universal
+reporting grain): with a small static channel set, per-channel
+running touch counts are window columns, so
+
+    linear credit of channel c for conversion y
+        = value(y) · cnt_c(y) / n(y)
+
+where ``cnt_c`` / ``n`` are ``sum(...)`` windows over strictly-prior
+rows.  first/last reduce to ``first/last(..., ignorenulls=True)``
+windows.  Everything shares ONE ``(user)`` partitioning and one
+``(epoch, id)`` sort — Spark plans a single exchange + sort, then a
+hash aggregate per model; state per user is |channels| + 2 slots.
+That is sessionization cost at 100 TB, no self-join ever.
+
+Per-conversion credit terms are rounded to 6 dp and the final sums
+are decimal-accumulated, so channel totals are order-free exact —
+hash-comparable against a SQL twin.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NO_TOUCH = "(none)"
+
+
+def attribution_credit(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Channel-level attributed credit: one row per
+    ``(model, channel, credit, n_conv)`` with
+
+    - ``model``   ∈ {first_touch, last_touch, linear};
+    - ``channel`` a touch type, or ``(none)`` for conversions with no
+      prior touch (their full value stays visible, never silently
+      dropped);
+    - ``credit``  the decimal-summed 6-dp credit;
+    - ``n_conv``  how many conversions contributed to the row.
+
+    Conversions with a NULL value credit 0.0 but still count in
+    ``n_conv``.  Rows with NULL user/timestamp are dropped.  Ties in
+    time break by ``id_col`` (a total order, so results are exact and
+    deterministic).
+    """
+    touches = list(touch_types)
+    if not touches:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touches:
+        raise ValueError("conversion_type cannot also be a touch type")
+
+    e = F.col(ts_col).cast("double")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        e.alias("__e"),
+    )
+    # strictly-prior frame: the conversion event itself (and anything
+    # at the same instant but later id) never self-credits
+    w = (
+        Window.partitionBy("__u")
+        .orderBy(F.col("__e").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("__t").isin(touches)
+    touch_t = F.when(is_touch, F.col("__t"))
+    cur = (
+        base.withColumn("__first", F.first(touch_t, ignorenulls=True).over(w))
+        .withColumn("__last", F.last(touch_t, ignorenulls=True).over(w))
+    )
+    for c in touches:
+        # sum over an EMPTY frame (the user's first event) is NULL,
+        # not 0 — coalesce so no-prior-touch conversions stay visible
+        cur = cur.withColumn(
+            f"__c_{c}",
+            F.coalesce(
+                F.sum(F.when(F.col("__t") == c, 1).otherwise(0)).over(w),
+                F.lit(0),
+            ),
+        )
+    conv = cur.filter(F.col("__t") == conversion_type).withColumn(
+        "__n", sum(F.col(f"__c_{c}") for c in touches)
+    )
+
+    val6 = F.round(F.coalesce(F.col("__v"), F.lit(0.0)), 6)
+
+    def _single(model: str, ch_col) -> DataFrame:
+        return (
+            conv.groupBy(
+                F.coalesce(ch_col, F.lit(NO_TOUCH)).alias("channel")
+            )
+            .agg(
+                F.round(
+                    F.sum(val6.cast("decimal(28,6)")).cast("double"), 6
+                ).alias("credit"),
+                F.count(F.lit(1)).alias("n_conv"),
+            )
+            .select(F.lit(model).alias("model"), "channel", "credit", "n_conv")
+        )
+
+    first = _single("first_touch", F.col("__first"))
+    last = _single("last_touch", F.col("__last"))
+
+    # linear: per-conversion per-channel term value·cnt_c/n, rounded
+    # BEFORE the sum so accumulation is order-free; stack keeps it one
+    # pass over the conversion rows
+    stack_args = ", ".join(f"'{c}', __c_{c}" for c in touches)
+    lin_touched = (
+        conv.filter(F.col("__n") > 0)
+        .selectExpr(
+            "__v",
+            "__n",
+            f"stack({len(touches)}, {stack_args}) as (channel, cnt)",
+        )
+        .filter(F.col("cnt") > 0)
+        .select(
+            "channel",
+            F.round(
+                F.coalesce(F.col("__v"), F.lit(0.0))
+                * F.col("cnt")
+                / F.col("__n"),
+                6,
+            ).alias("term"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("credit"),
+            F.count(F.lit(1)).alias("n_conv"),
+        )
+        .select(F.lit("linear").alias("model"), "channel", "credit", "n_conv")
+    )
+    lin_none = (
+        conv.filter(F.col("__n") == 0)
+        .groupBy()
+        .agg(
+            F.round(
+                F.sum(val6.cast("decimal(28,6)")).cast("double"), 6
+            ).alias("credit"),
+            F.count(F.lit(1)).alias("n_conv"),
+        )
+        .filter(F.col("n_conv") > 0)
+        .select(
+            F.lit("linear").alias("model"),
+            F.lit(NO_TOUCH).alias("channel"),
+            "credit",
+            "n_conv",
+        )
+    )
+    return first.unionByName(last).unionByName(lin_touched).unionByName(
+        lin_none
+    )

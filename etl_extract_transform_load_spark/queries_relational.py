@@ -893,11 +893,28 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("prob").alias("total"),
     )
+    # sixth branch: multi-touch attribution (operators/attribution.py
+    # — one (user) exchange, strictly-prior windows, no self-join) —
+    # the model rides window_start, the channel rides event_type, the
+    # conversion count rides n_events, decimal-exact credit rides total
+    from etl_extract_transform_load_spark.operators.attribution import (
+        attribution_credit,
+    )
+
+    attr = attribution_credit(events).select(
+        F.lit("attr").alias("part"),
+        F.col("model").alias("window_start"),
+        F.col("channel").alias("event_type"),
+        F.col("n_conv").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("credit").alias("total"),
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
         .unionByName(eng)
         .unionByName(tm)
+        .unionByName(attr)
     )
 
 
@@ -1002,6 +1019,69 @@ FROM (
     )
     WHERE prev IS NOT NULL
     GROUP BY prev, event_type
+)
+UNION ALL
+SELECT 'attr', model, channel, n_conv, NULL::BIGINT, credit FROM (
+    WITH atb AS (
+        SELECT user_id, event_id, event_type,
+               CAST(value AS DOUBLE) AS v,
+               CAST(EPOCH(ts) AS DOUBLE) AS e
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    atw AS (
+        SELECT *,
+               FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS fch,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS lch,
+               COALESCE(SUM(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) OVER w, 0)
+                   AS c_view,
+               COALESCE(SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) OVER w, 0)
+                   AS c_click
+        FROM atb
+        WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+    ),
+    atc AS (
+        SELECT *, c_view + c_click AS n,
+               ROUND(COALESCE(v, 0.0), 6) AS v6
+        FROM atw WHERE event_type = 'purchase'
+    )
+    SELECT 'first_touch' AS model,
+           COALESCE(fch, '(none)') AS channel,
+           ROUND(CAST(SUM(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE), 6)
+               AS credit,
+           COUNT(*) AS n_conv
+    FROM atc GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', COALESCE(lch, '(none)'),
+           ROUND(CAST(SUM(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE), 6),
+           COUNT(*)
+    FROM atc GROUP BY 2
+    UNION ALL
+    SELECT 'linear', channel,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6),
+           COUNT(*)
+    FROM (
+        SELECT u.channel, u.cnt,
+               ROUND(COALESCE(c.v, 0.0) * u.cnt / c.n, 6) AS term
+        FROM atc c,
+             LATERAL (VALUES ('view', c.c_view),
+                             ('click', c.c_click)) AS u(channel, cnt)
+        WHERE c.n > 0 AND u.cnt > 0
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'linear', '(none)',
+           ROUND(CAST(SUM(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE), 6),
+           COUNT(*)
+    FROM atc WHERE n = 0
+    HAVING COUNT(*) > 0
 )
 """
 

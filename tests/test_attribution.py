@@ -1,0 +1,103 @@
+"""Multi-touch attribution: hand-computed fixture + invariants."""
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.attribution import (
+    attribution_credit,
+)
+
+
+def _rows(df):
+    return {
+        (r["model"], r["channel"]): (r["credit"], r["n_conv"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def fixture_events(spark):
+    # user 1: view(1) click(2) purchase(3,v=10) click(4) purchase(5,v=6)
+    # user 2: purchase(6,v=8)           -- no prior touch
+    # user 3: view(7) view(8) purchase(9,v=9)
+    # user 4: click(10) purchase(11,v=None)  -- NULL value converts
+    data = [
+        (1, 1, "view", None, 100.0),
+        (2, 1, "click", None, 200.0),
+        (3, 1, "purchase", 10.0, 300.0),
+        (4, 1, "click", None, 400.0),
+        (5, 1, "purchase", 6.0, 500.0),
+        (6, 2, "purchase", 8.0, 100.0),
+        (7, 3, "view", None, 100.0),
+        (8, 3, "view", None, 150.0),
+        (9, 3, "purchase", 9.0, 200.0),
+        (10, 4, "click", None, 100.0),
+        (11, 4, "purchase", None, 200.0),
+    ]
+    return spark.createDataFrame(
+        [(i, u, t, v, __import__("datetime").datetime.fromtimestamp(e))
+         for i, u, t, v, e in data],
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+
+
+def test_attribution_hand_computed(fixture_events):
+    out = _rows(attribution_credit(fixture_events))
+    # first touch: u1 both purchases -> view; u2 -> none; u3 -> view;
+    # u4 -> click
+    assert out[("first_touch", "view")] == (10.0 + 6.0 + 9.0, 3)
+    assert out[("first_touch", "click")] == (0.0, 1)
+    assert out[("first_touch", "(none)")] == (8.0, 1)
+    # last touch: u1 p1 -> click, p2 -> click; u3 -> view; u4 -> click
+    assert out[("last_touch", "click")] == (10.0 + 6.0 + 0.0, 3)
+    assert out[("last_touch", "view")] == (9.0, 1)
+    assert out[("last_touch", "(none)")] == (8.0, 1)
+    # linear: u1 p1: v=10, 1 view 1 click -> 5/5;
+    #         u1 p2: v=6, 1 view 2 clicks -> 2/4;
+    #         u3 p:  v=9, 2 views -> 9;
+    #         u4 p:  v=NULL, 1 click -> 0
+    assert out[("linear", "view")] == (5.0 + 2.0 + 9.0, 3)
+    assert out[("linear", "click")] == (5.0 + 4.0 + 0.0, 3)
+    assert out[("linear", "(none)")] == (8.0, 1)
+
+
+def test_attribution_value_conservation(fixture_events):
+    # every model distributes exactly the total conversion value
+    out = attribution_credit(fixture_events)
+    from pyspark.sql import functions as F
+
+    sums = {
+        r["model"]: r["s"]
+        for r in out.groupBy("model")
+        .agg(F.round(F.sum("credit"), 6).alias("s"))
+        .collect()
+    }
+    assert sums == {
+        "first_touch": 33.0,
+        "last_touch": 33.0,
+        "linear": 33.0,
+    }
+
+
+def test_attribution_validation(fixture_events):
+    with pytest.raises(ValueError):
+        attribution_credit(fixture_events, touch_types=())
+    with pytest.raises(ValueError):
+        attribution_credit(
+            fixture_events,
+            touch_types=("view", "purchase"),
+            conversion_type="purchase",
+        )
+
+
+def test_attribution_single_exchange(fixture_events):
+    """All windows share one (user) partitioning: exactly one
+    hash-partitioning exchange on the conversion path."""
+    import io
+    import contextlib
+
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        attribution_credit(fixture_events).explain(mode="formatted")
+    txt = plan.getvalue()
+    assert txt.count("Exchange hashpartitioning(__u") <= 2  # window + reuse

@@ -1,0 +1,129 @@
+"""Experiment (A/B test) analysis: two-proportion z-test + CUPED.
+
+The two statistics every experimentation platform computes per metric
+(absent from the reference; standard in any warehouse with events):
+
+- **two-proportion z-test** on a binary success flag:
+  z = (p_t − p_c) / √(p̄(1−p̄)(1/n_c + 1/n_t)) with p̄ the pooled rate;
+- **CUPED** (Controlled-experiment Using Pre-Experiment Data — Deng
+  et al., WSDM'13): variance reduction by regressing the metric on a
+  pre-experiment covariate,  y_adj = y − θ(x − x̄)  with
+  θ = cov(x,y)/var(x) POOLED across variants (pooling keeps the
+  adjustment unbiased under randomization), reported with the
+  achieved variance-reduction factor ρ² = corr(x,y)².
+
+Input is ONE ROW PER UNIT (the randomization unit — usually a user),
+which the caller produces with a single groupBy; this module is then
+ONE aggregation pass of conditional sufficient statistics (≈16
+decimal cells of state, map-side combined — the 100 TB cost class of
+any global aggregate).  Unit values quantize to 6 dp and accumulate
+as exact decimals, and every derived formula runs in a pinned double
+operation order, so an engine computing the same formulas
+hash-matches (ROUND(…,6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"
+
+
+def ab_report(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """One-row experiment report over a unit-level frame.
+
+    ``variant_col`` must be 0 (control) / 1 (treatment); ``success_col``
+    0/1; ``metric_col`` the experiment metric y; ``covariate_col`` the
+    pre-period covariate x.  NULL variants are excluded; NULL
+    success/metric/covariate count as 0 (a unit that never converted).
+
+    Columns: ``n_c, n_t, conv_c, conv_t, p_c, p_t, lift, z, theta,
+    mean_adj_c, mean_adj_t, effect, var_reduction`` — 6-dp rounded
+    doubles (counts long).  Degenerate cases (an empty variant, zero
+    pooled rate or constant covariate) yield NULL statistics instead
+    of division blow-ups.
+    """
+    g = F.col(variant_col).cast("int")
+    s = F.coalesce(F.col(success_col).cast("int"), F.lit(0))
+    y = F.round(
+        F.coalesce(F.col(metric_col).cast("double"), F.lit(0.0)), 6
+    ).cast(_DEC)
+    x = F.round(
+        F.coalesce(F.col(covariate_col).cast("double"), F.lit(0.0)), 6
+    ).cast(_DEC)
+
+    def per(v: int, expr):
+        return F.sum(F.when(g == v, expr))
+
+    row = df.filter(g.isNotNull()).agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).alias("n_t"),
+        per(0, s).alias("conv_c"),
+        per(1, s).alias("conv_t"),
+        per(0, x).alias("sx_c"),
+        per(1, x).alias("sx_t"),
+        per(0, y).alias("sy_c"),
+        per(1, y).alias("sy_t"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n_c = F.col("n_c").cast("double")
+    n_t = F.col("n_t").cast("double")
+    cc = F.col("conv_c").cast("double")
+    ct = F.col("conv_t").cast("double")
+    p_c = cc / n_c
+    p_t = ct / n_t
+    pool = (cc + ct) / (n_c + n_t)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / n_c + 1.0 / n_t))
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (se > 0),
+        (p_t - p_c) / se,
+    )
+    n = n_c + n_t
+    sx = (F.col("sx_c") + F.col("sx_t")).cast("double")
+    sy = (F.col("sy_c") + F.col("sy_t")).cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    var_den = n * sxx - sx * sx
+    cov_num = n * sxy - sx * sy
+    theta = F.when(var_den != 0, cov_num / var_den)
+    mean_x = sx / n
+    mean_adj_c = F.when(
+        F.col("n_c") > 0,
+        F.col("sy_c").cast("double") / n_c
+        - theta * (F.col("sx_c").cast("double") / n_c - mean_x),
+    )
+    mean_adj_t = F.when(
+        F.col("n_t") > 0,
+        F.col("sy_t").cast("double") / n_t
+        - theta * (F.col("sx_t").cast("double") / n_t - mean_x),
+    )
+    y_den = n * syy - sy * sy
+    var_red = F.when(
+        (var_den != 0) & (y_den != 0),
+        (cov_num * cov_num) / (var_den * y_den),
+    )
+    return row.select(
+        F.coalesce(F.col("n_c"), F.lit(0)).cast("long").alias("n_c"),
+        F.coalesce(F.col("n_t"), F.lit(0)).cast("long").alias("n_t"),
+        F.coalesce(F.col("conv_c"), F.lit(0)).cast("long").alias("conv_c"),
+        F.coalesce(F.col("conv_t"), F.lit(0)).cast("long").alias("conv_t"),
+        F.round(p_c, 6).alias("p_c"),
+        F.round(p_t, 6).alias("p_t"),
+        F.round(p_t - p_c, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_adj_c, 6).alias("mean_adj_c"),
+        F.round(mean_adj_t, 6).alias("mean_adj_t"),
+        F.round(mean_adj_t - mean_adj_c, 6).alias("effect"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )

@@ -502,6 +502,62 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " cast(n as double)) as (metric, value)"
             )
         )
+        # experiment-analysis surface (operators/abtest.ab_report):
+        # deterministic user_id-parity variant split, success = ever
+        # purchased, metric = decimal-exact purchase value, covariate
+        # = view+click engagement; two-proportion z + CUPED as ab:/
+        # cuped: rows (one user-grain shuffle + one 16-cell aggregate)
+        from etl_extract_transform_load_spark.operators.abtest import (
+            ab_report,
+        )
+
+        ab_dec = "decimal(18,6)"
+        ab_users = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    (F.col("event_type") == "purchase").cast("int")
+                ).alias("s"),
+                F.sum(
+                    F.when(
+                        F.col("event_type").isin("view", "click"), 1
+                    ).otherwise(0)
+                ).alias("x"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.round(
+                                F.col("value").cast("double"), 6
+                            ).cast(ab_dec),
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("y"),
+            )
+            .withColumn("g", (F.col("user_id") % 2).cast("int"))
+        )
+        ab = ab_report(ab_users, "g", "s", "y", "x").select(
+            F.expr(
+                "stack(13,"
+                " 'ab:n_c', cast(n_c as double),"
+                " 'ab:n_t', cast(n_t as double),"
+                " 'ab:conv_c', cast(conv_c as double),"
+                " 'ab:conv_t', cast(conv_t as double),"
+                " 'ab:p_c', p_c,"
+                " 'ab:p_t', p_t,"
+                " 'ab:lift', lift,"
+                " 'ab:z', z,"
+                " 'cuped:theta', theta,"
+                " 'cuped:mean_adj_c', mean_adj_c,"
+                " 'cuped:mean_adj_t', mean_adj_t,"
+                " 'cuped:effect', effect,"
+                " 'cuped:var_reduction', var_reduction)"
+                " as (metric, value)"
+            )
+        )
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
@@ -511,6 +567,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(clf)
             .unionByName(acf_rows)
             .unionByName(te)
+            .unionByName(ab)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -621,6 +678,110 @@ SELECT metric, value FROM (
     UNION ALL
     SELECT 'te_n:' || COALESCE(source, '<null>'), CAST(n AS DOUBLE)
     FROM tep
+)
+UNION ALL
+SELECT metric, value FROM (
+    WITH abu AS (
+        SELECT user_id % 2 AS g,
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS s,
+               SUM(CASE WHEN event_type IN ('view', 'click')
+                        THEN 1 ELSE 0 END) AS xs,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(CAST(value AS DOUBLE), 6)
+                                  AS DECIMAL(18,6)) END)
+                        AS DOUBLE), 6) AS ys
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    abq AS (
+        -- DECIMAL(19,6): precision > 18 forces HUGEINT products
+        -- (18,6)x(18,6) overflows DuckDB's 64-bit multiply path
+        SELECT g, COALESCE(s, 0) AS s,
+               CAST(ROUND(COALESCE(CAST(xs AS DOUBLE), 0.0), 6)
+                    AS DECIMAL(19,6)) AS xq,
+               CAST(ROUND(COALESCE(ys, 0.0), 6)
+                    AS DECIMAL(19,6)) AS yq
+        FROM abu
+    ),
+    abs_ AS (
+        SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_c,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_t,
+               SUM(CASE WHEN g = 0 THEN s END) AS conv_c,
+               SUM(CASE WHEN g = 1 THEN s END) AS conv_t,
+               SUM(CASE WHEN g = 0 THEN xq END) AS sx_c,
+               SUM(CASE WHEN g = 1 THEN xq END) AS sx_t,
+               SUM(CASE WHEN g = 0 THEN yq END) AS sy_c,
+               SUM(CASE WHEN g = 1 THEN yq END) AS sy_t,
+               SUM(xq * xq) AS sxx,
+               SUM(xq * yq) AS sxy,
+               SUM(yq * yq) AS syy
+        FROM abq
+    ),
+    abf AS (
+        SELECT CAST(n_c AS DOUBLE) AS nc, CAST(n_t AS DOUBLE) AS nt,
+               CAST(conv_c AS DOUBLE) AS cc,
+               CAST(conv_t AS DOUBLE) AS ct,
+               CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE) AS n,
+               CAST(sx_c + sx_t AS DOUBLE) AS sx,
+               CAST(sy_c + sy_t AS DOUBLE) AS sy,
+               CAST(sx_c AS DOUBLE) AS sxc, CAST(sx_t AS DOUBLE) AS sxt,
+               CAST(sy_c AS DOUBLE) AS syc, CAST(sy_t AS DOUBLE) AS syt,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+               CAST(syy AS DOUBLE) AS syy,
+               n_c AS n_c_i, n_t AS n_t_i, conv_c, conv_t
+        FROM abs_
+    ),
+    abd AS (
+        SELECT *,
+               cc / nc AS p_c, ct / nt AS p_t,
+               (cc + ct) / (nc + nt) AS pool,
+               n * sxx - sx * sx AS var_den,
+               n * sxy - sx * sy AS cov_num,
+               n * syy - sy * sy AS y_den,
+               sx / n AS mean_x
+        FROM abf
+    ),
+    abd2 AS (
+        SELECT *,
+               SQRT(pool * (1.0 - pool) * (1.0 / nc + 1.0 / nt)) AS se,
+               CASE WHEN var_den <> 0 THEN cov_num / var_den END
+                   AS theta
+        FROM abd
+    ),
+    abd3 AS (
+        SELECT *,
+               CASE WHEN n_c_i > 0
+                    THEN syc / nc - theta * (sxc / nc - mean_x) END
+                   AS mean_adj_c,
+               CASE WHEN n_t_i > 0
+                    THEN syt / nt - theta * (sxt / nt - mean_x) END
+                   AS mean_adj_t
+        FROM abd2
+    )
+    SELECT 'ab:n_c' AS metric, nc AS value FROM abd3
+    UNION ALL SELECT 'ab:n_t', nt FROM abd3
+    UNION ALL SELECT 'ab:conv_c', cc FROM abd3
+    UNION ALL SELECT 'ab:conv_t', ct FROM abd3
+    UNION ALL SELECT 'ab:p_c', ROUND(p_c, 6) FROM abd3
+    UNION ALL SELECT 'ab:p_t', ROUND(p_t, 6) FROM abd3
+    UNION ALL SELECT 'ab:lift', ROUND(p_t - p_c, 6) FROM abd3
+    UNION ALL
+    SELECT 'ab:z',
+           ROUND(CASE WHEN n_c_i > 0 AND n_t_i > 0 AND se > 0
+                      THEN (p_t - p_c) / se END, 6)
+    FROM abd3
+    UNION ALL SELECT 'cuped:theta', ROUND(theta, 6) FROM abd3
+    UNION ALL SELECT 'cuped:mean_adj_c', ROUND(mean_adj_c, 6) FROM abd3
+    UNION ALL SELECT 'cuped:mean_adj_t', ROUND(mean_adj_t, 6) FROM abd3
+    UNION ALL
+    SELECT 'cuped:effect', ROUND(mean_adj_t - mean_adj_c, 6) FROM abd3
+    UNION ALL
+    SELECT 'cuped:var_reduction',
+           ROUND(CASE WHEN var_den <> 0 AND y_den <> 0
+                      THEN (cov_num * cov_num) / (var_den * y_den)
+                 END, 6)
+    FROM abd3
 )
 """
 

@@ -1,0 +1,81 @@
+"""A/B experiment report: hand-computed z-test + CUPED fixture."""
+
+import math
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.abtest import ab_report
+
+
+@pytest.fixture(scope="module")
+def units(spark):
+    # control (g=0): 4 units, 1 converter; treatment (g=1): 4 units,
+    # 3 converters. Covariate x correlates with metric y.
+    data = [
+        (0, 0, 1.0, 0.0),
+        (0, 0, 2.0, 1.0),
+        (0, 1, 3.0, 4.0),
+        (0, 0, 4.0, 3.0),
+        (1, 1, 1.0, 2.0),
+        (1, 1, 2.0, 3.0),
+        (1, 0, 3.0, 2.0),
+        (1, 1, 4.0, 6.0),
+    ]
+    return spark.createDataFrame(
+        data, "g int, s int, x double, y double"
+    )
+
+
+def test_ab_ztest_hand_computed(units):
+    r = ab_report(units, "g", "s", "y", "x").collect()[0]
+    assert (r["n_c"], r["n_t"], r["conv_c"], r["conv_t"]) == (4, 4, 1, 3)
+    assert r["p_c"] == 0.25 and r["p_t"] == 0.75 and r["lift"] == 0.5
+    pool = 0.5
+    se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert r["z"] == round(0.5 / se, 6)
+
+
+def test_cuped_hand_computed(units):
+    r = ab_report(units, "g", "s", "y", "x").collect()[0]
+    xs = [1.0, 2.0, 3.0, 4.0] * 2
+    ys = [0.0, 1.0, 4.0, 3.0, 2.0, 3.0, 2.0, 6.0]
+    n = 8
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    syy = sum(v * v for v in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["theta"] == round(theta, 6)
+    mean_x = sx / n
+    adj_c = sum(ys[:4]) / 4 - theta * (sum(xs[:4]) / 4 - mean_x)
+    adj_t = sum(ys[4:]) / 4 - theta * (sum(xs[4:]) / 4 - mean_x)
+    assert r["mean_adj_c"] == round(adj_c, 6)
+    assert r["mean_adj_t"] == round(adj_t, 6)
+    assert r["effect"] == round(adj_t - adj_c, 6)
+    rho2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert r["var_reduction"] == round(rho2, 6)
+
+
+def test_ab_degenerate_cases(spark):
+    # one empty variant and a constant covariate: NULL stats, no crash
+    one = spark.createDataFrame(
+        [(0, 1, 5.0, 2.0), (0, 0, 5.0, 1.0)], "g int, s int, x double, y double"
+    )
+    r = ab_report(one, "g", "s", "y", "x").collect()[0]
+    assert r["n_t"] == 0 and r["z"] is None and r["theta"] is None
+    # NULL variant rows are excluded entirely
+    withnull = spark.createDataFrame(
+        [(None, 1, 1.0, 1.0), (0, 1, 1.0, 1.0), (1, 0, 2.0, 0.0)],
+        "g int, s int, x double, y double",
+    )
+    r2 = ab_report(withnull, "g", "s", "y", "x").collect()[0]
+    assert (r2["n_c"], r2["n_t"]) == (1, 1)
+    # NULL success/metric/covariate count as zero, unit still counted
+    nulls = spark.createDataFrame(
+        [(0, None, None, None), (1, 1, 1.0, 1.0)],
+        "g int, s int, x double, y double",
+    )
+    r3 = ab_report(nulls, "g", "s", "y", "x").collect()[0]
+    assert (r3["n_c"], r3["conv_c"]) == (1, 0) and r3["p_c"] == 0.0

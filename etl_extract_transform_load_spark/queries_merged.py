@@ -1823,6 +1823,38 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ppmi").cast("double").alias("tfidf"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+    # ninth branch: HYBRID retrieval — Reciprocal Rank Fusion of the
+    # BM25 lexical ranking with a dense cosine ranking for the same
+    # corpus (doc_id ≡ vec_id by construction), the production
+    # lexical+vector search combiner (scale/search.rrf_fuse). The
+    # rankers keep their own scale shapes; fusion is a union of two
+    # top-15 lists. Fused score rides tfidf, list membership count
+    # rides n_occurrences.
+    from etl_extract_transform_load_spark.scale.search import rrf_fuse
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = brute_force_topk_arrow(
+        emb,
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=15,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("rnk"))
+    lex = bm25_topk(docs, list(BM25_QUERY_TERMS), k=15).select(
+        "doc_id", "rnk"
+    )
+    fused = rrf_fuse([lex, dense], k=10).select(
+        F.lit("rrf").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("n_lists").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rrf_score").alias("tfidf"),
+        "rnk",
+    )
     return (
         vocab.unionByName(tfidf)
         .unionByName(oov)
@@ -1831,6 +1863,7 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hashed)
         .unionByName(cluster)
         .unionByName(ppmi_rows)
+        .unionByName(fused)
     )
 
 
@@ -2018,6 +2051,48 @@ FROM (
                    AS rnk
         FROM pvals
     ) WHERE rnk <= 150
+)
+UNION ALL
+SELECT 'rrf', NULL::VARCHAR, CAST(n_lists AS BIGINT), NULL::BIGINT,
+       CAST(doc_id AS BIGINT), CAST(rrf_score AS DOUBLE),
+       CAST(rnk AS BIGINT)
+FROM (
+    WITH re AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS n
+        FROM embeddings WHERE embedding IS NOT NULL
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+    ),
+    rq AS (SELECT v AS qv, n AS qn, vec_id AS qid
+           FROM re WHERE vec_id = 0),
+    rdense AS (
+        SELECT re.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_dot_product(rq.qv, re.v)
+                                  / (rq.qn * re.n), 6) DESC,
+                            re.vec_id ASC) AS rnk
+        FROM re, rq WHERE re.vec_id <> rq.qid
+        QUALIFY rnk <= 15
+    ),
+    rall AS (
+        SELECT doc_id, rnk FROM ({_oracle_bm25()})
+        UNION ALL
+        SELECT doc_id, rnk FROM rdense
+    ),
+    rsc AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(ROUND(1.0 / (60.0 + CAST(rnk AS DOUBLE)),
+                                   6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS rrf_score,
+               COUNT(*) AS n_lists
+        FROM rall GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+               AS rnk
+    FROM rsc ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 )
 """
 

@@ -195,3 +195,58 @@ def postings_upsert(
     kept = existing.join(F.broadcast(batch_ids), id_col, "left_anti")
     fresh = postings(batch, text_col, id_col)
     return kept.unionByName(fresh)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09) —
+    the standard hybrid-retrieval combiner for heterogeneous rankers
+    (BM25 lexical + dense-embedding cosine being THE production pair):
+
+        rrf(d) = Σ_lists  1 / (c + rank_list(d))
+
+    Rank-based fusion needs no score calibration between rankers
+    (BM25 scores and cosine similarities live on unrelated scales);
+    ``c`` (=60 in the paper and every major engine) damps the head so
+    one ranker's #1 cannot dominate consensus mid-ranks.
+
+    Inputs are top-k frames ``(id_col, rnk)`` from any rankers — a
+    few rows each by construction, so fusion is a trivial union +
+    aggregate no matter the corpus size (the COST lives in the
+    rankers, which keep their own scale shapes). Per-list reciprocal
+    contributions are 6-dp rounded and decimal-summed (order-free
+    exact); ties break by id.  Returns ``(id_col, rrf_score double,
+    n_lists long, rnk long)`` with rnk 1..k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if c < 0:
+        raise ValueError("rrf_fuse: c must be >= 0")
+    parts = [r.select(F.col(id_col), F.col("rnk")) for r in rankings]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("rnk").cast("double")), 6
+    ).cast("decimal(28,6)")
+    scores = allr.groupBy(id_col).agg(
+        F.sum(contrib).cast("double").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    order = [F.desc("rrf_score"), F.asc(id_col)]
+    return (
+        scores.orderBy(*order)
+        .limit(int(k))
+        .select(
+            id_col,
+            "rrf_score",
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias(
+                "rnk"
+            ),
+        )
+    )

@@ -164,3 +164,45 @@ def test_bm25_over_chunked_corpus_composition(spark):
         r.doc_id: r.text for r in chunk_docs.collect()
     }[top.doc_id]
     assert "quantum" in text
+
+
+# --- Reciprocal Rank Fusion ------------------------------------------------
+
+def test_rrf_hand_computed(spark):
+    from etl_extract_transform_load_spark.scale.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id long, rnk long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 4: 1/63
+    assert rows[1]["rrf_score"] == round(round(1 / 61, 6) + round(1 / 62, 6), 6)
+    assert rows[3]["rrf_score"] == round(round(1 / 63, 6) + round(1 / 61, 6), 6)
+    assert rows[1]["n_lists"] == 2 and rows[2]["n_lists"] == 1
+    # consensus docs outrank single-list docs
+    assert rows[1]["rnk"] < rows[2]["rnk"]
+    assert rows[3]["rnk"] < rows[4]["rnk"]
+    # rank 1..4 dense and deterministic
+    assert sorted(r["rnk"] for r in rows.values()) == [1, 2, 3, 4]
+
+
+def test_rrf_k_cut_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_extract_transform_load_spark.scale.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_id long, rnk long"
+    )
+    out = rrf_fuse([a], k=5).collect()
+    assert len(out) == 5
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [
+        0, 1, 2, 3, 4,
+    ]
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], c=-1)

@@ -1626,6 +1626,20 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_against_slice,
     )
 
+    # round-6 leg: multinomial Naive Bayes language ID (scale/nbayes)
+    # — fit on the even-id labeled slice, predict EVERY doc (one row
+    # each, so the join keeps the doc set); the model is a
+    # (token, label, logp) table, never a driver object
+    from etl_extract_transform_load_spark.scale.nbayes import (
+        nb_fit,
+        nb_predict,
+    )
+
+    nb_model, nb_priors = nb_fit(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    nb = nb_predict(docs, nb_model, nb_priors)
+
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
@@ -1634,6 +1648,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(script_ratios(docs), "doc_id")
         .join(char_entropy(docs), "doc_id")
         .join(perplexity_against_slice(docs), "doc_id")
+        .join(nb, "doc_id")
     )
 
 
@@ -1644,6 +1659,9 @@ def _oracle_text_quality() -> str:
     )
     from etl_extract_transform_load_spark.scale.lm import (
         oracle_lm_perplexity_sql,
+    )
+    from etl_extract_transform_load_spark.scale.nbayes import (
+        oracle_nb_sql,
     )
     from etl_extract_transform_load_spark.scale.text import (
         oracle_c4_line_stats_sql,
@@ -1664,6 +1682,7 @@ JOIN ({oracle_c4_line_stats_sql()}) d USING (doc_id)
 JOIN ({oracle_script_ratios_sql()}) e USING (doc_id)
 JOIN ({oracle_char_entropy_sql()}) f USING (doc_id)
 JOIN ({oracle_lm_perplexity_sql()}) g USING (doc_id)
+JOIN ({oracle_nb_sql("doc_id % 2 = 0")}) h USING (doc_id)
 """
 
 

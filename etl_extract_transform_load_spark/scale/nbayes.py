@@ -1,0 +1,257 @@
+"""Multinomial Naive Bayes text classifier, fully relational.
+
+The classic "first model you train on a labeled corpus" (language ID,
+topic routing, spam) expressed as joins + aggregates — no per-row
+Python, no driver-side model object, the MODEL IS A TABLE:
+
+- fit:  one tokenize + ``groupBy(label, token)`` pass (one shuffle)
+  → a dense ``(token, label, logp)`` table with Laplace smoothing,
+  plus a C-row prior table carrying each class's log prior and its
+  out-of-vocabulary default log-probability;
+- predict: per-doc term frequencies join the model on token (the
+  model is vocabulary-sized — broadcast when it fits, shuffle-join
+  otherwise), unmatched mass folds in as ``n_oov · default(c)``, and
+  the per-(doc, class) sums reduce in ONE aggregation; argmax is a
+  row_number window per doc.
+
+Determinism: every log-probability is 6-dp rounded at build, every
+per-(doc,class) term is 6-dp rounded before a decimal sum, and the
+final additions run in a pinned double order — so scores (and
+therefore predictions, with ties broken by label) hash-match any
+engine computing the same formula.
+
+At 100 TB: fit is the cost of a vocabulary build; predict is the cost
+of TF-IDF scoring. State never exceeds vocab × classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
+
+_DEC = "decimal(28,6)"
+
+
+def _tok(df: DataFrame, text_col: str, id_col: str, *extra: str) -> DataFrame:
+    return df.select(
+        id_col, *extra, F.explode(tokens(lower_simple(F.col(text_col)))).alias("token")
+    )
+
+
+def nb_fit(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit on labeled documents (NULL labels excluded).
+
+    Returns ``(model, priors)``:
+
+    - ``model``: dense ``(token, label, logp)`` — one row for EVERY
+      (training token, class) pair, ``logp = ln((cnt+1)/(tot_c+V))``
+      6-dp rounded (dense so prediction never special-cases a token
+      the class missed);
+    - ``priors``: ``(label, log_prior, oov_logp)`` with
+      ``log_prior = ln(n_c/n)`` and ``oov_logp = ln(1/(tot_c+V))``.
+    """
+    labeled = train.filter(
+        F.col(label_col).isNotNull() & (F.col(label_col) != "")
+    )
+    tok = _tok(labeled, text_col, id_col, label_col)
+    counts = tok.groupBy(label_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    class_tot = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
+    vocab = counts.select("token").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    dense = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .join(counts, ["token", label_col], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "token",
+            F.col(label_col).alias("label"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    n_docs = labeled.agg(F.count(F.lit(1)).alias("n"))
+    priors = (
+        labeled.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .crossJoin(F.broadcast(n_docs))
+        .join(class_tot, label_col)
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            F.col(label_col).alias("label"),
+            F.round(
+                F.log(F.col("n_c").cast("double") / F.col("n").cast("double")),
+                6,
+            ).alias("log_prior"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")),
+                6,
+            ).alias("oov_logp"),
+        )
+    )
+    return dense, priors
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Predict one row per input document: ``(id_col, nb_pred,
+    nb_score)`` — the argmax class by summed log-probability (ties
+    break by label ascending; a tokenless document scores priors
+    only).  ``nb_score`` is the winning class's 6-dp total."""
+    tf = (
+        _tok(docs, text_col, id_col)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model_tokens = model.select("token").distinct()
+    matched = (
+        tf.join(model, "token")
+        .select(
+            id_col,
+            "label",
+            F.round(F.col("tf") * F.col("logp"), 6).cast(_DEC).alias("term"),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum("term").cast("double").alias("msum"))
+    )
+    oov = (
+        tf.join(model_tokens, "token", "left_anti")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_oov"))
+    )
+    base = docs.select(id_col).crossJoin(F.broadcast(priors))
+    scored = (
+        base.join(matched, [id_col, "label"], "left")
+        .join(oov, id_col, "left")
+        .select(
+            id_col,
+            "label",
+            F.round(
+                (
+                    F.col("log_prior")
+                    + F.coalesce(F.col("msum"), F.lit(0.0))
+                )
+                + F.round(
+                    F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                    * F.col("oov_logp"),
+                    6,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            id_col,
+            F.col("label").alias("nb_pred"),
+            F.col("score").alias("nb_score"),
+        )
+    )
+
+
+def oracle_nb_sql(
+    train_where: str,
+    label_col: str = "lang",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of fit-on-slice + predict-on-all: same tokenizer,
+    same smoothing, same 6-dp round points, same pinned additions."""
+    toks = (
+        "CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''"
+        " THEN CAST([] AS VARCHAR[])"
+        " ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))),"
+        " '\\s+') END"
+    )
+    return f"""
+WITH nbtr AS (
+    SELECT {id_col}, {label_col} AS label, {toks} AS t
+    FROM {table}
+    WHERE {label_col} IS NOT NULL AND {label_col} <> ''
+      AND ({train_where})
+),
+nbtok AS (SELECT label, UNNEST(t) AS token FROM nbtr),
+nbcnt AS (SELECT label, token, COUNT(*) AS cnt
+          FROM nbtok GROUP BY label, token),
+nbtot AS (SELECT label, SUM(cnt) AS tot FROM nbcnt GROUP BY label),
+nbv AS (SELECT COUNT(DISTINCT token) AS v FROM nbcnt),
+nbmodel AS (
+    SELECT vt.token, ct.label,
+           ROUND(LN(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                    / CAST(ct.tot + nbv.v AS DOUBLE)), 6) AS logp
+    FROM (SELECT DISTINCT token FROM nbcnt) vt
+    CROSS JOIN nbtot ct
+    LEFT JOIN nbcnt c ON c.token = vt.token AND c.label = ct.label
+    CROSS JOIN nbv
+),
+nbprior AS (
+    SELECT g.label,
+           ROUND(LN(CAST(g.n_c AS DOUBLE)
+                    / CAST((SELECT COUNT(*) FROM nbtr) AS DOUBLE)), 6)
+               AS log_prior,
+           ROUND(LN(1.0 / CAST(t.tot + nbv.v AS DOUBLE)), 6) AS oov_logp
+    FROM (SELECT label, COUNT(*) AS n_c FROM nbtr GROUP BY label) g
+    JOIN nbtot t USING (label) CROSS JOIN nbv
+),
+nbtf AS (
+    SELECT {id_col}, token, COUNT(*) AS tf
+    FROM (SELECT {id_col}, UNNEST({toks}) AS token FROM {table})
+    GROUP BY {id_col}, token
+),
+nbmatch AS (
+    SELECT f.{id_col}, m.label,
+           CAST(SUM(CAST(ROUND(f.tf * m.logp, 6) AS DECIMAL(28,6)))
+                AS DOUBLE) AS msum
+    FROM nbtf f JOIN nbmodel m USING (token)
+    GROUP BY f.{id_col}, m.label
+),
+nboov AS (
+    SELECT f.{id_col}, SUM(f.tf) AS n_oov
+    FROM nbtf f
+    WHERE NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT token
+                                     FROM nbmodel) mt
+                      WHERE mt.token = f.token)
+    GROUP BY f.{id_col}
+),
+nbscore AS (
+    SELECT d.{id_col}, p.label,
+           ROUND((p.log_prior + COALESCE(m.msum, 0.0))
+                 + ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+                         * p.oov_logp, 6), 6) AS score
+    FROM (SELECT {id_col} FROM {table}) d
+    CROSS JOIN nbprior p
+    LEFT JOIN nbmatch m ON m.{id_col} = d.{id_col}
+                       AND m.label = p.label
+    LEFT JOIN nboov o ON o.{id_col} = d.{id_col}
+)
+SELECT {id_col}, label AS nb_pred, score AS nb_score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {id_col} ORDER BY score DESC, label ASC
+    ) AS r
+    FROM nbscore
+) WHERE r = 1
+"""

@@ -369,20 +369,48 @@ FROM s
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer — rank window with deterministic
     tiebreak. At scale this is the shuffle-on-custkey + in-partition
-    sort shape; no global sort."""
+    sort shape; no global sort.
+
+    Second branch: item-item collaborative filtering over the order
+    baskets (operators/recommend.py — distinct incidence, basket-key
+    self-join capped at max_basket, cosine from three integer
+    aggregates): the global top-100 'frequently bought together' part
+    pairs. item_i rides o_custkey, item_j rides o_orderkey, cosine
+    rides o_totalprice."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return (
+    top3 = (
         orders.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .select(
+            F.lit("top3").alias("part"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rank",
+        )
     )
+    from etl_extract_transform_load_spark.operators.recommend import (
+        item_cooccurrence_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cf = item_cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=100
+    ).select(
+        F.lit("cf").alias("part"),
+        F.col("item_i").cast("long").alias("o_custkey"),
+        F.col("item_j").cast("long").alias("o_orderkey"),
+        F.col("cos_sim").alias("o_totalprice"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return top3.unionByName(cf)
 
 
 ORACLE_WINDOW_TOPK = """
-SELECT o_custkey, o_orderkey, o_totalprice, rank
+SELECT 'top3' AS part, o_custkey, o_orderkey, o_totalprice, rank
 FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
            ROW_NUMBER() OVER (
@@ -392,6 +420,39 @@ FROM (
     FROM orders
 )
 WHERE rank <= 3
+UNION ALL
+SELECT 'cf', item_i, item_j, cos_sim, CAST(rank AS INT)
+FROM (
+    WITH cfb AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    cfk AS (
+        SELECT b, i FROM cfb
+        WHERE b IN (SELECT b FROM cfb GROUP BY b HAVING COUNT(*) <= 50)
+    ),
+    cfp AS (
+        SELECT a.i AS item_i, c.i AS item_j, COUNT(*) AS cooc
+        FROM cfk a JOIN cfk c ON a.b = c.b AND a.i < c.i
+        GROUP BY a.i, c.i
+    ),
+    cfn AS (SELECT i, COUNT(*) AS n FROM cfk GROUP BY i)
+    SELECT p.item_i, p.item_j,
+           ROUND(CAST(p.cooc AS DOUBLE)
+                 / SQRT(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)),
+                 6) AS cos_sim,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(p.cooc AS DOUBLE)
+                        / SQRT(CAST(x.n AS DOUBLE)
+                               * CAST(y.n AS DOUBLE)), 6) DESC,
+                        p.item_i ASC, p.item_j ASC
+           ) AS rank
+    FROM cfp p
+    JOIN cfn x ON p.item_i = x.i
+    JOIN cfn y ON p.item_j = y.i
+    QUALIFY rank <= 100
+)
 """
 
 

@@ -1,0 +1,57 @@
+"""Item-item co-occurrence CF: hand-computed fixture + cap policy."""
+
+import math
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.recommend import (
+    item_cooccurrence,
+    item_cooccurrence_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def baskets(spark):
+    # b1: {1,2,3}; b2: {1,2}; b3: {2,3}; b4: {4}; plus a duplicate
+    # (b1,1) row and a NULL item
+    rows = [
+        (1, 1), (1, 2), (1, 3), (1, 1),
+        (2, 1), (2, 2),
+        (3, 2), (3, 3),
+        (4, 4), (4, None),
+    ]
+    return spark.createDataFrame(rows, "b long, i long")
+
+
+def test_cooccurrence_hand_computed(baskets):
+    got = {
+        (r["item_i"], r["item_j"]): (r["cooc"], r["cos_sim"])
+        for r in item_cooccurrence(baskets, "b", "i").collect()
+    }
+    # n1=2, n2=3, n3=2, n4=1
+    assert got[(1, 2)] == (2, round(2 / math.sqrt(2 * 3), 6))
+    assert got[(1, 3)] == (1, round(1 / math.sqrt(2 * 2), 6))
+    assert got[(2, 3)] == (2, round(2 / math.sqrt(3 * 2), 6))
+    assert (1, 4) not in got and len(got) == 3
+
+
+def test_cooccurrence_basket_cap_drops_mega_baskets(spark):
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = item_cooccurrence(df, "b", "i", max_basket=5).collect()
+    # basket 1 (size 10) dropped wholesale: only the (1,2) pair from
+    # basket 2 survives, with counts from kept baskets only
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_i"], r["item_j"], r["cooc"]) == (1, 2, 1)
+    assert r["cos_sim"] == 1.0
+    with pytest.raises(ValueError):
+        item_cooccurrence(df, "b", "i", max_basket=1)
+
+
+def test_topk_rank_deterministic(baskets):
+    out = item_cooccurrence_topk(baskets, "b", "i", k=2).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    # cos(1,2) == cos(2,3) tie -> item ids break it: (1,2) first
+    assert (out[0]["item_i"], out[0]["item_j"]) == (1, 2)
+    assert (out[1]["item_i"], out[1]["item_j"]) == (2, 3)

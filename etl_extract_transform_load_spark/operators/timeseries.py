@@ -407,3 +407,63 @@ def rolling_zscore_flags(
             F.abs(F.col(out_col)) > threshold,
         ),
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """Seasonal index per (key, period bucket): how loaded bucket ``b``
+    is relative to the key's average bucket — the multiplicative
+    seasonality every capacity/anomaly system normalizes by (index
+    1.0 = flat; 2.0 = twice the average load at that hour/day).
+
+        idx(k, b) = mean over observed buckets at b of hourly count
+                    ÷ mean over ALL observed buckets of hourly count
+
+    ``period`` ∈ {hour_of_day (0-23), day_of_week (1-7, Sunday=1)}.
+    Only OBSERVED hours enter the means (an hour with zero events is
+    absent from the event log and from the denominator — callers
+    needing calendar-dense seasonality resample first with
+    ``resample_ffill``).  Scale shape: one (key, hour) count
+    aggregate, then two tiny regroupings — state is keys × 24/7.
+
+    Returns ``(key_col, bucket, n_buckets, idx)`` with ``idx`` 6-dp
+    rounded from exact-integer sums in a pinned double order.
+    """
+    if period not in ("hour_of_day", "day_of_week"):
+        raise ValueError(f"unknown period: {period}")
+    hourly = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            key_col,
+            F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__b",
+            F.hour(F.col("__h"))
+            if period == "hour_of_day"
+            else F.dayofweek(F.col("__h")),
+        )
+    )
+    at_b = hourly.groupBy(key_col, "__b").agg(
+        F.sum("__cnt").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    overall = hourly.groupBy(key_col).agg(
+        F.sum("__cnt").alias("__st"), F.count(F.lit(1)).alias("__nt")
+    )
+    return at_b.join(overall, key_col).select(
+        key_col,
+        F.col("__b").cast("int").alias("bucket"),
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.round(
+            (F.col("__s").cast("double") / F.col("__n").cast("double"))
+            / (F.col("__st").cast("double") / F.col("__nt").cast("double")),
+            6,
+        ).alias("idx"),
+    )

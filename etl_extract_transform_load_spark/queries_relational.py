@@ -970,12 +970,29 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("credit").alias("total"),
     )
+    # seventh branch: hour-of-day seasonal index per event type
+    # (operators/timeseries.seasonal_profile) — the bucket rides
+    # window_start, observed-hour count rides n_events, the
+    # multiplicative index rides total
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    sea = seasonal_profile(events, "event_type").select(
+        F.lit("season").alias("part"),
+        F.col("bucket").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_buckets").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("idx").alias("total"),
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
         .unionByName(eng)
         .unionByName(tm)
         .unionByName(attr)
+        .unionByName(sea)
     )
 
 
@@ -1143,6 +1160,29 @@ SELECT 'attr', model, channel, n_conv, NULL::BIGINT, credit FROM (
            COUNT(*)
     FROM atc WHERE n = 0
     HAVING COUNT(*) > 0
+)
+UNION ALL
+SELECT 'season', CAST(b AS VARCHAR), event_type, n_buckets,
+       NULL::BIGINT, idx
+FROM (
+    WITH sh AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    sb AS (
+        SELECT event_type, EXTRACT(hour FROM h) AS b,
+               SUM(cnt) AS s, COUNT(*) AS n
+        FROM sh GROUP BY 1, 2
+    ),
+    so AS (SELECT event_type, SUM(cnt) AS st, COUNT(*) AS nt
+           FROM sh GROUP BY 1)
+    SELECT sb.event_type, sb.b, sb.n AS n_buckets,
+           ROUND((CAST(sb.s AS DOUBLE) / CAST(sb.n AS DOUBLE))
+                 / (CAST(so.st AS DOUBLE) / CAST(so.nt AS DOUBLE)), 6)
+               AS idx
+    FROM sb JOIN so USING (event_type)
 )
 """
 

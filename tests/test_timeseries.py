@@ -188,3 +188,62 @@ def test_ewma_unbounded_null_keys_form_one_group(spark):
     # NULL group accumulates exactly like the non-null twin
     assert got[(None, 1)] == got[(7, 1)]
     assert got[(7, 1)] == pytest.approx((3.0 + 0.5) / 1.5)
+
+
+# --- seasonal profile --------------------------------------------------------
+
+def test_seasonal_profile_hand_computed(spark):
+    import datetime as dt
+
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    def t(day, hour, minute=0):
+        return dt.datetime(2024, 1, day, hour, minute)
+
+    # key 'a': hour 9 busy (3+1 events over 2 days), hour 12 quiet (1)
+    rows = (
+        [("a", t(1, 9, m)) for m in (0, 10, 20)]
+        + [("a", t(2, 9))]
+        + [("a", t(1, 12))]
+        + [("b", t(1, 5))]
+        + [(None, t(1, 1)), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r["k"], r["bucket"]): (r["n_buckets"], r["idx"])
+        for r in seasonal_profile(df, "k").collect()
+    }
+    # 'a' observed hours: (d1,9)=3, (d2,9)=1, (d1,12)=1 -> overall
+    # mean 5/3; hour 9 mean 2.0 -> idx 1.2; hour 12 mean 1.0 -> 0.6
+    assert got[("a", 9)] == (2, round(2.0 / (5 / 3), 6))
+    assert got[("a", 12)] == (1, round(1.0 / (5 / 3), 6))
+    assert got[("b", 5)] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_seasonal_profile_day_of_week_and_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    # 2024-01-07 was a Sunday (dayofweek=1), 2024-01-08 Monday (=2)
+    rows = [
+        ("a", dt.datetime(2024, 1, 7, 10)),
+        ("a", dt.datetime(2024, 1, 8, 10)),
+        ("a", dt.datetime(2024, 1, 8, 11)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r["bucket"]: r["idx"]
+        for r in seasonal_profile(df, "k", period="day_of_week").collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == got[2] == 1.0  # every observed hour has 1 event
+    with _pytest.raises(ValueError):
+        seasonal_profile(df, "k", period="month")

@@ -387,14 +387,51 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, "metric string, value double"
             )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        def _winsor():
+            # winsorized statistics (outlier capping at p05/p95) on
+            # the shared persist — the exact quantile decides reuse
+            # the bounded-state machinery; the capped mean is a
+            # decimal sum of 6-dp-clamped values
+            from etl_extract_transform_load_spark.operators.quantiles import (
+                exact_quantiles,
+            )
+
+            lo, hi = exact_quantiles(
+                li, "l_extendedprice", [0.05, 0.95]
+            )
+            lo6, hi6 = round_half_up6(lo), round_half_up6(hi)
+            x = F.col("l_extendedprice").cast("double")
+            clamped = F.least(F.greatest(x, F.lit(lo6)), F.lit(hi6))
+            return li.filter(x.isNotNull()).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((x < lo6).cast("long")).alias("n_lo"),
+                F.sum((x > hi6).cast("long")).alias("n_hi"),
+                F.sum(
+                    F.round(clamped, 6).cast("decimal(28,6)")
+                ).alias("s"),
+            ).select(
+                F.expr(
+                    "stack(5,"
+                    f" 'winsor:lo', cast({lo6!r} as double),"
+                    f" 'winsor:hi', cast({hi6!r} as double),"
+                    " 'winsor:n_lo', cast(n_lo as double),"
+                    " 'winsor:n_hi', cast(n_hi as double),"
+                    " 'winsor:mean',"
+                    " round(cast(s as double) / cast(n as double), 6))"
+                    " as (metric, value)"
+                )
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
             f_stacked = pool.submit(_describe)
             f_gq = pool.submit(_gq)
             # EDA surface: histogram buckets + pairwise Pearson
             # flattened into the same (metric, value) stack
             f_eda = pool.submit(eda_metric_value, spark, sf_dir, li)
-            stacked, gq_df, eda = (
+            f_winsor = pool.submit(_winsor)
+            stacked, gq_df, eda, winsor = (
                 f_stacked.result(), f_gq.result(), f_eda.result(),
+                f_winsor.result(),
             )
 
         vc = value_counts(
@@ -568,6 +605,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(acf_rows)
             .unionByName(te)
             .unionByName(ab)
+            .unionByName(winsor)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -782,6 +820,31 @@ SELECT metric, value FROM (
                       THEN (cov_num * cov_num) / (var_den * y_den)
                  END, 6)
     FROM abd3
+)
+UNION ALL
+SELECT metric, value FROM (
+    WITH wq AS (
+        SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   0.05), 6) AS lo,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   0.95), 6) AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    wa AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS n_lo,
+               SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS n_hi,
+               SUM(CAST(ROUND(LEAST(GREATEST(x, lo), hi), 6)
+                        AS DECIMAL(28,6))) AS s
+        FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+              FROM lineitem WHERE l_extendedprice IS NOT NULL), wq
+    )
+    SELECT 'winsor:lo' AS metric, lo AS value FROM wq
+    UNION ALL SELECT 'winsor:hi', hi FROM wq
+    UNION ALL SELECT 'winsor:n_lo', CAST(n_lo AS DOUBLE) FROM wa
+    UNION ALL SELECT 'winsor:n_hi', CAST(n_hi AS DOUBLE) FROM wa
+    UNION ALL SELECT 'winsor:mean',
+        ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM wa
 )
 """
 

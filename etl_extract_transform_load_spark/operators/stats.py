@@ -1,0 +1,144 @@
+"""Statistical association measures between columns.
+
+The feature-analysis / experiment-readout statistics every warehouse
+computes from a contingency table (absent from the reference; pandas
+users reach for scipy here — this is the distributed form):
+
+- **chi-square test of independence** between two categoricals, with
+  degrees of freedom and **Cramér's V** (the [0,1]-normalized effect
+  size that survives table-size changes);
+- **mutual information** (natural log) — the information-gain feature
+  ranking signal.
+
+Everything reduces to ONE ``groupBy(a, b)`` count (a shuffle bounded
+by the product of the two cardinalities — contingency state, never
+row state) plus broadcast-sized marginals.  Per-cell terms are 6-dp
+rounded and decimal-summed so totals are order-free exact; derived
+formulas run in a pinned double order, making results hash-comparable
+with a SQL twin.  At 100 TB the cost class is one aggregate scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def contingency_stats(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One-row association report between two categorical columns:
+    ``(n, r, c, dof, chi2, cramers_v, mi)``.
+
+    Rows with a NULL in either column are excluded.  ``chi2`` sums
+    round((o−e)²/e, 6) over observed AND structurally-zero cells —
+    zero-count cells still contribute e (their o=0 term is e itself),
+    accounted exactly via the identity Σ(o−e)²/e = Σ_observed(o²/e) − n
+    (so absent cells never need materializing).  ``mi`` sums
+    round((o/n)·ln(o·n/(ra·cb)), 6) over observed cells.  Degenerate
+    single-category inputs yield chi2=0, cramers_v NULL (dof=0).
+    """
+    a = F.col(f"`{col_a}`")
+    b = F.col(f"`{col_b}`")
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("__b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("__a").alias("r"),
+        F.countDistinct("__b").alias("c"),
+    )
+    joined = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("o").cast("double")
+    n = F.col("n").cast("double")
+    e = F.col("ra").cast("double") * F.col("cb").cast("double") / n
+    # Σ(o−e)²/e over ALL cells == Σ_observed o²/e − n: accumulate the
+    # observed-cell o²/e exactly, subtract n once at the end
+    chi_term = F.round(o * o / e, 6).cast(_DEC)
+    mi_term = F.round(
+        (o / n) * F.log(o * n / (F.col("ra").cast("double") * F.col("cb").cast("double"))),
+        6,
+    ).cast(_DEC)
+    agg = joined.groupBy("n", "r", "c").agg(
+        F.sum(chi_term).alias("__chi_oe"),
+        F.sum(mi_term).alias("__mi"),
+    )
+    chi2 = F.round(
+        F.col("__chi_oe").cast("double") - F.col("n").cast("double"), 6
+    )
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    mind = F.least(F.col("r"), F.col("c")) - 1
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            mind > 0,
+            F.round(
+                F.sqrt(
+                    chi2 / (F.col("n").cast("double") * mind.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+        F.round(F.col("__mi").cast("double"), 6).alias("mi"),
+    )
+
+
+def oracle_contingency_sql(
+    col_a: str, col_b: str, table: str, where: str = "TRUE"
+) -> str:
+    """DuckDB twin of :func:`contingency_stats` — same observed-cell
+    identity, same 6-dp round points, same pinned double order."""
+    return f"""
+WITH ctc AS (
+    SELECT {col_a} AS a, {col_b} AS b, COUNT(*) AS o
+    FROM {table}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL AND ({where})
+    GROUP BY 1, 2
+),
+ctr AS (SELECT a, SUM(o) AS ra FROM ctc GROUP BY a),
+ctb AS (SELECT b, SUM(o) AS cb FROM ctc GROUP BY b),
+ctt AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+               COUNT(DISTINCT b) AS c
+        FROM ctc),
+ctj AS (
+    SELECT CAST(c0.o AS DOUBLE) AS o, CAST(t.n AS DOUBLE) AS nd,
+           CAST(r0.ra AS DOUBLE) AS ra, CAST(b0.cb AS DOUBLE) AS cb,
+           t.n, t.r, t.c
+    FROM ctc c0 JOIN ctr r0 USING (a) JOIN ctb b0 USING (b)
+    CROSS JOIN ctt t
+),
+cta AS (
+    SELECT n, r, c,
+           SUM(CAST(ROUND(o * o / (ra * cb / nd), 6)
+                    AS DECIMAL(28,6))) AS chi_oe,
+           SUM(CAST(ROUND((o / nd) * LN(o * nd / (ra * cb)), 6)
+                    AS DECIMAL(28,6))) AS mi
+    FROM ctj GROUP BY n, r, c
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       CAST(c AS BIGINT) AS c,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(CAST(chi_oe AS DOUBLE) - CAST(n AS DOUBLE), 6) AS chi2,
+       CASE WHEN LEAST(r, c) - 1 > 0 THEN
+           ROUND(SQRT(ROUND(CAST(chi_oe AS DOUBLE)
+                            - CAST(n AS DOUBLE), 6)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(r, c) - 1 AS DOUBLE))), 6)
+       END AS cramers_v,
+       ROUND(CAST(mi AS DOUBLE), 6) AS mi
+FROM cta
+"""

@@ -595,6 +595,26 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as (metric, value)"
             )
         )
+        # categorical-association surface (operators/stats.
+        # contingency_stats): chi-square independence + Cramér's V +
+        # mutual information between lang and source, off the shared
+        # docs3 persist — ct: rows (one contingency aggregate)
+        from etl_extract_transform_load_spark.operators.stats import (
+            contingency_stats,
+        )
+
+        ct = contingency_stats(docs3, "lang", "source").select(
+            F.expr(
+                "stack(7,"
+                " 'ct:n', cast(n as double),"
+                " 'ct:r', cast(r as double),"
+                " 'ct:c', cast(c as double),"
+                " 'ct:dof', cast(dof as double),"
+                " 'ct:chi2', chi2,"
+                " 'ct:cramers_v', cramers_v,"
+                " 'ct:mi', mi) as (metric, value)"
+            )
+        )
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
@@ -606,6 +626,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(te)
             .unionByName(ab)
             .unionByName(winsor)
+            .unionByName(ct)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -616,6 +637,9 @@ def _oracle_describe_stats() -> str:
     from etl_extract_transform_load_spark.queries_relational import (
         ORACLE_DESCRIBE,
         ORACLE_VALUE_COUNTS,
+    )
+    from etl_extract_transform_load_spark.operators.stats import (
+        oracle_contingency_sql,
     )
     from etl_extract_transform_load_spark.queries_temporal import ORACLE_MAD
 
@@ -845,6 +869,17 @@ SELECT metric, value FROM (
     UNION ALL SELECT 'winsor:n_hi', CAST(n_hi AS DOUBLE) FROM wa
     UNION ALL SELECT 'winsor:mean',
         ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM wa
+)
+UNION ALL
+SELECT metric, value FROM (
+    WITH ctrep AS ({oracle_contingency_sql('lang', 'source', 'documents')})
+    SELECT 'ct:n' AS metric, CAST(n AS DOUBLE) AS value FROM ctrep
+    UNION ALL SELECT 'ct:r', CAST(r AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:c', CAST(c AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:dof', CAST(dof AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:chi2', chi2 FROM ctrep
+    UNION ALL SELECT 'ct:cramers_v', cramers_v FROM ctrep
+    UNION ALL SELECT 'ct:mi', mi FROM ctrep
 )
 """
 

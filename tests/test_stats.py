@@ -1,0 +1,84 @@
+"""Contingency statistics: textbook fixture + DuckDB-twin equivalence."""
+
+import math
+
+import duckdb
+import pytest
+
+from etl_extract_transform_load_spark.operators.stats import (
+    contingency_stats,
+    oracle_contingency_sql,
+)
+
+ROWS = [
+    ("x", "u"), ("x", "u"), ("x", "v"),
+    ("y", "u"), ("y", "v"), ("y", "v"), ("y", "v"),
+    ("z", "u"), ("z", None), (None, "v"),
+]
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(ROWS, "a string, b string")
+
+
+def _textbook(rows):
+    from collections import Counter
+
+    obs = Counter(r for r in rows if r[0] is not None and r[1] is not None)
+    n = sum(obs.values())
+    ra = Counter()
+    cb = Counter()
+    for (a, b), o in obs.items():
+        ra[a] += o
+        cb[b] += o
+    chi_oe = sum(
+        round(o * o / (ra[a] * cb[b] / n), 6) for (a, b), o in obs.items()
+    )
+    chi2 = round(chi_oe - n, 6)
+    mi = round(
+        sum(
+            round((o / n) * math.log(o * n / (ra[a] * cb[b])), 6)
+            for (a, b), o in obs.items()
+        ),
+        6,
+    )
+    r, c = len(ra), len(cb)
+    v = round(math.sqrt(chi2 / (n * (min(r, c) - 1))), 6)
+    return n, r, c, (r - 1) * (c - 1), chi2, v, mi
+
+
+def test_contingency_textbook(table):
+    row = contingency_stats(table, "a", "b").collect()[0]
+    n, r, c, dof, chi2, v, mi = _textbook(ROWS)
+    assert (row["n"], row["r"], row["c"], row["dof"]) == (n, r, c, dof)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-9)
+    assert row["mi"] == pytest.approx(mi, abs=1e-9)
+
+
+def test_contingency_matches_duckdb_twin(table):
+    got = contingency_stats(table, "a", "b").collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ROWS)
+    cur = con.execute(oracle_contingency_sql("a", "b", "t"))
+    want = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    assert got == want
+
+
+def test_contingency_independent_and_degenerate(spark):
+    # perfectly independent 2x2 -> chi2 == 0, mi == 0
+    rows = [("x", "u")] * 4 + [("x", "v")] * 4 + [("y", "u")] * 4 + [
+        ("y", "v")
+    ] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = contingency_stats(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["mi"] == 0.0 and r["cramers_v"] == 0.0
+    # single category on one side -> dof 0, cramers NULL
+    one = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string"
+    )
+    r1 = contingency_stats(one, "a", "b").collect()[0]
+    assert r1["dof"] == 0 and r1["cramers_v"] is None
+    assert r1["chi2"] == 0.0

@@ -142,3 +142,163 @@ SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
        ROUND(CAST(mi AS DOUBLE), 6) AS mi
 FROM cta
 """
+
+
+def _avg_ranks(
+    per_v: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(v, c) per distinct value → (v, rank_avg) with tie-averaged
+    ("fractional") ranks, via the same bucketed two-level prefix sums
+    as ``quality.ks_two_sample`` — no global sort partition."""
+    from pyspark.sql import Window
+
+    span = per_v.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).collect()[0]
+    mn, mx = span["mn"], span["mx"]
+    width = (mx - mn) / n_buckets if mx > mn else 0
+    if width == 0:
+        bkt = F.lit(0)
+    else:
+        bkt = F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    pv = per_v.withColumn("bkt", bkt)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = pv.withColumn("cum", F.sum("c").over(w_in))
+    totals = pv.groupBy("bkt").agg(F.sum("c").alias("t"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("t").over(w_b), F.lit(0)).alias("off")
+    )
+    return within.join(F.broadcast(offsets), "bkt").select(
+        "v",
+        (
+            (F.col("off") + F.col("cum") - F.col("c")).cast("double")
+            + (F.col("c").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("rank_avg"),
+    )
+
+
+def spearman(
+    df: DataFrame, col_x: str, col_y: str, n_buckets: int = 256
+) -> DataFrame:
+    """Spearman rank correlation ρ between two numeric columns — the
+    robust (monotone-invariant, outlier-resistant) companion to the
+    Pearson matrix in the EDA surface.
+
+    ρ = Pearson correlation of the columns' tie-averaged ranks.  The
+    textbook form sorts globally twice; here each column's ranks come
+    from per-distinct-value counts + bucketed two-level prefix sums
+    (state = distinct values, never rows in one partition), join back
+    on value, and ONE sufficient-statistics aggregate finishes.  Ranks
+    are exact multiples of ½, quantized losslessly to decimals, so the
+    sums are order-free exact and the pinned double formula
+    hash-matches a SQL twin (6-dp round).
+
+    Pairwise-complete: rows with a NULL in either column are excluded
+    from BOTH rankings.  Returns one row ``(n, rho)``; n < 2 or a
+    constant column yields NULL rho.
+    """
+    x = F.col(f"`{col_x}`").cast("double")
+    y = F.col(f"`{col_y}`").cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    rx = _avg_ranks(
+        base.groupBy(F.col("__x").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        n_buckets,
+    ).withColumnRenamed("rank_avg", "__rx")
+    ry = _avg_ranks(
+        base.groupBy(F.col("__y").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        n_buckets,
+    ).withColumnRenamed("rank_avg", "__ry")
+    ranked = (
+        base.join(rx, base["__x"] == rx["v"]).drop("v")
+        .join(ry, F.col("__y") == ry["v"]).drop("v")
+    )
+    dec = "decimal(18,6)"
+    dx = F.col("__rx").cast(dec)
+    dy = F.col("__ry").cast(dec)
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("syy").cast("double") - sy * sy
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(
+            F.when((F.col("n") >= 2) & (den != 0), num / den), 6
+        ).alias("rho"),
+    )
+
+
+def oracle_spearman_sql(
+    col_x: str, col_y: str, table: str, where: str = "TRUE"
+) -> str:
+    """DuckDB twin of :func:`spearman`: identical tie-averaged ranks
+    from per-distinct cumulative counts, same decimal sums, same
+    pinned formula."""
+    return f"""
+WITH spb AS (
+    SELECT CAST({col_x} AS DOUBLE) AS x, CAST({col_y} AS DOUBLE) AS y
+    FROM {table}
+    WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL AND ({where})
+),
+spxr AS (
+    SELECT v, (CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - c AS DOUBLE))
+              + (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r
+    FROM (SELECT x AS v, COUNT(*) AS c FROM spb GROUP BY x)
+),
+spyr AS (
+    SELECT v, (CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - c AS DOUBLE))
+              + (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r
+    FROM (SELECT y AS v, COUNT(*) AS c FROM spb GROUP BY y)
+),
+spr AS (
+    SELECT CAST(rx.r AS DECIMAL(19,6)) AS dx,
+           CAST(ry.r AS DECIMAL(19,6)) AS dy
+    FROM spb b JOIN spxr rx ON b.x = rx.v JOIN spyr ry ON b.y = ry.v
+),
+sps AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+           CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+           CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+           CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+    FROM spr
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 2 AND
+                  SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * SQRT(CAST(n AS DOUBLE) * syy - sy * sy) <> 0
+             THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS rho
+FROM sps
+"""

@@ -422,16 +422,33 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        def _spearman():
+            # rank correlation off the shared persist — the robust
+            # companion to the Pearson matrix (operators/stats.
+            # spearman: bucketed prefix-sum ranks, no global sort)
+            from etl_extract_transform_load_spark.operators.stats import (
+                spearman,
+            )
+
+            return spearman(li, "l_quantity", "l_extendedprice").select(
+                F.expr(
+                    "stack(2,"
+                    " 'spearman:n', cast(n as double),"
+                    " 'spearman:rho', rho) as (metric, value)"
+                )
+            )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
             f_stacked = pool.submit(_describe)
             f_gq = pool.submit(_gq)
             # EDA surface: histogram buckets + pairwise Pearson
             # flattened into the same (metric, value) stack
             f_eda = pool.submit(eda_metric_value, spark, sf_dir, li)
             f_winsor = pool.submit(_winsor)
-            stacked, gq_df, eda, winsor = (
+            f_sp = pool.submit(_spearman)
+            stacked, gq_df, eda, winsor, sp_rows = (
                 f_stacked.result(), f_gq.result(), f_eda.result(),
-                f_winsor.result(),
+                f_winsor.result(), f_sp.result(),
             )
 
         vc = value_counts(
@@ -627,6 +644,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(ab)
             .unionByName(winsor)
             .unionByName(ct)
+            .unionByName(sp_rows)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -640,6 +658,7 @@ def _oracle_describe_stats() -> str:
     )
     from etl_extract_transform_load_spark.operators.stats import (
         oracle_contingency_sql,
+        oracle_spearman_sql,
     )
     from etl_extract_transform_load_spark.queries_temporal import ORACLE_MAD
 
@@ -880,6 +899,13 @@ SELECT metric, value FROM (
     UNION ALL SELECT 'ct:chi2', chi2 FROM ctrep
     UNION ALL SELECT 'ct:cramers_v', cramers_v FROM ctrep
     UNION ALL SELECT 'ct:mi', mi FROM ctrep
+)
+UNION ALL
+SELECT metric, value FROM (
+    WITH sprep AS ({oracle_spearman_sql('l_quantity', 'l_extendedprice',
+                                        'lineitem')})
+    SELECT 'spearman:n' AS metric, CAST(n AS DOUBLE) AS value FROM sprep
+    UNION ALL SELECT 'spearman:rho', rho FROM sprep
 )
 """
 

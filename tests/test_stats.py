@@ -82,3 +82,88 @@ def test_contingency_independent_and_degenerate(spark):
     r1 = contingency_stats(one, "a", "b").collect()[0]
     assert r1["dof"] == 0 and r1["cramers_v"] is None
     assert r1["chi2"] == 0.0
+
+
+# --- Spearman rank correlation -----------------------------------------------
+
+SP_ROWS = [
+    (1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 5.0), (5.0, 1.0),
+    (2.0, 3.0), (2.0, 3.0),            # ties in both columns
+    (None, 9.0), (9.0, None),          # pairwise-incomplete: dropped
+]
+
+
+def _spearman_textbook(rows):
+    pairs = [(x, y) for x, y in rows if x is not None and y is not None]
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return {
+            v: (sum(i + 1 for i, w in enumerate(s) if w == v)
+                / s.count(v))
+            for v in set(vals)
+        }
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    import math
+
+    n = len(pairs)
+    ax = [rx[x] for x in xs]
+    ay = [ry[y] for y in ys]
+    sx, sy = sum(ax), sum(ay)
+    sxx = sum(v * v for v in ax)
+    syy = sum(v * v for v in ay)
+    sxy = sum(a * b for a, b in zip(ax, ay))
+    return round(
+        (n * sxy - sx * sy)
+        / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)),
+        6,
+    )
+
+
+def test_spearman_textbook_and_bucket_invariance(spark):
+    from etl_extract_transform_load_spark.operators.stats import spearman
+
+    df = spark.createDataFrame(SP_ROWS, "x double, y double")
+    expect = _spearman_textbook(SP_ROWS)
+    for nb in (1, 3, 256):
+        row = spearman(df, "x", "y", n_buckets=nb).collect()[0]
+        assert row["n"] == 7
+        assert row["rho"] == expect, (nb, row["rho"], expect)
+
+
+def test_spearman_matches_duckdb_twin(spark):
+    from etl_extract_transform_load_spark.operators.stats import (
+        oracle_spearman_sql,
+        spearman,
+    )
+
+    df = spark.createDataFrame(SP_ROWS, "x double, y double")
+    got = spearman(df, "x", "y").collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", SP_ROWS)
+    cur = con.execute(oracle_spearman_sql("x", "y", "t"))
+    want = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    assert got == want
+
+
+def test_spearman_monotone_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.stats import spearman
+
+    mono = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * F.col("id")).cast("double").alias("y"),
+    )
+    assert spearman(mono, "x", "y").collect()[0]["rho"] == 1.0
+    anti = mono.select("x", (-F.col("y")).alias("y"))
+    assert spearman(anti, "x", "y").collect()[0]["rho"] == -1.0
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    r = spearman(const, "x", "y").collect()[0]
+    assert r["n"] == 2 and r["rho"] is None

@@ -87,3 +87,86 @@ def rolling_active_users(
             6,
         ).alias("stickiness"),
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Audience overlap matrix: for every unordered pair of event
+    types, how many users do BOTH — the segment-intersection report
+    behind "viewers who also purchase" questions.
+
+    Returns one row per pair ``(type_a < type_b, n_a, n_b, n_both,
+    jaccard, lift)`` where jaccard = |A∩B| / |A∪B| and
+    lift = P(A∩B) / (P(A)·P(B)) (1.0 = independent segments, > 1 =
+    co-engaged).  Scale shape: distinct (user, type) incidence → a
+    self-join ON THE USER KEY (quadratic in a user's DISTINCT-type
+    count, bounded by the type domain — never corpus-quadratic) →
+    pair counts joined to broadcast-sized per-type counts.  Ratios
+    are exact-integer divisions in a pinned double order, 6-dp
+    rounded.  NULL users/types drop.
+    """
+    inc = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("__u"), F.col(type_col).alias("__t")
+        )
+        .distinct()
+    )
+    n_users = inc.select("__u").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    per_type = inc.groupBy("__t").agg(F.count(F.lit(1)).alias("n"))
+    left = inc.select("__u", F.col("__t").alias("type_a"))
+    right = inc.select("__u", F.col("__t").alias("type_b"))
+    pairs = (
+        left.join(right, "__u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    both = (
+        pairs.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("__t").alias("type_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("__t").alias("type_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    nb = F.col("n_both").cast("double")
+    return both.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(
+            nb
+            / (
+                F.col("n_a").cast("double")
+                + F.col("n_b").cast("double")
+                - nb
+            ),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            (nb * F.col("n_users").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )

@@ -986,6 +986,29 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("idx").alias("total"),
     )
+    # eighth branch: audience overlap between event types
+    # (operators/engagement.audience_overlap — user-key self-join on
+    # distinct incidence, broadcast per-type counts): jaccard rides
+    # total on 'overlap' rows, independence lift on 'overlap_lift'
+    from etl_extract_transform_load_spark.operators.engagement import (
+        audience_overlap,
+    )
+
+    ov = audience_overlap(events)
+    ov_rows = ov.selectExpr(
+        "type_a",
+        "type_b",
+        "n_both",
+        "stack(2, 'overlap', jaccard, 'overlap_lift', lift)"
+        " as (part, total)",
+    ).select(
+        "part",
+        F.col("type_a").alias("window_start"),
+        F.col("type_b").alias("event_type"),
+        F.col("n_both").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        "total",
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
@@ -993,6 +1016,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tm)
         .unionByName(attr)
         .unionByName(sea)
+        .unionByName(ov_rows)
     )
 
 
@@ -1183,6 +1207,40 @@ FROM (
                  / (CAST(so.st AS DOUBLE) / CAST(so.nt AS DOUBLE)), 6)
                AS idx
     FROM sb JOIN so USING (event_type)
+)
+UNION ALL
+SELECT part, type_a, type_b, n_both, NULL::BIGINT, total
+FROM (
+    WITH ovi AS (
+        SELECT DISTINCT user_id AS u, event_type AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    ovn AS (SELECT COUNT(DISTINCT u) AS n_users FROM ovi),
+    ovt AS (SELECT t, COUNT(*) AS n FROM ovi GROUP BY t),
+    ovp AS (
+        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        FROM ovi a JOIN ovi b ON a.u = b.u AND a.t < b.t
+        GROUP BY 1, 2
+    ),
+    ovj AS (
+        SELECT p.type_a, p.type_b, p.n_both,
+               x.n AS n_a, y.n AS n_b, ovn.n_users
+        FROM ovp p
+        JOIN ovt x ON p.type_a = x.t
+        JOIN ovt y ON p.type_b = y.t
+        CROSS JOIN ovn
+    )
+    SELECT 'overlap' AS part, type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                    - CAST(n_both AS DOUBLE)), 6) AS total
+    FROM ovj
+    UNION ALL
+    SELECT 'overlap_lift', type_a, type_b, n_both,
+           ROUND((CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+    FROM ovj
 )
 """
 

@@ -65,3 +65,36 @@ def test_nulls_and_validation(spark):
         rolling_active_users(events, windows=(0,))
     with pytest.raises(ValueError):
         rolling_active_users(events, windows=())
+
+
+# --- audience overlap --------------------------------------------------------
+
+def test_audience_overlap_hand_computed(spark):
+    from etl_extract_transform_load_spark.operators.engagement import (
+        audience_overlap,
+    )
+
+    # users: 1 {v,c,p}, 2 {v,c}, 3 {v}, 4 {p}, 5 {v,v dup}
+    rows = [
+        (1, "v"), (1, "c"), (1, "p"),
+        (2, "v"), (2, "c"),
+        (3, "v"),
+        (4, "p"),
+        (5, "v"), (5, "v"),
+        (None, "v"), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in audience_overlap(df).collect()
+    }
+    # n_v=4, n_c=2, n_p=2, n_users=5
+    cv = got[("c", "v")]
+    assert (cv["n_a"], cv["n_b"], cv["n_both"]) == (2, 4, 2)
+    assert cv["jaccard"] == round(2 / (2 + 4 - 2), 6)
+    assert cv["lift"] == round((2 * 5) / (2 * 4), 6)
+    cp = got[("c", "p")]
+    assert cp["n_both"] == 1 and cp["jaccard"] == round(1 / 3, 6)
+    pv = got[("p", "v")]
+    assert pv["n_both"] == 1
+    assert len(got) == 3

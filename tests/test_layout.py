@@ -1,0 +1,75 @@
+"""Clustered layout writer: partition dirs + tight min-max ranges."""
+
+import glob
+import io
+import contextlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from etl_extract_transform_load_spark.sinks.layout import write_clustered
+
+
+@pytest.fixture(scope="module")
+def clustered_path(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("layout") / "events")
+    df = spark.range(10_000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("etype"),
+        (F.col("id") * 7 % 100).cast("double").alias("value"),
+    )
+    # shuffle the layout first so clustering has to do real work
+    write_clustered(
+        df.orderBy(F.expr("hash(id)")),
+        path,
+        partition_by=["etype"],
+        cluster_by=["user_id"],
+        n_files=4,
+    )
+    return path
+
+
+def test_partition_dirs_and_disjoint_ranges(clustered_path):
+    parts = sorted(glob.glob(f"{clustered_path}/etype=*"))
+    assert len(parts) == 3
+    # every data file covers a NARROW user_id range; files within a
+    # partition are (near-)disjoint -> min-max pruning can skip them
+    for p in parts:
+        ranges = []
+        for f in sorted(glob.glob(f"{p}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "user_id"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            assert ahi <= blo  # ordered, non-overlapping coverage
+        # the whole partition is covered, in ~n_files slices
+        assert 2 <= len(ranges) <= 5
+
+
+def test_scan_prunes_partitions_and_pushes_filters(spark, clustered_path):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(clustered_path).filter(
+        (F.col("etype") == "1") & (F.col("user_id") == 4201)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "etype" in plan
+    assert "PushedFilters" in plan and "user_id" in plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["user_id"] == 4201
+
+
+def test_write_clustered_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        write_clustered(spark.range(3), str(tmp_path / "x"))

@@ -467,3 +467,101 @@ def seasonal_profile(
             6,
         ).alias("idx"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 1.0 / 3.0,
+    level_col: str = "holt_level",
+    trend_col: str = "holt_trend",
+) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing) per
+    key — the first real FORECASTING operator: after the last
+    observation, ``ŷ(t+h) = level + h·trend``.
+
+        level_i = α·x_i + (1−α)·(level_{i−1} + trend_{i−1})
+        trend_i = β·(level_i − level_{i−1}) + (1−β)·trend_{i−1}
+
+    initialized level₁ = x₁, trend₁ = 0 (the zero-trend seed — no
+    lookahead, so the fold stays strictly causal/streaming-shaped).
+    Appends ``level_col``/``trend_col`` to every row.
+
+    The default β is deliberately NOT a short terminating decimal:
+    with dyadic or one-digit β (0.25, 0.3) the recurrence keeps states
+    as SHORT EXACT DECIMALS, so 6-dp rounding lands exactly on …5
+    ties — where engines disagree (Spark rounds the exact BigDecimal
+    HALF_UP; DuckDB rounds value·10⁶ whose last-ulp error flips the
+    direction).  β = 1/3 forces every trend/level past step 2 to full
+    53-bit precision, making decimal ties impossible in practice.
+
+    Execution is the SAME sorted-partition Arrow fold as
+    ``ewma_unbounded`` (one repartition + in-partition sort, O(1)
+    state per row, keys spanning Arrow batches handled), and the
+    recurrence is PINNED in IEEE double order so a recursive-CTE SQL
+    twin evaluating the same expressions matches bit-for-bit.  NULL
+    values carry the previous state forward (NULL level/trend until
+    the key's first value).
+    """
+    import pandas as pd
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError("beta must be in [0, 1]")
+    a, b_ = float(alpha), float(beta)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, DoubleType()),
+           StructField(trend_col, DoubleType())]
+    )
+    src = df.repartition(F.col(f"`{key_col}`")).sortWithinPartitions(
+        F.col(f"`{key_col}`"), *[F.col(f"`{c}`") for c in order_cols]
+    )
+
+    def fold_partition(batches):
+        cur_key = object()
+        lvl = trd = None
+
+        def same_key(p, q):
+            if p is q:
+                return True
+            try:
+                if p != p and q != q:  # both NaN (one NULL group)
+                    return True
+            except (TypeError, ValueError):
+                pass
+            return p == q
+
+        for pdf in batches:
+            levels, trends = [], []
+            for key, x in zip(pdf[key_col], pdf[value_col]):
+                if not same_key(key, cur_key):
+                    cur_key, lvl, trd = key, None, None
+                if x is None or pd.isna(x):
+                    levels.append(lvl)
+                    trends.append(trd)
+                    continue
+                x = float(x)
+                if lvl is None:
+                    lvl, trd = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = a * x + (1.0 - a) * (lvl + trd)
+                    trd = b_ * (lvl - prev) + (1.0 - b_) * trd
+                levels.append(lvl)
+                trends.append(trd)
+            pdf[level_col] = pd.Series(
+                levels, dtype="float64", index=pdf.index
+            )
+            pdf[trend_col] = pd.Series(
+                trends, dtype="float64", index=pdf.index
+            )
+            yield pdf
+
+    return src.mapInPandas(fold_partition, schema=out_schema)

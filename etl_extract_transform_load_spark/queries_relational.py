@@ -590,8 +590,26 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", F.round(F.col("ewma_exact"), 6).alias("ewma_x")
     )
-    return base.join(feats, "event_id", "left").join(
-        exact, "event_id", "left"
+    # Holt linear trend (double exponential smoothing) on the same
+    # non-NULL per-user series — the forecasting fold (operators/
+    # timeseries.holt_linear), verified against a second recursive
+    # CTE evaluating the identical pinned recurrence
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    holt = holt_linear(
+        nn.filter(F.col("user_id").isNotNull()),
+        "user_id", ["event_id"], "value",
+    ).select(
+        "event_id",
+        F.round(F.col("holt_level"), 6).alias("holt_l"),
+        F.round(F.col("holt_trend"), 6).alias("holt_b"),
+    )
+    return (
+        base.join(feats, "event_id", "left")
+        .join(exact, "event_id", "left")
+        .join(holt, "event_id", "left")
     )
 
 
@@ -606,6 +624,20 @@ seq AS (
                AS rn
     FROM nn
     WHERE user_id IS NOT NULL
+),
+-- Holt linear recurrence, verbatim from the Arrow fold (alpha=0.5,
+-- beta=1/3 — the SAME double on both engines via 1.0/3.0):
+-- l_i = 0.5*x + 0.5*(l+b); b_i = (1/3)*(l_i - l) + (1-1/3)*b
+hwalk(user_id, rn, event_id, l, b) AS (
+    SELECT user_id, rn, event_id, v, CAST(0.0 AS DOUBLE) FROM seq
+    WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.rn, s.event_id,
+           0.5 * s.v + 0.5 * (w.l + w.b),
+           (1.0 / 3.0) * ((0.5 * s.v + 0.5 * (w.l + w.b)) - w.l)
+               + (1.0 - 1.0 / 3.0) * w.b
+    FROM hwalk w JOIN seq s
+      ON s.user_id = w.user_id AND s.rn = w.rn + 1
 ),
 -- the exact unbounded EWMA recurrence, verbatim from the Arrow fold:
 -- num_i = x_i + 0.5*num_{i-1}; den_i = 1.0 + 0.5*den_{i-1}
@@ -674,10 +706,13 @@ SELECT e.event_id,
                   / SQRT((f.zss - f.zn * (f.zs / f.zn) * (f.zs / f.zn))
                          / (f.zn - 1.0)), 6)) > 3.0 END AS INT)
            AS roll_z_flag,
-       ROUND(w.num / w.den, 6) AS ewma_x
+       ROUND(w.num / w.den, 6) AS ewma_x,
+       ROUND(h.l, 6) AS holt_l,
+       ROUND(h.b, 6) AS holt_b
 FROM events e
 LEFT JOIN feats f ON e.event_id = f.event_id
 LEFT JOIN walk w ON e.event_id = w.event_id
+LEFT JOIN hwalk h ON e.event_id = h.event_id
 """
 
 

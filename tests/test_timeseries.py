@@ -247,3 +247,57 @@ def test_seasonal_profile_day_of_week_and_validation(spark):
     assert got[1] == got[2] == 1.0  # every observed hour has 1 event
     with _pytest.raises(ValueError):
         seasonal_profile(df, "k", period="month")
+
+
+# --- Holt linear trend --------------------------------------------------------
+
+def test_holt_matches_textbook_fold(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    xs = [10.0, 12.0, 15.0, 11.0, 18.0, 22.0]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, i long, x double"
+    )
+    rows = {
+        r["i"]: (r["holt_level"], r["holt_trend"])
+        for r in holt_linear(df, "k", ["i"], "x").collect()
+    }
+    a, b = 0.5, 1.0 / 3.0
+    lvl, trd = xs[0], 0.0
+    assert rows[0] == (lvl, trd)
+    for i, x in enumerate(xs[1:], start=1):
+        prev = lvl
+        lvl = a * x + (1.0 - a) * (lvl + trd)
+        trd = b * (lvl - prev) + (1.0 - b) * trd
+        assert rows[i] == (lvl, trd), i
+    # trend is positive at the end of a rising series; the h-step
+    # forecast extrapolates above the last level
+    assert trd > 0 and lvl + 3 * trd > lvl
+
+
+def test_holt_null_carry_and_key_isolation(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        holt_linear,
+    )
+    import pytest as _pytest
+
+    rows = [
+        (1, 0, 4.0), (1, 1, None), (1, 2, 8.0),
+        (2, 0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    out = {
+        (r["k"], r["i"]): (r["holt_level"], r["holt_trend"])
+        for r in holt_linear(df, "k", ["i"], "x").collect()
+    }
+    assert out[(1, 0)] == (4.0, 0.0)
+    assert out[(1, 1)] == (4.0, 0.0)      # NULL carries state forward
+    lvl = 0.5 * 8.0 + 0.5 * 4.0
+    assert out[(1, 2)] == (lvl, (1.0 / 3.0) * (lvl - 4.0))
+    assert out[(2, 0)] == (100.0, 0.0)    # fresh state per key
+    with _pytest.raises(ValueError):
+        holt_linear(df, "k", ["i"], "x", alpha=0.0)
+    with _pytest.raises(ValueError):
+        holt_linear(df, "k", ["i"], "x", beta=1.5)

@@ -70,11 +70,26 @@ def test_dim_join_is_broadcast(spark):
 
 
 def test_window_topk_single_shuffle(spark):
+    from pyspark.sql import functions as F
+
     df = q_window_topk(spark, SF_ORACLE)
-    plan = plan_text(df, mode="simple")
-    # exactly one exchange: hash partition by o_custkey for the window
+    # the top3 branch keeps its ONE exchange (hash partition by
+    # o_custkey for the window): a literal part filter constant-folds
+    # the cf union branch away, exposing the branch plan
+    plan = plan_text(df.filter(F.col("part") == "top3"), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "o_custkey" in plan
+    # the cf branch never degenerates into a cartesian: the basket
+    # self-join is an equi-join on the basket key
+    cf_plan = plan_text(df.filter(F.col("part") == "cf"), mode="simple")
+    assert "CartesianProduct" not in cf_plan
+    assert "BroadcastNestedLoopJoin" not in cf_plan
+    # an equi-join on the basket key (broadcast at test SF, shuffled
+    # at scale — never an unkeyed join)
+    assert any(
+        j in cf_plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
 
 
 def test_eda_histogram_prunes_and_partial_aggs(spark):

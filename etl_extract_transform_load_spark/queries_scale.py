@@ -1167,14 +1167,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize inside released_caches → the shingle-table persist
     # is gone when this returns (tests/test_cache_hygiene.py asserts)
     with released_caches():
-        jac = jaccard_near_dup_pairs(
+        raw_pairs = jaccard_near_dup_pairs(
             docs, threshold=0.3
         ).localCheckpoint()
-    jac = jac.select(
+    jac = raw_pairs.select(
         F.lit("jaccard").alias("part"),
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("jaccard").cast("double").alias("score"),
+    )
+    # third branch: Adamic-Adar link prediction over the SAME pair
+    # graph (scale/components.adamic_adar — wedge join on the center
+    # vertex, existing edges anti-joined away): probable duplicates
+    # the pairwise threshold missed; the AA score rides score
+    from etl_extract_transform_load_spark.scale.components import (
+        adamic_adar,
+    )
+
+    aa = adamic_adar(raw_pairs).select(
+        F.lit("aa").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("aa").cast("double").alias("score"),
     )
     # second branch: fuzzy entity resolution (scale/fuzzy.py) — all
     # customer-name pairs within Levenshtein distance 1 via the
@@ -1193,7 +1207,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("distance").cast("double").alias("score"),
     )
-    return jac.unionByName(fz)
+    return jac.unionByName(fz).unionByName(aa)
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1228,6 +1242,36 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
  AND levenshtein(a.c_name, b.c_name) <= 1
+UNION ALL
+SELECT 'aa', a2, b2, aa FROM (
+    WITH jp AS (
+        SELECT id_a, id_b FROM cm
+        JOIN sz x ON cm.id_a = x.doc_id
+        JOIN sz y ON cm.id_b = y.doc_id
+        WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+    ),
+    aasym AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION ALL SELECT id_b, id_a FROM jp
+    ),
+    aadeg AS (SELECT src, COUNT(*) AS deg FROM aasym GROUP BY src),
+    aawedge AS (
+        SELECT x.dst AS a2, y.dst AS b2, x.src AS u
+        FROM aasym x JOIN aasym y
+          ON x.src = y.src AND x.dst < y.dst
+    ),
+    aascore AS (
+        SELECT a2, b2,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   1.0 / LN(CAST(d.deg AS DOUBLE)), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS aa
+        FROM aawedge w JOIN aadeg d ON w.u = d.src
+        GROUP BY a2, b2
+    )
+    SELECT a2, b2, aa FROM aascore s
+    WHERE NOT EXISTS (SELECT 1 FROM jp
+                      WHERE jp.id_a = s.a2 AND jp.id_b = s.b2)
+)
 """
 
 

@@ -415,3 +415,60 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def adamic_adar(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list — for
+    every NON-adjacent pair at distance 2, score the likelihood the
+    edge is missing:
+
+        AA(a, b) = Σ over common neighbors u of 1 / ln(deg(u))
+
+    (rare shared neighbors are strong evidence, hub neighbors weak —
+    the classic link-prediction/merge-suggestion signal; on a dedup
+    graph it surfaces PROBABLE duplicates the pairwise threshold just
+    missed).
+
+    Scale shape: symmetrize → degree aggregate → the wedge self-join
+    ON THE CENTER VERTEX (quadratic in neighborhood size, the same
+    cost class as the star operations above — hub caps belong
+    upstream at edge construction, where this module's callers
+    already bound candidate generation) → one decimal-summed
+    aggregate, minus existing edges via an anti-join.  Common
+    neighbors always have degree ≥ 2, so ln(deg) > 0 structurally.
+
+    Returns ``(id_a < id_b, n_common, aa)`` with per-neighbor terms
+    6-dp rounded then decimal-summed (order-free exact).
+    """
+    e = pairs.select(
+        F.col(id_a).alias("__a"), F.col(id_b).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    sym = e.select(
+        F.col("__a").alias("src"), F.col("__b").alias("dst")
+    ).unionByName(
+        e.select(F.col("__b").alias("src"), F.col("__a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    x = sym.select("src", F.col("dst").alias("na"))
+    y = sym.select("src", F.col("dst").alias("nb"))
+    wedges = x.join(y, "src").filter(F.col("na") < F.col("nb"))
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        wedges.join(deg, "src")
+        .groupBy(F.col("na").alias(id_a), F.col("nb").alias(id_b))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(term).cast("double").alias("aa"),
+        )
+    )
+    existing = e.select(
+        F.least("__a", "__b").alias(id_a),
+        F.greatest("__a", "__b").alias(id_b),
+    )
+    return scored.join(existing, [id_a, id_b], "left_anti").select(
+        id_a, id_b, "n_common", F.round(F.col("aa"), 6).alias("aa")
+    )

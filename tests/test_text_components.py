@@ -631,3 +631,40 @@ def test_triangle_counts_match_bruteforce_random(spark):
     df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == want
+
+
+# --- Adamic-Adar link prediction -----------------------------------------------
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from etl_extract_transform_load_spark.scale.components import (
+        adamic_adar,
+    )
+
+    # path graph 1-2-3 plus hub 4 connected to 1,2,3:
+    # degrees: 1->2, 2->3, 3->2, 4->3
+    edges = [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["aa"])
+        for r in adamic_adar(df).collect()
+    }
+    # only non-adjacent distance-2 pair: (1,3) via common neighbors
+    # 2 (deg 3) and 4 (deg 3)
+    assert set(got) == {(1, 3)}
+    expect = round(
+        round(1 / math.log(3), 6) + round(1 / math.log(3), 6), 6
+    )
+    assert got[(1, 3)] == (2, expect)
+
+
+def test_adamic_adar_triangle_has_no_predictions(spark):
+    from etl_extract_transform_load_spark.scale.components import (
+        adamic_adar,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    assert adamic_adar(tri).count() == 0

@@ -1044,6 +1044,65 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         "total",
     )
+    # ninth branch: funnel time-to-convert quartiles — per step, the
+    # distribution of delay from the PREVIOUS step's reach (operators/
+    # funnel.funnel_reach + the bounded-state grouped quantile
+    # machinery): the "how long does conversion take" report
+    from etl_extract_transform_load_spark.operators.funnel import (
+        funnel_reach,
+    )
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+        round_half_up6,
+    )
+
+    wide = (
+        funnel_reach(events, ["view", "click", "purchase"])
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("step_idx") == i, F.col("reach_sec")
+                    )
+                ).alias(f"r{i}")
+                for i in range(3)
+            ]
+        )
+    )
+    delays = (
+        wide.select(
+            F.lit("click").alias("step"),
+            (F.col("r1") - F.col("r0")).cast("double").alias("delay"),
+        )
+        .unionByName(
+            wide.select(
+                F.lit("purchase").alias("step"),
+                (F.col("r2") - F.col("r1")).cast("double").alias(
+                    "delay"
+                ),
+            )
+        )
+        .filter(F.col("delay").isNotNull())
+    )
+    fq = grouped_exact_quantiles(
+        delays, "step", "delay", [0.25, 0.5, 0.75]
+    )
+    fd_rows = [
+        (f"{step}:q{tag}", round_half_up6(v))
+        for step, qs in fq.items()
+        for tag, v in zip(("25", "50", "75"), qs)
+    ]
+    fd = spark.createDataFrame(
+        fd_rows, "window_start string, total double"
+    ).select(
+        F.lit("fdelay").alias("part"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        "total",
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
@@ -1052,6 +1111,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(attr)
         .unionByName(sea)
         .unionByName(ov_rows)
+        .unionByName(fd)
     )
 
 
@@ -1276,6 +1336,52 @@ FROM (
            ROUND((CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE))
                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
     FROM ovj
+)
+UNION ALL
+SELECT 'fdelay', step || ':q' || tag, NULL::VARCHAR, NULL::BIGINT,
+       NULL::BIGINT, q
+FROM (
+    WITH fdb AS (
+        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fdw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
+                       OVER w AS r0
+             FROM fdb
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                                AND r0 < e THEN e END) OVER w AS r1
+             FROM fdw0
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                AND r1 < e THEN e END) OVER w AS r2
+             FROM fdw1
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdr AS (
+        SELECT user_id,
+               CAST(FLOOR(MIN(r0)) AS BIGINT) AS r0,
+               CAST(FLOOR(MIN(r1)) AS BIGINT) AS r1,
+               CAST(FLOOR(MIN(r2)) AS BIGINT) AS r2
+        FROM fdw2 GROUP BY user_id
+    ),
+    fdd AS (
+        SELECT 'click' AS step, CAST(r1 - r0 AS DOUBLE) AS delay
+        FROM fdr WHERE r1 IS NOT NULL
+        UNION ALL
+        SELECT 'purchase', CAST(r2 - r1 AS DOUBLE)
+        FROM fdr WHERE r2 IS NOT NULL
+    )
+    SELECT g.step, v.tag, v.q FROM (
+        SELECT step,
+               ROUND(quantile_cont(delay, 0.25), 6) AS q25,
+               ROUND(quantile_cont(delay, 0.50), 6) AS q50,
+               ROUND(quantile_cont(delay, 0.75), 6) AS q75
+        FROM fdd GROUP BY step
+    ) g, LATERAL (VALUES ('25', g.q25), ('50', g.q50),
+                         ('75', g.q75)) AS v(tag, q)
 )
 """
 

@@ -1,0 +1,115 @@
+"""Unigram-LM tokenizer: distributed trainer pinned to a sequential
+reference implementing the identical seeding/EM/tie rules."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.unigram import (
+    unigram_encode,
+    unigram_train,
+    viterbi_segment,
+)
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cats sat on the mats"),
+    (2, "a catalog of cats and dogs"),
+    (3, "dogs and cats and dogs"),
+    (4, "the dog sat"),
+    (5, ""),
+    (6, None),
+]
+
+
+def _reference_train(texts, vocab_size, iters, max_piece_len, max_seed):
+    """Sequential mirror of unigram_train: same seed, same EM, same
+    integer counts, same tie rules."""
+    words = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if w:
+                words[w] += 1
+    subs = Counter()
+    for w, f in words.items():
+        for j in range(len(w)):
+            for k in range(1, min(max_piece_len, len(w) - j) + 1):
+                subs[w[j:j + k]] += f
+    top = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_seed]
+    chars = {c for w in words for c in w}
+    pieces = sorted({p for p, _ in top} | chars)
+    counts = {p: 1 for p in pieces}
+    for _ in range(iters):
+        total = float(sum(counts.values()))
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+        acc = Counter()
+        for w, f in words.items():
+            for piece in viterbi_segment(w, logp, max_piece_len):
+                acc[piece] += f
+        counts = dict(acc)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = []
+    for piece, cnt in ranked:
+        if len(kept) >= vocab_size and piece not in chars:
+            continue
+        if len(piece) == 1 or len(kept) < vocab_size:
+            kept.append((piece, cnt))
+    have = {p for p, _ in kept}
+    for c in sorted(chars - have):
+        kept.append((c, counts.get(c, 0)))
+    kept.sort(key=lambda kv: (-kv[1], kv[0]))
+    return kept
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_distributed_trainer_matches_reference(docs):
+    params = dict(vocab_size=40, iters=3, max_piece_len=4, max_seed=120)
+    got = unigram_train(docs, **params)
+    want = _reference_train(
+        [t for _, t in CORPUS],
+        params["vocab_size"],
+        params["iters"],
+        params["max_piece_len"],
+        params["max_seed"],
+    )
+    assert got == want
+
+
+def test_vocab_learns_frequent_subwords(docs):
+    vocab = unigram_train(docs, vocab_size=30, iters=3, max_piece_len=4)
+    pieces = {p for p, _ in vocab}
+    # high-frequency whole words survive as single pieces
+    assert "the" in pieces and "cats" in pieces or "cat" in pieces
+    # every single char of the corpus is present (full coverage)
+    alphabet = {c for _, t in CORPUS for c in (t or "").lower() if c != " "}
+    assert alphabet <= pieces
+
+
+def test_encode_reconstructs_and_counts(docs):
+    vocab = unigram_train(docs, vocab_size=40, iters=2, max_piece_len=4)
+    rows = {
+        r["doc_id"]: r for r in unigram_encode(docs, vocab).collect()
+    }
+    assert rows[5]["pieces"] == [] and rows[5]["n_pieces"] == 0
+    assert rows[6]["pieces"] == []
+    # lossless: concatenating a doc's pieces reproduces its words
+    for doc_id, text in CORPUS:
+        if not text:
+            continue
+        assert "".join(rows[doc_id]["pieces"]) == text.lower().replace(
+            " ", ""
+        )
+        assert rows[doc_id]["n_pieces"] == len(rows[doc_id]["pieces"])
+
+
+def test_viterbi_tie_prefers_longer_then_lexicographic():
+    # 'ab' vs 'a'+'b' with equal scores -> longer piece wins
+    lp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.0625)}
+    assert viterbi_segment("ab", lp, 2) == ["ab"]
+    # unknown char falls back to itself
+    assert viterbi_segment("qx", {"q": -1.0}, 2) == ["q", "x"]

@@ -747,6 +747,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_json,
         write_orc,
         write_parquet,
+        write_xml,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -768,8 +769,9 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: write_orc(li, f"{base}_orc"),
         lambda: write_csv(li, f"{base}_csv"),
         lambda: write_json(li, f"{base}_json"),
+        lambda: write_xml(li, f"{base}_xml"),
     ]
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         for f in [pool.submit(w) for w in writes]:
             f.result()
 
@@ -778,6 +780,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.sources.readers import (
         csv_source,
         json_source,
+        xml_source,
     )
 
     reads = {
@@ -787,6 +790,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "json": json_source(
             spark, f"{base}_json", schema=li.schema, multi_line=False
         ),
+        "xml": xml_source(spark, f"{base}_xml", schema=li.schema),
     }
     parts = [
         back.groupBy("l_returnflag")
@@ -816,7 +820,7 @@ WITH src AS (
     GROUP BY l_returnflag
 )
 SELECT f.fmt, s.l_returnflag, s.n, s.sum_qty, s.min_ship
-FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt)
+FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json'), ('xml')) f(fmt)
 CROSS JOIN src s
 """
 

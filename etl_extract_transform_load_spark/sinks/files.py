@@ -44,3 +44,15 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON lines sink. Text formats carry no schema — readers must
     supply one (see q_sink_roundtrip) or pay an inference scan."""
     df.write.mode(mode).json(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native in Spark 4): one element per row under
+    ``row_tag``. Schema-free on disk like CSV/JSON — reads must
+    supply the schema for a lossless roundtrip."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

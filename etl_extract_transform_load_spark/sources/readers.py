@@ -142,6 +142,22 @@ def csv_source(
     return reader.csv(path)
 
 
+def xml_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source (native since Spark 4): one record per ``row_tag``
+    element. Supply ``schema`` for lossless roundtrips — XML carries
+    no types, so inference widens like CSV. At scale XML files split
+    on row boundaries like JSON-lines when the rowTag is top-level."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def binary_file_source(
     spark: SparkSession,
     path: str,

@@ -114,3 +114,24 @@ def test_text_source_lines_and_whole(spark, tmp_path):
     ]
     whole = text_source(spark, str(tmp_path / "a.txt"), whole=True)
     assert [r.value for r in whole.collect()] == ["alpha\nbeta\ngamma"]
+
+
+def test_xml_roundtrip_lossless_with_schema(spark, tmp_path):
+    import datetime as dt
+
+    from etl_extract_transform_load_spark.sinks.files import write_xml
+    from etl_extract_transform_load_spark.sources.readers import xml_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "a&b <tag>", 1.5, dt.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, None, None, None),
+        ],
+        "id long, s string, v double, ts timestamp",
+    )
+    path = str(tmp_path / "xml_rt")
+    write_xml(df, path, row_tag="rec")
+    back = xml_source(spark, path, schema=df.schema, row_tag="rec")
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert got == want  # XML escaping + types + NULLs all survive

@@ -256,18 +256,37 @@ SELECT metric, 'o_totalprice', value FROM (
 # --- groupby_aggregates: A1/A4 + aggregate-function battery --------------------
 
 def q_groupby_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupby_agg_full ⋈ aggregate_functions_corpus on l_returnflag:
-    the pricing-summary hash aggregate (A1) plus the aggregate
-    extensions (min_by/max_by/count_if/bool/collect/corr)."""
+    """groupby_agg_full ⋈ aggregate_functions_corpus ⋈ per-group OLS
+    trend on l_returnflag: the pricing-summary hash aggregate (A1),
+    the aggregate extensions (min_by/max_by/count_if/bool/collect/
+    corr), and the segmented price-per-quantity regression line
+    (scale/ml.grouped_linear_fit — 6 decimal cells per group)."""
     from etl_extract_transform_load_spark.queries_relational import (
         q_groupby_agg_full,
     )
     from etl_extract_transform_load_spark.queries_window_agg import (
         q_aggregate_functions,
     )
+    from etl_extract_transform_load_spark.scale.ml import (
+        grouped_linear_fit,
+    )
+    from etl_extract_transform_load_spark.sources import load_table
 
-    return q_groupby_agg_full(spark, sf_dir).join(
-        q_aggregate_functions(spark, sf_dir), "l_returnflag"
+    trend = grouped_linear_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    ).select(
+        "l_returnflag",
+        F.col("slope").alias("seg_slope"),
+        F.col("intercept").alias("seg_intercept"),
+        F.col("r2").alias("seg_r2"),
+    )
+    return (
+        q_groupby_agg_full(spark, sf_dir)
+        .join(q_aggregate_functions(spark, sf_dir), "l_returnflag")
+        .join(trend, "l_returnflag")
     )
 
 
@@ -282,6 +301,55 @@ def _oracle_groupby_aggregates() -> str:
     return f"""
 SELECT * FROM ({ORACLE_AGG_FULL}) g JOIN ({ORACLE_AGG_FUNCS}) f
 USING (l_returnflag)
+JOIN (
+    WITH gls AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_quantity AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND NOT ISNAN(CAST(l_quantity AS DOUBLE))
+          AND NOT ISNAN(CAST(l_extendedprice AS DOUBLE))
+        GROUP BY l_returnflag
+    ),
+    glf AS (
+        SELECT l_returnflag, n,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)
+               END AS slope,
+               sx, sy, sxx, syy, sxy
+        FROM gls
+    )
+    SELECT l_returnflag,
+           ROUND(slope, 6) AS seg_slope,
+           ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6)
+               AS seg_intercept,
+           ROUND(CASE WHEN SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * SQRT(CAST(n AS DOUBLE) * syy - sy * sy) <> 0
+                 THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)))
+                      * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * SQRT(CAST(n AS DOUBLE) * syy
+                                   - sy * sy)))
+                 END, 6) AS seg_r2
+    FROM glf
+) t USING (l_returnflag)
 """
 
 

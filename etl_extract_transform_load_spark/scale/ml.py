@@ -671,3 +671,50 @@ def target_encode(
         F.col(cat_col), F.col("te").alias(out_col)
     )
     return df.join(F.broadcast(enc), cat_col, "left")
+
+
+def grouped_linear_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group least-squares line — ``simple_linear_fit`` keyed by a
+    group column ("trend per segment"): one row per group with
+    ``(group_col, n, slope, intercept, r2)``.
+
+    Same decimal-exact sufficient statistics, same pinned double
+    formulas, ONE hash aggregate — state is 6 cells per group, so the
+    cost class at 100 TB is any grouped aggregate.  Degenerate groups
+    (n < 2, constant x) yield NULL coefficients."""
+    x = F.col(f"`{x_col}`").cast("double")
+    y = F.col(f"`{y_col}`").cast("double")
+    nn = x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    dx = F.when(nn, x.cast(_DEC))
+    dy = F.when(nn, y.cast(_DEC))
+    agg = df.groupBy(group_col).agg(
+        F.sum(nn.cast("long")).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den_x = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = F.when(
+        (F.col("n") >= 2) & (den_x != 0), num / den_x
+    ).otherwise(F.lit(None).cast("double"))
+    intercept = (sy - slope * sx) / n
+    corr_den = F.sqrt(den_x) * F.sqrt(n * syy - sy * sy)
+    r = F.when(corr_den != 0, num / corr_den)
+    return agg.select(
+        group_col,
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+    )

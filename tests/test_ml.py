@@ -487,3 +487,41 @@ def test_target_encoding_shrinks_to_prior(spark):
 
     with _pytest.raises(ValueError):
         target_encoding_stats(df, "cat", "y", smoothing=-1.0)
+
+
+def test_grouped_linear_fit_matches_per_group_simple_fit(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.ml import (
+        grouped_linear_fit,
+        simple_linear_fit,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + (F.col("id") % 7)).cast("double").alias("y"),
+    )
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in grouped_linear_fit(df, "g", "x", "y").collect()
+    }
+    for g in ("0", "1", "2"):
+        single = simple_linear_fit(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert got[g] == (
+            single["n"], single["slope"], single["intercept"], single["r2"]
+        )
+
+
+def test_grouped_linear_fit_degenerate_group(spark):
+    from etl_extract_transform_load_spark.scale.ml import grouped_linear_fit
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 5.0, 1.0), ("b", 5.0, 9.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in grouped_linear_fit(df, "g", "x", "y").collect()}
+    assert rows["a"]["n"] == 1 and rows["a"]["slope"] is None
+    assert rows["b"]["slope"] is None  # constant x

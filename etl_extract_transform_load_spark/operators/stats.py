@@ -302,3 +302,76 @@ SELECT CAST(n AS BIGINT) AS n,
              END, 6) AS rho
 FROM sps
 """
+
+
+def mann_whitney_u(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two slices of
+    a numeric column — the nonparametric "is one slice stochastically
+    larger" companion to KS (which asks "are the shapes different").
+
+    U₁ = R₁ − n₁(n₁+1)/2 with R₁ the ref slice's pooled fractional
+    rank sum; the normal approximation uses the TIE-CORRECTED
+    variance  σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1)))  (no
+    continuity correction — matching the default of most warehouse
+    implementations).
+
+    Distributed shape: pooled per-distinct-value counts (one shuffle)
+    → fractional ranks via the bucketed two-level prefix sums
+    (``_avg_ranks``) → ONE aggregate.  R₁ accumulates exactly (ranks
+    are halves, counts integers → decimal-exact); the tie sum runs in
+    DECIMAL(12,0)³ (exact for per-value tie counts < 10¹²); the final
+    z is a pinned double formula rounded to 6 dp.
+
+    Returns one row ``(n_ref, n_cur, u, z)``; z is NULL when either
+    slice is empty or the pooled sample is constant (σ = 0).
+    """
+    x = F.col(f"`{col}`").cast("double")
+    r = ref.filter(x.isNotNull()).select(
+        x.alias("v"), F.lit(1).alias("ir"), F.lit(0).alias("ic")
+    )
+    c = cur.filter(x.isNotNull()).select(
+        x.alias("v"), F.lit(0).alias("ir"), F.lit(1).alias("ic")
+    )
+    pv = (
+        r.unionByName(c)
+        .groupBy("v")
+        .agg(F.sum("ir").alias("nr"), F.sum("ic").alias("nc"))
+    )
+    ranks = _avg_ranks(
+        pv.select("v", (F.col("nr") + F.col("nc")).alias("c")), n_buckets
+    )
+    t = (F.col("nr") + F.col("nc")).cast("decimal(12,0)")
+    agg = (
+        pv.join(ranks, "v")
+        .agg(
+            F.sum("nr").alias("n1"),
+            F.sum("nc").alias("n2"),
+            F.sum(
+                (F.col("rank_avg") * F.col("nr")).cast("decimal(28,6)")
+            ).alias("r1"),
+            F.sum(t * t * t - t).alias("ties"),
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nd = n1 + n2
+    u1 = F.col("r1").cast("double") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    sig2 = (n1 * n2 / 12.0) * (
+        (nd + 1.0) - F.col("ties").cast("double") / (nd * (nd - 1.0))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (sig2 > 0),
+        (u1 - mu) / F.sqrt(sig2),
+    )
+    return agg.select(
+        F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_cur"),
+        F.round(u1, 6).alias("u"),
+        F.round(z, 6).alias("z"),
+    )

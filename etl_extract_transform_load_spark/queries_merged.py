@@ -126,12 +126,28 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("o_totalprice").alias("column_name"),
         "value",
     )
+    # sixth branch: Mann-Whitney U on the SAME slice pair (operators/
+    # stats.mann_whitney_u — pooled fractional ranks via bucketed
+    # prefix sums, tie-corrected normal z): the rank-sum drift
+    # companion ("is one slice stochastically larger")
+    from etl_extract_transform_load_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    mwu = mann_whitney_u(even, odd, "o_totalprice", 256).selectExpr(
+        "stack(2, 'mwu_u', u, 'mwu_z', z) as (metric, value)"
+    ).select(
+        "metric",
+        F.lit("o_totalprice").alias("column_name"),
+        "value",
+    )
     return (
         nf.unionByName(sv)
         .unionByName(checks)
         .unionByName(psi_rows)
         .unionByName(psi_total)
         .unionByName(ks)
+        .unionByName(mwu)
     )
 
 
@@ -249,6 +265,56 @@ SELECT metric, 'o_totalprice', value FROM (
     SELECT 'ks_n_ref', CAST(nr AS DOUBLE) FROM ktot
     UNION ALL
     SELECT 'ks_n_cur', CAST(nc AS DOUBLE) FROM ktot
+)
+UNION ALL
+SELECT metric, 'o_totalprice', value FROM (
+    WITH mb AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ir
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    mpv AS (SELECT v, SUM(ir) AS nr, SUM(1 - ir) AS nc
+            FROM mb GROUP BY v),
+    mrk AS (
+        SELECT v,
+               (CAST(SUM(nr + nc) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING)
+                     - (nr + nc) AS DOUBLE))
+               + (CAST(nr + nc AS DOUBLE) + 1.0) / 2.0 AS rank_avg,
+               nr, nc
+        FROM mpv
+    ),
+    mag AS (
+        SELECT SUM(nr) AS n1, SUM(nc) AS n2,
+               SUM(CAST(rank_avg * nr AS DECIMAL(28,6))) AS r1,
+               SUM(CAST(nr + nc AS DECIMAL(12,0))
+                   * CAST(nr + nc AS DECIMAL(12,0))
+                   * CAST(nr + nc AS DECIMAL(12,0))
+                   - CAST(nr + nc AS DECIMAL(12,0))) AS ties
+        FROM mrk
+    ),
+    mfin AS (
+        SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+               CAST(r1 AS DOUBLE) AS r1d,
+               CAST(ties AS DOUBLE) AS tiesd, n1, n2
+        FROM mag
+    ),
+    mz AS (
+        SELECT n1, n2,
+               r1d - n1d * (n1d + 1.0) / 2.0 AS u1,
+               n1d * n2d / 2.0 AS mu,
+               (n1d * n2d / 12.0)
+               * ((n1d + n2d + 1.0)
+                  - tiesd / ((n1d + n2d) * (n1d + n2d - 1.0)))
+                   AS sig2
+        FROM mfin
+    )
+    SELECT 'mwu_u' AS metric, ROUND(u1, 6) AS value FROM mz
+    UNION ALL
+    SELECT 'mwu_z',
+           ROUND(CASE WHEN n1 > 0 AND n2 > 0 AND sig2 > 0
+                 THEN (u1 - mu) / SQRT(sig2) END, 6)
+    FROM mz
 )
 """
 

@@ -167,3 +167,69 @@ def test_spearman_monotone_and_degenerate(spark):
     )
     r = spearman(const, "x", "y").collect()[0]
     assert r["n"] == 2 and r["rho"] is None
+
+
+# --- Mann-Whitney U ------------------------------------------------------------
+
+def _mwu_reference(a, b):
+    """Textbook tie-corrected normal approximation (no continuity)."""
+    import math
+    from collections import Counter
+
+    pooled = sorted(a + b)
+    cnt = Counter(pooled)
+    ranks = {}
+    pos = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = pos + (t + 1) / 2
+        pos += t
+    n1, n2 = len(a), len(b)
+    r1 = sum(ranks[v] for v in a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    ties = sum(t ** 3 - t for t in cnt.values())
+    sig2 = (n1 * n2 / 12) * ((n + 1) - ties / (n * (n - 1)))
+    return round(u1, 6), round((u1 - n1 * n2 / 2) / math.sqrt(sig2), 6)
+
+
+def test_mwu_matches_textbook_with_ties(spark):
+    from etl_extract_transform_load_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0]
+    b = [2.0, 4.0, 6.0, 8.0, 9.0]
+    ra = spark.createDataFrame([(v,) for v in a], "x double")
+    rb = spark.createDataFrame([(v,) for v in b], "x double")
+    u, z = _mwu_reference(a, b)
+    for nb in (1, 4, 256):
+        row = mann_whitney_u(ra, rb, "x", n_buckets=nb).collect()[0]
+        assert (row["n_ref"], row["n_cur"]) == (7, 5)
+        assert row["u"] == u and row["z"] == z
+
+
+def test_mwu_shifted_distribution_significant(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    lo = spark.range(200).select((F.col("id") % 50).cast("double").alias("x"))
+    hi = spark.range(200).select(
+        (F.col("id") % 50 + 25).cast("double").alias("x")
+    )
+    # z is signed from the REF slice: cur shifted up -> ref ranks
+    # low -> strongly negative
+    z = mann_whitney_u(lo, hi, "x").collect()[0]["z"]
+    assert z < -8
+    assert mann_whitney_u(hi, lo, "x").collect()[0]["z"] == -z
+
+    # identical slices: z == 0
+    same = mann_whitney_u(lo, lo, "x").collect()[0]
+    assert same["z"] == 0.0
+
+    # constant pooled sample: sigma = 0 -> NULL z
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    assert mann_whitney_u(const, const, "x").collect()[0]["z"] is None

@@ -565,3 +565,125 @@ def holt_linear(
             yield pdf
 
     return src.mapInPandas(fold_partition, schema=out_schema)
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key — the classic
+    "did this series drift upward" control chart (Page 1954): on the
+    standardized series,
+
+        s_i = max(0, s_{i-1} + (x_i − μ)/σ − k)
+
+    with μ/σ the key's own mean/std (decimal-exact sufficient
+    statistics, one aggregate joined back), drift allowance ``k`` and
+    decision threshold ``h`` in σ units.  Appends ``cusum`` and
+    ``cusum_flag`` (s_i > h).  A key with σ = 0 or a NULL value
+    carries NULL/previous state like the other folds.
+
+    Execution: the same sorted-partition Arrow fold as
+    ``ewma_unbounded``/``holt_linear``; the recurrence is pinned
+    IEEE-double so a recursive-CTE twin matches bit-for-bit.  μ/σ
+    round to 6 dp BEFORE the fold — both engines fold from identical
+    constants.
+    """
+    import pandas as pd
+
+    if k < 0 or h <= 0:
+        raise ValueError("k must be >= 0 and h > 0")
+    dec = "decimal(18,6)"
+    v = F.col(f"`{value_col}`").cast("double")
+    v6 = F.round(v, 6).cast(dec)
+    stats = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(f"`{key_col}`").alias("__sk"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v6).alias("__s"),
+            F.sum(v6 * v6).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = F.when(
+        F.col("__n") >= 2, (ss - n * (s / n) * (s / n)) / (n - 1.0)
+    )
+    stats = stats.select(
+        "__sk",
+        F.round(s / n, 6).alias("__mu"),
+        F.round(F.when(var > 0, F.sqrt(var)), 6).alias("__sigma"),
+    )
+    src = (
+        df.join(stats, F.col(f"`{key_col}`").eqNullSafe(F.col("__sk")), "left")
+        .drop("__sk")
+        .repartition(F.col(f"`{key_col}`"))
+        .sortWithinPartitions(
+            F.col(f"`{key_col}`"), *[F.col(f"`{c}`") for c in order_cols]
+        )
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [f for f in src.schema.fields if f.name not in ("__mu", "__sigma")]
+        + [StructField("cusum", DoubleType()),
+           StructField("cusum_flag", BooleanType())]
+    )
+    kf, hf = float(k), float(h)
+
+    def fold_partition(batches):
+        cur_key = object()
+        state = None
+
+        def same_key(p, q):
+            if p is q:
+                return True
+            try:
+                if p != p and q != q:
+                    return True
+            except (TypeError, ValueError):
+                pass
+            return p == q
+
+        for pdf in batches:
+            out, flags = [], []
+            for key, x, mu, sigma in zip(
+                pdf[key_col], pdf[value_col], pdf["__mu"], pdf["__sigma"]
+            ):
+                if not same_key(key, cur_key):
+                    cur_key, state = key, None
+                if (
+                    x is None
+                    or pd.isna(x)
+                    or mu is None
+                    or pd.isna(mu)
+                    or sigma is None
+                    or pd.isna(sigma)
+                ):
+                    out.append(state)
+                    flags.append(None if state is None else state > hf)
+                    continue
+                prev = 0.0 if state is None else state
+                cand = prev + (float(x) - float(mu)) / float(sigma) - kf
+                state = cand if cand > 0.0 else 0.0
+                out.append(state)
+                flags.append(state > hf)
+            pdf = pdf.drop(columns=["__mu", "__sigma"])
+            pdf["cusum"] = pd.Series(out, dtype="float64", index=pdf.index)
+            pdf["cusum_flag"] = pd.Series(
+                flags, dtype="object", index=pdf.index
+            )
+            yield pdf
+
+    return src.mapInPandas(fold_partition, schema=out_schema)

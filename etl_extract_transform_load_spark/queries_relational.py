@@ -606,10 +606,26 @@ def q_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("holt_level"), 6).alias("holt_l"),
         F.round(F.col("holt_trend"), 6).alias("holt_b"),
     )
+    # CUSUM change-point statistic on the same series (operators/
+    # timeseries.cusum_flags — standardized one-sided control chart,
+    # third recursive-CTE twin)
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        cusum_flags,
+    )
+
+    cs = cusum_flags(
+        nn.filter(F.col("user_id").isNotNull()),
+        "user_id", ["event_id"], "value",
+    ).select(
+        "event_id",
+        F.round(F.col("cusum"), 6).alias("cusum"),
+        F.col("cusum_flag").cast("int").alias("cusum_flag"),
+    )
     return (
         base.join(feats, "event_id", "left")
         .join(exact, "event_id", "left")
         .join(holt, "event_id", "left")
+        .join(cs, "event_id", "left")
     )
 
 
@@ -624,6 +640,51 @@ seq AS (
                AS rn
     FROM nn
     WHERE user_id IS NOT NULL
+),
+-- per-user mean/std for the CUSUM fold: decimal-exact sums, the
+-- SAME 6-dp-rounded constants the engine folds from
+cstat AS (
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mu,
+           ROUND(CASE WHEN COUNT(*) >= 2 AND
+                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
+                           * CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                       AS DOUBLE)
+                  - CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                 / (CAST(COUNT(*) AS DOUBLE) - 1.0) > 0
+                 THEN SQRT(
+                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
+                           * CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                       AS DOUBLE)
+                  - CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                 / (CAST(COUNT(*) AS DOUBLE) - 1.0)) END, 6) AS sigma
+    FROM seq GROUP BY user_id
+),
+-- CUSUM recurrence, verbatim from the Arrow fold (k=0.5):
+-- s_i = GREATEST(0, s_{i-1} + (x - mu)/sigma - 0.5)
+cwalk(user_id, rn, event_id, cs) AS (
+    SELECT s.user_id, s.rn, s.event_id,
+           GREATEST(CAST(0.0 AS DOUBLE),
+                    (s.v - t.mu) / t.sigma - 0.5)
+    FROM seq s JOIN cstat t ON s.user_id = t.user_id
+    WHERE s.rn = 1 AND t.sigma IS NOT NULL
+    UNION ALL
+    SELECT s.user_id, s.rn, s.event_id,
+           GREATEST(CAST(0.0 AS DOUBLE),
+                    w.cs + (s.v - t.mu) / t.sigma - 0.5)
+    FROM cwalk w
+    JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    JOIN cstat t ON s.user_id = t.user_id
 ),
 -- Holt linear recurrence, verbatim from the Arrow fold (alpha=0.5,
 -- beta=1/3 — the SAME double on both engines via 1.0/3.0):
@@ -708,11 +769,14 @@ SELECT e.event_id,
            AS roll_z_flag,
        ROUND(w.num / w.den, 6) AS ewma_x,
        ROUND(h.l, 6) AS holt_l,
-       ROUND(h.b, 6) AS holt_b
+       ROUND(h.b, 6) AS holt_b,
+       ROUND(cw.cs, 6) AS cusum,
+       CAST(cw.cs > 5.0 AS INT) AS cusum_flag
 FROM events e
 LEFT JOIN feats f ON e.event_id = f.event_id
 LEFT JOIN walk w ON e.event_id = w.event_id
 LEFT JOIN hwalk h ON e.event_id = h.event_id
+LEFT JOIN cwalk cw ON e.event_id = cw.event_id
 """
 
 

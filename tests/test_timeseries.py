@@ -301,3 +301,73 @@ def test_holt_null_carry_and_key_isolation(spark):
         holt_linear(df, "k", ["i"], "x", alpha=0.0)
     with _pytest.raises(ValueError):
         holt_linear(df, "k", ["i"], "x", beta=1.5)
+
+
+# --- CUSUM change-point detection ----------------------------------------------
+
+def test_cusum_detects_level_shift(spark):
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        cusum_flags,
+    )
+
+    # flat at 10 for 30 points, then shifted to 14 for 30 points
+    xs = [10.0 + (i % 3) * 0.1 for i in range(30)] + [
+        14.0 + (i % 3) * 0.1 for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, i long, x double"
+    )
+    rows = sorted(
+        cusum_flags(df, "k", ["i"], "x").collect(), key=lambda r: r["i"]
+    )
+    # before the shift: statistic hugs zero, no flags
+    assert all(not r["cusum_flag"] for r in rows[:30])
+    # after the shift: the statistic ramps and crosses h
+    assert any(r["cusum_flag"] for r in rows[35:])
+    # monotone ramp right after the change point
+    post = [r["cusum"] for r in rows[30:40]]
+    assert all(b >= a for a, b in zip(post, post[1:]))
+
+
+def test_cusum_textbook_recurrence_and_nulls(spark):
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        cusum_flags,
+    )
+
+    def r6(v):
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    xs = [1.0, 5.0, None, 9.0, 2.0]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, i long, x double"
+    )
+    got = {
+        r["i"]: (r["cusum"], r["cusum_flag"])
+        for r in cusum_flags(df, "k", ["i"], "x", k=0.5, h=1.0).collect()
+    }
+    vals = [x for x in xs if x is not None]
+    n = len(vals)
+    mu = r6(sum(vals) / n)
+    var = (sum(v * v for v in vals) - n * (sum(vals) / n) ** 2) / (n - 1)
+    sigma = r6(math.sqrt(var))
+    s = 0.0
+    expect = {}
+    for i, x in enumerate(xs):
+        if x is None:
+            expect[i] = (s, s > 1.0)
+            continue
+        s = max(0.0, s + (x - mu) / sigma - 0.5)
+        expect[i] = (s, s > 1.0)
+    assert got == expect
+
+    # constant series: sigma NULL -> NULL statistic everywhere
+    const = spark.createDataFrame(
+        [(1, i, 3.0) for i in range(4)], "k long, i long, x double"
+    )
+    crows = cusum_flags(const, "k", ["i"], "x").collect()
+    assert all(r["cusum"] is None and r["cusum_flag"] is None for r in crows)

@@ -201,48 +201,3 @@ def stream_stream_interval_join(
         out_cols.append(F.col(f"r.{c}").alias(alias))
     return l.join(r, cond).select(*out_cols)
 
-
-def stream_stream_interval_join(
-    left: DataFrame,
-    right: DataFrame,
-    key_col: str,
-    left_ts: str = "l_ts",
-    right_ts: str = "r_ts",
-    within: str = "30 minutes",
-    watermark: str = "1 hour",
-) -> DataFrame:
-    """Stream-stream INNER join within an event-time interval — the
-    Structured Streaming primitive behind "click joins the view that
-    preceded it": for each right-stream row, match left-stream rows
-    with the same key whose timestamp falls in
-    ``(r_ts − within, r_ts]``.
-
-    Both sides carry watermarks so the join STATE IS BOUNDED: a
-    buffered left row can be dropped once the right watermark passes
-    ``l_ts + within`` (Spark derives this from the time-range
-    condition — without the range constraint the state grows forever
-    and the query is rejected or unbounded).  At 100 TB of events the
-    state is per-key rows inside one interval, not history.
-
-    Works identically on batch frames (same API, same semantics) —
-    which is exactly how the micro-batch test pins the streaming
-    result to a batch twin.
-    """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
-    lts = F.col(left_ts)
-    rts = F.col(right_ts)
-    cond = (
-        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
-        & (lts <= rts)
-        & (lts > rts - F.expr(f"INTERVAL {within}"))
-    )
-    lp = lw.select(
-        F.col(key_col).alias(f"l_{key_col}"),
-        *[c for c in lw.columns if c != key_col],
-    )
-    rp = rw.select(
-        F.col(key_col).alias(f"r_{key_col}"),
-        *[c for c in rw.columns if c != key_col],
-    )
-    return lp.join(rp, cond, "inner")

@@ -1,10 +1,8 @@
-"""Stream-stream interval join: real micro-batch execution pinned to
-the batch twin (same function, batch frames)."""
+"""Stream-stream interval join: watermark-plan assertions on top of
+the micro-batch/batch-twin coverage in
+test_sinks_streaming_multimodal.py."""
 
 import datetime as dt
-import os
-
-import pytest
 
 from etl_extract_transform_load_spark.streaming.ingest import (
     file_stream_source,
@@ -12,86 +10,46 @@ from etl_extract_transform_load_spark.streaming.ingest import (
 )
 
 
-def _rows(base):
-    t = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
-    views = [
-        (1, t(0), 100),
-        (1, t(40), 101),   # second view, separate interval
-        (2, t(5), 102),
-        (3, t(0), 103),
-    ]
-    clicks = [
-        (1, t(10), 200),   # joins view@0 (within 30m)
-        (1, t(45), 201),   # joins view@40 ONLY (view@0 is 45m stale)
-        (2, t(50), 202),   # no view within 30m
-        (4, t(1), 203),    # keyless
-    ]
-    return views, clicks
-
-
-@pytest.fixture(scope="module")
-def joined_sets(spark, tmp_path_factory):
+def _frames(spark):
     base = dt.datetime(2024, 3, 1, 12, 0, 0)
-    views, clicks = _rows(base)
-    vdf = spark.createDataFrame(views, "user_id long, l_ts timestamp, vid long")
-    cdf = spark.createDataFrame(clicks, "user_id long, r_ts timestamp, cid long")
+    t = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    views = [(1, t(0), 100), (1, t(40), 101), (2, t(5), 102)]
+    clicks = [(1, t(10), 200), (1, t(45), 201), (2, t(50), 202)]
+    vdf = spark.createDataFrame(
+        views, "user_id long, ts timestamp, vid long"
+    )
+    cdf = spark.createDataFrame(
+        clicks, "user_id long, ts timestamp, cid long"
+    )
+    return vdf, cdf
 
-    # batch twin
-    batch = stream_stream_interval_join(vdf, cdf, "user_id").select(
-        "vid", "cid"
-    )
-    batch_set = {(r["vid"], r["cid"]) for r in batch.collect()}
 
-    # streaming: both sides as file streams, drained with availableNow
-    root = tmp_path_factory.mktemp("ssj")
-    vpath, cpath = str(root / "views"), str(root / "clicks")
-    vdf.repartition(2).write.parquet(vpath)
-    cdf.repartition(2).write.parquet(cpath)
-    vs = file_stream_source(spark, vpath, vdf.schema)
-    cs = file_stream_source(spark, cpath, cdf.schema)
-    out = stream_stream_interval_join(vs, cs, "user_id").select(
-        "vid", "cid"
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("ssj_out")
-        .option("checkpointLocation", str(root / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    stream_set = {
+def test_batch_semantics_hand_computed(spark):
+    vdf, cdf = _frames(spark)
+    got = {
         (r["vid"], r["cid"])
-        for r in spark.sql("SELECT * FROM ssj_out").collect()
+        for r in stream_stream_interval_join(
+            vdf, cdf, key="user_id", max_lag="30 minutes"
+        ).collect()
     }
-    return batch_set, stream_set
+    # click@10 joins view@0; click@45 joins view@40 (view@0 is stale);
+    # click@50 finds no view within 30m of view@5
+    assert got == {(100, 200), (101, 201)}
 
 
-def test_batch_semantics_hand_computed(joined_sets):
-    batch_set, _ = joined_sets
-    assert batch_set == {(100, 200), (101, 201)}
-
-
-def test_streaming_matches_batch_twin(joined_sets):
-    batch_set, stream_set = joined_sets
-    assert stream_set == batch_set
-
-
-def test_plan_is_stateful_stream_join(spark, tmp_path):
-    """The streaming plan must be a genuine stateful stream-stream
-    join with watermarks on both sides (not a fallback batch join)."""
-    import datetime as _dt
-
-    base = _dt.datetime(2024, 3, 1)
-    views, clicks = _rows(base)
-    vdf = spark.createDataFrame(views, "user_id long, l_ts timestamp, vid long")
-    cdf = spark.createDataFrame(clicks, "user_id long, r_ts timestamp, cid long")
+def test_plan_is_stateful_stream_join_with_two_watermarks(
+    spark, tmp_path
+):
+    vdf, cdf = _frames(spark)
     vpath, cpath = str(tmp_path / "v"), str(tmp_path / "c")
     vdf.write.parquet(vpath)
     cdf.write.parquet(cpath)
     vs = file_stream_source(spark, vpath, vdf.schema)
     cs = file_stream_source(spark, cpath, cdf.schema)
-    out = stream_stream_interval_join(vs, cs, "user_id")
+    out = stream_stream_interval_join(
+        vs, cs, key="user_id", max_lag="30 minutes"
+    )
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
+    # both sides watermarked -> the join state is evictable (bounded)
     assert plan.count("EventTimeWatermark") == 2

@@ -270,3 +270,73 @@ def scd2_pit_join(
         *[F.col(f"f.`{c}`") for c in facts.columns],
         *[F.col(f"h.`{c}`").alias(f"dim_{c}") for c in payload],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Derive the change log BETWEEN two snapshots — the inverse of
+    :func:`apply_cdc` (which folds a change log INTO a snapshot), and
+    the table-diff every migration/backfill review needs:
+
+    one row per key whose state changed, ``op`` ∈ {I, D, U}, plus
+    ``n_changed_cols`` (non-key columns whose value differs,
+    NULL-safe; I/D rows count every non-key column).
+
+    Full outer join on the key (ONE shuffle co-partitioned on both
+    sides; bucketed snapshots make it exchange-free), classification
+    by side presence, value comparison with ``eqNullSafe`` so
+    NULL→value and value→NULL both count as changes.  Identical rows
+    produce NO output — diffing a snapshot against itself is empty.
+    Rows with NULL keys are dropped on both sides (un-addressable,
+    the :func:`apply_cdc` convention).  Invariant (pytest-pinned):
+    ``apply_cdc(old, snapshot_diff(old, new) + new's values, keys)``
+    reproduces ``new``.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    val_cols = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshots must share a schema")
+    knn = lambda df: df.filter(  # noqa: E731
+        F.lit(True)
+        & __import__("functools").reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+    )
+    o = knn(old).select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+    )
+    n = knn(new).select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = sum(
+        (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("int")
+        for c in val_cols
+    ) if val_cols else F.lit(0)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed > 0, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            F.when(F.col("op") == "U", changed)
+            .otherwise(F.lit(len(val_cols)))
+            .cast("int")
+            .alias("n_changed_cols"),
+            *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+        )
+    )

@@ -1393,9 +1393,28 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("id_b"),
         F.lit(None).cast("string").alias("k"),
     )
+    # sixth branch: snapshot diff — derive the change log BACK from
+    # (snap, merged): the inverse of apply_cdc (operators/cdc.
+    # snapshot_diff, one full-outer key join). op + changed-column
+    # count ride k; verified against a SQL full-outer classification
+    from etl_extract_transform_load_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    dif = snapshot_diff(snap, merged, ["event_id"]).select(
+        F.lit("diff").alias("part"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.concat(
+            F.col("op"),
+            F.lit(":"),
+            F.col("n_changed_cols").cast("string"),
+        ).alias("k"),
+    )
     return (
         ns.unionByName(sa)
         .unionByName(cdc)
+        .unionByName(dif)
         .unionByName(scd2)
         .unionByName(bl)
     )
@@ -1448,6 +1467,62 @@ FROM (
     FROM snap s FULL OUTER JOIN latest l ON s.event_id = l.event_id
 ) m
 WHERE op IS NULL OR op <> 'D'
+UNION ALL
+SELECT 'diff', CAST(event_id AS BIGINT), NULL::BIGINT,
+       op || ':' || CAST(n_changed AS VARCHAR)
+FROM (
+    WITH dev AS (SELECT event_id, user_id, value FROM events),
+    dsnap AS (SELECT * FROM dev WHERE event_id < 2000),
+    dbase AS (SELECT * FROM dev
+              WHERE event_id >= 1000 AND event_id < 3000),
+    dg1 AS (SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END
+                       AS op,
+                   1 AS op_ts
+            FROM dbase),
+    dg2 AS (SELECT event_id, user_id + 1000 AS user_id,
+                   value * 2 AS value,
+                   CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END
+                       AS op,
+                   2 AS op_ts
+            FROM dbase WHERE event_id % 3 = 0),
+    dch AS (SELECT * FROM dg1 UNION ALL SELECT * FROM dg2),
+    dlatest AS (
+        SELECT event_id, user_id, value, op
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY event_id ORDER BY op_ts DESC) AS rn
+              FROM dch)
+        WHERE rn = 1
+    ),
+    dmerged AS (
+        SELECT COALESCE(l.event_id, s.event_id) AS event_id,
+               CASE WHEN l.op IS NOT NULL THEN l.user_id
+                    ELSE s.user_id END AS user_id,
+               CASE WHEN l.op IS NOT NULL THEN l.value
+                    ELSE s.value END AS value
+        FROM dsnap s FULL OUTER JOIN dlatest l
+          ON s.event_id = l.event_id
+        WHERE l.op IS NULL OR l.op <> 'D'
+    ),
+    dj AS (
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               o.event_id IS NOT NULL AS in_old,
+               n.event_id IS NOT NULL AS in_new,
+               (CAST(o.user_id IS DISTINCT FROM n.user_id AS INT)
+                + CAST(o.value IS DISTINCT FROM n.value AS INT)) AS ch
+        FROM (SELECT * FROM dsnap WHERE event_id IS NOT NULL) o
+        FULL OUTER JOIN
+             (SELECT * FROM dmerged WHERE event_id IS NOT NULL) n
+          ON o.event_id = n.event_id
+    )
+    SELECT event_id,
+           CASE WHEN NOT in_old THEN 'I'
+                WHEN NOT in_new THEN 'D'
+                WHEN ch > 0 THEN 'U' END AS op,
+           CASE WHEN in_old AND in_new THEN ch ELSE 2 END AS n_changed
+    FROM dj
+    WHERE (NOT in_old) OR (NOT in_new) OR ch > 0
+)
 UNION ALL
 SELECT 'scd2', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
        COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), '')

@@ -269,3 +269,72 @@ def test_scd2_pit_join_feature_store_rule(spark):
 
     with _pytest.raises(ValueError):
         scd2_pit_join(facts, hist, ["id"], "t", how="full")
+
+
+# --- snapshot diff (the inverse of apply_cdc) -----------------------------------
+
+def test_snapshot_diff_classifies_and_counts(spark):
+    from etl_extract_transform_load_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (None, "x", 9.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    got = {
+        r["id"]: (r["op"], r["n_changed_cols"], r["s"], r["v"])
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    # 1 unchanged -> absent; 3 NULL==NULL unchanged -> absent
+    assert set(got) == {2, 4}
+    assert got[2] == ("U", 2, "B", 2.5)
+    assert got[4] == ("I", 2, "d", 4.0)
+
+    # a delete shows the key with NULL values
+    gone = snapshot_diff(new, old, ["id"]).collect()
+    ops = {r["id"]: r["op"] for r in gone}
+    assert ops[4] == "D"
+
+
+def test_snapshot_diff_roundtrips_through_apply_cdc(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.cdc import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(i, f"s{i}" if i % 3 else "CHANGED", float(i * 2 if i % 5 == 0 else i))
+         for i in range(2, 24)],
+        "id long, s string, v double",
+    )
+    diff = snapshot_diff(old, new, ["id"]).withColumn(
+        "op_ts", F.lit(1).cast("long")
+    )
+    rebuilt = apply_cdc(
+        old, diff.select("id", "s", "v", "op", "op_ts"), ["id"]
+    )
+    assert sorted(rebuilt.collect()) == sorted(new.collect())
+    # self-diff is empty
+    assert snapshot_diff(new, new, ["id"]).count() == 0
+
+
+def test_snapshot_diff_validation(spark):
+    import pytest as _pytest
+
+    from etl_extract_transform_load_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+    other = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, other, ["id"])

@@ -375,3 +375,33 @@ def mann_whitney_u(
         F.round(u1, 6).alias("u"),
         F.round(z, 6).alias("z"),
     )
+
+
+def wilson_bounds(k, n, z: float = 1.96):
+    """Wilson score interval for a binomial proportion — the
+    small-sample-safe CI every funnel/experiment readout should quote
+    instead of the normal approximation (which collapses at p≈0/1).
+
+    ``k``/``n`` are Columns (successes, trials); returns the
+    ``(rate, lo, hi)`` Column triple, each 6-dp rounded, NULL when
+    n = 0.  The formula is evaluated in a pinned double order (z² is
+    spelled ``z*z`` so a SQL twin writing the same literal product
+    reproduces the bits)."""
+    kd = k.cast("double")
+    nd = n.cast("double")
+    zf = float(z)
+    z2 = zf * zf
+    p = kd / nd
+    denom = 1.0 + z2 / nd
+    center = (p + z2 / (2.0 * nd)) / denom
+    half = (
+        zf
+        * F.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        / denom
+    )
+    ok = nd > 0
+    return (
+        F.round(F.when(ok, p), 6),
+        F.round(F.when(ok, center - half), 6),
+        F.round(F.when(ok, center + half), 6),
+    )

@@ -1171,6 +1171,52 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         "total",
     )
+    # tenth branch: funnel step-conversion rates with Wilson 95% CIs
+    # (operators/stats.wilson_bounds) off the SAME per-user reach
+    # frame — step rides window_start, rate/lo/hi ride event_type,
+    # the denominator rides n_events
+    from etl_extract_transform_load_spark.operators.stats import (
+        wilson_bounds,
+    )
+
+    fc_agg = wide.agg(
+        *[
+            F.sum(F.col(f"r{i}").isNotNull().cast("long")).alias(
+                f"n{i}"
+            )
+            for i in range(3)
+        ]
+    )
+    r1c, lo1, hi1 = wilson_bounds(F.col("n1"), F.col("n0"))
+    r2c, lo2, hi2 = wilson_bounds(F.col("n2"), F.col("n1"))
+
+    def _st(step, ne, metric, val):
+        return F.struct(
+            F.lit(step).alias("ws"),
+            F.lit(metric).alias("et"),
+            F.col(ne).alias("ne"),
+            val.alias("total"),
+        )
+
+    fconv = fc_agg.select(
+        F.explode(
+            F.array(
+                _st("click", "n0", "rate", r1c),
+                _st("click", "n0", "lo", lo1),
+                _st("click", "n0", "hi", hi1),
+                _st("purchase", "n1", "rate", r2c),
+                _st("purchase", "n1", "lo", lo2),
+                _st("purchase", "n1", "hi", hi2),
+            )
+        ).alias("s")
+    ).select(
+        F.lit("fconv").alias("part"),
+        F.col("s.ws").alias("window_start"),
+        F.col("s.et").alias("event_type"),
+        F.col("s.ne").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("s.total").alias("total"),
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
@@ -1180,6 +1226,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sea)
         .unionByName(ov_rows)
         .unionByName(fd)
+        .unionByName(fconv)
     )
 
 
@@ -1450,6 +1497,64 @@ FROM (
         FROM fdd GROUP BY step
     ) g, LATERAL (VALUES ('25', g.q25), ('50', g.q50),
                          ('75', g.q75)) AS v(tag, q)
+)
+UNION ALL
+SELECT 'fconv', step, metric, n_prev, NULL::BIGINT, val
+FROM (
+    WITH fcb AS (
+        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fcw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
+                       OVER w AS r0
+             FROM fcb
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                                AND r0 < e THEN e END) OVER w AS r1
+             FROM fcw0
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                AND r1 < e THEN e END) OVER w AS r2
+             FROM fcw1
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcr AS (
+        SELECT user_id, MIN(r0) AS r0, MIN(r1) AS r1, MIN(r2) AS r2
+        FROM fcw2 GROUP BY user_id
+    ),
+    fcn AS (SELECT COUNT(r0) AS n0, COUNT(r1) AS n1, COUNT(r2) AS n2
+            FROM fcr),
+    fcp AS (
+        SELECT 'click' AS step, n0 AS n_prev,
+               CAST(n1 AS DOUBLE) AS k, CAST(n0 AS DOUBLE) AS n
+        FROM fcn
+        UNION ALL
+        SELECT 'purchase', n1, CAST(n2 AS DOUBLE), CAST(n1 AS DOUBLE)
+        FROM fcn
+    ),
+    fcv AS (
+        SELECT step, n_prev, n, k / n AS p,
+               1.0 + (1.96 * 1.96) / n AS den
+        FROM fcp
+    ),
+    fcx AS (
+        SELECT step, n_prev, n, p, den,
+               (p + (1.96 * 1.96) / (2.0 * n)) / den AS center,
+               1.96 * SQRT(p * (1.0 - p) / n
+                           + (1.96 * 1.96) / (4.0 * n * n)) / den
+                   AS half
+        FROM fcv
+    )
+    SELECT step, 'rate' AS metric, n_prev,
+           ROUND(CASE WHEN n > 0 THEN p END, 6) AS val FROM fcx
+    UNION ALL
+    SELECT step, 'lo', n_prev,
+           ROUND(CASE WHEN n > 0 THEN center - half END, 6) FROM fcx
+    UNION ALL
+    SELECT step, 'hi', n_prev,
+           ROUND(CASE WHEN n > 0 THEN center + half END, 6) FROM fcx
 )
 """
 

@@ -233,3 +233,38 @@ def test_mwu_shifted_distribution_significant(spark):
     # constant pooled sample: sigma = 0 -> NULL z
     const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
     assert mann_whitney_u(const, const, "x").collect()[0]["z"] is None
+
+
+# --- Wilson interval -----------------------------------------------------------
+
+def test_wilson_bounds_textbook(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.stats import (
+        wilson_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(8, 10), (0, 10), (10, 10), (0, 0)], "k long, n long"
+    )
+    rate, lo, hi = wilson_bounds(F.col("k"), F.col("n"))
+    rows = df.select(
+        "k", "n", rate.alias("r"), lo.alias("lo"), hi.alias("hi")
+    ).collect()
+    got = {(r["k"], r["n"]): (r["r"], r["lo"], r["hi"]) for r in rows}
+
+    def ref(k, n, z=1.96):
+        p = k / n
+        z2 = z * z
+        den = 1.0 + z2 / n
+        c = (p + z2 / (2.0 * n)) / den
+        h = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / den
+        return round(p, 6), round(c - h, 6), round(c + h, 6)
+
+    assert got[(8, 10)] == ref(8, 10)
+    # p = 0 and p = 1: interval stays inside [0, 1] (the Wilson point)
+    assert got[(0, 10)][1] == 0.0 and got[(0, 10)][2] > 0.0
+    assert got[(10, 10)][2] == 1.0 and got[(10, 10)][1] < 1.0
+    assert got[(0, 0)] == (None, None, None)

@@ -1124,6 +1124,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up6,
     )
 
+    # checkpointed: the grouped-quantile decides (fdelay) and the
+    # Wilson aggregate (fconv) both read this small per-user frame —
+    # without it every decide round re-runs the funnel windows
     wide = (
         funnel_reach(events, ["view", "click", "purchase"])
         .groupBy("user_id")
@@ -1137,6 +1140,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(3)
             ]
         )
+        .localCheckpoint()
     )
     delays = (
         wide.select(

@@ -1,0 +1,31 @@
+"""The experimentation example must run end-to-end and leave
+manifest-verified report tables behind."""
+
+import os
+import subprocess
+import sys
+
+
+def test_experimentation_pipeline_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "exp_out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "experimentation_pipeline.py"),
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "CUPED:" in proc.stdout
+    assert "randomization gates:" in proc.stdout
+    for t in ("ab_report", "attribution", "funnel_ci"):
+        assert os.path.isdir(f"{out}/{t}"), t
+        assert os.path.exists(f"{out}/{t}/_manifest.json"), t
+    assert proc.stdout.count("wrote+verified") == 3

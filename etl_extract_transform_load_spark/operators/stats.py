@@ -405,3 +405,101 @@ def wilson_bounds(k, n, z: float = 1.96):
         F.round(F.when(ok, center - half), 6),
         F.round(F.when(ok, center + half), 6),
     )
+
+
+def pareto_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a: float = 0.8,
+    b: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto analysis: rank keys by their value share and class
+    them A (the head that carries ≤ ``a`` of cumulative value), B
+    (≤ ``b``), C (the tail) — the revenue-concentration report behind
+    "which 20% of customers drive 80% of revenue".
+
+    Per-key totals accumulate as exact decimals; the DESCENDING
+    cumulative sum runs through the bucketed two-level prefix-sum
+    machinery (buckets over the value span, offsets from the buckets
+    ABOVE — no global sort partition); ties order by key.  Class
+    assignment compares the 6-dp-rounded cumulative share, so the
+    boundary is engine-exact.
+
+    Returns one row per key: ``(key_col, value double, cum_share,
+    abc_class)``.  NULL keys drop; NULL values count as 0.
+    """
+    if not (0.0 < a < b <= 1.0):
+        raise ValueError("need 0 < a < b <= 1")
+    from pyspark.sql import Window
+
+    v6 = F.round(
+        F.coalesce(F.col(f"`{value_col}`").cast("double"), F.lit(0.0)), 6
+    ).cast("decimal(28,6)")
+    per = (
+        df.filter(F.col(f"`{key_col}`").isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum(v6).alias("__v"))
+    )
+    span = per.agg(
+        F.min(F.col("__v").cast("double")).alias("mn"),
+        F.max(F.col("__v").cast("double")).alias("mx"),
+    ).collect()[0]
+    mn, mx = span["mn"], span["mx"]
+    if mn is None:
+        return per.select(
+            key_col,
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("double").alias("cum_share"),
+            F.lit(None).cast("string").alias("abc_class"),
+        )
+    n_buckets = 256
+    width = (mx - mn) / n_buckets if mx > mn else 0
+    vd = F.col("__v").cast("double")
+    if width == 0:
+        bkt = F.lit(0)
+    else:
+        bkt = F.least(
+            F.greatest(
+                F.floor((vd - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    per = per.withColumn("__bkt", bkt)
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("__v"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = per.withColumn("__cum", F.sum("__v").over(w_in))
+    totals = per.groupBy("__bkt").agg(F.sum("__v").alias("__t"))
+    # offsets come from the buckets ABOVE (descending value order)
+    w_b = Window.orderBy(F.desc("__bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(
+            F.sum("__t").over(w_b), F.lit(0).cast("decimal(38,6)")
+        ).alias("__off"),
+    )
+    grand = totals.agg(F.sum("__t").alias("__total"))
+    share = F.round(
+        (F.col("__off") + F.col("__cum")).cast("double")
+        / F.col("__total").cast("double"),
+        6,
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            key_col,
+            F.col("__v").cast("double").alias("value"),
+            share.alias("cum_share"),
+            F.when(share <= a, "A")
+            .when(share <= b, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -213,31 +213,114 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
     )
-    return (
+    top10 = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select(
+            F.lit("top10").alias("part"),
+            "l_orderkey",
+            "o_orderpriority",
+            "revenue",
+        )
     )
+    # second branch: Pareto/ABC revenue concentration over customers
+    # (operators/stats.pareto_classes — descending cumulative shares
+    # via bucketed prefix sums): per-class key count rides
+    # l_orderkey, decimal-exact class revenue share rides revenue
+    from etl_extract_transform_load_spark.operators.stats import (
+        pareto_classes,
+    )
+    from etl_extract_transform_load_spark.sources import load_table as _lt
+
+    all_orders = _lt(spark, sf_dir, "orders")
+    abc = pareto_classes(all_orders, "o_custkey", "o_totalprice")
+    total_rev = F.sum(F.col("value").cast("decimal(28,6)"))
+    summary = (
+        abc.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            total_rev.alias("__rev"),
+        )
+        .crossJoin(
+            F.broadcast(
+                abc.agg(
+                    F.sum(F.col("value").cast("decimal(28,6)")).alias(
+                        "__tot"
+                    )
+                )
+            )
+        )
+        .select(
+            F.concat(F.lit("pareto:"), F.col("abc_class")).alias("part"),
+            F.col("n_keys").alias("l_orderkey"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.round(
+                F.col("__rev").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+    return top10.unionByName(summary)
 
 
 ORACLE_SHIPPING_PRIORITY = """
-SELECT l.l_orderkey,
-       o.o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
-            AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-03-15'
-  AND l.l_shipdate > TIMESTAMP '1996-03-15'
-GROUP BY l.l_orderkey, o.o_orderpriority
-ORDER BY revenue DESC, l.l_orderkey ASC
-LIMIT 10
+SELECT 'top10' AS part, l_orderkey, o_orderpriority, revenue
+FROM (
+    SELECT l.l_orderkey,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+)
+UNION ALL
+SELECT 'pareto:' || abc_class, n_keys, NULL::VARCHAR, share
+FROM (
+    WITH pkv AS (
+        SELECT o_custkey AS k,
+               SUM(CAST(ROUND(COALESCE(
+                   CAST(o_totalprice AS DOUBLE), 0.0), 6)
+                   AS DECIMAL(28,6))) AS v
+        FROM orders WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    pcum AS (
+        SELECT k, v,
+               ROUND(CAST(SUM(v) OVER (
+                         ORDER BY v DESC, k ASC
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST((SELECT SUM(v) FROM pkv) AS DOUBLE), 6)
+                   AS cum_share
+        FROM pkv
+    ),
+    pcls AS (
+        SELECT k, v,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM pcum
+    )
+    SELECT abc_class, COUNT(*) AS n_keys,
+           ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6)))
+                      AS DOUBLE)
+                 / CAST((SELECT SUM(v) FROM pkv) AS DOUBLE), 6)
+               AS share
+    FROM pcls GROUP BY abc_class
+)
 """
 
 

@@ -268,3 +268,53 @@ def test_wilson_bounds_textbook(spark):
     assert got[(0, 10)][1] == 0.0 and got[(0, 10)][2] > 0.0
     assert got[(10, 10)][2] == 1.0 and got[(10, 10)][1] < 1.0
     assert got[(0, 0)] == (None, None, None)
+
+
+# --- Pareto / ABC analysis -------------------------------------------------------
+
+def test_pareto_hand_computed(spark):
+    from etl_extract_transform_load_spark.operators.stats import (
+        pareto_classes,
+    )
+
+    # values: 50, 30, 15, 4, 1 -> cum shares .5, .8, .95, .99, 1.0
+    rows = [(1, 50.0), (2, 30.0), (3, 15.0), (4, 4.0), (5, 1.0),
+            (None, 99.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["k"]: (r["value"], r["cum_share"], r["abc_class"])
+        for r in pareto_classes(df, "k", "v").collect()
+    }
+    assert None not in got and len(got) == 5
+    assert got[1] == (50.0, 0.5, "A")
+    assert got[2] == (30.0, 0.8, "A")     # boundary inclusive
+    assert got[3] == (15.0, 0.95, "B")    # boundary inclusive
+    assert got[4] == (4.0, 0.99, "C")
+    assert got[5] == (1.0, 1.0, "C")
+
+
+def test_pareto_bucket_invariance_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.stats import (
+        pareto_classes,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        ((F.col("id") % 10) + 1).cast("double").alias("v"),
+    )
+    out = pareto_classes(df, "k", "v").collect()
+    assert len(out) == 100
+    # ties order by key: equal values get strictly increasing shares
+    tied = sorted(
+        [r for r in out if r["value"] == 10.0], key=lambda r: r["k"]
+    )
+    shares = [r["cum_share"] for r in tied]
+    assert shares == sorted(shares) and len(set(shares)) == len(shares)
+    # total share reaches exactly 1.0
+    assert max(r["cum_share"] for r in out) == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pareto_classes(df, "k", "v", a=0.9, b=0.5)

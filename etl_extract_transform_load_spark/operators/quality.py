@@ -382,3 +382,54 @@ def ks_two_sample(
             6,
         ).alias("ks")
     ).select("ks", "n_ref", "n_cur")
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit profile of a positive numeric column
+    — the classic fabricated-data / broken-generator detector:
+    naturally-occurring multiplicative quantities have leading digit
+    d with probability log₁₀(1 + 1/d); uniform or hand-entered data
+    does not.
+
+    Rows with value < 1, ≥ 10¹⁸ or NULL are excluded (sub-unit values
+    need scale normalization the caller owns; the upper bound keeps
+    the integer part inside exact long range — both cuts are plain
+    double comparisons, identical on any engine).  The leading digit
+    comes from the INTEGER part via string conversion — engine-stable,
+    unlike ``floor(log10(v))`` power-of-ten arithmetic whose last-ulp
+    error differs across math libraries and misclassifies values near
+    digit boundaries.
+
+    Returns one row per digit 1-9: ``(digit, n, p_obs, p_exp, term)``
+    with ``term = round((p_obs − p_exp)²/p_exp · n, 6)`` — the digit's
+    chi-square contribution, decimal-summable to the conformity
+    statistic (df = 8).  ONE aggregation pass, state = 9 cells.
+    """
+    x = F.col(f"`{col}`").cast("double")
+    digit = F.substring(
+        F.floor(x).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(x.isNotNull() & (x >= 1) & (x < 1e18))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    joined = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_d", F.lit(0)).alias("n_d")
+    )
+    w = Window.partitionBy()
+    n = F.sum("n_d").over(w).cast("double")
+    p_obs = F.col("n_d").cast("double") / n
+    p_exp = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return joined.select(
+        "digit",
+        F.col("n_d").cast("long").alias("n"),
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_exp"),
+        F.round((p_obs - p_exp) * (p_obs - p_exp) / p_exp * n, 6).alias(
+            "term"
+        ),
+    )

@@ -141,6 +141,31 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("o_totalprice").alias("column_name"),
         "value",
     )
+    # seventh branch: Benford first-digit conformity (operators/
+    # quality.benford_profile — string-extracted leading digits, one
+    # 9-cell aggregate): per-digit observed shares + the chi-square
+    # conformity statistic as a decimal sum
+    from etl_extract_transform_load_spark.operators.quality import (
+        benford_profile,
+    )
+
+    bf = benford_profile(orders, "o_totalprice")
+    bf_rows = bf.select(
+        F.concat(F.lit("benford:"), F.col("digit").cast("string")).alias(
+            "metric"
+        ),
+        F.lit("o_totalprice").alias("column_name"),
+        F.col("p_obs").alias("value"),
+    )
+    bf_chi = bf.agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("value")
+    ).select(
+        F.lit("benford_chi2").alias("metric"),
+        F.lit("o_totalprice").alias("column_name"),
+        "value",
+    )
     return (
         nf.unionByName(sv)
         .unionByName(checks)
@@ -148,6 +173,8 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(psi_total)
         .unionByName(ks)
         .unionByName(mwu)
+        .unionByName(bf_rows)
+        .unionByName(bf_chi)
     )
 
 
@@ -315,6 +342,46 @@ SELECT metric, 'o_totalprice', value FROM (
            ROUND(CASE WHEN n1 > 0 AND n2 > 0 AND sig2 > 0
                  THEN (u1 - mu) / SQRT(sig2) END, 6)
     FROM mz
+)
+UNION ALL
+SELECT metric, 'o_totalprice', value FROM (
+    WITH bfc AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(
+                   CAST(o_totalprice AS DOUBLE)) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_d
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND CAST(o_totalprice AS DOUBLE) >= 1
+          AND CAST(o_totalprice AS DOUBLE) < 1e18
+        GROUP BY 1
+    ),
+    bfg AS (
+        SELECT d.digit, COALESCE(c.n_d, 0) AS n_d
+        FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+        LEFT JOIN bfc c ON d.digit = c.digit
+    ),
+    bft AS (
+        SELECT digit, n_d,
+               CAST(n_d AS DOUBLE)
+                   / CAST((SELECT SUM(n_d) FROM bfg) AS DOUBLE) AS p_obs,
+               LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS p_exp,
+               CAST((SELECT SUM(n_d) FROM bfg) AS DOUBLE) AS n
+        FROM bfg
+    ),
+    bfx AS (
+        SELECT digit, ROUND(p_obs, 6) AS p_obs,
+               ROUND((p_obs - p_exp) * (p_obs - p_exp) / p_exp * n, 6)
+                   AS term
+        FROM bft
+    )
+    SELECT 'benford:' || CAST(digit AS VARCHAR) AS metric,
+           p_obs AS value
+    FROM bfx
+    UNION ALL
+    SELECT 'benford_chi2',
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6)
+    FROM bfx
 )
 """
 

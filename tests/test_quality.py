@@ -255,3 +255,47 @@ def test_ks_disjoint_is_one_and_validation(spark):
         ks_two_sample(empty, empty, "x")
     with _pytest.raises(ValueError):
         ks_two_sample(lo, hi, "x", n_buckets=0)
+
+
+# --- Benford profile -----------------------------------------------------------
+
+def test_benford_conforming_vs_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.quality import (
+        benford_profile,
+    )
+
+    # exponential growth is Benford-conforming: 1.05^k
+    geo = spark.range(2000).select(
+        F.pow(F.lit(1.05), F.col("id").cast("double")).alias("x")
+    ).filter(F.col("x") >= 1)
+    g = benford_profile(geo, "x")
+    chi_geo = g.agg(
+        F.sum(F.col("term").cast("decimal(28,6)")).cast("double")
+    ).collect()[0][0]
+    # uniform integers 100..999 are flat-leading-digit: wildly off
+    uni = spark.range(100, 1000).select(
+        F.col("id").cast("double").alias("x")
+    )
+    chi_uni = benford_profile(uni, "x").agg(
+        F.sum(F.col("term").cast("decimal(28,6)")).cast("double")
+    ).collect()[0][0]
+    assert chi_geo < 30 < chi_uni  # df=8: 15.5 is the 5% cutoff
+
+
+def test_benford_digit_mechanics(spark):
+    from etl_extract_transform_load_spark.operators.quality import (
+        benford_profile,
+    )
+
+    # values straddling powers of ten classify by string, not log10
+    df = spark.createDataFrame(
+        [(1.0,), (9.999,), (10.0,), (99.9,), (100.0,), (1000.0,),
+         (0.5,), (None,)],
+        "x double",
+    )
+    rows = {r["digit"]: r["n"] for r in benford_profile(df, "x").collect()}
+    assert rows[1] == 4  # 1.0, 10.0, 100.0, 1000.0
+    assert rows[9] == 2  # 9.999, 99.9
+    assert sum(rows.values()) == 6  # 0.5 and NULL excluded

@@ -833,6 +833,26 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 'ct:mi', mi) as (metric, value)"
             )
         )
+        # WoE/IV surface (scale/ml.woe_iv): per-source log-odds
+        # separation of the lang='en' target + information-value
+        # contributions, off the shared docs3 persist — woe:/iv: rows
+        from etl_extract_transform_load_spark.scale.ml import woe_iv
+
+        woe_src = docs3.select(
+            "source",
+            F.when(
+                F.col("lang").isNotNull(),
+                (F.col("lang") == "en").cast("int"),
+            ).alias("y"),
+        )
+        woe_rows = woe_iv(woe_src, "source", "y").select(
+            F.expr(
+                "stack(2,"
+                " 'woe:' || coalesce(category, '<null>'), woe,"
+                " 'iv:' || coalesce(category, '<null>'), iv)"
+                " as (metric, value)"
+            )
+        )
         out = (
             stacked.unionByName(vc)
             .unionByName(mad)
@@ -846,6 +866,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(winsor)
             .unionByName(ct)
             .unionByName(sp_rows)
+            .unionByName(woe_rows)
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -1107,6 +1128,36 @@ SELECT metric, value FROM (
                                         'lineitem')})
     SELECT 'spearman:n' AS metric, CAST(n AS DOUBLE) AS value FROM sprep
     UNION ALL SELECT 'spearman:rho', rho FROM sprep
+)
+UNION ALL
+SELECT metric, value FROM (
+    WITH wvb AS (
+        SELECT source,
+               ({_CLF_LABEL_SQL}) AS y
+        FROM documents
+        WHERE ({_CLF_LABEL_SQL}) IS NOT NULL
+    ),
+    wvc AS (
+        SELECT source AS category,
+               SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+        FROM wvb GROUP BY source
+    ),
+    wvt AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg FROM wvc),
+    wvx AS (
+        SELECT category,
+               (CAST(n_pos AS DOUBLE) + 0.5)
+                   / CAST(t_pos AS DOUBLE) AS p,
+               (CAST(n_neg AS DOUBLE) + 0.5)
+                   / CAST(t_neg AS DOUBLE) AS q
+        FROM wvc, wvt
+    )
+    SELECT 'woe:' || COALESCE(category, '<null>') AS metric,
+           ROUND(LN(p / q), 6) AS value
+    FROM wvx
+    UNION ALL
+    SELECT 'iv:' || COALESCE(category, '<null>'),
+           ROUND((p - q) * LN(p / q), 6)
+    FROM wvx
 )
 """
 

@@ -718,3 +718,53 @@ def grouped_linear_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(r * r, 6).alias("r2"),
     )
+
+
+def woe_iv(
+    df: DataFrame, cat_col: str, label_col: str, epsilon: float = 0.5
+) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value per category —
+    the credit-scoring-standard categorical signal measure (pairs with
+    ``target_encoding_stats``: TE gives the smoothed mean, WoE gives
+    the log-odds separation, IV ranks the feature):
+
+        woe(c) = ln( (n_pos(c)+ε)/N_pos ÷ (n_neg(c)+ε)/N_neg )
+        iv(c)  = ((n_pos(c)+ε)/N_pos − (n_neg(c)+ε)/N_neg) · woe(c)
+
+    with additive smoothing ε on the cell counts (zero cells stay
+    finite; N_pos/N_neg are the RAW totals).  Labels must be 0/1;
+    NULL labels are excluded, NULL categories group as one bucket.
+
+    ONE aggregation pass (state = categories × 2 integers), broadcast
+    totals, pinned double formulas rounded to 6 dp.  Σiv is the
+    feature's Information Value (< 0.02 useless, > 0.3 strong — the
+    conventional bands).
+    """
+    y = F.col(f"`{label_col}`").cast("int")
+    cells = (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(f"`{cat_col}`").alias("category"))
+        .agg(
+            F.sum(y).alias("n_pos"),
+            F.sum(1 - y).alias("n_neg"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    eps = float(epsilon)
+    j = cells.crossJoin(F.broadcast(tot))
+    p = (F.col("n_pos").cast("double") + eps) / F.col("t_pos").cast(
+        "double"
+    )
+    q = (F.col("n_neg").cast("double") + eps) / F.col("t_neg").cast(
+        "double"
+    )
+    woe = F.log(p / q)
+    return j.select(
+        "category",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((p - q) * woe, 6).alias("iv"),
+    )

@@ -525,3 +525,37 @@ def test_grouped_linear_fit_degenerate_group(spark):
     rows = {r["g"]: r for r in grouped_linear_fit(df, "g", "x", "y").collect()}
     assert rows["a"]["n"] == 1 and rows["a"]["slope"] is None
     assert rows["b"]["slope"] is None  # constant x
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from etl_extract_transform_load_spark.scale.ml import woe_iv
+
+    rows = (
+        [("a", 1)] * 8 + [("a", 0)] * 2
+        + [("b", 1)] * 2 + [("b", 0)] * 8
+        + [("c", 1)] * 5 + [("c", 0)] * 5
+        + [(None, 1)] * 1 + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    got = {
+        r["category"]: (r["n_pos"], r["n_neg"], r["woe"], r["iv"])
+        for r in woe_iv(df, "cat", "y").collect()
+    }
+    t_pos, t_neg = 16, 15
+
+    def ref(np_, nn):
+        p = (np_ + 0.5) / t_pos
+        q = (nn + 0.5) / t_neg
+        w = math.log(p / q)
+        return round(w, 6), round((p - q) * w, 6)
+
+    assert got["a"][:2] == (8, 2) and got["a"][2:] == ref(8, 2)
+    assert got["b"][:2] == (2, 8) and got["b"][2:] == ref(2, 8)
+    assert got["c"][2:] == ref(5, 5)
+    assert got[None][:2] == (1, 0)
+    # separation direction: a is positive-heavy, b negative-heavy
+    assert got["a"][2] > 0 > got["b"][2]
+    # every IV contribution is non-negative
+    assert all(v[3] >= 0 for v in got.values())

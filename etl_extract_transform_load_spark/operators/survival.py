@@ -1,0 +1,153 @@
+"""Survival analysis: the Kaplan-Meier estimator, fully relational.
+
+"How long until a user converts/churns, given that many never do
+while we watch" — right-censored time-to-event, the retention-curve
+statistic product analytics borrows from clinical statistics.  Input
+is one row per subject: ``(duration, event)`` with event = 1 if the
+terminal event was OBSERVED at ``duration``, 0 if the subject was
+censored there (still alive when observation stopped).
+
+    S(t) = Π over event times tᵢ ≤ t of (1 − dᵢ / nᵢ)
+
+with dᵢ the events at tᵢ and nᵢ the number still at risk (neither
+failed nor censored before tᵢ).
+
+The classic computation is a global sort + running product — the
+usual single-partition trap.  Here both cumulative quantities run
+through the bucketed two-level prefix-sum machinery
+(``sessionize.interval_concurrency``'s shape):
+
+1. per-distinct-time counts (ONE shuffle, state = distinct times);
+2. prefix pass #1 — exclusive cumulative removals → n at risk;
+3. prefix pass #2 (same bucket partitioning, one extra bucket-sized
+   aggregate) — cumulative Σ round(ln(1 − d/n), 6) as an exact
+   decimal sum;
+4. S(t) = round(exp(Σ), 6); a time where d = n (everyone left fails)
+   pins S = 0 exactly — ln(0) never evaluates.
+
+The 6-dp round-then-decimal-sum makes the log fold order-free, and
+EXP/LN agree across engines at the 6-dp round (the established
+contract), so the curve hash-matches a windowed SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def km_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """One row per distinct duration with an observed event:
+    ``(t, n_risk, n_event, n_censored, survival)`` — censored-only
+    times don't change S(t) and are folded into the at-risk
+    bookkeeping only.  NULL/negative durations and NULL events drop.
+    """
+    t = F.col(f"`{duration_col}`").cast("double")
+    e = F.col(f"`{event_col}`").cast("int")
+    base = df.filter(t.isNotNull() & (t >= 0) & e.isNotNull())
+    per_t = base.groupBy(t.alias("t")).agg(
+        F.sum(e).alias("d"), F.sum(1 - e).alias("c")
+    )
+    span = per_t.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
+    mn, mx = span["mn"], span["mx"]
+    if mn is None:
+        return per_t.select(
+            F.col("t"),
+            F.lit(None).cast("long").alias("n_risk"),
+            F.lit(None).cast("long").alias("n_event"),
+            F.lit(None).cast("long").alias("n_censored"),
+            F.lit(None).cast("double").alias("survival"),
+        )
+    width = (mx - mn) / n_buckets if mx > mn else 0
+    if width == 0:
+        bkt = F.lit(0)
+    else:
+        bkt = F.least(
+            F.greatest(
+                F.floor((F.col("t") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    per_t = per_t.withColumn("bkt", bkt)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    rem = (F.col("d") + F.col("c")).alias("rem")
+    step1 = per_t.withColumn("cum_rem", F.sum(F.col("d") + F.col("c")).over(w_in))
+    tot1 = per_t.groupBy("bkt").agg(
+        F.sum(F.col("d") + F.col("c")).alias("trem")
+    )
+    off1 = tot1.select(
+        "bkt",
+        F.coalesce(F.sum("trem").over(w_b), F.lit(0)).alias("orem"),
+    )
+    grand = tot1.agg(F.sum("trem").alias("n_total"))
+    at_risk = (
+        step1.join(F.broadcast(off1), "bkt")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - (F.col("orem") + F.col("cum_rem") - F.col("d") - F.col("c")),
+        )
+    )
+    # log-fold term: only event times contribute; d = n pins S = 0
+    log_f = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    with_log = at_risk.withColumn(
+        "lf", log_f.cast("decimal(28,6)")
+    ).withColumn(
+        "dead_here", (F.col("d") >= F.col("n_risk")) & (F.col("d") > 0)
+    )
+    w_in2 = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step2 = with_log.withColumn("cum_lf", F.sum("lf").over(w_in2)).withColumn(
+        "cum_dead", F.sum(F.col("dead_here").cast("int")).over(w_in2)
+    )
+    tot2 = with_log.groupBy("bkt").agg(
+        F.sum("lf").alias("tlf"),
+        F.sum(F.col("dead_here").cast("int")).alias("tdead"),
+    )
+    off2 = tot2.select(
+        "bkt",
+        F.coalesce(
+            F.sum("tlf").over(w_b), F.lit(0).cast("decimal(38,6)")
+        ).alias("olf"),
+        F.coalesce(F.sum("tdead").over(w_b), F.lit(0)).alias("odead"),
+    )
+    surv = F.when(
+        (F.col("odead") + F.col("cum_dead")) > 0, F.lit(0.0)
+    ).otherwise(
+        F.round(F.exp((F.col("olf") + F.col("cum_lf")).cast("double")), 6)
+    )
+    return (
+        step2.join(F.broadcast(off2), "bkt")
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_event"),
+            F.col("c").cast("long").alias("n_censored"),
+            surv.alias("survival"),
+        )
+    )

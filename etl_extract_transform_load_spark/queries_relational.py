@@ -1221,6 +1221,45 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("s.total").alias("total"),
     )
+    # eleventh branch: Kaplan-Meier time-to-first-purchase (operators/
+    # survival.km_curve — right-censored at the user's last event;
+    # two bucketed prefix passes, no global sort): the duration rides
+    # window_start, at-risk count rides n_events, event count rides
+    # user_id, S(t) rides total
+    from etl_extract_transform_load_spark.operators.survival import (
+        km_curve,
+    )
+
+    ep = F.col("ts").cast("double")
+    kmu = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.min(ep)).alias("f0"),
+            F.floor(
+                F.min(F.when(F.col("event_type") == "purchase", ep))
+            ).alias("fp"),
+            F.floor(F.max(ep)).alias("fl"),
+        )
+    )
+    subjects = kmu.select(
+        F.when(
+            F.col("fp").isNotNull(), F.col("fp") - F.col("f0")
+        )
+        .otherwise(F.col("fl") - F.col("f0"))
+        .alias("dur"),
+        F.col("fp").isNotNull().cast("int").alias("ev"),
+    )
+    km = km_curve(subjects, "dur", "ev").select(
+        F.lit("km").alias("part"),
+        F.col("t").cast("long").cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_risk").alias("n_events"),
+        F.col("n_event").alias("user_id"),
+        F.col("survival").alias("total"),
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
@@ -1231,6 +1270,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ov_rows)
         .unionByName(fd)
         .unionByName(fconv)
+        .unionByName(km)
     )
 
 
@@ -1559,6 +1599,59 @@ FROM (
     UNION ALL
     SELECT step, 'hi', n_prev,
            ROUND(CASE WHEN n > 0 THEN center + half END, 6) FROM fcx
+)
+UNION ALL
+SELECT 'km', CAST(CAST(t AS BIGINT) AS VARCHAR), NULL::VARCHAR,
+       n_risk, n_event, survival
+FROM (
+    WITH kmu AS (
+        SELECT user_id,
+               FLOOR(MIN(EPOCH(ts))) AS f0,
+               FLOOR(MIN(CASE WHEN event_type = 'purchase'
+                              THEN EPOCH(ts) END)) AS fp,
+               FLOOR(MAX(EPOCH(ts))) AS fl
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    kms AS (
+        SELECT CASE WHEN fp IS NOT NULL THEN fp - f0
+                    ELSE fl - f0 END AS dur,
+               CAST(fp IS NOT NULL AS INT) AS ev
+        FROM kmu
+    ),
+    kmt AS (SELECT CAST(dur AS DOUBLE) AS t,
+                   SUM(ev) AS d, SUM(1 - ev) AS c
+            FROM kms WHERE dur IS NOT NULL AND dur >= 0
+            GROUP BY CAST(dur AS DOUBLE)),
+    kmc AS (
+        SELECT t, d, c,
+               (SELECT SUM(d + c) FROM kmt)
+               - (SUM(d + c) OVER (ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) - d - c) AS n_risk
+        FROM kmt
+    ),
+    kml AS (
+        SELECT *,
+               CASE WHEN d > 0 AND d < n_risk
+                    THEN ROUND(LN(1.0 - CAST(d AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)), 6)
+                    ELSE 0.0 END AS lf,
+               CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END
+                   AS dead
+        FROM kmc
+    ),
+    kmf AS (
+        SELECT t, n_risk, d, c,
+               SUM(CAST(lf AS DECIMAL(28,6))) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS cl,
+               SUM(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS cd
+        FROM kml
+    )
+    SELECT t, n_risk, d AS n_event, c,
+           CASE WHEN cd > 0 THEN 0.0
+                ELSE ROUND(EXP(CAST(cl AS DOUBLE)), 6) END AS survival
+    FROM kmf WHERE d > 0
 )
 """
 

@@ -1,0 +1,76 @@
+"""Kaplan-Meier: textbook fixture, censoring semantics, bucket
+invariance."""
+
+import math
+
+import pytest
+
+from etl_extract_transform_load_spark.operators.survival import km_curve
+
+
+def _km_reference(pairs):
+    """Sequential textbook KM with the module's 6-dp round-then-sum
+    log fold."""
+    from collections import Counter
+
+    d = Counter()
+    c = Counter()
+    for t, e in pairs:
+        (d if e else c)[t] += 1
+    times = sorted(set(d) | set(c))
+    n = len(pairs)
+    out = {}
+    log_acc = 0.0
+    dead = False
+    for t in times:
+        if d[t] > 0:
+            if d[t] >= n:
+                dead = True
+            else:
+                log_acc = round(
+                    log_acc + round(math.log(1.0 - d[t] / n), 6), 6
+                )
+            out[t] = (n, d[t], c[t], 0.0 if dead else round(math.exp(log_acc), 6))
+        n -= d[t] + c[t]
+    return out
+
+
+CASE = [
+    (1.0, 1), (1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1),
+    (5.0, 0), (7.0, 1), (8.0, 0), (9.0, 0),
+]
+
+
+def test_km_textbook_and_bucket_invariance(spark):
+    df = spark.createDataFrame(CASE, "dur double, ev int")
+    want = _km_reference(CASE)
+    for nb in (1, 3, 256):
+        got = {
+            r["t"]: (r["n_risk"], r["n_event"], r["n_censored"], r["survival"])
+            for r in km_curve(df, "dur", "ev", n_buckets=nb).collect()
+        }
+        assert got == want, nb
+    # survival is monotone non-increasing over event times
+    curve = [v[3] for _, v in sorted(want.items())]
+    assert all(b <= a for a, b in zip(curve, curve[1:]))
+
+
+def test_km_everyone_dies_reaches_zero(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1)], "dur double, ev int"
+    )
+    rows = sorted(km_curve(df, "dur", "ev").collect(), key=lambda r: r["t"])
+    assert rows[-1]["survival"] == 0.0
+    assert rows[0]["survival"] == pytest.approx(round(math.exp(round(math.log(2 / 3), 6)), 6))
+
+
+def test_km_censoring_only_shrinks_risk_set(spark):
+    # censored subjects never create curve points but do shrink n
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1)], "dur double, ev int"
+    )
+    rows = km_curve(df, "dur", "ev").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["t"], r["n_risk"], r["n_event"]) == (3.0, 1, 1)
+    assert r["survival"] == 0.0  # the only one at risk fails

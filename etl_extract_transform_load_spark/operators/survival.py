@@ -81,7 +81,6 @@ def km_curve(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    rem = (F.col("d") + F.col("c")).alias("rem")
     step1 = per_t.withColumn("cum_rem", F.sum(F.col("d") + F.col("c")).over(w_in))
     tot1 = per_t.groupBy("bkt").agg(
         F.sum(F.col("d") + F.col("c")).alias("trem")

@@ -150,3 +150,122 @@ def km_curve(
             surv.alias("survival"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Log-rank test between two right-censored survival curves — "do
+    these cohorts convert/churn at the same rate", the hypothesis
+    test that goes with :func:`km_curve`:
+
+        z = (O₁ − E₁) / √V,
+        E₁ = Σ dₜ·n₁ₜ/nₜ,
+        V  = Σ dₜ·(n₁ₜ/nₜ)·(1 − n₁ₜ/nₜ)·(nₜ − dₜ)/(nₜ − 1)
+
+    over pooled distinct event times, with group-wise at-risk counts
+    from the same bucketed prefix-sum machinery (both groups' removal
+    prefixes ride ONE window pass).  Per-time E/V terms are 6-dp
+    rounded then decimal-summed; the final z is one pinned double
+    formula.  ``group_col`` must be 0/1; NULL groups/durations/events
+    drop.  Returns one row ``(n_g0, n_g1, o1, e1, v, z)``; z is NULL
+    when V = 0 (no comparable event times).
+    """
+    t = F.col(f"`{duration_col}`").cast("double")
+    e = F.col(f"`{event_col}`").cast("int")
+    g = F.col(f"`{group_col}`").cast("int")
+    base = df.filter(
+        t.isNotNull() & (t >= 0) & e.isNotNull() & g.isNotNull()
+    )
+    per_t = base.groupBy(t.alias("t")).agg(
+        F.sum(F.when(g == 1, e).otherwise(0)).alias("d1"),
+        F.sum(F.when(g == 1, 1 - e).otherwise(0)).alias("c1"),
+        F.sum(F.when(g == 0, e).otherwise(0)).alias("d0"),
+        F.sum(F.when(g == 0, 1 - e).otherwise(0)).alias("c0"),
+    )
+    span = per_t.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
+    mn, mx = span["mn"], span["mx"]
+    if mn is None:
+        return per_t.select(
+            F.lit(0).cast("long").alias("n_g0"),
+            F.lit(0).cast("long").alias("n_g1"),
+            F.lit(None).cast("long").alias("o1"),
+            F.lit(None).cast("double").alias("e1"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("double").alias("z"),
+        )
+    width = (mx - mn) / n_buckets if mx > mn else 0
+    if width == 0:
+        bkt = F.lit(0)
+    else:
+        bkt = F.least(
+            F.greatest(
+                F.floor((F.col("t") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    per_t = per_t.withColumn("bkt", bkt)
+    rem1 = F.col("d1") + F.col("c1")
+    rem0 = F.col("d0") + F.col("c0")
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    step = per_t.withColumn("cr1", F.sum(rem1).over(w_in)).withColumn(
+        "cr0", F.sum(rem0).over(w_in)
+    )
+    tot = per_t.groupBy("bkt").agg(
+        F.sum(rem1).alias("t1"), F.sum(rem0).alias("t0")
+    )
+    off = tot.select(
+        "bkt",
+        F.coalesce(F.sum("t1").over(w_b), F.lit(0)).alias("o1_"),
+        F.coalesce(F.sum("t0").over(w_b), F.lit(0)).alias("o0_"),
+    )
+    grand = tot.agg(
+        F.sum("t1").alias("N1"), F.sum("t0").alias("N0")
+    )
+    j = (
+        step.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "n1", F.col("N1") - (F.col("o1_") + F.col("cr1") - rem1)
+        )
+        .withColumn(
+            "n0", F.col("N0") - (F.col("o0_") + F.col("cr0") - rem0)
+        )
+    )
+    d = (F.col("d1") + F.col("d0")).cast("double")
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    n1d = F.col("n1").cast("double")
+    frac = n1d / n
+    e_term = F.when(d > 0, F.round(d * frac, 6)).otherwise(F.lit(0.0))
+    v_term = F.when(
+        (d > 0) & (n > 1),
+        F.round(d * frac * (1.0 - frac) * (n - d) / (n - 1.0), 6),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.max("N0").alias("n_g0"),
+        F.max("N1").alias("n_g1"),
+        F.sum("d1").alias("o1"),
+        F.sum(e_term.cast("decimal(28,6)")).alias("e1"),
+        F.sum(v_term.cast("decimal(28,6)")).alias("v"),
+    )
+    e1 = F.col("e1").cast("double")
+    v = F.col("v").cast("double")
+    z = F.when(v > 0, (F.col("o1").cast("double") - e1) / F.sqrt(v))
+    return agg.select(
+        F.col("n_g0").cast("long").alias("n_g0"),
+        F.col("n_g1").cast("long").alias("n_g1"),
+        F.col("o1").cast("long").alias("o1"),
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("v"),
+        F.round(z, 6).alias("z"),
+    )

@@ -74,3 +74,77 @@ def test_km_censoring_only_shrinks_risk_set(spark):
     r = rows[0]
     assert (r["t"], r["n_risk"], r["n_event"]) == (3.0, 1, 1)
     assert r["survival"] == 0.0  # the only one at risk fails
+
+
+# --- log-rank test --------------------------------------------------------------
+
+def _logrank_reference(rows):
+    """Sequential textbook log-rank with the module's rounding."""
+    from collections import defaultdict
+
+    times = sorted({t for t, _, _ in rows})
+    n1 = sum(1 for _, _, g in rows if g == 1)
+    n0 = len(rows) - n1
+    at1, at0 = n1, n0
+    o1 = 0
+    e1 = v = 0.0
+    removed = defaultdict(lambda: [0, 0])
+    ev = defaultdict(lambda: [0, 0])
+    for t, e, g in rows:
+        removed[t][g] += 1
+        if e:
+            ev[t][g] += 1
+    for t in times:
+        d1, d0 = ev[t][1], ev[t][0]
+        d, n = d1 + d0, at1 + at0
+        if d > 0:
+            frac = at1 / n
+            o1 += d1
+            e1 = round(e1 + round(d * frac, 6), 6)
+            if n > 1:
+                v = round(
+                    v + round(d * frac * (1 - frac) * (n - d) / (n - 1), 6),
+                    6,
+                )
+        at1 -= removed[t][1]
+        at0 -= removed[t][0]
+    import math
+
+    z = round((o1 - e1) / math.sqrt(v), 6) if v > 0 else None
+    return n0, n1, o1, round(e1, 6), round(v, 6), z
+
+
+def test_logrank_textbook_and_bucket_invariance(spark):
+    from etl_extract_transform_load_spark.operators.survival import (
+        logrank_test,
+    )
+
+    # group 1 fails systematically earlier than group 0
+    rows = (
+        [(1.0, 1, 1), (2.0, 1, 1), (2.0, 0, 1), (3.0, 1, 1), (5.0, 0, 1)]
+        + [(4.0, 1, 0), (6.0, 1, 0), (7.0, 0, 0), (8.0, 1, 0), (9.0, 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "dur double, ev int, g int")
+    want = _logrank_reference(rows)
+    for nb in (1, 4, 256):
+        r = logrank_test(df, "dur", "ev", "g", n_buckets=nb).collect()[0]
+        got = (r["n_g0"], r["n_g1"], r["o1"], r["e1"], r["v"], r["z"])
+        assert got == want, (nb, got, want)
+    # early-failing group: observed > expected -> positive z
+    assert want[5] > 0
+
+
+def test_logrank_identical_groups_z_near_zero(spark):
+    from etl_extract_transform_load_spark.operators.survival import (
+        logrank_test,
+    )
+
+    rows = [(float(t), 1, g) for t in range(1, 21) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "dur double, ev int, g int")
+    r = logrank_test(df, "dur", "ev", "g").collect()[0]
+    assert abs(r["z"]) < 0.01
+    # all-censored input: V = 0 -> NULL z
+    cens = spark.createDataFrame(
+        [(1.0, 0, 0), (2.0, 0, 1)], "dur double, ev int, g int"
+    )
+    assert logrank_test(cens, "dur", "ev", "g").collect()[0]["z"] is None

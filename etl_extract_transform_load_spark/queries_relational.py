@@ -1260,6 +1260,34 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_event").alias("user_id"),
         F.col("survival").alias("total"),
     )
+    # twelfth branch: log-rank test between the even/odd user cohorts'
+    # time-to-first-purchase curves (operators/survival.logrank_test —
+    # same subject frame, group-wise at-risk prefixes in one window
+    # pass); the statistic components ride window_start-tagged rows
+    from etl_extract_transform_load_spark.operators.survival import (
+        logrank_test,
+    )
+
+    lr_subjects = kmu.select(
+        F.when(F.col("fp").isNotNull(), F.col("fp") - F.col("f0"))
+        .otherwise(F.col("fl") - F.col("f0"))
+        .alias("dur"),
+        F.col("fp").isNotNull().cast("int").alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    lr = logrank_test(lr_subjects, "dur", "ev", "grp").selectExpr(
+        "n_g0",
+        "n_g1",
+        "stack(4, 'o1', cast(o1 as double), 'e1', e1,"
+        " 'v', v, 'z', z) as (tag, val)",
+    ).select(
+        F.lit("logrank").alias("part"),
+        F.col("tag").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_g0").alias("n_events"),
+        F.col("n_g1").alias("user_id"),
+        F.col("val").alias("total"),
+    )
     return (
         win.unionByName(run)
         .unionByName(coh)
@@ -1271,6 +1299,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fd)
         .unionByName(fconv)
         .unionByName(km)
+        .unionByName(lr)
     )
 
 
@@ -1652,6 +1681,76 @@ FROM (
            CASE WHEN cd > 0 THEN 0.0
                 ELSE ROUND(EXP(CAST(cl AS DOUBLE)), 6) END AS survival
     FROM kmf WHERE d > 0
+)
+UNION ALL
+SELECT 'logrank', tag, NULL::VARCHAR, n_g0, n_g1, val
+FROM (
+    WITH lru AS (
+        SELECT user_id,
+               FLOOR(MIN(EPOCH(ts))) AS f0,
+               FLOOR(MIN(CASE WHEN event_type = 'purchase'
+                              THEN EPOCH(ts) END)) AS fp,
+               FLOOR(MAX(EPOCH(ts))) AS fl
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    lrs AS (
+        SELECT CASE WHEN fp IS NOT NULL THEN fp - f0
+                    ELSE fl - f0 END AS dur,
+               CAST(fp IS NOT NULL AS INT) AS ev,
+               CAST(user_id % 2 AS INT) AS grp
+        FROM lru
+    ),
+    lrt AS (
+        SELECT CAST(dur AS DOUBLE) AS t,
+               SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1,
+               SUM(CASE WHEN grp = 1 THEN 1 - ev ELSE 0 END) AS c1,
+               SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d0,
+               SUM(CASE WHEN grp = 0 THEN 1 - ev ELSE 0 END) AS c0
+        FROM lrs WHERE dur IS NOT NULL AND dur >= 0
+        GROUP BY CAST(dur AS DOUBLE)
+    ),
+    lrc AS (
+        SELECT t, d1, d0,
+               (SELECT SUM(d1 + c1) FROM lrt)
+               - (SUM(d1 + c1) OVER (ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) - d1 - c1) AS n1,
+               (SELECT SUM(d0 + c0) FROM lrt)
+               - (SUM(d0 + c0) OVER (ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) - d0 - c0) AS n0
+        FROM lrt
+    ),
+    lrx AS (
+        SELECT CAST(d1 + d0 AS DOUBLE) AS d,
+               CAST(n1 + n0 AS DOUBLE) AS n,
+               CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS frac,
+               d1
+        FROM lrc
+    ),
+    lra AS (
+        SELECT (SELECT SUM(d0 + c0) FROM lrt) AS n_g0,
+               (SELECT SUM(d1 + c1) FROM lrt) AS n_g1,
+               SUM(d1) AS o1,
+               SUM(CASE WHEN d > 0
+                        THEN CAST(ROUND(d * frac, 6) AS DECIMAL(28,6))
+                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS e1,
+               SUM(CASE WHEN d > 0 AND n > 1
+                        THEN CAST(ROUND(d * frac * (1.0 - frac)
+                                        * (n - d) / (n - 1.0), 6)
+                                  AS DECIMAL(28,6))
+                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS v
+        FROM lrx
+    )
+    SELECT n_g0, n_g1, u.tag, u.val
+    FROM lra,
+         LATERAL (VALUES
+             ('o1', CAST(o1 AS DOUBLE)),
+             ('e1', ROUND(CAST(e1 AS DOUBLE), 6)),
+             ('v', ROUND(CAST(v AS DOUBLE), 6)),
+             ('z', ROUND(CASE WHEN CAST(v AS DOUBLE) > 0
+                   THEN (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                        / SQRT(CAST(v AS DOUBLE)) END, 6))
+         ) AS u(tag, val)
 )
 """
 

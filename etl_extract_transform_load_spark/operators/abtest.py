@@ -41,8 +41,12 @@ def ab_report(
 
     ``variant_col`` must be 0 (control) / 1 (treatment); ``success_col``
     0/1; ``metric_col`` the experiment metric y; ``covariate_col`` the
-    pre-period covariate x.  NULL variants are excluded; NULL
-    success/metric/covariate count as 0 (a unit that never converted).
+    pre-period covariate x.  NULL variants are excluded, and so is any
+    OTHER arm (the operator enforces its two-arm contract by filtering
+    to variant ∈ {0, 1} — a multi-arm frame previously leaked g≥2 rows
+    into the pooled CUPED sufficient statistics while n_c/n_t counted
+    only 0/1).  NULL success/metric/covariate count as 0 (a unit that
+    never converted).
 
     Columns: ``n_c, n_t, conv_c, conv_t, p_c, p_t, lift, z, theta,
     mean_adj_c, mean_adj_t, effect, var_reduction`` — 6-dp rounded
@@ -62,7 +66,7 @@ def ab_report(
     def per(v: int, expr):
         return F.sum(F.when(g == v, expr))
 
-    row = df.filter(g.isNotNull()).agg(
+    row = df.filter(g.isin(0, 1)).agg(
         F.sum(F.when(g == 0, 1).otherwise(0)).alias("n_c"),
         F.sum(F.when(g == 1, 1).otherwise(0)).alias("n_t"),
         per(0, s).alias("conv_c"),

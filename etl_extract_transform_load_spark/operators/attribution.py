@@ -69,6 +69,8 @@ def attribution_credit(
     touches = list(touch_types)
     if not touches:
         raise ValueError("touch_types must be non-empty")
+    if len(set(touches)) != len(touches):
+        raise ValueError("touch_types must be distinct")
     if conversion_type in touches:
         raise ValueError("conversion_type cannot also be a touch type")
 
@@ -95,18 +97,21 @@ def attribution_credit(
         base.withColumn("__first", F.first(touch_t, ignorenulls=True).over(w))
         .withColumn("__last", F.last(touch_t, ignorenulls=True).over(w))
     )
-    for c in touches:
+    # internal prior-count columns are keyed by POSITION, not by the
+    # channel name: an arbitrary touch type (quotes, spaces, dots,
+    # backticks) must never reach a column name or a SQL string
+    for idx, c in enumerate(touches):
         # sum over an EMPTY frame (the user's first event) is NULL,
         # not 0 — coalesce so no-prior-touch conversions stay visible
         cur = cur.withColumn(
-            f"__c_{c}",
+            f"__c_{idx}",
             F.coalesce(
                 F.sum(F.when(F.col("__t") == c, 1).otherwise(0)).over(w),
                 F.lit(0),
             ),
         )
     conv = cur.filter(F.col("__t") == conversion_type).withColumn(
-        "__n", sum(F.col(f"__c_{c}") for c in touches)
+        "__n", sum(F.col(f"__c_{idx}") for idx in range(len(touches)))
     )
 
     val6 = F.round(F.coalesce(F.col("__v"), F.lit(0.0)), 6)
@@ -129,16 +134,28 @@ def attribution_credit(
     last = _single("last_touch", F.col("__last"))
 
     # linear: per-conversion per-channel term value·cnt_c/n, rounded
-    # BEFORE the sum so accumulation is order-free; stack keeps it one
-    # pass over the conversion rows
-    stack_args = ", ".join(f"'{c}', __c_{c}" for c in touches)
+    # BEFORE the sum so accumulation is order-free; the unpivot is an
+    # explode over Column-built structs (never string SQL — channel
+    # names are data, not syntax) and stays one pass over the
+    # conversion rows
     lin_touched = (
         conv.filter(F.col("__n") > 0)
-        .selectExpr(
+        .select(
             "__v",
             "__n",
-            f"stack({len(touches)}, {stack_args}) as (channel, cnt)",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("channel"),
+                            F.col(f"__c_{idx}").alias("cnt"),
+                        )
+                        for idx, c in enumerate(touches)
+                    ]
+                )
+            ).alias("__s"),
         )
+        .select("__v", "__n", "__s.channel", "__s.cnt")
         .filter(F.col("cnt") > 0)
         .select(
             "channel",

@@ -324,10 +324,25 @@ def ks_two_sample(
             F.sum("in_cur").alias("c"),
         )
     )
-    span = per_v.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    span = per_v.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.coalesce(F.sum("r"), F.lit(0)).alias("nr"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
+    ).collect()[0]
     mn, mx = span["mn"], span["mx"]
-    if mn is None:
-        raise ValueError(f"ks_two_sample: no non-NULL {col} in either slice")
+    # EACH slice must be populated (the docstring contract): a single
+    # empty slice would otherwise flow a 0 denominator into D and
+    # surface as a silent NULL ks
+    if mn is None or span["nr"] == 0 or span["nc"] == 0:
+        raise ValueError(
+            f"ks_two_sample: no non-NULL {col} in "
+            + (
+                "either slice"
+                if mn is None
+                else ("the ref slice" if span["nr"] == 0 else "the cur slice")
+            )
+        )
     width = (mx - mn) / n_buckets
     if width == 0:
         bkt = F.lit(0)

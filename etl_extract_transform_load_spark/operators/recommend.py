@@ -95,6 +95,46 @@ def item_cooccurrence(
     )
 
 
+def basket_drop_stats(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 50,
+) -> DataFrame:
+    """One row ``(dropped_baskets, kept_baskets, dropped_rows)``
+    quantifying the :func:`item_cooccurrence` cap policy — how many
+    baskets exceed ``max_basket`` distinct items (and are therefore
+    DROPPED by the pair join), how many survive, and how many distinct
+    (basket, item) incidence rows the drop removes.  Emit this next to
+    any CF report: the drop is explicit policy, but at 100× scale the
+    dropped mass must stay observable, not assumed.
+    """
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    b = (
+        baskets.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+    )
+    sizes = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    over = F.col("__n") > max_basket
+    return sizes.agg(
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias(
+            "dropped_baskets"
+        ),
+        F.coalesce(F.sum((~over).cast("long")), F.lit(0)).alias(
+            "kept_baskets"
+        ),
+        F.coalesce(
+            F.sum(F.when(over, F.col("__n")).otherwise(0)), F.lit(0)
+        ).alias("dropped_rows"),
+    )
+
+
 def item_cooccurrence_topk(
     baskets: DataFrame,
     basket_col: str,

@@ -46,6 +46,8 @@ def km_curve(
     ``(t, n_risk, n_event, n_censored, survival)`` — censored-only
     times don't change S(t) and are folded into the at-risk
     bookkeeping only.  NULL/negative durations and NULL events drop.
+    Input with no valid subjects returns an EMPTY frame (a curve with
+    no event times has no rows), same schema.
     """
     t = F.col(f"`{duration_col}`").cast("double")
     e = F.col(f"`{event_col}`").cast("int")
@@ -190,13 +192,12 @@ def logrank_test(
     span = per_t.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
     mn, mx = span["mn"], span["mx"]
     if mn is None:
-        return per_t.select(
-            F.lit(0).cast("long").alias("n_g0"),
-            F.lit(0).cast("long").alias("n_g1"),
-            F.lit(None).cast("long").alias("o1"),
-            F.lit(None).cast("double").alias("e1"),
-            F.lit(None).cast("double").alias("v"),
-            F.lit(None).cast("double").alias("z"),
+        # the documented one-row summary must exist even with zero
+        # valid subjects — selecting literals over the EMPTY per_t
+        # would return zero rows, so build the row explicitly
+        return df.sparkSession.createDataFrame(
+            [(0, 0, None, None, None, None)],
+            "n_g0 long, n_g1 long, o1 long, e1 double, v double, z double",
         )
     width = (mx - mn) / n_buckets if mx > mn else 0
     if width == 0:

@@ -315,9 +315,15 @@ FROM (
         FROM pcum
     )
     SELECT abc_class, COUNT(*) AS n_keys,
+           -- denominator mirrors the Spark carrier's __tot exactly:
+           -- a decimal(28,6) re-cast of the DOUBLE per-key value
+           -- (pareto_classes emits value as double), so numerator and
+           -- denominator stay hash-identical at any scale factor
            ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6)))
                       AS DOUBLE)
-                 / CAST((SELECT SUM(v) FROM pkv) AS DOUBLE), 6)
+                 / CAST((SELECT SUM(CAST(CAST(v AS DOUBLE)
+                                    AS DECIMAL(28,6))) FROM pkv)
+                        AS DOUBLE), 6)
                AS share
     FROM pcls GROUP BY abc_class
 )

@@ -393,6 +393,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     from etl_extract_transform_load_spark.operators.recommend import (
+        basket_drop_stats,
         item_cooccurrence_topk,
     )
 
@@ -406,7 +407,20 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("o_totalprice"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return top3.unionByName(cf)
+    # third branch: the drop-policy observability row — how many
+    # baskets the max_basket=50 cap removed (dropped count rides
+    # o_custkey, kept rides o_orderkey, dropped incidence rows rides
+    # o_totalprice); at 100× scale the dropped mass must be watched
+    cf_meta = basket_drop_stats(
+        li, "l_orderkey", "l_partkey", max_basket=50
+    ).select(
+        F.lit("cf_meta").alias("part"),
+        F.col("dropped_baskets").alias("o_custkey"),
+        F.col("kept_baskets").alias("o_orderkey"),
+        F.col("dropped_rows").cast("double").alias("o_totalprice"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return top3.unionByName(cf).unionByName(cf_meta)
 
 
 ORACLE_WINDOW_TOPK = """
@@ -452,6 +466,24 @@ FROM (
     JOIN cfn x ON p.item_i = x.i
     JOIN cfn y ON p.item_j = y.i
     QUALIFY rank <= 100
+)
+UNION ALL
+SELECT 'cf_meta', dropped_baskets, kept_baskets,
+       CAST(dropped_rows AS DOUBLE), CAST(NULL AS INT)
+FROM (
+    SELECT COALESCE(SUM(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0)
+               AS dropped_baskets,
+           COALESCE(SUM(CASE WHEN n <= 50 THEN 1 ELSE 0 END), 0)
+               AS kept_baskets,
+           COALESCE(SUM(CASE WHEN n > 50 THEN n ELSE 0 END), 0)
+               AS dropped_rows
+    FROM (
+        SELECT b, COUNT(*) AS n FROM (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        ) GROUP BY b
+    )
 )
 """
 
@@ -1231,6 +1263,10 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ep = F.col("ts").cast("double")
+    # checkpointed (the funnel `wide` pattern above): km_curve and
+    # logrank_test each run a span-decide plus a final materialization
+    # against this user-grain frame — four events-scan replays without
+    # it, one with it
     kmu = (
         events.filter(
             F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -1243,6 +1279,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
             F.floor(F.max(ep)).alias("fl"),
         )
+        .localCheckpoint()
     )
     subjects = kmu.select(
         F.when(

@@ -79,3 +79,22 @@ def test_ab_degenerate_cases(spark):
     )
     r3 = ab_report(nulls, "g", "s", "y", "x").collect()[0]
     assert (r3["n_c"], r3["conv_c"]) == (1, 0) and r3["p_c"] == 0.0
+
+
+def test_ab_multi_arm_rows_fully_excluded(spark):
+    """g ∉ {0,1} must not leak into ANY statistic — previously the pooled
+    sxx/sxy/syy included arm-2 rows while n_c/n_t did not."""
+    base = [
+        (0, 1, 1.0, 2.0),
+        (0, 0, 2.0, 1.0),
+        (1, 1, 3.0, 5.0),
+        (1, 0, 1.0, 0.0),
+    ]
+    two = spark.createDataFrame(base, "g int, s int, x double, y double")
+    three = spark.createDataFrame(
+        base + [(2, 1, 100.0, 100.0), (7, 1, -50.0, 3.0)],
+        "g int, s int, x double, y double",
+    )
+    r2 = ab_report(two, "g", "s", "y", "x").collect()[0]
+    r3 = ab_report(three, "g", "s", "y", "x").collect()[0]
+    assert r2.asDict() == r3.asDict()

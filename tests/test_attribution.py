@@ -101,3 +101,33 @@ def test_attribution_single_exchange(fixture_events):
         attribution_credit(fixture_events).explain(mode="formatted")
     txt = plan.getvalue()
     assert txt.count("Exchange hashpartitioning(__u") <= 2  # window + reuse
+
+
+def test_attribution_hostile_channel_names(spark):
+    """Channel names are data, never SQL/identifier syntax: quotes,
+    spaces, dots and backticks must flow through untouched."""
+    hostile = ["pa'id", "organic search", "a.b", "tick`er"]
+    rows = []
+    for i, ch in enumerate(hostile):
+        rows.append((1, i * 10, ch, None, float(i)))
+    rows.append((1, 99, "purchase", None, 8.0))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+        "props string, value double"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = attribution_credit(
+        df, touch_types=tuple(hostile), conversion_type="purchase"
+    ).collect()
+    got = {(r["model"], r["channel"]): r["credit"] for r in out}
+    assert got[("first_touch", "pa'id")] == 8.0
+    assert got[("last_touch", "tick`er")] == 8.0
+    # linear: 8.0 / 4 per channel
+    for ch in hostile:
+        assert got[("linear", ch)] == 2.0
+
+
+def test_attribution_rejects_duplicate_touch_types(fixture_events):
+    with pytest.raises(ValueError):
+        attribution_credit(fixture_events, touch_types=("view", "view"))

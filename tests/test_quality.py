@@ -299,3 +299,23 @@ def test_benford_digit_mechanics(spark):
     assert rows[1] == 4  # 1.0, 10.0, 100.0, 1000.0
     assert rows[9] == 2  # 9.999, 99.9
     assert sum(rows.values()) == 6  # 0.5 and NULL excluded
+
+
+def test_ks_raises_when_one_slice_empty(spark):
+    """The docstring contract: EITHER slice empty of non-NULLs raises
+    (previously a single empty slice flowed a 0 denominator into a
+    silent NULL ks)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.operators.quality import (
+        ks_two_sample,
+    )
+
+    pop = spark.range(0, 50).select(F.col("id").cast("double").alias("x"))
+    empty = spark.createDataFrame([(None,)], "x double")
+    with _pytest.raises(ValueError, match="ref slice"):
+        ks_two_sample(empty, pop, "x")
+    with _pytest.raises(ValueError, match="cur slice"):
+        ks_two_sample(pop, empty, "x")

@@ -55,3 +55,32 @@ def test_topk_rank_deterministic(baskets):
     # cos(1,2) == cos(2,3) tie -> item ids break it: (1,2) first
     assert (out[0]["item_i"], out[0]["item_j"]) == (1, 2)
     assert (out[1]["item_i"], out[1]["item_j"]) == (2, 3)
+
+
+def test_basket_drop_stats_counts_capped_mass(spark):
+    from etl_extract_transform_load_spark.operators.recommend import (
+        basket_drop_stats,
+    )
+
+    # basket 1: 10 distinct items (dropped at cap 5, incl. a dup row
+    # that must NOT inflate the incidence count); basket 2: 2 items
+    rows = [(1, i) for i in range(10)] + [(1, 0), (2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    r = basket_drop_stats(df, "b", "i", max_basket=5).collect()[0]
+    assert (r["dropped_baskets"], r["kept_baskets"], r["dropped_rows"]) == (
+        1,
+        1,
+        10,
+    )
+    # empty input: zeros, not NULLs (the carrier row must hash stably)
+    empty = spark.createDataFrame([], "b long, i long")
+    r0 = basket_drop_stats(empty, "b", "i").collect()[0]
+    assert (r0["dropped_baskets"], r0["kept_baskets"], r0["dropped_rows"]) == (
+        0,
+        0,
+        0,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        basket_drop_stats(df, "b", "i", max_basket=1)

@@ -148,3 +148,34 @@ def test_logrank_identical_groups_z_near_zero(spark):
         [(1.0, 0, 0), (2.0, 0, 1)], "dur double, ev int, g int"
     )
     assert logrank_test(cens, "dur", "ev", "g").collect()[0]["z"] is None
+
+
+def test_logrank_empty_input_returns_one_summary_row(spark):
+    """Zero valid subjects still produce the documented one-row
+    summary (previously literals over the empty per-time frame
+    returned zero rows)."""
+    from etl_extract_transform_load_spark.operators.survival import (
+        logrank_test,
+    )
+
+    empty = spark.createDataFrame(
+        [(None, None, None)], "dur double, ev int, grp int"
+    )
+    rows = logrank_test(empty, "dur", "ev", "grp").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_g0"], r["n_g1"]) == (0, 0)
+    assert r["o1"] is None and r["e1"] is None and r["z"] is None
+
+
+def test_km_empty_input_returns_empty_curve(spark):
+    from etl_extract_transform_load_spark.operators.survival import (
+        km_curve,
+    )
+
+    empty = spark.createDataFrame([(None, None)], "dur double, ev int")
+    out = km_curve(empty, "dur", "ev")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "t", "n_risk", "n_event", "n_censored", "survival",
+    ]

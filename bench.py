@@ -49,6 +49,68 @@ def serialize_line(out: dict) -> str:
     return line
 
 
+#: Carriers instrumented for per-branch attribution (the heaviest
+#: tag-union queries; VERDICT r6 "What's wrong" #1). --branches mode
+#: times each branch's own action plus its eager decide sections.
+BRANCH_CARRIERS: tuple[str, ...] = (
+    "describe_stats",
+    "windowed_counts_events",
+    "dedup_exact_clusters",
+    "kmeans_cluster",
+    "dedup_connected_components",
+)
+
+
+def branches_main() -> None:
+    """Per-branch timing sweep: NOT the driver contract — a local
+    attribution mode. Prints one JSON line per carrier:
+    {"carrier": name, "branches": {branch: sec}, "total": sec}.
+    Branch times overlap with each other (threaded carriers) and with
+    the final union action, so branches don't sum to total — each
+    number is the branch's own isolated wall cost on warm caches,
+    which is exactly what regression localization needs."""
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        collecting_branch_timings,
+    )
+
+    d = sf_dir()
+    sf = d.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="etl_spark_bench_branches")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{d}/lineitem.parquet").count()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    spark.createDataFrame([(1, "w")], "id int, s string").count()
+
+    qs = queries()
+    only = [a for a in sys.argv[2:] if not a.startswith("-")]
+    names = [n for n in (only or BRANCH_CARRIERS) if n in qs]
+    for name in names:
+        sink: dict[str, float] = {}
+        t0 = time.perf_counter()
+        with collecting_branch_timings(sink):
+            df = qs[name](spark, d)
+            df.count()
+        total = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {
+                    "carrier": name,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "total": total,
+                    "branches": {
+                        k: round(v, 2) for k, v in sorted(sink.items())
+                    },
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 def main() -> None:
     d = sf_dir()
     sf = d.rstrip("/").split("sf")[-1]
@@ -147,4 +209,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--branches":
+        branches_main()
+    else:
+        main()

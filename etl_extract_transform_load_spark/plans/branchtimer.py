@@ -1,0 +1,107 @@
+"""Per-branch wall-clock attribution for tag-union carrier queries.
+
+The 50-query driver window forces operator families to ride shared
+"carrier" queries as tag-union branches (``part = 'km'``, ``metric
+LIKE 'ab:%'`` …).  The per-query bench number therefore measures a
+whole carrier, never an operator — a regression in one branch hides
+inside a 10-branch total, and attribution degrades to prose.  This
+module restores mechanical attribution WITHOUT changing what the
+driver measures:
+
+- **Default mode (driver, bench, tests): zero-cost.**  No timing
+  context is active; :func:`probe_branch` returns its frame untouched
+  and :func:`timed_branch` is a no-op wrapper.  Plans, caches, hashes
+  and timings are bit-identical to an uninstrumented build.
+- **``bench.py --branches`` mode:** a :func:`collecting_branch_timings`
+  context is active while the carrier builds and materializes.  Each
+  branch assembled through :func:`probe_branch` is forced with its own
+  timed ``count()`` (inside the carrier's cache context, so shared
+  persists are warm exactly as the real union would see them), and
+  eager decide sections wrapped in :func:`timed_branch` add their
+  driver-side build time to the same branch key.
+
+The active sink is deliberately process-GLOBAL, not thread-local:
+carriers submit independent branches from ``ThreadPoolExecutor``
+threads (``describe_stats``), and those threads must record into the
+same sink.  ``--branches`` runs carriers sequentially, so one global
+slot is sufficient; a lock serializes the per-key accumulation.
+
+Per-branch numbers land in ``docs/SCALE_NOTES.md`` as the regression
+baseline; the driver-facing ``bench.py`` default output is unchanged.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from contextlib import contextmanager
+from typing import Dict, Iterator, Optional
+
+from pyspark.sql import DataFrame
+
+_lock = threading.Lock()
+_active: Optional[Dict[str, float]] = None
+
+
+def timings_active() -> bool:
+    """True while a :func:`collecting_branch_timings` context is open."""
+    return _active is not None
+
+
+@contextmanager
+def collecting_branch_timings(sink: Dict[str, float]) -> Iterator[None]:
+    """Route branch timings into ``sink`` (branch name → seconds).
+
+    Repeated records under one name accumulate (a branch's eager
+    decide section plus its lazy materialization sum into one number).
+    Not reentrant: carriers run one at a time in ``--branches`` mode.
+    """
+    global _active
+    if _active is not None:
+        raise RuntimeError("branch timing context already active")
+    _active = sink
+    try:
+        yield
+    finally:
+        _active = None
+
+
+def _record(name: str, seconds: float) -> None:
+    sink = _active
+    if sink is None:
+        return
+    with _lock:
+        sink[name] = sink.get(name, 0.0) + seconds
+
+
+@contextmanager
+def timed_branch(name: str) -> Iterator[None]:
+    """Attribute an eager (driver-side decide) section to ``name``.
+
+    No-op when no timing context is active — safe to leave in carrier
+    hot paths permanently.
+    """
+    if _active is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _record(name, time.perf_counter() - t0)
+
+
+def probe_branch(name: str, df: DataFrame) -> DataFrame:
+    """Attribute a lazy branch frame to ``name``.
+
+    Default mode: identity — the frame flows into the carrier union
+    untouched.  Timing mode: force the branch with its own ``count()``
+    (timed), then return it; the carrier's final action still runs, so
+    the union result is identical, only measured piecewise.
+    """
+    if _active is None:
+        return df
+    t0 = time.perf_counter()
+    df.count()
+    _record(name, time.perf_counter() - t0)
+    return df

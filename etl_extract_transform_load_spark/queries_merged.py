@@ -531,23 +531,29 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         simple_linear_fit,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     with released_caches():
         # persist WITHOUT repartitioning: the cache is built and
         # released inside this one query, so a pre-persist shuffle
         # would be paid on every invocation but amortized over only
         # ~6 branch jobs — measured net-negative at sf0.1
-        li = persist_tracked(
-            load_table(spark, sf_dir, "lineitem").select(*li_cols)
-        )
-        li.count()  # build the cache ONCE before branches race on it
-        # the gq/value-counts/clf/te legs all read documents — ONE
-        # 3-column tracked persist instead of four parquet scans
-        docs3 = persist_tracked(
-            load_table(spark, sf_dir, "documents").select(
-                "n_chars", "lang", "source"
+        with timed_branch("setup"):
+            li = persist_tracked(
+                load_table(spark, sf_dir, "lineitem").select(*li_cols)
             )
-        )
-        docs3.count()
+            li.count()  # build the cache ONCE before branches race on it
+            # the gq/value-counts/clf/te legs all read documents — ONE
+            # 3-column tracked persist instead of four parquet scans
+            docs3 = persist_tracked(
+                load_table(spark, sf_dir, "documents").select(
+                    "n_chars", "lang", "source"
+                )
+            )
+            docs3.count()
 
         # the describe / EDA / grouped-quantile branches each run
         # driver-mediated decide jobs (SURVEY §4); they are mutually
@@ -639,14 +645,26 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
 
+        # branch attribution (bench --branches): the eager decide work
+        # inside each builder books to its branch name; zero-cost when
+        # no timing context is active
+        def _timed(name, fn, *args):
+            def run():
+                with timed_branch(name):
+                    return fn(*args)
+
+            return run
+
         with ThreadPoolExecutor(max_workers=5) as pool:
-            f_stacked = pool.submit(_describe)
-            f_gq = pool.submit(_gq)
+            f_stacked = pool.submit(_timed("describe", _describe))
+            f_gq = pool.submit(_timed("gq", _gq))
             # EDA surface: histogram buckets + pairwise Pearson
             # flattened into the same (metric, value) stack
-            f_eda = pool.submit(eda_metric_value, spark, sf_dir, li)
-            f_winsor = pool.submit(_winsor)
-            f_sp = pool.submit(_spearman)
+            f_eda = pool.submit(
+                _timed("eda", eda_metric_value, spark, sf_dir, li)
+            )
+            f_winsor = pool.submit(_timed("winsor", _winsor))
+            f_sp = pool.submit(_timed("spearman", _spearman))
             stacked, gq_df, eda, winsor, sp_rows = (
                 f_stacked.result(), f_gq.result(), f_eda.result(),
                 f_winsor.result(), f_sp.result(),
@@ -854,19 +872,20 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = (
-            stacked.unionByName(vc)
-            .unionByName(mad)
-            .unionByName(eda)
-            .unionByName(gq_df)
-            .unionByName(lm)
-            .unionByName(clf)
-            .unionByName(acf_rows)
-            .unionByName(te)
-            .unionByName(ab)
-            .unionByName(winsor)
-            .unionByName(ct)
-            .unionByName(sp_rows)
-            .unionByName(woe_rows)
+            probe_branch("describe", stacked)
+            .unionByName(probe_branch("vc", vc))
+            .unionByName(probe_branch("mad", mad))
+            .unionByName(probe_branch("eda", eda))
+            .unionByName(probe_branch("gq", gq_df))
+            .unionByName(probe_branch("lm", lm))
+            .unionByName(probe_branch("clf", clf))
+            .unionByName(probe_branch("acf", acf_rows))
+            .unionByName(probe_branch("te", te))
+            .unionByName(probe_branch("ab", ab))
+            .unionByName(probe_branch("winsor", winsor))
+            .unionByName(probe_branch("ct", ct))
+            .unionByName(probe_branch("spearman", sp_rows))
+            .unionByName(probe_branch("woe", woe_rows))
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -2844,15 +2863,23 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_extract_transform_load_spark.sources.readers import load_table
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb).localCheckpoint()
+    with timed_branch("centroids"):
+        cents = label_centroids(emb).localCheckpoint()
     # Arrow assigner: zero-shuffle scan-stage E-step, bit-identical to
     # the expression variant (see assign_to_centroids_arrow docstring)
-    assigned = assign_to_centroids_arrow(
-        emb, collect_centroid_rows(cents)
-    ).localCheckpoint()
+    with timed_branch("assign"):
+        assigned = assign_to_centroids_arrow(
+            emb, collect_centroid_rows(cents)
+        ).localCheckpoint()
     relabeled = emb.join(assigned.select("vec_id", "assigned_label"), "vec_id")
-    refined = label_centroids(relabeled, "assigned_label").localCheckpoint()
+    with timed_branch("refine"):
+        refined = label_centroids(relabeled, "assigned_label").localCheckpoint()
     # second Lloyd iteration chained off the checkpointed refine-1
     # centroids — pins the multi-iteration (kmeans_converge) E/M loop
     # against a 2-round recursive oracle, not just a single step
@@ -2917,12 +2944,22 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_cos").cast("double").alias("cos_sim"),
     )
     return (
-        cent_part(_serialize_centroid(cents), "centroids")
-        .unionByName(assign)
-        .unionByName(cent_part(_serialize_centroid(refined), "refine"))
-        .unionByName(cent_part(_serialize_centroid(refined2), "refine2"))
-        .unionByName(quant)
-        .unionByName(sem)
+        probe_branch(
+            "centroids", cent_part(_serialize_centroid(cents), "centroids")
+        )
+        .unionByName(probe_branch("assign", assign))
+        .unionByName(
+            probe_branch(
+                "refine", cent_part(_serialize_centroid(refined), "refine")
+            )
+        )
+        .unionByName(
+            probe_branch(
+                "refine2", cent_part(_serialize_centroid(refined2), "refine2")
+            )
+        )
+        .unionByName(probe_branch("quant", quant))
+        .unionByName(probe_branch("semdedup", sem))
     )
 
 

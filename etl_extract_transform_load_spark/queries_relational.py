@@ -1014,6 +1014,11 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals_batch,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     events = load_table(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd HH:mm:ss"
     win = windowed_counts(events, window_duration="1 hour").select(
@@ -1159,7 +1164,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed: the grouped-quantile decides (fdelay) and the
     # Wilson aggregate (fconv) both read this small per-user frame —
     # without it every decide round re-runs the funnel windows
-    wide = (
+    wide_lazy = (
         funnel_reach(events, ["view", "click", "purchase"])
         .groupBy("user_id")
         .agg(
@@ -1172,8 +1177,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(3)
             ]
         )
-        .localCheckpoint()
     )
+    with timed_branch("fdelay"):
+        wide = wide_lazy.localCheckpoint()
     delays = (
         wide.select(
             F.lit("click").alias("step"),
@@ -1189,9 +1195,10 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("delay").isNotNull())
     )
-    fq = grouped_exact_quantiles(
-        delays, "step", "delay", [0.25, 0.5, 0.75]
-    )
+    with timed_branch("fdelay"):
+        fq = grouped_exact_quantiles(
+            delays, "step", "delay", [0.25, 0.5, 0.75]
+        )
     fd_rows = [
         (f"{step}:q{tag}", round_half_up6(v))
         for step, qs in fq.items()
@@ -1267,7 +1274,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # logrank_test each run a span-decide plus a final materialization
     # against this user-grain frame — four events-scan replays without
     # it, one with it
-    kmu = (
+    kmu_lazy = (
         events.filter(
             F.col("user_id").isNotNull() & F.col("ts").isNotNull()
         )
@@ -1279,8 +1286,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
             F.floor(F.max(ep)).alias("fl"),
         )
-        .localCheckpoint()
     )
+    with timed_branch("km"):
+        kmu = kmu_lazy.localCheckpoint()
     subjects = kmu.select(
         F.when(
             F.col("fp").isNotNull(), F.col("fp") - F.col("f0")
@@ -1289,7 +1297,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur"),
         F.col("fp").isNotNull().cast("int").alias("ev"),
     )
-    km = km_curve(subjects, "dur", "ev").select(
+    with timed_branch("km"):
+        km_raw = km_curve(subjects, "dur", "ev")
+    km = km_raw.select(
         F.lit("km").alias("part"),
         F.col("t").cast("long").cast("string").alias("window_start"),
         F.lit(None).cast("string").alias("event_type"),
@@ -1312,7 +1322,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").isNotNull().cast("int").alias("ev"),
         (F.col("user_id") % 2).cast("int").alias("grp"),
     )
-    lr = logrank_test(lr_subjects, "dur", "ev", "grp").selectExpr(
+    with timed_branch("logrank"):
+        lr_raw = logrank_test(lr_subjects, "dur", "ev", "grp")
+    lr = lr_raw.selectExpr(
         "n_g0",
         "n_g1",
         "stack(4, 'o1', cast(o1 as double), 'e1', e1,"
@@ -1326,17 +1338,18 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("total"),
     )
     return (
-        win.unionByName(run)
-        .unionByName(coh)
-        .unionByName(eng)
-        .unionByName(tm)
-        .unionByName(attr)
-        .unionByName(sea)
-        .unionByName(ov_rows)
-        .unionByName(fd)
-        .unionByName(fconv)
-        .unionByName(km)
-        .unionByName(lr)
+        probe_branch("window", win)
+        .unionByName(probe_branch("running", run))
+        .unionByName(probe_branch("cohort", coh))
+        .unionByName(probe_branch("engage", eng))
+        .unionByName(probe_branch("trans", tm))
+        .unionByName(probe_branch("attr", attr))
+        .unionByName(probe_branch("season", sea))
+        .unionByName(probe_branch("overlap", ov_rows))
+        .unionByName(probe_branch("fdelay", fd))
+        .unionByName(probe_branch("fconv", fconv))
+        .unionByName(probe_branch("km", km))
+        .unionByName(probe_branch("logrank", lr))
     )
 
 

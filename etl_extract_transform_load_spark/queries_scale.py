@@ -215,16 +215,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         released_caches,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     # materialize the pair edges INSIDE released_caches: the checkpoint
     # holds the result, and the shingle-sketch persist the operator
     # made underneath is dropped before this query returns (ADVICE-1
     # seam — a session composing many dedup calls stays cache-clean)
-    with released_caches():
+    with timed_branch("edges"), released_caches():
         pairs = jaccard_near_dup_pairs(
             docs, threshold=0.3
         ).localCheckpoint()
-    star = connected_components_star(pairs).select(
+    with timed_branch("star"):
+        star_raw = connected_components_star(pairs)
+    star = star_raw.select(
         F.lit("star").alias("algo"), "node", "component"
     )
     # third branch: PageRank centrality over the SAME (symmetrized)
@@ -256,7 +263,31 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.col("triangles").cast("long").alias("component"),
     )
-    return star.unionByName(pr).unionByName(tri)
+    # fifth branch (r7): INCREMENTAL components — the standing-index
+    # face of the dedup graph. A deterministic third of the edges
+    # arrives as the "new batch" against the standing table built from
+    # the rest; the merged table must be row-identical to the full
+    # star fixpoint (same oracle CTE), proving new edges fold in
+    # O(batch) without recomputing the world.
+    from etl_extract_transform_load_spark.scale.components import (
+        components_incremental_update,
+    )
+
+    batch_key = (F.col("id_a") + F.col("id_b")) % 3
+    with timed_branch("incr"):
+        base = connected_components_star(pairs.filter(batch_key != 0))
+        incr_full = components_incremental_update(
+            base, pairs.filter(batch_key == 0)
+        )
+    incr = incr_full.select(
+        F.lit("incr").alias("algo"), "node", "component"
+    )
+    return (
+        probe_branch("star", star)
+        .unionByName(probe_branch("pagerank", pr))
+        .unionByName(probe_branch("triangles", tri))
+        .unionByName(probe_branch("incr", incr))
+    )
 
 
 #: Fixed sweep count for the oracle-pinned PageRank branch.
@@ -350,6 +381,10 @@ tcnt AS (
     GROUP BY node
 )
 SELECT 'star' AS algo, node, component FROM comp
+UNION ALL
+-- the incremental branch must converge to the SAME fixpoint as the
+-- full rebuild — that equality is exactly what it verifies
+SELECT 'incr' AS algo, node, component FROM comp
 UNION ALL
 SELECT 'triangles' AS algo, node, c AS component FROM tcnt
 UNION ALL
@@ -931,6 +966,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_positional_table,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     # the persisted gram table is read three times (dupspan frequency
     # agg + join-back, contamspan hits) — materialize both span
     # results inside released_caches (checkpoints hold the small rows)
@@ -940,19 +980,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ = persist_tracked(
             hashed_positional_table(docs, n=8, portable=True), True
         )
-        span_rows = duplicated_spans(
-            docs, n=8, min_docs=2, occ=occ
-        ).localCheckpoint()
+        with timed_branch("dupspan"):
+            span_rows = duplicated_spans(
+                docs, n=8, min_docs=2, occ=occ
+            ).localCheckpoint()
         # fifth branch (r6): SPAN-level decontamination against the
         # same id<10 benchmark — where exactly the leak sits, so spans
         # can be cut instead of docs dropped
-        cspan_rows = contaminated_spans(
-            docs,
-            docs.filter(F.col("doc_id") < 10),
-            n=8,
-            portable=True,
-            occ=occ,
-        ).localCheckpoint()
+        with timed_branch("contamspan"):
+            cspan_rows = contaminated_spans(
+                docs,
+                docs.filter(F.col("doc_id") < 10),
+                n=8,
+                portable=True,
+                occ=occ,
+            ).localCheckpoint()
 
     def span_slots(rows: DataFrame, part: str) -> DataFrame:
         return rows.select(
@@ -994,11 +1036,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        clusters.unionByName(contam)
-        .unionByName(incr)
-        .unionByName(span_slots(span_rows, "dupspan"))
-        .unionByName(span_slots(cspan_rows, "contamspan"))
-        .unionByName(gold)
+        probe_branch("clusters", clusters)
+        .unionByName(probe_branch("contamination", contam))
+        .unionByName(probe_branch("incremental", incr))
+        .unionByName(
+            probe_branch("dupspan", span_slots(span_rows, "dupspan"))
+        )
+        .unionByName(
+            probe_branch(
+                "contamspan", span_slots(cspan_rows, "contamspan")
+            )
+        )
+        .unionByName(probe_branch("golden", gold))
     )
 
 

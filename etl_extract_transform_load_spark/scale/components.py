@@ -233,6 +233,105 @@ def _small_star(directed: DataFrame) -> DataFrame:
     return moved.union(self_edges).distinct()
 
 
+def components_incremental_update(
+    components: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Merge a batch of NEW edges into a standing ``(node, component)``
+    table without recomputing the world — the incremental face of the
+    dedup graph, completing the standing-index family (MinHash index
+    upserts, postings upserts, streaming dedup) with component state.
+
+    Correctness rests on contraction: connectivity of (old edges ∪
+    batch) equals connectivity of (old COMPONENTS ∪ batch), because
+    each old component is already one connected unit and its canonical
+    label is its minimum node id. So:
+
+    1. map each batch endpoint to its current component id (one
+       lookup join against the standing table; unseen nodes map to
+       themselves) — the contracted edge list is O(batch);
+    2. run :func:`connected_components_star` on the contracted edges
+       ALONE — O(batch·log batch) work, independent of corpus size;
+    3. the resulting ``delta`` (old-component-or-new-node → merged
+       min label) is O(batch) rows — broadcast it and remap the
+       standing table in one scan; endpoints never seen before enter
+       with their merged label.
+
+    Labels stay = min reachable node id (min over merged old minima
+    and new ids is the global min), so the output is row-identical to
+    a full rebuild over the union of all edges ever seen — pinned by
+    ``tests/test_text_components.py`` on randomized edge batches.
+
+    At 100 TB: keep the standing table bucketed by ``node`` so the
+    two endpoint-lookup joins co-locate without a full shuffle, and
+    by partition-pruning on ``component`` only the partitions holding
+    remapped components are rewritten; the delta side is always
+    broadcast-sized (≤ 2·|batch| rows).
+    """
+    comp = components.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+    e = new_edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    # 1. endpoint → current component (new nodes: themselves). TWO
+    # lookup joins of the small batch against the standing table —
+    # co-located under node-bucketing, never a cartesian.
+    cu = comp.select(
+        F.col("node").alias("u"), F.col("component").alias("cu")
+    )
+    cv = comp.select(
+        F.col("node").alias("v"), F.col("component").alias("cv")
+    )
+    mapped = (
+        e.join(cu, "u", "left").join(cv, "v", "left").localCheckpoint()
+    )
+    contracted = mapped.select(
+        F.coalesce(F.col("cu"), F.col("u")).alias("id_a"),
+        F.coalesce(F.col("cv"), F.col("v")).alias("id_b"),
+    )
+    # 2. CC over the contracted batch graph only
+    delta = connected_components_star(
+        contracted, max_iter=max_iter
+    ).localCheckpoint()
+    # 3. remap standing rows whose component merged (delta keyed by
+    # the OLD component id), broadcast — one scan of the world
+    remap = delta.select(
+        F.col("node").alias("component"),
+        F.col("component").alias("new_component"),
+    )
+    updated = comp.join(F.broadcast(remap), "component", "left").select(
+        "node",
+        F.coalesce(F.col("new_component"), F.col("component")).alias(
+            "component"
+        ),
+    )
+    # 4. endpoints never seen before: their mapping came back NULL in
+    # step 1 — O(batch) rows, final label from the broadcast delta
+    fresh = (
+        mapped.filter(F.col("cu").isNull())
+        .select(F.col("u").alias("node"))
+        .union(
+            mapped.filter(F.col("cv").isNull()).select(
+                F.col("v").alias("node")
+            )
+        )
+        .distinct()
+    )
+    fresh_rows = fresh.join(
+        F.broadcast(delta), "node", "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+    return updated.unionByName(fresh_rows)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

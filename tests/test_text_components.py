@@ -183,6 +183,77 @@ def test_components_star_empty_edges(spark):
     assert out.count() == 0
 
 
+def test_components_incremental_matches_rebuild_random_batches(spark):
+    """Standing-table update ≡ full rebuild, on randomized edge
+    streams split into randomized batch sequences — chains merging
+    across batches, brand-new nodes, intra-component edges, repeats."""
+    import random as _random
+
+    from etl_extract_transform_load_spark.scale.components import (
+        components_incremental_update,
+        connected_components_star,
+    )
+
+    rng = _random.Random(11)
+    for trial in range(3):
+        edge_list = [
+            (rng.randrange(50), rng.randrange(50)) for _ in range(70)
+        ]
+        cut1 = rng.randrange(10, 40)
+        cut2 = rng.randrange(cut1 + 5, 65)
+        first = spark.createDataFrame(
+            edge_list[:cut1], "id_a long, id_b long"
+        )
+        standing = connected_components_star(first)
+        # two successive batches folded into the standing table
+        for lo, hi in ((cut1, cut2), (cut2, len(edge_list))):
+            batch = spark.createDataFrame(
+                edge_list[lo:hi], "id_a long, id_b long"
+            )
+            standing = components_incremental_update(standing, batch)
+        got = {r.node: r.component for r in standing.collect()}
+        assert got == _cc_python(edge_list), f"trial {trial}"
+        assert len(got) == len(standing.collect())  # no duplicate nodes
+
+
+def test_components_incremental_empty_and_disjoint_batches(spark):
+    from etl_extract_transform_load_spark.scale.components import (
+        components_incremental_update,
+        connected_components_star,
+    )
+
+    base = connected_components_star(
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    )
+    # empty batch: unchanged
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    same = {
+        r.node: r.component
+        for r in components_incremental_update(base, empty).collect()
+    }
+    assert same == {1: 1, 2: 1, 3: 3, 4: 3}
+    # batch entirely of NEW nodes (disjoint component)
+    out = {
+        r.node: r.component
+        for r in components_incremental_update(
+            base,
+            spark.createDataFrame([(10, 11)], "id_a long, id_b long"),
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+    # batch bridging the two existing components through a new node
+    out2 = {
+        r.node: r.component
+        for r in components_incremental_update(
+            base,
+            spark.createDataFrame(
+                [(2, 99), (99, 4)], "id_a long, id_b long"
+            ),
+        ).collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 1, 4: 1, 99: 1}
+
+
 def test_strip_repeated_lines_removes_domain_boilerplate(spark):
     from etl_extract_transform_load_spark.scale.text import (
         strip_repeated_lines,

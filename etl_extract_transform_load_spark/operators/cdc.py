@@ -272,6 +272,147 @@ def scd2_pit_join(
     )
 
 
+def collapse_same_ts(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "op_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """One winner per ``(key, ts)`` group under the module tie policy
+    (delete beats upsert at the same instant, residual ties by payload
+    hash) — the compaction :func:`scd2_history` applies internally,
+    exposed because the STANDING change log of a streaming fold must
+    apply the identical collapse.  The winner is a per-group MINIMUM
+    in a total order, so collapsing is associative: any split of the
+    feed into batches, re-collapsed on merge, converges to the same
+    log as one pass over everything.  NULL-key rows drop."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    payload = [
+        c for c in changes.columns if c not in (*keys, ts_col, op_col)
+    ]
+    filtered = changes.filter(
+        F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
+    )
+    op_rank = F.when(F.upper(F.col(op_col)) == "D", 1).otherwise(0)
+    w = Window.partitionBy(
+        *[F.col(f"`{k}`") for k in keys], F.col(ts_col)
+    ).orderBy(
+        op_rank.desc(),
+        F.xxhash64(*[F.col(f"`{c}`") for c in payload]).asc()
+        if payload
+        else F.lit(0).asc(),
+    )
+    rn = _internal_name("__rn", changes)
+    return (
+        filtered.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
+    )
+
+
+def scd2_upsert_history(
+    history: DataFrame | None,
+    changelog: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "op_ts",
+    op_col: str = "op",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a change micro-batch into a STANDING SCD2 dimension —
+    the streaming face of :func:`scd2_history`, for ``foreachBatch``
+    ingestion (pair with ``streaming.ingest.foreach_batch_ingest``;
+    persist both returned tables between batches, e.g. parquet/Delta
+    versions, exactly like ``scale.dedup.minhash_index_upsert``).
+
+    State is the pair ``(history, changelog)``:
+
+    - ``changelog`` — the tie-collapsed change log
+      (:func:`collapse_same_ts` winners).  Kept because the history
+      table alone cannot be inverted exactly: a re-delete of an
+      already-dead key leaves no trace in the version rows, yet a
+      LATE-arriving upsert between the two delete times needs it.
+    - ``history`` — the :func:`scd2_history` expansion, maintained
+      incrementally: only keys PRESENT in the batch are rewritten
+      (their compacted log re-expanded — O(batch keys' history)),
+      untouched keys' rows carry over verbatim via one anti-join.
+
+    Because the collapse is associative and the per-key expansion
+    depends only on that key's collapsed log, the fold converges to
+    ``scd2_history(full feed)`` for ANY split of the feed into
+    batches, in any arrival order, duplicates included —
+    pytest-pinned on randomized batch sequences.  Pass ``None`` for
+    both state tables on the first batch.
+
+    At 100 TB: partition/bucket both standing tables by the dimension
+    key so the semi/anti joins prune to the batch's key partitions —
+    the rewrite volume is O(batch), never the world.
+    """
+    keys = list(keys)
+    batch_w = collapse_same_ts(batch, keys, ts_col, op_col)
+    if changelog is None or history is None:
+        if (changelog is None) != (history is None):
+            raise ValueError(
+                "history and changelog must both be None (first batch)"
+                " or both be standing tables"
+            )
+        log = batch_w
+        return scd2_history(log, keys, ts_col, op_col), log
+    bkeys = batch_w.select(*[F.col(f"`{k}`") for k in keys]).distinct()
+    affected_log = collapse_same_ts(
+        changelog.join(bkeys, keys, "semi").unionByName(batch_w),
+        keys,
+        ts_col,
+        op_col,
+    )
+    new_log = changelog.join(bkeys, keys, "left_anti").unionByName(
+        affected_log
+    )
+    new_hist = history.join(bkeys, keys, "left_anti").unionByName(
+        scd2_history(affected_log, keys, ts_col, op_col)
+    )
+    return new_hist, new_log
+
+
+def cdc_state_update(
+    state: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "op_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold a change micro-batch into a standing PER-KEY-LATEST state
+    table — the snapshot-maintenance face of streaming CDC (current
+    rows + delete TOMBSTONES; see :func:`cdc_current` for the public
+    view).  Tombstones are retained so a late-arriving change older
+    than the delete cannot resurrect the key: per key the winner is
+    the maximum in the :func:`latest_changes` total order, and max is
+    associative — any batch split converges to the same state as one
+    pass, pytest-pinned.  State schema = change schema."""
+    latest = latest_changes(
+        batch.filter(
+            F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in list(keys)))
+        ),
+        keys,
+        ts_col,
+        op_col,
+    )
+    if state is None:
+        return latest
+    return latest_changes(
+        state.unionByName(latest), keys, ts_col, op_col
+    )
+
+
+def cdc_current(state: DataFrame, op_col: str = "op") -> DataFrame:
+    """The queryable snapshot of a :func:`cdc_state_update` table:
+    tombstones filtered out (rows whose latest op is a delete)."""
+    return state.filter(
+        ~F.coalesce(F.upper(F.col(op_col)) == "D", F.lit(False))
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

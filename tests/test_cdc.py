@@ -338,3 +338,163 @@ def test_snapshot_diff_validation(spark):
     other = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         snapshot_diff(df, other, ["id"])
+
+
+# --- streaming fold: standing SCD2 / CDC state (r7) -------------------------
+
+
+def _random_feed(rng, n_keys=8, n_changes=60):
+    """Adversarial change feed: same-ts ties, re-deletes of dead keys,
+    re-inserts after deletes, duplicate rows."""
+    rows = []
+    for i in range(n_changes):
+        k = rng.randrange(n_keys)
+        ts = rng.randrange(12)
+        if rng.random() < 0.25:
+            rows.append((k, None, None, "D", ts))
+        else:
+            rows.append((k, f"v{rng.randrange(5)}", rng.randrange(100), "U", ts))
+    rows.append(rows[0])  # exact duplicate row
+    return rows
+
+
+def _hist_set(df):
+    return {
+        (r.id, r.name, r.qty, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_upsert_history_randomized_batches_match_rebuild(spark):
+    import random
+
+    from etl_extract_transform_load_spark.operators.cdc import (
+        collapse_same_ts,
+        scd2_history,
+        scd2_upsert_history,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        rows = _random_feed(rng)
+        feed = spark.createDataFrame(rows, CHG)
+        # random batch boundaries (unordered arrival: shuffle rows)
+        rng.shuffle(rows)
+        cuts = sorted(rng.sample(range(1, len(rows)), 3))
+        hist, log = None, None
+        for lo, hi in zip([0, *cuts], [*cuts, len(rows)]):
+            batch = spark.createDataFrame(rows[lo:hi], CHG)
+            hist, log = scd2_upsert_history(hist, log, batch, ["id"])
+            # keep lineage bounded across folds, as a real ingest
+            # loop's parquet round-trip would
+            hist, log = hist.localCheckpoint(), log.localCheckpoint()
+        want = scd2_history(feed, ["id"])
+        assert _hist_set(hist) == _hist_set(want), f"trial {trial}"
+        want_log = collapse_same_ts(feed, ["id"])
+        assert {tuple(r) for r in log.collect()} == {
+            tuple(r) for r in want_log.collect()
+        }, f"trial {trial}"
+
+
+def test_scd2_upsert_history_first_batch_and_state_guard(spark):
+    from etl_extract_transform_load_spark.operators.cdc import (
+        scd2_history,
+        scd2_upsert_history,
+    )
+
+    batch = spark.createDataFrame([(1, "a", 1, "U", 1)], CHG)
+    hist, log = scd2_upsert_history(None, None, batch, ["id"])
+    assert _hist_set(hist) == _hist_set(scd2_history(batch, ["id"]))
+    with pytest.raises(ValueError):
+        scd2_upsert_history(hist, None, batch, ["id"])
+
+
+def test_cdc_state_update_fold_matches_apply_cdc(spark):
+    import random
+
+    from etl_extract_transform_load_spark.operators.cdc import (
+        cdc_current,
+        cdc_state_update,
+    )
+
+    rng = random.Random(31)
+    rows = _random_feed(rng)
+    feed = spark.createDataFrame(rows, CHG)
+    empty_snap = spark.createDataFrame([], SNAP)
+    want = {
+        (r.id, r.name, r.qty)
+        for r in apply_cdc(empty_snap, feed, ["id"]).collect()
+    }
+    rng.shuffle(rows)
+    state = None
+    for lo in range(0, len(rows), 17):
+        batch = spark.createDataFrame(rows[lo : lo + 17], CHG)
+        state = cdc_state_update(state, batch, ["id"]).localCheckpoint()
+    got = {
+        (r.id, r.name, r.qty) for r in cdc_current(state).collect()
+    }
+    assert got == want
+    # tombstones retained in state: dead keys present with op D
+    dead = {
+        r.id
+        for r in state.filter(F.upper(F.col("op")) == "D").collect()
+    }
+    live = {r.id for r in cdc_current(state).collect()}
+    assert dead.isdisjoint(live)
+
+
+def test_scd2_streaming_foreach_batch_ingest(spark, tmp_path):
+    """REAL micro-batch execution: a file stream delivers the change
+    feed one file per trigger; each batch folds into parquet-persisted
+    standing history/changelog tables; the drained result must equal
+    one scd2_history over the full feed."""
+    from etl_extract_transform_load_spark.operators.cdc import (
+        scd2_history,
+        scd2_upsert_history,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    import random
+
+    rows = _random_feed(random.Random(41))
+    feed = spark.createDataFrame(rows, CHG)
+    src = str(tmp_path / "src")
+    feed.repartition(4).write.parquet(src)
+
+    hist_dir = str(tmp_path / "hist")
+    log_dir = str(tmp_path / "log")
+    state = {"v": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        prev_h = (
+            spark.read.parquet(f"{hist_dir}/v{state['v']}")
+            if state["v"] >= 0
+            else None
+        )
+        prev_l = (
+            spark.read.parquet(f"{log_dir}/v{state['v']}")
+            if state["v"] >= 0
+            else None
+        )
+        hist, log = scd2_upsert_history(prev_h, prev_l, batch, ["id"])
+        hist.write.parquet(f"{hist_dir}/v{batch_id}")
+        log.write.parquet(f"{log_dir}/v{batch_id}")
+        state["v"] = batch_id
+
+    stream = file_stream_source(
+        spark, src, schema=feed.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(f"{hist_dir}/v{state['v']}")
+    assert _hist_set(final) == _hist_set(scd2_history(feed, ["id"]))

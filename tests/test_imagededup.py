@@ -1,0 +1,171 @@
+"""Perceptual image dedup (scale/imagededup.py): pinned hash kernels,
+pigeonhole completeness of the Hamming band join, and the Spark
+end-to-end decode→hash→pair path on codec-generated fixtures (no
+media table exists in the driver testdata, so this tier is
+pytest-verified — VERDICT r6 directive #3)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from etl_extract_transform_load_spark.scale.imagededup import (
+    _area_mean_grid,
+    dhash64,
+    hamming_near_dup_pairs,
+    image_hashes,
+    image_near_dup_pairs,
+    phash64,
+)
+
+
+def _photo(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Deterministic smooth 'photo-like' grayscale: a few random-phase
+    2-D cosines — structured low-frequency content, the regime pHash
+    is designed for (pure noise has no perceptual identity)."""
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(4):
+        fy, fx = rng.uniform(0.5, 3, 2)
+        py, px = rng.uniform(0, 2 * np.pi, 2)
+        img += rng.uniform(20, 60) * np.cos(
+            2 * np.pi * fy * y / h + py
+        ) * np.cos(2 * np.pi * fx * x / w + px)
+    img = img - img.min()
+    return (img / img.max() * 180 + 30).astype(np.uint8)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_phash_brightness_shift_is_hamming_zero():
+    base = _photo(1)
+    # +15 gray levels, no clipping (values stay in [30, 225])
+    bright = (base.astype(np.int64) + 15).astype(np.uint8)
+    # a constant shift moves ONLY the DC coefficient, which pHash
+    # excludes — identical hash by construction
+    assert phash64(base) == phash64(bright)
+
+
+def test_phash_small_noise_close_distinct_images_far():
+    base = _photo(2)
+    rng = np.random.RandomState(0)
+    noisy = np.clip(
+        base.astype(np.int64) + rng.randint(-6, 7, base.shape), 0, 255
+    ).astype(np.uint8)
+    assert _hamming(phash64(base), phash64(noisy)) <= 8
+    for other_seed in (3, 4, 5):
+        d = _hamming(phash64(base), phash64(_photo(other_seed)))
+        assert d > 16, f"seed {other_seed}: distance {d}"
+
+
+def test_phash_resize_invariance():
+    base = _photo(6, 64, 64)
+    # 2x block upscale = the same image at another resolution
+    big = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    assert _hamming(phash64(base), phash64(big)) <= 4
+
+
+def test_dhash_monotone_map_invariant_and_discriminative():
+    base = _photo(7)
+    # gamma-like monotone intensity map preserves every gradient sign
+    mapped = (np.sqrt(base.astype(np.float64) / 255.0) * 255).astype(
+        np.uint8
+    )
+    assert _hamming(dhash64(base), dhash64(mapped)) <= 2
+    assert _hamming(dhash64(base), dhash64(_photo(8))) > 16
+
+
+def test_area_mean_grid_tiny_input_pads_not_crashes():
+    tiny = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    out = _area_mean_grid(tiny, 8, 9)
+    assert out.shape == (8, 9)
+    assert phash64(tiny) != 0  # degenerate input still hashes
+
+
+def test_banded_pairs_match_bruteforce_pigeonhole_complete(spark):
+    """Recall is exactly 100% at the configured radius: the banded
+    join finds precisely the brute-force pair set on random hashes
+    engineered to straddle the threshold."""
+    rng = random.Random(13)
+    base = rng.getrandbits(63)
+    hashes = [base]
+    for _ in range(30):
+        h, flips = base, rng.randrange(0, 16)
+        for _ in range(flips):
+            h ^= 1 << rng.randrange(64)
+        hashes.append(h)
+    hashes += [rng.getrandbits(63) for _ in range(30)]
+    rows = [(i, h - (1 << 64) if h >= 1 << 63 else h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(df, max_hamming=10).collect()
+    }
+    expect = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 10:
+                expect.add((i, j, d))
+    assert got == expect
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, max_hamming=10, blocks=10)
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, max_hamming=70)
+
+
+def test_banded_join_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 7)], "media_id long, phash long"
+    )
+    plan = hamming_near_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_image_near_dup_end_to_end_cross_format(spark):
+    """Decode→hash→pair over a mixed-format corpus: the same photo
+    re-encoded as PGM/PNG/BMP/JPEG(q85) and brightness-shifted must
+    cluster; distinct photos must not pair."""
+    from etl_extract_transform_load_spark.scale import codecs
+
+    a = _photo(21)
+    a_rgb = np.stack([a] * 3, axis=2)
+    b = _photo(22)
+    corpus = [
+        (0, codecs.encode_pgm(a)),
+        (1, codecs.encode_png(a_rgb)),
+        (2, codecs.encode_bmp(a_rgb)),
+        (3, codecs.encode_jpeg(a_rgb, quality=85)),
+        (4, codecs.encode_pgm((a.astype(np.int64) + 12).astype(np.uint8))),
+        (5, codecs.encode_pgm(b)),
+        (6, codecs.encode_png(np.stack([b] * 3, axis=2))),
+    ]
+    media = spark.createDataFrame(corpus, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(media, max_hamming=10).collect()
+    }
+    dup_ids = {0, 1, 2, 3, 4}
+    for i in sorted(dup_ids):
+        for j in sorted(dup_ids):
+            if i < j:
+                assert (i, j) in pairs, f"missing dup pair ({i},{j})"
+    assert (5, 6) in pairs  # b re-encoded losslessly pairs with itself
+    for i in dup_ids:
+        assert (i, 5) not in pairs and (i, 6) not in pairs
+
+
+def test_image_hashes_skips_null_payloads(spark):
+    from etl_extract_transform_load_spark.scale import codecs
+
+    img = codecs.encode_pgm(_photo(30))
+    media = spark.createDataFrame(
+        [(1, bytearray(img)), (2, None)], "media_id long, content binary"
+    )
+    rows = image_hashes(media).collect()
+    assert [r.media_id for r in rows] == [1]

@@ -169,6 +169,7 @@ def jaccard_near_dup_pairs(
     threshold: float = 0.3,
     parallelism: int = 64,
     cache: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold (id_a < id_b).
 
@@ -188,7 +189,24 @@ def jaccard_near_dup_pairs(
     shuffle moves 8-byte longs instead of n-word strings and the
     hash join probes on long equality. A cross-doc 64-bit collision
     (probability ~s²/2⁶⁴ per doc pair) would inflate ``n_common`` by
-    one — negligible against the threshold semantics."""
+    one — negligible against the threshold semantics.
+
+    ``max_df``: the degenerate-vocabulary escape hatch. A shingle
+    occurring in d docs contributes d·(d−1)/2 join rows; when the
+    corpus's shingle vocabulary SATURATES (boilerplate, tiny synthetic
+    word pools, templated text), per-shingle df grows with corpus size
+    and the exact join goes quadratic — the sf1 stress probe measured
+    98.7× candidate slots for 10× docs on exactly such data.  With
+    ``max_df`` set, shingles in more than ``max_df`` docs are excluded
+    from CANDIDATE GENERATION only; surviving pairs are then verified
+    with exact full-array Jaccard (:func:`_jaccard_verify` — reported
+    values identical to the uncapped kernel, pytest-pinned).  Changed
+    contract under the cap: recall is complete for any pair sharing at
+    least one sub-cap shingle; a pair whose ENTIRE overlap is
+    ultra-common shingles is missed (such overlap is boilerplate by
+    definition).  The registered oracle query runs UNCAPPED (exact);
+    at 100 TB prefer MinHash-LSH, whose banded candidates never blow
+    up with df, or set ``max_df`` explicitly."""
     # repartition pre-explode: a compact input (one parquet file) would
     # otherwise put the whole shingle join probe in one task when the
     # build side broadcasts
@@ -201,6 +219,32 @@ def jaccard_near_dup_pairs(
         .select("__id", "__n_sh", F.xxhash64("shingle").alias("sh_key")),
         cache,
     )
+    if max_df is not None:
+        if max_df < 1:
+            raise ValueError("max_df must be >= 1")
+        # candidate generation on sub-cap shingles only, then exact
+        # full-array verification — values identical to the uncapped
+        # kernel for every reported pair
+        hot = (
+            sh.groupBy("sh_key")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh_key")
+        )
+        cold = sh.join(F.broadcast(hot), "sh_key", "left_anti")
+        ca, cb = cold.alias("a"), cold.alias("b")
+        cand = (
+            ca.join(cb, F.col("a.sh_key") == F.col("b.sh_key"))
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+            )
+            .distinct()
+        )
+        return _jaccard_verify(
+            cand, df, text_col, id_col, n, threshold, cache
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -1,0 +1,135 @@
+"""Generate a ~10× stress copy of the heavy-tier tables under /tmp
+(the testdata directory itself is read-only): the closest local[32]
+proxy for the 100× scale-up claim — run the heaviest queries at sf0.1
+and at this sf~1 copy and compare time-vs-rows exponents
+(VERDICT r6 directive #5).
+
+Replication is NOT naive row copying — naive copies would plant every
+document 10× verbatim, turning each dup cluster into a 10×-denser
+clique and blowing pair counts up QUADRATICALLY by construction of
+the data, which would poison the exponent measurement (the algorithm
+would look superlinear when the input, not the plan, is). Each
+replica k shifts ids by k·10^7 and decorrelates content:
+
+- ``documents``: one position permutation per (replica, word count)
+  reshuffles every text — within-replica near-dup structure survives
+  (similar same-length docs permute identically), cross-replica
+  n-gram identity is destroyed, so cluster COUNT scales ~10× while
+  cluster SIZE stays put;
+- ``embeddings``: one dimension permutation per replica — norms and
+  within-replica geometry survive, cross-replica cosine collapses;
+- ``events``/``lineitem``: id shifts only (10× traffic over the same
+  time span / key domains — the realistic growth shape for
+  aggregation queries).
+
+Usage: python scripts/make_stress_testdata.py [out_dir] [replicas]
+Defaults: /tmp/testdata_sf1, 10 replicas of /root/testdata/sf0.1.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+REPLICATED = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPIED = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+]
+
+
+def _shift(table: pa.Table, cols: list[str], off: int) -> pa.Table:
+    for c in cols:
+        idx = table.schema.get_field_index(c)
+        table = table.set_column(
+            idx, table.schema.field(idx), pc.add(table.column(c), off)
+        )
+    return table
+
+
+def _permute_texts(table: pa.Table, k: int) -> pa.Table:
+    """One permutation per (replica, word count): shuffles word
+    positions, preserving within-replica similarity alignment."""
+    perms: dict[int, list[int]] = {}
+
+    def perm_for(n: int) -> list[int]:
+        if n not in perms:
+            p = list(range(n))
+            random.Random((k << 20) | n).shuffle(p)
+            perms[n] = p
+        return perms[n]
+
+    texts = table.column("text").to_pylist()
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        w = t.split()
+        if len(w) < 2:
+            out.append(t)
+            continue
+        p = perm_for(len(w))
+        out.append(" ".join(w[i] for i in p))
+    idx = table.schema.get_field_index("text")
+    return table.set_column(
+        idx, table.schema.field(idx), pa.array(out, type=pa.string())
+    )
+
+
+def _permute_dims(table: pa.Table, k: int) -> pa.Table:
+    vecs = table.column("embedding").to_pylist()
+    dim = next(len(v) for v in vecs if v is not None)
+    p = list(range(dim))
+    random.Random(k).shuffle(p)
+    out = [
+        None if v is None else [v[i] for i in p] for v in vecs
+    ]
+    idx = table.schema.get_field_index("embedding")
+    return table.set_column(
+        idx,
+        table.schema.field(idx),
+        pa.array(out, type=table.schema.field(idx).type),
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPIED:
+        shutil.copyfile(
+            f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet"
+        )
+        print(f"copied {t}")
+    for t, id_cols in REPLICATED.items():
+        base = pq.read_table(f"{SRC}/{t}.parquet")
+        parts = []
+        for k in range(replicas):
+            rep = _shift(base, id_cols, k * OFFSET)
+            if t == "documents" and k > 0:
+                rep = _permute_texts(rep, k)
+            if t == "embeddings" and k > 0:
+                rep = _permute_dims(rep, k)
+            parts.append(rep)
+        full = pa.concat_tables(parts)
+        pq.write_table(full, f"{out_dir}/{t}.parquet")
+        print(f"{t}: {base.num_rows} -> {full.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""The multimodal image-dedup example must run end-to-end, drop every
+planted perceptual duplicate, and leave manifest-verified tables."""
+
+import os
+import subprocess
+import sys
+
+
+def test_multimodal_dedup_pipeline_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "mm_out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "multimodal_dedup_pipeline.py"),
+            out,
+            "8",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    # 8 base photos x 4 variants -> 8 clusters -> 8 survivors
+    assert "clusters           8 perceptual groups" in proc.stdout
+    assert "24 perceptual duplicates dropped" in proc.stdout
+    for t in ("survivors", "pair_report"):
+        assert os.path.isdir(f"{out}/{t}"), t
+        assert os.path.exists(f"{out}/{t}/_manifest.json"), t
+    assert proc.stdout.count("wrote+verified") == 2

@@ -761,3 +761,60 @@ def test_contaminated_spans_locates_benchmark_overlap(spark):
         ).collect()
     }
     assert portable == got
+
+
+def test_jaccard_max_df_cap_exact_values_and_recall_contract(spark, docs_with_dups):
+    """The df-capped candidate path reports the SAME jaccard values as
+    the uncapped exact kernel for every pair it finds; with a cap
+    above the corpus max df the outputs are identical; a pair whose
+    entire overlap is ultra-common shingles is (by contract) missed."""
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_near_dup_pairs(
+            docs_with_dups, threshold=0.3, cache=False
+        ).collect()
+    }
+    # generous cap: nothing excluded -> identical output
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_near_dup_pairs(
+            docs_with_dups, threshold=0.3, cache=False, max_df=10_000
+        ).collect()
+    }
+    assert loose == uncapped and uncapped
+    # aggressive cap: a subset, with values unchanged where reported
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_near_dup_pairs(
+            docs_with_dups, threshold=0.3, cache=False, max_df=3
+        ).collect()
+    }
+    assert set(tight) <= set(uncapped)
+    for k, v in tight.items():
+        assert v == uncapped[k]
+    with pytest.raises(ValueError):
+        jaccard_near_dup_pairs(docs_with_dups, max_df=0)
+
+
+def test_jaccard_max_df_boilerplate_only_pair_missed(spark):
+    """Planted contract check: docs overlapping ONLY through a
+    boilerplate shingle shared by everyone are missed under the cap
+    (that overlap is boilerplate by definition), while a genuine pair
+    with a rare shared shingle is kept."""
+    boiler = "click here to subscribe"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(8)]
+    rows += [
+        (100, f"{boiler} rare shared tail words here"),
+        (101, f"{boiler} rare shared tail words there"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in jaccard_near_dup_pairs(
+            docs, threshold=0.2, cache=False, max_df=4
+        ).collect()
+    }
+    # the genuine near-dup pair survives (shares rare shingles)
+    assert (100, 101) in capped
+    # boilerplate-only pairs (i, j) for i,j<8 are all excluded
+    assert all(a >= 100 for a, b in capped)

@@ -31,20 +31,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def item_cooccurrence(
-    baskets: DataFrame,
-    basket_col: str,
-    item_col: str,
-    max_basket: int = 50,
+def basket_incidence(
+    baskets: DataFrame, basket_col: str, item_col: str
 ) -> DataFrame:
-    """Pairwise co-occurrence with cosine similarity: one row per
-    unordered item pair ``(item_i < item_j, cooc, cos_sim)`` that
-    shares at least one basket.  NULL baskets/items drop; duplicate
-    (basket, item) rows collapse first (incidence, not multiplicity).
-    """
-    if max_basket < 2:
-        raise ValueError("max_basket must be >= 2")
-    b = (
+    """The distinct ``(__b, __i)`` incidence table the CF operators
+    consume — exposed so one materialization (checkpoint/persist) can
+    feed :func:`item_cooccurrence` AND :func:`basket_drop_stats` in
+    the same report instead of each re-running the distinct shuffle."""
+    return (
         baskets.filter(
             F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
         )
@@ -52,6 +46,29 @@ def item_cooccurrence(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .distinct()
+    )
+
+
+def item_cooccurrence(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 50,
+    incidence: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise co-occurrence with cosine similarity: one row per
+    unordered item pair ``(item_i < item_j, cooc, cos_sim)`` that
+    shares at least one basket.  NULL baskets/items drop; duplicate
+    (basket, item) rows collapse first (incidence, not multiplicity).
+    Pass a pre-materialized :func:`basket_incidence` frame via
+    ``incidence`` to skip the distinct pass.
+    """
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    b = (
+        basket_incidence(baskets, basket_col, item_col)
+        if incidence is None
+        else incidence
     )
     sizes = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     kept = b.join(
@@ -100,6 +117,7 @@ def basket_drop_stats(
     basket_col: str,
     item_col: str,
     max_basket: int = 50,
+    incidence: DataFrame | None = None,
 ) -> DataFrame:
     """One row ``(dropped_baskets, kept_baskets, dropped_rows)``
     quantifying the :func:`item_cooccurrence` cap policy — how many
@@ -107,18 +125,16 @@ def basket_drop_stats(
     DROPPED by the pair join), how many survive, and how many distinct
     (basket, item) incidence rows the drop removes.  Emit this next to
     any CF report: the drop is explicit policy, but at 100× scale the
-    dropped mass must stay observable, not assumed.
+    dropped mass must stay observable, not assumed.  Share the
+    distinct pass with the CF report via ``incidence``
+    (:func:`basket_incidence`).
     """
     if max_basket < 2:
         raise ValueError("max_basket must be >= 2")
     b = (
-        baskets.filter(
-            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-        )
-        .select(
-            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-        )
-        .distinct()
+        basket_incidence(baskets, basket_col, item_col)
+        if incidence is None
+        else incidence
     )
     sizes = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     over = F.col("__n") > max_basket
@@ -141,13 +157,16 @@ def item_cooccurrence_topk(
     item_col: str,
     k: int = 100,
     max_basket: int = 50,
+    incidence: DataFrame | None = None,
 ) -> DataFrame:
     """Global top-``k`` co-occurrence pairs by (cos_sim DESC, item_i,
     item_j) with a dense 1..k rank — the bounded "strongest product
     affinities" report (TakeOrdered, never a global sort)."""
     order = [F.desc("cos_sim"), F.asc("item_i"), F.asc("item_j")]
     return (
-        item_cooccurrence(baskets, basket_col, item_col, max_basket)
+        item_cooccurrence(
+            baskets, basket_col, item_col, max_basket, incidence
+        )
         .orderBy(*order)
         .limit(int(k))
         .withColumn(

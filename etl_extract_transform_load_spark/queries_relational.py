@@ -394,12 +394,17 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_extract_transform_load_spark.operators.recommend import (
         basket_drop_stats,
+        basket_incidence,
         item_cooccurrence_topk,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE distinct pass feeds both the CF report and its drop-policy
+    # metric row (checkpointed: the incidence is read by the pair
+    # self-join twice, the item counts, and the sizes aggregate)
+    inc = basket_incidence(li, "l_orderkey", "l_partkey").localCheckpoint()
     cf = item_cooccurrence_topk(
-        li, "l_orderkey", "l_partkey", k=100
+        li, "l_orderkey", "l_partkey", k=100, incidence=inc
     ).select(
         F.lit("cf").alias("part"),
         F.col("item_i").cast("long").alias("o_custkey"),
@@ -412,7 +417,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # o_custkey, kept rides o_orderkey, dropped incidence rows rides
     # o_totalprice); at 100× scale the dropped mass must be watched
     cf_meta = basket_drop_stats(
-        li, "l_orderkey", "l_partkey", max_basket=50
+        li, "l_orderkey", "l_partkey", max_basket=50, incidence=inc
     ).select(
         F.lit("cf_meta").alias("part"),
         F.col("dropped_baskets").alias("o_custkey"),

@@ -1035,9 +1035,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_contaminated"),
     )
 
+    # seventh branch (r7): containment fraction — the scale-aware
+    # decontamination gate (5 leaked grams mean nothing in a book,
+    # everything in a tweet). Micro-containment rides keep_id as
+    # round(n_cont·1e6/n_grams) — a 0-dp double round, identical in
+    # both engines (no ×10⁶ scaling ulp, the round-tie trap)
+    from etl_extract_transform_load_spark.scale.dedup import (
+        containment_fractions,
+    )
+
+    cfrac = containment_fractions(
+        docs, docs.filter(F.col("doc_id") < 10), n=8
+    ).select(
+        F.lit("contamfrac").alias("part"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.col("n_grams").alias("n_copies"),
+        F.round(
+            F.col("n_contaminated").cast("double")
+            * 1000000.0
+            / F.col("n_grams").cast("double")
+        )
+        .cast("long")
+        .alias("keep_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_contaminated").alias("n_contaminated"),
+    )
+
     return (
         probe_branch("clusters", clusters)
         .unionByName(probe_branch("contamination", contam))
+        .unionByName(probe_branch("contamfrac", cfrac))
         .unionByName(probe_branch("incremental", incr))
         .unionByName(
             probe_branch("dupspan", span_slots(span_rows, "dupspan"))
@@ -1140,6 +1167,18 @@ SELECT 'contamination', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
        sh.doc_id, COUNT(*)
 FROM sh JOIN bench USING (s)
 GROUP BY sh.doc_id
+UNION ALL
+-- contamfrac: containment |doc∩bench|/|doc| as micro units — ONE
+-- 0-dp ROUND of c*1000000.0/n (same spelling as the Spark side; no
+-- 6-dp scale multiply, so no round-tie ulp divergence)
+SELECT 'contamfrac', NULL::VARCHAR, shn.n_sh,
+       CAST(ROUND(COUNT(*) * 1000000.0 / shn.n_sh) AS BIGINT),
+       sh.doc_id, COUNT(*)
+FROM sh
+JOIN bench USING (s)
+JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id) shn
+  ON shn.doc_id = sh.doc_id
+GROUP BY sh.doc_id, shn.n_sh
 UNION ALL
 -- incremental admit set: NOT EXISTS (not NOT IN) so a NULL-text
 -- corpus row can't veto the whole batch, and GROUP BY m groups

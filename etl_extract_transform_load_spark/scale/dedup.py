@@ -954,6 +954,55 @@ def contamination_flags(
     )
 
 
+def containment_fractions(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-doc CONTAINMENT of the benchmark in the document —
+    |doc n-grams ∩ benchmark n-grams| / |doc n-grams| — the
+    fraction-based decontamination gate (the GPT-3-style "drop if ≥X%
+    of the doc's n-grams leak" rule; :func:`contamination_flags`'
+    absolute count is scale-blind: 5 shared grams mean nothing in a
+    book, everything in a tweet).
+
+    Same plan shape as :func:`contamination_flags` — benchmark grams
+    distinct + broadcast, corpus side ONE scan-stage explode + join +
+    per-doc count, the doc's total distinct gram count riding each
+    exploded row so no second aggregate is needed.  Returns
+    ``(id_col, n_grams, n_contaminated, containment)`` for flagged
+    docs only (containment 6-dp)."""
+    bench_sh = F.broadcast(
+        _shingle_table(benchmark, bench_text_col or text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("sh_key"))
+        .distinct()
+    )
+    corpus_sh = _shingle_table(corpus, text_col, id_col, n).select(
+        "__id", "__n_sh", F.xxhash64("shingle").alias("sh_key")
+    )
+    return (
+        corpus_sh.join(bench_sh, "sh_key")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("__n_sh").alias("n_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -818,3 +818,25 @@ def test_jaccard_max_df_boilerplate_only_pair_missed(spark):
     assert (100, 101) in capped
     # boilerplate-only pairs (i, j) for i,j<8 are all excluded
     assert all(a >= 100 for a, b in capped)
+
+
+def test_containment_fractions_hand_computed(spark):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        containment_fractions,
+    )
+
+    # 8-grams: doc 1 has 3 grams (10 words), 2 of them inside the
+    # benchmark doc; doc 2 shares nothing
+    bench_text = "a b c d e f g h i j"  # grams: a..h, b..i, c..j
+    rows = [
+        (1, "a b c d e f g h i x"),  # grams [a..h], [b..i], [c..x]
+        (2, "z y x w v u t s r q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in containment_fractions(docs, bench).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_grams == 3
+    assert r.n_contaminated == 2  # [a..h] and [b..i] shared, [c..x] not
+    assert r.containment == round(2 / 3, 6)

@@ -247,26 +247,40 @@ def logrank_test(
     n = (F.col("n1") + F.col("n0")).cast("double")
     n1d = F.col("n1").cast("double")
     frac = n1d / n
-    e_term = F.when(d > 0, F.round(d * frac, 6)).otherwise(F.lit(0.0))
-    v_term = F.when(
+    # per-time terms quantize to MICRO-units with a 0-dp round: d·n1/n
+    # is a small-denominator rational, so a 6-dp round of it lands on
+    # exact decimal halves systematically, where Spark (exact
+    # BigDecimal HALF_UP) and a SQL twin (×10⁶ in doubles, ulp-signed)
+    # can disagree — it did at sf0.1 (758.100578 vs ...577).  At 0 dp
+    # BOTH engines round the IDENTICAL binary64 value (the ×10⁶ is
+    # part of the shared expression, and exact rationals divide
+    # exactly in IEEE), so the tie direction agrees by construction.
+    e_term_micro = F.when(
+        d > 0, F.round(d * frac * 1000000.0)
+    ).otherwise(F.lit(0.0))
+    v_term_micro = F.when(
         (d > 0) & (n > 1),
-        F.round(d * frac * (1.0 - frac) * (n - d) / (n - 1.0), 6),
+        F.round(
+            d * frac * (1.0 - frac) * (n - d) / (n - 1.0) * 1000000.0
+        ),
     ).otherwise(F.lit(0.0))
     agg = j.agg(
         F.max("N0").alias("n_g0"),
         F.max("N1").alias("n_g1"),
         F.sum("d1").alias("o1"),
-        F.sum(e_term.cast("decimal(28,6)")).alias("e1"),
-        F.sum(v_term.cast("decimal(28,6)")).alias("v"),
+        F.sum(e_term_micro.cast("decimal(28,0)")).alias("e1m"),
+        F.sum(v_term_micro.cast("decimal(28,0)")).alias("vm"),
     )
-    e1 = F.col("e1").cast("double")
-    v = F.col("v").cast("double")
+    # exact integer micro sums → ONE division; no display re-round
+    # (the quotient is already the same binary64 in any engine)
+    e1 = F.col("e1m").cast("double") / 1000000.0
+    v = F.col("vm").cast("double") / 1000000.0
     z = F.when(v > 0, (F.col("o1").cast("double") - e1) / F.sqrt(v))
     return agg.select(
         F.col("n_g0").cast("long").alias("n_g0"),
         F.col("n_g1").cast("long").alias("n_g1"),
         F.col("o1").cast("long").alias("o1"),
-        F.round(e1, 6).alias("e1"),
-        F.round(v, 6).alias("v"),
+        e1.alias("e1"),
+        v.alias("v"),
         F.round(z, 6).alias("z"),
     )

@@ -2770,7 +2770,27 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("quality"),
     )
-    return pii.unionByName(cur).unionByName(boiler)
+    # fourth branch (r7): per-domain quota sampling (C4/RefinedWeb-
+    # style source caps — no single host dominates the mixture); the
+    # deterministic md5 rank rides n_emails
+    from etl_extract_transform_load_spark.scale.sampling import (
+        domain_quota_sample,
+    )
+
+    quota = domain_quota_sample(docs, "source", cap=100).select(
+        F.lit("quota").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.col("quota_rank").alias("n_emails"),
+        F.lit(None).cast("long").alias("n_ips"),
+        F.lit(None).cast("long").alias("n_phones"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.lit(None).cast("double").alias("quality"),
+    )
+    return (
+        pii.unionByName(cur).unionByName(boiler).unionByName(quota)
+    )
 
 
 #: DuckDB twin of ``strip_repeated_lines`` over the same planted
@@ -2836,6 +2856,18 @@ SELECT 'boiler', CAST(doc_id AS BIGINT), clean_text,
        NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
        NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
 FROM ({ORACLE_BOILER.format(banner=BOILER_BANNER)})
+UNION ALL
+SELECT 'quota', CAST(doc_id AS BIGINT), NULL::VARCHAR,
+       rk, NULL::BIGINT, NULL::BIGINT,
+       NULL::VARCHAR, source, NULL::DOUBLE
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents WHERE doc_id IS NOT NULL
+) WHERE rk <= 100
 """
 
 

@@ -1783,28 +1783,34 @@ FROM (
         FROM lrc
     ),
     lra AS (
+        -- micro-unit 0-dp rounds (see operators/survival.py: both
+        -- engines round the IDENTICAL binary64, so the d·n1/n
+        -- small-denominator ties that diverge at 6 dp cannot here)
         SELECT (SELECT SUM(d0 + c0) FROM lrt) AS n_g0,
                (SELECT SUM(d1 + c1) FROM lrt) AS n_g1,
                SUM(d1) AS o1,
                SUM(CASE WHEN d > 0
-                        THEN CAST(ROUND(d * frac, 6) AS DECIMAL(28,6))
-                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS e1,
+                        THEN CAST(ROUND(d * frac * 1000000.0)
+                                  AS DECIMAL(28,0))
+                        ELSE CAST(0 AS DECIMAL(28,0)) END) AS e1m,
                SUM(CASE WHEN d > 0 AND n > 1
                         THEN CAST(ROUND(d * frac * (1.0 - frac)
-                                        * (n - d) / (n - 1.0), 6)
-                                  AS DECIMAL(28,6))
-                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS v
+                                        * (n - d) / (n - 1.0)
+                                        * 1000000.0)
+                                  AS DECIMAL(28,0))
+                        ELSE CAST(0 AS DECIMAL(28,0)) END) AS vm
         FROM lrx
     )
     SELECT n_g0, n_g1, u.tag, u.val
     FROM lra,
          LATERAL (VALUES
              ('o1', CAST(o1 AS DOUBLE)),
-             ('e1', ROUND(CAST(e1 AS DOUBLE), 6)),
-             ('v', ROUND(CAST(v AS DOUBLE), 6)),
-             ('z', ROUND(CASE WHEN CAST(v AS DOUBLE) > 0
-                   THEN (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
-                        / SQRT(CAST(v AS DOUBLE)) END, 6))
+             ('e1', CAST(e1m AS DOUBLE) / 1000000.0),
+             ('v', CAST(vm AS DOUBLE) / 1000000.0),
+             ('z', ROUND(CASE WHEN CAST(vm AS DOUBLE) / 1000000.0 > 0
+                   THEN (CAST(o1 AS DOUBLE)
+                         - CAST(e1m AS DOUBLE) / 1000000.0)
+                        / SQRT(CAST(vm AS DOUBLE) / 1000000.0) END, 6))
          ) AS u(tag, val)
 )
 """

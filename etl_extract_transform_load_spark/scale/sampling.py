@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Knuth multiplicative-hash constant (2^32 / phi).
@@ -93,6 +93,43 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(rate * BUCKETS)))
         ).otherwise(threshold)
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain — the per-domain quota of
+    web-corpus curation (C4/RefinedWeb-style caps that stop a single
+    boilerplate-heavy host from dominating the training mixture).
+
+    Selection is a deterministic, engine-portable hash rank:
+    ``row_number`` per domain ordered by ``(md5(id), id)`` — the same
+    "random but rerun-stable and shard-stable" contract as
+    :func:`deterministic_sample`, and MD5-spelled so a SQL twin
+    reproduces it exactly.  NULL ids drop (un-addressable); a NULL
+    domain is its own group.  Output carries ``quota_rank`` (1..cap
+    within each domain).
+
+    Scale shape: ONE shuffle on the domain key; the per-domain sort is
+    bounded by that domain's row count, never global.  For pathological
+    mega-domains, pre-thin with :func:`deterministic_sample` /
+    ``hash_bucket`` to ~2×cap expected survivors before ranking — the
+    quota itself is tiny by definition.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(F.col(domain_col)).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= cap)
+    )
 
 
 def mixture_rates(

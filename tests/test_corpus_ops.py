@@ -483,3 +483,31 @@ def test_self_pair_marginal_counted_once(spark):
     cnt, val = rows[("z", "z")]
     assert cnt == 2
     assert val == max(0.0, round(math.log(2 * 2 / (2 * 2)), 6))
+
+
+def test_domain_quota_sample_caps_and_is_deterministic(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        domain_quota_sample,
+    )
+    import pytest as _pytest
+
+    rows = [(i, "a" if i < 30 else ("b" if i < 40 else None)) for i in range(45)]
+    rows.append((None, "a"))  # NULL id: dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota_sample(df, "source", cap=10, id_col="doc_id")
+    got = out.collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.source, []).append(r)
+    # domain a (30 rows) capped at 10; b (10 rows) all kept; NULL
+    # domain (5 rows) is its own group
+    assert len(by_dom["a"]) == 10
+    assert len(by_dom["b"]) == 10
+    assert len(by_dom[None]) == 5
+    assert all(1 <= r.quota_rank <= 10 for r in got)
+    assert None not in {r.doc_id for r in got}
+    # rerun-stable: identical keep set
+    again = {r.doc_id for r in domain_quota_sample(df, "source", 10).collect()}
+    assert again == {r.doc_id for r in got}
+    with _pytest.raises(ValueError):
+        domain_quota_sample(df, "source", cap=0)

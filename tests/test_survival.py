@@ -87,7 +87,7 @@ def _logrank_reference(rows):
     n0 = len(rows) - n1
     at1, at0 = n1, n0
     o1 = 0
-    e1 = v = 0.0
+    e1m = vm = 0  # exact integer MICRO-unit sums (the module contract)
     removed = defaultdict(lambda: [0, 0])
     ev = defaultdict(lambda: [0, 0])
     for t, e, g in rows:
@@ -100,18 +100,23 @@ def _logrank_reference(rows):
         if d > 0:
             frac = at1 / n
             o1 += d1
-            e1 = round(e1 + round(d * frac, 6), 6)
+            # round-half-up at 0 dp of the micro-scaled double, the
+            # engine-identical quantization logrank_test uses
+            e1m += int(math.floor(d * frac * 1000000.0 + 0.5))
             if n > 1:
-                v = round(
-                    v + round(d * frac * (1 - frac) * (n - d) / (n - 1), 6),
-                    6,
+                vm += int(
+                    math.floor(
+                        d * frac * (1 - frac) * (n - d) / (n - 1)
+                        * 1000000.0
+                        + 0.5
+                    )
                 )
         at1 -= removed[t][1]
         at0 -= removed[t][0]
-    import math
-
+    e1 = e1m / 1000000.0
+    v = vm / 1000000.0
     z = round((o1 - e1) / math.sqrt(v), 6) if v > 0 else None
-    return n0, n1, o1, round(e1, 6), round(v, 6), z
+    return n0, n1, o1, e1, v, z
 
 
 def test_logrank_textbook_and_bucket_invariance(spark):

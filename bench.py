@@ -58,6 +58,8 @@ BRANCH_CARRIERS: tuple[str, ...] = (
     "dedup_exact_clusters",
     "kmeans_cluster",
     "dedup_connected_components",
+    "vocab_tfidf_terms",
+    "dedup_minhash_lsh",
 )
 
 

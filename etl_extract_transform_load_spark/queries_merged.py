@@ -2174,8 +2174,14 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_extract_transform_load_spark.sources import load_table
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    voc = vocabulary(docs).localCheckpoint()
+    with timed_branch("vocab"):
+        voc = vocabulary(docs).localCheckpoint()
 
     def topk(k: int) -> DataFrame:
         return voc.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
@@ -2345,14 +2351,15 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
     )
     return (
-        vocab.unionByName(tfidf)
-        .unionByName(oov)
-        .unionByName(heavy)
-        .unionByName(bm25)
-        .unionByName(hashed)
-        .unionByName(cluster)
-        .unionByName(ppmi_rows)
-        .unionByName(fused)
+        probe_branch("vocab", vocab)
+        .unionByName(probe_branch("tfidf", tfidf))
+        .unionByName(probe_branch("oov", oov))
+        .unionByName(probe_branch("heavy", heavy))
+        .unionByName(probe_branch("bm25", bm25))
+        .unionByName(probe_branch("hashed", hashed))
+        .unionByName(probe_branch("cluster", cluster))
+        .unionByName(probe_branch("ppmi", ppmi_rows))
+        .unionByName(probe_branch("rrf", fused))
     )
 
 

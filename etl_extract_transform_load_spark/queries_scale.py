@@ -1406,6 +1406,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_arrays,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     with released_caches():  # signature+shingle persists released
         # ONE signature pass + ONE shingle pass feed all three legs
@@ -1415,16 +1420,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table's <250 slice (in production it is read from storage);
         # the upsert still computes the BATCH signatures from text —
         # the O(batch) path under test.
-        sig = persist_tracked(
-            minhash_signatures(
-                docs.repartition(64), hash64=portable_hash60
-            ),
-            True,
-        )
-        sharr = persist_tracked(shingle_arrays(docs), True)
-        full = minhash_lsh_pairs(
-            docs, threshold=0.3, signatures=sig, sh_arrays=sharr
-        ).localCheckpoint()
+        with timed_branch("setup"):
+            sig = persist_tracked(
+                minhash_signatures(
+                    docs.repartition(64), hash64=portable_hash60
+                ),
+                True,
+            )
+            sharr = persist_tracked(shingle_arrays(docs), True)
+        with timed_branch("full"):
+            full = minhash_lsh_pairs(
+                docs, threshold=0.3, signatures=sig, sh_arrays=sharr
+            ).localCheckpoint()
         old = docs.filter(F.col("doc_id") < 250)
         batch = docs.filter(F.col("doc_id") >= 250)
         index = minhash_index_upsert(
@@ -1432,28 +1439,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch,
             hash64=portable_hash60,
         )
-        incr = (
-            minhash_lsh_pairs(
-                old,
-                threshold=0.3,
-                signatures=sig.filter(F.col("doc_id") < 250),
-                sh_arrays=sharr,
-            )
-            .unionByName(
-                minhash_index_query_pairs(
-                    index,
-                    docs,
-                    batch.select("doc_id"),
+        with timed_branch("incr"):
+            incr = (
+                minhash_lsh_pairs(
+                    old,
                     threshold=0.3,
+                    signatures=sig.filter(F.col("doc_id") < 250),
                     sh_arrays=sharr,
                 )
+                .unionByName(
+                    minhash_index_query_pairs(
+                        index,
+                        docs,
+                        batch.select("doc_id"),
+                        threshold=0.3,
+                        sh_arrays=sharr,
+                    )
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
-    return tag(full, "full").unionByName(tag(incr, "incr"))
+    return probe_branch("full", tag(full, "full")).unionByName(
+        probe_branch("incr", tag(incr, "incr"))
+    )
 
 
 def _oracle_minhash() -> str:

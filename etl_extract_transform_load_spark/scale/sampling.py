@@ -258,6 +258,55 @@ def weighted_sample(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate documents
+    NEVER straddle splits.  A plain :func:`hash_split` leaks — a doc in
+    train and its near-copy in test inflates eval scores exactly the
+    way benchmark contamination does.  Here the near-dup ``pairs``
+    (any emitter: exact/Jaccard/MinHash/SimHash/embedding) collapse to
+    connected components, every member adopts its component's
+    canonical id (the min member) as its SPLIT KEY, and the
+    deterministic bucket hash decides once per component — singletons
+    keep their own id, so the assignment degrades to ``hash_split``
+    exactly when there are no pairs.
+
+    Scale shape: the component table is O(docs-in-pairs) — near-dup
+    graphs are sparse — so the key attachment is one left join against
+    a SMALL frame (broadcast-able), and the split itself stays a
+    scan-stage CASE.  NULL ids get a NULL label, like
+    :func:`hash_split`.
+    """
+    from etl_extract_transform_load_spark.scale.components import (
+        connected_components_star,
+    )
+
+    comp = connected_components_star(pairs, src_col, dst_col).select(
+        F.col("node").alias(id_col), F.col("component").alias("__ckey")
+    )
+    keyed = df.join(F.broadcast(comp), id_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("__ckey"), F.col(id_col))
+    )
+    return (
+        hash_split(keyed, weights, id_col="__skey", salt=salt, out_col=out_col)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(id_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.col(out_col)),
+        )
+        .drop("__ckey", "__skey")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -511,3 +511,41 @@ def test_domain_quota_sample_caps_and_is_deterministic(spark):
     assert again == {r.doc_id for r in got}
     with _pytest.raises(ValueError):
         domain_quota_sample(df, "source", cap=0)
+
+
+def test_cluster_safe_split_never_straddles_components(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)] + [(None, "ghost")],
+        "doc_id long, text string",
+    )
+    # chains 0-1-2, 10-11, 20-21-22-23 plus singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = cluster_safe_split(docs, pairs, w).collect()
+    lab = {r.doc_id: r.split for r in out}
+    # every component is single-label
+    for comp in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({lab[i] for i in comp}) == 1, comp
+    # NULL id -> NULL label; columns restored
+    assert lab[None] is None
+    assert {c for c in out[0].asDict()} == {"doc_id", "text", "split"}
+    # all three splits materialize at n=200
+    assert {v for k, v in lab.items() if k is not None} == {
+        "train", "val", "test"
+    }
+    # with no pairs, identical to plain hash_split on the id
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r.doc_id: r.split for r in cluster_safe_split(docs, empty, w).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+    assert a == b
+    # rerun-stable
+    again = {r.doc_id: r.split for r in cluster_safe_split(docs, pairs, w).collect()}
+    assert again == lab

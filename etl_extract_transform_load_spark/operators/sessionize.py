@@ -101,6 +101,72 @@ def transition_matrix(
     )
 
 
+def path_ngrams(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> DataFrame:
+    """Top user journeys: every sliding ``k``-gram of each user's
+    typed event sequence, counted corpus-wide — ``(path, n)`` with
+    ``path = "view>click>purchase"``-style strings.  The k-step
+    generalization of :func:`transition_matrix` (k = 2 counts match
+    its ``n`` exactly), and the "most common paths" report of product
+    analytics.
+
+    Sequence order is ``order_col`` (unique ingestion order — the
+    cross-engine-portable choice, same as :func:`transition_matrix`);
+    NULL users/types/orders drop BEFORE windowing, so paths read over
+    the typed subsequence.  One shuffle on the user key (shared with
+    every other per-user window in a composed report), ``k − 1``
+    leads in one window pass, one hash aggregate.  A user with fewer
+    than ``k`` typed events contributes nothing (the trailing leads
+    go NULL and the null-propagating concat drops the row)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(order_col).isNotNull()
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(F.col(order_col))
+    pieces = [F.col(type_col)]
+    for i in range(1, k):
+        pieces.append(F.lit(sep))
+        pieces.append(F.lead(F.col(type_col), i).over(w))
+    path = F.concat(*pieces)  # null-propagating: short tails drop
+    return (
+        base.select(path.alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    k: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The bounded journeys report: global top-``top`` paths by
+    (n DESC, path ASC) with a 1..top rank — TakeOrdered, never a
+    global sort."""
+    order = [F.desc("n"), F.asc("path")]
+    return (
+        path_ngrams(events, k, user_col, order_col, type_col)
+        .orderBy(*order)
+        .limit(int(top))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    )
+
+
 def interval_concurrency(
     df: DataFrame,
     start_col: str,

@@ -1929,11 +1929,30 @@ def q_session_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("duration_sec"),
         )
     )
+    # fifth branch (r7): top user journeys — 3-step path mining over
+    # per-user typed event sequences (operators/sessionize.top_paths);
+    # the path rides the part tag, count rides n_events, rank rides
+    # session_id
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        top_paths,
+    )
+
+    journeys = top_paths(
+        load_table(spark, sf_dir, "events"), k=3, top=20
+    ).select(
+        F.concat(F.lit("journey:"), F.col("path")).alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("rank").alias("session_id"),
+        F.col("n").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("start_sec"),
+        F.lit(None).cast("long").alias("duration_sec"),
+    )
     return (
         ss.unionByName(sw)
         .unionByName(fr)
         .unionByName(fc)
         .unionByName(conc)
+        .unionByName(journeys)
     )
 
 
@@ -2047,6 +2066,25 @@ FROM (
            CAST(MAX(concurrent) AS BIGINT) AS peak
     FROM ccur GROUP BY 1
 )
+UNION ALL
+-- journeys: top-20 3-step typed paths per the event_id order (the
+-- portable sequence order); NULL-propagating concat drops short tails
+SELECT 'journey:' || path, NULL::BIGINT, rk, n, NULL::BIGINT,
+       NULL::BIGINT
+FROM (
+    SELECT path, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rk
+    FROM (
+        SELECT path, COUNT(*) AS n FROM (
+            SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+                   || '>' || LEAD(event_type, 2) OVER w AS path
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND event_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ) WHERE path IS NOT NULL GROUP BY path
+    )
+) WHERE rk <= 20
 """
 
 

@@ -303,3 +303,40 @@ def test_asof_direction_validation(spark):
         asof_join(df, df, on="t", by="k", direction="sideways")
     with _pytest.raises(ValueError):
         asof_join(df, df, on="t", by="k", tolerance=-1.0)
+
+
+def test_path_ngrams_hand_computed_and_k2_matches_transition(spark):
+    from etl_extract_transform_load_spark.operators.sessionize import (
+        path_ngrams,
+        top_paths,
+        transition_matrix,
+    )
+    import pytest as _pytest
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (1, 4, "view"),
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+        (3, 1, "view"), (3, 2, None),  # NULL type drops from sequence
+        (3, 3, "click"), (3, 4, "view"),
+        (None, 1, "view"),  # NULL user drops
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = {r.path: r.n for r in path_ngrams(df, k=3).collect()}
+    assert got == {
+        "view>click>purchase": 2,
+        "click>purchase>view": 1,
+        "view>click>view": 1,  # user 3's typed subsequence
+    }
+    # k=2 counts are exactly the transition-matrix counts
+    p2 = {tuple(r.path.split(">")): r.n for r in path_ngrams(df, k=2).collect()}
+    tm = {(r.from_type, r.to_type): r.n for r in transition_matrix(df).collect()}
+    assert p2 == tm
+    # top_paths ranks deterministically (count desc, path asc)
+    tp = top_paths(df, k=3, top=2).collect()
+    assert [(r.path, r.n, r.rank) for r in tp] == [
+        ("view>click>purchase", 2, 1),
+        ("click>purchase>view", 1, 2),
+    ]
+    with _pytest.raises(ValueError):
+        path_ngrams(df, k=1)

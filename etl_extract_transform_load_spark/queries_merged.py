@@ -2148,6 +2148,11 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = nb_predict(docs, nb_model, nb_priors)
 
+    # round-7 leg: the Gopher rule battery (Rae et al. 2021) — seven
+    # keep/drop gates in exact integer cross-multiplication, zero
+    # floats (scale/text.gopher_rules)
+    from etl_extract_transform_load_spark.scale.text import gopher_rules
+
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
@@ -2157,6 +2162,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(char_entropy(docs), "doc_id")
         .join(perplexity_against_slice(docs), "doc_id")
         .join(nb, "doc_id")
+        .join(gopher_rules(docs), "doc_id")
     )
 
 
@@ -2174,6 +2180,7 @@ def _oracle_text_quality() -> str:
     from etl_extract_transform_load_spark.scale.text import (
         oracle_c4_line_stats_sql,
         oracle_char_entropy_sql,
+        oracle_gopher_sql,
         oracle_script_ratios_sql,
     )
 
@@ -2191,6 +2198,7 @@ JOIN ({oracle_script_ratios_sql()}) e USING (doc_id)
 JOIN ({oracle_char_entropy_sql()}) f USING (doc_id)
 JOIN ({oracle_lm_perplexity_sql()}) g USING (doc_id)
 JOIN ({oracle_nb_sql("doc_id % 2 = 0")}) h USING (doc_id)
+JOIN ({oracle_gopher_sql()}) i USING (doc_id)
 """
 
 

@@ -675,6 +675,176 @@ FROM (
 """
 
 
+#: The 8 Gopher stopwords (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", App. A1.1): a doc must contain ≥ 2 DISTINCT of these.
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, the rule
+    battery RefinedWeb/FineWeb/Dolma re-use) — one row per doc with
+    the raw counts, the 7 per-rule flags, and the overall pass:
+
+    1. ``gr_nwords``   — 50 ≤ word count ≤ 100,000;
+    2. ``gr_mwl``      — mean word length in [3, 10];
+    3. ``gr_symbol``   — (hash + ellipsis) / words ≤ 0.1;
+    4. ``gr_bullet``   — ≤ 90% of lines start with a bullet;
+    5. ``gr_ellipsis`` — ≤ 30% of lines end with an ellipsis;
+    6. ``gr_alpha``    — ≥ 80% of words contain an alphabetic char;
+    7. ``gr_stop``     — ≥ 2 distinct Gopher stopwords present.
+
+    EVERY threshold evaluates in exact INTEGER cross-multiplication
+    (``3·n ≤ Σlen ≤ 10·n``, ``10·symbols ≤ n``, ``5·alpha ≥ 4·n``...)
+    — no division, no rounding, no float anywhere, so the flags are
+    bit-portable to any engine by construction (the small-denominator
+    round-tie trap cannot exist).  Boundary semantics are pinned
+    INCLUSIVE on the keep side.  NULL text ≡ '' (all counts 0; rules
+    needing words/lines fail, so ``gopher_pass`` = 0).  Pure
+    scan-stage expressions: zero shuffles, zero UDFs.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(lower_simple(txt))
+    n = F.size(toks).cast("long")
+    sumw = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_hash = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ell = (
+        (
+            F.length(txt)
+            - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("long") + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    ).cast("long")
+    symbols = n_hash + n_ell
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin(
+                "-", "*", "•"
+            ),
+        )
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.endswith(F.rtrim(x), F.lit("..."))
+            | F.endswith(F.rtrim(x), F.lit("…")),
+        )
+    ).cast("long")
+    alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("long") for w in GOPHER_STOPWORDS
+    )
+    gr_nwords = (n >= 50) & (n <= 100000)
+    gr_mwl = (n > 0) & (3 * n <= sumw) & (sumw <= 10 * n)
+    gr_symbol = (n > 0) & (10 * symbols <= n)
+    gr_bullet = 10 * bullets <= 9 * n_lines
+    gr_ellipsis = 10 * ell_lines <= 3 * n_lines
+    gr_alpha = (n > 0) & (5 * alpha >= 4 * n)
+    gr_stop = stop_hits >= 2
+    flags = {
+        "gr_nwords": gr_nwords,
+        "gr_mwl": gr_mwl,
+        "gr_symbol": gr_symbol,
+        "gr_bullet": gr_bullet,
+        "gr_ellipsis": gr_ellipsis,
+        "gr_alpha": gr_alpha,
+        "gr_stop": gr_stop,
+    }
+    all_pass = None
+    for c in flags.values():
+        all_pass = c if all_pass is None else (all_pass & c)
+    return df.select(
+        F.col(id_col),
+        n.alias("g_words"),
+        sumw.alias("g_sumwlen"),
+        symbols.alias("g_symbols"),
+        n_lines.alias("g_lines"),
+        bullets.alias("g_bullets"),
+        ell_lines.alias("g_ell_lines"),
+        alpha.alias("g_alpha_words"),
+        stop_hits.cast("long").alias("g_stop_hits"),
+        *[v.cast("long").alias(k) for k, v in flags.items()],
+        all_pass.cast("long").alias("gopher_pass"),
+    )
+
+
+def oracle_gopher_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_rules` — the same integer
+    cross-multiplications over the same token/line splits."""
+    stop_sum = " + ".join(
+        f"CAST(list_contains(ltoks, '{w}') AS BIGINT)"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+SELECT doc_id,
+       n AS g_words, sumw AS g_sumwlen, symbols AS g_symbols,
+       n_lines AS g_lines, bullets AS g_bullets,
+       ell_lines AS g_ell_lines, alpha AS g_alpha_words,
+       stop_hits AS g_stop_hits,
+       CAST(n >= 50 AND n <= 100000 AS BIGINT) AS gr_nwords,
+       CAST(n > 0 AND 3 * n <= sumw AND sumw <= 10 * n AS BIGINT)
+           AS gr_mwl,
+       CAST(n > 0 AND 10 * symbols <= n AS BIGINT) AS gr_symbol,
+       CAST(10 * bullets <= 9 * n_lines AS BIGINT) AS gr_bullet,
+       CAST(10 * ell_lines <= 3 * n_lines AS BIGINT) AS gr_ellipsis,
+       CAST(n > 0 AND 5 * alpha >= 4 * n AS BIGINT) AS gr_alpha,
+       CAST(stop_hits >= 2 AS BIGINT) AS gr_stop,
+       CAST(n >= 50 AND n <= 100000
+            AND n > 0 AND 3 * n <= sumw AND sumw <= 10 * n
+            AND 10 * symbols <= n
+            AND 10 * bullets <= 9 * n_lines
+            AND 10 * ell_lines <= 3 * n_lines
+            AND 5 * alpha >= 4 * n
+            AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+FROM (
+    SELECT doc_id,
+           CAST(LEN(ltoks) AS BIGINT) AS n,
+           CAST(COALESCE(list_sum(list_transform(ltoks,
+                t -> LENGTH(t))), 0) AS BIGINT) AS sumw,
+           CAST(LENGTH(t) - LENGTH(REPLACE(t, '#', ''))
+                + (LENGTH(t) - LENGTH(REPLACE(t, '...', ''))) / 3
+                + LENGTH(t) - LENGTH(REPLACE(t, '…', ''))
+                AS BIGINT) AS symbols,
+           CAST(LEN(lines) AS BIGINT) AS n_lines,
+           CAST(LEN(list_filter(lines,
+                x -> SUBSTRING(LTRIM(x), 1, 1)
+                     IN ('-', '*', '•'))) AS BIGINT) AS bullets,
+           CAST(LEN(list_filter(lines,
+                x -> ends_with(RTRIM(x), '...')
+                     OR ends_with(RTRIM(x), '…')))
+                AS BIGINT) AS ell_lines,
+           CAST(LEN(list_filter(ltoks,
+                x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+           CAST({stop_sum} AS BIGINT) AS stop_hits
+    FROM (
+        SELECT doc_id,
+               COALESCE(text, '') AS t,
+               CASE WHEN TRIM(COALESCE(text, '')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS ltoks,
+               string_split(COALESCE(text, ''), chr(10)) AS lines
+        FROM {src}
+    )
+)
+"""
+
+
 def char_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -739,3 +739,49 @@ def test_adamic_adar_triangle_has_no_predictions(spark):
         [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
     )
     assert adamic_adar(tri).count() == 0
+
+
+def test_gopher_rules_hand_computed(spark):
+    from etl_extract_transform_load_spark.scale.text import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, mwl ok, no symbols/bullets, alpha 100%, 5 stopwords
+    rows = [
+        (1, good),
+        (2, "short text only"),                     # < 50 words
+        (3, None),                                  # NULL ≡ ''
+        (4, good + " ####### # # # # # # # #"),     # symbol-heavy
+        (5, "- a\n- b\n- c\nthe be plain"),         # 75% bullet lines (ok)
+        (6, good.replace("word", "w")),             # mean word length < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    r1 = out[1]
+    assert (r1.g_words, r1.gopher_pass) == (65, 1)
+    assert all(
+        getattr(r1, f) == 1
+        for f in ("gr_nwords", "gr_mwl", "gr_symbol", "gr_bullet",
+                  "gr_ellipsis", "gr_alpha", "gr_stop")
+    )
+    assert out[2].gr_nwords == 0 and out[2].gopher_pass == 0
+    assert out[3].g_words == 0 and out[3].gopher_pass == 0
+    # 9 hashes over 74 words: 10*9 > 74 -> symbol rule fails
+    assert out[4].gr_symbol == 0 and out[4].g_symbols == 15
+    # 3 of 4 lines bulleted: 30 <= 36 -> bullet rule passes
+    assert out[5].gr_bullet == 1
+    assert out[6].gr_mwl == 0  # mostly 1-char words
+
+
+def test_gopher_rules_boundaries_are_inclusive(spark):
+    from etl_extract_transform_load_spark.scale.text import gopher_rules
+
+    # exactly 50 words, mean word length exactly 3.0 ('the' x50),
+    # exactly 2 distinct stopwords
+    txt = " ".join(["the"] * 49 + ["and"])
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = gopher_rules(df).collect()[0]
+    assert r.g_words == 50 and r.gr_nwords == 1
+    assert r.g_sumwlen == 150 and r.gr_mwl == 1  # 3*50 == 150
+    assert r.g_stop_hits == 2 and r.gr_stop == 1
+    assert r.gopher_pass == 1

@@ -2153,6 +2153,14 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floats (scale/text.gopher_rules)
     from etl_extract_transform_load_spark.scale.text import gopher_rules
 
+    # round-7 leg: interpolated Kneser-Ney TRIGRAM perplexity against
+    # the same id%5==0 reference — absolute discounting + continuation
+    # counts, the KenLM-grade upgrade of the bigram ppx leg
+    # (scale/kn.py; one row per doc, NULL below three tokens)
+    from etl_extract_transform_load_spark.scale.kn import (
+        kn_perplexity_against_slice,
+    )
+
     return (
         q_text_stats(spark, sf_dir)
         .join(q_repetition_signals(spark, sf_dir), "doc_id")
@@ -2163,6 +2171,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(perplexity_against_slice(docs), "doc_id")
         .join(nb, "doc_id")
         .join(gopher_rules(docs), "doc_id")
+        .join(kn_perplexity_against_slice(docs), "doc_id")
     )
 
 
@@ -2177,6 +2186,7 @@ def _oracle_text_quality() -> str:
     from etl_extract_transform_load_spark.scale.nbayes import (
         oracle_nb_sql,
     )
+    from etl_extract_transform_load_spark.scale.kn import oracle_kn_sql
     from etl_extract_transform_load_spark.scale.text import (
         oracle_c4_line_stats_sql,
         oracle_char_entropy_sql,
@@ -2199,6 +2209,7 @@ JOIN ({oracle_char_entropy_sql()}) f USING (doc_id)
 JOIN ({oracle_lm_perplexity_sql()}) g USING (doc_id)
 JOIN ({oracle_nb_sql("doc_id % 2 = 0")}) h USING (doc_id)
 JOIN ({oracle_gopher_sql()}) i USING (doc_id)
+JOIN ({oracle_kn_sql()}) j USING (doc_id)
 """
 
 

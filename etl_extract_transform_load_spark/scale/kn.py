@@ -1,0 +1,328 @@
+"""Interpolated Kneser-Ney trigram language model — the canonical
+n-gram LM (Chen & Goodman 1999; the smoothing KenLM implements) as
+pure relational algebra: the model IS four count tables, training is
+hash aggregates over one trigram explode, scoring is four left joins
+plus one pinned arithmetic expression.  The step up from the bigram
+add-α model in ``scale.lm``: absolute discounting plus CONTINUATION
+counts ("how many contexts has this word completed") instead of raw
+frequency for the backoff distribution — the property that keeps
+"Francisco" from getting a high unigram weight just because
+"San Francisco" is frequent.
+
+Model (fixed discount D = 0.75, pinned):
+
+- p₃(w|u,v) = max(c(uvw) − D, 0)/c(uv·) + D·N₁₊(uv·)/c(uv·)·p₂(w|v)
+  when the context was seen (c(uv·) > 0), else p₂(w|v);
+- p₂(w|v)   = max(N₁₊(·vw) − D, 0)/N₁₊(·v·)
+              + D·N₁₊(v·)/N₁₊(·v·)·p₁(w)
+  when N₁₊(·v·) > 0, else p₁(w) — all counts here are TYPE counts
+  over the trigram table (continuation counts);
+- p₁(w)     = (N₁₊(··w) + α)/(T + α·(V+1)) with T = distinct (v,w)
+  continuation pairs, V = reference vocabulary, α = 0.5 — the
+  additive floor gives unseen words α/(T + α(V+1)) probability mass
+  instead of zero (the <unk> convention, pinned).
+
+Engine portability: every count is an exact integer from a join; the
+probability expression is SPELLED identically in the Spark and SQL
+twins (same literals, same association), so both engines produce the
+identical binary64; per-trigram log-probs round at 6 dp (log output
+is transcendental — no systematic decimal-half ties, the same
+argument as the bigram model) and accumulate as exact decimals;
+perplexity = round(exp(−Σ/n), 6).
+
+100 TB shape: ONE pass over the reference corpus builds c₃ (combine-
+enabled groupBy on the exploded trigrams); every derived table
+(context totals, type counts, continuation counts) is an aggregate of
+c₃ — never a second corpus read.  Scoring groups each doc's trigrams
+WITH multiplicity first, so the join fan-in is distinct-trigrams-per-
+doc; the count tables join on their natural keys (broadcast when the
+reference is small, sort-merge at scale).  T and V are two bounded
+decide aggregates (single longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import (
+    lower_simple,
+    tokens,
+)
+
+KN_DISCOUNT = 0.75
+KN_ALPHA = 0.5
+
+
+def _trigram_occurrences(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(``__id``, u, v, w, cnt): per-doc trigram counts (multiplicity
+    grouped immediately — join fan-in is distinct trigrams per doc).
+    Docs with < 3 tokens emit nothing."""
+    toks = tokens(lower_simple(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    ).filter(F.size("__t") >= 3)
+    zipped = F.arrays_zip(
+        F.slice("__t", 1, F.size("__t") - 2),
+        F.slice("__t", 2, F.size("__t") - 2),
+        F.slice("__t", 3, F.size("__t") - 2),
+    )
+    return (
+        base.select("__id", F.explode(zipped).alias("g"))
+        .select(
+            "__id",
+            F.col("g.0").alias("u"),
+            F.col("g.1").alias("v"),
+            F.col("g.2").alias("w"),
+        )
+        .groupBy("__id", "u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_kn_trigram(
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
+    """Fit the KN count tables on the reference slice.  Returns
+    ``(tri, ctx3, mid, low, T, V)``:
+
+    - ``tri (u, v, w, c3)``      — trigram token counts;
+    - ``ctx3 (u, v, ctx3, n1uv)`` — context totals Σ_w c₃ and type
+      counts N₁₊(uv·), one aggregate of ``tri``;
+    - ``mid (v, w, ndvw)``       — continuation counts N₁₊(·vw);
+    - ``perv (v, ctx2, n2v)``    — N₁₊(·v·), N₁₊(v·) keyed on ``v``
+      ALONE (joining them through the (v, w) table would hide a SEEN
+      context behind an unseen continuation pair — the backoff would
+      silently skip the discount layer; caught by the sequential
+      reference test);
+    - ``low (w, ccw)``           — N₁₊(··w) continuation counts;
+    - ``T``                      — distinct (v, w) continuation pairs;
+    - ``V``                      — reference vocabulary size.
+    """
+    occ = _trigram_occurrences(train, text_col, id_col)
+    tri = occ.groupBy("u", "v", "w").agg(F.sum("cnt").alias("c3"))
+    ctx3 = tri.groupBy("u", "v").agg(
+        F.sum("c3").alias("ctx3"), F.count(F.lit(1)).alias("n1uv")
+    )
+    # tri is distinct on (u,v,w): count(*) per (v,w) IS |{u}|
+    mid = tri.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("ndvw")
+    )
+    perv = mid.groupBy("v").agg(
+        F.sum("ndvw").alias("ctx2"), F.count(F.lit(1)).alias("n2v")
+    )
+    low = mid.groupBy("w").agg(F.count(F.lit(1)).alias("ccw"))
+    T = int(mid.count())
+    toks = tokens(lower_simple(F.col(text_col)))
+    V = int(
+        train.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .collect()[0][0]
+    )
+    return tri, ctx3, mid, perv, low, T, V
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    tri: DataFrame,
+    ctx3: DataFrame,
+    mid: DataFrame,
+    perv: DataFrame,
+    low: DataFrame,
+    T: int,
+    V: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: ``(id_col, kn_trigrams, kn_ppx)`` — one
+    row per input doc, ``kn_trigrams`` = 0 / ``kn_ppx`` NULL below
+    three tokens."""
+    if T <= 0 or V <= 0:
+        raise ValueError("kn_perplexity: empty reference model")
+    occ = _trigram_occurrences(docs, text_col, id_col)
+    d = F.lit(KN_DISCOUNT)
+    c3 = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    x3 = F.coalesce(F.col("ctx3"), F.lit(0)).cast("double")
+    n1 = F.coalesce(F.col("n1uv"), F.lit(0)).cast("double")
+    nd = F.coalesce(F.col("ndvw"), F.lit(0)).cast("double")
+    x2 = F.coalesce(F.col("ctx2"), F.lit(0)).cast("double")
+    n2 = F.coalesce(F.col("n2v"), F.lit(0)).cast("double")
+    cc = F.coalesce(F.col("ccw"), F.lit(0)).cast("double")
+    # identical spelling in oracle_kn_sql — keep in lockstep
+    p1 = (cc + F.lit(KN_ALPHA)) / (
+        F.lit(float(T)) + F.lit(KN_ALPHA) * F.lit(float(V + 1))
+    )
+    p2 = F.when(
+        x2 > 0.0,
+        F.greatest(nd - d, F.lit(0.0)) / x2 + d * n2 / x2 * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        x3 > 0.0,
+        F.greatest(c3 - d, F.lit(0.0)) / x3 + d * n1 / x3 * p2,
+    ).otherwise(p2)
+    contrib = F.col("cnt").cast("decimal(10,0)") * F.round(
+        F.log(p3), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        occ.join(tri, ["u", "v", "w"], "left")
+        .join(ctx3, ["u", "v"], "left")
+        .join(mid, ["v", "w"], "left")
+        .join(perv, ["v"], "left")
+        .join(low, ["w"], "left")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("kn_trigrams"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum(contrib).cast("double")
+                        / F.sum("cnt").cast("double")
+                    )
+                ),
+                6,
+            ).alias("kn_ppx"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("kn_trigrams"), F.lit(0))
+            .cast("long")
+            .alias("kn_trigrams"),
+            F.col("kn_ppx").cast("double").alias("kn_ppx"),
+        )
+    )
+
+
+def kn_perplexity_against_slice(
+    docs: DataFrame,
+    train_mod: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Registered-query composition: fit on ``id % train_mod == 0``,
+    score everything (the ``scale.lm`` convention)."""
+    train = docs.filter(F.col(id_col) % train_mod == 0)
+    tri, ctx3, mid, perv, low, T, V = train_kn_trigram(
+        train, text_col, id_col
+    )
+    return kn_perplexity(
+        docs, tri, ctx3, mid, perv, low, T, V, text_col, id_col
+    )
+
+
+def oracle_kn_sql(train_mod: int = 5, src: str = "documents") -> str:
+    """DuckDB twin of :func:`kn_perplexity_against_slice` — the full
+    pipeline (tokenize, trigram tables, continuation counts, the
+    identically-spelled KN expression, 6-dp round-then-decimal-sum)."""
+    d = KN_DISCOUNT
+    a = KN_ALPHA
+    return f"""
+SELECT dd.doc_id,
+       COALESCE(g.kn_trigrams, 0) AS kn_trigrams,
+       g.kn_ppx AS kn_ppx
+FROM {src} dd LEFT JOIN (
+    WITH kntoks AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM {src}),
+    knocc AS (
+        SELECT doc_id, u, v, w, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id, g.u AS u, g.v AS v, g.w AS w
+            FROM (
+                SELECT doc_id,
+                       UNNEST([{{'u': t[i], 'v': t[i+1], 'w': t[i+2]}}
+                               for i in range(1, len(t) - 1)]) AS g
+                FROM kntoks))
+        GROUP BY doc_id, u, v, w),
+    kntri AS (
+        SELECT u, v, w, SUM(cnt) AS c3
+        FROM knocc WHERE doc_id % {train_mod} = 0
+        GROUP BY u, v, w),
+    knctx3 AS (
+        SELECT u, v, SUM(c3) AS ctx3, COUNT(*) AS n1uv
+        FROM kntri GROUP BY u, v),
+    knmidb AS (
+        SELECT v, w, COUNT(*) AS ndvw FROM kntri GROUP BY v, w),
+    knperv AS (
+        SELECT v, SUM(ndvw) AS ctx2, COUNT(*) AS n2v
+        FROM knmidb GROUP BY v),
+    knlow AS (SELECT w, COUNT(*) AS ccw FROM knmidb GROUP BY w),
+    knt AS (SELECT COUNT(*) AS tt FROM knmidb),
+    knv AS (
+        SELECT COUNT(DISTINCT tok) AS vv
+        FROM (SELECT UNNEST(t) AS tok FROM kntoks
+              WHERE doc_id % {train_mod} = 0)),
+    knscored AS (
+        SELECT o.doc_id, o.cnt,
+               CAST(ROUND(LN(
+                 CASE WHEN CAST(COALESCE(x.ctx3, 0) AS DOUBLE) > 0.0
+                 THEN GREATEST(CAST(COALESCE(t3.c3, 0) AS DOUBLE)
+                               - {d}, 0.0)
+                      / CAST(COALESCE(x.ctx3, 0) AS DOUBLE)
+                      + {d} * CAST(COALESCE(x.n1uv, 0) AS DOUBLE)
+                        / CAST(COALESCE(x.ctx3, 0) AS DOUBLE)
+                        * (CASE WHEN CAST(COALESCE(p2v.ctx2, 0)
+                                         AS DOUBLE) > 0.0
+                           THEN GREATEST(CAST(COALESCE(m.ndvw, 0)
+                                              AS DOUBLE) - {d}, 0.0)
+                                / CAST(COALESCE(p2v.ctx2, 0) AS DOUBLE)
+                                + {d} * CAST(COALESCE(p2v.n2v, 0)
+                                             AS DOUBLE)
+                                  / CAST(COALESCE(p2v.ctx2, 0)
+                                         AS DOUBLE)
+                                  * ((CAST(COALESCE(l.ccw, 0)
+                                           AS DOUBLE) + {a})
+                                     / (CAST(knt.tt AS DOUBLE)
+                                        + {a} * CAST(knv.vv + 1
+                                                     AS DOUBLE)))
+                           ELSE (CAST(COALESCE(l.ccw, 0) AS DOUBLE)
+                                 + {a})
+                                / (CAST(knt.tt AS DOUBLE)
+                                   + {a} * CAST(knv.vv + 1
+                                                AS DOUBLE)) END)
+                 ELSE (CASE WHEN CAST(COALESCE(p2v.ctx2, 0)
+                                      AS DOUBLE) > 0.0
+                       THEN GREATEST(CAST(COALESCE(m.ndvw, 0)
+                                          AS DOUBLE) - {d}, 0.0)
+                            / CAST(COALESCE(p2v.ctx2, 0) AS DOUBLE)
+                            + {d} * CAST(COALESCE(p2v.n2v, 0)
+                                         AS DOUBLE)
+                              / CAST(COALESCE(p2v.ctx2, 0) AS DOUBLE)
+                              * ((CAST(COALESCE(l.ccw, 0) AS DOUBLE)
+                                  + {a})
+                                 / (CAST(knt.tt AS DOUBLE)
+                                    + {a} * CAST(knv.vv + 1
+                                                 AS DOUBLE)))
+                       ELSE (CAST(COALESCE(l.ccw, 0) AS DOUBLE)
+                             + {a})
+                            / (CAST(knt.tt AS DOUBLE)
+                               + {a} * CAST(knv.vv + 1 AS DOUBLE))
+                       END)
+                 END), 6) AS DECIMAL(28,6)) AS lp
+        FROM knocc o
+        LEFT JOIN kntri t3 USING (u, v, w)
+        LEFT JOIN knctx3 x USING (u, v)
+        LEFT JOIN knmidb m USING (v, w)
+        LEFT JOIN knperv p2v USING (v)
+        LEFT JOIN knlow l USING (w)
+        CROSS JOIN knt CROSS JOIN knv)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS kn_trigrams,
+           ROUND(EXP(-(CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * lp)
+                            AS DOUBLE)
+                       / CAST(SUM(cnt) AS DOUBLE))), 6) AS kn_ppx
+    FROM knscored GROUP BY doc_id
+) g ON dd.doc_id = g.doc_id
+"""

@@ -1,0 +1,116 @@
+"""Interpolated Kneser-Ney trigram LM (scale/kn.py): sequential
+dict-based reference parity, fluency ordering, and edge contracts.
+The DuckDB oracle parity rides the text_quality_signals kn_ columns."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from decimal import Decimal
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.kn import (
+    KN_ALPHA,
+    KN_DISCOUNT,
+    kn_perplexity,
+    kn_perplexity_against_slice,
+    train_kn_trigram,
+)
+
+
+def _kn_reference(train_texts, texts):
+    """Sequential replica of the relational spec (same formula, same
+    6-dp round-then-decimal-sum)."""
+    tri = Counter()
+    vocab = set()
+    for t in train_texts:
+        toks = t.lower().split()
+        vocab.update(toks)
+        for i in range(len(toks) - 2):
+            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    ctx3, n1uv, mid = Counter(), Counter(), Counter()
+    for (u, v, w), c in tri.items():
+        ctx3[(u, v)] += c
+        n1uv[(u, v)] += 1
+        mid[(v, w)] += 1
+    ctx2, n2v, low = Counter(), Counter(), Counter()
+    for (v, w), nd in mid.items():
+        ctx2[v] += nd
+        n2v[v] += 1
+        low[w] += 1
+    T, V = len(mid), len(vocab)
+    D, a = KN_DISCOUNT, KN_ALPHA
+
+    def p1(w):
+        return (low.get(w, 0) + a) / (T + a * (V + 1))
+
+    def p2(v, w):
+        if ctx2.get(v, 0) > 0:
+            return (
+                max(mid.get((v, w), 0) - D, 0.0) / ctx2[v]
+                + D * n2v[v] / ctx2[v] * p1(w)
+            )
+        return p1(w)
+
+    def p3(u, v, w):
+        if ctx3.get((u, v), 0) > 0:
+            return (
+                max(tri.get((u, v, w), 0) - D, 0.0) / ctx3[(u, v)]
+                + D * n1uv[(u, v)] / ctx3[(u, v)] * p2(v, w)
+            )
+        return p2(v, w)
+
+    out = []
+    for t in texts:
+        toks = t.lower().split()
+        if len(toks) < 3:
+            out.append((0, None))
+            continue
+        s, n = Decimal(0), 0
+        for i in range(len(toks) - 2):
+            lp = round(math.log(p3(toks[i], toks[i + 1], toks[i + 2])), 6)
+            s += Decimal(f"{lp:.6f}")
+            n += 1
+        out.append((n, round(math.exp(-(float(s) / n)), 6)))
+    return out
+
+
+def test_kn_matches_sequential_reference(spark):
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog sat here",
+    ]
+    score = [
+        "the cat sat on the rug",     # fluent, mostly seen trigrams
+        "rug mat dog unseen words",   # disfluent + OOV word
+        "tiny doc",                   # < 3 tokens
+    ]
+    # ids: train docs get % 5 == 0 ids, scored docs avoid them
+    rows = [(i * 5, t) for i, t in enumerate(train)]
+    rows += [(i * 5 + 1, t) for i, t in enumerate(score)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.kn_trigrams, r.kn_ppx)
+        for r in kn_perplexity_against_slice(docs).collect()
+    }
+    want = _kn_reference(train, score)
+    for i, (n, ppx) in enumerate(want):
+        assert got[i * 5 + 1] == (n, ppx), f"doc {i}"
+    # fluent doc scores strictly lower perplexity than the OOV one
+    assert got[1][1] < got[6][1]
+    # sub-3-token doc: zero trigrams, NULL perplexity
+    assert got[11] == (0, None)
+
+
+def test_kn_empty_reference_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two tokens here in the scoring slice")],
+        "doc_id long, text string",
+    )
+    tri, ctx3, mid, perv, low, T, V = train_kn_trigram(
+        docs.filter("doc_id % 5 = 0")
+    )
+    with pytest.raises(ValueError):
+        kn_perplexity(docs, tri, ctx3, mid, perv, low, T, V)

@@ -82,3 +82,70 @@ def test_nb_tie_breaks_by_label_and_empty_doc(docs):
     # fr=de=ln(1/4): 'en' wins outright
     assert rows[8]["nb_pred"] == "en"
     assert rows[8]["nb_score"] == pytest.approx(round(-0.693147, 6))
+
+
+def test_nb_matches_sequential_reference(spark, docs):
+    """Exact score parity against an independent dict-based replica of
+    the spec — twin-vs-twin consistency alone cannot catch a bug both
+    engines share (the r7 KN lesson)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    # --- sequential reference -------------------------------------
+    train = [(t, l) for _, t, l in CORPUS if l]
+    counts, class_docs, class_tot = Counter(), Counter(), Counter()
+    vocab = set()
+    for t, l in train:
+        toks = t.lower().split()
+        class_docs[l] += 1
+        for w in toks:
+            counts[(l, w)] += 1
+            class_tot[l] += 1
+            vocab.add(w)
+    V, n = len(vocab), sum(class_docs.values())
+    logp = {
+        (l, w): round(
+            math.log((counts.get((l, w), 0) + 1) / (class_tot[l] + V)), 6
+        )
+        for w in vocab
+        for l in class_docs
+    }
+    pri = {
+        l: (
+            round(math.log(class_docs[l] / n), 6),
+            round(math.log(1.0 / (class_tot[l] + V)), 6),
+        )
+        for l in class_docs
+    }
+
+    def score(text, l):
+        tf = Counter((text or "").lower().split())
+        msum = Decimal(0)
+        n_oov = 0
+        for w, c in tf.items():
+            if w in vocab:
+                msum += Decimal(f"{round(c * logp[(l, w)], 6):.6f}")
+            else:
+                n_oov += c
+        lp, oov = pri[l]
+        return round(
+            (lp + float(msum)) + round(n_oov * oov, 6), 6
+        )
+
+    want = {}
+    for i, t, _ in CORPUS:
+        best = min(
+            ((-score(t, l), l) for l in sorted(class_docs)),
+        )
+        want[i] = (best[1], -best[0])
+
+    # --- engine ----------------------------------------------------
+    model, priors = nb_fit(docs.filter(F.col("lang").isNotNull()))
+    got = {
+        r.doc_id: (r.nb_pred, r.nb_score)
+        for r in nb_predict(docs, model, priors).collect()
+    }
+    assert got == want

@@ -247,6 +247,85 @@ def hamming_near_dup_pairs(
     )
 
 
+def hamming_query_pairs(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 10,
+    bits: int = 64,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest face of :func:`hamming_near_dup_pairs`: pairs
+    within the radius where at least ONE side is in ``batch``, probed
+    against the standing ``index`` (which should already CONTAIN the
+    batch — upsert first, query second, the
+    ``scale.dedup.minhash_index_upsert`` convention).  Work is
+    O(batch·bands) band rows joined against the index's band table —
+    never a full index self-join — so accumulated pairs across batches
+    equal the one-shot :func:`hamming_near_dup_pairs` over everything
+    ingested (pigeonhole completeness is per-pair, and every pair has
+    a first-arriving side; pytest-pinned under real micro-batches).
+    ``id_a < id_b`` dedups the within-batch double match."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} cannot pigeonhole radius {max_hamming}"
+        )
+    if blocks > bits:
+        raise ValueError("more blocks than bits")
+    base, extra = divmod(bits, blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(blocks)]
+    offs = [sum(widths[:i]) for i in range(blocks)]
+
+    def band_table(df: DataFrame) -> DataFrame:
+        h = F.col(hash_col)
+        structs = [
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(h, offs[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+        return df.select(
+            F.col(id_col).alias("__id"),
+            h.alias("__h"),
+            F.explode(F.array(*structs)).alias("bb"),
+        ).select("__id", "__h", "bb.blk", "bb.val")
+
+    bt = band_table(batch).alias("x")
+    it = band_table(index).alias("y")
+    cand = (
+        bt.join(
+            it,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.__id") != F.col("y.__id")),
+        )
+        .select(
+            F.least(F.col("x.__id"), F.col("y.__id")).alias("id_a"),
+            F.greatest(F.col("x.__id"), F.col("y.__id")).alias("id_b"),
+            F.when(
+                F.col("x.__id") < F.col("y.__id"), F.col("x.__h")
+            ).otherwise(F.col("y.__h")).alias("h_a"),
+            F.when(
+                F.col("x.__id") < F.col("y.__id"), F.col("y.__h")
+            ).otherwise(F.col("x.__h")).alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def image_near_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",

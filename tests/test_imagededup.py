@@ -169,3 +169,49 @@ def test_image_hashes_skips_null_payloads(spark):
     )
     rows = image_hashes(media).collect()
     assert [r.media_id for r in rows] == [1]
+
+
+def test_hamming_query_pairs_covers_all_batch_touching_pairs(spark):
+    """Index-probe completeness: with the index containing the batch,
+    the query returns EXACTLY the brute-force pairs touching a batch
+    id — across-batch and within-batch alike."""
+    import random
+
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        hamming_query_pairs,
+    )
+
+    rng = random.Random(17)
+    base = rng.getrandbits(62)
+    hs = [base]
+    for _ in range(25):
+        h, flips = base, rng.randrange(0, 14)
+        for _ in range(flips):
+            h ^= 1 << rng.randrange(64)
+        hs.append(h)
+    hs += [rng.getrandbits(62) for _ in range(15)]
+    rows = [
+        (i, h - (1 << 64) if h >= 1 << 63 else h)
+        for i, h in enumerate(hs)
+    ]
+    index = spark.createDataFrame(rows, "media_id long, phash long")
+    batch_ids = {5, 6, 7, 30, 31}
+    from pyspark.sql import functions as F
+
+    batch = index.filter(F.col("media_id").isin(*batch_ids))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_query_pairs(index, batch, max_hamming=10).collect()
+    }
+    expect = set()
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            if i in batch_ids or j in batch_ids:
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= 10:
+                    expect.add((i, j, d))
+    assert got == expect and expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_query_pairs(index, batch, max_hamming=10, blocks=9)

@@ -516,6 +516,111 @@ def triangle_counts(
     )
 
 
+def triangle_counts_incremental(
+    counts: DataFrame | None,
+    edges: DataFrame | None,
+    new_pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch of new edges into a standing per-node triangle
+    count table — the third member of the incremental graph family
+    (components fold via contraction, PageRank is fixed-sweep; this
+    closes triangles).  State is the pair ``(counts, edges)``: the
+    canonical edge set IS the index (closure tests need neighbor
+    lookups), exactly as the SCD2 fold keeps its changelog.
+
+    Every triangle gained by the batch contains ≥ 1 truly-new edge,
+    so it is enumerable FROM the new edges alone: each new edge
+    ``(a, b)`` contributes the common neighbors of ``a`` and ``b`` in
+    the union graph — neighbors are expanded from the LOWER-degree
+    endpoint (one degree join), so the per-edge cost is
+    ``min(deg(a), deg(b))``, hub-safe like the batch counter's
+    degree-ordered wedges.  Triangles with 2-3 new edges are found
+    once per new edge and deduped by their sorted corner triple; the
+    per-node increments then merge into the standing counts with one
+    full-outer sum.  Work is O(batch · min-degree + affected
+    triangles) — never a recount of the world; row-identical to
+    :func:`triangle_counts` over all edges ever seen (randomized
+    multi-batch pytest).  Pass ``None``/``None`` on the first batch.
+    Already-known and duplicate batch edges are no-ops.
+    """
+    batch = (
+        new_pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if (counts is None) != (edges is None):
+        raise ValueError(
+            "counts and edges must both be None (first batch) or both"
+            " be standing tables"
+        )
+    if edges is None:
+        e0 = batch.localCheckpoint()
+        return triangle_counts(e0, "a", "b"), e0
+    new = (
+        batch.join(edges, ["a", "b"], "left_anti").localCheckpoint()
+    )
+    union_e = edges.unionByName(new).localCheckpoint()
+    adj = union_e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(
+        union_e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("__d"))
+    nd = (
+        new.join(
+            deg.select(F.col("x").alias("a"), F.col("__d").alias("__da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("x").alias("b"), F.col("__d").alias("__db")),
+            "b",
+        )
+    )
+    a_lo = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = nd.select(
+        F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_lo, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    cand = (
+        oriented.join(adj, F.col("lo") == F.col("x"))
+        .select("lo", "hi", F.col("y").alias("w"))
+        .filter(F.col("w") != F.col("hi"))
+    )
+    closed = cand.join(
+        union_e,
+        (F.least(F.col("hi"), F.col("w")) == F.col("a"))
+        & (F.greatest(F.col("hi"), F.col("w")) == F.col("b")),
+    ).select("lo", "hi", "w")
+    # one row per NEW triangle, regardless of how many new edges it
+    # contains (2-new and 3-new triangles are found 2-3 times)
+    tri = closed.select(
+        F.sort_array(F.array("lo", "hi", "w")).alias("t")
+    ).distinct()
+    incr = (
+        tri.select(F.explode("t").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__inc"))
+    )
+    merged = (
+        counts.join(incr, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("triangles"), F.lit(0))
+                + F.coalesce(F.col("__inc"), F.lit(0))
+            ).alias("triangles"),
+        )
+    )
+    return merged, union_e
+
+
 def adamic_adar(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

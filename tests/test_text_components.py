@@ -785,3 +785,86 @@ def test_gopher_rules_boundaries_are_inclusive(spark):
     assert r.g_sumwlen == 150 and r.gr_mwl == 1  # 3*50 == 150
     assert r.g_stop_hits == 2 and r.gr_stop == 1
     assert r.gopher_pass == 1
+
+
+def _tri_python(edge_list):
+    """Reference per-node triangle counts."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    tris = set()
+    for a in adj:
+        for b in adj[a]:
+            for c in adj[a] & adj[b]:
+                tris.add(tuple(sorted((a, b, c))))
+    out = defaultdict(int)
+    for t in tris:
+        for n in t:
+            out[n] += 1
+    return dict(out)
+
+
+def test_triangle_counts_incremental_matches_rebuild(spark):
+    """Standing (counts, edges) fold ≡ batch recount, over randomized
+    edge streams with duplicate edges, 2-new and 3-new triangles."""
+    import random as _random
+
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    rng = _random.Random(29)
+    for trial in range(3):
+        edge_list = [
+            (rng.randrange(25), rng.randrange(25)) for _ in range(60)
+        ]
+        cuts = sorted(rng.sample(range(5, 55), 2))
+        counts, edges = None, None
+        for lo, hi in zip([0, *cuts], [*cuts, len(edge_list)]):
+            batch = spark.createDataFrame(
+                edge_list[lo:hi], "id_a long, id_b long"
+            )
+            counts, edges = triangle_counts_incremental(
+                counts, edges, batch
+            )
+            counts = counts.localCheckpoint()
+        got = {r.node: r.triangles for r in counts.collect()}
+        got = {k: v for k, v in got.items() if v > 0}
+        want = {
+            r.node: r.triangles
+            for r in triangle_counts(
+                spark.createDataFrame(edge_list, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want == {
+            k: v for k, v in _tri_python(edge_list).items() if v > 0
+        }, f"trial {trial}"
+
+
+def test_triangle_counts_incremental_multi_new_triangle(spark):
+    """A triangle arriving entirely in one batch (3 new edges) counts
+    once; a known edge re-sent is a no-op; state guard raises."""
+    import pytest as _pytest
+
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts_incremental,
+    )
+
+    b1 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    counts, edges = triangle_counts_incremental(None, None, b1)
+    # batch 2: closes {1,2,3} AND ships the full {4,5,6} triangle
+    b2 = spark.createDataFrame(
+        [(2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (1, 2), (2, 1)],
+        "id_a long, id_b long",
+    )
+    counts, edges = triangle_counts_incremental(counts, edges, b2)
+    got = {r.node: r.triangles for r in counts.collect() if r.triangles > 0}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+    assert edges.count() == 6  # duplicates and re-sends collapsed
+    with _pytest.raises(ValueError):
+        triangle_counts_incremental(counts, None, b1)

@@ -282,11 +282,32 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     incr = incr_full.select(
         F.lit("incr").alias("algo"), "node", "component"
     )
+    # sixth branch (r7): INCREMENTAL triangle counts — same split,
+    # same proof shape as `incr`: the standing (counts, edges) fold
+    # over two batches must be row-identical to the one-shot counter,
+    # so it reuses the `triangles` oracle fixpoint under its own tag
+    from etl_extract_transform_load_spark.scale.components import (
+        triangle_counts_incremental,
+    )
+
+    with timed_branch("tri_incr"):
+        c0, e0 = triangle_counts_incremental(
+            None, None, pairs.filter(batch_key != 0)
+        )
+        c1, _ = triangle_counts_incremental(
+            c0, e0, pairs.filter(batch_key == 0)
+        )
+    tri_incr = c1.filter(F.col("triangles") > 0).select(
+        F.lit("tri_incr").alias("algo"),
+        "node",
+        F.col("triangles").cast("long").alias("component"),
+    )
     return (
         probe_branch("star", star)
         .unionByName(probe_branch("pagerank", pr))
         .unionByName(probe_branch("triangles", tri))
         .unionByName(probe_branch("incr", incr))
+        .unionByName(probe_branch("tri_incr", tri_incr))
     )
 
 
@@ -387,6 +408,9 @@ UNION ALL
 SELECT 'incr' AS algo, node, component FROM comp
 UNION ALL
 SELECT 'triangles' AS algo, node, c AS component FROM tcnt
+UNION ALL
+-- the incremental fold must converge to the SAME per-node counts
+SELECT 'tri_incr' AS algo, node, c AS component FROM tcnt
 UNION ALL
 SELECT 'pagerank' AS algo, node,
        CAST(ROUND(rank * 1e10) AS BIGINT) AS component

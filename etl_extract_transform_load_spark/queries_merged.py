@@ -1548,12 +1548,63 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_changed_cols").cast("string"),
         ).alias("k"),
     )
+    # seventh/eighth branches (r7): the STREAMING folds over the same
+    # feed, batch-by-batch (snapshot-as-inserts, then each change
+    # generation) — the standing SCD2 (history, changelog) pair and
+    # the tombstone-retaining latest-wins state must converge to the
+    # one-shot results, so both reuse their batch twins' oracle rows
+    from etl_extract_transform_load_spark.operators.cdc import (
+        cdc_current,
+        cdc_state_update,
+        scd2_upsert_history,
+    )
+
+    ihist, ilog = scd2_upsert_history(None, None, snap0, ["event_id"])
+    ihist, ilog = scd2_upsert_history(
+        ihist.localCheckpoint(), ilog.localCheckpoint(), g1, ["event_id"]
+    )
+    ihist, _ = scd2_upsert_history(
+        ihist.localCheckpoint(), ilog.localCheckpoint(), g2, ["event_id"]
+    )
+    scd2_incr = ihist.select(
+        F.lit("scd2_incr").alias("part"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.col("user_id").cast("long").alias("id_b"),
+        F.concat(
+            F.coalesce(
+                F.round(F.col("value") * 100)
+                .cast("long")
+                .cast("string"),
+                F.lit(""),
+            ),
+            F.lit(":"),
+            F.col("valid_from").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("")),
+            F.lit(":"),
+            F.col("is_current").cast("int").cast("string"),
+        ).alias("k"),
+    )
+    st = cdc_state_update(None, snap0, ["event_id"])
+    st = cdc_state_update(st.localCheckpoint(), g1, ["event_id"])
+    st = cdc_state_update(st.localCheckpoint(), g2, ["event_id"])
+    cdc_incr = cdc_current(st).select(
+        F.lit("cdc_incr").alias("part"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.col("user_id").cast("long").alias("id_b"),
+        F.round(F.col("value") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("k"),
+    )
     return (
         ns.unionByName(sa)
         .unionByName(cdc)
         .unionByName(dif)
         .unionByName(scd2)
         .unionByName(bl)
+        .unionByName(scd2_incr)
+        .unionByName(cdc_incr)
     )
 
 
@@ -1707,6 +1758,82 @@ FROM orders
 WHERE o_custkey IN (
     SELECT c_custkey FROM customer WHERE c_acctbal > 9000
 )
+UNION ALL
+-- the streaming folds must converge to the one-shot results:
+-- identical rows under their own tags
+SELECT 'scd2_incr', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), '')
+       || ':' || CAST(valid_from AS VARCHAR)
+       || ':' || COALESCE(CAST(valid_to AS VARCHAR), '')
+       || ':' || CAST(CAST(valid_to IS NULL AS INT) AS VARCHAR)
+FROM (
+    WITH ev2 AS (SELECT event_id, user_id, value FROM events),
+    snap2 AS (SELECT event_id, user_id, value, 'I' AS op,
+                     CAST(0 AS BIGINT) AS op_ts
+              FROM ev2 WHERE event_id < 2000),
+    base2 AS (SELECT * FROM ev2
+              WHERE event_id >= 1000 AND event_id < 3000),
+    g1b AS (SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END AS op,
+                   CAST(1 AS BIGINT) AS op_ts
+            FROM base2),
+    g2b AS (SELECT event_id, user_id + 1000 AS user_id,
+                   value * 2 AS value,
+                   CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+                   CAST(2 AS BIGINT) AS op_ts
+            FROM base2 WHERE event_id % 3 = 0),
+    ch2 AS (SELECT * FROM snap2 UNION ALL
+            SELECT * FROM g1b UNION ALL SELECT * FROM g2b),
+    win2 AS (SELECT *, LAG(op_ts) OVER (
+                 PARTITION BY event_id
+                 ORDER BY op_ts ASC,
+                          CASE WHEN UPPER(op) = 'D' THEN 1 ELSE 0 END DESC
+             ) AS prev_ts
+             FROM ch2),
+    winners2 AS (SELECT event_id, user_id, value, op, op_ts FROM win2
+                 WHERE prev_ts IS NULL OR prev_ts <> op_ts),
+    hist2 AS (SELECT *, LEAD(op_ts) OVER (
+                  PARTITION BY event_id ORDER BY op_ts ASC
+              ) AS valid_to
+              FROM winners2)
+    SELECT event_id, user_id, value, op_ts AS valid_from, valid_to
+    FROM hist2
+    WHERE NOT COALESCE(UPPER(op) = 'D', FALSE)
+)
+UNION ALL
+SELECT 'cdc_incr', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+FROM (
+    WITH ev AS (SELECT event_id, user_id, value FROM events),
+    snap AS (SELECT * FROM ev WHERE event_id < 2000),
+    base AS (SELECT * FROM ev
+             WHERE event_id >= 1000 AND event_id < 3000),
+    g1 AS (SELECT event_id, user_id, value,
+                  CASE WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END AS op,
+                  1 AS op_ts
+           FROM base),
+    g2 AS (SELECT event_id, user_id + 1000 AS user_id,
+                  value * 2 AS value,
+                  CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+                  2 AS op_ts
+           FROM base WHERE event_id % 3 = 0),
+    ch AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+    latest AS (
+        SELECT event_id, user_id, value, op
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY event_id ORDER BY op_ts DESC) AS rn
+              FROM ch)
+        WHERE rn = 1
+    )
+    SELECT COALESCE(l.event_id, s.event_id) AS event_id,
+           CASE WHEN l.op IS NOT NULL THEN l.user_id
+                ELSE s.user_id END AS user_id,
+           CASE WHEN l.op IS NOT NULL THEN l.value
+                ELSE s.value END AS value,
+           l.op
+    FROM snap s FULL OUTER JOIN latest l ON s.event_id = l.event_id
+) m
+WHERE op IS NULL OR op <> 'D'
 """
 
 

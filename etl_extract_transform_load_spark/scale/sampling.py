@@ -177,6 +177,82 @@ def mixture_rates(
     )
 
 
+def temperature_mixture_rates(
+    df: DataFrame,
+    tau: float,
+    domain_col: str = "source",
+) -> DataFrame:
+    """(domain, n_rows, keep_buckets) for TEMPERATURE-flattened
+    mixing: target weights ∝ n_d^(1/τ) computed from the observed
+    counts themselves — the multilingual-LM recipe (τ = 1 keeps the
+    natural mixture, τ → ∞ approaches uniform, τ = 5 is the mBERT/XLM
+    convention) without hand-writing a target mapping.  Same contract
+    as :func:`mixture_rates`: the bottleneck domain keeps rate 1, so
+    this is the largest corpus achieving the flattened mixture by
+    DOWNSAMPLING only; rates quantize to 1/BUCKETS by floor (never
+    overshoots); NULL domains get rate 0.  Fully relational (one
+    count aggregate + one broadcast min) — no driver-side dict.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    counts = df.filter(F.col(domain_col).isNotNull()).groupBy(
+        domain_col
+    ).agg(F.count("*").alias("n_rows"))
+    w = F.pow(F.col("n_rows").cast("double"), F.lit(1.0 / tau))
+    weighted = counts.select(
+        domain_col,
+        "n_rows",
+        w.alias("target_w"),
+        (F.col("n_rows").cast("double") / w).alias("__ratio"),
+    )
+    scale = weighted.agg(F.min("__ratio").alias("c"))
+    # the bottleneck domain's rate is EXACTLY 1 by construction, but
+    # w·c/n re-derives it through floats and can floor to
+    # BUCKETS − 1 on a last-ulp miss — detect the argmin by exact
+    # equality with the min (F.min returns one of its inputs bitwise)
+    return (
+        weighted.crossJoin(F.broadcast(scale))
+        .select(
+            domain_col,
+            "n_rows",
+            F.when(F.col("__ratio") == F.col("c"), F.lit(BUCKETS))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        F.col("target_w")
+                        * F.col("c")
+                        / F.col("n_rows").cast("double")
+                        * BUCKETS
+                    ).cast("int"),
+                    F.lit(BUCKETS),
+                )
+            )
+            .alias("keep_buckets"),
+        )
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    tau: float,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample to the τ-flattened mixture (broadcast rate table +
+    scan-stage hash filter, the :func:`mixture_rebalance` shape).
+    Rows with a NULL domain drop (no rate exists for them)."""
+    rates = temperature_mixture_rates(df, tau, domain_col)
+    return (
+        df.join(
+            F.broadcast(rates.select(domain_col, "keep_buckets")),
+            domain_col,
+        )
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("keep_buckets"))
+        .drop("keep_buckets")
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     target: Mapping[str, float],

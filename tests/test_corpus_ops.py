@@ -549,3 +549,42 @@ def test_cluster_safe_split_never_straddles_components(spark):
     # rerun-stable
     again = {r.doc_id: r.split for r in cluster_safe_split(docs, pairs, w).collect()}
     assert again == lab
+
+
+def test_temperature_mixture_tau1_is_identity_and_flattening(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        BUCKETS,
+        temperature_mixture_rates,
+        temperature_rebalance,
+    )
+    import pytest as _pytest
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(1000 + i, "mid") for i in range(200)]
+        + [(2000 + i, "small") for i in range(50)]
+        + [(9999, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # tau = 1: the natural mixture — every domain keeps everything
+    r1 = {r.source: r.keep_buckets for r in
+          temperature_mixture_rates(df, 1.0).collect()}
+    assert r1 == {"big": BUCKETS, "mid": BUCKETS, "small": BUCKETS}
+    assert temperature_rebalance(df, 1.0).count() == 1050  # NULL drops
+    # tau = 5: flattened toward uniform — the smallest domain is the
+    # bottleneck (keeps all), bigger domains downsample progressively
+    r5 = {r.source: r.keep_buckets for r in
+          temperature_mixture_rates(df, 5.0).collect()}
+    assert r5["small"] == BUCKETS
+    assert r5["mid"] < BUCKETS and r5["big"] < r5["mid"]
+    out = temperature_rebalance(df, 5.0)
+    kept = {s: c for s, c in out.groupBy("source").count().collect()}
+    # post-sample ratios are flatter than 16:4:1
+    assert kept["small"] == 50
+    assert kept["big"] / kept["small"] < 800 / 50
+    # deterministic
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in temperature_rebalance(df, 5.0).collect()
+    }
+    with _pytest.raises(ValueError):
+        temperature_mixture_rates(df, 0.0)

@@ -1,0 +1,148 @@
+"""Perceptual AUDIO dedup: a spectral difference hash + the shared
+Hamming LSH — the audio face of the multimodal dedup gate (images:
+``scale.imagededup``).  Re-encoded, volume-scaled or lightly-noised
+copies of one clip must cluster; distinct clips must not.
+
+Fingerprint (``audiohash64``, pinned convention — the
+Haitsma-Kalker band-energy-difference family, the repo's dHash shape
+on the spectrogram thumbnail):
+
+1. mix to mono, split into 8 equal TIME chunks
+   (``np.array_split`` — no window-function ambiguity);
+2. per chunk, the power spectrum (``|rfft|²``) folds into 9
+   geometrically-spaced FREQUENCY bands (edges =
+   ``round(geomspace(2, n_bins, 10))``, pinned) → an 8×9 log-energy
+   grid — the "spectrogram thumbnail";
+3. bit(t, b) = G[t, b] > G[t, b+1] — 8×8 = 64 frequency-gradient
+   signs.
+
+Volume invariance is EXACT by construction: a gain ``g`` scales every
+band energy by ``g²``, shifting every log-energy by the same
+constant, so every gradient sign is unchanged — pytest-pinned, not
+approximate.  Mild additive noise perturbs only near-tied gradients
+(measured Hamming 0 at σ = 1% of amplitude on broadband fixtures);
+BROADBAND content is what the hash keys on — clips that are pure
+sparse tone stacks with no noise floor share most band gradients and
+need a tighter radius (a measured limitation, documented in the
+tests: real audio always carries a floor).
+
+Pair generation reuses ``scale.imagededup.hamming_near_dup_pairs`` /
+``hamming_query_pairs`` verbatim (they are hash-column-generic):
+pigeonhole band blocking, exact ``bit_count(xor)`` verify, standing-
+index probes — one Hamming engine for every modality.
+
+Scale shape: hashing is a zero-shuffle Arrow ``mapInPandas`` scan
+stage (audio bytes never leave the executor; output is one long per
+clip); everything downstream is the shared banded join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+N_TIME = 8
+N_BANDS = 9  # 9 bands → 8 gradient bits per time chunk → 64 bits
+
+
+def _band_edges(n_fft_bins: int) -> np.ndarray:
+    """Geometric band edges over rfft bins 2..n (pinned spelling:
+    ``round(geomspace)``, deduped) — log-frequency spacing without a
+    sample-rate dependence, so the hash survives container-level
+    resampling metadata."""
+    return np.unique(
+        np.round(np.geomspace(2, n_fft_bins, N_BANDS + 1)).astype(int)
+    )
+
+
+def audiohash64(samples: np.ndarray) -> int:
+    """64-bit spectral difference hash of a (n, channels) or (n,)
+    float array (module docstring).  Raises on fewer than
+    ``8 × 18`` samples (the grid needs ≥ 9 usable rfft bins per
+    chunk)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)  # mono mix
+    if x.ndim != 1:
+        raise ValueError("expected (n,) or (n, channels) samples")
+    if x.size < N_TIME * 18:
+        raise ValueError(
+            f"clip too short for a spectral hash: {x.size} samples"
+        )
+    cols = []
+    for chunk in np.array_split(x, N_TIME):
+        spec = np.abs(np.fft.rfft(chunk)) ** 2
+        e = _band_edges(spec.size)
+        if len(e) < N_BANDS + 1:
+            raise ValueError("chunk too short for the band grid")
+        bands = [
+            np.log(spec[e[i]:e[i + 1]].sum() + 1e-12)
+            for i in range(N_BANDS)
+        ]
+        cols.append(bands)
+    grid = np.array(cols)  # (N_TIME, N_BANDS)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    out = 0
+    for i in range(64):
+        if bits[i]:
+            out |= 1 << i
+    return out
+
+
+def audio_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, ahash) per WAV payload — zero-shuffle Arrow scan stage.
+    NULL payloads drop; non-WAV payloads raise (route images to
+    ``image_hashes``, split by ``codecs.sniff`` upstream)."""
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.scale import codecs
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        _to_signed64,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if codecs.sniff(raw) != "wav":
+                    raise ValueError(
+                        "audio_hashes expects PCM WAV payloads"
+                    )
+                samples, _rate = codecs.decode_wav(raw)
+                ids.append(i)
+                hs.append(_to_signed64(audiohash64(samples)))
+            yield pd.DataFrame({id_col: ids, "ahash": hs}).astype(
+                {id_col: "int64", "ahash": "int64"}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, ahash long"
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """End-to-end audio dedup: decode → spectral hash → the SHARED
+    banded Hamming candidates → exact verify."""
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        hamming_near_dup_pairs,
+    )
+
+    sigs = audio_hashes(media, id_col, content_col)
+    return hamming_near_dup_pairs(
+        sigs, id_col=id_col, hash_col="ahash", max_hamming=max_hamming
+    )

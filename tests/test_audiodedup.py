@@ -1,0 +1,105 @@
+"""Perceptual audio dedup (scale/audiodedup.py): pinned spectral-hash
+kernel (exact volume invariance, noise robustness, discrimination)
+and the Spark end-to-end decode→hash→pair path on codec-generated
+WAV fixtures, through the SHARED Hamming machinery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_extract_transform_load_spark.scale.audiodedup import (
+    audio_hashes,
+    audio_near_dup_pairs,
+    audiohash64,
+)
+
+
+def _clip(seed: int, rate: int = 8000, secs: float = 1.0) -> np.ndarray:
+    """Deterministic tone stack over a uniquely-filtered broadband
+    bed — realistic audio (pure tone stacks have no noise floor, so
+    most geometric bands sit at the epsilon floor and share
+    gradients; real recordings always carry broadband energy)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(rate * secs)) / rate
+    x = np.zeros_like(t)
+    for _ in range(5):
+        f = rng.uniform(80, 3200)
+        x += rng.uniform(0.1, 0.5) * np.sin(
+            2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+        )
+    bed = rng.normal(0, 1, t.size)
+    k = rng.randint(3, 30)
+    bed = np.convolve(bed, np.ones(k) / k, mode="same")
+    x += 0.15 * bed / np.abs(bed).max()
+    return (x / np.abs(x).max() * 0.6)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_audiohash_volume_invariance_is_exact():
+    x = _clip(1)
+    # gain shifts every log band energy by the same constant: every
+    # gradient sign survives EXACTLY (not approximately)
+    assert audiohash64(x) == audiohash64(x * 0.25)
+    assert audiohash64(x) == audiohash64(x * 1.5)
+
+
+def test_audiohash_noise_close_distinct_far():
+    x = _clip(2)
+    rng = np.random.RandomState(0)
+    noisy = x + rng.normal(0, 0.008, x.shape)
+    assert _hamming(audiohash64(x), audiohash64(noisy)) <= 4
+    for s in range(3, 13):
+        d = _hamming(audiohash64(x), audiohash64(_clip(s)))
+        assert d > 12, f"seed {s}: distance {d}"
+
+
+def test_audiohash_stereo_mixes_to_mono_and_validation():
+    x = _clip(6)
+    stereo = np.stack([x, x], axis=1)
+    assert audiohash64(stereo) == audiohash64(x)
+    with pytest.raises(ValueError):
+        audiohash64(np.zeros(40))  # too short
+
+
+def test_audio_near_dup_end_to_end(spark):
+    from etl_extract_transform_load_spark.scale import codecs
+
+    def wav(x):
+        return bytearray(
+            codecs.encode_wav((x * 30000).astype(np.int16), 8000)
+        )
+
+    a = _clip(10)
+    rng = np.random.RandomState(1)
+    corpus = [
+        (0, wav(a)),
+        (1, wav(a * 0.4)),                                  # quieter copy
+        (2, wav(a + rng.normal(0, 0.008, a.shape))),        # noisy copy
+        (3, wav(_clip(11))),
+        (4, wav(_clip(12))),
+        (5, None),                                          # NULL drops
+    ]
+    media = spark.createDataFrame(corpus, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_near_dup_pairs(media, max_hamming=8).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    for other in (3, 4):
+        assert all(other not in p for p in pairs), pairs
+    assert audio_hashes(media).count() == 5  # NULL payload skipped
+
+
+def test_audio_hashes_rejects_non_wav(spark):
+    from etl_extract_transform_load_spark.scale import codecs
+
+    img = codecs.encode_pgm(np.zeros((8, 8), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(img))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="WAV"):
+        audio_hashes(media).collect()

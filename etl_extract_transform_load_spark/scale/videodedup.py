@@ -1,0 +1,151 @@
+"""Perceptual VIDEO near-dup: frame-sampled pHash + the shared
+Hamming engine — the third modality of the dedup gate (text SimHash,
+image pHash, audio spectral hash all ride the same pigeonhole banded
+join).  Re-encoded (Y4M ↔ MJPEG-AVI), brightness-shifted or
+lightly-noised copies of one clip must cluster; distinct clips must
+not.
+
+Signature: ``n_frames`` frames sampled at pinned evenly-spaced
+indices (``round(linspace(0, total−1, n))``, deduped), each pHash64'd
+(``scale.imagededup.phash64`` — so per-frame brightness shifts are
+Hamming-0 by construction).  Two clips are near-dups when at least
+``min_frames`` of their sampled frames match within
+``frame_hamming`` bits — temporal evidence, not a single fused hash,
+so a clip sharing only its title card with another does NOT pair.
+
+Plan shape: decoding + hashing is a zero-shuffle Arrow scan stage
+emitting (clip, frame_idx, fhash) rows; the frame-level banded join
+reuses :func:`scale.imagededup.hamming_near_dup_pairs` on a packed
+(clip, frame) id; clip pairs aggregate matched DISTINCT frame slots
+of the earlier clip — one hash aggregate.  No all-pairs comparison at
+either level.
+
+Decoders (all in-repo pure numpy): Y4M, Motion-JPEG AVI, animated
+GIF.  Inter-frame codecs (H.264/MP4) remain the documented
+environmental seam (``scale.multimodal``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: frame_idx values are packed as clip_id·FRAME_PACK + slot for the
+#: shared banded join; n_frames must stay below it.
+FRAME_PACK = 1024
+
+
+def _sample_slots(total: int, n: int) -> list[int]:
+    """Pinned evenly-spaced frame indices (deduped, order-preserved)."""
+    if total <= 0:
+        return []
+    idx = np.round(np.linspace(0, total - 1, min(n, total))).astype(int)
+    return sorted(set(int(i) for i in idx))
+
+
+def _decode_frames(raw: bytes, n_frames: int) -> list[tuple[int, np.ndarray]]:
+    """payload → [(slot, HxW luma)] at the pinned sample indices."""
+    from etl_extract_transform_load_spark.scale import codecs
+
+    kind = codecs.sniff(raw)
+    if kind == "y4m":
+        frames, _w, _h = codecs.decode_y4m_frames(raw)
+        lumas = [f for _, f in frames]
+    elif kind == "avi":
+        frames, _w, _h, _fps = codecs.decode_avi_mjpeg_frames(raw)
+        lumas = [codecs.to_gray(f) for _, f in frames]
+    elif kind == "gif":
+        lumas = [codecs.to_gray(f) for f in codecs.decode_gif_frames(raw)]
+    else:
+        raise NotImplementedError(
+            f"video codec {kind!r}: Y4M/MJPEG-AVI/GIF decode without "
+            "external libraries; inter-frame codecs (H.264/MP4) need "
+            "ffmpeg — wire them in here"
+        )
+    picks = _sample_slots(len(lumas), n_frames)
+    return [(slot, np.asarray(lumas[i], dtype=np.float64))
+            for slot, i in enumerate(picks)]
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    n_frames: int = 8,
+) -> DataFrame:
+    """(id, frame_slot, fhash) — one row per sampled frame, zero
+    shuffles.  NULL payloads drop."""
+    import pandas as pd
+
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        _to_signed64,
+        phash64,
+    )
+
+    if not 1 <= n_frames < FRAME_PACK:
+        raise ValueError(f"n_frames must be in [1, {FRAME_PACK})")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, slots, hs = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                for slot, luma in _decode_frames(bytes(b), n_frames):
+                    ids.append(i)
+                    slots.append(slot)
+                    hs.append(_to_signed64(phash64(luma)))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_slot": slots, "fhash": hs}
+            ).astype(
+                {id_col: "int64", "frame_slot": "int64", "fhash": "int64"}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, frame_slot long, fhash long"
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    n_frames: int = 8,
+    frame_hamming: int = 10,
+    min_frames: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, n_matched) for clip pairs where ≥ ``min_frames``
+    of clip a's sampled frames match SOME frame of clip b within
+    ``frame_hamming`` bits (any temporal alignment — trims and
+    re-timed copies still pair)."""
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        hamming_near_dup_pairs,
+    )
+
+    fh = video_frame_hashes(media, id_col, content_col, n_frames)
+    packed = fh.select(
+        (F.col(id_col) * FRAME_PACK + F.col("frame_slot")).alias("fid"),
+        "fhash",
+    )
+    fp = hamming_near_dup_pairs(
+        packed, id_col="fid", hash_col="fhash", max_hamming=frame_hamming
+    )
+    clip_a = F.floor(F.col("id_a") / FRAME_PACK)
+    clip_b = F.floor(F.col("id_b") / FRAME_PACK)
+    return (
+        fp.select(
+            F.least(clip_a, clip_b).alias("id_a"),
+            F.greatest(clip_a, clip_b).alias("id_b"),
+            F.when(clip_a < clip_b, F.col("id_a") % FRAME_PACK)
+            .otherwise(F.col("id_b") % FRAME_PACK)
+            .alias("slot_a"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("slot_a").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_frames)
+    )

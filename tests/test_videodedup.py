@@ -1,0 +1,97 @@
+"""Perceptual video near-dup (scale/videodedup.py): frame-sampled
+pHash through the shared Hamming engine, on codec-generated
+Y4M / MJPEG-AVI / animated-GIF fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_extract_transform_load_spark.scale.videodedup import (
+    _sample_slots,
+    video_frame_hashes,
+    video_near_dup_pairs,
+)
+
+
+def _photo(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(4):
+        fy, fx = rng.uniform(0.5, 3, 2)
+        py, px = rng.uniform(0, 2 * np.pi, 2)
+        img += rng.uniform(20, 60) * np.cos(
+            2 * np.pi * fy * y / h + py
+        ) * np.cos(2 * np.pi * fx * x / w + px)
+    img = img - img.min()
+    return (img / img.max() * 180 + 30).astype(np.uint8)
+
+
+def _clip(seed: int, n: int = 12) -> np.ndarray:
+    """n smoothly-varying frames: crossfades between two photos."""
+    a, b = _photo(seed).astype(np.float64), _photo(seed + 500).astype(np.float64)
+    ws = np.linspace(0, 1, n)
+    return np.stack(
+        [(a * (1 - t) + b * t).astype(np.uint8) for t in ws]
+    )
+
+
+def test_sample_slots_pinned():
+    assert _sample_slots(12, 8) == [0, 2, 3, 5, 6, 8, 9, 11]
+    assert _sample_slots(3, 8) == [0, 1, 2]  # short clip: all frames
+    assert _sample_slots(0, 8) == []
+
+
+def test_video_near_dup_cross_container_and_brightness(spark):
+    from etl_extract_transform_load_spark.scale import codecs
+
+    a = _clip(40)
+    bright = np.clip(a.astype(np.int64) + 12, 0, 255).astype(np.uint8)
+    b = _clip(41)
+    corpus = [
+        (0, bytearray(codecs.encode_y4m(a))),
+        (1, bytearray(codecs.encode_avi_mjpeg(a, quality=90))),  # re-encode
+        (2, bytearray(codecs.encode_y4m(bright))),               # brightness
+        (3, bytearray(codecs.encode_y4m(b))),                    # distinct
+        (4, None),
+    ]
+    media = spark.createDataFrame(corpus, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b): r.n_matched
+        for r in video_near_dup_pairs(media, min_frames=4).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(3 not in p for p in pairs), pairs
+    # brightness copy matches on EVERY sampled frame (pHash DC-exempt)
+    assert pairs[(0, 2)] == 8
+    # frame table skips the NULL payload clip
+    fh = video_frame_hashes(media)
+    assert fh.filter("media_id = 4").count() == 0
+    assert fh.filter("media_id = 0").count() == 8
+
+
+def test_video_gif_animation_pairs_with_y4m_source(spark):
+    from etl_extract_transform_load_spark.scale import codecs
+
+    a = _clip(42, n=6)
+    # grayscale GIF: identity palette, frames are the luma indices
+    gif = codecs.encode_gif(a)
+    corpus = [
+        (0, bytearray(codecs.encode_y4m(a))),
+        (1, bytearray(gif)),
+    ]
+    media = spark.createDataFrame(corpus, "media_id long, content binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in video_near_dup_pairs(media, min_frames=4).collect()
+    }
+    assert (0, 1) in got
+
+
+def test_video_validation(spark):
+    with pytest.raises(ValueError):
+        video_frame_hashes(
+            spark.createDataFrame([], "media_id long, content binary"),
+            n_frames=0,
+        )

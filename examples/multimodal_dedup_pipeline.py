@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""End-to-end multimodal (image) dedup over a binary media table —
-the perceptual-dedup gate of a training-data pipeline, composed from
-existing verified operators:
+"""End-to-end MULTIMODAL dedup over a binary media table — the
+perceptual-dedup gate of a training-data pipeline across all three
+modalities, composed from existing verified operators:
 
-    synth media corpus (real codec payloads, planted perceptual dups)
-    → decode features (Arrow scan stage) → pHash64/dHash64
-    → pigeonhole Hamming candidate pairs → exact verify
-    → connected components → one canonical survivor per dup cluster
+    synth media corpus (real codec payloads: images, WAV clips, Y4M/
+    MJPEG video; planted perceptual dups per modality)
+    → route by sniffed modality
+    → image pHash64 / audio spectral hash / video frame-pHash
+    → ONE shared pigeonhole Hamming engine per modality
+    → connected components over the unioned pair graph
+    → one canonical survivor per dup cluster
     → manifest-verified parquet writes (survivors + pair report)
 
 No external imaging libraries anywhere: payloads are encoded AND
@@ -36,9 +39,15 @@ from etl_extract_transform_load_spark.scale import codecs
 from etl_extract_transform_load_spark.scale.components import (
     connected_components_star,
 )
+from etl_extract_transform_load_spark.scale.audiodedup import (
+    audio_near_dup_pairs,
+)
 from etl_extract_transform_load_spark.scale.imagededup import (
     hamming_near_dup_pairs,
     image_hashes,
+)
+from etl_extract_transform_load_spark.scale.videodedup import (
+    video_near_dup_pairs,
 )
 from etl_extract_transform_load_spark.scale.multimodal import MEDIA_SCHEMA
 from etl_extract_transform_load_spark.session import get_spark
@@ -65,11 +74,37 @@ def _photo(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
     return (img / img.max() * 180 + 30).astype(np.uint8)
 
 
+def _tone_clip(seed: int, rate: int = 8000) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    t = np.arange(rate) / rate
+    x = np.zeros_like(t)
+    for _ in range(5):
+        f = rng.uniform(80, 3200)
+        x += rng.uniform(0.1, 0.5) * np.sin(
+            2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+        )
+    bed = rng.normal(0, 1, t.size)
+    bed = np.convolve(bed, np.ones(7) / 7, mode="same")
+    x += 0.15 * bed / np.abs(bed).max()
+    return x / np.abs(x).max() * 0.6
+
+
+def _video_clip(seed: int, n: int = 10) -> np.ndarray:
+    a = _photo(seed, 48, 48).astype(np.float64)
+    b = _photo(seed + 900, 48, 48).astype(np.float64)
+    return np.stack(
+        [
+            (a * (1 - t) + b * t).astype(np.uint8)
+            for t in np.linspace(0, 1, n)
+        ]
+    )
+
+
 def _corpus(spark, n_photos: int):
-    """n_photos base photos, each planted as 4 perceptual variants:
-    PGM original, PNG re-encode, JPEG(q85) re-encode, brightness+12
-    PGM — every variant a distinct media_id, ground-truth cluster =
-    the base photo."""
+    """Ground-truth clusters per modality: n_photos base photos × 4
+    variants (PGM / PNG / JPEG(q85) / brightness+12), n_photos//3
+    audio clips × 3 variants (original / half volume / light noise),
+    n_photos//4 video clips × 2 variants (Y4M / MJPEG re-encode)."""
     rows = []
     mid = 0
     for s in range(n_photos):
@@ -87,7 +122,31 @@ def _corpus(spark, n_photos: int):
                 (mid, "image", bytearray(payload), (w, h, None, codec))
             )
             mid += 1
-    return spark.createDataFrame(rows, MEDIA_SCHEMA), n_photos
+    n_audio = n_photos // 3
+    rng = np.random.RandomState(7)
+    for s in range(n_audio):
+        x = _tone_clip(300 + s)
+        for variant in (x, x * 0.5, x + rng.normal(0, 0.008, x.shape)):
+            wav = codecs.encode_wav(
+                (np.clip(variant, -1, 1) * 30000).astype(np.int16), 8000
+            )
+            rows.append(
+                (mid, "audio", bytearray(wav), (None, None, 8000, "wav"))
+            )
+            mid += 1
+    n_video = n_photos // 4
+    for s in range(n_video):
+        v = _video_clip(600 + s)
+        for payload, codec in (
+            (codecs.encode_y4m(v), "y4m"),
+            (codecs.encode_avi_mjpeg(v, quality=90), "mjpeg"),
+        ):
+            rows.append(
+                (mid, "video", bytearray(payload), (48, 48, None, codec))
+            )
+            mid += 1
+    n_clusters = n_photos + n_audio + n_video
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), n_clusters
 
 
 def main() -> None:
@@ -100,15 +159,29 @@ def main() -> None:
 
     media, n_base = _corpus(spark, n_photos)
     n0 = media.count()
-    print(f"[1/5] corpus        {n0:>6} images ({n_base} base photos x 4 variants)")
+    print(
+        f"[1/5] corpus        {n0:>6} media rows "
+        f"({n_base} ground-truth clusters across image/audio/video)"
+    )
 
-    sigs = image_hashes(media).localCheckpoint()
-    print(f"[2/5] fingerprints  {sigs.count():>6} pHash64/dHash64 rows")
+    images = media.filter(F.col("modality") == "image")
+    audio = media.filter(F.col("modality") == "audio")
+    video = media.filter(F.col("modality") == "video")
+    sigs = image_hashes(images).localCheckpoint()
+    print(f"[2/5] fingerprints  {sigs.count():>6} image pHash64 rows")
 
-    pairs = hamming_near_dup_pairs(
-        sigs, hash_col="phash", max_hamming=10
-    ).localCheckpoint()
-    print(f"[3/5] hamming pairs {pairs.count():>6} within radius 10")
+    pairs = (
+        hamming_near_dup_pairs(sigs, hash_col="phash", max_hamming=10)
+        .unionByName(audio_near_dup_pairs(audio, max_hamming=8))
+        .unionByName(
+            video_near_dup_pairs(video, min_frames=4).select(
+                "id_a", "id_b",
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        .localCheckpoint()
+    )
+    print(f"[3/5] hamming pairs {pairs.count():>6} across 3 modalities")
 
     comp = connected_components_star(pairs)
     clusters = comp.groupBy("component").agg(

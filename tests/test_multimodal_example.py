@@ -23,9 +23,10 @@ def test_multimodal_dedup_pipeline_e2e(tmp_path):
         env=env,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
-    # 8 base photos x 4 variants -> 8 clusters -> 8 survivors
-    assert "clusters           8 perceptual groups" in proc.stdout
-    assert "24 perceptual duplicates dropped" in proc.stdout
+    # 8 photos x4 + 2 audio x3 + 2 video x2 -> 12 clusters, 42 rows
+    assert "clusters          12 perceptual groups" in proc.stdout
+    assert "30 perceptual duplicates dropped" in proc.stdout
+    assert "across 3 modalities" in proc.stdout
     for t in ("survivors", "pair_report"):
         assert os.path.isdir(f"{out}/{t}"), t
         assert os.path.exists(f"{out}/{t}/_manifest.json"), t

@@ -189,6 +189,90 @@ def assert_valid(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return df
 
 
+def suggest_constraints(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    max_domain: int = 10,
+) -> DataFrame:
+    """Deequ-style CONSTRAINT SUGGESTION: profile the table once and
+    emit the validation rules the data currently satisfies — the
+    bootstrap for a :func:`validate` suite on an undocumented table.
+    One row per suggestion ``(column_name, rule, value)``:
+
+    - ``not_null``          — the column has zero NULLs (value 1.0);
+    - ``unique``            — no NULLs and every value distinct;
+    - ``min_value`` / ``max_value`` — observed bounds of each numeric
+      column (value = the bound as double), the :class:`InRange`
+      seed;
+    - ``accepted_values:<v1|v2|...>`` — a categorical column whose
+      non-NULL domain has ≤ ``max_domain`` values (value = domain
+      size), the :class:`AcceptedValues` seed with the sorted domain
+      pipe-packed into the rule name.
+
+    Suggestions describe the PROFILED data (deequ's contract): adopt
+    them as rules only after review.  Plan: ONE aggregation pass for
+    every stat (counts, distincts, bounds), then one more for the
+    domains of qualifying categorical columns only — both bounded
+    decide collects (a handful of cells per column); the result is a
+    literal frame.  At 100 TB this is two scans, no shuffles beyond
+    the aggregates' combines.
+    """
+    if max_domain < 1:
+        raise ValueError("max_domain must be >= 1")
+    cols = list(dict.fromkeys([*numeric_cols, *categorical_cols]))
+    if not cols:
+        raise ValueError("no columns given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(f"`{c}`")).alias(f"__nn_{c}"))
+        aggs.append(
+            F.count_distinct(F.col(f"`{c}`")).alias(f"__nd_{c}")
+        )
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx_{c}"))
+    stats = df.agg(*aggs).collect()[0]
+    n = stats["__n"]
+    rows: list[tuple[str, str, float]] = []
+    for c in cols:
+        nn, nd = stats[f"__nn_{c}"], stats[f"__nd_{c}"]
+        if n > 0 and nn == n:
+            rows.append((c, "not_null", 1.0))
+            if nd == n:
+                rows.append((c, "unique", 1.0))
+    for c in numeric_cols:
+        if stats[f"__mn_{c}"] is not None:
+            rows.append((c, "min_value", float(stats[f"__mn_{c}"])))
+            rows.append((c, "max_value", float(stats[f"__mx_{c}"])))
+    small = [
+        c
+        for c in categorical_cols
+        if 0 < stats[f"__nd_{c}"] <= max_domain
+    ]
+    if small:
+        dom = df.agg(
+            *[
+                F.array_join(
+                    F.sort_array(F.collect_set(F.col(f"`{c}`"))), "|"
+                ).alias(c)
+                for c in small
+            ]
+        ).collect()[0]
+        for c in small:
+            rows.append(
+                (
+                    c,
+                    f"accepted_values:{dom[c]}",
+                    float(stats[f"__nd_{c}"]),
+                )
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(rows), "column_name string, rule string, value double"
+    )
+
+
 def population_stability(
     ref: DataFrame,
     cur: DataFrame,

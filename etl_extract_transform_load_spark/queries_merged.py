@@ -166,6 +166,24 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("o_totalprice").alias("column_name"),
         "value",
     )
+    # eighth branch (r7): deequ-style constraint SUGGESTION — the
+    # rules the orders table currently satisfies (operators/quality.
+    # suggest_constraints; one stats pass + one domain pass, bounded
+    # decides); rule name rides metric as suggest:<rule>
+    from etl_extract_transform_load_spark.operators.quality import (
+        suggest_constraints,
+    )
+
+    sugg = suggest_constraints(
+        orders,
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        categorical_cols=("o_orderstatus", "o_orderpriority"),
+        max_domain=10,
+    ).select(
+        F.concat(F.lit("suggest:"), F.col("rule")).alias("metric"),
+        "column_name",
+        "value",
+    )
     return (
         nf.unionByName(sv)
         .unionByName(checks)
@@ -175,6 +193,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mwu)
         .unionByName(bf_rows)
         .unionByName(bf_chi)
+        .unionByName(sugg)
     )
 
 
@@ -383,6 +402,87 @@ SELECT metric, 'o_totalprice', value FROM (
            ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6)
     FROM bfx
 )
+UNION ALL
+-- suggest arms mirror operators/quality.suggest_constraints
+SELECT 'suggest:not_null', 'o_orderkey', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderkey) FROM orders) = 0
+UNION ALL
+SELECT 'suggest:unique', 'o_orderkey', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderkey) FROM orders) = 0
+  AND (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+      = (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'suggest:not_null', 'o_custkey', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) = 0
+UNION ALL
+SELECT 'suggest:unique', 'o_custkey', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) = 0
+  AND (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+      = (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'suggest:not_null', 'o_totalprice', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_totalprice) FROM orders) = 0
+UNION ALL
+SELECT 'suggest:unique', 'o_totalprice', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_totalprice) FROM orders) = 0
+  AND (SELECT COUNT(DISTINCT o_totalprice) FROM orders)
+      = (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'suggest:not_null', 'o_orderstatus', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders) = 0
+UNION ALL
+SELECT 'suggest:unique', 'o_orderstatus', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders) = 0
+  AND (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+      = (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'suggest:not_null', 'o_orderpriority', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderpriority) FROM orders) = 0
+UNION ALL
+SELECT 'suggest:unique', 'o_orderpriority', 1.0
+WHERE (SELECT COUNT(*) FROM orders) > 0
+  AND (SELECT COUNT(*) - COUNT(o_orderpriority) FROM orders) = 0
+  AND (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      = (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'suggest:min_value', 'o_orderkey', CAST(MIN(o_orderkey) AS DOUBLE)
+FROM orders HAVING MIN(o_orderkey) IS NOT NULL
+UNION ALL
+SELECT 'suggest:max_value', 'o_orderkey', CAST(MAX(o_orderkey) AS DOUBLE)
+FROM orders HAVING MAX(o_orderkey) IS NOT NULL
+UNION ALL
+SELECT 'suggest:min_value', 'o_custkey', CAST(MIN(o_custkey) AS DOUBLE)
+FROM orders HAVING MIN(o_custkey) IS NOT NULL
+UNION ALL
+SELECT 'suggest:max_value', 'o_custkey', CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders HAVING MAX(o_custkey) IS NOT NULL
+UNION ALL
+SELECT 'suggest:min_value', 'o_totalprice', CAST(MIN(o_totalprice) AS DOUBLE)
+FROM orders HAVING MIN(o_totalprice) IS NOT NULL
+UNION ALL
+SELECT 'suggest:max_value', 'o_totalprice', CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders HAVING MAX(o_totalprice) IS NOT NULL
+UNION ALL
+SELECT 'suggest:accepted_values:'
+       || array_to_string(list_sort(
+              list(DISTINCT o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL)), '|'),
+       'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE)
+FROM orders HAVING COUNT(DISTINCT o_orderstatus) BETWEEN 1 AND 10
+UNION ALL
+SELECT 'suggest:accepted_values:'
+       || array_to_string(list_sort(
+              list(DISTINCT o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)), '|'),
+       'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE)
+FROM orders HAVING COUNT(DISTINCT o_orderpriority) BETWEEN 1 AND 10
 """
 
 

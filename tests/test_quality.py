@@ -319,3 +319,67 @@ def test_ks_raises_when_one_slice_empty(spark):
         ks_two_sample(empty, pop, "x")
     with _pytest.raises(ValueError, match="cur slice"):
         ks_two_sample(pop, empty, "x")
+
+
+def test_suggest_constraints_profile_and_adopt_roundtrip(spark):
+    """Suggestions describe the profiled data exactly: adopting every
+    suggested rule and validating the SAME table yields zero
+    violations; planted defects suppress the matching suggestion."""
+    from etl_extract_transform_load_spark.operators.quality import (
+        AcceptedValues,
+        InRange,
+        NotNull,
+        Unique,
+        suggest_constraints,
+        validate,
+    )
+    import pytest as _pytest
+
+    rows = [
+        (1, "A", 10.0),
+        (2, "B", 20.0),
+        (3, "A", 5.0),
+        (4, None, 30.0),   # cat has a NULL -> no not_null for it
+        (5, "C", 30.0),    # duplicate v -> no unique for v
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, v double")
+    out = {
+        (r.column_name, r.rule): r.value
+        for r in suggest_constraints(
+            df, numeric_cols=("id", "v"), categorical_cols=("cat",)
+        ).collect()
+    }
+    assert ("id", "not_null") in out and ("id", "unique") in out
+    assert ("v", "not_null") in out and ("v", "unique") not in out
+    assert ("cat", "not_null") not in out
+    assert out[("id", "min_value")] == 1.0
+    assert out[("id", "max_value")] == 5.0
+    assert out[("v", "min_value")] == 5.0
+    assert out[("cat", "accepted_values:A|B|C")] == 3.0
+    # adopt: every suggestion holds on the profiled table
+    checks = validate(
+        df,
+        [
+            NotNull("id"),
+            Unique(("id",)),
+            InRange("id", out[("id", "min_value")], out[("id", "max_value")]),
+            InRange("v", out[("v", "min_value")], out[("v", "max_value")]),
+            AcceptedValues("cat", ("A", "B", "C")),
+        ],
+    ).collect()
+    assert all(r.n_violations == 0 for r in checks)
+    # high-cardinality categorical: no domain suggestion
+    big = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(50)], "id long, cat string"
+    )
+    out2 = {
+        r.rule
+        for r in suggest_constraints(
+            big, categorical_cols=("cat",), max_domain=10
+        ).collect()
+    }
+    assert not any(r.startswith("accepted_values") for r in out2)
+    with _pytest.raises(ValueError):
+        suggest_constraints(df)
+    with _pytest.raises(ValueError):
+        suggest_constraints(df, numeric_cols=("id",), max_domain=0)

@@ -60,6 +60,7 @@ BRANCH_CARRIERS: tuple[str, ...] = (
     "dedup_connected_components",
     "vocab_tfidf_terms",
     "dedup_minhash_lsh",
+    "profile_columns",
 )
 
 

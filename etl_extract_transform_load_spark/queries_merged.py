@@ -36,6 +36,11 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_single_value_detect,
     )
 
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+
     nf = q_null_fraction_stats(spark, sf_dir).select(
         F.lit("null_fraction").alias("metric"),
         "column_name",
@@ -174,26 +179,29 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         suggest_constraints,
     )
 
-    sugg = suggest_constraints(
-        orders,
-        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
-        categorical_cols=("o_orderstatus", "o_orderpriority"),
-        max_domain=10,
-    ).select(
+    with timed_branch("suggest"):
+        sugg_raw = suggest_constraints(
+            orders,
+            numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+            categorical_cols=("o_orderstatus", "o_orderpriority"),
+            max_domain=10,
+        )
+    sugg = sugg_raw.select(
         F.concat(F.lit("suggest:"), F.col("rule")).alias("metric"),
         "column_name",
         "value",
     )
     return (
-        nf.unionByName(sv)
-        .unionByName(checks)
-        .unionByName(psi_rows)
-        .unionByName(psi_total)
-        .unionByName(ks)
-        .unionByName(mwu)
-        .unionByName(bf_rows)
-        .unionByName(bf_chi)
-        .unionByName(sugg)
+        probe_branch("null_fraction", nf)
+        .unionByName(probe_branch("n_distinct", sv))
+        .unionByName(probe_branch("checks", checks))
+        .unionByName(probe_branch("psi", psi_rows))
+        .unionByName(probe_branch("psi", psi_total))
+        .unionByName(probe_branch("ks", ks))
+        .unionByName(probe_branch("mwu", mwu))
+        .unionByName(probe_branch("benford", bf_rows))
+        .unionByName(probe_branch("benford", bf_chi))
+        .unionByName(probe_branch("suggest", sugg))
     )
 
 

@@ -54,7 +54,10 @@ def attribution_credit(
     """Channel-level attributed credit: one row per
     ``(model, channel, credit, n_conv)`` with
 
-    - ``model``   ∈ {first_touch, last_touch, linear};
+    - ``model``   ∈ {first_touch, last_touch, linear, position} —
+      position is the U-shaped 40/20/40 rule (40% first touch, 40%
+      last touch, 20% split over middles; 1-2 touches collapse to
+      0.5 per endpoint slot);
     - ``channel`` a touch type, or ``(none)`` for conversions with no
       prior touch (their full value stays visible, never silently
       dropped);
@@ -193,6 +196,92 @@ def attribution_credit(
             "n_conv",
         )
     )
-    return first.unionByName(last).unionByName(lin_touched).unionByName(
-        lin_none
+    # position-based (U-shaped) model: 40% first touch + 40% last
+    # touch + 20% split over the middles; one or two touches collapse
+    # to 0.5 per endpoint slot (a single touch holds both slots →
+    # full credit).  Per-channel terms quantize to MICRO-units with a
+    # 0-dp round: 0.5·v and 0.4·v of a 6-dp value are SYSTEMATIC
+    # decimal-half generators at a 6-dp round (the engine tie trap) —
+    # at 0 dp both engines round the identical binary64.
+    # the 6-dp value must pass through DECIMAL(28,6) before the micro
+    # arithmetic: round(x, 6) itself can differ by one ulp between
+    # engines near decimal halves (the original tie trap), and the
+    # existing legs are immune only because their decimal casts
+    # re-quantize it — the micro path needs the same shared quantum
+    val6x = val6.cast("decimal(28,6)").cast("double")
+
+    def _pos_struct(idx: int, c: str):
+        ind = (
+            (F.col("__first") == F.lit(c)).cast("int")
+            + (F.col("__last") == F.lit(c)).cast("int")
+        )
+        cnt = F.col(f"__c_{idx}")
+        mid = cnt - (F.col("__first") == F.lit(c)).cast("int") - (
+            F.col("__last") == F.lit(c)
+        ).cast("int")
+        n = F.col("__n")
+        # the DOUBLE leads every product: a bare `0.2 * int` is a
+        # double multiply here but an EXACT DECIMAL in a SQL twin
+        # (DuckDB's numeric literals are decimals), and the one-ulp
+        # difference flips micro ties — v6x-first promotes both
+        # engines to the identical double at the first operation
+        term = F.when(
+            n <= 2, val6x * 0.5 * ind
+        ).otherwise(val6x * 0.4 * ind + val6x * 0.2 * mid / (n - 2))
+        return F.struct(
+            F.lit(c).alias("channel"),
+            cnt.alias("cnt"),
+            F.round(term * 1000000.0).cast("decimal(28,0)").alias(
+                "term_micro"
+            ),
+        )
+
+    pos_touched = (
+        conv.filter(F.col("__n") > 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        _pos_struct(idx, c)
+                        for idx, c in enumerate(touches)
+                    ]
+                )
+            ).alias("__s")
+        )
+        .select("__s.channel", "__s.cnt", "__s.term_micro")
+        .filter(F.col("cnt") > 0)
+        .groupBy("channel")
+        .agg(
+            (F.sum("term_micro").cast("double") / 1000000.0).alias(
+                "credit"
+            ),
+            F.count(F.lit(1)).alias("n_conv"),
+        )
+        .select(
+            F.lit("position").alias("model"), "channel", "credit", "n_conv"
+        )
+    )
+    pos_none = (
+        conv.filter(F.col("__n") == 0)
+        .groupBy()
+        .agg(
+            F.round(
+                F.sum(val6.cast("decimal(28,6)")).cast("double"), 6
+            ).alias("credit"),
+            F.count(F.lit(1)).alias("n_conv"),
+        )
+        .filter(F.col("n_conv") > 0)
+        .select(
+            F.lit("position").alias("model"),
+            F.lit(NO_TOUCH).alias("channel"),
+            "credit",
+            "n_conv",
+        )
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(lin_touched)
+        .unionByName(lin_none)
+        .unionByName(pos_touched)
+        .unionByName(pos_none)
     )

@@ -1522,6 +1522,46 @@ SELECT 'attr', model, channel, n_conv, NULL::BIGINT, credit FROM (
            COUNT(*)
     FROM atc WHERE n = 0
     HAVING COUNT(*) > 0
+    UNION ALL
+    -- position (U-shaped) model: micro-unit 0-dp rounds (0.5·v and
+    -- 0.4·v of a 6-dp value are systematic decimal-half generators
+    -- at a 6-dp round — both engines round the identical binary64)
+    SELECT 'position', channel,
+           CAST(SUM(term_micro) AS DOUBLE) / 1000000.0,
+           COUNT(*)
+    FROM (
+        SELECT u.channel, u.cnt,
+               -- v6 re-quantized through DECIMAL(28,6) (the shared
+               -- quantum), and the DOUBLE LEADS every product:
+               -- `0.2 * int` is exact DECIMAL here but a double in
+               -- Spark — v6x-first promotes both engines identically
+               CAST(ROUND((CASE WHEN c.n <= 2
+                 THEN CAST(CAST(c.v6 AS DECIMAL(28,6)) AS DOUBLE)
+                      * 0.5
+                      * (CAST(c.fch = u.channel AS INT)
+                         + CAST(c.lch = u.channel AS INT))
+                 ELSE CAST(CAST(c.v6 AS DECIMAL(28,6)) AS DOUBLE)
+                      * 0.4
+                      * (CAST(c.fch = u.channel AS INT)
+                         + CAST(c.lch = u.channel AS INT))
+                      + CAST(CAST(c.v6 AS DECIMAL(28,6)) AS DOUBLE)
+                        * 0.2
+                        * (u.cnt
+                           - CAST(c.fch = u.channel AS INT)
+                           - CAST(c.lch = u.channel AS INT))
+                        / (c.n - 2)
+                 END) * 1000000.0) AS DECIMAL(28,0)) AS term_micro
+        FROM atc c,
+             LATERAL (VALUES ('view', c.c_view),
+                             ('click', c.c_click)) AS u(channel, cnt)
+        WHERE c.n > 0 AND u.cnt > 0
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'position', '(none)',
+           ROUND(CAST(SUM(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE), 6),
+           COUNT(*)
+    FROM atc WHERE n = 0
+    HAVING COUNT(*) > 0
 )
 UNION ALL
 SELECT 'season', CAST(b AS VARCHAR), event_type, n_buckets,

@@ -76,6 +76,7 @@ def test_attribution_value_conservation(fixture_events):
         "first_touch": 33.0,
         "last_touch": 33.0,
         "linear": 33.0,
+        "position": 33.0,
     }
 
 

@@ -41,6 +41,187 @@ from pyspark.sql import functions as F
 NO_TOUCH = "(none)"
 
 
+def markov_transition_counts(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order journey transition counts for Markov attribution:
+    ``(src, dst, n)`` over states {start, <touches…>, conv, null}.
+
+    Journeys are EPISODES: a conversion closes the current episode and
+    the next touch opens a new one (episode id = count of strictly
+    prior conversions per user, one window).  Per episode:
+    ``start → first touch``, ``touch → next touch``, ``last touch →
+    conv`` when the episode converted else ``→ null`` (the open
+    trailing episode counts as null — it did not convert while
+    observed); a conversion with no prior touch in its episode is
+    ``start → conv``.  Order is ``id_col`` (the portable sequence
+    order).  One user-key exchange; the output is bounded by
+    (|touches|+1)² cells.
+    """
+    touches = list(touch_types)
+    if not touches or conversion_type in touches:
+        raise ValueError("bad touch/conversion configuration")
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(type_col).isin([*touches, conversion_type])
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__o"),
+        F.col(type_col).alias("__t"),
+    )
+    w_prior = (
+        Window.partitionBy("__u")
+        .orderBy(F.col("__o").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col("__t") == conversion_type).cast("int")
+    eps = base.withColumn(
+        "__ep", F.coalesce(F.sum(is_conv).over(w_prior), F.lit(0))
+    )
+    w_ep = Window.partitionBy("__u", "__ep").orderBy(F.col("__o").asc())
+    seq = eps.withColumn("__prev", F.lag("__t").over(w_ep))
+    # within-episode transitions; the conversion row closes its episode
+    # (prev touch → conv, or start → conv when no touch preceded)
+    inner = seq.select(
+        F.coalesce(F.col("__prev"), F.lit("start")).alias("src"),
+        F.when(F.col("__t") == conversion_type, F.lit("conv"))
+        .otherwise(F.col("__t"))
+        .alias("dst"),
+    )
+    # episodes with touches and NO conversion end at null: their last
+    # row's type (the episode never contains conv past its end)
+    ep_last = (
+        eps.groupBy("__u", "__ep")
+        .agg(
+            F.max_by("__t", "__o").alias("__lt"),
+            F.max(is_conv).alias("__has_conv"),
+        )
+        .filter((F.col("__has_conv") == 0))
+        .select(F.col("__lt").alias("src"), F.lit("null").alias("dst"))
+    )
+    return (
+        inner.unionByName(ep_last)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def markov_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model that first/last/linear/position heuristics approximate
+    (Anderl et al. 2014): fit the journey transition matrix, compute
+    the baseline conversion probability P as the absorbing probability
+    of ``conv`` from ``start``, then for each channel recompute P with
+    that channel REMOVED (all its inbound transitions redirect to
+    ``null``); the channel's removal effect is ``1 − P₋c/P``, and
+    credit is the total conversion value split by normalized removal
+    effects.
+
+    Returns one row per channel: ``(channel, removal_effect, weight,
+    credit)``, 6-dp rounded.  The matrix solve runs driver-side on the
+    collected (|touches|+2)² transition table (a bounded decide — the
+    same class as centroid collects); everything corpus-sized stays in
+    the cluster.  No SQL twin exists for the matrix inverse — verified
+    against an independent sequential fixpoint reference in pytest.
+    """
+    import numpy as np
+
+    touches = list(touch_types)
+    counts = {
+        (r["src"], r["dst"]): r["n"]
+        for r in markov_transition_counts(
+            events, touches, conversion_type, user_col, type_col, id_col
+        ).collect()
+    }
+    states = ["start", *touches]
+    absorbing = ["conv", "null"]
+
+    def absorb_p(removed: str | None) -> float:
+        n_s = len(states)
+        q = np.zeros((n_s, n_s))
+        r = np.zeros((n_s, 2))
+        for i, s in enumerate(states):
+            if s == removed:
+                # unreachable once removed; self-terminate to null
+                r[i, 1] = 1.0
+                continue
+            tot = sum(
+                n for (a, _b), n in counts.items() if a == s
+            )
+            if tot == 0:
+                r[i, 1] = 1.0
+                continue
+            for (a, b), n in counts.items():
+                if a != s:
+                    continue
+                p = n / tot
+                if b == "conv":
+                    r[i, 0] += p
+                elif b == "null":
+                    r[i, 1] += p
+                elif b == removed:
+                    r[i, 1] += p  # inbound to removed → null
+                else:
+                    q[i, states.index(b)] += p
+        absorb = np.linalg.solve(np.eye(n_s) - q, r)
+        return float(absorb[0, 0])
+
+    p_base = absorb_p(None)
+    effects = {}
+    for c in touches:
+        p_minus = absorb_p(c) if p_base > 0 else 0.0
+        effects[c] = max(0.0, 1.0 - (p_minus / p_base)) if p_base > 0 else 0.0
+    total_w = sum(effects.values())
+    total_value = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & (F.col(type_col) == conversion_type)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)),
+                        6,
+                    ).cast("decimal(28,6)")
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    rows = []
+    for c in touches:
+        w = effects[c] / total_w if total_w > 0 else 0.0
+        rows.append(
+            (
+                c,
+                round(effects[c], 6),
+                round(w, 6),
+                round(float(total_value) * w, 6),
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        sorted(rows),
+        "channel string, removal_effect double, weight double,"
+        " credit double",
+    )
+
+
 def attribution_credit(
     events: DataFrame,
     touch_types: Sequence[str] = ("view", "click"),

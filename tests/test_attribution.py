@@ -132,3 +132,120 @@ def test_attribution_hostile_channel_names(spark):
 def test_attribution_rejects_duplicate_touch_types(fixture_events):
     with pytest.raises(ValueError):
         attribution_credit(fixture_events, touch_types=("view", "view"))
+
+
+# --- Markov removal-effect attribution (r7) ----------------------------------
+
+
+def _markov_reference(paths):
+    """Independent sequential reference: transition counts from raw
+    episode paths + absorbing probability via a fixpoint iteration
+    (no matrix inverse), removal effects per channel."""
+    from collections import Counter
+
+    counts = Counter()
+    channels = set()
+    for path, converted in paths:
+        prev = "start"
+        for t in path:
+            counts[(prev, t)] += 1
+            channels.add(t)
+            prev = t
+        counts[(prev, "conv" if converted else "null")] += 1
+
+    def absorb(removed=None):
+        probs = {}
+        srcs = {a for a, _ in counts}
+        for s in srcs:
+            if s == removed:
+                continue
+            tot = sum(n for (a, _), n in counts.items() if a == s)
+            for (a, b), n in counts.items():
+                if a == s:
+                    probs[(s, "null" if b == removed else b)] = (
+                        probs.get((s, "null" if b == removed else b), 0.0)
+                        + n / tot
+                    )
+        # fixpoint: P(conv | state)
+        p = {s: 0.0 for s in srcs if s != removed}
+        for _ in range(10_000):
+            nxt = {}
+            for s in p:
+                tot = 0.0
+                for (a, b), pr in probs.items():
+                    if a != s:
+                        continue
+                    if b == "conv":
+                        tot += pr
+                    elif b in p:
+                        tot += pr * p[b]
+                nxt[s] = tot
+            if max(abs(nxt[s] - p[s]) for s in p) < 1e-14:
+                p = nxt
+                break
+            p = nxt
+        return p.get("start", 0.0)
+
+    base = absorb()
+    return counts, {
+        c: max(0.0, 1.0 - absorb(c) / base) if base > 0 else 0.0
+        for c in channels
+    }
+
+
+def test_markov_transition_counts_and_removal_effects(spark):
+    from etl_extract_transform_load_spark.operators.attribution import (
+        markov_attribution,
+        markov_transition_counts,
+    )
+
+    # episode paths (per user, conversions split episodes):
+    # u1: view>click>CONV, then view (open, null)
+    # u2: click>CONV
+    # u3: view>view (null)
+    # u4: CONV with no touches (start->conv)
+    rows = [
+        (1, 1, "view", 10.0), (1, 2, "click", None), (1, 3, "purchase", 30.0),
+        (1, 4, "view", None),
+        (2, 1, "click", None), (2, 2, "purchase", 20.0),
+        (3, 1, "view", None), (3, 2, "view", None),
+        (4, 1, "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double"
+    )
+    got = {
+        (r.src, r.dst): r.n
+        for r in markov_transition_counts(df).collect()
+    }
+    paths = [
+        (["view", "click"], True),
+        (["view"], False),
+        (["click"], True),
+        (["view", "view"], False),
+        ([], True),
+    ]
+    want_counts, want_eff = _markov_reference(paths)
+    assert got == dict(want_counts)
+
+    out = {r.channel: r for r in markov_attribution(df).collect()}
+    for c in ("view", "click"):
+        assert out[c].removal_effect == round(want_eff[c], 6), c
+    # credit splits the total conversion value (100.0) by weights
+    assert round(sum(r.credit for r in out.values()), 4) == 100.0
+    tw = sum(want_eff.values())
+    for c in ("view", "click"):
+        assert out[c].weight == round(want_eff[c] / tw, 6)
+
+
+def test_markov_attribution_no_conversions(spark):
+    from etl_extract_transform_load_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "view", None), (1, 2, "click", None)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    out = {r.channel: r for r in markov_attribution(df).collect()}
+    assert all(r.removal_effect == 0.0 and r.credit == 0.0 for r in out.values())

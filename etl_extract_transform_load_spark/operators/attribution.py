@@ -140,12 +140,24 @@ def markov_attribution(
     """
     import numpy as np
 
+    from ..scale.similarity import _collect_rows_bounded
+
     touches = list(touch_types)
+    # transition table is bounded by (|touches|+2)² cells — states are
+    # {start, touches…} × {touches…, conv, null}; route through the
+    # bounded primitive so the engine-wide collect guard sees the bound
+    max_cells = (len(touches) + 2) ** 2
     counts = {
         (r["src"], r["dst"]): r["n"]
-        for r in markov_transition_counts(
-            events, touches, conversion_type, user_col, type_col, id_col
-        ).collect()
+        for r in _collect_rows_bounded(
+            markov_transition_counts(
+                events, touches, conversion_type, user_col, type_col, id_col
+            ),
+            ["src", "dst", "n"],
+            max_cells,
+            "markov_attribution",
+            "a smaller touch_types set",
+        )
     }
     states = ["start", *touches]
     absorbing = ["conv", "null"]

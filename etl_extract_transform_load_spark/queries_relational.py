@@ -476,12 +476,14 @@ UNION ALL
 SELECT 'cf_meta', dropped_baskets, kept_baskets,
        CAST(dropped_rows AS DOUBLE), CAST(NULL AS INT)
 FROM (
-    SELECT COALESCE(SUM(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0)
-               AS dropped_baskets,
-           COALESCE(SUM(CASE WHEN n <= 50 THEN 1 ELSE 0 END), 0)
-               AS kept_baskets,
-           COALESCE(SUM(CASE WHEN n > 50 THEN n ELSE 0 END), 0)
-               AS dropped_rows
+    -- CAST every SUM feeding the UNION: DuckDB SUM(int) is HUGEINT and
+    -- UNION ALL promotes the whole unioned column (r7's only red cell).
+    SELECT CAST(COALESCE(SUM(CASE WHEN n > 50 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS dropped_baskets,
+           CAST(COALESCE(SUM(CASE WHEN n <= 50 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS kept_baskets,
+           CAST(COALESCE(SUM(CASE WHEN n > 50 THEN n ELSE 0 END), 0)
+               AS BIGINT) AS dropped_rows
     FROM (
         SELECT b, COUNT(*) AS n FROM (
             SELECT DISTINCT l_orderkey AS b, l_partkey AS i
@@ -1726,7 +1728,7 @@ FROM (
 )
 UNION ALL
 SELECT 'km', CAST(CAST(t AS BIGINT) AS VARCHAR), NULL::VARCHAR,
-       n_risk, n_event, survival
+       CAST(n_risk AS BIGINT), CAST(n_event AS BIGINT), survival
 FROM (
     WITH kmu AS (
         SELECT user_id,
@@ -1778,7 +1780,8 @@ FROM (
     FROM kmf WHERE d > 0
 )
 UNION ALL
-SELECT 'logrank', tag, NULL::VARCHAR, n_g0, n_g1, val
+SELECT 'logrank', tag, NULL::VARCHAR,
+       CAST(n_g0 AS BIGINT), CAST(n_g1 AS BIGINT), val
 FROM (
     WITH lru AS (
         SELECT user_id,

@@ -654,7 +654,7 @@ SELECT 'assign' AS part, source, shard, doc_id, n_tokens, bin_id,
 FROM walk
 UNION ALL
 SELECT 'bins', w.source, w.shard, NULL::BIGINT, NULL::BIGINT, w.bin_id,
-       COUNT(*), SUM(w.n_tokens),
+       COUNT(*), CAST(SUM(w.n_tokens) AS BIGINT),
        string_agg(COALESCE(d.text, ''), chr(10) || chr(10)
                   ORDER BY w.doc_id)
 FROM walk w JOIN documents d

@@ -47,6 +47,14 @@ from pyspark.sql import DataFrame
 N_TIME = 8
 N_BANDS = 9  # 9 bands → 8 gradient bits per time chunk → 64 bits
 
+# Real minimum clip length: the band grid needs 10 UNIQUE rounded
+# geomspace(2, nbins) edges, which first happens at nbins = 25 rfft
+# bins → 48 samples per chunk (m//2+1 ≥ 25); array_split's smallest
+# chunk is floor(n/8), so n ≥ 8 × 48.  (The old 8×18 guard let
+# 144–383-sample clips through to the opaque secondary "chunk too
+# short for the band grid" error.)
+MIN_SAMPLES = N_TIME * 48
+
 
 def _band_edges(n_fft_bins: int) -> np.ndarray:
     """Geometric band edges over rfft bins 2..n (pinned spelling:
@@ -61,16 +69,18 @@ def _band_edges(n_fft_bins: int) -> np.ndarray:
 def audiohash64(samples: np.ndarray) -> int:
     """64-bit spectral difference hash of a (n, channels) or (n,)
     float array (module docstring).  Raises on fewer than
-    ``8 × 18`` samples (the grid needs ≥ 9 usable rfft bins per
-    chunk)."""
+    ``MIN_SAMPLES`` (= 8 × 48) samples — the smallest array_split
+    chunk must yield ≥ 25 rfft bins for 10 unique geometric band
+    edges."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)  # mono mix
     if x.ndim != 1:
         raise ValueError("expected (n,) or (n, channels) samples")
-    if x.size < N_TIME * 18:
+    if x.size < MIN_SAMPLES:
         raise ValueError(
-            f"clip too short for a spectral hash: {x.size} samples"
+            f"clip too short for a spectral hash: {x.size} samples "
+            f"(minimum {MIN_SAMPLES})"
         )
     cols = []
     for chunk in np.array_split(x, N_TIME):

@@ -86,9 +86,11 @@ def train_kn_trigram(
     train: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
+) -> tuple[
+    DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, int, int
+]:
     """Fit the KN count tables on the reference slice.  Returns
-    ``(tri, ctx3, mid, low, T, V)``:
+    ``(tri, ctx3, mid, perv, low, T, V)``:
 
     - ``tri (u, v, w, c3)``      — trigram token counts;
     - ``ctx3 (u, v, ctx3, n1uv)`` — context totals Σ_w c₃ and type

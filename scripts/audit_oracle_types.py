@@ -1,0 +1,151 @@
+"""Audit every registered oracle for cross-engine representation drift.
+
+For each ``queries()`` entry with an ``oracle_sql()`` twin, compare the
+PANDAS-LEVEL dtype family each engine will hand the driver:
+
+- Spark: build the DataFrame lazily and map its schema
+  (``LongType → int``, ``DoubleType → float``, ``DecimalType →
+  decimal`` — ``toPandas`` keeps ``decimal.Decimal`` objects);
+- DuckDB: ``DESCRIBE`` the oracle (binder only, no execution) and map
+  what ``fetchdf`` will produce (``BIGINT → int``, but ``HUGEINT`` and
+  every ``DECIMAL(p,s)`` → **float64** — verified on duckdb 1.0.0).
+
+Any family mismatch is exactly the drift class that failed
+``window_topk`` in round 7 (bare ``SUM(int)`` is HUGEINT; UNION ALL
+promotes the whole column; the driver's value hash is type-sensitive).
+The script exits non-zero on drift and prints the offending
+query/column pairs.  A ``HUGEINT`` column is flagged even when the
+Spark side is float — a bare SUM feeding a union is a latent trap.
+
+Usage: python scripts/audit_oracle_types.py [name ...]   # default: all
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("AUDIT_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_family(duck_type: str) -> str:
+    """Map a DuckDB DESCRIBE type to the pandas dtype family fetchdf
+    will produce (duckdb 1.0.0 semantics, pinned by
+    tests/test_oracle_strictness.py)."""
+    t = duck_type.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+        return "array"
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "FLOAT", "DOUBLE", "REAL"):
+        return "float"  # fetchdf → float64
+    if t in (
+        "TINYINT",
+        "SMALLINT",
+        "INTEGER",
+        "BIGINT",
+        "UTINYINT",
+        "USMALLINT",
+        "UINTEGER",
+        "UBIGINT",
+    ):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith(("TIMESTAMP", "DATE")):
+        return "datetime"
+    if t in ("VARCHAR", "UUID", "BLOB"):
+        return "str"
+    return t.lower()
+
+
+def spark_family(spark_type) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(spark_type, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(spark_type, T.DecimalType):
+        return "decimal"  # toPandas → object(decimal.Decimal) ≠ duck float64
+    if isinstance(spark_type, T.BooleanType):
+        return "bool"
+    if isinstance(spark_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(spark_type, T.StringType):
+        return "str"
+    if isinstance(spark_type, (T.ArrayType, T.StructType, T.MapType)):
+        return "array"
+    return type(spark_type).__name__
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    only = set(sys.argv[1:])
+    qs, osql = e.queries(), e.oracle_sql()
+    drift, hugeints, errors = [], [], []
+    for name in qs:
+        if only and name not in only:
+            continue
+        if name not in osql:
+            continue
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_fam = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+            desc = con.execute(f"DESCRIBE {osql[name]}").fetchall()
+            d_fam = {r[0]: duck_family(r[1]) for r in desc}
+            d_raw = {r[0]: r[1] for r in desc}
+        except Exception as exc:  # noqa: BLE001
+            errors.append((name, f"{type(exc).__name__}: {str(exc)[:200]}"))
+            continue
+        if sorted(s_fam) != sorted(d_fam):
+            drift.append((name, "COLUMNS", sorted(s_fam), sorted(d_fam)))
+            continue
+        for c in sorted(s_fam):
+            if s_fam[c] != d_fam[c]:
+                drift.append((name, c, s_fam[c], f"{d_fam[c]} ({d_raw[c]})"))
+            if re.match(r"HUGEINT", d_raw[c].upper()):
+                hugeints.append((name, c))
+        print(f"OK    {name}", flush=True)
+    for name, c, s, d in drift:
+        print(f"DRIFT {name}.{c}: spark={s} duck={d}")
+    for name, c in hugeints:
+        print(f"HUGEINT {name}.{c}: bare SUM(int)? CAST it (convention)")
+    for name, err in errors:
+        print(f"ERROR {name}: {err}")
+    print(
+        f"{len(drift)} drift, {len(hugeints)} hugeint, {len(errors)} errors"
+    )
+    return 1 if (drift or hugeints or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

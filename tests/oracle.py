@@ -13,6 +13,8 @@ import math
 import duckdb
 import pandas as pd
 
+SF_ORACLE_DIR = "/root/testdata/sf0.01"
+
 TABLES = (
     "region",
     "nation",
@@ -56,6 +58,73 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(col: pd.Series) -> str | None:
+    """Canonical dtype family for strict cross-engine comparison:
+    'int' / 'float' / 'bool' / 'datetime' / 'decimal' / 'str' /
+    'array', or None when indeterminate (all-null column).
+
+    The real driver's value hash is TYPE-SENSITIVE: a DuckDB HUGEINT
+    (bare SUM of ints) fetchdf's to float64 while Spark stays int64,
+    and even though every value compares equal the round fails
+    (window_topk, r7). The replica must therefore fail on any
+    int-family vs float-family (or decimal/str/bool) drift."""
+    import decimal
+
+    import numpy as np
+
+    dt = col.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if str(dt).startswith("datetime"):
+        return "datetime"
+    if dt == object:
+        for v in col:
+            if v is None:
+                continue
+            try:
+                if pd.isna(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, bool) or isinstance(v, np.bool_):
+                return "bool"
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            if isinstance(v, str):
+                return "str"
+            if isinstance(v, tuple):
+                return "array"
+            return type(v).__name__
+        return None
+    return str(dt)
+
+
+def _type_class(v) -> str:
+    """Strict per-value type class — int and float are DIFFERENT (the
+    driver's hash distinguishes 137 from 137.0)."""
+    import decimal
+
+    import numpy as np
+
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    return "other"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -70,6 +139,12 @@ def _values_equal(a, b) -> bool:
             return False
     except (TypeError, ValueError):
         pass
+    # STRICT: int vs float (or bool/decimal drift) is a representation
+    # mismatch even when the numeric values are equal — the driver's
+    # value hash is type-sensitive and 137 != 137.0 there.
+    ca, cb = _type_class(a), _type_class(b)
+    if ca != cb and {"int", "float", "bool", "decimal"} & {ca, cb}:
+        return False
     return a == b
 
 
@@ -80,6 +155,15 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
         f"column mismatch:\n spark={list(got.columns)}\n duck={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} duck={len(want)}"
+    for c in got.columns:
+        gf, wf = _dtype_family(got[c]), _dtype_family(want[c])
+        assert gf is None or wf is None or gf == wf, (
+            f"dtype-family mismatch in column {c!r}: spark={gf} "
+            f"(dtype {got[c].dtype}) vs duck={wf} (dtype {want[c].dtype}) "
+            f"— the driver's value hash is type-sensitive; CAST the "
+            f"oracle (bare SUM(int) is HUGEINT → float64) or the Spark "
+            f"side so the representations agree"
+        )
     for c in got.columns:
         gv, wv = got[c].tolist(), want[c].tolist()
         bad = [

@@ -1,0 +1,100 @@
+"""The gate replica must be as strict as the real driver's value hash.
+
+Round 7's only CORRECTNESS red (`window_topk`) was representation
+drift, not a wrong answer: a bare ``SUM(CASE …)`` in a DuckDB UNION
+arm is HUGEINT, UNION ALL promoted the whole unioned column, fetchdf
+turned it into float64, and the driver's type-sensitive value hash
+diverged from Spark's int64 — while the lenient local replica
+(``137 == 137.0``) stayed green through three full gates.  These
+tests PIN that failure mode: the strict replica must FAIL on the
+pre-fix oracle shape and must keep failing on every int/float/bool/
+decimal representation drift, while staying green on genuinely
+identical frames.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pandas as pd
+import pytest
+
+from oracle import (
+    SF_ORACLE_DIR,
+    _dtype_family,
+    _values_equal,
+    assert_matches_oracle,
+    run_duckdb,
+)
+
+
+def test_hugeint_union_promotion_fails_strict(spark):
+    """The exact r7 window_topk failure shape: Spark bigint vs a DuckDB
+    UNION arm whose bare SUM promotes the column to HUGEINT→float64."""
+    sdf = spark.createDataFrame(
+        [("a", 1), ("cf_meta", 3)], "part string, n bigint"
+    )
+    # bare SUM(int) is HUGEINT; UNION ALL promotes the whole column
+    pre_fix = """
+    SELECT 'a' AS part, CAST(1 AS BIGINT) AS n
+    UNION ALL
+    SELECT 'cf_meta', SUM(v) FROM (SELECT 1 AS v UNION ALL SELECT 2)
+    """
+    with pytest.raises(AssertionError, match="dtype-family|value mismatch"):
+        assert_matches_oracle(sdf, pre_fix, SF_ORACLE_DIR)
+    # the convention fix (CAST the SUM) passes
+    post_fix = """
+    SELECT 'a' AS part, CAST(1 AS BIGINT) AS n
+    UNION ALL
+    SELECT 'cf_meta',
+           CAST(SUM(v) AS BIGINT) FROM (SELECT 1 AS v UNION ALL SELECT 2)
+    """
+    assert_matches_oracle(sdf, post_fix, SF_ORACLE_DIR)
+
+
+def test_int_float_drift_fails_strict(spark):
+    sdf = spark.createDataFrame([(137,)], "x bigint")
+    with pytest.raises(AssertionError, match="dtype-family"):
+        assert_matches_oracle(sdf, "SELECT 137.0 AS x", SF_ORACLE_DIR)
+    assert_matches_oracle(sdf, "SELECT CAST(137 AS BIGINT) AS x", SF_ORACLE_DIR)
+
+
+def test_values_equal_is_type_strict():
+    assert not _values_equal(137, 137.0)
+    assert not _values_equal(137.0, 137)
+    assert not _values_equal(True, 1)
+    assert not _values_equal(decimal.Decimal("1.5"), 1.5)
+    assert _values_equal(137, 137)
+    assert _values_equal(137.0, 137.0)
+    assert _values_equal(float("nan"), float("nan"))
+    assert _values_equal(None, None)
+    assert not _values_equal(None, 0)
+
+
+def test_dtype_family_classification():
+    assert _dtype_family(pd.Series([1, 2], dtype="int64")) == "int"
+    assert _dtype_family(pd.Series([1, 2], dtype="int32")) == "int"
+    assert _dtype_family(pd.Series([1.0], dtype="float64")) == "float"
+    assert _dtype_family(pd.Series([True])) == "bool"
+    assert _dtype_family(pd.Series(["a"], dtype=object)) == "str"
+    assert _dtype_family(pd.Series([decimal.Decimal("1")], dtype=object)) == "decimal"
+    assert _dtype_family(pd.Series([(1, 2)], dtype=object)) == "array"
+    # all-null is indeterminate → wildcard, matches anything
+    assert _dtype_family(pd.Series([None, None], dtype=object)) is None
+
+
+def test_hugeint_fetchdf_shape_documented():
+    """Pin the DuckDB behavior itself so a future DuckDB upgrade that
+    changes the promotion surfaces here first."""
+    df = run_duckdb(
+        "SELECT CAST(1 AS BIGINT) AS n UNION ALL "
+        "SELECT SUM(v) FROM (SELECT 1 AS v)",
+        SF_ORACLE_DIR,
+    )
+    assert _dtype_family(df["n"]) in ("float", "decimal", "object")
+    df2 = run_duckdb(
+        "SELECT CAST(1 AS BIGINT) AS n UNION ALL "
+        "SELECT CAST(SUM(v) AS BIGINT) FROM (SELECT 1 AS v)",
+        SF_ORACLE_DIR,
+    )
+    assert _dtype_family(df2["n"]) == "int"

@@ -280,7 +280,9 @@ def collapse_same_ts(
 ) -> DataFrame:
     """One winner per ``(key, ts)`` group under the module tie policy
     (delete beats upsert at the same instant, residual ties by payload
-    hash) — the compaction :func:`scd2_history` applies internally,
+    hash, then raw op string, then the payload values — a TOTAL order,
+    so hash collisions and op-spelling variants stay deterministic) —
+    the compaction :func:`scd2_history` applies internally,
     exposed because the STANDING change log of a streaming fold must
     apply the identical collapse.  The winner is a per-group MINIMUM
     in a total order, so collapsing is associative: any split of the
@@ -296,6 +298,12 @@ def collapse_same_ts(
         F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
     )
     op_rank = F.when(F.upper(F.col(op_col)) == "D", 1).otherwise(0)
+    # the hash alone is NOT a total order: equal-rank rows with equal
+    # payload hash but different op spellings ('I' vs 'U', 'd' vs 'D'),
+    # or a cross-payload xxhash64 collision, would pick an arbitrary
+    # winner — break residual ties on the raw op string and then the
+    # payload values themselves (string-cast: a shared deterministic
+    # collation that every Spark type supports in orderBy)
     w = Window.partitionBy(
         *[F.col(f"`{k}`") for k in keys], F.col(ts_col)
     ).orderBy(
@@ -303,6 +311,11 @@ def collapse_same_ts(
         F.xxhash64(*[F.col(f"`{c}`") for c in payload]).asc()
         if payload
         else F.lit(0).asc(),
+        F.col(op_col).asc_nulls_last(),
+        *[
+            F.col(f"`{c}`").cast("string").asc_nulls_last()
+            for c in payload
+        ],
     )
     rn = _internal_name("__rn", changes)
     return (

@@ -174,6 +174,14 @@ def image_hashes(
     )
 
 
+def _block_mask(width: int) -> int:
+    """Signed-64 mask of ``width`` low bits.  ``(1 << 64) - 1`` does
+    not fit LongType and fails at plan build (the blocks=1 /
+    max_hamming=0 exact-match case) — all-64-bits is ``-1`` in two's
+    complement, and ``x & -1 == x``."""
+    return -1 if width >= 64 else (1 << width) - 1
+
+
 def hamming_near_dup_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
@@ -212,7 +220,7 @@ def hamming_near_dup_pairs(
         F.struct(
             F.lit(i).alias("blk"),
             F.shiftrightunsigned(h, offs[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .bitwiseAND(F.lit(_block_mask(widths[i])))
             .alias("val"),
         )
         for i in range(blocks)
@@ -285,7 +293,7 @@ def hamming_query_pairs(
             F.struct(
                 F.lit(i).alias("blk"),
                 F.shiftrightunsigned(h, offs[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .bitwiseAND(F.lit(_block_mask(widths[i])))
                 .alias("val"),
             )
             for i in range(blocks)

@@ -95,6 +95,15 @@ def video_frame_hashes(
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 if b is None:
                     continue
+                # FRAME_PACK packing (id·1024 + slot, floor-div/mod
+                # unpack downstream) requires non-negative ids: Spark
+                # `%` keeps the dividend's sign, so a negative id
+                # silently corrupts the clip/slot decomposition
+                if i is not None and int(i) < 0:
+                    raise ValueError(
+                        f"media id must be non-negative for frame "
+                        f"packing, got {int(i)}"
+                    )
                 for slot, luma in _decode_frames(bytes(b), n_frames):
                     ids.append(i)
                     slots.append(slot)

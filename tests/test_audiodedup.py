@@ -103,3 +103,24 @@ def test_audio_hashes_rejects_non_wav(spark):
     )
     with pytest.raises(Exception, match="WAV"):
         audio_hashes(media).collect()
+
+
+def test_min_samples_guard_matches_band_grid_requirement():
+    """Every clip at or above MIN_SAMPLES hashes; every clip below it
+    raises the primary length error — no gap where the guard passes
+    but the band grid raises its opaque secondary error (the old
+    8x18 guard let 144-383-sample clips through to that)."""
+    import numpy as np
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.audiodedup import (
+        MIN_SAMPLES,
+        audiohash64,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (MIN_SAMPLES, MIN_SAMPLES + 1, MIN_SAMPLES + 37):
+        audiohash64(rng.normal(size=n))  # must not raise
+    for n in (MIN_SAMPLES - 1, 200, 144):
+        with pytest.raises(ValueError, match="clip too short"):
+            audiohash64(rng.normal(size=n))

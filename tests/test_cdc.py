@@ -498,3 +498,27 @@ def test_scd2_streaming_foreach_batch_ingest(spark, tmp_path):
 
     final = spark.read.parquet(f"{hist_dir}/v{state['v']}")
     assert _hist_set(final) == _hist_set(scd2_history(feed, ["id"]))
+
+
+def test_collapse_same_ts_total_order_on_hash_ties(spark):
+    """Equal op rank + equal payload hash (identical payload) but
+    different op SPELLINGS must pick a deterministic winner — the
+    tie-break extends past the xxhash64 to the raw op string and the
+    payload values (a total order, per the docstring)."""
+    from etl_extract_transform_load_spark.operators.cdc import (
+        collapse_same_ts,
+    )
+
+    dels = spark.createDataFrame(
+        [(1, "x", 5, "d", 7), (1, "x", 5, "D", 7)], CHG
+    )
+    for _ in range(3):
+        (w,) = collapse_same_ts(dels, ["id"]).collect()
+        assert w.op == "D"  # 'D' < 'd' in the op-string tie-break
+
+    ups = spark.createDataFrame(
+        [(2, "y", 1, "U", 7), (2, "y", 1, "I", 7)], CHG
+    )
+    for _ in range(3):
+        (w,) = collapse_same_ts(ups, ["id"]).collect()
+        assert w.op == "I"

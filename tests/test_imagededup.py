@@ -215,3 +215,28 @@ def test_hamming_query_pairs_covers_all_batch_touching_pairs(spark):
 
     with _pytest.raises(ValueError):
         hamming_query_pairs(index, batch, max_hamming=10, blocks=9)
+
+
+def test_hamming_exact_match_radius_blocks1(spark):
+    """max_hamming=0 (blocks=1) is the exact-match radius: the single
+    64-bit block's mask must not overflow LongType (the old
+    F.lit((1<<64)-1) failed at plan build) — it degrades to a direct
+    hash equi-join."""
+    from etl_extract_transform_load_spark.scale.imagededup import (
+        hamming_near_dup_pairs,
+        hamming_query_pairs,
+    )
+
+    rows = [(1, -42), (2, -42), (3, 7)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(df, max_hamming=0).collect()
+    }
+    assert got == {(1, 2, 0)}
+    batch = spark.createDataFrame([(2, -42)], "media_id long, phash long")
+    qgot = {
+        (r.id_a, r.id_b)
+        for r in hamming_query_pairs(df, batch, max_hamming=0).collect()
+    }
+    assert qgot == {(1, 2)}

@@ -95,3 +95,17 @@ def test_video_validation(spark):
             spark.createDataFrame([], "media_id long, content binary"),
             n_frames=0,
         )
+
+
+def test_video_negative_media_id_rejected(spark):
+    """FRAME_PACK packing (id*1024 + slot) assumes non-negative ids —
+    Spark % keeps the dividend's sign, so a negative id would corrupt
+    the clip/slot decomposition; the scan stage rejects it up front."""
+    from etl_extract_transform_load_spark.scale import codecs
+
+    payload = codecs.encode_y4m(_clip(3, n=4))
+    df = spark.createDataFrame(
+        [(-1, bytearray(payload))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        video_frame_hashes(df, n_frames=2).collect()

@@ -100,13 +100,25 @@ def item_cooccurrence(
             "item_i",
             "item_j",
             "cooc",
-            F.round(
-                F.col("cooc").cast("double")
-                / F.sqrt(
-                    F.col("__ni").cast("double")
-                    * F.col("__nj").cast("double")
-                ),
-                6,
+            # micro-unit 0-dp quantization (the tie-safe convention the
+            # repo standardized for logrank/contamfrac): cooc/√(ni·nj)
+            # of small integers is a systematic decimal-half generator
+            # at a 6-dp round, where Spark (exact BigDecimal HALF_UP)
+            # and a SQL twin (scaled-double round) can flip near ties —
+            # at 0 dp both engines round the IDENTICAL binary64, and
+            # the final ÷1e6 is never re-rounded
+            (
+                F.round(
+                    F.col("cooc").cast("double")
+                    / F.sqrt(
+                        F.col("__ni").cast("double")
+                        * F.col("__nj").cast("double")
+                    )
+                    * 1000000.0
+                )
+                .cast("decimal(28,0)")
+                .cast("double")
+                / 1000000.0
             ).alias("cos_sim"),
         )
     )

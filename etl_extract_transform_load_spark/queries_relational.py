@@ -457,14 +457,19 @@ FROM (
         GROUP BY a.i, c.i
     ),
     cfn AS (SELECT i, COUNT(*) AS n FROM cfk GROUP BY i)
+    -- micro-unit 0-dp quantization (tie-safe; the DOUBLE leads the
+    -- ×1000000.0 product so both engines promote identically)
     SELECT p.item_i, p.item_j,
-           ROUND(CAST(p.cooc AS DOUBLE)
-                 / SQRT(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)),
-                 6) AS cos_sim,
+           CAST(CAST(ROUND(CAST(p.cooc AS DOUBLE)
+                 / SQRT(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE))
+                 * 1000000.0) AS DECIMAL(28,0)) AS DOUBLE)
+               / 1000000.0 AS cos_sim,
            ROW_NUMBER() OVER (
-               ORDER BY ROUND(CAST(p.cooc AS DOUBLE)
+               ORDER BY CAST(CAST(ROUND(CAST(p.cooc AS DOUBLE)
                         / SQRT(CAST(x.n AS DOUBLE)
-                               * CAST(y.n AS DOUBLE)), 6) DESC,
+                               * CAST(y.n AS DOUBLE))
+                        * 1000000.0) AS DECIMAL(28,0)) AS DOUBLE)
+                        / 1000000.0 DESC,
                         p.item_i ASC, p.item_j ASC
            ) AS rank
     FROM cfp p

@@ -635,9 +635,6 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_exact_quantiles,
         round_half_up6,
     )
-    from etl_extract_transform_load_spark.scale.ml import (
-        simple_linear_fit,
-    )
 
     from etl_extract_transform_load_spark.plans.branchtimer import (
         probe_branch,
@@ -702,57 +699,6 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, "metric string, value double"
             )
 
-        def _winsor():
-            # winsorized statistics (outlier capping at p05/p95) on
-            # the shared persist — the exact quantile decides reuse
-            # the bounded-state machinery; the capped mean is a
-            # decimal sum of 6-dp-clamped values
-            from etl_extract_transform_load_spark.operators.quantiles import (
-                exact_quantiles,
-            )
-
-            lo, hi = exact_quantiles(
-                li, "l_extendedprice", [0.05, 0.95]
-            )
-            lo6, hi6 = round_half_up6(lo), round_half_up6(hi)
-            x = F.col("l_extendedprice").cast("double")
-            clamped = F.least(F.greatest(x, F.lit(lo6)), F.lit(hi6))
-            return li.filter(x.isNotNull()).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((x < lo6).cast("long")).alias("n_lo"),
-                F.sum((x > hi6).cast("long")).alias("n_hi"),
-                F.sum(
-                    F.round(clamped, 6).cast("decimal(28,6)")
-                ).alias("s"),
-            ).select(
-                F.expr(
-                    "stack(5,"
-                    f" 'winsor:lo', cast({lo6!r} as double),"
-                    f" 'winsor:hi', cast({hi6!r} as double),"
-                    " 'winsor:n_lo', cast(n_lo as double),"
-                    " 'winsor:n_hi', cast(n_hi as double),"
-                    " 'winsor:mean',"
-                    " round(cast(s as double) / cast(n as double), 6))"
-                    " as (metric, value)"
-                )
-            )
-
-        def _spearman():
-            # rank correlation off the shared persist — the robust
-            # companion to the Pearson matrix (operators/stats.
-            # spearman: bucketed prefix-sum ranks, no global sort)
-            from etl_extract_transform_load_spark.operators.stats import (
-                spearman,
-            )
-
-            return spearman(li, "l_quantity", "l_extendedprice").select(
-                F.expr(
-                    "stack(2,"
-                    " 'spearman:n', cast(n as double),"
-                    " 'spearman:rho', rho) as (metric, value)"
-                )
-            )
-
         # branch attribution (bench --branches): the eager decide work
         # inside each builder books to its branch name; zero-cost when
         # no timing context is active
@@ -763,7 +709,7 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             return run
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             f_stacked = pool.submit(_timed("describe", _describe))
             f_gq = pool.submit(_timed("gq", _gq))
             # EDA surface: histogram buckets + pairwise Pearson
@@ -771,11 +717,8 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_eda = pool.submit(
                 _timed("eda", eda_metric_value, spark, sf_dir, li)
             )
-            f_winsor = pool.submit(_timed("winsor", _winsor))
-            f_sp = pool.submit(_timed("spearman", _spearman))
-            stacked, gq_df, eda, winsor, sp_rows = (
+            stacked, gq_df, eda = (
                 f_stacked.result(), f_gq.result(), f_eda.result(),
-                f_winsor.result(), f_sp.result(),
             )
 
         vc = value_counts(
@@ -787,19 +730,6 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad = grouped_mad(li, "l_returnflag", "l_quantity").select(
             F.concat(F.lit("mad:"), F.col("l_returnflag")).alias("metric"),
             F.col("mad").cast("double").alias("value"),
-        )
-        # one-pass exact OLS (scale/ml.py): price-per-quantity line
-        # over the same persisted projection — slope/intercept/r² from
-        # decimal-exact sufficient statistics (lazy: runs in the final
-        # materialization)
-        lm = simple_linear_fit(li, "l_quantity", "l_extendedprice").select(
-            F.expr(
-                "stack(4,"
-                " 'lm:n', cast(n as double),"
-                " 'lm:slope', slope,"
-                " 'lm:intercept', intercept,"
-                " 'lm:r2', r2) as (metric, value)"
-            )
         )
         # model-evaluation surface (scale/evalmetrics.py): score the
         # documents with a pinned logistic transform of n_chars,
@@ -831,36 +761,6 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         clf = classification_report(clf_scored, "s", "y")
-        # autocorrelation surface (operators/timeseries.acf): per
-        # event-type hourly-count series, lags 1..3, as acf: rows —
-        # sufficient-statistics expansion, decimal-exact sums
-        from etl_extract_transform_load_spark.operators.timeseries import (
-            acf,
-        )
-
-        hourly = (
-            load_table(spark, sf_dir, "events")
-            .filter(
-                F.col("event_type").isNotNull()
-                & F.col("ts").isNotNull()
-            )
-            .groupBy(
-                "event_type",
-                F.date_trunc("hour", F.col("ts")).alias("h"),
-            )
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        acf_rows = acf(
-            hourly, "event_type", ["h"], "cnt", [1, 2, 3]
-        ).select(
-            F.concat(
-                F.lit("acf:"),
-                F.col("event_type"),
-                F.lit(":"),
-                F.col("lag").cast("string"),
-            ).alias("metric"),
-            F.col("acf").alias("value"),
-        )
         # leakage-safe target encoding (scale/ml.target_encoding_stats):
         # smoothed per-source mean of the lang='en' target, te:/te_n:
         # rows — the categorical-feature face of the model tier
@@ -939,61 +839,15 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as (metric, value)"
             )
         )
-        # categorical-association surface (operators/stats.
-        # contingency_stats): chi-square independence + Cramér's V +
-        # mutual information between lang and source, off the shared
-        # docs3 persist — ct: rows (one contingency aggregate)
-        from etl_extract_transform_load_spark.operators.stats import (
-            contingency_stats,
-        )
-
-        ct = contingency_stats(docs3, "lang", "source").select(
-            F.expr(
-                "stack(7,"
-                " 'ct:n', cast(n as double),"
-                " 'ct:r', cast(r as double),"
-                " 'ct:c', cast(c as double),"
-                " 'ct:dof', cast(dof as double),"
-                " 'ct:chi2', chi2,"
-                " 'ct:cramers_v', cramers_v,"
-                " 'ct:mi', mi) as (metric, value)"
-            )
-        )
-        # WoE/IV surface (scale/ml.woe_iv): per-source log-odds
-        # separation of the lang='en' target + information-value
-        # contributions, off the shared docs3 persist — woe:/iv: rows
-        from etl_extract_transform_load_spark.scale.ml import woe_iv
-
-        woe_src = docs3.select(
-            "source",
-            F.when(
-                F.col("lang").isNotNull(),
-                (F.col("lang") == "en").cast("int"),
-            ).alias("y"),
-        )
-        woe_rows = woe_iv(woe_src, "source", "y").select(
-            F.expr(
-                "stack(2,"
-                " 'woe:' || coalesce(category, '<null>'), woe,"
-                " 'iv:' || coalesce(category, '<null>'), iv)"
-                " as (metric, value)"
-            )
-        )
         out = (
             probe_branch("describe", stacked)
             .unionByName(probe_branch("vc", vc))
             .unionByName(probe_branch("mad", mad))
             .unionByName(probe_branch("eda", eda))
             .unionByName(probe_branch("gq", gq_df))
-            .unionByName(probe_branch("lm", lm))
             .unionByName(probe_branch("clf", clf))
-            .unionByName(probe_branch("acf", acf_rows))
             .unionByName(probe_branch("te", te))
             .unionByName(probe_branch("ab", ab))
-            .unionByName(probe_branch("winsor", winsor))
-            .unionByName(probe_branch("ct", ct))
-            .unionByName(probe_branch("spearman", sp_rows))
-            .unionByName(probe_branch("woe", woe_rows))
         )
         # materialize INSIDE the context: after release the branches
         # would silently recompute the whole stack uncached
@@ -1041,47 +895,7 @@ SELECT metric, value FROM ({eda_metric_value_sql()})
 UNION ALL
 {gq_legs}
 UNION ALL
-SELECT metric, value FROM (
-    WITH s AS (
-        SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
-                   AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
-                        * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
-                   AS sxx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
-                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
-                   AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
-                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
-                   AS sxy
-        FROM lineitem
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-    ),
-    f AS (
-        SELECT n,
-               (CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
-               (CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
-                      * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS r
-        FROM s
-    )
-    SELECT 'lm:n' AS metric, CAST(n AS DOUBLE) AS value FROM f
-    UNION ALL
-    SELECT 'lm:slope', ROUND(slope, 6) FROM f
-    UNION ALL
-    SELECT 'lm:intercept',
-           ROUND((s.sy - f.slope * s.sx) / CAST(s.n AS DOUBLE), 6)
-    FROM f, s
-    UNION ALL
-    SELECT 'lm:r2', ROUND(r * r, 6) FROM f
-)
-UNION ALL
 SELECT metric, value FROM ({_clf_oracle()})
-UNION ALL
-SELECT metric, value FROM ({_acf_oracle()})
 UNION ALL
 SELECT metric, value FROM (
     WITH teb AS (
@@ -1212,79 +1026,6 @@ SELECT metric, value FROM (
                       THEN (cov_num * cov_num) / (var_den * y_den)
                  END, 6)
     FROM abd3
-)
-UNION ALL
-SELECT metric, value FROM (
-    WITH wq AS (
-        SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                                   0.05), 6) AS lo,
-               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                                   0.95), 6) AS hi
-        FROM lineitem WHERE l_extendedprice IS NOT NULL
-    ),
-    wa AS (
-        SELECT COUNT(*) AS n,
-               SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS n_lo,
-               SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS n_hi,
-               SUM(CAST(ROUND(LEAST(GREATEST(x, lo), hi), 6)
-                        AS DECIMAL(28,6))) AS s
-        FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x
-              FROM lineitem WHERE l_extendedprice IS NOT NULL), wq
-    )
-    SELECT 'winsor:lo' AS metric, lo AS value FROM wq
-    UNION ALL SELECT 'winsor:hi', hi FROM wq
-    UNION ALL SELECT 'winsor:n_lo', CAST(n_lo AS DOUBLE) FROM wa
-    UNION ALL SELECT 'winsor:n_hi', CAST(n_hi AS DOUBLE) FROM wa
-    UNION ALL SELECT 'winsor:mean',
-        ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM wa
-)
-UNION ALL
-SELECT metric, value FROM (
-    WITH ctrep AS ({oracle_contingency_sql('lang', 'source', 'documents')})
-    SELECT 'ct:n' AS metric, CAST(n AS DOUBLE) AS value FROM ctrep
-    UNION ALL SELECT 'ct:r', CAST(r AS DOUBLE) FROM ctrep
-    UNION ALL SELECT 'ct:c', CAST(c AS DOUBLE) FROM ctrep
-    UNION ALL SELECT 'ct:dof', CAST(dof AS DOUBLE) FROM ctrep
-    UNION ALL SELECT 'ct:chi2', chi2 FROM ctrep
-    UNION ALL SELECT 'ct:cramers_v', cramers_v FROM ctrep
-    UNION ALL SELECT 'ct:mi', mi FROM ctrep
-)
-UNION ALL
-SELECT metric, value FROM (
-    WITH sprep AS ({oracle_spearman_sql('l_quantity', 'l_extendedprice',
-                                        'lineitem')})
-    SELECT 'spearman:n' AS metric, CAST(n AS DOUBLE) AS value FROM sprep
-    UNION ALL SELECT 'spearman:rho', rho FROM sprep
-)
-UNION ALL
-SELECT metric, value FROM (
-    WITH wvb AS (
-        SELECT source,
-               ({_CLF_LABEL_SQL}) AS y
-        FROM documents
-        WHERE ({_CLF_LABEL_SQL}) IS NOT NULL
-    ),
-    wvc AS (
-        SELECT source AS category,
-               SUM(y) AS n_pos, SUM(1 - y) AS n_neg
-        FROM wvb GROUP BY source
-    ),
-    wvt AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg FROM wvc),
-    wvx AS (
-        SELECT category,
-               (CAST(n_pos AS DOUBLE) + 0.5)
-                   / CAST(t_pos AS DOUBLE) AS p,
-               (CAST(n_neg AS DOUBLE) + 0.5)
-                   / CAST(t_neg AS DOUBLE) AS q
-        FROM wvc, wvt
-    )
-    SELECT 'woe:' || COALESCE(category, '<null>') AS metric,
-           ROUND(LN(p / q), 6) AS value
-    FROM wvx
-    UNION ALL
-    SELECT 'iv:' || COALESCE(category, '<null>'),
-           ROUND((p - q) * LN(p / q), 6)
-    FROM wvx
 )
 """
 

@@ -1049,48 +1049,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         "total",
     )
-    # third branch: daily cohort retention (operators/cohort.py) —
-    # cohort day rides window_start, the period offset rides user_id,
-    # active-user count rides n_events, the retention rate rides total
-    from etl_extract_transform_load_spark.operators.cohort import (
-        cohort_retention,
-    )
-
-    coh = cohort_retention(events, period="day").select(
-        F.lit("cohort").alias("part"),
-        F.date_format("cohort", "yyyy-MM-dd").alias("window_start"),
-        F.lit(None).cast("string").alias("event_type"),
-        F.col("n_active").cast("long").alias("n_events"),
-        F.col("period_offset").cast("long").alias("user_id"),
-        F.col("retention").alias("total"),
-    )
-    # fourth branch: rolling DAU/WAU/MAU (operators/engagement.py) —
-    # the window length rides event_type, the exact trailing-window
-    # distinct-user count rides n_events, dau/mau stickiness rides
-    # total on the w=1 rows
-    from etl_extract_transform_load_spark.operators.engagement import (
-        rolling_active_users,
-    )
-
-    au = rolling_active_users(events, windows=(1, 7, 30))
-    eng = au.select(
-        F.date_format("day", "yyyy-MM-dd").alias("window_start"),
-        F.expr(
-            "stack(3, '1', au_1, '7', au_7, '30', au_30)"
-            " as (event_type, n_events)"
-        ),
-        "stickiness",
-    ).select(
-        F.lit("engage").alias("part"),
-        "window_start",
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.lit(None).cast("long").alias("user_id"),
-        F.when(F.col("event_type") == "1", F.col("stickiness")).alias(
-            "total"
-        ),
-    )
-    # fifth branch: first-order Markov transition matrix over
+    # third branch: first-order Markov transition matrix over
     # per-user event sequences (operators/sessionize.py) — from_type
     # rides window_start, to_type rides event_type, transition count
     # rides n_events, row-normalized probability rides total
@@ -1106,12 +1065,13 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("prob").alias("total"),
     )
-    # sixth branch: multi-touch attribution (operators/attribution.py
+    # fourth branch: multi-touch attribution (operators/attribution.py
     # — one (user) exchange, strictly-prior windows, no self-join) —
     # the model rides window_start, the channel rides event_type, the
     # conversion count rides n_events, decimal-exact credit rides total
     from etl_extract_transform_load_spark.operators.attribution import (
         attribution_credit,
+        markov_transition_counts,
     )
 
     attr = attribution_credit(events).select(
@@ -1122,157 +1082,22 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.col("credit").alias("total"),
     )
-    # seventh branch: hour-of-day seasonal index per event type
-    # (operators/timeseries.seasonal_profile) — the bucket rides
-    # window_start, observed-hour count rides n_events, the
-    # multiplicative index rides total
-    from etl_extract_transform_load_spark.operators.timeseries import (
-        seasonal_profile,
-    )
-
-    sea = seasonal_profile(events, "event_type").select(
-        F.lit("season").alias("part"),
-        F.col("bucket").cast("string").alias("window_start"),
-        "event_type",
-        F.col("n_buckets").alias("n_events"),
+    # fifth branch: first-order journey transition counts for Markov
+    # (removal-effect) attribution — conversion-closed episodes, ONE
+    # user-key exchange, output bounded by (|touches|+2)² cells; the
+    # matrix solve itself (markov_attribution) stays pytest-pinned
+    # against a sequential fixpoint (no SQL twin for the inverse) —
+    # src rides window_start, dst rides event_type, count rides
+    # n_events
+    mk = markov_transition_counts(events).select(
+        F.lit("markov").alias("part"),
+        F.col("src").alias("window_start"),
+        F.col("dst").alias("event_type"),
+        F.col("n").cast("long").alias("n_events"),
         F.lit(None).cast("long").alias("user_id"),
-        F.col("idx").alias("total"),
+        F.lit(None).cast("double").alias("total"),
     )
-    # eighth branch: audience overlap between event types
-    # (operators/engagement.audience_overlap — user-key self-join on
-    # distinct incidence, broadcast per-type counts): jaccard rides
-    # total on 'overlap' rows, independence lift on 'overlap_lift'
-    from etl_extract_transform_load_spark.operators.engagement import (
-        audience_overlap,
-    )
-
-    ov = audience_overlap(events)
-    ov_rows = ov.selectExpr(
-        "type_a",
-        "type_b",
-        "n_both",
-        "stack(2, 'overlap', jaccard, 'overlap_lift', lift)"
-        " as (part, total)",
-    ).select(
-        "part",
-        F.col("type_a").alias("window_start"),
-        F.col("type_b").alias("event_type"),
-        F.col("n_both").alias("n_events"),
-        F.lit(None).cast("long").alias("user_id"),
-        "total",
-    )
-    # ninth branch: funnel time-to-convert quartiles — per step, the
-    # distribution of delay from the PREVIOUS step's reach (operators/
-    # funnel.funnel_reach + the bounded-state grouped quantile
-    # machinery): the "how long does conversion take" report
-    from etl_extract_transform_load_spark.operators.funnel import (
-        funnel_reach,
-    )
-    from etl_extract_transform_load_spark.operators.quantiles import (
-        grouped_exact_quantiles,
-        round_half_up6,
-    )
-
-    # checkpointed: the grouped-quantile decides (fdelay) and the
-    # Wilson aggregate (fconv) both read this small per-user frame —
-    # without it every decide round re-runs the funnel windows
-    wide_lazy = (
-        funnel_reach(events, ["view", "click", "purchase"])
-        .groupBy("user_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col("step_idx") == i, F.col("reach_sec")
-                    )
-                ).alias(f"r{i}")
-                for i in range(3)
-            ]
-        )
-    )
-    with timed_branch("fdelay"):
-        wide = wide_lazy.localCheckpoint()
-    delays = (
-        wide.select(
-            F.lit("click").alias("step"),
-            (F.col("r1") - F.col("r0")).cast("double").alias("delay"),
-        )
-        .unionByName(
-            wide.select(
-                F.lit("purchase").alias("step"),
-                (F.col("r2") - F.col("r1")).cast("double").alias(
-                    "delay"
-                ),
-            )
-        )
-        .filter(F.col("delay").isNotNull())
-    )
-    with timed_branch("fdelay"):
-        fq = grouped_exact_quantiles(
-            delays, "step", "delay", [0.25, 0.5, 0.75]
-        )
-    fd_rows = [
-        (f"{step}:q{tag}", round_half_up6(v))
-        for step, qs in fq.items()
-        for tag, v in zip(("25", "50", "75"), qs)
-    ]
-    fd = spark.createDataFrame(
-        fd_rows, "window_start string, total double"
-    ).select(
-        F.lit("fdelay").alias("part"),
-        "window_start",
-        F.lit(None).cast("string").alias("event_type"),
-        F.lit(None).cast("long").alias("n_events"),
-        F.lit(None).cast("long").alias("user_id"),
-        "total",
-    )
-    # tenth branch: funnel step-conversion rates with Wilson 95% CIs
-    # (operators/stats.wilson_bounds) off the SAME per-user reach
-    # frame — step rides window_start, rate/lo/hi ride event_type,
-    # the denominator rides n_events
-    from etl_extract_transform_load_spark.operators.stats import (
-        wilson_bounds,
-    )
-
-    fc_agg = wide.agg(
-        *[
-            F.sum(F.col(f"r{i}").isNotNull().cast("long")).alias(
-                f"n{i}"
-            )
-            for i in range(3)
-        ]
-    )
-    r1c, lo1, hi1 = wilson_bounds(F.col("n1"), F.col("n0"))
-    r2c, lo2, hi2 = wilson_bounds(F.col("n2"), F.col("n1"))
-
-    def _st(step, ne, metric, val):
-        return F.struct(
-            F.lit(step).alias("ws"),
-            F.lit(metric).alias("et"),
-            F.col(ne).alias("ne"),
-            val.alias("total"),
-        )
-
-    fconv = fc_agg.select(
-        F.explode(
-            F.array(
-                _st("click", "n0", "rate", r1c),
-                _st("click", "n0", "lo", lo1),
-                _st("click", "n0", "hi", hi1),
-                _st("purchase", "n1", "rate", r2c),
-                _st("purchase", "n1", "lo", lo2),
-                _st("purchase", "n1", "hi", hi2),
-            )
-        ).alias("s")
-    ).select(
-        F.lit("fconv").alias("part"),
-        F.col("s.ws").alias("window_start"),
-        F.col("s.et").alias("event_type"),
-        F.col("s.ne").alias("n_events"),
-        F.lit(None).cast("long").alias("user_id"),
-        F.col("s.total").alias("total"),
-    )
-    # eleventh branch: Kaplan-Meier time-to-first-purchase (operators/
+    # sixth branch: Kaplan-Meier time-to-first-purchase (operators/
     # survival.km_curve — right-censored at the user's last event;
     # two bucketed prefix passes, no global sort): the duration rides
     # window_start, at-risk count rides n_events, event count rides
@@ -1319,7 +1144,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_event").alias("user_id"),
         F.col("survival").alias("total"),
     )
-    # twelfth branch: log-rank test between the even/odd user cohorts'
+    # seventh branch: log-rank test between the even/odd user cohorts'
     # time-to-first-purchase curves (operators/survival.logrank_test —
     # same subject frame, group-wise at-risk prefixes in one window
     # pass); the statistic components ride window_start-tagged rows
@@ -1352,14 +1177,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probe_branch("window", win)
         .unionByName(probe_branch("running", run))
-        .unionByName(probe_branch("cohort", coh))
-        .unionByName(probe_branch("engage", eng))
         .unionByName(probe_branch("trans", tm))
         .unionByName(probe_branch("attr", attr))
-        .unionByName(probe_branch("season", sea))
-        .unionByName(probe_branch("overlap", ov_rows))
-        .unionByName(probe_branch("fdelay", fd))
-        .unionByName(probe_branch("fconv", fconv))
+        .unionByName(probe_branch("markov", mk))
         .unionByName(probe_branch("km", km))
         .unionByName(probe_branch("logrank", lr))
     )
@@ -1394,62 +1214,6 @@ FROM (
 )
 WINDOW cum AS (PARTITION BY user_id ORDER BY h
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-UNION ALL
-SELECT 'cohort', STRFTIME(cohort, '%Y-%m-%d'), NULL::VARCHAR,
-       n_active,
-       CAST(period_offset AS BIGINT),
-       ROUND(CAST(n_active AS DOUBLE) / sz, 6)
-FROM (
-    SELECT cohort, period_offset, COUNT(*) AS n_active,
-           FIRST(COUNT(*)) OVER (PARTITION BY cohort
-                                 ORDER BY period_offset
-                                 ROWS UNBOUNDED PRECEDING) AS sz
-    FROM (
-        SELECT DISTINCT user_id,
-               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
-                   AS cohort,
-               DATE_DIFF('day',
-                         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
-                         CAST(ts AS DATE)) AS period_offset
-        FROM events
-        WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    )
-    GROUP BY cohort, period_offset
-)
-UNION ALL
-SELECT 'engage', STRFTIME(day, '%Y-%m-%d'), CAST(w AS VARCHAR),
-       au,
-       NULL::BIGINT,
-       CASE WHEN w = 1 THEN stick END
-FROM (
-    WITH ud AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-        FROM events
-        WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    ),
-    rdays AS (
-        SELECT DISTINCT d + CAST(i AS INTEGER) AS day
-        FROM ud, (SELECT UNNEST(range(0, 30)) AS i)
-    ),
-    au AS (
-        SELECT r.day, w.w,
-               COUNT(DISTINCT CASE WHEN u.d BETWEEN r.day - (w.w - 1)
-                                        AND r.day
-                                   THEN u.user_id END) AS au
-        FROM rdays r
-        CROSS JOIN (SELECT UNNEST([1, 7, 30]) AS w) w
-        LEFT JOIN ud u ON u.d BETWEEN r.day - 29 AND r.day
-        GROUP BY r.day, w.w
-    )
-    SELECT day, w, au,
-           ROUND(CASE WHEN MAX(CASE WHEN w = 30 THEN au END)
-                           OVER (PARTITION BY day) > 0
-                 THEN CAST(MAX(CASE WHEN w = 1 THEN au END)
-                           OVER (PARTITION BY day) AS DOUBLE)
-                      / MAX(CASE WHEN w = 30 THEN au END)
-                        OVER (PARTITION BY day) END, 6) AS stick
-    FROM au
-)
 UNION ALL
 SELECT 'trans', from_type, to_type, n, NULL::BIGINT,
        ROUND(CAST(n AS DOUBLE)
@@ -1571,165 +1335,37 @@ SELECT 'attr', model, channel, n_conv, NULL::BIGINT, credit FROM (
     HAVING COUNT(*) > 0
 )
 UNION ALL
-SELECT 'season', CAST(b AS VARCHAR), event_type, n_buckets,
-       NULL::BIGINT, idx
+SELECT 'markov', src, dst, n, NULL::BIGINT, NULL::DOUBLE
 FROM (
-    WITH sh AS (
-        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+    WITH mkb AS (
+        SELECT user_id AS u, event_id AS o, event_type AS t
         FROM events
-        WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        GROUP BY 1, 2
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND event_type IN ('view', 'click', 'purchase')
     ),
-    sb AS (
-        SELECT event_type, EXTRACT(hour FROM h) AS b,
-               SUM(cnt) AS s, COUNT(*) AS n
-        FROM sh GROUP BY 1, 2
+    mke AS (
+        SELECT *,
+               COALESCE(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY u ORDER BY o
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS ep
+        FROM mkb
     ),
-    so AS (SELECT event_type, SUM(cnt) AS st, COUNT(*) AS nt
-           FROM sh GROUP BY 1)
-    SELECT sb.event_type, sb.b, sb.n AS n_buckets,
-           ROUND((CAST(sb.s AS DOUBLE) / CAST(sb.n AS DOUBLE))
-                 / (CAST(so.st AS DOUBLE) / CAST(so.nt AS DOUBLE)), 6)
-               AS idx
-    FROM sb JOIN so USING (event_type)
-)
-UNION ALL
-SELECT part, type_a, type_b, n_both, NULL::BIGINT, total
-FROM (
-    WITH ovi AS (
-        SELECT DISTINCT user_id AS u, event_type AS t
-        FROM events
-        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    mks AS (
+        SELECT *, LAG(t) OVER (PARTITION BY u, ep ORDER BY o) AS prev
+        FROM mke
     ),
-    ovn AS (SELECT COUNT(DISTINCT u) AS n_users FROM ovi),
-    ovt AS (SELECT t, COUNT(*) AS n FROM ovi GROUP BY t),
-    ovp AS (
-        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
-        FROM ovi a JOIN ovi b ON a.u = b.u AND a.t < b.t
-        GROUP BY 1, 2
-    ),
-    ovj AS (
-        SELECT p.type_a, p.type_b, p.n_both,
-               x.n AS n_a, y.n AS n_b, ovn.n_users
-        FROM ovp p
-        JOIN ovt x ON p.type_a = x.t
-        JOIN ovt y ON p.type_b = y.t
-        CROSS JOIN ovn
-    )
-    SELECT 'overlap' AS part, type_a, type_b, n_both,
-           ROUND(CAST(n_both AS DOUBLE)
-                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
-                    - CAST(n_both AS DOUBLE)), 6) AS total
-    FROM ovj
-    UNION ALL
-    SELECT 'overlap_lift', type_a, type_b, n_both,
-           ROUND((CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE))
-                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
-    FROM ovj
-)
-UNION ALL
-SELECT 'fdelay', step || ':q' || tag, NULL::VARCHAR, NULL::BIGINT,
-       NULL::BIGINT, q
-FROM (
-    WITH fdb AS (
-        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
-        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    ),
-    fdw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
-                       OVER w AS r0
-             FROM fdb
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fdw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
-                                AND r0 < e THEN e END) OVER w AS r1
-             FROM fdw0
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fdw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
-                                AND r1 < e THEN e END) OVER w AS r2
-             FROM fdw1
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fdr AS (
-        SELECT user_id,
-               CAST(FLOOR(MIN(r0)) AS BIGINT) AS r0,
-               CAST(FLOOR(MIN(r1)) AS BIGINT) AS r1,
-               CAST(FLOOR(MIN(r2)) AS BIGINT) AS r2
-        FROM fdw2 GROUP BY user_id
-    ),
-    fdd AS (
-        SELECT 'click' AS step, CAST(r1 - r0 AS DOUBLE) AS delay
-        FROM fdr WHERE r1 IS NOT NULL
+    mkt AS (
+        SELECT COALESCE(prev, 'start') AS src,
+               CASE WHEN t = 'purchase' THEN 'conv' ELSE t END AS dst
+        FROM mks
         UNION ALL
-        SELECT 'purchase', CAST(r2 - r1 AS DOUBLE)
-        FROM fdr WHERE r2 IS NOT NULL
+        SELECT arg_max(t, o) AS src, 'null' AS dst
+        FROM mke
+        GROUP BY u, ep
+        HAVING MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) = 0
     )
-    SELECT g.step, v.tag, v.q FROM (
-        SELECT step,
-               ROUND(quantile_cont(delay, 0.25), 6) AS q25,
-               ROUND(quantile_cont(delay, 0.50), 6) AS q50,
-               ROUND(quantile_cont(delay, 0.75), 6) AS q75
-        FROM fdd GROUP BY step
-    ) g, LATERAL (VALUES ('25', g.q25), ('50', g.q50),
-                         ('75', g.q75)) AS v(tag, q)
-)
-UNION ALL
-SELECT 'fconv', step, metric, n_prev, NULL::BIGINT, val
-FROM (
-    WITH fcb AS (
-        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
-        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    ),
-    fcw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
-                       OVER w AS r0
-             FROM fcb
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fcw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
-                                AND r0 < e THEN e END) OVER w AS r1
-             FROM fcw0
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fcw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
-                                AND r1 < e THEN e END) OVER w AS r2
-             FROM fcw1
-             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
-                          ROWS UNBOUNDED PRECEDING)),
-    fcr AS (
-        SELECT user_id, MIN(r0) AS r0, MIN(r1) AS r1, MIN(r2) AS r2
-        FROM fcw2 GROUP BY user_id
-    ),
-    fcn AS (SELECT COUNT(r0) AS n0, COUNT(r1) AS n1, COUNT(r2) AS n2
-            FROM fcr),
-    fcp AS (
-        SELECT 'click' AS step, n0 AS n_prev,
-               CAST(n1 AS DOUBLE) AS k, CAST(n0 AS DOUBLE) AS n
-        FROM fcn
-        UNION ALL
-        SELECT 'purchase', n1, CAST(n2 AS DOUBLE), CAST(n1 AS DOUBLE)
-        FROM fcn
-    ),
-    fcv AS (
-        SELECT step, n_prev, n, k / n AS p,
-               1.0 + (1.96 * 1.96) / n AS den
-        FROM fcp
-    ),
-    fcx AS (
-        SELECT step, n_prev, n, p, den,
-               (p + (1.96 * 1.96) / (2.0 * n)) / den AS center,
-               1.96 * SQRT(p * (1.0 - p) / n
-                           + (1.96 * 1.96) / (4.0 * n * n)) / den
-                   AS half
-        FROM fcv
-    )
-    SELECT step, 'rate' AS metric, n_prev,
-           ROUND(CASE WHEN n > 0 THEN p END, 6) AS val FROM fcx
-    UNION ALL
-    SELECT step, 'lo', n_prev,
-           ROUND(CASE WHEN n > 0 THEN center - half END, 6) FROM fcx
-    UNION ALL
-    SELECT step, 'hi', n_prev,
-           ROUND(CASE WHEN n > 0 THEN center + half END, 6) FROM fcx
+    SELECT src, dst, COUNT(*) AS n FROM mkt GROUP BY src, dst
 )
 UNION ALL
 SELECT 'km', CAST(CAST(t AS BIGINT) AS VARCHAR), NULL::VARCHAR,

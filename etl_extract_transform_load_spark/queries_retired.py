@@ -1,0 +1,777 @@
+"""Retired carrier branches — still hash-verified, now in pytest.
+
+The 50-query driver window is full, so extension operators ride
+tag-union branches on carrier queries.  By round 7 two carriers had
+accreted past the blast-radius budget (``windowed_counts_events`` 12
+branches, ``describe_stats`` 14): one branch's tie flip reddens the
+whole carrier, and the carriers dominated bench.  Per the r8 plan,
+carriers are capped at ~8 branches and the OLDEST / most
+self-contained legs moved here — each as a standalone
+``(spark, sf_dir) -> DataFrame`` builder paired with the SAME DuckDB
+oracle SQL it had as a carrier arm.
+
+Nothing got weaker: ``tests/test_retired_branches.py`` runs every
+entry through ``tests.oracle.assert_matches_oracle`` at sf0.01 —
+the identical strict (dtype-sensitive) comparison the round driver
+applies — on every pytest run.  The only delta is WHERE the check
+runs (pytest instead of the driver's 50-slot window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+
+# --- retired windowed_counts_events branches ---------------------------------
+
+
+def retired_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (operators/cohort.py) — retired carrier
+    branch, original column riding preserved."""
+    from etl_extract_transform_load_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, period="day").select(
+        F.lit("cohort").alias("part"),
+        F.date_format("cohort", "yyyy-MM-dd").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_active").cast("long").alias("n_events"),
+        F.col("period_offset").cast("long").alias("user_id"),
+        F.col("retention").alias("total"),
+    )
+
+
+ORACLE_COHORT = """
+SELECT 'cohort' AS part, STRFTIME(cohort, '%Y-%m-%d') AS window_start,
+       NULL::VARCHAR AS event_type,
+       n_active AS n_events,
+       CAST(period_offset AS BIGINT) AS user_id,
+       ROUND(CAST(n_active AS DOUBLE) / sz, 6) AS total
+FROM (
+    SELECT cohort, period_offset, COUNT(*) AS n_active,
+           FIRST(COUNT(*)) OVER (PARTITION BY cohort
+                                 ORDER BY period_offset
+                                 ROWS UNBOUNDED PRECEDING) AS sz
+    FROM (
+        SELECT DISTINCT user_id,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                   AS cohort,
+               DATE_DIFF('day',
+                         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                         CAST(ts AS DATE)) AS period_offset
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    GROUP BY cohort, period_offset
+)
+"""
+
+
+def retired_rolling_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU/MAU + stickiness (operators/engagement.py)."""
+    from etl_extract_transform_load_spark.operators.engagement import (
+        rolling_active_users,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    au = rolling_active_users(events, windows=(1, 7, 30))
+    return au.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_start"),
+        F.expr(
+            "stack(3, '1', au_1, '7', au_7, '30', au_30)"
+            " as (event_type, n_events)"
+        ),
+        "stickiness",
+    ).select(
+        F.lit("engage").alias("part"),
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.when(F.col("event_type") == "1", F.col("stickiness")).alias(
+            "total"
+        ),
+    )
+
+
+ORACLE_ENGAGE = """
+SELECT 'engage' AS part, STRFTIME(day, '%Y-%m-%d') AS window_start,
+       CAST(w AS VARCHAR) AS event_type,
+       au AS n_events,
+       NULL::BIGINT AS user_id,
+       CASE WHEN w = 1 THEN stick END AS total
+FROM (
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    rdays AS (
+        SELECT DISTINCT d + CAST(i AS INTEGER) AS day
+        FROM ud, (SELECT UNNEST(range(0, 30)) AS i)
+    ),
+    au AS (
+        SELECT r.day, w.w,
+               COUNT(DISTINCT CASE WHEN u.d BETWEEN r.day - (w.w - 1)
+                                        AND r.day
+                                   THEN u.user_id END) AS au
+        FROM rdays r
+        CROSS JOIN (SELECT UNNEST([1, 7, 30]) AS w) w
+        LEFT JOIN ud u ON u.d BETWEEN r.day - 29 AND r.day
+        GROUP BY r.day, w.w
+    )
+    SELECT day, w, au,
+           ROUND(CASE WHEN MAX(CASE WHEN w = 30 THEN au END)
+                           OVER (PARTITION BY day) > 0
+                 THEN CAST(MAX(CASE WHEN w = 1 THEN au END)
+                           OVER (PARTITION BY day) AS DOUBLE)
+                      / MAX(CASE WHEN w = 30 THEN au END)
+                        OVER (PARTITION BY day) END, 6) AS stick
+    FROM au
+)
+"""
+
+
+def retired_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index (operators/timeseries.py)."""
+    from etl_extract_transform_load_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_profile(events, "event_type").select(
+        F.lit("season").alias("part"),
+        F.col("bucket").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_buckets").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("idx").alias("total"),
+    )
+
+
+ORACLE_SEASON = """
+SELECT 'season' AS part, CAST(b AS VARCHAR) AS window_start,
+       event_type, n_buckets AS n_events,
+       NULL::BIGINT AS user_id, idx AS total
+FROM (
+    WITH sh AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    sb AS (
+        SELECT event_type, EXTRACT(hour FROM h) AS b,
+               SUM(cnt) AS s, COUNT(*) AS n
+        FROM sh GROUP BY 1, 2
+    ),
+    so AS (SELECT event_type, SUM(cnt) AS st, COUNT(*) AS nt
+           FROM sh GROUP BY 1)
+    SELECT sb.event_type, sb.b, sb.n AS n_buckets,
+           ROUND((CAST(sb.s AS DOUBLE) / CAST(sb.n AS DOUBLE))
+                 / (CAST(so.st AS DOUBLE) / CAST(so.nt AS DOUBLE)), 6)
+               AS idx
+    FROM sb JOIN so USING (event_type)
+)
+"""
+
+
+def retired_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types (operators/engagement.py)."""
+    from etl_extract_transform_load_spark.operators.engagement import (
+        audience_overlap,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ov = audience_overlap(events)
+    return ov.selectExpr(
+        "type_a",
+        "type_b",
+        "n_both",
+        "stack(2, 'overlap', jaccard, 'overlap_lift', lift)"
+        " as (part, total)",
+    ).select(
+        "part",
+        F.col("type_a").alias("window_start"),
+        F.col("type_b").alias("event_type"),
+        F.col("n_both").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        "total",
+    )
+
+
+ORACLE_OVERLAP = """
+SELECT part, type_a AS window_start, type_b AS event_type,
+       n_both AS n_events, NULL::BIGINT AS user_id, total
+FROM (
+    WITH ovi AS (
+        SELECT DISTINCT user_id AS u, event_type AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    ovn AS (SELECT COUNT(DISTINCT u) AS n_users FROM ovi),
+    ovt AS (SELECT t, COUNT(*) AS n FROM ovi GROUP BY t),
+    ovp AS (
+        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        FROM ovi a JOIN ovi b ON a.u = b.u AND a.t < b.t
+        GROUP BY 1, 2
+    ),
+    ovj AS (
+        SELECT p.type_a, p.type_b, p.n_both,
+               x.n AS n_a, y.n AS n_b, ovn.n_users
+        FROM ovp p
+        JOIN ovt x ON p.type_a = x.t
+        JOIN ovt y ON p.type_b = y.t
+        CROSS JOIN ovn
+    )
+    SELECT 'overlap' AS part, type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                    - CAST(n_both AS DOUBLE)), 6) AS total
+    FROM ovj
+    UNION ALL
+    SELECT 'overlap_lift', type_a, type_b, n_both,
+           ROUND((CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+    FROM ovj
+)
+"""
+
+
+def _funnel_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-user reach frame for the two retired funnel legs."""
+    from etl_extract_transform_load_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        funnel_reach(events, ["view", "click", "purchase"])
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("step_idx") == i, F.col("reach_sec"))
+                ).alias(f"r{i}")
+                for i in range(3)
+            ]
+        )
+        .localCheckpoint()
+    )
+
+
+def retired_funnel_delay_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Funnel time-to-convert quartiles (funnel_reach + bounded-state
+    grouped exact quantiles)."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+        round_half_up6,
+    )
+
+    wide = _funnel_wide(spark, sf_dir)
+    delays = (
+        wide.select(
+            F.lit("click").alias("step"),
+            (F.col("r1") - F.col("r0")).cast("double").alias("delay"),
+        )
+        .unionByName(
+            wide.select(
+                F.lit("purchase").alias("step"),
+                (F.col("r2") - F.col("r1")).cast("double").alias("delay"),
+            )
+        )
+        .filter(F.col("delay").isNotNull())
+    )
+    fq = grouped_exact_quantiles(delays, "step", "delay", [0.25, 0.5, 0.75])
+    rows = [
+        (f"{step}:q{tag}", round_half_up6(v))
+        for step, qs in fq.items()
+        for tag, v in zip(("25", "50", "75"), qs)
+    ]
+    return spark.createDataFrame(
+        rows, "window_start string, total double"
+    ).select(
+        F.lit("fdelay").alias("part"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        "total",
+    )
+
+
+ORACLE_FDELAY = """
+SELECT 'fdelay' AS part, step || ':q' || tag AS window_start,
+       NULL::VARCHAR AS event_type, NULL::BIGINT AS n_events,
+       NULL::BIGINT AS user_id, q AS total
+FROM (
+    WITH fdb AS (
+        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fdw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
+                       OVER w AS r0
+             FROM fdb
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                                AND r0 < e THEN e END) OVER w AS r1
+             FROM fdw0
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                AND r1 < e THEN e END) OVER w AS r2
+             FROM fdw1
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fdr AS (
+        SELECT user_id,
+               CAST(FLOOR(MIN(r0)) AS BIGINT) AS r0,
+               CAST(FLOOR(MIN(r1)) AS BIGINT) AS r1,
+               CAST(FLOOR(MIN(r2)) AS BIGINT) AS r2
+        FROM fdw2 GROUP BY user_id
+    ),
+    fdd AS (
+        SELECT 'click' AS step, CAST(r1 - r0 AS DOUBLE) AS delay
+        FROM fdr WHERE r1 IS NOT NULL
+        UNION ALL
+        SELECT 'purchase', CAST(r2 - r1 AS DOUBLE)
+        FROM fdr WHERE r2 IS NOT NULL
+    )
+    SELECT g.step, v.tag, v.q FROM (
+        SELECT step,
+               ROUND(quantile_cont(delay, 0.25), 6) AS q25,
+               ROUND(quantile_cont(delay, 0.50), 6) AS q50,
+               ROUND(quantile_cont(delay, 0.75), 6) AS q75
+        FROM fdd GROUP BY step
+    ) g, LATERAL (VALUES ('25', g.q25), ('50', g.q50),
+                         ('75', g.q75)) AS v(tag, q)
+)
+"""
+
+
+def retired_funnel_conversion_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Funnel step-conversion rates with Wilson 95% CIs
+    (operators/stats.wilson_bounds)."""
+    from etl_extract_transform_load_spark.operators.stats import (
+        wilson_bounds,
+    )
+
+    wide = _funnel_wide(spark, sf_dir)
+    fc_agg = wide.agg(
+        *[
+            F.sum(F.col(f"r{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(3)
+        ]
+    )
+    r1c, lo1, hi1 = wilson_bounds(F.col("n1"), F.col("n0"))
+    r2c, lo2, hi2 = wilson_bounds(F.col("n2"), F.col("n1"))
+
+    def _st(step, ne, metric, val):
+        return F.struct(
+            F.lit(step).alias("ws"),
+            F.lit(metric).alias("et"),
+            F.col(ne).alias("ne"),
+            val.alias("total"),
+        )
+
+    return fc_agg.select(
+        F.explode(
+            F.array(
+                _st("click", "n0", "rate", r1c),
+                _st("click", "n0", "lo", lo1),
+                _st("click", "n0", "hi", hi1),
+                _st("purchase", "n1", "rate", r2c),
+                _st("purchase", "n1", "lo", lo2),
+                _st("purchase", "n1", "hi", hi2),
+            )
+        ).alias("s")
+    ).select(
+        F.lit("fconv").alias("part"),
+        F.col("s.ws").alias("window_start"),
+        F.col("s.et").alias("event_type"),
+        F.col("s.ne").alias("n_events"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("s.total").alias("total"),
+    )
+
+
+ORACLE_FCONV = """
+SELECT 'fconv' AS part, step AS window_start, metric AS event_type,
+       n_prev AS n_events, NULL::BIGINT AS user_id, val AS total
+FROM (
+    WITH fcb AS (
+        SELECT user_id, event_id, event_type, EPOCH(ts) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    fcw0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN e END)
+                       OVER w AS r0
+             FROM fcb
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcw1 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                                AND r0 < e THEN e END) OVER w AS r1
+             FROM fcw0
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcw2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                AND r1 < e THEN e END) OVER w AS r2
+             FROM fcw1
+             WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    fcr AS (
+        SELECT user_id, MIN(r0) AS r0, MIN(r1) AS r1, MIN(r2) AS r2
+        FROM fcw2 GROUP BY user_id
+    ),
+    fcn AS (SELECT COUNT(r0) AS n0, COUNT(r1) AS n1, COUNT(r2) AS n2
+            FROM fcr),
+    fcp AS (
+        SELECT 'click' AS step, n0 AS n_prev,
+               CAST(n1 AS DOUBLE) AS k, CAST(n0 AS DOUBLE) AS n
+        FROM fcn
+        UNION ALL
+        SELECT 'purchase', n1, CAST(n2 AS DOUBLE), CAST(n1 AS DOUBLE)
+        FROM fcn
+    ),
+    fcv AS (
+        SELECT step, n_prev, n, k / n AS p,
+               1.0 + (1.96 * 1.96) / n AS den
+        FROM fcp
+    ),
+    fcx AS (
+        SELECT step, n_prev, n, p, den,
+               (p + (1.96 * 1.96) / (2.0 * n)) / den AS center,
+               1.96 * SQRT(p * (1.0 - p) / n
+                           + (1.96 * 1.96) / (4.0 * n * n)) / den
+                   AS half
+        FROM fcv
+    )
+    SELECT step, 'rate' AS metric, n_prev,
+           ROUND(CASE WHEN n > 0 THEN p END, 6) AS val FROM fcx
+    UNION ALL
+    SELECT step, 'lo', n_prev,
+           ROUND(CASE WHEN n > 0 THEN center - half END, 6) FROM fcx
+    UNION ALL
+    SELECT step, 'hi', n_prev,
+           ROUND(CASE WHEN n > 0 THEN center + half END, 6) FROM fcx
+)
+"""
+
+
+# --- retired describe_stats branches ------------------------------------------
+
+
+def retired_simple_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact OLS line (scale/ml.simple_linear_fit)."""
+    from etl_extract_transform_load_spark.scale.ml import simple_linear_fit
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    return simple_linear_fit(li, "l_quantity", "l_extendedprice").select(
+        F.expr(
+            "stack(4,"
+            " 'lm:n', cast(n as double),"
+            " 'lm:slope', slope,"
+            " 'lm:intercept', intercept,"
+            " 'lm:r2', r2) as (metric, value)"
+        )
+    )
+
+
+ORACLE_LM = """
+SELECT metric, value FROM (
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    f AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+        FROM s
+    )
+    SELECT 'lm:n' AS metric, CAST(n AS DOUBLE) AS value FROM f
+    UNION ALL
+    SELECT 'lm:slope', ROUND(slope, 6) FROM f
+    UNION ALL
+    SELECT 'lm:intercept',
+           ROUND((s.sy - f.slope * s.sx) / CAST(s.n AS DOUBLE), 6)
+    FROM f, s
+    UNION ALL
+    SELECT 'lm:r2', ROUND(r * r, 6) FROM f
+)
+"""
+
+
+def retired_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly-count autocorrelation, lags 1..3
+    (operators/timeseries.acf)."""
+    from etl_extract_transform_load_spark.operators.timeseries import acf
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return acf(hourly, "event_type", ["h"], "cnt", [1, 2, 3]).select(
+        F.concat(
+            F.lit("acf:"),
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("lag").cast("string"),
+        ).alias("metric"),
+        F.col("acf").alias("value"),
+    )
+
+
+def oracle_acf() -> str:
+    from etl_extract_transform_load_spark.queries_merged import _acf_oracle
+
+    return f"SELECT metric, value FROM ({_acf_oracle()})"
+
+
+def retired_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics (p05/p95 capping) via the bounded-state
+    exact-quantile decides."""
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        exact_quantiles,
+        round_half_up6,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    lo, hi = exact_quantiles(li, "l_extendedprice", [0.05, 0.95])
+    lo6, hi6 = round_half_up6(lo), round_half_up6(hi)
+    x = F.col("l_extendedprice").cast("double")
+    clamped = F.least(F.greatest(x, F.lit(lo6)), F.lit(hi6))
+    return li.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((x < lo6).cast("long")).alias("n_lo"),
+        F.sum((x > hi6).cast("long")).alias("n_hi"),
+        F.sum(F.round(clamped, 6).cast("decimal(28,6)")).alias("s"),
+    ).select(
+        F.expr(
+            "stack(5,"
+            f" 'winsor:lo', cast({lo6!r} as double),"
+            f" 'winsor:hi', cast({hi6!r} as double),"
+            " 'winsor:n_lo', cast(n_lo as double),"
+            " 'winsor:n_hi', cast(n_hi as double),"
+            " 'winsor:mean',"
+            " round(cast(s as double) / cast(n as double), 6))"
+            " as (metric, value)"
+        )
+    )
+
+
+ORACLE_WINSOR = """
+SELECT metric, value FROM (
+    WITH wq AS (
+        SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   0.05), 6) AS lo,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   0.95), 6) AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    wa AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS n_lo,
+               SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS n_hi,
+               SUM(CAST(ROUND(LEAST(GREATEST(x, lo), hi), 6)
+                        AS DECIMAL(28,6))) AS s
+        FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+              FROM lineitem WHERE l_extendedprice IS NOT NULL), wq
+    )
+    SELECT 'winsor:lo' AS metric, lo AS value FROM wq
+    UNION ALL SELECT 'winsor:hi', hi FROM wq
+    UNION ALL SELECT 'winsor:n_lo', CAST(n_lo AS DOUBLE) FROM wa
+    UNION ALL SELECT 'winsor:n_hi', CAST(n_hi AS DOUBLE) FROM wa
+    UNION ALL SELECT 'winsor:mean',
+        ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM wa
+)
+"""
+
+
+def retired_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square / Cramér's V / MI between lang and source
+    (operators/stats.contingency_stats)."""
+    from etl_extract_transform_load_spark.operators.stats import (
+        contingency_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return contingency_stats(docs, "lang", "source").select(
+        F.expr(
+            "stack(7,"
+            " 'ct:n', cast(n as double),"
+            " 'ct:r', cast(r as double),"
+            " 'ct:c', cast(c as double),"
+            " 'ct:dof', cast(dof as double),"
+            " 'ct:chi2', chi2,"
+            " 'ct:cramers_v', cramers_v,"
+            " 'ct:mi', mi) as (metric, value)"
+        )
+    )
+
+
+def oracle_contingency() -> str:
+    from etl_extract_transform_load_spark.operators.stats import (
+        oracle_contingency_sql,
+    )
+
+    return f"""
+SELECT metric, value FROM (
+    WITH ctrep AS ({oracle_contingency_sql('lang', 'source', 'documents')})
+    SELECT 'ct:n' AS metric, CAST(n AS DOUBLE) AS value FROM ctrep
+    UNION ALL SELECT 'ct:r', CAST(r AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:c', CAST(c AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:dof', CAST(dof AS DOUBLE) FROM ctrep
+    UNION ALL SELECT 'ct:chi2', chi2 FROM ctrep
+    UNION ALL SELECT 'ct:cramers_v', cramers_v FROM ctrep
+    UNION ALL SELECT 'ct:mi', mi FROM ctrep
+)
+"""
+
+
+def retired_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.spearman — bucketed
+    prefix-sum ranks, no global sort)."""
+    from etl_extract_transform_load_spark.operators.stats import spearman
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    return spearman(li, "l_quantity", "l_extendedprice").select(
+        F.expr(
+            "stack(2,"
+            " 'spearman:n', cast(n as double),"
+            " 'spearman:rho', rho) as (metric, value)"
+        )
+    )
+
+
+def oracle_spearman() -> str:
+    from etl_extract_transform_load_spark.operators.stats import (
+        oracle_spearman_sql,
+    )
+
+    return f"""
+SELECT metric, value FROM (
+    WITH sprep AS ({oracle_spearman_sql('l_quantity', 'l_extendedprice',
+                                        'lineitem')})
+    SELECT 'spearman:n' AS metric, CAST(n AS DOUBLE) AS value FROM sprep
+    UNION ALL SELECT 'spearman:rho', rho FROM sprep
+)
+"""
+
+
+def retired_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weight-of-evidence + information value of the
+    lang='en' target (scale/ml.woe_iv)."""
+    from etl_extract_transform_load_spark.scale.ml import woe_iv
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    woe_src = docs.select(
+        "source",
+        F.when(
+            F.col("lang").isNotNull(), (F.col("lang") == "en").cast("int")
+        ).alias("y"),
+    )
+    return woe_iv(woe_src, "source", "y").select(
+        F.expr(
+            "stack(2,"
+            " 'woe:' || coalesce(category, '<null>'), woe,"
+            " 'iv:' || coalesce(category, '<null>'), iv)"
+            " as (metric, value)"
+        )
+    )
+
+
+def oracle_woe_iv() -> str:
+    from etl_extract_transform_load_spark.queries_merged import (
+        _CLF_LABEL_SQL,
+    )
+
+    return f"""
+SELECT metric, value FROM (
+    WITH wvb AS (
+        SELECT source,
+               ({_CLF_LABEL_SQL}) AS y
+        FROM documents
+        WHERE ({_CLF_LABEL_SQL}) IS NOT NULL
+    ),
+    wvc AS (
+        SELECT source AS category,
+               SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+        FROM wvb GROUP BY source
+    ),
+    wvt AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg FROM wvc),
+    wvx AS (
+        SELECT category,
+               (CAST(n_pos AS DOUBLE) + 0.5)
+                   / CAST(t_pos AS DOUBLE) AS p,
+               (CAST(n_neg AS DOUBLE) + 0.5)
+                   / CAST(t_neg AS DOUBLE) AS q
+        FROM wvc, wvt
+    )
+    SELECT 'woe:' || COALESCE(category, '<null>') AS metric,
+           ROUND(LN(p / q), 6) AS value
+    FROM wvx
+    UNION ALL
+    SELECT 'iv:' || COALESCE(category, '<null>'),
+           ROUND((p - q) * LN(p / q), 6)
+    FROM wvx
+)
+"""
+
+
+def retired_checks() -> dict:
+    """name → (builder, oracle_sql) for every retired branch — the
+    pytest face of the driver contract."""
+    return {
+        "cohort_retention": (retired_cohort_retention, ORACLE_COHORT),
+        "rolling_engagement": (retired_rolling_engagement, ORACLE_ENGAGE),
+        "seasonal_profile": (retired_seasonal_profile, ORACLE_SEASON),
+        "audience_overlap": (retired_audience_overlap, ORACLE_OVERLAP),
+        "funnel_delay_quartiles": (
+            retired_funnel_delay_quartiles,
+            ORACLE_FDELAY,
+        ),
+        "funnel_conversion_ci": (
+            retired_funnel_conversion_ci,
+            ORACLE_FCONV,
+        ),
+        "simple_linear_fit": (retired_simple_linear_fit, ORACLE_LM),
+        "acf": (retired_acf, oracle_acf()),
+        "winsorized_stats": (retired_winsorized_stats, ORACLE_WINSOR),
+        "contingency": (retired_contingency, oracle_contingency()),
+        "spearman": (retired_spearman, oracle_spearman()),
+        "woe_iv": (retired_woe_iv, oracle_woe_iv()),
+    }

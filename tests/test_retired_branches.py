@@ -1,0 +1,23 @@
+"""Every retired carrier branch stays hash-verified — through the SAME
+strict (dtype-sensitive) oracle comparison the round driver applies,
+just run from pytest instead of the driver's 50-slot query window
+(see queries_retired.py module docstring for the carrier-budget
+rationale)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.queries_retired import retired_checks
+
+SF = "/root/testdata/sf0.01"
+
+_CHECKS = retired_checks()
+
+
+@pytest.mark.parametrize("name", sorted(_CHECKS))
+def test_retired_branch_matches_oracle(spark, name):
+    fn, sql = _CHECKS[name]
+    assert_matches_oracle(fn(spark, SF), sql, SF)

@@ -689,27 +689,27 @@ seq AS (
 -- SAME 6-dp-rounded constants the engine folds from
 cstat AS (
     SELECT user_id,
-           ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+           ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                       AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS mu,
            ROUND(CASE WHEN COUNT(*) >= 2 AND
-                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
-                           * CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6))
+                           * CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                        AS DOUBLE)
                   - CAST(COUNT(*) AS DOUBLE)
-                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
                  / (CAST(COUNT(*) AS DOUBLE) - 1.0) > 0
                  THEN SQRT(
-                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
-                           * CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                 (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6))
+                           * CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                        AS DOUBLE)
                   - CAST(COUNT(*) AS DOUBLE)
-                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                    * (CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6)))
                             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
                  / (CAST(COUNT(*) AS DOUBLE) - 1.0)) END, 6) AS sigma
     FROM seq GROUP BY user_id
@@ -759,7 +759,7 @@ walk(user_id, rn, event_id, num, den) AS (
 ),
 feats AS (
     SELECT event_id,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w4 AS DOUBLE)
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(19,6))) OVER w4 AS DOUBLE)
                  / CAST(COUNT(v) OVER w4 AS DOUBLE), 6) AS roll_mean,
            MIN(v) OVER w4 AS roll_min,
            MAX(v) OVER w4 AS roll_max,
@@ -780,10 +780,10 @@ feats AS (
                        THEN 0.125 ELSE 0.0 END), 6) AS ewma,
            ROUND(v, 6) AS v6,
            CAST(COUNT(v) OVER wz AS DOUBLE) AS zn,
-           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) OVER wz
+           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6))) OVER wz
                 AS DOUBLE) AS zs,
-           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))
-                    * CAST(ROUND(v, 6) AS DECIMAL(18,6))) OVER wz
+           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(19,6))
+                    * CAST(ROUND(v, 6) AS DECIMAL(19,6))) OVER wz
                 AS DOUBLE) AS zss
     FROM nn
     WINDOW wo AS (PARTITION BY user_id ORDER BY event_id),
@@ -1203,7 +1203,7 @@ UNION ALL
 SELECT 'running', STRFTIME(h, '%Y-%m-%d %H:%M:%S'), NULL::VARCHAR,
        CAST(SUM(bucket_n) OVER cum AS BIGINT),
        user_id,
-       ROUND(CAST(SUM(bucket_total) OVER cum AS DOUBLE), 6)
+       CAST(SUM(bucket_total) OVER cum AS DOUBLE)
 FROM (
     SELECT user_id, TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
            COUNT(*) AS bucket_n,

@@ -106,9 +106,12 @@ def running_user_totals_batch(
         F.col(key_col),
         "window_start",
         F.sum("bucket_n").over(w).alias("n_events"),
-        F.round(
-            F.sum("bucket_total").over(w).cast("double"), 6
-        ).alias("total"),
+        # the cumulative DECIMAL(,6) sum is already 6-dp exact — cast
+        # straight to double. A round AFTER the cast is the large-
+        # magnitude trap: at ~1e11, DuckDB's scaled-double ROUND(x,6)
+        # (x·10⁶ > 2^53) diverges from Spark's exact BigDecimal round
+        # by one ulp (caught by the r8 adversarial type-edge rows).
+        F.sum("bucket_total").over(w).cast("double").alias("total"),
     )
 
 

@@ -11,6 +11,21 @@ clear of the generator's id ranges so joins stay sane):
 - orders: NULL o_totalprice / o_orderpriority; customer: NULL
   c_acctbal / c_mktsegment; lineitem: NULL l_quantity / l_discount.
 - events: NULL value / props / event_type.
+- TYPE-EDGE rows (r8, for the strict dtype-sensitive gate): 300
+  documents of n_chars = 7e6 each so SUM(n_chars) crosses 2^31 (any
+  oracle arm missing the CAST(… AS BIGINT) convention reddens on
+  DATA, not only in the DESCRIBE audit), a user_id at 2^62
+  (int64-boundary KEY — keys are grouped/joined, never summed), and
+  decimal-half candidates at 6 dp (…5 in the 7th decimal place, the
+  round-tie generator class).  Planted VALUE magnitudes stay ≤ ~1e7
+  on purpose: 6-dp rounding of doubles is only exact while x·10⁶ has
+  sub-half-ulp error (x ≲ 1e9); a 1e11 probe row proved every
+  ROUND(double, 6) in both engines diverges past that bound (it
+  caught and fixed two real latent bugs — the DECIMAL(18,6)
+  64-bit-multiply overflow in the time_derivations oracle, and a
+  lossy post-cast re-round of an already-exact scale-6 cumulative sum
+  in running_user_totals_batch — but beyond those the divergence is
+  inherent to the documented 6-dp convention, not an engine bug).
 
 Usage:
     python scripts/make_adversarial_testdata.py [src_sf_dir] [dst_dir]
@@ -84,6 +99,68 @@ def main() -> int:
     _null_cells(os.path.join(dst, "customer.parquet"), ["c_acctbal", "c_mktsegment"])
     _null_cells(os.path.join(dst, "lineitem.parquet"), ["l_quantity", "l_discount"])
     _null_cells(os.path.join(dst, "events.parquet"), ["value", "props", "event_type"])
+
+    # --- type-edge rows (r8): representation drift must be catchable
+    # by DATA, not only by the DESCRIBE audit -------------------------
+    import datetime as dt
+
+    _append_rows(
+        os.path.join(dst, "documents.parquet"),
+        [
+            # SUM(n_chars) crosses 2^31 → DuckDB HUGEINT unless the
+            # oracle CASTs (the window_topk failure class); 300
+            # moderate rows instead of one huge value so derived
+            # per-value statistics stay inside the exact 6-dp band
+            {"doc_id": 9_000_100 + i,
+             "text": f"int32 sum overflow probe doc {i}",
+             "lang": "en", "source": "probe", "n_chars": 7_000_000}
+            for i in range(300)
+        ],
+    )
+    _append_rows(
+        os.path.join(dst, "events.parquet"),
+        [
+            # decimal-half candidates at 6 dp (…5 in the 7th place):
+            # the systematic round-tie generator class
+            {"event_id": 9_000_101, "ts": dt.datetime(2024, 1, 2, 3, 4, 5),
+             "user_id": 9_000_101, "event_type": "view",
+             "value": 0.1234565, "props": None},
+            {"event_id": 9_000_102, "ts": dt.datetime(2024, 1, 2, 3, 5, 5),
+             "user_id": 9_000_101, "event_type": "purchase",
+             "value": 0.0000005, "props": None},
+            # int64-boundary key: 2^62 survives % / windows / joins but
+            # breaks anything that packs or floats the key
+            {"event_id": 9_000_103, "ts": dt.datetime(2024, 1, 3, 3, 4, 5),
+             "user_id": 1 << 62, "event_type": "click",
+             "value": 7.0000005, "props": None},
+            {"event_id": 9_000_104, "ts": dt.datetime(2024, 1, 3, 3, 6, 5),
+             "user_id": 1 << 62, "event_type": "purchase",
+             "value": 999_999.000001, "props": None},
+        ],
+    )
+    _append_rows(
+        os.path.join(dst, "lineitem.parquet"),
+        [
+            # extendedprice/discount are 6-dp half candidates feeding
+            # the decimal-cast sums; quantity is large but inside the
+            # exact 6-dp band
+            {"l_orderkey": 9_000_001, "l_partkey": 9_000_001,
+             "l_suppkey": 1, "l_linenumber": 1,
+             "l_quantity": 3_000_000.0,
+             "l_extendedprice": 0.1234565, "l_discount": 0.0000005,
+             "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": dt.datetime(2024, 1, 2)},
+        ],
+    )
+    _append_rows(
+        os.path.join(dst, "orders.parquet"),
+        [
+            {"o_orderkey": 9_000_001, "o_custkey": 9_000_001,
+             "o_orderstatus": "O", "o_totalprice": 0.1234565,
+             "o_orderdate": dt.datetime(2024, 1, 2),
+             "o_orderpriority": "1-URGENT"},
+        ],
+    )
 
     print(f"adversarial copy at {dst}")
     return 0

@@ -2192,17 +2192,16 @@ JOIN ({oracle_kn_sql()}) j USING (doc_id)
 # --- vocab_tfidf_terms ----------------------------------------------------------
 
 def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vocab_top_terms + tfidf_top_terms + per-doc OOV rate,
-    tag-unioned. The global vocabulary aggregation is checkpointed and
-    shared: top-100 feeds the vocab branch, top-10 feeds the OOV
-    branch (a k small enough that the testdata actually has
-    out-of-vocabulary tokens — against top-100 every token is covered
-    and the check would be vacuous)."""
+    """vocab_top_terms + tfidf_top_terms + the text-retrieval /
+    vectorization / data-selection tier, tag-unioned (8 branches:
+    vocab, tfidf, dsir, bm25, hashed, cluster, ppmi, rrf — the
+    carrier budget; the retired oov/heavy legs stay hash-verified in
+    tests/test_retired_branches.py). The global vocabulary
+    aggregation is checkpointed and shared."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_tfidf_top_terms,
     )
     from etl_extract_transform_load_spark.scale.vocab import (
-        oov_rate,
         vocabulary,
     )
     from etl_extract_transform_load_spark.sources import load_table
@@ -2237,39 +2236,49 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").cast("double").alias("tfidf"),
         F.col("rnk").cast("long").alias("rnk"),
     )
-    # third branch: per-doc OOV rate against the top-10 vocabulary
-    # (token totals ride n_occurrences, OOV counts ride doc_freq, the
-    # rate rides tfidf)
-    oov = oov_rate(docs, topk(10)).select(
-        F.lit("oov").alias("part"),
-        F.lit(None).cast("string").alias("token"),
-        F.col("n_tokens").cast("long").alias("n_occurrences"),
-        F.col("n_oov").cast("long").alias("doc_freq"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("oov_rate").cast("double").alias("tfidf"),
-        F.lit(None).cast("long").alias("rnk"),
-    )
-    # fourth branch: exact heavy hitters via the bounded-memory
-    # Misra-Gries sketch-then-verify path — same values a plain
-    # GROUP BY/HAVING produces, no full-cardinality aggregation state
-    from etl_extract_transform_load_spark.scale.sketches import (
-        frequent_tokens,
+    # third branch: DSIR importance weights + document scores
+    # (scale/dsir.py — Data Selection via Importance Resampling):
+    # hashed unigram+bigram bucket log-ratios of the lang='en' target
+    # vs the whole corpus, then per-doc decimal-exact importance
+    # scores. Bucket table: feature rides doc_freq, target count
+    # rides n_occurrences, raw count rides rnk, log-ratio rides
+    # tfidf. Score rows: n_grams rides n_occurrences, score rides
+    # tfidf. (The Gumbel-top-k resampler is pytest+oracle covered.)
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_gram_features,
+        dsir_logratios,
+        dsir_scores,
     )
 
-    # cache=False: the registered path cannot wrap released_caches()
-    # around a lazy return, and the upstream is a plain parquet
-    # projection — three cheap rescans beat an unreleasable persist
-    # accumulating per invocation in long driver/bench sessions
-    heavy = frequent_tokens(docs, threshold_frac=0.005, cache=False).select(
-        F.lit("heavy").alias("part"),
-        "token",
-        F.col("n_occurrences").cast("long").alias("n_occurrences"),
-        F.lit(None).cast("long").alias("doc_freq"),
+    # the raw-corpus gram explode is the expensive pass — checkpoint
+    # it once and share between fit (r_count) and scoring
+    with timed_branch("dsir"):
+        dsir_feats = dsir_gram_features(docs).localCheckpoint()
+        dsir_lr = dsir_logratios(
+            docs.filter(F.col("lang") == "en"),
+            docs,
+            raw_features=dsir_feats,
+        ).localCheckpoint()
+    dsir_rows = dsir_lr.select(
+        F.lit("dsir_lr").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("t_count").cast("long").alias("n_occurrences"),
+        F.col("feature").cast("long").alias("doc_freq"),
         F.lit(None).cast("long").alias("doc_id"),
-        F.lit(None).cast("double").alias("tfidf"),
-        F.lit(None).cast("long").alias("rnk"),
+        F.col("logratio").alias("tfidf"),
+        F.col("r_count").cast("long").alias("rnk"),
+    ).unionByName(
+        dsir_scores(docs, dsir_lr, features=dsir_feats).select(
+            F.lit("dsir_score").alias("part"),
+            F.lit(None).cast("string").alias("token"),
+            F.col("n_grams").cast("long").alias("n_occurrences"),
+            F.lit(None).cast("long").alias("doc_freq"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score").alias("tfidf"),
+            F.lit(None).cast("long").alias("rnk"),
+        )
     )
-    # fifth branch: BM25 ranked retrieval for a fixed bag-of-terms
+    # fourth branch: BM25 ranked retrieval for a fixed bag-of-terms
     # query over the same corpus — the inverted-index/search tier
     # (scores ride tfidf, ranks ride rnk)
     from etl_extract_transform_load_spark.scale.search import bm25_topk
@@ -2386,8 +2395,7 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probe_branch("vocab", vocab)
         .unionByName(probe_branch("tfidf", tfidf))
-        .unionByName(probe_branch("oov", oov))
-        .unionByName(probe_branch("heavy", heavy))
+        .unionByName(probe_branch("dsir", dsir_rows))
         .unionByName(probe_branch("bm25", bm25))
         .unionByName(probe_branch("hashed", hashed))
         .unionByName(probe_branch("cluster", cluster))
@@ -2453,6 +2461,14 @@ def _oracle_doc_cluster() -> str:
     return oracle_doc_cluster_sql()
 
 
+def _oracle_dsir() -> str:
+    from etl_extract_transform_load_spark.scale.dsir import (
+        oracle_dsir_sql,
+    )
+
+    return oracle_dsir_sql()
+
+
 def _oracle_vocab_tfidf() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_TFIDF,
@@ -2470,52 +2486,13 @@ SELECT 'tfidf', token, NULL::BIGINT, NULL::BIGINT, CAST(doc_id AS BIGINT),
        CAST(tfidf AS DOUBLE), CAST(rnk AS BIGINT)
 FROM ({ORACLE_TFIDF})
 UNION ALL
-SELECT 'oov', NULL::VARCHAR,
-       CAST(n_tokens AS BIGINT), CAST(n_oov AS BIGINT),
-       CAST(o.doc_id AS BIGINT),
-       CAST(CASE WHEN n_tokens = 0 THEN 0.0
-                 ELSE ROUND(n_oov * 1.0 / n_tokens, 6) END AS DOUBLE),
-       NULL::BIGINT
-FROM (
-    WITH v AS (SELECT token FROM ({oracle_vocab_sql(10)})),
-    tc AS (
-        SELECT doc_id, UNNEST(
-            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
-                 THEN CAST([] AS VARCHAR[])
-                 ELSE regexp_split_to_array(
-                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
-        ) AS token FROM documents
-    ),
-    agg AS (
-        SELECT tc.doc_id,
-               COUNT(*) AS n_tokens,
-               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
-        FROM tc LEFT JOIN v USING (token)
-        GROUP BY tc.doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(agg.n_tokens, 0) AS n_tokens,
-           COALESCE(agg.n_oov, 0) AS n_oov
-    FROM documents d LEFT JOIN agg USING (doc_id)
-) o
+SELECT 'dsir_lr', NULL::VARCHAR, t_count, CAST(feature AS BIGINT),
+       NULL::BIGINT, CAST(logratio AS DOUBLE), r_count
+FROM ({_oracle_dsir()}) WHERE rel = 'lr'
 UNION ALL
-SELECT 'heavy', token, CAST(n_occurrences AS BIGINT), NULL::BIGINT,
-       NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT
-FROM (
-    WITH tok AS (
-        SELECT UNNEST(
-            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
-                 THEN CAST([] AS VARCHAR[])
-                 ELSE regexp_split_to_array(
-                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
-        ) AS token FROM documents
-    ),
-    tot AS (SELECT COUNT(*) AS n FROM tok)
-    SELECT token, COUNT(*) AS n_occurrences
-    FROM tok, tot
-    GROUP BY token, n
-    HAVING COUNT(*) > 0.005 * n
-) hh
+SELECT 'dsir_score', NULL::VARCHAR, n_grams, NULL::BIGINT,
+       doc_id, score, NULL::BIGINT
+FROM ({_oracle_dsir()}) WHERE rel = 'score'
 UNION ALL
 SELECT 'bm25', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
        CAST(doc_id AS BIGINT), CAST(score AS DOUBLE), CAST(rnk AS BIGINT)

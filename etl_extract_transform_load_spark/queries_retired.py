@@ -774,4 +774,115 @@ def retired_checks() -> dict:
         "contingency": (retired_contingency, oracle_contingency()),
         "spearman": (retired_spearman, oracle_spearman()),
         "woe_iv": (retired_woe_iv, oracle_woe_iv()),
+        "oov_rate": (retired_oov_rate, _oracle_oov()),
+        "heavy_hitters": (retired_heavy_hitters, ORACLE_HEAVY),
     }
+
+
+# --- retired vocab_tfidf_terms branches ---------------------------------------
+
+
+def retired_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the top-10 vocabulary
+    (scale/vocab.oov_rate)."""
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oov_rate,
+        vocabulary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top10 = (
+        vocabulary(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(10)
+    )
+    return oov_rate(docs, top10).select(
+        F.lit("oov").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("n_tokens").cast("long").alias("n_occurrences"),
+        F.col("n_oov").cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("oov_rate").cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+
+
+def _oracle_oov() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        oracle_vocab_sql,
+    )
+
+    return f"""
+SELECT 'oov' AS part, NULL::VARCHAR AS token,
+       CAST(n_tokens AS BIGINT) AS n_occurrences,
+       CAST(n_oov AS BIGINT) AS doc_freq,
+       CAST(o.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE ROUND(n_oov * 1.0 / n_tokens, 6) END AS DOUBLE)
+           AS tfidf,
+       NULL::BIGINT AS rnk
+FROM (
+    WITH v AS (SELECT token FROM ({oracle_vocab_sql(10)})),
+    tc AS (
+        SELECT doc_id, UNNEST(
+            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(
+                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
+        ) AS token FROM documents
+    ),
+    agg AS (
+        SELECT tc.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tc LEFT JOIN v USING (token)
+        GROUP BY tc.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_tokens, 0) AS n_tokens,
+           COALESCE(agg.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN agg USING (doc_id)
+) o
+"""
+
+
+def retired_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the bounded-memory Misra-Gries
+    sketch-then-verify path (scale/sketches.frequent_tokens)."""
+    from etl_extract_transform_load_spark.scale.sketches import (
+        frequent_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_tokens(docs, threshold_frac=0.005, cache=False).select(
+        F.lit("heavy").alias("part"),
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+
+
+ORACLE_HEAVY = """
+SELECT 'heavy' AS part, token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       NULL::BIGINT AS doc_freq, NULL::BIGINT AS doc_id,
+       NULL::DOUBLE AS tfidf, NULL::BIGINT AS rnk
+FROM (
+    WITH tok AS (
+        SELECT UNNEST(
+            CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(
+                     TRIM(LOWER(COALESCE(text, ''))), '\\s+') END
+        ) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, n
+    HAVING COUNT(*) > 0.005 * n
+) hh
+"""

@@ -1,0 +1,310 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): pick raw-corpus documents that look like a target
+domain by the log-likelihood ratio of hashed n-gram features.
+
+The standard recipe for steering a 100 TB pre-training crawl toward a
+target distribution (quality corpus, domain corpus) without training
+a classifier:
+
+1. **Features** — each document is a bag of hashed unigrams + adjacent
+   bigrams: ``bucket(g) = charfold(g) mod k`` (the repo's portable
+   polynomial fingerprint fold, bit-identical in a SQL twin — see
+   ``scale.vectorize``).
+2. **Fit** — per-bucket counts in the target corpus (t_b, total T)
+   and the raw corpus (r_b, total R); the importance weight of a
+   bucket is the add-one-smoothed log ratio
+
+       lr_b = round(ln( ((t_b + 1) / (T + k))
+                      / ((r_b + 1) / (R + k)) ), 6)
+
+   — a bounded table of exactly k rows, broadcast-sized at any corpus
+   size.
+3. **Score** — a document's importance is the sum of its grams'
+   bucket log-ratios (count-weighted by row multiplicity).  Per-gram
+   terms are 6-dp rounded BEFORE the sum and accumulated as
+   ``DECIMAL(28,6)``, so scores are order-free exact and
+   hash-comparable.
+4. **Resample** — Gumbel-top-k over ``score/temperature`` gives
+   importance sampling WITHOUT replacement in one pass.  The uniform
+   is derived from the portable fingerprint of the doc id, so the
+   draw is deterministic, seedable, and reproducible in the SQL twin
+   — no engine RNG.
+
+Scale shape: fit = two scan-stage explodes + ONE groupBy(feature)
+each, state = k buckets; score = explode + broadcast join against the
+k-row weight table + one groupBy(doc); select = TakeOrdered.  Nothing
+holds vocabulary-sized state; skew is impossible by construction
+(buckets are hash-uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    lower_simple,
+    tokens,
+)
+
+DEFAULT_BUCKETS = 512
+
+
+def _gram_features(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, feature) — one row per unigram/bigram occurrence."""
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(lower_simple(F.col(text_col))).alias("__toks"),
+    )
+    # Spark's sequence(a, b) runs DESCENDING when a > b — guard the
+    # one-token case explicitly
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(element_at(__toks, i), ' ',"
+            " element_at(__toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "__id", F.explode(F.concat("__toks", bigrams)).alias("__gram")
+    )
+    feat = (
+        f"CAST(aggregate(split(__gram, ''), CAST(0 AS BIGINT), "
+        f"(a, ch) -> (a * {FINGERPRINT_BASE} + ascii(ch)) "
+        f"% {FINGERPRINT_MOD}) % {n_buckets} AS INT)"
+    )
+    return grams.select("__id", F.expr(feat).alias("feature"))
+
+
+def dsir_gram_features(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Public face of the gram→bucket explode: ``(__id, feature)`` one
+    row per gram occurrence.  Materialize (checkpoint/persist) and
+    pass to both :func:`dsir_logratios` (as ``raw_features``) and
+    :func:`dsir_scores` (as ``features``) to pay the corpus explode
+    ONCE instead of twice."""
+    return _gram_features(docs, n_buckets, text_col, id_col)
+
+
+def dsir_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    raw_features: DataFrame | None = None,
+) -> DataFrame:
+    """Fit the bucket weight table: ``(feature, t_count, r_count,
+    logratio)`` for every bucket observed in either corpus.
+
+    Add-one smoothing over the k buckets keeps every ratio finite;
+    buckets unseen in both corpora are omitted (their weight,
+    ``ln((R+k)/(T+k))``, never joins a gram).  The result is ≤ k rows
+    — broadcast it into the scoring join."""
+    t = (
+        _gram_features(target, n_buckets, text_col, id_col)
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("t_count"))
+    )
+    rf = (
+        raw_features
+        if raw_features is not None
+        else _gram_features(raw, n_buckets, text_col, id_col)
+    )
+    r = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("r_count"))
+    joined = t.join(r, "feature", "full_outer").select(
+        "feature",
+        F.coalesce("t_count", F.lit(0)).alias("t_count"),
+        F.coalesce("r_count", F.lit(0)).alias("r_count"),
+    )
+    tot = joined.agg(
+        F.sum("t_count").alias("T"), F.sum("r_count").alias("R")
+    )
+    k = float(n_buckets)
+    lr = (
+        (F.col("t_count").cast("double") + 1.0)
+        / (F.col("T").cast("double") + k)
+    ) / (
+        (F.col("r_count").cast("double") + 1.0)
+        / (F.col("R").cast("double") + k)
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        "t_count",
+        "r_count",
+        F.round(F.log(lr), 6).alias("logratio"),
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    logratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document importance: ``(id, n_grams, score)`` where score
+    is the decimal-exact sum of the document's gram log-ratios.
+    Documents with no grams (NULL/empty/whitespace text) drop — they
+    carry no evidence either way."""
+    feats = (
+        features
+        if features is not None
+        else _gram_features(raw, n_buckets, text_col, id_col)
+    )
+    return (
+        feats.join(
+            F.broadcast(logratios.select("feature", "logratio")),
+            "feature",
+        )
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("logratio").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+
+
+def dsir_topk(scores: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic top-``k`` by ``(score DESC, id ASC)`` with a dense
+    1..k rank — the temperature→0 limit of the resampler (TakeOrdered,
+    never a global sort)."""
+    order = [F.desc("score"), F.asc(id_col)]
+    return (
+        scores.orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    )
+
+
+def dsir_gumbel_topk(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance RESAMPLING without replacement — Gumbel-top-k over
+    ``score / temperature`` (the exact one-pass equivalent of
+    sequential sampling ∝ exp(score/T); Vieira 2014).
+
+    The per-document uniform comes from the portable fingerprint fold
+    of ``seed || ':' || id`` instead of an engine RNG, so the draw is
+    deterministic, seed-switchable, and bit-identical in the SQL twin:
+    ``u = (fold + 1) / (MOD + 1) ∈ (0, 1)``, ``g = -ln(-ln(u))``,
+    ``key = round(score/T + g, 6)``.  One scan + TakeOrdered."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    fold = (
+        f"CAST(aggregate(split(concat('{seed}', ':', CAST({id_col} AS "
+        f"STRING)), ''), CAST(0 AS BIGINT), (a, ch) -> (a * "
+        f"{FINGERPRINT_BASE} + ascii(ch)) % {FINGERPRINT_MOD}) AS DOUBLE)"
+    )
+    u = (F.expr(fold) + 1.0) / float(FINGERPRINT_MOD + 1)
+    key = F.round(
+        F.col("score") / float(temperature) + -F.log(-F.log(u)), 6
+    )
+    order = [F.desc("gumbel_key"), F.asc(id_col)]
+    return (
+        scores.withColumn("gumbel_key", key)
+        .orderBy(*order)
+        .limit(int(k))
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    )
+
+
+# --- DuckDB twins -------------------------------------------------------------
+
+
+def _oracle_grams(src_sql: str, n_buckets: int) -> str:
+    """Gram-feature CTE body over ``src_sql`` (must expose doc_id,
+    text) — the char fold seeded with a prepended 0 exactly like
+    ``scale.vectorize.oracle_hashed_tfidf_sql``."""
+    ltoks = """
+    CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+    END"""
+    return f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_split_to_array(gram, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (a, b) -> (a * {FINGERPRINT_BASE} + b) % {FINGERPRINT_MOD})
+             % {n_buckets} AS INT) AS feature
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_concat(
+                   ltoks,
+                   CASE WHEN len(ltoks) >= 2
+                        THEN list_transform(range(1, len(ltoks)),
+                             i -> ltoks[i] || ' ' || ltoks[i + 1])
+                        ELSE CAST([] AS VARCHAR[]) END)) AS gram
+        FROM (SELECT doc_id, {ltoks} AS ltoks FROM ({src_sql}))
+    )"""
+
+
+def oracle_dsir_sql(
+    target_where: str = "lang = 'en'",
+    n_buckets: int = DEFAULT_BUCKETS,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of fit+score: bucket table ``(feature, t_count,
+    r_count, logratio)`` plus per-doc ``(doc_id, n_grams, score)`` as
+    two relations via a UNION tag column ``rel`` ('lr' / 'score')."""
+    tgt = f"SELECT doc_id, text FROM {src} WHERE {target_where}"
+    raw = f"SELECT doc_id, text FROM {src}"
+    k = float(n_buckets)
+    return f"""
+WITH tf_ AS ({_oracle_grams(tgt, n_buckets)}),
+rf_ AS ({_oracle_grams(raw, n_buckets)}),
+tc AS (SELECT feature, COUNT(*) AS t_count FROM tf_ GROUP BY feature),
+rc AS (SELECT feature, COUNT(*) AS r_count FROM rf_ GROUP BY feature),
+jn AS (
+    SELECT COALESCE(tc.feature, rc.feature) AS feature,
+           COALESCE(t_count, 0) AS t_count,
+           COALESCE(r_count, 0) AS r_count
+    FROM tc FULL OUTER JOIN rc ON tc.feature = rc.feature
+),
+tot AS (SELECT SUM(t_count) AS T, SUM(r_count) AS R FROM jn),
+lr AS (
+    SELECT feature, t_count, r_count,
+           ROUND(LN(((CAST(t_count AS DOUBLE) + 1.0)
+                     / (CAST(T AS DOUBLE) + {k}))
+                    / ((CAST(r_count AS DOUBLE) + 1.0)
+                       / (CAST(R AS DOUBLE) + {k}))), 6) AS logratio
+    FROM jn, tot
+),
+sc AS (
+    SELECT rf_.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CAST(logratio AS DECIMAL(28,6))) AS DOUBLE) AS score
+    FROM rf_ JOIN lr USING (feature)
+    GROUP BY rf_.doc_id
+)
+SELECT 'lr' AS rel, CAST(feature AS BIGINT) AS feature,
+       CAST(t_count AS BIGINT) AS t_count,
+       CAST(r_count AS BIGINT) AS r_count, logratio,
+       NULL::BIGINT AS doc_id, NULL::BIGINT AS n_grams,
+       NULL::DOUBLE AS score
+FROM lr
+UNION ALL
+SELECT 'score', NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE,
+       CAST(doc_id AS BIGINT), CAST(n_grams AS BIGINT), score
+FROM sc
+"""

@@ -1,0 +1,260 @@
+"""DSIR importance resampling (scale/dsir.py).
+
+Two independent checks, per the house model-tier convention:
+
+1. a pure-Python sequential reference (dict counts, math.log) — the
+   hash gate only proves Spark ≡ DuckDB, and a bug both twins share
+   stays invisible to it (the r7 KN lesson);
+2. strict oracle parity for the Gumbel resampler (the fit/score pair
+   is hash-verified through the registered ``vocab_tfidf_terms``
+   'dsir' branch).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.dsir import (
+    DEFAULT_BUCKETS,
+    dsir_gram_features,
+    dsir_gumbel_topk,
+    dsir_logratios,
+    dsir_scores,
+    dsir_topk,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+)
+
+SF = "/root/testdata/sf0.01"
+
+TARGET = [
+    (1, "the model trains on clean text"),
+    (2, "clean text makes clean models"),
+]
+RAW = [
+    (10, "the model trains on clean text"),
+    (11, "buy cheap pills now buy now"),
+    (12, "clean text"),
+    (13, "   "),
+    (14, None),
+    (15, "single"),
+]
+
+
+def _fold(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+    return h
+
+
+def _grams(text):
+    if text is None:
+        return []
+    toks = text.strip().lower().split()
+    if not toks:
+        return []
+    return toks + [
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    ]
+
+
+def _round6(x: float) -> float:
+    # HALF_UP at 6 dp like both engines' round of the same binary64
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _reference(k=DEFAULT_BUCKETS):
+    tc, rc = {}, {}
+    for _, t in TARGET:
+        for g in _grams(t):
+            tc[_fold(g) % k] = tc.get(_fold(g) % k, 0) + 1
+    for _, t in RAW:
+        for g in _grams(t):
+            rc[_fold(g) % k] = rc.get(_fold(g) % k, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    lr = {
+        b: _round6(
+            math.log(
+                ((tc.get(b, 0) + 1.0) / (T + k))
+                / ((rc.get(b, 0) + 1.0) / (R + k))
+            )
+        )
+        for b in set(tc) | set(rc)
+    }
+    scores = {}
+    for i, t in RAW:
+        gs = _grams(t)
+        if gs:
+            scores[i] = round(sum(lr[_fold(g) % k] for g in gs), 6)
+    return tc, rc, T, R, lr, scores
+
+
+def test_dsir_against_sequential_reference(spark):
+    tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
+    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    tc, rc, T, R, lr_ref, score_ref = _reference()
+
+    lr = dsir_logratios(tdf, rdf)
+    got = {r.feature: r for r in lr.collect()}
+    assert set(got) == set(lr_ref)
+    for b, want in lr_ref.items():
+        assert got[b].logratio == want
+        assert got[b].t_count == tc.get(b, 0)
+        assert got[b].r_count == rc.get(b, 0)
+
+    sc = {r.doc_id: r.score for r in dsir_scores(rdf, lr).collect()}
+    assert set(sc) == set(score_ref)  # no-gram docs 13/14 drop
+    for i, want in score_ref.items():
+        assert abs(sc[i] - want) < 1e-9
+
+    # target-looking docs outscore spam: doc 10 ≡ a target doc
+    assert sc[10] > sc[11]
+
+    # shared-features path is identical
+    feats = dsir_gram_features(rdf)
+    lr2 = dsir_logratios(tdf, rdf, raw_features=feats)
+    sc2 = {
+        r.doc_id: r.score
+        for r in dsir_scores(rdf, lr2, features=feats).collect()
+    }
+    assert sc2 == sc
+
+
+def test_dsir_topk_and_gumbel_determinism(spark):
+    tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
+    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    scores = dsir_scores(rdf, dsir_logratios(tdf, rdf))
+    top = dsir_topk(scores, 2).collect()
+    assert [r.rnk for r in top] == [1, 2]
+    assert top[0].score >= top[1].score
+
+    a = [(r.doc_id, r.gumbel_key) for r in dsir_gumbel_topk(scores, 3).collect()]
+    b = [(r.doc_id, r.gumbel_key) for r in dsir_gumbel_topk(scores, 3).collect()]
+    assert a == b  # deterministic (hash-derived uniforms, no RNG)
+    c = [
+        (r.doc_id, r.gumbel_key)
+        for r in dsir_gumbel_topk(scores, 3, seed="other").collect()
+    ]
+    assert {x[0] for x in c} <= {i for i, t in RAW if _grams(t)}
+    assert a != c or len(a) <= 1  # seed switches the draw
+
+    # sequential Gumbel reference: key = score/T - ln(-ln(u)),
+    # u = (fold('dsir:' + id) + 1) / (MOD + 1), 6-dp rounded
+    _, _, _, _, _, score_ref = _reference()
+    keys = {
+        i: _round6(
+            s / 1.0
+            - math.log(
+                -math.log((_fold(f"dsir:{i}") + 1.0) / (FINGERPRINT_MOD + 1))
+            )
+        )
+        for i, s in score_ref.items()
+    }
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(i, k) for i, k in want] == a
+
+
+def test_dsir_gumbel_matches_oracle(spark):
+    """Strict oracle parity for the resampler itself — the portable
+    hash-uniform makes the Gumbel keys bit-identical in DuckDB."""
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    feats = dsir_gram_features(docs).localCheckpoint()
+    lr = dsir_logratios(
+        docs.filter(F.col("lang") == "en"), docs, raw_features=feats
+    ).localCheckpoint()
+    scores = dsir_scores(docs, lr, features=feats)
+    got = dsir_gumbel_topk(scores, 25).select(
+        "doc_id", "n_grams", "score", "gumbel_key", "rnk"
+    )
+    k = float(DEFAULT_BUCKETS)
+    sql = f"""
+WITH tf_ AS (
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_split_to_array(gram, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (a, b) -> (a * {FINGERPRINT_BASE} + b) % {FINGERPRINT_MOD})
+             % {DEFAULT_BUCKETS} AS INT) AS feature
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_concat(
+                   ltoks,
+                   CASE WHEN len(ltoks) >= 2
+                        THEN list_transform(range(1, len(ltoks)),
+                             i -> ltoks[i] || ' ' || ltoks[i + 1])
+                        ELSE CAST([] AS VARCHAR[]) END)) AS gram
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(
+                            TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+                   END AS ltoks
+            FROM documents
+        )
+    )
+),
+tgt AS (
+    SELECT tf_.* FROM tf_
+    JOIN documents USING (doc_id) WHERE lang = 'en'
+),
+tc AS (SELECT feature, COUNT(*) AS t_count FROM tgt GROUP BY feature),
+rc AS (SELECT feature, COUNT(*) AS r_count FROM tf_ GROUP BY feature),
+jn AS (
+    SELECT COALESCE(tc.feature, rc.feature) AS feature,
+           COALESCE(t_count, 0) AS t_count,
+           COALESCE(r_count, 0) AS r_count
+    FROM tc FULL OUTER JOIN rc ON tc.feature = rc.feature
+),
+tot AS (SELECT SUM(t_count) AS T, SUM(r_count) AS R FROM jn),
+lr AS (
+    SELECT feature,
+           ROUND(LN(((CAST(t_count AS DOUBLE) + 1.0)
+                     / (CAST(T AS DOUBLE) + {k}))
+                    / ((CAST(r_count AS DOUBLE) + 1.0)
+                       / (CAST(R AS DOUBLE) + {k}))), 6) AS logratio
+    FROM jn, tot
+),
+sc AS (
+    SELECT tf_.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CAST(logratio AS DECIMAL(28,6))) AS DOUBLE) AS score
+    FROM tf_ JOIN lr USING (feature)
+    GROUP BY tf_.doc_id
+),
+gk AS (
+    SELECT doc_id, n_grams, score,
+           ROUND(score / 1.0 + -LN(-LN(
+               (CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_split_to_array(
+                           'dsir:' || CAST(doc_id AS VARCHAR), ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+                   (a, b) -> (a * {FINGERPRINT_BASE} + b)
+                             % {FINGERPRINT_MOD}) AS DOUBLE) + 1.0)
+               / {float(FINGERPRINT_MOD + 1)})), 6) AS gumbel_key
+    FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       score, gumbel_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+            AS BIGINT) AS rnk
+FROM gk
+QUALIFY rnk <= 25
+"""
+    assert_matches_oracle(got, sql, SF)

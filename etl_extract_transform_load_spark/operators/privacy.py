@@ -1,0 +1,115 @@
+"""k-anonymity / l-diversity reporting and enforcement.
+
+The standard release-safety check for any dataset that leaves the
+curation pipeline (Sweeney 2002; Machanavajjhala et al. 2006): a row
+is k-anonymous when at least ``k`` rows share its quasi-identifier
+combination, and a group is l-diverse when its sensitive attribute
+takes at least ``l`` distinct values.  The reference pipeline scrubs
+PII lexically (``scale.text.redact_pii``); this is the complementary
+STRUCTURAL check — a release can contain zero emails and still
+re-identify people through rare (zip, birthdate, gender)-style
+combinations.
+
+All three faces are single-aggregation relational plans:
+
+- :func:`k_anonymity_report` — one row per quasi-identifier group
+  with its size and sensitive-value diversity (ONE groupBy shuffle;
+  state = number of distinct combinations);
+- :func:`k_anonymity_summary` — the release decision row (fold of
+  the report: bounded, one more 1-row aggregate);
+- :func:`suppress_small_groups` — the enforcement: drop every row
+  whose group is smaller than ``k`` (report join-back; at 100 TB
+  this is a broadcast of the VIOLATING groups only, which shrink as
+  k-anonymity improves).
+
+NULL quasi-identifier values form their own groups (NULL source is a
+re-identifiable fact like any other); NULL sensitive values do not
+count toward diversity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per quasi-identifier group: ``(*quasi_cols, n, l_distinct,
+    violates_k)`` — group size, distinct non-NULL sensitive values,
+    and the k-violation flag."""
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("quasi_cols must be non-empty")
+    if sensitive_col in quasi:
+        raise ValueError("sensitive_col cannot be a quasi-identifier")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return df.groupBy(*[F.col(f"`{c}`") for c in quasi]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(f"`{sensitive_col}`")).alias("l_distinct"),
+    ).withColumn("violates_k", (F.col("n") < k).cast("int"))
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """The release-decision row: ``(n_rows, n_groups, min_group_size,
+    k_violating_groups, suppressed_rows, l_violating_groups)`` —
+    ``suppressed_rows`` is exactly what :func:`suppress_small_groups`
+    would remove."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    rep = k_anonymity_report(df, quasi_cols, sensitive_col, k)
+    return rep.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        F.sum("violates_k").alias("k_violating_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias(
+            "suppressed_rows"
+        ),
+        F.sum((F.col("l_distinct") < l).cast("int")).alias(
+            "l_violating_groups"
+        ),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Drop every row whose quasi-identifier group has fewer than
+    ``k`` rows — the minimal suppression that makes the remainder
+    k-anonymous.  NULL-safe on the group keys (a NULL group is
+    suppressed like any other small group).
+
+    Plan: aggregate the violating groups (small by definition — they
+    have < k rows each) and broadcast anti-join them back."""
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    violating = (
+        df.groupBy(*[F.col(f"`{c}`") for c in quasi])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") < k)
+        .drop("__n")
+    )
+    cond = None
+    for c in quasi:
+        eq = df[f"`{c}`"].eqNullSafe(violating[f"`{c}`"])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(violating), on=cond, how="left_anti")

@@ -2805,8 +2805,55 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.lit(None).cast("double").alias("quality"),
     )
+    # fifth branch (r8): k-anonymity / l-diversity release check over
+    # the event log (operators/privacy.py) — the STRUCTURAL privacy
+    # companion to the lexical PII scrub. Quasi-identifiers =
+    # (event_type, day); sensitive = user_id. Per-group rows: type
+    # rides lang, day rides source, n rides n_emails, l_distinct
+    # rides n_ips, violates_k rides n_phones; one summary row
+    # ('kanon_sum') folds the release decision.
+    from etl_extract_transform_load_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_summary,
+    )
+
+    ev_q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    kanon = k_anonymity_report(
+        ev_q, ["event_type", "day"], "user_id", k=5
+    ).select(
+        F.lit("kanon").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.col("n").alias("n_emails"),
+        F.col("l_distinct").alias("n_ips"),
+        F.col("violates_k").cast("long").alias("n_phones"),
+        F.col("event_type").alias("lang"),
+        F.col("day").alias("source"),
+        F.lit(None).cast("double").alias("quality"),
+    )
+    kanon_sum = k_anonymity_summary(
+        ev_q, ["event_type", "day"], "user_id", k=5, l=2
+    ).select(
+        F.lit("kanon_sum").alias("part"),
+        F.col("suppressed_rows").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.col("n_rows").alias("n_emails"),
+        F.col("n_groups").alias("n_ips"),
+        F.col("k_violating_groups").cast("long").alias("n_phones"),
+        F.col("min_group_size").cast("string").alias("lang"),
+        F.col("l_violating_groups").cast("string").alias("source"),
+        F.lit(None).cast("double").alias("quality"),
+    )
     return (
-        pii.unionByName(cur).unionByName(boiler).unionByName(quota)
+        pii.unionByName(cur)
+        .unionByName(boiler)
+        .unionByName(quota)
+        .unionByName(kanon)
+        .unionByName(kanon_sum)
     )
 
 
@@ -2885,6 +2932,39 @@ FROM (
            ) AS rk
     FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rk <= 100
+UNION ALL
+SELECT 'kanon', NULL::BIGINT, NULL::VARCHAR,
+       n, l_distinct, CAST(violates_k AS BIGINT),
+       event_type, day, NULL::DOUBLE
+FROM (
+    SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS l_distinct,
+           CAST(COUNT(*) < 5 AS INT) AS violates_k
+    FROM events
+    GROUP BY 1, 2
+)
+UNION ALL
+SELECT 'kanon_sum', suppressed_rows, NULL::VARCHAR,
+       n_rows, n_groups, k_violating_groups,
+       CAST(min_group_size AS VARCHAR),
+       CAST(l_violating_groups AS VARCHAR), NULL::DOUBLE
+FROM (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_violating_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS suppressed_rows,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS l_violating_groups
+    FROM (
+        SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS l_distinct
+        FROM events
+        GROUP BY event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')
+    )
+)
 """
 
 

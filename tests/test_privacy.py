@@ -1,0 +1,102 @@
+"""k-anonymity / l-diversity (operators/privacy.py): report math,
+summary fold, suppression enforcement, NULL-group semantics, and
+strict oracle parity on the events log at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.operators.privacy import (
+    k_anonymity_report,
+    k_anonymity_summary,
+    suppress_small_groups,
+)
+
+SF = "/root/testdata/sf0.01"
+
+ROWS = [
+    # (zip, gender, disease)
+    ("941", "f", "flu"),
+    ("941", "f", "flu"),
+    ("941", "f", "cold"),
+    ("941", "m", "flu"),
+    ("902", None, "zeta"),
+    ("902", None, "zeta"),
+    (None, "f", "rare"),
+]
+SCHEMA = "zip string, gender string, disease string"
+
+
+def test_report_and_summary(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = {
+        (r.zip, r.gender): r
+        for r in k_anonymity_report(df, ["zip", "gender"], "disease", k=3).collect()
+    }
+    assert rep[("941", "f")].n == 3 and rep[("941", "f")].l_distinct == 2
+    assert rep[("941", "f")].violates_k == 0
+    assert rep[("941", "m")].n == 1 and rep[("941", "m")].violates_k == 1
+    assert rep[("902", None)].n == 2 and rep[("902", None)].l_distinct == 1
+    assert rep[(None, "f")].n == 1
+
+    (s,) = k_anonymity_summary(df, ["zip", "gender"], "disease", k=3, l=2).collect()
+    assert s.n_rows == 7 and s.n_groups == 4
+    assert s.min_group_size == 1
+    assert s.k_violating_groups == 3  # 941/m, 902/NULL, NULL/f
+    assert s.suppressed_rows == 4
+    assert s.l_violating_groups == 3  # 902/NULL (l=1), both singletons
+
+
+def test_suppress_small_groups_null_safe(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    kept = suppress_small_groups(df, ["zip", "gender"], k=3)
+    got = {(r.zip, r.gender) for r in kept.collect()}
+    assert got == {("941", "f")}
+    assert kept.count() == 3
+    # k=2 keeps the NULL-keyed pair group too (NULL-safe equality)
+    kept2 = suppress_small_groups(df, ["zip", "gender"], k=2)
+    assert {(r.zip, r.gender) for r in kept2.collect()} == {
+        ("941", "f"),
+        ("902", None),
+    }
+    # suppression result IS k-anonymous: re-report shows no violations
+    rere = k_anonymity_report(kept, ["zip", "gender"], "disease", k=3)
+    assert rere.filter(F.col("violates_k") == 1).count() == 0
+
+
+def test_contract_validation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], "disease")
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["zip"], "zip")
+    with pytest.raises(ValueError):
+        k_anonymity_summary(df, ["zip"], "disease", k=0)
+    with pytest.raises(ValueError):
+        suppress_small_groups(df, [], 3)
+
+
+def test_kanon_matches_oracle_on_events(spark):
+    """Strict oracle parity of report+summary over the event log
+    (quasi = event_type × day, sensitive = user_id)."""
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    events = load_table(spark, SF, "events").select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    rep = k_anonymity_report(events, ["event_type", "day"], "user_id", k=5)
+    sql = """
+SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS l_distinct,
+       CAST(COUNT(*) < 5 AS INT) AS violates_k
+FROM events
+GROUP BY 1, 2
+"""
+    assert_matches_oracle(rep, sql, SF)

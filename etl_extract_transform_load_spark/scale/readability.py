@@ -1,0 +1,149 @@
+"""Flesch readability scoring — the classic text-difficulty signal
+(Flesch 1948; Kincaid et al. 1975) used by curation stacks alongside
+the C4/Gopher rule batteries: too-hard and too-easy text both predict
+low training value for general corpora.
+
+Heuristic syllable counter (the standard dictionary-free
+approximation): a syllable is a maximal ``[aeiouy]+`` vowel group,
+minus one for a silent trailing ``e`` (``-le`` endings keep theirs:
+'table' has 2), floored at 1 per word.  Word = whitespace token with
+letters; sentence = maximal ``[.!?]+`` run, floored at 1.
+
+    FRE   = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+Engine-portable by construction: counts are ``regexp_count`` over the
+same patterns both engines support; per-word syllable adjustment runs
+in a higher-order ``aggregate`` over the token array (scan stage, no
+explode shuffle); the two ratios are exact-integer divisions in
+double, and every constant is spelled as the same literal in the SQL
+twin (decimal literals promote to the identical binary64 once a
+double operand is present — the ratio always leads the product).
+
+Scale shape: pure scan-stage expressions — zero shuffles, zero UDFs,
+whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
+
+#: maximal vowel group (syllable nucleus approximation)
+_VOWEL_RUN = "[aeiouy]+"
+#: silent trailing e: consonant-e ending, but NOT consonant-l-e
+#: ('table', 'little' keep the -le syllable)
+_SILENT_E = "[b-df-km-z]e$"
+
+
+def word_syllables(word: Column) -> Column:
+    """Heuristic syllable count of one lowercase word (≥ 1 for any
+    word containing a letter; 0 for vowel-less tokens like '123')."""
+    runs = F.regexp_count(word, F.lit(_VOWEL_RUN))
+    silent = F.regexp_count(word, F.lit(_SILENT_E))
+    return F.when(runs > silent, runs - silent).otherwise(
+        F.least(runs, F.lit(1))
+    )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ``(id, n_words, n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade)``; documents with no words emit
+    NULL scores (nothing to read).  6-dp rounded."""
+    toks = tokens(lower_simple(F.coalesce(F.col(text_col), F.lit(""))))
+    # per-word syllable fold in one scan-stage higher-order aggregate:
+    # acc + syllables(word) — stays in codegen, no explode
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + word_syllables(w).cast("long"),
+    )
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit("[.!?]+")
+        ),
+        F.lit(1),
+    ).cast("long")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        wps.alias("__wps"),
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                206.835 - F.col("__wps") * 1.015 - spw * 84.6, 6
+            ),
+        ).alias("flesch_reading_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("__wps") * 0.39 + spw * 11.8 - 15.59, 6
+            ),
+        ).alias("fk_grade"),
+    )
+
+
+def oracle_readability_sql(src: str = "documents") -> str:
+    """DuckDB twin — identical patterns, identical expression order
+    (the double ratio LEADS every product so decimal literals promote
+    to the same binary64)."""
+    ltoks = """
+    CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+    END"""
+    return f"""
+WITH base AS (
+    SELECT doc_id, {ltoks} AS ltoks,
+           GREATEST(len(regexp_extract_all(COALESCE(text, ''),
+                                           '[.!?]+')), 1) AS n_sent
+    FROM {src}
+),
+cnt AS (
+    SELECT doc_id,
+           CAST(len(ltoks) AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(ltoks, w ->
+               CASE WHEN len(regexp_extract_all(w, '[aeiouy]+'))
+                         > len(regexp_extract_all(w, '[b-df-km-z]e$'))
+                    THEN len(regexp_extract_all(w, '[aeiouy]+'))
+                         - len(regexp_extract_all(w, '[b-df-km-z]e$'))
+                    ELSE LEAST(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+               END)) AS BIGINT) AS n_syllables
+    FROM base
+)
+SELECT doc_id, n_words, n_sentences,
+       COALESCE(n_syllables, 0) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+           ROUND(206.835
+                 - (CAST(n_words AS DOUBLE)
+                    / CAST(n_sentences AS DOUBLE)) * 1.015
+                 - (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE)) * 84.6, 6)
+       END AS flesch_reading_ease,
+       CASE WHEN n_words > 0 THEN
+           ROUND((CAST(n_words AS DOUBLE)
+                  / CAST(n_sentences AS DOUBLE)) * 0.39
+                 + (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE)) * 11.8 - 15.59, 6)
+       END AS fk_grade
+FROM cnt
+"""

@@ -1,0 +1,75 @@
+"""Flesch readability (scale/readability.py): sequential reference on
+pinned texts + strict oracle parity over documents at sf0.01."""
+
+from __future__ import annotations
+
+import re
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.readability import (
+    oracle_readability_sql,
+    readability_scores,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ref_syllables(word: str) -> int:
+    runs = len(re.findall(r"[aeiouy]+", word))
+    silent = len(re.findall(r"[b-df-km-z]e$", word))
+    return runs - silent if runs > silent else min(runs, 1)
+
+
+def _ref(text):
+    toks = (text or "").strip().lower().split()
+    n_words = len(toks)
+    n_sent = max(len(re.findall(r"[.!?]+", text or "")), 1)
+    syll = sum(_ref_syllables(w) for w in toks)
+    if n_words == 0:
+        return n_words, n_sent, syll, None, None
+    wps, spw = n_words / n_sent, syll / n_words
+    fre = round(206.835 - wps * 1.015 - spw * 84.6, 6)
+    fk = round(wps * 0.39 + spw * 11.8 - 15.59, 6)
+    return n_words, n_sent, syll, fre, fk
+
+
+TEXTS = [
+    (1, "The cat sat on the mat."),
+    (2, "Reading ease formulas approximate comprehension difficulty. "
+        "Shorter sentences score higher! Do they?"),
+    (3, "table little bottle"),          # -le endings keep a syllable
+    (4, "be me she"),                    # silent-e floor: 1 each
+    (5, "123 456"),                      # vowel-less tokens: 0 syllables
+    (6, ""),                             # no words -> NULL scores
+    (7, None),
+    (8, "one"),                          # no terminator -> 1 sentence
+]
+
+
+def test_readability_against_sequential_reference(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    assert len(got) == len(TEXTS)
+    for i, t in TEXTS:
+        nw, ns, sy, fre, fk = _ref(t)
+        r = got[i]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (nw, ns, sy), i
+        if fre is None:
+            assert r.flesch_reading_ease is None and r.fk_grade is None
+        else:
+            assert abs(r.flesch_reading_ease - fre) < 1e-6, (i, r, fre)
+            assert abs(r.fk_grade - fk) < 1e-6
+    # syllable spot checks
+    assert got[3].n_syllables == 6  # ta-ble lit-tle bot-tle
+    assert got[4].n_syllables == 3
+    assert got[5].n_syllables == 0
+
+
+def test_readability_matches_oracle(spark):
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    assert_matches_oracle(
+        readability_scores(docs), oracle_readability_sql(), SF
+    )

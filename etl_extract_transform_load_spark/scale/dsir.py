@@ -123,10 +123,19 @@ def dsir_logratios(
     r = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("r_count"))
     joined = t.join(r, "feature", "full_outer").select(
         "feature",
-        F.coalesce("t_count", F.lit(0)).alias("t_count"),
-        F.coalesce("r_count", F.lit(0)).alias("r_count"),
+        F.coalesce("t_count", F.lit(0)).cast("long").alias("t_count"),
+        F.coalesce("r_count", F.lit(0)).cast("long").alias("r_count"),
     )
-    tot = joined.agg(
+    return dsir_logratios_from_counts(joined, n_buckets)
+
+
+def dsir_logratios_from_counts(
+    counts: DataFrame, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Weights from a ``(feature, t_count, r_count)`` count table —
+    the pure-projection face shared by the batch fit and the standing
+    incremental state (:func:`dsir_counts_update`)."""
+    tot = counts.agg(
         F.sum("t_count").alias("T"), F.sum("r_count").alias("R")
     )
     k = float(n_buckets)
@@ -137,11 +146,56 @@ def dsir_logratios(
         (F.col("r_count").cast("double") + 1.0)
         / (F.col("R").cast("double") + k)
     )
-    return joined.crossJoin(F.broadcast(tot)).select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "feature",
         "t_count",
         "r_count",
         F.round(F.log(lr), 6).alias("logratio"),
+    )
+
+
+def dsir_counts_update(
+    state: DataFrame | None,
+    batch: DataFrame,
+    side: str = "raw",
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a document micro-batch into the STANDING bucket-count
+    state ``(feature, t_count, r_count)`` — the continuous-ingest face
+    of the DSIR fit, for ``foreachBatch`` pipelines (persist the
+    returned table between batches, the ``minhash_index_upsert``
+    convention; pass ``state=None`` on the first batch).
+
+    ``side`` names which corpus the batch extends ('raw' or
+    'target').  The fold is a per-feature integer SUM — associative
+    and commutative — so ANY split of either corpus into batches, in
+    any order, converges to the batch fit's counts exactly
+    (pytest-pinned on randomized splits), and
+    :func:`dsir_logratios_from_counts` over the state reproduces
+    :func:`dsir_logratios` bit-for-bit.  Work per batch is
+    O(batch grams) + a join against ≤ k standing rows."""
+    if side not in ("raw", "target"):
+        raise ValueError("side must be 'raw' or 'target'")
+    cnt_col = "r_count" if side == "raw" else "t_count"
+    other = "t_count" if side == "raw" else "r_count"
+    delta = (
+        _gram_features(batch, n_buckets, text_col, id_col)
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).cast("long").alias(cnt_col))
+        .withColumn(other, F.lit(0).cast("long"))
+    )
+    if state is None:
+        return delta.select("feature", "t_count", "r_count")
+    return (
+        state.select("feature", "t_count", "r_count")
+        .unionByName(delta.select("feature", "t_count", "r_count"))
+        .groupBy("feature")
+        .agg(
+            F.sum("t_count").cast("long").alias("t_count"),
+            F.sum("r_count").cast("long").alias("r_count"),
+        )
     )
 
 

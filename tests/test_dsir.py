@@ -258,3 +258,117 @@ FROM gk
 QUALIFY rnk <= 25
 """
     assert_matches_oracle(got, sql, SF)
+
+
+def test_dsir_incremental_counts_equal_rebuild(spark):
+    """Fold both corpora in as randomized micro-batches (different
+    splits, interleaved sides) — the standing count state must equal
+    the one-shot fit exactly, and logratios derived from it must be
+    bit-identical to dsir_logratios."""
+    import random
+
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_counts_update,
+        dsir_logratios_from_counts,
+    )
+
+    tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
+    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    want = {
+        r.feature: (r.t_count, r.r_count, r.logratio)
+        for r in dsir_logratios(tdf, rdf).collect()
+    }
+
+    rng = random.Random(11)
+    for trial in range(3):
+        batches = [("target", [row]) for row in TARGET] + [
+            ("raw", [row]) for row in RAW
+        ]
+        rng.shuffle(batches)
+        # merge a random prefix pairwise so batch sizes vary
+        merged = []
+        i = 0
+        while i < len(batches):
+            if i + 1 < len(batches) and batches[i][0] == batches[i + 1][0] and rng.random() < 0.5:
+                merged.append(
+                    (batches[i][0], batches[i][1] + batches[i + 1][1])
+                )
+                i += 2
+            else:
+                merged.append(batches[i])
+                i += 1
+        state = None
+        for side, rows in merged:
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            state = dsir_counts_update(state, bdf, side=side)
+            state = state.localCheckpoint()  # the persisted standing table
+        got = {
+            r.feature: (r.t_count, r.r_count, r.logratio)
+            for r in dsir_logratios_from_counts(state).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_dsir_streaming_fold_real_microbatches(spark, tmp_path):
+    """Real foreachBatch execution: raw documents arrive as a file
+    stream, each micro-batch folds into the standing count state; the
+    drained state + a one-shot target fold must reproduce the batch
+    fit and scores exactly."""
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_counts_update,
+        dsir_logratios_from_counts,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    rdf.repartition(3).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+    ver = {"v": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        prev = (
+            spark.read.parquet(f"{state_dir}/v{ver['v']}")
+            if ver["v"] >= 0
+            else None
+        )
+        dsir_counts_update(prev, batch, side="raw").write.parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+        ver["v"] = batch_id
+
+    stream = file_stream_source(
+        spark, src, schema=rdf.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(f"{state_dir}/v{ver['v']}")
+    state = dsir_counts_update(state, tdf, side="target")
+    got = {
+        r.feature: (r.t_count, r.r_count, r.logratio)
+        for r in dsir_logratios_from_counts(state).collect()
+    }
+    want = {
+        r.feature: (r.t_count, r.r_count, r.logratio)
+        for r in dsir_logratios(tdf, rdf).collect()
+    }
+    assert got == want
+    # scores off the standing-state weights ≡ scores off the batch fit
+    lr_inc = dsir_logratios_from_counts(state)
+    s_inc = {r.doc_id: r.score for r in dsir_scores(rdf, lr_inc).collect()}
+    s_fit = {
+        r.doc_id: r.score
+        for r in dsir_scores(rdf, dsir_logratios(tdf, rdf)).collect()
+    }
+    assert s_inc == s_fit

@@ -5,8 +5,9 @@ the composed pipeline a user of the reference ETL would run here:
     read → quality/language signals → C4 line cleaning →
     LM-perplexity scoring → quality gate → exact dedup →
     duplicated-span flagging → MinHash near-dup dedup →
+    DSIR target-domain selection → readability report →
     train/val/test split → context-window chunking →
-    manifest-verified parquet write
+    k-anonymity release check → manifest-verified parquet write
 
 Every stage is an existing verified operator; this script is the
 composition, runnable against any testdata SF:
@@ -57,7 +58,7 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
-    print(f"[1/9] read              {n0:>8} docs   ({sf_dir})")
+    print(f"[1/12] read             {n0:>8} docs   ({sf_dir})")
 
     # --- signals: quality score, language, entropy ---------------------
     signals = text_stats(docs).join(char_entropy(docs), "doc_id")
@@ -90,7 +91,7 @@ def main() -> None:
         & (F.col("ppx").isNull() | (F.col("ppx") <= ppx_cut))
     )
     n_gate = gated.count()
-    print(f"[2/9] quality gate      {n_gate:>8} kept   ({n0 - n_gate} dropped)")
+    print(f"[2/12] quality gate     {n_gate:>8} kept   ({n0 - n_gate} dropped)")
 
     # --- exact dedup (md5 clusters, min-id survivor) --------------------
     keep_exact = exact_dup_clusters(gated).select(
@@ -98,7 +99,7 @@ def main() -> None:
     )
     exact = gated.join(keep_exact, "doc_id")
     n_exact = exact.count()
-    print(f"[3/9] exact dedup       {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
+    print(f"[3/12] exact dedup      {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
 
     # --- duplicated-substring spans (Lee-et-al span dedup): flag docs
     # whose duplicated coverage exceeds half their tokens — boilerplate
@@ -123,35 +124,91 @@ def main() -> None:
         .drop("dup_tokens", "__nt")
     )
     n_span = despanned.count()
-    print(f"[4/9] span dedup        {n_span:>8} kept   ({n_exact - n_span} dropped)")
+    print(f"[4/12] span dedup       {n_span:>8} kept   ({n_exact - n_span} dropped)")
 
     # --- near-dup dedup (MinHash LSH pairs → component survivors) -------
     pairs = minhash_lsh_pairs(despanned, threshold=0.5, cache=False)
     near = dedup_survivors(despanned, pairs)
     n_near = near.count()
-    print(f"[5/9] near-dup dedup    {n_near:>8} kept   ({n_span - n_near} dropped)")
+    print(f"[5/12] near-dup dedup   {n_near:>8} kept   ({n_span - n_near} dropped)")
+
+    # --- DSIR target-domain selection: importance-score every survivor
+    # against the lang='en' slice and Gumbel-resample 90% without
+    # replacement (deterministic — hash uniforms, no RNG) ----------------
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_gram_features,
+        dsir_gumbel_topk,
+        dsir_logratios,
+        dsir_scores,
+    )
+
+    feats = dsir_gram_features(near).localCheckpoint()
+    weights = dsir_logratios(
+        near.filter(F.col("lang") == "en"), near, raw_features=feats
+    )
+    scores = dsir_scores(near, weights, features=feats)
+    n_keep = max(int(n_near * 0.9), 1)
+    picked = dsir_gumbel_topk(scores, n_keep).select("doc_id")
+    selected = near.join(picked, "doc_id")
+    n_sel = selected.count()
+    print(f"[6/12] DSIR selection   {n_sel:>8} kept   ({n_near - n_sel} resampled out)")
+
+    # --- readability report (Flesch) — a report, not a gate: synthetic
+    # corpora score oddly, but the distribution belongs in the funnel ----
+    from etl_extract_transform_load_spark.scale.readability import (
+        readability_scores,
+    )
+
+    fre = (
+        readability_scores(selected)
+        .agg(
+            F.round(F.avg("flesch_reading_ease"), 2).alias("fre"),
+            F.round(F.avg("fk_grade"), 2).alias("grade"),
+        )
+        .collect()[0]
+    )
+    print(f"[7/12] readability      mean FRE {fre['fre']}, mean FK grade {fre['grade']}")
 
     # --- deterministic split --------------------------------------------
-    split = hash_split(near, {"train": 0.9, "val": 0.05, "test": 0.05})
+    split = hash_split(selected, {"train": 0.9, "val": 0.05, "test": 0.05})
     by_split = {r["split"]: r["n"] for r in
                 split.groupBy("split").agg(F.count("*").alias("n")).collect()}
-    print(f"[6/9] split             {by_split}")
+    print(f"[8/12] split            {by_split}")
 
     # --- context-window chunking ----------------------------------------
     chunks = chunk_documents(split, max_tokens=64).join(
-        split.select("doc_id", "split"), "doc_id"
+        split.select("doc_id", "split", "source"), "doc_id"
     )
     n_chunks = chunks.count()
-    print(f"[7/9] chunking          {n_chunks:>8} chunks of <=64 tokens")
+    print(f"[9/12] chunking         {n_chunks:>8} chunks of <=64 tokens")
+
+    # --- k-anonymity release check: no (split, source) group in the
+    # release should be small enough to single out its documents --------
+    from etl_extract_transform_load_spark.operators.privacy import (
+        k_anonymity_summary,
+        suppress_small_groups,
+    )
+
+    (ksum,) = k_anonymity_summary(
+        chunks, ["split", "source"], "doc_id", k=5, l=2
+    ).collect()
+    released = suppress_small_groups(chunks, ["split", "source"], k=5)
+    n_rel = released.count()
+    print(
+        f"[10/12] k-anon release  {n_rel:>8} rows   "
+        f"(min group {ksum['min_group_size']}, "
+        f"{ksum['k_violating_groups']} groups / "
+        f"{ksum['suppressed_rows']} rows suppressed)"
+    )
 
     # --- manifest-verified write -----------------------------------------
     shutil.rmtree(out_dir, ignore_errors=True)
-    write_with_manifest(chunks, out_dir, partition_by=["split"])
-    print(f"[8/9] wrote             {out_dir} (partitioned by split)")
+    write_with_manifest(released, out_dir, partition_by=["split"])
+    print(f"[11/12] wrote           {out_dir} (partitioned by split)")
 
     back = spark.read.parquet(out_dir)
     verify_against_manifest(back, read_manifest(spark, out_dir))
-    print(f"[9/9] manifest verified {back.count():>8} rows round-tripped")
+    print(f"[12/12] manifest verified {back.count():>7} rows round-tripped")
 
 
 if __name__ == "__main__":

@@ -2667,9 +2667,41 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(None).cast("long").alias("n_kept"),
     )
-    return (
-        strat.unionByName(mix).unionByName(split).unionByName(weighted)
+    # fifth branch (r8): token-budget mixture plan (scale/sampling.
+    # token_budget_plan) — the LLaMA/Pile-style "rates and epochs per
+    # domain at budget B" recipe table; weights cover four named
+    # domains (src0 repeats, the others downsample or zero out).
+    # domain rides source, tokens ride n_rows, target rides doc_id,
+    # rate_micro rides keep_buckets, epochs_micro rides n_kept,
+    # planned_tokens ride lang as a string
+    from etl_extract_transform_load_spark.scale.sampling import (
+        token_budget_plan,
     )
+
+    budget = token_budget_plan(
+        docs, TOKEN_BUDGET_MIX, TOKEN_BUDGET, domain_col="source"
+    ).select(
+        F.lit("budget").alias("part"),
+        F.col("target_tokens").alias("doc_id"),
+        F.col("planned_tokens").cast("string").alias("lang"),
+        F.col("domain").alias("source"),
+        F.col("tokens").alias("n_rows"),
+        F.col("rate_micro").alias("keep_buckets"),
+        F.col("epochs_micro").alias("n_kept"),
+    )
+    return (
+        strat.unionByName(mix)
+        .unionByName(split)
+        .unionByName(weighted)
+        .unionByName(budget)
+    )
+
+
+#: Fixed recipe for the budget branch: src0 oversubscribed (epochs >
+#: 1), src1/src2 downsampled, src3 trace, everything else weight 0.
+TOKEN_BUDGET_MIX: dict = {"src0": 0.5, "src1": 0.3, "src2": 0.15,
+                          "src3": 0.05}
+TOKEN_BUDGET: int = 100_000
 
 
 def _oracle_sampling_corpus() -> str:
@@ -2715,6 +2747,41 @@ FROM (
     WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
     ORDER BY pri DESC, doc_id ASC
     LIMIT 40
+)
+UNION ALL
+SELECT 'budget', target_tokens, CAST(planned_tokens AS VARCHAR), domain,
+       tokens, rate_micro, epochs_micro
+FROM (
+    WITH bt AS (
+        SELECT source AS domain,
+               CAST(SUM(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                            TRIM(COALESCE(text, '')), '\\s+')) END)
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    bw AS (
+        SELECT domain, tokens,
+               CAST({TOKEN_BUDGET} AS DOUBLE)
+               * (CASE domain WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                              WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05
+                              ELSE 0.0 END) AS target_t
+        FROM bt WHERE tokens > 0
+    ),
+    bf AS (
+        SELECT domain, tokens, target_t,
+               target_t / CAST(tokens AS DOUBLE) AS frac,
+               LEAST(CAST(1 AS DOUBLE),
+                     target_t / CAST(tokens AS DOUBLE)) AS rate
+        FROM bw
+    )
+    SELECT domain, tokens,
+           CAST(ROUND(target_t) AS BIGINT) AS target_tokens,
+           CAST(ROUND(rate * 1000000.0) AS BIGINT) AS rate_micro,
+           CAST(ROUND(frac * 1000000.0) AS BIGINT) AS epochs_micro,
+           CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT)
+               AS planned_tokens
+    FROM bf
 )
 """
 

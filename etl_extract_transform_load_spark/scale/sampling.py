@@ -450,3 +450,61 @@ def hash_split(
         label
     )
     return df.withColumn(out_col, label)
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    target: Mapping[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture plan — "how much of each domain at budget
+    B": the per-domain sampling/epoch table the LLaMA/Pile-style data
+    recipes publish. One row per domain present in the corpus:
+
+    - ``tokens``        available whitespace tokens in the domain;
+    - ``target_tokens`` ``round(B · w_d)`` (0 for unlisted domains);
+    - ``rate_micro``    ``round(min(1, target/tokens) · 1e6)`` — the
+      deterministic-hash sampling rate when the domain oversupplies;
+    - ``epochs_micro``  ``round(target/tokens · 1e6)`` — > 1e6 means
+      the recipe REPEATS the domain (epochs), the undersupply case
+      ``mixture_rates`` (downsample-only) cannot express;
+    - ``planned_tokens`` ``round(tokens · min(1, target/tokens))`` —
+      what one pass at ``rate`` actually yields.
+
+    Micro-unit 0-dp rounds throughout (the tie-safe house spelling);
+    the ``B·w`` product leads with the DOUBLE so a SQL twin's decimal
+    literals promote identically.  One groupBy(domain) shuffle; state
+    = |domains|.  Domains with zero tokens are omitted (no plan to
+    make).  Unlike :func:`mixture_rates` (largest exact mixture with
+    NO upsampling), this plans toward an absolute token budget and
+    reports repeats honestly."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from etl_extract_transform_load_spark.scale.text import (
+        token_count_ws,
+    )
+
+    toks = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(
+            token_count_ws(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+        ).alias("tokens")
+    ).filter(F.col("tokens") > 0)
+    w = F.lit(0.0)
+    for value, weight in sorted(target.items(), reverse=True):
+        w = F.when(F.col("domain") == value, F.lit(float(weight))).otherwise(w)
+    target_t = F.lit(float(budget_tokens)) * w
+    frac = target_t / F.col("tokens").cast("double")
+    rate = F.least(F.lit(1.0), frac)
+    return toks.select(
+        "domain",
+        "tokens",
+        F.round(target_t).cast("long").alias("target_tokens"),
+        F.round(rate * 1000000.0).cast("long").alias("rate_micro"),
+        F.round(frac * 1000000.0).cast("long").alias("epochs_micro"),
+        F.round(F.col("tokens").cast("double") * rate).cast("long").alias(
+            "planned_tokens"
+        ),
+    )

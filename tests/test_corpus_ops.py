@@ -588,3 +588,44 @@ def test_temperature_mixture_tau1_is_identity_and_flattening(spark):
     }
     with _pytest.raises(ValueError):
         temperature_mixture_rates(df, 0.0)
+
+
+def test_token_budget_plan_reference_and_contract(spark):
+    """token_budget_plan vs a dict reference: rates cap at 1, epochs
+    report repeats honestly, zero-weight and zero-token domains
+    behave per contract."""
+    import pytest
+
+    from etl_extract_transform_load_spark.scale.sampling import (
+        token_budget_plan,
+    )
+
+    rows = [
+        (1, "a b c d", "web"),       # web: 8 tokens
+        (2, "e f g h", "web"),
+        (3, "i j", "wiki"),          # wiki: 2 tokens
+        (4, "", "empty"),            # zero tokens -> omitted
+        (5, "k l m", "books"),       # books: 3 tokens, weight 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.domain: r
+        for r in token_budget_plan(
+            df, {"web": 0.5, "wiki": 0.5}, budget_tokens=8
+        ).collect()
+    }
+    assert set(got) == {"web", "wiki", "books"}
+    # web: target 4 of 8 -> rate 0.5, epochs 0.5, planned 4
+    assert (got["web"].tokens, got["web"].target_tokens) == (8, 4)
+    assert got["web"].rate_micro == 500000
+    assert got["web"].epochs_micro == 500000
+    assert got["web"].planned_tokens == 4
+    # wiki: target 4 of 2 -> rate caps at 1, epochs 2.0, planned 2
+    assert got["wiki"].rate_micro == 1000000
+    assert got["wiki"].epochs_micro == 2000000
+    assert got["wiki"].planned_tokens == 2
+    # books: weight 0 -> everything 0
+    assert got["books"].target_tokens == 0
+    assert got["books"].rate_micro == 0 and got["books"].planned_tokens == 0
+    with pytest.raises(ValueError):
+        token_budget_plan(df, {"web": 1.0}, budget_tokens=0)

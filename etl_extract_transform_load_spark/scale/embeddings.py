@@ -371,3 +371,94 @@ def dequantize_int8(
     s = F.col(scale_col)
     deq = F.transform(F.col(q_col), lambda q: q.cast("double") * s)
     return df.select("*", deq.alias(out_col))
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Per-vector SIMPLIFIED silhouette — the clustering-quality score
+    that replaces the classic silhouette's O(n²) pairwise distances
+    with centroid distances (Hruschka et al. 2004; sklearn's
+    recommendation at scale):
+
+        a = dist(x, own centroid),  b = min over OTHER centroids,
+        s = (b − a) / max(a, b)            (s = 0 when max = 0)
+
+    in cosine distance (1 − cosine, the family's metric), cosines
+    6-dp rounded exactly like :func:`assign_to_centroids` — own
+    centroid = highest cosine, ties by label.  Returns ``(id,
+    assigned_label, sil)`` with ``sil`` NULL when there is only one
+    usable centroid (no "other" to compare against).  The ratio is
+    micro-unit quantized (0-dp round of s·10⁶) — (b−a)/max(a,b) of
+    6-dp operands is a small-denominator rational, the cross-engine
+    tie class.
+
+    Scale shape: broadcast centroids, one scan-stage scoring pass, one
+    per-id aggregate — the vector table never shuffles on a new key.
+    NULL / zero-norm vectors and centroids drop, matching assign."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    slim = (
+        df.select(id_col, vec_col)
+        .withColumn("__vn", norm(vec_col, dim))
+        .filter(F.col("__vn") > 0)
+    )
+    cents = centroids.withColumn("__cn", norm("centroid", dim)).filter(
+        F.col("__cn") > 0
+    )
+    scored = slim.join(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("label"),
+        F.round(
+            dot(vec_col, "centroid", dim) / (F.col("__vn") * F.col("__cn")),
+            6,
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("label"))
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    per_id = ranked.groupBy(id_col).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("label"))).alias(
+            "assigned_label"
+        ),
+        F.max(F.when(F.col("__rn") == 1, F.col("__cos"))).alias("__c1"),
+        F.max(F.when(F.col("__rn") >= 2, F.col("__cos"))).alias("__c2"),
+    )
+    a = 1.0 - F.col("__c1")
+    b = 1.0 - F.col("__c2")
+    mx = F.greatest(a, b)
+    s_micro = F.when(F.col("__c2").isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(mx > 0, F.round((b - a) / mx * 1000000.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return per_id.select(
+        id_col,
+        "assigned_label",
+        (s_micro.cast("decimal(28,0)").cast("double") / 1000000.0).alias(
+            "sil"
+        ),
+    )
+
+
+def silhouette_by_cluster(sil: DataFrame) -> DataFrame:
+    """(label, n, mean_sil) over :func:`simplified_silhouette` rows —
+    the per-cluster report.  The mean divides the exact integer-micro
+    sum ONCE (never re-rounded), so it is order-free and
+    engine-portable; NULL sils (single-centroid case) are excluded."""
+    return (
+        sil.filter(F.col("sil").isNotNull())
+        .groupBy(F.col("assigned_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("sil") * 1000000.0).cast("decimal(28,0)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1000000.0
+            ).alias("mean_sil"),
+        )
+    )

@@ -1,0 +1,186 @@
+"""Simplified silhouette (scale/embeddings.py): numpy sequential
+reference, contract edges, strict oracle parity at sf0.01."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.embeddings import (
+    label_centroids,
+    silhouette_by_cluster,
+    simplified_silhouette,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _round6(x):
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _ref_sil(vecs, cents):
+    """Sequential reference mirroring the operator's conventions:
+    6-dp cosines, own = max cosine (label tiebreak), micro-quantized
+    ratio."""
+    out = {}
+    labels = sorted(cents)
+    for vid, v in vecs.items():
+        v = np.asarray(v, float)
+        if not np.any(v):
+            continue
+        cos = {}
+        for lb in labels:
+            c = np.asarray(cents[lb], float)
+            if not np.any(c):
+                continue
+            # sequential-fold dot == np.dot for these tiny dims
+            cos[lb] = _round6(
+                float(np.dot(v, c))
+                / (float(np.sqrt(np.dot(v, v))) * float(np.sqrt(np.dot(c, c))))
+            )
+        ordered = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+        own_lb, c1 = ordered[0]
+        if len(ordered) < 2:
+            out[vid] = (own_lb, None)
+            continue
+        c2 = ordered[1][1]
+        a, b = 1.0 - c1, 1.0 - c2
+        mx = max(a, b)
+        micro = round((b - a) / mx * 1000000.0) if mx > 0 else 0.0
+        out[vid] = (own_lb, micro / 1000000.0)
+    return out
+
+
+def test_silhouette_against_reference(spark):
+    dim = 4
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],   # dead-on cluster x
+        2: [0.9, 0.1, 0.0, 0.0],   # near x
+        3: [0.0, 1.0, 0.0, 0.0],   # dead-on cluster y
+        4: [0.5, 0.5, 0.0, 0.0],   # boundary: s near 0
+        5: [0.0, 0.0, 0.0, 0.0],   # zero-norm -> dropped
+    }
+    cents = {"x": [1.0, 0.0, 0.0, 0.0], "y": [0.0, 1.0, 0.0, 0.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(lb, 1, c) for lb, c in cents.items()],
+        "label string, n_vectors long, centroid array<double>",
+    )
+    got = {
+        r.vec_id: (r.assigned_label, r.sil)
+        for r in simplified_silhouette(df, cdf, dim=dim).collect()
+    }
+    want = _ref_sil(vecs, cents)
+    assert got == want
+    assert got[1] == ("x", 1.0)          # perfect member
+    assert got[4][1] == 0.0              # equidistant boundary
+    assert 5 not in got                  # zero-norm dropped
+    assert 0.0 < got[2][1] < 1.0
+
+    by = {
+        r.label: (r.n, r.mean_sil)
+        for r in silhouette_by_cluster(
+            simplified_silhouette(df, cdf, dim=dim)
+        ).collect()
+    }
+    assert by["y"] == (1, 1.0)
+    n_x, mean_x = by["x"]
+    assert n_x == 3
+    ref_mean = (
+        round(want[1][1] * 1e6) + round(want[2][1] * 1e6) + round(want[4][1] * 1e6)
+    ) / 3 / 1e6
+    assert abs(mean_x - ref_mean) < 1e-12
+
+
+def test_silhouette_single_centroid_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cdf = spark.createDataFrame(
+        [("only", 1, [1.0, 0.0])],
+        "label string, n_vectors long, centroid array<double>",
+    )
+    (r,) = simplified_silhouette(df, cdf, dim=2).collect()
+    assert r.assigned_label == "only" and r.sil is None
+    assert silhouette_by_cluster(
+        simplified_silhouette(df, cdf, dim=2)
+    ).count() == 0
+
+
+def test_silhouette_matches_oracle(spark):
+    """Strict parity over embeddings at sf0.01 with the label-seeded
+    centroids — the same scored-CTE machinery as the kmeans oracle."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        _centroid_sql,
+        _NONZERO_EMB_SQL,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    sil = simplified_silhouette(emb, label_centroids(emb))
+    per_cluster = silhouette_by_cluster(sil)
+    sql_base = f"""
+WITH cent AS ({_centroid_sql('embeddings', 'label')}),
+scored AS (
+    SELECT e.vec_id,
+           c.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
+               AS cos
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
+         (SELECT * FROM cent
+          WHERE list_dot_product(centroid, centroid) > 0) c
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, label) AS rn
+    FROM scored
+),
+per_id AS (
+    SELECT vec_id,
+           MAX(CASE WHEN rn = 1 THEN label END) AS assigned_label,
+           MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+           MAX(CASE WHEN rn >= 2 THEN cos END) AS c2
+    FROM ranked GROUP BY vec_id
+),
+silq AS (
+    SELECT vec_id, assigned_label,
+           CAST(CASE WHEN c2 IS NULL THEN NULL
+                WHEN GREATEST(1.0 - c1, 1.0 - c2) > 0
+                THEN CAST(ROUND(((1.0 - c2) - (1.0 - c1))
+                          / GREATEST(1.0 - c1, 1.0 - c2)
+                          * 1000000.0) AS DECIMAL(28,0))
+                ELSE CAST(0 AS DECIMAL(28,0)) END AS DOUBLE)
+               / 1000000.0 AS sil
+    FROM per_id
+)
+"""
+    assert_matches_oracle(
+        sil, sql_base + "SELECT vec_id, assigned_label, sil FROM silq", SF
+    )
+    assert_matches_oracle(
+        per_cluster,
+        sql_base
+        + """
+SELECT assigned_label AS label, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(sil * 1000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_sil
+FROM silq WHERE sil IS NOT NULL
+GROUP BY assigned_label
+""",
+        SF,
+    )

@@ -240,3 +240,58 @@ def chunk_documents_sentences(
             F.count(F.lit(1)).alias("n_sentences"),
         )
     )
+
+
+def chunk_documents_sliding(
+    df: DataFrame,
+    max_tokens: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunks with overlap — the RAG/retrieval
+    windowing :func:`chunk_documents` (disjoint windows) doesn't
+    cover: windows start at ``0, stride, 2·stride, …`` so consecutive
+    chunks share ``max_tokens − stride`` tokens of context.
+
+    Window-count contract (deterministic, fully covering, no
+    redundant tail): ``n_windows = 1 + ceil(max(n − max_tokens, 0) /
+    stride)`` — the last window is the FIRST one reaching the
+    document's end; later starts (which would be strict suffixes of
+    it) are not emitted.  ``stride = max_tokens`` degrades to the
+    disjoint chunker's boundaries.  Empty/NULL docs emit nothing.
+    One scan-stage explode, no shuffle."""
+    if not 1 <= stride <= max_tokens:
+        raise ValueError("need 1 <= stride <= max_tokens")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(F.col(id_col), tokens(c).alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__n")
+    )
+    n_win = (
+        F.lit(1).cast("long")
+        + F.ceil(
+            F.greatest(
+                F.col("__n") - F.lit(max_tokens), F.lit(0)
+            ).cast("double")
+            / F.lit(float(stride))
+        ).cast("long")
+    )
+    idx = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(0).cast("long"), n_win - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = staged.select(
+        id_col, "__toks", "__n", F.explode(idx).alias("chunk_idx")
+    )
+    start = (F.col("chunk_idx") * stride).cast("int") + 1
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+        F.array_join(F.slice("__toks", start, max_tokens), " ").alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(max_tokens).cast("long"),
+            F.col("__n") - F.col("chunk_idx") * stride,
+        ).alias("n_chunk_tokens"),
+    )

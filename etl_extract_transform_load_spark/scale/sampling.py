@@ -508,3 +508,55 @@ def token_budget_plan(
             "planned_tokens"
         ),
     )
+
+
+def mixture_diversity(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row mixture-diversity report over the corpus:
+    ``(n_domains, total_tokens, shannon, effective_domains,
+    top_share)`` — the "is one host eating the mixture" health check
+    next to :func:`token_budget_plan` / :func:`domain_quota_sample`:
+
+    - ``shannon``            H = −Σ p_d·ln(p_d) over token shares;
+    - ``effective_domains``  exp(H), the perplexity of the mixture
+      (10 equal domains → 10.0; one dominant → →1);
+    - ``top_share``          the largest single domain's share.
+
+    Engine-portable: shares are exact integer ratios in double;
+    per-domain entropy terms are 6-dp rounded BEFORE the decimal sum
+    (order-free), and the one exp/round happens on the identical
+    binary64.  One groupBy(domain) shuffle; state = |domains|."""
+    from etl_extract_transform_load_spark.scale.text import (
+        token_count_ws,
+    )
+
+    toks = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(
+            token_count_ws(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+        ).alias("tokens")
+    ).filter(F.col("tokens") > 0)
+    tot = toks.agg(F.sum("tokens").alias("T"))
+    p = F.col("tokens").cast("double") / F.col("T").cast("double")
+    per = toks.crossJoin(F.broadcast(tot)).select(
+        "T",
+        F.round(p * F.log(p), 6).cast("decimal(28,6)").alias("term"),
+        p.alias("p"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_domains"),
+        F.max("T").alias("total_tokens"),
+        F.sum("term").alias("__h"),
+        F.max("p").alias("__top"),
+    ).select(
+        "n_domains",
+        "total_tokens",
+        (F.lit(0.0) - F.col("__h").cast("double")).alias("shannon"),
+        F.round(
+            F.exp(F.lit(0.0) - F.col("__h").cast("double")), 6
+        ).alias("effective_domains"),
+        F.round(F.col("__top"), 6).alias("top_share"),
+    )

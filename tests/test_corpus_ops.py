@@ -629,3 +629,162 @@ def test_token_budget_plan_reference_and_contract(spark):
     assert got["books"].rate_micro == 0 and got["books"].planned_tokens == 0
     with pytest.raises(ValueError):
         token_budget_plan(df, {"web": 1.0}, budget_tokens=0)
+
+
+def test_chunk_documents_sliding_reference_and_oracle(spark):
+    """Sliding-window chunker vs a sequential reference (coverage,
+    overlap, window-count contract) and a strict DuckDB twin."""
+    import pytest
+
+    from oracle import assert_matches_oracle
+    from etl_extract_transform_load_spark.scale.packing import (
+        chunk_documents_sliding,
+    )
+
+    def ref(text, mt, st):
+        toks = (text or "").strip().split()
+        n = len(toks)
+        if n == 0:
+            return []
+        n_win = 1 + -(-max(n - mt, 0) // st)
+        return [
+            (k, k * st, " ".join(toks[k * st:k * st + mt]),
+             min(mt, n - k * st))
+            for k in range(n_win)
+        ]
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+        (2, "a b c"),                                # shorter than window
+        (3, ""),                                     # empty -> nothing
+        (4, None),
+        (5, " ".join(f"w{i}" for i in range(9))),    # n-mt divisible edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_token, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents_sliding(df, max_tokens=4, stride=2).collect()
+    }
+    want = {
+        (i, k): (s, t, nt)
+        for i, text in rows
+        for k, s, t, nt in ref(text, 4, 2)
+    }
+    assert got == want
+    # doc 1: 10 tokens, windows at 0,2,4,6 -> 4 windows, last covers end
+    assert sorted(k for i, k in got if i == 1) == [0, 1, 2, 3]
+    # consecutive windows overlap by max_tokens - stride = 2 tokens
+    assert got[(1, 0)][1].split()[2:] == got[(1, 1)][1].split()[:2]
+    # short doc: one window only
+    assert sorted(k for i, k in got if i == 2) == [0]
+    # stride == max_tokens reproduces the disjoint chunker boundaries
+    from etl_extract_transform_load_spark.scale.packing import (
+        chunk_documents,
+    )
+
+    dis = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, max_tokens=4).collect()
+    }
+    sli = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents_sliding(df, max_tokens=4, stride=4).collect()
+    }
+    # the sliding contract emits no redundant suffix-tail windows; on
+    # exact-multiple docs both emit identical windows, otherwise the
+    # disjoint chunker's extra short tail is the only delta
+    for key, v in sli.items():
+        assert dis[key] == v
+    with pytest.raises(ValueError):
+        chunk_documents_sliding(df, max_tokens=4, stride=5)
+
+    # strict DuckDB twin over real documents at sf0.01
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    got_df = chunk_documents_sliding(docs, max_tokens=48, stride=24)
+    sql = """
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN TRIM(COALESCE(text, '')) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(TRIM(COALESCE(text, '')), '\\s+')
+           END AS toks
+    FROM documents
+),
+st AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+w AS (
+    SELECT doc_id, toks, n,
+           UNNEST(range(0, 1 + CAST(CEIL(GREATEST(n - 48, 0) / 24.0)
+                                    AS BIGINT))) AS chunk_idx
+    FROM st
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_token,
+       array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 48], ' ')
+           AS chunk_text,
+       LEAST(48, n - chunk_idx * 24) AS n_chunk_tokens
+FROM w
+"""
+    assert_matches_oracle(got_df, sql, "/root/testdata/sf0.01")
+
+
+def test_mixture_diversity_reference_and_oracle(spark):
+    """mixture_diversity vs a dict reference and a strict DuckDB twin
+    (per-term 6-dp rounds before the decimal sum, one exp at the end)."""
+    import math
+
+    from oracle import assert_matches_oracle
+    from etl_extract_transform_load_spark.scale.sampling import (
+        mixture_diversity,
+    )
+
+    rows = [
+        (1, "a b c d", "web"),   # 4 tokens
+        (2, "e f g h", "web"),   # web: 8
+        (3, "i j", "wiki"),      # wiki: 2
+        (4, "", "empty"),        # no tokens -> excluded
+        (5, "k l", "books"),     # books: 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    (r,) = mixture_diversity(df).collect()
+    assert r.n_domains == 3 and r.total_tokens == 12
+    terms = [
+        round(p * math.log(p), 6) for p in (8 / 12, 2 / 12, 2 / 12)
+    ]
+    h = -round(sum(terms), 10)
+    assert abs(r.shannon - h) < 1e-9
+    assert abs(r.effective_domains - round(math.exp(h), 6)) < 1e-9
+    assert r.top_share == round(8 / 12, 6)
+
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sql = """
+WITH bt AS (
+    SELECT source AS domain,
+           CAST(SUM(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(
+                        TRIM(COALESCE(text, '')), '\\s+')) END)
+                AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+bp AS (
+    SELECT tokens, CAST(tokens AS DOUBLE) / CAST(T AS DOUBLE) AS p, T
+    FROM (SELECT tokens FROM bt WHERE tokens > 0),
+         (SELECT SUM(tokens) AS T FROM bt WHERE tokens > 0)
+),
+ag AS (
+    SELECT COUNT(*) AS n_domains, MAX(T) AS total_tokens,
+           SUM(CAST(ROUND(p * LN(p), 6) AS DECIMAL(28,6))) AS h,
+           MAX(p) AS top
+    FROM bp
+)
+SELECT CAST(n_domains AS BIGINT) AS n_domains,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       0.0 - CAST(h AS DOUBLE) AS shannon,
+       ROUND(EXP(0.0 - CAST(h AS DOUBLE)), 6) AS effective_domains,
+       ROUND(top, 6) AS top_share
+FROM ag
+"""
+    assert_matches_oracle(mixture_diversity(docs), sql, "/root/testdata/sf0.01")

@@ -136,22 +136,33 @@ def main() -> None:
 
     qs = queries()
     names = [n for n in (HEADLINE or qs) if n in qs]
+    # Min-of-two sweeps (r8 VERDICT directive 1): a single sweep's
+    # per-query numbers carry multi-second scheduler/GC noise that
+    # regressed the official r8 record (+24% on a query whose code
+    # didn't change) while clean solo pairs improved. The min of two
+    # full sweeps is the standard noise-robust estimator for warm
+    # repeated runs; the DRIVER-visible number is now the one worth
+    # judging. Sweep order is query-major (full sweep, then repeat)
+    # so run 2 sees the same cross-query cache/JIT state as run 1.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, d)
-        # A count materializes the whole plan without driver-side
-        # collection overhead dominating the measurement.
-        df.count()
-        # 2-decimal precision keeps the final JSON line comfortably
-        # inside the driver's 2000-char stdout tail capture (r1's
-        # 66-query line overflowed it and recorded "parsed": null).
-        timings[name] = round(time.perf_counter() - t0, 2)
-        # The sketch queries persist() their index tables (by design —
-        # both self-join branches read one materialization). Those
-        # caches belong to a single query's lifetime here: drop them
-        # so 50 queries in one session don't accumulate cache entries.
-        spark.catalog.clearCache()
+    for _sweep in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, d)
+            # A count materializes the whole plan without driver-side
+            # collection overhead dominating the measurement.
+            df.count()
+            # 2-decimal precision keeps the final JSON line comfortably
+            # inside the driver's 2000-char stdout tail capture (r1's
+            # 66-query line overflowed it and recorded "parsed": null).
+            elapsed = round(time.perf_counter() - t0, 2)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            # The sketch queries persist() their index tables (by
+            # design — both self-join branches read one
+            # materialization). Those caches belong to a single
+            # query's lifetime here: drop them so 2×50 queries in one
+            # session don't accumulate cache entries.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
 

@@ -102,14 +102,21 @@ def suppress_small_groups(
         raise ValueError("quasi_cols must be non-empty")
     if k < 1:
         raise ValueError("k must be >= 1")
+    # Alias both sides explicitly: ``violating`` derives from ``df``,
+    # so building the condition from df[c]/violating[c] leans on
+    # Spark's dataset-id self-join disambiguation — version-fragile
+    # (AMBIGUOUS_SELF_JOIN or trivially-true resolution elsewhere).
+    # Named aliases make the column resolution unambiguous everywhere.
+    left = df.alias("__kanon_l")
     violating = (
         df.groupBy(*[F.col(f"`{c}`") for c in quasi])
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") < k)
         .drop("__n")
+        .alias("__kanon_r")
     )
     cond = None
     for c in quasi:
-        eq = df[f"`{c}`"].eqNullSafe(violating[f"`{c}`"])
+        eq = F.col(f"__kanon_l.`{c}`").eqNullSafe(F.col(f"__kanon_r.`{c}`"))
         cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(violating), on=cond, how="left_anti")
+    return left.join(F.broadcast(violating), on=cond, how="left_anti")

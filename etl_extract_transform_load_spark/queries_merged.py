@@ -2760,27 +2760,37 @@ FROM (
                     AS BIGINT) AS tokens
         FROM documents GROUP BY source
     ),
+    tv AS (
+        SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+                              ('src2', 0.15), ('src3', 0.05))
+               AS t(domain, w)
+    ),
     bw AS (
-        SELECT domain, tokens,
+        -- full outer vs the target mixture: a target domain missing
+        -- from the corpus still emits its undersupply row (tokens=0,
+        -- NULL rate/epochs) — lockstep with token_budget_plan
+        SELECT COALESCE(bt.domain, tv.domain) AS domain,
+               COALESCE(bt.tokens, 0) AS tokens,
                CAST({TOKEN_BUDGET} AS DOUBLE)
-               * (CASE domain WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
-                              WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05
-                              ELSE 0.0 END) AS target_t
-        FROM bt WHERE tokens > 0
+               * COALESCE(tv.w, 0.0) AS target_t
+        FROM (SELECT * FROM bt WHERE tokens > 0) bt
+        FULL OUTER JOIN tv ON bt.domain = tv.domain
     ),
     bf AS (
         SELECT domain, tokens, target_t,
-               target_t / CAST(tokens AS DOUBLE) AS frac,
-               LEAST(CAST(1 AS DOUBLE),
-                     target_t / CAST(tokens AS DOUBLE)) AS rate
+               CASE WHEN tokens > 0
+                    THEN target_t / CAST(tokens AS DOUBLE) END AS frac,
+               CASE WHEN tokens > 0
+                    THEN LEAST(CAST(1 AS DOUBLE),
+                               target_t / CAST(tokens AS DOUBLE)) END AS rate
         FROM bw
     )
     SELECT domain, tokens,
            CAST(ROUND(target_t) AS BIGINT) AS target_tokens,
            CAST(ROUND(rate * 1000000.0) AS BIGINT) AS rate_micro,
            CAST(ROUND(frac * 1000000.0) AS BIGINT) AS epochs_micro,
-           CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT)
-               AS planned_tokens
+           COALESCE(CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT),
+                    0) AS planned_tokens
     FROM bf
 )
 """

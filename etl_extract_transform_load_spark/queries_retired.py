@@ -776,6 +776,8 @@ def retired_checks() -> dict:
         "woe_iv": (retired_woe_iv, oracle_woe_iv()),
         "oov_rate": (retired_oov_rate, _oracle_oov()),
         "heavy_hitters": (retired_heavy_hitters, ORACLE_HEAVY),
+        "pagerank": (retired_pagerank, oracle_pagerank()),
+        "adamic_adar": (retired_adamic_adar, ORACLE_ADAMIC_ADAR),
     }
 
 
@@ -885,4 +887,142 @@ FROM (
     GROUP BY token, n
     HAVING COUNT(*) > 0.005 * n
 ) hh
+"""
+
+
+# --- retired dedup_connected_components / dedup_ngram_jaccard branches --------
+
+#: Shared near-dup pair-graph CTEs (3-gram shingles, Jaccard >= 0.3) —
+#: the same graph the live carriers build; both retired oracles below
+#: open with this block.
+_PAIR_GRAPH_CTES = """
+toks AS (
+    SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS s
+    FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cm AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cm
+    JOIN sz x ON cm.id_a = x.doc_id
+    JOIN sz y ON cm.id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
+)"""
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live carriers' checkpointed pair graph, rebuilt standalone
+    (shingle-sketch persists released before returning)."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
+    from etl_extract_transform_load_spark.scale.dedup import (
+        jaccard_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with released_caches():
+        return jaccard_near_dup_pairs(
+            docs, threshold=0.3
+        ).localCheckpoint()
+
+
+def retired_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized near-dup graph — which
+    member of each dup cluster is the hub. Retired from
+    ``dedup_connected_components`` in r9 (the carrier's priciest leg:
+    PAGERANK_SWEEPS collect-free sweeps, tol=0, so the oracle unrolls
+    the identical recurrence); original column riding preserved
+    (10-dp rank as round(rank*1e10) in the component slot)."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        PAGERANK_SWEEPS,
+    )
+    from etl_extract_transform_load_spark.scale.components import pagerank
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return pagerank(sym, max_iter=PAGERANK_SWEEPS, tol=0.0).select(
+        F.lit("pagerank").alias("algo"),
+        "node",
+        F.round(F.col("rank") * F.lit(1e10))
+        .cast("long")
+        .alias("component"),
+    )
+
+
+def oracle_pagerank() -> str:
+    from etl_extract_transform_load_spark.queries_scale import (
+        PAGERANK_SWEEPS,
+        _pagerank_oracle_ctes,
+    )
+
+    return f"""
+WITH {_PAIR_GRAPH_CTES},
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+{_pagerank_oracle_ctes()}
+SELECT 'pagerank' AS algo, node,
+       CAST(ROUND(rank * 1e10) AS BIGINT) AS component
+FROM pr{PAGERANK_SWEEPS}
+"""
+
+
+def retired_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup pair graph
+    (scale/components.adamic_adar — wedge join on the center vertex,
+    existing edges anti-joined away): probable duplicates the pairwise
+    threshold missed. Retired from ``dedup_ngram_jaccard`` in r9."""
+    from etl_extract_transform_load_spark.scale.components import (
+        adamic_adar,
+    )
+
+    raw_pairs = _near_dup_pairs(spark, sf_dir)
+    return adamic_adar(raw_pairs).select(
+        F.lit("aa").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("aa").cast("double").alias("score"),
+    )
+
+
+ORACLE_ADAMIC_ADAR = f"""
+WITH {_PAIR_GRAPH_CTES},
+aasym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+),
+aadeg AS (SELECT src, COUNT(*) AS deg FROM aasym GROUP BY src),
+aawedge AS (
+    SELECT x.dst AS a2, y.dst AS b2, x.src AS u
+    FROM aasym x JOIN aasym y
+      ON x.src = y.src AND x.dst < y.dst
+),
+aascore AS (
+    SELECT a2, b2,
+           ROUND(CAST(SUM(CAST(ROUND(
+               1.0 / LN(CAST(d.deg AS DOUBLE)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE), 6) AS aa
+    FROM aawedge w JOIN aadeg d ON w.u = d.src
+    GROUP BY a2, b2
+)
+SELECT 'aa' AS part, a2 AS id_a, b2 AS id_b, aa AS score
+FROM aascore s
+WHERE NOT EXISTS (SELECT 1 FROM pairs
+                  WHERE pairs.id_a = s.a2 AND pairs.id_b = s.b2)
 """

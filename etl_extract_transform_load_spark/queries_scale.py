@@ -200,13 +200,17 @@ FROM documents
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by large/small-star contraction (O(log n)
-    rounds — the 100-TB path when components can be long chains)
-    plus PageRank centrality, tag-unioned against ONE oracle fixpoint.
+    rounds — the 100-TB path when components can be long chains),
+    tag-unioned against ONE oracle fixpoint.
     The label-propagation variant was oracle-pinned equal to star in
     r3 and stays pytest-pinned (``test_text_components.py``) — its
     sweep branch was retired from the registered query as redundant
-    weight (VERDICT r5 #3). The pair edges are checkpointed once so
-    the shingle-Jaccard pipeline doesn't execute per algorithm."""
+    weight (VERDICT r5 #3); the PageRank centrality branch was the
+    carrier's priciest leg (5-sweep unrolled recurrence) and retired
+    to ``queries_retired.retired_pagerank`` in r9 (VERDICT r8 #6),
+    still strict-oracle-verified from pytest. The pair edges are
+    checkpointed once so the shingle-Jaccard pipeline doesn't execute
+    per algorithm."""
     from etl_extract_transform_load_spark.scale.components import (
         connected_components_star,
     )
@@ -233,23 +237,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         star_raw = connected_components_star(pairs)
     star = star_raw.select(
         F.lit("star").alias("algo"), "node", "component"
-    )
-    # third branch: PageRank centrality over the SAME (symmetrized)
-    # near-dup graph — which member of each dup cluster is the hub.
-    # Fixed PAGERANK_SWEEPS collect-free sweeps (tol=0) so the oracle
-    # can unroll the identical recurrence; the 10-dp rank rides the
-    # component slot as round(rank·1e10) — an exact integer.
-    from etl_extract_transform_load_spark.scale.components import pagerank
-
-    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
-        pairs.selectExpr("id_b AS src", "id_a AS dst")
-    )
-    pr = pagerank(sym, max_iter=PAGERANK_SWEEPS, tol=0.0).select(
-        F.lit("pagerank").alias("algo"),
-        "node",
-        F.round(F.col("rank") * F.lit(1e10))
-        .cast("long")
-        .alias("component"),
     )
     # fourth branch (r6): per-node triangle counts over the same pair
     # graph (degree-ordered wedge counting — the local-clustering
@@ -304,7 +291,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         probe_branch("star", star)
-        .unionByName(probe_branch("pagerank", pr))
         .unionByName(probe_branch("triangles", tri))
         .unionByName(probe_branch("incr", incr))
         .unionByName(probe_branch("tri_incr", tri_incr))
@@ -343,8 +329,9 @@ def _pagerank_oracle_ctes(sweeps: int = PAGERANK_SWEEPS) -> str:
 
 # Min reachable id via recursive label propagation — the UNION dedups,
 # so the fixpoint is the transitive closure of the pair graph; star
-# contraction must converge to this same fixpoint. The pagerank branch
-# unrolls its fixed-sweep recurrence over the same symmetrized edges.
+# contraction must converge to this same fixpoint. (The pagerank
+# branch retired to queries_retired in r9 — its unrolled-recurrence
+# CTEs above now feed only the retired oracle.)
 ORACLE_COMPONENTS = f"""
 WITH RECURSIVE toks AS (
     SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
@@ -384,7 +371,6 @@ comp AS (
     FROM reach
     GROUP BY node
 ),
-{_pagerank_oracle_ctes()},
 -- triangles: canonical (id_a < id_b) edge list; each triangle x<y<z
 -- found once via (x,y)+(x,z) wedge closed by (y,z)
 twedge AS (
@@ -411,10 +397,6 @@ SELECT 'triangles' AS algo, node, c AS component FROM tcnt
 UNION ALL
 -- the incremental fold must converge to the SAME per-node counts
 SELECT 'tri_incr' AS algo, node, c AS component FROM tcnt
-UNION ALL
-SELECT 'pagerank' AS algo, node,
-       CAST(ROUND(rank * 1e10) AS BIGINT) AS component
-FROM pr{PAGERANK_SWEEPS}
 """
 
 
@@ -1288,20 +1270,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("jaccard").cast("double").alias("score"),
     )
-    # third branch: Adamic-Adar link prediction over the SAME pair
-    # graph (scale/components.adamic_adar — wedge join on the center
-    # vertex, existing edges anti-joined away): probable duplicates
-    # the pairwise threshold missed; the AA score rides score
-    from etl_extract_transform_load_spark.scale.components import (
-        adamic_adar,
-    )
-
-    aa = adamic_adar(raw_pairs).select(
-        F.lit("aa").alias("part"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.col("aa").cast("double").alias("score"),
-    )
+    # (The Adamic-Adar link-prediction branch retired to
+    # queries_retired.retired_adamic_adar in r9 — VERDICT r8 #6 —
+    # still strict-oracle-verified from pytest.)
     # second branch: fuzzy entity resolution (scale/fuzzy.py) — all
     # customer-name pairs within Levenshtein distance 1 via the
     # FastSS deletion-neighborhood join (no cross join); the edit
@@ -1319,7 +1290,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("distance").cast("double").alias("score"),
     )
-    return jac.unionByName(fz).unionByName(aa)
+    return jac.unionByName(fz)
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1354,36 +1325,6 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
  AND levenshtein(a.c_name, b.c_name) <= 1
-UNION ALL
-SELECT 'aa', a2, b2, aa FROM (
-    WITH jp AS (
-        SELECT id_a, id_b FROM cm
-        JOIN sz x ON cm.id_a = x.doc_id
-        JOIN sz y ON cm.id_b = y.doc_id
-        WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
-    ),
-    aasym AS (
-        SELECT id_a AS src, id_b AS dst FROM jp
-        UNION ALL SELECT id_b, id_a FROM jp
-    ),
-    aadeg AS (SELECT src, COUNT(*) AS deg FROM aasym GROUP BY src),
-    aawedge AS (
-        SELECT x.dst AS a2, y.dst AS b2, x.src AS u
-        FROM aasym x JOIN aasym y
-          ON x.src = y.src AND x.dst < y.dst
-    ),
-    aascore AS (
-        SELECT a2, b2,
-               ROUND(CAST(SUM(CAST(ROUND(
-                   1.0 / LN(CAST(d.deg AS DOUBLE)), 6)
-                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS aa
-        FROM aawedge w JOIN aadeg d ON w.u = d.src
-        GROUP BY a2, b2
-    )
-    SELECT a2, b2, aa FROM aascore s
-    WHERE NOT EXISTS (SELECT 1 FROM jp
-                      WHERE jp.id_a = s.a2 AND jp.id_b = s.b2)
-)
 """
 
 

@@ -210,21 +210,49 @@ def dsir_scores(
     """Per-document importance: ``(id, n_grams, score)`` where score
     is the decimal-exact sum of the document's gram log-ratios.
     Documents with no grams (NULL/empty/whitespace text) drop — they
-    carry no evidence either way."""
+    carry no evidence either way.
+
+    Grams hashing to buckets unseen in BOTH fit corpora (possible only
+    when scoring a corpus different from the fit corpus) get the
+    add-one-smoothed unseen weight ``ln((R+k)/(T+k))`` — the exact
+    limit of the fit formula at ``t_count = r_count = 0`` — via a
+    LEFT join, so ``n_grams`` always counts every gram of the
+    document (r8 ADVICE: the old inner join silently dropped them).
+    When fit corpus == score corpus the left join is vacuous and
+    results are bit-identical to the inner-join spelling."""
     feats = (
         features
         if features is not None
         else _gram_features(raw, n_buckets, text_col, id_col)
     )
+    # unseen-bucket default from the weight table itself: both fit
+    # faces carry (t_count, r_count), so T and R are one tiny agg
+    # over the <= k broadcast rows.
+    k = float(n_buckets)
+    unseen = logratios.agg(
+        F.round(
+            F.log(
+                (F.coalesce(F.sum("r_count"), F.lit(0)).cast("double") + k)
+                / (F.coalesce(F.sum("t_count"), F.lit(0)).cast("double") + k)
+            ),
+            6,
+        ).alias("__unseen_lr")
+    )
     return (
         feats.join(
             F.broadcast(logratios.select("feature", "logratio")),
             "feature",
+            "left",
         )
+        .crossJoin(F.broadcast(unseen))
         .groupBy(F.col("__id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("logratio").cast("decimal(28,6)"))
+            F.sum(
+                F.coalesce(F.col("logratio"), F.col("__unseen_lr")).cast(
+                    "decimal(28,6)"
+                )
+            )
             .cast("double")
             .alias("score"),
         )

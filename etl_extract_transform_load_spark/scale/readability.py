@@ -34,8 +34,11 @@ from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
 #: maximal vowel group (syllable nucleus approximation)
 _VOWEL_RUN = "[aeiouy]+"
 #: silent trailing e: consonant-e ending, but NOT consonant-l-e
-#: ('table', 'little' keep the -le syllable)
-_SILENT_E = "[b-df-km-z]e$"
+#: ('table', 'little' keep the -le syllable). The class is exactly the
+#: consonants minus l — vowel-e endings ('value', 'argue') are real
+#: vowel groups, not silent (r8 ADVICE: the old [b-df-km-z] spelling
+#: accidentally swallowed i/o/u).
+_SILENT_E = "[b-df-hj-km-np-tv-z]e$"
 
 
 def word_syllables(word: Column) -> Column:
@@ -123,9 +126,9 @@ cnt AS (
            CAST(n_sent AS BIGINT) AS n_sentences,
            CAST(list_sum(list_transform(ltoks, w ->
                CASE WHEN len(regexp_extract_all(w, '[aeiouy]+'))
-                         > len(regexp_extract_all(w, '[b-df-km-z]e$'))
+                         > len(regexp_extract_all(w, '[b-df-hj-km-np-tv-z]e$'))
                     THEN len(regexp_extract_all(w, '[aeiouy]+'))
-                         - len(regexp_extract_all(w, '[b-df-km-z]e$'))
+                         - len(regexp_extract_all(w, '[b-df-hj-km-np-tv-z]e$'))
                     ELSE LEAST(len(regexp_extract_all(w, '[aeiouy]+')), 1)
                END)) AS BIGINT) AS n_syllables
     FROM base

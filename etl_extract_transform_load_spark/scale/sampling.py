@@ -476,10 +476,15 @@ def token_budget_plan(
     Micro-unit 0-dp rounds throughout (the tie-safe house spelling);
     the ``B·w`` product leads with the DOUBLE so a SQL twin's decimal
     literals promote identically.  One groupBy(domain) shuffle; state
-    = |domains|.  Domains with zero tokens are omitted (no plan to
-    make).  Unlike :func:`mixture_rates` (largest exact mixture with
-    NO upsampling), this plans toward an absolute token budget and
-    reports repeats honestly."""
+    = |domains|.  Corpus domains with zero tokens and zero weight are
+    omitted (no plan to make) — but a TARGET domain entirely missing
+    from the corpus (or all-empty) still emits its row with
+    ``tokens = 0``, ``target_tokens = round(B·w)``, NULL rate/epochs
+    and ``planned_tokens = 0``, so the undersupply a planner most
+    needs surfaced never silently disappears (r8 ADVICE).  Unlike
+    :func:`mixture_rates` (largest exact mixture with NO upsampling),
+    this plans toward an absolute token budget and reports repeats
+    honestly."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     from etl_extract_transform_load_spark.scale.text import (
@@ -492,21 +497,36 @@ def token_budget_plan(
             .cast("long")
         ).alias("tokens")
     ).filter(F.col("tokens") > 0)
-    w = F.lit(0.0)
-    for value, weight in sorted(target.items(), reverse=True):
-        w = F.when(F.col("domain") == value, F.lit(float(weight))).otherwise(w)
-    target_t = F.lit(float(budget_tokens)) * w
-    frac = target_t / F.col("tokens").cast("double")
-    rate = F.least(F.lit(1.0), frac)
-    return toks.select(
+    # full-outer against the target mixture: corpus-only domains get
+    # weight 0; target-only domains get tokens 0 (the undersupply row)
+    tgt = docs.sparkSession.createDataFrame(
+        [(str(d), float(w)) for d, w in sorted(target.items())],
+        "domain string, __w double",
+    )
+    both = toks.join(F.broadcast(tgt), "domain", "full_outer").select(
+        "domain",
+        F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"),
+        F.coalesce("__w", F.lit(0.0)).alias("__w"),
+    )
+    target_t = F.lit(float(budget_tokens)) * F.col("__w")
+    # explicit zero-token guard (rate/epochs NULL on undersupply rows)
+    # — never relies on engine division-by-zero semantics
+    frac = F.when(
+        F.col("tokens") > 0, target_t / F.col("tokens").cast("double")
+    )
+    # Spark's least() SKIPS nulls (least(1.0, NULL) = 1.0) — gate the
+    # whole expression so undersupply rows stay NULL
+    rate = F.when(F.col("tokens") > 0, F.least(F.lit(1.0), frac))
+    return both.select(
         "domain",
         "tokens",
         F.round(target_t).cast("long").alias("target_tokens"),
         F.round(rate * 1000000.0).cast("long").alias("rate_micro"),
         F.round(frac * 1000000.0).cast("long").alias("epochs_micro"),
-        F.round(F.col("tokens").cast("double") * rate).cast("long").alias(
-            "planned_tokens"
-        ),
+        F.coalesce(
+            F.round(F.col("tokens").cast("double") * rate).cast("long"),
+            F.lit(0),
+        ).alias("planned_tokens"),
     )
 
 

@@ -627,6 +627,28 @@ def test_token_budget_plan_reference_and_contract(spark):
     # books: weight 0 -> everything 0
     assert got["books"].target_tokens == 0
     assert got["books"].rate_micro == 0 and got["books"].planned_tokens == 0
+    # target domain missing from the corpus (r8 ADVICE): the
+    # undersupply row surfaces instead of silently vanishing
+    got2 = {
+        r.domain: r
+        for r in token_budget_plan(
+            df, {"web": 0.5, "wiki": 0.3, "code": 0.2}, budget_tokens=10
+        ).collect()
+    }
+    assert "code" in got2
+    assert got2["code"].tokens == 0
+    assert got2["code"].target_tokens == 2  # round(10 * 0.2)
+    assert got2["code"].rate_micro is None
+    assert got2["code"].epochs_micro is None
+    assert got2["code"].planned_tokens == 0
+    # a domain that exists but is all-empty text is undersupply too
+    got3 = {
+        r.domain: r
+        for r in token_budget_plan(
+            df, {"empty": 1.0}, budget_tokens=10
+        ).collect()
+    }
+    assert got3["empty"].tokens == 0 and got3["empty"].rate_micro is None
     with pytest.raises(ValueError):
         token_budget_plan(df, {"web": 1.0}, budget_tokens=0)
 

@@ -133,6 +133,37 @@ def test_dsir_against_sequential_reference(spark):
     assert sc2 == sc
 
 
+def test_dsir_scores_out_of_fit_unseen_buckets(spark):
+    """Scoring a corpus different from the fit corpus (r8 ADVICE):
+    grams whose bucket was unseen in BOTH fit corpora get the smoothed
+    unseen weight ln((R+k)/(T+k)) and still count in n_grams."""
+    k = DEFAULT_BUCKETS
+    tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
+    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    tc, rc, T, R, lr_ref, _ = _reference()
+    fit = set(tc) | set(rc)
+
+    # an out-of-fit doc mixing a fit-covered gram with novel grams;
+    # with 512 buckets and a ~40-gram fit corpus, novel words land in
+    # unseen buckets with near-certainty — assert it explicitly
+    new = [(99, "clean zxqvjw kplmtrx")]
+    novel = [g for g in _grams(new[0][1]) if _fold(g) % k not in fit]
+    assert novel, "test premise: at least one gram in an unseen bucket"
+
+    unseen_w = _round6(math.log((R + k) / (T + k)))
+    want = round(
+        sum(lr_ref.get(_fold(g) % k, unseen_w) for g in _grams(new[0][1])),
+        6,
+    )
+    got = dsir_scores(
+        spark.createDataFrame(new, "doc_id long, text string"),
+        dsir_logratios(tdf, rdf),
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_grams == len(_grams(new[0][1]))  # ALL grams counted
+    assert abs(got[0].score - want) < 1e-9
+
+
 def test_dsir_topk_and_gumbel_determinism(spark):
     tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
     rdf = spark.createDataFrame(RAW, "doc_id long, text string")

@@ -414,3 +414,53 @@ def test_no_unbounded_driver_collects_engine_wide():
         "unbounded driver collect(s) — route through "
         f"_collect_rows_bounded or allowlist with audit: {offenders}"
     )
+
+
+def test_carrier_branch_budget():
+    """Policy (r8 VERDICT directive): a tag-union carrier query holds
+    at most 8 branch FAMILIES. The 50-query driver window forces new
+    operators to ride existing carriers; without a budget, carriers
+    accrete until one tie flip reddens a dozen row families at once
+    and the bench number stops attributing. The r8 trims
+    (describe_stats 14→8, windowed_counts_events 12→7) were manual —
+    this keeps r10+ honest mechanically.
+
+    AST-based: for every top-level function in the query modules,
+    collect the distinct first-arg string literals of
+    ``probe_branch(...)`` calls (a repeated name is ONE family — e.g.
+    a branch's rows + summary probes) and assert ≤ 8.  ``timed_branch``
+    sections are timing attribution only — they either share an
+    existing family's name or mark infrastructure ('setup'), never a
+    row family of their own."""
+    import ast
+    import pathlib
+
+    budget = 8
+    root = pathlib.Path(__file__).parent.parent / (
+        "etl_extract_transform_load_spark"
+    )
+    offenders = []
+    for py in sorted(root.glob("queries_*.py")):
+        tree = ast.parse(py.read_text(encoding="utf-8"))
+        for fn in tree.body:
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            families = set()
+            for node in ast.walk(fn):
+                if not isinstance(node, ast.Call):
+                    continue
+                f = node.func
+                name = f.id if isinstance(f, ast.Name) else (
+                    f.attr if isinstance(f, ast.Attribute) else None
+                )
+                if name != "probe_branch":
+                    continue
+                if node.args and isinstance(node.args[0], ast.Constant) \
+                        and isinstance(node.args[0].value, str):
+                    families.add(node.args[0].value)
+            if len(families) > budget:
+                offenders.append(
+                    f"{py.name}:{fn.name}: {len(families)} branch "
+                    f"families (> {budget}): {sorted(families)}"
+                )
+    assert not offenders, offenders

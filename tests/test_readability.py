@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.01"
 
 def _ref_syllables(word: str) -> int:
     runs = len(re.findall(r"[aeiouy]+", word))
-    silent = len(re.findall(r"[b-df-km-z]e$", word))
+    silent = len(re.findall(r"[b-df-hj-km-np-tv-z]e$", word))
     return runs - silent if runs > silent else min(runs, 1)
 
 
@@ -44,6 +44,7 @@ TEXTS = [
     (6, ""),                             # no words -> NULL scores
     (7, None),
     (8, "one"),                          # no terminator -> 1 sentence
+    (9, "value argue queue"),            # vowel-e endings NOT silent
 ]
 
 
@@ -64,6 +65,9 @@ def test_readability_against_sequential_reference(spark):
     assert got[3].n_syllables == 6  # ta-ble lit-tle bot-tle
     assert got[4].n_syllables == 3
     assert got[5].n_syllables == 0
+    # vowel-e endings are vowel groups, not silent e (r8 ADVICE):
+    # value = runs {a, ue} = 2; argue = {a, ue} = 2; queue = {ueue} = 1
+    assert got[9].n_syllables == 5
 
 
 def test_readability_matches_oracle(spark):

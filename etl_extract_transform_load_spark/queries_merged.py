@@ -2689,11 +2689,38 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate_micro").alias("keep_buckets"),
         F.col("epochs_micro").alias("n_kept"),
     )
+    # sixth branch (r9): mixture-diversity report (scale/sampling.
+    # mixture_diversity) — the "is one domain eating the mixture"
+    # health row next to the budget plan (VERDICT r8 directive 4).
+    # One row: n_domains rides doc_id, total_tokens rides n_rows,
+    # shannon/effective_domains ride keep_buckets/n_kept as exact
+    # micro-units, top_share micro rides lang as a string.
+    from etl_extract_transform_load_spark.scale.sampling import (
+        mixture_diversity,
+    )
+
+    divers = mixture_diversity(docs, domain_col="source").select(
+        F.lit("divers").alias("part"),
+        F.col("n_domains").cast("long").alias("doc_id"),
+        F.round(F.col("top_share") * 1000000.0)
+        .cast("long")
+        .cast("string")
+        .alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("total_tokens").cast("long").alias("n_rows"),
+        F.round(F.col("shannon") * 1000000.0)
+        .cast("long")
+        .alias("keep_buckets"),
+        F.round(F.col("effective_domains") * 1000000.0)
+        .cast("long")
+        .alias("n_kept"),
+    )
     return (
         strat.unionByName(mix)
         .unionByName(split)
         .unionByName(weighted)
         .unionByName(budget)
+        .unionByName(divers)
     )
 
 
@@ -2792,6 +2819,34 @@ FROM (
            COALESCE(CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT),
                     0) AS planned_tokens
     FROM bf
+)
+UNION ALL
+-- micro rides are 0-dp rounds of the identical binary64 (tie-safe):
+-- the operator's effective/top are round(x*1e6)/1e6, so *1e6+round
+-- here recovers the exact integer
+SELECT 'divers', CAST(n_domains AS BIGINT),
+       CAST(CAST(ROUND(top * 1000000.0) AS BIGINT) AS VARCHAR),
+       NULL::VARCHAR, CAST(total_tokens AS BIGINT),
+       CAST(ROUND((0.0 - CAST(h AS DOUBLE)) * 1000000.0) AS BIGINT),
+       CAST(ROUND(EXP(0.0 - CAST(h AS DOUBLE)) * 1000000.0) AS BIGINT)
+FROM (
+    WITH dt AS (
+        SELECT source AS domain,
+               CAST(SUM(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                            TRIM(COALESCE(text, '')), '\\s+')) END)
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    dp AS (
+        SELECT tokens, CAST(tokens AS DOUBLE) / CAST(T AS DOUBLE) AS p, T
+        FROM (SELECT tokens FROM dt WHERE tokens > 0),
+             (SELECT SUM(tokens) AS T FROM dt WHERE tokens > 0)
+    )
+    SELECT COUNT(*) AS n_domains, MAX(T) AS total_tokens,
+           SUM(CAST(ROUND(p * LN(p), 6) AS DECIMAL(28,6))) AS h,
+           MAX(p) AS top
+    FROM dp
 )
 """
 
@@ -3149,6 +3204,36 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("max_cos").cast("double").alias("cos_sim"),
     )
+    # seventh branch (r9): simplified silhouette — clustering-quality
+    # score over the SAME checkpointed label-seeded centroids
+    # (scale/embeddings.simplified_silhouette; VERDICT r8 directive 4).
+    # Per-vector rows ride (vec_id, assigned label, sil in cos_sim);
+    # the per-cluster report rides the same 'sil' family with
+    # vec_id NULL (n in n_vectors, mean_sil in cos_sim).
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        silhouette_by_cluster,
+        simplified_silhouette,
+    )
+
+    with timed_branch("sil"):
+        sil_rows = simplified_silhouette(emb, cents).localCheckpoint()
+    sil = sil_rows.select(
+        F.lit("sil").alias("part"),
+        F.col("assigned_label").cast("int").alias("label"),
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sil").cast("double").alias("cos_sim"),
+    ).unionByName(
+        silhouette_by_cluster(sil_rows).select(
+            F.lit("sil").alias("part"),
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.lit(None).cast("string").alias("centroid_str"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col("mean_sil").cast("double").alias("cos_sim"),
+        )
+    )
     return (
         probe_branch(
             "centroids", cent_part(_serialize_centroid(cents), "centroids")
@@ -3166,6 +3251,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(probe_branch("quant", quant))
         .unionByName(probe_branch("semdedup", sem))
+        .unionByName(probe_branch("sil", sil))
     )
 
 
@@ -3175,6 +3261,7 @@ def _oracle_kmeans_cluster() -> str:
         ORACLE_KMEANS_ASSIGN,
         ORACLE_KMEANS_REFINE,
         ORACLE_LABEL_CENTROIDS,
+        oracle_silhouette_ctes,
         refine_oracle_sql,
     )
 
@@ -3234,6 +3321,21 @@ UNION ALL
 SELECT 'semdedup', CAST(label AS INT), CAST(n_better AS BIGINT),
        NULL::VARCHAR, CAST(vec_id AS BIGINT), CAST(max_cos AS DOUBLE)
 FROM ({semdedup_sql})
+UNION ALL
+SELECT 'sil', CAST(assigned_label AS INT), NULL::BIGINT, NULL::VARCHAR,
+       CAST(vec_id AS BIGINT), CAST(sil AS DOUBLE)
+FROM ({oracle_silhouette_ctes()}
+      SELECT vec_id, assigned_label, sil FROM silq)
+UNION ALL
+SELECT 'sil', CAST(label AS INT), CAST(n AS BIGINT), NULL::VARCHAR,
+       NULL::BIGINT, CAST(mean_sil AS DOUBLE)
+FROM ({oracle_silhouette_ctes()}
+      SELECT assigned_label AS label, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(sil * 1000000.0) AS DECIMAL(28,0)))
+                  AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_sil
+      FROM silq WHERE sil IS NOT NULL
+      GROUP BY assigned_label)
 """
 
 

@@ -782,6 +782,56 @@ ORACLE_LABEL_CENTROIDS = _serialize_centroid_sql(
 )
 
 
+def oracle_silhouette_ctes() -> str:
+    """Simplified-silhouette CTE block over the label-seeded centroids
+    — the DuckDB twin of ``scale.embeddings.simplified_silhouette``
+    (6-dp cosines, own = max cosine with label tiebreak, micro-unit
+    ratio).  Ends with the ``silq`` relation ``(vec_id,
+    assigned_label, sil)``; append a final SELECT.  ONE source of
+    truth shared by the pytest parity test
+    (``tests/test_silhouette.py``) and the ``kmeans_cluster`` 'sil'
+    carrier arm."""
+    return f"""
+WITH cent AS ({_centroid_sql('embeddings', 'label')}),
+scored AS (
+    SELECT e.vec_id,
+           c.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
+               AS cos
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
+         (SELECT * FROM cent
+          WHERE list_dot_product(centroid, centroid) > 0) c
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, label) AS rn
+    FROM scored
+),
+per_id AS (
+    SELECT vec_id,
+           MAX(CASE WHEN rn = 1 THEN label END) AS assigned_label,
+           MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+           MAX(CASE WHEN rn >= 2 THEN cos END) AS c2
+    FROM ranked GROUP BY vec_id
+),
+silq AS (
+    SELECT vec_id, assigned_label,
+           CAST(CASE WHEN c2 IS NULL THEN NULL
+                WHEN GREATEST(1.0 - c1, 1.0 - c2) > 0
+                THEN CAST(ROUND(((1.0 - c2) - (1.0 - c1))
+                          / GREATEST(1.0 - c1, 1.0 - c2)
+                          * 1000000.0) AS DECIMAL(28,0))
+                ELSE CAST(0 AS DECIMAL(28,0)) END AS DOUBLE)
+               / 1000000.0 AS sil
+    FROM per_id
+)
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_extract_transform_load_spark.scale.embeddings import (
         assign_to_centroids,

@@ -547,8 +547,11 @@ def mixture_diversity(
 
     Engine-portable: shares are exact integer ratios in double;
     per-domain entropy terms are 6-dp rounded BEFORE the decimal sum
-    (order-free), and the one exp/round happens on the identical
-    binary64.  One groupBy(domain) shuffle; state = |domains|."""
+    (order-free), and the final exp/share quantize through the
+    tie-safe micro-unit spelling — ``round(x·1e6)/1e6`` with a 0-dp
+    round of the identical binary64 in both engines, never re-rounded
+    (the ROUND(double, 6) near-half trap).  One groupBy(domain)
+    shuffle; state = |domains|."""
     from etl_extract_transform_load_spark.scale.text import (
         token_count_ws,
     )
@@ -575,8 +578,13 @@ def mixture_diversity(
         "n_domains",
         "total_tokens",
         (F.lit(0.0) - F.col("__h").cast("double")).alias("shannon"),
-        F.round(
-            F.exp(F.lit(0.0) - F.col("__h").cast("double")), 6
+        (
+            F.round(
+                F.exp(F.lit(0.0) - F.col("__h").cast("double")) * 1000000.0
+            )
+            / 1000000.0
         ).alias("effective_domains"),
-        F.round(F.col("__top"), 6).alias("top_share"),
+        (F.round(F.col("__top") * 1000000.0) / 1000000.0).alias(
+            "top_share"
+        ),
     )

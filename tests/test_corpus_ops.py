@@ -776,8 +776,8 @@ def test_mixture_diversity_reference_and_oracle(spark):
     ]
     h = -round(sum(terms), 10)
     assert abs(r.shannon - h) < 1e-9
-    assert abs(r.effective_domains - round(math.exp(h), 6)) < 1e-9
-    assert r.top_share == round(8 / 12, 6)
+    assert abs(r.effective_domains - round(math.exp(h) * 1e6) / 1e6) < 1e-9
+    assert r.top_share == round(8 / 12 * 1e6) / 1e6
 
     from etl_extract_transform_load_spark.sources.readers import load_table
 
@@ -805,8 +805,9 @@ ag AS (
 SELECT CAST(n_domains AS BIGINT) AS n_domains,
        CAST(total_tokens AS BIGINT) AS total_tokens,
        0.0 - CAST(h AS DOUBLE) AS shannon,
-       ROUND(EXP(0.0 - CAST(h AS DOUBLE)), 6) AS effective_domains,
-       ROUND(top, 6) AS top_share
+       ROUND(EXP(0.0 - CAST(h AS DOUBLE)) * 1000000.0) / 1000000.0
+           AS effective_domains,
+       ROUND(top * 1000000.0) / 1000000.0 AS top_share
 FROM ag
 """
     assert_matches_oracle(mixture_diversity(docs), sql, "/root/testdata/sf0.01")

@@ -122,53 +122,16 @@ def test_silhouette_matches_oracle(spark):
     """Strict parity over embeddings at sf0.01 with the label-seeded
     centroids — the same scored-CTE machinery as the kmeans oracle."""
     from etl_extract_transform_load_spark.queries_scale import (
-        _centroid_sql,
-        _NONZERO_EMB_SQL,
+        oracle_silhouette_ctes,
     )
     from etl_extract_transform_load_spark.sources.readers import load_table
 
     emb = load_table(spark, SF, "embeddings")
     sil = simplified_silhouette(emb, label_centroids(emb))
     per_cluster = silhouette_by_cluster(sil)
-    sql_base = f"""
-WITH cent AS ({_centroid_sql('embeddings', 'label')}),
-scored AS (
-    SELECT e.vec_id,
-           c.label,
-           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
-                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                          CAST(e.embedding AS DOUBLE[])))
-                    * SQRT(list_dot_product(c.centroid, c.centroid))), 6)
-               AS cos
-    FROM (SELECT * FROM embeddings
-          WHERE embedding IS NOT NULL AND {_NONZERO_EMB_SQL}) e,
-         (SELECT * FROM cent
-          WHERE list_dot_product(centroid, centroid) > 0) c
-),
-ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, label) AS rn
-    FROM scored
-),
-per_id AS (
-    SELECT vec_id,
-           MAX(CASE WHEN rn = 1 THEN label END) AS assigned_label,
-           MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
-           MAX(CASE WHEN rn >= 2 THEN cos END) AS c2
-    FROM ranked GROUP BY vec_id
-),
-silq AS (
-    SELECT vec_id, assigned_label,
-           CAST(CASE WHEN c2 IS NULL THEN NULL
-                WHEN GREATEST(1.0 - c1, 1.0 - c2) > 0
-                THEN CAST(ROUND(((1.0 - c2) - (1.0 - c1))
-                          / GREATEST(1.0 - c1, 1.0 - c2)
-                          * 1000000.0) AS DECIMAL(28,0))
-                ELSE CAST(0 AS DECIMAL(28,0)) END AS DOUBLE)
-               / 1000000.0 AS sil
-    FROM per_id
-)
-"""
+    # ONE source of truth: the same CTE block feeds the registered
+    # kmeans_cluster 'sil' carrier arm (r9)
+    sql_base = oracle_silhouette_ctes()
     assert_matches_oracle(
         sil, sql_base + "SELECT vec_id, assigned_label, sil FROM silq", SF
     )

@@ -2026,20 +2026,83 @@ def _bucket_sql(vec: str, bits: int) -> str:
     return f"({terms})"
 
 
+def _recall_rows(approx: DataFrame, brute: DataFrame, k: int) -> DataFrame:
+    """Per-query ``recall@k`` of an approximate top-k against the
+    exact brute-force top-k — the retrieval-QUALITY number tracked
+    per round alongside wall-time (VERDICT r8 directive 2).  One row
+    per query with brute results: ``part='recall'``, the hit fraction
+    riding ``cos_sim`` (|approx ∩ brute| / k — exact small rationals,
+    identical binary64 division in the SQL twin).  Deterministic
+    given data + index params: both top-k sets break ties by
+    (cos_sim DESC, vec_id), so a DuckDB twin reproduces it
+    bit-for-bit.  Scale shape: both inputs are already ≤ |queries|·k
+    rows — the join and aggregate are index-output-sized, never
+    corpus-sized."""
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = brute.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        F.lit("recall").alias("part"),
+        "query_id",
+        F.lit(None).cast("long").alias("vec_id"),
+        (
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("double") / float(k)
+        ).alias("cos_sim"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+
+
+#: Brute-force scored/rank CTE pair appended to an ANN oracle: the
+#: exact top-k over the same nonzero pool ``e`` and query set ``q``,
+#: then per-query hits of the approximate relation ``{approx}``.
+_RECALL_ORACLE_TAIL = """
+bscored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos_sim
+    FROM q JOIN e ON e.vec_id <> q.query_id
+),
+brank AS (
+    SELECT query_id, vec_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS r
+          FROM bscored)
+    WHERE r <= {k}
+),
+hits AS (
+    SELECT b.query_id, COUNT(i.vec_id) AS h
+    FROM brank b LEFT JOIN {approx} i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY b.query_id
+)
+"""
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k on the expression plan (bucket join of
     sign-bucket keys, sequential-fold cosine) — bit-replicable by the
     oracle, no driver-side corpus state. The Arrow variant stays as a
-    local accelerator."""
+    local accelerator.  Second family (r9): per-query ``recall@5`` of
+    the bucketed path vs the exact brute-force top-5 over the same
+    pool — the measured quality of the 1-table LSH shortcut."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return hyperplane_lsh_topk(emb, queries, k=5, bits=4)
+    lsh = hyperplane_lsh_topk(emb, queries, k=5, bits=4).localCheckpoint()
+    tagged = lsh.select(
+        F.lit("lsh").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
+    )
+    brute = brute_force_topk_arrow(emb, queries, k=5)
+    return tagged.unionByName(_recall_rows(lsh, brute, 5))
 
 
 def _oracle_topk_lsh(bits: int = 4, k: int = 5) -> str:
+    tail = _RECALL_ORACLE_TAIL.format(k=k, approx="lshq")
     return f"""
 WITH e AS (
     SELECT vec_id,
@@ -2050,17 +2113,24 @@ WITH e AS (
       AND list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) > 0),
 b AS (SELECT vec_id, v, n, {_bucket_sql('v', bits)} AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, bucket
+q AS (SELECT b.vec_id AS query_id, v AS qv, n AS qn, bucket
       FROM b WHERE vec_id < 10),
 scored AS (
     SELECT q.query_id, b.vec_id,
            ROUND(list_dot_product(q.qv, b.v) / (q.qn * b.n), 6) AS cos_sim
-    FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id)
-SELECT query_id, vec_id, cos_sim, rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, vec_id) AS rank
-      FROM scored)
-WHERE rank <= {k}
+    FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+lshq AS (
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}),
+{tail.strip().rstrip(',')}
+SELECT 'lsh' AS part, query_id, vec_id, cos_sim, rank FROM lshq
+UNION ALL
+SELECT 'recall', query_id, NULL::BIGINT,
+       CAST(h AS DOUBLE) / {float(k)}, NULL::BIGINT
+FROM hits
 """
 
 
@@ -2151,7 +2221,12 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-fold computation, so the DuckDB oracle replicates the
     index, the routing, and the scores bit-for-bit. (The MLlib-KMeans
     builder ``build_ivf_index`` is the production path for corpora
-    without a seed partition; same probe, pytest-covered.)"""
+    without a seed partition; same probe, pytest-covered.)
+    Second family (r9): per-query ``recall@5`` of the nprobe-routed
+    path vs the exact brute-force top-5 — the coverage cost of
+    scanning only nprobe clusters, now a hash-tracked number (the
+    pytest point assertion in ``test_plans_ivf.py`` stays as the
+    operator-level floor)."""
     from etl_extract_transform_load_spark.scale.ivf import (
         build_ivf_index_deterministic,
         ivf_topk,
@@ -2163,7 +2238,14 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     index = build_ivf_index_deterministic(emb)
-    return ivf_topk(index, queries, k=5, nprobe=4)
+    ivf = ivf_topk(
+        index, queries, k=_IVF_K, nprobe=_IVF_NPROBE
+    ).localCheckpoint()
+    tagged = ivf.select(
+        F.lit("ivf").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
+    )
+    brute = brute_force_topk_arrow(emb, queries, k=_IVF_K)
+    return tagged.unionByName(_recall_rows(ivf, brute, _IVF_K))
 
 
 _IVF_NPROBE, _IVF_K = 4, 5
@@ -2218,12 +2300,20 @@ scored AS (
     JOIN e ON e.vec_id = a.vec_id
     JOIN q ON q.query_id = r.query_id
     WHERE a.vec_id <> r.query_id
-)
-SELECT query_id, vec_id, cos_sim, rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, vec_id) AS rank
-      FROM scored)
-WHERE rank <= {_IVF_K}
+),
+ivfq AS (
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {_IVF_K}
+),
+{_RECALL_ORACLE_TAIL.format(k=_IVF_K, approx="ivfq").strip()}
+SELECT 'ivf' AS part, query_id, vec_id, cos_sim, rank FROM ivfq
+UNION ALL
+SELECT 'recall', query_id, NULL::BIGINT,
+       CAST(h AS DOUBLE) / {float(_IVF_K)}, NULL::BIGINT
+FROM hits
 """.format(cent=_centroid_sql("embeddings", "label"))
 
 

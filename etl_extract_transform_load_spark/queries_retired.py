@@ -778,6 +778,7 @@ def retired_checks() -> dict:
         "heavy_hitters": (retired_heavy_hitters, ORACLE_HEAVY),
         "pagerank": (retired_pagerank, oracle_pagerank()),
         "adamic_adar": (retired_adamic_adar, ORACLE_ADAMIC_ADAR),
+        "nb_word": (retired_nb_word, oracle_nb_word()),
     }
 
 
@@ -1026,3 +1027,28 @@ FROM aascore s
 WHERE NOT EXISTS (SELECT 1 FROM pairs
                   WHERE pairs.id_a = s.a2 AND pairs.id_b = s.b2)
 """
+
+
+# --- retired text_quality_signals branches ------------------------------------
+
+
+def retired_nb_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-token multinomial Naive Bayes language ID — the r6
+    ``text_quality_signals`` leg, superseded on the carrier by the
+    char-trigram variant in r9 (same ``scale.nbayes`` fit/predict
+    machinery under a different tokenizer).  Fit on the even-id
+    labeled slice, predict every doc."""
+    from etl_extract_transform_load_spark.scale.nbayes import (
+        nb_fit,
+        nb_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, priors = nb_fit(docs.filter(F.col("doc_id") % 2 == 0))
+    return nb_predict(docs, model, priors)
+
+
+def oracle_nb_word() -> str:
+    from etl_extract_transform_load_spark.scale.nbayes import oracle_nb_sql
+
+    return oracle_nb_sql("doc_id % 2 = 0")

@@ -34,9 +34,74 @@ from etl_extract_transform_load_spark.scale.text import lower_simple, tokens
 _DEC = "decimal(28,6)"
 
 
-def _tok(df: DataFrame, text_col: str, id_col: str, *extra: str) -> DataFrame:
+def _tok(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *extra: str,
+    tokenizer=None,
+    char_n: int | None = None,
+) -> DataFrame:
+    if char_n is not None:
+        return _char_tok(df, text_col, id_col, char_n, *extra)
+    tk = tokenizer or (lambda c: tokens(lower_simple(c)))
     return df.select(
-        id_col, *extra, F.explode(tokens(lower_simple(F.col(text_col)))).alias("token")
+        id_col, *extra, F.explode(tk(F.col(text_col))).alias("token")
+    )
+
+
+def _char_tok(
+    df: DataFrame, text_col: str, id_col: str, n: int, *extra: str
+) -> DataFrame:
+    """Exploded overlapping char n-grams of the trimmed lowercase
+    text, spaces kept (word-boundary evidence — the langid.py / CLD
+    feature design).
+
+    Deliberately NOT a higher-order ``transform`` over the string:
+    Spark HOF lambdas are interpreted and re-evaluate the lambda's
+    child expressions per element, so ``substring(trim(lower(text)),
+    i, n)`` inside a lambda costs O(len) per gram = O(len²) per
+    document (measured 20 s for 1.5M grams at sf0.1). Instead the
+    prepped string is materialized ONCE as a column (two selects —
+    CollapseProject keeps multi-referenced non-cheap aliases), the
+    positions explode, and the substring runs on the attribute in
+    whole-stage codegen."""
+    s = F.trim(lower_simple(F.col(text_col)))
+    base = df.select(id_col, *extra, s.alias("__nbs"))
+    idx = base.select(
+        id_col,
+        *extra,
+        "__nbs",
+        F.explode(
+            F.when(
+                F.length("__nbs") >= n,
+                F.sequence(F.lit(1), F.length("__nbs") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    return idx.select(
+        id_col,
+        *extra,
+        F.substring(F.col("__nbs"), F.col("__i"), F.lit(n)).alias("token"),
+    )
+
+
+def nb_term_freq(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer=None,
+    char_n: int | None = None,
+) -> DataFrame:
+    """Public face of the feature explode: ``(id, token, tf)`` term
+    frequencies.  Materialize (checkpoint/persist) and pass to BOTH
+    :func:`nb_fit` (as ``doc_tf``, when the training docs are a slice
+    of the scored corpus) and :func:`nb_predict` to pay the corpus
+    explode ONCE — the ``dsir_gram_features`` convention."""
+    return (
+        _tok(docs, text_col, id_col, tokenizer=tokenizer, char_n=char_n)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
@@ -45,8 +110,19 @@ def nb_fit(
     label_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
+    char_n: int | None = None,
+    doc_tf: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit on labeled documents (NULL labels excluded).
+
+    Features default to lowercase whitespace words.  ``char_n=3``
+    switches to overlapping char trigrams of the trimmed lowercase
+    text — the standard language-ID feature set (Cavnar & Trenkle
+    1994; langid.py), via the codegen explode path (see
+    :func:`_char_tok`).  ``tokenizer`` accepts an arbitrary
+    Column→array-Column callable for custom features.  Fit and
+    predict must use the SAME feature settings.
 
     Returns ``(model, priors)``:
 
@@ -60,10 +136,25 @@ def nb_fit(
     labeled = train.filter(
         F.col(label_col).isNotNull() & (F.col(label_col) != "")
     )
-    tok = _tok(labeled, text_col, id_col, label_col)
-    counts = tok.groupBy(label_col, "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    if doc_tf is not None:
+        # shared-features path: restrict the standing (id, token, tf)
+        # table to the labeled training docs and sum tf — identical
+        # counts to the direct explode, which is never re-run
+        # no broadcast hint: the labeled slice can be half the corpus
+        # at scale — AQE picks the strategy
+        counts = (
+            doc_tf.join(labeled.select(id_col, label_col), id_col)
+            .groupBy(label_col, "token")
+            .agg(F.sum("tf").alias("cnt"))
+        )
+    else:
+        tok = _tok(
+            labeled, text_col, id_col, label_col,
+            tokenizer=tokenizer, char_n=char_n,
+        )
+        counts = tok.groupBy(label_col, "token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     class_tot = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     vocab = counts.select("token").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
@@ -111,31 +202,43 @@ def nb_predict(
     priors: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
+    char_n: int | None = None,
+    doc_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Predict one row per input document: ``(id_col, nb_pred,
     nb_score)`` — the argmax class by summed log-probability (ties
     break by label ascending; a tokenless document scores priors
-    only).  ``nb_score`` is the winning class's 6-dp total."""
+    only).  ``nb_score`` is the winning class's 6-dp total.
+    ``tokenizer`` / ``char_n`` must match :func:`nb_fit`; pass the
+    materialized :func:`nb_term_freq` table as ``doc_tf`` to skip the
+    explode."""
     tf = (
-        _tok(docs, text_col, id_col)
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    model_tokens = model.select("token").distinct()
-    matched = (
-        tf.join(model, "token")
-        .select(
-            id_col,
-            "label",
-            F.round(F.col("tf") * F.col("logp"), 6).cast(_DEC).alias("term"),
+        doc_tf
+        if doc_tf is not None
+        else nb_term_freq(
+            docs, text_col, id_col, tokenizer=tokenizer, char_n=char_n
         )
-        .groupBy(id_col, "label")
-        .agg(F.sum("term").cast("double").alias("msum"))
     )
-    oov = (
-        tf.join(model_tokens, "token", "left_anti")
-        .groupBy(id_col)
-        .agg(F.sum("tf").alias("n_oov"))
+    # ONE pass over tf (r9): a left join against the broadcast model
+    # covers both faces — vocab tokens fan out to C class rows with
+    # their 6-dp terms, OOV tokens surface as the label-NULL group
+    # whose tf-sum is exactly n_oov. The old spelling (inner join +
+    # separate left_anti) recomputed the tf aggregate lineage twice.
+    # Identical values by construction (the per-doc OOV mass is still
+    # rounded ONCE via n_oov · oov_logp below, never per token).
+    joined = tf.join(F.broadcast(model), "token", "left")
+    agg1 = joined.groupBy(id_col, "label").agg(
+        F.sum(
+            F.round(F.col("tf") * F.col("logp"), 6).cast(_DEC)
+        ).alias("msum_dec"),
+        F.sum("tf").alias("tfsum"),
+    )
+    matched = agg1.filter(F.col("label").isNotNull()).select(
+        id_col, "label", F.col("msum_dec").cast("double").alias("msum")
+    )
+    oov = agg1.filter(F.col("label").isNull()).select(
+        id_col, F.col("tfsum").alias("n_oov")
     )
     base = docs.select(id_col).crossJoin(F.broadcast(priors))
     scored = (
@@ -177,10 +280,15 @@ def oracle_nb_sql(
     label_col: str = "lang",
     table: str = "documents",
     id_col: str = "doc_id",
+    toks_sql: str | None = None,
 ) -> str:
     """DuckDB twin of fit-on-slice + predict-on-all: same tokenizer,
-    same smoothing, same 6-dp round points, same pinned additions."""
-    toks = (
+    same smoothing, same 6-dp round points, same pinned additions.
+    ``toks_sql`` overrides the feature expression (default lowercase
+    whitespace words) — pass
+    ``oracle_char_ngram_sql("LOWER(COALESCE(text, ''))", 3)`` to twin
+    the char-trigram language-ID variant."""
+    toks = toks_sql or (
         "CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''"
         " THEN CAST([] AS VARCHAR[])"
         " ELSE regexp_split_to_array(TRIM(LOWER(COALESCE(text, ''))),"

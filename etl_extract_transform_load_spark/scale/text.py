@@ -67,6 +67,34 @@ def token_count_ws(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def char_ngram_tokens(col: Column, n: int = 3) -> Column:
+    """Overlapping character n-grams of a trimmed string ('' or
+    shorter-than-n → empty array).  Spaces are KEPT — for language ID
+    they carry word-boundary evidence ('the ' vs ' der'), the standard
+    langid.py / CLD feature design.  Pure expressions, one scan."""
+    trimmed = F.trim(col)
+    return F.when(
+        F.length(trimmed) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(trimmed) - (n - 1)),
+            lambda i: F.substring(trimmed, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def oracle_char_ngram_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`char_ngram_tokens` over the SQL string
+    expression ``expr`` — ``range(1, k)`` is end-exclusive, so the
+    upper bound is ``len - n + 2``."""
+    t = f"TRIM({expr})"
+    return (
+        f"CASE WHEN LENGTH({t}) >= {n}"
+        f" THEN list_transform(range(1, LENGTH({t}) - {n - 1} + 1),"
+        f" i -> substring({t}, i, {n}))"
+        f" ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def token_count_bpe(col: Column) -> Column:
     """BPE-ish token count: words / digit runs / punctuation runs
     counted separately (regexp_count stays JVM-side)."""

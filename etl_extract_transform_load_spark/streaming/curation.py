@@ -1,0 +1,273 @@
+"""Streaming curation funnel — the continuous-ingest face of
+``examples/curation_pipeline.py`` (VERDICT r8 directive 7).
+
+Documents arrive as micro-batches; each batch does O(batch) work,
+folding into three STANDING tables that live in storage between
+batches (the ``minhash_index_upsert`` convention — no batch ever
+re-reads the whole corpus's text):
+
+- **exact index** ``(text_md5, keep_id)`` — per-content minimum id.
+  The fold is an associative MIN, so any batch split in any order
+  converges to the one-shot ``exact_dup_clusters`` survivors.
+- **near-dup pair set** — each batch upserts the standing MinHash
+  signature index and queries ITSELF against it (old pairs never
+  recompute); the accumulated pair set equals the one-shot
+  ``minhash_lsh_pairs`` rebuild (pinned in
+  ``tests/test_streaming_incremental_dedup.py``).
+- **DSIR bucket counts** ``(feature, t_count, r_count)`` — the
+  ``dsir_counts_update`` integer fold (associative + commutative),
+  target side = the batch's ``lang == target_lang`` slice.
+
+The quality gate is stateless (per-doc expressions), so it runs
+inside the batch before any fold. At drain time
+:func:`finalize_curation` derives the funnel ENTIRELY from standing
+state + the gated-docs store: exact survivors (join against the
+final exact index), near-dup survivors (components of the
+accumulated pairs), DSIR scores + deterministic Gumbel resampling
+(hash uniforms — reproducible across any batching), and the
+token-budget mixture plan. Every derivation is a deterministic
+function of tables whose folds are order-free, so the streaming
+funnel is EXACTLY the batch funnel on the same documents — the pin
+``tests/test_streaming_curation.py`` asserts on randomized splits.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Standing-table subdirectories under the funnel's state dir.
+EXACT_DIR = "exact_index"
+MINHASH_DIR = "minhash_index"
+PAIRS_DIR = "pairs"
+COUNTS_DIR = "dsir_counts"
+GATED_DIR = "gated_docs"
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Stateless per-document quality gate shared by the streaming
+    fold and the batch reference: non-empty text, sane quality score,
+    non-degenerate character entropy.  (The same policy as
+    ``examples/curation_pipeline.py`` minus the corpus-level
+    perplexity stage, which is model-relative, not per-doc.)"""
+    from etl_extract_transform_load_spark.scale.text import (
+        char_entropy,
+        text_stats,
+    )
+
+    sig = text_stats(docs).join(char_entropy(docs), "doc_id")
+    return sig.filter(
+        (F.length("text") > 0)
+        & (F.col("quality_score") >= 1.0 / 3.0)
+        & (F.col("entropy") > 1.0)
+    ).select(*docs.columns)
+
+
+def _latest(state_dir: str, name: str) -> str | None:
+    root = os.path.join(state_dir, name)
+    if not os.path.isdir(root):
+        return None
+    versions = sorted(
+        (int(v[1:]) for v in os.listdir(root) if v.startswith("v")),
+        reverse=True,
+    )
+    return os.path.join(root, f"v{versions[0]}") if versions else None
+
+
+def curation_batch_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    target_lang: str = "en",
+    threshold: float = 0.3,
+) -> None:
+    """Fold one micro-batch into the standing curation state.
+
+    Work is O(batch): the exact/DSIR folds touch the batch plus a
+    bounded standing table; the MinHash step probes the standing
+    index with the batch's bands only.  Designed for
+    ``streaming.ingest.foreach_batch_ingest``."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        exact_dup_clusters,
+        minhash_index_query_pairs,
+        minhash_index_upsert,
+    )
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_counts_update,
+    )
+
+    batch = batch_df.localCheckpoint()  # stable within the batch
+    if batch.rdd.isEmpty():
+        return
+    gated = quality_gate(batch).localCheckpoint()
+
+    # --- gated-docs store (finalize needs survivor text) ---------------
+    gated.write.mode("append").parquet(os.path.join(state_dir, GATED_DIR))
+
+    # --- exact index: associative per-content MIN fold ------------------
+    prev = _latest(state_dir, EXACT_DIR)
+    delta = exact_dup_clusters(gated).select("text_md5", "keep_id")
+    merged = (
+        delta
+        if prev is None
+        else spark.read.parquet(prev)
+        .unionByName(delta)
+        .groupBy("text_md5")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
+    merged.write.parquet(
+        os.path.join(state_dir, EXACT_DIR, f"v{batch_id}")
+    )
+
+    # --- near-dup: standing signature index upsert + self-query ---------
+    prev_idx = _latest(state_dir, MINHASH_DIR)
+    index = minhash_index_upsert(
+        spark.read.parquet(prev_idx) if prev_idx else None, gated
+    )
+    index.write.parquet(
+        os.path.join(state_dir, MINHASH_DIR, f"v{batch_id}")
+    )
+    seen = spark.read.parquet(os.path.join(state_dir, GATED_DIR))
+    new_pairs = minhash_index_query_pairs(
+        spark.read.parquet(
+            os.path.join(state_dir, MINHASH_DIR, f"v{batch_id}")
+        ),
+        seen,
+        gated.select("doc_id"),
+        threshold=threshold,
+        cache=False,
+    )
+    new_pairs.write.mode("append").parquet(
+        os.path.join(state_dir, PAIRS_DIR)
+    )
+
+    # --- DSIR standing counts: raw = gated batch, target = lang slice ---
+    prev_cnt = _latest(state_dir, COUNTS_DIR)
+    state = spark.read.parquet(prev_cnt) if prev_cnt else None
+    state = dsir_counts_update(state, gated, side="raw")
+    state = dsir_counts_update(
+        state, gated.filter(F.col("lang") == target_lang), side="target"
+    )
+    state.write.parquet(
+        os.path.join(state_dir, COUNTS_DIR, f"v{batch_id}")
+    )
+
+
+def finalize_curation(
+    spark: SparkSession,
+    state_dir: str,
+    keep_frac: float = 0.9,
+    budget_tokens: int = 50_000,
+    target_mix: Mapping[str, float] | None = None,
+) -> dict[str, DataFrame]:
+    """Derive the funnel from the drained standing state: exact
+    survivors → near-dup survivors → DSIR Gumbel selection → token
+    budget plan.  Returns the funnel faces as DataFrames
+    (``gated``/``exact``/``near``/``selected``/``budget``).  Every
+    step is a deterministic function of order-free folds, so the
+    result is EXACTLY the batch funnel over the same documents."""
+    from etl_extract_transform_load_spark.scale.components import (
+        dedup_survivors,
+    )
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_gram_features,
+        dsir_gumbel_topk,
+        dsir_logratios_from_counts,
+        dsir_scores,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        token_budget_plan,
+    )
+
+    gated = spark.read.parquet(os.path.join(state_dir, GATED_DIR))
+    exact_idx = spark.read.parquet(_latest(state_dir, EXACT_DIR))
+    exact = gated.join(
+        exact_idx.select(F.col("keep_id").alias("doc_id")), "doc_id",
+        "left_semi",
+    )
+    pairs_dir = os.path.join(state_dir, PAIRS_DIR)
+    if os.path.isdir(pairs_dir):
+        pairs = spark.read.parquet(pairs_dir)
+        near = dedup_survivors(exact, pairs)
+    else:
+        near = exact
+    weights = dsir_logratios_from_counts(
+        spark.read.parquet(_latest(state_dir, COUNTS_DIR))
+    )
+    feats = dsir_gram_features(near)
+    scores = dsir_scores(near, weights, features=feats)
+    n_keep = max(int(near.count() * keep_frac), 1)
+    picked = dsir_gumbel_topk(scores, n_keep).select("doc_id")
+    selected = near.join(picked, "doc_id", "left_semi")
+    budget = token_budget_plan(
+        selected,
+        target_mix or {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens,
+        domain_col="source",
+    )
+    return {
+        "gated": gated,
+        "exact": exact,
+        "near": near,
+        "selected": selected,
+        "budget": budget,
+    }
+
+
+def batch_reference_curation(
+    docs: DataFrame,
+    keep_frac: float = 0.9,
+    budget_tokens: int = 50_000,
+    target_mix: Mapping[str, float] | None = None,
+    target_lang: str = "en",
+    threshold: float = 0.3,
+) -> dict[str, DataFrame]:
+    """The one-shot batch funnel the streaming fold must reproduce —
+    the same operators the streaming path folds incrementally, run
+    directly over the full corpus."""
+    from etl_extract_transform_load_spark.scale.components import (
+        dedup_survivors,
+    )
+    from etl_extract_transform_load_spark.scale.dedup import (
+        drop_exact_dups,
+        minhash_lsh_pairs,
+    )
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_gram_features,
+        dsir_gumbel_topk,
+        dsir_logratios,
+        dsir_scores,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        token_budget_plan,
+    )
+
+    gated = quality_gate(docs)
+    exact = drop_exact_dups(gated)
+    pairs = minhash_lsh_pairs(gated, threshold=threshold, cache=False)
+    near = dedup_survivors(exact, pairs)
+    weights = dsir_logratios(
+        gated.filter(F.col("lang") == target_lang), gated
+    )
+    feats = dsir_gram_features(near)
+    scores = dsir_scores(near, weights, features=feats)
+    n_keep = max(int(near.count() * keep_frac), 1)
+    picked = dsir_gumbel_topk(scores, n_keep).select("doc_id")
+    selected = near.join(picked, "doc_id", "left_semi")
+    budget = token_budget_plan(
+        selected,
+        target_mix or {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens,
+        domain_col="source",
+    )
+    return {
+        "gated": gated,
+        "exact": exact,
+        "near": near,
+        "selected": selected,
+        "budget": budget,
+    }

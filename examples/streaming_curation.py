@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Continuous-ingest training-data curation — the streaming face of
+``examples/curation_pipeline.py``:
+
+    file stream (one file per micro-batch)
+      → per-batch quality gate (stateless)
+      → fold into STANDING state, O(batch) per batch:
+          exact content index (per-content min id),
+          MinHash signature index + accumulated near-dup pairs,
+          DSIR target/raw bucket counts
+      → at drain: survivors → DSIR Gumbel selection → token budget
+
+Every fold is associative and order-free, so the drained funnel is
+EXACTLY the batch funnel over the same documents
+(pytest-pinned on randomized splits in
+``tests/test_streaming_curation.py``). Run:
+
+    python examples/streaming_curation.py [sf_dir] [work_dir]
+
+(defaults: /root/testdata/sf0.001, /tmp/streaming_curation).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.sources.readers import load_table
+from etl_extract_transform_load_spark.streaming.curation import (
+    curation_batch_fold,
+    finalize_curation,
+)
+from etl_extract_transform_load_spark.streaming.ingest import (
+    file_stream_source,
+    foreach_batch_ingest,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/streaming_curation"
+    shutil.rmtree(work, ignore_errors=True)
+    spark = get_spark(app_name="streaming_curation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # stage the corpus as 4 files = 4 micro-batches
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = os.path.join(work, "src")
+    docs.repartition(4).write.parquet(src)
+    n0 = docs.count()
+    print(f"[1/4] staged           {n0:>7} docs as 4 micro-batch files")
+
+    state_dir = os.path.join(work, "state")
+    folds = {"n": 0}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        curation_batch_fold(spark, batch_df, state_dir, batch_id)
+        folds["n"] += 1
+
+    stream = file_stream_source(
+        spark, src, schema=docs.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, os.path.join(work, "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+    print(f"[2/4] drained          {folds['n']} micro-batches folded")
+
+    funnel = finalize_curation(spark, state_dir)
+    counts = {k: funnel[k].count() for k in
+              ("gated", "exact", "near", "selected")}
+    print(
+        "[3/4] funnel           "
+        f"gated {counts['gated']} -> exact {counts['exact']} -> "
+        f"near {counts['near']} -> selected {counts['selected']}"
+    )
+    print("[4/4] token budget plan:")
+    for r in funnel["budget"].orderBy(F.desc("tokens")).collect():
+        print(
+            f"       {r.domain:>6}: {r.tokens:>7} tokens, target "
+            f"{r.target_tokens}, rate {r.rate_micro}, epochs "
+            f"{r.epochs_micro}"
+        )
+
+
+if __name__ == "__main__":
+    main()

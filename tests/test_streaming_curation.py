@@ -1,0 +1,127 @@
+"""The streaming curation funnel (streaming/curation.py) under REAL
+micro-batch execution must reproduce the one-shot batch funnel
+EXACTLY, on randomized batch splits — the end-to-end composition pin
+of the standing-state folds (exact min-id index, MinHash pair
+accumulation, DSIR count fold) the r7/r8 rounds proved piecewise
+(VERDICT r8 directive 7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, salt: int):
+    """~130 docs with PLANTED cross-batch exact and near dups: exact
+    copies and one-token edits of low-id docs re-enter with high ids,
+    so survivors depend on folds meeting across batches.  ``salt``
+    shuffles which file (micro-batch) each doc lands in."""
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .limit(110)
+    )
+    exact_dups = base.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text", "lang", "source"
+    )
+    near_dups = base.filter(
+        (F.col("doc_id") >= 6) & (F.col("doc_id") < 12)
+    ).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang",
+        "source",
+    )
+    all_docs = base.unionByName(exact_dups).unionByName(near_dups)
+    # deterministic pseudo-random batch assignment, salted per case
+    return all_docs.withColumn(
+        "__b", F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(4))
+    )
+
+
+def _run_stream(spark, tmp_path, docs):
+    from etl_extract_transform_load_spark.streaming.curation import (
+        curation_batch_fold,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    docs.repartition(4, "__b").drop("__b").write.parquet(src)
+    state_dir = str(tmp_path / "state")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        curation_batch_fold(spark, batch_df, state_dir, batch_id)
+
+    schema = docs.drop("__b").schema
+    stream = file_stream_source(
+        spark, src, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+@pytest.mark.parametrize("salt", [1, 2])
+def test_streaming_funnel_equals_batch_funnel(spark, tmp_path, salt):
+    from etl_extract_transform_load_spark.streaming.curation import (
+        batch_reference_curation,
+        finalize_curation,
+    )
+
+    docs = _docs(spark, salt)
+    state_dir = _run_stream(spark, tmp_path, docs)
+    got = finalize_curation(spark, state_dir)
+    want = batch_reference_curation(docs.drop("__b"))
+
+    def ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    # every funnel stage agrees exactly
+    assert ids(got["gated"]) == ids(want["gated"])
+    assert ids(got["exact"]) == ids(want["exact"])
+    assert ids(got["near"]) == ids(want["near"])
+    assert ids(got["selected"]) == ids(want["selected"])
+    # the funnel actually funnels: planted dups died, selection cut 10%
+    assert ids(got["exact"]) < ids(got["gated"])
+    assert ids(got["near"]) < ids(got["exact"])
+    assert len(ids(got["selected"])) < len(ids(got["near"]))
+    # the budget plan rows agree exactly (rates/epochs included)
+    def plan(df):
+        return {
+            (
+                r.domain, r.tokens, r.target_tokens,
+                r.rate_micro, r.epochs_micro, r.planned_tokens,
+            )
+            for r in df.collect()
+        }
+
+    assert plan(got["budget"]) == plan(want["budget"])
+    assert plan(got["budget"])  # non-trivial
+
+
+def test_streaming_funnel_salts_change_batching_not_result(spark, tmp_path):
+    """Two different batch assignments of the SAME corpus converge to
+    the same selected set — order-freedom of every fold."""
+    from etl_extract_transform_load_spark.streaming.curation import (
+        finalize_curation,
+    )
+
+    a = _run_stream(spark, tmp_path / "a", _docs(spark, 11))
+    b = _run_stream(spark, tmp_path / "b", _docs(spark, 12))
+    sa = {
+        r.doc_id
+        for r in finalize_curation(spark, a)["selected"].collect()
+    }
+    sb = {
+        r.doc_id
+        for r in finalize_curation(spark, b)["selected"].collect()
+    }
+    assert sa == sb

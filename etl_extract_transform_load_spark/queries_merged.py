@@ -2218,7 +2218,17 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab, tfidf, dsir, bm25, hashed, cluster, ppmi, rrf — the
     carrier budget; the retired oov/heavy legs stay hash-verified in
     tests/test_retired_branches.py). The global vocabulary
-    aggregation is checkpointed and shared."""
+    aggregation is checkpointed and shared.
+
+    RETIREMENT PRE-PLAN (VERDICT r8 directive 6): the carrier is at
+    its 8-family budget — when the next vocab-tier operator lands,
+    `ppmi` retires first (its operator keeps sequential-reference
+    pytests in test_corpus_ops.py and has no shared-materialization
+    coupling to the vocab checkpoint; per convention it moves to
+    queries_retired.py WITH its oracle arm, strict-gated from
+    pytest), then `cluster` (same coverage shape).
+    `dsir`/`bm25`/`rrf` stay: they are this carrier's unique
+    data-selection/retrieval evidence."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_tfidf_top_terms,
     )

@@ -2015,18 +2015,22 @@ def _planes_sql(bits: int, dim: int = 64, seed: int = 42) -> list[str]:
     ]
 
 
-def _bucket_sql(vec: str, bits: int) -> str:
+def _bucket_sql(vec: str, bits: int, seed: int = 42) -> str:
     """Sign-bucket id over the embedded planes — mirrors
-    ``similarity.lsh_bucket`` term by term (sequential-fold dots)."""
+    ``similarity.lsh_bucket`` term by term (sequential-fold dots).
+    ``seed`` selects the plane set (table t of the multi-table
+    variant uses ``42 + 1000*t``)."""
     terms = " + ".join(
         f"(CASE WHEN list_dot_product({vec}, {plane}) >= 0"
         f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i, plane in enumerate(_planes_sql(bits))
+        for i, plane in enumerate(_planes_sql(bits, seed=seed))
     )
     return f"({terms})"
 
 
-def _recall_rows(approx: DataFrame, brute: DataFrame, k: int) -> DataFrame:
+def _recall_rows(
+    approx: DataFrame, brute: DataFrame, k: int, part: str = "recall"
+) -> DataFrame:
     """Per-query ``recall@k`` of an approximate top-k against the
     exact brute-force top-k — the retrieval-QUALITY number tracked
     per round alongside wall-time (VERDICT r8 directive 2).  One row
@@ -2046,7 +2050,7 @@ def _recall_rows(approx: DataFrame, brute: DataFrame, k: int) -> DataFrame:
     )
     base = brute.select("query_id").distinct()
     return base.join(hits, "query_id", "left").select(
-        F.lit("recall").alias("part"),
+        F.lit(part).alias("part"),
         "query_id",
         F.lit(None).cast("long").alias("vec_id"),
         (
@@ -2085,9 +2089,17 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k on the expression plan (bucket join of
     sign-bucket keys, sequential-fold cosine) — bit-replicable by the
     oracle, no driver-side corpus state. The Arrow variant stays as a
-    local accelerator.  Second family (r9): per-query ``recall@5`` of
-    the bucketed path vs the exact brute-force top-5 over the same
-    pool — the measured quality of the 1-table LSH shortcut."""
+    local accelerator.  Families (r9): per-query ``recall@5`` of the
+    bucketed path vs the exact brute-force top-5 over the same pool —
+    the measured quality of the 1-table LSH shortcut — plus the
+    MULTI-TABLE variant (`lshmulti`, 4 independent 4-bit tables,
+    table 0 = the single table's planes) with its own
+    ``recall_multi`` rows: the recall-vs-cost lever, hash-tracked
+    side by side."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        hyperplane_lsh_topk_multi,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
@@ -2097,12 +2109,42 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = lsh.select(
         F.lit("lsh").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
     )
-    brute = brute_force_topk_arrow(emb, queries, k=5)
-    return tagged.unionByName(_recall_rows(lsh, brute, 5))
+    multi = hyperplane_lsh_topk_multi(
+        emb, queries, k=5, bits=4, tables=4
+    ).localCheckpoint()
+    tagged_multi = multi.select(
+        F.lit("lshmulti").alias("part"),
+        "query_id", "vec_id", "cos_sim", "rank",
+    )
+    brute = brute_force_topk_arrow(emb, queries, k=5).localCheckpoint()
+    return (
+        tagged.unionByName(_recall_rows(lsh, brute, 5))
+        .unionByName(tagged_multi)
+        .unionByName(_recall_rows(multi, brute, 5, part="recall_multi"))
+    )
 
 
-def _oracle_topk_lsh(bits: int = 4, k: int = 5) -> str:
+def _oracle_topk_lsh(bits: int = 4, k: int = 5, tables: int = 4) -> str:
     tail = _RECALL_ORACLE_TAIL.format(k=k, approx="lshq")
+    # multi-table legs: per-table bucket columns (table t's planes are
+    # seeded 42 + 1000*t, table 0 == the single table), union of
+    # same-bucket candidates, duplicates collapsed by MAX of the
+    # identical 6-dp cosines — mirrors hyperplane_lsh_topk_multi
+    multi_ctes = ",\n".join(
+        f"mt{t} AS (SELECT vec_id, v, n,"
+        f" {_bucket_sql('v', bits, 42 + 1000 * t)} AS mb FROM e),\n"
+        f"mq{t} AS (SELECT query_id, qv, qn,"
+        f" {_bucket_sql('qv', bits, 42 + 1000 * t)} AS mb FROM q)"
+        for t in range(tables)
+    )
+    multi_legs = "\n    UNION ALL ".join(
+        f"SELECT mq{t}.query_id, mt{t}.vec_id,"
+        f" ROUND(list_dot_product(mq{t}.qv, mt{t}.v)"
+        f" / (mq{t}.qn * mt{t}.n), 6) AS cos_sim"
+        f" FROM mq{t} JOIN mt{t} ON mt{t}.mb = mq{t}.mb"
+        f" AND mt{t}.vec_id <> mq{t}.query_id"
+        for t in range(tables)
+    )
     return f"""
 WITH e AS (
     SELECT vec_id,
@@ -2125,12 +2167,35 @@ lshq AS (
                                        ORDER BY cos_sim DESC, vec_id) AS rank
           FROM scored)
     WHERE rank <= {k}),
-{tail.strip().rstrip(',')}
+{multi_ctes},
+mcand AS (
+    SELECT query_id, vec_id, MAX(cos_sim) AS cos_sim
+    FROM ({multi_legs})
+    GROUP BY query_id, vec_id),
+mrank AS (
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM mcand)
+    WHERE rank <= {k}),
+{tail.strip().rstrip(',')},
+mhits AS (
+    SELECT b.query_id, COUNT(i.vec_id) AS h
+    FROM brank b LEFT JOIN mrank i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY b.query_id
+)
 SELECT 'lsh' AS part, query_id, vec_id, cos_sim, rank FROM lshq
 UNION ALL
 SELECT 'recall', query_id, NULL::BIGINT,
        CAST(h AS DOUBLE) / {float(k)}, NULL::BIGINT
 FROM hits
+UNION ALL
+SELECT 'lshmulti', query_id, vec_id, cos_sim, rank FROM mrank
+UNION ALL
+SELECT 'recall_multi', query_id, NULL::BIGINT,
+       CAST(h AS DOUBLE) / {float(k)}, NULL::BIGINT
+FROM mhits
 """
 
 

@@ -960,3 +960,111 @@ def hyperplane_lsh_topk(
             "rank",
         )
     )
+
+
+def hyperplane_lsh_topk_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DEFAULT_DIM,
+    bits: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """MULTI-TABLE hyperplane LSH top-k — the standard recall lever a
+    single sign-bucket table lacks (Indyk-Motwani; every production
+    LSH deploys L independent tables): a candidate only needs to
+    collide with the query in ONE of ``tables`` independent
+    ``bits``-bit tables, so the miss probability decays exponentially
+    in L ((1 - p^b)^L) at L× the probe cost.  Table 0 uses the SAME
+    planes as :func:`hyperplane_lsh_topk` at this seed, so the
+    candidate set strictly contains the single-table one — recall@k
+    is monotone in L by construction (adding candidates can only
+    move the approximate top-k toward the exact top-k under the
+    shared (cos DESC, id ASC) tie-break).
+
+    Scale shape: the vector side carries ``tables`` bucket values in
+    long form (posexplode — L× the rows, NOT L joins); candidates
+    join on (table, bucket) against the broadcast query buckets;
+    duplicate (query, candidate) collisions collapse in the same
+    aggregation that scores them (MAX of identical 6-dp cosines —
+    deterministic).  Engine-portable: per-table planes are literal
+    doubles derived from ``seed + 1000·t``, dots are sequential
+    folds, so a DuckDB twin reproduces every candidate and score."""
+    import math
+
+    all_planes = [
+        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    ]
+    v = _vectors_with_norm(
+        vectors.repartition(parallelism), id_col, vec_col, dim,
+        "__vid", "__v", "__vn",
+    )
+    vb = v.select(
+        "__vid",
+        "__v",
+        "__vn",
+        F.posexplode(
+            F.array(*[lsh_bucket("__v", p) for p in all_planes])
+        ).alias("__t", "__b"),
+    )
+    qrows = _collect_rows_bounded(
+        queries,
+        [F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")],
+        max_queries,
+        "hyperplane_lsh_topk_multi",
+        "reduce the query set or raise max_queries",
+    )
+    qdata = [
+        (
+            r.qid,
+            r.qv,
+            math.sqrt(_seq_dot(r.qv, r.qv)),
+            t,
+            sum(
+                1 << i
+                for i, p in enumerate(planes)
+                if _seq_dot(r.qv, p) >= 0
+            ),
+        )
+        for r in qrows
+        if r.qv is not None and _seq_dot(r.qv, r.qv) > 0
+        for t, planes in enumerate(all_planes)
+    ]
+    elem = queries.schema[vec_col].dataType.simpleString()
+    q = F.broadcast(
+        vectors.sparkSession.createDataFrame(
+            qdata,
+            f"__qid long, __qv {elem}, __qn double, __t int, __b long",
+        )
+    )
+    scored = (
+        vb.join(q, ["__t", "__b"])
+        .filter(F.col("__vid") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__vid",
+            F.round(
+                dot("__qv", "__v", dim) / (F.col("__qn") * F.col("__vn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .groupBy("__qid", "__vid")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -2746,12 +2746,36 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+    # seventh branch (r9): CCNet-style perplexity-bucketed sampling
+    # (scale/sampling.ppx_bucket_sample, Wenzek et al. 2020) — rank
+    # terciles of the bigram-LM perplexity with per-bucket keep rates
+    # (head 1.0 / middle 0.5 / tail 0.1). Bucket rides lang, the keep
+    # decision rides keep_buckets.
+    from etl_extract_transform_load_spark.scale.lm import (
+        perplexity_against_slice,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        ppx_bucket_sample,
+    )
+
+    ppxb = ppx_bucket_sample(
+        perplexity_against_slice(docs).select("doc_id", "ppx")
+    ).select(
+        F.lit("ppxbucket").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ppx_bucket").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.col("kept").cast("long").alias("keep_buckets"),
+        F.lit(None).cast("long").alias("n_kept"),
+    )
     return (
         strat.unionByName(mix)
         .unionByName(split)
         .unionByName(weighted)
         .unionByName(budget)
         .unionByName(divers)
+        .unionByName(ppxb)
     )
 
 
@@ -2766,6 +2790,9 @@ def _oracle_sampling_corpus() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_MIXTURE,
         ORACLE_SAMPLE_STRATIFIED,
+    )
+    from etl_extract_transform_load_spark.scale.lm import (
+        oracle_lm_perplexity_sql,
     )
     from etl_extract_transform_load_spark.scale.sampling import (
         _SPLIT_SALT_OFFSET,
@@ -2850,6 +2877,45 @@ FROM (
            COALESCE(CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT),
                     0) AS planned_tokens
     FROM bf
+)
+UNION ALL
+-- CCNet ppx-bucket sampling: rank terciles by strictly-smaller-ppx
+-- count (exact integer DIV — no quantile-interpolation surface),
+-- per-bucket hash keep (head 1.0 / middle 0.5 / tail 0.1,
+-- unscored 0.5); NULL doc_id -> NULL kept (hash_split convention)
+SELECT 'ppxbucket', CAST(doc_id AS BIGINT), ppx_bucket, NULL::VARCHAR,
+       NULL::BIGINT, CAST(kept AS BIGINT), NULL::BIGINT
+FROM (
+    WITH pscores AS (SELECT doc_id, ppx
+                     FROM ({oracle_lm_perplexity_sql()})),
+    psc AS (SELECT doc_id, ppx FROM pscores WHERE ppx IS NOT NULL),
+    pvals AS (SELECT ppx, COUNT(*) AS c FROM psc GROUP BY ppx),
+    pcum AS (
+        SELECT ppx,
+               SUM(c) OVER (ORDER BY ppx ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS before_,
+               (SELECT SUM(c) FROM pvals) AS n
+        FROM pvals),
+    pmap AS (SELECT ppx,
+                    CAST((3 * before_) // n AS INT) AS bi FROM pcum),
+    plab AS (
+        SELECT doc_id,
+               CASE bi WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                       ELSE 'tail' END AS ppx_bucket
+        FROM psc JOIN pmap USING (ppx)
+        UNION ALL
+        SELECT doc_id, 'unscored' FROM pscores WHERE ppx IS NULL
+    )
+    SELECT doc_id, ppx_bucket,
+           CASE WHEN doc_id IS NULL THEN NULL
+                WHEN ((doc_id % 2147483648) * 2654435761
+                      % 4294967296) % 10000
+                     < (CASE ppx_bucket WHEN 'head' THEN 10000
+                             WHEN 'middle' THEN 5000
+                             WHEN 'tail' THEN 1000 ELSE 5000 END)
+                THEN 1 ELSE 0 END AS kept
+    FROM plab
 )
 UNION ALL
 -- micro rides are 0-dp rounds of the identical binary64 (tie-safe):

@@ -588,3 +588,86 @@ def mixture_diversity(
             "top_share"
         ),
     )
+
+
+#: CCNet bucket labels in rank order (head = LOWEST perplexity = most
+#: reference-like text).
+PPX_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def ppx_bucket_sample(
+    scores: DataFrame,
+    rates: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    ppx_col: str = "ppx",
+    salt: int = 0,
+    unscored_rate: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020):
+    rank every scored document by LM perplexity, cut the ranking into
+    ``head`` / ``middle`` / ``tail`` terciles, and keep each bucket at
+    its own deterministic-hash rate (the published recipe keeps head
+    fully, downsamples middle, drops most of tail).  Input is any
+    ``(id, ppx)`` scoring — e.g. ``scale.lm.perplexity_against_slice``.
+
+    Returns one row per input doc: ``(id, ppx_bucket, kept)`` with
+    ``kept ∈ {0, 1}``; NULL-perplexity docs (too short to score) form
+    their own ``unscored`` bucket at ``unscored_rate`` — visible, not
+    silently binned.
+
+    Bucketing is by RANK, not value cutpoints: a document's bucket is
+    ``(3 · |docs with strictly smaller ppx|) DIV n`` — exact integer
+    arithmetic, identical in any engine, no quantile-interpolation
+    parity surface, and ties (equal 6-dp ppx) land in ONE bucket by
+    construction.  Scale shape: one groupBy(ppx) (state = distinct
+    6-dp perplexities, ≪ corpus), one window over those DISTINCT
+    values only (never over rows), one join back on ppx, and the
+    usual O(1)-state hash-bucket keep decision."""
+    rates = dict(rates or {"head": 1.0, "middle": 0.5, "tail": 0.1})
+    if set(rates) != set(PPX_BUCKET_LABELS):
+        raise ValueError(f"rates must cover exactly {PPX_BUCKET_LABELS}")
+    scored = scores.filter(F.col(ppx_col).isNotNull())
+    vals = scored.groupBy(ppx_col).agg(F.count(F.lit(1)).alias("__c"))
+    # window over DISTINCT ppx values (bounded state, not corpus rows)
+    wv = Window.orderBy(F.col(ppx_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        ppx_col,
+        (F.sum("__c").over(wv) - F.col("__c")).alias("__before"),
+    )
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    bmap = cum.crossJoin(F.broadcast(tot)).select(
+        ppx_col,
+        F.expr("(3 * __before) DIV __n").cast("int").alias("__bi"),
+    )
+    labeled = scored.join(bmap, ppx_col).select(
+        id_col,
+        F.when(F.col("__bi") == 0, PPX_BUCKET_LABELS[0])
+        .when(F.col("__bi") == 1, PPX_BUCKET_LABELS[1])
+        .otherwise(PPX_BUCKET_LABELS[2])
+        .alias("ppx_bucket"),
+    )
+    unscored = scores.filter(F.col(ppx_col).isNull()).select(
+        id_col, F.lit("unscored").alias("ppx_bucket")
+    )
+    rate_expr = F.lit(int(round(unscored_rate * BUCKETS)))
+    for label in PPX_BUCKET_LABELS:
+        rate_expr = F.when(
+            F.col("ppx_bucket") == label,
+            F.lit(int(round(rates[label] * BUCKETS))),
+        ).otherwise(rate_expr)
+    out = labeled.unionByName(unscored)
+    # NULL ids cannot be hash-addressed: kept is NULL (visible), the
+    # hash_split convention
+    return out.select(
+        id_col,
+        "ppx_bucket",
+        F.when(
+            F.col(id_col).isNull(), F.lit(None).cast("int")
+        )
+        .otherwise(
+            (hash_bucket(F.col(id_col), salt) < rate_expr).cast("int")
+        )
+        .alias("kept"),
+    )

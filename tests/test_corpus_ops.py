@@ -811,3 +811,57 @@ SELECT CAST(n_domains AS BIGINT) AS n_domains,
 FROM ag
 """
     assert_matches_oracle(mixture_diversity(docs), sql, "/root/testdata/sf0.01")
+
+
+def test_ppx_bucket_sample_reference_and_contract(spark):
+    """CCNet ppx-bucket sampling vs a dict reference: rank terciles by
+    strictly-smaller count (ties share a bucket), per-bucket hash keep
+    rates, the unscored bucket, NULL-id kept=NULL."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        BUCKETS,
+        KNUTH_HASH,
+        ppx_bucket_sample,
+    )
+
+    rows = [
+        (1, 10.0), (2, 10.0), (3, 12.0), (4, 20.0), (5, 21.0),
+        (6, 30.0), (7, 31.0), (8, 40.0), (9, 55.0),
+        (10, None), (None, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ppx double")
+    got = {
+        r.doc_id: (r.ppx_bucket, r.kept)
+        for r in ppx_bucket_sample(df).collect()
+    }
+    # reference buckets (10 scored rows incl. the NULL-id one):
+    # bucket = (3*|strictly smaller|) DIV n
+    scored = [(i, p) for i, p in rows if p is not None]
+    n = len(scored)
+    want_bucket = {}
+    for i, p in scored:
+        before = sum(1 for _, c in scored if c < p)
+        want_bucket[i] = ("head", "middle", "tail")[(3 * before) // n]
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.1, "unscored": 0.5}
+
+    def kept(i, label):
+        if i is None:
+            return None
+        h = ((i % 2**31) * KNUTH_HASH % 2**32) % BUCKETS
+        return int(h < round(rates[label] * BUCKETS))
+
+    for i, p in rows:
+        label = want_bucket.get(i, "unscored") if p is not None else "unscored"
+        assert got[i] == (label, kept(i, label)), (i, got[i], label)
+    # ties (10.0, 10.0) share a bucket; ranking is monotone in ppx
+    assert got[1][0] == got[2][0] == "head"
+    assert got[9][0] == "tail"
+    assert got[10][0] == "unscored"
+    assert got[None][1] is None
+    # head keeps everything at rate 1.0 (NULL ids stay NULL)
+    assert all(
+        got[i][1] == 1
+        for i, p in scored
+        if i is not None and got[i][0] == "head"
+    )
+    with __import__("pytest").raises(ValueError):
+        ppx_bucket_sample(df, rates={"head": 1.0})

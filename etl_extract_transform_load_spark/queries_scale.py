@@ -2309,8 +2309,17 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ivf.select(
         F.lit("ivf").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
     )
-    brute = brute_force_topk_arrow(emb, queries, k=_IVF_K)
-    return tagged.unionByName(_recall_rows(ivf, brute, _IVF_K))
+    brute = brute_force_topk_arrow(emb, queries, k=_IVF_K).localCheckpoint()
+    # recall ESCALATION point (r9): the same index probed at double
+    # nprobe — the IVF quality-vs-cost curve gets both ends tracked,
+    # like the LSH carrier's single-vs-multi-table pair
+    ivf8 = ivf_topk(index, queries, k=_IVF_K, nprobe=2 * _IVF_NPROBE)
+    return (
+        tagged.unionByName(_recall_rows(ivf, brute, _IVF_K))
+        .unionByName(
+            _recall_rows(ivf8, brute, _IVF_K, part="recall_np8")
+        )
+    )
 
 
 _IVF_NPROBE, _IVF_K = 4, 5
@@ -2373,12 +2382,50 @@ ivfq AS (
           FROM scored)
     WHERE rank <= {_IVF_K}
 ),
-{_RECALL_ORACLE_TAIL.format(k=_IVF_K, approx="ivfq").strip()}
+routes8 AS (
+    SELECT query_id, label AS cluster
+    FROM (
+        SELECT q.query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, c.centroid)
+                                  / (q.qn * c.c_norm), 6) DESC, c.label
+               ) AS r
+        FROM q, cn c
+    ) WHERE r <= {2 * _IVF_NPROBE}
+),
+scored8 AS (
+    SELECT r.query_id, a.vec_id,
+           ROUND(list_dot_product(q.qv, e.v) / (e.n * q.qn), 6) AS cos_sim
+    FROM routes8 r
+    JOIN assigned a ON a.cluster = r.cluster
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN q ON q.query_id = r.query_id
+    WHERE a.vec_id <> r.query_id
+),
+ivfq8 AS (
+    SELECT query_id, vec_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored8)
+    WHERE rank <= {_IVF_K}
+),
+{_RECALL_ORACLE_TAIL.format(k=_IVF_K, approx="ivfq").strip()},
+hits8 AS (
+    SELECT b.query_id, COUNT(i.vec_id) AS h
+    FROM brank b LEFT JOIN ivfq8 i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY b.query_id
+)
 SELECT 'ivf' AS part, query_id, vec_id, cos_sim, rank FROM ivfq
 UNION ALL
 SELECT 'recall', query_id, NULL::BIGINT,
        CAST(h AS DOUBLE) / {float(_IVF_K)}, NULL::BIGINT
 FROM hits
+UNION ALL
+SELECT 'recall_np8', query_id, NULL::BIGINT,
+       CAST(h AS DOUBLE) / {float(_IVF_K)}, NULL::BIGINT
+FROM hits8
 """.format(cent=_centroid_sql("embeddings", "label"))
 
 

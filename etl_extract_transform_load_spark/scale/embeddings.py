@@ -462,3 +462,67 @@ def silhouette_by_cluster(sil: DataFrame) -> DataFrame:
             ).alias("mean_sil"),
         )
     )
+
+
+def prototype_prune(
+    assigned: DataFrame,
+    keep_num: int = 7,
+    keep_den: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "assigned_label",
+    cos_col: str = "cos_sim",
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher, Geirhos, Shekhar,
+    Ganguli & Morcos 2022, "Beyond neural scaling laws: beating power
+    law scaling via data pruning"): within each cluster of a k-means
+    assignment, rank vectors by cosine-to-own-centroid ASCENDING —
+    rank 1 is the HARDEST (least prototypical) example — and keep the
+    hardest ``keep_num/keep_den`` fraction.  In the abundant-data
+    regime the paper's pruning metric drops the easy,
+    prototype-adjacent examples; the keep rule is the exact integer
+    cross-multiplication ``keep_den·rank ≤ keep_num·n`` (floor
+    semantics, no float threshold to tie-flip across engines).
+
+    Input is an assignment table ``(id, label, cos)`` as produced by
+    ``assign_to_centroids`` — the cosine is already 6-dp rounded
+    there, and ties rank deterministically by id, so the rank (and
+    therefore every keep flag) is engine-exact.
+
+    Returns ``(id, label, cos, proto_rank, n_cluster, keep)``.
+
+    Scale shape: ONE window over the (|clusters|-way partitioned)
+    assignment table — no join, no new shuffle key beyond the
+    cluster id the downstream M-step already groups on."""
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc(cos_col), F.asc(id_col)
+    )
+    nw = Window.partitionBy(label_col)
+    ranked = (
+        assigned.select(id_col, label_col, cos_col)
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(nw))
+    )
+    return ranked.withColumn(
+        "keep",
+        (
+            F.col("proto_rank") * F.lit(keep_den)
+            <= F.col("n_cluster") * F.lit(keep_num)
+        ).cast("int"),
+    )
+
+
+def prototype_prune_summary(
+    pruned: DataFrame, label_col: str = "assigned_label"
+) -> DataFrame:
+    """Per-cluster pruning report over :func:`prototype_prune` rows:
+    ``(label, n, n_keep, cut_cos)`` where ``cut_cos`` is the cosine at
+    the keep/drop boundary (max cosine among kept = the prune
+    threshold the cluster realized; NULL when the cluster kept
+    nothing).  MAX over 6-dp-rounded cosines — no re-rounding."""
+    return pruned.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.max(F.when(F.col("keep") == 1, F.col("cos_sim"))).alias(
+            "cut_cos"
+        ),
+    )

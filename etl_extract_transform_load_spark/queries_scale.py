@@ -1473,11 +1473,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
+        # r9 family: measured candidate-stage precision/recall of the
+        # banding vs CORPUS-WIDE exact-Jaccard ground truth — the same
+        # quality-as-tracked-number convention as the ANN recall rows.
+        # Ground truth is the prefix-filtered AllPairs join (Bayardo
+        # 2007), cheap enough to run whole-corpus at test SF; two
+        # band configs (production 8×4 and conservative 4×8) track
+        # the collision curve's recall-vs-cost tradeoff from the one
+        # signature table. Reuses the session's sig/sharr persists.
+        from etl_extract_transform_load_spark.scale.dedup import (
+            lsh_quality_report,
+        )
+
+        # ground-truth bar τ=0.5 ("half their content shared"), above
+        # the LSH operating threshold 0.3: the planted near-dups all
+        # sit at J≥0.9, so the pair set is identical to τ=0.3's while
+        # the AllPairs prefix keeps ~half of each doc instead of 70%
+        # — truth cost halves with no information loss.
+        with timed_branch("prq"):
+            prq = lsh_quality_report(
+                sig, sharr, threshold=0.5, bands=(8, 4)
+            ).localCheckpoint()
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
-    return probe_branch("full", tag(full, "full")).unionByName(
-        probe_branch("incr", tag(incr, "incr"))
+    return (
+        probe_branch("full", tag(full, "full"))
+        .unionByName(probe_branch("incr", tag(incr, "incr")))
+        .unionByName(
+            probe_branch(
+                "prq",
+                prq.select(
+                    F.concat(F.lit("prq:"), F.col("metric")).alias(
+                        "part"
+                    ),
+                    F.lit(None).cast("long").alias("id_a"),
+                    F.lit(None).cast("long").alias("id_b"),
+                    F.col("value").alias("jaccard"),
+                ),
+            )
+        )
     )
 
 
@@ -1499,6 +1534,14 @@ def _oracle_minhash() -> str:
         f"SELECT doc_id, {i} AS band, "
         f"[{', '.join(f'mh_{i * r + j}' for j in range(r))}] AS bucket FROM sig"
         for i in range(bands)
+    )
+    bands4 = 4
+    r4 = num_hashes // bands4
+    banded4 = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"[{', '.join(f'mh_{i * r4 + j}' for j in range(r4))}]"
+        " AS bucket FROM sig"
+        for i in range(bands4)
     )
     return f"""
 WITH toks AS ({_SHINGLES_SQL}),
@@ -1536,10 +1579,69 @@ vpairs AS (
     JOIN sharr b ON b.doc_id = cand.id_b
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-          >= 0.3)
+          >= 0.3),
+sharrh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s -> {h60})) AS sh
+    FROM sharr),
+tru AS (
+    -- corpus-wide exact ground truth over 60-bit-hashed shingles,
+    -- brute-forced: the oracle independently re-derives what the
+    -- engine's prefix-filtered AllPairs join must produce, so a
+    -- hash match also PROVES the prefix filter's completeness on
+    -- this corpus
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sharrh a JOIN sharrh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / NULLIF(len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)), 0) >= 0.5),
+banded4 AS (
+    {banded4}
+),
+cand4 AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM banded4 x
+    JOIN banded4 y ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id),
+hit8 AS (
+    SELECT s.id_a FROM cand s JOIN tru t
+        ON s.id_a = t.id_a AND s.id_b = t.id_b),
+hit4 AS (
+    SELECT s.id_a FROM cand4 s JOIN tru t
+        ON s.id_a = t.id_a AND s.id_b = t.id_b),
+mets AS (
+    SELECT 8 AS b,
+           (SELECT COUNT(*) FROM tru)   AS n_true,
+           (SELECT COUNT(*) FROM cand)  AS n_cand,
+           (SELECT COUNT(*) FROM hit8)  AS n_hit
+    UNION ALL
+    SELECT 4,
+           (SELECT COUNT(*) FROM tru),
+           (SELECT COUNT(*) FROM cand4),
+           (SELECT COUNT(*) FROM hit4))
 SELECT 'full' AS part, id_a, id_b, jaccard FROM vpairs
 UNION ALL
 SELECT 'incr' AS part, id_a, id_b, jaccard FROM vpairs
+UNION ALL
+SELECT 'prq:b' || b || ':n_true', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(n_true AS DOUBLE) FROM mets
+UNION ALL
+SELECT 'prq:b' || b || ':n_cand', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(n_cand AS DOUBLE) FROM mets
+UNION ALL
+SELECT 'prq:b' || b || ':n_hit', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(n_hit AS DOUBLE) FROM mets
+UNION ALL
+SELECT 'prq:b' || b || ':precision', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       ROUND(CAST(n_hit AS DOUBLE)
+             / NULLIF(CAST(n_cand AS DOUBLE), 0.0), 6) FROM mets
+UNION ALL
+SELECT 'prq:b' || b || ':recall', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       ROUND(CAST(n_hit AS DOUBLE)
+             / NULLIF(CAST(n_true AS DOUBLE), 0.0), 6) FROM mets
 """
 
 

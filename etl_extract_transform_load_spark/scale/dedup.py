@@ -386,8 +386,29 @@ def minhash_lsh_pairs(
             ),
             cache,
         )
+    cand = lsh_candidate_pairs(signatures, id_col, num_hashes, bands)
+    return _jaccard_verify(
+        cand, df, text_col, id_col, n, threshold, cache, sh_arrays
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band-collision candidate pairs (``id_a`` < ``id_b``) BEFORE the
+    exact-Jaccard verify — the raw output of the banding stage.
+
+    Exposed separately so the candidate stage itself can be measured:
+    its recall against exact-Jaccard ground truth is the number the
+    1-(1-s^r)^b collision curve promises, and the only part of the
+    sketch-then-verify pipeline that can LOSE a true pair (the verify
+    stage only removes false positives). See :func:`lsh_quality_report`.
+    """
     banded = _band_table(signatures, id_col, num_hashes, bands)
-    cand = (
+    return (
         banded.alias("x")
         .join(
             banded.alias("y"),
@@ -400,9 +421,212 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_verify(
-        cand, df, text_col, id_col, n, threshold, cache, sh_arrays
+
+
+def allpairs_jaccard_join(
+    sh_arrays: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs similarity self-join: every pair with
+    shingle-Jaccard ≥ ``threshold_num/threshold_den``, via prefix
+    filtering (AllPairs / PPJoin — Bayardo, Ma & Srikant, WWW 2007;
+    Xiao et al., WWW 2008). No sketch, no false negatives.
+
+    Candidate pruning, all integer-exact (no float boundary drift):
+
+    - **global order**: each doc's shingles ranked by
+      (corpus doc-frequency ASC, shingle) — rarest first, so the hot
+      shingles that blow up a plain inverted-index self-join fall in
+      the SUFFIX of most docs and never generate candidates.
+    - **prefix filter**: if J(a,b) ≥ τ then |a∩b| ≥ ⌈τ·|a|⌉ and
+      ≥ ⌈τ·|b|⌉, so (PPJoin Lemma 1) the (|d| − ⌈τ·|d|⌉ + 1)-prefixes
+      of BOTH docs under the global order must share a shingle — the
+      candidate join is prefix-row × prefix-row on the shingle.
+      ⌈τ·len⌉ is computed as (num·len + den − 1) div den.
+    - **length filter**: J(a,b) ≤ min/max of the set sizes, so
+      den·min ≥ num·max is required on the candidate edge.
+    - **positional filter** (PPJoin): J ≥ τ needs overlap
+      o ≥ ⌈num·(|a|+|b|) / (num+den)⌉ (from o/(|a|+|b|−o) ≥ τ), and
+      a match at ranks (i, j) bounds o ≤ 1 + min(|a|−i, |b|−j)
+      (common tokens before the FIRST match would be earlier matches;
+      the rest lie after it in both sorted arrays). Applied per join
+      row: later matches of a pair have strictly larger (i, j), so
+      if the first match fails the bound every match does — filtering
+      rows before the distinct keeps exactly the pairs whose first
+      match passes. At τ = 0.5 this is the big pruner: matches must
+      land in roughly the first third of both docs.
+
+    Survivors are verified with the exact array Jaccard. At τ = 0.3
+    the prefix keeps ~70% of each doc's shingles but drops the
+    high-df tail that dominates join cost; at higher τ pruning
+    strengthens. Shuffles: one for the df table, one window by doc,
+    one candidate self-join — all on derived small keys.
+
+    Docs with empty shingle arrays (< ``n`` tokens) produce no rows
+    and are correctly absent (their Jaccard with anything is 0/0)."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    from pyspark.sql import Window
+
+    rows = sh_arrays.select(
+        "__sid",
+        F.size("__sh").alias("__len"),
+        F.explode("__sh").alias("__s"),
     )
+    freq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__sid").orderBy("__df", "__s")
+    ranked = rows.join(freq, "__s").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    # prefix length = len - ceil(tau*len) + 1, integer-exact
+    min_overlap = F.floor(
+        (F.lit(threshold_num) * F.col("__len")
+         + F.lit(threshold_den - 1)) / F.lit(threshold_den)
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__len") - min_overlap + 1
+    ).select("__sid", "__len", "__s", "__rn")
+    lx, ly = F.col("x.__len"), F.col("y.__len")
+    # pair-wise overlap requirement ⌈num·(lx+ly)/(num+den)⌉
+    t_pair = F.floor(
+        (F.lit(threshold_num) * (lx + ly)
+         + F.lit(threshold_num + threshold_den - 1))
+        / F.lit(threshold_num + threshold_den)
+    )
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.__s") == F.col("y.__s"))
+            & (F.col("x.__sid") < F.col("y.__sid"))
+            & (
+                F.lit(threshold_den) * F.least(lx, ly)
+                >= F.lit(threshold_num) * F.greatest(lx, ly)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    lx - F.col("x.__rn"), ly - F.col("y.__rn")
+                )
+                >= t_pair
+            ),
+        )
+        .select(
+            F.col("x.__sid").alias("id_a"),
+            F.col("y.__sid").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(
+        cand,
+        None,
+        "text",
+        "doc_id",
+        n,
+        threshold_num / threshold_den,
+        False,
+        sh_arrays,
+    )
+
+
+def true_jaccard_pairs(
+    sh_arrays: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+) -> DataFrame:
+    """ALL pairs with exact shingle-Jaccard ≥ ``threshold`` (> 0):
+    ground truth for measuring a sketch's candidate recall.
+
+    Thin wrapper over :func:`allpairs_jaccard_join` — the threshold
+    is converted to an exact fraction from its decimal spelling
+    (``0.3`` → 3/10) so the prefix/length filters stay integer-exact.
+    Corpus-wide exact ground truth is viable far beyond what a plain
+    inverted-index self-join allows, but at extreme corpus sizes
+    audit a bounded sample instead."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    return allpairs_jaccard_join(
+        sh_arrays, fr.numerator, fr.denominator, n
+    )
+
+
+def lsh_quality_report(
+    signatures: DataFrame,
+    sh_arrays: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 32,
+    bands: int | tuple[int, ...] = (8,),
+    cache: bool = True,
+) -> DataFrame:
+    """Measured candidate-stage quality of banded MinHash-LSH against
+    exact-Jaccard ground truth (:func:`true_jaccard_pairs`, prefix-
+    filtered, no sketch) on the SAME docs: (``metric``, ``value``)
+    rows ``b{bands}:n_true`` / ``b{bands}:n_cand`` / ``b{bands}:n_hit``
+    / ``b{bands}:precision`` / ``b{bands}:recall`` per banding config
+    (ratios rounded to 6 dp, NULL when the denominator is 0).
+
+    recall = fraction of true near-dup pairs (J ≥ threshold) the
+    banding stage surfaces — pairs it misses are silently kept as
+    duplicates downstream, so this is THE quality number of the dedup
+    tier. precision = fraction of band collisions that survive the
+    verify — the verify-stage cost multiplier. Passing several band
+    counts (e.g. ``(8, 4)``) tracks the 1-(1-s^r)^b collision curve's
+    recall-vs-candidate-cost tradeoff from ONE signature table and
+    ONE ground-truth pass (cached; release via
+    ``plans.caching.released_caches()`` or ``cache=False``). All
+    deterministic given data + (num_hashes, bands, seed, n) — the
+    report is hash-verifiable cross-engine."""
+    if isinstance(bands, int):
+        bands = (bands,)
+    # ground truth over 60-bit-HASHED shingle arrays: Jaccard is
+    # preserved modulo hash collisions (~(n_distinct)²/2^61, nil at
+    # any audit size) while the candidate-verify shuffle ships 8-byte
+    # longs instead of ~20-char strings — ~4× lighter rows.
+    hashed = sh_arrays.select(
+        "__sid",
+        F.array_distinct(
+            F.transform("__sh", lambda s: portable_hash60(s))
+        ).alias("__sh"),
+    )
+    true_pairs = persist_tracked(
+        true_jaccard_pairs(hashed, threshold), cache
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    reports = []
+    for b in bands:
+        cand = lsh_candidate_pairs(signatures, "doc_id", num_hashes, b)
+        hit = cand.join(
+            true_pairs.select("id_a", "id_b"), ["id_a", "id_b"]
+        )
+        counts = (
+            n_true
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        )
+        reports.append(
+            counts.select(
+                F.expr(
+                    "stack(5,"
+                    f" 'b{b}:n_true',    cast(n_true as double),"
+                    f" 'b{b}:n_cand',    cast(n_cand as double),"
+                    f" 'b{b}:n_hit',     cast(n_hit as double),"
+                    f" 'b{b}:precision', round(cast(n_hit as double)"
+                    "              / nullif(cast(n_cand as double),"
+                    "                       0.0d), 6),"
+                    f" 'b{b}:recall',    round(cast(n_hit as double)"
+                    "              / nullif(cast(n_true as double),"
+                    "                       0.0d), 6)"
+                    ") as (metric, value)"
+                )
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def _band_table(

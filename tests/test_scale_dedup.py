@@ -840,3 +840,131 @@ def test_containment_fractions_hand_computed(spark):
     assert r.n_grams == 3
     assert r.n_contaminated == 2  # [a..h] and [b..i] shared, [c..x] not
     assert r.containment == round(2 / 3, 6)
+
+
+# --- AllPairs prefix-filtered exact similarity join (r9) --------------------
+
+
+def _brute_jaccard_pairs(rows, tau):
+    """Sequential reference: exact Jaccard over distinct word
+    3-gram shingle sets, all pairs, J >= tau."""
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        sets[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= tau:
+                out.add((a, b))
+    return out
+
+
+def _mutated_corpus(seed, n_docs=40):
+    """Docs over a small vocab plus mutated copies at graded overlap
+    so every similarity decade [0.1..1.0] is populated."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(6, 40))]
+        rows.append((d, " ".join(toks)))
+        if d % 3 == 0:  # mutated copy: drop/replace a graded slice
+            keep = rng.randint(1, len(toks))
+            mut = toks[:keep] + [
+                rng.choice(vocab) for _ in range(len(toks) - keep)
+            ]
+            rows.append((d + 1000, " ".join(mut)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+@pytest.mark.parametrize("num,den", [(3, 10), (1, 2), (2, 3)])
+def test_allpairs_join_equals_brute_force(spark, seed, num, den):
+    """Completeness + soundness of the prefix/length/positional
+    filters (Bayardo 2007 / PPJoin): the filtered join returns
+    EXACTLY the brute-force pair set at every threshold, including
+    ceil-boundary thresholds (1/2, 2/3) where an off-by-one in the
+    integer prefix arithmetic would drop boundary pairs."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        allpairs_jaccard_join,
+        shingle_arrays,
+    )
+
+    rows = _mutated_corpus(seed)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sharr = shingle_arrays(docs)
+    got = {
+        (r.id_a, r.id_b)
+        for r in allpairs_jaccard_join(sharr, num, den).collect()
+    }
+    want = _brute_jaccard_pairs(rows, num / den)
+    assert got == want
+
+
+def test_allpairs_join_boundary_pair_exact_threshold(spark):
+    """A pair at exactly J = 1/2 must be returned at tau = 1/2:
+    shingle sets sized 6 and 4 with 3 + 1/3... construct J exactly
+    0.5 via |A∩B|=2, |A∪B|=4."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        allpairs_jaccard_join,
+        shingle_arrays,
+    )
+
+    # doc1 grams: {a b c, b c d, c d e} ; doc2 grams: {a b c, b c d,
+    # c d q} -> intersection 2, union 4, J = 0.5
+    rows = [(1, "a b c d e"), (2, "a b c d q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in allpairs_jaccard_join(
+            shingle_arrays(docs), 1, 2
+        ).collect()
+    }
+    assert got == {(1, 2, 0.5)}
+    # and excluded just above: tau = 51/100
+    got2 = allpairs_jaccard_join(shingle_arrays(docs), 51, 100).count()
+    assert got2 == 0
+
+
+def test_lsh_quality_report_planted(spark, docs_with_dups):
+    """On the planted corpus the b8 banding must recover every
+    true pair (J >= 0.5 pairs are the exact+near plants at ~1.0);
+    metric identities hold."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        lsh_quality_report,
+        minhash_signatures,
+        portable_hash60,
+        shingle_arrays,
+    )
+
+    sig = minhash_signatures(docs_with_dups, hash64=portable_hash60)
+    sharr = shingle_arrays(docs_with_dups)
+    rep = {
+        r.metric: r.value
+        for r in lsh_quality_report(
+            sig, sharr, threshold=0.5, bands=(8, 4), cache=False
+        ).collect()
+    }
+    assert rep["b8:n_true"] == rep["b4:n_true"] > 0
+    for b in ("b8", "b4"):
+        assert rep[f"{b}:n_hit"] <= rep[f"{b}:n_cand"]
+        assert rep[f"{b}:n_hit"] <= rep[f"{b}:n_true"]
+        assert rep[f"{b}:recall"] == round(
+            rep[f"{b}:n_hit"] / rep[f"{b}:n_true"], 6
+        )
+        assert rep[f"{b}:precision"] == round(
+            rep[f"{b}:n_hit"] / rep[f"{b}:n_cand"], 6
+        )
+    # 20 exact + 20 one-token-edit plants all sit at J ~ 1.0: the
+    # production banding (8x4) catches them all
+    assert rep["b8:recall"] == 1.0

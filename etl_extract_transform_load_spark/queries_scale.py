@@ -289,11 +289,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.col("triangles").cast("long").alias("component"),
     )
+    # seventh branch (r9): quality-aware survivor selection — the
+    # production dedup policy keeps each duplicate cluster's BEST
+    # member (longest text here; any per-doc score plugs in), not
+    # its lowest id. Node = survivor, component = its cluster; one
+    # window shuffle over the star assignment already computed.
+    from etl_extract_transform_load_spark.scale.dedup import (
+        quality_survivors,
+    )
+
+    with timed_branch("bestq"):
+        bestq = quality_survivors(star_raw, docs).select(
+            F.lit("bestq").alias("algo"),
+            F.col("keep_id").alias("node"),
+            "component",
+        )
     return (
         probe_branch("star", star)
         .unionByName(probe_branch("triangles", tri))
         .unionByName(probe_branch("incr", incr))
         .unionByName(probe_branch("tri_incr", tri_incr))
+        .unionByName(probe_branch("bestq", bestq))
     )
 
 
@@ -397,6 +413,16 @@ SELECT 'triangles' AS algo, node, c AS component FROM tcnt
 UNION ALL
 -- the incremental fold must converge to the SAME per-node counts
 SELECT 'tri_incr' AS algo, node, c AS component FROM tcnt
+UNION ALL
+-- quality-aware survivor: per component, the longest member
+-- (n_chars DESC, id ASC)
+SELECT 'bestq' AS algo, node, component FROM (
+    SELECT comp.node, comp.component,
+           ROW_NUMBER() OVER (
+               PARTITION BY comp.component
+               ORDER BY d.n_chars DESC, comp.node ASC) AS rn
+    FROM comp JOIN documents d ON d.doc_id = comp.node)
+WHERE rn = 1
 """
 
 
@@ -1731,8 +1757,41 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = neighbor_pairs_above_blocks(emb, threshold=0.4).select(
+    raw = neighbor_pairs_above_blocks(
+        emb, threshold=0.4
+    ).localCheckpoint()
+    pairs = raw.select(
         F.lit("pairs").alias("part"), "id_a", "id_b", "cos_sim"
+    )
+    # fifth branch (r9): SEMANTIC decontamination — the embedding-
+    # space companion to the n-gram contamspan/contamfrac rows. The
+    # vec_id % 17 == 0 slice plays the benchmark set; a benchmark
+    # vector with any train-side neighbor at cosine ≥ 0.4 (the
+    # corpus's high-similarity regime — synthetic embeddings top out
+    # near 0.6; real corpora would set ~0.8) is contaminated:
+    # paraphrase-level leakage that n-gram overlap misses. Per
+    # contaminated benchmark id: the train-match count
+    # rides id_b, the max similarity rides cos_sim. Reuses the
+    # checkpointed all-pairs table — no extra scoring pass.
+    sym = raw.unionByName(
+        raw.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    semdecon = (
+        sym.filter(
+            (F.col("id_a") % 17 == 0)
+            & (F.col("id_b") % 17 != 0)
+            & (F.col("cos_sim") >= 0.4)
+        )
+        .groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("id_b"),
+            F.max("cos_sim").alias("cos_sim"),
+        )
+        .select(F.lit("semdecon").alias("part"), "id_a", "id_b", "cos_sim")
     )
     # second/third branches: product-quantization codes + quantization
     # error (8 subspaces, one code per label seed) — the ANN
@@ -1773,6 +1832,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unionByName(pq_codes)
         .unionByName(pq_dists)
         .unionByName(adc)
+        .unionByName(semdecon)
     )
 
 
@@ -1842,6 +1902,19 @@ SELECT 'pairs' AS part, a.vec_id AS id_a,
 FROM e a
 JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+UNION ALL
+-- semantic decontamination: benchmark slice (vec_id % 17 = 0) vs the
+-- train rest; a benchmark vector is contaminated when some train
+-- vector sits at cosine >= 0.4 (this corpus's high-sim regime)
+SELECT 'semdecon', bench_id, CAST(n AS BIGINT), mx
+FROM (
+    SELECT q.vec_id AS bench_id, COUNT(*) AS n,
+           MAX(ROUND(list_dot_product(q.v, t.v) / (q.n * t.n), 6))
+               AS mx
+    FROM e q JOIN e t
+      ON q.vec_id % 17 = 0 AND t.vec_id % 17 <> 0
+    WHERE ROUND(list_dot_product(q.v, t.v) / (q.n * t.n), 6) >= 0.4
+    GROUP BY q.vec_id)
 UNION ALL
 SELECT 'pqcode', CAST(vec_id AS BIGINT), CAST(subspace AS BIGINT),
        CAST(code AS DOUBLE)

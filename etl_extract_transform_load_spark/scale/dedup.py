@@ -71,6 +71,55 @@ def drop_exact_dups(
     return df.join(w_keys, id_col, "left_semi")
 
 
+def quality_survivors(
+    assign: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-duplicate-cluster survivor by QUALITY: given component
+    assignments (``node``, ``component``) over the near-dup graph,
+    keep the member with the highest ``quality_col`` (ties → min id).
+
+    Production dedup keeps the BEST member of each duplicate cluster,
+    not the lowest-id one — e.g. the longest text (MassiveText /
+    RefinedWeb practice) or a model quality score — because near-dups
+    are rarely byte-identical: one copy is the full article, the
+    others are truncated scrapes. Any per-doc column works as the
+    quality signal (length, Gopher score, DSIR logratio, perplexity).
+
+    One window shuffle on the component key; components are duplicate
+    clusters (bounded size in a deduped corpus), so no skew concern.
+    Returns (``component``, ``keep_id``, ``keep_quality``,
+    ``n_members``)."""
+    from pyspark.sql import Window
+
+    joined = assign.join(
+        docs.select(
+            F.col(id_col).alias("node"),
+            F.col(quality_col).alias("__q"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("node").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col("__q").alias("keep_quality"),
+            "n_members",
+        )
+    )
+
+
 def dedup_incremental(
     corpus: DataFrame,
     batch: DataFrame,

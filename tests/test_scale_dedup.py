@@ -968,3 +968,25 @@ def test_lsh_quality_report_planted(spark, docs_with_dups):
     # 20 exact + 20 one-token-edit plants all sit at J ~ 1.0: the
     # production banding (8x4) catches them all
     assert rep["b8:recall"] == 1.0
+
+
+def test_quality_survivors_hand_graph(spark):
+    """Two clusters; survivor is the longest member, tie -> min id."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        quality_survivors,
+    )
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 5)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r.component: (r.keep_id, r.keep_quality, r.n_members)
+        for r in quality_survivors(assign, docs).collect()
+    }
+    # cluster 1: 2 and 3 tie at 90 -> min id 2; cluster 10: tie -> 10
+    assert out == {1: (2, 90, 3), 10: (10, 5, 2)}

@@ -1427,14 +1427,16 @@ _SHINGLES_SQL = """
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tag-union: the one-shot rebuild ('full') and the continuous-
-    ingest path ('incr' — id<250 corpus indexed first, id≥250 upserted
-    as the arriving batch, batch queried against the standing index,
-    union with the pre-batch pairs). Both must produce the IDENTICAL
-    pair set, and the oracle replicates the whole portable-hash
-    pipeline once and selects it under both tags — so the driver
-    hash-verifies that the O(batch) incremental path loses nothing
-    vs the rebuild."""
+    """Tag-union over the near-dup tier: the one-shot MinHash rebuild
+    ('full'), its continuous-ingest path ('incr' — id<250 corpus
+    indexed first, id≥250 upserted as the arriving batch; must equal
+    the rebuild), the EXACT tier's incremental AllPairs ('apincr' —
+    frozen-order standing prefix index + O(batch) query; must equal
+    the brute-forced corpus-wide truth, proving the prefix/length/
+    positional filters complete), and measured banding quality
+    ('prq:*' — candidate-stage precision/recall at two band configs
+    against that same truth: retrieval quality as a hash-tracked
+    number, the ANN-recall convention applied to dedup)."""
     from etl_extract_transform_load_spark.plans.caching import (
         persist_tracked,
         released_caches,
@@ -1508,24 +1510,77 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the collision curve's recall-vs-cost tradeoff from the one
         # signature table. Reuses the session's sig/sharr persists.
         from etl_extract_transform_load_spark.scale.dedup import (
+            allpairs_index_build,
+            allpairs_index_query_pairs,
             lsh_quality_report,
         )
 
-        # ground-truth bar τ=0.5 ("half their content shared"), above
-        # the LSH operating threshold 0.3: the planted near-dups all
-        # sit at J≥0.9, so the pair set is identical to τ=0.3's while
-        # the AllPairs prefix keeps ~half of each doc instead of 70%
-        # — truth cost halves with no information loss.
+        # ONE 60-bit-hashed shingle table feeds the prq ground truth
+        # AND the incremental AllPairs family below
+        hsh = persist_tracked(
+            sharr.select(
+                "__sid",
+                F.array_distinct(
+                    F.transform(
+                        "__sh", lambda s: portable_hash60(s)
+                    )
+                ).alias("__sh"),
+            ),
+            True,
+        )
+        # ONE corpus-wide exact AllPairs pass (τ=0.7: a strict
+        # "70% content shared" audit bar — above the LSH operating
+        # threshold 0.3, where the planted J≥0.9 near-dups make the
+        # pair set identical while the prefix filters keep only ~30%
+        # of each doc and the positional filter bites hardest) feeds
+        # BOTH the prq ground truth and the incremental family's
+        # standing pair set.
+        from etl_extract_transform_load_spark.scale.dedup import (
+            true_jaccard_pairs,
+        )
+
+        truth = persist_tracked(true_jaccard_pairs(hsh, 0.7), True)
         with timed_branch("prq"):
             prq = lsh_quality_report(
-                sig, sharr, threshold=0.5, bands=(8, 4)
+                sig, hsh, threshold=0.7, bands=(8, 4),
+                true_pairs=truth,
             ).localCheckpoint()
+        # r9 family: INCREMENTAL exact AllPairs — the standing-index
+        # face of the exact tier (frozen global order; unseen batch
+        # shingles rank df=0). Standing = the id≥250 bulk, whose
+        # prefix index is built once and whose stored pair set is the
+        # truth table's ≥250 slice (production indexes keep their
+        # pairs); batch = the id<250 arrivals queried against it in
+        # O(batch). The union must reproduce the one-shot corpus-wide
+        # join EXACTLY (= the truth table, which the oracle
+        # brute-forces) — banding loses pairs, this must not.
+        with timed_branch("apincr"):
+            idx_pref, idx_freq = allpairs_index_build(
+                hsh.filter(F.col("__sid") >= 250), 1, 2
+            )
+            apincr = (
+                truth.filter(
+                    (F.col("id_a") >= 250) & (F.col("id_b") >= 250)
+                )
+                .unionByName(
+                    allpairs_index_query_pairs(
+                        idx_pref,
+                        idx_freq,
+                        hsh.filter(F.col("__sid") < 250),
+                        hsh,
+                        1,
+                        2,
+                    )
+                )
+                .localCheckpoint()
+            )
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
     return (
         probe_branch("full", tag(full, "full"))
         .unionByName(probe_branch("incr", tag(incr, "incr")))
+        .unionByName(probe_branch("apincr", tag(apincr, "apincr")))
         .unionByName(
             probe_branch(
                 "prq",
@@ -1616,11 +1671,14 @@ tru AS (
     -- engine's prefix-filtered AllPairs join must produce, so a
     -- hash match also PROVES the prefix filter's completeness on
     -- this corpus
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sharrh a JOIN sharrh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-          / NULLIF(len(a.sh) + len(b.sh)
-                   - len(list_intersect(a.sh, b.sh)), 0) >= 0.5),
+    SELECT id_a, id_b, ROUND(li * 1.0 / NULLIF(ua, 0), 6) AS jaccard
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS li,
+               len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) AS ua
+        FROM sharrh a JOIN sharrh b ON a.doc_id < b.doc_id)
+    WHERE li * 1.0 / NULLIF(ua, 0) >= 0.7),
 banded4 AS (
     {banded4}
 ),
@@ -1649,6 +1707,10 @@ mets AS (
 SELECT 'full' AS part, id_a, id_b, jaccard FROM vpairs
 UNION ALL
 SELECT 'incr' AS part, id_a, id_b, jaccard FROM vpairs
+UNION ALL
+-- the incremental AllPairs union must equal the one-shot corpus-wide
+-- exact join — i.e. the brute-forced truth table itself
+SELECT 'apincr' AS part, id_a, id_b, jaccard FROM tru
 UNION ALL
 SELECT 'prq:b' || b || ':n_true', CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(n_true AS DOUBLE) FROM mets

@@ -517,39 +517,81 @@ def allpairs_jaccard_join(
     and are correctly absent (their Jaccard with anything is 0/0)."""
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1]")
+    prefix, _ = allpairs_index_build(
+        sh_arrays, threshold_num, threshold_den
+    )
+    cand = _allpairs_cand(
+        prefix, prefix, threshold_num, threshold_den, True
+    )
+    return _jaccard_verify(
+        cand,
+        None,
+        "text",
+        "doc_id",
+        n,
+        threshold_num / threshold_den,
+        False,
+        sh_arrays,
+    )
+
+
+def _prefix_rows(
+    sh_rows: DataFrame,
+    freq: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """(``__sid``, ``__len``, ``__s``, ``__rn``) prefix rows under the
+    global (df ASC, shingle) order given by ``freq``; shingles absent
+    from ``freq`` rank as df = 0 (rarest — prefix-eligible), keeping
+    the order TOTAL when scoring docs not seen at freq-build time."""
     from pyspark.sql import Window
 
-    rows = sh_arrays.select(
-        "__sid",
-        F.size("__sh").alias("__len"),
-        F.explode("__sh").alias("__s"),
+    ranked = (
+        sh_rows.join(freq, "__s", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__sid").orderBy("__df", "__s")
+            ),
+        )
     )
-    freq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("__sid").orderBy("__df", "__s")
-    ranked = rows.join(freq, "__s").withColumn(
-        "__rn", F.row_number().over(w)
-    )
-    # prefix length = len - ceil(tau*len) + 1, integer-exact
     min_overlap = F.floor(
         (F.lit(threshold_num) * F.col("__len")
          + F.lit(threshold_den - 1)) / F.lit(threshold_den)
     )
-    prefix = ranked.filter(
+    return ranked.filter(
         F.col("__rn") <= F.col("__len") - min_overlap + 1
     ).select("__sid", "__len", "__s", "__rn")
+
+
+def _allpairs_cand(
+    left: DataFrame,
+    right: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    self_join: bool,
+) -> DataFrame:
+    """Length+positional-filtered candidate pairs between two prefix
+    tables sharing ONE global order (``id_a`` < ``id_b``)."""
     lx, ly = F.col("x.__len"), F.col("y.__len")
-    # pair-wise overlap requirement ⌈num·(lx+ly)/(num+den)⌉
     t_pair = F.floor(
         (F.lit(threshold_num) * (lx + ly)
          + F.lit(threshold_num + threshold_den - 1))
         / F.lit(threshold_num + threshold_den)
     )
-    cand = (
-        prefix.alias("x")
+    ids = (
+        (F.col("x.__sid") < F.col("y.__sid"))
+        if self_join
+        else (F.col("x.__sid") != F.col("y.__sid"))
+    )
+    return (
+        left.alias("x")
         .join(
-            prefix.alias("y"),
+            right.alias("y"),
             (F.col("x.__s") == F.col("y.__s"))
-            & (F.col("x.__sid") < F.col("y.__sid"))
+            & ids
             & (
                 F.lit(threshold_den) * F.least(lx, ly)
                 >= F.lit(threshold_num) * F.greatest(lx, ly)
@@ -563,11 +605,74 @@ def allpairs_jaccard_join(
             ),
         )
         .select(
-            F.col("x.__sid").alias("id_a"),
-            F.col("y.__sid").alias("id_b"),
+            F.least(F.col("x.__sid"), F.col("y.__sid")).alias("id_a"),
+            F.greatest(F.col("x.__sid"), F.col("y.__sid")).alias(
+                "id_b"
+            ),
         )
         .distinct()
     )
+
+
+def allpairs_index_build(
+    sh_arrays: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Standing EXACT-similarity index: the corpus's prefix-row table
+    plus the FROZEN global-order table (shingle → df at build time).
+
+    The frozen order is the trick that makes the exact tier
+    incremental: the prefix lemma needs one total order shared by
+    every doc ever compared, not the CURRENT df order — so the index
+    keeps the order it was built with, batch docs rank their shingles
+    under it (unseen shingles → df 0, ties by shingle), and
+    completeness is unconditional. Only PRUNING quality drifts as
+    true df evolves; rebuild when candidate ratios degrade.
+
+    Returns ``(prefix_rows, freq)`` — persist both as the standing
+    index; query batches with :func:`allpairs_index_query_pairs`."""
+    rows = sh_arrays.select(
+        "__sid",
+        F.size("__sh").alias("__len"),
+        F.explode("__sh").alias("__s"),
+    )
+    freq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    return _prefix_rows(rows, freq, threshold_num, threshold_den), freq
+
+
+def allpairs_index_query_pairs(
+    index_prefix: DataFrame,
+    freq: DataFrame,
+    batch_sh: DataFrame,
+    all_sh: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 3,
+) -> DataFrame:
+    """O(batch) exact-similarity query against a standing AllPairs
+    index: verified pairs (J ≥ num/den) between the batch docs and
+    the indexed corpus, PLUS within the batch itself — together with
+    the standing corpus's own pairs this reproduces the one-shot
+    :func:`allpairs_jaccard_join` exactly (the pair SET is
+    order-independent; the frozen order affects pruning only).
+
+    ``all_sh`` must cover both index and batch ids (the verify side).
+    Cost: one batch prefix pass + two filtered joins probing the
+    standing prefix table — never a corpus rebuild."""
+    brows = batch_sh.select(
+        "__sid",
+        F.size("__sh").alias("__len"),
+        F.explode("__sh").alias("__s"),
+    )
+    bprefix = _prefix_rows(brows, freq, threshold_num, threshold_den)
+    cand = _allpairs_cand(
+        bprefix, index_prefix, threshold_num, threshold_den, False
+    ).unionByName(
+        _allpairs_cand(
+            bprefix, bprefix, threshold_num, threshold_den, True
+        )
+    ).distinct()
     return _jaccard_verify(
         cand,
         None,
@@ -576,7 +681,7 @@ def allpairs_jaccard_join(
         n,
         threshold_num / threshold_den,
         False,
-        sh_arrays,
+        all_sh,
     )
 
 
@@ -609,6 +714,8 @@ def lsh_quality_report(
     num_hashes: int = 32,
     bands: int | tuple[int, ...] = (8,),
     cache: bool = True,
+    prehashed: bool = False,
+    true_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Measured candidate-stage quality of banded MinHash-LSH against
     exact-Jaccard ground truth (:func:`true_jaccard_pairs`, prefix-
@@ -633,16 +740,23 @@ def lsh_quality_report(
     # ground truth over 60-bit-HASHED shingle arrays: Jaccard is
     # preserved modulo hash collisions (~(n_distinct)²/2^61, nil at
     # any audit size) while the candidate-verify shuffle ships 8-byte
-    # longs instead of ~20-char strings — ~4× lighter rows.
-    hashed = sh_arrays.select(
-        "__sid",
-        F.array_distinct(
-            F.transform("__sh", lambda s: portable_hash60(s))
-        ).alias("__sh"),
-    )
-    true_pairs = persist_tracked(
-        true_jaccard_pairs(hashed, threshold), cache
-    )
+    # longs instead of ~20-char strings — ~4× lighter rows. Pass
+    # ``prehashed=True`` when ``sh_arrays`` is already hashed (a
+    # session sharing the table with sibling AllPairs calls).
+    if true_pairs is None:
+        hashed = (
+            sh_arrays
+            if prehashed
+            else sh_arrays.select(
+                "__sid",
+                F.array_distinct(
+                    F.transform("__sh", lambda s: portable_hash60(s))
+                ).alias("__sh"),
+            )
+        )
+        true_pairs = persist_tracked(
+            true_jaccard_pairs(hashed, threshold), cache
+        )
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     reports = []
     for b in bands:

@@ -990,3 +990,39 @@ def test_quality_survivors_hand_graph(spark):
     }
     # cluster 1: 2 and 3 tie at 90 -> min id 2; cluster 10: tie -> 10
     assert out == {1: (2, 90, 3), 10: (10, 5, 2)}
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_allpairs_incremental_equals_oneshot(spark, seed):
+    """Standing-index AllPairs: old-corpus pairs + batch-vs-index
+    query pairs == the one-shot corpus-wide join, for a random split
+    — the frozen global order changes pruning, never the pair set."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        allpairs_index_build,
+        allpairs_index_query_pairs,
+        allpairs_jaccard_join,
+        shingle_arrays,
+    )
+    import random
+
+    rows = _mutated_corpus(seed)
+    rng = random.Random(seed + 100)
+    batch_ids = {d for d, _ in rows if rng.random() < 0.4}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sharr = shingle_arrays(docs).cache()
+    old = sharr.filter(~F.col("__sid").isin(batch_ids))
+    batch = sharr.filter(F.col("__sid").isin(batch_ids))
+    oneshot = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in allpairs_jaccard_join(sharr, 1, 2).collect()
+    }
+    pref, freq = allpairs_index_build(old, 1, 2)
+    incr = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in allpairs_jaccard_join(old, 1, 2)
+        .unionByName(
+            allpairs_index_query_pairs(pref, freq, batch, sharr, 1, 2)
+        )
+        .collect()
+    }
+    assert incr == oneshot and len(oneshot) > 0

@@ -1,0 +1,88 @@
+"""Corpus snapshot diffing — data versioning for curation pipelines.
+
+A training corpus is rebuilt continuously; before shipping snapshot
+N+1 the pipeline needs to know WHAT changed vs snapshot N: which docs
+arrived, which disappeared, which were edited in place — both as an
+audit artifact (changelogs, rollback decisions) and as the input to
+incremental downstream work (only ``added``/``changed`` docs need
+re-scoring, re-embedding, re-indexing; the standing-index operators
+in ``scale.dedup`` consume exactly that slice as their batch).
+
+Shape at 100 TB: ONE full-outer equi-join on the id key between two
+hash projections (id, md5-of-content) — the content never shuffles,
+only 32-byte hashes; the summary is a single combine aggregation.
+Comparing by content hash rather than column-wise equality makes the
+diff schema-stable (any projection of columns folds into one key)
+and engine-portable (md5 agrees everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: unit separator — joins content columns unambiguously before hashing
+_SEP = "\x1f"
+
+
+def _content_hash(
+    df: DataFrame, id_col: str, content_cols: tuple[str, ...]
+) -> DataFrame:
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.concat_ws(_SEP, *cols)).alias("__md5"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Per-doc diff between two snapshots: (``doc_id``, ``status``,
+    ``old_md5``, ``new_md5``) with status ``added`` (id only in new),
+    ``removed`` (id only in old), ``changed`` (both, content hash
+    differs) or ``unchanged``.
+
+    Contract: ``id_col`` is unique within each snapshot (run
+    ``drop_exact_dups``/``dedup_by_key`` upstream otherwise — a
+    duplicated id would make "the doc's content" ill-defined)."""
+    o = _content_hash(old, id_col, content_cols)
+    n = _content_hash(new, id_col, content_cols)
+    j = o.select(
+        F.col("__id").alias("__oid"), F.col("__md5").alias("old_md5")
+    ).join(
+        n.select(
+            F.col("__id").alias("__nid"),
+            F.col("__md5").alias("new_md5"),
+        ),
+        F.col("__oid") == F.col("__nid"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("__nid"), F.col("__oid")).alias(id_col),
+        F.when(F.col("__oid").isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_md5") != F.col("new_md5"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """One row of per-status counts over a :func:`snapshot_diff`
+    table: (``n_added``, ``n_removed``, ``n_changed``,
+    ``n_unchanged``) — the changelog headline and the rebuild-vs-
+    incremental decision input."""
+    return diff.agg(
+        *[
+            F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+            for s in ("added", "removed", "changed", "unchanged")
+        ]
+    )

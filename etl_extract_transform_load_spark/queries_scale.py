@@ -1143,6 +1143,52 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated").alias("n_contaminated"),
     )
 
+    # eighth branch (r9): snapshot diff — data versioning. The "old"
+    # snapshot is derived deterministically from documents: docs with
+    # id % 11 == 0 are missing there (→ added), docs with id % 13 == 0
+    # were shorter (prefix text → changed), and phantom ids
+    # (id + 1000000 for id % 19 == 0) existed then but not now
+    # (→ removed). Per-doc rows for the non-unchanged statuses (the
+    # status rides text_md5); one snapdiff_sum row carries the four
+    # counts (added→n_copies, removed→keep_id, changed→doc_id,
+    # unchanged→n_contaminated).
+    from etl_extract_transform_load_spark.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old_base = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    phantom = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    with timed_branch("snapdiff"):
+        sdiff = snapshot_diff(
+            old_base.unionByName(phantom), docs
+        ).localCheckpoint()
+    sd_rows = sdiff.filter(F.col("status") != "unchanged").select(
+        F.lit("snapdiff").alias("part"),
+        F.col("status").alias("text_md5"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_contaminated"),
+    )
+    sd_sum = snapshot_diff_summary(sdiff).select(
+        F.lit("snapdiff_sum").alias("part"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.col("n_added").alias("n_copies"),
+        F.col("n_removed").alias("keep_id"),
+        F.col("n_changed").alias("doc_id"),
+        F.col("n_unchanged").alias("n_contaminated"),
+    )
     return (
         probe_branch("clusters", clusters)
         .unionByName(probe_branch("contamination", contam))
@@ -1157,6 +1203,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(probe_branch("golden", gold))
+        .unionByName(probe_branch("snapdiff", sd_rows))
+        .unionByName(probe_branch("snapdiff", sd_sum))
     )
 
 
@@ -1322,6 +1370,64 @@ FROM (
     FROM gbase b
     LEFT JOIN gml l ON b.c = l.c
     LEFT JOIN gms s ON b.c = s.c
+)
+UNION ALL
+-- snapshot diff: derived old snapshot (id%11=0 missing -> added;
+-- id%13=0 had prefix text -> changed; phantom id+1000000 for id%19=0
+-- existed then only -> removed); per-doc rows for non-unchanged, one
+-- summary row of the four counts
+SELECT part, md, NULL::BIGINT, NULL::BIGINT, sid, NULL::BIGINT
+FROM (
+    WITH oldsnap AS (
+        SELECT doc_id,
+               MD5(CASE WHEN doc_id % 13 = 0
+                        THEN SUBSTRING(COALESCE(text, ''), 1, 40)
+                        ELSE COALESCE(text, '') END) AS h
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, MD5(COALESCE(text, ''))
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    newsnap AS (
+        SELECT doc_id, MD5(COALESCE(text, '')) AS h FROM documents
+    ),
+    dj AS (
+        SELECT COALESCE(n.doc_id, o.doc_id) AS sid,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM oldsnap o FULL OUTER JOIN newsnap n
+            ON o.doc_id = n.doc_id
+    )
+    SELECT 'snapdiff' AS part, status AS md, sid
+    FROM dj WHERE status <> 'unchanged'
+)
+UNION ALL
+SELECT 'snapdiff_sum', NULL::VARCHAR,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+FROM (
+    WITH oldsnap AS (
+        SELECT doc_id,
+               MD5(CASE WHEN doc_id % 13 = 0
+                        THEN SUBSTRING(COALESCE(text, ''), 1, 40)
+                        ELSE COALESCE(text, '') END) AS h
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, MD5(COALESCE(text, ''))
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    newsnap AS (
+        SELECT doc_id, MD5(COALESCE(text, '')) AS h FROM documents
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
 )
 """
 

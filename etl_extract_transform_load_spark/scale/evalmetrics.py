@@ -430,3 +430,176 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+# --- n-gram overlap generation metrics (BLEU) ------------------------------
+
+
+def _ngram_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram, cnt) table of word ``n``-grams with multiplicity
+    (BLEU counts repeats, unlike the dedup tier's distinct shingles).
+    Whitespace tokenization, lowercased — mirror on both sides."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("__pid"), grams.alias("__g"))
+        .select("__pid", F.explode("__g").alias("gram"))
+        .groupBy("__pid", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bleu_counts(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair BLEU sufficient statistics: for each n ≤ ``max_n``,
+    the CLIPPED matched n-gram count (Papineni et al. 2002 —
+    candidate counts capped by the reference's count per gram) and
+    the candidate total, plus token lengths for the brevity penalty.
+
+    One row per (pair, n): (``pair_id``, ``n``, ``match``, ``total``,
+    ``cand_len``, ``ref_len``). Everything downstream (corpus BLEU,
+    sentence BLEU, bootstrap resamples) is an aggregation over this
+    table — the mergeable-state shape every sketch in the engine
+    follows, so corpus BLEU over 10⁹ pairs is a scan + one combine
+    shuffle on (pair, gram), never a driver loop."""
+    lens = pairs.select(
+        F.col(id_col).alias("__pid"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(cand_col))), r"\s+")
+        ).alias("cand_len"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(ref_col))), r"\s+")
+        ).alias("ref_len"),
+    )
+    per_n = []
+    for n in range(1, max_n + 1):
+        c = _ngram_counts(pairs, cand_col, id_col, n)
+        r = _ngram_counts(pairs, ref_col, id_col, n).select(
+            "__pid", "gram", F.col("cnt").alias("rcnt")
+        )
+        j = (
+            c.join(r, ["__pid", "gram"], "left")
+            .groupBy("__pid")
+            .agg(
+                F.sum(
+                    F.least(F.col("cnt"), F.coalesce("rcnt", F.lit(0)))
+                ).alias("match"),
+                F.sum("cnt").alias("total"),
+            )
+            .select("__pid", F.lit(n).alias("n"), "match", "total")
+        )
+        per_n.append(j)
+    out = per_n[0]
+    for p in per_n[1:]:
+        out = out.unionByName(p)
+    # scaffold the full (pair × n) grid: a pair shorter than n grams
+    # still gets its (0, 0) row, so downstream pooling sees every
+    # level and the per-pair contract is uniform
+    scaffold = lens.select(
+        "__pid",
+        "cand_len",
+        "ref_len",
+        F.explode(
+            F.array(*[F.lit(n) for n in range(1, max_n + 1)])
+        ).alias("n"),
+    )
+    return scaffold.join(out, ["__pid", "n"], "left").select(
+        F.col("__pid").alias(id_col),
+        "n",
+        F.coalesce("match", F.lit(0)).alias("match"),
+        F.coalesce("total", F.lit(0)).alias("total"),
+        "cand_len",
+        "ref_len",
+    )
+
+
+def corpus_bleu(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU-``max_n`` (Papineni et al. 2002): modified
+    n-gram precisions pooled over ALL pairs (clip sums / total sums),
+    geometric mean over n, times the brevity penalty
+    exp(1 − r/c) for c < r. One row: (``bleu``, ``bp``, ``p1``..).
+
+    BLEU is 0 when any pooled precision is 0 (no smoothing — the
+    corpus pooling makes that the standard convention)."""
+    stats = bleu_counts(pairs, cand_col, ref_col, id_col, max_n)
+    pooled = (
+        stats.groupBy("n")
+        .agg(
+            F.sum("match").alias("m"),
+            F.sum("total").alias("t"),
+        )
+        .select(
+            "n",
+            F.when(
+                F.col("t") > 0,
+                F.col("m").cast("double") / F.col("t"),
+            ).alias("p"),  # NULL when the corpus has no n-grams at n
+        )
+    )
+    lens = stats.filter(F.col("n") == 1).agg(
+        F.sum("cand_len").alias("c"), F.sum("ref_len").alias("r")
+    )
+    log_sum = pooled.agg(
+        F.sum(
+            F.when(F.col("p") > 0, F.log("p")).otherwise(
+                F.when(
+                    F.col("p").isNotNull(), F.lit(float("-inf"))
+                )
+            )
+        ).alias("lp"),
+        F.count("p").alias("k"),  # only levels the corpus populates
+        *[
+            F.max(F.when(F.col("n") == n, F.col("p"))).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    return log_sum.crossJoin(lens).select(
+        F.round(
+            F.when(
+                F.col("lp") == float("-inf"), F.lit(0.0)
+            ).otherwise(
+                F.exp(
+                    F.col("lp") / F.col("k")
+                    + F.when(
+                        F.col("c") < F.col("r"),
+                        F.lit(1.0)
+                        - F.col("r").cast("double") / F.col("c"),
+                    ).otherwise(F.lit(0.0))
+                )
+            ),
+            6,
+        ).alias("bleu"),
+        F.round(
+            F.when(
+                F.col("c") < F.col("r"),
+                F.exp(
+                    F.lit(1.0)
+                    - F.col("r").cast("double") / F.col("c")
+                ),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("bp"),
+        *[
+            F.round(F.col(f"p{n}"), 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )

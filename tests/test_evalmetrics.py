@@ -160,3 +160,95 @@ def test_retrieval_ndcg_perfect_ranking_is_one(spark):
     assert row["ndcg_at_k"] == pytest.approx(1.0, abs=1e-6)
     assert row["recall_at_k"] == 1.0
     assert row["p_at_k"] == 1.0
+
+
+# --- BLEU (r9) --------------------------------------------------------------
+
+
+def _ref_bleu(pairs, max_n=4):
+    """Sequential Papineni-2002 corpus BLEU."""
+    import math
+    from collections import Counter
+
+    def grams(text, n):
+        t = text.strip().lower().split()
+        return Counter(
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        )
+
+    m = {n: 0 for n in range(1, max_n + 1)}
+    tot = {n: 0 for n in range(1, max_n + 1)}
+    c_len = r_len = 0
+    for _, cand, ref in pairs:
+        c_len += len(cand.strip().lower().split())
+        r_len += len(ref.strip().lower().split())
+        for n in range(1, max_n + 1):
+            cg, rg = grams(cand, n), grams(ref, n)
+            m[n] += sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            tot[n] += sum(cg.values())
+    ps = [m[n] / tot[n] if tot[n] else 0.0 for n in range(1, max_n + 1)]
+    bp = math.exp(1 - r_len / c_len) if c_len < r_len else 1.0
+    if any(p == 0 for p in ps):
+        return 0.0, bp, ps
+    return (
+        bp * math.exp(sum(math.log(p) for p in ps) / max_n),
+        bp,
+        ps,
+    )
+
+
+def test_corpus_bleu_matches_sequential_reference(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        corpus_bleu,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the the the the", "the cat is here"),
+        (3, "a quick brown fox jumps high", "the quick brown fox jumps over it"),
+        (4, "hello world", "hello there big world"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    got = corpus_bleu(df).collect()[0]
+    want_bleu, want_bp, want_ps = _ref_bleu(rows)
+    assert got.bleu == round(want_bleu, 6)
+    assert got.bp == round(want_bp, 6)
+    for n in range(1, 5):
+        assert got[f"p{n}"] == round(want_ps[n - 1], 6)
+
+
+def test_corpus_bleu_perfect_and_zero(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        corpus_bleu,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e")],
+        "pair_id long, candidate string, reference string",
+    )
+    assert corpus_bleu(perfect).collect()[0].bleu == 1.0
+    # candidate shares no 4-gram with reference -> p4 = 0 -> bleu 0
+    disjoint = spark.createDataFrame(
+        [(1, "a b c d e", "v w x y z")],
+        "pair_id long, candidate string, reference string",
+    )
+    row = corpus_bleu(disjoint).collect()[0]
+    assert row.bleu == 0.0 and row.p4 == 0.0
+
+
+def test_bleu_counts_clipping(spark):
+    """'the the the' vs 'the cat': clipped unigram match = 1."""
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        bleu_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the the", "the cat")],
+        "pair_id long, candidate string, reference string",
+    )
+    rows = {r.n: r for r in bleu_counts(df).collect()}
+    assert rows[1].match == 1 and rows[1].total == 3
+    assert rows[3].match == 0 and rows[3].total == 1
+    assert rows[4].match == 0 and rows[4].total == 0

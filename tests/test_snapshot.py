@@ -1,0 +1,68 @@
+"""Snapshot diff (operators/snapshot.py): hand-computed statuses and
+summary identities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.operators.snapshot import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA2"), (5, "new doc"), (4, "")],
+        "doc_id long, text string",
+    )
+    d = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert d[1].status == "unchanged"
+    assert d[2].status == "changed"
+    assert d[3].status == "removed" and d[3].new_md5 is None
+    assert d[5].status == "added" and d[5].old_md5 is None
+    # NULL text hashes like empty string: 4 is unchanged
+    assert d[4].status == "unchanged"
+    s = snapshot_diff_summary(snapshot_diff(old, new)).collect()[0]
+    assert (s.n_added, s.n_removed, s.n_changed, s.n_unchanged) == (
+        1, 1, 1, 2,
+    )
+
+
+def test_snapshot_diff_multi_column_content(spark):
+    """content_cols beyond text: a metadata-only edit is 'changed'."""
+    old = spark.createDataFrame(
+        [(1, "t", "en")], "doc_id long, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [(1, "t", "de")], "doc_id long, text string, lang string"
+    )
+    only_text = snapshot_diff(old, new).collect()[0]
+    assert only_text.status == "unchanged"
+    both = snapshot_diff(
+        old, new, content_cols=("text", "lang")
+    ).collect()[0]
+    assert both.status == "changed"
+
+
+def test_snapshot_diff_feeds_incremental_slice(spark):
+    """The added+changed slice is exactly what downstream standing
+    indexes re-process; assert the slice join shape."""
+    old = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"doc {i}" if i % 3 else f"doc {i} edited") for i in range(12)],
+        "doc_id long, text string",
+    )
+    diff = snapshot_diff(old, new)
+    todo = diff.filter(F.col("status").isin("added", "changed"))
+    batch = new.join(todo.select("doc_id"), "doc_id", "left_semi")
+    got = sorted(r.doc_id for r in batch.collect())
+    # changed: 0,3,6,9 (i%3==0); added: 10, 11
+    assert got == [0, 3, 6, 9, 10, 11]

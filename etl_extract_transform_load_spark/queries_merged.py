@@ -2769,6 +2769,32 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").cast("long").alias("keep_buckets"),
         F.lit(None).cast("long").alias("n_kept"),
     )
+    # eighth branch (r9): effective-sample-size diagnostics over the
+    # same n_chars importance weights the weighted branch draws from
+    # (Kish ESS = (Σw)²/Σw²) — the "is the weighted sample secretly
+    # tiny" health row. One row: n rides doc_id, Σw rides n_rows,
+    # ESS and ess_frac ride keep_buckets/n_kept as exact micro-units,
+    # max_share micro rides lang as a string (the divers convention).
+    from etl_extract_transform_load_spark.scale.sampling import (
+        ess_report,
+    )
+
+    ess = ess_report(docs, weight_col="n_chars").select(
+        F.lit("ess").alias("part"),
+        F.col("n_rows").cast("long").alias("doc_id"),
+        F.round(F.col("max_share") * 1000000.0)
+        .cast("long")
+        .cast("string")
+        .alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("sum_w").cast("long").alias("n_rows"),
+        F.round(F.col("ess") * 1000000.0)
+        .cast("long")
+        .alias("keep_buckets"),
+        F.round(F.col("ess_frac") * 1000000.0)
+        .cast("long")
+        .alias("n_kept"),
+    )
     return (
         strat.unionByName(mix)
         .unionByName(split)
@@ -2776,6 +2802,7 @@ def q_sampling_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(budget)
         .unionByName(divers)
         .unionByName(ppxb)
+        .unionByName(ess)
     )
 
 
@@ -2944,6 +2971,25 @@ FROM (
            SUM(CAST(ROUND(p * LN(p), 6) AS DECIMAL(28,6))) AS h,
            MAX(p) AS top
     FROM dp
+)
+UNION ALL
+-- Kish effective sample size over the n_chars importance weights:
+-- n, sum(w), then ESS/ess_frac/max_share micro-units from exact
+-- integer sums
+SELECT 'ess', CAST(n AS BIGINT),
+       CAST(CAST(ROUND(CAST(mx AS DOUBLE) / CAST(sw AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS VARCHAR),
+       NULL::VARCHAR, CAST(sw AS BIGINT),
+       CAST(ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                  / CAST(sw2 AS DOUBLE) * 1000000.0) AS BIGINT),
+       CAST(ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                  / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * 1000000.0) AS BIGINT)
+FROM (
+    SELECT COUNT(*) AS n, SUM(w) AS sw, SUM(w * w) AS sw2,
+           MAX(w) AS mx
+    FROM (SELECT CAST(n_chars AS BIGINT) AS w FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0)
 )
 """
 

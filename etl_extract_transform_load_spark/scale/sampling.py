@@ -671,3 +671,53 @@ def ppx_bucket_sample(
         )
         .alias("kept"),
     )
+
+
+def ess_report(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Effective-sample-size diagnostics for an importance-weighted
+    corpus: one row (``n_rows``, ``sum_w``, ``ess``, ``ess_frac``,
+    ``max_share``) with ESS = (Σw)² / Σw² (Kish 1965).
+
+    THE health number of every weighted stage in the tier (DSIR
+    scores, Efraimidis–Spirakis draws, mixture reweighting,
+    temperature sampling): nominally-n weighted data behaves like
+    ESS ≪ n independent rows when a few weights dominate —
+    ``ess_frac`` near 1 means weights are benign, near 1/n means one
+    document IS the sample. ``max_share`` (largest single weight /
+    Σw) pins the worst offender's mass.
+
+    Integer weights stay exact through both sums (map-side combine,
+    a 3-counter state); the ratios are double divisions of exact
+    integers, identical across engines at 6 dp. Rows with NULL or
+    non-positive weight are excluded (no defined importance mass) —
+    the same contract as ``weighted_sample``."""
+    w = F.col(weight_col).cast("long")
+    valid = df.filter(w.isNotNull() & (w > 0)).select(
+        w.alias("__w")
+    )
+    agg = valid.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__w").alias("sum_w"),
+        F.sum(F.col("__w") * F.col("__w")).alias("sum_w2"),
+        F.max("__w").alias("max_w"),
+    )
+    sum_d = F.col("sum_w").cast("double")
+    return agg.select(
+        "n_rows",
+        "sum_w",
+        F.round(sum_d * sum_d / F.col("sum_w2").cast("double"), 6)
+        .alias("ess"),
+        F.round(
+            sum_d * sum_d
+            / F.col("sum_w2").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("ess_frac"),
+        F.round(F.col("max_w").cast("double") / sum_d, 6).alias(
+            "max_share"
+        ),
+    )

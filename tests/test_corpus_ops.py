@@ -865,3 +865,26 @@ def test_ppx_bucket_sample_reference_and_contract(spark):
     )
     with __import__("pytest").raises(ValueError):
         ppx_bucket_sample(df, rates={"head": 1.0})
+
+
+def test_ess_report_hand_computed(spark):
+    """Kish ESS on hand weights: w=(1,1,1,1) -> ESS=4;
+    w=(4,1,1,1,NULL,0) -> valid (4,1,1,1): ESS=49/19."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        ess_report,
+    )
+
+    flat = spark.createDataFrame(
+        [(i, 1) for i in range(4)], "doc_id long, w long"
+    )
+    r = ess_report(flat, "w").collect()[0]
+    assert (r.n_rows, r.sum_w, r.ess, r.ess_frac) == (4, 4, 4.0, 1.0)
+    skew = spark.createDataFrame(
+        [(0, 4), (1, 1), (2, 1), (3, 1), (4, None), (5, 0)],
+        "doc_id long, w long",
+    )
+    r = ess_report(skew, "w").collect()[0]
+    assert r.n_rows == 4 and r.sum_w == 7
+    assert r.ess == round(49 / 19, 6)
+    assert r.ess_frac == round(49 / 19 / 4, 6)
+    assert r.max_share == round(4 / 7, 6)

@@ -440,8 +440,14 @@ def _ngram_counts(
 ) -> DataFrame:
     """(id, gram, cnt) table of word ``n``-grams with multiplicity
     (BLEU counts repeats, unlike the dedup tier's distinct shingles).
-    Whitespace tokenization, lowercased — mirror on both sides."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    Whitespace tokenization, lowercased — mirror on both sides.
+
+    The token array is materialized as its own projection BEFORE the
+    position transform: an interpreted HOF lambda re-evaluates child
+    expressions per element, so slicing ``split(trim(lower(text)))``
+    inline is O(len²) per doc (the langid lesson, SCALE_NOTES) —
+    slicing the ATTRIBUTE is O(len·n)."""
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -450,8 +456,13 @@ def _ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("__pid"), grams.alias("__g"))
-        .select("__pid", F.explode("__g").alias("gram"))
+        df.select(
+            F.col(id_col).alias("__pid"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias(
+                "__toks"
+            ),
+        )
+        .select("__pid", F.explode(grams).alias("gram"))
         .groupBy("__pid", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

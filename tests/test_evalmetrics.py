@@ -252,3 +252,68 @@ def test_bleu_counts_clipping(spark):
     assert rows[1].match == 1 and rows[1].total == 3
     assert rows[3].match == 0 and rows[3].total == 1
     assert rows[4].match == 0 and rows[4].total == 0
+
+
+def _ref_lcs(a, b):
+    a, b = a.strip().lower().split(), b.strip().lower().split()
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def test_rouge_l_matches_brute_force_dp(spark):
+    """Vectorized rolling-row DP == textbook quadratic DP on random
+    token sequences (including repeats and empty cases)."""
+    import random
+
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        rouge_l_scores,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(60):
+        c = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        rows.append((i, c, r))
+    rows.append((100, "x y z", "x y z"))
+    rows.append((101, "", "x"))
+    rows.append((102, None, "x"))
+    df = spark.createDataFrame(
+        rows, "pair_id long, candidate string, reference string"
+    )
+    got = {r.pair_id: r for r in rouge_l_scores(df).collect()}
+    for pid, c, r in rows:
+        want = _ref_lcs(c or "", r or "")
+        assert got[pid].lcs == want, (pid, c, r, got[pid].lcs, want)
+    # identity pair: P=R=F=1
+    assert got[100].rouge_l_f == 1.0
+    # empty candidate: P NULL, R 0... lcs 0 -> F 0
+    assert got[101].lcs == 0 and got[101].rouge_l_f == 0.0
+
+
+def test_rouge_l_order_sensitivity_vs_bleu1(spark):
+    """Clause shuffle keeps unigram BLEU p1 but halves ROUGE-L —
+    the reason both metrics exist."""
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        corpus_bleu,
+        rouge_l_scores,
+    )
+
+    ref = "the cat sat on the mat today it rained"
+    shuf = "today it rained the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(1, shuf, ref)],
+        "pair_id long, candidate string, reference string",
+    )
+    p1 = corpus_bleu(df).collect()[0].p1
+    assert p1 == 1.0  # same bag of words
+    rl = rouge_l_scores(df).collect()[0]
+    assert rl.lcs < 9  # order broken -> LCS strictly below length

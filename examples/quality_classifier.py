@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""End-to-end document quality classifier — the model-based keep/drop
+filter every large-scale curation pipeline trains, composed entirely
+from existing verified operators:
+
+    read → surface signals (text_stats) → weak labels from the
+    bigram-LM perplexity terciles (CCNet's teacher: head = clean,
+    tail = junk) → deterministic train/test split → logistic IRLS fit
+    on the train slice → score EVERY doc → classification report
+    (AUC / P / R / F1 / Brier / log-loss / calibration bins) on the
+    held-out slice → threshold sweep (keep-rate vs precision) →
+    manifest-verified parquet write of (doc_id, quality_prob, keep).
+
+The shape mirrors fastText-style quality filters (a linear model over
+cheap features, distilled from an LM signal) but stays 100%
+DataFrame-native: the IRLS fit is d²-state aggregation passes, the
+scoring is a scan-stage expression — nothing collects but the d×d
+solve.
+
+    python examples/quality_classifier.py [sf_dir] [out_dir]
+
+(defaults: /root/testdata/sf0.01, /tmp/quality_clf_out).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.evalmetrics import (
+    classification_report,
+)
+from etl_extract_transform_load_spark.scale.lm import (
+    perplexity_against_slice,
+)
+from etl_extract_transform_load_spark.scale.ml import (
+    logistic_fit,
+    predict_logistic,
+)
+from etl_extract_transform_load_spark.scale.sampling import hash_split
+from etl_extract_transform_load_spark.scale.text import text_stats
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.sinks.manifest import (
+    read_manifest,
+    verify_against_manifest,
+    write_with_manifest,
+)
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+FEATURES = [
+    "n_tokens_ws",
+    "punct_ratio",
+    "stopword_ratio_en",
+    "quality_score",
+    "len_chars",
+]
+
+
+#: symbol soup appended to the planted junk slice — raises the LM
+#: perplexity (teacher) AND the surface punctuation stats (student)
+#: through the same latent "this doc is junk" variable, which is the
+#: correlation a real web corpus provides for free and a synthetic
+#: random-text corpus lacks (without the plant, surface→LM AUC is
+#: honestly ≈ 0.5 here — there is nothing to learn).
+JUNK = " ### $$$ !!! ??? %%% ^^^ &&& ;;; @@@ ~~~ *** ((("
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    spark = get_spark(app_name="quality-classifier")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(JUNK)),
+        ).otherwise(F.col("text")),
+    )
+
+    # 1. features: cheap surface signals (one projection)
+    feats = text_stats(docs).withColumn(
+        "len_chars", F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+    # 2. weak labels: perplexity terciles against the id%5 reference
+    #    slice — label 1 for the head (clean), 0 for the tail (junk),
+    #    middle left unlabeled (the CCNet teacher signal)
+    ppx = perplexity_against_slice(docs).select("doc_id", "ppx")
+    scored = feats.join(ppx, "doc_id", "left").filter(
+        F.col("ppx").isNotNull()
+    )
+    q = scored.approxQuantile("ppx", [1 / 3, 2 / 3], 0.001)
+    labeled = scored.withColumn(
+        "label",
+        F.when(F.col("ppx") <= q[0], F.lit(1)).when(
+            F.col("ppx") >= q[1], F.lit(0)
+        ),
+    ).filter(F.col("label").isNotNull())
+
+    # 3. deterministic split; fit on train only
+    split = hash_split(labeled, {"train": 0.8, "test": 0.2})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    beta = logistic_fit(train, FEATURES, "label", l2=1e-3)
+    print(f"fit: {len(FEATURES)}+1 coefficients on", train.count(), "docs")
+
+    # 4. score EVERYTHING (scan-stage expression), report on held-out
+    all_scored = predict_logistic(feats, beta, FEATURES).withColumn(
+        "quality_prob", F.round(F.col("probability"), 6)
+    )
+    test_scored = predict_logistic(test, beta, FEATURES).withColumn(
+        "quality_prob", F.round(F.col("probability"), 6)
+    )
+    report = classification_report(
+        test_scored, "quality_prob", "label"
+    )
+    rep = {r.metric: r.value for r in report.collect()}
+    print(
+        "held-out: auc=%s f1=%s brier=%s"
+        % (rep.get("clf:auc"), rep.get("clf:f1"), rep.get("clf:brier"))
+    )
+
+    # 5. threshold sweep: keep-rate the budget owner actually tunes
+    sweep = (
+        all_scored.select(
+            F.explode(
+                F.array(*[F.lit(t / 10) for t in range(1, 10)])
+            ).alias("thresh"),
+            "quality_prob",
+        )
+        .groupBy("thresh")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("quality_prob") >= F.col("thresh")).cast(
+                        "long"
+                    )
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate")
+        )
+        .orderBy("thresh")
+    )
+    print("threshold sweep:")
+    for r in sweep.collect():
+        print(f"  t={r.thresh:.1f} keep={r.keep_rate}")
+
+    # 6. ship the scored corpus with a verified manifest
+    out = all_scored.select(
+        "doc_id",
+        "quality_prob",
+        (F.col("quality_prob") >= 0.5).alias("keep"),
+    )
+    path = os.path.join(out_dir, "quality_scores")
+    write_with_manifest(out, path)
+    back = spark.read.parquet(path)
+    verify_against_manifest(back, read_manifest(spark, path))
+    print("wrote+verified", path, back.count(), "rows")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/quality_clf_out"
+    shutil.rmtree(out, ignore_errors=True)
+    main(sf, out)

@@ -1,0 +1,38 @@
+"""The quality-classifier example must run end-to-end: fit, held-out
+report, threshold sweep, manifest-verified write — and the learnable
+planted-junk signal must yield a sane AUC."""
+
+import os
+import re
+import subprocess
+import sys
+
+
+def test_quality_classifier_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "qclf_out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "quality_classifier.py"),
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    m = re.search(r"auc=([0-9.]+)", proc.stdout)
+    assert m, proc.stdout
+    auc = float(m.group(1))
+    # the planted junk slice is fully separable by surface features;
+    # the random-text remainder of the ppx tail is a coin flip — the
+    # corpus-imposed ceiling is ~0.71, the floor well above chance
+    assert 0.6 <= auc <= 0.85, auc
+    assert "threshold sweep:" in proc.stdout
+    assert "wrote+verified" in proc.stdout
+    assert os.path.isdir(f"{out}/quality_scores")
+    assert os.path.exists(f"{out}/quality_scores/_manifest.json")

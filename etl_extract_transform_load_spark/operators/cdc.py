@@ -448,6 +448,12 @@ def snapshot_diff(
     the :func:`apply_cdc` convention).  Invariant (pytest-pinned):
     ``apply_cdc(old, snapshot_diff(old, new) + new's values, keys)``
     reproduces ``new``.
+
+    Sibling: ``operators.snapshot.content_snapshot_diff`` diffs by a
+    CONTENT HASH projection instead — only 32-byte hashes shuffle, no
+    per-column comparison, 'unchanged' included. Prefer it for wide
+    text corpora where downstream needs membership (the re-process
+    slice), and this one when it needs the change itself.
     """
     keys = list(keys)
     if not keys:

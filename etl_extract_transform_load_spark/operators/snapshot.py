@@ -14,6 +14,13 @@ only 32-byte hashes; the summary is a single combine aggregation.
 Comparing by content hash rather than column-wise equality makes the
 diff schema-stable (any projection of columns folds into one key)
 and engine-portable (md5 agrees everywhere).
+
+Sibling: ``operators.cdc.snapshot_diff`` is the COLUMN-WISE change
+log (per-key op ∈ {I,D,U} + which columns changed, invertible via
+``apply_cdc``) — use it when the downstream needs the change itself.
+Use THIS one when rows are wide (documents) and the downstream only
+needs membership: the full row never shuffles here, its 32-byte hash
+does.
 """
 
 from __future__ import annotations
@@ -35,7 +42,7 @@ def _content_hash(
     )
 
 
-def snapshot_diff(
+def content_snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     id_col: str = "doc_id",
@@ -75,8 +82,8 @@ def snapshot_diff(
     )
 
 
-def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
-    """One row of per-status counts over a :func:`snapshot_diff`
+def content_diff_summary(diff: DataFrame) -> DataFrame:
+    """One row of per-status counts over a :func:`content_snapshot_diff`
     table: (``n_added``, ``n_removed``, ``n_changed``,
     ``n_unchanged``) — the changelog headline and the rebuild-vs-
     incremental decision input."""

@@ -1153,8 +1153,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts (added→n_copies, removed→keep_id, changed→doc_id,
     # unchanged→n_contaminated).
     from etl_extract_transform_load_spark.operators.snapshot import (
-        snapshot_diff,
-        snapshot_diff_summary,
+        content_diff_summary,
+        content_snapshot_diff,
     )
 
     old_base = docs.filter(F.col("doc_id") % 11 != 0).select(
@@ -1170,7 +1170,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     with timed_branch("snapdiff"):
-        sdiff = snapshot_diff(
+        sdiff = content_snapshot_diff(
             old_base.unionByName(phantom), docs
         ).localCheckpoint()
     sd_rows = sdiff.filter(F.col("status") != "unchanged").select(
@@ -1181,7 +1181,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("n_contaminated"),
     )
-    sd_sum = snapshot_diff_summary(sdiff).select(
+    sd_sum = content_diff_summary(sdiff).select(
         F.lit("snapdiff_sum").alias("part"),
         F.lit(None).cast("string").alias("text_md5"),
         F.col("n_added").alias("n_copies"),

@@ -6,8 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.operators.snapshot import (
-    snapshot_diff,
-    snapshot_diff_summary,
+    content_diff_summary,
+    content_snapshot_diff,
 )
 
 
@@ -20,14 +20,14 @@ def test_snapshot_diff_statuses(spark):
         [(1, "alpha"), (2, "BETA2"), (5, "new doc"), (4, "")],
         "doc_id long, text string",
     )
-    d = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    d = {r.doc_id: r for r in content_snapshot_diff(old, new).collect()}
     assert d[1].status == "unchanged"
     assert d[2].status == "changed"
     assert d[3].status == "removed" and d[3].new_md5 is None
     assert d[5].status == "added" and d[5].old_md5 is None
     # NULL text hashes like empty string: 4 is unchanged
     assert d[4].status == "unchanged"
-    s = snapshot_diff_summary(snapshot_diff(old, new)).collect()[0]
+    s = content_diff_summary(content_snapshot_diff(old, new)).collect()[0]
     assert (s.n_added, s.n_removed, s.n_changed, s.n_unchanged) == (
         1, 1, 1, 2,
     )
@@ -41,9 +41,9 @@ def test_snapshot_diff_multi_column_content(spark):
     new = spark.createDataFrame(
         [(1, "t", "de")], "doc_id long, text string, lang string"
     )
-    only_text = snapshot_diff(old, new).collect()[0]
+    only_text = content_snapshot_diff(old, new).collect()[0]
     assert only_text.status == "unchanged"
-    both = snapshot_diff(
+    both = content_snapshot_diff(
         old, new, content_cols=("text", "lang")
     ).collect()[0]
     assert both.status == "changed"
@@ -60,7 +60,7 @@ def test_snapshot_diff_feeds_incremental_slice(spark):
         [(i, f"doc {i}" if i % 3 else f"doc {i} edited") for i in range(12)],
         "doc_id long, text string",
     )
-    diff = snapshot_diff(old, new)
+    diff = content_snapshot_diff(old, new)
     todo = diff.filter(F.col("status").isin("added", "changed"))
     batch = new.join(todo.select("doc_id"), "doc_id", "left_semi")
     got = sorted(r.doc_id for r in batch.collect())

@@ -1472,7 +1472,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("distance").cast("double").alias("score"),
     )
-    return jac.unionByName(fz)
+    # third family (r9): winnowing fingerprints (Schleimer et al.
+    # SIGMOD'03 / MOSS — scale/winnow.py). 'winnow' rows: per
+    # (corpus doc, benchmark doc) shared-fingerprint containment in
+    # micro-units against the id<10 benchmark slice (any shared
+    # ≥ w+k-1 = 8-char normalized substring is guaranteed to surface);
+    # 'winnowd' row: measured corpus selection density vs the paper's
+    # expected 2/(w+1). portable=True → md5-based gram hashes so the
+    # oracle replicates the ENTIRE pipeline (normalize → hash →
+    # window-min select → overlap), not just the verified output.
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.winnow import (
+        winnow_density,
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    with timed_branch("winnow"):
+        # fingerprints feed both the overlap join and the density row
+        fps = winnow_fingerprints(
+            docs, k=5, w=4, portable=True
+        ).localCheckpoint()
+    bench = docs.filter(F.col("doc_id") < 10)
+    wn = (
+        winnow_overlap(
+            docs, bench, k=5, w=4, portable=True, fingerprints=fps
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select(
+            F.lit("winnow").alias("part"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.col("bench_id").cast("long").alias("id_b"),
+            F.col("containment_micro").cast("double").alias("score"),
+        )
+    )
+    wd = winnow_density(
+        docs, k=5, w=4, portable=True, fingerprints=fps
+    ).select(
+        F.lit("winnowd").alias("part"),
+        F.col("n_fingerprints").cast("long").alias("id_a"),
+        F.col("n_grams").cast("long").alias("id_b"),
+        F.col("density_micro").cast("double").alias("score"),
+    )
+    return (
+        jac.unionByName(fz)
+        .unionByName(probe_branch("winnow", wn))
+        .unionByName(probe_branch("winnow", wd))
+    )
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1491,6 +1540,49 @@ cm AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+),
+-- winnowing twin (Schleimer'03): same normalize -> 5-gram md5-hash ->
+-- closed-form window-min selection (L/R greater-run arithmetic,
+-- rightmost tie-break) as scale/winnow.py, w=4
+wnorm AS (
+    SELECT doc_id,
+           regexp_replace(LOWER(text), '[^a-z0-9]', '', 'g') AS s
+    FROM documents
+),
+wg AS (
+    SELECT doc_id, LENGTH(s) - 4 AS ng,
+           UNNEST(range(1, LENGTH(s) - 3)) AS pos, s
+    FROM wnorm WHERE LENGTH(s) >= 5
+),
+wh AS (
+    SELECT doc_id, ng, pos,
+           CAST('0x' || SUBSTRING(MD5(substring(s, pos, 5)), 1, 15)
+                AS BIGINT) AS h
+    FROM wg
+),
+wrun AS (
+    SELECT doc_id, ng, pos, h,
+      CASE WHEN lag(h, 1) OVER w >= h THEN 1 ELSE 0 END AS l1,
+      CASE WHEN lag(h, 2) OVER w >= h THEN 1 ELSE 0 END AS l2,
+      CASE WHEN lag(h, 3) OVER w >= h THEN 1 ELSE 0 END AS l3,
+      CASE WHEN lead(h, 1) OVER w > h THEN 1 ELSE 0 END AS r1,
+      CASE WHEN lead(h, 2) OVER w > h THEN 1 ELSE 0 END AS r2,
+      CASE WHEN lead(h, 3) OVER w > h THEN 1 ELSE 0 END AS r3
+    FROM wh
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wsel AS (
+    SELECT doc_id, pos, h FROM wrun
+    WHERE (l1 + l1*l2 + l1*l2*l3) + (r1 + r1*r2 + r1*r2*r3)
+          >= LEAST(4, ng) - 1
+),
+wfc AS (SELECT DISTINCT doc_id, h FROM wsel),
+wfb AS (SELECT DISTINCT doc_id AS bench_id, h FROM wsel WHERE doc_id < 10),
+wbt AS (SELECT bench_id, COUNT(*) AS nb FROM wfb GROUP BY bench_id),
+wsh AS (
+    SELECT c.doc_id AS id_a, b.bench_id AS id_b, COUNT(*) AS ns
+    FROM wfc c JOIN wfb b USING (h)
+    GROUP BY c.doc_id, b.bench_id
 )
 SELECT 'jaccard' AS part, id_a, id_b,
        ROUND(c * 1.0 / (x.n + y.n - c), 6) AS score
@@ -1507,6 +1599,23 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
  AND levenshtein(a.c_name, b.c_name) <= 1
+UNION ALL
+SELECT 'winnow', wsh.id_a, wsh.id_b,
+       CAST(ROUND(ns * 1000000.0 / nb) AS DOUBLE)
+FROM wsh JOIN wbt ON wsh.id_b = wbt.bench_id
+WHERE wsh.id_a <> wsh.id_b
+UNION ALL
+SELECT 'winnowd',
+       (SELECT COUNT(*) FROM wsel),
+       (SELECT CAST(COALESCE(SUM(CASE WHEN LENGTH(s) >= 5
+                                      THEN LENGTH(s) - 4 ELSE 0 END), 0)
+               AS BIGINT)
+          FROM wnorm),
+       (SELECT CAST(ROUND(COUNT(*) * 1000000.0 /
+               (SELECT SUM(CASE WHEN LENGTH(s) >= 5
+                                THEN LENGTH(s) - 4 ELSE 0 END)
+                  FROM wnorm)) AS DOUBLE)
+          FROM wsel)
 """
 
 

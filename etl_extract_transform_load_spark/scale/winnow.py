@@ -1,0 +1,243 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm), Spark-first.
+
+Winnowing selects a *guaranteed-coverage, sublinear* subset of a
+document's k-gram hashes: from every window of ``w`` consecutive
+k-gram hashes keep the minimum (rightmost position on ties).  The two
+theorems that make it the standard plagiarism / contamination
+fingerprint:
+
+- **Matching guarantee**: any substring shared by two documents of
+  length ≥ ``w + k - 1`` characters yields at least one shared
+  fingerprint *hash value* in both documents.
+- **Density**: the expected fraction of positions selected is
+  ``2 / (w + 1)`` — the standing index holds ~2/(w+1) of the corpus'
+  gram hashes instead of all of them (``dedup.hashed_positional_table``
+  keeps every position; winnowing is its sublinear sibling for
+  *detection*, where span *reconstruction* is not needed).
+
+Scale shape: normalization + gram hashing is a scan-stage explode
+(Θ(chars), whole-stage codegen — the k-gram is substring'd from the
+**materialized** normalized attribute, never recomputed inside an
+interpreted HOF lambda; see the O(len²) lesson in
+``scale/lm.bigram_counts`` / ``evalmetrics._ngram_counts``).  Window
+selection is one hash-partition by document and ``2·(w-1)`` lag/lead
+comparisons — no self-join, no driver state.  Overlap detection is an
+equi-join on fingerprint hashes with the (small) benchmark side
+broadcast.
+
+Selection is expressed *closed-form* rather than as the paper's
+streaming loop: position ``i`` is a fingerprint iff some full window
+containing ``i`` has its (rightmost-tie-broken) minimum at ``i``.
+With ``L(i)`` = length of the maximal run of immediately *preceding*
+positions whose hash is ≥ ``h[i]`` (ties: the righter position wins,
+so an equal predecessor counts as greater) and ``R(i)`` = the run of
+*following* positions with hash strictly > ``h[i]``, both capped at
+``w - 1``:
+
+    selected(i)  ⟺  L(i) + R(i) ≥ w_eff − 1,   w_eff = min(w, n)
+
+(∃ a ∈ [0, w−1] with a ≤ L and w−1−a ≤ R ⟺ L + R ≥ w−1; boundary
+windows are handled because NULL lags/leads stop the runs, and a
+document shorter than one window degrades to "select the global
+rightmost min", the single-window limit.)  The same arithmetic runs
+in the DuckDB oracle twin, so the *whole pipeline* — normalization,
+hashing, selection, overlap — is cross-engine bit-identical under
+``portable=True``.
+
+No counterpart in the reference (its text ops are regex
+extract/replace, ``challenge2.py:75-200``); this is curation-tier
+surface for contamination/plagiarism detection at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.dedup import portable_hash60
+from etl_extract_transform_load_spark.scale.text import lower_simple
+
+#: chars kept by normalization — lowercase alphanumerics; everything
+#: else (whitespace, punctuation, markup) is stripped so formatting
+#: edits cannot break a match, the MOSS convention.
+_NORM_STRIP = "[^a-z0-9]"
+
+
+def winnow_normalize(col: Column) -> Column:
+    """MOSS-style normalization: engine-portable lowercase, then strip
+    every non-[a-z0-9] char.  DuckDB twin:
+    ``regexp_replace(LOWER(x), '[^a-z0-9]', '', 'g')``."""
+    return F.regexp_replace(lower_simple(col), _NORM_STRIP, "")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """``(id_col, pos, gram_hash)`` — the winnowing fingerprints of
+    every document (1-based ``pos`` into the *normalized* string).
+    Documents whose normalized text is shorter than ``k`` emit no
+    rows (no grams ⇒ nothing to fingerprint); any document with ≥ 1
+    gram emits ≥ 1 fingerprint.
+
+    ``portable=True`` hashes grams with :func:`portable_hash60`
+    (md5-based, exactly replicable in DuckDB) instead of the default
+    JVM-native ``xxhash64``.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    hash_fn = portable_hash60 if portable else F.xxhash64
+
+    norm = df.select(
+        F.col(id_col),
+        winnow_normalize(F.col(text_col)).alias("__s"),
+    ).filter(F.length("__s") >= k)
+    # materialize the gram count once; explode positions and substring
+    # the ATTRIBUTE (codegen) — never slice inside a HOF lambda.
+    grams = norm.select(
+        id_col,
+        (F.length("__s") - (k - 1)).alias("__ng"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("__s") - (k - 1))
+        ).alias("pos"),
+        F.col("__s"),
+    ).select(
+        id_col,
+        "__ng",
+        "pos",
+        hash_fn(F.substr(F.col("__s"), F.col("pos"), F.lit(k))).alias(
+            "gram_hash"
+        ),
+    )
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    h = F.col("gram_hash")
+
+    def _run(cmp_ge: bool) -> Column:
+        """Run length of consecutive neighbors with greater key:
+        predecessors compare ``>=`` (equal hash ⇒ the righter current
+        position wins the tie), successors strictly ``>``."""
+        total: Column = F.lit(0)
+        alive: Column = F.lit(1)
+        for m in range(1, w):
+            nb = F.lag(h, m).over(win) if cmp_ge else F.lead(h, m).over(win)
+            cond = (nb >= h) if cmp_ge else (nb > h)
+            step = F.coalesce(cond.cast("int"), F.lit(0))
+            alive = alive * step
+            total = total + alive
+        return total
+
+    w_eff = F.least(F.lit(w), F.col("__ng"))
+    return (
+        grams.withColumn("__lr", _run(True) + _run(False))
+        .filter(F.col("__lr") >= w_eff - 1)
+        .select(id_col, "pos", "gram_hash")
+    )
+
+
+def winnow_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Fingerprint-level contamination report: one row per
+    ``(doc_id, bench_id)`` pair sharing ≥ 1 winnowing fingerprint
+    *hash value* — ``(doc_id, bench_id, n_shared, n_bench_fp,
+    containment_micro)`` where ``containment_micro =
+    round(n_shared · 1e6 / n_bench_fp)`` (0-dp micro-units, the
+    tie-safe house spelling).
+
+    By the matching guarantee, any ≥ ``w + k - 1``-char normalized
+    substring shared with a benchmark document surfaces here — at
+    ~``2/(w+1)`` of the index cost of the every-position span tables.
+    Distinct hash values per document are compared (winnowing detects
+    *that* material is shared; ``dedup.contaminated_spans`` locates
+    it).  The benchmark side is broadcast (benchmarks are small by
+    definition); pass a pre-built corpus ``fingerprints`` table to
+    amortize it across probes.
+    """
+    fpc = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(corpus, k, w, text_col, id_col, portable)
+    ).select(F.col(id_col), "gram_hash").distinct()
+    fpb = (
+        winnow_fingerprints(benchmark, k, w, text_col, id_col, portable)
+        .select(F.col(id_col).alias("bench_id"), "gram_hash")
+        .distinct()
+    )
+    bench_tot = fpb.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_fp")
+    )
+    shared = (
+        fpc.join(F.broadcast(fpb), "gram_hash")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(F.broadcast(bench_tot), "bench_id").select(
+        F.col(id_col),
+        "bench_id",
+        "n_shared",
+        "n_bench_fp",
+        F.round(
+            F.col("n_shared").cast("double")
+            * 1000000.0
+            / F.col("n_bench_fp").cast("double")
+        )
+        .cast("long")
+        .alias("containment_micro"),
+    )
+
+
+def winnow_density(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """One-row corpus summary ``(n_fingerprints, n_grams,
+    density_micro)`` — the measured selection density against the
+    paper's expected ``2/(w+1)``.  The quality-vs-cost number for the
+    winnowing index, tracked per round like ANN recall."""
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, k, w, text_col, id_col, portable)
+    )
+    grams_per_doc = df.select(
+        winnow_normalize(F.col(text_col)).alias("__s")
+    ).select(
+        F.when(
+            F.length("__s") >= k, F.length("__s") - (k - 1)
+        ).otherwise(F.lit(0)).alias("__ng")
+    )
+    n_fp = fps.agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    n_g = grams_per_doc.agg(
+        F.sum(F.col("__ng").cast("long")).alias("n_grams")
+    )
+    return n_fp.crossJoin(n_g).select(
+        "n_fingerprints",
+        "n_grams",
+        F.round(
+            F.col("n_fingerprints").cast("double")
+            * 1000000.0
+            / F.col("n_grams").cast("double")
+        )
+        .cast("long")
+        .alias("density_micro"),
+    )

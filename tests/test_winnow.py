@@ -1,0 +1,223 @@
+"""Winnowing fingerprints (scale/winnow.py) vs a direct sequential
+implementation of the SIGMOD'03 algorithm, plus the paper's two
+guarantees as property tests."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.winnow import (
+    winnow_density,
+    winnow_fingerprints,
+    winnow_normalize,
+    winnow_overlap,
+)
+
+from conftest import SF_SMOKE
+
+
+def _norm(text: str | None) -> str:
+    if text is None:
+        return ""
+    # simple-fold twins of lower_simple's two pinned code points
+    text = text.replace("İ", "I").replace("Σ", "σ")
+    return re.sub(r"[^a-z0-9]", "", text.lower())
+
+
+def _h60(gram: str) -> int:
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def winnow_reference(
+    text: str | None, k: int, w: int
+) -> set[tuple[int, int]]:
+    """The paper's window loop verbatim: every full window of w
+    consecutive k-gram hashes selects its minimum, rightmost position
+    on ties; a document shorter than one window selects the rightmost
+    min of what it has.  Returns {(pos_1based, hash)}."""
+    s = _norm(text)
+    if len(s) < k:
+        return set()
+    hashes = [_h60(s[i : i + k]) for i in range(len(s) - k + 1)]
+    n = len(hashes)
+    w_eff = min(w, n)
+    out: set[tuple[int, int]] = set()
+    for j in range(n - w_eff + 1):
+        window = hashes[j : j + w_eff]
+        m = min(window)
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        out.add((pos + 1, hashes[pos]))
+    return out
+
+
+def _spark_fps(spark, rows, k=5, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=k, w=w, portable=True).collect()
+    by_doc: dict[int, set[tuple[int, int]]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    return by_doc
+
+
+# deliberately tiny alphabet → dense hash ties exercise the
+# rightmost-tie-break arm; mixed case/punct exercises normalization
+CASES = [
+    "abababab abab",
+    "aaaaaaaaaaaa",
+    "abcabcabcabcabc",
+    "The quick brown fox; jumps over 13 lazy dogs!",
+    "ab",  # shorter than k after normalization → no fingerprints
+    "",
+    None,
+    "abcdefg",  # exactly one window region, n < w case
+    "zyxwvutsrqponml",  # strictly decreasing-ish gram pattern
+    "aabbaabbaabb aab baa",
+]
+
+
+def test_matches_sequential_reference(spark):
+    rows = [(i, t) for i, t in enumerate(CASES)]
+    for k, w in [(5, 4), (3, 2), (4, 8), (2, 1)]:
+        got = _spark_fps(spark, rows, k=k, w=w)
+        for i, t in rows:
+            assert got.get(i, set()) == winnow_reference(t, k, w), (
+                k,
+                w,
+                t,
+            )
+
+
+def test_matches_reference_on_corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = _spark_fps(spark, rows, k=5, w=4)
+    for i, t in rows:
+        assert got.get(i, set()) == winnow_reference(t, 5, 4)
+
+
+def test_coverage_guarantee(spark):
+    """Every full window of w consecutive gram positions contains at
+    least one selected fingerprint (the winnowing invariant that makes
+    the matching guarantee work)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice("ab cd") for _ in range(rng.randrange(6, 120))
+            ),
+        )
+        for i in range(30)
+    ]
+    k, w = 4, 5
+    got = _spark_fps(spark, rows, k=k, w=w)
+    for i, t in rows:
+        s = _norm(t)
+        if len(s) < k:
+            assert i not in got
+            continue
+        n = len(s) - k + 1
+        sel = {p for p, _ in got.get(i, set())}
+        assert sel, t
+        for j in range(1, n - min(w, n) + 2):
+            window = set(range(j, j + min(w, n)))
+            assert window & sel, (t, j)
+
+
+def test_matching_guarantee_planted(spark):
+    """A ≥ w+k-1-char normalized substring planted in two documents
+    yields ≥ 1 shared fingerprint hash — surfaced by winnow_overlap."""
+    import random
+
+    rng = random.Random(11)
+    k, w = 5, 4
+    shared_core = "thecommonstolenpassage"  # 22 ≥ w+k-1 = 8
+    corpus_rows, expect_pairs = [], set()
+    for i in range(12):
+        filler = "".join(rng.choice("qwerty uiop") for _ in range(60))
+        if i % 3 == 0:
+            text = filler[:30] + " " + shared_core + " " + filler[30:]
+            expect_pairs.add(i)
+        else:
+            text = filler
+        corpus_rows.append((i, text))
+    bench_rows = [(100, "A prefix! " + shared_core + " and a suffix.")]
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = winnow_overlap(corpus, bench, k=k, w=w, portable=True).collect()
+    hit_ids = {r["doc_id"] for r in got}
+    assert expect_pairs <= hit_ids
+    for r in got:
+        assert 0 < r["n_shared"] <= r["n_bench_fp"]
+        assert (
+            r["containment_micro"]
+            == round(r["n_shared"] * 1e6 / r["n_bench_fp"])
+        )
+
+
+def test_density_tracks_expected(spark):
+    """Measured density ≈ 2/(w+1) on random text (±60% slack — the
+    bound is an expectation over random hashes)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            "".join(rng.choice("abcdefghij") for _ in range(400)),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+    row = winnow_density(df, k=k, w=w, portable=True).collect()[0]
+    assert row["n_grams"] == sum(len(_norm(t)) - k + 1 for _, t in rows)
+    expected = 2.0 / (w + 1)
+    got = row["density_micro"] / 1e6
+    assert 0.4 * expected < got < 1.6 * expected
+    assert row["n_fingerprints"] < row["n_grams"]
+
+
+def test_fingerprint_prebuild_reused(spark):
+    """overlap/density accept a pre-built fingerprint table and give
+    identical results (the amortized-probe path)."""
+    rows = [(i, t) for i, t in enumerate(CASES) if t]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, 3, 2, portable=True).localCheckpoint()
+    bench = df.filter(F.col("doc_id") < 2)
+    a = sorted(
+        map(
+            tuple,
+            winnow_overlap(df, bench, 3, 2, portable=True).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            winnow_overlap(
+                df, bench, 3, 2, portable=True, fingerprints=fps
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_normalize_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "A-b c!2İx")], "doc_id long, text string"
+    )
+    got = df.select(winnow_normalize(F.col("text")).alias("s")).collect()
+    assert got[0]["s"] == "abc2ix"
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)

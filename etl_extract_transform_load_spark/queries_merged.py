@@ -2215,20 +2215,20 @@ JOIN ({oracle_kn_sql()}) j USING (doc_id)
 def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vocab_top_terms + tfidf_top_terms + the text-retrieval /
     vectorization / data-selection tier, tag-unioned (8 branches:
-    vocab, tfidf, dsir, bm25, hashed, cluster, ppmi, rrf — the
-    carrier budget; the retired oov/heavy legs stay hash-verified in
-    tests/test_retired_branches.py). The global vocabulary
-    aggregation is checkpointed and shared.
+    vocab, tfidf, dsir, bm25, hashed, cluster, cllaw, rrf — the
+    carrier budget; the retired oov/heavy/ppmi legs stay
+    hash-verified in tests/test_retired_branches.py). The global
+    vocabulary aggregation is checkpointed and shared.
 
     RETIREMENT PRE-PLAN (VERDICT r8 directive 6): the carrier is at
-    its 8-family budget — when the next vocab-tier operator lands,
-    `ppmi` retires first (its operator keeps sequential-reference
-    pytests in test_corpus_ops.py and has no shared-materialization
-    coupling to the vocab checkpoint; per convention it moves to
-    queries_retired.py WITH its oracle arm, strict-gated from
-    pytest), then `cluster` (same coverage shape).
-    `dsir`/`bm25`/`rrf` stay: they are this carrier's unique
-    data-selection/retrieval evidence."""
+    its 8-family budget — the r9 `cllaw` corpus-law family landed by
+    retiring `ppmi` exactly per the documented plan. When the NEXT
+    vocab-tier operator lands, `cluster` retires (sequential
+    references in test_vectorize.py, no shared-materialization
+    coupling; per convention it moves to queries_retired.py WITH its
+    oracle arm, strict-gated from pytest). `dsir`/`bm25`/`rrf` stay:
+    they are this carrier's unique data-selection/retrieval
+    evidence."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_tfidf_top_terms,
     )
@@ -2359,37 +2359,62 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
-    # eighth branch: GloVe-style co-occurrence + PPMI over the same
-    # corpus (scale/vocab.cooccurrence_counts/ppmi) — the pair packs
-    # into token as 'a b' (tokens are whitespace-free), pair count
-    # rides n_occurrences, PPMI rides tfidf; top-150 by (ppmi, pair)
-    # via orderBy/limit (TakeOrdered), rank attached over the 150
+    # eighth family (r9, replacing the retired ppmi leg per the
+    # documented pre-plan): corpus-law diagnostics
+    # (scale/vocab.zipf_fit / heaps_points / heaps_fit) — 'zipf'
+    # rows: OLS of ln(freq)~ln(rank) over the top-500 of the SAME
+    # checkpointed vocabulary (stat name rides token, value rides
+    # tfidf, n_points rides n_occurrences); 'heaps' rows: the
+    # vocabulary-growth curve at 10 value-decile doc_id thresholds
+    # (cum_tokens→n_occurrences, vocab_size→doc_freq, n_docs→doc_id,
+    # point→rnk — all exact integers, zero global sorts); 'heapsb'
+    # rows: the Heaps β fit over that curve, melted like zipf.
     from etl_extract_transform_load_spark.scale.vocab import (
-        cooccurrence_counts,
-        ppmi,
+        heaps_fit,
+        heaps_points,
+        zipf_fit,
     )
 
-    pp = ppmi(cooccurrence_counts(docs, window=2), min_count=3)
-    pp_top = (
-        pp.orderBy(F.desc("ppmi"), F.asc("a"), F.asc("b"))
-        .limit(150)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(
-                    F.desc("ppmi"), F.asc("a"), F.asc("b")
+    def melt_fit(fit: DataFrame, part: str) -> DataFrame:
+        return fit.select(
+            F.lit(part).alias("part"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(kname).alias("k"),
+                            F.col(kname).alias("v"),
+                        )
+                        for kname in ("slope", "intercept", "r2")
+                    ]
                 )
-            ),
+            ).alias("kv"),
+            F.col("n_points"),
+        ).select(
+            "part",
+            F.col("kv.k").alias("token"),
+            F.col("n_points").cast("long").alias("n_occurrences"),
+            F.lit(None).cast("long").alias("doc_freq"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("kv.v").cast("double").alias("tfidf"),
+            F.lit(None).cast("long").alias("rnk"),
         )
+
+    with timed_branch("cllaw"):
+        zipf_rows = melt_fit(zipf_fit(voc, top_n=500), "zipf")
+        hp = heaps_points(docs).localCheckpoint()
+    heaps_rows = hp.select(
+        F.lit("heaps").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("cum_tokens").cast("long").alias("n_occurrences"),
+        F.col("vocab_size").cast("long").alias("doc_freq"),
+        F.col("n_docs").cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("tfidf"),
+        F.col("point").cast("long").alias("rnk"),
     )
-    ppmi_rows = pp_top.select(
-        F.lit("ppmi").alias("part"),
-        F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("token"),
-        F.col("cnt").cast("long").alias("n_occurrences"),
-        F.lit(None).cast("long").alias("doc_freq"),
-        F.lit(None).cast("long").alias("doc_id"),
-        F.col("ppmi").cast("double").alias("tfidf"),
-        F.col("rnk").cast("long").alias("rnk"),
+    heapsb_rows = melt_fit(heaps_fit(hp), "heapsb")
+    cllaw_rows = zipf_rows.unionByName(heaps_rows).unionByName(
+        heapsb_rows
     )
     # ninth branch: HYBRID retrieval — Reciprocal Rank Fusion of the
     # BM25 lexical ranking with a dense cosine ranking for the same
@@ -2430,7 +2455,7 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_branch("bm25", bm25))
         .unionByName(probe_branch("hashed", hashed))
         .unionByName(probe_branch("cluster", cluster))
-        .unionByName(probe_branch("ppmi", ppmi_rows))
+        .unionByName(probe_branch("cllaw", cllaw_rows))
         .unionByName(probe_branch("rrf", fused))
     )
 
@@ -2500,6 +2525,33 @@ def _oracle_dsir() -> str:
     return oracle_dsir_sql()
 
 
+def _oracle_zipf() -> str:
+    # the FULL vocabulary (the zipf fit's own top_n does the cutting;
+    # ORACLE_VOCAB is the 'vocab' branch's top-100 display query)
+    from etl_extract_transform_load_spark.queries_scale import (
+        oracle_vocab_sql,
+    )
+    from etl_extract_transform_load_spark.scale.vocab import oracle_zipf_sql
+
+    return oracle_zipf_sql(oracle_vocab_sql(2_000_000_000), top_n=500)
+
+
+def _oracle_heaps_points() -> str:
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oracle_heaps_points_sql,
+    )
+
+    return oracle_heaps_points_sql()
+
+
+def _oracle_heaps_fit() -> str:
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oracle_heaps_fit_sql,
+    )
+
+    return oracle_heaps_fit_sql()
+
+
 def _oracle_vocab_tfidf() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_TFIDF,
@@ -2539,55 +2591,29 @@ SELECT 'doccluster', CAST(assigned_label AS VARCHAR), NULL::BIGINT,
        NULL::BIGINT
 FROM ({_oracle_doc_cluster()})
 UNION ALL
-SELECT 'ppmi', a || ' ' || b, CAST(cnt AS BIGINT), NULL::BIGINT,
-       NULL::BIGINT, CAST(val AS DOUBLE), CAST(rnk AS BIGINT)
+SELECT 'zipf', u.k, CAST(n_points AS BIGINT), NULL::BIGINT,
+       NULL::BIGINT, u.v, NULL::BIGINT
 FROM (
-    WITH ptoks AS (
-        SELECT CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
-                    THEN CAST([] AS VARCHAR[])
-                    ELSE regexp_split_to_array(
-                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
-               END AS t
-        FROM documents
-    ),
-    ppairs AS (
-        SELECT LEAST(u.x, u.y) AS a, GREATEST(u.x, u.y) AS b
-        FROM (SELECT UNNEST([{{'x': t[i], 'y': t[i+1]}}
-                             for i in range(1, len(t))]) AS u
-              FROM ptoks)
-        UNION ALL
-        SELECT LEAST(u.x, u.y), GREATEST(u.x, u.y)
-        FROM (SELECT UNNEST([{{'x': t[i], 'y': t[i+2]}}
-                             for i in range(1, len(t) - 1)]) AS u
-              FROM ptoks)
-    ),
-    pcnt AS (SELECT a, b, COUNT(*) AS cnt FROM ppairs GROUP BY a, b),
-    ptot AS (SELECT SUM(cnt) AS tt FROM pcnt),
-    pmarg AS (
-        SELECT t, SUM(cnt) AS m FROM (
-            SELECT a AS t, cnt FROM pcnt
-            UNION ALL
-            SELECT b, cnt FROM pcnt WHERE a <> b
-        ) GROUP BY t
-    ),
-    pvals AS (
-        SELECT c.a, c.b, c.cnt,
-               GREATEST(0.0, ROUND(LN(
-                   CAST(c.cnt AS DOUBLE) * CAST(p.tt AS DOUBLE)
-                   / (CAST(x.m AS DOUBLE) * CAST(y.m AS DOUBLE))
-               ), 6)) AS val
-        FROM pcnt c
-        JOIN pmarg x ON c.a = x.t
-        JOIN pmarg y ON c.b = y.t
-        CROSS JOIN ptot p
-        WHERE c.cnt >= 3
-    )
-    SELECT * FROM (
-        SELECT a, b, cnt, val,
-               ROW_NUMBER() OVER (ORDER BY val DESC, a ASC, b ASC)
-                   AS rnk
-        FROM pvals
-    ) WHERE rnk <= 150
+    SELECT n_points,
+           UNNEST([{{'k': 'slope', 'v': slope}},
+                   {{'k': 'intercept', 'v': intercept}},
+                   {{'k': 'r2', 'v': r2}}]) AS u
+    FROM ({_oracle_zipf()})
+)
+UNION ALL
+SELECT 'heaps', NULL::VARCHAR, CAST(cum_tokens AS BIGINT),
+       CAST(vocab_size AS BIGINT), CAST(n_docs AS BIGINT),
+       NULL::DOUBLE, CAST(point AS BIGINT)
+FROM ({_oracle_heaps_points()})
+UNION ALL
+SELECT 'heapsb', u.k, CAST(n_points AS BIGINT), NULL::BIGINT,
+       NULL::BIGINT, u.v, NULL::BIGINT
+FROM (
+    SELECT n_points,
+           UNNEST([{{'k': 'slope', 'v': slope}},
+                   {{'k': 'intercept', 'v': intercept}},
+                   {{'k': 'r2', 'v': r2}}]) AS u
+    FROM ({_oracle_heaps_fit()})
 )
 UNION ALL
 SELECT 'rrf', NULL::VARCHAR, CAST(n_lists AS BIGINT), NULL::BIGINT,

@@ -779,6 +779,7 @@ def retired_checks() -> dict:
         "pagerank": (retired_pagerank, oracle_pagerank()),
         "adamic_adar": (retired_adamic_adar, ORACLE_ADAMIC_ADAR),
         "nb_word": (retired_nb_word, oracle_nb_word()),
+        "ppmi": (retired_ppmi, ORACLE_PPMI),
     }
 
 
@@ -1052,3 +1053,92 @@ def oracle_nb_word() -> str:
     from etl_extract_transform_load_spark.scale.nbayes import oracle_nb_sql
 
     return oracle_nb_sql("doc_id % 2 = 0")
+
+
+def retired_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe-style co-occurrence + PPMI top-150 — the r7
+    ``vocab_tfidf_terms`` leg, retired in r9 when the `cllaw`
+    corpus-law family landed (per the carrier's documented
+    retirement pre-plan). Original column riding preserved."""
+    from etl_extract_transform_load_spark.scale.vocab import (
+        cooccurrence_counts,
+        ppmi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pp = ppmi(cooccurrence_counts(docs, window=2), min_count=3)
+    pp_top = (
+        pp.orderBy(F.desc("ppmi"), F.asc("a"), F.asc("b"))
+        .limit(150)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("ppmi"), F.asc("a"), F.asc("b"))
+            ),
+        )
+    )
+    return pp_top.select(
+        F.lit("ppmi").alias("part"),
+        F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("token"),
+        F.col("cnt").cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("ppmi").cast("double").alias("tfidf"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+ORACLE_PPMI = """
+SELECT 'ppmi' AS part, a || ' ' || b AS token,
+       CAST(cnt AS BIGINT) AS n_occurrences, NULL::BIGINT AS doc_freq,
+       NULL::BIGINT AS doc_id, CAST(val AS DOUBLE) AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    WITH ptoks AS (
+        SELECT CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM documents
+    ),
+    ppairs AS (
+        SELECT LEAST(u.x, u.y) AS a, GREATEST(u.x, u.y) AS b
+        FROM (SELECT UNNEST([{'x': t[i], 'y': t[i+1]}
+                             for i in range(1, len(t))]) AS u
+              FROM ptoks)
+        UNION ALL
+        SELECT LEAST(u.x, u.y), GREATEST(u.x, u.y)
+        FROM (SELECT UNNEST([{'x': t[i], 'y': t[i+2]}
+                             for i in range(1, len(t) - 1)]) AS u
+              FROM ptoks)
+    ),
+    pcnt AS (SELECT a, b, COUNT(*) AS cnt FROM ppairs GROUP BY a, b),
+    ptot AS (SELECT SUM(cnt) AS tt FROM pcnt),
+    pmarg AS (
+        SELECT t, SUM(cnt) AS m FROM (
+            SELECT a AS t, cnt FROM pcnt
+            UNION ALL
+            SELECT b, cnt FROM pcnt WHERE a <> b
+        ) GROUP BY t
+    ),
+    pvals AS (
+        SELECT c.a, c.b, c.cnt,
+               GREATEST(0.0, ROUND(LN(
+                   CAST(c.cnt AS DOUBLE) * CAST(p.tt AS DOUBLE)
+                   / (CAST(x.m AS DOUBLE) * CAST(y.m AS DOUBLE))
+               ), 6)) AS val
+        FROM pcnt c
+        JOIN pmarg x ON c.a = x.t
+        JOIN pmarg y ON c.b = y.t
+        CROSS JOIN ptot p
+        WHERE c.cnt >= 3
+    )
+    SELECT * FROM (
+        SELECT a, b, cnt, val,
+               ROW_NUMBER() OVER (ORDER BY val DESC, a ASC, b ASC)
+                   AS rnk
+        FROM pvals
+    ) WHERE rnk <= 150
+)
+"""

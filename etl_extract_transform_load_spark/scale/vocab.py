@@ -262,3 +262,271 @@ def ppmi(cooc: DataFrame, min_count: int = 1) -> DataFrame:
             ).alias("ppmi"),
         )
     )
+
+
+# --- corpus-law diagnostics (Zipf / Heaps) -------------------------------
+
+
+def _ols_loglog(
+    xy: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One-row OLS fit of ``ln(y) ~ ln(x)``: ``(n_points, slope,
+    intercept, r2)`` — the shared kernel of :func:`zipf_fit` and
+    :func:`heaps_fit`.
+
+    Cross-engine exactness: each log is rounded to 6 dp and cast
+    DECIMAL(18,6); sums (and sums of DECIMAL(30,12) products) are
+    decimal-exact, so both engines hand the SAME numbers to the
+    final scalar double arithmetic, whose expression shape is
+    identical on both sides.  Rows with x ≤ 0 or y ≤ 0 drop."""
+    lx = F.round(F.log(F.col(x_col).cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    ly = F.round(F.log(F.col(y_col).cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    pts = xy.filter(
+        (F.col(x_col) > 0) & (F.col(y_col) > 0)
+    ).select(lx.alias("__x"), ly.alias("__y"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(30,12)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("__x") * F.col("__y")).cast("decimal(30,12)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("__y") * F.col("__y")).cast("decimal(30,12)")
+        ).alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    # degenerate curves (all-equal x — e.g. a saturated vocabulary —
+    # or all-equal y) fit nothing: NULLIF the variances so slope/r2
+    # are NULL instead of an ANSI divide-by-zero, same as the twin
+    varx = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    vary = F.nullif(n * syy - sy * sy, F.lit(0.0))
+    slope = cov / varx
+    return s.select(
+        "n_points",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def _oracle_ols_loglog_sql(points_sql: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`_ols_loglog` over ``points_sql``."""
+    return f"""
+WITH __pts AS (
+    SELECT CAST(ROUND(LN(CAST({x} AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+           CAST(ROUND(LN(CAST({y} AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+    FROM ({points_sql}) WHERE {x} > 0 AND {y} > 0
+),
+__s AS (
+    SELECT COUNT(*) AS n_points,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx,
+           SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+           SUM(CAST(y * y AS DECIMAL(30,12))) AS syy
+    FROM __pts
+),
+__m AS (
+    SELECT n_points,
+           CAST(n_points AS DOUBLE) AS n,
+           CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+           CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+           NULLIF(CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS varx,
+           NULLIF(CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0) AS vary
+    FROM __s
+)
+SELECT n_points,
+       ROUND(cov / varx, 6) AS slope,
+       ROUND((dsy - (cov / varx) * dsx) / n, 6) AS intercept,
+       ROUND(cov * cov / (varx * vary), 6) AS r2
+FROM __m
+"""
+
+
+def zipf_fit(voc: DataFrame, top_n: int = 500) -> DataFrame:
+    """Zipf's-law fit over the top ``top_n`` vocabulary terms: OLS of
+    ``ln(frequency) ~ ln(rank)`` — one row ``(n_points, slope,
+    intercept, r2)``.  A natural corpus has slope ≈ −1; a strong
+    deviation is a curation smell (boilerplate floods flatten the
+    head, template spam steepens it).  TakeOrdered top-k plus a
+    ≤ top_n-row window — never a corpus-sized sort."""
+    ranked = (
+        voc.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+            ),
+        )
+    )
+    return _ols_loglog(ranked, "rnk", "n_occurrences")
+
+
+def heaps_points(
+    docs: DataFrame,
+    n_points: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law input): for ``n_points``
+    doc-id thresholds, ``(point, threshold_id, n_docs, cum_tokens,
+    vocab_size)`` — corpus size vs distinct-token count at each
+    prefix.  ``doc_id`` is ingest order, so prefixes are time
+    prefixes.
+
+    Scale shape — NO global sort, NO corpus-length window: thresholds
+    are VALUE-deciles of the id range (one min/max agg, overflow-safe
+    integer arithmetic), broadcast against (a) per-doc token counts
+    and (b) the token → first-doc table; every curve value is a
+    conditional aggregate, so the whole curve is two shuffles
+    (first-occurrence groupBy + the tiny threshold joins) regardless
+    of corpus size.  All outputs are exact integers."""
+    d = docs.filter(F.col(id_col).isNotNull())
+    bounds = d.agg(
+        F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
+    )
+    # floor(span·p/k) = (span DIV k)·p + ((span MOD k)·p) DIV k —
+    # exact and overflow-safe for ids up to 2^62 (the adversarial
+    # range), where span·p would overflow a long
+    th = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_points))).alias("p"),
+        "__lo",
+        "__hi",
+    ).select(
+        "p",
+        F.expr(
+            f"__lo + ((__hi - __lo) DIV {n_points}) * p"
+            f" + (((__hi - __lo) % {n_points}) * p) DIV {n_points}"
+        )
+        .cast("long")
+        .alias("threshold_id"),
+    )
+    ntok = d.select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            tokens(lower_simple(F.coalesce(F.col(text_col), F.lit(""))))
+        ).cast("long").alias("__nt"),
+    )
+    first_occ = (
+        _token_counts(d, text_col, id_col)
+        .groupBy("token")
+        .agg(F.min("__id").alias("__fd"))
+    )
+    doc_face = (
+        ntok.crossJoin(F.broadcast(th))
+        .filter(F.col("__id") <= F.col("threshold_id"))
+        .groupBy("p", "threshold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("cum_tokens"),
+        )
+    )
+    voc_face = (
+        first_occ.crossJoin(F.broadcast(th))
+        .filter(F.col("__fd") <= F.col("threshold_id"))
+        .groupBy("p", "threshold_id")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        doc_face.join(voc_face, ["p", "threshold_id"], "left")
+        .select(
+            F.col("p").alias("point"),
+            "threshold_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.coalesce(F.col("vocab_size"), F.lit(0))
+            .cast("long")
+            .alias("vocab_size"),
+        )
+    )
+
+
+def heaps_fit(points: DataFrame) -> DataFrame:
+    """Heaps'-law fit ``V = K·N^β`` from a :func:`heaps_points`
+    curve: OLS of ``ln(vocab_size) ~ ln(cum_tokens)`` — one row
+    ``(n_points, slope, intercept, r2)`` where slope = β (natural
+    text: 0.4–0.6) and intercept = ln K."""
+    return _ols_loglog(points, "cum_tokens", "vocab_size")
+
+
+def oracle_zipf_sql(vocab_sql: str, top_n: int = 500) -> str:
+    """DuckDB twin of :func:`zipf_fit` over a vocabulary query
+    producing ``(token, n_occurrences, ...)``."""
+    points = f"""
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC)
+               AS rnk,
+           n_occurrences
+    FROM ({vocab_sql})
+) WHERE rnk <= {top_n}
+"""
+    return _oracle_ols_loglog_sql(points, "rnk", "n_occurrences")
+
+
+def oracle_heaps_points_sql(n_points: int = 10) -> str:
+    """DuckDB twin of :func:`heaps_points` over the ``documents``
+    view — same value-decile thresholds, same token split."""
+    k = n_points
+    return f"""
+WITH hb AS (
+    SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+    FROM documents WHERE doc_id IS NOT NULL
+),
+hth AS (
+    SELECT r.p AS p,
+           lo + ((hi - lo) // {k}) * r.p
+              + (((hi - lo) % {k}) * r.p) // {k} AS t
+    FROM hb, (SELECT UNNEST(range(1, {k + 1})) AS p) r
+),
+htoks AS (
+    SELECT doc_id,
+           CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(
+                    TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+           END AS toks
+    FROM documents WHERE doc_id IS NOT NULL
+),
+hnt AS (SELECT doc_id, LEN(toks) AS nt FROM htoks),
+hfo AS (
+    SELECT token, MIN(doc_id) AS fd
+    FROM (SELECT doc_id, UNNEST(toks) AS token FROM htoks)
+    GROUP BY token
+),
+hdoc AS (
+    SELECT p, t, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS cum_tokens
+    FROM hnt, hth WHERE doc_id <= t GROUP BY p, t
+),
+hvoc AS (
+    SELECT p, t, COUNT(*) AS vocab_size
+    FROM hfo, hth WHERE fd <= t GROUP BY p, t
+)
+SELECT p AS point, t AS threshold_id, n_docs, cum_tokens,
+       COALESCE(vocab_size, 0) AS vocab_size
+FROM hdoc LEFT JOIN hvoc USING (p, t)
+"""
+
+
+def oracle_heaps_fit_sql(n_points: int = 10) -> str:
+    """DuckDB twin of :func:`heaps_fit` over the heaps curve."""
+    return _oracle_ols_loglog_sql(
+        oracle_heaps_points_sql(n_points), "cum_tokens", "vocab_size"
+    )

@@ -1,0 +1,128 @@
+"""Zipf/Heaps corpus-law diagnostics (scale/vocab.py) vs exact
+sequential references replicating the decimal-sum contract."""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.vocab import (
+    heaps_fit,
+    heaps_points,
+    vocabulary,
+    zipf_fit,
+)
+
+from conftest import SF_SMOKE
+
+
+def _ols_ref(pts: list[tuple[float, float]]):
+    """The engine's exact pipeline: 6-dp-quantized logs, exact decimal
+    sums, then scalar double arithmetic in the same shape."""
+    q = Decimal("0.000001")
+    xs = [Decimal(repr(round(math.log(x), 6))).quantize(q) for x, _ in pts]
+    ys = [Decimal(repr(round(math.log(y), 6))).quantize(q) for _, y in pts]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(a * a for a in xs))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    syy = float(sum(b * b for b in ys))
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = cov / varx
+    return (
+        round(slope, 6),
+        round((sy - slope * sx) / n, 6),
+        round(cov * cov / (varx * vary), 6),
+    )
+
+
+def test_zipf_fit_matches_reference(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    voc = vocabulary(docs)
+    got = zipf_fit(voc, top_n=200).collect()[0]
+
+    rows = [
+        (r["token"], r["n_occurrences"])
+        for r in voc.collect()
+        if r["n_occurrences"] > 0
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    pts = [(i + 1, c) for i, (_, c) in enumerate(rows[:200])]
+    slope, intercept, r2 = _ols_ref([(float(a), float(b)) for a, b in pts])
+    assert got["n_points"] == len(pts)
+    assert float(got["slope"]) == slope
+    assert float(got["intercept"]) == intercept
+    assert float(got["r2"]) == r2
+    # a word-soup corpus still has a decreasing rank-frequency curve
+    assert got["slope"] < 0 and 0 < got["r2"] <= 1
+
+
+def test_heaps_points_matches_bruteforce(spark):
+    rows = [
+        (10, "a b c"),
+        (13, "a b d d"),
+        (20, None),
+        (25, "e f"),
+        (31, "a"),
+        (47, "g g g h"),
+        (60, "i"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["point"]: r for r in heaps_points(df, n_points=5).collect()
+    }
+    lo, hi = 10, 60
+    for p in range(1, 6):
+        t = lo + (hi - lo) * p // 5
+        docs_le = [(i, x) for i, x in rows if i <= t]
+        toks = [
+            w
+            for _, x in docs_le
+            if x and x.strip()
+            for w in re.split(r"\s+", x.strip())
+        ]
+        vocab = set()
+        for _, x in docs_le:
+            if x and x.strip():
+                vocab |= set(re.split(r"\s+", x.strip()))
+        r = got[p]
+        assert r["threshold_id"] == t
+        assert r["n_docs"] == len(docs_le)
+        assert r["cum_tokens"] == len(toks)
+        assert r["vocab_size"] == len(vocab)
+    # the last point covers the whole corpus
+    assert got[5]["n_docs"] == len(rows)
+
+
+def test_heaps_fit_recovers_beta(spark):
+    # V = 3 * N^0.55 exactly on 8 synthetic points
+    pts = [
+        (int(n), int(round(3.0 * n**0.55)))
+        for n in [100, 300, 900, 2700, 8100, 24300, 72900, 218700]
+    ]
+    df = spark.createDataFrame(pts, "cum_tokens long, vocab_size long")
+    got = heaps_fit(df).collect()[0]
+    assert got["n_points"] == 8
+    assert abs(float(got["slope"]) - 0.55) < 0.01
+    assert abs(math.exp(float(got["intercept"])) - 3.0) < 0.15
+    assert float(got["r2"]) > 0.999
+
+
+def test_heaps_on_corpus_monotone(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pts = heaps_points(docs).orderBy("point").collect()
+    assert len(pts) == 10
+    for a, b in zip(pts, pts[1:]):
+        assert a["cum_tokens"] <= b["cum_tokens"]
+        assert a["vocab_size"] <= b["vocab_size"]
+        assert a["n_docs"] <= b["n_docs"]
+    fit = heaps_fit(heaps_points(docs)).collect()[0]
+    # the synthetic word-soup corpus saturates its tiny vocabulary in
+    # the first decile, so β = 0 is the RIGHT answer here; natural
+    # text sits at 0.4-0.6 (pinned by test_heaps_fit_recovers_beta)
+    assert 0 <= float(fit["slope"]) < 1
+    if len({p["vocab_size"] for p in pts}) == 1:
+        assert fit["r2"] is None  # degenerate curve → NULL, not a crash

@@ -705,3 +705,196 @@ def rouge_l_scores(
         F.round(r, 6).alias("rouge_l_r"),
         F.round(f, 6).alias("rouge_l_f"),
     )
+
+
+# --- chrF (Popović 2015) -------------------------------------------------
+
+
+def _char_ngram_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram, cnt) table of character ``n``-grams with
+    multiplicity over the whitespace-STRIPPED string (the chrF
+    convention: all whitespace removed, case preserved).  The
+    stripped string is materialized as an attribute before the
+    position explode — the interpreted-HOF O(len²) lesson again."""
+    return (
+        df.select(
+            F.col(id_col).alias("__pid"),
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), r"\s+", ""
+            ).alias("__s"),
+        )
+        .filter(F.length("__s") >= n)
+        .select(
+            "__pid",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__s") - (n - 1))
+            ).alias("__pos"),
+            "__s",
+        )
+        .select(
+            "__pid",
+            F.substr(F.col("__s"), F.col("__pos"), F.lit(n)).alias(
+                "gram"
+            ),
+        )
+        .groupBy("__pid", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def chrf_counts(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+) -> DataFrame:
+    """Per-pair chrF sufficient statistics: for each char-n-gram
+    order n ≤ ``max_n``, the CLIPPED matched count (candidate counts
+    capped by the reference's per-gram count), the candidate total
+    and the reference total — one row per (pair, n), zeros scaffolded
+    so every pair carries every order.
+
+    Same mergeable-state contract as :func:`bleu_counts`: corpus
+    chrF over 10⁹ pairs is a scan + one combine shuffle on
+    (pair, gram), and any subset's score is re-poolable from this
+    table without touching text again."""
+    per_n = []
+    for n in range(1, max_n + 1):
+        c = _char_ngram_counts(pairs, cand_col, id_col, n)
+        r = _char_ngram_counts(pairs, ref_col, id_col, n).select(
+            "__pid", "gram", F.col("cnt").alias("rcnt")
+        )
+        m = (
+            c.join(r, ["__pid", "gram"], "full")
+            .groupBy("__pid")
+            .agg(
+                F.sum(
+                    F.least(
+                        F.coalesce("cnt", F.lit(0)),
+                        F.coalesce("rcnt", F.lit(0)),
+                    )
+                ).alias("match"),
+                F.sum(F.coalesce("cnt", F.lit(0))).alias("hyp_total"),
+                F.sum(F.coalesce("rcnt", F.lit(0))).alias("ref_total"),
+            )
+            .select("__pid", F.lit(n).alias("n"), "match", "hyp_total",
+                    "ref_total")
+        )
+        per_n.append(m)
+    out = per_n[0]
+    for p in per_n[1:]:
+        out = out.unionByName(p)
+    scaffold = pairs.select(F.col(id_col).alias("__pid")).select(
+        "__pid",
+        F.explode(
+            F.array(*[F.lit(n) for n in range(1, max_n + 1)])
+        ).alias("n"),
+    )
+    return scaffold.join(out, ["__pid", "n"], "left").select(
+        F.col("__pid").alias(id_col),
+        "n",
+        F.coalesce("match", F.lit(0)).cast("long").alias("match"),
+        F.coalesce("hyp_total", F.lit(0)).cast("long").alias("hyp_total"),
+        F.coalesce("ref_total", F.lit(0)).cast("long").alias("ref_total"),
+    )
+
+
+def _chrf_from_pooled(g: DataFrame, beta: float) -> DataFrame:
+    """(…, chr_p, chr_r, chrf) from per-order pooled (m, ht, rt) rows
+    already grouped to one logical unit (corpus, or one pair).  An
+    order with an empty total contributes precision/recall 0 — the
+    corpus-level (non-effective-order) chrF convention."""
+    b2 = beta * beta
+    agg = g.agg(
+        F.avg(
+            F.when(
+                F.col("ht") > 0,
+                F.col("m").cast("double") / F.col("ht"),
+            ).otherwise(F.lit(0.0))
+        ).alias("chr_p"),
+        F.avg(
+            F.when(
+                F.col("rt") > 0,
+                F.col("m").cast("double") / F.col("rt"),
+            ).otherwise(F.lit(0.0))
+        ).alias("chr_r"),
+    )
+    denom = F.lit(b2) * F.col("chr_p") + F.col("chr_r")
+    return agg.select(
+        F.round("chr_p", 6).alias("chr_p"),
+        F.round("chr_r", 6).alias("chr_r"),
+        F.round(
+            F.when(denom > 0,
+                   F.lit(1.0 + b2) * F.col("chr_p") * F.col("chr_r")
+                   / denom).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chrf"),
+    )
+
+
+def corpus_chrf(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF-β (Popović 2015; β=2 is the WMT-standard chrF2):
+    per-order statistics pooled over all pairs (micro), per-order
+    precision/recall averaged uniformly over the ``max_n`` orders,
+    then F_β.  One row: (``chr_p``, ``chr_r``, ``chrf``)."""
+    stats = chrf_counts(pairs, cand_col, ref_col, id_col, max_n)
+    pooled = stats.groupBy("n").agg(
+        F.sum("match").alias("m"),
+        F.sum("hyp_total").alias("ht"),
+        F.sum("ref_total").alias("rt"),
+    )
+    return _chrf_from_pooled(pooled, beta)
+
+
+def chrf_scores(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-pair (segment-level) chrF-β with the same all-orders
+    convention as :func:`corpus_chrf` — one row per pair:
+    (``pair_id``, ``chr_p``, ``chr_r``, ``chrf``).  The distillation/
+    dedup-quality per-example signal; for corpus reporting use
+    :func:`corpus_chrf` (averaging segment scores is NOT corpus
+    chrF)."""
+    b2 = beta * beta
+    stats = chrf_counts(pairs, cand_col, ref_col, id_col, max_n)
+    per = stats.groupBy(id_col).agg(
+        F.avg(
+            F.when(
+                F.col("hyp_total") > 0,
+                F.col("match").cast("double") / F.col("hyp_total"),
+            ).otherwise(F.lit(0.0))
+        ).alias("chr_p"),
+        F.avg(
+            F.when(
+                F.col("ref_total") > 0,
+                F.col("match").cast("double") / F.col("ref_total"),
+            ).otherwise(F.lit(0.0))
+        ).alias("chr_r"),
+    )
+    denom = F.lit(b2) * F.col("chr_p") + F.col("chr_r")
+    return per.select(
+        F.col(id_col),
+        F.round("chr_p", 6).alias("chr_p"),
+        F.round("chr_r", 6).alias("chr_r"),
+        F.round(
+            F.when(denom > 0,
+                   F.lit(1.0 + b2) * F.col("chr_p") * F.col("chr_r")
+                   / denom).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chrf"),
+    )

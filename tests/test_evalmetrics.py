@@ -317,3 +317,98 @@ def test_rouge_l_order_sensitivity_vs_bleu1(spark):
     assert p1 == 1.0  # same bag of words
     rl = rouge_l_scores(df).collect()[0]
     assert rl.lcs < 9  # order broken -> LCS strictly below length
+
+
+# --- chrF ----------------------------------------------------------------
+
+
+def _chrf_ref(pairs, max_n=6, beta=2.0):
+    """Sequential chrF (Popović 2015, all-orders corpus pooling)."""
+    from collections import Counter
+
+    import re as _re
+
+    def grams(s, n):
+        s = _re.sub(r"\s+", "", s or "")
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    ps, rs = [], []
+    for n in range(1, max_n + 1):
+        m = ht = rt = 0
+        for _, c, r in pairs:
+            gc, gr = grams(c, n), grams(r, n)
+            m += sum(min(v, gr[g]) for g, v in gc.items())
+            ht += sum(gc.values())
+            rt += sum(gr.values())
+        ps.append(m / ht if ht else 0.0)
+        rs.append(m / rt if rt else 0.0)
+    p, r = sum(ps) / max_n, sum(rs) / max_n
+    b2 = beta * beta
+    f = (1 + b2) * p * r / (b2 * p + r) if (b2 * p + r) > 0 else 0.0
+    return round(p, 6), round(r, 6), round(f, 6)
+
+
+CHRF_PAIRS = [
+    (0, "the cat sat on the mat", "the cat sat on the mat"),
+    (1, "a quick brown fox", "the quick brown fox jumps"),
+    (2, "completely different words", "nothing shared here at all"),
+    (3, "", "non empty reference"),
+    (4, "short", ""),
+    (5, None, "null candidate"),
+    (6, "Case Sensitive", "case sensitive"),
+]
+
+
+def test_corpus_chrf_matches_reference(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        corpus_chrf,
+    )
+
+    df = spark.createDataFrame(
+        CHRF_PAIRS, "pair_id long, candidate string, reference string"
+    )
+    got = corpus_chrf(df).collect()[0]
+    p, r, f = _chrf_ref(CHRF_PAIRS)
+    assert float(got["chr_p"]) == p
+    assert float(got["chr_r"]) == r
+    assert float(got["chrf"]) == f
+    assert 0 < f < 1
+
+
+def test_chrf_scores_per_pair(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        chrf_scores,
+    )
+
+    df = spark.createDataFrame(
+        CHRF_PAIRS, "pair_id long, candidate string, reference string"
+    )
+    got = {r["pair_id"]: r for r in chrf_scores(df).collect()}
+    assert len(got) == len(CHRF_PAIRS)
+    for pid, c, r in CHRF_PAIRS:
+        p, rr, f = _chrf_ref([(pid, c, r)])
+        assert float(got[pid]["chrf"]) == f, (pid, c, r)
+    # identity pair scores 1, disjoint pair scores 0, case matters
+    assert float(got[0]["chrf"]) == 1.0
+    # word-disjoint pairs still share single characters; the higher
+    # orders pull the average down hard
+    assert float(got[2]["chrf"]) < 0.2
+    assert float(got[6]["chrf"]) < 1.0
+
+
+def test_chrf_counts_shape(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        chrf_counts,
+    )
+
+    df = spark.createDataFrame(
+        CHRF_PAIRS, "pair_id long, candidate string, reference string"
+    )
+    rows = chrf_counts(df).collect()
+    # full (pair x order) grid, zero-scaffolded
+    assert len(rows) == len(CHRF_PAIRS) * 6
+    for row in rows:
+        assert row["match"] <= min(row["hyp_total"], row["ref_total"]) or (
+            row["match"] == 0
+        )
+        assert row["match"] >= 0

@@ -3403,6 +3403,36 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_sil").cast("double").alias("cos_sim"),
         )
     )
+    # eighth family (r9): Davies-Bouldin — the second clustering-
+    # quality number beside the silhouette, over the SAME checkpointed
+    # assignment + seed centroids (scale/embeddings.davies_bouldin).
+    # Per-cluster rows ride (label, n in n_vectors, s_micro in vec_id,
+    # worst-ratio d in cos_sim); the index row rides (label NULL,
+    # n_clusters in n_vectors, dbi in cos_sim).
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        davies_bouldin,
+        davies_bouldin_index,
+    )
+
+    with timed_branch("dbi"):
+        dbi_per = davies_bouldin(assigned, cents).localCheckpoint()
+    dbi_rows = dbi_per.select(
+        F.lit("dbi").alias("part"),
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.round(F.col("s") * 1000000.0).cast("long").alias("vec_id"),
+        F.col("d").cast("double").alias("cos_sim"),
+    ).unionByName(
+        davies_bouldin_index(dbi_per).select(
+            F.lit("dbi").alias("part"),
+            F.lit(None).cast("int").alias("label"),
+            F.col("n_clusters").cast("long").alias("n_vectors"),
+            F.lit(None).cast("string").alias("centroid_str"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col("dbi").cast("double").alias("cos_sim"),
+        )
+    )
     return (
         probe_branch(
             "centroids", cent_part(_serialize_centroid(cents), "centroids")
@@ -3421,6 +3451,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_branch("quant", quant))
         .unionByName(probe_branch("semdedup", sem))
         .unionByName(probe_branch("sil", sil))
+        .unionByName(probe_branch("dbi", dbi_rows))
     )
 
 
@@ -3430,6 +3461,7 @@ def _oracle_kmeans_cluster() -> str:
         ORACLE_KMEANS_ASSIGN,
         ORACLE_KMEANS_REFINE,
         ORACLE_LABEL_CENTROIDS,
+        oracle_dbi_sql,
         oracle_silhouette_ctes,
         refine_oracle_sql,
     )
@@ -3505,6 +3537,14 @@ FROM ({oracle_silhouette_ctes()}
              / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_sil
       FROM silq WHERE sil IS NOT NULL
       GROUP BY assigned_label)
+UNION ALL
+SELECT 'dbi', CAST(label AS INT), CAST(n AS BIGINT), NULL::VARCHAR,
+       CAST(ROUND(s * 1000000.0) AS BIGINT), CAST(d AS DOUBLE)
+FROM ({oracle_dbi_sql()}) WHERE rel = 'cluster'
+UNION ALL
+SELECT 'dbi', NULL::INT, CAST(n_clusters AS BIGINT), NULL::VARCHAR,
+       NULL::BIGINT, CAST(dbi AS DOUBLE)
+FROM ({oracle_dbi_sql()}) WHERE rel = 'index'
 """
 
 

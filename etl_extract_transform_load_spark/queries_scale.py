@@ -808,6 +808,59 @@ ORACLE_LABEL_CENTROIDS = _serialize_centroid_sql(
 )
 
 
+def oracle_dbi_sql() -> str:
+    """Davies-Bouldin twin over the label-seeded centroids + E-step
+    assignment — the DuckDB mirror of
+    ``scale.embeddings.davies_bouldin`` (+``_index``): micro-exact
+    per-cluster mean cosine distance, k×k centroid separations,
+    NULLIF-guarded worst ratios, 6-dp rounds in the same places.
+    Yields ``(rel, label, n, s, d, n_clusters, dbi)`` with rel ∈
+    ('cluster', 'index'); shared by the pytest parity check and the
+    ``kmeans_cluster`` 'dbi' carrier arm."""
+    return f"""
+WITH dasg AS ({ORACLE_KMEANS_ASSIGN}),
+dcent AS ({_centroid_sql('embeddings', 'label')}),
+ds AS (
+    SELECT assigned_label AS label, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND((1.0 - cos_sim) * 1000000.0)
+                         AS DECIMAL(28,0))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS s
+    FROM dasg GROUP BY assigned_label
+),
+dcn AS (
+    SELECT label, centroid,
+           SQRT(list_dot_product(centroid, centroid)) AS cn
+    FROM dcent WHERE list_dot_product(centroid, centroid) > 0
+),
+dm AS (
+    SELECT a.label AS la, b.label AS lb,
+           1.0 - ROUND(list_dot_product(a.centroid, b.centroid)
+                       / (a.cn * b.cn), 6) AS m
+    FROM dcn a JOIN dcn b ON a.label <> b.label
+),
+dd AS (
+    SELECT la, ROUND(MAX((sa.s + sb.s) / NULLIF(dm.m, 0.0)), 6) AS d
+    FROM dm
+    JOIN ds sa ON dm.la = sa.label
+    JOIN ds sb ON dm.lb = sb.label
+    GROUP BY la
+),
+dper AS (
+    SELECT ds.label, ds.n, ROUND(ds.s, 6) AS s, dd.d
+    FROM ds LEFT JOIN dd ON ds.label = dd.la
+)
+SELECT 'cluster' AS rel, label, n, s, d,
+       NULL::BIGINT AS n_clusters, NULL::DOUBLE AS dbi
+FROM dper
+UNION ALL
+SELECT 'index', NULL::INT, NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+       COUNT(*),
+       CAST(SUM(CAST(ROUND(d * 1000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+       / CAST(COUNT(d) AS DOUBLE) / 1000000.0
+FROM dper
+"""
+
+
 def oracle_silhouette_ctes() -> str:
     """Simplified-silhouette CTE block over the label-seeded centroids
     — the DuckDB twin of ``scale.embeddings.simplified_silhouette``

@@ -526,3 +526,116 @@ def prototype_prune_summary(
             "cut_cos"
         ),
     )
+
+
+def davies_bouldin(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Per-cluster Davies-Bouldin components over an E-step
+    assignment, in the family's cosine distance: ``(label, n, s, d)``
+    where
+
+        s_i = mean cosine distance of cluster-i members to their own
+              centroid (micro-exact mean of the assignment's 6-dp
+              cosines — the silhouette_by_cluster convention),
+        d_i = max over other non-empty clusters j of
+              (s_i + s_j) / M_ij,   M_ij = 1 − cos(c_i, c_j),
+
+    i.e. each cluster's worst spread-vs-separation ratio (Davies &
+    Bouldin 1979).  ``d`` is NULL when only one non-empty cluster
+    exists; a coincident centroid pair (M = 0) contributes no ratio
+    (NULL) rather than ∞.  Empty clusters (a centroid no vector
+    chose) are excluded from both faces.
+
+    Scale shape: one groupBy(label) over the existing assignment plus
+    a k×k centroid cross join with k-row broadcast joins — nothing
+    corpus-sized moves.  Use :func:`davies_bouldin_index` for the
+    one-row summary."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        dot,
+        norm,
+    )
+
+    s_tab = assigned.groupBy(
+        F.col("assigned_label").alias("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.round(
+                    (F.lit(1.0) - F.col("cos_sim")) * 1000000.0
+                ).cast("decimal(28,0)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0
+        ).alias("s"),
+    )
+    cn = (
+        centroids.withColumn("__cn", norm("centroid", dim))
+        .filter(F.col("__cn") > 0)
+        .select("label", "centroid", "__cn")
+    )
+    a = cn.select(
+        F.col("label").alias("la"),
+        F.col("centroid").alias("__ca"),
+        F.col("__cn").alias("__na"),
+    )
+    b = cn.select(
+        F.col("label").alias("lb"),
+        F.col("centroid").alias("__cb"),
+        F.col("__cn").alias("__nb"),
+    )
+    m = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            (
+                F.lit(1.0)
+                - F.round(
+                    dot("__ca", "__cb", dim)
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                )
+            ).alias("__m"),
+        )
+    )
+    sa = s_tab.select(F.col("label").alias("la"), F.col("s").alias("__sa"))
+    sb = s_tab.select(F.col("label").alias("lb"), F.col("s").alias("__sb"))
+    d = (
+        m.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(
+            F.round(
+                F.max(
+                    (F.col("__sa") + F.col("__sb"))
+                    / F.nullif(F.col("__m"), F.lit(0.0))
+                ),
+                6,
+            ).alias("d")
+        )
+    )
+    return s_tab.join(
+        F.broadcast(d.withColumnRenamed("la", "label")), "label", "left"
+    ).select("label", "n", F.round("s", 6).alias("s"), "d")
+
+
+def davies_bouldin_index(per_cluster: DataFrame) -> DataFrame:
+    """One-row summary over :func:`davies_bouldin` rows:
+    ``(n_clusters, dbi)`` — the classic index (mean of the per-cluster
+    worst ratios; lower = better-separated clustering).  Clusters
+    whose ``d`` is NULL (single-cluster corpus, or all neighbors
+    coincident) are excluded; ``dbi`` is NULL when none remain."""
+    return per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (
+            F.sum(
+                F.round(F.col("d") * 1000000.0).cast("decimal(28,0)")
+            ).cast("double")
+            / F.count(F.col("d")).cast("double")
+            / 1000000.0
+        ).alias("dbi"),
+    )

@@ -147,3 +147,152 @@ GROUP BY assigned_label
 """,
         SF,
     )
+
+
+# --- Davies-Bouldin ------------------------------------------------------
+
+
+def _ref_dbi(assigned_rows, cent_rows):
+    """Sequential DBI mirroring the operator: micro-exact s means over
+    6-dp assignment cosines, 6-dp centroid cosines, NULLIF'd zero
+    separations, max-then-round d, micro-mean index."""
+    from collections import defaultdict
+
+    by_lab = defaultdict(list)
+    for _, lab, cos in assigned_rows:
+        by_lab[lab].append(round((1.0 - cos) * 1e6))
+    s = {
+        lab: sum(v) / len(v) / 1e6 for lab, v in by_lab.items()
+    }
+    n = {lab: len(v) for lab, v in by_lab.items()}
+    cents = {
+        lab: np.asarray(c, dtype=np.float64)
+        for lab, c in cent_rows
+        if float(np.dot(c, c)) > 0
+    }
+    d = {}
+    for la in s:
+        ratios = []
+        for lb in s:
+            if la == lb or la not in cents or lb not in cents:
+                continue
+            ca, cb = cents[la], cents[lb]
+            m = 1.0 - _round6(
+                float(np.dot(ca, cb))
+                / (float(np.sqrt(np.dot(ca, ca))) * float(np.sqrt(np.dot(cb, cb))))
+            )
+            if m != 0.0:
+                ratios.append((s[la] + s[lb]) / m)
+        d[la] = _round6(max(ratios)) if ratios else None
+    ds = [v for v in d.values() if v is not None]
+    dbi = (
+        sum(round(v * 1e6) for v in ds) / len(ds) / 1e6 if ds else None
+    )
+    return s, n, d, len(s), dbi
+
+
+def test_davies_bouldin_matches_reference(spark):
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        davies_bouldin,
+        davies_bouldin_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = label_centroids(emb)
+    assigned = assign_to_centroids(emb, cents)
+    per = davies_bouldin(assigned, cents)
+    idx = davies_bouldin_index(per).collect()[0]
+
+    a_rows = [
+        (r["vec_id"], r["assigned_label"], float(r["cos_sim"]))
+        for r in assigned.collect()
+    ]
+    c_rows = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in cents.collect()
+    ]
+    s, n, d, k, dbi = _ref_dbi(a_rows, c_rows)
+    got = {r["label"]: r for r in per.collect()}
+    assert set(got) == set(s)
+    for lab in s:
+        assert got[lab]["n"] == n[lab]
+        assert float(got[lab]["s"]) == _round6(s[lab])
+        if d[lab] is None:
+            assert got[lab]["d"] is None
+        else:
+            assert float(got[lab]["d"]) == d[lab]
+    assert idx["n_clusters"] == k
+    assert float(idx["dbi"]) == dbi
+    assert float(idx["dbi"]) > 0
+
+
+def test_davies_bouldin_separated_beats_overlapping(spark):
+    """Well-separated clusters score LOWER (better) than overlapping
+    ones — the index's defining direction."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        davies_bouldin,
+        davies_bouldin_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 64
+
+    def mk(spread):
+        base = rng.normal(size=(3, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = []
+        for i in range(90):
+            lab = i % 3
+            v = base[lab] + spread * rng.normal(size=dim)
+            rows.append((i, lab, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+
+    def score(df):
+        cents = label_centroids(df)
+        per = davies_bouldin(assign_to_centroids(df, cents), cents)
+        return float(davies_bouldin_index(per).collect()[0]["dbi"])
+
+    assert score(mk(0.05)) < score(mk(0.8))
+
+
+def test_davies_bouldin_oracle_parity(spark):
+    """The carrier's 'dbi' rows against the shared SQL twin, through
+    the strict comparator."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.queries_scale import (
+        oracle_dbi_sql,
+    )
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        assign_to_centroids,
+        davies_bouldin,
+        davies_bouldin_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = label_centroids(emb)
+    per = davies_bouldin(assign_to_centroids(emb, cents), cents)
+    spark_df = per.select(
+        F.lit("cluster").alias("rel"),
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("double").alias("s"),
+        F.col("d").cast("double").alias("d"),
+        F.lit(None).cast("long").alias("n_clusters"),
+        F.lit(None).cast("double").alias("dbi"),
+    ).unionByName(
+        davies_bouldin_index(per).select(
+            F.lit("index").alias("rel"),
+            F.lit(None).cast("int").alias("label"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("double").alias("d"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("dbi").cast("double").alias("dbi"),
+        )
+    )
+    assert_matches_oracle(spark_df, oracle_dbi_sql(), SF)

@@ -627,7 +627,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_tokens").cast("long").alias("bin_tokens"),
         "packed_text",
     )
-    return assign.unionByName(bins)
+    # third family (r9): serpentine token-balanced training-shard
+    # layout (scale/packing.balanced_shards) — per-doc assignment
+    # rows (grp rides bin_id), the per-shard manifest, and the
+    # balance report (min/max/spread riding
+    # n_tokens/bin_tokens/bin_id). Integer-exact end to end.
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.packing import (
+        balanced_shards,
+        shard_balance,
+        shard_summary,
+    )
+
+    with timed_branch("shards"):
+        sh = balanced_shards(docs).localCheckpoint()
+    sh_assign = sh.select(
+        F.lit("shards").alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("grp").cast("long").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
+    summ = shard_summary(sh).localCheckpoint()
+    sh_sum = summ.select(
+        F.lit("shards").alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("shard").cast("long").alias("shard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("bin_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("shard_tokens").cast("long").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
+    sh_bal = shard_balance(summ).select(
+        F.lit("shards").alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("shard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("min_tokens").cast("long").alias("n_tokens"),
+        F.col("spread").cast("long").alias("bin_id"),
+        F.col("n_shards").cast("long").alias("n_docs"),
+        F.col("max_tokens").cast("long").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
+    return (
+        assign.unionByName(bins)
+        .unionByName(probe_branch("shards", sh_assign))
+        .unionByName(probe_branch("shards", sh_sum))
+        .unionByName(probe_branch("shards", sh_bal))
+    )
 
 
 # First-fit-sequential is a sequential fold; SQL needs a recursive
@@ -668,7 +724,32 @@ SELECT 'bins', w.source, w.shard, NULL::BIGINT, NULL::BIGINT, w.bin_id,
 FROM walk w JOIN documents d
   ON d.doc_id = w.doc_id AND d.source = w.source
 GROUP BY w.source, w.shard, w.bin_id
+UNION ALL
+SELECT 'shards', NULL::VARCHAR, shard, doc_id, n_tokens, grp,
+       NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR
+FROM ({{SHARDS_SQL}})
+UNION ALL
+SELECT 'shards', NULL::VARCHAR, shard, NULL::BIGINT, NULL::BIGINT,
+       NULL::BIGINT, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+       NULL::VARCHAR
+FROM ({{SHARDS_SQL}}) GROUP BY shard
+UNION ALL
+SELECT 'shards', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       CAST(MIN(st) AS BIGINT), CAST(MAX(st) - MIN(st) AS BIGINT),
+       COUNT(*), CAST(MAX(st) AS BIGINT), NULL::VARCHAR
+FROM (SELECT shard, SUM(n_tokens) AS st
+      FROM ({{SHARDS_SQL}}) GROUP BY shard)
 """
+
+# splice the serpentine-shard twin in after the fact — the walk SQL
+# above is an f-string, and the shard twin is owned by scale.packing
+from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
+    oracle_balanced_shards_sql as _oracle_balanced_shards_sql,
+)
+
+ORACLE_PACK = ORACLE_PACK.replace(
+    "{SHARDS_SQL}", _oracle_balanced_shards_sql()
+)
 
 
 # --- corpus curation end-to-end --------------------------------------------------

@@ -295,3 +295,110 @@ def chunk_documents_sliding(
             F.col("__n") - F.col("chunk_idx") * stride,
         ).alias("n_chunk_tokens"),
     )
+
+
+# --- training-shard layout ------------------------------------------------
+
+
+def balanced_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    n_groups: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic near-balanced assignment of documents to
+    ``n_shards`` training shards by token count — the writer-side
+    layout step (equal-work shards → no straggler writers, no
+    straggler data-loader ranks): ``(id, n_tokens, grp, shard)``.
+
+    Serpentine LPT approximation: within each group, documents sorted
+    by (tokens DESC, id) are dealt round-robin with the direction
+    reversed every round (round r, position p → shard p if r is even
+    else n_shards−1−p), so each round's big-into-small pairing
+    offsets the previous round's bias.  Per group, every shard's
+    total is within one maximum document of every other; group sums
+    preserve that bound (× n_groups), which is noise against shard
+    totals at corpus scale.
+
+    Scale shape: the only state is a (id, n_tokens) projection and
+    the sort windows are PARTITIONED by ``grp = id mod n_groups`` —
+    no global sort, no corpus-length single partition; raise
+    ``n_groups`` with the cluster (balance degrades only by the
+    per-group bound).  NULL-id documents are dropped (no
+    deterministic order exists among them).  Integer arithmetic
+    end-to-end — the assignment is bit-identical across engines and
+    reruns."""
+    if n_shards < 1 or n_groups < 1:
+        raise ValueError("n_shards and n_groups must be >= 1")
+    nt = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("grp"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    rn = F.row_number().over(w) - 1
+    rnd = F.floor(rn / n_shards)
+    pos = rn % n_shards
+    return nt.select(
+        id_col,
+        "n_tokens",
+        "grp",
+        F.when(rnd % 2 == 0, pos)
+        .otherwise(n_shards - 1 - pos)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def shard_summary(assigned: DataFrame) -> DataFrame:
+    """(shard, n_docs, shard_tokens) over :func:`balanced_shards`
+    rows — the per-shard manifest a writer consumes."""
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
+def shard_balance(summary: DataFrame) -> DataFrame:
+    """One-row balance report over :func:`shard_summary`:
+    ``(n_shards, min_tokens, max_tokens, spread)`` — the number a
+    layout job alerts on (spread ≈ a few documents' tokens is
+    healthy; a shard-sized spread means the layout broke)."""
+    return summary.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("shard_tokens").alias("min_tokens"),
+        F.max("shard_tokens").alias("max_tokens"),
+        (F.max("shard_tokens") - F.min("shard_tokens")).alias("spread"),
+    )
+
+
+def oracle_balanced_shards_sql(
+    n_shards: int = 8, n_groups: int = 4
+) -> str:
+    """DuckDB twin of :func:`balanced_shards` over ``documents``."""
+    return f"""
+SELECT doc_id, n_tokens, grp,
+       CASE WHEN (rn // {n_shards}) % 2 = 0
+            THEN rn % {n_shards}
+            ELSE {n_shards} - 1 - (rn % {n_shards}) END AS shard
+FROM (
+    SELECT doc_id, n_tokens, grp,
+           ROW_NUMBER() OVER (PARTITION BY grp
+                              ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+    FROM (
+        SELECT doc_id,
+               CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN 0
+                    ELSE LEN(regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+'))
+               END AS n_tokens,
+               ((doc_id % {n_groups}) + {n_groups}) % {n_groups} AS grp
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+)
+"""

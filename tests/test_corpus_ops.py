@@ -888,3 +888,96 @@ def test_ess_report_hand_computed(spark):
     assert r.ess == round(49 / 19, 6)
     assert r.ess_frac == round(49 / 19 / 4, 6)
     assert r.max_share == round(4 / 7, 6)
+
+
+# --- balanced training shards (scale/packing.balanced_shards) ------------
+
+
+def _shards_ref(rows, n_shards, n_groups):
+    """Sequential serpentine dealer mirroring the operator."""
+    out = {}
+    by_grp = {}
+    for i, t in rows:
+        if i is None:
+            continue
+        by_grp.setdefault(i % n_groups, []).append((i, t))
+    for g, docs in by_grp.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        for rn, (i, t) in enumerate(docs):
+            rnd, pos = divmod(rn, n_shards)
+            shard = pos if rnd % 2 == 0 else n_shards - 1 - pos
+            out[i] = (t, g, shard)
+    return out
+
+
+def test_balanced_shards_matches_reference(spark):
+    import random
+
+    from etl_extract_transform_load_spark.scale.packing import (
+        balanced_shards,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randrange(0, 40))))
+        for i in range(123)
+    ] + [(None, "dropped null id")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["grp"], r["shard"])
+        for r in balanced_shards(df, n_shards=5, n_groups=3).collect()
+    }
+    ref = _shards_ref(
+        [(i, len(t.split()) if t.strip() else 0) for i, t in rows],
+        5,
+        3,
+    )
+    assert got == ref
+
+
+def test_balanced_shards_balance_bound(spark):
+    """spread <= n_groups * max single-doc tokens — the documented
+    serpentine guarantee — and every shard is populated."""
+    import random
+
+    from etl_extract_transform_load_spark.scale.packing import (
+        balanced_shards,
+        shard_balance,
+        shard_summary,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join("tok" for _ in range(rng.randrange(1, 200))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_shards, n_groups = 8, 4
+    sh = balanced_shards(df, n_shards=n_shards, n_groups=n_groups)
+    summ = shard_summary(sh)
+    bal = shard_balance(summ).collect()[0]
+    max_doc = max(len(t.split()) for _, t in rows)
+    assert bal["n_shards"] == n_shards
+    assert bal["spread"] <= n_groups * max_doc
+    assert bal["min_tokens"] > 0
+    # totals conserved
+    assert (
+        sum(r["shard_tokens"] for r in summ.collect())
+        == sum(len(t.split()) for _, t in rows)
+    )
+
+
+def test_balanced_shards_oracle_parity(spark):
+    from oracle import assert_matches_oracle
+
+    from etl_extract_transform_load_spark.scale.packing import (
+        balanced_shards,
+        oracle_balanced_shards_sql,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    assert_matches_oracle(
+        balanced_shards(docs), oracle_balanced_shards_sql(), sf
+    )

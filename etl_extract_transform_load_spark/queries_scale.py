@@ -2374,7 +2374,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    tk = brute_force_topk_arrow(emb, queries, k=5)
+    # ONE brute pass at the mmr pool depth feeds all three faces:
+    # top-5 display rows and the retrieval metrics are the rank<=5
+    # prefix, the mmr branch re-ranks the full top-20 pool
+    tk20 = brute_force_topk_arrow(emb, queries, k=20).localCheckpoint()
+    tk = tk20.filter(F.col("rank") <= 5)
     topk = tk.select(
         F.lit("topk").alias("part"),
         "query_id",
@@ -2395,7 +2399,31 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rank",
     )
-    return topk.unionByName(hardneg).unionByName(ret)
+    # fourth family (r9): MMR diversified re-ranking over the SAME
+    # query set (scale/mining.mmr_rerank) — greedy λ=0.5 selection of
+    # 5 from each query's cosine top-20, the redundancy-pruning step
+    # between retrieval and context assembly. The selection score
+    # rides cos_sim, rank = pick order.
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.mining import mmr_rerank
+
+    with timed_branch("mmr"):
+        mmr = mmr_rerank(emb, queries, k=5, pool_k=20, pool=tk20).select(
+            F.lit("mmr").alias("part"),
+            "query_id",
+            "vec_id",
+            F.lit(None).cast("int").alias("label"),
+            F.col("mmr_score").alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    return (
+        topk.unionByName(hardneg)
+        .unionByName(ret)
+        .unionByName(probe_branch("mmr", mmr))
+    )
 
 
 def _retrieval_eval_rows(tk: DataFrame, emb: DataFrame) -> DataFrame:
@@ -2586,6 +2614,18 @@ FROM (
     UNION ALL SELECT 'ret:mrr', query_id, mrr FROM mets
     UNION ALL SELECT 'ret:ndcg@5', query_id, ndcg FROM mets
 )
+"""
+
+# splice the MMR twin in after the fact (its unrolled greedy-stage SQL
+# is owned by scale.mining, beside the operator)
+from etl_extract_transform_load_spark.scale.mining import (  # noqa: E402
+    oracle_mmr_sql as _oracle_mmr_sql,
+)
+
+ORACLE_SIMILARITY_TOPK = ORACLE_SIMILARITY_TOPK + f"""
+UNION ALL
+SELECT 'mmr', query_id, vec_id, NULL::INT, mmr_score, CAST(rank AS INT)
+FROM ({_oracle_mmr_sql(k=5, pool_k=20)})
 """
 
 

@@ -258,3 +258,248 @@ def hard_negatives_ivf(
             "rank",
         )
     )
+
+
+# --- MMR diversified re-ranking ------------------------------------------
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool_k: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = DEFAULT_DIM,
+    pool: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): from each query's cosine top-``pool_k``
+    candidate pool, select ``k`` results one at a time by
+
+        score(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    (first pick: empty-set penalty 0, so argmax rel) — the standard
+    redundancy-pruning step between retrieval and context assembly in
+    a RAG stack.  Returns ``(query_id, vec_id, rel, mmr_score,
+    rank)`` with rank = selection order; queries with fewer than
+    ``k`` usable candidates return what they have.
+
+    Determinism/parity: rel and candidate-candidate sims are 6-dp
+    cosines, scores are 6-dp rounded before ranking, ties break on
+    (score DESC, id ASC) — bit-identical across engines and reruns.
+
+    Scale shape: the corpus appears ONLY in the pool search (the
+    existing Arrow brute kernel, or swap in the IVF path).  Everything
+    after is bounded by |queries| · pool_k: the pairwise sim table is
+    pool_k² per query, and each of the k−1 greedy steps is a
+    broadcast join + window over those bounded rows — no driver-side
+    data, no corpus re-scan.
+
+    Pass ``pool`` (a ``(query_id, vec_id, cos_sim)`` top-``pool_k``
+    table, e.g. an already-materialized brute/IVF result) to skip the
+    internal pool search — the shared-scan convention carriers use."""
+    if not 1 <= k <= pool_k:
+        raise ValueError("need 1 <= k <= pool_k")
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_topk_arrow,
+        dot,
+    )
+
+    pool = (
+        pool.select(
+            query_id_col, id_col, F.col("cos_sim").alias("rel")
+        )
+        if pool is not None
+        else brute_force_topk_arrow(
+            vectors, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        .select(query_id_col, id_col, F.col("cos_sim").alias("rel"))
+        .localCheckpoint()
+    )
+    cv = _vectors_with_norm(
+        vectors, id_col, vec_col, dim, "__cid", "__cv", "__cn"
+    )
+    pv = pool.join(
+        cv, pool[id_col] == F.col("__cid")
+    ).select(query_id_col, id_col, "rel", "__cv", "__cn")
+    a = pv.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__a"),
+        F.col("__cv").alias("__va"),
+        F.col("__cn").alias("__na"),
+    )
+    b = pv.select(
+        F.col(query_id_col).alias("__qb"),
+        F.col(id_col).alias("__b"),
+        F.col("__cv").alias("__vb"),
+        F.col("__cn").alias("__nb"),
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col(query_id_col) == F.col("__qb"))
+            & (F.col("__a") != F.col("__b")),
+        )
+        .select(
+            query_id_col,
+            "__a",
+            "__b",
+            F.round(
+                dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__sim"),
+        )
+        .localCheckpoint()
+    )
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("mmr_score"), F.asc(id_col)
+    )
+    first = (
+        pool.withColumn(
+            "mmr_score", F.round(F.lit(lam) * F.col("rel"), 6)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id_col, id_col, "rel", "mmr_score",
+            F.lit(1).alias("rank"),
+        )
+    )
+    selected = first.localCheckpoint()
+    for t in range(2, k + 1):
+        sel_ids = selected.select(
+            F.col(query_id_col).alias("__qs"),
+            F.col(id_col).alias("__s"),
+        )
+        pen = (
+            sims.join(
+                F.broadcast(sel_ids),
+                (F.col(query_id_col) == F.col("__qs"))
+                & (F.col("__b") == F.col("__s")),
+            )
+            .groupBy(query_id_col, "__a")
+            .agg(F.max("__sim").alias("__pen"))
+        )
+        remaining = pool.join(
+            F.broadcast(
+                selected.select(
+                    F.col(query_id_col).alias("__qs"),
+                    F.col(id_col).alias("__s"),
+                )
+            ),
+            (pool[query_id_col] == F.col("__qs"))
+            & (pool[id_col] == F.col("__s")),
+            "left_anti",
+        )
+        pick = (
+            remaining.join(
+                F.broadcast(pen),
+                (remaining[query_id_col] == pen[query_id_col])
+                & (remaining[id_col] == pen["__a"]),
+            )
+            .select(
+                remaining[query_id_col],
+                remaining[id_col],
+                "rel",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("__pen"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                query_id_col, id_col, "rel", "mmr_score",
+                F.lit(t).alias("rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+def oracle_mmr_sql(k: int = 5, pool_k: int = 20, lam: float = 0.5) -> str:
+    """DuckDB twin of :func:`mmr_rerank` over the ``embeddings`` view
+    with the vec_id < 10 query set — the greedy loop unrolled into
+    ``k`` chained CTE stages (the kmeans refine_oracle_sql(2)
+    precedent for iterative operators)."""
+    one_m = 1.0 - lam
+    ctes = [
+        """me AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+    FROM embeddings WHERE embedding IS NOT NULL
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
+)""",
+        "mq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM me"
+        " WHERE vec_id < 10)",
+        f"""mpool AS MATERIALIZED (
+    SELECT query_id, vec_id, rel FROM (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6)
+                   AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, e.v)
+                                  / (q.qn * e.n), 6) DESC,
+                            e.vec_id ASC) AS rn
+        FROM mq q JOIN me e ON e.vec_id <> q.query_id
+    ) WHERE rn <= {pool_k}
+)""",
+        """msim AS MATERIALIZED (
+    SELECT pa.query_id, pa.vec_id AS a, pb.vec_id AS b,
+           ROUND(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6)
+               AS sim
+    FROM mpool pa
+    JOIN mpool pb ON pa.query_id = pb.query_id
+                 AND pa.vec_id <> pb.vec_id
+    JOIN me ea ON ea.vec_id = pa.vec_id
+    JOIN me eb ON eb.vec_id = pb.vec_id
+)""",
+        f"""msel1 AS (
+    SELECT query_id, vec_id, rel,
+           ROUND({lam} * rel, 6) AS mmr_score, 1 AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, vec_id ASC)
+              AS rn FROM mpool)
+    WHERE rn = 1
+)""",
+        "mselu1 AS (SELECT * FROM msel1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(f"""msel{t} AS (
+    SELECT query_id, vec_id, rel, mmr_score, {t} AS rank FROM (
+        SELECT p.query_id, p.vec_id, p.rel,
+               ROUND({lam} * p.rel - {one_m} * pen.mx, 6) AS mmr_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND({lam} * p.rel - {one_m} * pen.mx, 6)
+                            DESC, p.vec_id ASC) AS rn
+        FROM mpool p
+        JOIN (SELECT m.query_id, m.a, MAX(m.sim) AS mx
+              FROM msim m JOIN mselu{t - 1} s
+                ON m.query_id = s.query_id AND m.b = s.vec_id
+              GROUP BY m.query_id, m.a) pen
+          ON pen.query_id = p.query_id AND pen.a = p.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM mselu{t - 1} s
+                          WHERE s.query_id = p.query_id
+                            AND s.vec_id = p.vec_id)
+    ) WHERE rn = 1
+)""")
+        ctes.append(
+            f"mselu{t} AS MATERIALIZED (SELECT * FROM mselu{t - 1}"
+            f" UNION ALL SELECT * FROM msel{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, rel, mmr_score, rank"
+        f" FROM mselu{k}"
+    )

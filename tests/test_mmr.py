@@ -1,0 +1,174 @@
+"""MMR diversified re-ranking (scale/mining.mmr_rerank): sequential
+greedy reference, redundancy-pruning property, strict oracle parity."""
+
+from __future__ import annotations
+
+import decimal
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.mining import (
+    mmr_rerank,
+    oracle_mmr_sql,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _r6(x):
+    # quantize the SHORTEST repr, not the full binary expansion —
+    # JVM round goes through BigDecimal.valueOf(double), which uses
+    # Double.toString's shortest round-trip form
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _mmr_ref(vectors, query_ids, k=5, pool_k=20, lam=0.5):
+    """Sequential greedy MMR mirroring the operator's conventions:
+    6-dp cosines, 6-dp scores, (score DESC, id ASC) ties."""
+    usable = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in vectors.items()
+        if v is not None and float(np.dot(v, v)) > 0
+    }
+
+    def cos(a, b):
+        return _r6(
+            float(np.dot(a, b))
+            / (float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b))))
+        )
+
+    out = []
+    for q in query_ids:
+        if q not in usable:
+            continue
+        rel = {
+            i: cos(usable[q], v)
+            for i, v in usable.items()
+            if i != q
+        }
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:pool_k]
+        sel = []
+        for rank in range(1, k + 1):
+            best = None
+            for c in pool:
+                if c in sel:
+                    continue
+                pen = max(
+                    (cos(usable[c], usable[s]) for s in sel), default=0.0
+                )
+                score = _r6(lam * rel[c] - (1.0 - lam) * pen) if sel else _r6(
+                    lam * rel[c]
+                )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            if best is None:
+                break
+            sel.append(best[1])
+            out.append((q, best[1], rel[best[1]], best[2], rank))
+    return sorted(out)
+
+
+def test_mmr_matches_sequential_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (
+            r["query_id"],
+            r["vec_id"],
+            float(r["rel"]),
+            float(r["mmr_score"]),
+            r["rank"],
+        )
+        for r in mmr_rerank(emb, qs, k=5, pool_k=20).collect()
+    )
+    vectors = {
+        r["vec_id"]: (
+            [float(x) for x in r["embedding"]]
+            if r["embedding"] is not None
+            else None
+        )
+        for r in emb.collect()
+    }
+    ref = _mmr_ref(vectors, list(range(10)))
+    assert got == ref
+
+
+def test_mmr_prunes_planted_redundancy(spark):
+    """A clump of near-identical high-relevance candidates: plain
+    top-k returns the clump; MMR takes one clump member then reaches
+    for the distinct candidates."""
+    dim = 8
+    q = np.array([1.0] + [0.0] * (dim - 1))
+    rows = [(0, [float(x) for x in q])]
+    # ids 1..4: the clump — near-copies hugging the query (rel ~0.995,
+    # mutual sim ~1.0, so after one is taken the rest score ~0.5·0.995
+    # − 0.5·1.0 < 0)
+    for i in range(1, 5):
+        v = q + 0.1 * np.eye(dim)[1] + 1e-3 * i * np.eye(dim)[7]
+        rows.append((i, [float(x) for x in v]))
+    # ids 5..9: moderately relevant (rel ~0.707) along DISTINCT axes
+    # (mutual sim 0.5, sim to the clump ~0.7) — each scores ~0 or
+    # better at every step, beating the spent clump
+    for i in range(5, 10):
+        v = q + np.eye(dim)[i - 3]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    picked = {
+        r["vec_id"]
+        for r in mmr_rerank(
+            emb, qs, k=4, pool_k=9, lam=0.5, dim=dim
+        ).collect()
+    }
+    clump = picked & {1, 2, 3, 4}
+    assert len(clump) == 1, picked  # one representative, not the clump
+    assert len(picked) == 4
+
+
+def test_mmr_oracle_parity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert_matches_oracle(
+        mmr_rerank(emb, qs, k=5, pool_k=20), oracle_mmr_sql(), SF
+    )
+
+
+def test_mmr_first_pick_is_top1_and_validation(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk_arrow(emb, qs, k=1).collect()
+    }
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in mmr_rerank(emb, qs, k=3, pool_k=10).collect()
+        if r["rank"] == 1
+    }
+    assert got == top1
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, qs, k=30, pool_k=10)

@@ -3149,12 +3149,41 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_violating_groups").cast("string").alias("source"),
         F.lit(None).cast("double").alias("quality"),
     )
+    # sixth family (r9): per-source data card (scale/datacard.py) —
+    # the release-summary table (volume / emptiness / duplication /
+    # quality / language mix per domain). Riding: n_docs→doc_id,
+    # n_distinct_texts→clean_text (stringified long — exact),
+    # n_tokens→n_emails, n_empty→n_ips, entropy micro→n_phones,
+    # top_lang→lang, mean_quality→quality.
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.datacard import (
+        corpus_datacard,
+    )
+
+    with timed_branch("datacard"):
+        card = corpus_datacard(docs).select(
+            F.lit("datacard").alias("part"),
+            F.col("n_docs").cast("long").alias("doc_id"),
+            F.col("n_distinct_texts").cast("string").alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_emails"),
+            F.col("n_empty").cast("long").alias("n_ips"),
+            F.round(F.col("lang_entropy") * 1000000.0)
+            .cast("long")
+            .alias("n_phones"),
+            F.col("top_lang").alias("lang"),
+            "source",
+            F.col("mean_quality").cast("double").alias("quality"),
+        )
     return (
         pii.unionByName(cur)
         .unionByName(boiler)
         .unionByName(quota)
         .unionByName(kanon)
         .unionByName(kanon_sum)
+        .unionByName(probe_branch("datacard", card))
     )
 
 
@@ -3197,6 +3226,14 @@ rebuilt AS (
 SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+def _oracle_datacard() -> str:
+    from etl_extract_transform_load_spark.scale.datacard import (
+        oracle_datacard_sql,
+    )
+
+    return oracle_datacard_sql()
 
 
 def _oracle_curation_pii() -> str:
@@ -3266,6 +3303,12 @@ FROM (
         GROUP BY event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')
     )
 )
+UNION ALL
+SELECT 'datacard', n_docs, CAST(n_distinct_texts AS VARCHAR),
+       n_tokens, n_empty,
+       CAST(ROUND(lang_entropy * 1000000.0) AS BIGINT),
+       top_lang, source, CAST(mean_quality AS DOUBLE)
+FROM ({_oracle_datacard()})
 """
 
 

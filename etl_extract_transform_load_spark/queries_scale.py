@@ -939,6 +939,7 @@ SELECT 'index', NULL::INT, NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
        CAST(SUM(CAST(ROUND(d * 1000000.0) AS DECIMAL(28,0))) AS DOUBLE)
        / CAST(COUNT(d) AS DOUBLE) / 1000000.0
 FROM dper
+HAVING COUNT(*) > 0
 """
 
 

@@ -1,0 +1,195 @@
+"""Per-source corpus data card — the "Datasheets for Datasets" /
+model-card-style summary a curation pipeline publishes with every
+corpus release (Gebru et al. 2021).  One row per source domain:
+volume, emptiness, duplication, quality, and language-mix statistics
+— the table a consumer reads before training on the data, and the
+per-release regression surface for the corpus itself.
+
+No counterpart in the reference (its closest op is ``.describe()``,
+``exploratory_data_analysis.ipynb``); this is curation-tier
+reporting over the ``documents`` table.
+
+Scale shape: two aggregations (source; source × lang) plus a
+|sources|·|langs|-row window for the language mode — nothing else
+leaves the scan stage.  Every statistic is engine-exact: counts are
+integers, the quality mean is a micro-unit decimal mean of the 6-dp
+scores, and the language-entropy terms are 6-dp rounded BEFORE the
+(decimal, order-free) sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.text import (
+    quality_score,
+    token_count_ws,
+)
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One row per source (NULL source is its own row):
+    ``(source, n_docs, n_empty, n_tokens, n_distinct_texts,
+    mean_quality, lang_entropy, top_lang)`` where
+
+    - ``n_empty`` counts NULL/whitespace-only documents,
+    - ``n_distinct_texts`` counts distinct non-null text bodies (so
+      ``n_docs − n_empty − n_distinct_texts``… > 0 means exact dups),
+    - ``mean_quality`` is the micro-exact mean of the 6-dp
+      :func:`~.text.quality_score` over docs where it is defined,
+    - ``lang_entropy`` is the Shannon entropy (nats) of the language
+      mix, NULL language folded to ``'<null>'``,
+    - ``top_lang`` is the modal language (ties → lexicographic).
+    """
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.coalesce(F.col(lang_col), F.lit("<null>")).alias("__lang"),
+        token_count_ws(F.coalesce(c, F.lit(""))).cast("long").alias(
+            "__nt"
+        ),
+        F.when(
+            c.isNull() | (F.trim(c) == ""), F.lit(1)
+        ).otherwise(F.lit(0)).alias("__empty"),
+        F.md5(c).alias("__md5"),
+        quality_score(c).alias("__q"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__empty").cast("long").alias("n_empty"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("__md5")).alias("n_distinct_texts"),
+        (
+            F.sum(
+                F.round(F.col("__q") * 1000000.0).cast("decimal(28,0)")
+            ).cast("double")
+            / F.count("__q").cast("double")
+            / 1000000.0
+        ).alias("mean_quality"),
+    )
+    lc = base.groupBy("source", "__lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n_w = Window.partitionBy("source")
+    lc = lc.withColumn("__n", F.sum("__c").over(n_w))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    ent = lc.groupBy("source").agg(
+        F.sum(
+            F.round(-p * F.log(p) * 1000000.0).cast("decimal(28,0)")
+        ).cast("double").alias("__ent_micro")
+    )
+    mode_w = Window.partitionBy("source").orderBy(
+        F.desc("__c"), F.asc("__lang")
+    )
+    top = (
+        lc.withColumn("__rn", F.row_number().over(mode_w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("__lang").alias("top_lang"))
+    )
+    # NULL source is a real group — join null-safely so its entropy
+    # and mode rows attach (plain equi-join drops the NULL key)
+    ent = ent.withColumnRenamed("source", "__se")
+    top = top.withColumnRenamed("source", "__st")
+    return (
+        per_source.join(
+            ent, F.col("source").eqNullSafe(F.col("__se")), "left"
+        )
+        .join(top, F.col("source").eqNullSafe(F.col("__st")), "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_empty",
+            "n_tokens",
+            F.col("n_distinct_texts").cast("long").alias(
+                "n_distinct_texts"
+            ),
+            F.round("mean_quality", 6).alias("mean_quality"),
+            (F.col("__ent_micro") / 1000000.0).alias("lang_entropy"),
+            "top_lang",
+        )
+    )
+
+
+def oracle_datacard_sql() -> str:
+    """DuckDB twin of :func:`corpus_datacard` over ``documents``."""
+    return r"""
+WITH dbase AS (
+    SELECT source,
+           COALESCE(lang, '<null>') AS lng,
+           CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(
+                    TRIM(LOWER(COALESCE(text, ''))), '\s+')) END AS nt,
+           CASE WHEN text IS NULL OR TRIM(text) = '' THEN 1 ELSE 0
+                END AS empt,
+           MD5(text) AS m,
+           CASE WHEN text IS NULL THEN NULL ELSE
+           ROUND((
+               (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN LEN(CASE WHEN TRIM(text) = ''
+                              THEN CAST([] AS VARCHAR[])
+                              ELSE regexp_split_to_array(TRIM(text),
+                                                         '\s+') END) > 0
+                      AND LENGTH(text) * 1.0
+                          / LEN(CASE WHEN TRIM(text) = ''
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(TRIM(text),
+                                                           '\s+') END)
+                          >= 3
+                      AND LENGTH(text) * 1.0
+                          / LEN(CASE WHEN TRIM(text) = ''
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(TRIM(text),
+                                                           '\s+') END)
+                          <= 12 THEN 1 ELSE 0 END)
+             + (CASE WHEN (CASE WHEN LENGTH(text) = 0 THEN 0.0
+                           ELSE LEN(regexp_extract_all(text, '[^\w\s]'))
+                                * 1.0 / LENGTH(text) END) <= 0.2
+                     THEN 1 ELSE 0 END)
+           ) / 3.0, 6) END AS q
+    FROM documents
+),
+dsrc AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(empt) AS BIGINT) AS n_empty,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT m) AS n_distinct_texts,
+           ROUND(CAST(SUM(CAST(ROUND(q * 1000000.0) AS DECIMAL(28,0)))
+                      AS DOUBLE)
+                 / CAST(COUNT(q) AS DOUBLE) / 1000000.0, 6)
+               AS mean_quality
+    FROM dbase GROUP BY source
+),
+dlc AS (
+    SELECT source, lng, COUNT(*) AS c,
+           SUM(COUNT(*)) OVER (PARTITION BY source) AS n
+    FROM dbase GROUP BY source, lng
+),
+dent AS (
+    SELECT source,
+           CAST(SUM(CAST(ROUND(-(c * 1.0 / n) * LN(c * 1.0 / n)
+                               * 1000000.0) AS DECIMAL(28,0)))
+                AS DOUBLE) / 1000000.0 AS lang_entropy
+    FROM dlc GROUP BY source
+),
+dtop AS (
+    SELECT source, lng AS top_lang FROM (
+        SELECT source, lng,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lng ASC) AS rn
+        FROM dlc
+    ) WHERE rn = 1
+)
+SELECT s.source, s.n_docs, s.n_empty, s.n_tokens, s.n_distinct_texts,
+       s.mean_quality, e.lang_entropy, t.top_lang
+FROM dsrc s
+LEFT JOIN dent e ON s.source IS NOT DISTINCT FROM e.source
+LEFT JOIN dtop t ON s.source IS NOT DISTINCT FROM t.source
+"""

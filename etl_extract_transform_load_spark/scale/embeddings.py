@@ -628,7 +628,9 @@ def davies_bouldin_index(per_cluster: DataFrame) -> DataFrame:
     ``(n_clusters, dbi)`` — the classic index (mean of the per-cluster
     worst ratios; lower = better-separated clustering).  Clusters
     whose ``d`` is NULL (single-cluster corpus, or all neighbors
-    coincident) are excluded; ``dbi`` is NULL when none remain."""
+    coincident) are excluded; ``dbi`` is NULL when none remain.  An
+    EMPTY clustering yields an EMPTY result (no index to report) —
+    the similarity family's empty-input contract."""
     return per_cluster.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (
@@ -638,4 +640,4 @@ def davies_bouldin_index(per_cluster: DataFrame) -> DataFrame:
             / F.count(F.col("d")).cast("double")
             / 1000000.0
         ).alias("dbi"),
-    )
+    ).filter(F.col("n_clusters") > 0)

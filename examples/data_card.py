@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Generate a markdown DATA CARD for a corpus release — the
+datasheet a training team reads before consuming the data (Gebru et
+al. 2021, "Datasheets for Datasets"), assembled entirely from the
+engine's verified operators:
+
+    per-source composition  — scale.datacard.corpus_datacard
+    corpus-law diagnostics  — scale.vocab.zipf_fit / heaps_fit
+    duplication profile     — scale.dedup.exact_dup_clusters
+    fingerprint density     — scale.winnow.winnow_density
+    shard layout            — scale.packing.balanced_shards
+
+Usage:  python examples/data_card.py [sf_dir] [out_md]
+(defaults: /root/testdata/sf0.01, /tmp/DATA_CARD.md).  Prints the
+card and writes it to ``out_md``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.scale.datacard import corpus_datacard
+from etl_extract_transform_load_spark.scale.dedup import exact_dup_clusters
+from etl_extract_transform_load_spark.scale.packing import (
+    balanced_shards,
+    shard_balance,
+    shard_summary,
+)
+from etl_extract_transform_load_spark.scale.vocab import (
+    heaps_fit,
+    heaps_points,
+    vocabulary,
+    zipf_fit,
+)
+from etl_extract_transform_load_spark.scale.winnow import winnow_density
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+
+def fmt(x, nd=4):
+    if x is None:
+        return "—"
+    if isinstance(x, float):
+        return f"{x:,.{nd}f}".rstrip("0").rstrip(".")
+    return f"{x:,}"
+
+
+def build_card(spark, sf_dir: str) -> str:
+    docs = load_table(spark, sf_dir, "documents")
+    lines: list[str] = []
+    w = lines.append
+
+    card = sorted(
+        corpus_datacard(docs).collect(),
+        key=lambda r: (-r["n_docs"], str(r["source"])),
+    )
+    n_docs = sum(r["n_docs"] for r in card)
+    n_tokens = sum(r["n_tokens"] for r in card)
+    w("# Data card")
+    w("")
+    w(f"Source directory: `{sf_dir}`")
+    w("")
+    w("## Composition")
+    w("")
+    w(f"- documents: **{fmt(n_docs)}** across {len(card)} sources")
+    w(f"- whitespace tokens: **{fmt(n_tokens)}**")
+    w("")
+    w("| source | docs | empty | tokens | distinct texts |"
+      " mean quality | lang entropy | top lang |")
+    w("|---|---|---|---|---|---|---|---|")
+    for r in card:
+        w(
+            f"| {r['source'] or '∅'} | {fmt(r['n_docs'])} "
+            f"| {fmt(r['n_empty'])} | {fmt(r['n_tokens'])} "
+            f"| {fmt(r['n_distinct_texts'])} "
+            f"| {fmt(r['mean_quality'])} | {fmt(r['lang_entropy'])} "
+            f"| {r['top_lang'] or '—'} |"
+        )
+    w("")
+
+    w("## Corpus laws")
+    w("")
+    zf = zipf_fit(vocabulary(docs), top_n=500).collect()[0]
+    hf = heaps_fit(heaps_points(docs)).collect()[0]
+    w(
+        f"- Zipf rank-frequency slope **{fmt(zf['slope'])}** over the "
+        f"top {zf['n_points']} terms (natural text ≈ −1; "
+        f"R² {fmt(zf['r2'])})"
+    )
+    w(
+        f"- Heaps vocabulary growth β **{fmt(hf['slope'])}** "
+        f"(natural text 0.4–0.6; β ≈ 0 means the vocabulary is "
+        f"saturated; R² {fmt(hf['r2'])})"
+    )
+    w("")
+
+    w("## Duplication")
+    w("")
+    clusters = exact_dup_clusters(docs)
+    dup = clusters.filter(F.col("n_copies") > 1).agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum(F.col("n_copies") - 1).alias("redundant"),
+    ).collect()[0]
+    w(
+        f"- exact-duplicate groups: **{fmt(dup['groups'] or 0)}** "
+        f"({fmt(dup['redundant'] or 0)} redundant copies)"
+    )
+    den = winnow_density(docs).collect()[0]
+    w(
+        f"- winnowing fingerprint index: {fmt(den['n_fingerprints'])} "
+        f"fingerprints over {fmt(den['n_grams'])} grams "
+        f"(density {fmt(den['density_micro'] / 1e6)}; expected 2/(w+1) "
+        f"= 0.4 at w=4)"
+    )
+    w("")
+
+    w("## Training-shard layout")
+    w("")
+    summ = shard_summary(balanced_shards(docs))
+    bal = shard_balance(summ).collect()[0]
+    w(
+        f"- {bal['n_shards']} token-balanced shards: "
+        f"min {fmt(bal['min_tokens'])} / max {fmt(bal['max_tokens'])} "
+        f"tokens (spread {fmt(bal['spread'])})"
+    )
+    w("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "/tmp/DATA_CARD.md"
+    spark = get_spark(app_name="data_card", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    card = build_card(spark, sf_dir)
+    with open(out_md, "w", encoding="utf-8") as f:
+        f.write(card + "\n")
+    print(card)
+    print(f"\n[written to {out_md}]")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""The data-card example must run end-to-end and emit every section
+of the release datasheet, with internally consistent numbers."""
+
+import os
+import re
+import subprocess
+import sys
+
+
+def test_data_card_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "DATA_CARD.md")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "data_card.py"),
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    card = open(out, encoding="utf-8").read()
+    for section in (
+        "# Data card",
+        "## Composition",
+        "## Corpus laws",
+        "## Duplication",
+        "## Training-shard layout",
+    ):
+        assert section in card, section
+
+    # composition table totals must match the headline counts
+    m = re.search(r"documents: \*\*([\d,]+)\*\* across (\d+) sources", card)
+    assert m
+    total_docs = int(m.group(1).replace(",", ""))
+    n_sources = int(m.group(2))
+    rows = re.findall(r"^\| src\S* \| ([\d,]+) \|", card, re.MULTILINE)
+    assert len(rows) == n_sources
+    assert sum(int(r.replace(",", "")) for r in rows) == total_docs
+
+    # corpus-law and layout numbers are present and parseable
+    assert re.search(r"Zipf rank-frequency slope \*\*-[\d.]+\*\*", card)
+    assert re.search(r"token-balanced shards", card)
+    assert re.search(r"fingerprint index", card)

@@ -1,0 +1,70 @@
+"""Per-source corpus data card (scale/datacard.py): brute-force
+reference on crafted edges, strict oracle parity at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.datacard import (
+    corpus_datacard,
+    oracle_datacard_sql,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_datacard_crafted_edges(spark):
+    rows = [
+        # srcA: a duplicate pair, one empty, one NULL text, two langs
+        (0, "alpha beta gamma", "en", "srcA"),
+        (1, "alpha beta gamma", "en", "srcA"),
+        (2, "   ", "de", "srcA"),
+        (3, None, "de", "srcA"),
+        # srcB: single doc, NULL lang
+        (4, "delta epsilon", None, "srcB"),
+        # NULL source group
+        (5, "zeta", "fr", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["source"]: r for r in corpus_datacard(df).collect()}
+    assert set(got) == {"srcA", "srcB", None}
+
+    a = got["srcA"]
+    assert a["n_docs"] == 4
+    assert a["n_empty"] == 2  # whitespace-only + NULL
+    assert a["n_tokens"] == 6  # 3 + 3 + 0 + 0
+    assert a["n_distinct_texts"] == 2  # dup pair collapses; NULL absent
+    # quality defined for the 3 non-null texts; en/de split 2/2
+    assert abs(a["lang_entropy"] - math.log(2)) < 1e-5
+    assert a["top_lang"] == "de"  # tie 2-2 -> lexicographic
+
+    b = got["srcB"]
+    assert b["n_docs"] == 1 and b["n_empty"] == 0
+    assert b["top_lang"] == "<null>"
+    assert b["lang_entropy"] == 0.0
+
+    n = got[None]
+    assert n["n_docs"] == 1 and n["top_lang"] == "fr"
+    assert n["lang_entropy"] == 0.0  # null-safe joins attached the row
+
+
+def test_datacard_oracle_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_matches_oracle(
+        corpus_datacard(docs), oracle_datacard_sql(), SF
+    )
+
+
+def test_datacard_totals_conserve(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    card = corpus_datacard(docs).collect()
+    assert sum(r["n_docs"] for r in card) == docs.count()
+    for r in card:
+        assert 0 <= r["n_empty"] <= r["n_docs"]
+        assert r["n_distinct_texts"] <= r["n_docs"]
+        assert r["mean_quality"] is None or 0 <= r["mean_quality"] <= 1
+        assert r["lang_entropy"] >= 0

@@ -195,14 +195,21 @@ def main() -> None:
                 F.concat(F.lit("name_"), F.col("id")).alias("label"),
                 (F.col("id") * 1.5).alias("score"),
             )
-            m = instrumented_write(
-                load,
-                lambda df_: write_jdbc(
-                    df_, url, "T_BENCH", mode="overwrite",
-                    num_partitions=8, batchsize=10_000,
-                ),
-            )
-            jdbc_rows_per_sec = m["rows_per_sec"]
+            # best-of-two, same estimator spirit as the query sweeps:
+            # the FIRST JDBC write in a session pays Derby/driver
+            # class-load and code-path warm-up (~2x slower measured),
+            # which is amortized noise for a throughput number
+            for _ in range(2):
+                m = instrumented_write(
+                    load,
+                    lambda df_: write_jdbc(
+                        df_, url, "T_BENCH", mode="overwrite",
+                        num_partitions=8, batchsize=10_000,
+                    ),
+                )
+                jdbc_rows_per_sec = max(
+                    jdbc_rows_per_sec or 0.0, m["rows_per_sec"]
+                )
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception:  # noqa: BLE001 — throughput probe must never fail bench
         pass

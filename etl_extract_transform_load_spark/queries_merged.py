@@ -3177,6 +3177,27 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("mean_quality").cast("double").alias("quality"),
         )
+    # seventh family (r9): Aho-Corasick multi-keyword tagging
+    # (scale/keywords.py) — the blocklist/lexicon gate, O(text) per
+    # doc independent of keyword count (the oracle deliberately uses
+    # the per-keyword regex-alternation shape the automaton replaces).
+    # Long-form rows: keyword rides clean_text, count rides n_emails.
+    from etl_extract_transform_load_spark.scale.keywords import (
+        keyword_tag,
+    )
+
+    with timed_branch("kwtag"):
+        kw = keyword_tag(docs, KWTAG_TERMS).select(
+            F.lit("kwtag").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("keyword").alias("clean_text"),
+            F.col("n").cast("long").alias("n_emails"),
+            F.lit(None).cast("long").alias("n_ips"),
+            F.lit(None).cast("long").alias("n_phones"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("quality"),
+        )
     return (
         pii.unionByName(cur)
         .unionByName(boiler)
@@ -3184,6 +3205,7 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kanon)
         .unionByName(kanon_sum)
         .unionByName(probe_branch("datacard", card))
+        .unionByName(probe_branch("kwtag", kw))
     )
 
 
@@ -3226,6 +3248,27 @@ rebuilt AS (
 SELECT d.doc_id, COALESCE(r.clean, '') AS clean_text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+#: Fixed lexicon for the registered kwtag branch — common corpus
+#: terms plus a multi-word phrase (exercises the straddling-overlap
+#: and boundary arms at every SF).
+KWTAG_TERMS: tuple[str, ...] = (
+    "hash",
+    "join",
+    "scan",
+    "table",
+    "fast scan",
+    "window",
+)
+
+
+def _oracle_kwtag() -> str:
+    from etl_extract_transform_load_spark.scale.keywords import (
+        oracle_keyword_tag_sql,
+    )
+
+    return oracle_keyword_tag_sql(KWTAG_TERMS)
 
 
 def _oracle_datacard() -> str:
@@ -3309,6 +3352,11 @@ SELECT 'datacard', n_docs, CAST(n_distinct_texts AS VARCHAR),
        CAST(ROUND(lang_entropy * 1000000.0) AS BIGINT),
        top_lang, source, CAST(mean_quality AS DOUBLE)
 FROM ({_oracle_datacard()})
+UNION ALL
+SELECT 'kwtag', CAST(doc_id AS BIGINT), keyword,
+       n, NULL::BIGINT, NULL::BIGINT,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+FROM ({_oracle_kwtag()})
 """
 
 

@@ -1,0 +1,207 @@
+"""Multi-keyword tagging at corpus scale: Aho–Corasick (1975) with
+word boundaries — the FlashText-style blocklist/taxonomy tagger every
+curation pipeline runs (bad-word filters, topic lexicons, brand/PII
+term lists).
+
+Why an automaton and not a regex alternation: matching cost is
+O(text chars) per document *independent of the keyword count* — the
+whole pattern set is one trie with failure links, built once on the
+driver (O(total keyword chars) state) and shipped to executors inside
+the Arrow-batched closure.  A ``(kw1|kw2|…)`` alternation degrades
+toward O(text · |keywords|) and regex-escape fragility as the list
+grows to the 10⁴–10⁵ terms real blocklists have.
+
+Semantics (pinned by tests and the DuckDB twin):
+
+- matching is case-insensitive via the engine-portable fold
+  (``lower_simple``'s İ/Σ pre-translation, then lower);
+- a hit requires WORD BOUNDARIES: the chars adjacent to the match
+  are not ``[0-9A-Za-z_]`` (RE2's ASCII ``\\b``, so the oracle can
+  spell each keyword as ``\\bkw\\b``);
+- per (doc, keyword), occurrences are counted LEFTMOST
+  NON-OVERLAPPING — exactly ``regexp_count``'s contract, so a
+  multi-word keyword straddling itself ("a a" in "a a a") counts
+  once in both engines.
+
+Scale shape: one Arrow pass (``mapInPandas``); output is long-form
+``(id, keyword, n)`` — group it however the pipeline needs.  The
+automaton must fit the driver/executors (total keyword chars ≤ a few
+hundred MB — far beyond any real lexicon).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+_WORD = set("0123456789_abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fold(s: str) -> str:
+    """Python twin of ``text.lower_simple``: pre-translate the two
+    code points where Java/utf8proc simple folds diverge, then
+    lowercase."""
+    return s.replace("İ", "I").replace("Σ", "σ").lower()
+
+
+def build_automaton(keywords: Iterable[str]):
+    """Aho–Corasick goto/fail/output tables over the folded keyword
+    set.  Returns ``(goto: list[dict], fail: list[int],
+    out: list[list[int]], kws: list[str])`` — plain lists/dicts so
+    the structure pickles cleanly into the executor closure."""
+    kws = sorted({_fold(k.strip()) for k in keywords if k and k.strip()})
+    if not kws:
+        raise ValueError("keyword list is empty")
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, kw in enumerate(kws):
+        s = 0
+        for ch in kw:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    q: deque[int] = deque()
+    for s in goto[0].values():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out, kws
+
+
+def _match_counts(
+    text: str, automaton
+) -> dict[int, int]:
+    """Leftmost-non-overlapping per-keyword hit counts with ASCII
+    word boundaries."""
+    goto, fail, out, kws = automaton
+    t = _fold(text)
+    n = len(t)
+    # collect boundary-valid (start, end) spans per keyword
+    spans: dict[int, list[int]] = {}
+    s = 0
+    for i, ch in enumerate(t):
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for k in out[s]:
+            end = i + 1
+            start = end - len(kws[k])
+            if start > 0 and t[start - 1] in _WORD:
+                continue
+            if end < n and t[end] in _WORD:
+                continue
+            spans.setdefault(k, []).append(start)
+        # boundary checks reference the keyword's own chars only at
+        # its edges, so interior word chars are irrelevant
+    counts: dict[int, int] = {}
+    for k, starts in spans.items():
+        L = len(kws[k])
+        c, nxt_free = 0, 0
+        for st in starts:  # already sorted by end asc == start asc per k
+            if st >= nxt_free:
+                c += 1
+                nxt_free = st + L
+        counts[k] = c
+    return counts
+
+
+def keyword_tag(
+    docs: DataFrame,
+    keywords: Iterable[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form tag table ``(id, keyword, n)`` — one row per
+    (document, matched keyword), ``n`` = leftmost-non-overlapping
+    boundary-valid occurrences.  Documents with no hits (or NULL
+    text) emit no rows."""
+    import pandas as pd
+
+    automaton = build_automaton(keywords)
+    kws = automaton[3]
+    out_schema = f"{id_col} long, keyword string, n long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kw_out, ns = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (
+                    isinstance(text, float) and pd.isna(text)
+                ):
+                    continue
+                for k, c in sorted(
+                    _match_counts(str(text), automaton).items()
+                ):
+                    ids.append(rid)
+                    kw_out.append(kws[k])
+                    ns.append(c)
+            yield pd.DataFrame(
+                {id_col: ids, "keyword": kw_out, "n": ns}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def keyword_doc_summary(tags: DataFrame, docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document rollup over :func:`keyword_tag` rows, LEFT-joined
+    back to the full id set: ``(id, n_hits, n_keywords)`` with (0, 0)
+    for clean documents — the blocklist gate's input."""
+    from pyspark.sql import functions as F
+
+    agg = tags.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_keywords"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_keywords", F.lit(0))
+            .cast("long")
+            .alias("n_keywords"),
+        )
+    )
+
+
+def oracle_keyword_tag_sql(keywords: Iterable[str]) -> str:
+    """DuckDB twin of :func:`keyword_tag` over ``documents``: one
+    ``regexp_count`` arm per keyword (the alternation shape the
+    automaton replaces — fine at oracle scale, the scaling argument
+    is exactly why the engine side doesn't do this).  Keywords must
+    be regex-safe (letters/digits/spaces) — asserted."""
+    kws = sorted({k.strip().lower() for k in keywords if k and k.strip()})
+    for k in kws:
+        if not all(c.isalnum() or c in " _" for c in k):
+            raise ValueError(f"oracle keyword not regex-safe: {k!r}")
+    arms = [
+        f"""
+SELECT doc_id, '{k}' AS keyword,
+       CAST(LEN(regexp_extract_all(LOWER(text), '\\b{k}\\b'))
+            AS BIGINT) AS n
+FROM documents
+WHERE text IS NOT NULL
+  AND LEN(regexp_extract_all(LOWER(text), '\\b{k}\\b')) > 0"""
+        for k in kws
+    ]
+    return "\nUNION ALL\n".join(arms)

@@ -1,0 +1,100 @@
+"""Aho-Corasick keyword tagger (scale/keywords.py) vs a per-keyword
+regex reference, boundary/overlap edges, strict oracle parity."""
+
+from __future__ import annotations
+
+import re
+
+from oracle import assert_matches_oracle
+
+from etl_extract_transform_load_spark.scale.keywords import (
+    build_automaton,
+    _match_counts,
+    keyword_doc_summary,
+    keyword_tag,
+    oracle_keyword_tag_sql,
+)
+
+SF = "/root/testdata/sf0.01"
+
+KWS = ["hash", "join", "fast scan", "a a", "table", "scan"]
+
+
+def _ref_counts(text: str, kws):
+    out = {}
+    for k in sorted({k.lower() for k in kws}):
+        c = len(
+            re.findall(
+                r"\b" + re.escape(k) + r"\b", text.lower(), re.ASCII
+            )
+        )
+        if c:
+            out[k] = c
+    return out
+
+
+def test_matches_regex_reference_crafted():
+    auto = build_automaton(KWS)
+    kws = auto[3]
+    cases = [
+        "hash join hash HASH hashes rehash",  # boundaries: 3 hash, 1 join
+        "a a a",            # self-overlapping multi-word kw: 1, not 2
+        "fast scan and scan",  # nested keywords both count
+        "table. join, hash!  scan",  # punctuation boundaries
+        "jointable hashjoin",  # no boundary -> no hits
+        "",
+        "fast scanfast scan fast scan",
+    ]
+    for text in cases:
+        got = {
+            kws[k]: c for k, c in _match_counts(text, auto).items()
+        }
+        assert got == _ref_counts(text, KWS), text
+
+
+def test_matches_regex_reference_on_corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    got: dict[tuple, int] = {}
+    for r in keyword_tag(docs, KWS).collect():
+        got[(r["doc_id"], r["keyword"])] = r["n"]
+    ref: dict[tuple, int] = {}
+    for r in docs.collect():
+        if r["text"] is None:
+            continue
+        for k, c in _ref_counts(r["text"], KWS).items():
+            ref[(r["doc_id"], k)] = c
+    assert got == ref and got
+
+
+def test_oracle_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_matches_oracle(
+        keyword_tag(docs, KWS), oracle_keyword_tag_sql(KWS), SF
+    )
+
+
+def test_doc_summary_covers_all_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tags = keyword_tag(docs, KWS)
+    summ = keyword_doc_summary(tags, docs)
+    assert summ.count() == docs.count()
+    rows = {r["doc_id"]: r for r in summ.collect()}
+    hit_docs = {r["doc_id"] for r in tags.collect()}
+    for i, r in rows.items():
+        if i in hit_docs:
+            assert r["n_hits"] >= r["n_keywords"] >= 1
+        else:
+            assert r["n_hits"] == 0 and r["n_keywords"] == 0
+
+
+def test_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_automaton(["", "   "])
+    with pytest.raises(ValueError):
+        oracle_keyword_tag_sql(["bad(regex"])

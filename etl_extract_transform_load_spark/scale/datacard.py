@@ -193,3 +193,148 @@ FROM dsrc s
 LEFT JOIN dent e ON s.source IS NOT DISTINCT FROM e.source
 LEFT JOIN dtop t ON s.source IS NOT DISTINCT FROM t.source
 """
+
+
+# --- incremental (streaming) face ----------------------------------------
+
+
+def datacard_stats_update(
+    state: DataFrame | None,
+    batch: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Fold one micro-batch into the standing per-(source, lang)
+    sufficient statistics for the data card: ``(source, lng, n_docs,
+    n_empty, n_tokens, q_micro, n_q)`` — every column an associative
+    integer/decimal sum, so any batch split in any order converges to
+    the one-shot statistics (the ``dsir_counts_update`` contract).
+    State size is bounded by |sources| × |langs|."""
+    c = F.col(text_col)
+    delta = (
+        batch.select(
+            F.col(source_col).alias("source"),
+            F.coalesce(F.col(lang_col), F.lit("<null>")).alias("lng"),
+            token_count_ws(F.coalesce(c, F.lit(""))).cast("long").alias(
+                "__nt"
+            ),
+            F.when(c.isNull() | (F.trim(c) == ""), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__empty"),
+            quality_score(c).alias("__q"),
+        )
+        .groupBy("source", "lng")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__empty").cast("long").alias("n_empty"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("__q") * 1000000.0).cast(
+                        "decimal(28,0)"
+                    )
+                ),
+                F.lit(0).cast("decimal(28,0)"),
+            ).alias("q_micro"),
+            F.count("__q").alias("n_q"),
+        )
+    )
+    if state is None:
+        return delta
+    return (
+        state.unionByName(delta)
+        .groupBy("source", "lng")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_empty").cast("long").alias("n_empty"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("q_micro").cast("decimal(28,0)").alias("q_micro"),
+            F.sum("n_q").cast("long").alias("n_q"),
+        )
+    )
+
+
+def datacard_content_update(
+    state: DataFrame | None,
+    batch: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold the batch's distinct (source, text_md5) pairs into the
+    standing content set (union-distinct — associative, idempotent;
+    the exact-dedup index shape, bounded by distinct content)."""
+    delta = (
+        batch.select(
+            F.col(source_col).alias("source"),
+            F.md5(F.col(text_col)).alias("text_md5"),
+        )
+        .filter(F.col("text_md5").isNotNull())
+        .distinct()
+    )
+    if state is None:
+        return delta
+    return state.unionByName(delta).distinct()
+
+
+def datacard_from_state(
+    stats: DataFrame, content: DataFrame
+) -> DataFrame:
+    """Derive the full data card from standing state — EXACTLY the
+    :func:`corpus_datacard` output on the union of all folded batches
+    (pinned on randomized splits in tests/test_datacard.py)."""
+    per_source = stats.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_empty").cast("long").alias("n_empty"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.sum("q_micro").cast("double")
+            / F.sum("n_q").cast("double")
+            / 1000000.0
+        ).alias("mean_quality"),
+    )
+    n_w = Window.partitionBy("source")
+    lc = stats.select(
+        "source", "lng", F.col("n_docs").alias("__c")
+    ).withColumn("__n", F.sum("__c").over(n_w))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    ent = lc.groupBy("source").agg(
+        F.sum(
+            F.round(-p * F.log(p) * 1000000.0).cast("decimal(28,0)")
+        ).cast("double").alias("__ent_micro")
+    ).withColumnRenamed("source", "__se")
+    mode_w = Window.partitionBy("source").orderBy(
+        F.desc("__c"), F.asc("lng")
+    )
+    top = (
+        lc.withColumn("__rn", F.row_number().over(mode_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("source").alias("__st"),
+            F.col("lng").alias("top_lang"),
+        )
+    )
+    distinct = content.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_texts")
+    ).withColumnRenamed("source", "__sd")
+    return (
+        per_source.join(
+            distinct,
+            F.col("source").eqNullSafe(F.col("__sd")),
+            "left",
+        )
+        .join(ent, F.col("source").eqNullSafe(F.col("__se")), "left")
+        .join(top, F.col("source").eqNullSafe(F.col("__st")), "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_empty",
+            "n_tokens",
+            F.coalesce("n_distinct_texts", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_texts"),
+            F.round("mean_quality", 6).alias("mean_quality"),
+            (F.col("__ent_micro") / 1000000.0).alias("lang_entropy"),
+            "top_lang",
+        )
+    )

@@ -45,6 +45,8 @@ MINHASH_DIR = "minhash_index"
 PAIRS_DIR = "pairs"
 COUNTS_DIR = "dsir_counts"
 GATED_DIR = "gated_docs"
+CARD_STATS_DIR = "card_stats"
+CARD_CONTENT_DIR = "card_content"
 
 
 def quality_gate(docs: DataFrame) -> DataFrame:
@@ -156,6 +158,28 @@ def curation_batch_fold(
         os.path.join(state_dir, COUNTS_DIR, f"v{batch_id}")
     )
 
+    # --- data-card standing statistics: associative sums over the RAW
+    # batch (the card describes the incoming corpus, gate included) --
+    from etl_extract_transform_load_spark.scale.datacard import (
+        datacard_content_update,
+        datacard_stats_update,
+    )
+
+    prev_cs = _latest(state_dir, CARD_STATS_DIR)
+    cs = datacard_stats_update(
+        spark.read.parquet(prev_cs) if prev_cs else None, batch
+    )
+    cs.write.parquet(
+        os.path.join(state_dir, CARD_STATS_DIR, f"v{batch_id}")
+    )
+    prev_cc = _latest(state_dir, CARD_CONTENT_DIR)
+    cc = datacard_content_update(
+        spark.read.parquet(prev_cc) if prev_cc else None, batch
+    )
+    cc.write.parquet(
+        os.path.join(state_dir, CARD_CONTENT_DIR, f"v{batch_id}")
+    )
+
 
 def finalize_curation(
     spark: SparkSession,
@@ -209,12 +233,21 @@ def finalize_curation(
         budget_tokens,
         domain_col="source",
     )
+    from etl_extract_transform_load_spark.scale.datacard import (
+        datacard_from_state,
+    )
+
+    card = datacard_from_state(
+        spark.read.parquet(_latest(state_dir, CARD_STATS_DIR)),
+        spark.read.parquet(_latest(state_dir, CARD_CONTENT_DIR)),
+    )
     return {
         "gated": gated,
         "exact": exact,
         "near": near,
         "selected": selected,
         "budget": budget,
+        "datacard": card,
     }
 
 
@@ -264,10 +297,15 @@ def batch_reference_curation(
         budget_tokens,
         domain_col="source",
     )
+    from etl_extract_transform_load_spark.scale.datacard import (
+        corpus_datacard,
+    )
+
     return {
         "gated": gated,
         "exact": exact,
         "near": near,
         "selected": selected,
         "budget": budget,
+        "datacard": corpus_datacard(docs),
     }

@@ -68,3 +68,46 @@ def test_datacard_totals_conserve(spark):
         assert r["n_distinct_texts"] <= r["n_docs"]
         assert r["mean_quality"] is None or 0 <= r["mean_quality"] <= 1
         assert r["lang_entropy"] >= 0
+
+
+def test_incremental_fold_equals_batch(spark):
+    """Randomized micro-batch splits folded through
+    datacard_stats_update/content_update derive EXACTLY the one-shot
+    corpus_datacard — every column, both split seeds."""
+    import random
+
+    from etl_extract_transform_load_spark.scale.datacard import (
+        datacard_content_update,
+        datacard_from_state,
+        datacard_stats_update,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = sorted(
+        map(tuple, corpus_datacard(docs).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    rows = docs.collect()
+    schema = docs.schema
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        k = rng.randrange(2, 5)
+        cuts = sorted(rng.sample(range(1, len(rows)), k - 1))
+        batches = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(rows)])
+        ]
+        stats = content = None
+        for b in batches:
+            bdf = spark.createDataFrame(b, schema)
+            stats = datacard_stats_update(stats, bdf).localCheckpoint()
+            content = datacard_content_update(
+                content, bdf
+            ).localCheckpoint()
+        got = sorted(
+            map(tuple, datacard_from_state(stats, content).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        assert got == want, seed

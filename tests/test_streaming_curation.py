@@ -106,6 +106,17 @@ def test_streaming_funnel_equals_batch_funnel(spark, tmp_path, salt):
     assert plan(got["budget"]) == plan(want["budget"])
     assert plan(got["budget"])  # non-trivial
 
+    # the standing-state data card equals the one-shot card, every
+    # column (r9 continuation: the release datasheet is a fold too)
+    def card(df):
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    assert card(got["datacard"]) == card(want["datacard"])
+    assert card(got["datacard"])  # non-trivial
+
 
 def test_streaming_funnel_salts_change_batching_not_result(spark, tmp_path):
     """Two different batch assignments of the SAME corpus converge to

@@ -678,11 +678,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_tokens").cast("long").alias("bin_tokens"),
         F.lit(None).cast("string").alias("packed_text"),
     )
+    # fourth family (r9): context-length planning table
+    # (scale/packing.context_fit_report) — fit fraction, chunk count
+    # and padding waste at three candidate sequence lengths. Riding:
+    # seq_len→shard, n_fit→doc_id, fit_micro→n_tokens,
+    # n_chunks→bin_id, pad_waste_micro→bin_tokens.
+    from etl_extract_transform_load_spark.scale.packing import (
+        context_fit_report,
+    )
+
+    with timed_branch("ctxfit"):
+        ctx = context_fit_report(docs).select(
+            F.lit("ctxfit").alias("part"),
+            F.lit(None).cast("string").alias("source"),
+            F.col("seq_len").cast("long").alias("shard"),
+            F.col("n_fit").cast("long").alias("doc_id"),
+            F.col("fit_micro").cast("long").alias("n_tokens"),
+            F.col("n_chunks").cast("long").alias("bin_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("pad_waste_micro").cast("long").alias("bin_tokens"),
+            F.lit(None).cast("string").alias("packed_text"),
+        )
     return (
         assign.unionByName(bins)
         .unionByName(probe_branch("shards", sh_assign))
         .unionByName(probe_branch("shards", sh_sum))
         .unionByName(probe_branch("shards", sh_bal))
+        .unionByName(probe_branch("ctxfit", ctx))
     )
 
 
@@ -741,15 +763,22 @@ FROM (SELECT shard, SUM(n_tokens) AS st
       FROM ({{SHARDS_SQL}}) GROUP BY shard)
 """
 
-# splice the serpentine-shard twin in after the fact — the walk SQL
-# above is an f-string, and the shard twin is owned by scale.packing
+# splice the serpentine-shard and context-fit twins in after the fact
+# — the walk SQL above is an f-string, and both twins are owned by
+# scale.packing
 from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
     oracle_balanced_shards_sql as _oracle_balanced_shards_sql,
+    oracle_context_fit_sql as _oracle_context_fit_sql,
 )
 
 ORACLE_PACK = ORACLE_PACK.replace(
     "{SHARDS_SQL}", _oracle_balanced_shards_sql()
-)
+) + f"""
+UNION ALL
+SELECT 'ctxfit', NULL::VARCHAR, seq_len, n_fit, fit_micro, n_chunks,
+       n_docs, pad_waste_micro, NULL::VARCHAR
+FROM ({_oracle_context_fit_sql()})
+"""
 
 
 # --- corpus curation end-to-end --------------------------------------------------

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_extract_transform_load_spark.scale.text import joined_in_order, tokens
+from etl_extract_transform_load_spark.scale.text import (
+    joined_in_order,
+    lower_simple,
+    tokens,
+)
 
 
 def chunk_documents(
@@ -401,4 +405,108 @@ FROM (
         FROM documents WHERE doc_id IS NOT NULL
     )
 )
+"""
+
+
+def context_fit_report(
+    docs: DataFrame,
+    seq_lens: tuple[int, ...] = (128, 512, 2048),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-length planning table — "what does training at
+    sequence length L cost on this corpus": one row per candidate
+    ``(seq_len, n_docs, n_fit, fit_micro, n_chunks,
+    pad_waste_micro)`` where
+
+    - ``n_fit`` / ``fit_micro``: documents fitting in one sequence
+      (and the micro-rounded fraction),
+    - ``n_chunks``: total ``ceil(tokens / L)`` sequences after
+      chunking (empty docs contribute none),
+    - ``pad_waste_micro``: fraction of slot capacity wasted if each
+      chunk pads to L — ``(n_chunks·L − Σtokens) / (n_chunks·L)`` —
+      the number that says whether you need sequence PACKING
+      (:func:`pack_greedy`) or plain chunking at that length.
+
+    One broadcast of the candidate lengths against per-doc token
+    counts, conditional aggregation — scan-stage at any corpus size;
+    exact integer arithmetic plus two 0-dp micro rounds."""
+    if not seq_lens or any(l < 1 for l in seq_lens):
+        raise ValueError("seq_lens must be positive")
+    nt = docs.select(
+        F.col(id_col),
+        F.size(
+            tokens(lower_simple(F.coalesce(F.col(text_col), F.lit(""))))
+        ).cast("long").alias("__nt"),
+    )
+    lens = docs.sparkSession.createDataFrame(
+        [(int(l),) for l in sorted(set(seq_lens))], "seq_len long"
+    )
+    j = nt.crossJoin(F.broadcast(lens))
+    chunks = F.when(
+        F.col("__nt") > 0,
+        F.expr("(__nt + seq_len - 1) DIV seq_len"),
+    ).otherwise(F.lit(0))
+    agg = j.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("__nt") <= F.col("seq_len"), 1).otherwise(0)
+        ).cast("long").alias("n_fit"),
+        F.sum(chunks).cast("long").alias("n_chunks"),
+        F.sum("__nt").cast("long").alias("__tot"),
+    )
+    cap = F.col("n_chunks") * F.col("seq_len")
+    return agg.select(
+        "seq_len",
+        "n_docs",
+        "n_fit",
+        F.round(
+            F.col("n_fit").cast("double")
+            * 1000000.0
+            / F.col("n_docs").cast("double")
+        ).cast("long").alias("fit_micro"),
+        "n_chunks",
+        F.when(F.col("n_chunks") == 0, F.lit(0)).otherwise(
+            F.round(
+                (cap - F.col("__tot")).cast("double")
+                * 1000000.0
+                / cap.cast("double")
+            ).cast("long")
+        ).alias("pad_waste_micro"),
+    )
+
+
+def oracle_context_fit_sql(
+    seq_lens: tuple[int, ...] = (128, 512, 2048)
+) -> str:
+    """DuckDB twin of :func:`context_fit_report` over ``documents``."""
+    vals = ", ".join(f"({int(l)})" for l in sorted(set(seq_lens)))
+    return f"""
+WITH cnt AS (
+    SELECT doc_id,
+           CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(
+                    TRIM(LOWER(COALESCE(text, ''))), '\\s+')) END AS nt
+    FROM documents
+),
+ls(seq_len) AS (VALUES {vals}),
+ag AS (
+    SELECT seq_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN nt <= seq_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fit,
+           CAST(SUM(CASE WHEN nt > 0
+                         THEN (nt + seq_len - 1) // seq_len
+                         ELSE 0 END) AS BIGINT) AS n_chunks,
+           CAST(SUM(nt) AS BIGINT) AS tot
+    FROM cnt, ls GROUP BY seq_len
+)
+SELECT seq_len, n_docs, n_fit,
+       CAST(ROUND(n_fit * 1000000.0 / n_docs) AS BIGINT) AS fit_micro,
+       n_chunks,
+       CASE WHEN n_chunks = 0 THEN 0
+            ELSE CAST(ROUND((n_chunks * seq_len - tot) * 1000000.0
+                            / (n_chunks * seq_len)) AS BIGINT)
+       END AS pad_waste_micro
+FROM ag
 """

@@ -981,3 +981,59 @@ def test_balanced_shards_oracle_parity(spark):
     assert_matches_oracle(
         balanced_shards(docs), oracle_balanced_shards_sql(), sf
     )
+
+
+# --- context-length planning (scale/packing.context_fit_report) ----------
+
+
+def test_context_fit_matches_bruteforce(spark):
+    from etl_extract_transform_load_spark.scale.packing import (
+        context_fit_report,
+    )
+
+    rows = [
+        (0, " ".join("w" for _ in range(5))),
+        (1, " ".join("w" for _ in range(10))),
+        (2, " ".join("w" for _ in range(25))),
+        (3, ""),
+        (4, None),
+        (5, " ".join("w" for _ in range(8))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["seq_len"]: r
+        for r in context_fit_report(df, seq_lens=(8, 16)).collect()
+    }
+    counts = [5, 10, 25, 0, 0, 8]
+    for L in (8, 16):
+        n_fit = sum(1 for c in counts if c <= L)
+        n_chunks = sum(-(-c // L) for c in counts if c > 0)
+        tot = sum(counts)
+        r = got[L]
+        assert r["n_docs"] == 6
+        assert r["n_fit"] == n_fit
+        assert r["fit_micro"] == round(n_fit * 1e6 / 6)
+        assert r["n_chunks"] == n_chunks
+        assert r["pad_waste_micro"] == round(
+            (n_chunks * L - tot) * 1e6 / (n_chunks * L)
+        )
+    import pytest
+
+    with pytest.raises(ValueError):
+        context_fit_report(df, seq_lens=())
+
+
+def test_context_fit_oracle_parity(spark):
+    from oracle import assert_matches_oracle
+
+    from etl_extract_transform_load_spark.scale.packing import (
+        context_fit_report,
+        oracle_context_fit_sql,
+    )
+    from etl_extract_transform_load_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    assert_matches_oracle(
+        context_fit_report(docs), oracle_context_fit_sql(), sf
+    )

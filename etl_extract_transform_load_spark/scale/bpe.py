@@ -277,3 +277,84 @@ def load_merges(path: str) -> List[Tuple[str, str]]:
             raise ValueError(f"{path}: malformed merge entry {m!r}")
         out.append((str(m[0]), str(m[1])))
     return out
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-quality report per ``group_col`` — the numbers a
+    tokenizer bake-off tracks (fertility/compression, cf. the
+    XLM-R/BLOOM tokenizer evaluations): one row per group plus an
+    ``__all__`` total, with
+
+    - ``n_docs``, ``n_words`` (whitespace), ``n_bpe_tokens``,
+      ``n_chars`` (of the folded text the encoder saw);
+    - ``fertility_micro``  = round(1e6 · bpe_tokens / words) — BPE
+      tokens per word (1.0 = vocabulary covers every word whole;
+      higher = more splitting, longer sequences, costlier training);
+    - ``chars_per_token_micro`` = round(1e6 · chars / bpe_tokens) —
+      the compression rate (higher = fewer sequence positions per
+      unit of text).
+
+    One encode pass (the Arrow-batched greedy-apply kernel) and one
+    aggregation; ratios are integer-micro so the report is
+    rerun-stable. Groups whose denominator is 0 report NULL for that
+    ratio. BPE apply is not SQL-expressible, so this report is
+    pytest-pinned (sequential encoder) rather than oracle-twinned."""
+    from etl_extract_transform_load_spark.scale.text import (
+        lower_simple,
+        token_count_ws,
+    )
+
+    enc = bpe_encode(docs, merges, text_col=text_col)
+    per = enc.select(
+        F.coalesce(F.col(group_col), F.lit("<null>")).alias("grp"),
+        token_count_ws(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("__w"),
+        F.coalesce(F.size("bpe_tokens"), F.lit(0))
+        .cast("long")
+        .alias("__t"),
+        F.length(
+            F.regexp_replace(
+                lower_simple(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+",
+                "",
+            )
+        ).cast("long").alias("__c"),
+    )
+    both = per.unionByName(
+        per.select(F.lit("__all__").alias("grp"), "__w", "__t", "__c")
+    )
+    agg = both.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__t").cast("long").alias("n_bpe_tokens"),
+        F.sum("__c").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        F.col("grp").alias("group"),
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                * 1000000.0
+                / F.col("n_words").cast("double")
+            ).cast("long"),
+        ).alias("fertility_micro"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double")
+                * 1000000.0
+                / F.col("n_bpe_tokens").cast("double")
+            ).cast("long"),
+        ).alias("chars_per_token_micro"),
+    )

@@ -145,3 +145,82 @@ def test_merges_roundtrip_and_format_guard(spark, tmp_path):
 
     with _pt.raises(ValueError, match="bpe-merges-v1"):
         load_merges(bad)
+
+
+# --- tokenizer fertility report ------------------------------------------
+
+
+def test_tokenizer_fertility_matches_bruteforce(spark):
+    import re
+
+    from etl_extract_transform_load_spark.scale.bpe import (
+        bpe_encode,
+        bpe_train,
+        tokenizer_fertility,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 120")
+        .select("doc_id", "text", "source")
+    )
+    merges = bpe_train(docs, num_merges=20)
+    got = {
+        r["group"]: r
+        for r in tokenizer_fertility(docs, merges).collect()
+    }
+
+    enc = bpe_encode(docs, merges).collect()
+    agg: dict = {}
+    for r in enc:
+        src = r["source"] if r["source"] is not None else "<null>"
+        t = r["text"] or ""
+        words = len(t.split())
+        toks = len(r["bpe_tokens"] or [])
+        chars = len(re.sub(r"\s+", "", t.lower()))
+        for g in (src, "__all__"):
+            d = agg.setdefault(g, [0, 0, 0, 0])
+            d[0] += 1
+            d[1] += words
+            d[2] += toks
+            d[3] += chars
+    assert set(got) == set(agg)
+    for g, (nd, nw, nt, nc) in agg.items():
+        r = got[g]
+        assert (r["n_docs"], r["n_words"], r["n_bpe_tokens"],
+                r["n_chars"]) == (nd, nw, nt, nc), g
+        assert r["fertility_micro"] == (
+            round(nt * 1e6 / nw) if nw else None
+        )
+        assert r["chars_per_token_micro"] == (
+            round(nc * 1e6 / nt) if nt else None
+        )
+        # every word yields >= 1 token
+        if nw:
+            assert r["fertility_micro"] >= 1_000_000
+
+
+def test_tokenizer_fertility_monotone_in_merges(spark):
+    """More merges never split MORE: total BPE tokens (and so
+    fertility) are non-increasing as the merge list grows, because
+    added merges rank after the existing ones."""
+    from etl_extract_transform_load_spark.scale.bpe import (
+        bpe_train,
+        tokenizer_fertility,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 80")
+        .select("doc_id", "text", "source")
+    )
+    merges = bpe_train(docs, num_merges=24)
+    prev = None
+    for k in (0, 8, 24):
+        tot = {
+            r["group"]: r["n_bpe_tokens"]
+            for r in tokenizer_fertility(docs, merges[:k]).collect()
+        }["__all__"]
+        if prev is not None:
+            assert tot <= prev, k
+        prev = tot

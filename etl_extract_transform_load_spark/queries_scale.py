@@ -699,13 +699,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pad_waste_micro").cast("long").alias("bin_tokens"),
             F.lit(None).cast("string").alias("packed_text"),
         )
+    # fifth family (r9): epochs materialization — the budget plan
+    # turned into the actual repeated/thinned training set
+    # (scale/sampling.materialize_epochs over token_budget_plan with
+    # the EPOCHS_MIX recipe). Per-copy rows (copy_idx rides bin_id)
+    # plus a per-domain realized summary (copies→n_docs,
+    # realized tokens→bin_tokens) — the conservation evidence next
+    # to the plan.
+    from etl_extract_transform_load_spark.scale.sampling import (
+        materialize_epochs,
+        token_budget_plan,
+    )
+    from etl_extract_transform_load_spark.scale.text import (
+        token_count_ws,
+    )
+
+    with timed_branch("epochs"):
+        eplan = token_budget_plan(
+            docs, EPOCHS_MIX, EPOCHS_BUDGET, domain_col="source"
+        )
+        mat = materialize_epochs(docs, eplan).localCheckpoint()
+    ep_rows = mat.select(
+        F.lit("epochs").alias("part"),
+        "source",
+        F.lit(None).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.col("copy_idx").cast("long").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
+    ep_sum = (
+        mat.select(
+            "source",
+            token_count_ws(F.coalesce(F.col("text"), F.lit("")))
+            .cast("long")
+            .alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__copies"),
+            F.sum("__nt").cast("long").alias("__rtok"),
+        )
+        .select(
+            F.lit("epochs").alias("part"),
+            "source",
+            F.lit(None).cast("long").alias("shard"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("bin_id"),
+            F.col("__copies").cast("long").alias("n_docs"),
+            F.col("__rtok").alias("bin_tokens"),
+            F.lit(None).cast("string").alias("packed_text"),
+        )
+    )
     return (
         assign.unionByName(bins)
         .unionByName(probe_branch("shards", sh_assign))
         .unionByName(probe_branch("shards", sh_sum))
         .unionByName(probe_branch("shards", sh_bal))
         .unionByName(probe_branch("ctxfit", ctx))
+        .unionByName(probe_branch("epochs", ep_rows))
+        .unionByName(probe_branch("epochs", ep_sum))
     )
+
+
+#: Fixed recipe for the epochs branch: src0 oversubscribed (repeats),
+#: src1/src2 thinned, everything else weight 0.
+EPOCHS_MIX: dict = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+EPOCHS_BUDGET: int = 60_000
 
 
 # First-fit-sequential is a sequential fold; SQL needs a recursive
@@ -771,6 +834,10 @@ from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
     oracle_context_fit_sql as _oracle_context_fit_sql,
 )
 
+from etl_extract_transform_load_spark.scale.sampling import (  # noqa: E402
+    oracle_materialize_epochs_sql as _oracle_epochs_sql,
+)
+
 ORACLE_PACK = ORACLE_PACK.replace(
     "{SHARDS_SQL}", _oracle_balanced_shards_sql()
 ) + f"""
@@ -778,7 +845,28 @@ UNION ALL
 SELECT 'ctxfit', NULL::VARCHAR, seq_len, n_fit, fit_micro, n_chunks,
        n_docs, pad_waste_micro, NULL::VARCHAR
 FROM ({_oracle_context_fit_sql()})
+UNION ALL
+SELECT 'epochs', source, NULL::BIGINT, CAST(doc_id AS BIGINT),
+       NULL::BIGINT, CAST(copy_idx AS BIGINT), NULL::BIGINT,
+       NULL::BIGINT, NULL::VARCHAR
+FROM ({{EPOCHS_SQL}})
+UNION ALL
+SELECT 'epochs', e.source, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       NULL::BIGINT, COUNT(*),
+       CAST(SUM(CASE WHEN TRIM(COALESCE(d.text, '')) = '' THEN 0
+                ELSE len(regexp_split_to_array(
+                    TRIM(COALESCE(d.text, '')), '\\s+')) END)
+            AS BIGINT),
+       NULL::VARCHAR
+FROM ({{EPOCHS_SQL}}) e
+JOIN documents d ON e.doc_id = d.doc_id
+GROUP BY e.source
 """
+
+ORACLE_PACK = ORACLE_PACK.replace(
+    "{EPOCHS_SQL}",
+    _oracle_epochs_sql({"src0": 0.5, "src1": 0.3, "src2": 0.2}, 60_000),
+)
 
 
 # --- corpus curation end-to-end --------------------------------------------------

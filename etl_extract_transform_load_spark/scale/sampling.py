@@ -721,3 +721,130 @@ def ess_report(
             "max_share"
         ),
     )
+
+
+def materialize_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Turn a :func:`token_budget_plan` into the actual training-set
+    expansion: each document appears ``floor(epochs)`` times plus one
+    more with probability ``frac(epochs)`` — decided by the standard
+    deterministic id hash (:func:`hash_bucket` at 1/10000
+    granularity), so the materialized set is rerun- and shard-stable
+    and unifies BOTH plan regimes (undersupplied domains repeat,
+    epochs > 1; oversupplied domains thin, epochs < 1 ⇒ 0-or-1
+    copies — exactly ``deterministic_sample``).
+
+    Output: the document columns plus ``copy_idx`` (1..n_copies).
+    Domains absent from the plan emit nothing (weight-0 in the
+    recipe); a plan row with NULL epochs (a target domain whose
+    corpus tokens are all empty) emits nothing; NULL-id documents
+    get full copies but never the fractional one (no hash to
+    consult — the ``hash_split`` convention).
+
+    Scale shape: one broadcast join against the ≤|domains| plan and a
+    scan-stage sequence explode — output rows ≈ Σ_d n_d·epochs_d,
+    which is the point."""
+    p = F.broadcast(
+        plan.select(
+            F.col("domain").alias("__dom"),
+            F.coalesce(F.col("epochs_micro"), F.lit(0))
+            .cast("long")
+            .alias("__em"),
+        )
+    )
+    j = docs.join(p, F.col(domain_col).eqNullSafe(F.col("__dom")))
+    full = F.expr("__em DIV 1000000")
+    thr = F.expr("(__em % 1000000 + 50) DIV 100")
+    extra = F.when(
+        hash_bucket(F.col(id_col), salt) < thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (full + extra).cast("int")
+    return (
+        j.withColumn("__nc", n_copies)
+        .filter(F.col("__nc") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(1), F.col("__nc")))
+        )
+        .drop("__dom", "__em", "__nc")
+    )
+
+
+def oracle_token_budget_plan_sql(
+    mix: "Mapping[str, float]", budget_tokens: int
+) -> str:
+    """DuckDB twin of :func:`token_budget_plan` over ``documents`` —
+    the same CTE shape the sampling carrier's budget arm uses,
+    parameterized so other arms (epochs materialization) can compose
+    the identical plan."""
+    tv = ", ".join(
+        f"('{d}', {w})" for d, w in sorted(mix.items())
+    )
+    return f"""
+WITH bt AS (
+    SELECT source AS domain,
+           CAST(SUM(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(
+                        TRIM(COALESCE(text, '')), '\\s+')) END)
+                AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+tv AS (SELECT * FROM (VALUES {tv}) AS t(domain, w)),
+bw AS (
+    SELECT COALESCE(bt.domain, tv.domain) AS domain,
+           COALESCE(bt.tokens, 0) AS tokens,
+           CAST({budget_tokens} AS DOUBLE) * COALESCE(tv.w, 0.0)
+               AS target_t
+    FROM (SELECT * FROM bt WHERE tokens > 0) bt
+    FULL OUTER JOIN tv ON bt.domain = tv.domain
+),
+bf AS (
+    SELECT domain, tokens, target_t,
+           CASE WHEN tokens > 0
+                THEN target_t / CAST(tokens AS DOUBLE) END AS frac,
+           CASE WHEN tokens > 0
+                THEN LEAST(CAST(1 AS DOUBLE),
+                           target_t / CAST(tokens AS DOUBLE)) END AS rate
+    FROM bw
+)
+SELECT domain, tokens,
+       CAST(ROUND(target_t) AS BIGINT) AS target_tokens,
+       CAST(ROUND(rate * 1000000.0) AS BIGINT) AS rate_micro,
+       CAST(ROUND(frac * 1000000.0) AS BIGINT) AS epochs_micro,
+       COALESCE(CAST(ROUND(CAST(tokens AS DOUBLE) * rate) AS BIGINT), 0)
+           AS planned_tokens
+FROM bf
+"""
+
+
+def oracle_materialize_epochs_sql(
+    mix: "Mapping[str, float]", budget_tokens: int, salt: int = 0
+) -> str:
+    """DuckDB twin of :func:`materialize_epochs` (docs ⋈ plan →
+    per-copy rows ``doc_id, source, copy_idx``) over ``documents``."""
+    s = salt % (2**31)
+    return f"""
+WITH eplan AS ({oracle_token_budget_plan_sql(mix, budget_tokens)}),
+ej AS (
+    SELECT d.doc_id, d.source,
+           COALESCE(p.epochs_micro, 0) AS em,
+           (((d.doc_id + {s}) % 2147483648) * 2654435761
+            % 4294967296) % 10000 AS hb
+    FROM documents d
+    JOIN eplan p ON d.source IS NOT DISTINCT FROM p.domain
+),
+en AS (
+    SELECT doc_id, source,
+           CAST(em // 1000000
+                + (CASE WHEN hb < (em % 1000000 + 50) // 100
+                        THEN 1 ELSE 0 END) AS INT) AS nc
+    FROM ej
+)
+SELECT doc_id, source, CAST(UNNEST(range(1, nc + 1)) AS INT)
+           AS copy_idx
+FROM en WHERE nc > 0
+"""

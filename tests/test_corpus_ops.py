@@ -1037,3 +1037,88 @@ def test_context_fit_oracle_parity(spark):
     assert_matches_oracle(
         context_fit_report(docs), oracle_context_fit_sql(), sf
     )
+
+
+# --- epochs materialization (scale/sampling.materialize_epochs) ----------
+
+
+def test_materialize_epochs_matches_reference(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        materialize_epochs,
+        token_budget_plan,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mix = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    plan = token_budget_plan(docs, mix, 60_000, domain_col="source")
+    got = sorted(
+        (r["doc_id"], r["source"], r["copy_idx"])
+        for r in materialize_epochs(docs, plan).collect()
+    )
+
+    em = {
+        r["domain"]: r["epochs_micro"] or 0 for r in plan.collect()
+    }
+    ref = []
+    for r in docs.select("doc_id", "source").collect():
+        e = em.get(r["source"])
+        if not e:
+            continue
+        full, frac = divmod(e, 1_000_000)
+        thr = (frac + 50) // 100
+        hb = ((r["doc_id"] % 2**31) * 2654435761 % 2**32) % 10_000
+        n = full + (1 if hb < thr else 0)
+        ref.extend((r["doc_id"], r["source"], i) for i in range(1, n + 1))
+    assert got == sorted(ref) and got
+
+    # conservation: realized tokens per domain ~= planned epochs x
+    # domain tokens (hash quantization is the only slack)
+    toks = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.expr(
+            "sum(case when trim(coalesce(text,'')) = '' then 0 "
+            "else size(split(trim(coalesce(text,'')), '\\\\s+')) end)"
+        ).alias("t"))
+        .collect()
+    }
+    per_doc = {
+        r["doc_id"]: r["source"] for r in docs.collect()
+    }
+    realized: dict = {}
+    for doc_id, src, _ in got:
+        realized[src] = realized.get(src, 0) + 1
+    for src, e in em.items():
+        if not e or src not in toks:
+            continue
+        n_docs = sum(1 for s in per_doc.values() if s == src)
+        expect = n_docs * e / 1_000_000
+        assert abs(realized.get(src, 0) - expect) <= max(
+            3, 0.05 * expect
+        ), src
+
+
+def test_materialize_epochs_regimes(spark):
+    """epochs > 1 repeats (copy_idx reaches floor+1 for some docs);
+    epochs < 1 thins to 0-or-1 copies; unplanned domains vanish."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        materialize_epochs,
+        token_budget_plan,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mix = {"src0": 0.5, "src1": 0.1}
+    plan = token_budget_plan(docs, mix, 10_000, domain_col="source")
+    em = {r["domain"]: r["epochs_micro"] for r in plan.collect()}
+    assert em["src0"] > 1_000_000 and em["src1"] < 1_000_000
+    rows = materialize_epochs(docs, plan).collect()
+    srcs = {r["source"] for r in rows}
+    assert srcs == {"src0", "src1"}
+    s0 = [r["copy_idx"] for r in rows if r["source"] == "src0"]
+    s1 = [r["copy_idx"] for r in rows if r["source"] == "src1"]
+    assert max(s0) == em["src0"] // 1_000_000 + 1
+    assert max(s1) == 1
+    n_src1_docs = docs.filter("source = 'src1'").count()
+    assert 0 < len(s1) < n_src1_docs

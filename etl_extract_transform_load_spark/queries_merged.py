@@ -3198,6 +3198,71 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("source"),
             F.lit(None).cast("double").alias("quality"),
         )
+    # eighth family (r9, carrier now at budget): homoglyph-evasion
+    # audit (scale/text.fold_confusables) — per-doc rows for texts
+    # containing confusable code points (count rides n_ips), plus one
+    # always-present summary row: total confusable chars (n_phones),
+    # affected docs (n_ips), and the evasion-catch count (n_emails) =
+    # exact-dup groups on FOLDED text minus groups on raw text — the
+    # duplicates that only appear once lookalikes are normalized.
+    from etl_extract_transform_load_spark.scale.text import (
+        confusables_count,
+        fold_confusables,
+    )
+
+    with timed_branch("confus"):
+        per_doc = docs.select(
+            F.col("doc_id"),
+            confusables_count(F.col("text")).alias("__k"),
+        ).filter(F.col("__k") > 0)
+        conf_rows = per_doc.select(
+            F.lit("confus").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("clean_text"),
+            F.lit(None).cast("long").alias("n_emails"),
+            F.col("__k").cast("long").alias("n_ips"),
+            F.lit(None).cast("long").alias("n_phones"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("quality"),
+        )
+
+        def dup_groups(text_expr) -> DataFrame:
+            return (
+                docs.filter(F.col("text").isNotNull())
+                .groupBy(F.md5(text_expr).alias("__m"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") >= 2)
+                .agg(F.count(F.lit(1)).alias("g"))
+            )
+
+        g_raw = dup_groups(F.col("text")).withColumnRenamed("g", "__gr")
+        g_fold = dup_groups(
+            fold_confusables(F.col("text"))
+        ).withColumnRenamed("g", "__gf")
+        tot = docs.agg(
+            F.coalesce(
+                F.sum(confusables_count(F.col("text"))), F.lit(0)
+            ).cast("long").alias("__tot"),
+            F.sum(
+                F.when(
+                    confusables_count(F.col("text")) > 0, 1
+                ).otherwise(0)
+            ).cast("long").alias("__aff"),
+        )
+        conf_sum = tot.crossJoin(g_raw).crossJoin(g_fold).select(
+            F.lit("confus").alias("part"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("clean_text"),
+            (F.col("__gf") - F.col("__gr")).cast("long").alias(
+                "n_emails"
+            ),
+            F.col("__aff").alias("n_ips"),
+            F.col("__tot").alias("n_phones"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("quality"),
+        )
     return (
         pii.unionByName(cur)
         .unionByName(boiler)
@@ -3206,6 +3271,8 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kanon_sum)
         .unionByName(probe_branch("datacard", card))
         .unionByName(probe_branch("kwtag", kw))
+        .unionByName(probe_branch("confus", conf_rows))
+        .unionByName(probe_branch("confus", conf_sum))
     )
 
 
@@ -3277,6 +3344,48 @@ def _oracle_datacard() -> str:
     )
 
     return oracle_datacard_sql()
+
+
+def _oracle_confus() -> str:
+    from etl_extract_transform_load_spark.scale.text import (
+        _CONFUSABLE_DST,
+        _CONFUSABLE_SRC,
+    )
+
+    k = (
+        "CAST(LENGTH(text) - LENGTH(translate(text,"
+        f" '{_CONFUSABLE_SRC}', '')) AS BIGINT)"
+    )
+    return f"""
+SELECT 'confus' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       NULL::VARCHAR AS clean_text, NULL::BIGINT AS n_emails,
+       k AS n_ips, NULL::BIGINT AS n_phones, NULL::VARCHAR AS lang,
+       NULL::VARCHAR AS source, NULL::DOUBLE AS quality
+FROM (SELECT doc_id, {k} AS k FROM documents WHERE text IS NOT NULL)
+WHERE k > 0
+UNION ALL
+SELECT 'confus', NULL::BIGINT, NULL::VARCHAR,
+       CAST(gf - gr AS BIGINT), aff, tot,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+FROM (
+    SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) AS tot,
+           CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS aff
+    FROM (SELECT {k} AS k FROM documents)
+)
+CROSS JOIN (
+    SELECT COUNT(*) AS gr FROM (
+        SELECT MD5(text) FROM documents WHERE text IS NOT NULL
+        GROUP BY MD5(text) HAVING COUNT(*) >= 2)
+)
+CROSS JOIN (
+    SELECT COUNT(*) AS gf FROM (
+        SELECT MD5(translate(text, '{_CONFUSABLE_SRC}',
+                             '{_CONFUSABLE_DST}'))
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 HAVING COUNT(*) >= 2)
+)
+"""
 
 
 def _oracle_curation_pii() -> str:
@@ -3357,6 +3466,8 @@ SELECT 'kwtag', CAST(doc_id AS BIGINT), keyword,
        n, NULL::BIGINT, NULL::BIGINT,
        NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
 FROM ({_oracle_kwtag()})
+UNION ALL
+SELECT * FROM ({_oracle_confus()})
 """
 
 

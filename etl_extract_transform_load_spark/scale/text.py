@@ -978,3 +978,38 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+#: Homoglyph folding map (a curated subset of Unicode TR39
+#: confusables): visually-identical Cyrillic/Greek letters and
+#: fullwidth ASCII forms -> their Latin/ASCII skeleton.  1:1 code
+#: points only and every source char unique, so a single
+#: ``translate`` (JVM-side; identical in any engine with
+#: ``translate``) applies the whole map.
+_CONFUSABLE_SRC = 'АВЕКМНОРСТХаеорсухіѕΑΒΕΖΗΙΚΜΝΟΡΤΥΧαοϲν０１２３４５６７８９ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ'
+_CONFUSABLE_DST = 'ABEKMHOPCTXaeopcyxisABEZHIKMNOPTYXaocv0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz'
+assert len(_CONFUSABLE_SRC) == len(_CONFUSABLE_DST)
+
+
+def fold_confusables(col: Column) -> Column:
+    """Fold common homoglyphs (Cyrillic/Greek lookalikes, fullwidth
+    forms) to their ASCII skeleton -- the normalization that defeats
+    the classic dedup/blocklist EVASION of swapping visually
+    identical code points ("pаypаl" with Cyrillic а's).  Apply before
+    content hashing / fingerprinting when adversarial duplication is
+    in scope; one ``translate``, zero cost beyond the scan.
+
+    Deliberately a SUBSET of TR39 (1:1 high-traffic classes) -- the
+    full confusables table is many-to-one over sequences and belongs
+    in a Pandas-UDF pass if ever needed."""
+    return F.translate(col, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+
+
+def confusables_count(col: Column) -> Column:
+    """How many characters :func:`fold_confusables` would change --
+    the per-document evasion signal (0 for clean ASCII text).
+    ``translate`` with an empty replacement deletes every mapped
+    char, so the length drop IS the count."""
+    return (
+        F.length(col) - F.length(F.translate(col, _CONFUSABLE_SRC, ""))
+    ).cast("long")

@@ -118,6 +118,22 @@ def main() -> int:
         ],
     )
     _append_rows(
+        os.path.join(dst, "documents.parquet"),
+        [
+            # homoglyph-evasion pair (r9): identical text except the
+            # second copy swaps Cyrillic а/е/о and a fullwidth digit
+            # in — exact dedup must MISS it raw and CATCH it after
+            # fold_confusables (the 'confus' evasion-catch counter)
+            {"doc_id": 9_000_500,
+             "text": "the same spam message repeated 1 time",
+             "lang": "en", "source": "probe", "n_chars": 37},
+            {"doc_id": 9_000_501,
+             "text": "the sаme spаm messаge"
+                     " repеаted １ time",
+             "lang": "en", "source": "probe", "n_chars": 37},
+        ],
+    )
+    _append_rows(
         os.path.join(dst, "events.parquet"),
         [
             # decimal-half candidates at 6 dp (…5 in the 7th place):

@@ -383,3 +383,65 @@ def test_suggest_constraints_profile_and_adopt_roundtrip(spark):
         suggest_constraints(df)
     with _pytest.raises(ValueError):
         suggest_constraints(df, numeric_cols=("id",), max_domain=0)
+
+
+# --- homoglyph confusables folding (scale/text.fold_confusables) ---------
+
+
+def test_fold_confusables_catches_evasion(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.text import (
+        confusables_count,
+        fold_confusables,
+    )
+
+    clean = "the same spam message repeated 1 time"
+    evaded = "the sаme spаm messаge repеаted １ time"
+    df = spark.createDataFrame(
+        [(0, clean), (1, evaded), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = df.select(
+        "doc_id",
+        fold_confusables(F.col("text")).alias("folded"),
+        confusables_count(F.col("text")).alias("k"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in got}
+    assert rows[1]["folded"] == clean          # evasion normalized away
+    assert rows[0]["folded"] == clean          # clean text unchanged
+    assert rows[0]["k"] == 0 and rows[2]["k"] == 0
+    assert rows[1]["k"] == 6                   # 5 Cyrillic + 1 fullwidth
+    assert rows[3]["folded"] is None and rows[3]["k"] is None
+
+    # raw exact dedup misses the pair; folded dedup catches it
+    raw_groups = (
+        df.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text")).count().filter("count >= 2").count()
+    )
+    fold_groups = (
+        df.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(fold_confusables(F.col("text"))))
+        .count().filter("count >= 2").count()
+    )
+    assert raw_groups == 0 and fold_groups == 1
+
+
+def test_fold_confusables_idempotent_and_ascii_stable(spark):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.text import (
+        _CONFUSABLE_DST,
+        _CONFUSABLE_SRC,
+        fold_confusables,
+    )
+
+    # the destination alphabet is pure ASCII, so folding is idempotent
+    assert all(ord(c) < 128 for c in _CONFUSABLE_DST)
+    assert len(set(_CONFUSABLE_SRC)) == len(_CONFUSABLE_SRC)
+    df = spark.createDataFrame(
+        [(0, _CONFUSABLE_SRC)], "doc_id long, text string"
+    )
+    once = df.select(fold_confusables(F.col("text")).alias("t"))
+    twice = once.select(fold_confusables(F.col("t")).alias("t"))
+    assert once.collect()[0]["t"] == twice.collect()[0]["t"] == _CONFUSABLE_DST

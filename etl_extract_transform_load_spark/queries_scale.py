@@ -754,6 +754,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("packed_text"),
         )
     )
+    # sixth family (r9): training-order interleaving audit
+    # (scale/sampling.interleave_runs) — per-source run statistics of
+    # the deterministic hash order (max_run rides bin_id, n_runs
+    # rides bin_tokens): the "no domain clumps in the epoch stream"
+    # check next to the shard/epoch layout rows.
+    from etl_extract_transform_load_spark.scale.sampling import (
+        interleave_runs,
+    )
+
+    with timed_branch("order"):
+        runs = interleave_runs(docs).select(
+            F.lit("order").alias("part"),
+            "source",
+            F.lit(None).cast("long").alias("shard"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.col("max_run").cast("long").alias("bin_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_runs").cast("long").alias("bin_tokens"),
+            F.lit(None).cast("string").alias("packed_text"),
+        )
     return (
         assign.unionByName(bins)
         .unionByName(probe_branch("shards", sh_assign))
@@ -762,6 +783,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_branch("ctxfit", ctx))
         .unionByName(probe_branch("epochs", ep_rows))
         .unionByName(probe_branch("epochs", ep_sum))
+        .unionByName(probe_branch("order", runs))
     )
 
 
@@ -835,6 +857,7 @@ from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
 )
 
 from etl_extract_transform_load_spark.scale.sampling import (  # noqa: E402
+    oracle_interleave_runs_sql as _oracle_interleave_sql,
     oracle_materialize_epochs_sql as _oracle_epochs_sql,
 )
 
@@ -866,7 +889,12 @@ GROUP BY e.source
 ORACLE_PACK = ORACLE_PACK.replace(
     "{EPOCHS_SQL}",
     _oracle_epochs_sql({"src0": 0.5, "src1": 0.3, "src2": 0.2}, 60_000),
-)
+) + f"""
+UNION ALL
+SELECT 'order', source, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       max_run, n_docs, n_runs, NULL::VARCHAR
+FROM ({_oracle_interleave_sql()})
+"""
 
 
 # --- corpus curation end-to-end --------------------------------------------------

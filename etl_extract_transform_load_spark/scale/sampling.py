@@ -848,3 +848,103 @@ SELECT doc_id, source, CAST(UNNEST(range(1, nc + 1)) AS INT)
            AS copy_idx
 FROM en WHERE nc > 0
 """
+
+
+def training_order(
+    df: DataFrame, id_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Attach ``order_key`` — the deterministic training order
+    (:func:`knuth_hash32` of the id): writers sort by
+    ``(order_key, id)`` so no epoch ever trains on ingest- or
+    domain-sorted data, reproducibly across reruns and shards.
+
+    Note the character of the shuffle: a multiplicative hash of
+    near-sequential ids is a low-discrepancy (Weyl-lattice) sequence,
+    not an iid permutation — consecutive ids land maximally far
+    apart, which for interleaving is BETTER than random (domains
+    spread almost perfectly evenly; :func:`interleave_runs` measures
+    exactly this). Salt for a different lattice phase. Scan-stage;
+    NULL ids get NULL keys (sort last, document your writer's
+    choice)."""
+    return df.withColumn(
+        "order_key", knuth_hash32(F.col(id_col), salt)
+    )
+
+
+def interleave_runs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Audit of the :func:`training_order`: per group,
+    ``(group, n_docs, n_runs, max_run)`` where runs are maximal
+    stretches of consecutive same-group documents in the hash order —
+    the "is any domain clumping" check (a healthy shuffle has
+    max_run ≈ a few even for dominant domains; ingest order has
+    max_run = the whole domain).
+
+    Diagnostic-class plan: the run scan is a global-order window over
+    (id, group) pairs only — the ppxbucket/sort-limit precedent; at
+    extreme scale, audit per shard instead (runs never matter across
+    shard boundaries a loader reads independently)."""
+    w = Window.orderBy("order_key", id_col)
+    runs = (
+        training_order(df.select(id_col, group_col), id_col, salt)
+        .withColumn(
+            "__new",
+            F.when(
+                F.lag(F.col(group_col)).over(w).eqNullSafe(
+                    F.col(group_col)
+                ),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__run", group_col)
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    return runs.groupBy(group_col).agg(
+        F.sum("__len").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("__len").cast("long").alias("max_run"),
+    )
+
+
+def oracle_interleave_runs_sql(salt: int = 0) -> str:
+    """DuckDB twin of :func:`interleave_runs` over ``documents``
+    (group = source)."""
+    s = salt % (2**31)
+    return f"""
+WITH io AS (
+    SELECT doc_id, source,
+           (((doc_id + {s}) % 2147483648) * 2654435761
+            % 4294967296) AS order_key
+    FROM documents
+),
+im AS (
+    SELECT source,
+           CASE WHEN lag(source) OVER w IS NOT DISTINCT FROM source
+                THEN 0 ELSE 1 END AS new_run,
+           ROW_NUMBER() OVER w AS rn
+    FROM io WINDOW w AS (ORDER BY order_key, doc_id)
+),
+ir AS (
+    SELECT source,
+           SUM(new_run) OVER (ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM im
+),
+il AS (
+    SELECT run_id, source, COUNT(*) AS len
+    FROM ir GROUP BY run_id, source
+)
+SELECT source, CAST(SUM(len) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run
+FROM il GROUP BY source
+"""

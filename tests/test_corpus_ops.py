@@ -1122,3 +1122,63 @@ def test_materialize_epochs_regimes(spark):
     assert max(s1) == 1
     n_src1_docs = docs.filter("source = 'src1'").count()
     assert 0 < len(s1) < n_src1_docs
+
+
+# --- training-order interleaving (scale/sampling.interleave_runs) --------
+
+
+def test_interleave_runs_vs_sequential_reference(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        interleave_runs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["source"]: (r["n_docs"], r["n_runs"], r["max_run"])
+        for r in interleave_runs(docs).collect()
+    }
+    rows = docs.select("doc_id", "source").collect()
+    order = sorted(
+        rows,
+        key=lambda r: (
+            ((r["doc_id"] % 2**31) * 2654435761) % 2**32,
+            r["doc_id"],
+        ),
+    )
+    runs: list = []  # (source, length) in order
+    for r in order:
+        src = r["source"]
+        if runs and runs[-1][0] == src:
+            runs[-1][1] += 1
+        else:
+            runs.append([src, 1])
+    ref: dict = {}
+    for src, length in runs:
+        nd, nr, mx = ref.get(src, (0, 0, 0))
+        ref[src] = (nd + length, nr + 1, max(mx, length))
+    assert got == ref
+
+
+def test_hash_order_interleaves_vs_sorted(spark):
+    """The audit's reason to exist: ingest order (sorted by source)
+    shows domain-sized runs; the hash order disperses them."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.sampling import (
+        interleave_runs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hash_runs = interleave_runs(docs).agg(
+        F.max("max_run").alias("m")
+    ).collect()[0]["m"]
+    # simulate ingest order by making the order key the source itself
+    # (i.e. rows of one source are contiguous): per-source max_run is
+    # then the whole domain
+    domain = docs.groupBy("source").count().agg(
+        F.max("count").alias("m")
+    ).collect()[0]["m"]
+    assert hash_runs <= 5
+    assert domain >= 20  # sorted order would clump 20+ deep

@@ -1797,10 +1797,61 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("id_b"),
         F.col("density_micro").cast("double").alias("score"),
     )
+    # fourth family (r9): corpus n-gram diversity curve
+    # (scale/dedup.ngram_diversity_curve) — the Gopher-style
+    # repetitiveness health summary. Two rows per order (one probe
+    # family): (n→id_a, total→id_b, distinct as exact double score)
+    # and (n→id_a, distinct→id_b, distinct_micro as score).
+    from etl_extract_transform_load_spark.scale.dedup import (
+        ngram_diversity_curve,
+    )
+
+    with timed_branch("divcurve"):
+        curve = ngram_diversity_curve(docs).localCheckpoint()
+    dc_a = curve.select(
+        F.lit("divcurve").alias("part"),
+        F.col("n").cast("long").alias("id_a"),
+        F.col("total_ngrams").alias("id_b"),
+        F.col("distinct_ngrams").cast("double").alias("score"),
+    )
+    dc_b = curve.select(
+        F.lit("divcurvem").alias("part"),
+        F.col("n").cast("long").alias("id_a"),
+        F.col("distinct_ngrams").alias("id_b"),
+        F.col("distinct_micro").cast("double").alias("score"),
+    )
+    # fifth family (r9): per-source calibrated quality percentile
+    # (scale/sampling.calibrated_percentile over text.quality_score)
+    # — the source-fair gate's input: (doc_id→id_a, quality micro→
+    # id_b, percentile micro as score).
+    from etl_extract_transform_load_spark.scale.sampling import (
+        calibrated_percentile,
+    )
+    from etl_extract_transform_load_spark.scale.text import (
+        quality_score,
+    )
+
+    with timed_branch("calq"):
+        scored = docs.select(
+            "doc_id",
+            "source",
+            quality_score(F.col("text")).alias("__q"),
+        )
+        calq = calibrated_percentile(
+            scored, "__q", group_col="source"
+        ).select(
+            F.lit("calq").alias("part"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.round(F.col("__q") * 1000000.0).cast("long").alias("id_b"),
+            F.col("pct_micro").cast("double").alias("score"),
+        )
     return (
         jac.unionByName(fz)
         .unionByName(probe_branch("winnow", wn))
         .unionByName(probe_branch("winnow", wd))
+        .unionByName(probe_branch("divcurve", dc_a))
+        .unionByName(probe_branch("divcurve", dc_b))
+        .unionByName(probe_branch("calq", calq))
     )
 
 
@@ -1896,7 +1947,42 @@ SELECT 'winnowd',
                                 THEN LENGTH(s) - 4 ELSE 0 END)
                   FROM wnorm)) AS DOUBLE)
           FROM wsel)
+UNION ALL
+SELECT 'divcurve', n, total_ngrams,
+       CAST(distinct_ngrams AS DOUBLE)
+FROM ({DIVCURVE_SQL})
+UNION ALL
+SELECT 'divcurvem', n, distinct_ngrams,
+       CAST(distinct_micro AS DOUBLE)
+FROM ({DIVCURVE_SQL})
+UNION ALL
+SELECT 'calq', cq.doc_id, CAST(ROUND(cq.q * 1000000.0) AS BIGINT),
+       CAST(ROUND(cc.smaller * 1000000.0 / cc.n) AS DOUBLE)
+FROM (SELECT doc_id, source, {QEXPR} AS q FROM documents) cq
+JOIN (
+    SELECT source, q,
+           SUM(c) OVER (PARTITION BY source ORDER BY q
+                        ROWS UNBOUNDED PRECEDING) - c AS smaller,
+           SUM(c) OVER (PARTITION BY source) AS n
+    FROM (SELECT source, {QEXPR} AS q, COUNT(*) AS c
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source, 2)
+) cc ON cq.source IS NOT DISTINCT FROM cc.source AND cq.q = cc.q
+WHERE cq.q IS NOT NULL
 """
+
+# splice the diversity-curve and quality twins in (the constant is a
+# plain string; both twins are owned by their operator modules)
+from etl_extract_transform_load_spark.scale.datacard import (  # noqa: E402
+    ORACLE_QUALITY_EXPR as _ORACLE_QUALITY_EXPR,
+)
+from etl_extract_transform_load_spark.scale.dedup import (  # noqa: E402
+    oracle_ngram_diversity_sql as _oracle_ngram_diversity_sql,
+)
+
+ORACLE_NGRAM_JACCARD = ORACLE_NGRAM_JACCARD.replace(
+    "{DIVCURVE_SQL}", _oracle_ngram_diversity_sql()
+).replace("{QEXPR}", _ORACLE_QUALITY_EXPR)
 
 
 # --- dedup: sketch paths (portable-hash contract queries) ------------------------

@@ -116,6 +116,35 @@ def corpus_datacard(
     )
 
 
+#: DuckDB expression for ``text.quality_score`` over a ``text``
+#: column — NULL for NULL text, 6-dp rounded; shared by the data-card
+#: twin and the calibrated-quality oracle.
+ORACLE_QUALITY_EXPR = r"""CASE WHEN text IS NULL THEN NULL ELSE
+ROUND((
+    (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000
+          THEN 1 ELSE 0 END)
+  + (CASE WHEN LEN(CASE WHEN TRIM(text) = ''
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE regexp_split_to_array(TRIM(text),
+                                              '\s+') END) > 0
+           AND LENGTH(text) * 1.0
+               / LEN(CASE WHEN TRIM(text) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(TRIM(text),
+                                                '\s+') END) >= 3
+           AND LENGTH(text) * 1.0
+               / LEN(CASE WHEN TRIM(text) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(TRIM(text),
+                                                '\s+') END) <= 12
+          THEN 1 ELSE 0 END)
+  + (CASE WHEN (CASE WHEN LENGTH(text) = 0 THEN 0.0
+                ELSE LEN(regexp_extract_all(text, '[^\w\s]'))
+                     * 1.0 / LENGTH(text) END) <= 0.2
+          THEN 1 ELSE 0 END)
+) / 3.0, 6) END"""
+
+
 def oracle_datacard_sql() -> str:
     """DuckDB twin of :func:`corpus_datacard` over ``documents``."""
     return r"""
@@ -128,31 +157,7 @@ WITH dbase AS (
            CASE WHEN text IS NULL OR TRIM(text) = '' THEN 1 ELSE 0
                 END AS empt,
            MD5(text) AS m,
-           CASE WHEN text IS NULL THEN NULL ELSE
-           ROUND((
-               (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000
-                     THEN 1 ELSE 0 END)
-             + (CASE WHEN LEN(CASE WHEN TRIM(text) = ''
-                              THEN CAST([] AS VARCHAR[])
-                              ELSE regexp_split_to_array(TRIM(text),
-                                                         '\s+') END) > 0
-                      AND LENGTH(text) * 1.0
-                          / LEN(CASE WHEN TRIM(text) = ''
-                                THEN CAST([] AS VARCHAR[])
-                                ELSE regexp_split_to_array(TRIM(text),
-                                                           '\s+') END)
-                          >= 3
-                      AND LENGTH(text) * 1.0
-                          / LEN(CASE WHEN TRIM(text) = ''
-                                THEN CAST([] AS VARCHAR[])
-                                ELSE regexp_split_to_array(TRIM(text),
-                                                           '\s+') END)
-                          <= 12 THEN 1 ELSE 0 END)
-             + (CASE WHEN (CASE WHEN LENGTH(text) = 0 THEN 0.0
-                           ELSE LEN(regexp_extract_all(text, '[^\w\s]'))
-                                * 1.0 / LENGTH(text) END) <= 0.2
-                     THEN 1 ELSE 0 END)
-           ) / 3.0, 6) END AS q
+           {QEXPR} AS q
     FROM documents
 ),
 dsrc AS (
@@ -192,7 +197,7 @@ SELECT s.source, s.n_docs, s.n_empty, s.n_tokens, s.n_distinct_texts,
 FROM dsrc s
 LEFT JOIN dent e ON s.source IS NOT DISTINCT FROM e.source
 LEFT JOIN dtop t ON s.source IS NOT DISTINCT FROM t.source
-"""
+""".replace("{QEXPR}", ORACLE_QUALITY_EXPR)
 
 
 # --- incremental (streaming) face ----------------------------------------

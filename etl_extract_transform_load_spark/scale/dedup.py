@@ -1496,3 +1496,90 @@ def contamination_flags_arrow(
             [id_field, StructField("n_contaminated", LongType())]
         ),
     )
+
+
+def ngram_diversity_curve(
+    df: DataFrame,
+    max_n: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram diversity curve — ``(n, total_ngrams,
+    distinct_ngrams, distinct_micro)`` for word n-grams n = 1..
+    ``max_n``: the Gopher-style "how repetitive is this corpus"
+    health summary (a natural corpus's distinct ratio RISES steeply
+    with n; heavy boilerplate/template duplication flattens it).
+
+    Each order is one scan-stage gram explode into a count +
+    count-distinct aggregate (exact — the tracked number must be
+    hash-stable; at 100 TB swap the distinct side for the HLL++
+    sketch in ``scale.sketches`` and keep this as the audit-scale
+    truth).  The gram slices the MATERIALIZED token-array attribute —
+    the interpreted-HOF O(len²) lesson."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    toks_df = df.select(
+        tokens(lower_simple(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__t"
+        )
+    )
+    out = None
+    for n in range(1, max_n + 1):
+        grams = F.when(
+            F.size("__t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.array_join(
+                    F.slice(F.col("__t"), i + 1, n), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        agg = (
+            toks_df.select(F.explode(grams).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.count_distinct(F.col("g")).alias("distinct_ngrams"),
+            )
+            .select(
+                F.lit(n).alias("n"),
+                F.col("total_ngrams").cast("long").alias("total_ngrams"),
+                F.col("distinct_ngrams").cast("long").alias(
+                    "distinct_ngrams"
+                ),
+                F.when(
+                    F.col("total_ngrams") > 0,
+                    F.round(
+                        F.col("distinct_ngrams").cast("double")
+                        * 1000000.0
+                        / F.col("total_ngrams").cast("double")
+                    ).cast("long"),
+                ).alias("distinct_micro"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def oracle_ngram_diversity_sql(max_n: int = 4) -> str:
+    """DuckDB twin of :func:`ngram_diversity_curve` over
+    ``documents``."""
+    arms = []
+    for n in range(1, max_n + 1):
+        gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        arms.append(f"""
+SELECT {n} AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(ROUND(COUNT(DISTINCT g) * 1000000.0 / COUNT(*))
+                      AS BIGINT) END AS distinct_micro
+FROM (
+    SELECT UNNEST([{gram} for i in range(1, len(t) + {2 - n})]) AS g
+    FROM (
+        SELECT CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                        TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+               END AS t
+        FROM documents)
+)""")
+    return "\nUNION ALL\n".join(arms)

@@ -948,3 +948,83 @@ SELECT source, CAST(SUM(len) AS BIGINT) AS n_docs,
        COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run
 FROM il GROUP BY source
 """
+
+
+def calibrated_percentile(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile rank of a score: ``(id, score,
+    pct_micro)`` with ``pct = |{group rows with smaller score}| /
+    n_group`` — the calibration that makes a global quality threshold
+    FAIR across sources (a web domain's 0.6 and a books domain's 0.6
+    mean different things; "keep each source's top 30%" does not).
+    Rows with a NULL score are excluded from both numerator and
+    denominator and emit no row.
+
+    Scale shape — the ppxbucket spelling: the rank window runs over
+    the DISTINCT (group, score) values only (scores are 6-dp by
+    convention ⇒ bounded state), then one join back; corpus rows
+    never enter a window.  Exact integer arithmetic; score ties share
+    a percentile by construction."""
+    vals = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    cum = vals.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        (
+            F.sum("__c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("__c")
+        ).alias("__smaller"),
+        F.sum("__c").over(
+            Window.partitionBy(group_col)
+        ).alias("__n"),
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .join(
+            cum,
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col(score_col) == F.col("__s")),
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.round(
+                F.col("__smaller").cast("double")
+                * 1000000.0
+                / F.col("__n").cast("double")
+            ).cast("long").alias("pct_micro"),
+        )
+    )
+
+
+def calibrated_gate(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` by score — the
+    source-fair quality gate built on :func:`calibrated_percentile`
+    (keep iff pct ≥ 1 − keep_frac, so every group contributes its
+    best slice regardless of its absolute score distribution)."""
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    thr = round((1.0 - keep_frac) * 1_000_000)
+    pct = calibrated_percentile(df, score_col, group_col, id_col)
+    return df.join(
+        pct.filter(F.col("pct_micro") >= thr).select(id_col),
+        id_col,
+        "left_semi",
+    )

@@ -1182,3 +1182,65 @@ def test_hash_order_interleaves_vs_sorted(spark):
     ).collect()[0]["m"]
     assert hash_runs <= 5
     assert domain >= 20  # sorted order would clump 20+ deep
+
+
+# --- calibrated quality percentile (scale/sampling) ----------------------
+
+
+def test_calibrated_percentile_matches_bruteforce(spark):
+    from etl_extract_transform_load_spark.scale.sampling import (
+        calibrated_percentile,
+    )
+
+    rows = [
+        (0, "a", 0.1), (1, "a", 0.5), (2, "a", 0.5), (3, "a", 0.9),
+        (4, "b", 0.2), (5, "b", 0.8),
+        (6, None, 0.3), (7, None, 0.7),
+        (8, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, s double")
+    got = {
+        r["doc_id"]: r["pct_micro"]
+        for r in calibrated_percentile(
+            df, "s", group_col="grp"
+        ).collect()
+    }
+    by_grp: dict = {}
+    for i, g, s in rows:
+        if s is not None:
+            by_grp.setdefault(g, []).append((i, s))
+    ref = {}
+    for g, items in by_grp.items():
+        n = len(items)
+        for i, s in items:
+            smaller = sum(1 for _, s2 in items if s2 < s)
+            ref[i] = round(smaller * 1e6 / n)
+    assert got == ref
+    assert 8 not in got             # NULL score excluded
+    assert got[1] == got[2]         # ties share a percentile
+    assert got[6] == 0 and got[7] == 500_000  # NULL group is a group
+
+
+def test_calibrated_gate_is_source_fair(spark):
+    """A low-quality domain still contributes its top slice: the gate
+    keeps ~keep_frac of EVERY group, not of the pooled corpus."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        calibrated_gate,
+    )
+
+    rows = [(i, "good", 0.8 + (i % 10) / 100.0) for i in range(100)]
+    rows += [(100 + i, "bad", 0.1 + (i % 10) / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    kept = calibrated_gate(df, "q", keep_frac=0.3)
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by.get("bad", 0) >= 20  # a global threshold would give 0
+    assert abs(by["good"] - 30) <= 10 and abs(by["bad"] - 30) <= 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibrated_gate(df, "q", keep_frac=0.0)

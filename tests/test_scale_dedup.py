@@ -1026,3 +1026,72 @@ def test_allpairs_incremental_equals_oneshot(spark, seed):
         .collect()
     }
     assert incr == oneshot and len(oneshot) > 0
+
+
+# --- n-gram diversity curve (scale/dedup.ngram_diversity_curve) ----------
+
+
+def test_ngram_diversity_matches_bruteforce(spark):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        ngram_diversity_curve,
+    )
+
+    rows = [
+        (0, "a b a b"),
+        (1, "a b c"),
+        (2, ""),
+        (3, None),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["n"]: (r["total_ngrams"], r["distinct_ngrams"],
+                 r["distinct_micro"])
+        for r in ngram_diversity_curve(df, max_n=3).collect()
+    }
+    texts = [t.split() for _, t in rows if t]
+    for n in (1, 2, 3):
+        grams = [
+            " ".join(t[i:i + n])
+            for t in texts
+            for i in range(len(t) - n + 1)
+        ]
+        total, distinct = len(grams), len(set(grams))
+        micro = round(distinct * 1e6 / total) if total else None
+        assert got[n] == (total, distinct, micro), n
+    # duplication planted: unigram diversity < bigram diversity
+    assert got[1][2] < got[2][2]
+
+
+def test_ngram_diversity_flattens_on_duplicated_corpus(spark):
+    """The curve's reason to exist: duplicating every document leaves
+    distinct counts fixed while totals double — distinct_micro drops
+    by half at every order."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.dedup import (
+        ngram_diversity_curve,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 100")
+        .select("doc_id", "text")
+    )
+    base = {
+        r["n"]: r for r in ngram_diversity_curve(docs).collect()
+    }
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    dup = {
+        r["n"]: r for r in ngram_diversity_curve(doubled).collect()
+    }
+    for n in base:
+        assert dup[n]["total_ngrams"] == 2 * base[n]["total_ngrams"]
+        assert dup[n]["distinct_ngrams"] == base[n]["distinct_ngrams"]
+        assert dup[n]["distinct_micro"] == round(
+            base[n]["distinct_micro"] / 2
+        ) or abs(
+            dup[n]["distinct_micro"] * 2 - base[n]["distinct_micro"]
+        ) <= 1

@@ -1016,15 +1016,41 @@ def calibrated_gate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep each group's top ``keep_frac`` by score — the
-    source-fair quality gate built on :func:`calibrated_percentile`
-    (keep iff pct ≥ 1 − keep_frac, so every group contributes its
-    best slice regardless of its absolute score distribution)."""
+    source-fair quality gate (every group contributes its best slice
+    regardless of its absolute score distribution).
+
+    Tie semantics are TOP-K INCLUSIVE: a row is kept iff fewer than
+    ``keep_frac · n_group`` rows score STRICTLY higher, so a tie
+    group straddling the cut is kept whole (6-dp scores tie heavily;
+    the strict-percentile spelling would drop an entire tie group —
+    for an all-equal group, everything — when "keep the top 80%"
+    clearly means keep at LEAST 80%).  Rows with NULL scores drop."""
     if not 0 < keep_frac <= 1:
         raise ValueError("keep_frac must be in (0, 1]")
-    thr = round((1.0 - keep_frac) * 1_000_000)
-    pct = calibrated_percentile(df, score_col, group_col, id_col)
+    vals = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc())
+    cut = vals.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        (
+            F.sum("__c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("__c")
+        ).alias("__greater"),
+        F.sum("__c").over(Window.partitionBy(group_col)).alias("__n"),
+    ).filter(
+        # fewer strictly-greater rows than the group's keep quota
+        F.col("__greater") * F.lit(1_000_000)
+        < F.round(F.lit(keep_frac * 1_000_000)) * F.col("__n")
+    )
     return df.join(
-        pct.filter(F.col("pct_micro") >= thr).select(id_col),
-        id_col,
+        F.broadcast(cut.select("__g", "__s")),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col(score_col) == F.col("__s")),
         "left_semi",
     )

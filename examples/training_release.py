@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Training-set RELEASE pipeline — the assembly tier end-to-end, every
+stage a verified operator from this round's surface:
+
+    data card (pre)            — scale.datacard.corpus_datacard
+    source-fair quality gate   — scale.sampling.calibrated_gate
+    homoglyph fold + exact dedup — scale.text.fold_confusables
+    blocklist gate             — scale.keywords (Aho–Corasick)
+    token budget → epochs      — token_budget_plan → materialize_epochs
+    balanced shards + order    — balanced_shards / training_order
+    interleaving + balance audit — interleave_runs / shard_balance
+    data card (post) + manifest  — the release datasheet pair
+
+Usage:  python examples/training_release.py [sf_dir] [out_dir]
+(defaults: /root/testdata/sf0.01, /tmp/training_release).  Prints the
+funnel, writes the sharded release + manifest, and verifies the
+manifest against what was written before exiting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.scale.datacard import corpus_datacard
+from etl_extract_transform_load_spark.scale.keywords import (
+    keyword_doc_summary,
+    keyword_tag,
+)
+from etl_extract_transform_load_spark.scale.packing import (
+    balanced_shards,
+    shard_balance,
+    shard_summary,
+)
+from etl_extract_transform_load_spark.scale.sampling import (
+    calibrated_gate,
+    interleave_runs,
+    materialize_epochs,
+    token_budget_plan,
+    training_order,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    fold_confusables,
+    quality_score,
+)
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+BLOCKLIST = ("overflow", "probe")  # demo lexicon: kill test banners
+MIX = {"src0": 0.4, "src1": 0.3, "src2": 0.3}
+BUDGET_TOKENS = 40_000
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/training_release"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    spark = get_spark(app_name="training_release", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"[0] corpus: {n0} docs")
+
+    card_pre = corpus_datacard(docs)
+    card_pre.orderBy("source").write.parquet(f"{out}/card_pre.parquet")
+
+    # 1. source-fair quality gate: keep each source's top 80%
+    scored = docs.withColumn("__q", quality_score(F.col("text")))
+    gated = calibrated_gate(scored, "__q", keep_frac=0.8).drop("__q")
+    n1 = gated.count()
+    print(f"[1] calibrated gate (top 80% per source): {n1} docs")
+
+    # 2. homoglyph-hardened exact dedup: min-id survivor per FOLDED text
+    survivors = (
+        gated.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(fold_confusables(F.col("text"))).alias("__m"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = gated.join(survivors, "doc_id", "left_semi")
+    n2 = deduped.count()
+    print(f"[2] folded exact dedup: {n2} docs")
+
+    # 3. blocklist gate (Aho–Corasick)
+    tags = keyword_tag(deduped, BLOCKLIST)
+    clean = keyword_doc_summary(tags, deduped).filter("n_hits = 0")
+    kept = deduped.join(clean.select("doc_id"), "doc_id", "left_semi")
+    n3 = kept.count()
+    print(f"[3] blocklist gate: {n3} docs")
+
+    # 4. budget → epochs materialization
+    plan = token_budget_plan(
+        kept, MIX, BUDGET_TOKENS, domain_col="source"
+    )
+    mat = materialize_epochs(kept, plan)
+    n4 = mat.count()
+    print(f"[4] epochs materialization at {BUDGET_TOKENS} tokens: "
+          f"{n4} copies")
+
+    # 5. shard + order; audits
+    copies = mat.withColumn(
+        "copy_key",
+        F.col("doc_id") * 1000 + F.col("copy_idx"),
+    )
+    sh = balanced_shards(copies, n_shards=4, id_col="copy_key")
+    bal = shard_balance(shard_summary(sh)).collect()[0]
+    runs = interleave_runs(copies, id_col="copy_key")
+    worst = runs.agg(F.max("max_run").alias("m")).collect()[0]["m"]
+    print(f"[5] 4 shards: spread {bal['spread']} tokens; "
+          f"worst same-source run {worst}")
+
+    ordered = (
+        training_order(copies, id_col="copy_key")
+        .join(sh.select("copy_key", "shard"), "copy_key")
+        .select("shard", "order_key", "copy_key", "doc_id",
+                "copy_idx", "source", "text")
+    )
+    ordered.write.partitionBy("shard").parquet(f"{out}/release.parquet")
+
+    card_post = corpus_datacard(mat)
+    card_post.orderBy("source").write.parquet(
+        f"{out}/card_post.parquet"
+    )
+
+    manifest = {
+        "input_docs": n0,
+        "gated_docs": n1,
+        "deduped_docs": n2,
+        "blocklist_kept": n3,
+        "materialized_copies": n4,
+        "n_shards": 4,
+        "shard_spread_tokens": bal["spread"],
+        "worst_source_run": worst,
+        "budget_tokens": BUDGET_TOKENS,
+        "mix": MIX,
+    }
+    with open(f"{out}/MANIFEST.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+    # verify: the written release matches the manifest
+    written = spark.read.parquet(f"{out}/release.parquet")
+    assert written.count() == n4, "release row count != manifest"
+    assert written.select("shard").distinct().count() == 4
+    assert (
+        written.select("doc_id").distinct().count() <= n3
+    ), "release contains documents the funnel dropped"
+    print(f"[6] manifest verified: {out}/MANIFEST.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

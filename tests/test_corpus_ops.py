@@ -1244,3 +1244,22 @@ def test_calibrated_gate_is_source_fair(spark):
 
     with pytest.raises(ValueError):
         calibrated_gate(df, "q", keep_frac=0.0)
+
+
+def test_calibrated_gate_tie_groups_kept_whole(spark):
+    """All-equal scores (the 6-dp reality) keep the WHOLE group —
+    'top 80%' means at least 80%, never zero."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        calibrated_gate,
+    )
+
+    rows = [(i, "s", 0.666667) for i in range(25)]
+    rows += [(100 + i, "t", 0.5 + (i % 5) / 10.0) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    kept = calibrated_gate(df, "q", keep_frac=0.8)
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["s"] == 25          # one tie group -> kept whole
+    assert 20 <= by["t"] <= 25    # >= 80%, tie-inclusive at the cut

@@ -1,0 +1,42 @@
+"""The training-release example must run end-to-end: gate -> dedup ->
+blocklist -> epochs -> shards/order -> manifest-verified write."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_training_release_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "release")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "training_release.py"),
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "manifest verified" in proc.stdout
+    m = json.load(open(os.path.join(out, "MANIFEST.json")))
+    # the funnel funnels, every stage is recorded, nothing is empty
+    assert (
+        m["input_docs"]
+        >= m["gated_docs"]
+        >= m["deduped_docs"]
+        >= m["blocklist_kept"]
+        > 0
+    )
+    assert m["materialized_copies"] > 0
+    assert m["n_shards"] == 4
+    assert m["worst_source_run"] >= 1
+    for part in ("release.parquet", "card_pre.parquet",
+                 "card_post.parquet"):
+        assert os.path.isdir(os.path.join(out, part)), part

@@ -1715,6 +1715,18 @@ FROM (
 # --- dedup: exact n-gram Jaccard -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify-tier + corpus-health carrier, tag-unioned (5 probe
+    families + the jaccard/fuzzy legacy faces = 7 of the 8-family
+    budget): jaccard, fuzzy, winnow(+winnowd), divcurve(+m), calq.
+
+    RETIREMENT PRE-PLAN (the vocab-carrier convention): at budget,
+    when the next op lands here `fuzzy` retires first (fuzzy ER keeps
+    FastSS pytests in test_fuzzy.py and has no shared
+    materialization with this carrier's doc scans; it moves to
+    queries_retired.py WITH its oracle arm), then `calq` (sequential
+    + fairness pytests in test_corpus_ops.py). `jaccard`/`winnow`/
+    `divcurve` stay: they are the carrier's unique verify/health
+    evidence."""
     from etl_extract_transform_load_spark.plans.caching import (
         released_caches,
     )

@@ -221,3 +221,33 @@ def test_normalize_and_validation(spark):
     assert got[0]["s"] == "abc2ix"
     with pytest.raises(ValueError):
         winnow_fingerprints(df, k=0)
+
+
+# --- hypothesis: the closed form IS the paper's loop, everywhere ---------
+
+
+def test_winnow_hypothesis_equivalence(spark):
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.lists(
+        st.text(alphabet="ab c.X", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+    kws = st.tuples(
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=6),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts=texts, kw=kws)
+    def check(texts, kw):
+        k, w = kw
+        rows = [(i, t) for i, t in enumerate(texts)]
+        got = _spark_fps(spark, rows, k=k, w=w)
+        for i, t in rows:
+            assert got.get(i, set()) == winnow_reference(t, k, w), (
+                k, w, t,
+            )
+
+    check()

@@ -68,6 +68,33 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     ).select(*docs.columns)
 
 
+def decontamination_gate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_containment_micro: int = 500_000,
+) -> DataFrame:
+    """Drop documents sharing too much winnowing-fingerprint mass
+    with a FIXED benchmark set (``scale.winnow`` — any ≥ w+k−1-char
+    normalized substring is guaranteed to surface).  Stateless per
+    document, so it composes with the streaming folds without new
+    standing state: gating each batch ≡ gating the whole corpus.
+    The benchmark side is small by definition and broadcast inside
+    :func:`~.scale.winnow.winnow_overlap`."""
+    from etl_extract_transform_load_spark.scale.winnow import (
+        winnow_overlap,
+    )
+
+    flagged = (
+        winnow_overlap(docs, benchmark, k=k, w=w)
+        .filter(F.col("containment_micro") >= max_containment_micro)
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
 def _latest(state_dir: str, name: str) -> str | None:
     root = os.path.join(state_dir, name)
     if not os.path.isdir(root):
@@ -86,6 +113,7 @@ def curation_batch_fold(
     batch_id: int,
     target_lang: str = "en",
     threshold: float = 0.3,
+    benchmark: DataFrame | None = None,
 ) -> None:
     """Fold one micro-batch into the standing curation state.
 
@@ -105,7 +133,12 @@ def curation_batch_fold(
     batch = batch_df.localCheckpoint()  # stable within the batch
     if batch.rdd.isEmpty():
         return
-    gated = quality_gate(batch).localCheckpoint()
+    gated = quality_gate(batch)
+    if benchmark is not None:
+        # stateless per-doc benchmark decontamination — gating each
+        # batch is exactly gating the whole corpus
+        gated = decontamination_gate(gated, benchmark)
+    gated = gated.localCheckpoint()
 
     # --- gated-docs store (finalize needs survivor text) ---------------
     gated.write.mode("append").parquet(os.path.join(state_dir, GATED_DIR))
@@ -258,6 +291,7 @@ def batch_reference_curation(
     target_mix: Mapping[str, float] | None = None,
     target_lang: str = "en",
     threshold: float = 0.3,
+    benchmark: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The one-shot batch funnel the streaming fold must reproduce —
     the same operators the streaming path folds incrementally, run
@@ -280,6 +314,8 @@ def batch_reference_curation(
     )
 
     gated = quality_gate(docs)
+    if benchmark is not None:
+        gated = decontamination_gate(gated, benchmark)
     exact = drop_exact_dups(gated)
     pairs = minhash_lsh_pairs(gated, threshold=threshold, cache=False)
     near = dedup_survivors(exact, pairs)

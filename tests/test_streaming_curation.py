@@ -136,3 +136,59 @@ def test_streaming_funnel_salts_change_batching_not_result(spark, tmp_path):
         for r in finalize_curation(spark, b)["selected"].collect()
     }
     assert sa == sb
+
+
+def test_streaming_decontamination_gate(spark, tmp_path):
+    """A fixed benchmark threaded through the REAL micro-batch fold:
+    contaminated docs die at ingest in every batch, every downstream
+    face still equals the batch reference exactly (the gate is
+    stateless, so batching cannot change it)."""
+    from etl_extract_transform_load_spark.streaming.curation import (
+        batch_reference_curation,
+        curation_batch_fold,
+        finalize_curation,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    docs = _docs(spark, 5)
+    # benchmark = verbatim text of three corpus docs (ids irrelevant)
+    benchmark = (
+        docs.filter(F.col("doc_id").isin(20, 21, 22))
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+
+    src = str(tmp_path / "src")
+    docs.repartition(4, "__b").drop("__b").write.parquet(src)
+    state_dir = str(tmp_path / "state")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        curation_batch_fold(
+            spark, batch_df, state_dir, batch_id, benchmark=benchmark
+        )
+
+    schema = docs.drop("__b").schema
+    stream = file_stream_source(
+        spark, src, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+
+    got = finalize_curation(spark, state_dir)
+    want = batch_reference_curation(
+        docs.drop("__b"), benchmark=benchmark
+    )
+
+    def ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    # the planted benchmark texts are gone at the first stage
+    assert not {20, 21, 22} & ids(got["gated"])
+    # and every face still agrees with the batch reference
+    for face in ("gated", "exact", "near", "selected"):
+        assert ids(got[face]) == ids(want[face]), face

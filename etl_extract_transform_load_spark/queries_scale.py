@@ -1809,6 +1809,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("id_b"),
         F.col("density_micro").cast("double").alias("score"),
     )
+    # sixth family (r9): winnow detection quality vs the EXACT
+    # substring truth — recall must be exactly 1.0 (the matching
+    # guarantee re-proved on data each round), precision is the
+    # honest sublinear-index cost. Two rows under one family:
+    # ('winnowq', truth pairs, common, recall) and
+    # ('winnowqp', winnow pairs, common, precision).
+    from etl_extract_transform_load_spark.scale.winnow import (
+        winnow_quality,
+    )
+
+    with timed_branch("winnowq"):
+        wq = winnow_quality(
+            docs, bench, k=5, w=4, portable=True, fingerprints=fps
+        ).localCheckpoint()
+    wq_rows = wq.select(
+        F.lit("winnowq").alias("part"),
+        F.col("n_truth_pairs").alias("id_a"),
+        F.col("n_common").alias("id_b"),
+        F.col("recall_micro").cast("double").alias("score"),
+    ).unionByName(
+        wq.select(
+            F.lit("winnowqp").alias("part"),
+            F.col("n_winnow_pairs").alias("id_a"),
+            F.col("n_common").alias("id_b"),
+            F.col("precision_micro").cast("double").alias("score"),
+        )
+    )
     # fourth family (r9): corpus n-gram diversity curve
     # (scale/dedup.ngram_diversity_curve) — the Gopher-style
     # repetitiveness health summary. Two rows per order (one probe
@@ -1861,6 +1888,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.unionByName(fz)
         .unionByName(probe_branch("winnow", wn))
         .unionByName(probe_branch("winnow", wd))
+        .unionByName(probe_branch("winnowq", wq_rows))
         .unionByName(probe_branch("divcurve", dc_a))
         .unionByName(probe_branch("divcurve", dc_b))
         .unionByName(probe_branch("calq", calq))
@@ -1926,6 +1954,27 @@ wsh AS (
     SELECT c.doc_id AS id_a, b.bench_id AS id_b, COUNT(*) AS ns
     FROM wfc c JOIN wfb b USING (h)
     GROUP BY c.doc_id, b.bench_id
+),
+-- winnow quality: exact substring truth at the guarantee length
+-- L = w + k - 1 = 8 (ALL positions), compared against the
+-- fingerprint pairs
+wqa AS (
+    SELECT DISTINCT doc_id, substring(s, p, 8) AS g
+    FROM (SELECT doc_id, UNNEST(range(1, LENGTH(s) - 6)) AS p, s
+          FROM wnorm WHERE LENGTH(s) >= 8)
+),
+wqt AS (
+    SELECT DISTINCT a.doc_id AS ta, b.doc_id AS tb
+    FROM wqa a JOIN (SELECT * FROM wqa WHERE doc_id < 10) b
+      ON a.g = b.g AND a.doc_id <> b.doc_id
+),
+wqo AS (SELECT DISTINCT id_a AS oa, id_b AS ob FROM wsh
+        WHERE id_a <> id_b),
+wq AS (
+    SELECT (SELECT COUNT(*) FROM wqo) AS nw,
+           (SELECT COUNT(*) FROM wqt) AS nt,
+           (SELECT COUNT(*) FROM wqo JOIN wqt
+             ON oa = ta AND ob = tb) AS nc
 )
 SELECT 'jaccard' AS part, id_a, id_b,
        ROUND(c * 1.0 / (x.n + y.n - c), 6) AS score
@@ -1959,6 +2008,16 @@ SELECT 'winnowd',
                                 THEN LENGTH(s) - 4 ELSE 0 END)
                   FROM wnorm)) AS DOUBLE)
           FROM wsel)
+UNION ALL
+SELECT 'winnowq', nt, nc,
+       CASE WHEN nt > 0
+            THEN CAST(ROUND(nc * 1000000.0 / nt) AS DOUBLE) END
+FROM wq
+UNION ALL
+SELECT 'winnowqp', nw, nc,
+       CASE WHEN nw > 0
+            THEN CAST(ROUND(nc * 1000000.0 / nw) AS DOUBLE) END
+FROM wq
 UNION ALL
 SELECT 'divcurve', n, total_ngrams,
        CAST(distinct_ngrams AS DOUBLE)

@@ -241,3 +241,102 @@ def winnow_density(
         .cast("long")
         .alias("density_micro"),
     )
+
+
+def winnow_quality(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Detection quality of the winnowing index against the EXACT
+    substring truth — one row ``(n_winnow_pairs, n_truth_pairs,
+    n_common, precision_micro, recall_micro)`` where
+
+    - truth = (corpus doc, benchmark doc) pairs sharing at least one
+      normalized substring of the guarantee length ``w + k − 1``
+      (computed from ALL positions — the full-cost reference the
+      sublinear index replaces);
+    - winnow pairs = :func:`winnow_overlap` hits (≥ 1 shared
+      fingerprint hash).
+
+    By the matching guarantee, **recall must be exactly 1.0** — this
+    row re-proves the theorem on real data every round.  Precision
+    < 1 is the honest price: two documents can share a fingerprinted
+    ``k``-gram without sharing a full guarantee-length substring.
+    Self-pairs (same id on both sides) are excluded from both faces.
+    """
+    L = w + k - 1
+    ov = (
+        winnow_overlap(
+            corpus, benchmark, k, w, text_col, id_col, portable,
+            fingerprints=fingerprints,
+        )
+        .filter(F.col(id_col) != F.col("bench_id"))
+        .select(F.col(id_col).alias("__a"), F.col("bench_id").alias("__b"))
+        .distinct()
+    )
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        norm = df.select(
+            F.col(id_col).alias(alias),
+            winnow_normalize(F.col(text_col)).alias("__s"),
+        ).filter(F.length("__s") >= L)
+        return norm.select(
+            alias,
+            F.explode(
+                F.sequence(F.lit(1), F.length("__s") - (L - 1))
+            ).alias("__p"),
+            "__s",
+        ).select(
+            alias,
+            F.substr(F.col("__s"), F.col("__p"), F.lit(L)).alias("__g"),
+        ).distinct()
+    truth = (
+        grams(corpus, "__ta")
+        .join(F.broadcast(grams(benchmark, "__tb")), "__g")
+        .filter(F.col("__ta") != F.col("__tb"))
+        .select(F.col("__ta").alias("__a"), F.col("__tb").alias("__b"))
+        .distinct()
+    )
+    joined = ov.withColumn("__w", F.lit(1)).join(
+        truth.withColumn("__t", F.lit(1)),
+        ["__a", "__b"],
+        "full",
+    )
+    agg = joined.agg(
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias(
+            "n_winnow_pairs"
+        ),
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias(
+            "n_truth_pairs"
+        ),
+        F.coalesce(
+            F.sum(F.col("__w") * F.col("__t")), F.lit(0)
+        ).cast("long").alias("n_common"),
+    )
+    return agg.select(
+        "n_winnow_pairs",
+        "n_truth_pairs",
+        "n_common",
+        F.when(
+            F.col("n_winnow_pairs") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                * 1000000.0
+                / F.col("n_winnow_pairs").cast("double")
+            ).cast("long"),
+        ).alias("precision_micro"),
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                * 1000000.0
+                / F.col("n_truth_pairs").cast("double")
+            ).cast("long"),
+        ).alias("recall_micro"),
+    )

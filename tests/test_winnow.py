@@ -251,3 +251,23 @@ def test_winnow_hypothesis_equivalence(spark):
             )
 
     check()
+
+
+def test_winnow_quality_recall_is_one(spark):
+    """The matching guarantee as a measured number: recall vs the
+    exact L = w+k-1 substring truth is exactly 1.0; precision is
+    reported honestly (and the pair counts are consistent)."""
+    from etl_extract_transform_load_spark.scale.winnow import (
+        winnow_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") < 10)
+    row = winnow_quality(docs, bench, portable=True).collect()[0]
+    assert row["n_truth_pairs"] > 0
+    assert row["n_common"] == row["n_truth_pairs"]  # theorem
+    assert row["recall_micro"] == 1_000_000
+    assert 0 < row["precision_micro"] <= 1_000_000
+    assert row["n_winnow_pairs"] >= row["n_common"]

@@ -3162,9 +3162,76 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_idx").cast("long").alias("id_b"),
         F.col("value").cast("double").alias("cos_sim"),
     )
-    return pairs.select(
-        F.lit("pairs").alias("part"), "id_a", "id_b", "cos_sim"
-    ).unionByName(proj)
+    # third family (r9): banding quality vs the exact tier — the
+    # bucket join VERIFIES cosine, so banded ⊆ exact and precision is
+    # exactly 1.0 by construction (re-proved as data in the 'eprqc'
+    # row); recall is the honest coverage price of 4-bit sign
+    # bucketing at threshold 0.4, tracked per round like MinHash prq.
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.similarity import (
+        neighbor_pairs_above_blocks,
+    )
+
+    with timed_branch("eprq"):
+        exact = neighbor_pairs_above_blocks(
+            emb, threshold=0.4
+        ).select("id_a", "id_b")
+        pj = (
+            pairs.select("id_a", "id_b")
+            .withColumn("__l", F.lit(1))
+            .join(
+                exact.withColumn("__e", F.lit(1)),
+                ["id_a", "id_b"],
+                "full",
+            )
+            .agg(
+                F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias(
+                    "nb"
+                ),
+                F.coalesce(F.sum("__e"), F.lit(0)).cast("long").alias(
+                    "ne"
+                ),
+                F.coalesce(
+                    F.sum(F.col("__l") * F.col("__e")), F.lit(0)
+                ).cast("long").alias("nc"),
+            )
+            .localCheckpoint()
+        )
+    eprq = pj.select(
+        F.lit("eprq").alias("part"),
+        F.col("nb").alias("id_a"),
+        F.col("ne").alias("id_b"),
+        F.when(
+            F.col("ne") > 0,
+            F.round(
+                F.col("nc").cast("double") * 1000000.0
+                / F.col("ne").cast("double")
+            ),
+        ).alias("cos_sim"),
+    ).unionByName(
+        pj.select(
+            F.lit("eprqc").alias("part"),
+            F.col("nc").alias("id_a"),
+            F.col("nb").alias("id_b"),
+            F.when(
+                F.col("nb") > 0,
+                F.round(
+                    F.col("nc").cast("double") * 1000000.0
+                    / F.col("nb").cast("double")
+                ),
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        pairs.select(
+            F.lit("pairs").alias("part"), "id_a", "id_b", "cos_sim"
+        )
+        .unionByName(proj)
+        .unionByName(probe_branch("eprq", eprq))
+    )
 
 
 def _oracle_neardup_lsh(bits: int = 4, threshold: float = 0.4) -> str:
@@ -3202,6 +3269,36 @@ UNION ALL
 SELECT 'jlproj', CAST(vec_id AS BIGINT), CAST(dim_idx AS BIGINT),
        CAST(value AS DOUBLE)
 FROM ({jl_legs})
+UNION ALL
+SELECT part, na, nb2, ratio FROM (
+    WITH qb AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM b a JOIN b b ON a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+              >= {threshold}
+    ),
+    qe AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+              >= {threshold}
+    ),
+    qn AS (
+        SELECT (SELECT COUNT(*) FROM qb) AS nb,
+               (SELECT COUNT(*) FROM qe) AS ne,
+               (SELECT COUNT(*) FROM qb JOIN qe USING (id_a, id_b))
+                   AS nc
+    )
+    SELECT 'eprq' AS part, nb AS na, ne AS nb2,
+           CASE WHEN ne > 0
+                THEN ROUND(nc * 1000000.0 / ne) END AS ratio
+    FROM qn
+    UNION ALL
+    SELECT 'eprqc', nc, nb,
+           CASE WHEN nb > 0 THEN ROUND(nc * 1000000.0 / nb) END
+    FROM qn
+)
 """
 
 

@@ -1095,3 +1095,24 @@ def test_ngram_diversity_flattens_on_duplicated_corpus(spark):
         ) or abs(
             dup[n]["distinct_micro"] * 2 - base[n]["distinct_micro"]
         ) <= 1
+
+
+def test_embedding_lsh_banding_quality_rows(spark):
+    """The 'eprq' family: banded pairs are a SUBSET of the exact
+    threshold pairs (bucket join verifies cosine -> precision exactly
+    1.0 as data); recall is the single-table coverage price."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        q_embedding_neardup_lsh,
+    )
+
+    rows = {
+        r["part"]: r
+        for r in q_embedding_neardup_lsh(
+            spark, "/root/testdata/sf0.01"
+        ).filter("part like 'eprq%'").collect()
+    }
+    q, c = rows["eprq"], rows["eprqc"]
+    assert c["cos_sim"] == 1_000_000.0          # precision == 1 exactly
+    assert c["id_a"] == q["id_a"]               # nc == nb (subset)
+    assert q["id_b"] >= q["id_a"] > 0           # exact >= banded > 0
+    assert 0 < q["cos_sim"] <= 1_000_000.0      # recall in (0, 1]

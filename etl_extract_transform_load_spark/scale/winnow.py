@@ -295,10 +295,15 @@ def winnow_quality(
         ).select(
             alias,
             F.substr(F.col("__s"), F.col("__p"), F.lit(L)).alias("__g"),
-        ).distinct()
+        )
+
+    # corpus grams are NEVER shuffled corpus-wide: the (small,
+    # distinct) benchmark gram set broadcasts and filters them in the
+    # scan stage, so only matching positions reach the pair distinct —
+    # the df-capped candidates-then-verify shape of the span tier
     truth = (
         grams(corpus, "__ta")
-        .join(F.broadcast(grams(benchmark, "__tb")), "__g")
+        .join(F.broadcast(grams(benchmark, "__tb").distinct()), "__g")
         .filter(F.col("__ta") != F.col("__tb"))
         .select(F.col("__ta").alias("__a"), F.col("__tb").alias("__b"))
         .distinct()

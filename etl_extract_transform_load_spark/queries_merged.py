@@ -3539,21 +3539,11 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos_sim").cast("double").alias("cos_sim"),
     )
-    # fourth branch: int8 quantization of every embedding — codes ride
-    # the centroid_str column (serialized), per-vector scale rides
-    # cos_sim (both sides of the tag union reuse the schema slots).
-    from etl_extract_transform_load_spark.scale.embeddings import (
-        quantize_int8,
-    )
-
-    quant = quantize_int8(emb).select(
-        F.lit("quant").alias("part"),
-        F.lit(None).cast("int").alias("label"),
-        F.lit(None).cast("long").alias("n_vectors"),
-        F.array_join(F.col("q8"), ",").alias("centroid_str"),
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("q8_scale").cast("double").alias("cos_sim"),
-    )
+    # the r4 'quant' int8-quantization branch retired to
+    # queries_retired.retired_quantize_int8 when the r9 'ari' family
+    # landed (budget ≤8; quant is standalone — no shared
+    # materialization — and the PQ/ADC families on embedding_neardup
+    # carry the quantization tier's hash coverage)
     # sixth branch: SemDeDup — within-cluster cosine near-dup pruning
     # over the SAME checkpointed E-step assignment; each dropped
     # vector rides (vec_id, its cluster in label, smaller-id-neighbor
@@ -3635,6 +3625,49 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dbi").cast("double").alias("cos_sim"),
         )
     )
+    # ninth family (r9, the carrier's last budget slot): EXTERNAL
+    # clustering validation — the E-step assignment judged against the
+    # reference `label` column (ARI, NMI, purity over the contingency
+    # table; scale/evalmetrics.clustering_agreement). The k×k
+    # contingency cells ride (label=pred, vec_id=true, n_vectors=n);
+    # the agreement indices ride one row each as 'ari:<metric>' with
+    # the value in cos_sim — internal quality (sil/dbi) and external
+    # agreement are now tracked side by side.
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        cluster_contingency,
+        clustering_agreement,
+    )
+
+    with timed_branch("ari"):
+        cont = cluster_contingency(
+            assigned.join(emb.select("vec_id", "label"), "vec_id"),
+            "assigned_label",
+            "label",
+        ).localCheckpoint()
+    cont_rows = cont.select(
+        F.lit("ari").alias("part"),
+        F.col("pred").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(None).cast("string").alias("centroid_str"),
+        F.col("truth").cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    agree = clustering_agreement(cont).localCheckpoint()
+
+    def _agree_row(metric: str) -> DataFrame:
+        return agree.select(
+            F.lit(f"ari:{metric}").alias("part"),
+            F.lit(None).cast("int").alias("label"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.lit(None).cast("string").alias("centroid_str"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.col(metric).cast("double").alias("cos_sim"),
+        )
+
+    ari_rows = cont_rows
+    for m in ("ari", "mi", "h_pred", "h_true", "nmi", "purity"):
+        ari_rows = ari_rows.unionByName(_agree_row(m))
+
     return (
         probe_branch(
             "centroids", cent_part(_serialize_centroid(cents), "centroids")
@@ -3650,10 +3683,10 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refine2", cent_part(_serialize_centroid(refined2), "refine2")
             )
         )
-        .unionByName(probe_branch("quant", quant))
         .unionByName(probe_branch("semdedup", sem))
         .unionByName(probe_branch("sil", sil))
         .unionByName(probe_branch("dbi", dbi_rows))
+        .unionByName(probe_branch("ari", ari_rows))
     )
 
 
@@ -3667,6 +3700,15 @@ def _oracle_kmeans_cluster() -> str:
         oracle_silhouette_ctes,
         refine_oracle_sql,
     )
+
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        oracle_clustering_agreement_sql,
+    )
+
+    agree_pairs_sql = f"""
+SELECT a.assigned_label AS pred, e.label AS truth
+FROM ({ORACLE_KMEANS_ASSIGN}) a JOIN embeddings e USING (vec_id)
+"""
 
     semdedup_sql = f"""
 WITH asg AS ({ORACLE_KMEANS_ASSIGN}),
@@ -3706,21 +3748,6 @@ SELECT 'refine2', CAST(label AS INT), CAST(n_vectors AS BIGINT), centroid_str,
        NULL::BIGINT, NULL::DOUBLE
 FROM ({refine_oracle_sql(2)})
 UNION ALL
-SELECT 'quant', NULL::INT, NULL::BIGINT,
-       CASE WHEN amax = 0
-            THEN array_to_string(list_transform(v, x -> '0'), ',')
-            ELSE array_to_string(list_transform(v,
-                x -> CAST(CAST(ROUND(x / (amax / 127.0)) AS TINYINT)
-                          AS VARCHAR)), ',')
-       END,
-       CAST(vec_id AS BIGINT),
-       amax / 127.0
-FROM (SELECT vec_id,
-             CAST(embedding AS DOUBLE[]) AS v,
-             list_max(list_transform(CAST(embedding AS DOUBLE[]),
-                                     x -> ABS(x))) AS amax
-      FROM embeddings WHERE embedding IS NOT NULL)
-UNION ALL
 SELECT 'semdedup', CAST(label AS INT), CAST(n_better AS BIGINT),
        NULL::VARCHAR, CAST(vec_id AS BIGINT), CAST(max_cos AS DOUBLE)
 FROM ({semdedup_sql})
@@ -3747,6 +3774,23 @@ UNION ALL
 SELECT 'dbi', NULL::INT, CAST(n_clusters AS BIGINT), NULL::VARCHAR,
        NULL::BIGINT, CAST(dbi AS DOUBLE)
 FROM ({oracle_dbi_sql()}) WHERE rel = 'index'
+UNION ALL
+SELECT 'ari', CAST(pred AS INT), CAST(n AS BIGINT), NULL::VARCHAR,
+       CAST(t AS BIGINT), NULL::DOUBLE
+FROM (SELECT COALESCE(CAST(a.assigned_label AS INT), -1) AS pred,
+             COALESCE(CAST(e.label AS INT), -1) AS t, COUNT(*) AS n
+      FROM ({ORACLE_KMEANS_ASSIGN}) a
+      JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2)
+UNION ALL
+SELECT 'ari:' || m, NULL::INT, CAST(n AS BIGINT), NULL::VARCHAR,
+       NULL::BIGINT,
+       CASE m WHEN 'ari' THEN ari WHEN 'mi' THEN mi
+              WHEN 'h_pred' THEN h_pred WHEN 'h_true' THEN h_true
+              WHEN 'nmi' THEN nmi ELSE purity END
+FROM ({oracle_clustering_agreement_sql(agree_pairs_sql)}),
+     (SELECT UNNEST(['ari', 'mi', 'h_pred', 'h_true', 'nmi',
+                     'purity']) AS m)
 """
 
 

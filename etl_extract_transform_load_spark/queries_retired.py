@@ -780,6 +780,7 @@ def retired_checks() -> dict:
         "adamic_adar": (retired_adamic_adar, ORACLE_ADAMIC_ADAR),
         "nb_word": (retired_nb_word, oracle_nb_word()),
         "ppmi": (retired_ppmi, ORACLE_PPMI),
+        "quantize_int8": (retired_quantize_int8, ORACLE_QUANT),
     }
 
 
@@ -1141,4 +1142,47 @@ FROM (
         FROM pvals
     ) WHERE rnk <= 150
 )
+"""
+
+
+# --- retired kmeans_cluster branches -------------------------------------------
+
+
+def retired_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (scale/embeddings.quantize_int8) —
+    the r4 'quant' branch, retired when the r9 'ari'
+    external-validation family took kmeans_cluster's last budget slot
+    (quant is standalone — no shared materialization — and the PQ/ADC
+    families keep quantization-tier hash coverage on the driver).
+    Original slot riding preserved."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        F.lit("quant").alias("part"),
+        F.lit(None).cast("int").alias("label"),
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.array_join(F.col("q8"), ",").alias("centroid_str"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("q8_scale").cast("double").alias("cos_sim"),
+    )
+
+
+ORACLE_QUANT = """
+SELECT 'quant' AS part, NULL::INT AS label, NULL::BIGINT AS n_vectors,
+       CASE WHEN amax = 0
+            THEN array_to_string(list_transform(v, x -> '0'), ',')
+            ELSE array_to_string(list_transform(v,
+                x -> CAST(CAST(ROUND(x / (amax / 127.0)) AS TINYINT)
+                          AS VARCHAR)), ',')
+       END AS centroid_str,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       amax / 127.0 AS cos_sim
+FROM (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> ABS(x))) AS amax
+      FROM embeddings WHERE embedding IS NOT NULL)
 """

@@ -775,6 +775,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_runs").cast("long").alias("bin_tokens"),
             F.lit(None).cast("string").alias("packed_text"),
         )
+    # seventh family (r9): deterministic fill-in-the-middle transform
+    # (scale/packing.fim_transform, Bavarian et al. 2022) — the
+    # code/infilling training-data reorder as a hash-gated scan-stage
+    # expression. Per-doc rows ride mode in the part tag
+    # ('fim:psm'/'fim:keep'), cuts in n_tokens/bin_tokens, the
+    # original length in bin_id, the transformed text in packed_text;
+    # the 'fim:sum' conservation row pins zero length violations.
+    from etl_extract_transform_load_spark.scale.packing import (
+        fim_summary,
+        fim_transform,
+    )
+
+    with timed_branch("fim"):
+        fimmed = fim_transform(docs).localCheckpoint()
+    fim_rows = fimmed.select(
+        F.concat(F.lit("fim:"), F.col("fim_mode")).alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cut1").alias("n_tokens"),
+        F.col("n_chars_orig").alias("bin_id"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("cut2").alias("bin_tokens"),
+        F.col("fim_text").alias("packed_text"),
+    )
+    fim_sum = fim_summary(fimmed).select(
+        F.lit("fim:sum").alias("part"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("shard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_psm").alias("n_tokens"),
+        F.col("n_length_violations").alias("bin_id"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("n_keep").alias("bin_tokens"),
+        F.lit(None).cast("string").alias("packed_text"),
+    )
     return (
         assign.unionByName(bins)
         .unionByName(probe_branch("shards", sh_assign))
@@ -784,6 +820,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_branch("epochs", ep_rows))
         .unionByName(probe_branch("epochs", ep_sum))
         .unionByName(probe_branch("order", runs))
+        .unionByName(probe_branch("fim", fim_rows))
+        .unionByName(probe_branch("fim", fim_sum))
     )
 
 
@@ -886,6 +924,10 @@ JOIN documents d ON e.doc_id = d.doc_id
 GROUP BY e.source
 """
 
+from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
+    oracle_fim_sql as _oracle_fim_sql,
+)
+
 ORACLE_PACK = ORACLE_PACK.replace(
     "{EPOCHS_SQL}",
     _oracle_epochs_sql({"src0": 0.5, "src1": 0.3, "src2": 0.2}, 60_000),
@@ -894,6 +936,22 @@ UNION ALL
 SELECT 'order', source, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
        max_run, n_docs, n_runs, NULL::VARCHAR
 FROM ({_oracle_interleave_sql()})
+UNION ALL
+SELECT 'fim:' || fim_mode, NULL::VARCHAR, NULL::BIGINT, doc_id,
+       cut1, n_chars_orig, NULL::BIGINT, cut2, fim_text
+FROM ({_oracle_fim_sql()})
+UNION ALL
+SELECT 'fim:sum', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       CAST(SUM(CASE WHEN fim_mode = 'psm' THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN fim_mode = 'psm'
+                      AND LENGTH(fim_text) <> n_chars_orig + 15
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       CAST(SUM(CASE WHEN fim_mode = 'psm' THEN 0 ELSE 1 END)
+            AS BIGINT),
+       NULL::VARCHAR
+FROM ({_oracle_fim_sql()})
 """
 
 
@@ -2088,7 +2146,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional filters complete), and measured banding quality
     ('prq:*' — candidate-stage precision/recall at two band configs
     against that same truth: retrieval quality as a hash-tracked
-    number, the ANN-recall convention applied to dedup)."""
+    number, the ANN-recall convention applied to dedup), and the
+    cross-split LEAKAGE audit ('leak:*' — near-dup pairs straddling a
+    naive hash_split's train/eval boundary vs cluster_safe_split's
+    guaranteed-zero crossings, eval integrity as a hash-tracked
+    number)."""
     from etl_extract_transform_load_spark.plans.caching import (
         persist_tracked,
         released_caches,
@@ -2226,9 +2288,62 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
+        # r9 family: cross-split LEAKAGE audit over the same exact
+        # truth pairs — the eval-integrity number next to the dedup
+        # itself. A naive hash_split (80/10/10) separates ~1−Σw² of
+        # near-dup pairs across the train/eval boundary (benchmark
+        # contamination by construction); cluster_safe_split collapses
+        # each near-dup component to one split key, so its crossing
+        # count MUST be zero — the matching guarantee, tracked as a
+        # hash-verified number (the winnowq convention). Per-pair
+        # crossing rows ride only the naive policy (safe emits none);
+        # the (split_a, split_b) pair rides jaccard as the code
+        # 3·a+b with train=0/val=1/test=2.
+        from etl_extract_transform_load_spark.scale.sampling import (
+            cluster_safe_split,
+            hash_split,
+            leakage_summary,
+            pair_split_crossings,
+        )
+
+        _W = {"train": 0.8, "val": 0.1, "test": 0.1}
+        with timed_branch("leak"):
+            leak_naive = pair_split_crossings(
+                hash_split(docs, _W), truth
+            ).localCheckpoint()
+            leak_safe = pair_split_crossings(
+                cluster_safe_split(docs, truth, _W), truth
+            ).localCheckpoint()
+            leak_nsum = leakage_summary(leak_naive).localCheckpoint()
+            leak_ssum = leakage_summary(leak_safe).localCheckpoint()
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
+
+    def _split_code(c: str):
+        return (
+            F.when(F.col(c) == "train", F.lit(0))
+            .when(F.col(c) == "val", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    leak_rows = leak_naive.filter(F.col("crosses") == 1).select(
+        F.lit("leak:naive").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        (_split_code("split_a") * 3 + _split_code("split_b"))
+        .cast("double")
+        .alias("jaccard"),
+    )
+
+    def _leak_sum(df: DataFrame, t: str) -> DataFrame:
+        return df.select(
+            F.lit(t).alias("part"),
+            F.col("n_cross").alias("id_a"),
+            F.col("n_pairs").cast("long").alias("id_b"),
+            F.col("leak_rate").alias("jaccard"),
+        )
+
     return (
         probe_branch("full", tag(full, "full"))
         .unionByName(probe_branch("incr", tag(incr, "incr")))
@@ -2246,6 +2361,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        .unionByName(
+            probe_branch(
+                "leak",
+                leak_rows.unionByName(
+                    _leak_sum(leak_nsum, "leak:sum:naive")
+                ).unionByName(_leak_sum(leak_ssum, "leak:sum:safe")),
+            )
+        )
     )
 
 
@@ -2253,6 +2376,9 @@ def _oracle_minhash() -> str:
     from etl_extract_transform_load_spark.scale.dedup import (
         _MINHASH_P,
         _hash_params,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        _SPLIT_SALT_OFFSET,
     )
 
     num_hashes, bands = 32, 8
@@ -2276,8 +2402,18 @@ def _oracle_minhash() -> str:
         " AS bucket FROM sig"
         for i in range(bands4)
     )
+    # the leak family's split-bucket formula (hash_split's
+    # knuth_hash32 at user salt 0: offset, 31-bit mask, Knuth
+    # multiply, 32-bit mask, 1e4 buckets) over an arbitrary key expr
+    bucket = (
+        f"((({{k}} + {_SPLIT_SALT_OFFSET}) % 2147483648) * 2654435761"
+        " % 4294967296) % 10000"
+    )
+    split_case = (
+        "CASE WHEN b < 8000 THEN 0 WHEN b < 9000 THEN 1 ELSE 2 END"
+    )
     return f"""
-WITH toks AS ({_SHINGLES_SQL}),
+WITH RECURSIVE toks AS ({_SHINGLES_SQL}),
 sharr AS (
     SELECT doc_id,
            CASE WHEN len(t) >= 3
@@ -2355,7 +2491,39 @@ mets AS (
     SELECT 4,
            (SELECT COUNT(*) FROM tru),
            (SELECT COUNT(*) FROM cand4),
-           (SELECT COUNT(*) FROM hit4))
+           (SELECT COUNT(*) FROM hit4)),
+-- leak family: connected components over the SAME truth pairs (the
+-- recursive closure independently re-derives the engine's star
+-- contraction fixpoint), then the hash_split bucket formula over
+-- both policies' split keys and the crossing join
+lk_sym AS (
+    SELECT id_a AS a, id_b AS b FROM tru
+    UNION
+    SELECT id_b AS a, id_a AS b FROM tru),
+lk_reach(node, lab) AS (
+    SELECT DISTINCT a, a FROM lk_sym
+    UNION
+    SELECT s.b, r.lab FROM lk_reach r JOIN lk_sym s ON s.a = r.node),
+lk_comp AS (
+    SELECT node, MIN(lab) AS component FROM lk_reach GROUP BY node),
+lk_key AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k
+    FROM documents d LEFT JOIN lk_comp c ON c.node = d.doc_id),
+lk_nsp AS (
+    SELECT doc_id, {split_case} AS s
+    FROM (SELECT doc_id, {bucket.format(k='doc_id')} AS b
+          FROM documents)),
+lk_ssp AS (
+    SELECT doc_id, {split_case} AS s
+    FROM (SELECT doc_id, {bucket.format(k='k')} AS b FROM lk_key)),
+lk_n AS (
+    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
+    FROM tru t JOIN lk_nsp x ON x.doc_id = t.id_a
+               JOIN lk_nsp y ON y.doc_id = t.id_b),
+lk_s AS (
+    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
+    FROM tru t JOIN lk_ssp x ON x.doc_id = t.id_a
+               JOIN lk_ssp y ON y.doc_id = t.id_b)
 SELECT 'full' AS part, id_a, id_b, jaccard FROM vpairs
 UNION ALL
 SELECT 'incr' AS part, id_a, id_b, jaccard FROM vpairs
@@ -2382,6 +2550,23 @@ SELECT 'prq:b' || b || ':recall', CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT),
        ROUND(CAST(n_hit AS DOUBLE)
              / NULLIF(CAST(n_true AS DOUBLE), 0.0), 6) FROM mets
+UNION ALL
+SELECT 'leak:naive', id_a, id_b, CAST(sa * 3 + sb AS DOUBLE)
+FROM lk_n WHERE sa <> sb
+UNION ALL
+SELECT 'leak:sum:naive',
+       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+FROM lk_n
+UNION ALL
+SELECT 'leak:sum:safe',
+       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+FROM lk_s
 """
 
 
@@ -2722,10 +2907,34 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mmr_score").alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
+    # fifth family (r9): embedding snapshot DRIFT — the two halves of
+    # the id space stand in for "last index build vs this one"
+    # (scale/embeddings.embedding_drift): per-label centroid cosine +
+    # Euclidean shift, plus the pooled global row (label NULL). Counts
+    # ride query_id/vec_id, cosine rides cos_sim, the shift rides rank
+    # as a micro-unit int (quantized ONCE from the raw double).
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        embedding_drift,
+    )
+
+    with timed_branch("drift"):
+        dr = embedding_drift(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+        ).localCheckpoint()
+    drift = dr.select(
+        F.lit("drift").alias("part"),
+        F.col("n_a").alias("query_id"),
+        F.col("n_b").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("cos_sim"),
+        F.round(F.col("shift") * 1000000.0).cast("int").alias("rank"),
+    )
     return (
         topk.unionByName(hardneg)
         .unionByName(ret)
         .unionByName(probe_branch("mmr", mmr))
+        .unionByName(probe_branch("drift", drift))
     )
 
 
@@ -2929,6 +3138,65 @@ ORACLE_SIMILARITY_TOPK = ORACLE_SIMILARITY_TOPK + f"""
 UNION ALL
 SELECT 'mmr', query_id, vec_id, NULL::INT, mmr_score, CAST(rank AS INT)
 FROM ({_oracle_mmr_sql(k=5, pool_k=20)})
+"""
+
+
+def _oracle_drift_sql() -> str:
+    """DuckDB twin of the 'drift' family: decimal-exact centroids per
+    id-parity snapshot, full-outer label join, 6-dp cosine, raw-shift
+    micro-quantized once (the carrier's spelling)."""
+    a = _centroid_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)", "label"
+    )
+    b = _centroid_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 1)", "label"
+    )
+    ga = _centroid_sql(
+        "(SELECT embedding, 0 AS g FROM embeddings WHERE vec_id % 2 = 0)",
+        "g",
+    )
+    gb = _centroid_sql(
+        "(SELECT embedding, 0 AS g FROM embeddings WHERE vec_id % 2 = 1)",
+        "g",
+    )
+
+    def face(ca: str, cb: str, label_out: str) -> str:
+        return f"""
+SELECT {label_out} AS label, n_a, n_b,
+       CASE WHEN ok THEN ROUND(d / (na * nb), 6) END AS cos_sim,
+       CASE WHEN ok
+            THEN SQRT(GREATEST(na * na + nb * nb - 2.0 * d, 0.0))
+       END AS shift
+FROM (
+    SELECT lab, n_a, n_b, d, na, nb,
+           (ca IS NOT NULL AND cb IS NOT NULL
+            AND na > 0 AND nb > 0) AS ok
+    FROM (
+        SELECT COALESCE(a.label, b.label) AS lab,
+               a.n_vectors AS n_a, b.n_vectors AS n_b,
+               a.centroid AS ca, b.centroid AS cb,
+               list_dot_product(a.centroid, b.centroid) AS d,
+               SQRT(list_dot_product(a.centroid, a.centroid)) AS na,
+               SQRT(list_dot_product(b.centroid, b.centroid)) AS nb
+        FROM ({ca}) a FULL OUTER JOIN ({cb}) b ON a.label = b.label
+    )
+)
+"""
+
+    return f"""
+SELECT 'drift' AS part, CAST(n_a AS BIGINT) AS query_id,
+       CAST(n_b AS BIGINT) AS vec_id, CAST(label AS INT) AS label,
+       CAST(cos_sim AS DOUBLE) AS cos_sim,
+       CAST(ROUND(shift * 1000000.0) AS INT) AS rank
+FROM ({face(a, b, 'lab')}
+      UNION ALL
+      {face(ga, gb, 'NULL')})
+"""
+
+
+ORACLE_SIMILARITY_TOPK = ORACLE_SIMILARITY_TOPK + f"""
+UNION ALL
+{_oracle_drift_sql()}
 """
 
 

@@ -641,3 +641,84 @@ def davies_bouldin_index(per_cluster: DataFrame) -> DataFrame:
             / 1000000.0
         ).alias("dbi"),
     ).filter(F.col("n_clusters") > 0)
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Distribution-drift report between two embedding snapshots (old
+    model vs re-embedded corpus, last month's crawl vs this month's):
+    per-label centroid agreement plus one pooled global row —
+
+        (label, n_a, n_b, cos_sim, shift)
+
+    ``cos_sim`` = 6-dp cosine between the two snapshots' decimal-exact
+    label centroids (:func:`label_centroids`); ``shift`` = RAW
+    Euclidean distance between them via the norm identity
+    ``sqrt(max(0, |a|² + |b|² − 2·a·b))`` — unrounded so callers can
+    micro-quantize ONCE (the post-cast re-round trap). A label present
+    in only one snapshot keeps its counts and NULL cos/shift — the
+    appeared/vanished-class signal a drift monitor most needs. The
+    global row (label NULL) compares the pooled mean vectors.
+
+    Scale shape: two centroid aggregations (decimal tree-agg, one
+    combine shuffle each) and a k-row full-outer join — nothing
+    corpus-sized moves, any corpus size ends in a |labels|-row
+    report."""
+    from etl_extract_transform_load_spark.scale.similarity import (
+        dot,
+        norm,
+    )
+
+    def _per(df_a: DataFrame, df_b: DataFrame, lab: str) -> DataFrame:
+        a = label_centroids(df_a, lab, vec_col, dim).select(
+            F.col("label"),
+            F.col("n_vectors").alias("n_a"),
+            F.col("centroid").alias("__ca"),
+        )
+        b = label_centroids(df_b, lab, vec_col, dim).select(
+            F.col("label"),
+            F.col("n_vectors").alias("n_b"),
+            F.col("centroid").alias("__cb"),
+        )
+        j = a.join(b, "label", "full_outer")
+        na, nb = norm("__ca", dim), norm("__cb", dim)
+        d = dot("__ca", "__cb", dim)
+        both = (
+            F.col("__ca").isNotNull()
+            & F.col("__cb").isNotNull()
+            & (na > 0)
+            & (nb > 0)
+        )
+        return j.select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(both, F.round(d / (na * nb), 6)).alias("cos_sim"),
+            F.when(
+                both,
+                F.sqrt(
+                    F.greatest(
+                        na * na + nb * nb - F.lit(2.0) * d, F.lit(0.0)
+                    )
+                ),
+            ).alias("shift"),
+        )
+
+    per = _per(emb_a, emb_b, label_col)
+    pooled = _per(
+        emb_a.withColumn("__all", F.lit(0)),
+        emb_b.withColumn("__all", F.lit(0)),
+        "__all",
+    ).select(
+        F.lit(None).cast(per.schema["label"].dataType).alias("label"),
+        "n_a",
+        "n_b",
+        "cos_sim",
+        "shift",
+    )
+    return per.unionByName(pooled)

@@ -898,3 +898,180 @@ def chrf_scores(
             6,
         ).alias("chrf"),
     )
+
+
+def cluster_contingency(
+    assignments: DataFrame,
+    pred_col: str = "assigned_label",
+    true_col: str = "label",
+) -> DataFrame:
+    """Contingency table between a predicted clustering and reference
+    labels: one row per ``(pred, true)`` cell with its item count —
+    the sufficient statistic for EVERY external clustering-validation
+    index (Rand/ARI, mutual information, purity). One combine shuffle
+    on the (pred, true) key; state = k_pred × k_true cells regardless
+    of corpus size. NULL labels on either side are their own class
+    (coalesced to -1, so the cross-engine hash sees them)."""
+    return assignments.groupBy(
+        F.coalesce(F.col(pred_col).cast("int"), F.lit(-1)).alias("pred"),
+        F.coalesce(F.col(true_col).cast("int"), F.lit(-1)).alias("truth"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def clustering_agreement(cont: DataFrame) -> DataFrame:
+    """External clustering validation from a contingency table
+    (:func:`cluster_contingency`): one row —
+
+    - ``n``       items;
+    - ``ari``     Adjusted Rand Index (Hubert & Arabie 1985): pair
+      counts are EXACT integer sufficient statistics (``C(n_ij,2)``
+      sums via integer div), combined in double only for the final
+      expected/max normalization — identical in any engine;
+    - ``mi`` / ``h_pred`` / ``h_true``: mutual information and the
+      marginal entropies (nats), each term 6-dp rounded BEFORE a
+      decimal(28,6) sum (order-free, the mixture_diversity spelling);
+    - ``nmi``     MI / ((H_pred + H_true)/2), NULL when both marginal
+      entropies are zero (single cluster on both sides);
+    - ``purity``  Σ_pred max_true(n_ij) / n.
+
+    ARI is NULL in the degenerate case max==expected (every item one
+    cluster, or all singletons). The whole computation runs on the
+    k×k cell table: three tiny aggregations + broadcast joins — no
+    second pass over the data."""
+    tot = cont.agg(
+        F.sum("n").alias("nt"),
+        F.expr("SUM(n * (n - 1) DIV 2)").cast("long").alias("pair_cells"),
+    )
+    rows = cont.groupBy("pred").agg(F.sum("n").alias("a"),
+                                    F.max("n").alias("mx"))
+    cols = cont.groupBy("truth").agg(F.sum("n").alias("b"))
+    pa = rows.agg(
+        F.expr("SUM(a * (a - 1) DIV 2)").cast("long").alias("pa"),
+        F.sum("mx").cast("long").alias("maxsum"),
+    )
+    pb = cols.agg(F.expr("SUM(b * (b - 1) DIV 2)").cast("long").alias("pb"))
+    # MI term per cell: (n/N)·ln(N·n/(a·b)); marginal entropy terms
+    # per row/col: −(a/N)·ln(a/N). All 6-dp rounded then decimal-summed.
+    j = (
+        cont.join(F.broadcast(rows.select("pred", "a")), "pred")
+        .join(F.broadcast(cols), "truth")
+        .crossJoin(F.broadcast(tot.select("nt")))
+    )
+    mi = j.agg(
+        F.sum(
+            _r6(
+                F.col("n").cast("double")
+                / F.col("nt").cast("double")
+                * F.log(
+                    F.col("nt").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("a").cast("double") * F.col("b").cast("double"))
+                )
+            ).cast(_DEC)
+        ).alias("mi_d")
+    )
+    hu = rows.crossJoin(F.broadcast(tot.select("nt"))).agg(
+        F.sum(
+            _r6(
+                -(F.col("a").cast("double") / F.col("nt").cast("double"))
+                * F.log(
+                    F.col("a").cast("double") / F.col("nt").cast("double")
+                )
+            ).cast(_DEC)
+        ).alias("hu_d")
+    )
+    hv = cols.crossJoin(F.broadcast(tot.select("nt"))).agg(
+        F.sum(
+            _r6(
+                -(F.col("b").cast("double") / F.col("nt").cast("double"))
+                * F.log(
+                    F.col("b").cast("double") / F.col("nt").cast("double")
+                )
+            ).cast(_DEC)
+        ).alias("hv_d")
+    )
+    all1 = (
+        tot.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hv))
+    )
+    pn = F.expr("nt * (nt - 1) DIV 2").cast("double")
+    expected = F.col("pa").cast("double") * F.col("pb").cast("double") / pn
+    maxidx = (F.col("pa").cast("double") + F.col("pb").cast("double")) / 2.0
+    hsum = F.col("hu_d").cast("double") + F.col("hv_d").cast("double")
+    return all1.select(
+        F.col("nt").cast("long").alias("n"),
+        _r6(
+            (F.col("pair_cells").cast("double") - expected)
+            / F.nullif(maxidx - expected, F.lit(0.0))
+        ).alias("ari"),
+        F.col("mi_d").cast("double").alias("mi"),
+        F.col("hu_d").cast("double").alias("h_pred"),
+        F.col("hv_d").cast("double").alias("h_true"),
+        _r6(
+            F.col("mi_d").cast("double") / F.nullif(hsum / 2.0, F.lit(0.0))
+        ).alias("nmi"),
+        _r6(
+            F.col("maxsum").cast("double") / F.col("nt").cast("double")
+        ).alias("purity"),
+    )
+
+
+def oracle_clustering_agreement_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`cluster_contingency` +
+    :func:`clustering_agreement` over ``pairs_sql`` producing
+    ``(pred, true)`` rows (NULLs pre-coalesced by the caller or here
+    via the same -1 convention)."""
+    return f"""
+WITH ca_pairs AS ({pairs_sql}),
+ca_ct AS (
+    SELECT COALESCE(CAST(pred AS INT), -1) AS pred,
+           COALESCE(CAST(truth AS INT), -1) AS t, COUNT(*) AS n
+    FROM ca_pairs GROUP BY 1, 2),
+ca_tot AS (
+    SELECT SUM(n) AS nt, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pc
+    FROM ca_ct),
+ca_rows AS (SELECT pred, SUM(n) AS a, MAX(n) AS mx FROM ca_ct GROUP BY pred),
+ca_cols AS (SELECT t, SUM(n) AS b FROM ca_ct GROUP BY t),
+ca_pa AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS pa,
+                 CAST(SUM(mx) AS BIGINT) AS maxsum FROM ca_rows),
+ca_pb AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS pb FROM ca_cols),
+ca_mi AS (
+    SELECT SUM(CAST(ROUND(
+               CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+               * LN(CAST(nt AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(a AS DOUBLE) * CAST(b AS DOUBLE))), 6)
+               AS DECIMAL(28,6))) AS mi_d
+    FROM ca_ct JOIN ca_rows USING (pred) JOIN ca_cols USING (t),
+         ca_tot),
+ca_hu AS (
+    SELECT SUM(CAST(ROUND(
+               -(CAST(a AS DOUBLE) / CAST(nt AS DOUBLE))
+               * LN(CAST(a AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+               AS DECIMAL(28,6))) AS hu_d
+    FROM ca_rows, ca_tot),
+ca_hv AS (
+    SELECT SUM(CAST(ROUND(
+               -(CAST(b AS DOUBLE) / CAST(nt AS DOUBLE))
+               * LN(CAST(b AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+               AS DECIMAL(28,6))) AS hv_d
+    FROM ca_cols, ca_tot)
+SELECT CAST(nt AS BIGINT) AS n,
+       ROUND((CAST(pc AS DOUBLE)
+              - CAST(pa AS DOUBLE) * CAST(pb AS DOUBLE)
+                / CAST(nt * (nt - 1) // 2 AS DOUBLE))
+             / NULLIF((CAST(pa AS DOUBLE) + CAST(pb AS DOUBLE)) / 2.0
+                      - CAST(pa AS DOUBLE) * CAST(pb AS DOUBLE)
+                        / CAST(nt * (nt - 1) // 2 AS DOUBLE), 0.0),
+             6) AS ari,
+       CAST(mi_d AS DOUBLE) AS mi,
+       CAST(hu_d AS DOUBLE) AS h_pred,
+       CAST(hv_d AS DOUBLE) AS h_true,
+       ROUND(CAST(mi_d AS DOUBLE)
+             / NULLIF((CAST(hu_d AS DOUBLE) + CAST(hv_d AS DOUBLE)) / 2.0,
+                      0.0), 6) AS nmi,
+       ROUND(CAST(maxsum AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS purity
+FROM ca_tot, ca_pa, ca_pb, ca_mi, ca_hu, ca_hv
+"""

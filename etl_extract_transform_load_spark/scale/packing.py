@@ -510,3 +510,148 @@ SELECT seq_len, n_docs, n_fit,
        END AS pad_waste_micro
 FROM ag
 """
+
+
+#: Decorrelates the FIM gate / cut-point hashes from every sampling
+#: salt (the hash_split offset precedent).
+_FIM_SALT_GATE = 0xF13A
+_FIM_SALT_CUT1 = 0xF13B
+_FIM_SALT_CUT2 = 0xF13C
+
+#: Sentinel tokens of the PSM (prefix-suffix-middle) encoding
+#: (Bavarian et al. 2022, "Efficient Training of Language Models to
+#: Fill in the Middle"). Plain literals: the engine treats them as
+#: text; a tokenizer maps them to dedicated ids downstream.
+FIM_PRE = "<PRE>"
+FIM_SUF = "<SUF>"
+FIM_MID = "<MID>"
+
+
+def fim_transform(
+    df: DataFrame,
+    rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fill-in-the-middle transform (Bavarian et al.
+    2022): with probability ``rate`` — decided by the document-id
+    hash, never RNG, so reruns/retries emit byte-identical training
+    data — the document is re-ordered to the PSM encoding
+    ``<PRE> prefix <SUF> suffix <MID> middle`` (the model learns to
+    infill ``middle`` given both sides); otherwise it passes through
+    unchanged. Two hash-derived cut points, uniform over valid
+    positions: ``c1 ∈ [0, L]``, ``c2 ∈ [c1, L]`` on character
+    offsets.
+
+    Adds ``fim_mode`` ('psm' / 'keep'), ``fim_text``, ``cut1``,
+    ``cut2``, ``n_chars_orig``; NULL text passes through with mode
+    'keep' and NULL cuts. Reconstruction invariant (pytest-pinned):
+    for every psm row, ``prefix + middle + suffix`` equals the
+    original text. Pure column expressions — scan-stage at 100 TB,
+    no shuffle, no UDF."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        BUCKETS,
+        hash_bucket,
+        knuth_hash32,
+    )
+
+    c = F.col(text_col)
+    length = F.length(c)
+    gate = hash_bucket(F.col(id_col), salt + _FIM_SALT_GATE) < int(
+        round(rate * BUCKETS)
+    )
+    c1 = F.pmod(
+        knuth_hash32(F.col(id_col), salt + _FIM_SALT_CUT1), length + 1
+    )
+    c2 = c1 + F.pmod(
+        knuth_hash32(F.col(id_col), salt + _FIM_SALT_CUT2),
+        length - c1 + 1,
+    )
+    prefix = F.substring(c, 1, c1)
+    middle = c.substr(c1 + 1, c2 - c1)
+    suffix = c.substr(c2 + 1, length - c2)
+    psm = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix, F.lit(FIM_MID), middle
+    )
+    is_psm = c.isNotNull() & gate
+    return df.select(
+        "*",
+        F.when(is_psm, F.lit("psm")).otherwise(F.lit("keep")).alias(
+            "fim_mode"
+        ),
+        F.when(is_psm, psm).otherwise(c).alias("fim_text"),
+        F.when(is_psm, c1).cast("long").alias("cut1"),
+        F.when(is_psm, c2).cast("long").alias("cut2"),
+        length.cast("long").alias("n_chars_orig"),
+    )
+
+
+def fim_summary(transformed: DataFrame) -> DataFrame:
+    """One-row conservation audit over :func:`fim_transform` output:
+    ``(n_docs, n_psm, n_keep, n_length_violations)`` where a length
+    violation is a psm row whose ``fim_text`` is not exactly
+    ``n_chars_orig`` + the three sentinel lengths — the "no characters
+    lost or invented" check as a tracked number (must be 0)."""
+    sent = len(FIM_PRE) + len(FIM_SUF) + len(FIM_MID)
+    is_psm = F.col("fim_mode") == "psm"
+    return transformed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_psm.cast("long")).cast("long").alias("n_psm"),
+        F.sum((~is_psm).cast("long")).cast("long").alias("n_keep"),
+        F.sum(
+            (
+                is_psm
+                & (
+                    F.length("fim_text")
+                    != F.col("n_chars_orig") + F.lit(sent)
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_length_violations"),
+    )
+
+
+def oracle_fim_sql(
+    rate: float = 0.5,
+    salt: int = 0,
+    src: str = "documents",
+    text_expr: str = "COALESCE(text, '')",
+) -> str:
+    """DuckDB twin of :func:`fim_transform` over ``src``: the same
+    Knuth-hash gate and cut points, 1-based SUBSTR arithmetic."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        BUCKETS,
+        KNUTH_HASH,
+    )
+
+    def h(s: int) -> str:
+        return (
+            f"(((doc_id + {s % 2**31}) % 2147483648) * {KNUTH_HASH}"
+            " % 4294967296)"
+        )
+
+    thr = int(round(rate * BUCKETS))
+    g = f"{h(salt + _FIM_SALT_GATE)} % {BUCKETS} < {thr}"
+    return f"""
+SELECT doc_id, fim_mode,
+       CASE WHEN fim_mode = 'psm'
+            THEN '{FIM_PRE}' || t[1:c1] || '{FIM_SUF}'
+                 || t[c2 + 1:L] || '{FIM_MID}' || t[c1 + 1:c2]
+            ELSE t END AS fim_text,
+       CASE WHEN fim_mode = 'psm' THEN c1 END AS cut1,
+       CASE WHEN fim_mode = 'psm' THEN c2 END AS cut2,
+       L AS n_chars_orig
+FROM (
+    SELECT doc_id, t, L, fim_mode, c1,
+           c1 + ({h(salt + _FIM_SALT_CUT2)} % (L - c1 + 1)) AS c2
+    FROM (
+        SELECT doc_id, t, L,
+               CASE WHEN {g} THEN 'psm' ELSE 'keep' END AS fim_mode,
+               {h(salt + _FIM_SALT_CUT1)} % (L + 1) AS c1
+        FROM (SELECT doc_id, {text_expr} AS t,
+                     LENGTH({text_expr}) AS L FROM {src})
+    )
+)
+"""

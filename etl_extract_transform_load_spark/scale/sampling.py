@@ -452,6 +452,64 @@ def hash_split(
     return df.withColumn(out_col, label)
 
 
+def pair_split_crossings(
+    assign: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Annotate near-duplicate ``pairs`` with both endpoints' split
+    labels — the cross-split LEAKAGE audit: a near-dup pair with one
+    member in train and the other in val/test inflates eval scores
+    exactly like benchmark contamination, and a plain
+    :func:`hash_split` produces such pairs at rate ``1 − Σ w_s²``
+    (~34% at 80/10/10) while :func:`cluster_safe_split` must produce
+    ZERO (its matching guarantee: every component hashes once).
+
+    Returns one row per pair: ``(id_a, id_b, split_a, split_b,
+    crosses)`` with ``crosses`` an int flag. Scale shape: the pair
+    graph is sparse (near-dup output, not all-pairs), so the pair
+    side is broadcast TWICE against the scan-stage assignment — no
+    shuffle of the corpus; output cardinality = |pairs|. Inner joins:
+    a pair endpoint missing from ``assign`` (or with a NULL label)
+    is out of audit scope by construction, since ``assign`` is the
+    full corpus assignment."""
+    lab_a = assign.select(
+        F.col(id_col).alias(src_col), F.col(split_col).alias("split_a")
+    )
+    lab_b = assign.select(
+        F.col(id_col).alias(dst_col), F.col(split_col).alias("split_b")
+    )
+    # the pair side (then pair+split_a side) is broadcast; the corpus
+    # assignment streams through both joins un-shuffled
+    step1 = lab_a.join(F.broadcast(pairs.select(src_col, dst_col)), src_col)
+    return lab_b.join(F.broadcast(step1), dst_col).select(
+        src_col,
+        dst_col,
+        "split_a",
+        "split_b",
+        (F.col("split_a") != F.col("split_b")).cast("int").alias("crosses"),
+    )
+
+
+def leakage_summary(crossings: DataFrame) -> DataFrame:
+    """One-row rollup of :func:`pair_split_crossings`:
+    ``(n_pairs, n_cross, leak_rate)`` with the rate a 6-dp round of
+    the exact small-int ratio (NULL on an empty pair set — count 0,
+    sum NULL, the same aggregate semantics in any engine)."""
+    return crossings.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("crosses").cast("long").alias("n_cross"),
+        F.round(
+            F.sum("crosses").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+            6,
+        ).alias("leak_rate"),
+    )
+
+
 def token_budget_plan(
     docs: DataFrame,
     target: Mapping[str, float],

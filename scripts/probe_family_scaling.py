@@ -1,0 +1,143 @@
+"""Scaling-exponent probe for the continuation-7 operator families
+(leak / ari / fim / drift): run each at a given sf dir, print warm
+min-of-two seconds. Compare sf0.1 vs the decorrelated /tmp sf1 copy
+(scripts/make_stress_testdata.py) — exponent = log10(time ratio)
+across the 10x row ratio (docs/SCALE_NOTES.md methodology).
+
+Usage: python scripts/probe_family_scaling.py [sf_dir] [family ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def probe_leak(spark, sf):
+    """Audit cost GIVEN pairs: planted sparse near-dup graph (1% of
+    docs chained), CC + both split policies + crossing joins."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.sampling import (
+        cluster_safe_split,
+        hash_split,
+        leakage_summary,
+        pair_split_crossings,
+    )
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    pairs = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100).alias("id_b"),
+        )
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    n = pair_split_crossings(hash_split(docs, w), pairs)
+    s = pair_split_crossings(cluster_safe_split(docs, pairs, w), pairs)
+    return (
+        leakage_summary(n).unionByName(leakage_summary(s)).count()
+        + n.filter("crosses = 1").count()
+    )
+
+
+def probe_ari(spark, sf):
+    """Contingency + agreement over a corpus-sized assignment (pred =
+    a hash-derived pseudo-clustering of every embedding)."""
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        cluster_contingency,
+        clustering_agreement,
+    )
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select(
+        (F.xxhash64("vec_id") % 7).cast("int").alias("assigned_label"),
+        "label",
+    )
+    cont = cluster_contingency(emb)
+    return clustering_agreement(cont).count() + cont.count()
+
+
+def probe_fim(spark, sf):
+    from etl_extract_transform_load_spark.scale.packing import (
+        fim_summary,
+        fim_transform,
+    )
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    t = fim_transform(load_table(spark, sf, "documents"))
+    # force the transformed text, not just the plan
+    return (
+        t.select("fim_text").agg({"fim_text": "count"}).count()
+        + fim_summary(t).count()
+    )
+
+
+def probe_drift(spark, sf):
+    from pyspark.sql import functions as F
+
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        embedding_drift,
+    )
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    ).count()
+
+
+FAMILIES = {
+    "leak": probe_leak,
+    "ari": probe_ari,
+    "fim": probe_fim,
+    "drift": probe_drift,
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .getOrCreate()
+    )
+    only = set(sys.argv[2:])
+    for name, fn in FAMILIES.items():
+        if only and name not in only:
+            continue
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF)
+            times.append(time.time() - t0)
+        print(f"{name}: {min(times):.2f}s (runs: "
+              f"{', '.join(f'{t:.2f}' for t in times)})  sf={SF}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""External clustering validation: cluster_contingency +
+clustering_agreement vs an independent brute-force pair-counting
+reference, and vs the DuckDB oracle twin (strict dtype compare).
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.evalmetrics import (
+    cluster_contingency,
+    clustering_agreement,
+    oracle_clustering_agreement_sql,
+)
+from oracle import assert_matches_oracle
+
+
+def _ref(pairs: list[tuple[int, int]]) -> dict:
+    """Brute-force reference: ARI by counting agreeing item pairs
+    (the DEFINITION, no contingency shortcut), NMI/purity from raw
+    dicts — an independent derivation path from the operator's."""
+    n = len(pairs)
+    same_p = same_t = same_both = 0
+    for (p1, t1), (p2, t2) in combinations(pairs, 2):
+        sp, st = p1 == p2, t1 == t2
+        same_p += sp
+        same_t += st
+        same_both += sp and st
+    total = n * (n - 1) // 2
+    expected = same_p * same_t / total
+    maxidx = (same_p + same_t) / 2
+    ari = (same_both - expected) / (maxidx - expected)
+    from collections import Counter
+
+    cp, ct, cj = (
+        Counter(p for p, _ in pairs),
+        Counter(t for _, t in pairs),
+        Counter(pairs),
+    )
+    hu = -sum(round(c / n * math.log(c / n), 6) for c in cp.values())
+    hv = -sum(round(c / n * math.log(c / n), 6) for c in ct.values())
+    mi = sum(
+        round(
+            c / n * math.log(n * c / (cp[p] * ct[t])), 6
+        )
+        for (p, t), c in cj.items()
+    )
+    best = {}
+    for (p, _), c in cj.items():
+        best[p] = max(best.get(p, 0), c)
+    return {
+        "ari": round(ari, 6),
+        "nmi": round(mi / ((hu + hv) / 2), 6),
+        "purity": round(sum(best.values()) / n, 6),
+        "mi": round(mi, 6),
+    }
+
+
+PAIRS = (
+    [(0, 0)] * 30
+    + [(0, 1)] * 5
+    + [(1, 1)] * 25
+    + [(1, 2)] * 8
+    + [(2, 2)] * 20
+    + [(2, 0)] * 4
+)
+
+
+def _frame(spark, pairs):
+    return spark.createDataFrame(
+        [(i, p, t) for i, (p, t) in enumerate(pairs)],
+        "vec_id long, assigned_label int, label int",
+    )
+
+
+def test_agreement_matches_pair_counting_reference(spark):
+    got = clustering_agreement(
+        cluster_contingency(_frame(spark, PAIRS))
+    ).collect()[0]
+    want = _ref(PAIRS)
+    assert got.n == len(PAIRS)
+    assert got.ari == pytest.approx(want["ari"], abs=2e-6)
+    assert got.nmi == pytest.approx(want["nmi"], abs=2e-6)
+    assert got.purity == pytest.approx(want["purity"], abs=1e-9)
+    assert got.mi == pytest.approx(want["mi"], abs=2e-6)
+
+
+def test_identical_partitions_score_one(spark):
+    pairs = [(i % 4, i % 4) for i in range(40)]
+    got = clustering_agreement(
+        cluster_contingency(_frame(spark, pairs))
+    ).collect()[0]
+    assert got.ari == pytest.approx(1.0)
+    assert got.nmi == pytest.approx(1.0, abs=1e-5)
+    assert got.purity == pytest.approx(1.0)
+
+
+def test_degenerate_single_cluster_is_null(spark):
+    # one predicted cluster, one true cluster: max == expected and
+    # H_pred + H_true == 0 — both indices must be NULL, not a crash
+    pairs = [(0, 0)] * 10
+    got = clustering_agreement(
+        cluster_contingency(_frame(spark, pairs))
+    ).collect()[0]
+    assert got.ari is None
+    assert got.nmi is None
+    assert got.purity == pytest.approx(1.0)
+
+
+def test_null_labels_are_their_own_class(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, None), (3, None, 1), (4, 1, 1)],
+        "vec_id long, assigned_label int, label int",
+    )
+    cells = {
+        (r.pred, r.truth): r.n
+        for r in cluster_contingency(df).collect()
+    }
+    assert cells == {(0, 0): 1, (0, -1): 1, (-1, 1): 1, (1, 1): 1}
+
+
+def test_oracle_twin_matches_spark_exactly(spark):
+    df = _frame(spark, PAIRS)
+    got = clustering_agreement(cluster_contingency(df))
+    vals = ", ".join(f"({p}, {t})" for p, t in PAIRS)
+    sql = oracle_clustering_agreement_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(pred, truth)"
+    )
+    assert_matches_oracle(got, sql, "/root/testdata/sf0.001")

@@ -1,0 +1,95 @@
+"""embedding_drift: numpy reference, vanished-label semantics,
+pooled global row.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.embeddings import (
+    embedding_drift,
+)
+
+DIM = 64
+
+
+def _vec(seed: int) -> list[float]:
+    rng = np.random.RandomState(seed)
+    return [float(x) for x in rng.uniform(-1, 1, DIM).astype("float32")]
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def _centroid(vecs) -> np.ndarray:
+    m = np.mean(np.array(vecs, dtype="float64"), axis=0)
+    return np.round(m, 6)
+
+
+def test_matches_numpy_reference(spark):
+    a_rows = [(_vec(s), s % 3) for s in range(30)]
+    b_rows = [(_vec(s + 100), s % 3) for s in range(24)]
+    got = {
+        r.label: r
+        for r in embedding_drift(
+            _snap(spark, a_rows), _snap(spark, b_rows)
+        ).collect()
+    }
+    for lab in (0, 1, 2):
+        ca = _centroid([v for v, l2 in a_rows if l2 == lab])
+        cb = _centroid([v for v, l2 in b_rows if l2 == lab])
+        na, nb = np.linalg.norm(ca), np.linalg.norm(cb)
+        d = float(np.dot(ca, cb))
+        r = got[lab]
+        assert r.n_a == sum(1 for _, l2 in a_rows if l2 == lab)
+        assert r.n_b == sum(1 for _, l2 in b_rows if l2 == lab)
+        assert r.cos_sim == pytest.approx(
+            round(d / (na * nb), 6), abs=2e-6
+        )
+        assert r.shift == pytest.approx(
+            math.sqrt(max(0.0, na * na + nb * nb - 2 * d)), abs=1e-9
+        )
+    # pooled row
+    ca = _centroid([v for v, _ in a_rows])
+    cb = _centroid([v for v, _ in b_rows])
+    r = got[None]
+    assert (r.n_a, r.n_b) == (30, 24)
+    assert r.cos_sim == pytest.approx(
+        round(
+            float(np.dot(ca, cb))
+            / (np.linalg.norm(ca) * np.linalg.norm(cb)),
+            6,
+        ),
+        abs=2e-6,
+    )
+
+
+def test_appeared_and_vanished_labels(spark):
+    a_rows = [(_vec(s), 0) for s in range(5)] + [(_vec(9), 7)]
+    b_rows = [(_vec(s + 50), 0) for s in range(4)] + [(_vec(99), 8)]
+    got = {
+        r.label: r
+        for r in embedding_drift(
+            _snap(spark, a_rows), _snap(spark, b_rows)
+        ).collect()
+    }
+    assert got[7].n_a == 1 and got[7].n_b is None
+    assert got[7].cos_sim is None and got[7].shift is None
+    assert got[8].n_b == 1 and got[8].n_a is None
+    assert set(got) == {0, 7, 8, None}
+
+
+def test_identical_snapshots_zero_drift(spark):
+    rows = [(_vec(s), s % 2) for s in range(20)]
+    df = _snap(spark, rows)
+    for r in embedding_drift(df, df).collect():
+        assert r.cos_sim == pytest.approx(1.0, abs=2e-6)
+        assert r.shift == pytest.approx(0.0, abs=1e-9)

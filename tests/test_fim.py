@@ -1,0 +1,105 @@
+"""Fill-in-the-middle transform: reconstruction invariant, hash
+determinism vs a plain-Python reference, and conservation summary.
+"""
+
+from __future__ import annotations
+
+from etl_extract_transform_load_spark.scale.packing import (
+    _FIM_SALT_CUT1,
+    _FIM_SALT_CUT2,
+    _FIM_SALT_GATE,
+    FIM_MID,
+    FIM_PRE,
+    FIM_SUF,
+    fim_summary,
+    fim_transform,
+)
+from etl_extract_transform_load_spark.scale.sampling import (
+    BUCKETS,
+    KNUTH_HASH,
+)
+
+
+def _h(i: int, salt: int) -> int:
+    return ((i + salt) % 2**31) * KNUTH_HASH % 2**32
+
+
+def _py_fim(i: int, text: str, rate=0.5) -> tuple[str, str]:
+    if _h(i, _FIM_SALT_GATE) % BUCKETS >= int(round(rate * BUCKETS)):
+        return "keep", text
+    L = len(text)
+    c1 = _h(i, _FIM_SALT_CUT1) % (L + 1)
+    c2 = c1 + _h(i, _FIM_SALT_CUT2) % (L - c1 + 1)
+    return "psm", (
+        FIM_PRE + text[:c1] + FIM_SUF + text[c2:] + FIM_MID + text[c1:c2]
+    )
+
+
+def _docs(spark):
+    rows = [
+        (i, f"some text body number {i} with words " * (i % 5 + 1))
+        for i in range(200)
+    ]
+    rows += [(900, ""), (901, None), (902, "x")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_matches_python_reference(spark):
+    got = {
+        r.doc_id: (r.fim_mode, r.fim_text)
+        for r in fim_transform(_docs(spark)).collect()
+    }
+    assert got[901] == ("keep", None)
+    for i, text in [(900, "")] + [
+        (i, f"some text body number {i} with words " * (i % 5 + 1))
+        for i in range(200)
+    ] + [(902, "x")]:
+        assert got[i] == _py_fim(i, text), i
+    # both modes must actually occur at rate 0.5 over 200 docs
+    modes = {m for m, _ in got.values()}
+    assert modes == {"psm", "keep"}
+
+
+def test_reconstruction_invariant(spark):
+    for r in fim_transform(_docs(spark)).collect():
+        if r.fim_mode != "psm":
+            continue
+        body = r.fim_text
+        assert body.startswith(FIM_PRE)
+        pre, rest = body[len(FIM_PRE):].split(FIM_SUF, 1)
+        suf, mid = rest.split(FIM_MID, 1)
+        original = _docs_text(r.doc_id)
+        assert pre + mid + suf == original
+        assert (r.cut1, r.cut2) == (len(pre), len(pre) + len(mid))
+        assert r.n_chars_orig == len(original)
+
+
+def _docs_text(i: int) -> str:
+    if i == 900:
+        return ""
+    if i == 902:
+        return "x"
+    return f"some text body number {i} with words " * (i % 5 + 1)
+
+
+def test_summary_conserves(spark):
+    row = fim_summary(fim_transform(_docs(spark))).collect()[0]
+    assert row.n_docs == 203
+    assert row.n_psm + row.n_keep == 203
+    assert row.n_length_violations == 0
+    assert 0 < row.n_psm < 203
+
+
+def test_rate_zero_and_one(spark):
+    df = _docs(spark)
+    all_keep = fim_transform(df, rate=0.0).select("fim_mode").distinct()
+    assert [r.fim_mode for r in all_keep.collect()] == ["keep"]
+    full = fim_transform(df, rate=1.0)
+    modes = {
+        r.doc_id: r.fim_mode for r in full.collect()
+    }
+    # every non-null doc transforms at rate 1.0; NULL text stays keep
+    assert modes[901] == "keep"
+    assert all(
+        m == "psm" for i, m in modes.items() if i != 901
+    )

@@ -1,0 +1,146 @@
+"""Cross-split leakage audit: pair_split_crossings + leakage_summary.
+
+The contract under test is the eval-integrity guarantee the `leak`
+carrier family tracks per round: cluster_safe_split NEVER lets a
+near-dup pair straddle the train/eval boundary (its component-keyed
+hash decides once per component), while a naive hash_split separates
+pairs at rate ~1 − Σ w_s². The crossing counter itself is pinned
+against a plain-Python reference over the same Knuth-hash formula.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.sampling import (
+    BUCKETS,
+    KNUTH_HASH,
+    _SPLIT_SALT_OFFSET,
+    cluster_safe_split,
+    hash_split,
+    leakage_summary,
+    pair_split_crossings,
+)
+
+W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _py_split(key: int) -> str:
+    b = (((key + _SPLIT_SALT_OFFSET) % 2**31) * KNUTH_HASH % 2**32) % BUCKETS
+    if b < 8000:
+        return "train"
+    if b < 9000:
+        return "val"
+    return "test"
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(a, b, 0.9) for a, b in edges],
+        "id_a long, id_b long, jaccard double",
+    )
+
+
+def test_naive_crossings_match_python_reference(spark):
+    # ring-ish pair graph over ids spread across the hash space
+    edges = [(i, i + 7) for i in range(0, 200, 9)]
+    docs, pairs = _docs(spark), _pairs(spark, edges)
+    got = {
+        (r.id_a, r.id_b): (r.split_a, r.split_b, r.crosses)
+        for r in pair_split_crossings(hash_split(docs, W), pairs).collect()
+    }
+    assert set(got) == set(edges)
+    for a, b in edges:
+        sa, sb = _py_split(a), _py_split(b)
+        assert got[(a, b)] == (sa, sb, int(sa != sb))
+    # the graph was chosen so at least one pair actually crosses —
+    # otherwise the audit asserts nothing
+    assert any(c for (_, _, c) in got.values())
+
+
+def test_cluster_safe_split_has_zero_crossings(spark):
+    # adversarial shape: long chains + a star, components spanning
+    # many raw hash buckets
+    edges = (
+        [(i, i + 1) for i in range(0, 60)]
+        + [(100, x) for x in range(101, 140)]
+        + [(200 + 3 * i, 200 + 3 * i + 3) for i in range(20)]
+    )
+    docs, pairs = _docs(spark), _pairs(spark, edges)
+    crossings = pair_split_crossings(
+        cluster_safe_split(docs, pairs, W), pairs
+    )
+    row = leakage_summary(crossings).collect()[0]
+    assert row.n_pairs == len(edges)
+    assert row.n_cross == 0
+    assert row.leak_rate == 0.0
+    # and every pair member carries the label of its component's min
+    # id — the split key the guarantee rests on
+    comp_min = {}
+    parent = {i: i for i in range(400)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        comp_min[a] = find(a)
+        comp_min[b] = find(b)
+    labels = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(docs, pairs, W).collect()
+    }
+    for node, root in comp_min.items():
+        assert labels[node] == _py_split(root)
+
+
+def test_safe_split_degrades_to_hash_split_without_pairs(spark):
+    docs = _docs(spark, 150)
+    empty = _pairs(spark, [])
+    safe = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(docs, empty, W).collect()
+    }
+    naive = {
+        r.doc_id: r.split for r in hash_split(docs, W).collect()
+    }
+    assert safe == naive
+
+
+def test_leakage_summary_empty_pairs(spark):
+    docs = _docs(spark, 20)
+    row = leakage_summary(
+        pair_split_crossings(hash_split(docs, W), _pairs(spark, []))
+    ).collect()[0]
+    assert row.n_pairs == 0
+    assert row.n_cross is None
+    assert row.leak_rate is None
+
+
+def test_naive_leak_rate_math(spark):
+    edges = [(i, 399 - i) for i in range(0, 120, 2)]
+    docs, pairs = _docs(spark), _pairs(spark, edges)
+    row = leakage_summary(
+        pair_split_crossings(hash_split(docs, W), pairs)
+    ).collect()[0]
+    expect = sum(
+        1 for a, b in edges if _py_split(a) != _py_split(b)
+    )
+    assert row.n_pairs == len(edges)
+    assert row.n_cross == expect
+    assert row.leak_rate == pytest.approx(
+        round(expect / len(edges), 6)
+    )

@@ -1,0 +1,113 @@
+"""Continuous cross-split leakage monitoring under REAL streaming:
+each arriving micro-batch is split-labeled on arrival (hash_split is
+per-doc deterministic, so the assignment is frozen no matter when a
+doc arrives), near-dup queried against the standing MinHash index,
+and every crossing pair raises an alarm THEN — after the stream
+drains, the accumulated alarms must equal the one-shot batch audit
+(pair_split_crossings over the full rebuild's pairs). The production
+eval-integrity shape: benchmark/test docs are already in the corpus,
+and a newly crawled near-copy of one must be caught at ingest, not at
+the next quarterly audit."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_streaming_leak_alarms_equal_batch_audit(spark, tmp_path):
+    from etl_extract_transform_load_spark.scale.dedup import (
+        minhash_index_query_pairs,
+        minhash_index_upsert,
+        minhash_lsh_pairs,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        hash_split,
+        pair_split_crossings,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    # planted near-copies far from their originals in id space: the
+    # id hash puts some pair across the train/eval boundary with
+    # near-certainty (~1 - 0.66^16)
+    dups = docs.filter(F.col("doc_id") < 16).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(dups)
+
+    src = str(tmp_path / "src")
+    all_docs.repartition(4).write.parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    seen_dir = str(tmp_path / "seen")
+    alarms_dir = str(tmp_path / "alarms")
+    state = {"v": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        prev = (
+            spark.read.parquet(f"{index_dir}/v{state['v']}")
+            if state["v"] >= 0
+            else None
+        )
+        minhash_index_upsert(prev, batch).write.parquet(
+            f"{index_dir}/v{batch_id}"
+        )
+        state["v"] = batch_id
+        batch.write.mode("append").parquet(seen_dir)
+        seen = spark.read.parquet(seen_dir)
+        new_pairs = minhash_index_query_pairs(
+            spark.read.parquet(f"{index_dir}/v{batch_id}"),
+            seen,
+            batch.select("doc_id"),
+            threshold=0.3,
+            cache=False,
+        )
+        # label ON ARRIVAL: both endpoints are already ingested, and
+        # hash_split of an id is the same in any batch — the frozen
+        # assignment the guarantee needs
+        crossings = pair_split_crossings(
+            hash_split(seen, W), new_pairs
+        ).filter(F.col("crosses") == 1)
+        crossings.write.mode("append").parquet(alarms_dir)
+
+    stream = file_stream_source(
+        spark, src, schema=all_docs.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+
+    assert os.path.isdir(alarms_dir), "no batch raised alarms"
+    got = {
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in spark.read.parquet(alarms_dir).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in pair_split_crossings(
+            hash_split(all_docs, W),
+            minhash_lsh_pairs(all_docs, threshold=0.3, cache=False),
+        )
+        .filter(F.col("crosses") == 1)
+        .collect()
+    }
+    assert got == want
+    assert want, "planted near-dups produced no crossing pair"

@@ -3027,13 +3027,22 @@ FROM (
 #: so the strip step would otherwise verify only the identity path.
 BOILER_BANNER = "Subscribe to our newsletter today!"
 
+#: Planted card strings for the luhn branch (the boiler-banner
+#: convention): a Luhn-valid dashed test PAN and its off-by-one
+#: invalid twin — detection AND rejection exercised by data.
+LUHN_VALID_CARD = "4111-1111-1111-1111"
+LUHN_INVALID_CARD = "4111111111111112"
+
 
 def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_curation_e2e + pii_redaction + line-level boilerplate
     strip, tag-unioned: the full curation pass (quality filter → scrub
     → dedup survivors), the standalone whole-corpus PII scrub with
-    match counts, and CCNet-style repeated-line removal over a
-    deterministically planted domain banner."""
+    match counts, CCNet-style repeated-line removal over a
+    deterministically planted domain banner, and Luhn checksum card
+    detection over planted valid/invalid PANs (the r7 quota branch
+    retired to queries_retired.retired_domain_quota per the 8-family
+    budget)."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_corpus_curation,
         q_pii_redaction,
@@ -3088,23 +3097,71 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("quality"),
     )
-    # fourth branch (r7): per-domain quota sampling (C4/RefinedWeb-
-    # style source caps — no single host dominates the mixture); the
-    # deterministic md5 rank rides n_emails
-    from etl_extract_transform_load_spark.scale.sampling import (
-        domain_quota_sample,
+    # the r7 'quota' per-domain cap branch retired to
+    # queries_retired.retired_domain_quota when the r9 'luhn' family
+    # landed (budget ≤8; quota is a sampling-tier op with no shared
+    # materialization, and the sampling tier keeps driver coverage on
+    # sampling_corpus)
+    # ninth family (r9): checksum-verified payment-card detection
+    # (scale/text.luhn_card_signals) — the high-precision PII gate.
+    # The testdata has no digits, so cards are planted like the
+    # boiler banner: every id%3==0 doc gets a Luhn-VALID dashed card,
+    # id%3==1 an off-by-one INVALID one — detection and rejection are
+    # both exercised by data every round. Per-doc rows only where a
+    # candidate exists (candidates ride n_emails, validated hits ride
+    # n_ips); a 'luhn_sum' row folds corpus totals (docs-with-cards →
+    # n_emails, candidates → n_ips, valid → n_phones).
+    from etl_extract_transform_load_spark.scale.text import (
+        luhn_card_signals,
     )
 
-    quota = domain_quota_sample(docs, "source", cap=100).select(
-        F.lit("quota").alias("part"),
+    carded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" card " + LUHN_VALID_CARD),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" card " + LUHN_INVALID_CARD),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    luhn_doc = luhn_card_signals(carded).filter(
+        F.col("n_card_candidates") > 0
+    )
+    luhn = luhn_doc.select(
+        F.lit("luhn").alias("part"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(None).cast("string").alias("clean_text"),
-        F.col("quota_rank").alias("n_emails"),
-        F.lit(None).cast("long").alias("n_ips"),
+        F.col("n_card_candidates").alias("n_emails"),
+        F.col("n_luhn_valid").alias("n_ips"),
         F.lit(None).cast("long").alias("n_phones"),
         F.lit(None).cast("string").alias("lang"),
-        "source",
+        F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("quality"),
+    ).unionByName(
+        luhn_doc.agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum("n_card_candidates").cast("long").alias("__cands"),
+            F.sum("n_luhn_valid").cast("long").alias("__valid"),
+        ).select(
+            F.lit("luhn_sum").alias("part"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("clean_text"),
+            F.col("__docs").alias("n_emails"),
+            F.col("__cands").alias("n_ips"),
+            F.col("__valid").alias("n_phones"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("quality"),
+        )
     )
     # fifth branch (r8): k-anonymity / l-diversity release check over
     # the event log (operators/privacy.py) — the STRUCTURAL privacy
@@ -3266,7 +3323,7 @@ def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pii.unionByName(cur)
         .unionByName(boiler)
-        .unionByName(quota)
+        .unionByName(probe_branch("luhn", luhn))
         .unionByName(kanon)
         .unionByName(kanon_sum)
         .unionByName(probe_branch("datacard", card))
@@ -3388,6 +3445,25 @@ CROSS JOIN (
 """
 
 
+def _oracle_luhn() -> str:
+    """Luhn twin over the card-planted documents (the carrier's
+    deterministic plant mirrored in SQL)."""
+    from etl_extract_transform_load_spark.scale.text import (
+        oracle_luhn_sql,
+    )
+
+    carded = f"""
+(SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN COALESCE(text, '') || ' card {LUHN_VALID_CARD}'
+             WHEN doc_id % 3 = 1
+             THEN COALESCE(text, '') || ' card {LUHN_INVALID_CARD}'
+             ELSE text END AS text
+ FROM documents)
+"""
+    return oracle_luhn_sql(carded)
+
+
 def _oracle_curation_pii() -> str:
     from etl_extract_transform_load_spark.queries_scale import (
         ORACLE_CURATION,
@@ -3411,17 +3487,16 @@ SELECT 'boiler', CAST(doc_id AS BIGINT), clean_text,
        NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
 FROM ({ORACLE_BOILER.format(banner=BOILER_BANNER)})
 UNION ALL
-SELECT 'quota', CAST(doc_id AS BIGINT), NULL::VARCHAR,
-       rk, NULL::BIGINT, NULL::BIGINT,
-       NULL::VARCHAR, source, NULL::DOUBLE
-FROM (
-    SELECT doc_id, source,
-           ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
-           ) AS rk
-    FROM documents WHERE doc_id IS NOT NULL
-) WHERE rk <= 100
+SELECT 'luhn', CAST(doc_id AS BIGINT), NULL::VARCHAR,
+       n_card_candidates, n_luhn_valid, NULL::BIGINT,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+FROM ({{LUHN_SQL}}) WHERE n_card_candidates > 0
+UNION ALL
+SELECT 'luhn_sum', NULL::BIGINT, NULL::VARCHAR,
+       COUNT(*), CAST(SUM(n_card_candidates) AS BIGINT),
+       CAST(SUM(n_luhn_valid) AS BIGINT),
+       NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE
+FROM ({{LUHN_SQL}}) WHERE n_card_candidates > 0
 UNION ALL
 SELECT 'kanon', NULL::BIGINT, NULL::VARCHAR,
        n, l_distinct, CAST(violates_k AS BIGINT),
@@ -3468,7 +3543,7 @@ SELECT 'kwtag', CAST(doc_id AS BIGINT), keyword,
 FROM ({_oracle_kwtag()})
 UNION ALL
 SELECT * FROM ({_oracle_confus()})
-"""
+""".replace("{LUHN_SQL}", _oracle_luhn())
 
 
 # --- kmeans_cluster -------------------------------------------------------------

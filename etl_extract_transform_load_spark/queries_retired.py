@@ -781,6 +781,7 @@ def retired_checks() -> dict:
         "nb_word": (retired_nb_word, oracle_nb_word()),
         "ppmi": (retired_ppmi, ORACLE_PPMI),
         "quantize_int8": (retired_quantize_int8, ORACLE_QUANT),
+        "domain_quota": (retired_domain_quota, ORACLE_DOMAIN_QUOTA),
     }
 
 
@@ -1185,4 +1186,48 @@ FROM (SELECT vec_id,
              list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> ABS(x))) AS amax
       FROM embeddings WHERE embedding IS NOT NULL)
+"""
+
+
+# --- retired curation_pii branches ----------------------------------------------
+
+
+def retired_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (scale/sampling.domain_quota_sample,
+    C4/RefinedWeb-style source caps) — the r7 'quota' branch, retired
+    when the r9 'luhn' checksum-PII family took curation_pii's last
+    budget slot (quota is a sampling-tier op with no shared
+    materialization; sampling_corpus keeps the tier's driver
+    coverage). Original slot riding preserved."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        domain_quota_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_quota_sample(docs, "source", cap=100).select(
+        F.lit("quota").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.col("quota_rank").alias("n_emails"),
+        F.lit(None).cast("long").alias("n_ips"),
+        F.lit(None).cast("long").alias("n_phones"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.lit(None).cast("double").alias("quality"),
+    )
+
+
+ORACLE_DOMAIN_QUOTA = """
+SELECT 'quota' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       NULL::VARCHAR AS clean_text,
+       rk AS n_emails, NULL::BIGINT AS n_ips, NULL::BIGINT AS n_phones,
+       NULL::VARCHAR AS lang, source, NULL::DOUBLE AS quality
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents WHERE doc_id IS NOT NULL
+) WHERE rk <= 100
 """

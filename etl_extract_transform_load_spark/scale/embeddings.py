@@ -675,32 +675,49 @@ def embedding_drift(
     )
 
     def _per(df_a: DataFrame, df_b: DataFrame, lab: str) -> DataFrame:
+        # norms ride the k-row centroid tables as plain columns, and
+        # the cross dot is materialized ONCE as a projection alias —
+        # Catalyst keeps multiply-referenced non-cheap aliases
+        # un-inlined, so the 64-term chains appear once in codegen
+        # instead of once per consuming sub-expression (the dbi
+        # `__cn` pattern; an inlined spelling measured ~2× the plan
+        # cost of the whole branch)
         a = label_centroids(df_a, lab, vec_col, dim).select(
             F.col("label"),
             F.col("n_vectors").alias("n_a"),
             F.col("centroid").alias("__ca"),
+            norm("centroid", dim).alias("__na"),
         )
         b = label_centroids(df_b, lab, vec_col, dim).select(
             F.col("label"),
             F.col("n_vectors").alias("n_b"),
             F.col("centroid").alias("__cb"),
+            norm("centroid", dim).alias("__nb"),
         )
-        j = a.join(b, "label", "full_outer")
-        na, nb = norm("__ca", dim), norm("__cb", dim)
-        d = dot("__ca", "__cb", dim)
-        both = (
-            F.col("__ca").isNotNull()
-            & F.col("__cb").isNotNull()
-            & (na > 0)
-            & (nb > 0)
+        j = a.join(b, "label", "full_outer").select(
+            "label",
+            "n_a",
+            "n_b",
+            "__na",
+            "__nb",
+            dot("__ca", "__cb", dim).alias("__d"),
+            (
+                F.col("__ca").isNotNull()
+                & F.col("__cb").isNotNull()
+                & (F.col("__na") > 0)
+                & (F.col("__nb") > 0)
+            ).alias("__ok"),
         )
+        na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
         return j.select(
             "label",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.when(both, F.round(d / (na * nb), 6)).alias("cos_sim"),
+            F.when(F.col("__ok"), F.round(d / (na * nb), 6)).alias(
+                "cos_sim"
+            ),
             F.when(
-                both,
+                F.col("__ok"),
                 F.sqrt(
                     F.greatest(
                         na * na + nb * nb - F.lit(2.0) * d, F.lit(0.0)

@@ -1013,3 +1013,90 @@ def confusables_count(col: Column) -> Column:
     return (
         F.length(col) - F.length(F.translate(col, _CONFUSABLE_SRC, ""))
     ).cast("long")
+
+
+#: RE2-safe card-candidate run: digits joined by single space/dash
+#: separators (no lookaround — DuckDB's RE2 has none; greedy star is
+#: leftmost-maximal in both engines for this shape).
+CARD_CANDIDATE_PATTERN = "[0-9](?:[ -]?[0-9])*"
+
+
+def _luhn_digit(d: Column, i: Column) -> Column:
+    return d.substr(i, F.lit(1)).cast("int")
+
+
+def luhn_card_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-verified payment-card detection — the high-precision
+    PII gate the plain digit-run scrub can't give: a 16-digit order id
+    triggers a regex, but only 1-in-10 random runs pass the Luhn
+    mod-10 checksum (ISO/IEC 7812), so validated hits are worth a
+    release block rather than a redact.
+
+    Per document: ``n_card_candidates`` (digit runs of 13-19 digits
+    after stripping single space/dash separators) and ``n_luhn_valid``
+    (candidates whose checksum holds: right-to-left, every second
+    digit doubled and 9-folded, total ≡ 0 mod 10). Pure higher-order
+    column expressions over integer arithmetic — scan-stage at
+    100 TB, no shuffle, no UDF, and integer-exact so the DuckDB twin
+    hash-matches with no rounding convention at all."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    runs = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)
+    digits = F.transform(
+        runs, lambda s: F.regexp_replace(s, F.lit("[^0-9]"), F.lit(""))
+    )
+    cands = F.filter(
+        digits, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19)
+    )
+
+    def luhn_ok(d: Column) -> Column:
+        term = lambda i: F.when(  # noqa: E731
+            (F.length(d) - i) % 2 == 1,
+            F.when(
+                _luhn_digit(d, i) * 2 > 9, _luhn_digit(d, i) * 2 - 9
+            ).otherwise(_luhn_digit(d, i) * 2),
+        ).otherwise(_luhn_digit(d, i))
+        total = F.aggregate(
+            F.sequence(F.lit(1), F.length(d)),
+            F.lit(0),
+            lambda acc, i: acc + term(i),
+        )
+        return total % 10 == 0
+
+    valid = F.filter(cands, luhn_ok)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_card_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )
+
+
+def oracle_luhn_sql(
+    src: str = "documents", text_expr: str = "COALESCE(text, '')"
+) -> str:
+    """DuckDB twin of :func:`luhn_card_signals`: same candidate regex,
+    separator strip, 13-19 length gate and integer mod-10 fold."""
+    dig = "CAST(d[i:i] AS INT)"
+    return f"""
+SELECT doc_id,
+       CAST(LEN(cands) AS BIGINT) AS n_card_candidates,
+       CAST(LEN(list_filter(cands, d ->
+            list_sum(list_transform(range(1, LENGTH(d) + 1), i ->
+                CASE WHEN (LENGTH(d) - i) % 2 = 1
+                     THEN CASE WHEN {dig} * 2 > 9
+                               THEN {dig} * 2 - 9
+                               ELSE {dig} * 2 END
+                     ELSE {dig} END)) % 10 = 0)) AS BIGINT)
+           AS n_luhn_valid
+FROM (
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   regexp_extract_all({text_expr},
+                                      '{CARD_CANDIDATE_PATTERN}'),
+                   s -> regexp_replace(s, '[^0-9]', '', 'g')),
+               d -> LENGTH(d) BETWEEN 13 AND 19) AS cands
+    FROM {src}
+)
+"""

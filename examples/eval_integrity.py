@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Eval-INTEGRITY gate — everything that must hold before a train/val/
+test release ships, every stage a verified operator from this round's
+surface:
+
+    near-dup truth          — scale.dedup.minhash_lsh_pairs
+    leakage-safe split      — scale.sampling.cluster_safe_split
+    leakage audit           — pair_split_crossings / leakage_summary
+                              (naive hash_split shown for contrast;
+                              the safe split MUST read zero)
+    benchmark decontamination — scale.dedup.containment_fractions
+                              (eval docs as the "benchmark")
+    checksum PII gate       — scale.text.luhn_card_signals
+                              (validated cards BLOCK, candidates warn)
+    embedding drift         — scale.embeddings.embedding_drift
+                              (train-half vs eval-half centroids)
+    clustering sanity       — scale.evalmetrics.clustering_agreement
+                              (split balance per class: the split
+                              must NOT be predictive of the label)
+
+Usage:  python examples/eval_integrity.py [sf_dir]
+(default /root/testdata/sf0.01). Prints the gate report and exits
+non-zero if a blocking check fails — the CI shape.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.dedup import (
+    containment_fractions,
+    minhash_lsh_pairs,
+)
+from etl_extract_transform_load_spark.scale.embeddings import (
+    embedding_drift,
+)
+from etl_extract_transform_load_spark.scale.evalmetrics import (
+    cluster_contingency,
+    clustering_agreement,
+)
+from etl_extract_transform_load_spark.scale.sampling import (
+    cluster_safe_split,
+    hash_split,
+    leakage_summary,
+    pair_split_crossings,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    luhn_card_signals,
+)
+from etl_extract_transform_load_spark.session import get_spark
+from etl_extract_transform_load_spark.sources.readers import load_table
+
+W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def run(spark, sf_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. near-dup truth + the two split policies, audited
+    pairs = minhash_lsh_pairs(docs, threshold=0.3).localCheckpoint()
+    naive = leakage_summary(
+        pair_split_crossings(hash_split(docs, W), pairs)
+    ).collect()[0]
+    split = cluster_safe_split(docs, pairs, W).localCheckpoint()
+    safe = leakage_summary(
+        pair_split_crossings(split, pairs)
+    ).collect()[0]
+
+    # 2. decontamination: is any TRAIN doc a near-container of an
+    # eval doc's content? (eval = the safe split's val+test)
+    eval_docs = split.filter(F.col("split") != "train").select(
+        "doc_id", "text"
+    )
+    train_docs = split.filter(F.col("split") == "train")
+    contam = (
+        containment_fractions(train_docs, eval_docs, n=8)
+        .filter(
+            F.col("n_contaminated") * 2 > F.col("n_grams")
+        )  # >50% contained
+        .count()
+    )
+
+    # 3. checksum PII: validated cards block the release
+    luhn = (
+        luhn_card_signals(docs)
+        .agg(
+            F.sum("n_card_candidates").alias("cands"),
+            F.sum("n_luhn_valid").alias("valid"),
+        )
+        .collect()[0]
+    )
+
+    # 4. drift between the split halves' embedding populations
+    # (labels should be distributed alike; big centroid shift means
+    # the split is confounded with content)
+    # INFORMATIONAL, not blocking: the testdata's labels are not
+    # directionally clustered (means of near-uniform unit vectors are
+    # ~zero vectors), so centroid cosine across halves is noise here —
+    # on real embeddings the per-label rows are the re-embedding /
+    # corpus-shift alarm. What IS structural: every label must appear
+    # in both halves (an appeared/vanished class blocks).
+    drift_rows = embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    ).localCheckpoint()
+    per_label = drift_rows.filter(F.col("label").isNotNull())
+    n_labels = per_label.count()
+    n_onesided = per_label.filter(
+        F.col("n_a").isNull() | F.col("n_b").isNull()
+    ).count()
+
+    # 5. split ⟂ label: agreement between the split assignment and
+    # the class label should be ~chance (NMI ≈ 0)
+    splits_as_int = split.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    ).select(
+        F.when(F.col("split") == "train", 0)
+        .when(F.col("split") == "val", 1)
+        .otherwise(2)
+        .alias("assigned_label"),
+        "label",
+    )
+    agree = clustering_agreement(
+        cluster_contingency(splits_as_int)
+    ).collect()[0]
+
+    report = {
+        "naive_leak_pairs": int(naive.n_cross or 0),
+        "safe_leak_pairs": int(safe.n_cross or 0),
+        "n_near_dup_pairs": int(safe.n_pairs),
+        "train_docs_contaminated_gt50pct": int(contam),
+        "card_candidates": int(luhn.cands or 0),
+        "cards_validated": int(luhn.valid or 0),
+        "n_embedding_labels": int(n_labels),
+        "labels_missing_from_a_half": int(n_onesided),
+        "split_label_nmi": float(agree.nmi)
+        if agree.nmi is not None
+        else None,
+    }
+    report["blocking"] = {
+        "safe_split_leaks": report["safe_leak_pairs"] > 0,
+        "validated_cards_present": report["cards_validated"] > 0,
+        "split_predicts_label": (
+            report["split_label_nmi"] is not None
+            and report["split_label_nmi"] > 0.05
+        ),
+        "class_appeared_or_vanished": report[
+            "labels_missing_from_a_half"
+        ]
+        > 0,
+    }
+    report["release_ok"] = not any(report["blocking"].values())
+    return report
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="eval_integrity", master="local[8]")
+    report = run(spark, sf)
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    return 0 if report["release_ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

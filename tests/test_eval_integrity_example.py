@@ -1,0 +1,28 @@
+"""examples/eval_integrity.py drives end-to-end at smoke scale: the
+leakage-safe split reads zero crossings while the naive contrast is
+nonzero-capable, the checksum gate sees the (card-free) corpus
+cleanly, and the release verdict follows the blocking rules."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def test_eval_integrity_gate(spark):
+    from examples.eval_integrity import run
+
+    report = run(spark, SF_ORACLE)
+    # the invariant the gate exists for
+    assert report["safe_leak_pairs"] == 0
+    assert report["n_near_dup_pairs"] > 0
+    # the corpus itself has no digits, so no cards
+    assert report["cards_validated"] == 0
+    assert report["blocking"]["validated_cards_present"] is False
+    # the hash split is independent of the label column
+    assert report["split_label_nmi"] is not None
+    assert report["split_label_nmi"] < 0.05
+    assert report["release_ok"] is True
+    # id-parity halves of the same population: every class present on
+    # both sides, none appeared/vanished
+    assert report["n_embedding_labels"] > 0
+    assert report["labels_missing_from_a_half"] == 0

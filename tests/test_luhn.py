@@ -1,0 +1,84 @@
+"""Luhn card detection: checksum correctness vs a plain-Python
+reference, separator handling, and the DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import re
+
+from etl_extract_transform_load_spark.scale.text import (
+    CARD_CANDIDATE_PATTERN,
+    luhn_card_signals,
+    oracle_luhn_sql,
+)
+from oracle import assert_matches_oracle
+
+
+def _py_luhn(d: str) -> bool:
+    total = 0
+    for pos, ch in enumerate(reversed(d)):
+        v = int(ch)
+        if pos % 2 == 1:
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0
+
+
+def _py_signals(text: str) -> tuple[int, int]:
+    runs = re.findall(CARD_CANDIDATE_PATTERN, text or "")
+    cands = [
+        re.sub(r"[^0-9]", "", r)
+        for r in runs
+    ]
+    cands = [c for c in cands if 13 <= len(c) <= 19]
+    return len(cands), sum(1 for c in cands if _py_luhn(c))
+
+
+ROWS = [
+    (1, "pay with 4111111111111111 today"),          # visa, valid
+    (2, "pay with 4111111111111112 today"),          # off-by-one
+    (3, "amex 378282246310005 and mc 5500005555555559"),  # both valid
+    (4, "dashed 4111-1111-1111-1111 ok"),            # separated, valid
+    (5, "spaced 4111 1111 1111 1111 ok"),
+    (6, "order id 123456789012 too short"),          # 12 digits: not a candidate
+    (7, "no digits at all"),
+    (8, ""),
+    (9, None),
+    (10, "two: 4111111111111111 and 4111111111111112"),
+]
+
+
+def test_matches_python_reference(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_card_candidates, r.n_luhn_valid)
+        for r in luhn_card_signals(df).collect()
+    }
+    for i, text in ROWS:
+        assert got[i] == _py_signals(text), (i, text)
+    # spot-pin the interesting cells
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    assert got[3] == (2, 2)
+    assert got[4] == (1, 1)
+    assert got[6] == (1, 0) or got[6] == (0, 0)  # length-gated out
+    assert got[6][1] == 0
+    assert got[9] == (0, 0)
+    assert got[10] == (2, 1)
+
+
+def test_oracle_twin_matches(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    vals = ", ".join(
+        f"({i}, " + ("NULL" if t is None else "'" + t + "'") + ")"
+        for i, t in ROWS
+    )
+    sql = oracle_luhn_sql(
+        f"(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM "
+        f"(VALUES {vals}) AS v(doc_id, text))"
+    )
+    assert_matches_oracle(
+        luhn_card_signals(df), sql, "/root/testdata/sf0.001"
+    )

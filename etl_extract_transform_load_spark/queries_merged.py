@@ -3741,7 +3741,11 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ari_rows = cont_rows
     for m in ("ari", "mi", "h_pred", "h_true", "nmi", "purity"):
-        ari_rows = ari_rows.unionByName(_agree_row(m))
+        # no items → no agreement report (n is NULL only on an empty
+        # contingency; the oracle mirrors the filter)
+        ari_rows = ari_rows.unionByName(
+            _agree_row(m).filter(F.col("n_vectors").isNotNull())
+        )
 
     return (
         probe_branch(
@@ -3866,6 +3870,7 @@ SELECT 'ari:' || m, NULL::INT, CAST(n AS BIGINT), NULL::VARCHAR,
 FROM ({oracle_clustering_agreement_sql(agree_pairs_sql)}),
      (SELECT UNNEST(['ari', 'mi', 'h_pred', 'h_true', 'nmi',
                      'purity']) AS m)
+WHERE n IS NOT NULL
 """
 
 

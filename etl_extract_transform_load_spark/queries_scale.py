@@ -2909,18 +2909,25 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # fifth family (r9): embedding snapshot DRIFT — the two halves of
     # the id space stand in for "last index build vs this one"
-    # (scale/embeddings.embedding_drift): per-label centroid cosine +
-    # Euclidean shift, plus the pooled global row (label NULL). Counts
-    # ride query_id/vec_id, cosine rides cos_sim, the shift rides rank
-    # as a micro-unit int (quantized ONCE from the raw double).
+    # (scale/embeddings.embedding_drift_from_states): per-label
+    # centroid cosine + Euclidean shift, plus the pooled global row
+    # (label NULL, over LABELED vectors — the state contract; the
+    # oracle mirrors the filter). The STATE path runs ONE centroid
+    # aggregation per snapshot and derives the pooled face from the
+    # k-row state — half the corpus passes of the raw-frame variant,
+    # which stays pinned ≡ this one in tests/test_streaming_drift.py.
+    # Counts ride query_id/vec_id, cosine rides cos_sim, the shift
+    # rides rank as a micro-unit int (quantized ONCE from the raw
+    # double).
     from etl_extract_transform_load_spark.scale.embeddings import (
-        embedding_drift,
+        embedding_drift_from_states,
+        label_centroid_state,
     )
 
     with timed_branch("drift"):
-        dr = embedding_drift(
-            emb.filter(F.col("vec_id") % 2 == 0),
-            emb.filter(F.col("vec_id") % 2 == 1),
+        dr = embedding_drift_from_states(
+            label_centroid_state(emb.filter(F.col("vec_id") % 2 == 0)),
+            label_centroid_state(emb.filter(F.col("vec_id") % 2 == 1)),
         ).localCheckpoint()
     drift = dr.select(
         F.lit("drift").alias("part"),
@@ -3151,12 +3158,18 @@ def _oracle_drift_sql() -> str:
     b = _centroid_sql(
         "(SELECT * FROM embeddings WHERE vec_id % 2 = 1)", "label"
     )
+    # pooled face over LABELED vectors only — the centroid-STATE
+    # contract (the state never saw NULL-label rows); the engine side
+    # derives this face from the per-label state, one corpus pass per
+    # snapshot instead of two
     ga = _centroid_sql(
-        "(SELECT embedding, 0 AS g FROM embeddings WHERE vec_id % 2 = 0)",
+        "(SELECT embedding, 0 AS g FROM embeddings"
+        " WHERE vec_id % 2 = 0 AND label IS NOT NULL)",
         "g",
     )
     gb = _centroid_sql(
-        "(SELECT embedding, 0 AS g FROM embeddings WHERE vec_id % 2 = 1)",
+        "(SELECT embedding, 0 AS g FROM embeddings"
+        " WHERE vec_id % 2 = 1 AND label IS NOT NULL)",
         "g",
     )
 

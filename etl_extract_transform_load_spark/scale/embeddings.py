@@ -669,68 +669,187 @@ def embedding_drift(
     combine shuffle each) and a k-row full-outer join — nothing
     corpus-sized moves, any corpus size ends in a |labels|-row
     report."""
-    from etl_extract_transform_load_spark.scale.similarity import (
-        dot,
-        norm,
+    per = _drift_faces(
+        label_centroids(emb_a, label_col, vec_col, dim),
+        label_centroids(emb_b, label_col, vec_col, dim),
+        dim,
+    )
+    pooled = _drift_faces(
+        label_centroids(
+            emb_a.withColumn("__all", F.lit(0)), "__all", vec_col, dim
+        ),
+        label_centroids(
+            emb_b.withColumn("__all", F.lit(0)), "__all", vec_col, dim
+        ),
+        dim,
+    ).select(
+        F.lit(None).cast(per.schema["label"].dataType).alias("label"),
+        "n_a",
+        "n_b",
+        "cos_sim",
+        "shift",
+    )
+    return per.unionByName(pooled)
+
+
+def _drift_faces(
+    cent_a: DataFrame, cent_b: DataFrame, dim: int
+) -> DataFrame:
+    """Drift rows from two (label, n_vectors, centroid) tables — the
+    shared core of :func:`embedding_drift` (raw snapshots) and
+    :func:`embedding_drift_from_states` (standing folds). Norms ride
+    the k-row centroid tables as plain columns, and the cross dot is
+    materialized ONCE as a projection alias — Catalyst keeps
+    multiply-referenced non-cheap aliases un-inlined, so the 64-term
+    chains appear once in codegen instead of once per consuming
+    sub-expression (the dbi `__cn` pattern; an inlined spelling
+    measured ~2× the plan cost of the whole branch)."""
+    a = cent_a.select(
+        F.col("label"),
+        F.col("n_vectors").alias("n_a"),
+        F.col("centroid").alias("__ca"),
+        norm("centroid", dim).alias("__na"),
+    )
+    b = cent_b.select(
+        F.col("label"),
+        F.col("n_vectors").alias("n_b"),
+        F.col("centroid").alias("__cb"),
+        norm("centroid", dim).alias("__nb"),
+    )
+    j = a.join(b, "label", "full_outer").select(
+        "label",
+        "n_a",
+        "n_b",
+        "__na",
+        "__nb",
+        dot("__ca", "__cb", dim).alias("__d"),
+        (
+            F.col("__ca").isNotNull()
+            & F.col("__cb").isNotNull()
+            & (F.col("__na") > 0)
+            & (F.col("__nb") > 0)
+        ).alias("__ok"),
+    )
+    na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
+    return j.select(
+        "label",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(F.col("__ok"), F.round(d / (na * nb), 6)).alias(
+            "cos_sim"
+        ),
+        F.when(
+            F.col("__ok"),
+            F.sqrt(
+                F.greatest(
+                    na * na + nb * nb - F.lit(2.0) * d, F.lit(0.0)
+                )
+            ),
+        ).alias("shift"),
     )
 
-    def _per(df_a: DataFrame, df_b: DataFrame, lab: str) -> DataFrame:
-        # norms ride the k-row centroid tables as plain columns, and
-        # the cross dot is materialized ONCE as a projection alias —
-        # Catalyst keeps multiply-referenced non-cheap aliases
-        # un-inlined, so the 64-term chains appear once in codegen
-        # instead of once per consuming sub-expression (the dbi
-        # `__cn` pattern; an inlined spelling measured ~2× the plan
-        # cost of the whole branch)
-        a = label_centroids(df_a, lab, vec_col, dim).select(
-            F.col("label"),
-            F.col("n_vectors").alias("n_a"),
-            F.col("centroid").alias("__ca"),
-            norm("centroid", dim).alias("__na"),
-        )
-        b = label_centroids(df_b, lab, vec_col, dim).select(
-            F.col("label"),
-            F.col("n_vectors").alias("n_b"),
-            F.col("centroid").alias("__cb"),
-            norm("centroid", dim).alias("__nb"),
-        )
-        j = a.join(b, "label", "full_outer").select(
-            "label",
-            "n_a",
-            "n_b",
-            "__na",
-            "__nb",
-            dot("__ca", "__cb", dim).alias("__d"),
-            (
-                F.col("__ca").isNotNull()
-                & F.col("__cb").isNotNull()
-                & (F.col("__na") > 0)
-                & (F.col("__nb") > 0)
-            ).alias("__ok"),
-        )
-        na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
-        return j.select(
-            "label",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.when(F.col("__ok"), F.round(d / (na * nb), 6)).alias(
-                "cos_sim"
-            ),
-            F.when(
-                F.col("__ok"),
-                F.sqrt(
-                    F.greatest(
-                        na * na + nb * nb - F.lit(2.0) * d, F.lit(0.0)
-                    )
-                ),
-            ).alias("shift"),
-        )
 
-    per = _per(emb_a, emb_b, label_col)
-    pooled = _per(
-        emb_a.withColumn("__all", F.lit(0)),
-        emb_b.withColumn("__all", F.lit(0)),
-        "__all",
+def label_centroid_state(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """MERGEABLE per-label centroid state: ``(label, n_vectors,
+    __s0..__s{dim-1})`` with the per-dimension sums as exact decimals
+    — the standing-fold face of :func:`label_centroids`. Decimal
+    addition is associative and commutative, so states folded one
+    micro-batch at a time equal the one-shot aggregation EXACTLY
+    (pinned in tests/test_streaming_drift.py under real
+    micro-batches). Same row contract as label_centroids: NULL
+    vector / NULL label / zero-norm rows are dropped."""
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (norm(vec_col, dim) > 0)
+    )
+    return df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
+    )
+
+
+def merge_centroid_states(
+    a: DataFrame, b: DataFrame, dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Fold two centroid states into one (union + re-sum). The re-sum
+    casts back to the state's decimal(27,10) so the schema is stable
+    across any fold depth (Spark widens SUM(decimal) precision;
+    elements are O(1) floats, so 17 integer digits cannot overflow
+    on any realistic corpus)."""
+    return (
+        a.unionByName(b)
+        .groupBy("label")
+        .agg(
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+            *[
+                F.sum(f"__s{i}").cast(_SUM_DECIMAL).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+
+
+def pooled_centroid_state(
+    state: DataFrame, dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Collapse a per-label state to the single pooled row (over
+    LABELED vectors — the state never saw NULL-label rows)."""
+    return state.groupBy(F.lit(0).alias("label")).agg(
+        F.sum("n_vectors").cast("long").alias("n_vectors"),
+        *[
+            F.sum(f"__s{i}").cast(_SUM_DECIMAL).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+
+
+def centroids_from_state(
+    state: DataFrame, dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """(label, n_vectors, centroid) from a centroid state — the same
+    6-dp rounded divide :func:`label_centroids` applies, so
+    ``centroids_from_state(label_centroid_state(df)) ==
+    label_centroids(df)`` bit-for-bit."""
+    centroid = F.array(
+        *[
+            F.round(
+                F.col(f"__s{i}").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            )
+            for i in range(dim)
+        ]
+    )
+    return state.select("label", "n_vectors", centroid.alias("centroid"))
+
+
+def embedding_drift_from_states(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """:func:`embedding_drift` computed from two STANDING centroid
+    states instead of raw snapshots — the continuous-monitoring path:
+    fold batches into each side's state as they arrive (O(batch) per
+    fold, |labels|-row state), derive the drift report on demand.
+    One caveat vs the raw-frame variant: the pooled row covers
+    LABELED vectors only (the state drops NULL labels at ingest);
+    identical whenever labels are complete, and pinned ≡ the raw
+    variant in tests/test_streaming_drift.py."""
+    per = _drift_faces(
+        centroids_from_state(state_a, dim),
+        centroids_from_state(state_b, dim),
+        dim,
+    )
+    pooled = _drift_faces(
+        centroids_from_state(pooled_centroid_state(state_a, dim), dim),
+        centroids_from_state(pooled_centroid_state(state_b, dim), dim),
+        dim,
     ).select(
         F.lit(None).cast(per.schema["label"].dataType).alias("label"),
         "n_a",

@@ -362,7 +362,14 @@ def test_similarity_family_survives_empty_tables(spark, tmp_path):
         "embedding_neardup_lsh",
         "kmeans_cluster",
     ):
-        assert qs[name](spark, str(tmp_path)).count() == 0, name
+        rows = qs[name](spark, str(tmp_path)).collect()
+        # AGGREGATE quality-report rows (the eprq banding P/R family)
+        # legitimately exist over an empty corpus — as all-zero
+        # counts with NULL ratios; everything data-shaped must vanish
+        summaries = [r for r in rows if str(r[0]).startswith("eprq")]
+        assert len(rows) == len(summaries), name
+        for r in summaries:
+            assert (r.id_a, r.id_b, r.cos_sim) == (0, 0, None), name
 
 
 def test_dedup_incremental_admit_set(spark):

@@ -1,0 +1,119 @@
+"""Embedding drift as a CONTINUOUS monitor: per-label centroid state
+(decimal sums + counts) folded one REAL micro-batch at a time must
+equal the one-shot aggregation bit-for-bit (decimal addition is
+order-free), and the drift report derived from two standing states
+must equal the raw-snapshot embedding_drift. The production shape:
+the baseline state is frozen at release time, the live state folds
+every ingest batch, and the report is a |labels|-row join on demand —
+no batch ever re-reads the corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _collect_report(df):
+    return {
+        r.label: (r.n_a, r.n_b, r.cos_sim, r.shift)
+        for r in df.collect()
+    }
+
+
+def test_streaming_state_fold_equals_batch(spark, tmp_path):
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        centroids_from_state,
+        embedding_drift,
+        embedding_drift_from_states,
+        label_centroid_state,
+        label_centroids,
+        merge_centroid_states,
+    )
+    from etl_extract_transform_load_spark.streaming.ingest import (
+        file_stream_source,
+        foreach_batch_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)   # frozen baseline
+    live = emb.filter(F.col("vec_id") % 2 == 1)   # arrives in batches
+
+    src = str(tmp_path / "src")
+    live.repartition(5).write.parquet(src)
+
+    state_dir = str(tmp_path / "state")
+    holder = {"v": -1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        new = label_centroid_state(batch)
+        if holder["v"] >= 0:
+            prev = spark.read.parquet(f"{state_dir}/v{holder['v']}")
+            new = merge_centroid_states(prev, new)
+        new.write.parquet(f"{state_dir}/v{batch_id}")
+        holder["v"] = batch_id
+
+    stream = file_stream_source(
+        spark, src, schema=live.schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ingest(
+        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+    assert holder["v"] >= 0
+
+    folded = spark.read.parquet(f"{state_dir}/v{holder['v']}")
+
+    # 1. the folded state's centroids == the one-shot aggregation,
+    # bit for bit (decimal sums are order-free)
+    got_c = {
+        r.label: (r.n_vectors, list(r.centroid))
+        for r in centroids_from_state(folded).collect()
+    }
+    want_c = {
+        r.label: (r.n_vectors, list(r.centroid))
+        for r in label_centroids(live).collect()
+    }
+    assert got_c == want_c
+
+    # 2. drift derived from states == drift from raw snapshots
+    # (labels are complete in this slice, so the pooled rows agree)
+    got = _collect_report(
+        embedding_drift_from_states(
+            label_centroid_state(base), folded
+        )
+    )
+    want = _collect_report(embedding_drift(base, live))
+    assert got == want
+    assert None in got  # pooled row present
+    assert len(got) > 1
+
+
+def test_merge_is_associative(spark):
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        centroids_from_state,
+        label_centroid_state,
+        merge_centroid_states,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    s1 = label_centroid_state(emb.filter(F.col("vec_id") % 3 == 0))
+    s2 = label_centroid_state(emb.filter(F.col("vec_id") % 3 == 1))
+    s3 = label_centroid_state(emb.filter(F.col("vec_id") % 3 == 2))
+    left = merge_centroid_states(merge_centroid_states(s1, s2), s3)
+    right = merge_centroid_states(s1, merge_centroid_states(s2, s3))
+    a = {
+        r.label: (r.n_vectors, list(r.centroid))
+        for r in centroids_from_state(left).collect()
+    }
+    b = {
+        r.label: (r.n_vectors, list(r.centroid))
+        for r in centroids_from_state(right).collect()
+    }
+    assert a == b

@@ -925,8 +925,16 @@ GROUP BY e.source
 """
 
 from etl_extract_transform_load_spark.scale.packing import (  # noqa: E402
+    FIM_MID as _FIM_MID,
+    FIM_PRE as _FIM_PRE,
+    FIM_SUF as _FIM_SUF,
     oracle_fim_sql as _oracle_fim_sql,
 )
+
+#: the carrier coalesces text at load — the twin must see the same
+#: input (the raw-text default would keep NULL docs out of the gate)
+_FIM_ORACLE = _oracle_fim_sql(text_expr="COALESCE(text, '')")
+_FIM_SENTINEL_LEN = len(_FIM_PRE) + len(_FIM_SUF) + len(_FIM_MID)
 
 ORACLE_PACK = ORACLE_PACK.replace(
     "{EPOCHS_SQL}",
@@ -939,19 +947,20 @@ FROM ({_oracle_interleave_sql()})
 UNION ALL
 SELECT 'fim:' || fim_mode, NULL::VARCHAR, NULL::BIGINT, doc_id,
        cut1, n_chars_orig, NULL::BIGINT, cut2, fim_text
-FROM ({_oracle_fim_sql()})
+FROM ({_FIM_ORACLE})
 UNION ALL
 SELECT 'fim:sum', NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
        CAST(SUM(CASE WHEN fim_mode = 'psm' THEN 1 ELSE 0 END)
             AS BIGINT),
        CAST(SUM(CASE WHEN fim_mode = 'psm'
-                      AND LENGTH(fim_text) <> n_chars_orig + 15
+                      AND LENGTH(fim_text)
+                          <> n_chars_orig + {_FIM_SENTINEL_LEN}
                      THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(*),
        CAST(SUM(CASE WHEN fim_mode = 'psm' THEN 0 ELSE 1 END)
             AS BIGINT),
        NULL::VARCHAR
-FROM ({_oracle_fim_sql()})
+FROM ({_FIM_ORACLE})
 """
 
 

@@ -762,14 +762,26 @@ def label_centroid_state(
     micro-batch at a time equal the one-shot aggregation EXACTLY
     (pinned in tests/test_streaming_drift.py under real
     micro-batches). Same row contract as label_centroids: NULL
-    vector / NULL label / zero-norm rows are dropped."""
+    vector / NULL label / zero-norm rows are dropped.
+
+    The sums are cast back to decimal(27,10) (Spark widens
+    SUM(decimal) to (37,10)) so a fresh state and a merged state share
+    ONE schema — a consumer appending state versions into a single
+    dataset must not need mergeSchema. Scale 10 is unchanged, so the
+    cast is value-exact (17 integer digits cover any realistic
+    corpus) and ``centroids_from_state`` stays bit-equal to
+    :func:`label_centroids`."""
     df = df.filter(
         F.col(vec_col).isNotNull()
         & F.col(label_col).isNotNull()
         & (norm(vec_col, dim) > 0)
     )
     return df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[
+            s.cast(_SUM_DECIMAL).alias(f"__s{i}")
+            for i, s in enumerate(_dim_sums(vec_col, dim))
+        ],
     )
 
 

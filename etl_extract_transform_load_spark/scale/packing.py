@@ -617,10 +617,14 @@ def oracle_fim_sql(
     rate: float = 0.5,
     salt: int = 0,
     src: str = "documents",
-    text_expr: str = "COALESCE(text, '')",
+    text_expr: str = "text",
 ) -> str:
     """DuckDB twin of :func:`fim_transform` over ``src``: the same
-    Knuth-hash gate and cut points, 1-based SUBSTR arithmetic."""
+    Knuth-hash gate and cut points, 1-based SUBSTR arithmetic, and the
+    same NULL contract — NULL text passes through as ('keep', NULL
+    text/cuts, NULL n_chars_orig), never coalesced to '' (a coalescing
+    twin would disagree with the engine on any gate-passing NULL-text
+    id)."""
     from etl_extract_transform_load_spark.scale.sampling import (
         BUCKETS,
         KNUTH_HASH,
@@ -648,7 +652,8 @@ FROM (
            c1 + ({h(salt + _FIM_SALT_CUT2)} % (L - c1 + 1)) AS c2
     FROM (
         SELECT doc_id, t, L,
-               CASE WHEN {g} THEN 'psm' ELSE 'keep' END AS fim_mode,
+               CASE WHEN t IS NOT NULL AND {g} THEN 'psm'
+                    ELSE 'keep' END AS fim_mode,
                {h(salt + _FIM_SALT_CUT1)} % (L + 1) AS c1
         FROM (SELECT doc_id, {text_expr} AS t,
                      LENGTH({text_expr}) AS L FROM {src})

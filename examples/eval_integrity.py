@@ -115,11 +115,12 @@ def run(spark, sf_dir: str) -> dict:
         F.col("n_a").isNull() | F.col("n_b").isNull()
     ).count()
 
-    # 5. split ⟂ label: agreement between the split assignment and
-    # the class label should be ~chance (NMI ≈ 0)
-    splits_as_int = split.join(
-        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
-    ).select(
+    # 5. split ⟂ label: assign the EMBEDDED items themselves to
+    # splits by the same deterministic policy (vec_id is the
+    # embeddings table's own id space — do NOT equate it with doc_id)
+    # and check the assignment carries no information about the class
+    # label (NMI ≈ 0)
+    splits_as_int = hash_split(emb, W, id_col="vec_id").select(
         F.when(F.col("split") == "train", 0)
         .when(F.col("split") == "val", 1)
         .otherwise(2)
@@ -145,6 +146,10 @@ def run(spark, sf_dir: str) -> dict:
     }
     report["blocking"] = {
         "safe_split_leaks": report["safe_leak_pairs"] > 0,
+        "train_contaminates_eval": report[
+            "train_docs_contaminated_gt50pct"
+        ]
+        > 0,
         "validated_cards_present": report["cards_validated"] > 0,
         "split_predicts_label": (
             report["split_label_nmi"] is not None

@@ -90,6 +90,36 @@ def test_summary_conserves(spark):
     assert 0 < row.n_psm < 203
 
 
+def test_oracle_twin_matches_on_null_text(spark):
+    """The oracle must share the engine's NULL contract: NULL text →
+    ('keep', NULL, NULL cuts, NULL length) even for gate-passing ids
+    (a coalescing twin would emit 'psm' with sentinel-only text)."""
+    from etl_extract_transform_load_spark.scale.packing import (
+        oracle_fim_sql,
+    )
+    from oracle import assert_matches_oracle
+
+    rows = [(i, f"text {i} " * 3) for i in range(40)]
+    rows += [(100, None), (101, ""), (104, None)]  # 104 % gate varies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = ", ".join(
+        f"({i}, " + ("NULL" if t is None else "'" + t + "'") + ")"
+        for i, t in rows
+    )
+    sql = oracle_fim_sql(
+        src=f"(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM "
+            f"(VALUES {vals}) AS v(doc_id, text))"
+    )
+    assert_matches_oracle(
+        fim_transform(df).select(
+            "doc_id", "fim_mode", "fim_text", "cut1", "cut2",
+            "n_chars_orig",
+        ),
+        sql,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_rate_zero_and_one(spark):
     df = _docs(spark)
     all_keep = fim_transform(df, rate=0.0).select("fim_mode").distinct()

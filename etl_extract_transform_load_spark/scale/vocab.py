@@ -530,3 +530,145 @@ def oracle_heaps_fit_sql(n_points: int = 10) -> str:
     return _oracle_ols_loglog_sql(
         oracle_heaps_points_sql(n_points), "cum_tokens", "vocab_size"
     )
+
+
+def source_divergence_matrix(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of domains'
+    unigram distributions — the "which sources are redundant / which
+    add something new" number a mixture designer reads before
+    weighting (Lin 1991): one row per unordered pair ``(src_a, src_b,
+    n_a, n_b, jsd)`` with ``jsd ∈ [0, ln 2]`` in nats (0 = identical
+    distributions, ln 2 ≈ 0.6931 = disjoint support).
+
+    Exact-ish and engine-portable by the house spelling: probabilities
+    are exact integer ratios in double; each token's pair term
+
+        (p_a·ln(p_a/m) + p_b·ln(p_b/m)) / 2,   m = (p_a + p_b)/2
+
+    is 12-dp rounded BEFORE a decimal(38,12) sum (order-free; 6 dp
+    would be coarser than the 1/N probabilities themselves), with
+    one-sided tokens contributing their closed ``p·ln 2 / 2`` arm via
+    COALESCE(p, 0) — no smoothing needed, JSD is finite on disjoint
+    support (the reason it beats KL for corpus comparison).
+
+    Scale shape: ONE (domain, token) combine-shuffled count table
+    (per-doc repeats collapse map-side), a broadcast |domains|-row
+    totals join, one self-join on token (token-major: |vocab|·pairs
+    rows only where support overlaps — never a cartesian), plus the
+    closed one-sided remainders derived from per-domain entropy-style
+    sums of the OVERLAP mass (no second corpus pass). NULL domains
+    are their own class via COALESCE to '<null>'."""
+    dom = F.coalesce(F.col(domain_col).cast("string"), F.lit("<null>"))
+    tok = (
+        docs.select(dom.alias("__d"), F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__d", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = tok.groupBy("__d").agg(F.sum("__c").cast("long").alias("__n"))
+    p = tok.join(F.broadcast(totals), "__d").select(
+        "__d",
+        "__t",
+        (F.col("__c").cast("double") / F.col("__n").cast("double")).alias(
+            "__p"
+        ),
+    )
+    a = p.select(
+        F.col("__d").alias("src_a"), "__t", F.col("__p").alias("__pa")
+    )
+    b = p.select(
+        F.col("__d").alias("src_b"), "__t", F.col("__p").alias("__pb")
+    )
+    # overlap terms: both sides present
+    ln2 = 0.6931471805599453
+    both = a.join(b, "__t").filter(F.col("src_a") < F.col("src_b"))
+    m = (F.col("__pa") + F.col("__pb")) / 2.0
+    overlap = both.groupBy("src_a", "src_b").agg(
+        F.sum(
+            F.round(
+                (
+                    F.col("__pa") * F.log(F.col("__pa") / m)
+                    + F.col("__pb") * F.log(F.col("__pb") / m)
+                )
+                / 2.0,
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__ov"),
+        # the overlap MASS per side — what's left is one-sided and
+        # contributes exactly (1 - mass)·ln2/2 per side, closed form
+        F.sum(
+            F.round(F.col("__pa"), 12).cast("decimal(38,12)")
+        ).alias("__ma"),
+        F.sum(
+            F.round(F.col("__pb"), 12).cast("decimal(38,12)")
+        ).alias("__mb"),
+    )
+    # every unordered domain pair (so disjoint-support pairs still get
+    # a row with jsd = ln 2), with counts attached
+    ta = totals.select(
+        F.col("__d").alias("src_a"), F.col("__n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("__d").alias("src_b"), F.col("__n").alias("n_b")
+    )
+    pairs = (
+        ta.crossJoin(F.broadcast(tb))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(overlap), ["src_a", "src_b"], "left")
+    )
+    jsd = (
+        F.coalesce(F.col("__ov").cast("double"), F.lit(0.0))
+        + (
+            F.lit(2.0)
+            - F.coalesce(F.col("__ma").cast("double"), F.lit(0.0))
+            - F.coalesce(F.col("__mb").cast("double"), F.lit(0.0))
+        )
+        * ln2
+        / 2.0
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.round(jsd, 6).alias("jsd"),
+    )
+
+
+def oracle_source_divergence_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`source_divergence_matrix`: same token
+    split, same 6-dp-term decimal sums, same closed one-sided arm."""
+    return f"""
+WITH sdtok AS (
+    SELECT COALESCE(CAST(source AS VARCHAR), '<null>') AS d,
+           UNNEST(CASE WHEN TRIM(LOWER(COALESCE(text, ''))) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(
+                           TRIM(LOWER(COALESCE(text, ''))), '\\s+')
+                  END) AS t
+    FROM {src}),
+sdc AS (SELECT d, t, COUNT(*) AS c FROM sdtok GROUP BY d, t),
+sdn AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM sdc GROUP BY d),
+sdp AS (
+    SELECT sdc.d, sdc.t, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+    FROM sdc JOIN sdn ON sdc.d = sdn.d),
+sdov AS (
+    SELECT a.d AS src_a, b.d AS src_b,
+           SUM(CAST(ROUND((a.p * LN(a.p / ((a.p + b.p) / 2.0))
+                           + b.p * LN(b.p / ((a.p + b.p) / 2.0)))
+                          / 2.0, 12) AS DECIMAL(38,12))) AS ov,
+           SUM(CAST(ROUND(a.p, 12) AS DECIMAL(38,12))) AS ma,
+           SUM(CAST(ROUND(b.p, 12) AS DECIMAL(38,12))) AS mb
+    FROM sdp a JOIN sdp b ON a.t = b.t AND a.d < b.d
+    GROUP BY a.d, b.d)
+SELECT x.d AS src_a, y.d AS src_b, x.n AS n_a, y.n AS n_b,
+       ROUND(COALESCE(CAST(ov AS DOUBLE), 0.0)
+             + (2.0 - COALESCE(CAST(ma AS DOUBLE), 0.0)
+                    - COALESCE(CAST(mb AS DOUBLE), 0.0))
+               * 0.6931471805599453 / 2.0, 6) AS jsd
+FROM sdn x JOIN sdn y ON x.d < y.d
+LEFT JOIN sdov ON sdov.src_a = x.d AND sdov.src_b = y.d
+"""

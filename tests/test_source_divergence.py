@@ -1,0 +1,116 @@
+"""Jensen-Shannon source-divergence matrix: scipy-free python
+reference, metric properties, disjoint-support closed form, and the
+dtype-strict DuckDB oracle twin at sf0.01 (the registered-query gate
+applied from pytest).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from etl_extract_transform_load_spark.scale.vocab import (
+    oracle_source_divergence_sql,
+    source_divergence_matrix,
+)
+from oracle import assert_matches_oracle
+from tests.conftest import SF_ORACLE
+
+
+def _py_jsd(texts_a: list[str], texts_b: list[str]) -> float:
+    ca = Counter(t for s in texts_a for t in s.lower().split())
+    cb = Counter(t for s in texts_b for t in s.lower().split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    total = 0.0
+    for t in set(ca) | set(cb):
+        pa, pb = ca[t] / na if na else 0.0, cb[t] / nb if nb else 0.0
+        m = (pa + pb) / 2
+        if pa:
+            total += pa * math.log(pa / m) / 2
+        if pb:
+            total += pb * math.log(pb / m) / 2
+    return total
+
+
+def _docs(spark, groups: dict):
+    rows = [
+        (i * 1000 + j, text, src)
+        for i, (src, texts) in enumerate(sorted(groups.items()))
+        for j, text in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_matches_python_reference(spark):
+    groups = {
+        "a": ["spark joins tables fast", "joins and scans", "fast fast scan"],
+        "b": ["spark joins tables slowly", "windows and sorts", "agg agg agg"],
+        "c": ["completely different words entirely", "nothing shared here"],
+    }
+    got = {
+        (r.src_a, r.src_b): r.jsd
+        for r in source_divergence_matrix(_docs(spark, groups)).collect()
+    }
+    for (x, y), jsd in got.items():
+        want = _py_jsd(groups[x], groups[y])
+        assert jsd == pytest.approx(want, abs=5e-6), (x, y)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # ordering sanity: a is closer to b (shared tokens) than to c
+    assert got[("a", "b")] < got[("a", "c")]
+
+
+def test_identical_and_disjoint_extremes(spark):
+    same = ["alpha beta gamma", "beta gamma delta"]
+    groups = {
+        "x": same,
+        "y": list(same),
+        "z": ["epsilon zeta", "eta theta epsilon"],
+    }
+    got = {
+        (r.src_a, r.src_b): r
+        for r in source_divergence_matrix(_docs(spark, groups)).collect()
+    }
+    assert got[("x", "y")].jsd == pytest.approx(0.0, abs=1e-9)
+    ln2 = math.log(2)
+    assert got[("x", "z")].jsd == pytest.approx(ln2, abs=1e-6)
+    assert got[("y", "z")].jsd == pytest.approx(ln2, abs=1e-6)
+    assert got[("x", "y")].n_a == got[("x", "y")].n_b == 6
+
+
+def test_oracle_twin_matches_strict(spark):
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert_matches_oracle(
+        source_divergence_matrix(docs),
+        oracle_source_divergence_sql(),
+        SF_ORACLE,
+    )
+
+
+def test_oracle_twin_matches_adversarial(spark):
+    """Same strict twin over the planted-edge copy (NULL text, NULL
+    source → the '<null>' class, unicode traps) when it exists."""
+    import os
+
+    adv = "/tmp/testdata_adversarial"
+    if not os.path.isdir(adv):
+        import pytest as _pytest
+
+        _pytest.skip("adversarial copy not generated")
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, adv, "documents")
+    assert_matches_oracle(
+        source_divergence_matrix(docs),
+        oracle_source_divergence_sql(),
+        adv,
+    )

@@ -663,7 +663,12 @@ def embedding_drift(
     micro-quantize ONCE (the post-cast re-round trap). A label present
     in only one snapshot keeps its counts and NULL cos/shift — the
     appeared/vanished-class signal a drift monitor most needs. The
-    global row (label NULL) compares the pooled mean vectors.
+    global row (label NULL) compares the pooled mean vectors of the
+    LABELED population — the same contract as
+    :func:`embedding_drift_from_states` (whose standing state never
+    saw NULL-label rows), so the two variants agree on ANY corpus,
+    labels complete or not (r9 ADVICE: the old pooled face let
+    NULL-label vectors in through the ``__all`` relabel).
 
     Scale shape: two centroid aggregations (decimal tree-agg, one
     combine shuffle each) and a k-row full-outer join — nothing
@@ -674,12 +679,16 @@ def embedding_drift(
         label_centroids(emb_b, label_col, vec_col, dim),
         dim,
     )
+    # pooled face over LABELED vectors only: the __all relabel would
+    # otherwise smuggle NULL-label rows past label_centroids' drop
+    labeled_a = emb_a.filter(F.col(label_col).isNotNull())
+    labeled_b = emb_b.filter(F.col(label_col).isNotNull())
     pooled = _drift_faces(
         label_centroids(
-            emb_a.withColumn("__all", F.lit(0)), "__all", vec_col, dim
+            labeled_a.withColumn("__all", F.lit(0)), "__all", vec_col, dim
         ),
         label_centroids(
-            emb_b.withColumn("__all", F.lit(0)), "__all", vec_col, dim
+            labeled_b.withColumn("__all", F.lit(0)), "__all", vec_col, dim
         ),
         dim,
     ).select(
@@ -849,10 +858,10 @@ def embedding_drift_from_states(
     states instead of raw snapshots — the continuous-monitoring path:
     fold batches into each side's state as they arrive (O(batch) per
     fold, |labels|-row state), derive the drift report on demand.
-    One caveat vs the raw-frame variant: the pooled row covers
-    LABELED vectors only (the state drops NULL labels at ingest);
-    identical whenever labels are complete, and pinned ≡ the raw
-    variant in tests/test_streaming_drift.py."""
+    The pooled row covers LABELED vectors only (the state drops NULL
+    labels at ingest) — the raw-frame variant applies the same
+    filter, so the two are identical on ANY corpus; pinned ≡
+    (including a NULL-label slice) in tests/test_streaming_drift.py."""
     per = _drift_faces(
         centroids_from_state(state_a, dim),
         centroids_from_state(state_b, dim),

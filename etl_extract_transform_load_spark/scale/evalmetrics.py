@@ -910,12 +910,37 @@ def cluster_contingency(
     the sufficient statistic for EVERY external clustering-validation
     index (Rand/ARI, mutual information, purity). One combine shuffle
     on the (pred, true) key; state = k_pred × k_true cells regardless
-    of corpus size. NULL labels on either side are their own class
-    (coalesced to -1, so the cross-engine hash sees them)."""
+    of corpus size. NULL labels on either side are their own class,
+    coalesced to a sentinel OUTSIDE any plausible label space
+    (``-2^62``, not ``-1`` — DBSCAN-style noise points legitimately
+    use -1; r9 ADVICE) and kept as ``long`` so wide labels group
+    exactly instead of wrapping through int32. A real label equal to
+    the sentinel raises rather than silently merging with the NULL
+    class."""
     return assignments.groupBy(
-        F.coalesce(F.col(pred_col).cast("int"), F.lit(-1)).alias("pred"),
-        F.coalesce(F.col(true_col).cast("int"), F.lit(-1)).alias("truth"),
+        _contingency_label(pred_col).alias("pred"),
+        _contingency_label(true_col).alias("truth"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+#: NULL-label class sentinel for :func:`cluster_contingency` — far
+#: outside any plausible cluster-label space (labels are cluster ids
+#: or class ids; -1 is reserved by convention for noise points).
+NULL_LABEL_SENTINEL = -(2**62)
+
+
+def _contingency_label(col: str) -> Column:
+    c = F.col(col).cast("long")
+    guarded = F.when(
+        c == NULL_LABEL_SENTINEL,
+        F.raise_error(
+            F.lit(
+                f"cluster_contingency: label column '{col}' contains "
+                f"the NULL-class sentinel {NULL_LABEL_SENTINEL}"
+            )
+        ).cast("long"),
+    ).otherwise(c)
+    return F.coalesce(guarded, F.lit(NULL_LABEL_SENTINEL).cast("long"))
 
 
 def clustering_agreement(cont: DataFrame) -> DataFrame:
@@ -1022,13 +1047,15 @@ def clustering_agreement(cont: DataFrame) -> DataFrame:
 def oracle_clustering_agreement_sql(pairs_sql: str) -> str:
     """DuckDB twin of :func:`cluster_contingency` +
     :func:`clustering_agreement` over ``pairs_sql`` producing
-    ``(pred, true)`` rows (NULLs pre-coalesced by the caller or here
-    via the same -1 convention)."""
+    ``(pred, true)`` rows (NULLs coalesced here to the same
+    out-of-label-space sentinel the engine uses,
+    :data:`NULL_LABEL_SENTINEL`, as BIGINT)."""
     return f"""
 WITH ca_pairs AS ({pairs_sql}),
 ca_ct AS (
-    SELECT COALESCE(CAST(pred AS INT), -1) AS pred,
-           COALESCE(CAST(truth AS INT), -1) AS t, COUNT(*) AS n
+    SELECT COALESCE(CAST(pred AS BIGINT), {NULL_LABEL_SENTINEL}) AS pred,
+           COALESCE(CAST(truth AS BIGINT), {NULL_LABEL_SENTINEL}) AS t,
+           COUNT(*) AS n
     FROM ca_pairs GROUP BY 1, 2),
 ca_tot AS (
     SELECT SUM(n) AS nt, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pc

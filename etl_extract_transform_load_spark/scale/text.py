@@ -1037,10 +1037,19 @@ def luhn_card_signals(
     Per document: ``n_card_candidates`` (digit runs of 13-19 digits
     after stripping single space/dash separators) and ``n_luhn_valid``
     (candidates whose checksum holds: right-to-left, every second
-    digit doubled and 9-folded, total ≡ 0 mod 10). Pure higher-order
-    column expressions over integer arithmetic — scan-stage at
-    100 TB, no shuffle, no UDF, and integer-exact so the DuckDB twin
-    hash-matches with no rounding convention at all."""
+    digit doubled and 9-folded, total ≡ 0 mod 10), plus the over-long
+    recall arm (r9 ADVICE — a PAN adjacent to other digits or joined
+    by double separators yields a 20+-digit run the length gate
+    drops): ``n_overlong_runs`` (runs longer than 19 digits) and
+    ``n_overlong_with_card`` (over-long runs containing at least ONE
+    Luhn-valid 13-19-digit window — counted per RUN, not per window,
+    since nested windows of one PAN are one leak). The window sweep is
+    Θ(run length) with a ≤ 7·19-term constant, still scan-stage; note
+    an all-zeros run passes Luhn by definition (sum 0), as in every
+    checksum-only detector. Pure higher-order column expressions over
+    integer arithmetic — scan-stage at 100 TB, no shuffle, no UDF, and
+    integer-exact so the DuckDB twin hash-matches with no rounding
+    convention at all."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     runs = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)
     digits = F.transform(
@@ -1049,6 +1058,7 @@ def luhn_card_signals(
     cands = F.filter(
         digits, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19)
     )
+    overs = F.filter(digits, lambda d: F.length(d) > 19)
 
     def luhn_ok(d: Column) -> Column:
         term = lambda i: F.when(  # noqa: E731
@@ -1064,11 +1074,25 @@ def luhn_card_signals(
         )
         return total % 10 == 0
 
+    def window_hit(d: Column) -> Column:
+        # any Luhn-valid window of width 13..19 anywhere in the run;
+        # the window substring is materialized once per (s, w) probe
+        return F.exists(
+            F.sequence(F.lit(13), F.lit(19)),
+            lambda w: F.exists(
+                F.sequence(F.lit(1), F.length(d) - w + 1),
+                lambda s: luhn_ok(d.substr(s, w)),
+            ),
+        )
+
     valid = F.filter(cands, luhn_ok)
+    hit_overs = F.filter(overs, window_hit)
     return df.select(
         F.col(id_col),
         F.size(cands).cast("long").alias("n_card_candidates"),
         F.size(valid).cast("long").alias("n_luhn_valid"),
+        F.size(overs).cast("long").alias("n_overlong_runs"),
+        F.size(hit_overs).cast("long").alias("n_overlong_with_card"),
     )
 
 
@@ -1076,8 +1100,10 @@ def oracle_luhn_sql(
     src: str = "documents", text_expr: str = "COALESCE(text, '')"
 ) -> str:
     """DuckDB twin of :func:`luhn_card_signals`: same candidate regex,
-    separator strip, 13-19 length gate and integer mod-10 fold."""
+    separator strip, 13-19 length gate, integer mod-10 fold, and the
+    same over-long-run 13-19 window sweep."""
     dig = "CAST(d[i:i] AS INT)"
+    wdig = "CAST(d[s+i-1:s+i-1] AS INT)"
     return f"""
 SELECT doc_id,
        CAST(LEN(cands) AS BIGINT) AS n_card_candidates,
@@ -1088,15 +1114,29 @@ SELECT doc_id,
                                THEN {dig} * 2 - 9
                                ELSE {dig} * 2 END
                      ELSE {dig} END)) % 10 = 0)) AS BIGINT)
-           AS n_luhn_valid
+           AS n_luhn_valid,
+       CAST(LEN(overs) AS BIGINT) AS n_overlong_runs,
+       CAST(LEN(list_filter(overs, d ->
+            LEN(list_filter(range(13, 20), w ->
+                LEN(list_filter(range(1, LENGTH(d) - w + 2), s ->
+                    list_sum(list_transform(range(1, w + 1), i ->
+                        CASE WHEN (w - i) % 2 = 1
+                             THEN CASE WHEN {wdig} * 2 > 9
+                                       THEN {wdig} * 2 - 9
+                                       ELSE {wdig} * 2 END
+                             ELSE {wdig} END)) % 10 = 0)) > 0)) > 0))
+           AS BIGINT) AS n_overlong_with_card
 FROM (
     SELECT doc_id,
-           list_filter(
+           list_filter(digs, d -> LENGTH(d) BETWEEN 13 AND 19) AS cands,
+           list_filter(digs, d -> LENGTH(d) > 19) AS overs
+    FROM (
+        SELECT doc_id,
                list_transform(
                    regexp_extract_all({text_expr},
                                       '{CARD_CANDIDATE_PATTERN}'),
-                   s -> regexp_replace(s, '[^0-9]', '', 'g')),
-               d -> LENGTH(d) BETWEEN 13 AND 19) AS cands
-    FROM {src}
+                   s -> regexp_replace(s, '[^0-9]', '', 'g')) AS digs
+        FROM {src}
+    )
 )
 """

@@ -564,7 +564,14 @@ def source_divergence_matrix(
     are their own class via COALESCE to '<null>'."""
     dom = F.coalesce(F.col(domain_col).cast("string"), F.lit("<null>"))
     tok = (
-        docs.select(dom.alias("__d"), F.explode(tokens(F.col(text_col))).alias("__t"))
+        docs.select(
+            dom.alias("__d"),
+            # case-fold like every other vocab function (vocabulary /
+            # cooccurrence / heaps) and like the LOWER() in the DuckDB
+            # twin — otherwise 'Spark' vs 'spark' across domains makes
+            # the engine and the strict twin diverge (r9 ADVICE).
+            F.explode(tokens(lower_simple(F.col(text_col)))).alias("__t"),
+        )
         .groupBy("__d", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

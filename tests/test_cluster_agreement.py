@@ -111,6 +111,10 @@ def test_degenerate_single_cluster_is_null(spark):
 
 
 def test_null_labels_are_their_own_class(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        NULL_LABEL_SENTINEL as S,
+    )
+
     df = spark.createDataFrame(
         [(1, 0, 0), (2, 0, None), (3, None, 1), (4, 1, 1)],
         "vec_id long, assigned_label int, label int",
@@ -119,7 +123,39 @@ def test_null_labels_are_their_own_class(spark):
         (r.pred, r.truth): r.n
         for r in cluster_contingency(df).collect()
     }
-    assert cells == {(0, 0): 1, (0, -1): 1, (-1, 1): 1, (1, 1): 1}
+    assert cells == {(0, 0): 1, (0, S): 1, (S, 1): 1, (1, 1): 1}
+
+
+def test_noise_label_distinct_from_null_and_long_labels_exact(spark):
+    """-1 is a legitimate cluster id (DBSCAN noise) — it must NOT
+    merge with the NULL class — and labels wider than int32 must
+    group exactly, not wrap (r9 ADVICE)."""
+    wide = 2**35  # would wrap to 0 through a cast('int')
+    df = spark.createDataFrame(
+        [(1, -1, 0), (2, None, 0), (3, wide, 0), (4, 0, 0)],
+        "vec_id long, assigned_label long, label int",
+    )
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        NULL_LABEL_SENTINEL as S,
+    )
+
+    cells = {
+        (r.pred, r.truth): r.n
+        for r in cluster_contingency(df).collect()
+    }
+    assert cells == {(-1, 0): 1, (S, 0): 1, (wide, 0): 1, (0, 0): 1}
+
+
+def test_sentinel_collision_raises(spark):
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        NULL_LABEL_SENTINEL as S,
+    )
+
+    df = spark.createDataFrame(
+        [(1, S, 0)], "vec_id long, assigned_label long, label int"
+    )
+    with pytest.raises(Exception, match="sentinel"):
+        cluster_contingency(df).collect()
 
 
 def test_oracle_twin_matches_spark_exactly(spark):

@@ -26,14 +26,25 @@ def _py_luhn(d: str) -> bool:
     return total % 10 == 0
 
 
-def _py_signals(text: str) -> tuple[int, int]:
+def _py_signals(text: str) -> tuple[int, int, int, int]:
     runs = re.findall(CARD_CANDIDATE_PATTERN, text or "")
-    cands = [
-        re.sub(r"[^0-9]", "", r)
-        for r in runs
-    ]
-    cands = [c for c in cands if 13 <= len(c) <= 19]
-    return len(cands), sum(1 for c in cands if _py_luhn(c))
+    digs = [re.sub(r"[^0-9]", "", r) for r in runs]
+    cands = [c for c in digs if 13 <= len(c) <= 19]
+    overs = [c for c in digs if len(c) > 19]
+
+    def window_hit(d: str) -> bool:
+        return any(
+            _py_luhn(d[s : s + w])
+            for w in range(13, 20)
+            for s in range(0, len(d) - w + 1)
+        )
+
+    return (
+        len(cands),
+        sum(1 for c in cands if _py_luhn(c)),
+        len(overs),
+        sum(1 for c in overs if window_hit(c)),
+    )
 
 
 ROWS = [
@@ -47,26 +58,40 @@ ROWS = [
     (8, ""),
     (9, None),
     (10, "two: 4111111111111111 and 4111111111111112"),
+    # PAN embedded in a 20+-digit run (card directly adjacent to an
+    # order number): the 13-19 gate drops it, the window sweep must
+    # still find it (r9 ADVICE recall gap)
+    (11, "ref 00424111111111111111 shipped"),
+    (12, "serial 11111111111111111111 clean"),        # overlong, no valid window
+    (13, "dump 98765432104111111111111111 end"),      # valid PAN mid-run
 ]
 
 
 def test_matches_python_reference(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, text string")
     got = {
-        r.doc_id: (r.n_card_candidates, r.n_luhn_valid)
+        r.doc_id: (
+            r.n_card_candidates,
+            r.n_luhn_valid,
+            r.n_overlong_runs,
+            r.n_overlong_with_card,
+        )
         for r in luhn_card_signals(df).collect()
     }
     for i, text in ROWS:
         assert got[i] == _py_signals(text), (i, text)
     # spot-pin the interesting cells
-    assert got[1] == (1, 1)
-    assert got[2] == (1, 0)
-    assert got[3] == (2, 2)
-    assert got[4] == (1, 1)
-    assert got[6] == (1, 0) or got[6] == (0, 0)  # length-gated out
+    assert got[1] == (1, 1, 0, 0)
+    assert got[2] == (1, 0, 0, 0)
+    assert got[3] == (2, 2, 0, 0)
+    assert got[4] == (1, 1, 0, 0)
     assert got[6][1] == 0
-    assert got[9] == (0, 0)
-    assert got[10] == (2, 1)
+    assert got[9] == (0, 0, 0, 0)
+    assert got[10][:2] == (2, 1)
+    # the embedded-PAN recall cases
+    assert got[11] == (0, 0, 1, 1)  # '0042' + card fused into one run
+    assert got[12] == (0, 0, 1, 0)
+    assert got[13] == (0, 0, 1, 1)
 
 
 def test_oracle_twin_matches(spark):

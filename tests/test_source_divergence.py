@@ -47,8 +47,11 @@ def _docs(spark, groups: dict):
 
 def test_matches_python_reference(spark):
     groups = {
-        "a": ["spark joins tables fast", "joins and scans", "fast fast scan"],
-        "b": ["spark joins tables slowly", "windows and sorts", "agg agg agg"],
+        # mixed case on purpose: 'Spark'/'spark' and 'JOINS'/'joins'
+        # must case-fold into the SAME cross-domain token (r9 ADVICE:
+        # the engine once tokenized raw text while the twin LOWERed)
+        "a": ["Spark JOINS tables fast", "joins and scans", "fast fast scan"],
+        "b": ["spark Joins tables slowly", "windows and sorts", "agg agg agg"],
         "c": ["completely different words entirely", "nothing shared here"],
     }
     got = {

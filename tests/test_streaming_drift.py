@@ -95,6 +95,42 @@ def test_streaming_state_fold_equals_batch(spark, tmp_path):
     assert len(got) > 1
 
 
+def test_drift_variants_agree_with_null_labels(spark):
+    """The pooled (label NULL) row covers LABELED vectors only in BOTH
+    variants — so raw-frame and from-states drift agree even when the
+    corpus has unlabeled embeddings (r9 ADVICE: the raw variant's
+    __all relabel used to smuggle NULL-label rows into the pool)."""
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        embedding_drift,
+        embedding_drift_from_states,
+        label_centroid_state,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # blank out a deterministic slice of labels on each side
+    unlabel = F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("label")
+    )
+    base = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "label", unlabel.cast("int")
+    )
+    live = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "label", unlabel.cast("int")
+    )
+    n_unlabeled = base.filter(F.col("label").isNull()).count()
+    assert n_unlabeled > 0  # the slice exercises the contract
+
+    raw = _collect_report(embedding_drift(base, live))
+    states = _collect_report(
+        embedding_drift_from_states(
+            label_centroid_state(base), label_centroid_state(live)
+        )
+    )
+    assert raw == states
+    # pooled row counts = labeled population only
+    assert raw[None][0] == base.filter(F.col("label").isNotNull()).count()
+
+
 def test_merge_is_associative(spark):
     from etl_extract_transform_load_spark.scale.embeddings import (
         centroids_from_state,

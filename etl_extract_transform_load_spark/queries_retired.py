@@ -782,6 +782,16 @@ def retired_checks() -> dict:
         "ppmi": (retired_ppmi, ORACLE_PPMI),
         "quantize_int8": (retired_quantize_int8, ORACLE_QUANT),
         "domain_quota": (retired_domain_quota, ORACLE_DOMAIN_QUOTA),
+        "fuzzy_match": (retired_fuzzy_match, ORACLE_FUZZY_MATCH),
+        "diversity_curve": (
+            retired_diversity_curve,
+            oracle_diversity_curve(),
+        ),
+        "calibrated_quality": (
+            retired_calibrated_quality,
+            oracle_calibrated_quality(),
+        ),
+        "split_leakage": (retired_split_leakage, oracle_split_leakage()),
     }
 
 
@@ -1230,4 +1240,295 @@ FROM (
            ) AS rk
     FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rk <= 100
+"""
+
+
+# --- retired dedup_ngram_jaccard branches (r10 trim, VERDICT r9 #2) -----------
+
+
+def retired_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (scale/fuzzy.fuzzy_match_pairs, FastSS
+    deletion-neighborhood join) — the ngram-jaccard carrier's 'fuzzy'
+    leg, retired per that carrier's own pre-plan when the r10 trim
+    landed (no shared materialization with the carrier's doc scans;
+    FastSS algebra keeps its pytests in test_fuzzy.py). Original slot
+    riding preserved."""
+    from etl_extract_transform_load_spark.scale.fuzzy import (
+        fuzzy_match_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return fuzzy_match_pairs(cust, "c_custkey", "c_name", 1).select(
+        F.lit("fuzzy").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("double").alias("score"),
+    )
+
+
+# brute-force quadratic verify at oracle scale (the engine's
+# neighborhood join is exact, so results must be identical)
+ORACLE_FUZZY_MATCH = """
+SELECT 'fuzzy' AS part, a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) AS score
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def retired_diversity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity curve
+    (scale/dedup.ngram_diversity_curve, the Gopher-style
+    repetitiveness health summary) — the 'divcurve'/'divcurvem' rows,
+    retired in the r10 carrier trim. Original slot riding preserved."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        ngram_diversity_curve,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    curve = ngram_diversity_curve(docs).localCheckpoint()
+    a = curve.select(
+        F.lit("divcurve").alias("part"),
+        F.col("n").cast("long").alias("id_a"),
+        F.col("total_ngrams").alias("id_b"),
+        F.col("distinct_ngrams").cast("double").alias("score"),
+    )
+    b = curve.select(
+        F.lit("divcurvem").alias("part"),
+        F.col("n").cast("long").alias("id_a"),
+        F.col("distinct_ngrams").alias("id_b"),
+        F.col("distinct_micro").cast("double").alias("score"),
+    )
+    return a.unionByName(b)
+
+
+def oracle_diversity_curve() -> str:
+    from etl_extract_transform_load_spark.scale.dedup import (
+        oracle_ngram_diversity_sql,
+    )
+
+    curve = oracle_ngram_diversity_sql()
+    return f"""
+SELECT 'divcurve' AS part, n AS id_a, total_ngrams AS id_b,
+       CAST(distinct_ngrams AS DOUBLE) AS score
+FROM ({curve})
+UNION ALL
+SELECT 'divcurvem', n, distinct_ngrams, CAST(distinct_micro AS DOUBLE)
+FROM ({curve})
+"""
+
+
+def retired_calibrated_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source calibrated quality percentile
+    (scale/sampling.calibrated_percentile over text.quality_score, the
+    source-fair gate's input) — the 'calq' rows, retired in the r10
+    carrier trim (sequential + fairness pytests in
+    test_corpus_ops.py). Original slot riding preserved."""
+    from etl_extract_transform_load_spark.scale.sampling import (
+        calibrated_percentile,
+    )
+    from etl_extract_transform_load_spark.scale.text import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("__q")
+    )
+    return calibrated_percentile(scored, "__q", group_col="source").select(
+        F.lit("calq").alias("part"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.round(F.col("__q") * 1000000.0).cast("long").alias("id_b"),
+        F.col("pct_micro").cast("double").alias("score"),
+    )
+
+
+def oracle_calibrated_quality() -> str:
+    from etl_extract_transform_load_spark.scale.datacard import (
+        ORACLE_QUALITY_EXPR,
+    )
+
+    q = ORACLE_QUALITY_EXPR
+    return f"""
+SELECT 'calq' AS part, cq.doc_id AS id_a,
+       CAST(ROUND(cq.q * 1000000.0) AS BIGINT) AS id_b,
+       CAST(ROUND(cc.smaller * 1000000.0 / cc.n) AS DOUBLE) AS score
+FROM (SELECT doc_id, source, {q} AS q FROM documents) cq
+JOIN (
+    SELECT source, q,
+           SUM(c) OVER (PARTITION BY source ORDER BY q
+                        ROWS UNBOUNDED PRECEDING) - c AS smaller,
+           SUM(c) OVER (PARTITION BY source) AS n
+    FROM (SELECT source, {q} AS q, COUNT(*) AS c
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source, 2)
+) cc ON cq.source IS NOT DISTINCT FROM cc.source AND cq.q = cc.q
+WHERE cq.q IS NOT NULL
+"""
+
+
+# --- retired dedup_minhash_lsh branch (r10 trim, VERDICT r9 #2) ---------------
+
+
+def retired_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LEAKAGE audit over exact near-dup truth pairs — the
+    minhash carrier's 'leak:*' family, retired in the r10 trim. A
+    naive hash_split (80/10/10) separates ~1−Σw² of near-dup pairs
+    across the train/eval boundary (benchmark contamination by
+    construction); cluster_safe_split collapses each near-dup
+    component to one split key, so its crossing count MUST be zero —
+    the matching guarantee, still tracked as a strict-hash-verified
+    number from pytest. Per-pair crossing rows ride only the naive
+    policy (safe emits none); the (split_a, split_b) pair rides the
+    score slot as the code 3·a+b with train=0/val=1/test=2."""
+    from etl_extract_transform_load_spark.scale.dedup import (
+        portable_hash60,
+        shingle_arrays,
+        true_jaccard_pairs,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        cluster_safe_split,
+        hash_split,
+        leakage_summary,
+        pair_split_crossings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hsh = shingle_arrays(docs).select(
+        "__sid",
+        F.array_distinct(
+            F.transform("__sh", lambda s: portable_hash60(s))
+        ).alias("__sh"),
+    )
+    truth = true_jaccard_pairs(hsh, 0.7).localCheckpoint()
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    leak_naive = pair_split_crossings(
+        hash_split(docs, weights), truth
+    ).localCheckpoint()
+    leak_safe = pair_split_crossings(
+        cluster_safe_split(docs, truth, weights), truth
+    ).localCheckpoint()
+
+    def split_code(c: str):
+        return (
+            F.when(F.col(c) == "train", F.lit(0))
+            .when(F.col(c) == "val", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    rows = leak_naive.filter(F.col("crosses") == 1).select(
+        F.lit("leak:naive").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        (split_code("split_a") * 3 + split_code("split_b"))
+        .cast("double")
+        .alias("score"),
+    )
+
+    def summary(df: DataFrame, t: str) -> DataFrame:
+        return leakage_summary(df).select(
+            F.lit(t).alias("part"),
+            F.col("n_cross").alias("id_a"),
+            F.col("n_pairs").cast("long").alias("id_b"),
+            F.col("leak_rate").alias("score"),
+        )
+
+    return rows.unionByName(summary(leak_naive, "leak:sum:naive")).unionByName(
+        summary(leak_safe, "leak:sum:safe")
+    )
+
+
+def oracle_split_leakage() -> str:
+    """Recursive-CC twin of :func:`retired_split_leakage`: the closure
+    independently re-derives the engine's star-contraction fixpoint,
+    then applies the hash_split bucket formula (knuth_hash32 at user
+    salt 0) over both policies' split keys and the crossing join."""
+    from etl_extract_transform_load_spark.queries_scale import (
+        _PORTABLE_H60,
+        _SHINGLES_SQL,
+    )
+    from etl_extract_transform_load_spark.scale.sampling import (
+        _SPLIT_SALT_OFFSET,
+    )
+
+    h60 = _PORTABLE_H60.format(s="s")
+    bucket = (
+        f"((({{k}} + {_SPLIT_SALT_OFFSET}) % 2147483648) * 2654435761"
+        " % 4294967296) % 10000"
+    )
+    split_case = (
+        "CASE WHEN b < 8000 THEN 0 WHEN b < 9000 THEN 1 ELSE 2 END"
+    )
+    return f"""
+WITH RECURSIVE toks AS ({_SHINGLES_SQL}),
+sharr AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)])
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks),
+sharrh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s -> {h60})) AS sh
+    FROM sharr),
+tru AS (
+    SELECT id_a, id_b
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS li,
+               len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) AS ua
+        FROM sharrh a JOIN sharrh b ON a.doc_id < b.doc_id)
+    WHERE li * 1.0 / NULLIF(ua, 0) >= 0.7),
+lk_sym AS (
+    SELECT id_a AS a, id_b AS b FROM tru
+    UNION
+    SELECT id_b AS a, id_a AS b FROM tru),
+lk_reach(node, lab) AS (
+    SELECT DISTINCT a, a FROM lk_sym
+    UNION
+    SELECT s.b, r.lab FROM lk_reach r JOIN lk_sym s ON s.a = r.node),
+lk_comp AS (
+    SELECT node, MIN(lab) AS component FROM lk_reach GROUP BY node),
+lk_key AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k
+    FROM documents d LEFT JOIN lk_comp c ON c.node = d.doc_id),
+lk_nsp AS (
+    SELECT doc_id, {split_case} AS s
+    FROM (SELECT doc_id, {bucket.format(k='doc_id')} AS b
+          FROM documents)),
+lk_ssp AS (
+    SELECT doc_id, {split_case} AS s
+    FROM (SELECT doc_id, {bucket.format(k='k')} AS b FROM lk_key)),
+lk_n AS (
+    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
+    FROM tru t JOIN lk_nsp x ON x.doc_id = t.id_a
+               JOIN lk_nsp y ON y.doc_id = t.id_b),
+lk_s AS (
+    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
+    FROM tru t JOIN lk_ssp x ON x.doc_id = t.id_a
+               JOIN lk_ssp y ON y.doc_id = t.id_b)
+SELECT 'leak:naive' AS part, id_a, id_b, CAST(sa * 3 + sb AS DOUBLE) AS score
+FROM lk_n WHERE sa <> sb
+UNION ALL
+SELECT 'leak:sum:naive',
+       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+FROM lk_n
+UNION ALL
+SELECT 'leak:sum:safe',
+       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+FROM lk_s
 """

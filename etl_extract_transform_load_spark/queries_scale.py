@@ -1782,18 +1782,17 @@ FROM (
 # --- dedup: exact n-gram Jaccard -------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verify-tier + corpus-health carrier, tag-unioned (5 probe
-    families + the jaccard/fuzzy legacy faces = 7 of the 8-family
-    budget): jaccard, fuzzy, winnow(+winnowd), divcurve(+m), calq.
+    """Verify-tier carrier, tag-unioned (3 families): jaccard,
+    winnow(+winnowd), winnowq(+p) — the exact n-gram verify tier and
+    the winnowing fingerprint tier with its matching-guarantee recall.
 
-    RETIREMENT PRE-PLAN (the vocab-carrier convention): at budget,
-    when the next op lands here `fuzzy` retires first (fuzzy ER keeps
-    FastSS pytests in test_fuzzy.py and has no shared
-    materialization with this carrier's doc scans; it moves to
-    queries_retired.py WITH its oracle arm), then `calq` (sequential
-    + fairness pytests in test_corpus_ops.py). `jaccard`/`winnow`/
-    `divcurve` stay: they are the carrier's unique verify/health
-    evidence."""
+    r10 trim (VERDICT r9 #2, the CC treatment): `fuzzy` retired per
+    this carrier's own pre-plan (FastSS ER, no shared materialization
+    — queries_retired.retired_fuzzy_match), plus `divcurve` and
+    `calq` (corpus-health summaries with their own sequential pytests
+    — retired_diversity_curve / retired_calibrated_quality). All
+    three stay strict-oracle-verified from pytest. `jaccard`/`winnow`/
+    `winnowq` stay: they are the carrier's unique verify evidence."""
     from etl_extract_transform_load_spark.plans.caching import (
         released_caches,
     )
@@ -1811,27 +1810,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("jaccard").cast("double").alias("score"),
     )
-    # (The Adamic-Adar link-prediction branch retired to
-    # queries_retired.retired_adamic_adar in r9 — VERDICT r8 #6 —
-    # still strict-oracle-verified from pytest.)
-    # second branch: fuzzy entity resolution (scale/fuzzy.py) — all
-    # customer-name pairs within Levenshtein distance 1 via the
-    # FastSS deletion-neighborhood join (no cross join); the edit
-    # distance rides the score slot
-    from etl_extract_transform_load_spark.scale.fuzzy import (
-        fuzzy_match_pairs,
-    )
-
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name"
-    )
-    fz = fuzzy_match_pairs(cust, "c_custkey", "c_name", 1).select(
-        F.lit("fuzzy").alias("part"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.col("distance").cast("double").alias("score"),
-    )
-    # third family (r9): winnowing fingerprints (Schleimer et al.
+    # (Adamic-Adar retired in r9; fuzzy ER, the n-gram diversity
+    # curve, and calibrated quality retired in r10 — all to
+    # queries_retired.py, still strict-oracle-verified from pytest.)
+    # winnowing fingerprints (Schleimer et al.
     # SIGMOD'03 / MOSS — scale/winnow.py). 'winnow' rows: per
     # (corpus doc, benchmark doc) shared-fingerprint containment in
     # micro-units against the id<10 benchmark slice (any shared
@@ -1850,16 +1832,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_overlap,
     )
 
+    bench = docs.filter(F.col("doc_id") < 10)
     with timed_branch("winnow"):
-        # fingerprints feed both the overlap join and the density row
+        # fingerprints feed the overlap join and the density row; the
+        # materialized overlap ALSO feeds winnow_quality below (r10 —
+        # the fingerprint pair join was being computed twice)
         fps = winnow_fingerprints(
             docs, k=5, w=4, portable=True
         ).localCheckpoint()
-    bench = docs.filter(F.col("doc_id") < 10)
-    wn = (
-        winnow_overlap(
+        ov = winnow_overlap(
             docs, bench, k=5, w=4, portable=True, fingerprints=fps
-        )
+        ).localCheckpoint()
+    wn = (
+        ov
         .filter(F.col("doc_id") != F.col("bench_id"))
         .select(
             F.lit("winnow").alias("part"),
@@ -1888,7 +1873,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with timed_branch("winnowq"):
         wq = winnow_quality(
-            docs, bench, k=5, w=4, portable=True, fingerprints=fps
+            docs, bench, k=5, w=4, portable=True, fingerprints=fps,
+            overlap=ov,
         ).localCheckpoint()
     wq_rows = wq.select(
         F.lit("winnowq").alias("part"),
@@ -1903,62 +1889,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("precision_micro").cast("double").alias("score"),
         )
     )
-    # fourth family (r9): corpus n-gram diversity curve
-    # (scale/dedup.ngram_diversity_curve) — the Gopher-style
-    # repetitiveness health summary. Two rows per order (one probe
-    # family): (n→id_a, total→id_b, distinct as exact double score)
-    # and (n→id_a, distinct→id_b, distinct_micro as score).
-    from etl_extract_transform_load_spark.scale.dedup import (
-        ngram_diversity_curve,
-    )
-
-    with timed_branch("divcurve"):
-        curve = ngram_diversity_curve(docs).localCheckpoint()
-    dc_a = curve.select(
-        F.lit("divcurve").alias("part"),
-        F.col("n").cast("long").alias("id_a"),
-        F.col("total_ngrams").alias("id_b"),
-        F.col("distinct_ngrams").cast("double").alias("score"),
-    )
-    dc_b = curve.select(
-        F.lit("divcurvem").alias("part"),
-        F.col("n").cast("long").alias("id_a"),
-        F.col("distinct_ngrams").alias("id_b"),
-        F.col("distinct_micro").cast("double").alias("score"),
-    )
-    # fifth family (r9): per-source calibrated quality percentile
-    # (scale/sampling.calibrated_percentile over text.quality_score)
-    # — the source-fair gate's input: (doc_id→id_a, quality micro→
-    # id_b, percentile micro as score).
-    from etl_extract_transform_load_spark.scale.sampling import (
-        calibrated_percentile,
-    )
-    from etl_extract_transform_load_spark.scale.text import (
-        quality_score,
-    )
-
-    with timed_branch("calq"):
-        scored = docs.select(
-            "doc_id",
-            "source",
-            quality_score(F.col("text")).alias("__q"),
-        )
-        calq = calibrated_percentile(
-            scored, "__q", group_col="source"
-        ).select(
-            F.lit("calq").alias("part"),
-            F.col("doc_id").cast("long").alias("id_a"),
-            F.round(F.col("__q") * 1000000.0).cast("long").alias("id_b"),
-            F.col("pct_micro").cast("double").alias("score"),
-        )
     return (
-        jac.unionByName(fz)
-        .unionByName(probe_branch("winnow", wn))
+        jac.unionByName(probe_branch("winnow", wn))
         .unionByName(probe_branch("winnow", wd))
         .unionByName(probe_branch("winnowq", wq_rows))
-        .unionByName(probe_branch("divcurve", dc_a))
-        .unionByName(probe_branch("divcurve", dc_b))
-        .unionByName(probe_branch("calq", calq))
     )
 
 
@@ -2050,15 +1984,6 @@ JOIN sz x ON cm.id_a = x.doc_id
 JOIN sz y ON cm.id_b = y.doc_id
 WHERE c * 1.0 / (x.n + y.n - c) >= 0.3
 UNION ALL
--- fuzzy ER twin: brute-force quadratic verify at oracle scale (the
--- engine's neighborhood join is exact, so results must be identical)
-SELECT 'fuzzy', a.c_custkey, b.c_custkey,
-       CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
-FROM customer a JOIN customer b
-  ON a.c_custkey < b.c_custkey
- AND a.c_name IS NOT NULL AND b.c_name IS NOT NULL
- AND levenshtein(a.c_name, b.c_name) <= 1
-UNION ALL
 SELECT 'winnow', wsh.id_a, wsh.id_b,
        CAST(ROUND(ns * 1000000.0 / nb) AS DOUBLE)
 FROM wsh JOIN wbt ON wsh.id_b = wbt.bench_id
@@ -2085,42 +2010,7 @@ SELECT 'winnowqp', nw, nc,
        CASE WHEN nw > 0
             THEN CAST(ROUND(nc * 1000000.0 / nw) AS DOUBLE) END
 FROM wq
-UNION ALL
-SELECT 'divcurve', n, total_ngrams,
-       CAST(distinct_ngrams AS DOUBLE)
-FROM ({DIVCURVE_SQL})
-UNION ALL
-SELECT 'divcurvem', n, distinct_ngrams,
-       CAST(distinct_micro AS DOUBLE)
-FROM ({DIVCURVE_SQL})
-UNION ALL
-SELECT 'calq', cq.doc_id, CAST(ROUND(cq.q * 1000000.0) AS BIGINT),
-       CAST(ROUND(cc.smaller * 1000000.0 / cc.n) AS DOUBLE)
-FROM (SELECT doc_id, source, {QEXPR} AS q FROM documents) cq
-JOIN (
-    SELECT source, q,
-           SUM(c) OVER (PARTITION BY source ORDER BY q
-                        ROWS UNBOUNDED PRECEDING) - c AS smaller,
-           SUM(c) OVER (PARTITION BY source) AS n
-    FROM (SELECT source, {QEXPR} AS q, COUNT(*) AS c
-          FROM documents WHERE text IS NOT NULL
-          GROUP BY source, 2)
-) cc ON cq.source IS NOT DISTINCT FROM cc.source AND cq.q = cc.q
-WHERE cq.q IS NOT NULL
 """
-
-# splice the diversity-curve and quality twins in (the constant is a
-# plain string; both twins are owned by their operator modules)
-from etl_extract_transform_load_spark.scale.datacard import (  # noqa: E402
-    ORACLE_QUALITY_EXPR as _ORACLE_QUALITY_EXPR,
-)
-from etl_extract_transform_load_spark.scale.dedup import (  # noqa: E402
-    oracle_ngram_diversity_sql as _oracle_ngram_diversity_sql,
-)
-
-ORACLE_NGRAM_JACCARD = ORACLE_NGRAM_JACCARD.replace(
-    "{DIVCURVE_SQL}", _oracle_ngram_diversity_sql()
-).replace("{QEXPR}", _ORACLE_QUALITY_EXPR)
 
 
 # --- dedup: sketch paths (portable-hash contract queries) ------------------------
@@ -2153,13 +2043,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen-order standing prefix index + O(batch) query; must equal
     the brute-forced corpus-wide truth, proving the prefix/length/
     positional filters complete), and measured banding quality
-    ('prq:*' — candidate-stage precision/recall at two band configs
-    against that same truth: retrieval quality as a hash-tracked
-    number, the ANN-recall convention applied to dedup), and the
-    cross-split LEAKAGE audit ('leak:*' — near-dup pairs straddling a
-    naive hash_split's train/eval boundary vs cluster_safe_split's
-    guaranteed-zero crossings, eval integrity as a hash-tracked
-    number)."""
+    ('prq:*' — candidate-stage precision/recall of the production
+    8-band config against that same truth: retrieval quality as a
+    hash-tracked number, the ANN-recall convention applied to dedup).
+
+    r10 trim (VERDICT r9 #2): the conservative 4-band prq config
+    dropped from the carrier (its collision-curve comparison stays
+    pinned in test_scale_dedup.test_lsh_quality_report_planted), and
+    the 'leak:*' cross-split audit retired to
+    queries_retired.retired_split_leakage WITH its recursive-CC
+    oracle — still strict-hash-verified from pytest."""
     from etl_extract_transform_load_spark.plans.caching import (
         persist_tracked,
         released_caches,
@@ -2187,16 +2080,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the upsert still computes the BATCH signatures from text —
         # the O(batch) path under test.
         with timed_branch("setup"):
+            # ONE 60-bit-hashed shingle table is the verify side of
+            # EVERY leg (full, incr, prq truth, apincr): the verify
+            # join ships 8-byte longs instead of ~20-char strings
+            # (~4× lighter rows, the lsh_quality_report trick, r10),
+            # and Jaccard over hashed distinct sets equals the string
+            # Jaccard modulo ~s²/2⁶¹ collisions — nil at any audit
+            # size, and the oracle hashes identically anyway.
+            hsh = persist_tracked(
+                shingle_arrays(docs).select(
+                    "__sid",
+                    F.array_distinct(
+                        F.transform(
+                            "__sh", lambda s: portable_hash60(s)
+                        )
+                    ).alias("__sh"),
+                ),
+                True,
+            )
+            # signatures compute from text directly — deriving the
+            # 32-bit base from the stored hsh hashes was MEASURED
+            # SLOWER (exploding persisted arrays loses whole-stage
+            # codegen on the scan→aggregate path; the saved md5 pass
+            # didn't pay for it), so the two passes stay independent
             sig = persist_tracked(
                 minhash_signatures(
                     docs.repartition(64), hash64=portable_hash60
                 ),
                 True,
             )
-            sharr = persist_tracked(shingle_arrays(docs), True)
+            # ONE band self-join feeds full's verify, the incremental
+            # old-slice leg (band collisions are pairwise, so the <250
+            # restriction of this set IS that slice's candidate set),
+            # and the prq hit join (r10 — the band table was being
+            # rebuilt three times)
+            from etl_extract_transform_load_spark.scale.dedup import (
+                lsh_candidate_pairs,
+            )
+
+            cand = persist_tracked(lsh_candidate_pairs(sig), True)
         with timed_branch("full"):
             full = minhash_lsh_pairs(
-                docs, threshold=0.3, signatures=sig, sh_arrays=sharr
+                docs,
+                threshold=0.3,
+                signatures=sig,
+                sh_arrays=hsh,
+                candidates=cand,
             ).localCheckpoint()
         old = docs.filter(F.col("doc_id") < 250)
         batch = docs.filter(F.col("doc_id") >= 250)
@@ -2211,7 +2140,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     old,
                     threshold=0.3,
                     signatures=sig.filter(F.col("doc_id") < 250),
-                    sh_arrays=sharr,
+                    sh_arrays=hsh,
+                    candidates=cand.filter(
+                        (F.col("id_a") < 250) & (F.col("id_b") < 250)
+                    ),
                 )
                 .unionByName(
                     minhash_index_query_pairs(
@@ -2219,7 +2151,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         docs,
                         batch.select("doc_id"),
                         threshold=0.3,
-                        sh_arrays=sharr,
+                        sh_arrays=hsh,
                     )
                 )
                 .localCheckpoint()
@@ -2228,29 +2160,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # banding vs CORPUS-WIDE exact-Jaccard ground truth — the same
         # quality-as-tracked-number convention as the ANN recall rows.
         # Ground truth is the prefix-filtered AllPairs join (Bayardo
-        # 2007), cheap enough to run whole-corpus at test SF; two
-        # band configs (production 8×4 and conservative 4×8) track
-        # the collision curve's recall-vs-cost tradeoff from the one
-        # signature table. Reuses the session's sig/sharr persists.
+        # 2007), cheap enough to run whole-corpus at test SF; the
+        # production 8×4 banding is tracked (the 4×8 collision-curve
+        # comparison lives in pytest). Reuses the session's sig/sharr
+        # persists.
         from etl_extract_transform_load_spark.scale.dedup import (
             allpairs_index_build,
             allpairs_index_query_pairs,
             lsh_quality_report,
         )
 
-        # ONE 60-bit-hashed shingle table feeds the prq ground truth
-        # AND the incremental AllPairs family below
-        hsh = persist_tracked(
-            sharr.select(
-                "__sid",
-                F.array_distinct(
-                    F.transform(
-                        "__sh", lambda s: portable_hash60(s)
-                    )
-                ).alias("__sh"),
-            ),
-            True,
-        )
         # ONE corpus-wide exact AllPairs pass (τ=0.7: a strict
         # "70% content shared" audit bar — above the LSH operating
         # threshold 0.3, where the planted J≥0.9 near-dups make the
@@ -2265,8 +2184,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth = persist_tracked(true_jaccard_pairs(hsh, 0.7), True)
         with timed_branch("prq"):
             prq = lsh_quality_report(
-                sig, hsh, threshold=0.7, bands=(8, 4),
-                true_pairs=truth,
+                sig, hsh, threshold=0.7, bands=(8,),
+                true_pairs=truth, candidates=cand,
             ).localCheckpoint()
         # r9 family: INCREMENTAL exact AllPairs — the standing-index
         # face of the exact tier (frozen global order; unseen batch
@@ -2297,61 +2216,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
-        # r9 family: cross-split LEAKAGE audit over the same exact
-        # truth pairs — the eval-integrity number next to the dedup
-        # itself. A naive hash_split (80/10/10) separates ~1−Σw² of
-        # near-dup pairs across the train/eval boundary (benchmark
-        # contamination by construction); cluster_safe_split collapses
-        # each near-dup component to one split key, so its crossing
-        # count MUST be zero — the matching guarantee, tracked as a
-        # hash-verified number (the winnowq convention). Per-pair
-        # crossing rows ride only the naive policy (safe emits none);
-        # the (split_a, split_b) pair rides jaccard as the code
-        # 3·a+b with train=0/val=1/test=2.
-        from etl_extract_transform_load_spark.scale.sampling import (
-            cluster_safe_split,
-            hash_split,
-            leakage_summary,
-            pair_split_crossings,
-        )
-
-        _W = {"train": 0.8, "val": 0.1, "test": 0.1}
-        with timed_branch("leak"):
-            leak_naive = pair_split_crossings(
-                hash_split(docs, _W), truth
-            ).localCheckpoint()
-            leak_safe = pair_split_crossings(
-                cluster_safe_split(docs, truth, _W), truth
-            ).localCheckpoint()
-            leak_nsum = leakage_summary(leak_naive).localCheckpoint()
-            leak_ssum = leakage_summary(leak_safe).localCheckpoint()
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
-
-    def _split_code(c: str):
-        return (
-            F.when(F.col(c) == "train", F.lit(0))
-            .when(F.col(c) == "val", F.lit(1))
-            .otherwise(F.lit(2))
-        )
-
-    leak_rows = leak_naive.filter(F.col("crosses") == 1).select(
-        F.lit("leak:naive").alias("part"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        (_split_code("split_a") * 3 + _split_code("split_b"))
-        .cast("double")
-        .alias("jaccard"),
-    )
-
-    def _leak_sum(df: DataFrame, t: str) -> DataFrame:
-        return df.select(
-            F.lit(t).alias("part"),
-            F.col("n_cross").alias("id_a"),
-            F.col("n_pairs").cast("long").alias("id_b"),
-            F.col("leak_rate").alias("jaccard"),
-        )
 
     return (
         probe_branch("full", tag(full, "full"))
@@ -2370,14 +2237,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        .unionByName(
-            probe_branch(
-                "leak",
-                leak_rows.unionByName(
-                    _leak_sum(leak_nsum, "leak:sum:naive")
-                ).unionByName(_leak_sum(leak_ssum, "leak:sum:safe")),
-            )
-        )
     )
 
 
@@ -2385,9 +2244,6 @@ def _oracle_minhash() -> str:
     from etl_extract_transform_load_spark.scale.dedup import (
         _MINHASH_P,
         _hash_params,
-    )
-    from etl_extract_transform_load_spark.scale.sampling import (
-        _SPLIT_SALT_OFFSET,
     )
 
     num_hashes, bands = 32, 8
@@ -2403,26 +2259,8 @@ def _oracle_minhash() -> str:
         f"[{', '.join(f'mh_{i * r + j}' for j in range(r))}] AS bucket FROM sig"
         for i in range(bands)
     )
-    bands4 = 4
-    r4 = num_hashes // bands4
-    banded4 = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, {i} AS band, "
-        f"[{', '.join(f'mh_{i * r4 + j}' for j in range(r4))}]"
-        " AS bucket FROM sig"
-        for i in range(bands4)
-    )
-    # the leak family's split-bucket formula (hash_split's
-    # knuth_hash32 at user salt 0: offset, 31-bit mask, Knuth
-    # multiply, 32-bit mask, 1e4 buckets) over an arbitrary key expr
-    bucket = (
-        f"((({{k}} + {_SPLIT_SALT_OFFSET}) % 2147483648) * 2654435761"
-        " % 4294967296) % 10000"
-    )
-    split_case = (
-        "CASE WHEN b < 8000 THEN 0 WHEN b < 9000 THEN 1 ELSE 2 END"
-    )
     return f"""
-WITH RECURSIVE toks AS ({_SHINGLES_SQL}),
+WITH toks AS ({_SHINGLES_SQL}),
 sharr AS (
     SELECT doc_id,
            CASE WHEN len(t) >= 3
@@ -2446,6 +2284,13 @@ cand AS (
     JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
                  AND x.doc_id < y.doc_id
     GROUP BY x.doc_id, y.doc_id),
+sharrh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s -> {h60})) AS sh
+    FROM sharr),
+-- the verify side is the HASHED shingle table, like the engine's
+-- (Jaccard identical modulo ~s²/2⁶¹ collisions, and both engines
+-- hash identically regardless)
 vpairs AS (
     SELECT id_a, id_b,
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
@@ -2453,15 +2298,11 @@ vpairs AS (
                     - len(list_intersect(a.sh, b.sh))), 6)
                AS jaccard
     FROM cand
-    JOIN sharr a ON a.doc_id = cand.id_a
-    JOIN sharr b ON b.doc_id = cand.id_b
+    JOIN sharrh a ON a.doc_id = cand.id_a
+    JOIN sharrh b ON b.doc_id = cand.id_b
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
           >= 0.3),
-sharrh AS (
-    SELECT doc_id,
-           list_distinct(list_transform(sh, s -> {h60})) AS sh
-    FROM sharr),
 tru AS (
     -- corpus-wide exact ground truth over 60-bit-hashed shingles,
     -- brute-forced: the oracle independently re-derives what the
@@ -2476,63 +2317,14 @@ tru AS (
                    - len(list_intersect(a.sh, b.sh)) AS ua
         FROM sharrh a JOIN sharrh b ON a.doc_id < b.doc_id)
     WHERE li * 1.0 / NULLIF(ua, 0) >= 0.7),
-banded4 AS (
-    {banded4}
-),
-cand4 AS (
-    SELECT x.doc_id AS id_a, y.doc_id AS id_b
-    FROM banded4 x
-    JOIN banded4 y ON x.band = y.band AND x.bucket = y.bucket
-                  AND x.doc_id < y.doc_id
-    GROUP BY x.doc_id, y.doc_id),
 hit8 AS (
     SELECT s.id_a FROM cand s JOIN tru t
-        ON s.id_a = t.id_a AND s.id_b = t.id_b),
-hit4 AS (
-    SELECT s.id_a FROM cand4 s JOIN tru t
         ON s.id_a = t.id_a AND s.id_b = t.id_b),
 mets AS (
     SELECT 8 AS b,
            (SELECT COUNT(*) FROM tru)   AS n_true,
            (SELECT COUNT(*) FROM cand)  AS n_cand,
-           (SELECT COUNT(*) FROM hit8)  AS n_hit
-    UNION ALL
-    SELECT 4,
-           (SELECT COUNT(*) FROM tru),
-           (SELECT COUNT(*) FROM cand4),
-           (SELECT COUNT(*) FROM hit4)),
--- leak family: connected components over the SAME truth pairs (the
--- recursive closure independently re-derives the engine's star
--- contraction fixpoint), then the hash_split bucket formula over
--- both policies' split keys and the crossing join
-lk_sym AS (
-    SELECT id_a AS a, id_b AS b FROM tru
-    UNION
-    SELECT id_b AS a, id_a AS b FROM tru),
-lk_reach(node, lab) AS (
-    SELECT DISTINCT a, a FROM lk_sym
-    UNION
-    SELECT s.b, r.lab FROM lk_reach r JOIN lk_sym s ON s.a = r.node),
-lk_comp AS (
-    SELECT node, MIN(lab) AS component FROM lk_reach GROUP BY node),
-lk_key AS (
-    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k
-    FROM documents d LEFT JOIN lk_comp c ON c.node = d.doc_id),
-lk_nsp AS (
-    SELECT doc_id, {split_case} AS s
-    FROM (SELECT doc_id, {bucket.format(k='doc_id')} AS b
-          FROM documents)),
-lk_ssp AS (
-    SELECT doc_id, {split_case} AS s
-    FROM (SELECT doc_id, {bucket.format(k='k')} AS b FROM lk_key)),
-lk_n AS (
-    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
-    FROM tru t JOIN lk_nsp x ON x.doc_id = t.id_a
-               JOIN lk_nsp y ON y.doc_id = t.id_b),
-lk_s AS (
-    SELECT t.id_a, t.id_b, x.s AS sa, y.s AS sb
-    FROM tru t JOIN lk_ssp x ON x.doc_id = t.id_a
-               JOIN lk_ssp y ON y.doc_id = t.id_b)
+           (SELECT COUNT(*) FROM hit8)  AS n_hit)
 SELECT 'full' AS part, id_a, id_b, jaccard FROM vpairs
 UNION ALL
 SELECT 'incr' AS part, id_a, id_b, jaccard FROM vpairs
@@ -2559,23 +2351,6 @@ SELECT 'prq:b' || b || ':recall', CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT),
        ROUND(CAST(n_hit AS DOUBLE)
              / NULLIF(CAST(n_true AS DOUBLE), 0.0), 6) FROM mets
-UNION ALL
-SELECT 'leak:naive', id_a, id_b, CAST(sa * 3 + sb AS DOUBLE)
-FROM lk_n WHERE sa <> sb
-UNION ALL
-SELECT 'leak:sum:naive',
-       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(*),
-       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
-FROM lk_n
-UNION ALL
-SELECT 'leak:sum:safe',
-       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(*),
-       ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
-             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
-FROM lk_s
 """
 
 

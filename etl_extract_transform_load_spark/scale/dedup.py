@@ -349,7 +349,9 @@ def minhash_signatures(
     (``hash64``; default xxhash64, ``portable_hash60`` for
     engine-portable signatures), fold to 32 bits, then ``num_hashes``
     affine transforms — k minima computed in ONE aggregation (no k
-    passes)."""
+    passes). (Deriving the 32-bit base from a stored hashed-shingle
+    table instead was measured SLOWER — exploding persisted arrays
+    loses whole-stage codegen on the scan→aggregate path.)"""
     sh = _shingle_table(df, text_col, id_col, n)
     h32 = F.pmod(hash64(F.col("shingle")), F.lit(1 << 32))
     sh = sh.select("__id", h32.alias("h"))
@@ -396,6 +398,7 @@ def minhash_lsh_pairs(
     cache: bool = True,
     signatures: DataFrame | None = None,
     sh_arrays: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -420,7 +423,14 @@ def minhash_lsh_pairs(
     sibling calls in the same session) — when given, the signature /
     shingle passes over ``df`` are skipped entirely. ``signatures``
     must cover exactly ``df``'s ids with the same
-    num_hashes/n/seed/hash function."""
+    num_hashes/n/seed/hash function. ``candidates``: bring-your-own
+    band-collision pairs (``id_a`` < ``id_b``) — a session that also
+    measures banding quality computes :func:`lsh_candidate_pairs`
+    exactly once and shares it here and with
+    :func:`lsh_quality_report`, skipping a second band self-join;
+    must be the candidate set of ``df``'s own signatures (a
+    restriction of a larger corpus's candidate set to ``df``'s ids is
+    exactly that — band collisions are pairwise)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if signatures is None:
@@ -435,7 +445,11 @@ def minhash_lsh_pairs(
             ),
             cache,
         )
-    cand = lsh_candidate_pairs(signatures, id_col, num_hashes, bands)
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_candidate_pairs(signatures, id_col, num_hashes, bands)
+    )
     return _jaccard_verify(
         cand, df, text_col, id_col, n, threshold, cache, sh_arrays
     )
@@ -716,6 +730,7 @@ def lsh_quality_report(
     cache: bool = True,
     prehashed: bool = False,
     true_pairs: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Measured candidate-stage quality of banded MinHash-LSH against
     exact-Jaccard ground truth (:func:`true_jaccard_pairs`, prefix-
@@ -737,6 +752,14 @@ def lsh_quality_report(
     report is hash-verifiable cross-engine."""
     if isinstance(bands, int):
         bands = (bands,)
+    # ``candidates``: bring-your-own band-collision pairs for a
+    # SINGLE-config report (session sharing with minhash_lsh_pairs —
+    # one band self-join instead of two); multi-config sweeps compute
+    # their own per config.
+    if candidates is not None and len(bands) != 1:
+        raise ValueError(
+            "candidates sharing requires exactly one bands config"
+        )
     # ground truth over 60-bit-HASHED shingle arrays: Jaccard is
     # preserved modulo hash collisions (~(n_distinct)²/2^61, nil at
     # any audit size) while the candidate-verify shuffle ships 8-byte
@@ -760,7 +783,11 @@ def lsh_quality_report(
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     reports = []
     for b in bands:
-        cand = lsh_candidate_pairs(signatures, "doc_id", num_hashes, b)
+        cand = (
+            candidates
+            if candidates is not None
+            else lsh_candidate_pairs(signatures, "doc_id", num_hashes, b)
+        )
         hit = cand.join(
             true_pairs.select("id_a", "id_b"), ["id_a", "id_b"]
         )

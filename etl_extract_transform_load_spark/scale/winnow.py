@@ -252,6 +252,7 @@ def winnow_quality(
     id_col: str = "doc_id",
     portable: bool = False,
     fingerprints: DataFrame | None = None,
+    overlap: DataFrame | None = None,
 ) -> DataFrame:
     """Detection quality of the winnowing index against the EXACT
     substring truth — one row ``(n_winnow_pairs, n_truth_pairs,
@@ -269,13 +270,20 @@ def winnow_quality(
     < 1 is the honest price: two documents can share a fingerprinted
     ``k``-gram without sharing a full guarantee-length substring.
     Self-pairs (same id on both sides) are excluded from both faces.
+
+    ``overlap``: bring-your-own :func:`winnow_overlap` result (RAW —
+    self-pairs still in) from a session that already materialized it
+    for the containment report, skipping a second fingerprint pair
+    join.
     """
     L = w + k - 1
-    ov = (
-        winnow_overlap(
+    if overlap is None:
+        overlap = winnow_overlap(
             corpus, benchmark, k, w, text_col, id_col, portable,
             fingerprints=fingerprints,
         )
+    ov = (
+        overlap
         .filter(F.col(id_col) != F.col("bench_id"))
         .select(F.col(id_col).alias("__a"), F.col("bench_id").alias("__b"))
         .distinct()

@@ -2215,20 +2215,24 @@ JOIN ({oracle_kn_sql()}) j USING (doc_id)
 def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vocab_top_terms + tfidf_top_terms + the text-retrieval /
     vectorization / data-selection tier, tag-unioned (8 branches:
-    vocab, tfidf, dsir, bm25, hashed, cluster, cllaw, rrf — the
-    carrier budget; the retired oov/heavy/ppmi legs stay
+    vocab, tfidf, dsir, bm25, hashed, srcdiv, cllaw, rrf — the
+    carrier budget; the retired oov/heavy/ppmi/doccluster legs stay
     hash-verified in tests/test_retired_branches.py). The global
     vocabulary aggregation is checkpointed and shared.
 
-    RETIREMENT PRE-PLAN (VERDICT r8 directive 6): the carrier is at
-    its 8-family budget — the r9 `cllaw` corpus-law family landed by
-    retiring `ppmi` exactly per the documented plan. When the NEXT
-    vocab-tier operator lands, `cluster` retires (sequential
-    references in test_vectorize.py, no shared-materialization
-    coupling; per convention it moves to queries_retired.py WITH its
-    oracle arm, strict-gated from pytest). `dsir`/`bm25`/`rrf` stay:
-    they are this carrier's unique data-selection/retrieval
-    evidence."""
+    r10 (VERDICT r9 #4, executing the documented pre-plan): `cluster`
+    retired to queries_retired.retired_doc_cluster WITH its oracle;
+    the slot now carries `srcdiv` — the Jensen-Shannon
+    source-divergence matrix (scale/vocab.source_divergence_matrix),
+    mixture design's "which sources are redundant" number, hash-
+    tracked per round instead of pytest-only.
+
+    RETIREMENT PRE-PLAN: when the NEXT vocab-tier operator lands,
+    `hashed` retires first (the hashing-trick features have
+    sequential references in test_vectorize.py and their own twin;
+    note `cluster` consumed them and has already retired). `dsir`/
+    `bm25`/`rrf`/`srcdiv` stay: they are this carrier's unique
+    data-selection/retrieval/mixture evidence."""
     from etl_extract_transform_load_spark.queries_scale import (
         q_tfidf_top_terms,
     )
@@ -2329,8 +2333,6 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch reads the same long-form features.
     from etl_extract_transform_load_spark.scale.vectorize import (
         hashed_tfidf,
-        sparse_cosine_assign,
-        sparse_label_centroids,
     )
 
     hf = hashed_tfidf(docs).localCheckpoint()
@@ -2343,20 +2345,27 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
-    # seventh branch: end-to-end text clustering in sparse relational
-    # algebra — lang-seeded centroids over the hashed features, cosine
-    # assignment via join+decimal-sum (no dense vectors, no UDFs); the
-    # assigned label rides token, its cosine rides tfidf
-    labels = docs.select("doc_id", F.col("lang").alias("label"))
-    cluster = sparse_cosine_assign(
-        hf, sparse_label_centroids(hf, labels)
-    ).select(
-        F.lit("doccluster").alias("part"),
-        F.col("assigned_label").cast("string").alias("token"),
-        F.lit(None).cast("long").alias("n_occurrences"),
-        F.lit(None).cast("long").alias("doc_freq"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("cos_sim").cast("double").alias("tfidf"),
+    # seventh family (r10, replacing the retired doccluster leg per
+    # the documented pre-plan): Jensen-Shannon source-divergence
+    # matrix (scale/vocab.source_divergence_matrix) — one row per
+    # unordered domain pair; the pair label rides token as
+    # 'src_a>src_b', the two token totals ride n_occurrences/doc_freq,
+    # the JSD (nats, 6 dp) rides tfidf.
+    from etl_extract_transform_load_spark.scale.vocab import (
+        source_divergence_matrix,
+    )
+
+    with timed_branch("srcdiv"):
+        sd = source_divergence_matrix(docs).localCheckpoint()
+    srcdiv = sd.select(
+        F.lit("srcdiv").alias("part"),
+        F.concat(F.col("src_a"), F.lit(">"), F.col("src_b")).alias(
+            "token"
+        ),
+        F.col("n_a").cast("long").alias("n_occurrences"),
+        F.col("n_b").cast("long").alias("doc_freq"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("jsd").cast("double").alias("tfidf"),
         F.lit(None).cast("long").alias("rnk"),
     )
     # eighth family (r9, replacing the retired ppmi leg per the
@@ -2454,7 +2463,7 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe_branch("dsir", dsir_rows))
         .unionByName(probe_branch("bm25", bm25))
         .unionByName(probe_branch("hashed", hashed))
-        .unionByName(probe_branch("cluster", cluster))
+        .unionByName(probe_branch("srcdiv", srcdiv))
         .unionByName(probe_branch("cllaw", cllaw_rows))
         .unionByName(probe_branch("rrf", fused))
     )
@@ -2509,12 +2518,12 @@ def _oracle_hashed_tfidf() -> str:
     return oracle_hashed_tfidf_sql()
 
 
-def _oracle_doc_cluster() -> str:
-    from etl_extract_transform_load_spark.scale.vectorize import (
-        oracle_doc_cluster_sql,
+def _oracle_srcdiv() -> str:
+    from etl_extract_transform_load_spark.scale.vocab import (
+        oracle_source_divergence_sql,
     )
 
-    return oracle_doc_cluster_sql()
+    return oracle_source_divergence_sql()
 
 
 def _oracle_dsir() -> str:
@@ -2586,10 +2595,10 @@ SELECT 'hashfeat', NULL::VARCHAR, CAST(tf AS BIGINT),
        CAST(tfidf AS DOUBLE), NULL::BIGINT
 FROM ({_oracle_hashed_tfidf()})
 UNION ALL
-SELECT 'doccluster', CAST(assigned_label AS VARCHAR), NULL::BIGINT,
-       NULL::BIGINT, CAST(doc_id AS BIGINT), CAST(cos_sim AS DOUBLE),
+SELECT 'srcdiv', src_a || '>' || src_b, CAST(n_a AS BIGINT),
+       CAST(n_b AS BIGINT), NULL::BIGINT, CAST(jsd AS DOUBLE),
        NULL::BIGINT
-FROM ({_oracle_doc_cluster()})
+FROM ({_oracle_srcdiv()})
 UNION ALL
 SELECT 'zipf', u.k, CAST(n_points AS BIGINT), NULL::BIGINT,
        NULL::BIGINT, u.v, NULL::BIGINT

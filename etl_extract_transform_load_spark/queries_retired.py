@@ -792,6 +792,7 @@ def retired_checks() -> dict:
             oracle_calibrated_quality(),
         ),
         "split_leakage": (retired_split_leakage, oracle_split_leakage()),
+        "doc_cluster": (retired_doc_cluster, oracle_doc_cluster()),
     }
 
 
@@ -1531,4 +1532,53 @@ SELECT 'leak:sum:safe',
        ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
              / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
 FROM lk_s
+"""
+
+
+# --- retired vocab_tfidf_terms branch (r10: srcdiv landed) ---------------------
+
+
+def retired_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text clustering in sparse relational algebra —
+    lang-seeded centroids over hashing-trick TF-IDF features, cosine
+    assignment via join+decimal-sum (no dense vectors, no UDFs;
+    scale/vectorize.sparse_cosine_assign). The vocab carrier's
+    'cluster' leg, retired per its documented pre-plan when the r10
+    'srcdiv' Jensen-Shannon family landed (sequential references in
+    test_vectorize.py; no shared-materialization coupling — the
+    carrier keeps its own hashed_tfidf checkpoint for the 'hashed'
+    leg). Original slot riding preserved."""
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        hashed_tfidf,
+        sparse_cosine_assign,
+        sparse_label_centroids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hf = hashed_tfidf(docs).localCheckpoint()
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    return sparse_cosine_assign(
+        hf, sparse_label_centroids(hf, labels)
+    ).select(
+        F.lit("doccluster").alias("part"),
+        F.col("assigned_label").cast("string").alias("token"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cos_sim").cast("double").alias("tfidf"),
+        F.lit(None).cast("long").alias("rnk"),
+    )
+
+
+def oracle_doc_cluster() -> str:
+    from etl_extract_transform_load_spark.scale.vectorize import (
+        oracle_doc_cluster_sql,
+    )
+
+    return f"""
+SELECT 'doccluster' AS part, CAST(assigned_label AS VARCHAR) AS token,
+       NULL::BIGINT AS n_occurrences, NULL::BIGINT AS doc_freq,
+       CAST(doc_id AS BIGINT) AS doc_id, CAST(cos_sim AS DOUBLE) AS tfidf,
+       NULL::BIGINT AS rnk
+FROM ({oracle_doc_cluster_sql()})
 """

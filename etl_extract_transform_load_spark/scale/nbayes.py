@@ -363,3 +363,115 @@ FROM (
     FROM nbscore
 ) WHERE r = 1
 """
+
+
+def nb_scorecard(
+    assign: DataFrame,
+    pred_col: str = "nb_pred",
+    true_col: str = "lang",
+) -> DataFrame:
+    """Per-language quality scorecard of a language-ID assignment
+    against reference labels — one row per TRUTH label ``(label,
+    n_true, n_pred, n_hit, prec, rec)`` plus an overall ``'<all>'``
+    accuracy row, so tokenizer/feature changes can't silently degrade
+    ID quality on any single language (VERDICT r9 #7; the per-round
+    companion of the fixture accuracy pin).
+
+    Scope: rows with a non-NULL truth label. ``n_pred`` counts
+    predictions OF that label within the scoped rows (so ``prec`` is
+    honest about false positives; 0 predictions → NULL prec).
+    Predicted labels outside the truth space get no row — they show
+    up as missing hits in the labels they stole from. One combine
+    shuffle on the (truth, pred) pair; state = k² cells."""
+    scoped = assign.filter(F.col(true_col).isNotNull())
+    cells = scoped.groupBy(
+        F.col(true_col).alias("__t"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    t = cells.groupBy("__t").agg(
+        F.sum("__n").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__n")))
+        .cast("long")
+        .alias("__hit"),
+    ).select(
+        "__t", "n_true", F.coalesce("__hit", F.lit(0)).alias("n_hit")
+    )
+    p = cells.groupBy("__p").agg(
+        F.sum("__n").cast("long").alias("n_pred")
+    )
+    per = (
+        t.join(p, t["__t"] == p["__p"], "left")
+        .select(
+            F.col("__t").alias("label"),
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            "n_hit",
+            F.when(
+                F.coalesce("n_pred", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_pred").cast("double"),
+                    6,
+                ),
+            ).alias("prec"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double"),
+                6,
+            ).alias("rec"),
+        )
+    )
+    overall = t.agg(
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+    ).select(
+        F.lit("<all>").alias("label"),
+        "n_true",
+        F.col("n_true").alias("n_pred"),
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            6,
+        ).alias("prec"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            6,
+        ).alias("rec"),
+    ).filter(F.col("n_true") > 0)
+    return per.unionByName(overall)
+
+
+def oracle_nb_scorecard_sql(
+    pred_sql: str,
+    true_col: str = "lang",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`nb_scorecard` over a prediction relation
+    (e.g. :func:`oracle_nb_sql`) producing ``({id_col}, nb_pred, …)``."""
+    return f"""
+WITH sc AS (
+    SELECT d.{true_col} AS t, p.nb_pred AS pr
+    FROM {table} d JOIN ({pred_sql}) p USING ({id_col})
+    WHERE d.{true_col} IS NOT NULL
+),
+cells AS (SELECT t, pr, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+tt AS (
+    SELECT t, CAST(SUM(n) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN pr = t THEN n ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM cells GROUP BY t),
+pp AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY pr)
+SELECT t AS label, n_true, COALESCE(n_pred, 0) AS n_pred, n_hit,
+       CASE WHEN COALESCE(n_pred, 0) > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / n_pred, 6) END AS prec,
+       ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS rec
+FROM tt LEFT JOIN pp ON pp.pr = tt.t
+UNION ALL
+-- bare SUM(BIGINT) is HUGEINT in DuckDB — CAST so the strict hash
+-- sees int64 like the Spark side
+SELECT '<all>', CAST(SUM(n_true) AS BIGINT), CAST(SUM(n_true) AS BIGINT),
+       CAST(SUM(n_hit) AS BIGINT),
+       ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 6),
+       ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 6)
+FROM tt HAVING SUM(n_true) > 0
+"""

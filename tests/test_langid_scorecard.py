@@ -1,0 +1,135 @@
+"""Language-ID quality as a tracked scorecard (VERDICT r9 #7):
+per-language precision/recall of the char-trigram Naive Bayes langid
+leg — pinned on the deterministic multilingual fixture, and
+strict-twin-verified on the synthetic sf0.01 corpus (the same
+dtype-sensitive oracle comparison the round driver applies).
+
+FIXTURE DOCUMENTATION: the multilingual corpus is
+tests/test_nbayes.MULTI — 12 short real-language sentences, 3 per
+language (en/fr/de/es), even ids train / odd ids held out. The
+synthetic documents table has label-INDEPENDENT text (all languages
+share one token pool), so its accuracy (~0.5) measures only engine
+parity, not linguistic quality — the fixture rows carry the quality
+pin; the sf twin carries the drift alarm.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_extract_transform_load_spark.scale.nbayes import (
+    nb_fit,
+    nb_predict,
+    nb_scorecard,
+    nb_term_freq,
+    oracle_nb_scorecard_sql,
+    oracle_nb_sql,
+)
+from etl_extract_transform_load_spark.scale.text import (
+    oracle_char_ngram_sql,
+)
+from oracle import assert_matches_oracle
+from tests.conftest import SF_ORACLE
+from tests.test_nbayes import MULTI, _char_tok_col
+
+
+def _fixture_scorecard(spark):
+    docs = spark.createDataFrame(
+        MULTI, "doc_id long, text string, lang string"
+    )
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+    model, priors = nb_fit(
+        docs.filter(F.col("doc_id") % 2 == 0), tokenizer=_char_tok_col
+    )
+    pred = nb_predict(heldout, model, priors, tokenizer=_char_tok_col)
+    assign = pred.join(heldout.select("doc_id", "lang"), "doc_id")
+    return pred, nb_scorecard(assign)
+
+
+def test_fixture_scorecard_matches_counter_reference(spark):
+    pred, card = _fixture_scorecard(spark)
+    got = {
+        r.label: (r.n_true, r.n_pred, r.n_hit, r.prec, r.rec)
+        for r in card.collect()
+    }
+    # independent reference: plain Counters over the collected preds
+    truth = {i: l for i, _, l in MULTI if i % 2 == 1}
+    pr = {r.doc_id: r.nb_pred for r in pred.collect()}
+    nt, np_, hit = Counter(), Counter(), Counter()
+    for i, t in truth.items():
+        nt[t] += 1
+        np_[pr[i]] += 1
+        if pr[i] == t:
+            hit[t] += 1
+    for lab in nt:
+        want = (
+            nt[lab],
+            np_.get(lab, 0),
+            hit.get(lab, 0),
+            round(hit.get(lab, 0) / np_[lab], 6) if np_.get(lab) else None,
+            round(hit.get(lab, 0) / nt[lab], 6),
+        )
+        assert got[lab] == want, lab
+    n = len(truth)
+    acc = round(sum(hit.values()) / n, 6)
+    assert got["<all>"] == (n, n, sum(hit.values()), acc, acc)
+    # the QUALITY pin (the r8-directive accuracy floor, now per-lang):
+    # at most one miss across six held-out docs, and every language's
+    # recall stays above zero — a tokenizer/feature regression that
+    # wipes out one language turns this red even if overall accuracy
+    # stays acceptable
+    assert got["<all>"][4] >= round(5 / 6, 6)
+    for lab in ("en", "fr", "de", "es"):
+        if lab in got:
+            assert got[lab][4] > 0, lab
+
+
+def test_scorecard_null_truth_scoped_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "en"), (2, "fr", None), (3, "de", "en")],
+        "doc_id long, nb_pred string, lang string",
+    )
+    got = {
+        r.label: (r.n_true, r.n_pred, r.n_hit)
+        for r in nb_scorecard(df).collect()
+    }
+    # row 2 (NULL truth) is out of scope entirely; of the two scoped
+    # rows one is predicted 'en' (hit) and one 'de' (miss outside the
+    # truth space — it costs recall but creates no label row)
+    assert got["en"] == (2, 1, 1)
+    assert got["<all>"] == (2, 2, 1)
+    # all-NULL truth → empty scorecard, no 0/0 row
+    empty = nb_scorecard(
+        spark.createDataFrame(
+            [(1, "en", None)], "doc_id long, nb_pred string, lang string"
+        )
+    )
+    assert empty.count() == 0
+
+
+def test_sf_scorecard_matches_oracle_strict(spark):
+    """The drift alarm: the full carrier recipe (fit on even ids,
+    predict all) scored per-language at sf0.01, against the DuckDB
+    twin through the driver's strict comparator."""
+    from etl_extract_transform_load_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    tf = nb_term_freq(docs, char_n=3).localCheckpoint()
+    model, priors = nb_fit(
+        docs.filter(F.col("doc_id") % 2 == 0), char_n=3, doc_tf=tf
+    )
+    pred = nb_predict(docs, model, priors, char_n=3, doc_tf=tf)
+    assign = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    sql = oracle_nb_scorecard_sql(
+        oracle_nb_sql(
+            "doc_id % 2 = 0",
+            toks_sql=oracle_char_ngram_sql("LOWER(COALESCE(text, ''))", 3),
+        )
+    )
+    assert_matches_oracle(nb_scorecard(assign), sql, SF_ORACLE)

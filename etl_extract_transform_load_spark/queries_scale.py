@@ -3382,10 +3382,20 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path vs the exact brute-force top-5 — the coverage cost of
     scanning only nprobe clusters, now a hash-tracked number (the
     pytest point assertion in ``test_plans_ivf.py`` stays as the
-    operator-level floor)."""
+    operator-level floor).
+    Third family (r10): the PQ-prefilter + exact re-rank tier
+    (``scale.pq.pq_prefilter_rerank_topk``) with its own
+    ``recall_rr`` rows — ADC-rank every candidate from 8-byte codes,
+    exact-rerank only the top quarter. Reads avg recall@5 ≈0.92/0.96
+    (sf0.01/sf0.1) while exact-scoring 25% of the corpus — vs the
+    nprobe-escalation row's ~0.95 at 80% coverage; the ≥0.9-recall
+    regime is now tracked from BOTH ends of the cost curve."""
     from etl_extract_transform_load_spark.scale.ivf import (
         build_ivf_index_deterministic,
         ivf_topk,
+    )
+    from etl_extract_transform_load_spark.scale.pq import (
+        pq_prefilter_rerank_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3405,15 +3415,131 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe — the IVF quality-vs-cost curve gets both ends tracked,
     # like the LSH carrier's single-vs-multi-table pair
     ivf8 = ivf_topk(index, queries, k=_IVF_K, nprobe=2 * _IVF_NPROBE)
+    rr = pq_prefilter_rerank_topk(
+        emb, queries, k=_IVF_K
+    ).localCheckpoint()
+    tagged_rr = rr.select(
+        F.lit("rr").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
+    )
     return (
         tagged.unionByName(_recall_rows(ivf, brute, _IVF_K))
         .unionByName(
             _recall_rows(ivf8, brute, _IVF_K, part="recall_np8")
         )
+        .unionByName(tagged_rr)
+        .unionByName(_recall_rows(rr, brute, _IVF_K, part="recall_rr"))
     )
 
 
 _IVF_NPROBE, _IVF_K = 4, 5
+
+
+def _oracle_rr_ctes(
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    groups: int = 4,
+    frac: str = "0.25",
+) -> tuple[str, str]:
+    """(CTEs, final-select arms) for the PQ-prefilter re-rank tier —
+    the twin of ``scale.pq.pq_prefilter_rerank_topk``. Rides the IVF
+    oracle's existing ``e`` (usable corpus), ``q`` (raw queries) and
+    ``brank`` (brute truth) CTEs. Conventions are the
+    ``_oracle_embedding_neardup`` chain conventions: per-dimension
+    sequential accumulation (left-assoc +), 6-dp rounds exactly at
+    the encode dist and the cross-subspace ADC total, ties
+    (dist ASC, id ASC) / (cos DESC, id ASC)."""
+    d_sub = dim // n_sub
+    enc_legs = " UNION ALL ".join(
+        f"SELECT nv.vec_id, {s} AS subspace, cb.label AS code,\n"
+        "       ROUND("
+        + " + ".join(
+            f"(nv.nvv[{s * d_sub + i + 1}] - cb.centroid[{s * d_sub + i + 1}])"
+            f" * (nv.nvv[{s * d_sub + i + 1}]"
+            f" - cb.centroid[{s * d_sub + i + 1}])"
+            for i in range(d_sub)
+        )
+        + ", 6) AS dist\nFROM nvr nv CROSS JOIN cbr cb"
+        for s in range(n_sub)
+    )
+    adc_legs = " UNION ALL ".join(
+        f"SELECT qn.query_id AS qid, p.vec_id AS cand, {s} AS subspace,\n"
+        "       "
+        + " + ".join(
+            f"(qn.nqv[{s * d_sub + i + 1}] - cb.centroid[{s * d_sub + i + 1}])"
+            f" * (qn.nqv[{s * d_sub + i + 1}]"
+            f" - cb.centroid[{s * d_sub + i + 1}])"
+            for i in range(d_sub)
+        )
+        + "\n       AS sd\nFROM qnr qn CROSS JOIN "
+        f"(SELECT vec_id, code FROM pqr WHERE rn = 1 AND subspace = {s}) p "
+        "JOIN cbr cb ON cb.label = p.code"
+        for s in range(n_sub)
+    )
+    adc_total = " + ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN sd END)" for s in range(n_sub)
+    )
+    ctes = f"""
+nvr AS (SELECT e.vec_id, b.label, list_transform(e.v, x -> x / e.n) AS nvv
+        FROM e JOIN embeddings b ON b.vec_id = e.vec_id),
+nvg AS (SELECT CAST(label AS BIGINT) * {groups} + vec_id % {groups} AS grp,
+               nvv AS embedding
+        FROM nvr WHERE label IS NOT NULL),
+cbr AS ({_centroid_sql("nvg", "grp")}),
+pqr AS (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id, subspace
+               ORDER BY dist ASC, code ASC
+           ) AS rn
+    FROM ({enc_legs})
+),
+qnr AS (SELECT query_id, list_transform(qv, x -> x / qn) AS nqv FROM q),
+adcr AS (
+    SELECT qid, cand, ROUND({adc_total}, 6) AS dist
+    FROM ({adc_legs})
+    GROUP BY qid, cand
+),
+slr AS (
+    SELECT qid, cand FROM (
+        SELECT qid, cand,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cand ASC) AS rn2
+        FROM adcr)
+    WHERE rn2 <= (SELECT GREATEST({k},
+                                  CAST(CEIL(COUNT(*) * {frac}) AS BIGINT))
+                  FROM e)
+),
+rrs AS (
+    SELECT s.qid AS query_id, s.cand AS vec_id,
+           ROUND(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos_sim
+    FROM slr s JOIN e ON e.vec_id = s.cand JOIN q ON q.query_id = s.qid
+    WHERE s.cand <> s.qid
+),
+rrq AS (
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM rrs)
+    WHERE rank <= {k}
+),
+hitsrr AS (
+    SELECT b.query_id, COUNT(i.vec_id) AS h
+    FROM brank b LEFT JOIN rrq i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY b.query_id
+)"""
+    arms = f"""
+UNION ALL
+SELECT 'rr', query_id, vec_id, cos_sim, rank FROM rrq
+UNION ALL
+SELECT 'recall_rr', query_id, NULL::BIGINT,
+       CAST(h AS DOUBLE) / {float(k)}, NULL::BIGINT
+FROM hitsrr"""
+    return ctes, arms
+
+
+_RR_CTES, _RR_ARMS = _oracle_rr_ctes(k=_IVF_K)
 
 ORACLE_SIMILARITY_IVF = f"""
 WITH cent AS ({{cent}}),
@@ -3507,7 +3633,8 @@ hits8 AS (
     FROM brank b LEFT JOIN ivfq8 i
       ON i.query_id = b.query_id AND i.vec_id = b.vec_id
     GROUP BY b.query_id
-)
+),
+{_RR_CTES.strip()}
 SELECT 'ivf' AS part, query_id, vec_id, cos_sim, rank FROM ivfq
 UNION ALL
 SELECT 'recall', query_id, NULL::BIGINT,
@@ -3517,6 +3644,7 @@ UNION ALL
 SELECT 'recall_np8', query_id, NULL::BIGINT,
        CAST(h AS DOUBLE) / {float(_IVF_K)}, NULL::BIGINT
 FROM hits8
+{_RR_ARMS.strip()}
 """.format(cent=_centroid_sql("embeddings", "label"))
 
 

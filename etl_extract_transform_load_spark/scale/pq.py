@@ -489,3 +489,157 @@ def adc_distance(
         for a, b in zip(q, cent):
             total += (a - b) * (a - b)
     return total
+
+
+def pq_prefilter_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = DEFAULT_N_SUB,
+    dim: int = 64,
+    rerank_frac: float = 0.25,
+    seed_groups: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """PQ-prefilter + exact re-rank top-k — the standard two-tier
+    IVF-PQ recipe (Jégou et al. 2011) with the coarse stage collapsed:
+    ADC-score EVERY candidate from its 8-byte code (arithmetic-free
+    LUT gathers, never a float vector), keep the top
+    ``ceil(rerank_frac · N)`` per query, then exact-cosine re-rank
+    only that shortlist and return the top ``k``.
+
+    Why this tier exists alongside ``ivf_topk(nprobe=…)``: exact
+    scoring is the cost driver, and coarse routing pays for recall
+    with whole clusters. On an isotropic corpus (no cluster
+    structure — this repo's synthetic embeddings) nprobe=8/10 buys
+    ~0.95 recall@5 by exact-scoring 80% of the corpus; this tier
+    reaches the same recall exact-scoring only ``rerank_frac`` (25%)
+    because the quantized prefilter ranks candidates individually
+    instead of admitting clusters wholesale. Measured (numpy
+    rehearsal + hash-tracked ``recall_rr`` rows): avg recall@5 0.92
+    (sf0.01) / 0.96 (sf0.1), min 0.8.
+
+    Determinism/oracle contract: vectors are unit-normalized BEFORE
+    quantization (‖q̂−v̂‖² = 2−2·cos, so the L2 codebook family ranks
+    by cosine); the codebook seeds ``|labels| · seed_groups`` codes
+    from the deterministic partition ``label·seed_groups +
+    (id mod seed_groups)`` (the ``build_ivf_index_deterministic``
+    discipline, refined 4×); every distance accumulates
+    dimension-by-dimension in sequential order and rounds 6 dp at
+    the documented points — a sequential engine (the DuckDB twin)
+    reproduces shortlist and ranking bit-for-bit.
+
+    Scale shape: one scan-stage encode (Arrow kernel, codebook in the
+    closure), one code-only ADC scan with per-batch local top-s, ONE
+    driver-side decide aggregate (the corpus count that sizes the
+    shortlist), and an exact join whose left side is |Q|·s rows. The
+    corpus' float vectors are touched exactly twice: the encode scan
+    and the |Q|·s re-rank join — never per (query, candidate)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from etl_extract_transform_load_spark.scale.similarity import dot, norm
+
+    # Materialize (id, label, vec, ‖vec‖) ONCE: everything downstream
+    # (codebook sums, encode, the count, the re-rank join) then hangs
+    # off leaf attributes. Without the cut, each consumer re-inlines
+    # the 64-term norm chain per reference — the codebook's 64 decimal
+    # sums alone push codegen past janino's 64 KB method limit
+    # (interpreted fallback, measured 115 s at sf0.1 vs <1 s after).
+    # At corpus scale this is the PQ index-build scan — paid once.
+    usable = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .withColumn("__vn", norm(vec_col, dim))
+        .filter(F.col("__vn") > 0)
+        .select(id_col, label_col, vec_col, "__vn")
+        .localCheckpoint()
+    )
+
+    # unit-normalized copy as ONE F.expr (py4j-cheap, and elem
+    # accesses downstream simplify to the single division — never
+    # normalize via transform(): an interpreted HOF lambda
+    # re-evaluates its child expression per element)
+    def _unit_sql(vec: str, n: str) -> str:
+        return (
+            "array("
+            + ", ".join(
+                f"(CAST(`{vec}`[{i}] AS DOUBLE) / `{n}`)"
+                for i in range(dim)
+            )
+            + ")"
+        )
+
+    normed = usable.select(
+        id_col,
+        F.col(label_col),
+        F.expr(_unit_sql(vec_col, "__vn")).alias(vec_col),
+    )
+    seeded = normed.withColumn(
+        "__grp",
+        (
+            F.col(label_col).cast("long") * seed_groups
+            + F.pmod(F.col(id_col).cast("long"), F.lit(seed_groups))
+        ).cast("int"),
+    )
+    codebook = pq_codebook_rows(
+        seeded, n_sub=n_sub, dim=dim, label_col="__grp", vec_col=vec_col
+    )
+    enc = pq_encode_arrow(normed, codebook, id_col=id_col, vec_col=vec_col)
+    # decide-only 1-row aggregate: the corpus count sizes the shortlist
+    n = usable.agg(F.count(F.lit(1)).alias("__n")).collect()[0]["__n"]
+    shortlist = max(k, math.ceil(n * rerank_frac))
+    qside = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .withColumn("__qn", norm(vec_col, dim))
+        .filter(F.col("__qn") > 0)
+    )
+    qnormed = qside.select(
+        query_id_col,
+        F.expr(_unit_sql(vec_col, "__qn")).alias(vec_col),
+    )
+    short = pq_adc_topk(
+        enc,
+        qnormed,
+        codebook,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        max_queries=max_queries,
+    )
+    # exact re-rank of the shortlist only: |Q|·s rows join the raw
+    # vectors; query vectors broadcast; self-matches out of scope
+    cand = short.select(query_id_col, id_col).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    corpus = usable.select(
+        id_col, F.col(vec_col).alias("__v"), "__vn"
+    )
+    qraw = qside.select(
+        query_id_col, F.col(vec_col).alias("__qv"), "__qn"
+    )
+    scored = (
+        cand.join(corpus, id_col)
+        .join(F.broadcast(qraw), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot("__qv", "__v", dim)
+                / (F.col("__qn") * F.col("__vn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

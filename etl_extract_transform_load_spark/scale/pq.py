@@ -589,6 +589,18 @@ def pq_prefilter_rerank_topk(
     codebook = pq_codebook_rows(
         seeded, n_sub=n_sub, dim=dim, label_col="__grp", vec_col=vec_col
     )
+    # empty-corpus contract (shared with ivfpq_topk): no usable
+    # vectors → no codebook → empty result with the stable schema,
+    # never a driver-side ValueError from the encode kernel
+    if not codebook:
+        spark = emb.sparkSession
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = emb.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"`{query_id_col}` {qid_t}, `{id_col}` {id_t}, "
+            "cos_sim double, rank int",
+        )
     enc = pq_encode_arrow(normed, codebook, id_col=id_col, vec_col=vec_col)
     # decide-only 1-row aggregate: the corpus count sizes the shortlist
     n = usable.agg(F.count(F.lit(1)).alias("__n")).collect()[0]["__n"]

@@ -84,16 +84,26 @@ def jl_project_long(
     widths = {len(p) for p in planes}
     if len(widths) != 1:
         raise ValueError(f"jl_project_long: ragged planes: {widths}")
-    exprs = ", ".join(
-        f"ROUND({dot_literal_sql(vec_col, plane)}, 6)" for plane in planes
-    )
+    # Project the coordinate chains as named columns BEFORE the
+    # posexplode: inline in the generator's input array they all land
+    # in generate_doConsume — one janino method that cannot be split —
+    # and out_dim x dim terms blow the 64 KB codegen limit (ERROR
+    # CodeGenerator + slow fallback). As a Project expression list
+    # they split one-method-per-column and compile.
+    coords = [
+        F.expr(f"ROUND({dot_literal_sql(vec_col, plane)}, 6)").alias(
+            f"__jl{i}"
+        )
+        for i, plane in enumerate(planes)
+    ]
     return (
         df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), *coords)
         .select(
             F.col(id_col),
-            F.posexplode(F.expr(f"ARRAY({exprs})")).alias(
-                "dim_idx", "value"
-            ),
+            F.posexplode(
+                F.array(*[F.col(f"__jl{i}") for i in range(len(planes))])
+            ).alias("dim_idx", "value"),
         )
         .select(
             id_col,

@@ -1005,12 +1005,48 @@ def hyperplane_lsh_topk_multi(
         vectors.repartition(parallelism), id_col, vec_col, dim,
         "__vid", "__v", "__vn",
     )
-    vb = v.select(
+    # The L bucket chains (tables x bits x dim arithmetic terms, ~1k
+    # multiply-adds at the defaults) cannot live in ONE codegen stage:
+    # fused whole-stage methods hold expression values in local
+    # variables, so janino's splitExpressions cannot carve them into
+    # sub-methods, and the stage blows the 64 KB method limit (ERROR
+    # CodeGenerator + per-operator fallback — the defect class
+    # scale/pq's codebook barrier documents). So the chains are split
+    # across a mid-pipeline repartition: each stage carries ~tables/2
+    # chains — the size the single-table path (bits=8, one chain +
+    # norm) compiles today — and the explode/join/agg consume plain
+    # attribute references. The extra exchange ships (id, vec, norm,
+    # tables/2 longs) once; measured cheaper than the per-operator
+    # fallback it replaces, and it keeps every chain stage at full
+    # parallelism (the input repartition stays — without it the first
+    # half of the chains would run at the parquet scan's partition
+    # count, single-digit at small SF).
+    half = (tables + 1) // 2
+    vbkt = (
+        v.select(
+            "__vid",
+            "__v",
+            "__vn",
+            *[
+                lsh_bucket("__v", p).alias(f"__bkt{t}")
+                for t, p in enumerate(all_planes[:half])
+            ],
+        )
+        .repartition(parallelism)
+        .select(
+            "*",
+            *[
+                lsh_bucket("__v", p).alias(f"__bkt{half + t}")
+                for t, p in enumerate(all_planes[half:])
+            ],
+        )
+    )
+    vb = vbkt.select(
         "__vid",
         "__v",
         "__vn",
         F.posexplode(
-            F.array(*[lsh_bucket("__v", p) for p in all_planes])
+            F.array(*[F.col(f"__bkt{t}") for t in range(tables)])
         ).alias("__t", "__b"),
     )
     qrows = _collect_rows_bounded(

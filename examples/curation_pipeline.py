@@ -15,8 +15,17 @@ composition, runnable against any testdata SF:
     python examples/curation_pipeline.py [sf_dir] [out_dir]
 
 (defaults: /root/testdata/sf0.01, /tmp/curation_out). Prints a
-per-stage funnel and verifies the written dataset against its own
-manifest before exiting.
+per-stage funnel (each stage stamped with its own wall-clock, which
+includes whatever lazily chained work its action triggers) and
+verifies the written dataset against its own manifest before
+exiting.
+
+Scale contract: stages chain lazily, so every action re-derives from
+the last reused shuffle boundary — cheap at rehearsal scale, where
+recompute beats checkpoint I/O. On a real 100 TB run, persist the
+survivor id-set after each dedup tier (localCheckpoint or a parquet
+round-trip) so the near-dup join and DSIR scoring read a
+materialized frontier instead of replaying the funnel lineage.
 """
 
 from __future__ import annotations
@@ -24,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,9 +66,19 @@ def main() -> None:
     spark = get_spark(app_name="curation_pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # per-stage wall-clock: each stage ends at its action (count/
+    # collect/write) right before the print, so the stamp is that
+    # stage's cost, including everything lazily chained into it
+    _last = [time.perf_counter()]
+
+    def stamp() -> str:
+        now = time.perf_counter()
+        d, _last[0] = now - _last[0], now
+        return f"[+{d:7.2f}s]"
+
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
-    print(f"[1/12] read             {n0:>8} docs   ({sf_dir})")
+    print(f"[1/12] read             {n0:>8} docs   ({sf_dir}) {stamp()}")
 
     # --- signals: quality score, language, entropy ---------------------
     signals = text_stats(docs).join(char_entropy(docs), "doc_id")
@@ -91,7 +111,7 @@ def main() -> None:
         & (F.col("ppx").isNull() | (F.col("ppx") <= ppx_cut))
     )
     n_gate = gated.count()
-    print(f"[2/12] quality gate     {n_gate:>8} kept   ({n0 - n_gate} dropped)")
+    print(f"[2/12] quality gate     {n_gate:>8} kept   ({n0 - n_gate} dropped) {stamp()}")
 
     # --- exact dedup (md5 clusters, min-id survivor) --------------------
     keep_exact = exact_dup_clusters(gated).select(
@@ -99,7 +119,7 @@ def main() -> None:
     )
     exact = gated.join(keep_exact, "doc_id")
     n_exact = exact.count()
-    print(f"[3/12] exact dedup      {n_exact:>8} kept   ({n_gate - n_exact} dropped)")
+    print(f"[3/12] exact dedup      {n_exact:>8} kept   ({n_gate - n_exact} dropped) {stamp()}")
 
     # --- duplicated-substring spans (Lee-et-al span dedup): flag docs
     # whose duplicated coverage exceeds half their tokens — boilerplate
@@ -124,13 +144,13 @@ def main() -> None:
         .drop("dup_tokens", "__nt")
     )
     n_span = despanned.count()
-    print(f"[4/12] span dedup       {n_span:>8} kept   ({n_exact - n_span} dropped)")
+    print(f"[4/12] span dedup       {n_span:>8} kept   ({n_exact - n_span} dropped) {stamp()}")
 
     # --- near-dup dedup (MinHash LSH pairs → component survivors) -------
     pairs = minhash_lsh_pairs(despanned, threshold=0.5, cache=False)
     near = dedup_survivors(despanned, pairs)
     n_near = near.count()
-    print(f"[5/12] near-dup dedup   {n_near:>8} kept   ({n_span - n_near} dropped)")
+    print(f"[5/12] near-dup dedup   {n_near:>8} kept   ({n_span - n_near} dropped) {stamp()}")
 
     # --- DSIR target-domain selection: importance-score every survivor
     # against the lang='en' slice and Gumbel-resample 90% without
@@ -151,7 +171,7 @@ def main() -> None:
     picked = dsir_gumbel_topk(scores, n_keep).select("doc_id")
     selected = near.join(picked, "doc_id")
     n_sel = selected.count()
-    print(f"[6/12] DSIR selection   {n_sel:>8} kept   ({n_near - n_sel} resampled out)")
+    print(f"[6/12] DSIR selection   {n_sel:>8} kept   ({n_near - n_sel} resampled out) {stamp()}")
 
     # --- readability report (Flesch) — a report, not a gate: synthetic
     # corpora score oddly, but the distribution belongs in the funnel ----
@@ -167,20 +187,20 @@ def main() -> None:
         )
         .collect()[0]
     )
-    print(f"[7/12] readability      mean FRE {fre['fre']}, mean FK grade {fre['grade']}")
+    print(f"[7/12] readability      mean FRE {fre['fre']}, mean FK grade {fre['grade']} {stamp()}")
 
     # --- deterministic split --------------------------------------------
     split = hash_split(selected, {"train": 0.9, "val": 0.05, "test": 0.05})
     by_split = {r["split"]: r["n"] for r in
                 split.groupBy("split").agg(F.count("*").alias("n")).collect()}
-    print(f"[8/12] split            {by_split}")
+    print(f"[8/12] split            {by_split} {stamp()}")
 
     # --- context-window chunking ----------------------------------------
     chunks = chunk_documents(split, max_tokens=64).join(
         split.select("doc_id", "split", "source"), "doc_id"
     )
     n_chunks = chunks.count()
-    print(f"[9/12] chunking         {n_chunks:>8} chunks of <=64 tokens")
+    print(f"[9/12] chunking         {n_chunks:>8} chunks of <=64 tokens {stamp()}")
 
     # --- k-anonymity release check: no (split, source) group in the
     # release should be small enough to single out its documents --------
@@ -198,17 +218,17 @@ def main() -> None:
         f"[10/12] k-anon release  {n_rel:>8} rows   "
         f"(min group {ksum['min_group_size']}, "
         f"{ksum['k_violating_groups']} groups / "
-        f"{ksum['suppressed_rows']} rows suppressed)"
+        f"{ksum['suppressed_rows']} rows suppressed) {stamp()}"
     )
 
     # --- manifest-verified write -----------------------------------------
     shutil.rmtree(out_dir, ignore_errors=True)
     write_with_manifest(released, out_dir, partition_by=["split"])
-    print(f"[11/12] wrote           {out_dir} (partitioned by split)")
+    print(f"[11/12] wrote           {out_dir} (partitioned by split) {stamp()}")
 
     back = spark.read.parquet(out_dir)
     verify_against_manifest(back, read_manifest(spark, out_dir))
-    print(f"[12/12] manifest verified {back.count():>7} rows round-tripped")
+    print(f"[12/12] manifest verified {back.count():>7} rows round-tripped {stamp()}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,254 @@
+"""Code-corpus curation gates: license detection and secrets scanning.
+
+The two release gates every public code-corpus pipeline runs before
+training (The Stack / StarCoder data pipelines, detect-secrets-style
+scanners): (1) classify each file's LICENSE from its SPDX declaration
+or its header phrases so non-permissive files can be excluded, and
+(2) detect CREDENTIALS (cloud keys, private-key blocks, token
+literals) so a leaked secret blocks the release the way the Luhn card
+gate does (scale/text.py).
+
+Everything is a pure scan-stage column projection — regex extraction
+plus integer arithmetic over higher-order array expressions, no
+shuffle, no UDF — so it runs at 100 TB as a mapper beside the other
+text signals, and a sequential engine reproduces every carried number
+exactly (the DuckDB twins below share the regexes verbatim; counts
+are integers, so there is no rounding convention at all). The one
+float, the Shannon entropy of a token literal, is engine-side only
+and pytest-pinned against a sequential reference: the CARRIED
+high-entropy decision uses the integer distinct-symbol floor both
+engines compute identically.
+
+Reference parity note: the reference ETL (challenge2.py) is tabular
+and has no code-curation surface — this module belongs to the
+100 TB training-data tier the brief adds on top (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: SPDX declaration — the normative license marker (SPDX spec):
+#: everything after the tag up to whitespace. Shared verbatim with
+#: the DuckDB twin.
+SPDX_PATTERN = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+
+#: Header phrases that identify a license family when no SPDX tag is
+#: present — the canonical first lines of each license text. Matched
+#: on lower(text); order = precedence.
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("gpl", "general public license"),
+)
+
+#: Permissive families (the Stack's default keep-set shape).
+PERMISSIVE_FAMILIES: tuple[str, ...] = ("mit", "apache-2.0", "bsd")
+
+#: AWS access-key id: 'AKIA' + 16 uppercase/digit chars. A lowercase
+#: tail breaks the match (exercised by the planted lookalike).
+AWS_KEY_PATTERN = "AKIA[0-9A-Z]{16}"
+
+#: PEM private-key header (RSA/EC/OPENSSH/none qualifiers).
+PRIVATE_KEY_PATTERN = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+#: GitHub fine-grained personal access token.
+GITHUB_TOKEN_PATTERN = "ghp_[A-Za-z0-9]{36}"
+
+#: Assigned token literal: a key-ish name, an assignment, then a
+#: 20-64 char base64ish literal (group 1). Case-insensitive.
+GENERIC_SECRET_PATTERN = (
+    "(?i)(?:api_key|apikey|secret|token|password)"
+    "[\"']?\\s*[:=]\\s*[\"']?([A-Za-z0-9+/_=-]{20,64})"
+)
+
+#: A candidate literal with at least this many DISTINCT symbols is a
+#: hit. The integer-exact stand-in for a Shannon threshold: random
+#: 20+-char keys clear it, 'aaaa...'/'xxxx...' filler and repeated
+#: words do not. (At 20 chars, >= 12 distinct symbols corresponds to
+#: ~3.4+ bits/char — the detect-secrets base64 threshold band.)
+MIN_DISTINCT_SYMBOLS = 12
+
+
+def license_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document license classification: ``spdx_id`` (the declared
+    identifier, NULL when absent), ``license_family`` (SPDX takes
+    precedence over header phrases; NULL when neither matches) and
+    ``is_permissive`` (1/0, NULL when unclassified).
+
+    SPDX-over-phrase precedence is load-bearing: a file that declares
+    ``SPDX-License-Identifier: MIT`` but quotes the Apache header in
+    a comment is MIT."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(c)
+    spdx = F.nullif(
+        F.regexp_extract(c, SPDX_PATTERN, 1), F.lit("")
+    )
+    lspdx = F.lower(spdx)
+    spdx_family = (
+        F.when(lspdx == "mit", F.lit("mit"))
+        .when(lspdx.startswith("apache"), F.lit("apache-2.0"))
+        .when(lspdx.startswith("bsd"), F.lit("bsd"))
+        .when(
+            lspdx.startswith("gpl")
+            | lspdx.startswith("agpl")
+            | lspdx.startswith("lgpl"),
+            F.lit("gpl"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    phrase_family = None
+    for fam, phrase in reversed(LICENSE_PHRASES):
+        hit = F.when(low.contains(phrase), F.lit(fam))
+        phrase_family = (
+            hit.otherwise(phrase_family)
+            if phrase_family is not None
+            else hit
+        )
+    family = F.when(spdx.isNotNull(), spdx_family).otherwise(
+        phrase_family
+    )
+    return df.select(
+        F.col(id_col),
+        spdx.alias("spdx_id"),
+        family.alias("license_family"),
+        F.when(family.isNull(), F.lit(None).cast("long"))
+        .otherwise(family.isin(*PERMISSIVE_FAMILIES).cast("long"))
+        .alias("is_permissive"),
+    )
+
+
+def _distinct_symbols(s: Column) -> Column:
+    return F.size(F.array_distinct(F.split(s, "")))
+
+
+def _shannon_bits(s: Column) -> Column:
+    """Shannon entropy (bits/char) of a short literal via higher-order
+    expressions: for each distinct char x, p = count(x)/len, sum
+    -p*log2(p). Θ(len · distinct) per candidate, bounded by the
+    20-64-char extraction gate. Engine-side quality signal only —
+    pytest-pinned, not carried (the carried decision is the integer
+    distinct-symbol floor)."""
+    chars = F.split(s, "")
+    n = F.size(chars)
+    return F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, x: acc
+        - (
+            F.size(F.filter(chars, lambda ch: ch == x)) / n
+        )
+        * F.log2(F.size(F.filter(chars, lambda ch: ch == x)) / n),
+    )
+
+
+def secret_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document credential scan: pattern-exact hits
+    (``n_aws_keys``, ``n_private_keys``, ``n_github_tokens``),
+    assigned-literal candidates (``n_generic_candidates``), the
+    high-entropy subset by the distinct-symbol floor
+    (``n_generic_hits``), their total (``n_secret_hits`` — a
+    release-blocking number), and ``max_entropy_bits`` (6-dp Shannon
+    bits/char of the most random candidate; engine-side signal,
+    NULL when no candidate)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(c, F.lit(GENERIC_SECRET_PATTERN), 1)
+    hits = F.filter(
+        cands, lambda s: _distinct_symbols(s) >= MIN_DISTINCT_SYMBOLS
+    )
+    ents = F.transform(cands, _shannon_bits)
+    n_aws = F.size(
+        F.regexp_extract_all(c, F.lit(AWS_KEY_PATTERN), 0)
+    ).cast("long")
+    n_pem = F.size(
+        F.regexp_extract_all(c, F.lit(PRIVATE_KEY_PATTERN), 0)
+    ).cast("long")
+    n_ghp = F.size(
+        F.regexp_extract_all(c, F.lit(GITHUB_TOKEN_PATTERN), 0)
+    ).cast("long")
+    n_gen_hits = F.size(hits).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_aws.alias("n_aws_keys"),
+        n_pem.alias("n_private_keys"),
+        n_ghp.alias("n_github_tokens"),
+        F.size(cands).cast("long").alias("n_generic_candidates"),
+        n_gen_hits.alias("n_generic_hits"),
+        (n_aws + n_pem + n_ghp + n_gen_hits).alias("n_secret_hits"),
+        F.when(
+            F.size(cands) > 0,
+            F.round(F.array_max(ents), 6),
+        ).alias("max_entropy_bits"),
+    )
+
+
+def _sql_quote(pattern: str) -> str:
+    return pattern.replace("\\", "\\").replace("'", "''")
+
+
+def oracle_license_sql(
+    src_cte: str, text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`license_signals` over ``src_cte`` (a CTE
+    or table exposing ``doc_id``/``text``): same SPDX regex, same
+    phrase list, same precedence."""
+    phrase_case = " ".join(
+        f"WHEN contains(lower(COALESCE({text_expr}, '')), '{p}') "
+        f"THEN '{fam}'"
+        for fam, p in LICENSE_PHRASES
+    )
+    return f"""
+SELECT {id_expr} AS doc_id,
+       spdx_id,
+       CASE WHEN spdx_id IS NOT NULL THEN
+         CASE WHEN lower(spdx_id) = 'mit' THEN 'mit'
+              WHEN lower(spdx_id) LIKE 'apache%' THEN 'apache-2.0'
+              WHEN lower(spdx_id) LIKE 'bsd%' THEN 'bsd'
+              WHEN lower(spdx_id) LIKE 'gpl%'
+                   OR lower(spdx_id) LIKE 'agpl%'
+                   OR lower(spdx_id) LIKE 'lgpl%' THEN 'gpl'
+              ELSE 'other' END
+       ELSE CASE {phrase_case} ELSE NULL END END AS license_family
+FROM (
+  SELECT {id_expr}, {text_expr},
+         NULLIF(regexp_extract(COALESCE({text_expr}, ''),
+                '{_sql_quote(SPDX_PATTERN)}', 1), '') AS spdx_id
+  FROM {src_cte}
+)
+"""
+
+
+def oracle_secrets_sql(
+    src_cte: str, text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`secret_signals`' INTEGER columns: same
+    four regexes, same distinct-symbol floor. (``max_entropy_bits``
+    is engine-side only by contract.)"""
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(c, '{_sql_quote(AWS_KEY_PATTERN)}'))
+            AS BIGINT) AS n_aws_keys,
+       CAST(len(regexp_extract_all(c,
+            '{_sql_quote(PRIVATE_KEY_PATTERN)}')) AS BIGINT)
+            AS n_private_keys,
+       CAST(len(regexp_extract_all(c,
+            '{_sql_quote(GITHUB_TOKEN_PATTERN)}')) AS BIGINT)
+            AS n_github_tokens,
+       CAST(len(cands) AS BIGINT) AS n_generic_candidates,
+       CAST(len(list_filter(cands,
+            x -> len(list_distinct(string_split(x, '')))
+                 >= {MIN_DISTINCT_SYMBOLS})) AS BIGINT)
+            AS n_generic_hits
+FROM (
+  SELECT {id_expr} AS doc_id, COALESCE({text_expr}, '') AS c,
+         regexp_extract_all(COALESCE({text_expr}, ''),
+             '{_sql_quote(GENERIC_SECRET_PATTERN)}', 1) AS cands
+  FROM {src_cte}
+)
+"""

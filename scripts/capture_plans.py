@@ -1,0 +1,55 @@
+"""Capture .explain("formatted") for registered queries into plans/<tag>/.
+
+Usage: python scripts/capture_plans.py <tag> [name ...]   # default: all
+
+Writes plans/<tag>/<query>_<suffix>.txt where suffix is "before" unless
+PLAN_SUFFIX is set. Plan capture only builds the DataFrame and prints the
+plan — no action is executed (localCheckpoint-based queries do execute
+their checkpointed decide sections; that is the query's own contract).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF_DIR = os.environ.get("PLAN_SF", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r10"
+    only = set(sys.argv[2:])
+    suffix = os.environ.get("PLAN_SUFFIX", "before")
+    outdir = os.path.join(os.path.dirname(__file__), "..", "plans", tag)
+    os.makedirs(outdir, exist_ok=True)
+
+    from etl_extract_transform_load_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            plan = f"PLAN CAPTURE FAILED: {type(exc).__name__}: {exc}"
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"{name}: {len(plan)} chars", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

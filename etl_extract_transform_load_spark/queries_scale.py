@@ -2709,6 +2709,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with timed_branch("drift"):
+        # the localCheckpoint stays even though the report has one
+        # consumer: folded into the union lazily, the 64-dim decimal
+        # state subtree joins every AQE re-optimization pass of the
+        # whole union plan (measured +4 s and growing per repeat);
+        # checkpointed, the union sees an in-memory scan
         dr = embedding_drift_from_states(
             label_centroid_state(emb.filter(F.col("vec_id") % 2 == 0)),
             label_centroid_state(emb.filter(F.col("vec_id") % 2 == 1)),

@@ -64,12 +64,41 @@ def l2_normalize(
 
 
 def _dim_sums(vec_col: str, dim: int) -> list[Column]:
+    # ONE F.expr per dimension instead of a 5-deep Column chain: the
+    # operator spelling costs ~5 py4j round-trips per term, and the
+    # centroid/state builders call this for every dimension on every
+    # face — measured multiple seconds of driver wall-clock per drift
+    # report (the dot_sql lesson applied to aggregation). The parsed
+    # JVM expression tree is identical.
+    vr = f"`{vec_col}`" if not vec_col.startswith("`") else vec_col
     return [
-        F.sum(
-            F.col(vec_col)[i].cast("double").cast(_SUM_DECIMAL)
+        F.expr(
+            f"SUM(CAST(CAST({vr}[{i}] AS DOUBLE) AS {_SUM_DECIMAL}))"
         ).alias(f"__s{i}")
         for i in range(dim)
     ]
+
+
+def _dim_sums_restated(dim: int) -> list[Column]:
+    """Re-sum already-summed ``__s{i}`` state columns, cast back to the
+    state's stable decimal — the merge/pool face, as one parsed
+    expression per dimension (same py4j-economy rationale as
+    :func:`_dim_sums`)."""
+    return [
+        F.expr(f"CAST(SUM(__s{i}) AS {_SUM_DECIMAL})").alias(f"__s{i}")
+        for i in range(dim)
+    ]
+
+
+def _centroid_expr(dim: int) -> Column:
+    """The rounded per-dimension mean as ONE parsed array expression
+    (vs dim × 7 py4j calls for the operator spelling — identical
+    tree, identical 6-dp HALF_UP rounding)."""
+    terms = ", ".join(
+        f"ROUND(CAST(__s{i} AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)"
+        for i in range(dim)
+    )
+    return F.expr(f"array({terms})")
 
 
 def label_centroids(
@@ -94,17 +123,9 @@ def label_centroids(
     aggd = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors"), *_dim_sums(vec_col, dim)
     )
-    centroid = F.array(
-        *[
-            F.round(
-                F.col(f"__s{i}").cast("double")
-                / F.col("n_vectors").cast("double"),
-                6,
-            )
-            for i in range(dim)
-        ]
+    return aggd.select(
+        "label", "n_vectors", _centroid_expr(dim).alias("centroid")
     )
-    return aggd.select("label", "n_vectors", centroid.alias("centroid"))
 
 
 def assign_to_centroids(
@@ -785,11 +806,15 @@ def label_centroid_state(
         & F.col(label_col).isNotNull()
         & (norm(vec_col, dim) > 0)
     )
+    vr = f"`{vec_col}`" if not vec_col.startswith("`") else vec_col
     return df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         *[
-            s.cast(_SUM_DECIMAL).alias(f"__s{i}")
-            for i, s in enumerate(_dim_sums(vec_col, dim))
+            F.expr(
+                f"CAST(SUM(CAST(CAST({vr}[{i}] AS DOUBLE)"
+                f" AS {_SUM_DECIMAL})) AS {_SUM_DECIMAL})"
+            ).alias(f"__s{i}")
+            for i in range(dim)
         ],
     )
 
@@ -807,10 +832,7 @@ def merge_centroid_states(
         .groupBy("label")
         .agg(
             F.sum("n_vectors").cast("long").alias("n_vectors"),
-            *[
-                F.sum(f"__s{i}").cast(_SUM_DECIMAL).alias(f"__s{i}")
-                for i in range(dim)
-            ],
+            *_dim_sums_restated(dim),
         )
     )
 
@@ -822,10 +844,7 @@ def pooled_centroid_state(
     LABELED vectors — the state never saw NULL-label rows)."""
     return state.groupBy(F.lit(0).alias("label")).agg(
         F.sum("n_vectors").cast("long").alias("n_vectors"),
-        *[
-            F.sum(f"__s{i}").cast(_SUM_DECIMAL).alias(f"__s{i}")
-            for i in range(dim)
-        ],
+        *_dim_sums_restated(dim),
     )
 
 
@@ -836,17 +855,9 @@ def centroids_from_state(
     6-dp rounded divide :func:`label_centroids` applies, so
     ``centroids_from_state(label_centroid_state(df)) ==
     label_centroids(df)`` bit-for-bit."""
-    centroid = F.array(
-        *[
-            F.round(
-                F.col(f"__s{i}").cast("double")
-                / F.col("n_vectors").cast("double"),
-                6,
-            )
-            for i in range(dim)
-        ]
+    return state.select(
+        "label", "n_vectors", _centroid_expr(dim).alias("centroid")
     )
-    return state.select("label", "n_vectors", centroid.alias("centroid"))
 
 
 def embedding_drift_from_states(

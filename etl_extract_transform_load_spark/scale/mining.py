@@ -305,7 +305,6 @@ def mmr_rerank(
         raise ValueError("need 1 <= k <= pool_k")
     from etl_extract_transform_load_spark.scale.similarity import (
         brute_force_topk_arrow,
-        dot,
     )
 
     pool = (
@@ -326,101 +325,83 @@ def mmr_rerank(
     pv = pool.join(
         cv, pool[id_col] == F.col("__cid")
     ).select(query_id_col, id_col, "rel", "__cv", "__cn")
-    a = pv.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("__a"),
-        F.col("__cv").alias("__va"),
-        F.col("__cn").alias("__na"),
+
+    # The greedy selection is bounded by pool_k rows per query, so the
+    # whole loop runs in ONE grouped Arrow task per query instead of a
+    # (k-1)-deep cascade of localCheckpoint barriers + broadcast joins
+    # + windows (measured ~5 s of fixed per-iteration job overhead at
+    # any scale). Bit-parity with the former plan spelling: rel and
+    # the Spark-computed norms ride in unchanged; candidate-candidate
+    # dots use the sequential per-dimension fold (``_seq_dots`` — the
+    # brute-kernel contract, bit-identical to the unrolled SQL chain);
+    # 6-dp rounding is ``round_half_up6`` (the JVM ROUND replica);
+    # ties break on (score DESC, id ASC) exactly as the former
+    # row_number window did.
+    from etl_extract_transform_load_spark.operators.quantiles import (
+        round_half_up6,
     )
-    b = pv.select(
-        F.col(query_id_col).alias("__qb"),
-        F.col(id_col).alias("__b"),
-        F.col("__cv").alias("__vb"),
-        F.col("__cn").alias("__nb"),
-    )
-    sims = (
-        a.join(
-            b,
-            (F.col(query_id_col) == F.col("__qb"))
-            & (F.col("__a") != F.col("__b")),
-        )
-        .select(
-            query_id_col,
-            "__a",
-            "__b",
-            F.round(
-                dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
-                6,
-            ).alias("__sim"),
-        )
-        .localCheckpoint()
+    from etl_extract_transform_load_spark.scale.similarity import (
+        _seq_dots,
     )
 
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("mmr_score"), F.asc(id_col)
-    )
-    first = (
-        pool.withColumn(
-            "mmr_score", F.round(F.lit(lam) * F.col("rel"), 6)
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            query_id_col, id_col, "rel", "mmr_score",
-            F.lit(1).alias("rank"),
-        )
-    )
-    selected = first.localCheckpoint()
-    for t in range(2, k + 1):
-        sel_ids = selected.select(
-            F.col(query_id_col).alias("__qs"),
-            F.col(id_col).alias("__s"),
-        )
-        pen = (
-            sims.join(
-                F.broadcast(sel_ids),
-                (F.col(query_id_col) == F.col("__qs"))
-                & (F.col("__b") == F.col("__s")),
+    one_m_lam = 1.0 - lam
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        v = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+        nrm = pdf["__cn"].to_numpy(dtype=np.float64)
+        dots, _ = _seq_dots(v, v)
+        raw = dots / (nrm[:, None] * nrm[None, :])
+        # first pick: empty-set penalty 0 → argmax λ·rel
+        scores = [round_half_up6(lam * r) for r in rel]
+        picked: list[int] = []
+        remaining = set(range(m))
+        pen = np.full(m, -np.inf)
+        out_rows = []
+        for t in range(1, min(k, m) + 1):
+            best = min(
+                remaining, key=lambda i: (-scores[i], ids[i])
             )
-            .groupBy(query_id_col, "__a")
-            .agg(F.max("__sim").alias("__pen"))
+            out_rows.append(
+                (pdf["__q"].iloc[0], ids[best], rel[best],
+                 scores[best], t)
+            )
+            picked.append(best)
+            remaining.discard(best)
+            if not remaining:
+                break
+            # max-sim penalty against the grown selected set, then
+            # re-scored exactly as the loop's ROUND did
+            for i in remaining:
+                s = round_half_up6(raw[i, best])
+                if s > pen[i]:
+                    pen[i] = s
+            scores = {
+                i: round_half_up6(lam * rel[i] - one_m_lam * pen[i])
+                for i in remaining
+            }
+        return pd.DataFrame(
+            out_rows,
+            columns=["__q", id_col, "rel", "mmr_score", "rank"],
         )
-        remaining = pool.join(
-            F.broadcast(
-                selected.select(
-                    F.col(query_id_col).alias("__qs"),
-                    F.col(id_col).alias("__s"),
-                )
+
+    return (
+        pv.withColumnRenamed(query_id_col, "__q")
+        .groupBy("__q")
+        .applyInPandas(
+            greedy,
+            schema=(
+                f"__q long, {id_col} long, rel double,"
+                " mmr_score double, rank int"
             ),
-            (pool[query_id_col] == F.col("__qs"))
-            & (pool[id_col] == F.col("__s")),
-            "left_anti",
         )
-        pick = (
-            remaining.join(
-                F.broadcast(pen),
-                (remaining[query_id_col] == pen[query_id_col])
-                & (remaining[id_col] == pen["__a"]),
-            )
-            .select(
-                remaining[query_id_col],
-                remaining[id_col],
-                "rel",
-                F.round(
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1.0 - lam) * F.col("__pen"),
-                    6,
-                ).alias("mmr_score"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                query_id_col, id_col, "rel", "mmr_score",
-                F.lit(t).alias("rank"),
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected
+        .withColumnRenamed("__q", query_id_col)
+    )
 
 
 def oracle_mmr_sql(k: int = 5, pool_k: int = 20, lam: float = 0.5) -> str:

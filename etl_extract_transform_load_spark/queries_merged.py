@@ -2247,8 +2247,76 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    with timed_branch("vocab"):
-        voc = vocabulary(docs).localCheckpoint()
+
+    # The four eager branch materializations (vocab, the two dsir
+    # checkpoints, heaps points, the srcdiv matrix) are mutually
+    # independent decide jobs; running them sequentially left the
+    # cluster idle on every job's tail. Submit them from threads (the
+    # describe_stats pattern, guide-§2.6 back-fill) — wall time
+    # becomes the slowest materialization instead of the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.scale.dsir import (
+        dsir_gram_features,
+        dsir_logratios,
+        dsir_scores,
+    )
+    from etl_extract_transform_load_spark.scale.vocab import (
+        heaps_fit,
+        heaps_points,
+        source_divergence_matrix,
+        zipf_fit,
+    )
+
+    def _timed(name, fn):
+        def run():
+            with timed_branch(name):
+                return fn()
+
+        return run
+
+    def _build_dsir():
+        feats = dsir_gram_features(docs).localCheckpoint()
+        # the en target is a SLICE of the raw corpus, so its gram
+        # features are the checkpointed table semi-joined to the en
+        # ids — the target explode+charfold pass (measured ~the whole
+        # fit cost) disappears; counts are identical by construction
+        lr = dsir_logratios(
+            docs.filter(F.col("lang") == "en"),
+            docs,
+            raw_features=feats,
+            target_features=feats.join(
+                F.broadcast(
+                    docs.filter(F.col("lang") == "en").select(
+                        F.col("doc_id").alias("__id")
+                    )
+                ),
+                "__id",
+                "left_semi",
+            ),
+        ).localCheckpoint()
+        return feats, lr
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        f_voc = _pool.submit(
+            _timed("vocab", lambda: vocabulary(docs).localCheckpoint())
+        )
+        f_dsir = _pool.submit(_timed("dsir", _build_dsir))
+        f_hp = _pool.submit(
+            _timed(
+                "cllaw", lambda: heaps_points(docs).localCheckpoint()
+            )
+        )
+        f_sd = _pool.submit(
+            _timed(
+                "srcdiv",
+                lambda: source_divergence_matrix(docs).localCheckpoint(),
+            )
+        )
+        voc = f_voc.result()
+        dsir_feats, dsir_lr = f_dsir.result()
+        hp = f_hp.result()
+        sd = f_sd.result()
 
     def topk(k: int) -> DataFrame:
         return voc.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
@@ -2279,21 +2347,9 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides n_occurrences, raw count rides rnk, log-ratio rides
     # tfidf. Score rows: n_grams rides n_occurrences, score rides
     # tfidf. (The Gumbel-top-k resampler is pytest+oracle covered.)
-    from etl_extract_transform_load_spark.scale.dsir import (
-        dsir_gram_features,
-        dsir_logratios,
-        dsir_scores,
-    )
-
-    # the raw-corpus gram explode is the expensive pass — checkpoint
-    # it once and share between fit (r_count) and scoring
-    with timed_branch("dsir"):
-        dsir_feats = dsir_gram_features(docs).localCheckpoint()
-        dsir_lr = dsir_logratios(
-            docs.filter(F.col("lang") == "en"),
-            docs,
-            raw_features=dsir_feats,
-        ).localCheckpoint()
+    # The raw-corpus gram explode is the expensive pass — it was
+    # checkpointed ONCE in the thread pool above and is shared
+    # between fit (r_count), the en-slice target counts, and scoring.
     dsir_rows = dsir_lr.select(
         F.lit("dsir_lr").alias("part"),
         F.lit(None).cast("string").alias("token"),
@@ -2329,13 +2385,15 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sixth branch: hashing-trick TF-IDF features (vocabulary-free,
     # bounded state at any corpus size) — tf rides n_occurrences, the
-    # hashed feature id rides doc_freq. Checkpointed: the doccluster
-    # branch reads the same long-form features.
+    # hashed feature id rides doc_freq. No longer checkpointed: its
+    # second reader (doccluster) retired, so with one consumer the
+    # barrier only serialized an extra job — lazy, it rides the
+    # final union action.
     from etl_extract_transform_load_spark.scale.vectorize import (
         hashed_tfidf,
     )
 
-    hf = hashed_tfidf(docs).localCheckpoint()
+    hf = hashed_tfidf(docs)
     hashed = hf.select(
         F.lit("hashfeat").alias("part"),
         F.lit(None).cast("string").alias("token"),
@@ -2350,13 +2408,8 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix (scale/vocab.source_divergence_matrix) — one row per
     # unordered domain pair; the pair label rides token as
     # 'src_a>src_b', the two token totals ride n_occurrences/doc_freq,
-    # the JSD (nats, 6 dp) rides tfidf.
-    from etl_extract_transform_load_spark.scale.vocab import (
-        source_divergence_matrix,
-    )
-
-    with timed_branch("srcdiv"):
-        sd = source_divergence_matrix(docs).localCheckpoint()
+    # the JSD (nats, 6 dp) rides tfidf. (sd materialized in the
+    # thread pool above.)
     srcdiv = sd.select(
         F.lit("srcdiv").alias("part"),
         F.concat(F.col("src_a"), F.lit(">"), F.col("src_b")).alias(
@@ -2378,11 +2431,8 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cum_tokens→n_occurrences, vocab_size→doc_freq, n_docs→doc_id,
     # point→rnk — all exact integers, zero global sorts); 'heapsb'
     # rows: the Heaps β fit over that curve, melted like zipf.
-    from etl_extract_transform_load_spark.scale.vocab import (
-        heaps_fit,
-        heaps_points,
-        zipf_fit,
-    )
+    # (heaps_fit/heaps_points/zipf_fit imported with the thread-pool
+    # block above.)
 
     def melt_fit(fit: DataFrame, part: str) -> DataFrame:
         return fit.select(
@@ -2409,9 +2459,10 @@ def q_vocab_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rnk"),
         )
 
+    # hp materialized in the thread pool above; zipf reads the shared
+    # checkpointed vocabulary
     with timed_branch("cllaw"):
         zipf_rows = melt_fit(zipf_fit(voc, top_n=500), "zipf")
-        hp = heaps_points(docs).localCheckpoint()
     heaps_rows = hp.select(
         F.lit("heaps").alias("part"),
         F.lit(None).cast("string").alias("token"),

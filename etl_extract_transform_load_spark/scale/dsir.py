@@ -102,6 +102,7 @@ def dsir_logratios(
     text_col: str = "text",
     id_col: str = "doc_id",
     raw_features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the bucket weight table: ``(feature, t_count, r_count,
     logratio)`` for every bucket observed in either corpus.
@@ -109,9 +110,20 @@ def dsir_logratios(
     Add-one smoothing over the k buckets keeps every ratio finite;
     buckets unseen in both corpora are omitted (their weight,
     ``ln((R+k)/(T+k))``, never joins a gram).  The result is ≤ k rows
-    — broadcast it into the scoring join."""
+    — broadcast it into the scoring join.
+
+    When the target corpus is a SLICE of the raw corpus (the common
+    in-distribution fit), pass ``target_features`` — e.g. the
+    materialized ``raw_features`` semi-joined to the target ids — so
+    the target side reuses the one corpus featurization instead of
+    re-exploding and re-hashing its documents (featurization is the
+    Θ(corpus chars) pass; everything after is bucket-sized)."""
     t = (
-        _gram_features(target, n_buckets, text_col, id_col)
+        (
+            target_features
+            if target_features is not None
+            else _gram_features(target, n_buckets, text_col, id_col)
+        )
         .groupBy("feature")
         .agg(F.count(F.lit(1)).alias("t_count"))
     )

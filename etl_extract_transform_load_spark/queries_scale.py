@@ -2116,17 +2116,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rebuilt three times)
             from etl_extract_transform_load_spark.scale.dedup import (
                 lsh_candidate_pairs,
+                true_jaccard_pairs,
             )
 
             cand = persist_tracked(lsh_candidate_pairs(sig), True)
-        with timed_branch("full"):
-            full = minhash_lsh_pairs(
-                docs,
-                threshold=0.3,
-                signatures=sig,
-                sh_arrays=hsh,
-                candidates=cand,
-            ).localCheckpoint()
+            # the exact AllPairs truth table (τ=0.7) feeds BOTH the
+            # prq ground truth and apincr's standing pair set — build
+            # it in setup with the other shared caches
+            truth = persist_tracked(true_jaccard_pairs(hsh, 0.7), True)
+            # Materialize every shared cache BEFORE the branch threads
+            # race on it (a persist is lazy; two concurrent first
+            # readers would both compute it). Two waves respect the
+            # dependencies (cand ← sig, truth ← hsh); within a wave
+            # the builds overlap.
+            from concurrent.futures import ThreadPoolExecutor
+
+            for wave in ((hsh, sig), (cand, truth)):
+                with ThreadPoolExecutor(max_workers=2) as _p:
+                    for f in [_p.submit(t.count) for t in wave]:
+                        f.result()
+        # Branch frames are BUILT in the main thread (released_caches
+        # tracking is thread-local by design) and only their
+        # localCheckpoint materializations run from the pool — the
+        # four branches are independent given the setup caches, so
+        # wall time is the slowest branch, not the sum (guide-§2.6
+        # back-fill; the describe_stats pattern).
+        full_df = minhash_lsh_pairs(
+            docs,
+            threshold=0.3,
+            signatures=sig,
+            sh_arrays=hsh,
+            candidates=cand,
+        )
         old = docs.filter(F.col("doc_id") < 250)
         batch = docs.filter(F.col("doc_id") >= 250)
         index = minhash_index_upsert(
@@ -2134,28 +2155,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch,
             hash64=portable_hash60,
         )
-        with timed_branch("incr"):
-            incr = (
-                minhash_lsh_pairs(
-                    old,
-                    threshold=0.3,
-                    signatures=sig.filter(F.col("doc_id") < 250),
-                    sh_arrays=hsh,
-                    candidates=cand.filter(
-                        (F.col("id_a") < 250) & (F.col("id_b") < 250)
-                    ),
-                )
-                .unionByName(
-                    minhash_index_query_pairs(
-                        index,
-                        docs,
-                        batch.select("doc_id"),
-                        threshold=0.3,
-                        sh_arrays=hsh,
-                    )
-                )
-                .localCheckpoint()
+        incr_df = minhash_lsh_pairs(
+            old,
+            threshold=0.3,
+            signatures=sig.filter(F.col("doc_id") < 250),
+            sh_arrays=hsh,
+            candidates=cand.filter(
+                (F.col("id_a") < 250) & (F.col("id_b") < 250)
+            ),
+        ).unionByName(
+            minhash_index_query_pairs(
+                index,
+                docs,
+                batch.select("doc_id"),
+                threshold=0.3,
+                sh_arrays=hsh,
             )
+        )
         # r9 family: measured candidate-stage precision/recall of the
         # banding vs CORPUS-WIDE exact-Jaccard ground truth — the same
         # quality-as-tracked-number convention as the ANN recall rows.
@@ -2177,16 +2193,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of each doc and the positional filter bites hardest) feeds
         # BOTH the prq ground truth and the incremental family's
         # standing pair set.
-        from etl_extract_transform_load_spark.scale.dedup import (
-            true_jaccard_pairs,
+        prq_df = lsh_quality_report(
+            sig, hsh, threshold=0.7, bands=(8,),
+            true_pairs=truth, candidates=cand,
         )
-
-        truth = persist_tracked(true_jaccard_pairs(hsh, 0.7), True)
-        with timed_branch("prq"):
-            prq = lsh_quality_report(
-                sig, hsh, threshold=0.7, bands=(8,),
-                true_pairs=truth, candidates=cand,
-            ).localCheckpoint()
         # r9 family: INCREMENTAL exact AllPairs — the standing-index
         # face of the exact tier (frozen global order; unseen batch
         # shingles rank df=0). Standing = the id≥250 bulk, whose
@@ -2196,26 +2206,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(batch). The union must reproduce the one-shot corpus-wide
         # join EXACTLY (= the truth table, which the oracle
         # brute-forces) — banding loses pairs, this must not.
-        with timed_branch("apincr"):
-            idx_pref, idx_freq = allpairs_index_build(
-                hsh.filter(F.col("__sid") >= 250), 1, 2
+        idx_pref, idx_freq = allpairs_index_build(
+            hsh.filter(F.col("__sid") >= 250), 1, 2
+        )
+        apincr_df = truth.filter(
+            (F.col("id_a") >= 250) & (F.col("id_b") >= 250)
+        ).unionByName(
+            allpairs_index_query_pairs(
+                idx_pref,
+                idx_freq,
+                hsh.filter(F.col("__sid") < 250),
+                hsh,
+                1,
+                2,
             )
-            apincr = (
-                truth.filter(
-                    (F.col("id_a") >= 250) & (F.col("id_b") >= 250)
-                )
-                .unionByName(
-                    allpairs_index_query_pairs(
-                        idx_pref,
-                        idx_freq,
-                        hsh.filter(F.col("__sid") < 250),
-                        hsh,
-                        1,
-                        2,
-                    )
-                )
-                .localCheckpoint()
-            )
+        )
+
+        def _ck(name, df):
+            def run():
+                with timed_branch(name):
+                    return df.localCheckpoint()
+
+            return run
+
+        with ThreadPoolExecutor(max_workers=4) as _p:
+            f_full = _p.submit(_ck("full", full_df))
+            f_incr = _p.submit(_ck("incr", incr_df))
+            f_prq = _p.submit(_ck("prq", prq_df))
+            f_ap = _p.submit(_ck("apincr", apincr_df))
+            full = f_full.result()
+            incr = f_incr.result()
+            prq = f_prq.result()
+            apincr = f_ap.result()
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "id_a", "id_b", "jaccard"
     )
@@ -2646,10 +2668,43 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+    # The two eager materializations here — the shared brute top-20
+    # pool and the drift report below — are independent; overlap them
+    # from threads (guide-§2.6 back-fill) so the carrier pays the
+    # slower of the two, not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        probe_branch,
+        timed_branch,
+    )
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        embedding_drift_from_states,
+        label_centroid_state,
+    )
+
+    def _drift():
+        with timed_branch("drift"):
+            # the localCheckpoint stays even though the report has one
+            # consumer: folded into the union lazily, the 64-dim
+            # decimal state subtree joins every AQE re-optimization
+            # pass of the whole union plan (measured +4 s and growing
+            # per repeat); checkpointed, the union sees an in-memory
+            # scan
+            return embedding_drift_from_states(
+                label_centroid_state(emb.filter(F.col("vec_id") % 2 == 0)),
+                label_centroid_state(emb.filter(F.col("vec_id") % 2 == 1)),
+            ).localCheckpoint()
+
     # ONE brute pass at the mmr pool depth feeds all three faces:
     # top-5 display rows and the retrieval metrics are the rank<=5
     # prefix, the mmr branch re-ranks the full top-20 pool
-    tk20 = brute_force_topk_arrow(emb, queries, k=20).localCheckpoint()
+    with ThreadPoolExecutor(max_workers=2) as _p:
+        f_drift = _p.submit(_drift)
+        tk20 = brute_force_topk_arrow(
+            emb, queries, k=20
+        ).localCheckpoint()
+        dr = f_drift.result()
     tk = tk20.filter(F.col("rank") <= 5)
     topk = tk.select(
         F.lit("topk").alias("part"),
@@ -2675,11 +2730,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query set (scale/mining.mmr_rerank) — greedy λ=0.5 selection of
     # 5 from each query's cosine top-20, the redundancy-pruning step
     # between retrieval and context assembly. The selection score
-    # rides cos_sim, rank = pick order.
-    from etl_extract_transform_load_spark.plans.branchtimer import (
-        probe_branch,
-        timed_branch,
-    )
+    # rides cos_sim, rank = pick order. (Since the r10 grouped-kernel
+    # rewrite the selection is fully lazy — it rides the final union.)
     from etl_extract_transform_load_spark.scale.mining import mmr_rerank
 
     with timed_branch("mmr"):
@@ -2702,22 +2754,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which stays pinned ≡ this one in tests/test_streaming_drift.py.
     # Counts ride query_id/vec_id, cosine rides cos_sim, the shift
     # rides rank as a micro-unit int (quantized ONCE from the raw
-    # double).
-    from etl_extract_transform_load_spark.scale.embeddings import (
-        embedding_drift_from_states,
-        label_centroid_state,
-    )
-
-    with timed_branch("drift"):
-        # the localCheckpoint stays even though the report has one
-        # consumer: folded into the union lazily, the 64-dim decimal
-        # state subtree joins every AQE re-optimization pass of the
-        # whole union plan (measured +4 s and growing per repeat);
-        # checkpointed, the union sees an in-memory scan
-        dr = embedding_drift_from_states(
-            label_centroid_state(emb.filter(F.col("vec_id") % 2 == 0)),
-            label_centroid_state(emb.filter(F.col("vec_id") % 2 == 1)),
-        ).localCheckpoint()
+    # double). (dr materialized in the thread overlap above.)
     drift = dr.select(
         F.lit("drift").alias("part"),
         F.col("n_a").alias("query_id"),

@@ -233,57 +233,74 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = jaccard_near_dup_pairs(
             docs, threshold=0.3
         ).localCheckpoint()
-    with timed_branch("star"):
-        star_raw = connected_components_star(pairs)
+    # The three fixpoint branches (star, incremental components,
+    # incremental triangles) are independent driver-side loops over
+    # the one checkpointed edge table — each is a sequence of small
+    # jobs with idle tails, so run them from threads (guide-§2.6
+    # back-fill) and pay the slowest, not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.scale.components import (
+        components_incremental_update,
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    batch_key = (F.col("id_a") + F.col("id_b")) % 3
+
+    def _star():
+        with timed_branch("star"):
+            return connected_components_star(pairs)
+
+    def _incr():
+        # INCREMENTAL components (r7): a deterministic third of the
+        # edges arrives as the "new batch" against the standing table
+        # built from the rest; the merged table must be row-identical
+        # to the full star fixpoint (same oracle CTE), proving new
+        # edges fold in O(batch) without recomputing the world.
+        with timed_branch("incr"):
+            base = connected_components_star(
+                pairs.filter(batch_key != 0)
+            )
+            return components_incremental_update(
+                base, pairs.filter(batch_key == 0)
+            )
+
+    def _tri_incr():
+        # INCREMENTAL triangle counts (r7): same split, same proof
+        # shape as `incr` — the standing (counts, edges) fold over two
+        # batches must be row-identical to the one-shot counter.
+        with timed_branch("tri_incr"):
+            c0, e0 = triangle_counts_incremental(
+                None, None, pairs.filter(batch_key != 0)
+            )
+            c1, _ = triangle_counts_incremental(
+                c0, e0, pairs.filter(batch_key == 0)
+            )
+            return c1
+
+    with ThreadPoolExecutor(max_workers=3) as _p:
+        f_star = _p.submit(_star)
+        f_incr = _p.submit(_incr)
+        f_tri = _p.submit(_tri_incr)
+        star_raw = f_star.result()
+        incr_full = f_incr.result()
+        c1 = f_tri.result()
+
     star = star_raw.select(
         F.lit("star").alias("algo"), "node", "component"
     )
-    # fourth branch (r6): per-node triangle counts over the same pair
-    # graph (degree-ordered wedge counting — the local-clustering
-    # signal; counts ride the component slot)
-    from etl_extract_transform_load_spark.scale.components import (
-        triangle_counts,
-    )
-
+    # per-node triangle counts over the same pair graph (degree-
+    # ordered wedge counting — the local-clustering signal; counts
+    # ride the component slot); lazy, rides the union
     tri = triangle_counts(pairs).select(
         F.lit("triangles").alias("algo"),
         "node",
         F.col("triangles").cast("long").alias("component"),
     )
-    # fifth branch (r7): INCREMENTAL components — the standing-index
-    # face of the dedup graph. A deterministic third of the edges
-    # arrives as the "new batch" against the standing table built from
-    # the rest; the merged table must be row-identical to the full
-    # star fixpoint (same oracle CTE), proving new edges fold in
-    # O(batch) without recomputing the world.
-    from etl_extract_transform_load_spark.scale.components import (
-        components_incremental_update,
-    )
-
-    batch_key = (F.col("id_a") + F.col("id_b")) % 3
-    with timed_branch("incr"):
-        base = connected_components_star(pairs.filter(batch_key != 0))
-        incr_full = components_incremental_update(
-            base, pairs.filter(batch_key == 0)
-        )
     incr = incr_full.select(
         F.lit("incr").alias("algo"), "node", "component"
     )
-    # sixth branch (r7): INCREMENTAL triangle counts — same split,
-    # same proof shape as `incr`: the standing (counts, edges) fold
-    # over two batches must be row-identical to the one-shot counter,
-    # so it reuses the `triangles` oracle fixpoint under its own tag
-    from etl_extract_transform_load_spark.scale.components import (
-        triangle_counts_incremental,
-    )
-
-    with timed_branch("tri_incr"):
-        c0, e0 = triangle_counts_incremental(
-            None, None, pairs.filter(batch_key != 0)
-        )
-        c1, _ = triangle_counts_incremental(
-            c0, e0, pairs.filter(batch_key == 0)
-        )
     tri_incr = c1.filter(F.col("triangles") > 0).select(
         F.lit("tri_incr").alias("algo"),
         "node",
@@ -3446,20 +3463,38 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     index = build_ivf_index_deterministic(emb)
-    ivf = ivf_topk(
-        index, queries, k=_IVF_K, nprobe=_IVF_NPROBE
-    ).localCheckpoint()
+    # the three eager materializations (IVF probe, brute truth, the
+    # PQ-prefilter re-rank tier) are independent once the index decide
+    # above has run — overlap them from threads (guide-§2.6
+    # back-fill) so the carrier pays the slowest, not the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _p:
+        f_ivf = _p.submit(
+            lambda: ivf_topk(
+                index, queries, k=_IVF_K, nprobe=_IVF_NPROBE
+            ).localCheckpoint()
+        )
+        f_brute = _p.submit(
+            lambda: brute_force_topk_arrow(
+                emb, queries, k=_IVF_K
+            ).localCheckpoint()
+        )
+        f_rr = _p.submit(
+            lambda: pq_prefilter_rerank_topk(
+                emb, queries, k=_IVF_K
+            ).localCheckpoint()
+        )
+        ivf = f_ivf.result()
+        brute = f_brute.result()
+        rr = f_rr.result()
     tagged = ivf.select(
         F.lit("ivf").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
     )
-    brute = brute_force_topk_arrow(emb, queries, k=_IVF_K).localCheckpoint()
     # recall ESCALATION point (r9): the same index probed at double
     # nprobe — the IVF quality-vs-cost curve gets both ends tracked,
     # like the LSH carrier's single-vs-multi-table pair
     ivf8 = ivf_topk(index, queries, k=_IVF_K, nprobe=2 * _IVF_NPROBE)
-    rr = pq_prefilter_rerank_topk(
-        emb, queries, k=_IVF_K
-    ).localCheckpoint()
     tagged_rr = rr.select(
         F.lit("rr").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
     )

@@ -3886,25 +3886,81 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    with timed_branch("centroids"):
-        cents = label_centroids(emb).localCheckpoint()
-    # Arrow assigner: zero-shuffle scan-stage E-step, bit-identical to
-    # the expression variant (see assign_to_centroids_arrow docstring)
-    with timed_branch("assign"):
-        assigned = assign_to_centroids_arrow(
-            emb, collect_centroid_rows(cents)
-        ).localCheckpoint()
-    relabeled = emb.join(assigned.select("vec_id", "assigned_label"), "vec_id")
-    with timed_branch("refine"):
-        refined = label_centroids(relabeled, "assigned_label").localCheckpoint()
-    # second Lloyd iteration chained off the checkpointed refine-1
-    # centroids — pins the multi-iteration (kmeans_converge) E/M loop
-    # against a 2-round recursive oracle, not just a single step
-    assigned2 = assign_to_centroids_arrow(emb, collect_centroid_rows(refined))
-    relabeled2 = emb.join(
-        assigned2.select("vec_id", "assigned_label"), "vec_id"
+    # Dependency chain: cents → assigned → {refine chain, dbi, ari};
+    # sil needs only cents. The independent legs ran as sequential
+    # barrier jobs; they now overlap from a pool (guide-§2.6
+    # back-fill) — the silhouette starts as soon as the seed
+    # centroids exist, and refine/dbi/ari race once the E-step is
+    # checkpointed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.scale.embeddings import (
+        davies_bouldin,
+        davies_bouldin_index,
+        silhouette_by_cluster,
+        simplified_silhouette,
     )
-    refined2 = label_centroids(relabeled2, "assigned_label")
+    from etl_extract_transform_load_spark.scale.evalmetrics import (
+        cluster_contingency,
+        clustering_agreement,
+    )
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        with timed_branch("centroids"):
+            cents = label_centroids(emb).localCheckpoint()
+
+        def _sil():
+            with timed_branch("sil"):
+                return simplified_silhouette(emb, cents).localCheckpoint()
+
+        f_sil = _pool.submit(_sil)
+        # Arrow assigner: zero-shuffle scan-stage E-step, bit-identical
+        # to the expression variant (assign_to_centroids_arrow doc)
+        with timed_branch("assign"):
+            assigned = assign_to_centroids_arrow(
+                emb, collect_centroid_rows(cents)
+            ).localCheckpoint()
+
+        def _refine():
+            with timed_branch("refine"):
+                relabeled = emb.join(
+                    assigned.select("vec_id", "assigned_label"), "vec_id"
+                )
+                refined = label_centroids(
+                    relabeled, "assigned_label"
+                ).localCheckpoint()
+            # second Lloyd iteration chained off the checkpointed
+            # refine-1 centroids — pins the multi-iteration
+            # (kmeans_converge) E/M loop against a 2-round recursive
+            # oracle, not just a single step
+            assigned2 = assign_to_centroids_arrow(
+                emb, collect_centroid_rows(refined)
+            )
+            relabeled2 = emb.join(
+                assigned2.select("vec_id", "assigned_label"), "vec_id"
+            )
+            return refined, label_centroids(relabeled2, "assigned_label")
+
+        def _dbi():
+            with timed_branch("dbi"):
+                return davies_bouldin(assigned, cents).localCheckpoint()
+
+        def _ari():
+            with timed_branch("ari"):
+                cont = cluster_contingency(
+                    assigned.join(emb.select("vec_id", "label"), "vec_id"),
+                    "assigned_label",
+                    "label",
+                ).localCheckpoint()
+            return cont, clustering_agreement(cont).localCheckpoint()
+
+        f_refine = _pool.submit(_refine)
+        f_dbi = _pool.submit(_dbi)
+        f_ari = _pool.submit(_ari)
+        sil_rows = f_sil.result()
+        refined, refined2 = f_refine.result()
+        dbi_per = f_dbi.result()
+        cont, agree = f_ari.result()
 
     def cent_part(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
@@ -3956,13 +4012,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-vector rows ride (vec_id, assigned label, sil in cos_sim);
     # the per-cluster report rides the same 'sil' family with
     # vec_id NULL (n in n_vectors, mean_sil in cos_sim).
-    from etl_extract_transform_load_spark.scale.embeddings import (
-        silhouette_by_cluster,
-        simplified_silhouette,
-    )
-
-    with timed_branch("sil"):
-        sil_rows = simplified_silhouette(emb, cents).localCheckpoint()
+    # (sil_rows materialized in the pool above.)
     sil = sil_rows.select(
         F.lit("sil").alias("part"),
         F.col("assigned_label").cast("int").alias("label"),
@@ -3986,13 +4036,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-cluster rows ride (label, n in n_vectors, s_micro in vec_id,
     # worst-ratio d in cos_sim); the index row rides (label NULL,
     # n_clusters in n_vectors, dbi in cos_sim).
-    from etl_extract_transform_load_spark.scale.embeddings import (
-        davies_bouldin,
-        davies_bouldin_index,
-    )
-
-    with timed_branch("dbi"):
-        dbi_per = davies_bouldin(assigned, cents).localCheckpoint()
+    # (dbi_per materialized in the pool above.)
     dbi_rows = dbi_per.select(
         F.lit("dbi").alias("part"),
         F.col("label").cast("int").alias("label"),
@@ -4018,17 +4062,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the agreement indices ride one row each as 'ari:<metric>' with
     # the value in cos_sim — internal quality (sil/dbi) and external
     # agreement are now tracked side by side.
-    from etl_extract_transform_load_spark.scale.evalmetrics import (
-        cluster_contingency,
-        clustering_agreement,
-    )
-
-    with timed_branch("ari"):
-        cont = cluster_contingency(
-            assigned.join(emb.select("vec_id", "label"), "vec_id"),
-            "assigned_label",
-            "label",
-        ).localCheckpoint()
+    # (cont and agree materialized in the pool above.)
     cont_rows = cont.select(
         F.lit("ari").alias("part"),
         F.col("pred").cast("int").alias("label"),
@@ -4037,7 +4071,6 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("truth").cast("long").alias("vec_id"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    agree = clustering_agreement(cont).localCheckpoint()
 
     def _agree_row(metric: str) -> DataFrame:
         return agree.select(

@@ -1426,21 +1426,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ = persist_tracked(
             hashed_positional_table(docs, n=8, portable=True), True
         )
-        with timed_branch("dupspan"):
-            span_rows = duplicated_spans(
-                docs, n=8, min_docs=2, occ=occ
-            ).localCheckpoint()
-        # fifth branch (r6): SPAN-level decontamination against the
-        # same id<10 benchmark — where exactly the leak sits, so spans
-        # can be cut instead of docs dropped
-        with timed_branch("contamspan"):
-            cspan_rows = contaminated_spans(
-                docs,
-                docs.filter(F.col("doc_id") < 10),
-                n=8,
-                portable=True,
-                occ=occ,
-            ).localCheckpoint()
+        # build the cache before the two span branches race on it (a
+        # lazy persist raced by two first readers is computed twice),
+        # then overlap their checkpoints from threads (guide-§2.6)
+        occ.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _dupspan():
+            with timed_branch("dupspan"):
+                return duplicated_spans(
+                    docs, n=8, min_docs=2, occ=occ
+                ).localCheckpoint()
+
+        def _contamspan():
+            # SPAN-level decontamination against the same id<10
+            # benchmark — where exactly the leak sits, so spans can
+            # be cut instead of docs dropped
+            with timed_branch("contamspan"):
+                return contaminated_spans(
+                    docs,
+                    docs.filter(F.col("doc_id") < 10),
+                    n=8,
+                    portable=True,
+                    occ=occ,
+                ).localCheckpoint()
+
+        with ThreadPoolExecutor(max_workers=2) as _p:
+            f_span = _p.submit(_dupspan)
+            f_cspan = _p.submit(_contamspan)
+            span_rows = f_span.result()
+            cspan_rows = f_cspan.result()
 
     def span_slots(rows: DataFrame, part: str) -> DataFrame:
         return rows.select(
@@ -1815,18 +1830,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize inside released_caches → the shingle-table persist
-    # is gone when this returns (tests/test_cache_hygiene.py asserts)
-    with released_caches():
-        raw_pairs = jaccard_near_dup_pairs(
-            docs, threshold=0.3
-        ).localCheckpoint()
-    jac = raw_pairs.select(
-        F.lit("jaccard").alias("part"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.col("jaccard").cast("double").alias("score"),
-    )
+
+    # The jaccard verify pipeline and the winnow fingerprint chain
+    # below are independent; run the jaccard materialization on a
+    # thread so its jobs back-fill the winnow chain's tails
+    # (guide-§2.6). released_caches tracking is thread-local, so the
+    # worker opens its own context — the shingle-table persist is
+    # still gone when this returns (tests/test_cache_hygiene.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _jaccard():
+        with released_caches():
+            return jaccard_near_dup_pairs(
+                docs, threshold=0.3
+            ).localCheckpoint()
+
+    _jac_pool = ThreadPoolExecutor(max_workers=1)
+    _f_jac = _jac_pool.submit(_jaccard)
     # (Adamic-Adar retired in r9; fuzzy ER, the n-gram diversity
     # curve, and calibrated quality retired in r10 — all to
     # queries_retired.py, still strict-oracle-verified from pytest.)
@@ -1893,6 +1913,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, bench, k=5, w=4, portable=True, fingerprints=fps,
             overlap=ov,
         ).localCheckpoint()
+    raw_pairs = _f_jac.result()
+    _jac_pool.shutdown()
+    jac = raw_pairs.select(
+        F.lit("jaccard").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("score"),
+    )
     wq_rows = wq.select(
         F.lit("winnowq").alias("part"),
         F.col("n_truth_pairs").alias("id_a"),

@@ -1408,13 +1408,37 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_upsert_history,
     )
 
-    ihist, ilog = scd2_upsert_history(None, None, snap0, ["event_id"])
-    ihist, ilog = scd2_upsert_history(
-        ihist.localCheckpoint(), ilog.localCheckpoint(), g1, ["event_id"]
-    )
-    ihist, _ = scd2_upsert_history(
-        ihist.localCheckpoint(), ilog.localCheckpoint(), g2, ["event_id"]
-    )
+    # The SCD2 fold and the CDC-state fold below are independent
+    # batch-by-batch chains; each is internally sequential (the
+    # per-batch checkpoint bounds the growing fold plan), so run the
+    # two chains on threads and pay the slower one (guide-§2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _scd2_chain():
+        ihist, ilog = scd2_upsert_history(
+            None, None, snap0, ["event_id"]
+        )
+        ihist, ilog = scd2_upsert_history(
+            ihist.localCheckpoint(), ilog.localCheckpoint(), g1,
+            ["event_id"],
+        )
+        ihist, _ = scd2_upsert_history(
+            ihist.localCheckpoint(), ilog.localCheckpoint(), g2,
+            ["event_id"],
+        )
+        return ihist
+
+    def _cdc_chain():
+        st = cdc_state_update(None, snap0, ["event_id"])
+        st = cdc_state_update(st.localCheckpoint(), g1, ["event_id"])
+        st = cdc_state_update(st.localCheckpoint(), g2, ["event_id"])
+        return st
+
+    with ThreadPoolExecutor(max_workers=2) as _p:
+        f_scd2 = _p.submit(_scd2_chain)
+        f_cdc = _p.submit(_cdc_chain)
+        ihist = f_scd2.result()
+        st = f_cdc.result()
     scd2_incr = ihist.select(
         F.lit("scd2_incr").alias("part"),
         F.col("event_id").cast("long").alias("id_a"),
@@ -1434,9 +1458,6 @@ def q_joins_special(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_current").cast("int").cast("string"),
         ).alias("k"),
     )
-    st = cdc_state_update(None, snap0, ["event_id"])
-    st = cdc_state_update(st.localCheckpoint(), g1, ["event_id"])
-    st = cdc_state_update(st.localCheckpoint(), g2, ["event_id"])
     cdc_incr = cdc_current(st).select(
         F.lit("cdc_incr").alias("part"),
         F.col("event_id").cast("long").alias("id_a"),
@@ -4237,5 +4258,15 @@ def register_all() -> None:
     register("vocab_tfidf_terms", q_vocab_tfidf_terms, _oracle_vocab_tfidf())
     register("sampling_corpus", q_sampling_corpus, _oracle_sampling_corpus())
     register("curation_pii", q_curation_pii, _oracle_curation_pii())
-    register("code_curation", q_code_curation, _oracle_code_curation())
+    # code_curation is NOT registered: the driver verifies a 50-query
+    # window (tests/test_flagship.py pins len(queries()) <= 50) and
+    # the registry was already full when the operator landed at the
+    # end of round 10's build — the interrupted tip registered it as
+    # the 51st entry, which this optimization round's green-tree check
+    # caught as the inherited defect. The operator keeps the full
+    # driver-grade gate from pytest instead:
+    # tests/test_code_curation.py runs q_code_curation against
+    # _oracle_code_curation() through the same strict comparator
+    # (the queries_retired convention). It is first in line for a
+    # registry slot when a carrier consolidation frees one.
     register("kmeans_cluster", q_kmeans_cluster, _oracle_kmeans_cluster())

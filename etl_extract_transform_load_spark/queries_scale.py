@@ -3186,18 +3186,37 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    lsh = hyperplane_lsh_topk(emb, queries, k=5, bits=4).localCheckpoint()
+    # the three eager materializations (single-table LSH, 4-table
+    # LSH, brute truth) are independent — overlap them from threads
+    # (guide-§2.6 back-fill); the carrier pays the slowest, not the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _p:
+        f_lsh = _p.submit(
+            lambda: hyperplane_lsh_topk(
+                emb, queries, k=5, bits=4
+            ).localCheckpoint()
+        )
+        f_multi = _p.submit(
+            lambda: hyperplane_lsh_topk_multi(
+                emb, queries, k=5, bits=4, tables=4
+            ).localCheckpoint()
+        )
+        f_brute = _p.submit(
+            lambda: brute_force_topk_arrow(
+                emb, queries, k=5
+            ).localCheckpoint()
+        )
+        lsh = f_lsh.result()
+        multi = f_multi.result()
+        brute = f_brute.result()
     tagged = lsh.select(
         F.lit("lsh").alias("part"), "query_id", "vec_id", "cos_sim", "rank"
     )
-    multi = hyperplane_lsh_topk_multi(
-        emb, queries, k=5, bits=4, tables=4
-    ).localCheckpoint()
     tagged_multi = multi.select(
         F.lit("lshmulti").alias("part"),
         "query_id", "vec_id", "cos_sim", "rank",
     )
-    brute = brute_force_topk_arrow(emb, queries, k=5).localCheckpoint()
     return (
         tagged.unionByName(_recall_rows(lsh, brute, 5))
         .unionByName(tagged_multi)

@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas_udf / toPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let the planner pick shuffled-hash joins when its size
+        # conditions are met (guide §3.1/§9): the per-doc signal
+        # carriers run 8-way LeftOuter joins of token aggregates that
+        # default to sort-merge — hash build skips both sorts. SHJ is
+        # only chosen when a build side fits the planner's local-map
+        # bound, and AQE skew splitting still applies, so the setting
+        # is as right on a cluster as on local[N].
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Keep scans right-sized: 128 MiB splits is the parquet sweet spot.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Quiet local UI.

@@ -1845,6 +1845,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs, threshold=0.3
             ).localCheckpoint()
 
+    # (not context-managed: the pool is collected + shut down after
+    # the winnow chain below; on a builder exception the one worker
+    # finishes its job idle and is joined at exit — benign)
     _jac_pool = ThreadPoolExecutor(max_workers=1)
     _f_jac = _jac_pool.submit(_jaccard)
     # (Adamic-Adar retired in r9; fuzzy ER, the n-gram diversity
@@ -2730,16 +2733,30 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _drift():
         with timed_branch("drift"):
-            # the localCheckpoint stays even though the report has one
-            # consumer: folded into the union lazily, the 64-dim
-            # decimal state subtree joins every AQE re-optimization
-            # pass of the whole union plan (measured +4 s and growing
-            # per repeat); checkpointed, the union sees an in-memory
-            # scan
-            return embedding_drift_from_states(
-                label_centroid_state(emb.filter(F.col("vec_id") % 2 == 0)),
-                label_centroid_state(emb.filter(F.col("vec_id") % 2 == 1)),
-            ).localCheckpoint()
+            # Checkpoints at BOTH levels, deliberately. The k-row
+            # STATES first (concurrently — two independent aggs):
+            # planned as one job, the two nested 64-decimal agg
+            # subtrees + unrolled centroid chains serialize to a
+            # ~3 MiB task binary rebroadcast per stage (measured
+            # 15.9 s cold / up to 45 s under load; split: 9.2 s cold,
+            # 3.4 s warm). The report then plans over two in-memory
+            # scans. And the report itself stays checkpointed: folded
+            # into the union lazily its subtree joins every AQE
+            # re-optimization pass of the whole union plan (measured
+            # +4 s and growing per repeat).
+            with ThreadPoolExecutor(max_workers=2) as _sp:
+                f_a = _sp.submit(
+                    lambda: label_centroid_state(
+                        emb.filter(F.col("vec_id") % 2 == 0)
+                    ).localCheckpoint()
+                )
+                f_b = _sp.submit(
+                    lambda: label_centroid_state(
+                        emb.filter(F.col("vec_id") % 2 == 1)
+                    ).localCheckpoint()
+                )
+                st_a, st_b = f_a.result(), f_b.result()
+            return embedding_drift_from_states(st_a, st_b).localCheckpoint()
 
     # ONE brute pass at the mmr pool depth feeds all three faces:
     # top-5 display rows and the retrieval metrics are the rank<=5

@@ -68,6 +68,28 @@ class RefIntegrity:
 Rule = Union[NotNull, InRange, AcceptedValues, Unique, RefIntegrity]
 
 
+def suggest_stats_aggs(
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+) -> "list[Column]":
+    """The aggregate expressions of :func:`suggest_constraints`'s
+    first (stats) pass, exposed so a caller can fold them into one
+    combined aggregation job shared with other profile decides and
+    hand the resulting row back via ``suggest_constraints(stats=...)``
+    — same expressions, same values, one scan instead of several."""
+    cols = list(dict.fromkeys([*numeric_cols, *categorical_cols]))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(f"`{c}`")).alias(f"__nn_{c}"))
+        aggs.append(
+            F.count_distinct(F.col(f"`{c}`")).alias(f"__nd_{c}")
+        )
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx_{c}"))
+    return aggs
+
+
 def _agg_for(rule: Rule, idx: int) -> Column | None:
     """The single-pass aggregate counting this rule's violations, or
     None when the rule needs its own join job."""
@@ -194,6 +216,7 @@ def suggest_constraints(
     numeric_cols: Sequence[str] = (),
     categorical_cols: Sequence[str] = (),
     max_domain: int = 10,
+    stats: "object | None" = None,
 ) -> DataFrame:
     """Deequ-style CONSTRAINT SUGGESTION: profile the table once and
     emit the validation rules the data currently satisfies — the
@@ -217,22 +240,23 @@ def suggest_constraints(
     decide collects (a handful of cells per column); the result is a
     literal frame.  At 100 TB this is two scans, no shuffles beyond
     the aggregates' combines.
+
+    ``stats`` optionally supplies the first pass's row — any mapping
+    exposing the same ``__n`` / ``__nn_<col>`` / ``__nd_<col>`` /
+    ``__mn_<col>`` / ``__mx_<col>`` cells (see
+    :func:`suggest_stats_aggs`).  Callers folding this profile into a
+    wider combined aggregation (guide §2.4) pass the identical values
+    and skip one blocking driver job; only the domain pass remains.
     """
     if max_domain < 1:
         raise ValueError("max_domain must be >= 1")
     cols = list(dict.fromkeys([*numeric_cols, *categorical_cols]))
     if not cols:
         raise ValueError("no columns given")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(f"`{c}`")).alias(f"__nn_{c}"))
-        aggs.append(
-            F.count_distinct(F.col(f"`{c}`")).alias(f"__nd_{c}")
-        )
-    for c in numeric_cols:
-        aggs.append(F.min(F.col(f"`{c}`")).alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(f"`{c}`")).alias(f"__mx_{c}"))
-    stats = df.agg(*aggs).collect()[0]
+    if stats is None:
+        stats = df.agg(
+            *suggest_stats_aggs(numeric_cols, categorical_cols)
+        ).collect()[0]
     n = stats["__n"]
     rows: list[tuple[str, str, float]] = []
     for c in cols:
@@ -279,6 +303,7 @@ def population_stability(
     col: str,
     n_bins: int = 10,
     epsilon: float = 1e-6,
+    bounds: "tuple | None" = None,
 ) -> DataFrame:
     """Population Stability Index inputs — the standard drift monitor
     between a reference (training) and a current (serving) sample of
@@ -298,14 +323,23 @@ def population_stability(
     drifting, > 0.25 shifted — the conventional thresholds).  NULLs
     are excluded on both sides; a constant reference column puts
     everything in bin 0 (PSI then measures only mass outside it).
-    Two aggregation passes total, state = n_bins."""
+    Two aggregation passes total, state = n_bins.
+
+    ``bounds`` optionally supplies the reference ``(min, max)`` the
+    operator would otherwise compute with its own decide aggregate —
+    callers that already ran a combined stats pass over the slices
+    (guide §2.4: merge the micro-aggregation decide jobs) pass the
+    identical values and skip one blocking driver job; the binning
+    and every output value are unchanged by construction."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     x = F.col(f"`{col}`").cast("double")
-    bounds = ref.filter(x.isNotNull()).agg(
-        F.min(x).alias("mn"), F.max(x).alias("mx")
-    ).collect()[0]
-    mn, mx = bounds["mn"], bounds["mx"]
+    if bounds is None:
+        row = ref.filter(x.isNotNull()).agg(
+            F.min(x).alias("mn"), F.max(x).alias("mx")
+        ).collect()[0]
+        bounds = (row["mn"], row["mx"])
+    mn, mx = bounds[0], bounds[1]
     if mn is None:
         raise ValueError(f"population_stability: no non-NULL {col} in ref")
     width = (mx - mn) / n_bins
@@ -363,6 +397,7 @@ def ks_two_sample(
     cur: DataFrame,
     col: str,
     n_buckets: int = 256,
+    span: "tuple | None" = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the
     empirical CDFs of one numeric column in two slices — the
@@ -390,6 +425,13 @@ def ks_two_sample(
     6 dp. NULLs drop on both sides; raises if either slice has no
     non-NULL values. One decide aggregate (the value span for bucket
     assignment) plus the final action.
+
+    ``span`` optionally supplies ``(min, max, n_ref, n_cur)`` of the
+    pooled non-NULL values — the exact numbers the operator's own
+    decide aggregate computes. Callers running a combined stats pass
+    over the slices (guide §2.4) pass them in and skip one blocking
+    driver job; bucket assignment and every output value are
+    unchanged, and the empty-slice contract still raises identically.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -408,23 +450,25 @@ def ks_two_sample(
             F.sum("in_cur").alias("c"),
         )
     )
-    span = per_v.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.coalesce(F.sum("r"), F.lit(0)).alias("nr"),
-        F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
-    ).collect()[0]
-    mn, mx = span["mn"], span["mx"]
+    if span is None:
+        row = per_v.agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.coalesce(F.sum("r"), F.lit(0)).alias("nr"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("nc"),
+        ).collect()[0]
+        span = (row["mn"], row["mx"], row["nr"], row["nc"])
+    mn, mx, s_nr, s_nc = span[0], span[1], span[2], span[3]
     # EACH slice must be populated (the docstring contract): a single
     # empty slice would otherwise flow a 0 denominator into D and
     # surface as a silent NULL ks
-    if mn is None or span["nr"] == 0 or span["nc"] == 0:
+    if mn is None or s_nr == 0 or s_nc == 0:
         raise ValueError(
             f"ks_two_sample: no non-NULL {col} in "
             + (
                 "either slice"
                 if mn is None
-                else ("the ref slice" if span["nr"] == 0 else "the cur slice")
+                else ("the ref slice" if s_nr == 0 else "the cur slice")
             )
         )
     width = (mx - mn) / n_buckets

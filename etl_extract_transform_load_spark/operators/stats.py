@@ -145,17 +145,22 @@ FROM cta
 
 
 def _avg_ranks(
-    per_v: DataFrame, n_buckets: int
+    per_v: DataFrame, n_buckets: int, span: "tuple | None" = None
 ) -> DataFrame:
     """(v, c) per distinct value → (v, rank_avg) with tie-averaged
     ("fractional") ranks, via the same bucketed two-level prefix sums
-    as ``quality.ks_two_sample`` — no global sort partition."""
+    as ``quality.ks_two_sample`` — no global sort partition.
+    ``span`` optionally supplies the value ``(min, max)`` (identical
+    to what the internal decide aggregate computes) so a caller with
+    a combined stats pass skips one blocking driver job."""
     from pyspark.sql import Window
 
-    span = per_v.agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    ).collect()[0]
-    mn, mx = span["mn"], span["mx"]
+    if span is None:
+        row = per_v.agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()[0]
+        span = (row["mn"], row["mx"])
+    mn, mx = span[0], span[1]
     width = (mx - mn) / n_buckets if mx > mn else 0
     if width == 0:
         bkt = F.lit(0)
@@ -309,6 +314,7 @@ def mann_whitney_u(
     cur: DataFrame,
     col: str,
     n_buckets: int = 256,
+    span: "tuple | None" = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test between two slices of
     a numeric column — the nonparametric "is one slice stochastically
@@ -329,6 +335,12 @@ def mann_whitney_u(
 
     Returns one row ``(n_ref, n_cur, u, z)``; z is NULL when either
     slice is empty or the pooled sample is constant (σ = 0).
+
+    ``span`` optionally supplies the pooled value ``(min, max)`` —
+    identical to what :func:`_avg_ranks`'s own decide aggregate would
+    compute — so a caller with a combined stats pass over the slices
+    (guide §2.4) skips one blocking driver job; ranks and every
+    output value are unchanged by construction.
     """
     x = F.col(f"`{col}`").cast("double")
     r = ref.filter(x.isNotNull()).select(
@@ -343,7 +355,9 @@ def mann_whitney_u(
         .agg(F.sum("ir").alias("nr"), F.sum("ic").alias("nc"))
     )
     ranks = _avg_ranks(
-        pv.select("v", (F.col("nr") + F.col("nc")).alias("c")), n_buckets
+        pv.select("v", (F.col("nr") + F.col("nc")).alias("c")),
+        n_buckets,
+        span=span,
     )
     t = (F.col("nr") + F.col("nc")).cast("decimal(12,0)")
     agg = (

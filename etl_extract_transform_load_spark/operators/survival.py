@@ -41,6 +41,7 @@ def km_curve(
     duration_col: str,
     event_col: str,
     n_buckets: int = 256,
+    span: "tuple | None" = None,
 ) -> DataFrame:
     """One row per distinct duration with an observed event:
     ``(t, n_risk, n_event, n_censored, survival)`` — censored-only
@@ -48,6 +49,13 @@ def km_curve(
     bookkeeping only.  NULL/negative durations and NULL events drop.
     Input with no valid subjects returns an EMPTY frame (a curve with
     no event times has no rows), same schema.
+
+    ``span`` optionally supplies the valid durations' ``(min, max)``
+    — identical to the operator's own decide aggregate — so a caller
+    that already scanned the subject frame (guide §2.4: merge decide
+    jobs) skips one blocking driver job; bucketing and every output
+    value are unchanged, including the empty-input contract
+    (``span=(None, None)`` takes the same empty-frame path).
     """
     t = F.col(f"`{duration_col}`").cast("double")
     e = F.col(f"`{event_col}`").cast("int")
@@ -55,8 +63,12 @@ def km_curve(
     per_t = base.groupBy(t.alias("t")).agg(
         F.sum(e).alias("d"), F.sum(1 - e).alias("c")
     )
-    span = per_t.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
-    mn, mx = span["mn"], span["mx"]
+    if span is None:
+        row = per_t.agg(
+            F.min("t").alias("mn"), F.max("t").alias("mx")
+        ).collect()[0]
+        span = (row["mn"], row["mx"])
+    mn, mx = span[0], span[1]
     if mn is None:
         return per_t.select(
             F.col("t"),
@@ -160,6 +172,7 @@ def logrank_test(
     event_col: str,
     group_col: str,
     n_buckets: int = 256,
+    span: "tuple | None" = None,
 ) -> DataFrame:
     """Log-rank test between two right-censored survival curves — "do
     these cohorts convert/churn at the same rate", the hypothesis
@@ -176,6 +189,12 @@ def logrank_test(
     formula.  ``group_col`` must be 0/1; NULL groups/durations/events
     drop.  Returns one row ``(n_g0, n_g1, o1, e1, v, z)``; z is NULL
     when V = 0 (no comparable event times).
+
+    ``span`` optionally supplies the valid durations' ``(min, max)``
+    — identical to the operator's own decide aggregate — so a caller
+    that already scanned the subject frame (guide §2.4) skips one
+    blocking driver job; the degenerate-input contract is preserved
+    (``span=(None, None)`` takes the same literal-row path).
     """
     t = F.col(f"`{duration_col}`").cast("double")
     e = F.col(f"`{event_col}`").cast("int")
@@ -189,8 +208,12 @@ def logrank_test(
         F.sum(F.when(g == 0, e).otherwise(0)).alias("d0"),
         F.sum(F.when(g == 0, 1 - e).otherwise(0)).alias("c0"),
     )
-    span = per_t.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
-    mn, mx = span["mn"], span["mx"]
+    if span is None:
+        row = per_t.agg(
+            F.min("t").alias("mn"), F.max("t").alias("mx")
+        ).collect()[0]
+        span = (row["mn"], row["mx"])
+    mn, mx = span[0], span[1]
     if mn is None:
         # the documented one-row summary must exist even with zero
         # valid subjects — selecting literals over the EMPTY per_t

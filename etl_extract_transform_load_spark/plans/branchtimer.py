@@ -28,6 +28,16 @@ slot is sufficient; a lock serializes the per-key accumulation.
 
 Per-branch numbers land in ``docs/SCALE_NOTES.md`` as the regression
 baseline; the driver-facing ``bench.py`` default output is unchanged.
+
+COMPARABILITY NOTE (ADVICE r10): since the r10 threading work,
+carriers submit independent branches from ``ThreadPoolExecutor``
+workers, so branches recorded in one ``--branches`` sweep RUN
+CONCURRENTLY with each other and with the final union action.  A
+per-branch number is therefore an UPPER BOUND on that branch's
+exclusive cost (it includes co-running branches' executor
+contention), and post-r10 numbers are not comparable to the
+pre-threading sequential baselines they extend — compare only within
+one regime, or thread-starve the carrier for attribution runs.
 """
 
 from __future__ import annotations

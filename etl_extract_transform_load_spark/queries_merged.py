@@ -91,11 +91,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # psi_bin:<b> rows plus the decimal-summed total
     from etl_extract_transform_load_spark.operators.quality import (
         population_stability,
+        suggest_stats_aggs,
     )
 
     even = orders.filter(F.col("o_orderkey") % 2 == 0)
     odd = orders.filter(F.col("o_orderkey") % 2 == 1)
-    psi_bins = population_stability(even, odd, "o_totalprice", 10)
+
+    # ONE combined decide pass (guide §2.4 — merge the micro-
+    # aggregation storm): the PSI bounds, KS span, MWU span and the
+    # suggest stats profile were five sequential blocking driver jobs,
+    # each a full-table aggregate; every cell below is the IDENTICAL
+    # expression each operator would compute on its own (the operators
+    # validate and consume the values unchanged), folded into one
+    # aggregation job over orders.
+    _k = F.col("o_orderkey")
+    _x = F.col("o_totalprice").cast("double")
+    _evn = (_k % 2 == 0) & _x.isNotNull()
+    _odd = (_k % 2 == 1) & _x.isNotNull()
+    with timed_branch("decide"):
+        _st = orders.agg(
+            F.min(F.when(_evn, _x)).alias("__psi_mn"),
+            F.max(F.when(_evn, _x)).alias("__psi_mx"),
+            F.min(F.when(_evn | _odd, _x)).alias("__pool_mn"),
+            F.max(F.when(_evn | _odd, _x)).alias("__pool_mx"),
+            F.sum(_evn.cast("long")).alias("__nr"),
+            F.sum(_odd.cast("long")).alias("__nc"),
+            *suggest_stats_aggs(
+                numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+                categorical_cols=("o_orderstatus", "o_orderpriority"),
+            ),
+        ).collect()[0]
+
+    psi_bins = population_stability(
+        even, odd, "o_totalprice", 10,
+        bounds=(_st["__psi_mn"], _st["__psi_mx"]),
+    )
     psi_rows = psi_bins.select(
         F.concat(F.lit("psi_bin:"), F.col("bin").cast("string")).alias(
             "metric"
@@ -122,7 +152,12 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks_two_sample,
     )
 
-    ks = ks_two_sample(even, odd, "o_totalprice", 256).selectExpr(
+    ks = ks_two_sample(
+        even, odd, "o_totalprice", 256,
+        span=(
+            _st["__pool_mn"], _st["__pool_mx"], _st["__nr"], _st["__nc"],
+        ),
+    ).selectExpr(
         "stack(3, 'ks', ks,"
         " 'ks_n_ref', cast(n_ref as double),"
         " 'ks_n_cur', cast(n_cur as double)) as (metric, value)"
@@ -139,7 +174,10 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         mann_whitney_u,
     )
 
-    mwu = mann_whitney_u(even, odd, "o_totalprice", 256).selectExpr(
+    mwu = mann_whitney_u(
+        even, odd, "o_totalprice", 256,
+        span=(_st["__pool_mn"], _st["__pool_mx"]),
+    ).selectExpr(
         "stack(2, 'mwu_u', u, 'mwu_z', z) as (metric, value)"
     ).select(
         "metric",
@@ -180,11 +218,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with timed_branch("suggest"):
+        # stats row from the combined decide pass above — only the
+        # (conditional) domain pass remains a blocking job here
         sugg_raw = suggest_constraints(
             orders,
             numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
             categorical_cols=("o_orderstatus", "o_orderpriority"),
             max_domain=10,
+            stats=_st,
         )
     sugg = sugg_raw.select(
         F.concat(F.lit("suggest:"), F.col("rule")).alias("metric"),
@@ -2146,10 +2187,48 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_term_freq,
     )
 
-    # ONE corpus explode shared by fit (even-id slice via join) and
-    # predict-all — the dsir_gram_features convention; 713k tf rows
-    # at sf0.1, checkpointed
-    lid_tf = nb_term_freq(docs, char_n=3).localCheckpoint()
+    # r11: the three legs with eager decide jobs are independent —
+    # the lid_tf checkpoint (one job), the bigram-LM trainer (one
+    # vocab-size collect) and the KN trainer (T count + V collect) —
+    # so they run from threads (guide §2.6 back-fill): the carrier
+    # pays the slowest of the three, not the sum of four sequential
+    # blocking jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_extract_transform_load_spark.plans.branchtimer import (
+        timed_branch,
+    )
+
+    def _lid():
+        # ONE corpus explode shared by fit (even-id slice via join)
+        # and predict-all — the dsir_gram_features convention; 713k
+        # tf rows at sf0.1, checkpointed
+        with timed_branch("lid_tf"):
+            return nb_term_freq(docs, char_n=3).localCheckpoint()
+
+    def _lm():
+        from etl_extract_transform_load_spark.scale.lm import (
+            perplexity_against_slice as _pas,
+        )
+
+        with timed_branch("lm"):
+            return _pas(docs)
+
+    def _kn():
+        from etl_extract_transform_load_spark.scale.kn import (
+            kn_perplexity_against_slice as _kpas,
+        )
+
+        with timed_branch("kn"):
+            return _kpas(docs)
+
+    with ThreadPoolExecutor(max_workers=3) as _p:
+        f_lid, f_lm, f_kn = (
+            _p.submit(_lid), _p.submit(_lm), _p.submit(_kn),
+        )
+        lid_tf, lm_leg, kn_leg = (
+            f_lid.result(), f_lm.result(), f_kn.result(),
+        )
     lid_model, lid_priors = nb_fit(
         docs.filter(F.col("doc_id") % 2 == 0), char_n=3, doc_tf=lid_tf
     )
@@ -2181,10 +2260,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c4_line_stats(docs), "doc_id")
         .join(script_ratios(docs), "doc_id")
         .join(char_entropy(docs), "doc_id")
-        .join(perplexity_against_slice(docs), "doc_id")
+        .join(lm_leg, "doc_id")
         .join(langid, "doc_id")
         .join(gopher_rules(docs), "doc_id")
-        .join(kn_perplexity_against_slice(docs), "doc_id")
+        .join(kn_leg, "doc_id")
     )
 
 

@@ -399,33 +399,54 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE distinct pass feeds both the CF report and its drop-policy
-    # metric row (checkpointed: the incidence is read by the pair
-    # self-join twice, the item counts, and the sizes aggregate)
-    inc = basket_incidence(li, "l_orderkey", "l_partkey").localCheckpoint()
-    cf = item_cooccurrence_topk(
-        li, "l_orderkey", "l_partkey", k=100, incidence=inc
-    ).select(
-        F.lit("cf").alias("part"),
-        F.col("item_i").cast("long").alias("o_custkey"),
-        F.col("item_j").cast("long").alias("o_orderkey"),
-        F.col("cos_sim").alias("o_totalprice"),
-        F.col("rank").cast("int").alias("rank"),
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+        released_caches,
     )
-    # third branch: the drop-policy observability row — how many
-    # baskets the max_basket=50 cap removed (dropped count rides
-    # o_custkey, kept rides o_orderkey, dropped incidence rows rides
-    # o_totalprice); at 100× scale the dropped mass must be watched
-    cf_meta = basket_drop_stats(
-        li, "l_orderkey", "l_partkey", max_basket=50, incidence=inc
-    ).select(
-        F.lit("cf_meta").alias("part"),
-        F.col("dropped_baskets").alias("o_custkey"),
-        F.col("kept_baskets").alias("o_orderkey"),
-        F.col("dropped_rows").cast("double").alias("o_totalprice"),
-        F.lit(None).cast("int").alias("rank"),
-    )
-    return top3.unionByName(cf).unionByName(cf_meta)
+
+    with released_caches():
+        # ONE distinct pass feeds both the CF report and its drop-policy
+        # metric row. r11: the incidence is re-keyed by the BASKET key
+        # and PERSISTED (guide §2.4) — every downstream consumer clusters
+        # on __b (the sizes aggregate, the cap semi-join, the pair
+        # self-join's both sides), so the in-memory scan's hash(__b)
+        # partitioning removes all four of their exchanges; only the
+        # genuinely different-keyed aggregations (item pair counts, item
+        # totals) still shuffle. A localCheckpoint would report
+        # UnknownPartitioning and keep every downstream exchange.
+        inc = persist_tracked(
+            basket_incidence(li, "l_orderkey", "l_partkey").repartition(
+                F.col("__b")
+            )
+        )
+        cf = item_cooccurrence_topk(
+            li, "l_orderkey", "l_partkey", k=100, incidence=inc
+        ).select(
+            F.lit("cf").alias("part"),
+            F.col("item_i").cast("long").alias("o_custkey"),
+            F.col("item_j").cast("long").alias("o_orderkey"),
+            F.col("cos_sim").alias("o_totalprice"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        # third branch: the drop-policy observability row — how many
+        # baskets the max_basket=50 cap removed (dropped count rides
+        # o_custkey, kept rides o_orderkey, dropped incidence rows rides
+        # o_totalprice); at 100× scale the dropped mass must be watched
+        cf_meta = basket_drop_stats(
+            li, "l_orderkey", "l_partkey", max_basket=50, incidence=inc
+        ).select(
+            F.lit("cf_meta").alias("part"),
+            F.col("dropped_baskets").alias("o_custkey"),
+            F.col("kept_baskets").alias("o_orderkey"),
+            F.col("dropped_rows").cast("double").alias("o_totalprice"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        # materialize INSIDE the cache context (describe_stats
+        # pattern): after release the branches would silently
+        # recompute the incidence uncached
+        return (
+            top3.unionByName(cf).unionByName(cf_meta).localCheckpoint()
+        )
 
 
 ORACLE_WINDOW_TOPK = """
@@ -1020,7 +1041,26 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission sequence of ``running_user_totals`` when each micro-batch
     carries one hour, verified here against a cumulative-window
     oracle. The stateful streaming execution itself is pytest-covered
-    (tests/test_stateful_streaming.py)."""
+    (tests/test_stateful_streaming.py).
+
+    r11: the user-keyed branches share ONE persisted user-hash
+    repartition of events (see ``_windowed_counts_branches``); the
+    result materializes inside the cache context and the operator
+    persists release before returning (the describe_stats pattern)."""
+    from etl_extract_transform_load_spark.plans.caching import (
+        released_caches,
+    )
+
+    with released_caches():
+        out = _windowed_counts_branches(spark, sf_dir)
+        # materialize INSIDE the context: after release the branches
+        # would silently recompute the shared repartition uncached
+        return out.localCheckpoint()
+
+
+def _windowed_counts_branches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from etl_extract_transform_load_spark.streaming.ingest import windowed_counts
     from etl_extract_transform_load_spark.streaming.stateful import (
         running_user_totals_batch,
@@ -1031,7 +1071,32 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timed_branch,
     )
 
+    from etl_extract_transform_load_spark.plans.caching import (
+        persist_tracked,
+    )
+
     events = load_table(spark, sf_dir, "events")
+    # Every branch below except 'window' keys its first exchange on
+    # user_id (running/trans/attr/markov group or window by user; the
+    # survival subjects aggregate by user). ONE user-hash repartition,
+    # persisted, establishes that partitioning once (guide §2.4 "two
+    # operations keyed the same way can share one exchange"): the
+    # in-memory scan preserves hash(user_id), which satisfies every
+    # downstream groupBy/window whose clustering contains user_id, so
+    # the per-branch exchanges and their map stages disappear from the
+    # union plan. (A localCheckpoint would NOT work here — its RDD
+    # scan reports UnknownPartitioning; a lazy shared repartition node
+    # would be re-executed per branch because column pruning
+    # differentiates the subtrees past exchange reuse.) The NULL-user
+    # filter is common to all consumers (each branch re-states its own
+    # filters; dropping NULL-user rows early changes no branch's rows).
+    # The kmu checkpoint job below builds the cache before the final
+    # union action reads it, so the exchange runs exactly once.
+    ev_u = persist_tracked(
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .repartition(F.col("user_id"))
+    )
     fmt = "yyyy-MM-dd HH:mm:ss"
     win = windowed_counts(events, window_duration="1 hour").select(
         F.lit("window").alias("part"),
@@ -1041,7 +1106,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("user_id"),
         F.lit(None).cast("double").alias("total"),
     )
-    run = running_user_totals_batch(events, window_duration="1 hour").select(
+    run = running_user_totals_batch(ev_u, window_duration="1 hour").select(
         F.lit("running").alias("part"),
         F.date_format("window_start", fmt).alias("window_start"),
         F.lit(None).cast("string").alias("event_type"),
@@ -1057,7 +1122,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_matrix,
     )
 
-    tm = transition_matrix(events).select(
+    tm = transition_matrix(ev_u).select(
         F.lit("trans").alias("part"),
         F.col("from_type").alias("window_start"),
         F.col("to_type").alias("event_type"),
@@ -1074,7 +1139,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         markov_transition_counts,
     )
 
-    attr = attribution_credit(events).select(
+    attr = attribution_credit(ev_u).select(
         F.lit("attr").alias("part"),
         F.col("model").alias("window_start"),
         F.col("channel").alias("event_type"),
@@ -1089,7 +1154,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against a sequential fixpoint (no SQL twin for the inverse) —
     # src rides window_start, dst rides event_type, count rides
     # n_events
-    mk = markov_transition_counts(events).select(
+    mk = markov_transition_counts(ev_u).select(
         F.lit("markov").alias("part"),
         F.col("src").alias("window_start"),
         F.col("dst").alias("event_type"),
@@ -1112,7 +1177,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against this user-grain frame — four events-scan replays without
     # it, one with it
     kmu_lazy = (
-        events.filter(
+        ev_u.filter(
             F.col("user_id").isNotNull() & F.col("ts").isNotNull()
         )
         .groupBy("user_id")
@@ -1134,8 +1199,21 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur"),
         F.col("fp").isNotNull().cast("int").alias("ev"),
     )
+    # km_curve and logrank_test run over the SAME duration domain
+    # (identical dur/ev derivations; grp is never NULL), so their two
+    # internal span decides are the same (min, max). Compute it ONCE
+    # over the checkpointed user-grain frame — the expression below is
+    # exactly each operator's own decide aggregate (cast-to-double,
+    # NULL/negative drop) — and hand it to both (guide §2.4: two
+    # blocking driver jobs become one tiny one).
+    _t = F.col("dur").cast("double")
     with timed_branch("km"):
-        km_raw = km_curve(subjects, "dur", "ev")
+        _sp = subjects.filter(
+            _t.isNotNull() & (_t >= 0) & F.col("ev").cast("int").isNotNull()
+        ).agg(F.min(_t).alias("mn"), F.max(_t).alias("mx")).collect()[0]
+        surv_span = (_sp["mn"], _sp["mx"])
+    with timed_branch("km"):
+        km_raw = km_curve(subjects, "dur", "ev", span=surv_span)
     km = km_raw.select(
         F.lit("km").alias("part"),
         F.col("t").cast("long").cast("string").alias("window_start"),
@@ -1160,7 +1238,9 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("grp"),
     )
     with timed_branch("logrank"):
-        lr_raw = logrank_test(lr_subjects, "dur", "ev", "grp")
+        lr_raw = logrank_test(
+            lr_subjects, "dur", "ev", "grp", span=surv_span
+        )
     lr = lr_raw.selectExpr(
         "n_g0",
         "n_g1",

@@ -9,7 +9,7 @@ exact kernels on planted duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_extract_transform_load_spark.registry import register
@@ -1845,79 +1845,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs, threshold=0.3
             ).localCheckpoint()
 
-    # (not context-managed: the pool is collected + shut down after
-    # the winnow chain below; on a builder exception the one worker
-    # finishes its job idle and is joined at exit — benign)
+    # context-managed (VERDICT r10 hygiene note): on a builder
+    # exception the one worker is joined when the try/finally below
+    # unwinds, not at interpreter exit; the happy path still collects
+    # the future after the winnow chain overlaps with it
     _jac_pool = ThreadPoolExecutor(max_workers=1)
     _f_jac = _jac_pool.submit(_jaccard)
-    # (Adamic-Adar retired in r9; fuzzy ER, the n-gram diversity
-    # curve, and calibrated quality retired in r10 — all to
-    # queries_retired.py, still strict-oracle-verified from pytest.)
-    # winnowing fingerprints (Schleimer et al.
-    # SIGMOD'03 / MOSS — scale/winnow.py). 'winnow' rows: per
-    # (corpus doc, benchmark doc) shared-fingerprint containment in
-    # micro-units against the id<10 benchmark slice (any shared
-    # ≥ w+k-1 = 8-char normalized substring is guaranteed to surface);
-    # 'winnowd' row: measured corpus selection density vs the paper's
-    # expected 2/(w+1). portable=True → md5-based gram hashes so the
-    # oracle replicates the ENTIRE pipeline (normalize → hash →
-    # window-min select → overlap), not just the verified output.
-    from etl_extract_transform_load_spark.plans.branchtimer import (
-        probe_branch,
-        timed_branch,
-    )
-    from etl_extract_transform_load_spark.scale.winnow import (
-        winnow_density,
-        winnow_fingerprints,
-        winnow_overlap,
-    )
-
-    bench = docs.filter(F.col("doc_id") < 10)
-    with timed_branch("winnow"):
-        # fingerprints feed the overlap join and the density row; the
-        # materialized overlap ALSO feeds winnow_quality below (r10 —
-        # the fingerprint pair join was being computed twice)
-        fps = winnow_fingerprints(
-            docs, k=5, w=4, portable=True
-        ).localCheckpoint()
-        ov = winnow_overlap(
-            docs, bench, k=5, w=4, portable=True, fingerprints=fps
-        ).localCheckpoint()
-    wn = (
-        ov
-        .filter(F.col("doc_id") != F.col("bench_id"))
-        .select(
-            F.lit("winnow").alias("part"),
-            F.col("doc_id").cast("long").alias("id_a"),
-            F.col("bench_id").cast("long").alias("id_b"),
-            F.col("containment_micro").cast("double").alias("score"),
+    try:
+        # (Adamic-Adar retired in r9; fuzzy ER, the n-gram diversity
+        # curve, and calibrated quality retired in r10 — all to
+        # queries_retired.py, still strict-oracle-verified from pytest.)
+        # winnowing fingerprints (Schleimer et al.
+        # SIGMOD'03 / MOSS — scale/winnow.py). 'winnow' rows: per
+        # (corpus doc, benchmark doc) shared-fingerprint containment in
+        # micro-units against the id<10 benchmark slice (any shared
+        # ≥ w+k-1 = 8-char normalized substring is guaranteed to surface);
+        # 'winnowd' row: measured corpus selection density vs the paper's
+        # expected 2/(w+1). portable=True → md5-based gram hashes so the
+        # oracle replicates the ENTIRE pipeline (normalize → hash →
+        # window-min select → overlap), not just the verified output.
+        from etl_extract_transform_load_spark.plans.branchtimer import (
+            probe_branch,
+            timed_branch,
         )
-    )
-    wd = winnow_density(
-        docs, k=5, w=4, portable=True, fingerprints=fps
-    ).select(
-        F.lit("winnowd").alias("part"),
-        F.col("n_fingerprints").cast("long").alias("id_a"),
-        F.col("n_grams").cast("long").alias("id_b"),
-        F.col("density_micro").cast("double").alias("score"),
-    )
-    # sixth family (r9): winnow detection quality vs the EXACT
-    # substring truth — recall must be exactly 1.0 (the matching
-    # guarantee re-proved on data each round), precision is the
-    # honest sublinear-index cost. Two rows under one family:
-    # ('winnowq', truth pairs, common, recall) and
-    # ('winnowqp', winnow pairs, common, precision).
-    from etl_extract_transform_load_spark.scale.winnow import (
-        winnow_quality,
-    )
+        from etl_extract_transform_load_spark.scale.winnow import (
+            winnow_density,
+            winnow_fingerprints,
+            winnow_overlap,
+        )
 
-    with timed_branch("winnowq"):
-        wq = winnow_quality(
-            docs, bench, k=5, w=4, portable=True, fingerprints=fps,
-            overlap=ov,
-        ).localCheckpoint()
-    raw_pairs = _f_jac.result()
-    _jac_pool.shutdown()
+        bench = docs.filter(F.col("doc_id") < 10)
+        with timed_branch("winnow"):
+            # fingerprints feed the overlap join and the density row; the
+            # materialized overlap ALSO feeds winnow_quality below (r10 —
+            # the fingerprint pair join was being computed twice)
+            fps = winnow_fingerprints(
+                docs, k=5, w=4, portable=True
+            ).localCheckpoint()
+            ov = winnow_overlap(
+                docs, bench, k=5, w=4, portable=True, fingerprints=fps
+            ).localCheckpoint()
+        wn = (
+            ov
+            .filter(F.col("doc_id") != F.col("bench_id"))
+            .select(
+                F.lit("winnow").alias("part"),
+                F.col("doc_id").cast("long").alias("id_a"),
+                F.col("bench_id").cast("long").alias("id_b"),
+                F.col("containment_micro").cast("double").alias("score"),
+            )
+        )
+        wd = winnow_density(
+            docs, k=5, w=4, portable=True, fingerprints=fps
+        ).select(
+            F.lit("winnowd").alias("part"),
+            F.col("n_fingerprints").cast("long").alias("id_a"),
+            F.col("n_grams").cast("long").alias("id_b"),
+            F.col("density_micro").cast("double").alias("score"),
+        )
+        # sixth family (r9): winnow detection quality vs the EXACT
+        # substring truth — recall must be exactly 1.0 (the matching
+        # guarantee re-proved on data each round), precision is the
+        # honest sublinear-index cost. Two rows under one family:
+        # ('winnowq', truth pairs, common, recall) and
+        # ('winnowqp', winnow pairs, common, precision).
+        from etl_extract_transform_load_spark.scale.winnow import (
+            winnow_quality,
+        )
+
+        with timed_branch("winnowq"):
+            wq = winnow_quality(
+                docs, bench, k=5, w=4, portable=True, fingerprints=fps,
+                overlap=ov,
+            ).localCheckpoint()
+        raw_pairs = _f_jac.result()
+    finally:
+        _jac_pool.shutdown()
     jac = raw_pairs.select(
         F.lit("jaccard").alias("part"),
         F.col("id_a").cast("long").alias("id_a"),
@@ -2707,10 +2710,6 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-NULL class label before ranking (``scale.mining`` — the
     training-pair curation shape), negatives' labels riding the
     ``label`` column."""
-    from etl_extract_transform_load_spark.scale.mining import (
-        hard_negatives,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < 10)
@@ -2734,39 +2733,57 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _drift():
         with timed_branch("drift"):
             # Checkpoints at BOTH levels, deliberately. The k-row
-            # STATES first (concurrently — two independent aggs):
-            # planned as one job, the two nested 64-decimal agg
-            # subtrees + unrolled centroid chains serialize to a
-            # ~3 MiB task binary rebroadcast per stage (measured
-            # 15.9 s cold / up to 45 s under load; split: 9.2 s cold,
-            # 3.4 s warm). The report then plans over two in-memory
-            # scans. And the report itself stays checkpointed: folded
-            # into the union lazily its subtree joins every AQE
-            # re-optimization pass of the whole union plan (measured
-            # +4 s and growing per repeat).
-            with ThreadPoolExecutor(max_workers=2) as _sp:
-                f_a = _sp.submit(
-                    lambda: label_centroid_state(
-                        emb.filter(F.col("vec_id") % 2 == 0)
-                    ).localCheckpoint()
-                )
-                f_b = _sp.submit(
-                    lambda: label_centroid_state(
-                        emb.filter(F.col("vec_id") % 2 == 1)
-                    ).localCheckpoint()
-                )
-                st_a, st_b = f_a.result(), f_b.result()
+            # STATES first — r11: ONE groupBy(side, label) pass over
+            # the union of both halves (guide §2.4; VERDICT r10 item
+            # 7) instead of two concurrent per-half aggs. Decimal
+            # sums grouped by (side, label) equal the per-half sums
+            # exactly (associativity — the merge-fold contract this
+            # state already pins), the job carries ONE copy of the
+            # 64-decimal agg subtree (the r10 split existed because
+            # TWO copies in one plan serialize to a ~3 MiB task
+            # binary), and one barrier job replaces two. The report
+            # itself stays checkpointed: folded into the union lazily
+            # its subtree joins every AQE re-optimization pass of the
+            # whole union plan (measured +4 s and growing per repeat).
+            st = label_centroid_state(
+                emb.withColumn(
+                    "__side", (F.col("vec_id") % 2).cast("int")
+                ),
+                side_col="__side",
+            ).localCheckpoint()
+            st_a = st.filter(F.col("__side") == 0).drop("__side")
+            st_b = st.filter(F.col("__side") == 1).drop("__side")
             return embedding_drift_from_states(st_a, st_b).localCheckpoint()
 
-    # ONE brute pass at the mmr pool depth feeds all three faces:
-    # top-5 display rows and the retrieval metrics are the rank<=5
-    # prefix, the mmr branch re-ranks the full top-20 pool
+    # ONE brute pass feeds ALL FOUR similarity faces (r11 — VERDICT
+    # r10 item 3): the kernel's full scored pair set (anchor × corpus
+    # cosines, candidate label carried through the Arrow batch) is
+    # checkpointed once; the top-5 display rows, the retrieval
+    # metrics, the mmr top-20 pool AND the hard-negative mining are
+    # all windows/filters over it — the second corpus scan+score pass
+    # hard_negatives used to run is gone. Values are unchanged: the
+    # kernel's sequential-fold dot and 6-dp round are the established
+    # bit-exact twins of the unrolled JVM expression hard_negatives
+    # scored with (verified pair-for-pair at sf0.001/0.01/0.1 —
+    # tests/test_mining.py pins pool-path ≡ hard_negatives).
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_scored_arrow,
+    )
+
     with ThreadPoolExecutor(max_workers=2) as _p:
         f_drift = _p.submit(_drift)
-        tk20 = brute_force_topk_arrow(
-            emb, queries, k=20
+        scored20 = brute_force_scored_arrow(
+            emb, queries, carry_cols=("label",), carry_schema="label int"
         ).localCheckpoint()
         dr = f_drift.result()
+    _w20 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    tk20 = (
+        scored20.select("query_id", "vec_id", "cos_sim")
+        .withColumn("rank", F.row_number().over(_w20))
+        .filter(F.col("rank") <= 20)
+    )
     tk = tk20.filter(F.col("rank") <= 5)
     topk = tk.select(
         F.lit("topk").alias("part"),
@@ -2777,16 +2794,36 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     ret = _retrieval_eval_rows(tk, emb)
-    anchors = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    # hard negatives from the shared scored pool: same pair set
+    # (non-NULL embedding, positive norms, self excluded — the kernel
+    # contract ≡ hard_negatives' filters), anchor labels broadcast
+    # (10 rows), label-mismatch predicate with SQL NULL semantics
+    # (NULL labels never qualify on either side), then the identical
+    # (cos DESC, id ASC) rank window. hard_negatives itself (used
+    # standalone, and the IVF variant) is unchanged; this is its
+    # documented "exact" semantics over one shared corpus pass.
+    _alab = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("__al"),
+        )
     )
-    hardneg = hard_negatives(emb, anchors, k=5).select(
-        F.lit("hardneg").alias("part"),
-        F.col("anchor_id").alias("query_id"),
-        "vec_id",
-        F.col("label").cast("int").alias("label"),
-        "cos_sim",
-        "rank",
+    _w_hn = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    hardneg = (
+        scored20.join(_alab, "query_id")
+        .filter(F.col("label") != F.col("__al"))
+        .withColumn("rank", F.row_number().over(_w_hn))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("hardneg").alias("part"),
+            "query_id",
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "cos_sim",
+            "rank",
+        )
     )
     # fourth family (r9): MMR diversified re-ranking over the SAME
     # query set (scale/mining.mmr_rerank) — greedy λ=0.5 selection of

@@ -784,6 +784,7 @@ def label_centroid_state(
     label_col: str = "label",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    side_col: "str | None" = None,
 ) -> DataFrame:
     """MERGEABLE per-label centroid state: ``(label, n_vectors,
     __s0..__s{dim-1})`` with the per-dimension sums as exact decimals
@@ -800,14 +801,26 @@ def label_centroid_state(
     dataset must not need mergeSchema. Scale 10 is unchanged, so the
     cast is value-exact (17 integer digits cover any realistic
     corpus) and ``centroids_from_state`` stays bit-equal to
-    :func:`label_centroids`."""
+    :func:`label_centroids`.
+
+    ``side_col`` (r11) additionally groups by a snapshot/side tag so
+    TWO (or N) snapshot states come out of ONE aggregation pass
+    (guide §2.4): ``label_centroid_state(df.withColumn(side, ...),
+    side_col=side).filter(side == s).drop(side)`` is exactly the
+    per-slice state — decimal sums grouped by (side, label) equal the
+    per-slice sums by associativity, and the job carries ONE copy of
+    the dim-wide aggregate expression tree instead of one per
+    snapshot."""
     df = df.filter(
         F.col(vec_col).isNotNull()
         & F.col(label_col).isNotNull()
         & (norm(vec_col, dim) > 0)
     )
     vr = f"`{vec_col}`" if not vec_col.startswith("`") else vec_col
-    return df.groupBy(F.col(label_col).alias("label")).agg(
+    keys = ([F.col(side_col)] if side_col else []) + [
+        F.col(label_col).alias("label")
+    ]
+    return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         *[
             F.expr(

@@ -139,10 +139,19 @@ def kn_perplexity(
     V: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score every document: ``(id_col, kn_trigrams, kn_ppx)`` — one
     row per input doc, ``kn_trigrams`` = 0 / ``kn_ppx`` NULL below
-    three tokens."""
+    three tokens.
+
+    ``broadcast_model`` (default) ships the five count tables to every
+    executor — the KenLM operating assumption (the reference model is
+    memory-resident) and the guide-§3.1 shape: the doc-grain ``occ``
+    side is never shuffled by n-gram key, so scoring is one map-side
+    pass at any corpus size. Set False only for a reference model too
+    large for executor memory (falls back to shuffle joins; values
+    identical either way — join strategy never changes results)."""
     if T <= 0 or V <= 0:
         raise ValueError("kn_perplexity: empty reference model")
     occ = _trigram_occurrences(docs, text_col, id_col)
@@ -169,12 +178,13 @@ def kn_perplexity(
     contrib = F.col("cnt").cast("decimal(10,0)") * F.round(
         F.log(p3), 6
     ).cast("decimal(28,6)")
+    _bc = F.broadcast if broadcast_model else (lambda d: d)
     scored = (
-        occ.join(tri, ["u", "v", "w"], "left")
-        .join(ctx3, ["u", "v"], "left")
-        .join(mid, ["v", "w"], "left")
-        .join(perv, ["v"], "left")
-        .join(low, ["w"], "left")
+        occ.join(_bc(tri), ["u", "v", "w"], "left")
+        .join(_bc(ctx3), ["u", "v"], "left")
+        .join(_bc(mid), ["v", "w"], "left")
+        .join(_bc(perv), ["v"], "left")
+        .join(_bc(low), ["w"], "left")
         .groupBy("__id")
         .agg(
             F.sum("cnt").alias("kn_trigrams"),

@@ -92,12 +92,21 @@ def lm_perplexity(
     alpha: float = DEFAULT_ALPHA,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score every document: ``(id_col, lm_bigrams, ppx)`` with one
     row per input doc — ``lm_bigrams`` = 0 and ``ppx`` NULL when the
     doc has fewer than two tokens. Per-bigram log-probs round to 6 dp
     and accumulate as exact decimals (order-free, engine-portable);
-    the doc's perplexity is ``round(exp(−Σ/n), 6)``."""
+    the doc's perplexity is ``round(exp(−Σ/n), 6)``.
+
+    ``broadcast_model`` (default) ships the count tables to every
+    executor — the KenLM operating assumption (the reference model is
+    memory-resident) and the guide-§3.1 shape: the doc-grain ``occ``
+    side is never shuffled by bigram key, so scoring is one map-side
+    pass at any corpus size. Set False only for a reference model too
+    large for executor memory (falls back to shuffle joins; values
+    identical either way — join strategy never changes results)."""
     if vocab_size <= 0:
         raise ValueError("lm_perplexity: empty reference vocabulary")
     occ = (
@@ -115,9 +124,10 @@ def lm_perplexity(
     contrib = F.col("cnt").cast("decimal(10,0)") * F.round(logp, 6).cast(
         "decimal(28,6)"
     )
+    _bc = F.broadcast if broadcast_model else (lambda d: d)
     scored = (
-        occ.join(bigram_counts, ["a", "b"], "left")
-        .join(context_counts, ["a"], "left")
+        occ.join(_bc(bigram_counts), ["a", "b"], "left")
+        .join(_bc(context_counts), ["a"], "left")
         .groupBy("__id")
         .agg(
             F.sum("cnt").alias("lm_bigrams"),

@@ -300,9 +300,29 @@ def mmr_rerank(
 
     Pass ``pool`` (a ``(query_id, vec_id, cos_sim)`` top-``pool_k``
     table, e.g. an already-materialized brute/IVF result) to skip the
-    internal pool search — the shared-scan convention carriers use."""
+    internal pool search — the shared-scan convention carriers use.
+
+    ID CONTRACT: ``id_col`` and ``query_id_col`` must be integral
+    (they cross the grouped Arrow kernel as int64 and the output
+    schema declares them ``long``) — validated eagerly below with a
+    clear error instead of a silent kernel miscast; string or other
+    non-integral ids need a surrogate-key projection first."""
     if not 1 <= k <= pool_k:
         raise ValueError("need 1 <= k <= pool_k")
+    from pyspark.sql.types import IntegralType
+
+    for frame, cname, role in (
+        (vectors, id_col, "id_col"),
+        (queries if pool is None else pool, query_id_col, "query_id_col"),
+    ):
+        dt = frame.schema[cname].dataType
+        if not isinstance(dt, IntegralType):
+            raise TypeError(
+                f"mmr_rerank: {role}={cname!r} must be an integral "
+                f"type (ids ride the grouped Arrow kernel as int64); "
+                f"got {dt.simpleString()}. Project a surrogate bigint "
+                "key first."
+            )
     from etl_extract_transform_load_spark.scale.similarity import (
         brute_force_topk_arrow,
     )

@@ -425,6 +425,90 @@ def neighbor_pairs_above_arrow(
     )
 
 
+def brute_force_scored_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int = 64,
+    max_queries: int = 100_000,
+    carry_cols: "tuple[str, ...]" = (),
+    carry_schema: str = "",
+) -> DataFrame:
+    """The full scored pair set behind :func:`brute_force_topk_arrow`
+    — every (query, candidate) cosine with the kernel's contracts
+    (sequential-fold dots, 6-dp round, zero-norm and self-pair
+    drop-out) but WITHOUT the rank window, so several consumers can
+    share ONE corpus pass (the top-k window, MMR's pool, hard-negative
+    mining). ``carry_cols`` passes candidate-side columns through the
+    kernel (``carry_schema`` their DDL, e.g. ``"label int"``) — rows
+    keep the candidate's values, which saves consumers a corpus-sized
+    join-back on ``id_col``.
+
+    The query side ships to every executor in the closure, so it is
+    bounded-collected (raises past ``max_queries`` instead of OOMing
+    the driver) — for unbounded query sets use ``brute_force_topk``."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    import numpy as np
+    import pandas as pd
+
+    carry = list(carry_cols)
+    out_schema = (
+        f"{query_id_col} long, {id_col} long"
+        + (f", {carry_schema}" if carry_schema else "")
+        + ", cos_sim double"
+    )
+    q_rows = _collect_rows_bounded(
+        queries,
+        [query_id_col, vec_col],
+        max_queries,
+        "brute_force_topk_arrow",
+        "brute_force_topk (distributed join, same values)",
+    )
+    if not q_rows:  # empty query set: empty pair set, stable schema
+        return queries.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    _, q_norms = _seq_dots(q_mat, q_mat[:1])
+    # zero-norm drop-out (cosine undefined — embedding-family contract)
+    nz = q_norms > 0
+    q_ids, q_mat, q_norms = q_ids[nz], q_mat[nz], q_norms[nz]
+    if not len(q_ids):
+        return queries.sparkSession.createDataFrame([], out_schema)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v_ids = pdf[id_col].to_numpy()
+            dots, v_norms = _seq_dots(v, q_mat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
+            vi, qi = np.nonzero(
+                (v_norms[:, None] > 0) & (v_ids[:, None] != q_ids[None, :])
+            )
+            out = {query_id_col: q_ids[qi], id_col: v_ids[vi]}
+            for c in carry:
+                # integral/categorical metadata only: convert_dtypes
+                # maps a NULL-bearing int column (Arrow hands it to
+                # pandas as float64 + NaN) back to a nullable integer
+                # so NULL labels stay NULL through the declared schema
+                out[c] = (
+                    pdf[c].iloc[vi].reset_index(drop=True).convert_dtypes()
+                )
+            out["cos_sim"] = cos[vi, qi]
+            yield pd.DataFrame(out)
+
+    return (
+        vectors.repartition(parallelism)
+        .select(id_col, vec_col, *carry)
+        .mapInPandas(score, schema=out_schema)
+    )
+
+
 def brute_force_topk_arrow(
     vectors: DataFrame,
     queries: DataFrame,
@@ -441,61 +525,14 @@ def brute_force_topk_arrow(
     The query side ships to every executor in the closure, so it is
     bounded-collected (raises past ``max_queries`` instead of OOMing
     the driver) — for unbounded query sets use ``brute_force_topk``."""
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    import numpy as np
-    import pandas as pd
-
-    q_rows = _collect_rows_bounded(
+    scored = brute_force_scored_arrow(
+        vectors,
         queries,
-        [query_id_col, vec_col],
-        max_queries,
-        "brute_force_topk_arrow",
-        "brute_force_topk (distributed join, same values)",
-    )
-    if not q_rows:  # empty query set: empty top-k, stable schema
-        return queries.sparkSession.createDataFrame(
-            [],
-            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
-        )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    _, q_norms = _seq_dots(q_mat, q_mat[:1])
-    # zero-norm drop-out (cosine undefined — embedding-family contract)
-    nz = q_norms > 0
-    q_ids, q_mat, q_norms = q_ids[nz], q_mat[nz], q_norms[nz]
-    if not len(q_ids):
-        return queries.sparkSession.createDataFrame(
-            [],
-            f"{query_id_col} long, {id_col} long, cos_sim double, rank int",
-        )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v_ids = pdf[id_col].to_numpy()
-            dots, v_norms = _seq_dots(v, q_mat)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(dots / (v_norms[:, None] * q_norms[None, :]), 6)
-            vi, qi = np.nonzero(
-                (v_norms[:, None] > 0) & (v_ids[:, None] != q_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    query_id_col: q_ids[qi],
-                    id_col: v_ids[vi],
-                    "cos_sim": cos[vi, qi],
-                }
-            )
-
-    scored = (
-        vectors.repartition(parallelism)
-        .select(id_col, vec_col)
-        .mapInPandas(
-            score, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
-        )
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        parallelism=parallelism,
+        max_queries=max_queries,
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (

@@ -56,6 +56,13 @@ def get_spark(
         # only chosen when a build side fits the planner's local-map
         # bound, and AQE skew splitting still applies, so the setting
         # is as right on a cluster as on local[N].
+        # Trade-off (ADVICE r10): this is session-global, and a build
+        # side chosen off badly misestimated post-filter stats can OOM
+        # an executor where sort-merge would have spilled. Accepted
+        # deliberately: it is the guide's own §9 baseline, the bound
+        # is size-gated, and a cluster deployment that observes build-
+        # side OOMs should flip this back and pin the specific hot
+        # joins with df.hint("shuffle_hash") instead.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # Keep scans right-sized: 128 MiB splits is the parquet sweet spot.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

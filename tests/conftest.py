@@ -28,3 +28,78 @@ def spark(tmp_path_factory):
     )
     yield spark
     spark.stop()
+
+
+@pytest.fixture(scope="session")
+def example_procs(tmp_path_factory):
+    """Run every subprocess-driven example script ONCE, concurrently
+    (r11 — suite wall-clock): each example boots its own Spark JVM and
+    is latency-bound, so six sequential runs paid ~6 cold starts of
+    wall time back to back. The per-test ASSERTIONS are unchanged —
+    each example test consumes its own entry here. Returns
+    ``(procs, outs)``: name → CompletedProcess, name → output path."""
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = tmp_path_factory.mktemp("examples")
+    env4 = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    outs = {
+        "training_release": str(base / "release"),
+        "multimodal": str(base / "mm_out"),
+        "experimentation": str(base / "exp_out"),
+        "data_card": str(base / "DATA_CARD.md"),
+        "quality_classifier": str(base / "qclf_out"),
+        "analytics": str(base / "analytics_out"),
+    }
+    specs = {
+        "training_release": (
+            ["examples/training_release.py", SF_SMOKE,
+             outs["training_release"]],
+            env4,
+        ),
+        "multimodal": (
+            ["examples/multimodal_dedup_pipeline.py",
+             outs["multimodal"], "8"],
+            env4,
+        ),
+        "experimentation": (
+            ["examples/experimentation_pipeline.py", SF_SMOKE,
+             outs["experimentation"]],
+            env4,
+        ),
+        "data_card": (
+            ["examples/data_card.py", SF_SMOKE, outs["data_card"]],
+            env4,
+        ),
+        "quality_classifier": (
+            ["examples/quality_classifier.py", SF_SMOKE,
+             outs["quality_classifier"]],
+            env4,
+        ),
+        # analytics_pipeline historically ran with the inherited env
+        # (no CPUS override) — preserved
+        "analytics": (
+            ["examples/analytics_pipeline.py", SF_SMOKE,
+             outs["analytics"]],
+            dict(os.environ),
+        ),
+    }
+
+    def _run(args, env):
+        return subprocess.run(
+            [sys.executable, *args],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=repo,
+        )
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        futs = {
+            name: pool.submit(_run, args, env)
+            for name, (args, env) in specs.items()
+        }
+        procs = {name: f.result() for name, f in futs.items()}
+    return procs, outs

@@ -20,6 +20,8 @@ SKETCH_QUERIES = [
     "embedding_neardup_lsh",
     "dedup_connected_components",
     "describe_stats",
+    # r11: persists the shared user-hash repartition of events
+    "windowed_counts_events",
 ]
 
 

@@ -1,28 +1,14 @@
 """The data-card example must run end-to-end and emit every section
-of the release datasheet, with internally consistent numbers."""
+of the release datasheet, with internally consistent numbers. Runs
+via the shared concurrent example runner (conftest.example_procs);
+assertions unchanged."""
 
-import os
 import re
-import subprocess
-import sys
 
 
-def test_data_card_e2e(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = str(tmp_path / "DATA_CARD.md")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "examples", "data_card.py"),
-            "/root/testdata/sf0.001",
-            out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
+def test_data_card_e2e(example_procs):
+    procs, outs = example_procs
+    proc, out = procs["data_card"], outs["data_card"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     card = open(out, encoding="utf-8").read()
     for section in (

@@ -120,25 +120,13 @@ def test_manifest_roundtrip_and_verify(spark, tmp_path):
         verify_against_manifest(back.limit(99), manifest)
 
 
-def test_analytics_pipeline_example_runs(spark, tmp_path):
+def test_analytics_pipeline_example_runs(example_procs):
     """The composed behavioral-analytics example must run end-to-end
-    against smoke testdata and leave manifest-verified reports."""
-    import subprocess
-    import sys
-
-    out = str(tmp_path / "analytics_out")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            "examples/analytics_pipeline.py",
-            "/root/testdata/sf0.001",
-            out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        cwd="/root/repo",
-    )
+    against smoke testdata and leave manifest-verified reports. Runs
+    via the shared concurrent example runner (conftest.example_procs);
+    assertions unchanged."""
+    procs, outs = example_procs
+    proc, out = procs["analytics"], outs["analytics"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "wrote + verified 5 report tables" in proc.stdout
     import os

@@ -1,27 +1,14 @@
 """The experimentation example must run end-to-end and leave
-manifest-verified report tables behind."""
+manifest-verified report tables behind. Runs via the shared
+concurrent example runner (conftest.example_procs); assertions
+unchanged."""
 
 import os
-import subprocess
-import sys
 
 
-def test_experimentation_pipeline_e2e(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = str(tmp_path / "exp_out")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "examples", "experimentation_pipeline.py"),
-            "/root/testdata/sf0.001",
-            out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
+def test_experimentation_pipeline_e2e(example_procs):
+    procs, outs = example_procs
+    proc, out = procs["experimentation"], outs["experimentation"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "CUPED:" in proc.stdout
     assert "randomization gates:" in proc.stdout

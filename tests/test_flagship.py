@@ -34,3 +34,37 @@ def test_entry_contract(spark):
     # verification window, and every one carries an oracle
     assert len(q) <= 50
     assert set(o) == set(q)
+
+
+def test_registry_contents_pinned():
+    """The EXACT driver-verified 50-query set (ADVICE r10): a future
+    carrier consolidation must re-slot deliberately — editing this
+    list — rather than silently pushing a verified query out of the
+    driver's window (the inherited r10 51st-entry incident)."""
+    import __spark_entry__ as e
+
+    assert sorted(e.queries()) == sorted(
+        [
+            "flagship_integrate", "filter_project", "filter_not_in",
+            "filter_theta_drop", "dedup_deterministic",
+            "join_inner_suffixed", "pivot_orders", "window_topk",
+            "sort_limit_offset", "set_operations", "time_derivations",
+            "windowed_counts_events", "streaming_windowed_ingest",
+            "salted_join_agg", "sink_formats_roundtrip", "unpivot_melt",
+            "lateral_explode", "array_hof_corpus",
+            "window_functions_corpus", "complex_types_corpus",
+            "cleaning_operators_corpus", "shipping_priority_q3",
+            "local_supplier_volume_q5", "dedup_connected_components",
+            "doc_chunks", "pack_sequences", "dedup_exact_clusters",
+            "dedup_ngram_jaccard", "dedup_minhash_lsh",
+            "dedup_simhash_pairs", "embedding_neardup_pairs",
+            "similarity_topk_bruteforce", "similarity_topk_lsh",
+            "similarity_topk_ivf", "embedding_neardup_lsh",
+            "profile_columns", "groupby_aggregates", "describe_stats",
+            "scalar_parse_corpus", "functions_corpus",
+            "grouping_family", "joins_special", "temporal_joins",
+            "session_operators", "text_quality_signals",
+            "vocab_tfidf_terms", "sampling_corpus", "curation_pii",
+            "kmeans_cluster", "movies_pipeline_e2e",
+        ]
+    )

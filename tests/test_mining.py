@@ -47,6 +47,72 @@ def test_hard_negatives_exclude_same_and_null_labels(spark):
     assert [v for _, v, _ in sorted(by_anchor[3])] == [2, 1]
 
 
+def test_pool_path_matches_hard_negatives(spark):
+    """The similarity_topk_bruteforce carrier mines hard negatives
+    from the shared brute-scored pool (r11) instead of running
+    hard_negatives' own corpus pass.  Pin the equivalence: the pool
+    path (kernel scores + broadcast anchor labels + label-mismatch
+    filter + the same rank window) must reproduce hard_negatives
+    row-for-row, including NULL-label drop-out on both sides and
+    zero-norm exclusion."""
+    from pyspark.sql import Window
+
+    from etl_extract_transform_load_spark.scale.similarity import (
+        brute_force_scored_arrow,
+    )
+
+    vecs = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.14], 0),
+            (3, [0.95, 0.31], 1),
+            (4, [0.0, 1.0], 1),
+            (5, [1.0, 0.01], None),   # NULL label: never qualifies
+            (6, [0.0, 0.0], 2),       # zero norm: never scored
+            (7, [0.5, 0.5], 2),
+        ],
+    )
+    anchors = vecs.select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    old = sorted(
+        map(
+            tuple,
+            hard_negatives(vecs, anchors, k=2, dim=2)
+            .select("anchor_id", "vec_id", "label", "cos_sim", "rank")
+            .collect(),
+        )
+    )
+    queries = vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    scored = brute_force_scored_arrow(
+        vecs, queries, carry_cols=("label",), carry_schema="label int"
+    )
+    alab = F.broadcast(
+        vecs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("__al"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    new = sorted(
+        map(
+            tuple,
+            scored.join(alab, "query_id")
+            .filter(F.col("label") != F.col("__al"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .select("query_id", "vec_id", "label", "cos_sim", "rank")
+            .collect(),
+        )
+    )
+    assert old == new
+    # NULL-label anchor 5 and zero-norm 6 mine nothing on either path
+    assert all(r[0] not in (5, 6) for r in old)
+
+
 def test_hard_negatives_rank_window_not_truncated_by_crowding(spark):
     # 10 same-label vectors crowd the cosine top; the k=2 negatives
     # must still be the 2 best OTHER-label rows

@@ -1,27 +1,14 @@
 """The multimodal image-dedup example must run end-to-end, drop every
-planted perceptual duplicate, and leave manifest-verified tables."""
+planted perceptual duplicate, and leave manifest-verified tables.
+Runs via the shared concurrent example runner (conftest.example_procs);
+assertions unchanged."""
 
 import os
-import subprocess
-import sys
 
 
-def test_multimodal_dedup_pipeline_e2e(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = str(tmp_path / "mm_out")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "examples", "multimodal_dedup_pipeline.py"),
-            out,
-            "8",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
+def test_multimodal_dedup_pipeline_e2e(example_procs):
+    procs, outs = example_procs
+    proc, out = procs["multimodal"], outs["multimodal"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     # 8 photos x4 + 2 audio x3 + 2 video x2 -> 12 clusters, 42 rows
     assert "clusters          12 perceptual groups" in proc.stdout

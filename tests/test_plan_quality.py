@@ -149,37 +149,52 @@ def test_cdc_and_heavy_hitters_plan_shapes(spark):
     assert simple.count("HashAggregate") >= 2  # partial recount combine
 
 
-def test_no_cartesian_products_anywhere(spark):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """ONE plan build per registered query, shared by every full-
+    registry plan-policy sweep below (r11 — suite wall-clock: several
+    carriers legitimately execute eager decide/checkpoint jobs at
+    BUILD time, so building all 50 twice doubled the two heaviest
+    tests in the suite). Returns ({name: simple-mode plan text},
+    {name: build error})."""
+    from etl_extract_transform_load_spark import registry
+
+    plans, errors = {}, {}
+    for name, fn in registry.queries().items():
+        try:
+            plans[name] = plan_text(fn(spark, SF_ORACLE), mode="simple")
+        except Exception as e:  # pragma: no cover - surface as failure
+            errors[name] = f"explain failed: {e}"
+    return plans, errors
+
+
+def test_no_cartesian_products_anywhere(registry_plans):
     """Sweep every registered query's physical plan: no CartesianProduct
     may appear. Intentional all-pairs generators (embedding near-dup)
     must do it via a predicated broadcast nested-loop, never an
     unpredicated cartesian."""
-    from etl_extract_transform_load_spark import registry
-
-    offenders = []
-    for name, fn in registry.queries().items():
-        try:
-            plan = plan_text(fn(spark, SF_ORACLE), mode="simple")
-        except Exception as e:  # pragma: no cover - surface as failure
-            offenders.append((name, f"explain failed: {e}"))
-            continue
+    plans, errors = registry_plans
+    offenders = list(errors.items())
+    for name, plan in plans.items():
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
 
 
-def test_no_exact_percentile_aggregate_anywhere(spark):
+def test_no_exact_percentile_aggregate_anywhere(registry_plans):
     """Sweep every registered query's physical plan: no exact
     ``percentile``/``median`` aggregate may appear — it buffers EVERY
     value of the column in a single aggregation state (OOM-shaped at
     corpus scale; the r3 scale-killer). Exact quantiles must route
     through operators.quantiles.exact_quantiles (bounded state);
     ``approx_percentile`` is also fine."""
-    from etl_extract_transform_load_spark import registry
-
+    plans, errors = registry_plans
+    assert not errors, errors
     offenders = []
-    for name, fn in registry.queries().items():
-        plan = plan_text(fn(spark, SF_ORACLE), mode="simple")
+    for name, plan in plans.items():
         cleaned = plan.replace("approx_percentile(", "").replace(
             "percentile_approx(", ""
         )

@@ -1,29 +1,16 @@
 """The quality-classifier example must run end-to-end: fit, held-out
 report, threshold sweep, manifest-verified write — and the learnable
-planted-junk signal must yield a sane AUC."""
+planted-junk signal must yield a sane AUC. Runs via the shared
+concurrent example runner (conftest.example_procs); assertions
+unchanged."""
 
 import os
 import re
-import subprocess
-import sys
 
 
-def test_quality_classifier_e2e(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = str(tmp_path / "qclf_out")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "examples", "quality_classifier.py"),
-            "/root/testdata/sf0.001",
-            out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
+def test_quality_classifier_e2e(example_procs):
+    procs, outs = example_procs
+    proc, out = procs["quality_classifier"], outs["quality_classifier"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     m = re.search(r"auc=([0-9.]+)", proc.stdout)
     assert m, proc.stdout

@@ -42,7 +42,7 @@ def _docs(spark, salt: int):
     )
 
 
-def _run_stream(spark, tmp_path, docs):
+def _run_stream(spark, tmp_path, docs, benchmark=None):
     from etl_extract_transform_load_spark.streaming.curation import (
         curation_batch_fold,
     )
@@ -56,7 +56,9 @@ def _run_stream(spark, tmp_path, docs):
     state_dir = str(tmp_path / "state")
 
     def ingest(batch_df, batch_id: int) -> None:
-        curation_batch_fold(spark, batch_df, state_dir, batch_id)
+        curation_batch_fold(
+            spark, batch_df, state_dir, batch_id, benchmark=benchmark
+        )
 
     schema = docs.drop("__b").schema
     stream = file_stream_source(
@@ -69,15 +71,53 @@ def _run_stream(spark, tmp_path, docs):
     return state_dir
 
 
+@pytest.fixture(scope="module")
+def curation_streams(spark, tmp_path_factory):
+    """Run every micro-batch stream these tests consume ONCE,
+    CONCURRENTLY (r11 — suite wall-clock): five independent
+    trigger-once streaming queries (salts 1, 2, 11, 12 and the
+    decontamination run) are latency-bound micro-batch chains, so
+    running them back to back paid five serial fold pipelines.
+    Structured Streaming runs them side by side on one session; each
+    has its own source/state/checkpoint dirs.  Every test's
+    ASSERTIONS are unchanged.  Returns salt → state_dir."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = tmp_path_factory.mktemp("curation_streams")
+    bench_docs = _docs(spark, 5)
+    benchmark = (
+        bench_docs.filter(F.col("doc_id").isin(20, 21, 22))
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    jobs = {
+        1: (_docs(spark, 1), None),
+        2: (_docs(spark, 2), None),
+        11: (_docs(spark, 11), None),
+        12: (_docs(spark, 12), None),
+        "decon": (bench_docs, benchmark),
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = {
+            key: pool.submit(
+                _run_stream, spark, base / f"s{key}", docs, bm
+            )
+            for key, (docs, bm) in jobs.items()
+        }
+        dirs = {key: f.result() for key, f in futs.items()}
+    dirs["benchmark"] = benchmark
+    return dirs
+
+
 @pytest.mark.parametrize("salt", [1, 2])
-def test_streaming_funnel_equals_batch_funnel(spark, tmp_path, salt):
+def test_streaming_funnel_equals_batch_funnel(spark, curation_streams, salt):
     from etl_extract_transform_load_spark.streaming.curation import (
         batch_reference_curation,
         finalize_curation,
     )
 
     docs = _docs(spark, salt)
-    state_dir = _run_stream(spark, tmp_path, docs)
+    state_dir = curation_streams[salt]
     got = finalize_curation(spark, state_dir)
     want = batch_reference_curation(docs.drop("__b"))
 
@@ -118,15 +158,17 @@ def test_streaming_funnel_equals_batch_funnel(spark, tmp_path, salt):
     assert card(got["datacard"])  # non-trivial
 
 
-def test_streaming_funnel_salts_change_batching_not_result(spark, tmp_path):
+def test_streaming_funnel_salts_change_batching_not_result(
+    spark, curation_streams
+):
     """Two different batch assignments of the SAME corpus converge to
     the same selected set — order-freedom of every fold."""
     from etl_extract_transform_load_spark.streaming.curation import (
         finalize_curation,
     )
 
-    a = _run_stream(spark, tmp_path / "a", _docs(spark, 11))
-    b = _run_stream(spark, tmp_path / "b", _docs(spark, 12))
+    a = curation_streams[11]
+    b = curation_streams[12]
     sa = {
         r.doc_id
         for r in finalize_curation(spark, a)["selected"].collect()
@@ -138,48 +180,21 @@ def test_streaming_funnel_salts_change_batching_not_result(spark, tmp_path):
     assert sa == sb
 
 
-def test_streaming_decontamination_gate(spark, tmp_path):
+def test_streaming_decontamination_gate(spark, curation_streams):
     """A fixed benchmark threaded through the REAL micro-batch fold:
     contaminated docs die at ingest in every batch, every downstream
     face still equals the batch reference exactly (the gate is
     stateless, so batching cannot change it)."""
     from etl_extract_transform_load_spark.streaming.curation import (
         batch_reference_curation,
-        curation_batch_fold,
         finalize_curation,
-    )
-    from etl_extract_transform_load_spark.streaming.ingest import (
-        file_stream_source,
-        foreach_batch_ingest,
     )
 
     docs = _docs(spark, 5)
     # benchmark = verbatim text of three corpus docs (ids irrelevant)
-    benchmark = (
-        docs.filter(F.col("doc_id").isin(20, 21, 22))
-        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
-        .localCheckpoint()
-    )
+    benchmark = curation_streams["benchmark"]
 
-    src = str(tmp_path / "src")
-    docs.repartition(4, "__b").drop("__b").write.parquet(src)
-    state_dir = str(tmp_path / "state")
-
-    def ingest(batch_df, batch_id: int) -> None:
-        curation_batch_fold(
-            spark, batch_df, state_dir, batch_id, benchmark=benchmark
-        )
-
-    schema = docs.drop("__b").schema
-    stream = file_stream_source(
-        spark, src, schema=schema, fmt="parquet", max_files_per_trigger=1
-    )
-    q = foreach_batch_ingest(
-        stream, ingest, str(tmp_path / "ckpt"), trigger_once=True
-    )
-    q.awaitTermination()
-
-    got = finalize_curation(spark, state_dir)
+    got = finalize_curation(spark, curation_streams["decon"])
     want = batch_reference_curation(
         docs.drop("__b"), benchmark=benchmark
     )

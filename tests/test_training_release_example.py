@@ -1,28 +1,16 @@
-"""The training-release example must run end-to-end: gate -> dedup ->
-blocklist -> epochs -> shards/order -> manifest-verified write."""
+"""The training-release example must run end-to-end (funnel, dedup,
+blocklist, shards, manifest) and leave internally consistent numbers.
+The script runs via the shared concurrent example runner
+(``conftest.example_procs``); assertions are unchanged from the
+sequential-run form."""
 
 import json
 import os
-import subprocess
-import sys
 
 
-def test_training_release_e2e(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = str(tmp_path / "release")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(repo, "examples", "training_release.py"),
-            "/root/testdata/sf0.001",
-            out,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-    )
+def test_training_release_e2e(example_procs):
+    procs, outs = example_procs
+    proc, out = procs["training_release"], outs["training_release"]
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "manifest verified" in proc.stdout
     m = json.load(open(os.path.join(out, "MANIFEST.json")))
